@@ -1,0 +1,196 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Configuration for the i2b2 ontology transform.
+  *
+  * @param runTimestamp single per-run timestamp, pre-formatted
+  *   `dd-MM-yyyy HH:mm:ss` (Angelo_ETL_Task.py:182-183 computes
+  *   `datetime.now()` ONCE so every row shares it; passing it in keeps
+  *   the transform pure/deterministic and testable)
+  * @param bugCompatFullname reproduce the reference bug at
+  *   Angelo_ETL_Task.py:40 where every C_FULLNAME segment carries the
+  *   LEAF's name; default false = spec-correct per-ancestor names
+  *   (ETL_Task_Description.docx worked example)
+  */
+case class I2b2Config(
+    runTimestamp: String,
+    bugCompatFullname: Boolean = false)
+
+/** The whole reference `transform()` (Angelo_ETL_Task.py:150-274) as ONE
+  * declarative Spark plan:
+  *
+  *   read -> last-wins dedup (R2) -> left join (R1) -> parent-count join
+  *   (R3) -> 25-column project (F1-F13) -> null filter (R5) ->
+  *   truncation project (F14)
+  *
+  * vs the reference's ~25 separate full passes over an eager pandas
+  * frame. Catalyst fuses the projects+filter into one WholeStageCodegen
+  * stage; the only shuffles are the two aggregations (last-wins,
+  * parent counts) and — in spec-correct fullname mode — the
+  * explode/re-aggregate pair. Both dimension joins are broadcast-able
+  * when the hierarchy is small; at 100 TB they degrade gracefully to
+  * shuffled hash joins keyed on the code.
+  */
+object I2b2Pipeline {
+
+  /** Varchar caps applied by the reference AFTER the C_DIMCODE /
+    * C_TOOLTIP copies, each independently (Angelo_ETL_Task.py:261-272).
+    * Order preserved from the reference.
+    */
+  val varcharCaps: Seq[(String, Int)] = Seq(
+    "C_FULLNAME" -> 700, "C_NAME" -> 2000, "C_BASECODE" -> 50,
+    "C_FACTTABLECOLUMN" -> 50, "C_TABLENAME" -> 50, "C_COLUMNNAME" -> 50,
+    "C_COLUMNDATATYPE" -> 50, "C_OPERATOR" -> 10, "C_DIMCODE" -> 700,
+    "C_TOOLTIP" -> 900, "C_PATH" -> 700, "C_SYMBOL" -> 50)
+
+  /** NOT NULL guard columns (Angelo_ETL_Task.py:245-258). */
+  val notNullCols: Seq[String] = Seq(
+    "C_HLEVEL", "C_FULLNAME", "C_NAME", "C_SYNONYM_CD",
+    "C_VISUALATTRIBUTES", "C_FACTTABLECOLUMN", "C_TABLENAME",
+    "C_COLUMNNAME", "C_COLUMNDATATYPE", "C_OPERATOR", "C_DIMCODE",
+    "M_APPLIED_PATH", "UPDATE_DATE")
+
+  /** Output column order = the i2b2 DDL (Angelo_ETL_Task.py:298-324). */
+  val outputCols: Seq[String] = Seq(
+    "C_HLEVEL", "C_FULLNAME", "C_NAME", "C_SYNONYM_CD",
+    "C_VISUALATTRIBUTES", "C_TOTALNUM", "C_BASECODE", "C_METADATAXML",
+    "C_FACTTABLECOLUMN", "C_TABLENAME", "C_COLUMNNAME",
+    "C_COLUMNDATATYPE", "C_OPERATOR", "C_DIMCODE", "C_COMMENT",
+    "C_TOOLTIP", "M_APPLIED_PATH", "UPDATE_DATE", "DOWNLOAD_DATE",
+    "IMPORT_DATE", "SOURCESYSTEM_CD", "VALUETYPE_CD", "M_EXCLUSION_CD",
+    "C_PATH", "C_SYMBOL")
+
+  /** Build the 25-column i2b2 ontology table.
+    *
+    * @param loinc     LOINC_NUM, COMPONENT, PROPERTY, TIME_ASPCT,
+    *                  SYSTEM, SCALE_TYP, METHOD_TYP, STATUS
+    *                  (one row per code)
+    * @param hierarchy CODE, CODE_TEXT, PATH_TO_ROOT, IMMEDIATE_PARENT,
+    *                  seq (row-order column; a CODE may repeat)
+    */
+  def build(loinc: DataFrame, hierarchy: DataFrame,
+            cfg: I2b2Config): DataFrame = {
+    // R2: last row in file order wins for CODE -> (CODE_TEXT, PATH).
+    val hierLast = Dedup.lastWins(
+      hierarchy, Seq("CODE"), col("seq"), Seq("CODE_TEXT", "PATH_TO_ROOT"))
+
+    // R3: parent fan-out counts over ALL hierarchy rows (value_counts
+    // at Angelo_ETL_Task.py:173 runs before any dedup).
+    val parentCounts = hierarchy
+      .filter(col("IMMEDIATE_PARENT").isNotNull)
+      .groupBy(col("IMMEDIATE_PARENT").as("PARENT_CODE"))
+      .agg(count(lit(1)).as("child_count"))
+
+    // R1 (+R2 folded in): the spine is loinc itself — LOINC_NUM is
+    // unique per row, so merged.unique() == loinc (:179).
+    val joined = loinc
+      .join(hierLast, loinc("LOINC_NUM") === hierLast("CODE"), "left")
+      .join(parentCounts,
+        loinc("LOINC_NUM") === parentCounts("PARENT_CODE"), "left")
+      .drop("CODE", "PARENT_CODE")
+
+    val fullname = if (cfg.bugCompatFullname) {
+      // Bug-compat: pure higher-order expression, zero extra shuffles.
+      Hierarchy.renderPathBugCompat(
+        col("PATH_TO_ROOT"), col("LOINC_NUM"), col("CODE_TEXT"))
+    } else null // spec mode joins per-ancestor names below
+
+    val base =
+      if (cfg.bugCompatFullname)
+        joined.withColumn("C_FULLNAME", fullname)
+      else
+        specFullname(joined, hierLast.select(
+          col("CODE").as("__anc_code"), col("CODE_TEXT").as("__anc_name")))
+
+    val ts = lit(cfg.runTimestamp)
+    val derived = base.select(
+      Hierarchy.depth(col("PATH_TO_ROOT")).as("C_HLEVEL"),
+      col("C_FULLNAME"),
+      Naming.conditionalName(col("LOINC_NUM"), col("CODE_TEXT"),
+        Seq("COMPONENT", "PROPERTY", "TIME_ASPCT", "SYSTEM", "SCALE_TYP",
+          "METHOD_TYP").map(col)).as("C_NAME"),
+      lit("N").as("C_SYNONYM_CD"),
+      Flags.visualAttributes(col("child_count"), col("STATUS"))
+        .as("C_VISUALATTRIBUTES"),
+      lit(null).cast("int").as("C_TOTALNUM"),
+      Naming.baseCode(col("LOINC_NUM")).as("C_BASECODE"),
+      metadataXml(col("LOINC_NUM"), col("CODE_TEXT"), col("COMPONENT"),
+        col("SYSTEM"), col("METHOD_TYP")).as("C_METADATAXML"),
+      lit("CONCEPT_CD").as("C_FACTTABLECOLUMN"),
+      lit("CONCEPT_DIMENSION").as("C_TABLENAME"),
+      lit("CONCEPT_PATH").as("C_COLUMNNAME"),
+      Flags.columnDataType(col("SCALE_TYP")).as("C_COLUMNDATATYPE"),
+      lit("LIKE").as("C_OPERATOR"),
+      col("C_FULLNAME").as("C_DIMCODE"),
+      lit(null).cast("string").as("C_COMMENT"),
+      col("C_FULLNAME").as("C_TOOLTIP"),
+      lit("@").as("M_APPLIED_PATH"),
+      ts.as("UPDATE_DATE"),
+      ts.as("DOWNLOAD_DATE"),
+      ts.as("IMPORT_DATE"),
+      lit("LOINC").as("SOURCESYSTEM_CD"),
+      lit("LAB").as("VALUETYPE_CD"),
+      lit(null).cast("string").as("M_EXCLUSION_CD"),
+      Hierarchy.parentPath(col("C_FULLNAME")).as("C_PATH"),
+      Naming.symbol(col("CODE_TEXT")).as("C_SYMBOL"))
+
+    val filtered = guard(derived)
+    Guards.truncateAll(filtered, varcharCaps.toMap)
+      .select(outputCols.map(col): _*)
+  }
+
+  /** R5 guard; the reference also compares every column to `''`, which
+    * is only meaningful for strings — comparing an int column to `''`
+    * in Spark would cast to null and drop every row, so non-string
+    * columns get the null check only.
+    */
+  private def guard(df: DataFrame): DataFrame = {
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    df.filter(notNullCols.map { c =>
+      if (types(c).typeName == "string")
+        col(c).isNotNull && col(c) =!= ""
+      else col(c).isNotNull
+    }.reduce(_ && _))
+  }
+
+  /** F2 spec-correct: per-ancestor names. posexplode the path array,
+    * broadcast-join each ancestor code to its name, re-aggregate in
+    * position order. One shuffle (the re-agg); the join is map-side.
+    */
+  private def specFullname(joined: DataFrame, names: DataFrame): DataFrame = {
+    val withCodes = joined.withColumn("__codes",
+      concat(Hierarchy.pathArray(col("PATH_TO_ROOT")), array(col("LOINC_NUM"))))
+    val exploded = withCodes
+      .select(col("LOINC_NUM").as("__key"),
+        posexplode(col("__codes")).as(Seq("__pos", "__code")))
+      .join(broadcast(names), col("__code") === col("__anc_code"), "left")
+      .groupBy(col("__key"))
+      .agg(concat(lit(Hierarchy.RootPrefix + "\\"), array_join(
+        transform(
+          array_sort(collect_list(struct(col("__pos"), col("__code"),
+            col("__anc_name")))),
+          s => concat(lit("("), s("__code"), lit(") "), s("__anc_name"))),
+        "\\")).as("C_FULLNAME"))
+    joined.join(exploded, joined("LOINC_NUM") === exploded("__key"), "left")
+      .drop("__key")
+  }
+
+  /** F6 — per-row XML metadata (Angelo_ETL_Task.py:89-120). */
+  def metadataXml(code: Column, codeText: Column, component: Column,
+                  system: Column, methodTyp: Column): Column = {
+    import XmlRender._
+    when(code.startsWith("LP"),
+      document("MultiAxialHierarchy",
+        element("LOINC_NUM", code),
+        element("CODE_TEXT", codeText)))
+    .otherwise(
+      document("Loinc",
+        element("LOINC_NUM", code),
+        element("COMPONENT", component),
+        element("SYSTEM", system),
+        element("METHOD_TYP", methodTyp)))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.functions._
+
+/** Readers for the driver-generated test tables (TESTDATA.md) and for
+  * LOINC-shaped CSV inputs (the reference's two sources,
+  * Angelo_ETL_Task.py:144-145).
+  *
+  * Parquet carries its own schema; CSV gets an explicit `StructType` —
+  * the reference relies on pandas whole-file inference
+  * (`pd.read_csv(..., low_memory=False)`, Angelo_ETL_Task.py:26), which
+  * we replace with declared schemas for determinism and speed (no
+  * inference pass over 100 TB).
+  */
+object Tables {
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Load one test table from a scale-factor directory.
+    *
+    * `events.ts` is a nanosecond parquet timestamp, which Spark has no
+    * native type for — read it as raw nanos (legacy conf) and truncate
+    * to a microsecond TimestampType (`ts div 1000` keeps long integer
+    * division: a double roundtrip would lose precision above 2^53 ns).
+    * Oracles align with DuckDB's `make_timestamp(epoch_us(ts))`.
+    */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  // ---- LOINC-shaped CSV sources (reference inputs) -------------------
+
+  /** Columns of Loinc.csv the reference consumes (SURVEY §1.3). */
+  val loincSchema: StructType = StructType(Seq(
+    StructField("LOINC_NUM", StringType, nullable = false),
+    StructField("COMPONENT", StringType, nullable = true),
+    StructField("PROPERTY", StringType, nullable = true),
+    StructField("TIME_ASPCT", StringType, nullable = true),
+    StructField("SYSTEM", StringType, nullable = true),
+    StructField("SCALE_TYP", StringType, nullable = true),
+    StructField("METHOD_TYP", StringType, nullable = true),
+    StructField("STATUS", StringType, nullable = true)))
+
+  /** MultiAxialHierarchy.csv columns consumed by the reference, plus an
+    * explicit `seq` row-order column: pandas dict-building is last-row-
+    * in-file-order-wins (Angelo_ETL_Task.py:163-170); a distributed read
+    * has no file order, so the order must be a real column.
+    */
+  val hierarchySchema: StructType = StructType(Seq(
+    StructField("CODE", StringType, nullable = false),
+    StructField("CODE_TEXT", StringType, nullable = true),
+    StructField("PATH_TO_ROOT", StringType, nullable = true),
+    StructField("IMMEDIATE_PARENT", StringType, nullable = true),
+    StructField("seq", LongType, nullable = false)))
+
+  /** CSV read with an explicit schema (S2, Angelo_ETL_Task.py:21-26). */
+  def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+}
