@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import graft.ops._
+
+/** Per-operator unit + property tests over tiny literal frames
+  * (SURVEY §5: F14 truncation invariants, F1 depth, F4 codomain,
+  * R2 last-wins determinism under repartitioning).
+  */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // -- F14 truncation properties ------------------------------------
+
+  test("truncate: len(out) <= n and out isPrefixOf in") {
+    val strs = Gen.listOfN(40, Gen.asciiPrintableStr).sample.get
+    val df = strs.toDF("s")
+    val rows = df.select($"s", Guards.truncate($"s", 10).as("t"))
+      .collect()
+    rows.foreach { r =>
+      val (s, t) = (r.getString(0), r.getString(1))
+      assert(t.length <= 10)
+      assert(s.startsWith(t))
+      if (s.length <= 10) assert(t === s)
+    }
+  }
+
+  test("truncate is a no-op on null") {
+    val df = Seq[Option[String]](None, Some("abc")).toDF("s")
+    val got = df.select(Guards.truncate($"s", 2)).as[Option[String]]
+      .collect().toSet
+    assert(got === Set(None, Some("ab")))
+  }
+
+  // -- F1 depth -------------------------------------------------------
+
+  test("depth = number of dots + 3 (reference :192)") {
+    val paths = (0 to 20).map(n => List.fill(n + 1)("LP1").mkString("."))
+    val got = paths.toDF("p").select($"p", Hierarchy.depth($"p"))
+      .as[(String, Int)].collect().toMap
+    paths.foreach(p => assert(got(p) === p.count(_ == '.') + 3))
+  }
+
+  // -- F4 codomain ----------------------------------------------------
+
+  test("visualAttributes codomain is {LA,LI,FAE,FIE,MAE,MIE}") {
+    val cases = for {
+      cnt <- Seq(null, java.lang.Long.valueOf(1L), java.lang.Long.valueOf(5L))
+      st <- Seq("ACTIVE", "DEPRECATED", "TRIAL")
+    } yield (cnt, st)
+    val df = cases.map { case (c, s) => (Option(c).map(_.longValue), s) }
+      .toDF("cnt", "status")
+    val got = df.select(Flags.visualAttributes($"cnt", $"status"))
+      .as[String].collect().toSet
+    assert(got === Set("LA", "LI", "FAE", "FIE", "MAE", "MIE"))
+  }
+
+  // -- R2 last-wins determinism ---------------------------------------
+
+  test("lastWins picks max-seq row regardless of partitioning") {
+    val rows = (1 to 500).map(i => (s"k${i % 37}", i.toLong, s"v$i"))
+    val expected = rows.groupBy(_._1).map { case (k, g) =>
+      k -> g.maxBy(_._2)._3
+    }
+    for (parts <- Seq(1, 3, 16)) {
+      val df = rows.toDF("k", "seq", "v").repartition(parts)
+      val got = Dedup.lastWins(df, Seq("k"), $"seq", Seq("v"))
+        .as[(String, String)].collect().toMap
+      assert(got === expected)
+      val gotW = Dedup.lastWinsWindow(df, Seq("k"), $"seq")
+        .select($"k", $"v").as[(String, String)].collect().toMap
+      assert(gotW === expected)
+    }
+  }
+
+  // -- XML escaping ----------------------------------------------------
+
+  test("xmlEscape matches ElementTree text escaping") {
+    val got = Seq("a&b<c>d", "&&", "plain").toDF("s")
+      .select(XmlRender.xmlEscape($"s")).as[String].collect()
+    assert(got.toSeq === Seq("a&amp;b&lt;c&gt;d", "&amp;&amp;", "plain"))
+  }
+
+  test("element renders null as None (python str(None) parity)") {
+    val got = Seq[Option[String]](None).toDF("s")
+      .select(XmlRender.element("T", $"s")).as[String].collect().head
+    assert(got === "<T>None</T>")
+  }
+
+  // -- F12 parent path -------------------------------------------------
+
+  test("parentPath strips exactly the last backslash segment") {
+    val got = Seq("\\a\\b\\c", "\\only").toDF("p")
+      .select(Hierarchy.parentPath($"p")).as[String].collect()
+    assert(got.toSeq === Seq("\\a\\b", ""))
+  }
+
+  // -- R5 guard typing ---------------------------------------------------
+
+  test("nonNullNonEmpty keeps non-empty strings only") {
+    val df = Seq(("a", "x"), ("", "y"), (null, "z")).toDF("s", "t")
+    val got = Guards.nonNullNonEmpty(df, Seq("s")).as[(String, String)]
+      .collect()
+    assert(got.toSeq === Seq(("a", "x")))
+  }
+
+  // -- F3 naming ---------------------------------------------------------
+
+  test("conditionalName: LP branch vs colon-concat with nan token") {
+    val df = Seq(
+      ("LP1", "text", "c", null.asInstanceOf[String]),
+      ("200-2", "text", "c", null.asInstanceOf[String]))
+      .toDF("code", "codeText", "p1", "p2")
+    val got = df.select(Naming.conditionalName(
+      $"code", $"codeText", Seq($"p1", $"p2")).as("n")).as[String].collect()
+    assert(got.toSeq === Seq("text", "c:nan"))
+  }
+}
