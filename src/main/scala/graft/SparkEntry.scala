@@ -16,8 +16,8 @@ object SparkEntry {
     queries("i2b2_pipeline")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries
+    CoreQueries.queries ++ RelationalQueries.queries
 
   def oracleSql: Map[String, String] =
-    CoreQueries.oracleSql
+    CoreQueries.oracleSql ++ RelationalQueries.oracleSql
 }

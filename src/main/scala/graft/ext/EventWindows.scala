@@ -1,0 +1,83 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time windowing and ordered joins. Batch and Structured
+  * Streaming share these plan shapes — `window`/`session_window`
+  * group-bys are watermark-ready: the same expressions run under
+  * `readStream` with `.withWatermark("ts", ...)` prepended (see
+  * graft.streaming.StreamOps).
+  */
+object EventWindows {
+
+  /** Tumbling event-time windows with exact-decimal value sums. */
+  def tumbling(events: DataFrame, duration: String): DataFrame =
+    events.groupBy(window(col("ts"), duration), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("wstart"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding windows (each event lands in duration/slide windows). */
+  def sliding(events: DataFrame, duration: String, slide: String): DataFrame =
+    events.groupBy(window(col("ts"), duration, slide))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("wstart"), col("n"))
+
+  /** Session windows per key with a fixed inactivity gap; emits
+    * session start/end (end = last event + gap, matching Spark's
+    * `session_window` semantics) and event count.
+    */
+  def sessions(events: DataFrame, key: Column, gap: String): DataFrame =
+    events.groupBy(session_window(col("ts"), gap), key.as("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n"))
+
+  /** AS-OF join: for each left row, the latest right row with
+    * `right.ts <= left.ts` on the same key — the operator Spark lacks
+    * natively (DuckDB/Pandas `ASOF JOIN`, kdb `aj`).
+    *
+    * Implementation is the union-and-carry-forward shape: union both
+    * sides tagged, sort by (key, ts, side) within partitions, and
+    * carry the last right payload forward with an unbounded-preceding
+    * `last(ignoreNulls)` window. ONE shuffle/sort, no range
+    * explosion — at 100 TB this is a single sort-merge pass, vs the
+    * naive range-join whose per-key cross product blows up on hot
+    * keys. Right rows sort before left rows at equal ts, so `<=`
+    * (inclusive) semantics hold.
+    *
+    * @param left  (key, ts, ...leftCols)
+    * @param right (key, ts, ...payload) — at most one row per
+    *              (key, ts); pre-dedup with Dedup.lastWins otherwise
+    * @param payloadCols right columns to carry (emitted with prefix
+    *              "asof_")
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               payloadCols: Seq[String]): DataFrame = {
+    val lOther = left.columns.filterNot(_ == key).toSeq
+    val payload = struct((ts +: payloadCols).map(col): _*)
+    val rTagged = right.select(
+      Seq(col(key), col(ts).as("__ts"), lit(0).as("__side"),
+        payload.as("__payload")) ++
+        lOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val lTagged = left.select(
+      Seq(col(key), col(ts).as("__ts"), lit(1).as("__side"),
+        lit(null).cast(rTagged.schema("__payload").dataType)
+          .as("__payload")) ++
+        lOther.map(col): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rTagged.unionByName(lTagged)
+      .withColumn("__carried",
+        last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(Seq(col(key)) ++ lOther.map(col) ++
+        Seq(col(s"__carried.$ts").as(s"asof_$ts")) ++
+        payloadCols.map(c => col(s"__carried.$c").as(s"asof_$c")): _*)
+  }
+}

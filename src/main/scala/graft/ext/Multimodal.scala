@@ -1,0 +1,66 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Decoded media features. Width/height/frames are derived from the
+  * content hash — a deterministic STAND-IN for a real decoder (no
+  * image/audio libs in this container); the Spark-side plumbing
+  * (schema, binary columns, per-partition batch decode) is real.
+  */
+case class MediaFeatures(
+    doc_id: Long,
+    byte_len: Long,
+    fp: String,
+    width: Int,
+    height: Int,
+    n_frames: Int)
+
+/** Multimodal-column handling: media as opaque `binary` columns with
+  * typed metadata, decoded per-partition.
+  *
+  * The decode runs in `mapPartitions` — one decoder instance per
+  * partition, rows streamed through it in batches, which is the shape
+  * a real libjpeg/ffmpeg binding needs (amortized init, bounded
+  * memory). At 100 TB the binary column rides in parquet alongside
+  * the metadata; partition sizing is controlled by
+  * `spark.sql.files.maxPartitionBytes` as usual, and the decode
+  * stage is embarrassingly parallel (no shuffle).
+  */
+object Multimodal {
+
+  /** Attach an opaque binary "media" column (here: utf-8 bytes of a
+    * text column standing in for image/audio payloads).
+    */
+  def withBlob(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("blob", col(textCol).cast("binary"))
+
+  /** STUB decoder: deterministic fake features from the payload hash.
+    * A real decoder would parse the container header here; everything
+    * around it (partition-wise batching, typed output schema) is the
+    * production shape.
+    */
+  def decodeStub(bytes: Array[Byte]): (Long, String, Int, Int, Int) = {
+    val mdf = java.security.MessageDigest.getInstance("MD5")
+    val hex = mdf.digest(bytes).map("%02x".format(_)).mkString
+    val width = (java.lang.Long.parseLong(hex.substring(0, 7), 16) % 1024).toInt
+    val height = (java.lang.Long.parseLong(hex.substring(7, 14), 16) % 768).toInt
+    val frames = (bytes.length % 30) + 1
+    (bytes.length.toLong, hex, width, height, frames)
+  }
+
+  /** Per-partition batch decode of (doc_id, blob) rows. */
+  def decodeFeatures(df: DataFrame): Dataset[MediaFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // decoder init happens once per partition (amortized, like a
+        // real codec context)
+        rows.map { case (id, bytes) =>
+          val (len, fp, w, h, f) = decodeStub(bytes)
+          MediaFeatures(id, len, fp, w, h, f)
+        }
+      }
+  }
+}

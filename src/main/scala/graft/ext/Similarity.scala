@@ -1,0 +1,110 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search: brute-force cosine top-k as the exact
+  * baseline, and a random-hyperplane LSH bucketed variant as the
+  * scale path (bucket join instead of cross join).
+  *
+  * All arithmetic is double-cast before folding so Spark and DuckDB
+  * fold identical IEEE754 sequences (float32 upcast is exact).
+  */
+object Similarity {
+
+  /** Elementwise double view of a float vector column. */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Sequential-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = {
+    val ad = asDouble(a)
+    val bd = asDouble(b)
+    dot(ad, bd) / (norm(ad) * norm(bd))
+  }
+
+  /** Exact top-k neighbors for each row of `queries` against `corpus`
+    * by brute-force cosine. The cross join is intentional — this is
+    * the correctness baseline; use `lshTopK` when |queries|·|corpus|
+    * is large. `queries`/`corpus` need (id, vec) columns.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     k: Int): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select("query_id", "neighbor_id", "cos")
+  }
+
+  /** Deterministic ±1 hyperplane matrix: planes × dims, sign p,i
+    * derived from md5("p:i"). Public knowledge (random-hyperplane
+    * LSH, Charikar'02); md5 replaces an RNG so any engine can
+    * reproduce the planes.
+    */
+  def hyperplanes(planes: Int, dims: Int): Array[Array[Int]] = {
+    val mdf = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(planes, dims) { (p, i) =>
+      val h = mdf.digest(s"$p:$i".getBytes("UTF-8"))
+      if ((h(0) & 1) == 1) 1 else -1
+    }
+  }
+
+  /** LSH bucket id: `planes` sign bits of hyperplane projections. */
+  def lshBucket(vec: Column, planes: Array[Array[Int]]): Column = {
+    val vd = asDouble(vec)
+    val bits = planes.zipWithIndex.map { case (w, p) =>
+      val wLit = array(w.map(x => lit(x.toDouble)): _*)
+      when(dot(vd, wLit) > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k: bucket both sides by hyperplane signature and
+    * search only within the bucket — the 100 TB path: a shuffle on
+    * the bucket id replaces the cross join. Recall is tunable via
+    * `planes` (fewer planes = bigger buckets = higher recall).
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              planes: Int = 4, dims: Int = 64): DataFrame = {
+    val pl = hyperplanes(planes, dims)
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
+      lshBucket(col("vec"), pl).as("__bucket"))
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"),
+      lshBucket(col("vec"), pl).as("__bucket"))
+    val scored = q.join(c, Seq("__bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select("query_id", "neighbor_id", "cos")
+  }
+
+  /** Embedding-cosine near-duplicate pairs within a blocking key
+    * (e.g. a label or coarse LSH bucket): pairs (a<b) with cosine
+    * above `threshold`.
+    */
+  def cosineNearDupPairs(df: DataFrame, id: Column, vec: Column,
+                         block: Column, threshold: Double): DataFrame = {
+    val a = df.select(block.as("__blk"), id.as("id_a"), vec.as("va"))
+    val b = df.select(block.as("__blk"), id.as("id_b"), vec.as("vb"))
+    a.join(b, Seq("__blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}

@@ -1,0 +1,103 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: tokenization,
+  * quality scoring, language-ID heuristics, fingerprinting. All pure
+  * Catalyst expressions (codegen'd, no UDFs) so they run inside
+  * WholeStageCodegen over 100 TB of documents and push no extra
+  * shuffles into the plan.
+  */
+object TextAnalysis {
+
+  /** Whitespace-collapsed, lowercased, trimmed normal form. */
+  def normalize(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Whitespace tokens. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword pieces: letter runs, single digits, or single
+    * non-alphanumeric marks — a deterministic stand-in for a real BPE
+    * vocab (the regex is the public GPT-2 pre-tokenizer shape).
+    */
+  def bpeishCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Ratio of punctuation (non-alphanumeric, non-space) characters. */
+  def punctRatio(c: Column): Column =
+    length(regexp_replace(c, "[A-Za-z0-9 ]", "")).cast("double") /
+      length(c).cast("double")
+
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Fraction of tokens that are common-word stopwords — high values
+    * indicate natural prose, near-zero indicates tables/code/noise.
+    */
+  def stopwordRatio(c: Column): Column = {
+    val stops = array(Stopwords.map(lit): _*)
+    size(filter(tokens(c), t => array_contains(stops, t))).cast("double") /
+      size(tokens(c)).cast("double")
+  }
+
+  def meanWordLen(c: Column): Column =
+    aggregate(transform(tokens(c), t => length(t)), lit(0),
+      (acc, x) => acc + x).cast("double") / size(tokens(c)).cast("double")
+
+  /** Composite quality score in [0,1]: prose-likeness (stopwords),
+    * low punctuation noise, and enough-but-bounded length.
+    */
+  def qualityScore(c: Column): Column =
+    stopwordRatio(c) * lit(0.5) +
+      (lit(1.0) - punctRatio(c)) * lit(0.3) +
+      least(tokenCount(c).cast("double") / lit(100.0), lit(1.0)) * lit(0.2)
+
+  /** Language marker words (tiny n-gram/stopword heuristic). Order of
+    * the tie-break chain is part of the contract: en > de > fr > es.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "de" -> Seq("der", "die", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "est"),
+    "es" -> Seq("el", "los", "y", "es"))
+
+  def langScore(c: Column, markers: Seq[String]): Column = {
+    val m = array(markers.map(lit): _*)
+    size(filter(tokens(c), t => array_contains(m, t)))
+  }
+
+  /** Predicted language = argmax marker count with the fixed
+    * tie-break order above.
+    */
+  def langId(c: Column): Column = {
+    val scores = LangMarkers.map { case (l, m) => l -> langScore(c, m) }.toMap
+    when(scores("en") >= scores("de") && scores("en") >= scores("fr") &&
+      scores("en") >= scores("es"), "en")
+      .when(scores("de") >= scores("fr") && scores("de") >= scores("es"), "de")
+      .when(scores("fr") >= scores("es"), "fr")
+      .otherwise("es")
+  }
+
+  /** Document fingerprint: md5 of the normal form. */
+  def fingerprint(c: Column): Column = md5(normalize(c))
+
+  /** Word k-grams (shingles) joined by '_'; empty below k tokens. */
+  def shingles(c: Column, k: Int = 3): Column = {
+    val toks = tokens(c)
+    val gram = (i: Column) =>
+      concat_ws("_", (0 until k).map(j => element_at(toks, i + j)): _*)
+    when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)), gram))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Min-shingle fingerprint: lexicographic min of md5'd shingles —
+    * a single-hash MinHash, cheap near-dup prefilter.
+    */
+  def minShingleFingerprint(c: Column, k: Int = 3): Column =
+    array_min(transform(shingles(c, k), s => md5(s)))
+}

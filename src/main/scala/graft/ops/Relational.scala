@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operators beyond the reference's single join (SURVEY
+  * §2.5 gaps): top-k per group, semi/anti joins, exact decimal
+  * aggregation helpers.
+  *
+  * Scale notes: `topKPerGroup` is a single shuffle-and-sort per key —
+  * at 100 TB prefer a pre-aggregation if k is small relative to group
+  * size (AQE handles skewed keys). `sumExact` keeps money sums
+  * deterministic across partition orders (double addition is not
+  * associative; decimal addition is), which also makes results
+  * reproducible run-to-run on a cluster.
+  */
+object Relational {
+
+  /** Exact sum of a double money column: decimal accumulate, double
+    * result. Deterministic under any partitioning / AQE re-plan.
+    */
+  def sumExact(c: Column, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  /** Deterministic average: exact decimal sum over count. */
+  def avgExact(c: Column, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double") / count(c)
+
+  /** Top-k rows per group by `ord` (add a tiebreaker for determinism). */
+  def topKPerGroup(df: DataFrame, keys: Seq[String], ord: Seq[Column],
+                   k: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** EXISTS — rows of `df` with a match in `other`. */
+  def semiJoin(df: DataFrame, other: DataFrame, cond: Column): DataFrame =
+    df.join(other, cond, "left_semi")
+
+  /** NOT EXISTS — rows of `df` with no match in `other`. */
+  def antiJoin(df: DataFrame, other: DataFrame, cond: Column): DataFrame =
+    df.join(other, cond, "left_anti")
+}

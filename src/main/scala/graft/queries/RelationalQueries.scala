@@ -1,0 +1,340 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.ops.Relational._
+
+/** Relational surface beyond the reference (SURVEY §2.5): grouped /
+  * rolled-up aggregation, window functions, top-k, set ops, semi/anti
+  * joins, JSON, date and string functions, and TPC-H-style analytical
+  * joins. All double aggregates go through exact decimal accumulation
+  * (`sumExact`) so Spark and DuckDB hash-match bit for bit.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_rollup" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sumExact(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"))
+    },
+
+    "agg_cube" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))
+    },
+
+    "agg_grouping_sets" -> { (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("li_gs")
+      s.sql("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+              |FROM li_gs
+              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+              |""".stripMargin)
+    },
+
+    "agg_stats" -> { (s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        sumExact(col("l_extendedprice")).as("sum_price"),
+        avgExact(col("l_extendedprice")).as("avg_price"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+    },
+
+    "win_rank" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        row_number().over(w).as("rn"))
+    },
+
+    "win_running" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+          .cast("double").as("running_total"),
+        count(lit(1)).over(w).as("running_n"))
+    },
+
+    "win_lag_lead" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"))
+    },
+
+    "topk_per_group" -> { (s, dir) =>
+      topKPerGroup(t(s, dir, "orders"), Seq("o_custkey"),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    },
+
+    "sort_limit" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_totalprice")
+    },
+
+    "join_semi" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      semiJoin(c, o, c("c_custkey") === o("o_custkey"))
+        .select("c_custkey", "c_name")
+    },
+
+    "join_anti" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 100000)
+      antiJoin(c, o, c("c_custkey") === o("o_custkey"))
+        .select("c_custkey", "c_name")
+    },
+
+    "set_intersect" -> { (s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersect(
+          t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+    },
+
+    "set_except" -> { (s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .except(t(s, dir, "supplier").filter(col("s_suppkey") % 3 === 0)
+          .select(col("s_nationkey").as("nationkey")))
+    },
+
+    "json_extract" -> { (s, dir) =>
+      t(s, dir, "events").select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+    },
+
+    "date_parts" -> { (s, dir) =>
+      t(s, dir, "orders").select(col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(col("o_orderdate"), to_date(lit("2020-01-01")))
+          .as("days_since"))
+    },
+
+    "str_funcs" -> { (s, dir) =>
+      t(s, dir, "part").select(col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        lower(col("p_brand")).as("lo"),
+        length(col("p_name")).as("len"),
+        lpad(col("p_brand"), 12, "*").as("pad"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("novowel"),
+        levenshtein(col("p_name"), lit("widget")).as("lev"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("cw"),
+        trim(col("p_name")).as("tr"))
+    },
+
+    "hash_funcs" -> { (s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        md5(col("text")).as("h_md5"),
+        sha2(col("text"), 256).as("h_sha256"))
+    },
+
+    "tpch_q1" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sumExact(col("l_quantity")).as("sum_qty"),
+          sumExact(col("l_extendedprice")).as("sum_base_price"),
+          sum((col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") -
+              col("l_discount").cast("decimal(18,2)"))))
+            .cast("double").as("sum_disc_price"),
+          avgExact(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    },
+
+    "tpch_q3" -> { (s, dir) =>
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(l("l_orderkey"), o("o_orderdate"))
+        .agg(sum((l("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") -
+            l("l_discount").cast("decimal(18,2)"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    "tpch_q5" -> { (s, dir) =>
+      val r = t(s, dir, "region")
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val su = t(s, dir, "supplier")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey") &&
+          c("c_nationkey") === su("s_nationkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(n("n_name"))
+        .agg(sum((l("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") -
+            l("l_discount").cast("decimal(18,2)"))))
+          .cast("double").as("revenue"))
+    })
+
+  private val rev =
+    """CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+
+    "agg_stats" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+        |  COUNT(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "win_rank" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(rank() OVER w AS INT) AS rnk,
+        |  CAST(dense_rank() OVER w AS INT) AS drnk,
+        |  CAST(row_number() OVER w AS INT) AS rn
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
+
+    "win_running" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_total,
+        |  COUNT(*) OVER w AS running_n
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "win_lag_lead" ->
+      """SELECT o_orderkey, o_custkey,
+        |  lag(o_orderkey, 1) OVER w AS prev_order,
+        |  lead(o_orderkey, 1) OVER w AS next_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    "topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey) <= 3""".stripMargin,
+
+    "sort_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 100000)""".stripMargin,
+
+    "set_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier""".stripMargin,
+
+    "set_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT SELECT s_nationkey FROM supplier WHERE s_suppkey % 3 = 0""".stripMargin,
+
+    "json_extract" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events""".stripMargin,
+
+    "date_parts" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(day(o_orderdate) AS INT) AS d,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  CAST(datediff('day', DATE '2020-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since
+        |FROM orders""".stripMargin,
+
+    "str_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo,
+        |  CAST(length(p_name) AS INT) AS len,
+        |  lpad(p_brand, 12, '*') AS pad,
+        |  regexp_replace(p_name, '[aeiou]', '', 'g') AS novowel,
+        |  CAST(levenshtein(p_name, 'widget') AS INT) AS lev,
+        |  p_brand || '|' || p_type AS cw,
+        |  trim(p_name) AS tr
+        |FROM part""".stripMargin,
+
+    "hash_funcs" ->
+      """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256
+        |FROM documents""".stripMargin,
+
+    "tpch_q1" ->
+      s"""SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM($rev) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "tpch_q3" ->
+      s"""SELECT l_orderkey, o_orderdate,
+        |  CAST(SUM($rev) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "tpch_q5" ->
+      s"""SELECT n_name,
+        |  CAST(SUM($rev) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY n_name""".stripMargin)
+}
