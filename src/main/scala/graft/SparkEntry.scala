@@ -16,8 +16,10 @@ object SparkEntry {
     queries("i2b2_pipeline")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ RelationalQueries.queries
+    CoreQueries.queries ++ RelationalQueries.queries ++
+      ExtensionQueries.queries
 
   def oracleSql: Map[String, String] =
-    CoreQueries.oracleSql ++ RelationalQueries.oracleSql
+    CoreQueries.oracleSql ++ RelationalQueries.oracleSql ++
+      ExtensionQueries.oracleSql
 }

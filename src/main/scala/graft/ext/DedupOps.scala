@@ -42,6 +42,23 @@ object DedupOps {
       b => md5(concat(b.cast("string"), lit("|"),
         concat_ws(",", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))))
 
+  /** Band keys computed straight from the shingle array: band b hashes
+    * only its own `rowsPerBand` signature elements, so each of the n
+    * minhash elements is computed exactly once per row. (Materializing
+    * the full signature first and slicing it inside the banding lambda
+    * would re-evaluate the whole signature per band — lambda bodies
+    * are re-evaluated per element and Catalyst inlines single-use
+    * projections into them.)
+    */
+  private def bandKeysFromShingles(shingles: Column, bands: Int,
+                                   rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => md5(concat(b.cast("string"), lit("|"),
+        concat_ws(",", transform(
+          sequence(b * rowsPerBand, b * rowsPerBand + (rowsPerBand - 1)),
+          i => array_min(transform(shingles,
+            s => md5(concat(i.cast("string"), lit(":"), s)))))))))
+
   /** Candidate near-dup pairs via MinHash LSH: explode band keys,
     * self-join on (band index, key), emit distinct (a < b) pairs.
     * The join is a bucket join on the band hash — at 100 TB each
@@ -50,10 +67,10 @@ object DedupOps {
   def lshCandidatePairs(df: DataFrame, id: Column, shingles: Column,
                         numHashes: Int = 12, bands: Int = 4): DataFrame = {
     val rows = numHashes / bands
-    val sig = minhash(shingles, numHashes)
     val banded = df
-      .select(id.as("__id"), posexplode(bandKeys(sig, bands, rows))
-        .as(Seq("__band", "__key")))
+      .select(id.as("__id"),
+        posexplode(bandKeysFromShingles(shingles, bands, rows))
+          .as(Seq("__band", "__key")))
     val a = banded.select(col("__band"), col("__key"), col("__id").as("id_a"))
     val b = banded.select(col("__band"), col("__key"), col("__id").as("id_b"))
     a.join(b, Seq("__band", "__key"))

@@ -85,14 +85,20 @@ object TextAnalysis {
   /** Document fingerprint: md5 of the normal form. */
   def fingerprint(c: Column): Column = md5(normalize(c))
 
-  /** Word k-grams (shingles) joined by '_'; empty below k tokens. */
+  /** Word k-grams (shingles) joined by '_'; empty below k tokens.
+    *
+    * Built by zipping k shifted slices of the token array rather than
+    * indexing `element_at(tokens, i+j)` inside a `transform` lambda:
+    * lambda bodies are re-evaluated per element, so the indexing form
+    * re-splits the whole text once per shingle position (O(len·n)
+    * per row). Slices take the token array as a direct argument, which
+    * Catalyst evaluates once per row — O(len + n).
+    */
   def shingles(c: Column, k: Int = 3): Column = {
     val toks = tokens(c)
-    val gram = (i: Column) =>
-      concat_ws("_", (0 until k).map(j => element_at(toks, i + j)): _*)
-    when(size(toks) >= k,
-      transform(sequence(lit(1), size(toks) - (k - 1)), gram))
-      .otherwise(array().cast("array<string>"))
+    val cnt = greatest(size(toks) - (k - 1), lit(0))
+    val parts = (0 until k).map(j => slice(toks, lit(j + 1), cnt))
+    parts.reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit("_"), y)))
   }
 
   /** Min-shingle fingerprint: lexicographic min of md5'd shingles —

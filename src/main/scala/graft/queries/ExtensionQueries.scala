@@ -1,0 +1,355 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext._
+import graft.ops.Dedup
+import graft.sources.Tables
+
+/** Training-data-pipeline operator surface (the "beyond the reference"
+  * half of the engine, SURVEY §2.5 / §7.4): deduplication (exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine), similarity
+  * search (brute-force + LSH-bucketed ANN), text analysis, event-time
+  * windowing / as-of join, and multimodal binary-column decode.
+  *
+  * Every query runs over the driver test tables and is mirrored by a
+  * DuckDB oracle; floating-point folds are written as identical
+  * left-to-right IEEE754 sequences on both sides so hashes match bit
+  * for bit (float→double upcast is exact; every product of two floats
+  * is exact in double).
+  */
+object ExtensionQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- Deduplication ------------------------------------------------
+    "dedup_exact" -> { (s, dir) =>
+      DedupOps.exact(docs(s, dir),
+        TextAnalysis.fingerprint(col("text")), col("doc_id"))
+    },
+
+    "dedup_minhash_lsh" -> { (s, dir) =>
+      DedupOps.lshCandidatePairs(docs(s, dir), col("doc_id"),
+        TextAnalysis.shingles(col("text"), 2), numHashes = 12, bands = 4)
+    },
+
+    "dedup_simhash" -> { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"),
+          DedupOps.simhashTokenHash(col("tok")).as("h"))
+        .groupBy("doc_id")
+        .agg(DedupOps.simhashAgg(col("h"), 32).as("simhash"))
+    },
+
+    "dedup_ngram_jaccard" -> { (s, dir) =>
+      val sh = docs(s, dir).select(col("lang"), col("source"),
+        col("doc_id"), TextAnalysis.shingles(col("text"), 2).as("s"))
+      val a = sh.select(col("lang"), col("source"),
+        col("doc_id").as("id_a"), col("s").as("sa"))
+      val b = sh.select(col("lang"), col("source"),
+        col("doc_id").as("id_b"), col("s").as("sb"))
+      a.join(b, Seq("lang", "source"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("jac", DedupOps.jaccard(col("sa"), col("sb")))
+        .filter(col("jac") >= 0.2)
+        .select("id_a", "id_b", "jac")
+    },
+
+    "dedup_cosine" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.cosineNearDupPairs(e, col("vec_id"), col("embedding"),
+        col("label"), threshold = 0.25)
+    },
+
+    // -- Similarity search -------------------------------------------
+    "sim_bruteforce_topk" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.bruteForceTopK(e.filter(col("id") < 50), e, k = 5)
+    },
+
+    "sim_lsh_topk" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.lshTopK(e.filter(col("id") < 50), e, k = 5,
+        planes = 4, dims = 64)
+    },
+
+    // -- Text analysis -----------------------------------------------
+    "text_stats" -> { (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.bpeishCount(col("text")).as("n_bpeish"),
+        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+        TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextAnalysis.meanWordLen(col("text")).as("mean_word_len"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+    },
+
+    "text_langid" -> { (s, dir) =>
+      docs(s, dir).select(col("doc_id"), col("lang"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+    },
+
+    "text_fingerprint" -> { (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.minShingleFingerprint(col("text"), 3).as("min_shingle_fp"))
+    },
+
+    // -- Event-time windowing / ordered joins ------------------------
+    "ew_tumbling" -> { (s, dir) =>
+      EventWindows.tumbling(t(s, dir, "events"), "1 hour")
+    },
+
+    "ew_sliding" -> { (s, dir) =>
+      EventWindows.sliding(t(s, dir, "events"), "1 hour", "15 minutes")
+    },
+
+    "ew_sessions" -> { (s, dir) =>
+      EventWindows.sessions(t(s, dir, "events"), col("user_id"),
+        "30 minutes")
+    },
+
+    "ew_asof_join" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      val purchases = Dedup.lastWins(
+        e.filter(col("event_type") === "purchase"),
+        Seq("user_id", "ts"), col("event_id"), Seq("value"))
+      EventWindows.asofJoin(clicks, purchases, "user_id", "ts",
+        Seq("value"))
+    },
+
+    // -- Multimodal binary columns -----------------------------------
+    "mm_decode" -> { (s, dir) =>
+      Multimodal.decodeFeatures(
+        Multimodal.withBlob(docs(s, dir), "text")).toDF()
+    })
+
+  // ------------------------------------------------------------------ //
+  // DuckDB oracles. Helpers keep the float math written identically
+  // to the Spark side (left fold, double casts).
+
+  /** Left-fold dot product of two float-list columns, double math. */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, len($a) + 1),
+       |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
+
+  private def normSql(a: String): String =
+    s"""sqrt(list_reduce(list_transform(range(1, len($a) + 1),
+       |      i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)), (x, y) -> x + y))""".stripMargin
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)}) / ((${normSql(a)}) * (${normSql(b)}))"
+
+  /** Events view with the ns→µs timestamp truncation Tables.load does. */
+  private val evtCte =
+    """evts AS (SELECT event_id, make_timestamp(epoch_us(ts)) AS ts,
+      |               user_id, event_type, value, props FROM events)""".stripMargin
+
+  /** Word bigram shingles of `text` (TextAnalysis.shingles k=2). */
+  private val shingleCte =
+    """sh AS (
+      |  SELECT doc_id, lang, source,
+      |    CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 2
+      |      THEN list_transform(range(1, len(string_split_regex(trim(text), '\s+'))),
+      |             i -> string_split_regex(trim(text), '\s+')[i] || '_' ||
+      |                  string_split_regex(trim(text), '\s+')[i+1])
+      |      ELSE [] END AS s
+      |  FROM documents)""".stripMargin
+
+  /** DuckDB rendering of the deterministic ±1 hyperplane matrix
+    * (Similarity.hyperplanes) as literal lists, one per plane.
+    */
+  private def planeSql(planes: Int, dims: Int): Seq[String] =
+    Similarity.hyperplanes(planes, dims).toSeq.map(row =>
+      row.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]"))
+
+  private def lshBucketSql(vec: String, planes: Int, dims: Int): String =
+    planeSql(planes, dims).zipWithIndex.map { case (w, p) =>
+      s"(CASE WHEN (${dotSql(vec, w)}) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  private val tokensSql = """string_split_regex(trim(text), '\s+')"""
+
+  private def stopContains(arr: String): String = {
+    val stops = TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter($arr, t -> list_contains($stops, t)))"
+  }
+
+  private def langScoreSql(markers: Seq[String]): String = {
+    val m = markers.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter(toks, t -> list_contains($m, t)))"
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS dup_key,
+        |  min(doc_id) AS canonical_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      (s"""WITH $shingleCte,
+        |sig AS (SELECT doc_id, list_transform(range(0, 12),
+        |          i -> list_min(list_transform(s, x -> md5(CAST(i AS VARCHAR) || ':' || x)))) AS g
+        |        FROM sh),
+        |bands AS (SELECT doc_id, b,
+        |            md5(CAST(b AS VARCHAR) || '|' || array_to_string(g[b*3+1 : b*3+3], ',')) AS bkey
+        |          FROM sig, unnest(range(0, 4)) AS u(b))
+        |SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+        |FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bkey = b2.bkey
+        |WHERE a.doc_id < b2.doc_id""".stripMargin),
+
+    "dedup_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |             FROM documents),
+        |h AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h FROM tok),
+        |bits AS (SELECT doc_id, j,
+        |           CASE WHEN sum(((h >> j) % 2) * 2 - 1) > 0
+        |                THEN (CAST(1 AS BIGINT) << j) ELSE 0 END AS bit
+        |         FROM h, unnest(range(0, 32)) AS u(j) GROUP BY doc_id, j)
+        |SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash FROM bits GROUP BY doc_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      (s"""WITH $shingleCte
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jac
+        |FROM sh a JOIN sh b
+        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.2""".stripMargin),
+
+    "dedup_cosine" ->
+      (s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ${cosSql("a.embedding", "b.embedding")} AS cos
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.25""".stripMargin),
+
+    "sim_bruteforce_topk" ->
+      (s"""SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  ${cosSql("q.embedding", "c.embedding")} AS cos
+        |FROM embeddings q CROSS JOIN embeddings c
+        |WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id
+        |QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        |  ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id) <= 5""".stripMargin),
+
+    "sim_lsh_topk" ->
+      (s"""WITH q AS (SELECT vec_id, embedding,
+        |             ${lshBucketSql("embedding", 4, 64)} AS bucket
+        |           FROM embeddings WHERE vec_id < 50),
+        |c AS (SELECT vec_id, embedding,
+        |        ${lshBucketSql("embedding", 4, 64)} AS bucket
+        |      FROM embeddings)
+        |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  ${cosSql("q.embedding", "c.embedding")} AS cos
+        |FROM q JOIN c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        |QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        |  ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id) <= 5""".stripMargin),
+
+    "text_stats" ->
+      (s"""WITH d AS (SELECT doc_id, text, $tokensSql AS toks FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS INT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INT) AS n_bpeish,
+        |  CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) /
+        |    CAST(length(text) AS DOUBLE) AS punct_ratio,
+        |  CAST(${stopContains("toks")} AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+        |  CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) /
+        |    CAST(len(toks) AS DOUBLE) AS mean_word_len,
+        |  CAST(${stopContains("toks")} AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.5 +
+        |    (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) /
+        |      CAST(length(text) AS DOUBLE)) * 0.3 +
+        |    least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.2 AS quality
+        |FROM d""".stripMargin),
+
+    "text_langid" -> {
+      val en = langScoreSql(Seq("the", "and", "of", "is"))
+      val de = langScoreSql(Seq("der", "die", "und", "ist"))
+      val fr = langScoreSql(Seq("le", "la", "et", "est"))
+      val es = langScoreSql(Seq("el", "los", "y", "es"))
+      s"""WITH d AS (SELECT doc_id, lang, $tokensSql AS toks FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN $en >= $de AND $en >= $fr AND $en >= $es THEN 'en'
+        |       WHEN $de >= $fr AND $de >= $es THEN 'de'
+        |       WHEN $fr >= $es THEN 'fr'
+        |       ELSE 'es' END AS lang_pred
+        |FROM d""".stripMargin
+    },
+
+    "text_fingerprint" ->
+      """WITH d AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
+        |           FROM documents)
+        |SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |  list_min(list_transform(
+        |    CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, len(toks) - 1),
+        |             i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2])
+        |      ELSE [] END,
+        |    s -> md5(s))) AS min_shingle_fp
+        |FROM d""".stripMargin,
+
+    "ew_tumbling" ->
+      (s"""WITH $evtCte
+        |SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM evts GROUP BY 1, 2""".stripMargin),
+
+    "ew_sliding" ->
+      (s"""WITH $evtCte
+        |SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS wstart,
+        |  count(*) AS n
+        |FROM evts, unnest([0, 1, 2, 3]) AS u(k)
+        |GROUP BY 1""".stripMargin),
+
+    "ew_sessions" ->
+      (s"""WITH $evtCte,
+        |m AS (SELECT user_id, ts,
+        |        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |               OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                    >= INTERVAL '30 minutes'
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM evts),
+        |g AS (SELECT user_id, ts,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                       ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m)
+        |SELECT min(ts) AS session_start,
+        |  max(ts) + INTERVAL '30 minutes' AS session_end,
+        |  user_id, count(*) AS n
+        |FROM g GROUP BY user_id, sid""".stripMargin),
+
+    "ew_asof_join" ->
+      (s"""WITH $evtCte,
+        |l AS (SELECT user_id, ts, event_id AS click_id FROM evts
+        |      WHERE event_type = 'click'),
+        |r0 AS (SELECT user_id, ts, value FROM evts WHERE event_type = 'purchase'
+        |       QUALIFY row_number() OVER (PARTITION BY user_id, ts
+        |                                  ORDER BY event_id DESC) = 1)
+        |SELECT l.user_id, l.ts, l.click_id, r0.ts AS asof_ts, r0.value AS asof_value
+        |FROM l ASOF LEFT JOIN r0
+        |  ON l.user_id = r0.user_id AND r0.ts <= l.ts""".stripMargin),
+
+    "mm_decode" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  md5(text) AS fp,
+        |  CAST(CAST('0x' || substr(md5(text), 1, 7) AS BIGINT) % 1024 AS INT) AS width,
+        |  CAST(CAST('0x' || substr(md5(text), 8, 7) AS BIGINT) % 768 AS INT) AS height,
+        |  CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames
+        |FROM documents""".stripMargin)
+}

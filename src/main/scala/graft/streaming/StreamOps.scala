@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch event-time operators
+  * (graft.ext.EventWindows): the same plan shapes with a watermark
+  * prepended, so a batch query's semantics carry to `readStream`
+  * unchanged. State stores are keyed exactly like the batch shuffles,
+  * so a 1000-executor cluster partitions streaming state the same way
+  * it partitions the batch aggregation.
+  */
+object StreamOps {
+
+  /** Watermarked tumbling event-time aggregation (streaming twin of
+    * EventWindows.tumbling). Append-mode ready: windows finalize when
+    * the watermark passes their end.
+    */
+  def tumblingCounts(events: DataFrame, watermark: String,
+                     duration: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), duration), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+      .select(col("window.start").as("wstart"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Watermarked session windows per user (streaming twin of
+    * EventWindows.sessions).
+    */
+  def sessionCounts(events: DataFrame, watermark: String,
+                    gap: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n"))
+
+  /** Streaming exact dedup bounded by the watermark horizon — the
+    * streaming form of DedupOps.exact: state for a key is dropped
+    * once the watermark guarantees no more duplicates can arrive.
+    */
+  def dedupWithinWatermark(events: DataFrame, watermark: String,
+                           keys: Seq[String]): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  case class UserEvent(user_id: Long, ts: java.sql.Timestamp,
+                       event_type: String)
+  case class UserAgg(user_id: Long, n_events: Long,
+                     last_ts: java.sql.Timestamp)
+
+  /** Custom keyed state via flatMapGroupsWithState: running per-user
+    * event count + last-seen timestamp, emitted on every update. The
+    * KeyValueGroupedDataset shape is the Spark-native replacement for
+    * hand-rolled per-key accumulators: state lives in the state store,
+    * partitioned by key, checkpointed, and recoverable.
+    */
+  def runningUserCounts(events: Dataset[UserEvent]): Dataset[UserAgg] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserAgg, UserAgg](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[UserEvent], state: GroupState[UserAgg]) =>
+          val evs = rows.toSeq
+          val prev = state.getOption
+            .getOrElse(UserAgg(user, 0L, new java.sql.Timestamp(0L)))
+          val lastTs = (prev.last_ts +: evs.map(_.ts)).maxBy(_.getTime)
+          val next = UserAgg(user, prev.n_events + evs.size, lastTs)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+}

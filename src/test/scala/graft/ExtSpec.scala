@@ -1,0 +1,200 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.ext._
+
+/** Unit tests for the training-data-pipeline operators (dedup,
+  * similarity, text analysis, event windows, multimodal) on tiny
+  * literal frames with hand-computed expectations.
+  */
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  // -- Dedup -----------------------------------------------------------
+
+  test("exact dedup groups identical keys, canonical = min id") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "k")
+    val got = DedupOps.exact(df, $"k", $"id")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === Set(("a", 1L, 2L), ("b", 2L, 1L)))
+  }
+
+  test("jaccard uses set semantics") {
+    val df = Seq((Seq("a", "b", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val got = df.select(DedupOps.jaccard($"x", $"y")).as[Double].collect().head
+    assert(got === 2.0 / 4.0) // {b,c} over {a,b,c,d}
+  }
+
+  test("identical docs always collide in MinHash LSH; disjoint never") {
+    val df = Seq(
+      (1L, Seq("x_y", "y_z", "z_w")),
+      (2L, Seq("x_y", "y_z", "z_w")), // identical shingles to 1
+      (3L, Seq("p_q", "q_r", "r_s"))) // disjoint
+      .toDF("doc_id", "sh")
+    val pairs = DedupOps.lshCandidatePairs(df, $"doc_id", $"sh", 12, 4)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical token multisets hash equal, hamming 0") {
+    val docs = Seq((1L, "spark makes plans"), (2L, "spark makes plans"),
+      (3L, "entirely different words here"))
+    val sims = docs.toDF("doc_id", "text")
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .select($"doc_id", DedupOps.simhashTokenHash($"tok").as("h"))
+      .groupBy("doc_id").agg(DedupOps.simhashAgg($"h", 32).as("sim"))
+      .as[(Long, Long)].collect().toMap
+    assert(sims(1L) === sims(2L))
+    assert(sims(1L) !== sims(3L))
+    val hd = Seq((sims(1L), sims(2L)), (sims(1L), sims(3L)))
+      .toDF("a", "b").select(DedupOps.hammingDistance($"a", $"b", 32))
+      .as[Int].collect()
+    assert(hd(0) === 0)
+    assert(hd(1) > 0)
+  }
+
+  // -- Similarity ------------------------------------------------------
+
+  test("cosine of known vectors") {
+    val df = Seq((Seq(1f, 0f, 0f), Seq(0f, 1f, 0f)),
+      (Seq(1f, 2f, 3f), Seq(1f, 2f, 3f)),
+      (Seq(1f, 0f, 0f), Seq(1f, 1f, 0f)))
+      .toDF("a", "b")
+    val got = df.select(Similarity.cosine($"a", $"b")).as[Double].collect()
+    assert(got(0) === 0.0)
+    assert(math.abs(got(1) - 1.0) < 1e-12)
+    assert(math.abs(got(2) - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
+  test("bruteForceTopK returns k best neighbors, self excluded") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0f, 1f)), (3L, Seq(0.5f, 0.5f)))
+      .toDF("id", "vec")
+    val got = Similarity.bruteForceTopK(vecs.filter($"id" === 0), vecs, 2)
+      .select($"neighbor_id").as[Long].collect().toSeq
+    assert(got === Seq(1L, 3L)) // by descending cosine to (1,0)
+  }
+
+  test("lshTopK only searches within buckets (subset of brute force)") {
+    val vecs = (0L until 20L).map(i =>
+      (i, Seq.tabulate(64)(d => ((i * 31 + d * 7) % 13 - 6).toFloat)))
+      .toDF("id", "vec")
+    val brute = Similarity.bruteForceTopK(vecs, vecs, 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(vecs, vecs, 3, planes = 2, dims = 64)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(lsh.nonEmpty)
+    // every LSH neighbor has cosine <= the brute-force kth best, so at
+    // planes=2 (4 buckets) most pairs should agree; structurally, LSH
+    // results are always valid (query != neighbor).
+    assert(lsh.forall { case (q, n) => q != n })
+  }
+
+  // -- Text analysis ---------------------------------------------------
+
+  test("token and bpeish counts") {
+    val got = Seq("Hello, world! 42 times")
+      .toDF("t")
+      .select(TextAnalysis.tokenCount($"t"),
+        TextAnalysis.bpeishCount($"t")).as[(Int, Int)].collect().head
+    // tokens: [Hello,, world!, 42, times]
+    assert(got._1 === 4)
+    // bpeish: Hello , world ! 4 2 times
+    assert(got._2 === 7)
+  }
+
+  test("shingles: k-grams in order, empty below k") {
+    val got = Seq("a b c d", "a b").toDF("t")
+      .select(TextAnalysis.shingles($"t", 3)).as[Seq[String]].collect()
+    assert(got(0) === Seq("a_b_c", "b_c_d"))
+    assert(got(1) === Seq.empty)
+  }
+
+  test("langId picks the marker-richest language with fixed tie-break") {
+    val got = Seq(
+      "the cat and the dog is big",
+      "der hund und die katze ist",
+      "le chat et la maison est",
+      "el perro y los gatos es",
+      "zzz qqq")
+      .toDF("t").select(TextAnalysis.langId($"t")).as[String].collect()
+    assert(got.toSeq === Seq("en", "de", "fr", "es", "en"))
+  }
+
+  test("quality score is in [0,1] and favors prose") {
+    val got = Seq(
+      "the report is a summary of the data and it is complete",
+      "@@@@ #### $$$$ %%%%")
+      .toDF("t").select(TextAnalysis.qualityScore($"t")).as[Double].collect()
+    assert(got.forall(q => q >= 0.0 && q <= 1.0))
+    assert(got(0) > got(1))
+  }
+
+  // -- Event windows ---------------------------------------------------
+
+  test("asofJoin: latest right row at-or-before each left ts") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L),
+      (1L, ts("2024-01-01 12:00:00"), 101L),
+      (2L, ts("2024-01-01 09:00:00"), 102L))
+      .toDF("user_id", "ts", "click_id")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 5.0),
+      (1L, ts("2024-01-01 12:00:00"), 7.0), // equal ts -> inclusive
+      (2L, ts("2024-01-01 09:30:00"), 9.0)) // after left -> no match
+      .toDF("user_id", "ts", "value")
+    val got = EventWindows.asofJoin(left, right, "user_id", "ts", Seq("value"))
+      .select($"click_id", $"asof_value").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(got(100L) === Some(5.0))
+    assert(got(101L) === Some(7.0))
+    assert(got(102L) === None)
+  }
+
+  test("sessions split on gap >= threshold") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:20:00")), // same session (20m < 30m)
+      (1L, ts("2024-01-01 11:00:00")), // new session (40m gap)
+      (2L, ts("2024-01-01 10:00:00")))
+      .toDF("user_id", "ts")
+    val got = EventWindows.sessions(events, $"user_id", "30 minutes")
+      .select($"user_id", $"n").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(got(1L) === Seq(1L, 2L))
+    assert(got(2L) === Seq(1L))
+  }
+
+  test("tumbling windows are epoch-aligned") {
+    val events = Seq(
+      (ts("2024-01-01 10:59:59"), "a", 1.0),
+      (ts("2024-01-01 11:00:00"), "a", 2.0))
+      .toDF("ts", "event_type", "value")
+    val got = EventWindows.tumbling(events, "1 hour")
+      .select($"wstart", $"n").as[(Timestamp, Long)].collect().toMap
+    assert(got(ts("2024-01-01 10:00:00")) === 1L)
+    assert(got(ts("2024-01-01 11:00:00")) === 1L)
+  }
+
+  // -- Multimodal ------------------------------------------------------
+
+  test("decodeFeatures is deterministic from payload bytes") {
+    val df = Seq((7L, "hello")).toDF("doc_id", "text")
+    val got = Multimodal.decodeFeatures(Multimodal.withBlob(df, "text"))
+      .collect().head
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("hello".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got.doc_id === 7L)
+    assert(got.byte_len === 5L)
+    assert(got.fp === md)
+    assert(got.width === (java.lang.Long.parseLong(md.substring(0, 7), 16) % 1024).toInt)
+    assert(got.height === (java.lang.Long.parseLong(md.substring(7, 14), 16) % 768).toInt)
+    assert(got.n_frames === 5 % 30 + 1)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.{UserAgg, UserEvent}
+
+/** Structured Streaming specs: the batch event-time operators run
+  * unchanged under readStream (MemoryStream source, memory sink).
+  */
+class StreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("tumblingCounts aggregates a stream incrementally") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val q = StreamOps.tumblingCounts(
+      in.toDF().toDF("ts", "event_type", "value"), "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      in.addData((ts("2024-01-01 10:05:00"), "click", 1.5))
+      in.addData((ts("2024-01-01 10:55:00"), "click", 2.5),
+        (ts("2024-01-01 11:05:00"), "view", 4.0))
+      q.processAllAvailable()
+      val got = spark.table("tumbling_out")
+        .select($"wstart", $"event_type", $"n", $"sum_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(got === Set(
+        (ts("2024-01-01 10:00:00"), "click", 2L, 4.0),
+        (ts("2024-01-01 11:00:00"), "view", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("runningUserCounts keeps per-key state across batches") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[UserEvent]
+    val q = StreamOps.runningUserCounts(in.toDS())
+      .writeStream.format("memory").queryName("state_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(UserEvent(1L, ts("2024-01-01 10:00:00"), "click"))
+      q.processAllAvailable()
+      in.addData(UserEvent(1L, ts("2024-01-01 11:00:00"), "view"),
+        UserEvent(2L, ts("2024-01-01 10:30:00"), "click"))
+      q.processAllAvailable()
+      val last = spark.table("state_out").as[UserAgg].collect()
+        .groupBy(_.user_id).map { case (u, rows) =>
+          u -> rows.maxBy(_.n_events)
+        }
+      assert(last(1L).n_events === 2L)
+      assert(last(1L).last_ts === ts("2024-01-01 11:00:00"))
+      assert(last(2L).n_events === 1L)
+    } finally q.stop()
+  }
+
+  test("dedupWithinWatermark drops duplicate keys") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val q = StreamOps.dedupWithinWatermark(
+      in.toDF().toDF("ts", "event_id"), "1 hour", Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((ts("2024-01-01 10:00:00"), 1L),
+        (ts("2024-01-01 10:01:00"), 1L),
+        (ts("2024-01-01 10:02:00"), 2L))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").select($"event_id")
+        .as[Long].collect().sorted
+      assert(got.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+}
