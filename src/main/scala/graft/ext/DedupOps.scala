@@ -42,41 +42,82 @@ object DedupOps {
       b => md5(concat(b.cast("string"), lit("|"),
         concat_ws(",", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))))
 
-  /** Band keys computed straight from the shingle array: band b hashes
-    * only its own `rowsPerBand` signature elements, so each of the n
-    * minhash elements is computed exactly once per row. (Materializing
-    * the full signature first and slicing it inside the banding lambda
-    * would re-evaluate the whole signature per band — lambda bodies
-    * are re-evaluated per element and Catalyst inlines single-use
-    * projections into them.)
+  /** Mersenne prime 2^31 - 1: modulus of the universal-hash MinHash
+    * permutation family. 31-bit hashes and coefficients keep every
+    * product `a * h` under 2^62 — exact in a 64-bit long on any
+    * engine, so the oracle reproduces the math verbatim.
     */
-  private def bandKeysFromShingles(shingles: Column, bands: Int,
-                                   rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => md5(concat(b.cast("string"), lit("|"),
-        concat_ws(",", transform(
-          sequence(b * rowsPerBand, b * rowsPerBand + (rowsPerBand - 1)),
-          i => array_min(transform(shingles,
-            s => md5(concat(i.cast("string"), lit(":"), s)))))))))
+  val MinhashP: Long = 2147483647L
 
-  /** Candidate near-dup pairs via MinHash LSH: explode band keys,
-    * self-join on (band index, key), emit distinct (a < b) pairs.
-    * The join is a bucket join on the band hash — at 100 TB each
-    * bucket is tiny, so the shuffle is the only cost; no cross join.
+  /** Deterministic (a, b) coefficient pairs for the permutation family
+    * h_i(x) = (a_i * x + b_i) mod P, seeded from md5 — public
+    * universal-hashing MinHash (Broder '97), RNG replaced by md5 so
+    * any engine can reproduce the permutations.
+    */
+  def minhashCoefficients(n: Int): Seq[(Long, Long)] = {
+    val mdf = java.security.MessageDigest.getInstance("MD5")
+    def h31(tag: String, i: Int): Long = {
+      val d = mdf.digest(s"$tag:$i".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map("%02x".format(_)).mkString, 16) % (MinhashP - 1)
+    }
+    Seq.tabulate(n)(i => (h31("a", i) + 1, h31("b", i)))
+  }
+
+  /** 31-bit base hash of one shingle: md5 prefix mod P. ONE md5 per
+    * shingle; the n signature elements are arithmetic permutations of
+    * it — 12× less hashing than seeding md5 per (i, shingle).
+    */
+  def shingleHash(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long") % MinhashP
+
+  /** Candidate near-dup pairs via MinHash LSH, as aggregations all the
+    * way down — the 100 TB shape:
+    *
+    *   explode shingles → 1 md5 each → groupBy(doc): n `min` aggs
+    *   (map-side partial agg: each mapper ships one candidate per doc)
+    *   → band keys from the signature columns → groupBy(band, key):
+    *   collect bucket members → expand (a < b) pairs inside the bucket.
+    *
+    * No self-join: the signature is computed once, and bucket pair
+    * expansion is local to each (band, key) group. Buckets are tiny by
+    * construction (that is the point of banding), so the pairwise
+    * expansion never leaves a group. Docs with zero shingles drop out
+    * (no hash → no bucket), which also removes the degenerate
+    * all-empty-docs bucket.
     */
   def lshCandidatePairs(df: DataFrame, id: Column, shingles: Column,
                         numHashes: Int = 12, bands: Int = 4): DataFrame = {
     val rows = numHashes / bands
-    val banded = df
-      .select(id.as("__id"),
-        posexplode(bandKeysFromShingles(shingles, bands, rows))
-          .as(Seq("__band", "__key")))
-    val a = banded.select(col("__band"), col("__key"), col("__id").as("id_a"))
-    val b = banded.select(col("__band"), col("__key"), col("__id").as("id_b"))
-    a.join(b, Seq("__band", "__key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val coef = minhashCoefficients(numHashes)
+    val based = df
+      .select(id.as("__id"), explode(shingles).as("__sh"))
+      .select(col("__id"), shingleHash(col("__sh")).as("__h"))
+    val mins = coef.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("__h") + lit(b)) % MinhashP).as(s"__m$i")
+    }
+    val sig = based.groupBy("__id").agg(mins.head, mins.tail: _*)
+    val keyCols = (0 until bands).map { b =>
+      md5(concat_ws(",",
+        lit(b.toString) +: (b * rows until (b + 1) * rows)
+          .map(j => col(s"__m$j").cast("string")): _*))
+    }
+    val banded = sig.select(col("__id"),
+      posexplode(array(keyCols: _*)).as(Seq("__band", "__key")))
+    banded.groupBy("__band", "__key")
+      .agg(collect_list(col("__id")).as("__ids"))
+      .filter(size(col("__ids")) > 1)
+      .select(explode(pairsWithin(col("__ids"))).as("__p"))
+      .select(least(col("__p.l"), col("__p.r")).as("id_a"),
+        greatest(col("__p.l"), col("__p.r")).as("id_b"))
+      .distinct()
   }
+
+  /** All unordered pairs from an array: (x_i, x_j) for i < j. */
+  private def pairsWithin(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), size(ids)),
+        y => struct(x.as("l"), y.as("r")))))
 
   /** n-gram Jaccard similarity of two shingle arrays (set semantics). */
   def jaccard(a: Column, b: Column): Column =

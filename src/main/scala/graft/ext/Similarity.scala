@@ -16,31 +16,40 @@ object Similarity {
   /** Elementwise double view of a float vector column. */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Sequential-fold dot product of two double arrays. */
+  /** Sequential-fold dot product; elements are double-cast inside the
+    * zip lambda (no-op on doubles, exact upcast on floats) so no
+    * intermediate cast array is materialized per pair.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+    sqrt(aggregate(a, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
 
-  def cosine(a: Column, b: Column): Column = {
-    val ad = asDouble(a)
-    val bd = asDouble(b)
-    dot(ad, bd) / (norm(ad) * norm(bd))
-  }
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
 
   /** Exact top-k neighbors for each row of `queries` against `corpus`
     * by brute-force cosine. The cross join is intentional — this is
     * the correctness baseline; use `lshTopK` when |queries|·|corpus|
     * is large. `queries`/`corpus` need (id, vec) columns.
+    *
+    * Norms are hoisted into the per-row projections below the join, so
+    * each pair pays ONE fold (the dot product) instead of three; the
+    * arithmetic sequence per value is unchanged (dot/(na*nb)).
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      k: Int): DataFrame = {
-    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
-    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"))
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
+      norm(col("vec")).as("__qn"))
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"),
+      norm(col("vec")).as("__cn"))
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos",
+        dot(col("qv"), col("cv")) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("__rn", row_number().over(w))
@@ -63,10 +72,9 @@ object Similarity {
 
   /** LSH bucket id: `planes` sign bits of hyperplane projections. */
   def lshBucket(vec: Column, planes: Array[Array[Int]]): Column = {
-    val vd = asDouble(vec)
     val bits = planes.zipWithIndex.map { case (w, p) =>
       val wLit = array(w.map(x => lit(x.toDouble)): _*)
-      when(dot(vd, wLit) > 0, lit(1L << p)).otherwise(lit(0L))
+      when(dot(vec, wLit) > 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
@@ -80,12 +88,13 @@ object Similarity {
               planes: Int = 4, dims: Int = 64): DataFrame = {
     val pl = hyperplanes(planes, dims)
     val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
-      lshBucket(col("vec"), pl).as("__bucket"))
+      norm(col("vec")).as("__qn"), lshBucket(col("vec"), pl).as("__bucket"))
     val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"),
-      lshBucket(col("vec"), pl).as("__bucket"))
+      norm(col("vec")).as("__cn"), lshBucket(col("vec"), pl).as("__bucket"))
     val scored = q.join(c, Seq("__bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos",
+        dot(col("qv"), col("cv")) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("__rn", row_number().over(w))
@@ -95,15 +104,18 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs within a blocking key
     * (e.g. a label or coarse LSH bucket): pairs (a<b) with cosine
-    * above `threshold`.
+    * above `threshold`. Norms hoisted per row (see bruteForceTopK).
     */
   def cosineNearDupPairs(df: DataFrame, id: Column, vec: Column,
                          block: Column, threshold: Double): DataFrame = {
-    val a = df.select(block.as("__blk"), id.as("id_a"), vec.as("va"))
-    val b = df.select(block.as("__blk"), id.as("id_b"), vec.as("vb"))
+    val a = df.select(block.as("__blk"), id.as("id_a"), vec.as("va"),
+      norm(vec).as("__na"))
+    val b = df.select(block.as("__blk"), id.as("id_b"), vec.as("vb"),
+      norm(vec).as("__nb"))
     a.join(b, Seq("__blk"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos",
+        dot(col("va"), col("vb")) / (col("__na") * col("__nb")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

@@ -53,8 +53,13 @@ object ExtensionQueries {
     },
 
     "dedup_ngram_jaccard" -> { (s, dir) =>
+      // repartition on the blocking key: materializes the shingle
+      // arrays at the exchange (instead of recomputing them above the
+      // join) and pre-co-locates the self-join, whose two branches
+      // share one ReusedExchange.
       val sh = docs(s, dir).select(col("lang"), col("source"),
         col("doc_id"), TextAnalysis.shingles(col("text"), 2).as("s"))
+        .repartition(col("lang"), col("source"))
       val a = sh.select(col("lang"), col("source"),
         col("doc_id").as("id_a"), col("s").as("sa"))
       val b = sh.select(col("lang"), col("source"),
@@ -199,17 +204,30 @@ object ExtensionQueries {
         |  min(doc_id) AS canonical_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
 
-    "dedup_minhash_lsh" ->
-      (s"""WITH $shingleCte,
-        |sig AS (SELECT doc_id, list_transform(range(0, 12),
-        |          i -> list_min(list_transform(s, x -> md5(CAST(i AS VARCHAR) || ':' || x)))) AS g
-        |        FROM sh),
-        |bands AS (SELECT doc_id, b,
-        |            md5(CAST(b AS VARCHAR) || '|' || array_to_string(g[b*3+1 : b*3+3], ',')) AS bkey
-        |          FROM sig, unnest(range(0, 4)) AS u(b))
+    "dedup_minhash_lsh" -> {
+      val coef = DedupOps.minhashCoefficients(12)
+      val p = DedupOps.MinhashP
+      val sigCols = coef.zipWithIndex.map { case ((a, b), i) =>
+        s"min(($a * h + $b) % $p) AS m$i"
+      }.mkString(",\n|    ")
+      val bandSelects = (0 until 4).map { b =>
+        val ms = (b * 3 until b * 3 + 3)
+          .map(j => s"CAST(m$j AS VARCHAR)").mkString(", ")
+        s"SELECT doc_id, $b AS b, md5(concat_ws(',', '$b', $ms)) AS bkey FROM sig"
+      }.mkString("\n|  UNION ALL ")
+      s"""WITH $shingleCte,
+        |hs AS (SELECT doc_id,
+        |         CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) % $p AS h
+        |       FROM (SELECT doc_id, unnest(s) AS s FROM sh)),
+        |sig AS (SELECT doc_id,
+        |    $sigCols
+        |  FROM hs GROUP BY doc_id),
+        |bands AS (
+        |  $bandSelects)
         |SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
         |FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bkey = b2.bkey
-        |WHERE a.doc_id < b2.doc_id""".stripMargin),
+        |WHERE a.doc_id < b2.doc_id""".stripMargin
+    },
 
     "dedup_simhash" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t

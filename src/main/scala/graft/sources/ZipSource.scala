@@ -1,0 +1,53 @@
+package graft.sources
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.charset.StandardCharsets
+import java.util.zip.ZipInputStream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** S2 (Angelo_ETL_Task.py:21-26, :144-145): ZIP-entry → CSV →
+  * DataFrame. The reference unzips in driver memory
+  * (`ZipFile(BytesIO(resp)).open(name)` → `pd.read_csv`); here the
+  * unzip is distributed: each zip file is one `binaryFile` row, its
+  * entry is expanded on an executor, and the CSV text is parsed with
+  * an explicit schema (no inference pass). At scale each archive is
+  * one task — reading 10k zips fans out over the cluster with no
+  * driver materialization.
+  */
+object ZipSource {
+
+  /** Read the named CSV entry from every zip under `path`.
+    *
+    * @param entryName  entry to extract (exact match, e.g. "Loinc.csv");
+    *                   null/empty picks the first `.csv` entry
+    * @param schema     explicit column schema; the header line of each
+    *                   file is dropped (column order must match)
+    */
+  def zipEntryCsv(spark: SparkSession, path: String, entryName: String,
+                  schema: StructType): DataFrame = {
+    import spark.implicits._
+    val bin = spark.read.format("binaryFile").load(path)
+      .select("content").as[Array[Byte]]
+    val lines = bin.flatMap { bytes =>
+      val zin = new ZipInputStream(new java.io.ByteArrayInputStream(bytes))
+      Iterator
+        .continually(zin.getNextEntry)
+        .takeWhile(_ != null)
+        .find(e => !e.isDirectory &&
+          (if (entryName == null || entryName.isEmpty)
+            e.getName.toLowerCase.endsWith(".csv")
+          else e.getName == entryName))
+        .map { _ =>
+          val r = new BufferedReader(
+            new InputStreamReader(zin, StandardCharsets.UTF_8))
+          Iterator.continually(r.readLine()).takeWhile(_ != null)
+            .drop(1) // header; schema is explicit
+            .toVector
+        }
+        .getOrElse(Vector.empty)
+    }
+    spark.read.schema(schema).csv(lines)
+  }
+}

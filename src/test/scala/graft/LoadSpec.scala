@@ -1,0 +1,120 @@
+package graft
+
+import java.util.Properties
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{I2b2Config, I2b2Pipeline, LoadOrchestrator}
+import graft.queries.LoincShim
+import graft.sources.{StubFetcher, Tables, ZipSource}
+
+/** Sink (L1–L6) and source (S1–S2) specs: the JDBC load bracket runs
+  * against embedded Derby (ships with Spark); zip→CSV reads a fixture
+  * archive written to a temp dir.
+  */
+class LoadSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Spark's built-in Derby dialect maps StringType -> CLOB, and Derby
+  // refuses setNull(CLOB) on VARCHAR columns; our DDL (like the
+  // reference's Postgres DDL) uses VARCHAR, so register a VARCHAR
+  // mapping ahead of it. Test-only — Postgres needs no override.
+  org.apache.spark.sql.jdbc.JdbcDialects.registerDialect(
+    new org.apache.spark.sql.jdbc.JdbcDialect {
+      override def canHandle(url: String): Boolean =
+        url.startsWith("jdbc:derby")
+      override def getJDBCType(dt: org.apache.spark.sql.types.DataType)
+          : Option[org.apache.spark.sql.jdbc.JdbcType] = dt match {
+        case org.apache.spark.sql.types.StringType =>
+          Some(org.apache.spark.sql.jdbc.JdbcType(
+            "VARCHAR(4000)", java.sql.Types.VARCHAR))
+        case _ => None
+      }
+    })
+
+  private val runTs = "01-01-2026 00:00:00"
+
+  private def i2b2Rows = {
+    val part = Tables.load(spark, "/root/testdata/sf0.001", "part")
+    I2b2Pipeline.build(LoincShim.loinc(part), LoincShim.hierarchy(part),
+      I2b2Config(runTimestamp = runTs))
+  }
+
+  test("load: creates table, appends, verifies count (L1, L3, L4)") {
+    val url = "jdbc:derby:memory:graftdb1;create=true"
+    val df = i2b2Rows.limit(50)
+    val report = LoadOrchestrator.load(df, url, "I2B2",
+      new Properties(), runTs)
+    assert(report.createdTable)
+    assert(report.firstImportDate.isEmpty)
+    assert(report.rowsWritten === 50)
+    assert(report.verifiedCount === 50)
+  }
+
+  test("load: second run stamps the first run's IMPORT_DATE (L2)") {
+    val url = "jdbc:derby:memory:graftdb2;create=true"
+    val df = i2b2Rows.limit(10)
+    LoadOrchestrator.load(df, url, "I2B2", new Properties(), runTs)
+    val laterTs = "02-01-2026 12:00:00"
+    val later = df
+      .withColumn("UPDATE_DATE", lit(laterTs))
+      .withColumn("DOWNLOAD_DATE", lit(laterTs))
+      .withColumn("IMPORT_DATE", lit(laterTs))
+    val report = LoadOrchestrator.load(later, url, "I2B2",
+      new Properties(), laterTs)
+    assert(!report.createdTable)
+    // min(IMPORT_DATE) from run 1 overrides run 2's import date
+    assert(report.firstImportDate.map(_.toString)
+      === Some("2026-01-01 00:00:00.0"))
+    assert(report.verifiedCount === 10)
+    val back = spark.read.jdbc(url, "I2B2", new Properties())
+    assert(back.count() === 20)
+    assert(back.select(countDistinct($"IMPORT_DATE")).as[Long]
+      .collect().head === 1)
+  }
+
+  test("csv export writes the inserted rows with header (L5)") {
+    val url = "jdbc:derby:memory:graftdb3;create=true"
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_l5").toString + "/export"
+    LoadOrchestrator.load(i2b2Rows.limit(5), url, "I2B2",
+      new Properties(), runTs, csvOut = Some(out))
+    val back = spark.read.option("header", "true").csv(out)
+    assert(back.count() === 5)
+    assert(back.columns.toSeq === I2b2Pipeline.outputCols)
+  }
+
+  test("zipEntryCsv: distributed unzip honors entry name and schema (S2)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zip")
+    val zipPath = dir.resolve("data.zip")
+    val zos = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(zipPath))
+    zos.putNextEntry(new java.util.zip.ZipEntry("other.txt"))
+    zos.write("junk\n".getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.putNextEntry(new java.util.zip.ZipEntry("Loinc.csv"))
+    zos.write(
+      ("LOINC_NUM,COMPONENT,PROPERTY,TIME_ASPCT,SYSTEM,SCALE_TYP," +
+        "METHOD_TYP,STATUS\n" +
+        "4548-4,Hemoglobin A1c,MFr,Pt,Bld,Qn,M1,ACTIVE\n" +
+        "123-4,Sodium,SCnc,Pt,Ser,Qn,,DEPRECATED\n").getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.close()
+    val df = ZipSource.zipEntryCsv(spark, zipPath.toString, "Loinc.csv",
+      Tables.loincSchema)
+    val rows = df.orderBy("LOINC_NUM").collect()
+    assert(rows.length === 2)
+    assert(rows(1).getAs[String]("LOINC_NUM") === "4548-4")
+    assert(rows(1).getAs[String]("STATUS") === "ACTIVE")
+    assert(rows(0).isNullAt(rows(0).fieldIndex("METHOD_TYP")))
+  }
+
+  test("StubFetcher serves canned bytes; pipelines depend on Fetcher (S1)") {
+    val fetcher = new StubFetcher(
+      Map("https://example.test/dl" -> "zipbytes".getBytes("UTF-8")))
+    assert(new String(fetcher.post("https://example.test/dl",
+      Map("file" -> "loinc")), "UTF-8") === "zipbytes")
+    intercept[java.io.IOException] {
+      fetcher.post("https://example.test/missing", Map.empty)
+    }
+  }
+}
