@@ -124,6 +124,41 @@ object DedupOps {
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
+  /** Blocked n-gram Jaccard near-dup pairs via an inverted shingle
+    * index — the 100 TB shape: explode distinct shingles, self-join on
+    * (block, shingle) to count intersections (map-side partial agg),
+    * then |A∪B| = |A| + |B| − |A∩B| from per-doc sizes. No per-pair
+    * array hashing: a pair's cost is its number of SHARED shingles,
+    * and pairs sharing nothing are never materialized at all (their
+    * Jaccard is 0 — below any useful threshold).
+    *
+    * @param blockKeys existing columns that bound the candidate space
+    *                  (a language/source block, or an LSH band key)
+    */
+  def jaccardPairs(df: DataFrame, blockKeys: Seq[String], id: Column,
+                   shingles: Column, threshold: Double): DataFrame = {
+    val e = df.select(blockKeys.map(col) ++ Seq(id.as("__id"),
+      explode(array_distinct(shingles)).as("__sh")): _*)
+    val a = e.select(blockKeys.map(col) ++
+      Seq(col("__id").as("id_a"), col("__sh")): _*)
+    val b = e.select(blockKeys.map(col) ++
+      Seq(col("__id").as("id_b"), col("__sh")): _*)
+    val inter = a.join(b, blockKeys :+ "__sh")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("__i"))
+    val sizes = e.groupBy("__id").agg(count(lit(1)).as("__n"))
+    inter
+      .join(sizes.select(col("__id").as("id_a"), col("__n").as("__na")),
+        "id_a")
+      .join(sizes.select(col("__id").as("id_b"), col("__n").as("__nb")),
+        "id_b")
+      .withColumn("jac", col("__i").cast("double") /
+        (col("__na") + col("__nb") - col("__i")).cast("double"))
+      .filter(col("jac") >= threshold)
+      .select("id_a", "id_b", "jac")
+  }
+
   /** SimHash bit-j contribution of one 60-bit token hash: +1/-1. */
   def simhashTokenHash(t: Column): Column =
     conv(substring(md5(t), 1, 15), 16, 10).cast("long")

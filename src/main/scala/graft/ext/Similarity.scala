@@ -16,17 +16,16 @@ object Similarity {
   /** Elementwise double view of a float vector column. */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Sequential-fold dot product; elements are double-cast inside the
-    * zip lambda (no-op on doubles, exact upcast on floats) so no
-    * intermediate cast array is materialized per pair.
+  /** Dot product of two float vectors: native codegen'd kernel
+    * (graft.functions.VecDot) — a tight primitive loop instead of a
+    * per-element lambda; bit-identical to the higher-order
+    * `aggregate(zip_with(...))` fold it replaces.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.vec_dot(a, b)
 
   def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    graft.functions.VectorFunctions.vec_norm(a)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
@@ -73,7 +72,8 @@ object Similarity {
   /** LSH bucket id: `planes` sign bits of hyperplane projections. */
   def lshBucket(vec: Column, planes: Array[Array[Int]]): Column = {
     val bits = planes.zipWithIndex.map { case (w, p) =>
-      val wLit = array(w.map(x => lit(x.toDouble)): _*)
+      // ±1 is exact in float, so the float-vector kernel applies
+      val wLit = array(w.map(x => lit(x.toFloat)): _*)
       when(dot(vec, wLit) > 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)

@@ -1,0 +1,31 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.{VecDot, VecNorm, VectorColumns}
+
+/** Column-level entry points for the native vector kernels. */
+object VectorFunctions {
+  def vec_dot(a: Column, b: Column): Column = VectorColumns.vec_dot(a, b)
+
+  def vec_norm(a: Column): Column = VectorColumns.vec_norm(a)
+}
+
+/** SparkSessionExtensions installer exposing the native kernels to
+  * SQL: `spark.sql.extensions=graft.functions.GraftExtensions` makes
+  * `vec_dot(a, b)` / `vec_norm(a)` callable from `spark.sql(...)`.
+  * The DataFrame API path ([[VectorFunctions]]) needs no registration.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (children: Seq[Expression]) => VecDot(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_norm"),
+      new ExpressionInfo(classOf[VecNorm].getName, "vec_norm"),
+      (children: Seq[Expression]) => VecNorm(children.head)))
+  }
+}

@@ -53,22 +53,9 @@ object ExtensionQueries {
     },
 
     "dedup_ngram_jaccard" -> { (s, dir) =>
-      // repartition on the blocking key: materializes the shingle
-      // arrays at the exchange (instead of recomputing them above the
-      // join) and pre-co-locates the self-join, whose two branches
-      // share one ReusedExchange.
-      val sh = docs(s, dir).select(col("lang"), col("source"),
-        col("doc_id"), TextAnalysis.shingles(col("text"), 2).as("s"))
-        .repartition(col("lang"), col("source"))
-      val a = sh.select(col("lang"), col("source"),
-        col("doc_id").as("id_a"), col("s").as("sa"))
-      val b = sh.select(col("lang"), col("source"),
-        col("doc_id").as("id_b"), col("s").as("sb"))
-      a.join(b, Seq("lang", "source"))
-        .filter(col("id_a") < col("id_b"))
-        .withColumn("jac", DedupOps.jaccard(col("sa"), col("sb")))
-        .filter(col("jac") >= 0.2)
-        .select("id_a", "id_b", "jac")
+      DedupOps.jaccardPairs(docs(s, dir), Seq("lang", "source"),
+        col("doc_id"), TextAnalysis.shingles(col("text"), 2),
+        threshold = 0.2)
     },
 
     "dedup_cosine" -> { (s, dir) =>
@@ -240,14 +227,19 @@ object ExtensionQueries {
         |SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash FROM bits GROUP BY doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
-      (s"""WITH $shingleCte
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        |    CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jac
-        |FROM sh a JOIN sh b
-        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        |    CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.2""".stripMargin),
+      (s"""WITH $shingleCte,
+        |e AS (SELECT lang, source, doc_id, unnest(list_distinct(s)) AS sh FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |          FROM e a JOIN e b ON a.lang = b.lang AND a.source = b.source
+        |            AND a.sh = b.sh AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jac
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.2""".stripMargin),
 
     "dedup_cosine" ->
       (s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,

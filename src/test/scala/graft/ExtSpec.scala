@@ -197,4 +197,47 @@ class ExtSpec extends SparkSpec {
     assert(got.height === (java.lang.Long.parseLong(md.substring(7, 14), 16) % 768).toInt)
     assert(got.n_frames === 5 % 30 + 1)
   }
+
+  // -- Native vector kernels -------------------------------------------
+
+  test("VecDot/VecNorm match the higher-order fold bit for bit") {
+    import org.apache.spark.sql.functions.{aggregate, zip_with, lit, sqrt}
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, Seq.tabulate(64)(d => ((i * 13 + d * 31) % 97 / 9.7f - 5f))))
+      .toDF("id", "vec")
+    val hofDot = aggregate(
+      zip_with($"vec", $"vec", (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val rows = vecs.select(
+      graft.functions.VectorFunctions.vec_dot($"vec", $"vec").as("nd"),
+      hofDot.as("hd"),
+      graft.functions.VectorFunctions.vec_norm($"vec").as("nn"),
+      sqrt(hofDot).as("hn"))
+      .as[(Double, Double, Double, Double)].collect()
+    rows.foreach { case (nd, hd, nn, hn) =>
+      assert(java.lang.Double.doubleToLongBits(nd) ===
+        java.lang.Double.doubleToLongBits(hd))
+      assert(java.lang.Double.doubleToLongBits(nn) ===
+        java.lang.Double.doubleToLongBits(hn))
+    }
+  }
+
+  test("VecDot is null on null input") {
+    val df = Seq((Some(Seq(1f, 2f)), None: Option[Seq[Float]])).toDF("a", "b")
+    val got = df.select(
+      graft.functions.VectorFunctions.vec_dot($"a", $"b")).collect().head
+    assert(got.isNullAt(0))
+  }
+
+  test("jaccardPairs matches the array-form jaccard on blocked pairs") {
+    val df = Seq(
+      (1L, "b1", Seq("x_y", "y_z", "z_w")),
+      (2L, "b1", Seq("x_y", "y_z", "q_r")),   // jac 2/4 = 0.5 with 1
+      (3L, "b1", Seq("p_q")),                  // shares nothing
+      (4L, "b2", Seq("x_y", "y_z", "z_w")))    // other block
+      .toDF("doc_id", "blk", "sh")
+    val got = DedupOps.jaccardPairs(df, Seq("blk"), $"doc_id", $"sh", 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === Set((1L, 2L, 0.5)))
+  }
 }
