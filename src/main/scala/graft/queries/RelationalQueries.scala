@@ -41,6 +41,25 @@ object RelationalQueries {
               |""".stripMargin)
     },
 
+    // Exact interpolated quantiles (sort-based). For sketched
+    // quantiles at scale see agg_approx_distinct's note.
+    "agg_quantiles" -> { (s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("q"))
+        .select(col("l_returnflag"), col("q")(0).as("q25"),
+          col("q")(1).as("q50"), col("q")(2).as("q75"))
+    },
+
+    // HyperLogLog++ distinct sketch — mergeable partial aggregates,
+    // the cardinality path that doesn't shuffle every key. No DuckDB
+    // oracle (different sketch implementation): the driver records the
+    // weaker rows-only check for this one.
+    "agg_approx_distinct" -> { (s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.01)
+          .as("approx_parts"))
+    },
+
     "agg_stats" -> { (s, dir) =>
       t(s, dir, "lineitem").groupBy("l_returnflag").agg(
         count(lit(1)).as("n"),
@@ -82,6 +101,19 @@ object RelationalQueries {
       topKPerGroup(t(s, dir, "orders"), Seq("o_custkey"),
         Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
         .select("o_custkey", "o_orderkey", "o_totalprice")
+    },
+
+    // Same result as topk_per_group, via the typed Aggregator (UDAF):
+    // partial top-k buffers merge map-side, so only k rows per
+    // (group, mapper) reach the shuffle — the 100 TB form.
+    "topk_agg" -> { (s, dir) =>
+      val topk = graft.ops.TopKAggregator.topK(3)
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(topk(col("o_totalprice"), col("o_orderkey")).as("tk"))
+        .select(col("o_custkey"), explode(col("tk")).as("r"))
+        .select(col("o_custkey"), col("r.id").as("o_orderkey"),
+          col("r.score").as("o_totalprice"))
     },
 
     "sort_limit" -> { (s, dir) =>
@@ -221,6 +253,13 @@ object RelationalQueries {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
 
+    "agg_quantiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS q25,
+        |  quantile_cont(l_quantity, 0.50) AS q50,
+        |  quantile_cont(l_quantity, 0.75) AS q75
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
     "agg_stats" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
@@ -253,6 +292,11 @@ object RelationalQueries {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
 
     "topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey) <= 3""".stripMargin,
+
+    "topk_agg" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
         |QUALIFY row_number() OVER (PARTITION BY o_custkey
         |  ORDER BY o_totalprice DESC, o_orderkey) <= 3""".stripMargin,

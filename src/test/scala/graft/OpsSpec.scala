@@ -116,4 +116,20 @@ class OpsSpec extends SparkSpec {
       $"code", $"codeText", Seq($"p1", $"p2")).as("n")).as[String].collect()
     assert(got.toSeq === Seq("text", "c:nan"))
   }
+
+  // -- Typed Aggregator top-k -----------------------------------------
+
+  test("TopKAggregator matches window top-k under any partitioning") {
+    val rows = (1 to 300).map(i => ((i % 7).toLong, i * 37 % 100 / 1.0, i.toLong))
+    val expected = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(r => (r._2, r._3)).sortBy(r => (-r._1, r._2)).take(3)
+    }
+    for (parts <- Seq(1, 4, 16)) {
+      val df = rows.toDF("g", "score", "id").repartition(parts)
+      val topk = TopKAggregator.topK(3)
+      val got = df.groupBy($"g").agg(topk($"score", $"id").as("tk"))
+        .as[(Long, Seq[(Double, Long)])].collect().toMap
+      assert(got === expected)
+    }
+  }
 }
