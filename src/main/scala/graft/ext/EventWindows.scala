@@ -37,6 +37,32 @@ object EventWindows {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n"))
 
+  /** Bucketed range join: points joined to the intervals containing
+    * them ([start, end), same key). The naive form is a range-predicate
+    * theta join — a per-key cross product that explodes on hot keys.
+    * Here each interval is exploded onto the fixed-width time buckets
+    * it covers and each point lands in exactly one bucket, so the join
+    * is an EQUI-join on (key, bucket) with a residual range filter:
+    * shuffle-partitionable, AQE-skew-splittable, no cross product.
+    * Bucket ids are epoch-anchored microsecond multiples (exact long
+    * arithmetic — no float division at bucket boundaries).
+    *
+    * @param bucketSeconds bucket width; choose ≈ the typical interval
+    *        length so intervals explode to O(1) buckets each
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, key: String,
+                ts: String, start: String, end: String,
+                bucketSeconds: Long): DataFrame = {
+    val b = lit(bucketSeconds * 1000000L)
+    def bucketOf(c: Column): Column = unix_micros(c) - pmod(unix_micros(c), b)
+    val p = points.withColumn("__bucket", bucketOf(col(ts)))
+    val i = intervals.withColumn("__bucket",
+      explode(sequence(bucketOf(col(start)), bucketOf(col(end)), b)))
+    p.join(i, Seq(key, "__bucket"))
+      .filter(col(ts) >= col(start) && col(ts) < col(end))
+      .drop("__bucket")
+  }
+
   /** AS-OF join: for each left row, the latest right row with
     * `right.ts <= left.ts` on the same key — the operator Spark lacks
     * natively (DuckDB/Pandas `ASOF JOIN`, kdb `aj`).

@@ -112,6 +112,21 @@ object ExtensionQueries {
         "30 minutes")
     },
 
+    // Range join: every event inside the 2-hour window after a signup
+    // by the same user (bucket width = 1h ⇒ each interval covers ≤ 3
+    // buckets).
+    "ew_range_join" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("win_start"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("win_end"))
+      EventWindows.rangeJoin(
+        e.select(col("user_id"), col("ts"), col("event_id")),
+        signups, "user_id", "ts", "win_start", "win_end",
+        bucketSeconds = 3600)
+        .select("event_id", "user_id", "ts", "win_start")
+    },
+
     "ew_asof_join" -> { (s, dir) =>
       val e = t(s, dir, "events")
       val clicks = e.filter(col("event_type") === "click")
@@ -342,6 +357,14 @@ object ExtensionQueries {
         |  max(ts) + INTERVAL '30 minutes' AS session_end,
         |  user_id, count(*) AS n
         |FROM g GROUP BY user_id, sid""".stripMargin),
+
+    "ew_range_join" ->
+      (s"""WITH $evtCte
+        |SELECT e.event_id, e.user_id, e.ts, s.ts AS win_start
+        |FROM evts e
+        |JOIN (SELECT user_id, ts FROM evts WHERE event_type = 'signup') s
+        |  ON e.user_id = s.user_id
+        |  AND e.ts >= s.ts AND e.ts < s.ts + INTERVAL '2 hours'""".stripMargin),
 
     "ew_asof_join" ->
       (s"""WITH $evtCte,

@@ -240,4 +240,19 @@ class ExtSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(got === Set((1L, 2L, 0.5)))
   }
+
+  test("rangeJoin matches the range predicate across bucket boundaries") {
+    val points = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),  // == start -> in
+      (1L, ts("2024-01-01 11:59:59"), 2L),  // inside, other bucket
+      (1L, ts("2024-01-01 12:00:00"), 3L),  // == end -> out
+      (2L, ts("2024-01-01 10:30:00"), 4L))  // other key -> out
+      .toDF("k", "ts", "pid")
+    val intervals = Seq(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00")))
+      .toDF("k", "s", "e")
+    val got = EventWindows.rangeJoin(points, intervals, "k", "ts", "s", "e",
+      bucketSeconds = 3600).select($"pid").as[Long].collect().sorted
+    assert(got.toSeq === Seq(1L, 2L))
+  }
 }
