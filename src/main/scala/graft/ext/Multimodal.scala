@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Decoded media features. Width/height/frames are derived from the
@@ -63,4 +63,32 @@ object Multimodal {
         }
       }
   }
+
+  /** Resize plumbing: target dims fitting (maxW, maxH) with aspect
+    * preserved — integer math only, over the decoded feature columns.
+    * A real resampler would be another `mapPartitions` stage over the
+    * blob; the dimension contract here is what its output schema
+    * carries.
+    */
+  def withThumbnailDims(features: DataFrame, maxW: Int,
+                        maxH: Int): DataFrame = {
+    // scale = min(maxW/w, maxH/h, 1) in 1e6 fixed point. floor(a/b)
+    // on doubles below 2^52 is the true integer quotient (division is
+    // correctly rounded), so this is exactly reproducible in SQL.
+    val scale = least(
+      floor(lit(maxW.toLong * 1000000L) / greatest(col("width"), lit(1))),
+      floor(lit(maxH.toLong * 1000000L) / greatest(col("height"), lit(1))),
+      lit(1000000L)).cast("long")
+    features
+      .withColumn("thumb_w",
+        greatest(floor(col("width") * scale / 1000000L), lit(1)).cast("int"))
+      .withColumn("thumb_h",
+        greatest(floor(col("height") * scale / 1000000L), lit(1)).cast("int"))
+  }
+
+  /** Frame sampling plumbing: the frame indices a video decoder would
+    * be asked to emit — every `step`-th frame, as an array column.
+    */
+  def frameSampleIndices(nFrames: Column, step: Int): Column =
+    sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(step))
 }

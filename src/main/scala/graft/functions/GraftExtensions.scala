@@ -10,6 +10,10 @@ object VectorFunctions {
   def vec_dot(a: Column, b: Column): Column = VectorColumns.vec_dot(a, b)
 
   def vec_norm(a: Column): Column = VectorColumns.vec_norm(a)
+
+  /** Register vec_dot/vec_norm in an existing session for SQL use. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    VectorColumns.register(spark)
 }
 
 /** SparkSessionExtensions installer exposing the native kernels to

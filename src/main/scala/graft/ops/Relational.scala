@@ -36,6 +36,25 @@ object Relational {
       .drop("__rn")
   }
 
+  /** Skew-safe equi-join: the large side gets a uniform salt, the
+    * small side is replicated to every salt value, and the join runs
+    * on (key, salt) — a hot key's rows spread over `salts` reducers
+    * instead of hammering one. The salt value itself is irrelevant to
+    * correctness (any salt matches a replica), so `rand`-derived
+    * salting stays deterministic IN RESULT even under task retries.
+    * Use when AQE's skew-join split isn't available (e.g. a skewed
+    * aggregate feeding a join stage) — otherwise prefer AQE.
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+                 salts: Int, joinType: String = "inner"): DataFrame = {
+    val saltedLarge = large.withColumn("__salt",
+      (rand(seed = 42) * salts).cast("int"))
+    val replicatedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedLarge.join(replicatedSmall, Seq(key, "__salt"), joinType)
+      .drop("__salt")
+  }
+
   /** EXISTS — rows of `df` with a match in `other`. */
   def semiJoin(df: DataFrame, other: DataFrame, cond: Column): DataFrame =
     df.join(other, cond, "left_semi")

@@ -138,10 +138,31 @@ object ExtensionQueries {
         Seq("value"))
     },
 
+    // SQL surface over the native kernels (registered imperatively;
+    // sessions built with spark.sql.extensions get them for free).
+    "sim_sql_cosine" -> { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
+      t(s, dir, "embeddings").createOrReplaceTempView("emb_sql")
+      s.sql("""SELECT vec_id, vec_dot(embedding, embedding) AS dot_self,
+              |       vec_norm(embedding) AS nrm
+              |FROM emb_sql""".stripMargin)
+    },
+
     // -- Multimodal binary columns -----------------------------------
     "mm_decode" -> { (s, dir) =>
       Multimodal.decodeFeatures(
         Multimodal.withBlob(docs(s, dir), "text")).toDF()
+    },
+
+    // resize + frame-sample plumbing over the decoded features
+    "mm_thumbnail" -> { (s, dir) =>
+      val feats = Multimodal.decodeFeatures(
+        Multimodal.withBlob(docs(s, dir), "text")).toDF()
+      Multimodal.withThumbnailDims(feats, 128, 96)
+        .select(col("doc_id"), col("width"), col("height"),
+          col("thumb_w"), col("thumb_h"),
+          size(Multimodal.frameSampleIndices(col("n_frames"), 5))
+            .as("n_sampled"))
     })
 
   // ------------------------------------------------------------------ //
@@ -376,6 +397,29 @@ object ExtensionQueries {
         |SELECT l.user_id, l.ts, l.click_id, r0.ts AS asof_ts, r0.value AS asof_value
         |FROM l ASOF LEFT JOIN r0
         |  ON l.user_id = r0.user_id AND r0.ts <= l.ts""".stripMargin),
+
+    "sim_sql_cosine" ->
+      (s"""SELECT vec_id,
+        |  ${dotSql("embedding", "embedding")} AS dot_self,
+        |  ${normSql("embedding")} AS nrm
+        |FROM embeddings""".stripMargin),
+
+    "mm_thumbnail" ->
+      """WITH f AS (SELECT doc_id,
+        |  CAST(CAST('0x' || substr(md5(text), 1, 7) AS BIGINT) % 1024 AS INT) AS width,
+        |  CAST(CAST('0x' || substr(md5(text), 8, 7) AS BIGINT) % 768 AS INT) AS height,
+        |  CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames
+        |FROM documents),
+        |s AS (SELECT *, CAST(least(
+        |        floor(128000000 / greatest(width, 1)),
+        |        floor(96000000 / greatest(height, 1)),
+        |        1000000) AS BIGINT) AS scale
+        |      FROM f)
+        |SELECT doc_id, width, height,
+        |  CAST(greatest(floor(width * scale / 1000000), 1) AS INT) AS thumb_w,
+        |  CAST(greatest(floor(height * scale / 1000000), 1) AS INT) AS thumb_h,
+        |  CAST(len(range(0, n_frames, 5)) AS INT) AS n_sampled
+        |FROM s""".stripMargin,
 
     "mm_decode" ->
       """SELECT doc_id,

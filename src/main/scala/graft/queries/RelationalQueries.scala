@@ -149,6 +149,23 @@ object RelationalQueries {
           .select(col("s_nationkey").as("nationkey")))
     },
 
+    // Scalar subquery: max() keeps the threshold fold-order-free
+    // (a float avg would differ in the last ulp across engines).
+    "sub_scalar" -> { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("ord_sq")
+      s.sql("""SELECT o_orderkey, o_totalprice FROM ord_sq
+              |WHERE o_totalprice > 0.9 * (SELECT max(o_totalprice)
+              |                            FROM ord_sq)""".stripMargin)
+    },
+
+    "sub_in" -> { (s, dir) =>
+      t(s, dir, "customer").createOrReplaceTempView("cust_sq")
+      t(s, dir, "nation").createOrReplaceTempView("nat_sq")
+      s.sql("""SELECT c_custkey, c_name FROM cust_sq
+              |WHERE c_nationkey IN (SELECT n_nationkey FROM nat_sq
+              |                      WHERE n_name LIKE 'A%')""".stripMargin)
+    },
+
     "json_extract" -> { (s, dir) =>
       t(s, dir, "events").select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("int").as("k"))
@@ -321,6 +338,15 @@ object RelationalQueries {
     "set_except" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |EXCEPT SELECT s_nationkey FROM supplier WHERE s_suppkey % 3 = 0""".stripMargin,
+
+    "sub_scalar" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 0.9 * (SELECT max(o_totalprice) FROM orders)""".stripMargin,
+
+    "sub_in" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_nationkey IN (SELECT n_nationkey FROM nation
+        |                      WHERE n_name LIKE 'A%')""".stripMargin,
 
     "json_extract" ->
       """SELECT event_id,

@@ -4,7 +4,7 @@
 // equivalent in Spark 4.
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -115,4 +115,22 @@ object VectorColumns {
 
   def vec_norm(a: Column): Column =
     ExpressionUtils.column(VecNorm(ExpressionUtils.expression(a)))
+
+  /** Imperative registration into an existing session's function
+    * registry (idempotent) — for sessions built without
+    * `spark.sql.extensions=graft.functions.GraftExtensions`.
+    */
+  def register(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    val reg = spark.sessionState.functionRegistry
+    reg.registerFunction(
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (children: Seq[Expression]) => VecDot(children(0), children(1)))
+    reg.registerFunction(
+      FunctionIdentifier("vec_norm"),
+      new ExpressionInfo(classOf[VecNorm].getName, "vec_norm"),
+      (children: Seq[Expression]) => VecNorm(children.head))
+  }
 }

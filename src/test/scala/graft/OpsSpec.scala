@@ -132,4 +132,14 @@ class OpsSpec extends SparkSpec {
       assert(got === expected)
     }
   }
+
+  test("saltedJoin returns exactly the plain join result") {
+    val large = (1 to 500).map(i => (i.toLong % 5, i)).toDF("k", "v")
+    val small = Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("k", "name")
+    val plain = large.join(small, Seq("k")).select($"k", $"v", $"name")
+      .as[(Long, Int, String)].collect().sorted
+    val salted = Relational.saltedJoin(large, small, "k", salts = 8)
+      .select($"k", $"v", $"name").as[(Long, Int, String)].collect().sorted
+    assert(salted.toSeq === plain.toSeq)
+  }
 }
