@@ -37,6 +37,18 @@ object EventWindows {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n"))
 
+  /** Native AS-OF join via the custom plan node
+    * (org.apache.spark.sql.graft.AsofJoin): logical node + strategy +
+    * sorted-merge physical operator. Same contract and output as
+    * [[asofJoin]]; prefer it when the union+window row blowup matters
+    * (the right side ships only payload columns through the merge and
+    * per-key state is O(1)).
+    */
+  def asofJoinNative(left: DataFrame, right: DataFrame, key: String,
+                     ts: String, payloadCols: Seq[String]): DataFrame =
+    org.apache.spark.sql.graft.AsofJoin
+      .asofJoinNative(left, right, key, ts, payloadCols)
+
   /** Bucketed range join: points joined to the intervals containing
     * them ([start, end), same key). The naive form is a range-predicate
     * theta join — a per-key cross product that explodes on hot keys.

@@ -138,6 +138,19 @@ object ExtensionQueries {
         Seq("value"))
     },
 
+    // Same query through the custom plan node (logical + strategy +
+    // sorted-merge SparkPlan) — oracle-checked end to end.
+    "ew_asof_native" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      val purchases = Dedup.lastWins(
+        e.filter(col("event_type") === "purchase"),
+        Seq("user_id", "ts"), col("event_id"), Seq("value"))
+      EventWindows.asofJoinNative(clicks, purchases, "user_id", "ts",
+        Seq("value"))
+    },
+
     // SQL surface over the native kernels (registered imperatively;
     // sessions built with spark.sql.extensions get them for free).
     "sim_sql_cosine" -> { (s, dir) =>
@@ -386,6 +399,17 @@ object ExtensionQueries {
         |JOIN (SELECT user_id, ts FROM evts WHERE event_type = 'signup') s
         |  ON e.user_id = s.user_id
         |  AND e.ts >= s.ts AND e.ts < s.ts + INTERVAL '2 hours'""".stripMargin),
+
+    "ew_asof_native" ->
+      (s"""WITH $evtCte,
+        |l AS (SELECT user_id, ts, event_id AS click_id FROM evts
+        |      WHERE event_type = 'click'),
+        |r0 AS (SELECT user_id, ts, value FROM evts WHERE event_type = 'purchase'
+        |       QUALIFY row_number() OVER (PARTITION BY user_id, ts
+        |                                  ORDER BY event_id DESC) = 1)
+        |SELECT l.user_id, l.ts, l.click_id, r0.ts AS asof_ts, r0.value AS asof_value
+        |FROM l ASOF LEFT JOIN r0
+        |  ON l.user_id = r0.user_id AND r0.ts <= l.ts""".stripMargin),
 
     "ew_asof_join" ->
       (s"""WITH $evtCte,

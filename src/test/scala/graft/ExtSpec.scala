@@ -255,4 +255,50 @@ class ExtSpec extends SparkSpec {
       bucketSeconds = 3600).select($"pid").as[Long].collect().sorted
     assert(got.toSeq === Seq(1L, 2L))
   }
+
+  test("asofJoinNative matches asofJoin on the literal fixture") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L),
+      (1L, ts("2024-01-01 12:00:00"), 101L),
+      (2L, ts("2024-01-01 09:00:00"), 102L))
+      .toDF("user_id", "ts", "click_id")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 5.0),
+      (1L, ts("2024-01-01 12:00:00"), 7.0),
+      (2L, ts("2024-01-01 09:30:00"), 9.0))
+      .toDF("user_id", "ts", "value")
+    val got = EventWindows.asofJoinNative(left, right, "user_id", "ts",
+      Seq("value"))
+      .select($"click_id", $"asof_value").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(got(100L) === Some(5.0))
+    assert(got(101L) === Some(7.0))
+    assert(got(102L) === None)
+  }
+
+  test("asofJoinNative equals the window form on random data, any partitioning") {
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 400).map(_ =>
+      (rnd.nextInt(20).toLong, ts("2024-01-01 00:00:00").getTime +
+        rnd.nextInt(100000) * 1000L, rnd.nextLong()))
+      .map { case (k, t, id) => (k, new Timestamp(t), id) }
+      .toDF("user_id", "ts", "click_id")
+    val right = (1 to 300).map(_ =>
+      (rnd.nextInt(20).toLong, ts("2024-01-01 00:00:00").getTime +
+        rnd.nextInt(100000) * 1000L, rnd.nextDouble()))
+      .map { case (k, t, v) => (k, new Timestamp(t), v) }
+      .toDF("user_id", "ts", "value")
+      .groupBy("user_id", "ts").agg(max($"value").as("value")) // 1 per (k,ts)
+    for (parts <- Seq(1, 3, 13)) {
+      val l = left.repartition(parts)
+      val r = right.repartition(parts)
+      val win = EventWindows.asofJoin(l, r, "user_id", "ts", Seq("value"))
+        .select($"user_id", $"ts", $"click_id", $"asof_ts", $"asof_value")
+        .collect().map(_.toSeq).toSet
+      val nat = EventWindows.asofJoinNative(l, r, "user_id", "ts", Seq("value"))
+        .select($"user_id", $"ts", $"click_id", $"asof_ts", $"asof_value")
+        .collect().map(_.toSeq).toSet
+      assert(nat === win)
+    }
+  }
 }
