@@ -75,4 +75,25 @@ class StreamSpec extends SparkSpec {
       assert(got.toSeq === Seq(1L, 2L))
     } finally q.stop()
   }
+
+  test("sessionCounts merges session windows across batches") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val q = StreamOps.sessionCounts(
+      in.toDF().toDF("ts", "user_id"), "10 minutes", "30 minutes")
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      in.addData((ts("2024-01-01 10:00:00"), 1L))
+      in.addData((ts("2024-01-01 10:20:00"), 1L),  // merges into session 1
+        (ts("2024-01-01 12:00:00"), 1L))           // new session
+      q.processAllAvailable()
+      val got = spark.table("sessions_out")
+        .select($"user_id", $"session_start", $"n")
+        .as[(Long, Timestamp, Long)].collect().toSet
+      assert(got === Set(
+        (1L, ts("2024-01-01 10:00:00"), 2L),
+        (1L, ts("2024-01-01 12:00:00"), 1L)))
+    } finally q.stop()
+  }
 }
