@@ -23,25 +23,6 @@ object DedupOps {
     df.groupBy(key.as("dup_key"))
       .agg(min(id).as("canonical_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signature: `n` independent permutations approximated by
-    * seeded md5; element i = min over shingles of md5(i:shingle).
-    * Null/empty shingle arrays yield an empty signature.
-    */
-  def minhash(shingles: Column, n: Int): Column =
-    transform(sequence(lit(0), lit(n - 1)),
-      i => array_min(transform(shingles,
-        s => md5(concat(i.cast("string"), lit(":"), s)))))
-
-  /** LSH band keys: split an n-element signature into `bands` bands of
-    * n/bands rows, hash each band. Two docs sharing ANY band key are
-    * candidate pairs — the classic shingle→minhash→band→bucket-join
-    * pipeline.
-    */
-  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => md5(concat(b.cast("string"), lit("|"),
-        concat_ws(",", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))))
-
   /** Mersenne prime 2^31 - 1: modulus of the universal-hash MinHash
     * permutation family. 31-bit hashes and coefficients keep every
     * product `a * h` under 2^62 — exact in a 64-bit long on any
@@ -71,20 +52,21 @@ object DedupOps {
   def shingleHash(s: Column): Column =
     conv(substring(md5(s), 1, 8), 16, 10).cast("long") % MinhashP
 
-  /** Candidate near-dup pairs via MinHash LSH, as aggregations all the
-    * way down — the 100 TB shape:
+  /** Candidate near-dup pairs via MinHash LSH — the 100 TB shape:
     *
     *   explode shingles → 1 md5 each → groupBy(doc): n `min` aggs
     *   (map-side partial agg: each mapper ships one candidate per doc)
-    *   → band keys from the signature columns → groupBy(band, key):
-    *   collect bucket members → expand (a < b) pairs inside the bucket.
+    *   → band keys from the signature columns → self-join on
+    *   (band, key) → distinct (a < b) pairs.
     *
-    * No self-join: the signature is computed once, and bucket pair
-    * expansion is local to each (band, key) group. Buckets are tiny by
-    * construction (that is the point of banding), so the pairwise
-    * expansion never leaves a group. Docs with zero shingles drop out
-    * (no hash → no bucket), which also removes the degenerate
-    * all-empty-docs bucket.
+    * The pair expansion is a streamed equi-join, NOT a per-bucket
+    * collect: a pathological bucket (say 1M byte-identical docs — the
+    * case dedup exists for) produces n² join ROWS that flow through
+    * the shuffle and AQE's skew-join splitting, rather than one
+    * n-element array whose in-row n² expansion would OOM a single
+    * task. The two join branches share the identical signature
+    * aggregation subtree, which Spark's exchange reuse materializes
+    * once. Docs with zero shingles drop out (no hash → no bucket).
     */
   def lshCandidatePairs(df: DataFrame, id: Column, shingles: Column,
                         numHashes: Int = 12, bands: Int = 4): DataFrame = {
@@ -104,20 +86,13 @@ object DedupOps {
     }
     val banded = sig.select(col("__id"),
       posexplode(array(keyCols: _*)).as(Seq("__band", "__key")))
-    banded.groupBy("__band", "__key")
-      .agg(collect_list(col("__id")).as("__ids"))
-      .filter(size(col("__ids")) > 1)
-      .select(explode(pairsWithin(col("__ids"))).as("__p"))
-      .select(least(col("__p.l"), col("__p.r")).as("id_a"),
-        greatest(col("__p.l"), col("__p.r")).as("id_b"))
+    val a = banded.select(col("__band"), col("__key"), col("__id").as("id_a"))
+    val b = banded.select(col("__band"), col("__key"), col("__id").as("id_b"))
+    a.join(b, Seq("__band", "__key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .distinct()
   }
-
-  /** All unordered pairs from an array: (x_i, x_j) for i < j. */
-  private def pairsWithin(ids: Column): Column =
-    flatten(transform(ids, (x, i) =>
-      transform(slice(ids, i + lit(2), size(ids)),
-        y => struct(x.as("l"), y.as("r")))))
 
   /** n-gram Jaccard similarity of two shingle arrays (set semantics). */
   def jaccard(a: Column, b: Column): Column =

@@ -47,6 +47,12 @@ object Relational {
     */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
                  salts: Int, joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit `salts` copies of each unmatched
+    // small-side replica — only shapes that never null-extend the
+    // replicated side are salt-safe
+    require(joinType == "inner" || joinType == "left" ||
+      joinType == "left_outer" || joinType == "leftouter",
+      s"saltedJoin supports inner/left joins only, got $joinType")
     val saltedLarge = large.withColumn("__salt",
       (rand(seed = 42) * salts).cast("int"))
     val replicatedSmall = small.withColumn("__salt",

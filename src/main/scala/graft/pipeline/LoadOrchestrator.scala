@@ -66,12 +66,16 @@ object LoadOrchestrator {
 
   /** L1: portable existence probe via JDBC metadata (the reference
     * queries INFORMATION_SCHEMA, :294 — DatabaseMetaData works on
-    * engines without one).
+    * engines without one). Unquoted identifiers fold differently per
+    * engine (Postgres → lower, Derby/Oracle → upper), so probe every
+    * folding.
     */
   def tableExists(conn: Connection, table: String): Boolean = {
-    val rs = conn.getMetaData.getTables(
-      null, null, table.toUpperCase, Array("TABLE"))
-    try rs.next() finally rs.close()
+    val meta = conn.getMetaData
+    Seq(table, table.toLowerCase, table.toUpperCase).distinct.exists { t =>
+      val rs = meta.getTables(null, null, t, Array("TABLE"))
+      try rs.next() finally rs.close()
+    }
   }
 
   /** L2: first-ever import date, if the table already has rows. */
@@ -115,14 +119,22 @@ object LoadOrchestrator {
     toWrite.write.mode(SaveMode.Append).jdbc(url, table, writeProps)
 
     // L4: verify against the DB, keyed on this run's UPDATE_DATE.
+    // to_timestamp parsed runTs in the SESSION timezone; binding
+    // Timestamp.valueOf (JVM-default wall clock) would shift the probe
+    // whenever the two zones differ — convert through the session zone
+    // to the same instant Spark wrote.
+    val sessionZone = java.time.ZoneId.of(
+      df.sparkSession.conf.get("spark.sql.session.timeZone",
+        java.util.TimeZone.getDefault.getID))
     val verified = withConnection(url, props) { conn =>
       val ps = conn.prepareStatement(
         s"SELECT COUNT(*) FROM $table WHERE UPDATE_DATE = ?")
       try {
-        ps.setTimestamp(1, Timestamp.valueOf(
+        ps.setTimestamp(1, Timestamp.from(
           java.time.LocalDateTime.parse(runTs,
             java.time.format.DateTimeFormatter
-              .ofPattern("dd-MM-yyyy HH:mm:ss"))))
+              .ofPattern("dd-MM-yyyy HH:mm:ss"))
+            .atZone(sessionZone).toInstant))
         val rs = ps.executeQuery()
         rs.next(); rs.getLong(1)
       } finally ps.close()

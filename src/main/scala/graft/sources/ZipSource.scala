@@ -20,6 +20,12 @@ object ZipSource {
 
   /** Read the named CSV entry from every zip under `path`.
     *
+    * Limitation: records are split on newlines before parsing, so
+    * RFC-4180 quoted fields containing embedded line breaks are not
+    * supported on this distributed path (LOINC's published CSVs do not
+    * use them). For such files, unzip driver-side and use
+    * `spark.read.option("multiLine", true).csv(...)` instead.
+    *
     * @param entryName  entry to extract (exact match, e.g. "Loinc.csv");
     *                   null/empty picks the first `.csv` entry
     * @param schema     explicit column schema; the header line of each

@@ -113,9 +113,17 @@ case class AsofJoinExec(
         private var carriedKey: Any = _
         private var carried: InternalRow = _ // latest payload ≤ current l.ts
 
+        // advances to the next right row with non-null key AND ts —
+        // SQL join semantics: null never matches, so such rows can
+        // never be carried and are dropped at the source
         private def advanceRight(): Unit = {
-          if (rIt.hasNext) { rHead = rIt.next() ; rHeadValid = true }
-          else { rHead = null; rHeadValid = false }
+          rHeadValid = false
+          while (!rHeadValid && rIt.hasNext) {
+            rHead = rIt.next()
+            rHeadValid =
+              !(rHead.isNullAt(rKeyIdx) || rHead.isNullAt(rTsIdx))
+          }
+          if (!rHeadValid) rHead = null
         }
         advanceRight()
 
@@ -125,6 +133,13 @@ case class AsofJoinExec(
           val l = lIt.next()
           val lk = l.get(lKeyIdx, keyDt)
           val lt = l.get(lTsIdx, tsDt)
+          // SQL join semantics: a null key or ts never matches. Nulls
+          // sort first under Ascending, so right null rows are skipped
+          // up front and left null rows emit the null payload without
+          // disturbing the merge state.
+          if (lk == null || lt == null) {
+            return resultProj(joined(l, nullPayload))
+          }
           // drop carried state when the left key moves on
           if (carried != null && keyOrd.compare(
               carriedKey.asInstanceOf[AnyRef],
@@ -144,7 +159,10 @@ case class AsofJoinExec(
                 rHead.get(rTsIdx, tsDt).asInstanceOf[AnyRef],
                 lt.asInstanceOf[AnyRef]) <= 0) {
               carried = payloadProj(rHead).copy()
-              carriedKey = rk
+              // copy: for non-primitive keys (UTF8String, Binary) rk
+              // is a view into the reused sorter row and would mutate
+              // on the next advanceRight()
+              carriedKey = InternalRow.copyValue(rk)
               advanceRight()
             } else advancing = false
           }

@@ -25,19 +25,37 @@ import org.apache.spark.sql.types._
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 
-  override def inputTypes: Seq[AbstractDataType] =
-    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)),
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "vec_dot"
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
+  private def elemGetter(e: Expression): String =
+    e.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType => "getFloat"
+      case _ => "getDouble"
+    }
+
+  // null on length mismatch — matching the zip_with+aggregate fold
+  // this kernel replaces (zip_with pads with null, the fold poisons)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input)
+    val b = right.eval(input)
+    if (a == null || b == null) return null
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val lf = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val rf = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val n = x.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
-      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xi * yi
       i += 1
     }
     s
@@ -48,13 +66,19 @@ case class VecDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val ga = elemGetter(left)
+      val gb = elemGetter(right)
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += (double) $a.$ga($i) * (double) $b.$gb($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -67,17 +91,22 @@ case class VecDot(left: Expression, right: Expression)
 case class VecNorm(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
 
-  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_norm"
 
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
+    val f = isFloat
     val n = x.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
-      val v = x.getFloat(i).toDouble
+      val v = if (f) x.getFloat(i).toDouble else x.getDouble(i)
       s += v * v
       i += 1
     }
@@ -90,11 +119,12 @@ case class VecNorm(child: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       val v = ctx.freshName("v")
+      val g = if (isFloat) "getFloat" else "getDouble"
       s"""
          |int $n = $a.numElements();
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $v = (double) $a.getFloat($i);
+         |  double $v = (double) $a.$g($i);
          |  $s += $v * $v;
          |}
          |${ev.value} = java.lang.Math.sqrt($s);

@@ -301,4 +301,40 @@ class ExtSpec extends SparkSpec {
       assert(nat === win)
     }
   }
+
+  test("VecDot: null on length mismatch; double arrays accepted") {
+    val df = Seq((Seq(1f, 2f), Seq(1f, 2f, 3f))).toDF("a", "b")
+    assert(df.select(
+      graft.functions.VectorFunctions.vec_dot($"a", $"b"))
+      .collect().head.isNullAt(0))
+    val dd = Seq((Seq(1.5, 2.0), Seq(2.0, 3.0))).toDF("a", "b")
+    val got = dd.select(
+      graft.functions.VectorFunctions.vec_dot($"a", $"b"),
+      graft.functions.VectorFunctions.vec_norm($"a"))
+      .as[(Double, Double)].collect().head
+    assert(got._1 === 1.5 * 2.0 + 2.0 * 3.0)
+    assert(got._2 === math.sqrt(1.5 * 1.5 + 2.0 * 2.0))
+  }
+
+  test("asofJoinNative: string keys survive right-side advance, nulls never match") {
+    val left = Seq(
+      ("a", ts("2024-01-01 10:00:00"), 1L),
+      ("a", ts("2024-01-01 13:00:00"), 2L),  // carried over b-rows boundary
+      ("b", ts("2024-01-01 13:00:00"), 3L),
+      (null.asInstanceOf[String], ts("2024-01-01 13:00:00"), 4L))
+      .toDF("k", "ts", "click_id")
+    val right = Seq(
+      ("a", ts("2024-01-01 09:00:00"), 1.0),
+      ("b", ts("2024-01-01 09:30:00"), 2.0),
+      (null.asInstanceOf[String], ts("2024-01-01 09:00:00"), 9.9))
+      .toDF("k", "ts", "value")
+    val got = EventWindows.asofJoinNative(left.coalesce(1),
+      right.coalesce(1), "k", "ts", Seq("value"))
+      .select($"click_id", $"asof_value").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(got(1L) === Some(1.0))
+    assert(got(2L) === Some(1.0)) // string key carried correctly
+    assert(got(3L) === Some(2.0))
+    assert(got(4L) === None)      // null key never matches
+  }
 }
