@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regression tests: the physical plans we rely on for
+  * scale (broadcast dimension joins, scan-level filter pushdown and
+  * column pruning, whole-stage codegen, exchange reuse) are asserted,
+  * not assumed — a regression that silently degrades the plan fails
+  * here even though results stay correct.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  /** Final adaptive plan: AQE only materializes WholeStageCodegen
+    * spans and reused stages once THIS dataframe's plan has run
+    * (collect, not count — count builds a different plan).
+    */
+  private def finalPlan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, dir)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("tpch_q5: all five dimension joins broadcast; lineitem streams") {
+    val p = plan("tpch_q5")
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 5)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("tpch_q1: filter and pruning reach the parquet scan") {
+    val p = plan("tpch_q1")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    // projection needs 4 data columns + the filter column; a scan
+    // reading the full 16-column lineitem schema would be a pruning
+    // regression
+    assert(p.contains("l_shipdate") && !p.contains("l_comment"))
+  }
+
+  test("r1_left_join runs inside WholeStageCodegen") {
+    // '*(n)' prefixes mark codegen stages in the final plan rendering
+    assert(finalPlan("r1_left_join").contains("*("))
+  }
+
+  test("dedup_minhash_lsh: signature aggregation is exchange-reused " +
+      "in the shuffle-join (at-scale) plan") {
+    // at tiny SF the band self-join broadcasts (nothing to reuse);
+    // force the shuffle-join plan the operator would run at scale
+    withBroadcastDisabled {
+      assert(finalPlan("dedup_minhash_lsh").contains("ReusedExchange"))
+    }
+  }
+
+  private def withBroadcastDisabled[A](f: => A): A = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try f finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("ew_asof_native plans the custom exec with sorted children") {
+    val p = plan("ew_asof_native")
+    assert(p.contains("AsofJoin"))
+    assert(p.contains("Sort ["))
+  }
+}
