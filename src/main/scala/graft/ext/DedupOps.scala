@@ -157,4 +157,32 @@ object DedupOps {
     (0 until bits).map { j =>
       ((shiftright(a, j) % 2) =!= (shiftright(b, j) % 2)).cast("int")
     }.reduce(_ + _)
+
+  /** SimHash near-dup pairs via byte-band blocking: two docs whose
+    * simhashes agree on ANY `bitsPerBand`-bit band are candidates
+    * (a Hamming distance ≤ bands−1 pair must agree on some band, by
+    * pigeonhole — the standard simhash dedup blocking), then exact
+    * Hamming ≤ `maxHamming` verifies. Same streamed band self-join
+    * shape as [[lshCandidatePairs]].
+    */
+  def simhashBandPairs(df: DataFrame, id: Column, simhash: Column,
+                       bands: Int = 4, bitsPerBand: Int = 8,
+                       maxHamming: Int = 3): DataFrame = {
+    val mask = (1L << bitsPerBand) - 1
+    val keys = array((0 until bands).map(b =>
+      shiftright(simhash, b * bitsPerBand).bitwiseAND(lit(mask))): _*)
+    val banded = df.select(id.as("__id"), simhash.as("__s"),
+      posexplode(keys).as(Seq("__band", "__key")))
+    val a = banded.select(col("__band"), col("__key"),
+      col("__id").as("id_a"), col("__s").as("__sa"))
+    val b = banded.select(col("__band"), col("__key"),
+      col("__id").as("id_b"), col("__s").as("__sb"))
+    a.join(b, Seq("__band", "__key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "__sa", "__sb").distinct()
+      .withColumn("hamming",
+        bit_count(col("__sa").bitwiseXOR(col("__sb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
 }

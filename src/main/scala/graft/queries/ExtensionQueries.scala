@@ -52,6 +52,18 @@ object ExtensionQueries {
         .agg(DedupOps.simhashAgg(col("h"), 32).as("simhash"))
     },
 
+    "dedup_simhash_pairs" -> { (s, dir) =>
+      val sims = docs(s, dir)
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"),
+          DedupOps.simhashTokenHash(col("tok")).as("h"))
+        .groupBy("doc_id")
+        .agg(DedupOps.simhashAgg(col("h"), 32).as("simhash"))
+      DedupOps.simhashBandPairs(sims, col("doc_id"), col("simhash"),
+        bands = 4, bitsPerBand = 8, maxHamming = 3)
+    },
+
     "dedup_ngram_jaccard" -> { (s, dir) =>
       DedupOps.jaccardPairs(docs(s, dir), Seq("lang", "source"),
         col("doc_id"), TextAnalysis.shingles(col("text"), 2),
@@ -274,6 +286,24 @@ object ExtensionQueries {
         |                THEN (CAST(1 AS BIGINT) << j) ELSE 0 END AS bit
         |         FROM h, unnest(range(0, 32)) AS u(j) GROUP BY doc_id, j)
         |SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash FROM bits GROUP BY doc_id""".stripMargin,
+
+    "dedup_simhash_pairs" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |             FROM documents),
+        |h AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h FROM tok),
+        |bits AS (SELECT doc_id, j,
+        |           CASE WHEN sum(((h >> j) % 2) * 2 - 1) > 0
+        |                THEN (CAST(1 AS BIGINT) << j) ELSE 0 END AS bit
+        |         FROM h, unnest(range(0, 32)) AS u(j) GROUP BY doc_id, j),
+        |sh AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash FROM bits GROUP BY doc_id),
+        |banded AS (SELECT doc_id, simhash, b, (simhash >> (b * 8)) & 255 AS bkey
+        |           FROM sh, unnest(range(0, 4)) AS u(b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+        |                a.simhash AS sa, b2.simhash AS sb
+        |         FROM banded a JOIN banded b2 ON a.b = b2.b AND a.bkey = b2.bkey
+        |         WHERE a.doc_id < b2.doc_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       (s"""WITH $shingleCte,
