@@ -157,6 +157,15 @@ object CoreQueries {
       I2b2Pipeline.build(
         LoincShim.loinc(part), LoincShim.hierarchy(part),
         I2b2Config(runTimestamp = RunTs))
+    },
+
+    // Reference-bug parity (Angelo_ETL_Task.py:40): leaf name repeated
+    // in every C_FULLNAME segment — zero extra shuffles in this mode.
+    "i2b2_pipeline_bugcompat" -> { (s, dir) =>
+      val part = t(s, dir, "part")
+      I2b2Pipeline.build(
+        LoincShim.loinc(part), LoincShim.hierarchy(part),
+        I2b2Config(runTimestamp = RunTs, bugCompatFullname = true))
     })
 
   // ---------------------------------------------------------------- //
@@ -259,5 +268,7 @@ object CoreQueries {
       """SELECT doc_id, substring(text, 1, 50) AS text50,
         |  substring(source, 1, 3) AS source3 FROM documents""".stripMargin,
 
-    "i2b2_pipeline" -> I2b2Oracle.sql)
+    "i2b2_pipeline" -> I2b2Oracle.sql,
+
+    "i2b2_pipeline_bugcompat" -> I2b2Oracle.bugCompatSql)
 }

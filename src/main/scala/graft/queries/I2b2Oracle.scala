@@ -11,7 +11,33 @@ object I2b2Oracle {
   private def esc(x: String): String =
     s"replace(replace(replace($x, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
 
-  val sql: String = LoincShim.oracleCtes.stripSuffix("\n") + "," +
+  /** Spec-correct rendering (per-ancestor names). */
+  val sql: String = render(bugCompat = false)
+
+  /** Reference-bug parity (Angelo_ETL_Task.py:40): every C_FULLNAME
+    * segment carries the LEAF's own CODE_TEXT instead of the
+    * ancestor's name.
+    */
+  val bugCompatSql: String = render(bugCompat = true)
+
+  // NOTE: emitted into render()'s interpolated block BEFORE its
+  // stripMargin runs — margins here use the outer '|' convention, and
+  // no trimmed line may START with '||' (stripMargin would eat the
+  // first pipe and turn concat into bitwise-or).
+  private def fullnameExpr(bugCompat: Boolean): String =
+    if (bugCompat)
+      s"""'\\i2b2\\Laboratory\\' || array_to_string(
+        |      list_transform(string_split(PATH_TO_ROOT, '.'),
+        |                     w -> '(' || w || ') ' || CODE_TEXT), '\\') ||
+        |      '\\(' || LOINC_NUM || ') ' || CODE_TEXT AS FULLNAME"""
+    else
+      s"""'\\i2b2\\Laboratory\\' || array_to_string(
+        |      list_transform(string_split(PATH_TO_ROOT, '.'),
+        |                     w -> '(' || w || ') cat ' || lower(w)), '\\') ||
+        |      '\\(' || LOINC_NUM || ') ' || CODE_TEXT AS FULLNAME"""
+
+  private def render(bugCompat: Boolean): String =
+    LoincShim.oracleCtes.stripSuffix("\n") + "," +
     s"""
       |hier_last AS (
       |  SELECT CODE, CODE_TEXT, PATH_TO_ROOT FROM hier
@@ -26,10 +52,7 @@ object I2b2Oracle {
       |  LEFT JOIN parent_counts pc ON l.LOINC_NUM = pc.pcode),
       |pre AS (
       |  SELECT *,
-      |    '\\i2b2\\Laboratory\\' || array_to_string(
-      |      list_transform(string_split(PATH_TO_ROOT, '.'),
-      |                     w -> '(' || w || ') cat ' || lower(w)), '\\')
-      |      || '\\(' || LOINC_NUM || ') ' || CODE_TEXT AS FULLNAME
+      |    ${fullnameExpr(bugCompat)}
       |  FROM joined),
       |derived AS (
       |  SELECT
