@@ -73,7 +73,7 @@ object Similarity {
   def lshBucket(vec: Column, planes: Array[Array[Int]]): Column = {
     val bits = planes.zipWithIndex.map { case (w, p) =>
       // ±1 is exact in float, so the float-vector kernel applies
-      val wLit = array(w.map(x => lit(x.toFloat)): _*)
+      val wLit = array(w.toIndexedSeq.map(x => lit(x.toFloat)): _*)
       when(dot(vec, wLit) > 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
