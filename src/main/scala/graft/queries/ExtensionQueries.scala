@@ -104,6 +104,31 @@ object ExtensionQueries {
         TextAnalysis.langId(col("text")).as("lang_pred"))
     },
 
+    // Corpus n-gram statistics: top-5 word bigrams per language —
+    // explode + count (map-side combine) + bounded window top-k.
+    "text_ngram_freq" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val grams = docs(s, dir).select(col("lang"),
+        explode(TextAnalysis.shingles(col("text"), 2)).as("gram"))
+        .groupBy("lang", "gram").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("n").desc, col("gram"))
+      grams.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("lang"), col("gram"), col("n"),
+          col("rnk").cast("int").as("rnk"))
+    },
+
+    // Value-distribution histogram: fixed-width buckets over the
+    // events value column (floor math, exact in both engines).
+    "agg_histogram" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(floor(col("value") / 50.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+    },
+
     "text_fingerprint" -> { (s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"),
@@ -377,6 +402,21 @@ object ExtensionQueries {
         |       ELSE 'es' END AS lang_pred
         |FROM d""".stripMargin
     },
+
+    "text_ngram_freq" ->
+      (s"""WITH $shingleCte,
+        |grams AS (SELECT lang, unnest(s) AS gram FROM sh),
+        |counts AS (SELECT lang, gram, count(*) AS n FROM grams GROUP BY 1, 2)
+        |SELECT lang, gram, n,
+        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, gram) AS INT) AS rnk
+        |FROM counts
+        |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n DESC, gram) <= 5""".stripMargin),
+
+    "agg_histogram" ->
+      """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
 
     "text_fingerprint" ->
       """WITH d AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
