@@ -70,6 +70,9 @@ object DedupOps {
     */
   def lshCandidatePairs(df: DataFrame, id: Column, shingles: Column,
                         numHashes: Int = 12, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a multiple of bands ($bands); " +
+        "otherwise trailing signature columns silently drop out of every band")
     val rows = numHashes / bands
     val coef = minhashCoefficients(numHashes)
     val based = df
@@ -111,9 +114,22 @@ object DedupOps {
     *                  (a language/source block, or an LSH band key)
     */
   def jaccardPairs(df: DataFrame, blockKeys: Seq[String], id: Column,
-                   shingles: Column, threshold: Double): DataFrame = {
-    val e = df.select(blockKeys.map(col) ++ Seq(id.as("__id"),
+                   shingles: Column, threshold: Double,
+                   maxDf: Int = 64): DataFrame = {
+    val e0 = df.select(blockKeys.map(col) ++ Seq(id.as("__id"),
       explode(array_distinct(shingles)).as("__sh")): _*)
+    // Document-frequency cap: a shingle shared by df docs contributes
+    // df² rows to the self-join, so one stopword bigram inside a big
+    // block is quadratic. Shingles above the cap carry ~0 Jaccard
+    // signal (they're in everything) — drop them BEFORE the join,
+    // which bounds per-shingle join fan-out at maxDf². Sizes are
+    // computed over the capped universe so the measure stays a true
+    // Jaccard on the filtered shingle sets.
+    val dfCounts = e0.groupBy(blockKeys.map(col) :+ col("__sh"): _*)
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .drop("__df")
+    val e = e0.join(dfCounts, blockKeys :+ "__sh")
     val a = e.select(blockKeys.map(col) ++
       Seq(col("__id").as("id_a"), col("__sh")): _*)
     val b = e.select(blockKeys.map(col) ++
@@ -158,16 +174,33 @@ object DedupOps {
       ((shiftright(a, j) % 2) =!= (shiftright(b, j) % 2)).cast("int")
     }.reduce(_ + _)
 
-  /** SimHash near-dup pairs via byte-band blocking: two docs whose
+  /** SimHash near-dup pairs via band blocking: two docs whose
     * simhashes agree on ANY `bitsPerBand`-bit band are candidates
     * (a Hamming distance ≤ bands−1 pair must agree on some band, by
-    * pigeonhole — the standard simhash dedup blocking), then exact
-    * Hamming ≤ `maxHamming` verifies. Same streamed band self-join
-    * shape as [[lshCandidatePairs]].
+    * pigeonhole — the standard simhash dedup blocking, Manku et al.
+    * WWW'07), then exact Hamming ≤ `maxHamming` verifies. Same
+    * streamed band self-join shape as [[lshCandidatePairs]].
+    *
+    * Band width is THE scale parameter: buckets-per-band = 2^bitsPerBand
+    * and the self-join emits ~N²/2^bitsPerBand candidate rows per band.
+    * The default 4 × 15-bit bands over a 60-bit simhash (the width
+    * [[simhashTokenHash]] actually carries) gives 32,768 buckets per
+    * band — narrow 8-bit bands (256 buckets) are quadratic-at-scale.
+    * Hamming + distinct run AFTER the equi-join on the narrow
+    * (id_a, id_b) pair, so no wide (sig, sig) tuple rides the
+    * deduplicating shuffle.
+    *
+    * @param bits total simhash width; bands × bitsPerBand must cover
+    *             it exactly or trailing bits silently leave the
+    *             blocking (candidate recall changes with no error)
     */
   def simhashBandPairs(df: DataFrame, id: Column, simhash: Column,
-                       bands: Int = 4, bitsPerBand: Int = 8,
-                       maxHamming: Int = 3): DataFrame = {
+                       bands: Int = 4, bitsPerBand: Int = 15,
+                       maxHamming: Int = 3, bits: Int = 60): DataFrame = {
+    require(bands * bitsPerBand == bits,
+      s"bands ($bands) * bitsPerBand ($bitsPerBand) must equal the " +
+        s"simhash width ($bits); a shortfall silently drops the top " +
+        "bits from every band key")
     val mask = (1L << bitsPerBand) - 1
     val keys = array((0 until bands).map(b =>
       shiftright(simhash, b * bitsPerBand).bitwiseAND(lit(mask))): _*)
@@ -179,10 +212,10 @@ object DedupOps {
       col("__id").as("id_b"), col("__s").as("__sb"))
     a.join(b, Seq("__band", "__key"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "__sa", "__sb").distinct()
       .withColumn("hamming",
         bit_count(col("__sa").bitwiseXOR(col("__sb"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+      .distinct()
   }
 }

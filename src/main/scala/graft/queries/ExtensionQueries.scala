@@ -42,6 +42,10 @@ object ExtensionQueries {
         TextAnalysis.shingles(col("text"), 2), numHashes = 12, bands = 4)
     },
 
+    // 60-bit simhash: the full width simhashTokenHash carries (15 hex
+    // chars of md5). 60 bits / 4 bands = 15-bit band keys = 32,768
+    // buckets per band in the pairs query below — the blocking stays
+    // sub-quadratic at corpus scale.
     "dedup_simhash" -> { (s, dir) =>
       docs(s, dir)
         .select(col("doc_id"),
@@ -49,7 +53,7 @@ object ExtensionQueries {
         .select(col("doc_id"),
           DedupOps.simhashTokenHash(col("tok")).as("h"))
         .groupBy("doc_id")
-        .agg(DedupOps.simhashAgg(col("h"), 32).as("simhash"))
+        .agg(DedupOps.simhashAgg(col("h"), 60).as("simhash"))
     },
 
     "dedup_simhash_pairs" -> { (s, dir) =>
@@ -59,15 +63,15 @@ object ExtensionQueries {
         .select(col("doc_id"),
           DedupOps.simhashTokenHash(col("tok")).as("h"))
         .groupBy("doc_id")
-        .agg(DedupOps.simhashAgg(col("h"), 32).as("simhash"))
+        .agg(DedupOps.simhashAgg(col("h"), 60).as("simhash"))
       DedupOps.simhashBandPairs(sims, col("doc_id"), col("simhash"),
-        bands = 4, bitsPerBand = 8, maxHamming = 3)
+        bands = 4, bitsPerBand = 15, maxHamming = 3, bits = 60)
     },
 
     "dedup_ngram_jaccard" -> { (s, dir) =>
       DedupOps.jaccardPairs(docs(s, dir), Seq("lang", "source"),
         col("doc_id"), TextAnalysis.shingles(col("text"), 2),
-        threshold = 0.2)
+        threshold = 0.1, maxDf = 64)
     },
 
     "dedup_cosine" -> { (s, dir) =>
@@ -309,7 +313,7 @@ object ExtensionQueries {
         |bits AS (SELECT doc_id, j,
         |           CASE WHEN sum(((h >> j) % 2) * 2 - 1) > 0
         |                THEN (CAST(1 AS BIGINT) << j) ELSE 0 END AS bit
-        |         FROM h, unnest(range(0, 32)) AS u(j) GROUP BY doc_id, j)
+        |         FROM h, unnest(range(0, 60)) AS u(j) GROUP BY doc_id, j)
         |SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash FROM bits GROUP BY doc_id""".stripMargin,
 
     "dedup_simhash_pairs" ->
@@ -319,20 +323,22 @@ object ExtensionQueries {
         |bits AS (SELECT doc_id, j,
         |           CASE WHEN sum(((h >> j) % 2) * 2 - 1) > 0
         |                THEN (CAST(1 AS BIGINT) << j) ELSE 0 END AS bit
-        |         FROM h, unnest(range(0, 32)) AS u(j) GROUP BY doc_id, j),
+        |         FROM h, unnest(range(0, 60)) AS u(j) GROUP BY doc_id, j),
         |sh AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash FROM bits GROUP BY doc_id),
-        |banded AS (SELECT doc_id, simhash, b, (simhash >> (b * 8)) & 255 AS bkey
-        |           FROM sh, unnest(range(0, 4)) AS u(b)),
-        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
-        |                a.simhash AS sa, b2.simhash AS sb
-        |         FROM banded a JOIN banded b2 ON a.b = b2.b AND a.bkey = b2.bkey
-        |         WHERE a.doc_id < b2.doc_id)
-        |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
-        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin,
+        |banded AS (SELECT doc_id, simhash, b, (simhash >> (b * 15)) & 32767 AS bkey
+        |           FROM sh, unnest(range(0, 4)) AS u(b))
+        |SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+        |       CAST(bit_count(xor(a.simhash, b2.simhash)) AS INT) AS hamming
+        |FROM banded a JOIN banded b2 ON a.b = b2.b AND a.bkey = b2.bkey
+        |WHERE a.doc_id < b2.doc_id
+        |  AND bit_count(xor(a.simhash, b2.simhash)) <= 3""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       (s"""WITH $shingleCte,
-        |e AS (SELECT lang, source, doc_id, unnest(list_distinct(s)) AS sh FROM sh),
+        |e0 AS (SELECT lang, source, doc_id, unnest(list_distinct(s)) AS sh FROM sh),
+        |keep AS (SELECT lang, source, sh FROM e0
+        |         GROUP BY 1, 2, 3 HAVING count(*) <= 64),
+        |e AS (SELECT e0.* FROM e0 JOIN keep USING (lang, source, sh)),
         |sizes AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
         |          FROM e a JOIN e b ON a.lang = b.lang AND a.source = b.source
@@ -343,7 +349,7 @@ object ExtensionQueries {
         |FROM inter
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b
-        |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.2""".stripMargin),
+        |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.1""".stripMargin),
 
     "dedup_cosine" ->
       (s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -51,13 +51,20 @@ object RelationalQueries {
     },
 
     // HyperLogLog++ distinct sketch — mergeable partial aggregates,
-    // the cardinality path that doesn't shuffle every key. No DuckDB
-    // oracle (different sketch implementation): the driver records the
-    // weaker rows-only check for this one.
+    // the cardinality path that doesn't shuffle every key. DuckDB's
+    // sketch differs, so the oracle-checkable contract is the sketch's
+    // accuracy bound: per group, emit the EXACT count plus a boolean
+    // asserting |approx − exact| / exact < 5% (rsd is set to 1%, so
+    // 5× slack never flakes). The oracle computes the exact count and
+    // claims TRUE — an out-of-tolerance sketch hash-mismatches.
     "agg_approx_distinct" -> { (s, dir) =>
       t(s, dir, "lineitem").groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey"), 0.01)
-          .as("approx_parts"))
+            .as("__approx"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("__approx") - col("exact_parts")).cast("double") /
+            col("exact_parts").cast("double") < 0.05).as("within_tol"))
     },
 
     "agg_stats" -> { (s, dir) =>
@@ -161,9 +168,13 @@ object RelationalQueries {
     "sub_in" -> { (s, dir) =>
       t(s, dir, "customer").createOrReplaceTempView("cust_sq")
       t(s, dir, "nation").createOrReplaceTempView("nat_sq")
+      // NATION_1 plus NATION_10..19: the generated fixture's names are
+      // synthetic, so 'NATION_1%' is the prefix that actually selects
+      // a proper subset (11 of 25) — the IN-subquery is exercised on
+      // both matching and non-matching customers.
       s.sql("""SELECT c_custkey, c_name FROM cust_sq
               |WHERE c_nationkey IN (SELECT n_nationkey FROM nat_sq
-              |                      WHERE n_name LIKE 'A%')""".stripMargin)
+              |                      WHERE n_name LIKE 'NATION_1%')""".stripMargin)
     },
 
     "json_extract" -> { (s, dir) =>
@@ -277,6 +288,15 @@ object RelationalQueries {
         |  quantile_cont(l_quantity, 0.75) AS q75
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
+    // Exact distinct + the accuracy claim the sketch must meet: if
+    // Spark's HLL drifts past 5%, within_tol flips false and the
+    // hashes diverge — the sketch is verified, not just row-counted.
+    "agg_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS within_tol
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
     "agg_stats" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
@@ -346,7 +366,7 @@ object RelationalQueries {
     "sub_in" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE c_nationkey IN (SELECT n_nationkey FROM nation
-        |                      WHERE n_name LIKE 'A%')""".stripMargin,
+        |                      WHERE n_name LIKE 'NATION_1%')""".stripMargin,
 
     "json_extract" ->
       """SELECT event_id,
