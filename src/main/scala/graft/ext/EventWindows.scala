@@ -88,6 +88,13 @@ object EventWindows {
     * keys. Right rows sort before left rows at equal ts, so `<=`
     * (inclusive) semantics hold.
     *
+    * Null semantics match SQL joins, AsofJoinExec, and DuckDB ASOF: a
+    * right row with null key or null ts never matches anything (they
+    * are filtered before the union — otherwise a null ts sorts first
+    * and its payload would be carried into every row of the key, and
+    * null keys would match each other), and a left row with null
+    * key/ts is preserved with null asof columns.
+    *
     * @param left  (key, ts, ...leftCols)
     * @param right (key, ts, ...payload) — at most one row per
     *              (key, ts); pre-dedup with Dedup.lastWins otherwise
@@ -98,7 +105,9 @@ object EventWindows {
                payloadCols: Seq[String]): DataFrame = {
     val lOther = left.columns.filterNot(_ == key).toSeq
     val payload = struct((ts +: payloadCols).map(col): _*)
-    val rTagged = right.select(
+    val rTagged = right
+      .filter(col(key).isNotNull && col(ts).isNotNull)
+      .select(
       Seq(col(key), col(ts).as("__ts"), lit(0).as("__side"),
         payload.as("__payload")) ++
         lOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)

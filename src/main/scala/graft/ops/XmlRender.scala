@@ -19,9 +19,15 @@ object XmlRender {
     regexp_replace(regexp_replace(regexp_replace(
       c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
 
-  /** One `<tag>escaped(value)</tag>` element; null value renders the
-    * reference's `str(None)` = "None" (Angelo_ETL_Task.py:111-115 pass
-    * raw `str()`-cast values into ElementTree).
+  /** One `<tag>escaped(value)</tag>` element.
+    *
+    * @param nullToken rendered for null values. The reference's
+    *   str()-wrapped fields (Angelo_ETL_Task.py:111-115) hold pandas
+    *   NaN when the CSV cell is missing, and `str(nan)` renders "nan"
+    *   — the same token F3's astype(str) produces — so those call
+    *   sites pass "nan". The default "None" is for fields the
+    *   reference never str()-wraps (it would crash on a missing
+    *   value, so any token is a deviation; "None" = `str(None)`).
     */
   def element(tag: String, value: Column, nullToken: String = "None"): Column =
     concat(lit(s"<$tag>"),

@@ -157,8 +157,17 @@ object I2b2Pipeline {
   }
 
   /** F2 spec-correct: per-ancestor names. posexplode the path array,
-    * broadcast-join each ancestor code to its name, re-aggregate in
-    * position order. One shuffle (the re-agg); the join is map-side.
+    * join each ancestor code to its name, re-aggregate in position
+    * order. One shuffle (the re-agg); no broadcast hint — Catalyst
+    * picks BHJ under the threshold (PlanSpec pins it), and at 100 TB
+    * an oversized name dimension degrades to a shuffled hash join
+    * instead of OOMing on a forced broadcast.
+    *
+    * An ancestor code missing from the hierarchy yields a null name
+    * and the WHOLE rendered path goes null (a shortened path that
+    * silently skips a level would be wrong) — matching the bug-compat
+    * mode and the closed-form oracle, whose null segment propagates
+    * through concat so the R5 guard drops the row.
     */
   private def specFullname(joined: DataFrame, names: DataFrame): DataFrame = {
     val withCodes = joined.withColumn("__codes",
@@ -166,19 +175,34 @@ object I2b2Pipeline {
     val exploded = withCodes
       .select(col("LOINC_NUM").as("__key"),
         posexplode(col("__codes")).as(Seq("__pos", "__code")))
-      .join(broadcast(names), col("__code") === col("__anc_code"), "left")
+      .join(names, col("__code") === col("__anc_code"), "left")
       .groupBy(col("__key"))
-      .agg(concat(lit(Hierarchy.RootPrefix + "\\"), array_join(
-        transform(
-          array_sort(collect_list(struct(col("__pos"), col("__code"),
-            col("__anc_name")))),
-          s => concat(lit("("), s("__code"), lit(") "), s("__anc_name"))),
-        "\\")).as("C_FULLNAME"))
+      // max(isnull) over the group beats exists() over the collected
+      // array: it folds into the same aggregate (no second pass over
+      // the array, no lambda) and short-circuits the whole render.
+      .agg(
+        max(col("__anc_name").isNull).as("__any_null"),
+        concat(lit(Hierarchy.RootPrefix + "\\"), array_join(
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__code"),
+              col("__anc_name")))),
+            s => concat(lit("("), s("__code"), lit(") "), s("__anc_name"))),
+          "\\")).as("__rendered"))
+      .select(col("__key"),
+        when(col("__any_null"), lit(null).cast("string"))
+          .otherwise(col("__rendered")).as("C_FULLNAME"))
     joined.join(exploded, joined("LOINC_NUM") === exploded("__key"), "left")
       .drop("__key")
   }
 
-  /** F6 — per-row XML metadata (Angelo_ETL_Task.py:89-120). */
+  /** F6 — per-row XML metadata (Angelo_ETL_Task.py:89-120).
+    *
+    * COMPONENT/SYSTEM/METHOD_TYP are str()-wrapped in the reference,
+    * so a missing CSV cell (pandas NaN) renders "nan" — same token as
+    * F3's astype(str). CODE_TEXT is a raw dict lookup the reference
+    * would crash on if missing; "None" there is a deliberate
+    * total-function extension, not parity.
+    */
   def metadataXml(code: Column, codeText: Column, component: Column,
                   system: Column, methodTyp: Column): Column = {
     import XmlRender._
@@ -189,8 +213,8 @@ object I2b2Pipeline {
     .otherwise(
       document("Loinc",
         element("LOINC_NUM", code),
-        element("COMPONENT", component),
-        element("SYSTEM", system),
-        element("METHOD_TYP", methodTyp)))
+        element("COMPONENT", component, nullToken = "nan"),
+        element("SYSTEM", system, nullToken = "nan"),
+        element("METHOD_TYP", methodTyp, nullToken = "nan")))
   }
 }

@@ -16,10 +16,14 @@ import org.apache.spark.sql.functions._
   * batched append (L3, Spark's jdbc writer batches per partition) →
   * verification count keyed on the run timestamp (L4) → CSV export of
   * the inserted rows (L5). Transactionality (L6): the reference holds
-  * ONE connection and commits once; Spark's jdbc write commits per
-  * partition — a weaker guarantee, appropriate for a cluster sink.
-  * Exact single-txn parity would funnel through one driver connection
-  * and is not worth it beyond toy scale.
+  * ONE connection and `rollback()`s everything on failure
+  * (Angelo_ETL_Task.py:366-374); Spark's jdbc write commits per
+  * partition, so a mid-write failure leaves the already-committed
+  * partitions behind. [[load]] restores the reference's effective
+  * atomicity with a compensating `DELETE ... WHERE UPDATE_DATE =
+  * runTs` — the run timestamp uniquely keys the run (that is exactly
+  * how L4 verifies), so the delete removes precisely this run's
+  * partial rows and the original failure is rethrown.
   */
 object LoadOrchestrator {
 
@@ -116,25 +120,43 @@ object LoadOrchestrator {
     val writeProps = new Properties()
     writeProps.putAll(props)
     writeProps.setProperty("batchsize", batchSize.toString)
-    toWrite.write.mode(SaveMode.Append).jdbc(url, table, writeProps)
 
-    // L4: verify against the DB, keyed on this run's UPDATE_DATE.
     // to_timestamp parsed runTs in the SESSION timezone; binding
     // Timestamp.valueOf (JVM-default wall clock) would shift the probe
     // whenever the two zones differ — convert through the session zone
-    // to the same instant Spark wrote.
+    // to the same instant Spark wrote. Used by both the L4 verify and
+    // the L6 compensating delete.
     val sessionZone = java.time.ZoneId.of(
       df.sparkSession.conf.get("spark.sql.session.timeZone",
         java.util.TimeZone.getDefault.getID))
+    val runInstant = Timestamp.from(
+      java.time.LocalDateTime.parse(runTs,
+        java.time.format.DateTimeFormatter
+          .ofPattern("dd-MM-yyyy HH:mm:ss"))
+        .atZone(sessionZone).toInstant)
+
+    // L3 + L6: per-partition commits mean a mid-write failure leaves
+    // the committed partitions behind; compensate by deleting this
+    // run's rows (uniquely keyed by UPDATE_DATE = runTs) and rethrow.
+    try toWrite.write.mode(SaveMode.Append).jdbc(url, table, writeProps)
+    catch {
+      case e: Throwable =>
+        try withConnection(url, props) { conn =>
+          val ps = conn.prepareStatement(
+            s"DELETE FROM $table WHERE UPDATE_DATE = ?")
+          try { ps.setTimestamp(1, runInstant); ps.executeUpdate() }
+          finally ps.close()
+        } catch { case c: Throwable => e.addSuppressed(c) }
+        finally toWrite.unpersist()
+        throw e
+    }
+
+    // L4: verify against the DB, keyed on this run's UPDATE_DATE.
     val verified = withConnection(url, props) { conn =>
       val ps = conn.prepareStatement(
         s"SELECT COUNT(*) FROM $table WHERE UPDATE_DATE = ?")
       try {
-        ps.setTimestamp(1, Timestamp.from(
-          java.time.LocalDateTime.parse(runTs,
-            java.time.format.DateTimeFormatter
-              .ofPattern("dd-MM-yyyy HH:mm:ss"))
-            .atZone(sessionZone).toInstant))
+        ps.setTimestamp(1, runInstant)
         val rs = ps.executeQuery()
         rs.next(); rs.getLong(1)
       } finally ps.close()

@@ -243,7 +243,7 @@ object CoreQueries {
         |    '</LOINC_NUM><COMPONENT>' || ${esc("p_name")} ||
         |    '</COMPONENT><SYSTEM>' || ${esc("p_type")} ||
         |    '</SYSTEM><METHOD_TYP>' ||
-        |    ${esc("coalesce(CASE WHEN pk % 7 = 0 THEN NULL ELSE p_brand END, 'None')")} ||
+        |    ${esc("coalesce(CASE WHEN pk % 7 = 0 THEN NULL ELSE p_brand END, 'nan')")} ||
         |    '</METHOD_TYP></Loinc>'
         |  END AS c_metadataxml
         |FROM codes""".stripMargin),

@@ -75,9 +75,9 @@ object I2b2Oracle {
       |      '</CODE_TEXT></MultiAxialHierarchy>'
       |    ELSE
       |      '<Loinc><LOINC_NUM>' || ${esc("LOINC_NUM")} ||
-      |      '</LOINC_NUM><COMPONENT>' || ${esc("coalesce(COMPONENT, 'None')")} ||
-      |      '</COMPONENT><SYSTEM>' || ${esc("coalesce(SYSTEM, 'None')")} ||
-      |      '</SYSTEM><METHOD_TYP>' || ${esc("coalesce(METHOD_TYP, 'None')")} ||
+      |      '</LOINC_NUM><COMPONENT>' || ${esc("coalesce(COMPONENT, 'nan')")} ||
+      |      '</COMPONENT><SYSTEM>' || ${esc("coalesce(SYSTEM, 'nan')")} ||
+      |      '</SYSTEM><METHOD_TYP>' || ${esc("coalesce(METHOD_TYP, 'nan')")} ||
       |      '</METHOD_TYP></Loinc>'
       |    END AS C_METADATAXML,
       |    'CONCEPT_CD' AS C_FACTTABLECOLUMN,

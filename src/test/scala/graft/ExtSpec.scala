@@ -157,6 +157,29 @@ class ExtSpec extends SparkSpec {
     assert(got(102L) === None)
   }
 
+  test("asofJoin: null key/ts never matches, in both variants") {
+    val left = Seq(
+      (Option(1L), Option(ts("2024-01-01 10:00:00")), 100L),
+      (Option.empty[Long], Option(ts("2024-01-01 10:00:00")), 101L),
+      (Option(1L), Option.empty[Timestamp], 102L))
+      .toDF("user_id", "ts", "click_id")
+    val right = Seq(
+      (Option(1L), Option(ts("2024-01-01 09:00:00")), 5.0),
+      // null key / null ts right rows must match nothing — without
+      // the pre-filter the null-ts payload sorts first and is carried
+      // into every row of its key, and null keys match each other
+      (Option.empty[Long], Option(ts("2024-01-01 09:00:00")), 66.0),
+      (Option(1L), Option.empty[Timestamp], 77.0))
+      .toDF("user_id", "ts", "value")
+    for (variant <- Seq(
+        EventWindows.asofJoin(left, right, "user_id", "ts", Seq("value")),
+        EventWindows.asofJoinNative(left, right, "user_id", "ts", Seq("value")))) {
+      val got = variant.select($"click_id", $"asof_value")
+        .as[(Long, Option[Double])].collect().toMap
+      assert(got === Map(100L -> Some(5.0), 101L -> None, 102L -> None))
+    }
+  }
+
   test("sessions split on gap >= threshold") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00")),

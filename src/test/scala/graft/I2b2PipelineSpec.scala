@@ -113,7 +113,7 @@ class I2b2PipelineSpec extends SparkSpec {
     assert(row(out, "9999-9").getAs[String]("C_COLUMNDATATYPE") === "T")
   }
 
-  test("XML metadata escapes & < > like ElementTree; null renders None") {
+  test("XML metadata escapes & < > like ElementTree; null renders str(nan)") {
     val xml = row(out, "9999-9").getAs[String]("C_METADATAXML")
     assert(xml.contains("<COMPONENT>Deprecated &amp; &lt;odd&gt;</COMPONENT>"))
     assert(xml.startsWith("<Loinc><LOINC_NUM>9999-9</LOINC_NUM>"))
@@ -121,9 +121,10 @@ class I2b2PipelineSpec extends SparkSpec {
     assert(lp.getAs[String]("C_METADATAXML") ===
       "<MultiAxialHierarchy><LOINC_NUM>LP100945-7</LOINC_NUM>" +
       "<CODE_TEXT>Hemoglobin A1c</CODE_TEXT></MultiAxialHierarchy>")
-    // METHOD_TYP null for 4548-4 -> str(None) = "None"
+    // METHOD_TYP null for 4548-4: pandas read_csv yields NaN and the
+    // reference's str() renders "nan" (Angelo_ETL_Task.py:111-115)
     assert(row(out, "4548-4").getAs[String]("C_METADATAXML")
-      .contains("<METHOD_TYP>None</METHOD_TYP>"))
+      .contains("<METHOD_TYP>nan</METHOD_TYP>"))
   }
 
   test("last-wins dedup: duplicate CODE 1111-1 takes the seq=11 row") {
@@ -147,6 +148,25 @@ class I2b2PipelineSpec extends SparkSpec {
       .toDF(loincFixture.columns: _*))
     val df = I2b2Pipeline.build(extraLoinc, hierFixture, cfgSpec)
     assert(df.filter($"C_BASECODE" === "LOINC:7777-7").count() === 0)
+  }
+
+  test("a missing ancestor name nulls the whole spec C_FULLNAME (row dropped)") {
+    val extraLoinc = loincFixture.union(Seq(
+      ("8888-8", "Orphan path", "P", "T", "S", "Qn", "M", "ACTIVE"))
+      .toDF(loincFixture.columns: _*))
+    val extraHier = hierFixture.union(Seq(
+      ("8888-8", "Orphan", "LP31756-7.MISSING-0", "MISSING-0", 12L))
+      .toDF(hierFixture.columns: _*))
+    // MISSING-0 has no hierarchy row, so its name is unknown: a
+    // shortened path that silently skips the level would be wrong —
+    // the whole C_FULLNAME must go null and the R5 guard drops the row.
+    val df = I2b2Pipeline.build(extraLoinc, extraHier, cfgSpec)
+    assert(df.filter($"C_BASECODE" === "LOINC:8888-8").count() === 0)
+    // bug-compat mode renders only the leaf's own name, so it keeps
+    // the row — the reference bug never reads ancestor names.
+    val bug = I2b2Pipeline.build(extraLoinc, extraHier,
+      cfgSpec.copy(bugCompatFullname = true))
+    assert(bug.filter($"C_BASECODE" === "LOINC:8888-8").count() === 1)
   }
 
   test("output has exactly the 25 DDL columns in order") {

@@ -83,6 +83,36 @@ class LoadSpec extends SparkSpec {
     assert(back.columns.toSeq === I2b2Pipeline.outputCols)
   }
 
+  test("load failure compensates: the failed run's rows are deleted (L6)") {
+    val url = "jdbc:derby:memory:graftdb6;create=true"
+    LoadOrchestrator.load(i2b2Rows.limit(5), url, "I2B2",
+      new Properties(), runTs)
+    // Reproduce the partial-write state Spark's per-partition commits
+    // can leave: 3 rows of run B already committed, then a write of
+    // the same run fails (NOT NULL violation). The compensating
+    // DELETE keyed on UPDATE_DATE = runTs must remove every run-B row
+    // while leaving run A untouched — the reference's rollback()
+    // semantics (Angelo_ETL_Task.py:366-374).
+    val tsB = "03-01-2026 09:00:00"
+    def runB(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("UPDATE_DATE", lit(tsB))
+      .withColumn("DOWNLOAD_DATE", lit(tsB))
+      .withColumn("IMPORT_DATE", lit(tsB))
+    LoadOrchestrator.load(runB(i2b2Rows.limit(3)), url, "I2B2",
+      new Properties(), tsB)
+    assert(spark.read.jdbc(url, "I2B2", new Properties()).count() === 8)
+    val bad = runB(i2b2Rows.limit(4)).withColumn("C_NAME",
+      when(monotonically_increasing_id() === 0, lit(null).cast("string"))
+        .otherwise($"C_NAME"))
+    intercept[Exception] {
+      LoadOrchestrator.load(bad, url, "I2B2", new Properties(), tsB)
+    }
+    val back = spark.read.jdbc(url, "I2B2", new Properties())
+    assert(back.count() === 5)
+    assert(back.filter($"UPDATE_DATE" === to_timestamp(lit(tsB),
+      "dd-MM-yyyy HH:mm:ss")).count() === 0)
+  }
+
   test("zipEntryCsv: distributed unzip honors entry name and schema (S2)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_zip")
     val zipPath = dir.resolve("data.zip")

@@ -61,6 +61,16 @@ class PlanSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("i2b2_pipeline: every join broadcasts at test scale with no hint") {
+    // the ancestor-name join carries no broadcast() hint (a forced
+    // broadcast OOMs at scale instead of degrading to a shuffled hash
+    // join); Catalyst must still pick BHJ for every dimension join
+    // under the threshold
+    val p = plan("i2b2_pipeline")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"))
+  }
+
   test("ew_asof_native plans the custom exec with sorted children") {
     val p = plan("ew_asof_native")
     assert(p.contains("AsofJoin"))
