@@ -3,15 +3,18 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-/** Decoded media features. Width/height/frames are derived from the
-  * content hash — a deterministic STAND-IN for a real decoder (no
-  * image/audio libs in this container); the Spark-side plumbing
-  * (schema, binary columns, per-partition batch decode) is real.
+/** Decoded media features. For PNG/GIF/BMP payloads width/height are
+  * REAL, parsed from the container header ([[ImageHeader]]); for
+  * anything else (`format` = "raw") they fall back to a deterministic
+  * hash stand-in — audio/video codecs aren't in this container, but
+  * the Spark-side plumbing (schema, binary columns, per-partition
+  * batch decode) is the production shape either way.
   */
 case class MediaFeatures(
     doc_id: Long,
     byte_len: Long,
     fp: String,
+    format: String,
     width: Int,
     height: Int,
     n_frames: Int)
@@ -35,10 +38,10 @@ object Multimodal {
   def withBlob(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("blob", col(textCol).cast("binary"))
 
-  /** STUB decoder: deterministic fake features from the payload hash.
-    * A real decoder would parse the container header here; everything
-    * around it (partition-wise batching, typed output schema) is the
-    * production shape.
+  /** STUB decoder for non-image payloads: deterministic fake features
+    * from the payload hash. A real audio/video codec would sit here;
+    * everything around it (partition-wise batching, typed output
+    * schema) is the production shape.
     */
   def decodeStub(bytes: Array[Byte]): (Long, String, Int, Int, Int) = {
     val mdf = java.security.MessageDigest.getInstance("MD5")
@@ -49,6 +52,20 @@ object Multimodal {
     (bytes.length.toLong, hex, width, height, frames)
   }
 
+  /** Decode one payload: real header parse for PNG/GIF/BMP (n_frames
+    * = 1 — static formats), hash stand-in for everything else.
+    */
+  def decode(id: Long, bytes: Array[Byte]): MediaFeatures =
+    ImageHeader.parse(bytes) match {
+      case Some((fmt, w, h)) =>
+        val mdf = java.security.MessageDigest.getInstance("MD5")
+        val fp = mdf.digest(bytes).map("%02x".format(_)).mkString
+        MediaFeatures(id, bytes.length.toLong, fp, fmt, w, h, 1)
+      case None =>
+        val (len, fp, w, h, f) = decodeStub(bytes)
+        MediaFeatures(id, len, fp, "raw", w, h, f)
+    }
+
   /** Per-partition batch decode of (doc_id, blob) rows. */
   def decodeFeatures(df: DataFrame): Dataset[MediaFeatures] = {
     val spark = df.sparkSession
@@ -57,10 +74,7 @@ object Multimodal {
       .mapPartitions { rows =>
         // decoder init happens once per partition (amortized, like a
         // real codec context)
-        rows.map { case (id, bytes) =>
-          val (len, fp, w, h, f) = decodeStub(bytes)
-          MediaFeatures(id, len, fp, w, h, f)
-        }
+        rows.map { case (id, bytes) => decode(id, bytes) }
       }
   }
 

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ext._
 import graft.ops.Dedup
@@ -206,6 +206,42 @@ object ExtensionQueries {
     "mm_decode" -> { (s, dir) =>
       Multimodal.decodeFeatures(
         Multimodal.withBlob(docs(s, dir), "text")).toDF()
+    },
+
+    // real container parsing, verified end-to-end: synthesize valid
+    // PNG / GIF89a / BMP headers (width/height a closed form of
+    // doc_id, format round-robin) as the binary column, decode them
+    // through the SAME decodeFeatures path as mm_decode, and let the
+    // oracle recompute the dims in closed form — a broken parser
+    // hash-mismatches. Header bytes are built with codegen'd hex
+    // string expressions + one to_binary; no UDF.
+    "mm_decode_image" -> { (s, dir) =>
+      val w = (pmod(col("doc_id"), lit(1024)) + 1).cast("int")
+      val h = (pmod(col("doc_id"), lit(768)) + 1).cast("int")
+      def hex2(c: Column) = lpad(hex(c), 2, "0")
+      def le16(c: Column) =
+        concat(hex2(pmod(c, lit(256))), hex2((c / 256).cast("int")))
+      def be32(c: Column) = lpad(hex(c), 8, "0")
+      def le32(c: Column) = concat(
+        hex2(pmod(c, lit(256))), hex2(pmod((c / 256).cast("int"), lit(256))),
+        hex2(pmod((c / 65536).cast("int"), lit(256))),
+        hex2((c / 16777216).cast("int")))
+      // PNG: 8-byte signature, IHDR length 13, "IHDR", BE32 dims
+      val png = concat(lit("89504E470D0A1A0A0000000D49484452"),
+        be32(w), be32(h), lit("0806000000"))
+      // GIF89a: 6-byte magic, LE16 logical screen dims
+      val gif = concat(lit("474946383961"), le16(w), le16(h), lit("F70000"))
+      // BMP: "BM", size/reserved/offset, BITMAPINFOHEADER(40), LE32 dims
+      val bmp = concat(lit("424D000000000000000036000000" + "28000000"),
+        le32(w), le32(h), lit("0100180000000000"))
+      val blob = to_binary(
+        when(pmod(col("doc_id"), lit(3)) === 0, png)
+          .when(pmod(col("doc_id"), lit(3)) === 1, gif)
+          .otherwise(bmp), lit("hex"))
+      Multimodal.decodeFeatures(
+          docs(s, dir).select(col("doc_id")).withColumn("blob", blob))
+        .toDF()
+        .select("doc_id", "format", "width", "height", "n_frames")
     },
 
     // resize + frame-sample plumbing over the decoded features
@@ -525,8 +561,20 @@ object ExtensionQueries {
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  md5(text) AS fp,
+        |  'raw' AS format,
         |  CAST(CAST('0x' || substr(md5(text), 1, 7) AS BIGINT) % 1024 AS INT) AS width,
         |  CAST(CAST('0x' || substr(md5(text), 8, 7) AS BIGINT) % 768 AS INT) AS height,
         |  CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames
+        |FROM documents""".stripMargin,
+
+    // closed-form dims: if the Spark side's header synthesis or the
+    // byte-level parser is wrong in either direction, these diverge
+    "mm_decode_image" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'
+        |       WHEN 1 THEN 'gif' ELSE 'bmp' END AS format,
+        |  CAST(doc_id % 1024 + 1 AS INT) AS width,
+        |  CAST(doc_id % 768 + 1 AS INT) AS height,
+        |  CAST(1 AS INT) AS n_frames
         |FROM documents""".stripMargin)
 }

@@ -218,7 +218,46 @@ class ExtSpec extends SparkSpec {
     assert(got.fp === md)
     assert(got.width === (java.lang.Long.parseLong(md.substring(0, 7), 16) % 1024).toInt)
     assert(got.height === (java.lang.Long.parseLong(md.substring(7, 14), 16) % 768).toInt)
+    assert(got.format === "raw")
     assert(got.n_frames === 5 % 30 + 1)
+  }
+
+  test("ImageHeader parses PNG/GIF/BMP dims and rejects text") {
+    def hexBytes(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // PNG 640x480, big-endian dims in IHDR
+    assert(ImageHeader.parse(hexBytes(
+      "89504E470D0A1A0A0000000D49484452" + "00000280" + "000001E0" +
+        "0806000000")) === Some(("png", 640, 480)))
+    // GIF89a 320x200, little-endian logical screen dims
+    assert(ImageHeader.parse(hexBytes(
+      "474946383961" + "4001" + "C800" + "F70000")) ===
+      Some(("gif", 320, 200)))
+    // BMP BITMAPINFOHEADER 16x32, negative (top-down) height
+    assert(ImageHeader.parse(hexBytes(
+      "424D000000000000000036000000" + "28000000" + "10000000" +
+        "E0FFFFFF" + "0100180000000000")) === Some(("bmp", 16, 32)))
+    // BMP BITMAPCOREHEADER (size 12): 16-bit dims
+    assert(ImageHeader.parse(hexBytes(
+      "424D00000000000000001A000000" + "0C000000" + "1000" + "2000" +
+        "01001800")) === Some(("bmp", 16, 32)))
+    // text payloads never misparse, even starting with 'BM'/'GIF'
+    assert(ImageHeader.parse(
+      "BMW and GIFts are words, not images, xxx".getBytes("UTF-8")).isEmpty)
+    assert(ImageHeader.parse("hello".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("mm_decode_image query decodes synthesized headers to closed-form dims") {
+    val df = SparkEntry.queries("mm_decode_image")(
+      spark, "/root/testdata/sf0.001")
+    val rows = df.as[(Long, String, Int, Int, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, fmt, w, h, n) =>
+      assert(fmt === Seq("png", "gif", "bmp")((id % 3).toInt))
+      assert(w === (id % 1024 + 1).toInt)
+      assert(h === (id % 768 + 1).toInt)
+      assert(n === 1)
+    }
   }
 
   // -- Native vector kernels -------------------------------------------
