@@ -103,12 +103,23 @@ object DedupOps {
       size(array_union(a, b)).cast("double")
 
   /** Blocked n-gram Jaccard near-dup pairs via an inverted shingle
-    * index — the 100 TB shape: explode distinct shingles, self-join on
-    * (block, shingle) to count intersections (map-side partial agg),
-    * then |A∪B| = |A| + |B| − |A∩B| from per-doc sizes. No per-pair
-    * array hashing: a pair's cost is its number of SHARED shingles,
-    * and pairs sharing nothing are never materialized at all (their
-    * Jaccard is 0 — below any useful threshold).
+    * index — the 100 TB shape: group by (block, shingle) into a
+    * postings list, df-cap it, generate the co-occurring id pairs
+    * INSIDE each list, and count pairs to get intersection sizes;
+    * |A∪B| = |A| + |B| − |A∩B| from per-doc sizes. No per-pair array
+    * hashing and no raw self-join: a pair's cost is its number of
+    * SHARED shingles, pairs sharing nothing are never materialized
+    * (their Jaccard is 0), and the one pass over the expensive
+    * shingle explode is the aggregation that builds the index.
+    *
+    * The document-frequency cap is the scale guard: a shingle shared
+    * by df docs yields C(df,2) pairs, so one stopword bigram inside a
+    * big block is quadratic. Shingles above the cap carry ~0 Jaccard
+    * signal (they're in everything) — the filter drops them before
+    * pair generation, bounding every list at C(maxDf,2) pairs. Sizes
+    * are computed over the capped universe (df=1 shingles still count
+    * toward |A|) so the measure stays a true Jaccard on the filtered
+    * shingle sets.
     *
     * @param blockKeys existing columns that bound the candidate space
     *                  (a language/source block, or an LSH band key)
@@ -118,27 +129,24 @@ object DedupOps {
                    maxDf: Int = 64): DataFrame = {
     val e0 = df.select(blockKeys.map(col) ++ Seq(id.as("__id"),
       explode(array_distinct(shingles)).as("__sh")): _*)
-    // Document-frequency cap: a shingle shared by df docs contributes
-    // df² rows to the self-join, so one stopword bigram inside a big
-    // block is quadratic. Shingles above the cap carry ~0 Jaccard
-    // signal (they're in everything) — drop them BEFORE the join,
-    // which bounds per-shingle join fan-out at maxDf². Sizes are
-    // computed over the capped universe so the measure stays a true
-    // Jaccard on the filtered shingle sets.
-    val dfCounts = e0.groupBy(blockKeys.map(col) :+ col("__sh"): _*)
-      .agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxDf)
-      .drop("__df")
-    val e = e0.join(dfCounts, blockKeys :+ "__sh")
-    val a = e.select(blockKeys.map(col) ++
-      Seq(col("__id").as("id_a"), col("__sh")): _*)
-    val b = e.select(blockKeys.map(col) ++
-      Seq(col("__id").as("id_b"), col("__sh")): _*)
-    val inter = a.join(b, blockKeys :+ "__sh")
-      .filter(col("id_a") < col("id_b"))
+    val postings = e0
+      .groupBy(blockKeys.map(col) :+ col("__sh"): _*)
+      .agg(sort_array(collect_list(col("__id"))).as("__ids"))
+      .filter(size(col("__ids")) <= maxDf)
+      .select(col("__ids"))
+    val sizes = postings.select(explode(col("__ids")).as("__id"))
+      .groupBy("__id").agg(count(lit(1)).as("__n"))
+    // ordered pairs within one sorted postings list (i < j ⇒ id_a <
+    // id_b, ids are distinct per shingle); slice-per-element is
+    // output-proportional work, not the lambda-recompute trap
+    val inter = postings
+      .filter(size(col("__ids")) >= 2)
+      .select(explode(flatten(transform(col("__ids"), (x, i) =>
+        transform(slice(col("__ids"), i + lit(2), size(col("__ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("__p"))
+      .select(col("__p.id_a"), col("__p.id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("__i"))
-    val sizes = e.groupBy("__id").agg(count(lit(1)).as("__n"))
     inter
       .join(sizes.select(col("__id").as("id_a"), col("__n").as("__na")),
         "id_a")

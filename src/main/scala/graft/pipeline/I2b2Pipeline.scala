@@ -102,8 +102,7 @@ object I2b2Pipeline {
       if (cfg.bugCompatFullname)
         joined.withColumn("C_FULLNAME", fullname)
       else
-        specFullname(joined, hierLast.select(
-          col("CODE").as("__anc_code"), col("CODE_TEXT").as("__anc_name")))
+        specFullname(joined, hierLast)
 
     val ts = lit(cfg.runTimestamp)
     val derived = base.select(
@@ -156,43 +155,62 @@ object I2b2Pipeline {
     }.reduce(_ && _))
   }
 
-  /** F2 spec-correct: per-ancestor names. posexplode the path array,
-    * join each ancestor code to its name, re-aggregate in position
-    * order. One shuffle (the re-agg); no broadcast hint — Catalyst
-    * picks BHJ under the threshold (PlanSpec pins it), and at 100 TB
-    * an oversized name dimension degrades to a shuffled hash join
+  /** F2 spec-correct: per-ancestor names, resolved once per DISTINCT
+    * path. posexplode the distinct PATH_TO_ROOT strings, join each
+    * ancestor code to its name, re-aggregate in position order, and
+    * join the rendered ancestor chain back on the path string; the
+    * leaf's own segment is appended inline from the row's CODE_TEXT.
+    *
+    * Keying the explode/re-agg on distinct paths instead of leaf
+    * codes keeps the main `joined` tree evaluated ONCE (the old
+    * leaf-keyed join-back duplicated the whole loinc⋈hierarchy
+    * subtree; both the path and name sides here come from the deduped
+    * hierarchy alone) and shrinks the exploded work: at scale many
+    * leaves share an ancestor path. No broadcast hint — Catalyst picks BHJ
+    * under the threshold (PlanSpec pins it), and at 100 TB an
+    * oversized path dimension degrades to a shuffled hash join
     * instead of OOMing on a forced broadcast.
     *
     * An ancestor code missing from the hierarchy yields a null name
     * and the WHOLE rendered path goes null (a shortened path that
     * silently skips a level would be wrong) — matching the bug-compat
     * mode and the closed-form oracle, whose null segment propagates
-    * through concat so the R5 guard drops the row.
+    * through concat so the R5 guard drops the row. A null leaf
+    * CODE_TEXT (code absent from the hierarchy) nulls the concat the
+    * same way.
     */
-  private def specFullname(joined: DataFrame, names: DataFrame): DataFrame = {
-    val withCodes = joined.withColumn("__codes",
-      concat(Hierarchy.pathArray(col("PATH_TO_ROOT")), array(col("LOINC_NUM"))))
-    val exploded = withCodes
-      .select(col("LOINC_NUM").as("__key"),
-        posexplode(col("__codes")).as(Seq("__pos", "__code")))
+  private def specFullname(joined: DataFrame, hier: DataFrame): DataFrame = {
+    val names = hier.select(
+      col("CODE").as("__anc_code"), col("CODE_TEXT").as("__anc_name"))
+    val rendered = hier
+      .select(col("PATH_TO_ROOT"))
+      .filter(col("PATH_TO_ROOT").isNotNull)
+      .distinct()
+      .select(col("PATH_TO_ROOT").as("__path"),
+        posexplode(Hierarchy.pathArray(col("PATH_TO_ROOT")))
+          .as(Seq("__pos", "__code")))
       .join(names, col("__code") === col("__anc_code"), "left")
-      .groupBy(col("__key"))
+      .groupBy(col("__path"))
       // max(isnull) over the group beats exists() over the collected
       // array: it folds into the same aggregate (no second pass over
       // the array, no lambda) and short-circuits the whole render.
       .agg(
         max(col("__anc_name").isNull).as("__any_null"),
-        concat(lit(Hierarchy.RootPrefix + "\\"), array_join(
+        array_join(
           transform(
             array_sort(collect_list(struct(col("__pos"), col("__code"),
               col("__anc_name")))),
             s => concat(lit("("), s("__code"), lit(") "), s("__anc_name"))),
-          "\\")).as("__rendered"))
-      .select(col("__key"),
+          "\\").as("__rendered"))
+      .select(col("__path"),
         when(col("__any_null"), lit(null).cast("string"))
-          .otherwise(col("__rendered")).as("C_FULLNAME"))
-    joined.join(exploded, joined("LOINC_NUM") === exploded("__key"), "left")
-      .drop("__key")
+          .otherwise(col("__rendered")).as("__anc"))
+    joined
+      .join(rendered, joined("PATH_TO_ROOT") === rendered("__path"), "left")
+      .withColumn("C_FULLNAME",
+        concat(lit(Hierarchy.RootPrefix + "\\"), col("__anc"), lit("\\("),
+          col("LOINC_NUM"), lit(") "), col("CODE_TEXT")))
+      .drop("__path", "__anc")
   }
 
   /** F6 — per-row XML metadata (Angelo_ETL_Task.py:89-120).
