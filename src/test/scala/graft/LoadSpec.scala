@@ -138,6 +138,28 @@ class LoadSpec extends SparkSpec {
     assert(rows(0).isNullAt(rows(0).fieldIndex("METHOD_TYP")))
   }
 
+  test("zipEntryCsv: RFC-4180 quoted newlines and escaped quotes survive") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zip_rfc")
+    val zipPath = dir.resolve("data.zip")
+    val zos = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(zipPath))
+    zos.putNextEntry(new java.util.zip.ZipEntry("Loinc.csv"))
+    zos.write(
+      ("LOINC_NUM,COMPONENT,PROPERTY,TIME_ASPCT,SYSTEM,SCALE_TYP," +
+        "METHOD_TYP,STATUS\r\n" +
+        "1-1,\"multi\nline \"\"quoted\"\" text\",P,Pt,Ser,Qn,M,ACTIVE\r\n" +
+        "2-2,plain,P,Pt,Ser,Qn,M,ACTIVE\n").getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.close()
+    val df = ZipSource.zipEntryCsv(spark, zipPath.toString, "Loinc.csv",
+      Tables.loincSchema)
+    val rows = df.orderBy("LOINC_NUM").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[String]("COMPONENT") ===
+      "multi\nline \"quoted\" text")
+    assert(rows(1).getAs[String]("LOINC_NUM") === "2-2")
+  }
+
   test("StubFetcher serves canned bytes; pipelines depend on Fetcher (S1)") {
     val fetcher = new StubFetcher(
       Map("https://example.test/dl" -> "zipbytes".getBytes("UTF-8")))
