@@ -64,9 +64,13 @@ object DedupOps {
     * case dedup exists for) produces n² join ROWS that flow through
     * the shuffle and AQE's skew-join splitting, rather than one
     * n-element array whose in-row n² expansion would OOM a single
-    * task. The two join branches share the identical signature
-    * aggregation subtree, which Spark's exchange reuse materializes
-    * once. Docs with zero shingles drop out (no hash → no bucket).
+    * task. The banded rows are explicitly repartitioned on the join
+    * key so the two self-join branches read ONE exchange (exchange
+    * reuse, asserted in PlanSpec): the signature aggregation is
+    * computed once and shuffled once, in every plan — without the
+    * explicit shuffle, a broadcast self-join evaluates the whole
+    * signature subtree twice. Docs with zero shingles drop out (no
+    * hash → no bucket).
     */
   def lshCandidatePairs(df: DataFrame, id: Column, shingles: Column,
                         numHashes: Int = 12, bands: Int = 4): DataFrame = {
@@ -89,6 +93,7 @@ object DedupOps {
     }
     val banded = sig.select(col("__id"),
       posexplode(array(keyCols: _*)).as(Seq("__band", "__key")))
+      .repartition(col("__band"), col("__key"))
     val a = banded.select(col("__band"), col("__key"), col("__id").as("id_a"))
     val b = banded.select(col("__band"), col("__key"), col("__id").as("id_b"))
     a.join(b, Seq("__band", "__key"))
@@ -212,8 +217,13 @@ object DedupOps {
     val mask = (1L << bitsPerBand) - 1
     val keys = array((0 until bands).map(b =>
       shiftright(simhash, b * bitsPerBand).bitwiseAND(lit(mask))): _*)
+    // explicit join-key repartition: one exchange feeds both self-join
+    // branches (exchange reuse), so the simhash aggregation upstream is
+    // computed and shuffled once in every plan — same rationale as
+    // [[lshCandidatePairs]]
     val banded = df.select(id.as("__id"), simhash.as("__s"),
       posexplode(keys).as(Seq("__band", "__key")))
+      .repartition(col("__band"), col("__key"))
     val a = banded.select(col("__band"), col("__key"),
       col("__id").as("id_a"), col("__s").as("__sa"))
     val b = banded.select(col("__band"), col("__key"),

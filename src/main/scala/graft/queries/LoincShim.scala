@@ -52,34 +52,36 @@ object LoincShim {
     * ('M' folder) — and for pk%10==3 — each with a distinct parent
     * ('F' folder); plus one row per path word so spec-correct
     * C_FULLNAME can resolve every ancestor's name.
+    *
+    * Assembled as ONE scan emitting 1-3 struct rows per part row via
+    * `inline(array_compact(...))` plus one scan for the distinct
+    * ancestor names, instead of a 4-way union that re-scans part per
+    * branch — the pipeline references this frame three times (dedup,
+    * name resolution, parent counts), so plan size compounds.
     */
   def hierarchy(part: DataFrame): DataFrame = {
     val pk = col("p_partkey")
-    val base = part.select(
-      code(pk).as("CODE"),
-      col("p_name").as("CODE_TEXT"),
-      path(col("p_type"), col("p_name")).as("PATH_TO_ROOT"),
-      element_at(split(col("p_name"), " "), -1).as("IMMEDIATE_PARENT"),
-      pk.cast("long").as("seq"))
-    val dupA = part.filter(pk % 10 === 0).select(
-      code(pk).as("CODE"),
-      concat(col("p_name"), lit(" v2")).as("CODE_TEXT"),
-      concat(path(col("p_type"), col("p_name")), lit(".EXTRA"))
-        .as("PATH_TO_ROOT"),
-      concat(lit("LP"), (pk - pk % 20 + 5).cast("string"))
-        .as("IMMEDIATE_PARENT"),
-      (pk + 1000000L).as("seq"))
-    val dupB = part.filter(pk % 10 === 3).select(
-      code(pk).as("CODE"),
-      concat(col("p_name"), lit(" v2")).as("CODE_TEXT"),
-      concat(path(col("p_type"), col("p_name")), lit(".EXTRA"))
-        .as("PATH_TO_ROOT"),
-      code(pk + 1).as("IMMEDIATE_PARENT"),
-      (pk + 1000000L).as("seq"))
+    def row(codeC: Column, text: Column, pathC: Column, parent: Column,
+            seq: Column): Column =
+      struct(codeC.as("CODE"), text.as("CODE_TEXT"),
+        pathC.as("PATH_TO_ROOT"), parent.as("IMMEDIATE_PARENT"),
+        seq.cast("long").as("seq"))
+    val base = row(code(pk), col("p_name"),
+      path(col("p_type"), col("p_name")),
+      element_at(split(col("p_name"), " "), -1), pk)
+    val dupPath = concat(path(col("p_type"), col("p_name")), lit(".EXTRA"))
+    val dupText = concat(col("p_name"), lit(" v2"))
+    val dupA = when(pk % 10 === 0, row(code(pk), dupText, dupPath,
+      concat(lit("LP"), (pk - pk % 20 + 5).cast("string")),
+      pk + 1000000L))
+    val dupB = when(pk % 10 === 3, row(code(pk), dupText, dupPath,
+      code(pk + 1), pk + 1000000L))
+    val main = part.select(inline(array_compact(array(base, dupA, dupB))))
     val ancestors = part
-      .select(explode(split(col("p_name"), " ")).as("w"))
-      .union(part.select(col("p_type").as("w")))
-      .union(part.limit(1).select(lit("EXTRA").as("w")))
+      .select(explode(concat(
+        split(col("p_name"), " "), array(col("p_type")),
+        when(pk === 1, array(lit("EXTRA")))
+          .otherwise(array().cast("array<string>")))).as("w"))
       .distinct()
       .select(
         col("w").as("CODE"),
@@ -87,7 +89,7 @@ object LoincShim {
         lit(null).cast("string").as("PATH_TO_ROOT"),
         lit(null).cast("string").as("IMMEDIATE_PARENT"),
         lit(0L).as("seq"))
-    base.union(dupA).union(dupB).union(ancestors)
+    main.union(ancestors)
   }
 
   /** DuckDB CTE prelude declaring the same `codes`, `loinc`, `hier`

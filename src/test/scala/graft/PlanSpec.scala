@@ -54,6 +54,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("LSH band self-joins reuse one exchange in the DEFAULT plan too") {
+    // the explicit (band, key) repartition means the signature subtree
+    // is computed and shuffled once even when AQE would broadcast the
+    // self-join — without it, a broadcast self-join evaluates the
+    // whole signature aggregation twice
+    assert(finalPlan("dedup_minhash_lsh").contains("ReusedExchange"))
+    assert(finalPlan("dedup_simhash_pairs").contains("ReusedExchange"))
+  }
+
   private def withBroadcastDisabled[A](f: => A): A = {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
