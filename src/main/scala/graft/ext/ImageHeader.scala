@@ -54,4 +54,93 @@ object ImageHeader {
     }
     else None
   }
+
+  /** Count GIF frames by walking the block stream (GIF89a spec §20-25):
+    * skip the logical screen descriptor and optional global color
+    * table, then one frame per image descriptor (0x2C), skipping
+    * extensions (0x21) and each block's length-prefixed sub-blocks,
+    * until the trailer (0x3B). None for a truncated or malformed
+    * stream (e.g. header-only payloads) — callers fall back to 1.
+    */
+  def gifFrames(b: Array[Byte]): Option[Int] = {
+    if (b.length < 13 ||
+        !(ascii(b, 0, "GIF87a") || ascii(b, 0, "GIF89a"))) return None
+    var i = 13 // 6-byte header + 7-byte logical screen descriptor
+    val flags = u8(b, 10)
+    if ((flags & 0x80) != 0) i += 3 * (1 << ((flags & 7) + 1))
+    var frames = 0
+    def skipSubBlocks(): Boolean = {
+      while (i < b.length && b(i) != 0) i += u8(b, i) + 1
+      if (i >= b.length) false else { i += 1; true }
+    }
+    while (i < b.length) {
+      u8(b, i) match {
+        case 0x3b => return Some(frames)
+        case 0x21 => // extension: introducer + label + sub-blocks
+          i += 2
+          if (!skipSubBlocks()) return None
+        case 0x2c => // image descriptor + optional local color table +
+          // LZW minimum code size + image data sub-blocks
+          if (i + 10 > b.length) return None
+          val lflags = u8(b, i + 9)
+          i += 10
+          if ((lflags & 0x80) != 0) i += 3 * (1 << ((lflags & 7) + 1))
+          i += 1
+          if (!skipSubBlocks()) return None
+          frames += 1
+        case _ => return None
+      }
+    }
+    None // ran off the end without a trailer
+  }
+}
+
+/** Pure-JVM RIFF/WAVE header parsing (public format: RIFF container +
+  * PCM `fmt ` chunk, Microsoft/IBM WAVE spec). Byte-level, no codec
+  * dependency — the audio twin of [[ImageHeader]].
+  */
+object AudioHeader {
+
+  /** Parsed WAV facts; `nSamples` = data-chunk bytes / block align. */
+  case class Wav(channels: Int, sampleRate: Int, bitsPerSample: Int,
+                 nSamples: Long)
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8)
+
+  private def le32(b: Array[Byte], i: Int): Long =
+    (u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) |
+      (u8(b, i + 3).toLong << 24)) & 0xffffffffL
+
+  private def ascii(b: Array[Byte], i: Int, s: String): Boolean =
+    i + s.length <= b.length &&
+      s.indices.forall(j => b(i + j) == s.charAt(j).toByte)
+
+  /** Parse the `fmt ` and `data` chunk headers of a RIFF/WAVE stream.
+    * The data payload itself need not be present — only its declared
+    * size is read, so header-only prefixes parse (the shape a sampled
+    * metadata scan over huge audio files wants).
+    */
+  def parseWav(b: Array[Byte]): Option[Wav] = {
+    if (b.length < 12 || !ascii(b, 0, "RIFF") || !ascii(b, 8, "WAVE"))
+      return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None
+    var dataSize: Option[Long] = None
+    while (i + 8 <= b.length && (fmt.isEmpty || dataSize.isEmpty)) {
+      val size = le32(b, i + 4)
+      if (ascii(b, i, "fmt ") && i + 24 <= b.length)
+        fmt = Some((le16(b, i + 10), le32(b, i + 12).toInt,
+          le16(b, i + 22), le16(b, i + 20)))
+      if (ascii(b, i, "data")) dataSize = Some(size)
+      i += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
+    }
+    for {
+      (channels, rate, bits, blockAlign) <- fmt
+      ds <- dataSize
+      if blockAlign > 0 && rate > 0
+    } yield Wav(channels, rate, bits, ds / blockAlign)
+  }
 }

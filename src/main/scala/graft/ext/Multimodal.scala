@@ -19,6 +19,19 @@ case class MediaFeatures(
     height: Int,
     n_frames: Int)
 
+/** Decoded audio features; real for RIFF/WAVE payloads
+  * ([[AudioHeader]]), hash stand-in (`format` = "raw") otherwise.
+  */
+case class AudioFeatures(
+    doc_id: Long,
+    byte_len: Long,
+    format: String,
+    channels: Int,
+    sample_rate: Int,
+    bits_per_sample: Int,
+    n_samples: Long,
+    duration_ms: Long)
+
 /** Multimodal-column handling: media as opaque `binary` columns with
   * typed metadata, decoded per-partition.
   *
@@ -52,15 +65,19 @@ object Multimodal {
     (bytes.length.toLong, hex, width, height, frames)
   }
 
-  /** Decode one payload: real header parse for PNG/GIF/BMP (n_frames
-    * = 1 — static formats), hash stand-in for everything else.
+  /** Decode one payload: real header parse for PNG/GIF/BMP — with
+    * real GIF frame counts from the block walk, 1 for the static
+    * formats (and for truncated header-only GIFs) — hash stand-in for
+    * everything else.
     */
   def decode(id: Long, bytes: Array[Byte]): MediaFeatures =
     ImageHeader.parse(bytes) match {
       case Some((fmt, w, h)) =>
         val mdf = java.security.MessageDigest.getInstance("MD5")
         val fp = mdf.digest(bytes).map("%02x".format(_)).mkString
-        MediaFeatures(id, bytes.length.toLong, fp, fmt, w, h, 1)
+        val frames =
+          if (fmt == "gif") ImageHeader.gifFrames(bytes).getOrElse(1) else 1
+        MediaFeatures(id, bytes.length.toLong, fp, fmt, w, h, frames)
       case None =>
         val (len, fp, w, h, f) = decodeStub(bytes)
         MediaFeatures(id, len, fp, "raw", w, h, f)
@@ -75,6 +92,37 @@ object Multimodal {
         // decoder init happens once per partition (amortized, like a
         // real codec context)
         rows.map { case (id, bytes) => decode(id, bytes) }
+      }
+  }
+
+  /** Per-partition batch decode of (doc_id, blob) audio rows: real
+    * RIFF/WAVE header parse ([[AudioHeader]]); non-audio payloads get
+    * the deterministic hash stand-in with format "raw". duration_ms
+    * is exact long arithmetic (floor), reproducible in SQL.
+    */
+  def decodeAudio(df: DataFrame): Dataset[AudioFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          AudioHeader.parseWav(bytes) match {
+            case Some(w) =>
+              AudioFeatures(id, bytes.length.toLong, "wav", w.channels,
+                w.sampleRate, w.bitsPerSample, w.nSamples,
+                w.nSamples * 1000L / w.sampleRate)
+            case None =>
+              val mdf = java.security.MessageDigest.getInstance("MD5")
+              val hex = mdf.digest(bytes).map("%02x".format(_)).mkString
+              val rate = 8000 * ((java.lang.Long
+                .parseLong(hex.substring(0, 7), 16) % 3).toInt + 1)
+              val n = bytes.length % 100 + 1
+              AudioFeatures(id, bytes.length.toLong, "raw",
+                (java.lang.Long.parseLong(hex.substring(7, 14), 16) % 2)
+                  .toInt + 1,
+                rate, 16, n.toLong, n * 1000L / rate)
+          }
+        }
       }
   }
 

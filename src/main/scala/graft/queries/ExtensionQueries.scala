@@ -26,6 +26,17 @@ object ExtensionQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
 
+  // hex-string byte encoders for synthesizing container headers in
+  // pure codegen'd expressions (to_binary at the end, no UDF)
+  private def hex2(c: Column): Column = lpad(hex(c), 2, "0")
+  private def hexLe16(c: Column): Column =
+    concat(hex2(pmod(c, lit(256))), hex2((c / 256).cast("int")))
+  private def hexBe32(c: Column): Column = lpad(hex(c), 8, "0")
+  private def hexLe32(c: Column): Column = concat(
+    hex2(pmod(c, lit(256))), hex2(pmod((c / 256).cast("int"), lit(256))),
+    hex2(pmod((c / 65536).cast("int"), lit(256))),
+    hex2((c / 16777216).cast("int")))
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -209,31 +220,33 @@ object ExtensionQueries {
     },
 
     // real container parsing, verified end-to-end: synthesize valid
-    // PNG / GIF89a / BMP headers (width/height a closed form of
-    // doc_id, format round-robin) as the binary column, decode them
-    // through the SAME decodeFeatures path as mm_decode, and let the
-    // oracle recompute the dims in closed form — a broken parser
+    // PNG / GIF89a / BMP payloads (width/height/frames a closed form
+    // of doc_id, format round-robin) as the binary column, decode
+    // them through the SAME decodeFeatures path as mm_decode, and let
+    // the oracle recompute the facts in closed form — a broken parser
     // hash-mismatches. Header bytes are built with codegen'd hex
-    // string expressions + one to_binary; no UDF.
+    // string expressions + one to_binary; no UDF. The GIF variant is
+    // a COMPLETE stream — screen descriptor, n image-descriptor
+    // blocks with LZW sub-blocks, trailer — so the frame-count block
+    // walk is exercised, not just the fixed header offsets.
     "mm_decode_image" -> { (s, dir) =>
       val w = (pmod(col("doc_id"), lit(1024)) + 1).cast("int")
       val h = (pmod(col("doc_id"), lit(768)) + 1).cast("int")
-      def hex2(c: Column) = lpad(hex(c), 2, "0")
-      def le16(c: Column) =
-        concat(hex2(pmod(c, lit(256))), hex2((c / 256).cast("int")))
-      def be32(c: Column) = lpad(hex(c), 8, "0")
-      def le32(c: Column) = concat(
-        hex2(pmod(c, lit(256))), hex2(pmod((c / 256).cast("int"), lit(256))),
-        hex2(pmod((c / 65536).cast("int"), lit(256))),
-        hex2((c / 16777216).cast("int")))
+      val nFrames = (pmod(col("doc_id"), lit(5)) + 1).cast("int")
       // PNG: 8-byte signature, IHDR length 13, "IHDR", BE32 dims
       val png = concat(lit("89504E470D0A1A0A0000000D49484452"),
-        be32(w), be32(h), lit("0806000000"))
-      // GIF89a: 6-byte magic, LE16 logical screen dims
-      val gif = concat(lit("474946383961"), le16(w), le16(h), lit("F70000"))
+        hexBe32(w), hexBe32(h), lit("0806000000"))
+      // GIF89a: magic, LE16 screen dims, no global table, then one
+      // image descriptor + 1-byte LZW sub-block per frame, trailer
+      val gifFrame = concat(lit("2C00000000"), hexLe16(w), hexLe16(h),
+        lit("0002010100"))
+      val gif = concat(lit("474946383961"), hexLe16(w), hexLe16(h),
+        lit("000000"),
+        array_join(transform(sequence(lit(1), nFrames), _ => gifFrame), ""),
+        lit("3B"))
       // BMP: "BM", size/reserved/offset, BITMAPINFOHEADER(40), LE32 dims
       val bmp = concat(lit("424D000000000000000036000000" + "28000000"),
-        le32(w), le32(h), lit("0100180000000000"))
+        hexLe32(w), hexLe32(h), lit("0100180000000000"))
       val blob = to_binary(
         when(pmod(col("doc_id"), lit(3)) === 0, png)
           .when(pmod(col("doc_id"), lit(3)) === 1, gif)
@@ -242,6 +255,31 @@ object ExtensionQueries {
           docs(s, dir).select(col("doc_id")).withColumn("blob", blob))
         .toDF()
         .select("doc_id", "format", "width", "height", "n_frames")
+    },
+
+    // real RIFF/WAVE header parsing, verified the same way: synthesize
+    // valid WAV headers (channels / sample rate / sample count a
+    // closed form of doc_id; the data payload itself stays absent —
+    // only its declared size matters, the shape of a metadata scan
+    // over huge audio files) and decode through decodeAudio
+    "mm_decode_audio" -> { (s, dir) =>
+      val ch = (pmod(col("doc_id"), lit(2)) + 1).cast("int")
+      val rate = ((pmod(col("doc_id"), lit(3)) + 1) * 8000).cast("int")
+      val nSamples = (pmod(col("doc_id"), lit(100)) + 1).cast("int")
+      val blockAlign = ch * 2 // 16-bit PCM
+      val dataSize = nSamples * blockAlign
+      val wav = concat(
+        lit("52494646"), hexLe32(dataSize + 36), lit("57415645"), // RIFF size WAVE
+        lit("666D7420" + "10000000" + "0100"), // fmt(16), PCM
+        hexLe16(ch), hexLe32(rate), hexLe32(rate * blockAlign),
+        hexLe16(blockAlign), lit("1000"), // 16 bits/sample
+        lit("64617461"), hexLe32(dataSize)) // data chunk header
+      Multimodal.decodeAudio(
+          docs(s, dir).select(col("doc_id"))
+            .withColumn("blob", to_binary(wav, lit("hex"))))
+        .toDF()
+        .select("doc_id", "format", "channels", "sample_rate",
+          "bits_per_sample", "n_samples", "duration_ms")
     },
 
     // resize + frame-sample plumbing over the decoded features
@@ -575,6 +613,17 @@ object ExtensionQueries {
         |       WHEN 1 THEN 'gif' ELSE 'bmp' END AS format,
         |  CAST(doc_id % 1024 + 1 AS INT) AS width,
         |  CAST(doc_id % 768 + 1 AS INT) AS height,
-        |  CAST(1 AS INT) AS n_frames
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN doc_id % 5 + 1 ELSE 1 END
+        |       AS INT) AS n_frames
+        |FROM documents""".stripMargin,
+
+    "mm_decode_audio" ->
+      """SELECT doc_id, 'wav' AS format,
+        |  CAST(doc_id % 2 + 1 AS INT) AS channels,
+        |  CAST((doc_id % 3 + 1) * 8000 AS INT) AS sample_rate,
+        |  CAST(16 AS INT) AS bits_per_sample,
+        |  CAST(doc_id % 100 + 1 AS BIGINT) AS n_samples,
+        |  CAST((doc_id % 100 + 1) * 1000 // ((doc_id % 3 + 1) * 8000)
+        |       AS BIGINT) AS duration_ms
         |FROM documents""".stripMargin)
 }

@@ -256,7 +256,63 @@ class ExtSpec extends SparkSpec {
       assert(fmt === Seq("png", "gif", "bmp")((id % 3).toInt))
       assert(w === (id % 1024 + 1).toInt)
       assert(h === (id % 768 + 1).toInt)
-      assert(n === 1)
+      assert(n === (if (id % 3 == 1) (id % 5 + 1).toInt else 1))
+    }
+  }
+
+  test("AudioHeader parses RIFF/WAVE fmt+data; rejects text") {
+    def hexBytes(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // stereo 16-bit 8kHz, 40-byte data chunk => 10 samples
+    val wav = hexBytes(
+      "52494646" + "40000000" + "57415645" +
+        "666D7420" + "10000000" + "0100" + "0200" + "401F0000" +
+        "007D0000" + "0400" + "1000" +
+        "64617461" + "28000000")
+    assert(AudioHeader.parseWav(wav) ===
+      Some(AudioHeader.Wav(2, 8000, 16, 10L)))
+    // an unknown chunk before fmt/data is skipped by size
+    val padded = hexBytes(
+      "52494646" + "40000000" + "57415645" +
+        "4C495354" + "04000000" + "AABBCCDD" + // LIST chunk, 4 bytes
+        "666D7420" + "10000000" + "0100" + "0100" + "803E0000" +
+        "007D0000" + "0200" + "1000" +
+        "64617461" + "0A000000")
+    assert(AudioHeader.parseWav(padded) ===
+      Some(AudioHeader.Wav(1, 16000, 16, 5L)))
+    assert(AudioHeader.parseWav("RIFF but not audio".getBytes("UTF-8")).isEmpty)
+    assert(AudioHeader.parseWav("hello".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("gifFrames walks descriptors, extensions and color tables") {
+    def hexBytes(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val frame = "2C00000000" + "0100" + "0100" + "0002010100"
+    // two frames, a graphic-control extension, no color tables
+    val gif = hexBytes("474946383961" + "01000100" + "000000" +
+      "21F90401000000" + "00" + frame + frame + "3B")
+    assert(ImageHeader.gifFrames(gif) === Some(2))
+    // global color table (flags 0x80|0: 2 entries = 6 bytes) skipped
+    val withTable = hexBytes("474946383961" + "01000100" + "800000" +
+      "000000FFFFFF" + frame + "3B")
+    assert(ImageHeader.gifFrames(withTable) === Some(1))
+    // truncated header-only stream: None (decode falls back to 1)
+    assert(ImageHeader.gifFrames(
+      hexBytes("474946383961" + "01000100" + "F70000")).isEmpty)
+  }
+
+  test("mm_decode_audio query decodes synthesized WAV headers closed-form") {
+    val df = SparkEntry.queries("mm_decode_audio")(
+      spark, "/root/testdata/sf0.001")
+    val rows = df.as[(Long, String, Int, Int, Int, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, fmt, ch, rate, bits, n, ms) =>
+      assert(fmt === "wav")
+      assert(ch === (id % 2 + 1).toInt)
+      assert(rate === ((id % 3 + 1) * 8000).toInt)
+      assert(bits === 16)
+      assert(n === id % 100 + 1)
+      assert(ms === n * 1000 / rate)
     }
   }
 
