@@ -102,6 +102,69 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos")
   }
 
+  /** First `nlist` corpus vectors (by id) as deterministic IVF seed
+    * centroids. Production IVF learns centroids with k-means; any
+    * (id, vec) frame — e.g. k-means output — plugs into [[ivfTopK]]
+    * unchanged, and seeds keep the whole operator closed-form for the
+    * oracle. orderBy+limit is driver-bounded at nlist rows.
+    */
+  def seedCentroids(corpus: DataFrame, nlist: Int): DataFrame =
+    corpus.orderBy(col("id")).limit(nlist)
+
+  /** IVF-flat approximate top-k — the inverted-file scale path
+    * (Sivic/Zisserman Video-Google '03, FAISS IVF-flat):
+    *
+    *   1. ASSIGN: every corpus vector to its nearest centroid's list —
+    *      a cross join against the tiny broadcast centroid set folded
+    *      into ONE hash aggregate (`max_by` over struct(cos, -cid):
+    *      partial-agg friendly, no sort, ties to the smaller cid).
+    *   2. PROBE: each query scores the same centroids and keeps its
+    *      `nprobe` best lists (bounded window over nlist rows/query).
+    *   3. SEARCH: an EQUI-join on list id — queries meet only the
+    *      ~|corpus|·nprobe/nlist vectors in their probed lists, never
+    *      the full corpus; exact cosine + bounded top-k window.
+    *
+    * Recall tunes with nprobe/nlist exactly as in FAISS. A hot list
+    * (skewed centroid) is an AQE skew-join split, not an OOM: the
+    * search is a shuffle join keyed on __list.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+              k: Int, nprobe: Int): DataFrame = {
+    val cent = centroids.select(col("id").as("__cid"),
+      col("vec").as("__cvec"), norm(col("vec")).as("__ctn"))
+    val assigned = corpus
+      .select(col("id").as("neighbor_id"), col("vec").as("cv"),
+        norm(col("vec")).as("__cn"))
+      .crossJoin(cent)
+      .withColumn("__ccos",
+        dot(col("cv"), col("__cvec")) / (col("__cn") * col("__ctn")))
+      .groupBy(col("neighbor_id"))
+      .agg(
+        max_by(col("__cid"), struct(col("__ccos"), -col("__cid")))
+          .as("__list"),
+        first(col("cv")).as("cv"), first(col("__cn")).as("__cn"))
+    val probes = queries
+      .select(col("id").as("query_id"), col("vec").as("qv"),
+        norm(col("vec")).as("__qn"))
+      .crossJoin(cent)
+      .withColumn("__ccos",
+        dot(col("qv"), col("__cvec")) / (col("__qn") * col("__ctn")))
+      .withColumn("__rn", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("__ccos").desc, col("__cid"))))
+      .filter(col("__rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("__qn"),
+        col("__cid").as("__list"))
+    val scored = probes.join(assigned, "__list")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        dot(col("qv"), col("cv")) / (col("__qn") * col("__cn")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select("query_id", "neighbor_id", "cos")
+  }
+
   /** Embedding-cosine near-duplicate pairs within a blocking key
     * (e.g. a label or coarse LSH bucket): pairs (a<b) with cosine
     * above `threshold`. Norms hoisted per row (see bruteForceTopK).

@@ -103,6 +103,12 @@ object ExtensionQueries {
         planes = 4, dims = 64)
     },
 
+    "sim_ivf_topk" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.ivfTopK(e.filter(col("id") < 50), e,
+        Similarity.seedCentroids(e, nlist = 8), k = 5, nprobe = 2)
+    },
+
     // -- Text analysis -----------------------------------------------
     "text_stats" -> { (s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -452,6 +458,29 @@ object ExtensionQueries {
         |FROM q JOIN c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
         |QUALIFY row_number() OVER (PARTITION BY q.vec_id
         |  ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id) <= 5""".stripMargin),
+
+    // assignment tie-break (cos DESC, cid ASC) mirrors Spark's
+    // max_by(cid, struct(cos, -cid)); floats are bit-identical on
+    // both sides so the argmax resolves identically
+    "sim_ivf_topk" ->
+      (s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+        |             FROM embeddings ORDER BY vec_id LIMIT 8),
+        |assigned AS (
+        |  SELECT c.vec_id AS neighbor_id, c.embedding AS cv, ct.cid AS list
+        |  FROM embeddings c CROSS JOIN cent ct
+        |  QUALIFY row_number() OVER (PARTITION BY c.vec_id
+        |    ORDER BY ${cosSql("c.embedding", "ct.cvec")} DESC, ct.cid) = 1),
+        |probes AS (
+        |  SELECT q.vec_id AS query_id, q.embedding AS qv, ct.cid AS list
+        |  FROM embeddings q CROSS JOIN cent ct
+        |  WHERE q.vec_id < 50
+        |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY ${cosSql("q.embedding", "ct.cvec")} DESC, ct.cid) <= 2)
+        |SELECT query_id, neighbor_id, ${cosSql("p.qv", "a.cv")} AS cos
+        |FROM probes p JOIN assigned a USING (list)
+        |WHERE query_id <> neighbor_id
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY ${cosSql("p.qv", "a.cv")} DESC, neighbor_id) <= 5""".stripMargin),
 
     "text_stats" ->
       (s"""WITH d AS (SELECT doc_id, text, $tokensSql AS toks FROM documents)

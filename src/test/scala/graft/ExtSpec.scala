@@ -96,6 +96,35 @@ class ExtSpec extends SparkSpec {
     assert(lsh.forall { case (q, n) => q != n })
   }
 
+  test("ivfTopK: per-list search, exact scores, recall 1 at nprobe = nlist") {
+    val vecs = (0L until 20L).map(i =>
+      (i, Seq.tabulate(64)(d => ((i * 31 + d * 7) % 13 - 6).toFloat)))
+      .toDF("id", "vec")
+    val cent = Similarity.seedCentroids(vecs, 4)
+    val brute = Similarity.bruteForceTopK(vecs, vecs, 3)
+      .select($"query_id", $"neighbor_id", $"cos")
+      .as[(Long, Long, Double)].collect()
+    // probing every list IS brute force: identical rows, exact scores
+    val full = Similarity.ivfTopK(vecs, vecs, cent, k = 3, nprobe = 4)
+      .select($"query_id", $"neighbor_id", $"cos")
+      .as[(Long, Long, Double)].collect()
+    assert(full.toSet === brute.toSet)
+    // nprobe < nlist: still k valid neighbors per query, scores exact
+    // (every returned cos matches the brute-force cos for that pair)
+    val bruteAll = Similarity.bruteForceTopK(vecs, vecs, 19)
+      .select($"query_id", $"neighbor_id", $"cos")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, c) => (q, n) -> c }.toMap
+    val ivf = Similarity.ivfTopK(vecs, vecs, cent, k = 3, nprobe = 1)
+      .select($"query_id", $"neighbor_id", $"cos")
+      .as[(Long, Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (q, n, c) =>
+      assert(q !== n)
+      assert(c === bruteAll((q, n)))
+    }
+  }
+
   // -- Text analysis ---------------------------------------------------
 
   test("token and bpeish counts") {
