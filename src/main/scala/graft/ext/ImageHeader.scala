@@ -126,16 +126,19 @@ object AudioHeader {
   def parseWav(b: Array[Byte]): Option[Wav] = {
     if (b.length < 12 || !ascii(b, 0, "RIFF") || !ascii(b, 8, "WAVE"))
       return None
-    var i = 12
+    // long offsets: a hostile 32-bit chunk size must walk off the end
+    // (loop exit), never overflow Int and walk backwards
+    var i = 12L
     var fmt: Option[(Int, Int, Int, Int)] = None
     var dataSize: Option[Long] = None
     while (i + 8 <= b.length && (fmt.isEmpty || dataSize.isEmpty)) {
-      val size = le32(b, i + 4)
-      if (ascii(b, i, "fmt ") && i + 24 <= b.length)
-        fmt = Some((le16(b, i + 10), le32(b, i + 12).toInt,
-          le16(b, i + 22), le16(b, i + 20)))
-      if (ascii(b, i, "data")) dataSize = Some(size)
-      i += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
+      val at = i.toInt
+      val size = le32(b, at + 4)
+      if (ascii(b, at, "fmt ") && i + 24 <= b.length)
+        fmt = Some((le16(b, at + 10), le32(b, at + 12).toInt,
+          le16(b, at + 22), le16(b, at + 20)))
+      if (ascii(b, at, "data")) dataSize = Some(size)
+      i += 8 + size + (size & 1) // chunks pad to even
     }
     for {
       (channels, rate, bits, blockAlign) <- fmt

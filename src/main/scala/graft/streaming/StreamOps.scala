@@ -48,6 +48,55 @@ object StreamOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  case class BandedDoc(doc_id: Long, simhash: Long, band: Int, key: Long)
+  case class NearDup(doc_id: Long, dup_of: Long, band: Int, hamming: Int)
+
+  /** Streaming near-duplicate candidates — the streaming twin of
+    * DedupOps.simhashBandPairs: each arriving doc's simhash is banded
+    * into `bands` bucket keys, and within each (band, key) bucket the
+    * signature is compared against the bucket's remembered signatures
+    * (keyed state = the streaming form of the batch band self-join).
+    * Emits (doc_id, dup_of, band, hamming) for every match with
+    * Hamming ≤ maxHamming against an EARLIER doc; a pair matching in
+    * several bands emits once per band (exactly like the batch join
+    * before its distinct) — deduplicate downstream if needed.
+    *
+    * State is one (id, sig) list per bucket, partitioned by bucket
+    * key across the cluster like the batch shuffle. `maxPerBucket`
+    * caps state (oldest signatures evicted): the blocking argument —
+    * bands wide enough that buckets stay small — is exactly what
+    * keeps this cap un-hit; a saturated bucket means the band width,
+    * not the cap, needs raising.
+    */
+  def simhashNearDupCandidates(docs: DataFrame, bands: Int = 4,
+                               bitsPerBand: Int = 15,
+                               maxHamming: Int = 3,
+                               maxPerBucket: Int = 1024): Dataset[NearDup] = {
+    import docs.sparkSession.implicits._
+    val mask = (1L << bitsPerBand) - 1
+    val keys = array((0 until bands).map(b =>
+      shiftright(col("simhash"), b * bitsPerBand).bitwiseAND(lit(mask))): _*)
+    docs.select(col("doc_id"), col("simhash"),
+        posexplode(keys).as(Seq("band", "key")))
+      .as[BandedDoc]
+      .groupByKey(d => (d.band, d.key))
+      .flatMapGroupsWithState[List[(Long, Long)], NearDup](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out = List.newBuilder[NearDup]
+          rows.foreach { d =>
+            seen.foreach { case (id0, sig0) =>
+              val h = java.lang.Long.bitCount(sig0 ^ d.simhash)
+              if (h <= maxHamming) out += NearDup(d.doc_id, id0, d.band, h)
+            }
+            seen = ((d.doc_id, d.simhash) :: seen).take(maxPerBucket)
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+  }
+
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp,
                        event_type: String)
   case class UserAgg(user_id: Long, n_events: Long,

@@ -311,6 +311,11 @@ class ExtSpec extends SparkSpec {
       Some(AudioHeader.Wav(1, 16000, 16, 5L)))
     assert(AudioHeader.parseWav("RIFF but not audio".getBytes("UTF-8")).isEmpty)
     assert(AudioHeader.parseWav("hello".getBytes("UTF-8")).isEmpty)
+    // hostile 0xFFFFFFFF chunk size: must terminate (no Int overflow
+    // walking backwards), not hang
+    assert(AudioHeader.parseWav(hexBytes(
+      "52494646" + "40000000" + "57415645" +
+        "4C495354" + "FFFFFFFF" + "00")).isEmpty)
   }
 
   test("gifFrames walks descriptors, extensions and color tables") {

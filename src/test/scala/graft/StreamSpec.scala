@@ -76,6 +76,31 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("simhashNearDupCandidates flags near signatures across batches") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val q = StreamOps.simhashNearDupCandidates(
+      in.toDF().toDF("doc_id", "simhash"))
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val sig = 0x0123456789ABCL & ((1L << 60) - 1)
+      in.addData((1L, sig))
+      q.processAllAvailable()
+      // doc 2: same signature except one low bit -> hamming 1, must
+      // match doc 1 in every band whose key is unchanged (3 of 4);
+      // doc 3: a far signature -> no pair
+      in.addData((2L, sig ^ 1L), (3L, ~sig & ((1L << 60) - 1)))
+      q.processAllAvailable()
+      val got = spark.table("neardup_out")
+        .as[StreamOps.NearDup].collect()
+      assert(got.nonEmpty)
+      assert(got.forall(d => d.doc_id == 2L && d.dup_of == 1L
+        && d.hamming == 1))
+      assert(got.map(_.band).toSet === Set(1, 2, 3)) // band 0 key differs
+    } finally q.stop()
+  }
+
   test("sessionCounts merges session windows across batches") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long)]
