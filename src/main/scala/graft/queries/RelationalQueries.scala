@@ -77,6 +77,53 @@ object RelationalQueries {
         countDistinct(col("l_partkey")).as("n_parts"))
     },
 
+    // long→wide pivot with an EXPLICIT value list — the at-scale
+    // contract: enumerated pivot values keep the output schema static
+    // (no extra pass to discover values, no surprise column count)
+    "pivot_wide" -> { (s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sumExact(col("l_quantity")))
+    },
+
+    // wide→long unpivot (melt): ids stay, value columns become
+    // (attr, val) rows — a zero-shuffle Generate
+    "unpivot_long" -> { (s, dir) =>
+      t(s, dir, "part").unpivot(
+        Array(col("p_partkey")),
+        Array(col("p_size").cast("double").as("p_size"),
+          col("p_retailprice").as("p_retailprice")),
+        "attr", "val")
+    },
+
+    // Sketched quantiles (approx_percentile), verified like the HLL
+    // sketch: emit the exact interpolated quantiles plus a boolean
+    // asserting the sketch landed within ±1.0 of each — an
+    // out-of-tolerance sketch hash-mismatches the oracle's TRUE.
+    "agg_approx_quantiles" -> { (s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("__ex"),
+          expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)")
+            .as("__ap"))
+        .select(col("l_returnflag"),
+          col("__ex")(0).as("q25"), col("__ex")(1).as("q50"),
+          col("__ex")(2).as("q75"),
+          ((abs(col("__ap")(0).cast("double") - col("__ex")(0)) <= 1.0) &&
+            (abs(col("__ap")(1).cast("double") - col("__ex")(1)) <= 1.0) &&
+            (abs(col("__ap")(2).cast("double") - col("__ex")(2)) <= 1.0))
+            .as("within_tol"))
+    },
+
+    "win_distribution" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        ntile(4).over(w).as("quartile"),
+        cume_dist().over(w).as("cd"),
+        percent_rank().over(w).as("pr"))
+    },
+
     "win_rank" -> { (s, dir) =>
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -304,6 +351,37 @@ object RelationalQueries {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
         |  COUNT(DISTINCT l_partkey) AS n_parts
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "pivot_wide" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F'
+        |       THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O'
+        |       THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS O
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "unpivot_long" ->
+      """SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val
+        |FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice', p_retailprice FROM part""".stripMargin,
+
+    // exact quantiles + the accuracy claim the sketch must meet
+    "agg_approx_quantiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS q25,
+        |  quantile_cont(l_quantity, 0.5) AS q50,
+        |  quantile_cont(l_quantity, 0.75) AS q75,
+        |  TRUE AS within_tol
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "win_distribution" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  cume_dist() OVER w AS cd,
+        |  percent_rank() OVER w AS pr
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
 
     "win_rank" ->
       """SELECT o_orderkey, o_custkey,
