@@ -28,7 +28,12 @@ object Bench {
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
     def jstr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      s.flatMap {
+        case '\\' => "\\\\"
+        case '"' => "\\\""
+        case c if c < ' ' => "\\u%04x".format(c.toInt)
+        case c => c.toString
+      }.mkString("\"", "", "\"")
     val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }

@@ -136,7 +136,9 @@ object DedupOps {
       explode(array_distinct(shingles)).as("__sh")): _*)
     val postings = e0
       .groupBy(blockKeys.map(col) :+ col("__sh"): _*)
-      .agg(sort_array(collect_list(col("__id"))).as("__ids"))
+      // distinct guards against duplicate ids in the input (a doc
+      // delivered twice must not self-pair or inflate counts)
+      .agg(array_distinct(sort_array(collect_list(col("__id")))).as("__ids"))
       .filter(size(col("__ids")) <= maxDf)
       .select(col("__ids"))
     val sizes = postings.select(explode(col("__ids")).as("__id"))

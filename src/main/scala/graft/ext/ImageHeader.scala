@@ -134,7 +134,9 @@ object AudioHeader {
     while (i + 8 <= b.length && (fmt.isEmpty || dataSize.isEmpty)) {
       val at = i.toInt
       val size = le32(b, at + 4)
-      if (ascii(b, at, "fmt ") && i + 24 <= b.length)
+      // the declared chunk size must cover the 16 PCM fmt bytes we
+      // read, or a truncated fmt chunk would read the next chunk's bytes
+      if (ascii(b, at, "fmt ") && size >= 16 && i + 24 <= b.length)
         fmt = Some((le16(b, at + 10), le32(b, at + 12).toInt,
           le16(b, at + 22), le16(b, at + 20)))
       if (ascii(b, at, "data")) dataSize = Some(size)

@@ -51,14 +51,20 @@ object Multimodal {
   def withBlob(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("blob", col(textCol).cast("binary"))
 
+  /** One md5-hex per payload — the single definition all stub feature
+    * derivations and fingerprints share, so they can't drift.
+    */
+  def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map("%02x".format(_)).mkString
+
   /** STUB decoder for non-image payloads: deterministic fake features
     * from the payload hash. A real audio/video codec would sit here;
     * everything around it (partition-wise batching, typed output
     * schema) is the production shape.
     */
   def decodeStub(bytes: Array[Byte]): (Long, String, Int, Int, Int) = {
-    val mdf = java.security.MessageDigest.getInstance("MD5")
-    val hex = mdf.digest(bytes).map("%02x".format(_)).mkString
+    val hex = md5Hex(bytes)
     val width = (java.lang.Long.parseLong(hex.substring(0, 7), 16) % 1024).toInt
     val height = (java.lang.Long.parseLong(hex.substring(7, 14), 16) % 768).toInt
     val frames = (bytes.length % 30) + 1
@@ -73,8 +79,7 @@ object Multimodal {
   def decode(id: Long, bytes: Array[Byte]): MediaFeatures =
     ImageHeader.parse(bytes) match {
       case Some((fmt, w, h)) =>
-        val mdf = java.security.MessageDigest.getInstance("MD5")
-        val fp = mdf.digest(bytes).map("%02x".format(_)).mkString
+        val fp = md5Hex(bytes)
         val frames =
           if (fmt == "gif") ImageHeader.gifFrames(bytes).getOrElse(1) else 1
         MediaFeatures(id, bytes.length.toLong, fp, fmt, w, h, frames)
@@ -112,8 +117,7 @@ object Multimodal {
                 w.sampleRate, w.bitsPerSample, w.nSamples,
                 w.nSamples * 1000L / w.sampleRate)
             case None =>
-              val mdf = java.security.MessageDigest.getInstance("MD5")
-              val hex = mdf.digest(bytes).map("%02x".format(_)).mkString
+              val hex = md5Hex(bytes)
               val rate = 8000 * ((java.lang.Long
                 .parseLong(hex.substring(0, 7), 16) % 3).toInt + 1)
               val n = bytes.length % 100 + 1

@@ -79,9 +79,10 @@ object LoincShim {
     val main = part.select(inline(array_compact(array(base, dupA, dupB))))
     val ancestors = part
       .select(explode(concat(
-        split(col("p_name"), " "), array(col("p_type")),
-        when(pk === 1, array(lit("EXTRA")))
-          .otherwise(array().cast("array<string>")))).as("w"))
+        split(col("p_name"), " "), array(col("p_type")))).as("w"))
+      // the oracle adds 'EXTRA' unconditionally; a one-row local
+      // relation matches that without scanning part again
+      .union(part.sparkSession.range(1).select(lit("EXTRA").as("w")))
       .distinct()
       .select(
         col("w").as("CODE"),

@@ -60,8 +60,10 @@ object ZipSource {
     }
     records.toDF("__fields").select(
       schema.fields.zipWithIndex.map { case (f, i) =>
-        // `get` is null (not an ANSI error) past the end of short rows
-        get(col("__fields"), lit(i)).cast(f.dataType).as(f.name)
+        // `get` is null (not an ANSI error) past the end of short rows;
+        // try_cast keeps a malformed typed cell null (pandas/PERMISSIVE
+        // semantics) instead of failing the job under ANSI mode
+        get(col("__fields"), lit(i)).try_cast(f.dataType).as(f.name)
       }: _*)
   }
 }
