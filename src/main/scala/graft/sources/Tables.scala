@@ -20,6 +20,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Inferred-schema cache, keyed by parquet path. Footer inference is
+    * a driver job that lists and reads file footers on EVERY
+    * `spark.read.parquet` call — at 100 TB that is thousands of footer
+    * reads per query. One inference per path per JVM, then every read
+    * passes the schema explicitly and plans straight from it.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
+  private def readCached(spark: SparkSession, path: String): DataFrame = {
+    val schema = schemaCache.computeIfAbsent(
+      path, p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
+
   /** Load one test table from a scale-factor directory.
     *
     * `events.ts` is a nanosecond parquet timestamp, which Spark has no
@@ -31,10 +46,10 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/events.parquet")
+      readCached(spark, s"$sfDir/events.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
-    } else spark.read.parquet(s"$sfDir/$name.parquet")
+    } else readCached(spark, s"$sfDir/$name.parquet")
   }
 
   // ---- LOINC-shaped CSV sources (reference inputs) -------------------
