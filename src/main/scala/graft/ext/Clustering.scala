@@ -1,0 +1,67 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd k-means over an embedding column — the trainer
+  * for [[Similarity.ivfTopK]]'s centroid set (production IVF learns
+  * its lists with exactly this loop).
+  *
+  * Built for cross-engine and cross-topology REPRODUCIBILITY: the
+  * centroid update sums each dimension in 1e-6 fixed point (exact
+  * BIGINT arithmetic, order-independent across partitions) instead of
+  * floating-point, so the result never depends on partitioning or
+  * reduce order — a double sum would differ run to run and could not
+  * be oracle-checked. Assignment is cosine argmax with ties toward
+  * the smaller centroid id; init is the k corpus vectors with the
+  * smallest ids (deterministic, no RNG).
+  *
+  * Scale shape per iteration: one corpus scan; ASSIGN is a broadcast
+  * cross-join against k rows folded in WholeStageCodegen (the
+  * broadcast is bounded by the k parameter, not by data); UPDATE is a
+  * (cid, dim) partial aggregation whose shuffle carries ≤ k·dims rows
+  * per mapper. Nothing is collected to the driver.
+  */
+object Clustering {
+
+  private def quantize(x: Column): Column =
+    floor(x.cast("double") * lit(1000000.0)).cast("long")
+
+  /** Nearest-centroid assignment: (id, vec, cid). */
+  private def assignNearest(pts: DataFrame, cent: DataFrame): DataFrame =
+    pts.crossJoin(broadcast(cent))
+      .withColumn("__cos", Similarity.cosine(col("__v"), col("__cv")))
+      .groupBy("__id")
+      .agg(max_by(struct(col("__cid"), col("__v")),
+        struct(col("__cos"), -col("__cid"))).as("__a"))
+      .select(col("__id"), col("__a.__v").as("__v"),
+        col("__a.__cid").as("__cid"))
+
+  /** Fixed-point elementwise mean of each cluster's members. */
+  private def updateCentroids(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("__cid"), posexplode(col("__v")).as(Seq("__i", "__x")))
+      .groupBy("__cid", "__i")
+      .agg(sum(quantize(col("__x"))).as("__s"), count(lit(1)).as("__n"))
+      .groupBy("__cid")
+      .agg(transform(
+        array_sort(collect_list(struct(col("__i"), col("__s"), col("__n")))),
+        e => (e("__s").cast("double") / e("__n")) / lit(1000000.0))
+        .as("__cv"))
+
+  /** Cluster assignments (id, cid) after `iters` Lloyd iterations.
+    * Clusters that lose all members simply stop existing (standard
+    * Lloyd-with-drop semantics).
+    */
+  def kmeansAssign(df: DataFrame, id: Column, vec: Column, k: Int,
+                   iters: Int = 2): DataFrame = {
+    require(iters >= 1, "kmeansAssign needs at least one iteration")
+    val pts = df.select(id.as("__id"), vec.as("__v"))
+    val cent0 = pts.orderBy(col("__id")).limit(k)
+      .select(col("__id").as("__cid"), col("__v").as("__cv"))
+    var assigned = assignNearest(pts, cent0)
+    for (_ <- 2 to iters)
+      assigned = assignNearest(pts, updateCentroids(assigned))
+    assigned.select(col("__id").as("id"), col("__cid").as("cid"))
+  }
+}

@@ -106,4 +106,31 @@ object TextAnalysis {
     */
   def minShingleFingerprint(c: Column, k: Int = 3): Column =
     array_min(transform(shingles(c, k), s => md5(s)))
+
+  // -- PII scrubbing ---------------------------------------------------
+  // Patterns stay in the portable regex subset (character classes +
+  // bounded quantifiers, no lookaround) that Java and RE2-family
+  // engines interpret identically, so redaction is reproducible by an
+  // external auditor (and by the DuckDB oracle).
+
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+1-555-[0-9]{4}"
+  val UrlRe = "https?://[A-Za-z0-9./_-]+"
+
+  /** Count occurrences of one PII pattern. */
+  def piiCount(c: Column, pattern: String): Column =
+    regexp_count(c, lit(pattern))
+
+  /** Replace emails, phones, and URLs with typed placeholder tokens.
+    * Fixed application order (email → phone → URL) so every engine
+    * produces byte-identical scrubbed text. Pure codegen'd
+    * expressions: the scrub runs inside WholeStageCodegen with no
+    * shuffle, the ideal 100 TB shape.
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      UrlRe, "<URL>")
 }

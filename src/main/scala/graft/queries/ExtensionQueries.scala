@@ -125,6 +125,48 @@ object ExtensionQueries {
         TextAnalysis.langId(col("text")).as("lang_pred"))
     },
 
+    // PII scrubbing over a deterministically PII-enriched corpus (the
+    // synthetic documents carry no natural emails/phones/URLs, so the
+    // fixture injects them from doc_id — same shim idea as LoincShim —
+    // making the counts and replacements non-vacuous).
+    "text_redact_pii" -> { (s, dir) =>
+      val t = concat(col("text"),
+        when(col("doc_id") % 3 === 0, concat(lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(""),
+        when(col("doc_id") % 4 === 0, concat(lit(" call +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(""),
+        when(col("doc_id") % 5 === 0, concat(lit(" see https://ex.com/d/"),
+          col("doc_id").cast("string")))
+          .otherwise(""))
+      docs(s, dir).select(col("doc_id"), col("lang"),
+        TextAnalysis.piiCount(t, TextAnalysis.EmailRe).as("n_emails"),
+        TextAnalysis.piiCount(t, TextAnalysis.PhoneRe).as("n_phones"),
+        TextAnalysis.piiCount(t, TextAnalysis.UrlRe).as("n_urls"),
+        md5(TextAnalysis.redactPii(t)).as("redacted_md5"))
+    },
+
+    // Deterministic stratified downsampling: membership from a salted
+    // id hash, so re-runs, repartitions, and external engines agree.
+    "sample_hash_stratified" -> { (s, dir) =>
+      Sampling.stratifiedHashSample(docs(s, dir), col("doc_id"),
+        col("lang"),
+        rates = Map("en" -> 10, "de" -> 25, "fr" -> 40),
+        defaultRate = 60, salt = "graft-sample:")
+        .select("doc_id", "lang")
+    },
+
+    // K-means over the embedding corpus (the IVF centroid trainer):
+    // 2 Lloyd iterations, fixed-point centroid update, k=8. Output is
+    // the exact per-cluster membership census.
+    "emb_kmeans" -> { (s, dir) =>
+      Clustering.kmeansAssign(emb(s, dir), col("id"), col("vec"),
+        k = 8, iters = 2)
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_members"), sum("id").as("id_checksum"))
+    },
+
     // Corpus n-gram statistics: top-5 word bigrams per language —
     // explode + count (map-side combine) + bounded window top-k.
     "text_ngram_freq" -> { (s, dir) =>
@@ -520,6 +562,59 @@ object ExtensionQueries {
         |  CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, gram) AS INT) AS rnk
         |FROM counts
         |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n DESC, gram) <= 5""".stripMargin),
+
+    // plain (non-interpolated) string: regex backslashes stay literal
+    "text_redact_pii" ->
+      """WITH enr AS (
+        |  SELECT doc_id, lang,
+        |    text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' see https://ex.com/d/' || CAST(doc_id AS VARCHAR) ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\+1-555-[0-9]{4}')) AS INT) AS n_phones,
+        |  CAST(len(regexp_extract_all(t, 'https?://[A-Za-z0-9./_-]+')) AS INT) AS n_urls,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+        |    'https?://[A-Za-z0-9./_-]+', '<URL>', 'g')) AS redacted_md5
+        |FROM enr""".stripMargin,
+
+    "sample_hash_stratified" ->
+      """SELECT doc_id, lang
+        |FROM documents
+        |WHERE CAST('0x' || substr(md5('graft-sample:' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 100
+        |  < CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 25 WHEN 'fr' THEN 40 ELSE 60 END""".stripMargin,
+
+    // 2 unrolled Lloyd iterations; the fixed-point centroid update
+    // (exact BIGINT sums) is what makes the float-free parts exact and
+    // the cosine folds bit-identical to the Spark side
+    "emb_kmeans" ->
+      (s"""WITH cent0 AS (SELECT vec_id AS cid, embedding AS cv
+        |              FROM embeddings ORDER BY vec_id LIMIT 8),
+        |a1 AS (
+        |  SELECT e.vec_id, e.embedding AS ev, c.cid
+        |  FROM embeddings e CROSS JOIN cent0 c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.cid) = 1),
+        |dims AS (
+        |  SELECT cid, generate_subscripts(ev, 1) AS i,
+        |    unnest(list_transform(ev,
+        |      v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT))) AS qv
+        |  FROM a1),
+        |sums AS (SELECT cid, i, sum(qv) AS s, count(*) AS n FROM dims GROUP BY 1, 2),
+        |cent1 AS (
+        |  SELECT cid, list((CAST(s AS DOUBLE) / n) / 1000000.0 ORDER BY i) AS cv
+        |  FROM sums GROUP BY cid),
+        |a2 AS (
+        |  SELECT e.vec_id, c.cid
+        |  FROM embeddings e CROSS JOIN cent1 c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.cid) = 1)
+        |SELECT cid, count(*) AS n_members, CAST(sum(vec_id) AS BIGINT) AS id_checksum
+        |FROM a2 GROUP BY cid""".stripMargin),
 
     "agg_histogram" ->
       """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,

@@ -489,4 +489,57 @@ class ExtSpec extends SparkSpec {
     assert(got(3L) === Some(2.0))
     assert(got(4L) === None)      // null key never matches
   }
+
+  // -- PII redaction ---------------------------------------------------
+
+  test("redactPii scrubs every pattern and piiCount counts them") {
+    val df = Seq(
+      "mail a@b.co and c.d+x@e-f.org then call +1-555-0199",
+      "https://site.org/p/q and http://x.y/z",
+      "no pii here").toDF("t")
+    val got = df.select(
+      TextAnalysis.redactPii($"t").as("r"),
+      TextAnalysis.piiCount($"t", TextAnalysis.EmailRe).as("e"),
+      TextAnalysis.piiCount($"t", TextAnalysis.PhoneRe).as("p"),
+      TextAnalysis.piiCount($"t", TextAnalysis.UrlRe).as("u"))
+      .as[(String, Int, Int, Int)].collect()
+    assert(got(0) === ("mail <EMAIL> and <EMAIL> then call <PHONE>", 2, 1, 0))
+    assert(got(1) === ("<URL> and <URL>", 0, 0, 2))
+    assert(got(2) === ("no pii here", 0, 0, 0))
+  }
+
+  // -- Hash sampling ---------------------------------------------------
+
+  test("stratifiedHashSample is deterministic and respects rate order") {
+    val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "zz"))
+      .toDF("id", "lang")
+    val pick = Sampling.stratifiedHashSample(df, $"id", $"lang",
+      Map("en" -> 10), defaultRate = 50, salt = "s:")
+      .as[(Long, String)].collect().toSet
+    val again = Sampling.stratifiedHashSample(df, $"id", $"lang",
+      Map("en" -> 10), defaultRate = 50, salt = "s:")
+      .as[(Long, String)].collect().toSet
+    assert(pick === again) // exact reproducibility
+    val en = pick.count(_._2 == "en"); val zz = pick.count(_._2 == "zz")
+    // ~10% of 1000 vs ~50% of 1000 — generous bounds, no flakiness
+    assert(en > 40 && en < 250 && zz > 350 && zz < 650 && en < zz)
+  }
+
+  // -- K-means ---------------------------------------------------------
+
+  test("kmeansAssign separates two obvious blobs deterministically") {
+    // two tight groups on orthogonal axes; ids 0 and 1 seed k=2
+    val pts = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.05f)), (2L, Seq(0.9f, 0.1f, 0.0f)),
+      (4L, Seq(1.0f, 0.05f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f, 0.05f)), (3L, Seq(0.1f, 0.9f, 0.0f)),
+      (5L, Seq(0.0f, 1.0f, 0.1f))).toDF("id", "v")
+    val got = Clustering.kmeansAssign(pts, $"id", $"v", k = 2, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got(0L) === 0L && got(2L) === 0L && got(4L) === 0L)
+    assert(got(1L) === 1L && got(3L) === 1L && got(5L) === 1L)
+    val again = Clustering.kmeansAssign(pts, $"id", $"v", k = 2, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(again === got)
+  }
 }
