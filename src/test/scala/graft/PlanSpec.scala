@@ -85,4 +85,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("AsofJoin"))
     assert(p.contains("Sort ["))
   }
+
+  test("sample_hash_stratified: one pruned scan, one filter, no shuffle") {
+    val p = plan("sample_hash_stratified")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"))
+    assert(!p.contains("Exchange"))
+  }
+
+  test("emb_kmeans: centroid joins broadcast, never cartesian") {
+    // both Lloyd iterations cross-join the corpus against ≤k centroid
+    // rows; the bounded side must broadcast — a CartesianProduct would
+    // shuffle the full corpus against itself at scale
+    val p = plan("emb_kmeans")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size === 2)
+    assert(!p.contains("CartesianProduct"))
+  }
 }

@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.StreamOps
 import graft.streaming.StreamOps.{UserAgg, UserEvent}
@@ -98,6 +99,25 @@ class StreamSpec extends SparkSpec {
       assert(got.forall(d => d.doc_id == 2L && d.dup_of == 1L
         && d.hamming == 1))
       assert(got.map(_.band).toSet === Set(1, 2, 3)) // band 0 key differs
+    } finally q.stop()
+  }
+
+  test("redactPii and hash sampling run stateless on a stream") {
+    // the corpus-curation scrub/downsample stage is a pure projection
+    // + filter, so it streams with no watermark and no state store
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val src = in.toDF().toDF("doc_id", "text")
+    val q = graft.ext.Sampling.stratifiedHashSample(
+      src, $"doc_id", lit("en"), Map.empty, defaultRate = 100, salt = "s:")
+      .select($"doc_id", graft.ext.TextAnalysis.redactPii($"text").as("t"))
+      .writeStream.format("memory").queryName("scrub_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((1L, "mail a@b.co now"), (2L, "plain"))
+      q.processAllAvailable()
+      val got = spark.table("scrub_out").as[(Long, String)].collect().toMap
+      assert(got === Map(1L -> "mail <EMAIL> now", 2L -> "plain"))
     } finally q.stop()
   }
 
