@@ -1,0 +1,45 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch realized as plain dataflow (Cormode & Muthukrishnan
+  * 2005): `depth` salted hash rows × `width` buckets, cell counts from
+  * one grouped aggregation, point estimates as the min over rows. No
+  * binary sketch blob and no UDAF — the cell table IS the sketch, it
+  * partial-aggregates map-side, merges by summing cells (union of
+  * streams = same groupBy), and an external engine can recompute every
+  * cell from the md5 bucket function. The table is `depth·width` rows
+  * regardless of input size; estimates never under-count, and
+  * over-count by ~2N/width with probability 2^-depth.
+  */
+object CountMin {
+
+  /** Bucket of `item` in hash row `seed`: md5-derived, engine-portable. */
+  def bucket(seed: Column, item: Column, width: Int): Column =
+    conv(substring(md5(concat(seed.cast("string"), lit(":"),
+      item.cast("string"))), 1, 15), 16, 10).cast("long") % width
+
+  /** The sketch: one (seed, bucket, n) row per non-empty cell. */
+  def table(df: DataFrame, item: Column, depth: Int, width: Int): DataFrame =
+    df.select(item.as("__it"))
+      .select(col("__it"),
+        explode(array((0 until depth).map(lit): _*)).as("__seed"))
+      .groupBy(col("__seed"),
+        bucket(col("__seed"), col("__it"), width).as("__b"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Point estimates for `items` (any frame with an `item` column):
+    * min cell count across the sketch's hash rows. The sketch side is
+    * at most depth·width rows, so the join broadcasts.
+    */
+  def estimate(sketch: DataFrame, items: DataFrame, item: Column,
+               depth: Int, width: Int): DataFrame = {
+    val probes = items.select(col("*"),
+      explode(array((0 until depth).map(lit): _*)).as("__seed"))
+      .withColumn("__b", bucket(col("__seed"), item, width))
+    probes.join(broadcast(sketch), Seq("__seed", "__b"))
+      .groupBy(items.columns.map(col): _*)
+      .agg(min(col("n")).as("cms_n"))
+  }
+}

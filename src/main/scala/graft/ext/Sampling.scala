@@ -24,6 +24,30 @@ object Sampling {
     conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 7),
       16, 10).cast("long") % 100
 
+  /** Full-width salted hash rank of `id` (60 bits of md5) — the sort
+    * key for fixed-SIZE sampling: the n smallest ranks per stratum are
+    * a uniform deterministic sample of exactly n rows.
+    */
+  def hashRank(id: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 15),
+      16, 10).cast("long")
+
+  /** Exactly `n` rows per stratum (fewer if the stratum is smaller):
+    * the n smallest hash ranks, ties broken by id. The window form
+    * shuffles each stratum to one partition — for heavily skewed
+    * strata sizes swap in the bounded TopKAggregator, which carries
+    * ≤ n rows per (stratum, mapper) through the shuffle.
+    */
+  def fixedSizeStratifiedSample(df: DataFrame, id: Column, stratum: Column,
+                                n: Int, salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(stratum)
+      .orderBy(hashRank(id, salt), id)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
   /** Keep rows whose hash bucket falls under their stratum's
     * percentage rate; strata not in `rates` use `defaultRate`.
     */

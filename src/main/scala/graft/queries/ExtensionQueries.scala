@@ -157,6 +157,27 @@ object ExtensionQueries {
         .select("doc_id", "lang")
     },
 
+    // Fixed-size deterministic sample: exactly 20 docs per language,
+    // chosen by smallest salted hash rank — reproducible everywhere.
+    "sample_fixed_stratified" -> { (s, dir) =>
+      Sampling.fixedSizeStratifiedSample(docs(s, dir), col("doc_id"),
+        col("lang"), n = 20, salt = "graft-fix:")
+        .select("doc_id", "lang")
+    },
+
+    // Count-min sketch as dataflow: cell table from one aggregation,
+    // top-10 heavy hitters probed against it. cms_n ≥ exact_n always
+    // (the sketch never under-counts); collisions make some rows over.
+    "sketch_countmin" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val sk = CountMin.table(li, col("l_partkey"), depth = 3, width = 1024)
+      val exact = li.groupBy(col("l_partkey").as("item"))
+        .agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("item")).limit(10)
+      CountMin.estimate(sk, exact, col("item"), depth = 3, width = 1024)
+        .withColumn("never_under", col("cms_n") >= col("exact_n"))
+    },
+
     // K-means over the embedding corpus (the IVF centroid trainer):
     // 2 Lloyd iterations, fixed-point centroid update, k=8. Output is
     // the exact per-cluster membership census.
@@ -587,6 +608,32 @@ object ExtensionQueries {
         |FROM documents
         |WHERE CAST('0x' || substr(md5('graft-sample:' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 100
         |  < CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 25 WHEN 'fr' THEN 40 ELSE 60 END""".stripMargin,
+
+    "sample_fixed_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY lang
+        |  ORDER BY CAST('0x' || substr(md5('graft-fix:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+        |           doc_id) <= 20""".stripMargin,
+
+    "sketch_countmin" ->
+      """WITH seeds AS (SELECT unnest(range(3)) AS seed),
+        |cells AS (
+        |  SELECT seed,
+        |    CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT) % 1024 AS b,
+        |    count(*) AS n
+        |  FROM lineitem CROSS JOIN seeds
+        |  GROUP BY 1, 2),
+        |exact AS (
+        |  SELECT l_partkey AS item, count(*) AS exact_n
+        |  FROM lineitem GROUP BY 1
+        |  QUALIFY row_number() OVER (ORDER BY count(*) DESC, l_partkey) <= 10),
+        |est AS (
+        |  SELECT e.item, e.exact_n, min(c.n) AS cms_n
+        |  FROM exact e CROSS JOIN seeds s
+        |  JOIN cells c ON c.seed = s.seed
+        |    AND c.b = CAST('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' || CAST(e.item AS VARCHAR)), 1, 15) AS BIGINT) % 1024
+        |  GROUP BY 1, 2)
+        |SELECT item, exact_n, cms_n, cms_n >= exact_n AS never_under FROM est""".stripMargin,
 
     // 2 unrolled Lloyd iterations; the fixed-point centroid update
     // (exact BIGINT sums) is what makes the float-free parts exact and

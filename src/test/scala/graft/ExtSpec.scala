@@ -525,6 +525,39 @@ class ExtSpec extends SparkSpec {
     assert(en > 40 && en < 250 && zz > 350 && zz < 650 && en < zz)
   }
 
+  // -- Count-min sketch ------------------------------------------------
+
+  test("countMin never under-counts and is exact without collisions") {
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("x")
+    val sk = CountMin.table(df, $"x", depth = 3, width = 1024)
+    val items = Seq("a", "b", "c").toDF("item")
+    val est = CountMin.estimate(sk, items, $"item", depth = 3, width = 1024)
+      .as[(String, Long)].collect().toMap
+    // 3 distinct items in 1024 buckets: no collisions, estimates exact
+    assert(est === Map("a" -> 5L, "b" -> 3L, "c" -> 1L))
+    // merging two sketches = summing cells = sketch of the union
+    val skUnion = CountMin.table(df.union(df), $"x", 3, 1024)
+    val merged = sk.union(sk).groupBy("__seed", "__b")
+      .agg(sum($"n").as("n"))
+    assert(merged.as[(Int, Long, Long)].collect().toSet ===
+      skUnion.as[(Int, Long, Long)].collect().toSet)
+  }
+
+  // -- Fixed-size sampling ---------------------------------------------
+
+  test("fixedSizeStratifiedSample returns exactly n per stratum") {
+    val df = (0L until 500L).map(i => (i, if (i % 5 == 0) "s" else "b"))
+      .toDF("id", "g")
+    val got = Sampling.fixedSizeStratifiedSample(df, $"id", $"g",
+      n = 30, salt = "t:").as[(Long, String)].collect()
+    assert(got.count(_._2 == "s") === 30 && got.count(_._2 == "b") === 30)
+    // a stratum smaller than n yields all its rows
+    val tiny = Sampling.fixedSizeStratifiedSample(
+      df.filter($"id" < 10), $"id", $"g", n = 30, salt = "t:")
+      .as[(Long, String)].collect()
+    assert(tiny.length === 10)
+  }
+
   // -- K-means ---------------------------------------------------------
 
   test("kmeansAssign separates two obvious blobs deterministically") {
