@@ -157,6 +157,30 @@ object ExtensionQueries {
         .select("doc_id", "lang")
     },
 
+    // The flagship curation pipeline, composed end to end in ONE
+    // declarative plan: language-ID confirmation → quality gate →
+    // exact dedup (first doc per normalized fingerprint) → salted-hash
+    // downsample → PII-scrubbed output. Narrow ops fuse into one
+    // codegen stage; the only shuffle is the dedup window — at 100 TB
+    // each stage drops rows BEFORE the next pays for them, and the
+    // scrub runs on the small survivor set.
+    "curate_corpus" -> { (s, dir) =>
+      val scored = docs(s, dir).select(col("doc_id"), col("lang"),
+        col("text"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.langId(col("text")).as("__pred"),
+        TextAnalysis.fingerprint(col("text")).as("__fp"))
+      val kept = scored
+        .filter(col("__pred") === col("lang") && col("quality") >= 0.45)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("__fp")).orderBy(col("doc_id"))
+      kept.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .filter(Sampling.hashBucket(col("doc_id"), "graft-sample:") < 50)
+        .select(col("doc_id"), col("lang"), col("quality"),
+          md5(TextAnalysis.redactPii(col("text"))).as("redacted_md5"))
+    },
+
     // Fixed-size deterministic sample: exactly 20 docs per language,
     // chosen by smallest salted hash rank — reproducible everywhere.
     "sample_fixed_stratified" -> { (s, dir) =>
@@ -608,6 +632,35 @@ object ExtensionQueries {
         |FROM documents
         |WHERE CAST('0x' || substr(md5('graft-sample:' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 100
         |  < CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 25 WHEN 'fr' THEN 40 ELSE 60 END""".stripMargin,
+
+    "curate_corpus" -> {
+      val en = langScoreSql(Seq("the", "and", "of", "is"))
+      val de = langScoreSql(Seq("der", "die", "und", "ist"))
+      val fr = langScoreSql(Seq("le", "la", "et", "est"))
+      val es = langScoreSql(Seq("el", "los", "y", "es"))
+      s"""WITH d AS (SELECT doc_id, lang, text, $tokensSql AS toks FROM documents),
+        |scored AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(${stopContains("toks")} AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.5 +
+        |    (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) /
+        |      CAST(length(text) AS DOUBLE)) * 0.3 +
+        |    least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.2 AS quality,
+        |    CASE WHEN $en >= $de AND $en >= $fr AND $en >= $es THEN 'en'
+        |         WHEN $de >= $fr AND $de >= $es THEN 'de'
+        |         WHEN $fr >= $es THEN 'fr' ELSE 'es' END AS pred,
+        |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        |  FROM d),
+        |kept AS (SELECT * FROM scored WHERE pred = lang AND quality >= 0.45),
+        |ded AS (SELECT * FROM kept
+        |        QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1)
+        |SELECT doc_id, lang, quality,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+        |    'https?://[A-Za-z0-9./_-]+', '<URL>', 'g')) AS redacted_md5
+        |FROM ded
+        |WHERE CAST('0x' || substr(md5('graft-sample:' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 100 < 50""".stripMargin
+    },
 
     "sample_fixed_stratified" ->
       """SELECT doc_id, lang FROM documents
