@@ -4,21 +4,35 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Count-min sketch realized as plain dataflow (Cormode & Muthukrishnan
-  * 2005): `depth` salted hash rows × `width` buckets, cell counts from
-  * one grouped aggregation, point estimates as the min over rows. No
+  * 2005): `depth` hash rows × `width` buckets, cell counts from one
+  * grouped aggregation, point estimates as the min over rows. No
   * binary sketch blob and no UDAF — the cell table IS the sketch, it
   * partial-aggregates map-side, merges by summing cells (union of
   * streams = same groupBy), and an external engine can recompute every
-  * cell from the md5 bucket function. The table is `depth·width` rows
-  * regardless of input size; estimates never under-count, and
-  * over-count by ~2N/width with probability 2^-depth.
+  * cell. The table is at most `depth·width` rows regardless of input
+  * size; estimates never under-count, and over-count by ~2N/width with
+  * probability 2^-depth.
+  *
+  * Hash rows use the textbook Carter–Wegman universal family
+  * `((a·x + b) mod p) mod width` over the Mersenne prime p = 2^31−1 —
+  * pure integer arithmetic that stays in WholeStageCodegen (no md5,
+  * no string building: hashing 10^12 rows is multiply-add, not a
+  * digest) and is reproducible verbatim in any SQL engine. Operands
+  * stay under 2^62, so ANSI overflow checking never trips.
   */
 object CountMin {
 
-  /** Bucket of `item` in hash row `seed`: md5-derived, engine-portable. */
+  val P = 2147483647L // 2^31 − 1
+
+  /** Row-j multiplier/offset, derived from the seed in-plan so any
+    * depth works without literal tables.
+    */
+  private def aOf(seed: Column): Column = (lit(1103515245L) * (seed + 1)) % P
+  private def bOf(seed: Column): Column = (lit(12345L) * (seed + 1)) % P
+
+  /** Bucket of non-negative integer `item` in hash row `seed`. */
   def bucket(seed: Column, item: Column, width: Int): Column =
-    conv(substring(md5(concat(seed.cast("string"), lit(":"),
-      item.cast("string"))), 1, 15), 16, 10).cast("long") % width
+    ((aOf(seed) * (item.cast("long") % P) + bOf(seed)) % P) % width
 
   /** The sketch: one (seed, bucket, n) row per non-empty cell. */
   def table(df: DataFrame, item: Column, depth: Int, width: Int): DataFrame =

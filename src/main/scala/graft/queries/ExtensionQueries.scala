@@ -668,11 +668,14 @@ object ExtensionQueries {
         |  ORDER BY CAST('0x' || substr(md5('graft-fix:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
         |           doc_id) <= 20""".stripMargin,
 
+    // Carter–Wegman bucket ((a·x + b) mod 2^31−1) mod width, written
+    // identically to CountMin.bucket — integer-only, no digest
     "sketch_countmin" ->
       """WITH seeds AS (SELECT unnest(range(3)) AS seed),
         |cells AS (
         |  SELECT seed,
-        |    CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT) % 1024 AS b,
+        |    ((((1103515245 * (seed + 1)) % 2147483647) * (l_partkey % 2147483647)
+        |      + ((12345 * (seed + 1)) % 2147483647)) % 2147483647) % 1024 AS b,
         |    count(*) AS n
         |  FROM lineitem CROSS JOIN seeds
         |  GROUP BY 1, 2),
@@ -684,7 +687,8 @@ object ExtensionQueries {
         |  SELECT e.item, e.exact_n, min(c.n) AS cms_n
         |  FROM exact e CROSS JOIN seeds s
         |  JOIN cells c ON c.seed = s.seed
-        |    AND c.b = CAST('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' || CAST(e.item AS VARCHAR)), 1, 15) AS BIGINT) % 1024
+        |    AND c.b = ((((1103515245 * (s.seed + 1)) % 2147483647) * (e.item % 2147483647)
+        |      + ((12345 * (s.seed + 1)) % 2147483647)) % 2147483647) % 1024
         |  GROUP BY 1, 2)
         |SELECT item, exact_n, cms_n, cms_n >= exact_n AS never_under FROM est""".stripMargin,
 

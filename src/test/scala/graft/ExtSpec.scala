@@ -528,13 +528,13 @@ class ExtSpec extends SparkSpec {
   // -- Count-min sketch ------------------------------------------------
 
   test("countMin never under-counts and is exact without collisions") {
-    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("x")
+    val df = (Seq.fill(5)(7L) ++ Seq.fill(3)(11L) ++ Seq(13L)).toDF("x")
     val sk = CountMin.table(df, $"x", depth = 3, width = 1024)
-    val items = Seq("a", "b", "c").toDF("item")
+    val items = Seq(7L, 11L, 13L).toDF("item")
     val est = CountMin.estimate(sk, items, $"item", depth = 3, width = 1024)
-      .as[(String, Long)].collect().toMap
+      .as[(Long, Long)].collect().toMap
     // 3 distinct items in 1024 buckets: no collisions, estimates exact
-    assert(est === Map("a" -> 5L, "b" -> 3L, "c" -> 1L))
+    assert(est === Map(7L -> 5L, 11L -> 3L, 13L -> 1L))
     // merging two sketches = summing cells = sketch of the union
     val skUnion = CountMin.table(df.union(df), $"x", 3, 1024)
     val merged = sk.union(sk).groupBy("__seed", "__b")
