@@ -91,6 +91,26 @@ object ExtensionQueries {
         col("label"), threshold = 0.25)
     },
 
+    // Incremental (production) dedup: a new batch first dedups within
+    // itself, then anti-joins the historical fingerprint store — the
+    // shape of every periodic crawl ingest. The store side carries
+    // ONLY (fp) through the shuffle; at 100 TB history the anti join
+    // is the bloom-prunable hash join Spark's AQE runtime filters
+    // accelerate. Fingerprint = 40-char normalized prefix (boilerplate
+    // key), coarse enough that collisions actually occur.
+    "dedup_incremental" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir).select(col("doc_id"),
+        md5(substring(TextAnalysis.normalize(col("text")), 1, 40)).as("fp"))
+      val hist = d.filter(col("doc_id") % 2 === 0)
+      val batch = d.filter(col("doc_id") % 2 =!= 0)
+      val w = Window.partitionBy("fp").orderBy("doc_id")
+      batch.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+        .join(hist.select("fp").distinct(), Seq("fp"), "left_anti")
+        .select("doc_id", "fp")
+    },
+
     // -- Similarity search -------------------------------------------
     "sim_bruteforce_topk" -> { (s, dir) =>
       val e = emb(s, dir)
@@ -632,6 +652,16 @@ object ExtensionQueries {
         |FROM documents
         |WHERE CAST('0x' || substr(md5('graft-sample:' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 100
         |  < CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 25 WHEN 'fr' THEN 40 ELSE 60 END""".stripMargin,
+
+    "dedup_incremental" ->
+      s"""WITH d AS (SELECT doc_id,
+        |  md5(substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), 1, 40)) AS fp
+        |  FROM documents),
+        |hist AS (SELECT DISTINCT fp FROM d WHERE doc_id % 2 = 0),
+        |batch AS (SELECT doc_id, fp FROM d WHERE doc_id % 2 = 1
+        |          QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1)
+        |SELECT doc_id, fp FROM batch
+        |WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.fp = batch.fp)""".stripMargin,
 
     "curate_corpus" -> {
       val en = langScoreSql(Seq("the", "and", "of", "is"))
