@@ -16,26 +16,37 @@ import org.apache.spark.sql.functions._
   * the smaller centroid id; init is the k corpus vectors with the
   * smallest ids (deterministic, no RNG).
   *
-  * Scale shape per iteration: one corpus scan; ASSIGN is a broadcast
-  * cross-join against k rows folded in WholeStageCodegen (the
-  * broadcast is bounded by the k parameter, not by data); UPDATE is a
-  * (cid, dim) partial aggregation whose shuffle carries ≤ k·dims rows
-  * per mapper. Nothing is collected to the driver.
+  * Scale shape per iteration: one corpus scan; ASSIGN is a NARROW
+  * projection against one broadcast row carrying the ≤k centroids
+  * (bounded by the k parameter, not by data) — the corpus itself is
+  * never shuffled; UPDATE is a (cid, dim) partial aggregation whose
+  * shuffle carries ≤ k·dims rows per mapper. Nothing is collected to
+  * the driver.
   */
 object Clustering {
 
   private def quantize(x: Column): Column =
     floor(x.cast("double") * lit(1000000.0)).cast("long")
 
-  /** Nearest-centroid assignment: (id, vec, cid). */
-  private def assignNearest(pts: DataFrame, cent: DataFrame): DataFrame =
-    pts.crossJoin(broadcast(cent))
-      .withColumn("__cos", Similarity.cosine(col("__v"), col("__cv")))
-      .groupBy("__id")
-      .agg(max_by(struct(col("__cid"), col("__v")),
-        struct(col("__cos"), -col("__cid"))).as("__a"))
-      .select(col("__id"), col("__a.__v").as("__v"),
-        col("__a.__cid").as("__cid"))
+  /** Nearest-centroid assignment: (id, vec, cid).
+    *
+    * The ≤k centroids fold into ONE broadcast row holding an array of
+    * (cid, vec) structs, so assignment is a narrow projection — no
+    * shuffle of the corpus at all. `transform` scores every centroid
+    * (the cosine runs once per centroid, on the materialized array),
+    * and `array_max` over (cos, −cid) structs is the argmax with ties
+    * toward the smaller centroid id; both are order-independent, so
+    * the nondeterministic `collect_list` order cannot leak through.
+    */
+  private def assignNearest(pts: DataFrame, cent: DataFrame): DataFrame = {
+    val centsRow = cent
+      .agg(collect_list(struct(col("__cid"), col("__cv"))).as("__cents"))
+    pts.crossJoin(broadcast(centsRow))
+      .withColumn("__best", array_max(transform(col("__cents"), c =>
+        struct(Similarity.cosine(col("__v"), c("__cv")).as("c"),
+          (-c("__cid")).as("nid")))))
+      .select(col("__id"), col("__v"), (-col("__best.nid")).as("__cid"))
+  }
 
   /** Fixed-point elementwise mean of each cluster's members. */
   private def updateCentroids(assigned: DataFrame): DataFrame =

@@ -45,15 +45,23 @@ object CountMin {
 
   /** Point estimates for `items` (any frame with an `item` column):
     * min cell count across the sketch's hash rows. The sketch side is
-    * at most depth·width rows, so the join broadcasts.
+    * at most depth·width rows, so the join broadcasts. An empty cell
+    * counts as 0 (left join + zero-fill), so an item the stream never
+    * carried estimates 0 instead of vanishing or reading a colliding
+    * row's count.
     */
   def estimate(sketch: DataFrame, items: DataFrame, item: Column,
                depth: Int, width: Int): DataFrame = {
+    val taken = Set("__seed", "__b", "__n", "cms_n")
+    require(!items.columns.exists(taken),
+      s"items frame must not carry ${taken.mkString("/")} columns")
     val probes = items.select(col("*"),
       explode(array((0 until depth).map(lit): _*)).as("__seed"))
       .withColumn("__b", bucket(col("__seed"), item, width))
-    probes.join(broadcast(sketch), Seq("__seed", "__b"))
+    probes
+      .join(broadcast(sketch.withColumnRenamed("n", "__n")),
+        Seq("__seed", "__b"), "left")
       .groupBy(items.columns.map(col): _*)
-      .agg(min(col("n")).as("cms_n"))
+      .agg(min(coalesce(col("__n"), lit(0L))).as("cms_n"))
   }
 }

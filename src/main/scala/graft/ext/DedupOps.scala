@@ -50,7 +50,7 @@ object DedupOps {
     * it — 12× less hashing than seeding md5 per (i, shingle).
     */
   def shingleHash(s: Column): Column =
-    conv(substring(md5(s), 1, 8), 16, 10).cast("long") % MinhashP
+    PortableHash.md5PrefixLong(s, 8) % MinhashP
 
   /** Candidate near-dup pairs via MinHash LSH — the 100 TB shape:
     *
@@ -100,6 +100,18 @@ object DedupOps {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
+  }
+
+  /** Keep one canonical row per key: the first by `order` (ties
+    * impossible when `order` is unique; make it so). The window form
+    * shuffles whole partitions per key — the standard shape; for a
+    * known-hot key space use exact() + a join instead.
+    */
+  def keepFirstPerKey(df: DataFrame, key: Column, order: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(key).orderBy(order)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
   }
 
   /** n-gram Jaccard similarity of two shingle arrays (set semantics). */
@@ -167,7 +179,7 @@ object DedupOps {
 
   /** SimHash bit-j contribution of one 60-bit token hash: +1/-1. */
   def simhashTokenHash(t: Column): Column =
-    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+    PortableHash.md5PrefixLong(t, 15)
 
   /** SimHash over exploded tokens: callers explode tokens, group by
     * doc, and agg `simhashAgg(bits)` — the explode/conditional-sum

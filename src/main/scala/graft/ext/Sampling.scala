@@ -21,16 +21,14 @@ object Sampling {
     * membership without Spark.
     */
   def hashBucket(id: Column, salt: String): Column =
-    conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 7),
-      16, 10).cast("long") % 100
+    PortableHash.md5PrefixLong(concat(lit(salt), id.cast("string")), 7) % 100
 
   /** Full-width salted hash rank of `id` (60 bits of md5) — the sort
     * key for fixed-SIZE sampling: the n smallest ranks per stratum are
     * a uniform deterministic sample of exactly n rows.
     */
   def hashRank(id: Column, salt: String): Column =
-    conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 15),
-      16, 10).cast("long")
+    PortableHash.md5PrefixLong(concat(lit(salt), id.cast("string")), 15)
 
   /** Exactly `n` rows per stratum (fewer if the stratum is smaller):
     * the n smallest hash ranks, ties broken by id. The window form

@@ -99,14 +99,11 @@ object ExtensionQueries {
     // accelerate. Fingerprint = 40-char normalized prefix (boilerplate
     // key), coarse enough that collisions actually occur.
     "dedup_incremental" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val d = docs(s, dir).select(col("doc_id"),
         md5(substring(TextAnalysis.normalize(col("text")), 1, 40)).as("fp"))
       val hist = d.filter(col("doc_id") % 2 === 0)
       val batch = d.filter(col("doc_id") % 2 =!= 0)
-      val w = Window.partitionBy("fp").orderBy("doc_id")
-      batch.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn")
+      DedupOps.keepFirstPerKey(batch, col("fp"), col("doc_id"))
         .join(hist.select("fp").distinct(), Seq("fp"), "left_anti")
         .select("doc_id", "fp")
     },
@@ -192,10 +189,7 @@ object ExtensionQueries {
         TextAnalysis.fingerprint(col("text")).as("__fp"))
       val kept = scored
         .filter(col("__pred") === col("lang") && col("quality") >= 0.45)
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("__fp")).orderBy(col("doc_id"))
-      kept.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
+      DedupOps.keepFirstPerKey(kept, col("__fp"), col("doc_id"))
         .filter(Sampling.hashBucket(col("doc_id"), "graft-sample:") < 50)
         .select(col("doc_id"), col("lang"), col("quality"),
           md5(TextAnalysis.redactPii(col("text"))).as("redacted_md5"))

@@ -30,8 +30,12 @@ object Tables {
     new java.util.concurrent.ConcurrentHashMap[String, StructType]()
 
   private def readCached(spark: SparkSession, path: String): DataFrame = {
+    // cache key carries the target's mtime: a fixture regenerated at
+    // the same path (new part files → directory mtime bumps) re-infers
+    // instead of silently reading with a stale schema
+    val key = s"$path@${new java.io.File(path).lastModified}"
     val schema = schemaCache.computeIfAbsent(
-      path, p => spark.read.parquet(p).schema)
+      key, _ => spark.read.parquet(path).schema)
     spark.read.schema(schema).parquet(path)
   }
 

@@ -535,6 +535,10 @@ class ExtSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     // 3 distinct items in 1024 buckets: no collisions, estimates exact
     assert(est === Map(7L -> 5L, 11L -> 3L, 13L -> 1L))
+    // an item the stream never carried estimates 0, not absent
+    val missing = CountMin.estimate(sk, Seq(999L).toDF("item"), $"item",
+      depth = 3, width = 1024).as[(Long, Long)].collect().toMap
+    assert(missing === Map(999L -> 0L))
     // merging two sketches = summing cells = sketch of the union
     val skUnion = CountMin.table(df.union(df), $"x", 3, 1024)
     val merged = sk.union(sk).groupBy("__seed", "__b")
