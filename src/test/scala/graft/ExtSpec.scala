@@ -564,6 +564,30 @@ class ExtSpec extends SparkSpec {
 
   // -- K-means ---------------------------------------------------------
 
+  test("kmeans, count-min, and sampling are partitioning-invariant") {
+    // the reproducibility claims are about ORDER-independence: results
+    // must be identical under an adversarial repartition
+    val pts = (0L until 60L).map(i =>
+      (i, Seq((i % 7).toFloat + 1f, (i % 3).toFloat, 1f))).toDF("id", "v")
+    val a = Clustering.kmeansAssign(pts, $"id", $"v", k = 3, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    val b = Clustering.kmeansAssign(pts.repartition(7), $"id", $"v",
+      k = 3, iters = 2).as[(Long, Long)].collect().toMap
+    assert(a === b)
+    val xs = (0L until 500L).map(x => x % 37).toDF("x")
+    val sk1 = CountMin.table(xs, $"x", 3, 64).as[(Int, Long, Long)]
+      .collect().toSet
+    val sk2 = CountMin.table(xs.repartition(11), $"x", 3, 64)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(sk1 === sk2)
+    val df = (0L until 300L).map(i => (i, "g")).toDF("id", "g")
+    val s1 = Sampling.fixedSizeStratifiedSample(df, $"id", $"g", 25, "p:")
+      .as[(Long, String)].collect().toSet
+    val s2 = Sampling.fixedSizeStratifiedSample(df.repartition(13),
+      $"id", $"g", 25, "p:").as[(Long, String)].collect().toSet
+    assert(s1 === s2)
+  }
+
   test("kmeansAssign separates two obvious blobs deterministically") {
     // two tight groups on orthogonal axes; ids 0 and 1 seed k=2
     val pts = Seq(
