@@ -516,7 +516,9 @@ object ExtensionQueries {
 
     "dedup_ngram_jaccard" ->
       (s"""WITH $shingleCte,
-        |e0 AS (SELECT lang, source, doc_id, unnest(list_distinct(s)) AS sh FROM sh),
+        |e0 AS (SELECT lang, source, doc_id,
+        |         CAST('0x' || substr(md5(unnest(list_distinct(s))), 1, 15) AS BIGINT) AS sh
+        |       FROM sh),
         |keep AS (SELECT lang, source, sh FROM e0
         |         GROUP BY 1, 2, 3 HAVING count(*) <= 64),
         |e AS (SELECT e0.* FROM e0 JOIN keep USING (lang, source, sh)),
