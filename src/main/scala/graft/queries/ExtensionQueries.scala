@@ -195,6 +195,18 @@ object ExtensionQueries {
           md5(TextAnalysis.redactPii(col("text"))).as("redacted_md5"))
     },
 
+    // Quality-weighted deterministic sampling: a doc's retention
+    // probability IS its quality score (hash bucket < quality·100) —
+    // the curation policy "keep good text more often", reproducible
+    // because the coin flip is a salted id hash, not an RNG.
+    "sample_weighted_quality" -> { (s, dir) =>
+      docs(s, dir)
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .filter(Sampling.hashBucket(col("doc_id"), "graft-wq:") <
+          floor(col("quality") * 100).cast("long"))
+        .select("doc_id", "lang", "quality")
+    },
+
     // Fixed-size deterministic sample: exactly 20 docs per language,
     // chosen by smallest salted hash rank — reproducible everywhere.
     "sample_fixed_stratified" -> { (s, dir) =>
@@ -687,6 +699,18 @@ object ExtensionQueries {
         |FROM ded
         |WHERE CAST('0x' || substr(md5('graft-sample:' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 100 < 50""".stripMargin
     },
+
+    "sample_weighted_quality" ->
+      (s"""WITH d AS (SELECT doc_id, lang, text, $tokensSql AS toks FROM documents),
+        |q AS (SELECT doc_id, lang,
+        |  CAST(${stopContains("toks")} AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.5 +
+        |  (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) /
+        |    CAST(length(text) AS DOUBLE)) * 0.3 +
+        |  least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.2 AS quality
+        |FROM d)
+        |SELECT doc_id, lang, quality FROM q
+        |WHERE CAST('0x' || substr(md5('graft-wq:' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 100
+        |  < CAST(floor(quality * 100) AS BIGINT)""".stripMargin),
 
     "sample_fixed_stratified" ->
       """SELECT doc_id, lang FROM documents
