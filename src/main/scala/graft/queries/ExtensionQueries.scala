@@ -142,6 +142,18 @@ object ExtensionQueries {
         TextAnalysis.langId(col("text")).as("lang_pred"))
     },
 
+    // Z-order layout key over (user_id, value): the per-bucket census
+    // proves the interleave clusters both dimensions — the write-time
+    // sort key for double-column data skipping.
+    "layout_zorder" -> { (s, dir) =>
+      t(s, dir, "events")
+        .select(Layout.zorder16(pmod(col("user_id"), lit(65536)),
+          pmod(floor(col("value")).cast("long"), lit(65536))).as("zkey"))
+        .groupBy((col("zkey") / 4096L).cast("long").as("zbucket"))
+        .agg(count(lit(1)).as("n"), min("zkey").as("zmin"),
+          max("zkey").as("zmax"))
+    },
+
     // PII scrubbing over a deterministically PII-enriched corpus (the
     // synthetic documents carry no natural emails/phones/URLs, so the
     // fixture injects them from doc_id — same shim idea as LoincShim —
@@ -699,6 +711,13 @@ object ExtensionQueries {
         |FROM ded
         |WHERE CAST('0x' || substr(md5('graft-sample:' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 100 < 50""".stripMargin
     },
+
+    "layout_zorder" ->
+      (s"""WITH z AS (SELECT ${Layout.zorder16Sql("(user_id % 65536)",
+             "(CAST(floor(value) AS BIGINT) % 65536)")} AS zkey FROM events)
+        |SELECT (zkey // 4096) AS zbucket, count(*) AS n,
+        |  min(zkey) AS zmin, max(zkey) AS zmax
+        |FROM z GROUP BY 1""".stripMargin),
 
     "sample_weighted_quality" ->
       (s"""WITH d AS (SELECT doc_id, lang, text, $tokensSql AS toks FROM documents),
