@@ -109,6 +109,8 @@ object DedupOps {
     */
   def keepFirstPerKey(df: DataFrame, key: Column, order: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(!df.columns.contains("__rn"),
+      "input must not carry a __rn column (reserved by keepFirstPerKey)")
     val w = Window.partitionBy(key).orderBy(order)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")

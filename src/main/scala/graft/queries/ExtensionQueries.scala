@@ -475,6 +475,16 @@ object ExtensionQueries {
     s"len(list_filter($arr, t -> list_contains($stops, t)))"
   }
 
+  /** TextAnalysis.qualityScore in SQL — expects `text` and `toks`
+    * columns in scope. ONE definition spliced into every oracle that
+    * scores quality, so the three-term formula cannot drift per query.
+    */
+  private lazy val qualitySql: String =
+    s"CAST(${stopContains("toks")} AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.5 + " +
+      "(1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / " +
+      "CAST(length(text) AS DOUBLE)) * 0.3 + " +
+      "least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.2"
+
   private def langScoreSql(markers: Seq[String]): String = {
     val m = markers.map(w => s"'$w'").mkString("[", ", ", "]")
     s"len(list_filter(toks, t -> list_contains($m, t)))"
@@ -619,10 +629,7 @@ object ExtensionQueries {
         |  CAST(${stopContains("toks")} AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
         |  CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) /
         |    CAST(len(toks) AS DOUBLE) AS mean_word_len,
-        |  CAST(${stopContains("toks")} AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.5 +
-        |    (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) /
-        |      CAST(length(text) AS DOUBLE)) * 0.3 +
-        |    least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.2 AS quality
+        |  $qualitySql AS quality
         |FROM d""".stripMargin),
 
     "text_langid" -> {
@@ -691,10 +698,7 @@ object ExtensionQueries {
       s"""WITH d AS (SELECT doc_id, lang, text, $tokensSql AS toks FROM documents),
         |scored AS (
         |  SELECT doc_id, lang, text,
-        |    CAST(${stopContains("toks")} AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.5 +
-        |    (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) /
-        |      CAST(length(text) AS DOUBLE)) * 0.3 +
-        |    least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.2 AS quality,
+        |    $qualitySql AS quality,
         |    CASE WHEN $en >= $de AND $en >= $fr AND $en >= $es THEN 'en'
         |         WHEN $de >= $fr AND $de >= $es THEN 'de'
         |         WHEN $fr >= $es THEN 'fr' ELSE 'es' END AS pred,
@@ -712,20 +716,20 @@ object ExtensionQueries {
         |WHERE CAST('0x' || substr(md5('graft-sample:' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 100 < 50""".stripMargin
     },
 
+    // inputs wrapped pmod-style (((x % m) + m) % m): DuckDB % keeps
+    // the dividend's sign, Spark pmod does not — without this the two
+    // sides disagree on negative ids
     "layout_zorder" ->
-      (s"""WITH z AS (SELECT ${Layout.zorder16Sql("(user_id % 65536)",
-             "(CAST(floor(value) AS BIGINT) % 65536)")} AS zkey FROM events)
+      (s"""WITH z AS (SELECT ${Layout.zorder16Sql(
+             "(((user_id % 65536) + 65536) % 65536)",
+             "(((CAST(floor(value) AS BIGINT) % 65536) + 65536) % 65536)")} AS zkey FROM events)
         |SELECT (zkey // 4096) AS zbucket, count(*) AS n,
         |  min(zkey) AS zmin, max(zkey) AS zmax
         |FROM z GROUP BY 1""".stripMargin),
 
     "sample_weighted_quality" ->
       (s"""WITH d AS (SELECT doc_id, lang, text, $tokensSql AS toks FROM documents),
-        |q AS (SELECT doc_id, lang,
-        |  CAST(${stopContains("toks")} AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.5 +
-        |  (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) /
-        |    CAST(length(text) AS DOUBLE)) * 0.3 +
-        |  least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.2 AS quality
+        |q AS (SELECT doc_id, lang, $qualitySql AS quality
         |FROM d)
         |SELECT doc_id, lang, quality FROM q
         |WHERE CAST('0x' || substr(md5('graft-wq:' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 100

@@ -27,15 +27,17 @@ object Tables {
     * passes the schema explicitly and plans straight from it.
     */
   private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, StructType)]()
 
   private def readCached(spark: SparkSession, path: String): DataFrame = {
-    // cache key carries the target's mtime: a fixture regenerated at
+    // the entry carries the target's mtime: a fixture regenerated at
     // the same path (new part files → directory mtime bumps) re-infers
-    // instead of silently reading with a stale schema
-    val key = s"$path@${new java.io.File(path).lastModified}"
-    val schema = schemaCache.computeIfAbsent(
-      key, _ => spark.read.parquet(path).schema)
+    // instead of silently reading with a stale schema, and the stale
+    // entry is REPLACED (one entry per path, bounded cache)
+    val mtime = new java.io.File(path).lastModified
+    val (_, schema) = schemaCache.compute(path, (_, cur) =>
+      if (cur != null && cur._1 == mtime) cur
+      else (mtime, spark.read.parquet(path).schema))
     spark.read.schema(schema).parquet(path)
   }
 
