@@ -34,12 +34,19 @@ object Bench {
         case c if c < ' ' => "\\u%04x".format(c.toInt)
         case c => c.toString
       }.mkString("\"", "", "\"")
-    val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }
+    // The harness keeps only the LAST ~2k chars of output, so the line
+    // must stay compact (3-decimal timings) and put the headline fields
+    // AFTER the per-query map, sorted fastest-first so the slowest —
+    // most informative — queries sit nearest the end of the line.
+    def sec(v: Double): String = f"$v%.3f"
+    val qs = results.sortBy(_._2)
+      .map { case (k, v, _) => jstr(k) + ":" + sec(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val sfName = sfDir.split('/').last
+    println(s"""{"queries":$qs,"errors":$errs,"sf":"$sfName","n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},"unit":"sec","metric":"total","value":${sec(total)}}""")
     spark.stop()
   }
 }

@@ -19,20 +19,45 @@ import org.apache.spark.sql.functions._
   * no string building: hashing 10^12 rows is multiply-add, not a
   * digest) and is reproducible verbatim in any SQL engine. Operands
   * stay under 2^62, so ANSI overflow checking never trips.
+  *
+  * Per-row (a, b) are splitmix64 draws of the row index, materialized
+  * as driver-side literals (`rowConsts`) — NOT an affine function of
+  * the row index, which would make every hash row a scalar multiple of
+  * the same `g(x)` (rows correlated: any two items congruent mod p
+  * collide in every row, defeating the 2^-depth error bound).
   */
 object CountMin {
 
   val P = 2147483647L // 2^31 − 1
 
-  /** Row-j multiplier/offset, derived from the seed in-plan so any
-    * depth works without literal tables.
+  /** splitmix64 finalizer (Steele et al. 2014, public domain) — the
+    * standard seed-scrambler; JVM long arithmetic wraps, which is the
+    * intended mod-2^64 semantics (driver-side only, never in-plan).
     */
-  private def aOf(seed: Column): Column = (lit(1103515245L) * (seed + 1)) % P
-  private def bOf(seed: Column): Column = (lit(12345L) * (seed + 1)) % P
+  private def splitmix64(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
 
-  /** Bucket of non-negative integer `item` in hash row `seed`. */
-  def bucket(seed: Column, item: Column, width: Int): Column =
-    ((aOf(seed) * (item.cast("long") % P) + bOf(seed)) % P) % width
+  /** Independent per-row (a, b): a ∈ [1, p−1], b ∈ [0, p−1]. */
+  def rowConsts(depth: Int): Seq[(Long, Long)] =
+    (0 until depth).map { j =>
+      (java.lang.Math.floorMod(splitmix64(2L * j), P - 1) + 1,
+        java.lang.Math.floorMod(splitmix64(2L * j + 1), P))
+    }
+
+  /** Bucket of non-negative integer `item` in hash row `seed`
+    * (element_at is 1-indexed; the literal const arrays stay in
+    * codegen like any other literal).
+    */
+  def bucket(seed: Column, item: Column, depth: Int, width: Int): Column = {
+    val cs = rowConsts(depth)
+    val a = element_at(array(cs.map(c => lit(c._1)): _*), seed.cast("int") + 1)
+    val b = element_at(array(cs.map(c => lit(c._2)): _*), seed.cast("int") + 1)
+    ((a * (item.cast("long") % P) + b) % P) % width
+  }
 
   /** The sketch: one (seed, bucket, n) row per non-empty cell. */
   def table(df: DataFrame, item: Column, depth: Int, width: Int): DataFrame =
@@ -40,7 +65,7 @@ object CountMin {
       .select(col("__it"),
         explode(array((0 until depth).map(lit): _*)).as("__seed"))
       .groupBy(col("__seed"),
-        bucket(col("__seed"), col("__it"), width).as("__b"))
+        bucket(col("__seed"), col("__it"), depth, width).as("__b"))
       .agg(count(lit(1)).as("n"))
 
   /** Point estimates for `items` (any frame with an `item` column):
@@ -57,7 +82,7 @@ object CountMin {
       s"items frame must not carry ${taken.mkString("/")} columns")
     val probes = items.select(col("*"),
       explode(array((0 until depth).map(lit): _*)).as("__seed"))
-      .withColumn("__b", bucket(col("__seed"), item, width))
+      .withColumn("__b", bucket(col("__seed"), item, depth, width))
     probes
       .join(broadcast(sketch.withColumnRenamed("n", "__n")),
         Seq("__seed", "__b"), "left")

@@ -135,6 +135,32 @@ object LoadOrchestrator {
           .ofPattern("dd-MM-yyyy HH:mm:ss"))
         .atZone(sessionZone).toInstant)
 
+    // runTs uniquely keys the run — a hard caller contract, because
+    // both L4's verify and L6's compensating delete select on it. The
+    // timestamp has 1-second resolution, so a retried or concurrent
+    // load could silently share it and a failure here would then
+    // delete the OTHER run's committed rows. Fail fast on collision
+    // instead of writing.
+    val preExisting = withConnection(url, props) { conn =>
+      if (created) 0L
+      else {
+        val ps = conn.prepareStatement(
+          s"SELECT COUNT(*) FROM $table WHERE UPDATE_DATE = ?")
+        try {
+          ps.setTimestamp(1, runInstant)
+          val rs = ps.executeQuery()
+          rs.next(); rs.getLong(1)
+        } finally ps.close()
+      }
+    }
+    if (preExisting > 0) {
+      toWrite.unpersist()
+      throw new IllegalStateException(
+        s"run timestamp collision: $preExisting rows with UPDATE_DATE = " +
+          s"$runTs already exist in $table — refusing to write (a failure " +
+          "rollback could not be scoped to this run)")
+    }
+
     // L3 + L6: per-partition commits mean a mid-write failure leaves
     // the committed partitions behind; compensate by deleting this
     // run's rows (uniquely keyed by UPDATE_DATE = runTs) and rethrow.

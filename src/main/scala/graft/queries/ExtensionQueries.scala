@@ -742,28 +742,34 @@ object ExtensionQueries {
         |           doc_id) <= 20""".stripMargin,
 
     // Carter–Wegman bucket ((a·x + b) mod 2^31−1) mod width, written
-    // identically to CountMin.bucket — integer-only, no digest
-    "sketch_countmin" ->
-      """WITH seeds AS (SELECT unnest(range(3)) AS seed),
+    // identically to CountMin.bucket — integer-only, no digest. The
+    // per-row (a, b) literals below are CountMin.rowConsts(3)
+    // (splitmix64 of the row index), interpolated so both engines hash
+    // with the same genuinely independent rows.
+    "sketch_countmin" -> {
+      val consts = graft.ext.CountMin.rowConsts(3)
+        .zipWithIndex
+        .map { case ((a, b), j) => s"($j, $a, $b)" }
+        .mkString(", ")
+      s"""WITH consts(seed, a, b) AS (VALUES $consts),
         |cells AS (
-        |  SELECT seed,
-        |    ((((1103515245 * (seed + 1)) % 2147483647) * (l_partkey % 2147483647)
-        |      + ((12345 * (seed + 1)) % 2147483647)) % 2147483647) % 1024 AS b,
+        |  SELECT c.seed,
+        |    ((c.a * (l_partkey % 2147483647) + c.b) % 2147483647) % 1024 AS bkt,
         |    count(*) AS n
-        |  FROM lineitem CROSS JOIN seeds
+        |  FROM lineitem CROSS JOIN consts c
         |  GROUP BY 1, 2),
         |exact AS (
         |  SELECT l_partkey AS item, count(*) AS exact_n
         |  FROM lineitem GROUP BY 1
         |  QUALIFY row_number() OVER (ORDER BY count(*) DESC, l_partkey) <= 10),
         |est AS (
-        |  SELECT e.item, e.exact_n, min(c.n) AS cms_n
-        |  FROM exact e CROSS JOIN seeds s
-        |  JOIN cells c ON c.seed = s.seed
-        |    AND c.b = ((((1103515245 * (s.seed + 1)) % 2147483647) * (e.item % 2147483647)
-        |      + ((12345 * (s.seed + 1)) % 2147483647)) % 2147483647) % 1024
+        |  SELECT e.item, e.exact_n, min(cl.n) AS cms_n
+        |  FROM exact e CROSS JOIN consts c
+        |  JOIN cells cl ON cl.seed = c.seed
+        |    AND cl.bkt = ((c.a * (e.item % 2147483647) + c.b) % 2147483647) % 1024
         |  GROUP BY 1, 2)
-        |SELECT item, exact_n, cms_n, cms_n >= exact_n AS never_under FROM est""".stripMargin,
+        |SELECT item, exact_n, cms_n, cms_n >= exact_n AS never_under FROM est""".stripMargin
+    },
 
     // 2 unrolled Lloyd iterations; the fixed-point centroid update
     // (exact BIGINT sums) is what makes the float-free parts exact and

@@ -29,15 +29,30 @@ object Tables {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, StructType)]()
 
+  /** Cache fingerprint: fold (mtime, length) of every part file (or of
+    * the single file). Rewriting a part file in place changes its own
+    * mtime/length without bumping the directory mtime, and directory
+    * mtime has 1-second granularity on some filesystems — both would
+    * make a directory-mtime key serve a stale schema.
+    */
+  private def fingerprint(path: String): Long = {
+    val f = new java.io.File(path)
+    val files =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
+      else Array(f)
+    files.foldLeft(files.length.toLong) { (acc, p) =>
+      31L * (31L * acc + p.lastModified) + p.length
+    }
+  }
+
   private def readCached(spark: SparkSession, path: String): DataFrame = {
-    // the entry carries the target's mtime: a fixture regenerated at
-    // the same path (new part files → directory mtime bumps) re-infers
-    // instead of silently reading with a stale schema, and the stale
-    // entry is REPLACED (one entry per path, bounded cache)
-    val mtime = new java.io.File(path).lastModified
+    // a regenerated fixture re-infers instead of silently reading with
+    // a stale schema; the stale entry is REPLACED (one entry per path,
+    // bounded cache)
+    val fp = fingerprint(path)
     val (_, schema) = schemaCache.compute(path, (_, cur) =>
-      if (cur != null && cur._1 == mtime) cur
-      else (mtime, spark.read.parquet(path).schema))
+      if (cur != null && cur._1 == fp) cur
+      else (fp, spark.read.parquet(path).schema))
     spark.read.schema(schema).parquet(path)
   }
 

@@ -66,34 +66,54 @@ object StreamOps {
     * caps state (oldest signatures evicted): the blocking argument —
     * bands wide enough that buckets stay small — is exactly what
     * keeps this cap un-hit; a saturated bucket means the band width,
-    * not the cap, needs raising.
+    * not the cap, needs raising. Worst-case retention without a TTL is
+    * bands·2^bitsPerBand buckets × maxPerBucket (id, sig) entries;
+    * `idleBucketTtl` bounds it in wall-clock too — a bucket no new doc
+    * has landed in for that long is dropped (processing-time timeout),
+    * trading recall against unbounded state on long-running streams.
+    *
+    * Within one micro-batch the group iterator has no arrival order,
+    * so rows are paired in ascending doc_id order: same-batch pairs
+    * deterministically orient (higher id, dup_of = lower id) no matter
+    * how the batch was partitioned.
     */
   def simhashNearDupCandidates(docs: DataFrame, bands: Int = 4,
                                bitsPerBand: Int = 15,
                                maxHamming: Int = 3,
-                               maxPerBucket: Int = 1024): Dataset[NearDup] = {
+                               maxPerBucket: Int = 1024,
+                               idleBucketTtl: Option[String] = None)
+      : Dataset[NearDup] = {
     import docs.sparkSession.implicits._
     val mask = (1L << bitsPerBand) - 1
     val keys = array((0 until bands).map(b =>
       shiftright(col("simhash"), b * bitsPerBand).bitwiseAND(lit(mask))): _*)
+    val timeout = if (idleBucketTtl.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout
+    else GroupStateTimeout.NoTimeout
     docs.select(col("doc_id"), col("simhash"),
         posexplode(keys).as(Seq("band", "key")))
       .as[BandedDoc]
       .groupByKey(d => (d.band, d.key))
       .flatMapGroupsWithState[List[(Long, Long)], NearDup](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeout) {
         (_, rows, state) =>
-          var seen = state.getOption.getOrElse(Nil)
-          val out = List.newBuilder[NearDup]
-          rows.foreach { d =>
-            seen.foreach { case (id0, sig0) =>
-              val h = java.lang.Long.bitCount(sig0 ^ d.simhash)
-              if (h <= maxHamming) out += NearDup(d.doc_id, id0, d.band, h)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var seen = state.getOption.getOrElse(Nil)
+            val out = List.newBuilder[NearDup]
+            rows.toSeq.sortBy(_.doc_id).foreach { d =>
+              seen.foreach { case (id0, sig0) =>
+                val h = java.lang.Long.bitCount(sig0 ^ d.simhash)
+                if (h <= maxHamming) out += NearDup(d.doc_id, id0, d.band, h)
+              }
+              seen = ((d.doc_id, d.simhash) :: seen).take(maxPerBucket)
             }
-            seen = ((d.doc_id, d.simhash) :: seen).take(maxPerBucket)
+            state.update(seen)
+            idleBucketTtl.foreach(state.setTimeoutDuration)
+            out.result().iterator
           }
-          state.update(seen)
-          out.result().iterator
       }
   }
 

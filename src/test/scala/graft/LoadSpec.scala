@@ -94,23 +94,44 @@ class LoadSpec extends SparkSpec {
     // while leaving run A untouched — the reference's rollback()
     // semantics (Angelo_ETL_Task.py:366-374).
     val tsB = "03-01-2026 09:00:00"
-    def runB(df: org.apache.spark.sql.DataFrame) = df
-      .withColumn("UPDATE_DATE", lit(tsB))
-      .withColumn("DOWNLOAD_DATE", lit(tsB))
-      .withColumn("IMPORT_DATE", lit(tsB))
-    LoadOrchestrator.load(runB(i2b2Rows.limit(3)), url, "I2B2",
+    def stamped(df: org.apache.spark.sql.DataFrame, ts: String) = df
+      .withColumn("UPDATE_DATE", lit(ts))
+      .withColumn("DOWNLOAD_DATE", lit(ts))
+      .withColumn("IMPORT_DATE", lit(ts))
+    LoadOrchestrator.load(stamped(i2b2Rows.limit(3), tsB), url, "I2B2",
       new Properties(), tsB)
     assert(spark.read.jdbc(url, "I2B2", new Properties()).count() === 8)
-    val bad = runB(i2b2Rows.limit(4)).withColumn("C_NAME",
+    // Run C fails mid-write (NOT NULL violation on one row) under a
+    // FRESH timestamp: the compensating DELETE removes exactly run C's
+    // partial rows, leaving runs A and B untouched.
+    val tsC = "04-01-2026 10:00:00"
+    val bad = stamped(i2b2Rows.limit(4), tsC).withColumn("C_NAME",
       when(monotonically_increasing_id() === 0, lit(null).cast("string"))
         .otherwise($"C_NAME"))
     intercept[Exception] {
-      LoadOrchestrator.load(bad, url, "I2B2", new Properties(), tsB)
+      LoadOrchestrator.load(bad, url, "I2B2", new Properties(), tsC)
     }
     val back = spark.read.jdbc(url, "I2B2", new Properties())
-    assert(back.count() === 5)
-    assert(back.filter($"UPDATE_DATE" === to_timestamp(lit(tsB),
+    assert(back.count() === 8)
+    assert(back.filter($"UPDATE_DATE" === to_timestamp(lit(tsC),
       "dd-MM-yyyy HH:mm:ss")).count() === 0)
+  }
+
+  test("load refuses a colliding run timestamp instead of risking " +
+    "another run's rows (L6)") {
+    val url = "jdbc:derby:memory:graftdb7;create=true"
+    LoadOrchestrator.load(i2b2Rows.limit(3), url, "I2B2",
+      new Properties(), runTs)
+    // A second load reusing the SAME runTs must fail fast BEFORE
+    // writing: had it proceeded and failed mid-write, the compensating
+    // DELETE (keyed only on UPDATE_DATE) would destroy the first
+    // run's committed rows.
+    val e = intercept[IllegalStateException] {
+      LoadOrchestrator.load(i2b2Rows.limit(2), url, "I2B2",
+        new Properties(), runTs)
+    }
+    assert(e.getMessage.contains("collision"))
+    assert(spark.read.jdbc(url, "I2B2", new Properties()).count() === 3)
   }
 
   test("zipEntryCsv: distributed unzip honors entry name and schema (S2)") {
