@@ -11,10 +11,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm up the JVM (codegen, shuffle machinery, parquet reader)
-    // on the tiny sf so the first timed query doesn't absorb ~5s of
-    // one-time session cost.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // Warm pass: run EVERY query once at the smallest sf first. The
+    // whole-stage codegen cache is keyed on generated source, which is
+    // identical across scale factors, so this compiles each plan's
+    // codegen classes (and fills the parquet schema cache) once —
+    // the timed pass below then measures data processing at the
+    // target sf, not per-plan one-time JIT.
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    }
     // A failed query must surface as an error, never masquerade as a
     // (fast!) timing — errors are reported per query in the JSON line
     // (the exit stays 0 so the line itself is always delivered).

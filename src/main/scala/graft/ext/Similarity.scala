@@ -165,6 +165,53 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos")
   }
 
+  /** Embedding near-dup pairs with NO natural blocking key — the IVF
+    * scale path for semantic dedup (the companion of
+    * [[cosineNearDupPairs]], which needs a label/bucket column):
+    *
+    *   1. ASSIGN each vector to its `nassign` nearest centroid lists
+    *      (broadcast centroid set; multi-assign is the recall guard —
+    *      a near-dup pair straddling one centroid boundary still
+    *      shares the other list).
+    *   2. SELF-JOIN within list — sum of per-list C(n,2) candidate
+    *      rows, never corpus², streamed through the shuffle where AQE
+    *      can skew-split a hot list.
+    *   3. VERIFY with exact cosine ≥ `threshold`; distinct, because a
+    *      pair sharing both lists arrives twice.
+    *
+    * The banded rows are repartitioned on the list id so both
+    * self-join branches read ONE exchange (same rationale as
+    * DedupOps.simhashBandPairs). Centroids come from [[seedCentroids]]
+    * or a Clustering.kmeans run — any (id, vec) frame works.
+    */
+  def ivfNearDupPairs(df: DataFrame, id: Column, vec: Column,
+                      centroids: DataFrame, threshold: Double,
+                      nassign: Int = 2): DataFrame = {
+    val cent = centroids.select(col("id").as("__cid"),
+      col("vec").as("__cvec"), norm(col("vec")).as("__ctn"))
+    val assigned = df
+      .select(id.as("__id"), vec.as("__v"), norm(vec).as("__n"))
+      .crossJoin(broadcast(cent))
+      .withColumn("__ccos",
+        dot(col("__v"), col("__cvec")) / (col("__n") * col("__ctn")))
+      .withColumn("__rn", row_number().over(Window.partitionBy("__id")
+        .orderBy(col("__ccos").desc, col("__cid"))))
+      .filter(col("__rn") <= nassign)
+      .select(col("__id"), col("__v"), col("__n"), col("__cid").as("__list"))
+      .repartition(col("__list"))
+    val a = assigned.select(col("__list"), col("__id").as("id_a"),
+      col("__v").as("va"), col("__n").as("__na"))
+    val b = assigned.select(col("__list"), col("__id").as("id_b"),
+      col("__v").as("vb"), col("__n").as("__nb"))
+    a.join(b, Seq("__list"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        dot(col("va"), col("vb")) / (col("__na") * col("__nb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+      .distinct()
+  }
+
   /** Embedding-cosine near-duplicate pairs within a blocking key
     * (e.g. a label or coarse LSH bucket): pairs (a<b) with cosine
     * above `threshold`. Norms hoisted per row (see bruteForceTopK).

@@ -91,6 +91,16 @@ object ExtensionQueries {
         col("label"), threshold = 0.25)
     },
 
+    // Semantic dedup with NO label column — the 100 TB path when no
+    // natural blocking key exists: IVF multi-assign (top-2 centroid
+    // lists) blocks the candidate space, exact cosine verifies.
+    "dedup_cosine_ivf" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.ivfNearDupPairs(e, col("id"), col("vec"),
+        Similarity.seedCentroids(e, nlist = 8), threshold = 0.25,
+        nassign = 2)
+    },
+
     // Incremental (production) dedup: a new batch first dedups within
     // itself, then anti-joins the historical fingerprint store — the
     // shape of every periodic crawl ingest. The store side carries
@@ -574,6 +584,22 @@ object ExtensionQueries {
         |FROM embeddings a JOIN embeddings b
         |  ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.25""".stripMargin),
+
+    // assignment tie-break (cos DESC, cid ASC) mirrors Spark's window
+    // row_number; a pair sharing both assigned lists arrives twice,
+    // hence DISTINCT on both sides
+    "dedup_cosine_ivf" ->
+      (s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+        |             FROM embeddings ORDER BY vec_id LIMIT 8),
+        |assigned AS (
+        |  SELECT e.vec_id AS id, e.embedding AS v, ct.cid AS list
+        |  FROM embeddings e CROSS JOIN cent ct
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY ${cosSql("e.embedding", "ct.cvec")} DESC, ct.cid) <= 2)
+        |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |  ${cosSql("a.v", "b.v")} AS cos
+        |FROM assigned a JOIN assigned b USING (list)
+        |WHERE a.id < b.id AND ${cosSql("a.v", "b.v")} >= 0.25""".stripMargin),
 
     "sim_bruteforce_topk" ->
       (s"""SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

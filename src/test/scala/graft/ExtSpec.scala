@@ -71,6 +71,30 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(got(2) - 1.0 / math.sqrt(2)) < 1e-12)
   }
 
+  test("ivfNearDupPairs finds within-cluster pairs, never below threshold") {
+    // two tight clusters around (1,0) and (0,1); with the two cluster
+    // exemplars as centroids, every within-cluster pair shares a list
+    val vecs = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0.99f, 0.01f)), (2L, Seq(0.98f, 0.02f)),
+      (10L, Seq(0f, 1f)), (11L, Seq(0.01f, 0.99f)))
+      .toDF("id", "vec")
+    val cents = Seq((0L, Seq(1f, 0f)), (10L, Seq(0f, 1f))).toDF("id", "vec")
+    val got = Similarity.ivfNearDupPairs(vecs, $"id", $"vec", cents,
+      threshold = 0.9, nassign = 1)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((0L, 1L), (0L, 2L), (1L, 2L), (10L, 11L)))
+    // multi-assign (nassign = 2) can only ADD recall, and every pair
+    // must still clear the exact-cosine threshold
+    val multi = Similarity.ivfNearDupPairs(vecs, $"id", $"vec", cents,
+      threshold = 0.9, nassign = 2)
+    val pairs = multi.select($"id_a", $"id_b").as[(Long, Long)]
+      .collect().toSet
+    assert(got.subsetOf(pairs))
+    assert(multi.filter($"cos" < 0.9).count() === 0)
+    // no duplicate pairs even when a pair shares both lists
+    assert(multi.count() === pairs.size)
+  }
+
   test("bruteForceTopK returns k best neighbors, self excluded") {
     val vecs = Seq(
       (0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)),
