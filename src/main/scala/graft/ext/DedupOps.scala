@@ -184,6 +184,54 @@ object DedupOps {
       .select("id_a", "id_b", "jac")
   }
 
+  /** Connected components over near-dup candidate pairs — the stage
+    * that turns pairwise dedup output into per-document cluster ids
+    * (component_id = min id in the component, the canonical doc every
+    * production dedup keeps). Min-label propagation to fixpoint: each
+    * round every node takes the min of its own and its neighbors'
+    * labels — one equi-join + one min-aggregation (partial-agg
+    * friendly, shuffle keyed on node id) per round, rounds bounded by
+    * the component diameter (near-dup components are clique-like, so
+    * 2-3 rounds in practice; the alternating large-star/small-star
+    * variant of Kiveris et al. MAPREDUCE'14 drops the bound to
+    * O(log n) with the same per-round join shape). `localCheckpoint`
+    * truncates the per-round lineage — on a cluster use a reliable
+    * checkpoint dir instead. The early-stop count is exact: iteration
+    * ends the first round no label changes, so the result is the true
+    * fixpoint (= what the oracle's transitive closure computes), not
+    * an iteration-capped approximation.
+    *
+    * @param nodes one `id` column, every node (isolated docs become
+    *              singleton components — pairs alone would drop them)
+    * @param pairs `id_a`, `id_b` candidate pairs (undirected)
+    */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+                          maxIter: Int = 50): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = nodes.select(col("id"), col("id").as("component_id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (iter < maxIter && changed > 0) {
+      val viaNbr = edges
+        .join(labels.select(col("id").as("src"), col("component_id")), "src")
+        .select(col("dst").as("id"), col("component_id"))
+      val next = labels.union(viaNbr)
+        .groupBy("id").agg(min("component_id").as("component_id"))
+        .localCheckpoint(true)
+      changed = next
+        .join(labels.withColumnRenamed("component_id", "__old"), "id")
+        .filter(col("component_id") =!= col("__old")).count()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** SimHash bit-j contribution of one 60-bit token hash: +1/-1. */
   def simhashTokenHash(t: Column): Column =
     PortableHash.md5PrefixLong(t, 15)

@@ -53,6 +53,17 @@ object ExtensionQueries {
         TextAnalysis.shingles(col("text"), 2), numHashes = 12, bands = 4)
     },
 
+    // Pairs → clusters: connected components over the MinHash candidate
+    // pairs give each doc its canonical cluster id (min id in the
+    // component) — the keep-one-per-cluster stage of production dedup.
+    "dedup_components" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val pairs = DedupOps.lshCandidatePairs(d, col("doc_id"),
+        TextAnalysis.shingles(col("text"), 2), numHashes = 12, bands = 4)
+      DedupOps.connectedComponents(d.select(col("doc_id").as("id")), pairs)
+        .select(col("id").as("doc_id"), col("component_id"))
+    },
+
     // 60-bit simhash: the full width simhashTokenHash carries (15 hex
     // chars of md5). 60 bits / 4 bands = 15-bit band keys = 32,768
     // buckets per band in the pairs query below — the blocking stays
@@ -500,36 +511,60 @@ object ExtensionQueries {
     s"len(list_filter(toks, t -> list_contains($m, t)))"
   }
 
+  /** The MinHash-LSH candidate-pair pipeline as a reusable CTE chain
+    * ending in `mh_pairs(id_a, id_b)` — spliced into both the pair
+    * query and the connected-components closure so the two oracles
+    * cannot drift.
+    */
+  private lazy val minhashPairCtes: String = {
+    val coef = DedupOps.minhashCoefficients(12)
+    val p = DedupOps.MinhashP
+    val sigCols = coef.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * h + $b) % $p) AS m$i"
+    }.mkString(",\n|    ")
+    val bandSelects = (0 until 4).map { b =>
+      val ms = (b * 3 until b * 3 + 3)
+        .map(j => s"CAST(m$j AS VARCHAR)").mkString(", ")
+      s"SELECT doc_id, $b AS b, md5(concat_ws(',', '$b', $ms)) AS bkey FROM sig"
+    }.mkString("\n|  UNION ALL ")
+    s"""$shingleCte,
+      |hs AS (SELECT doc_id,
+      |         CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) % $p AS h
+      |       FROM (SELECT doc_id, unnest(s) AS s FROM sh)),
+      |sig AS (SELECT doc_id,
+      |    $sigCols
+      |  FROM hs GROUP BY doc_id),
+      |bands AS (
+      |  $bandSelects),
+      |mh_pairs AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+      |  FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bkey = b2.bkey
+      |  WHERE a.doc_id < b2.doc_id)""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS dup_key,
         |  min(doc_id) AS canonical_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
 
-    "dedup_minhash_lsh" -> {
-      val coef = DedupOps.minhashCoefficients(12)
-      val p = DedupOps.MinhashP
-      val sigCols = coef.zipWithIndex.map { case ((a, b), i) =>
-        s"min(($a * h + $b) % $p) AS m$i"
-      }.mkString(",\n|    ")
-      val bandSelects = (0 until 4).map { b =>
-        val ms = (b * 3 until b * 3 + 3)
-          .map(j => s"CAST(m$j AS VARCHAR)").mkString(", ")
-        s"SELECT doc_id, $b AS b, md5(concat_ws(',', '$b', $ms)) AS bkey FROM sig"
-      }.mkString("\n|  UNION ALL ")
-      s"""WITH $shingleCte,
-        |hs AS (SELECT doc_id,
-        |         CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) % $p AS h
-        |       FROM (SELECT doc_id, unnest(s) AS s FROM sh)),
-        |sig AS (SELECT doc_id,
-        |    $sigCols
-        |  FROM hs GROUP BY doc_id),
-        |bands AS (
-        |  $bandSelects)
-        |SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
-        |FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bkey = b2.bkey
-        |WHERE a.doc_id < b2.doc_id""".stripMargin
-    },
+    "dedup_minhash_lsh" ->
+      s"""WITH $minhashPairCtes
+        |SELECT id_a, id_b FROM mh_pairs""".stripMargin,
+
+    // transitive closure over the SAME MinHash pair CTEs, min reachable
+    // id per doc = component id; docs outside every pair stay singleton
+    // components via the closure's seed row (doc_id, doc_id)
+    "dedup_components" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+        |edges AS (SELECT id_a AS ea, id_b AS eb FROM mh_pairs
+        |          UNION ALL SELECT id_b, id_a FROM mh_pairs),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.eb FROM reach r JOIN edges e ON r.dst = e.ea)
+        |SELECT src AS doc_id, min(dst) AS component_id
+        |FROM reach GROUP BY src""".stripMargin,
 
     "dedup_simhash" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t

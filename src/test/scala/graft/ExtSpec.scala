@@ -29,6 +29,26 @@ class ExtSpec extends SparkSpec {
     assert(got === 2.0 / 4.0) // {b,c} over {a,b,c,d}
   }
 
+  test("connectedComponents: min-label fixpoint over chains, " +
+    "singletons survive") {
+    val nodes = Seq(1L, 2L, 3L, 5L, 6L, 9L, 10L, 11L, 12L, 13L, 14L)
+      .toDF("id")
+    // a triangle-free CHAIN 10-…-14 (diameter 4) proves the loop runs
+    // to fixpoint, not a fixed round count; 9 is isolated
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (10L, 11L),
+      (11L, 12L), (12L, 13L), (13L, 14L)).toDF("id_a", "id_b")
+    val got = DedupOps.connectedComponents(nodes, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      9L -> 9L, 10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      14L -> 10L))
+    // no pairs at all: every node is its own component
+    val lone = DedupOps.connectedComponents(nodes,
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect()
+    assert(lone.forall { case (id, c) => id == c })
+  }
+
   test("identical docs always collide in MinHash LSH; disjoint never") {
     val df = Seq(
       (1L, Seq("x_y", "y_z", "z_w")),
@@ -375,6 +395,26 @@ class ExtSpec extends SparkSpec {
   }
 
   // -- Native vector kernels -------------------------------------------
+
+  test("native md5PrefixLong matches the conv/substring builtin form") {
+    // parity corpus: ascii, unicode, empty, whitespace, long strings
+    val strs = Seq("", "a", "hello world", "héllo wörld ünïcode",
+      "the quick brown fox", " leading and trailing ", "\t\n",
+      "x" * 500, "graft-sample:12345") ++
+      (0 until 200).map(i => s"doc $i body ${i * 31}")
+    val df = strs.toDF("s")
+    for (n <- Seq(1, 7, 8, 15)) {
+      val rows = df.select(
+        graft.ext.PortableHash.md5PrefixLong($"s", n).as("native"),
+        graft.ext.PortableHash.md5PrefixLongBuiltin($"s", n).as("builtin"))
+        .as[(Long, Long)].collect()
+      rows.foreach { case (a, b) => assert(a === b, s"hexLen=$n") }
+    }
+    // null in, null out — same as the builtin chain
+    val nulls = Seq[Option[String]](None).toDF("s")
+      .select(graft.ext.PortableHash.md5PrefixLong($"s", 15)).collect()
+    assert(nulls.head.isNullAt(0))
+  }
 
   test("VecDot/VecNorm match the higher-order fold bit for bit") {
     import org.apache.spark.sql.functions.{aggregate, zip_with, lit, sqrt}

@@ -63,6 +63,13 @@ class PlanSpec extends SparkSpec {
     assert(finalPlan("dedup_simhash_pairs").contains("ReusedExchange"))
   }
 
+  test("dedup_cosine_ivf: the IVF assignment is computed once — the " +
+      "list self-join reads one ReusedExchange") {
+    // without the explicit list-id repartition, both self-join
+    // branches would recompute the centroid cross join + top-2 window
+    assert(finalPlan("dedup_cosine_ivf").contains("ReusedExchange"))
+  }
+
   private def withBroadcastDisabled[A](f: => A): A = {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
