@@ -25,6 +25,13 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  test("driver contract: queries and oracles cover the same names") {
+    // a query without an oracle silently downgrades to a rows-only
+    // check in the driver's correctness gate; an oracle without a
+    // query is dead SQL masking a dropped operator
+    assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet)
+  }
+
   test("tpch_q5: all five dimension joins broadcast; lineitem streams") {
     val p = plan("tpch_q5")
     assert("BroadcastHashJoin".r.findAllIn(p).size === 5)
