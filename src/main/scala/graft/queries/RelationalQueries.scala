@@ -177,6 +177,37 @@ object RelationalQueries {
         .select("o_orderkey", "o_totalprice")
     },
 
+    // Skew-mitigated join: the salt decomposes one hot key's rows
+    // across `salts` reducers. The oracle is the PLAIN join + same
+    // aggregate — hash equality proves salting never changes results.
+    "join_salted" -> { (s, dir) =>
+      graft.ops.Relational.saltedJoin(
+        t(s, dir, "lineitem").select(col("l_suppkey"), col("l_quantity")),
+        t(s, dir, "supplier").select(col("s_suppkey").as("l_suppkey"),
+          col("s_nationkey")),
+        "l_suppkey", salts = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+    },
+
+    // RANGE window frame (value-based, unlike win_running's ROWS
+    // frame): per customer, total spend over orders within 30 days
+    // before each order — peer rows at equal dates all see the same
+    // frame, THE semantic difference from a rows frame.
+    "win_range_frame" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        // parquet ms-timestamps surface as TIMESTAMP_NTZ; cast through
+        // session-zone (UTC) timestamp = DuckDB's naive-as-UTC epoch_ms
+        .orderBy(unix_millis(col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-30L * 86400 * 1000, 0)
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+          .cast("double").as("spend_30d"),
+        count(lit(1)).over(w).as("n_30d"))
+    },
+
     "join_semi" -> { (s, dir) =>
       val c = t(s, dir, "customer")
       val o = t(s, dir, "orders")
@@ -398,6 +429,21 @@ object RelationalQueries {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // value-based frame: peers at the same date share one frame
+    "win_range_frame" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_30d,
+        |  COUNT(*) OVER w AS n_30d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate)
+        |             RANGE BETWEEN 2592000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "join_salted" ->
+      """SELECT s_nationkey, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1""".stripMargin,
 
     "win_lag_lead" ->
       """SELECT o_orderkey, o_custkey,
