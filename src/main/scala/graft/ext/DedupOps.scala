@@ -257,6 +257,12 @@ object DedupOps {
       e = next
       iter += 1
     }
+    // fail loudly: labels read off a PARTIALLY contracted edge set are
+    // silently wrong (a node's local min ≠ the component min)
+    require(converged,
+      s"connectedComponents did not reach the star-forest fixpoint in " +
+        s"$maxIter rounds — raise maxIter (components with enormous " +
+        "diameter need ~log² n alternations)")
     val sym = e.select(col("a").as("id"), col("b").as("nb"))
       .union(e.select(col("b").as("id"), col("a").as("nb")))
     val centers = sym.groupBy("id").agg(min("nb").as("__mn"))

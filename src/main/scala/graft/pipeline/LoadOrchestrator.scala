@@ -68,6 +68,20 @@ object LoadOrchestrator {
     try f(conn) finally conn.close()
   }
 
+  /** Rows stamped with this run timestamp — the run-key predicate the
+    * collision probe, the L4 verify, and the L6 delete all share.
+    */
+  private def countRowsAt(conn: Connection, table: String,
+                          ts: Timestamp): Long = {
+    val ps = conn.prepareStatement(
+      s"SELECT COUNT(*) FROM $table WHERE UPDATE_DATE = ?")
+    try {
+      ps.setTimestamp(1, ts)
+      val rs = ps.executeQuery()
+      rs.next(); rs.getLong(1)
+    } finally ps.close()
+  }
+
   /** L1: portable existence probe via JDBC metadata (the reference
     * queries INFORMATION_SCHEMA, :294 — DatabaseMetaData works on
     * engines without one). Unquoted identifiers fold differently per
@@ -137,21 +151,16 @@ object LoadOrchestrator {
 
     // runTs uniquely keys the run — a hard caller contract, because
     // both L4's verify and L6's compensating delete select on it. The
-    // timestamp has 1-second resolution, so a retried or concurrent
-    // load could silently share it and a failure here would then
-    // delete the OTHER run's committed rows. Fail fast on collision
-    // instead of writing.
+    // timestamp has 1-second resolution, so a RETRIED load could
+    // silently share it and a failure would then delete the earlier
+    // run's committed rows — fail fast instead of writing. NOTE this
+    // check-then-act probe only guards sequential retries: two loads
+    // racing the probe both read 0 and both write. Concurrent loads
+    // need an external mutex or a unique-constrained marker row —
+    // out of scope here, matching the reference's single-process
+    // assumption (Angelo_ETL_Task.py runs one load at a time).
     val preExisting = withConnection(url, props) { conn =>
-      if (created) 0L
-      else {
-        val ps = conn.prepareStatement(
-          s"SELECT COUNT(*) FROM $table WHERE UPDATE_DATE = ?")
-        try {
-          ps.setTimestamp(1, runInstant)
-          val rs = ps.executeQuery()
-          rs.next(); rs.getLong(1)
-        } finally ps.close()
-      }
+      if (created) 0L else countRowsAt(conn, table, runInstant)
     }
     if (preExisting > 0) {
       toWrite.unpersist()
@@ -178,15 +187,8 @@ object LoadOrchestrator {
     }
 
     // L4: verify against the DB, keyed on this run's UPDATE_DATE.
-    val verified = withConnection(url, props) { conn =>
-      val ps = conn.prepareStatement(
-        s"SELECT COUNT(*) FROM $table WHERE UPDATE_DATE = ?")
-      try {
-        ps.setTimestamp(1, runInstant)
-        val rs = ps.executeQuery()
-        rs.next(); rs.getLong(1)
-      } finally ps.close()
-    }
+    val verified = withConnection(url, props)(
+      countRowsAt(_, table, runInstant))
 
     // L5: CSV export of the inserted rows (same content by
     // construction — no DB round-trip needed).

@@ -40,7 +40,9 @@ object Tables {
     val files =
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
       else Array(f)
-    files.foldLeft(files.length.toLong) { (acc, p) =>
+    // listFiles() order is unspecified — sort, or identical content
+    // could fingerprint differently and spuriously re-infer
+    files.sortBy(_.getName).foldLeft(files.length.toLong) { (acc, p) =>
       31L * (31L * acc + p.lastModified) + p.length
     }
   }

@@ -75,7 +75,11 @@ object StreamOps {
     * Within one micro-batch the group iterator has no arrival order,
     * so rows are paired in ascending doc_id order: same-batch pairs
     * deterministically orient (higher id, dup_of = lower id) no matter
-    * how the batch was partitioned.
+    * how the batch was partitioned. The sort buffers ONE bucket's rows
+    * of ONE micro-batch in the task (stored state stays capped at
+    * maxPerBucket) — the trigger interval bounds that buffer; size
+    * triggers accordingly if a single bucket can receive millions of
+    * rows per batch.
     */
   def simhashNearDupCandidates(docs: DataFrame, bands: Int = 4,
                                bitsPerBand: Int = 15,
