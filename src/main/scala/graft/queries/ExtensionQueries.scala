@@ -64,6 +64,27 @@ object ExtensionQueries {
         .select(col("id").as("doc_id"), col("component_id"))
     },
 
+    // Clusters → survivors: keep the HIGHEST-QUALITY doc of each
+    // near-dup component (ties to the smaller doc_id) — the actual
+    // curation policy, vs dedup_components' min-id canonical label.
+    // One extra broadcastable join + one max_by aggregation on top of
+    // the component computation.
+    "dedup_keep_best" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val pairs = DedupOps.lshCandidatePairs(d, col("doc_id"),
+        TextAnalysis.shingles(col("text"), 2), numHashes = 12, bands = 4)
+      val comp = DedupOps.connectedComponents(
+        d.select(col("doc_id").as("id")), pairs)
+      val scored = d.select(col("doc_id").as("id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      comp.join(scored, "id")
+        .groupBy("component_id")
+        .agg(
+          max_by(col("id"), struct(col("quality"), -col("id")))
+            .as("best_id"),
+          count(lit(1)).as("n_members"))
+    },
+
     // 60-bit simhash: the full width simhashTokenHash carries (15 hex
     // chars of md5). 60 bits / 4 bands = 15-bit band keys = 32,768
     // buckets per band in the pairs query below — the blocking stays
@@ -551,6 +572,29 @@ object ExtensionQueries {
     "dedup_minhash_lsh" ->
       s"""WITH $minhashPairCtes
         |SELECT id_a, id_b FROM mh_pairs""".stripMargin,
+
+    // same closure as dedup_components, then quality-argmax per
+    // component; (quality DESC, id ASC) mirrors Spark's
+    // max_by(id, struct(quality, -id)) tie-break bit for bit
+    "dedup_keep_best" ->
+      (s"""WITH RECURSIVE $minhashPairCtes,
+        |edges AS (SELECT id_a AS ea, id_b AS eb FROM mh_pairs
+        |          UNION ALL SELECT id_b, id_a FROM mh_pairs),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.eb FROM reach r JOIN edges e ON r.dst = e.ea),
+        |comp AS (SELECT src AS id, min(dst) AS component_id
+        |         FROM reach GROUP BY src),
+        |q AS (SELECT doc_id AS id, $qualitySql AS quality
+        |      FROM (SELECT doc_id, text, $tokensSql AS toks FROM documents)),
+        |j AS (SELECT c.component_id, c.id, q.quality
+        |      FROM comp c JOIN q USING (id))
+        |SELECT component_id, id AS best_id,
+        |  count(*) OVER (PARTITION BY component_id) AS n_members
+        |FROM j
+        |QUALIFY row_number() OVER (PARTITION BY component_id
+        |  ORDER BY quality DESC, id) = 1""".stripMargin),
 
     // transitive closure over the SAME MinHash pair CTEs, min reachable
     // id per doc = component id; docs outside every pair stay singleton

@@ -49,6 +49,38 @@ class ExtSpec extends SparkSpec {
     assert(lone.forall { case (id, c) => id == c })
   }
 
+  test("connectedComponents matches a union-find oracle on random graphs") {
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 0 until 3) {
+      val n = 60 + trial * 30
+      val ids = (0 until n).map(_ => rnd.nextLong().abs % 100000).distinct
+      val edges = (0 until n).map { _ =>
+        (ids(rnd.nextInt(ids.size)), ids(rnd.nextInt(ids.size)))
+      }.filter { case (a, b) => a != b }
+      // driver-side union-find oracle
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // canonical = min id per root
+      val byRoot = ids.groupBy(find)
+      val expect = byRoot.flatMap { case (_, members) =>
+        val m = members.min
+        members.map(_ -> m)
+      }
+      val got = DedupOps.connectedComponents(
+        ids.toDF("id"), edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === expect, s"trial $trial")
+    }
+  }
+
   test("identical docs always collide in MinHash LSH; disjoint never") {
     val df = Seq(
       (1L, Seq("x_y", "y_z", "z_w")),
