@@ -58,11 +58,15 @@ object Bench {
     // AFTER the per-query map, sorted fastest-first so the slowest —
     // most informative — queries sit nearest the end of the line.
     // Locale.ROOT: the f interpolator uses the JVM default locale, and
-    // a comma-decimal locale would emit invalid JSON
+    // a comma-decimal locale would emit invalid JSON. Per-query times
+    // print at 2 decimals so the whole line (84 queries) stays inside
+    // the harness's ~2k-char output tail; the total keeps 3.
     def sec(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def sec2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = results.sortBy(_._2)
-      .map { case (k, v, _) => jstr(k) + ":" + sec(v) }
+      .map { case (k, v, _) => jstr(k) + ":" + sec2(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
