@@ -192,7 +192,14 @@ object DedupOps {
     * to m. Edges stay normalized as (a < b) and deduped — each step is
     * one groupBy-min plus one equi-join, all partial-agg friendly.
     */
-  private def starStep(e: DataFrame, large: Boolean): DataFrame = {
+  /** @param dedup canonicalize the output with a distinct — required
+    *               for the round output (the convergence compare is a
+    *               set compare), skippable for the large→small
+    *               intermediate where duplicate edges cost one extra
+    *               shuffle but cannot change any min (idempotent)
+    */
+  private def starStep(e: DataFrame, large: Boolean,
+                       dedup: Boolean = true): DataFrame = {
     val sym = e.select(col("a").as("u"), col("b").as("v"))
       .union(e.select(col("b").as("u"), col("a").as("v")))
     val mins = sym.groupBy("u").agg(min("v").as("__mv"))
@@ -207,7 +214,8 @@ object DedupOps {
           .select(col("m").as("a"), col("v").as("b"))
           .union(mins.filter(col("u") =!= col("m"))
             .select(col("m").as("a"), col("u").as("b")))
-    rewired.filter(col("a") =!= col("b")).distinct()
+    val out = rewired.filter(col("a") =!= col("b"))
+    if (dedup) out.distinct() else out
   }
 
   /** Connected components over near-dup candidate pairs — the stage
@@ -247,8 +255,8 @@ object DedupOps {
       // blocks the exchange-reuse match), and chaining two
       // alternations before the checkpoint recomputes subtrees
       // exponentially
-      val next = starStep(starStep(e, large = true), large = false)
-        .localCheckpoint(true)
+      val next = starStep(starStep(e, large = true, dedup = false),
+        large = false).localCheckpoint(true)
       val n = next.count()
       // both sides are distinct sets: equal size + empty difference
       // (one cheap probe on two checkpointed frames) ⇒ set equality

@@ -35,7 +35,7 @@ object Tables {
     * mtime has 1-second granularity on some filesystems — both would
     * make a directory-mtime key serve a stale schema.
     */
-  private def fingerprint(path: String): Long = {
+  private[graft] def fingerprint(path: String): Long = {
     val f = new java.io.File(path)
     val files =
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
