@@ -71,6 +71,11 @@ object StreamOps {
     * `idleBucketTtl` bounds it in wall-clock too — a bucket no new doc
     * has landed in for that long is dropped (processing-time timeout),
     * trading recall against unbounded state on long-running streams.
+    * Run TTL'd queries with a real ProcessingTime trigger: processing-
+    * time timeouts make the engine keep planning timer-evaluation
+    * batches, so the default run-as-fast-as-possible trigger spins
+    * empty micro-batches and `processAllAvailable` never settles —
+    * Spark's timeout semantics, not a defect of this operator.
     *
     * Within one micro-batch the group iterator has no arrival order,
     * so rows are paired in ascending doc_id order: same-batch pairs
