@@ -72,7 +72,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val sfName = sfDir.split('/').last
-    println(s"""{"queries":$qs,"errors":$errs,"sf":"$sfName","n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},"unit":"sec","metric":"total","value":${sec(total)}}""")
+    println(s"""{"queries":$qs,"errors":$errs,"sf":"$sfName","n":${results.size},"unit":"sec","metric":"total","value":${sec(total)}}""")
     spark.stop()
   }
 }

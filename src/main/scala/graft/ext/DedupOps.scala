@@ -280,6 +280,31 @@ object DedupOps {
         coalesce(col("component_id"), col("id")).as("component_id"))
   }
 
+  /** Blocked edit-distance near-dup pairs over SHORT strings (names,
+    * titles, codes): within a block, pairs (a < b) whose levenshtein
+    * distance is ≤ `maxDist`. Levenshtein is O(len·len) per PAIR with
+    * no hashing shortcut, so this is only viable where a blocking key
+    * bounds candidates and the strings are short — for document bodies
+    * use the MinHash/SimHash families instead. The join is a plain
+    * equi-join on the block key (shuffle-partitioned, AQE-splittable);
+    * `levenshtein` is a codegen'd built-in on both Spark and DuckDB
+    * with the identical classic definition, so the oracle reproduces
+    * it verbatim.
+    */
+  def editDistancePairs(df: DataFrame, blockKeys: Seq[String], id: Column,
+                        text: Column, maxDist: Int): DataFrame = {
+    val a = df.select(blockKeys.map(col) ++
+      Seq(id.as("id_a"), text.as("__ta")): _*)
+    val b = df.select(blockKeys.map(col) ++
+      Seq(id.as("id_b"), text.as("__tb")): _*)
+    a.join(b, blockKeys)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("__ta"), col("__tb")))
+      .filter(col("dist") <= maxDist)
+      .select((blockKeys.map(col) ++
+        Seq(col("id_a"), col("id_b"), col("dist"))): _*)
+  }
+
   /** SimHash bit-j contribution of one 60-bit token hash: +1/-1. */
   def simhashTokenHash(t: Column): Column =
     PortableHash.md5PrefixLong(t, 15)

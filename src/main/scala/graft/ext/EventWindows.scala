@@ -127,4 +127,24 @@ object EventWindows {
         Seq(col(s"__carried.$ts").as(s"asof_$ts")) ++
         payloadCols.map(c => col(s"__carried.$c").as(s"asof_$c")): _*)
   }
+
+  /** AS-OF join with a staleness bound (pandas `merge_asof(tolerance=)`
+    * parity): a carried match older than `toleranceSeconds` before the
+    * left timestamp is nulled out — a quote/sensor reading that stale
+    * is no match at all. Same single sort-merge pass as [[asofJoin]];
+    * the bound is one post-projection, no extra shuffle.
+    */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame, key: String,
+                        ts: String, payloadCols: Seq[String],
+                        toleranceSeconds: Long): DataFrame = {
+    val asofCols = s"asof_$ts" +: payloadCols.map("asof_" + _)
+    val within = col(s"asof_$ts").isNotNull &&
+      unix_micros(col(ts)) - unix_micros(col(s"asof_$ts")) <=
+        toleranceSeconds * 1000000L
+    val bounded = asofJoin(left, right, key, ts, payloadCols)
+      .withColumn("__within", within)
+    asofCols.foldLeft(bounded)((d, c) =>
+      d.withColumn(c, when(col("__within"), col(c))))
+      .drop("__within")
+  }
 }

@@ -142,6 +142,15 @@ object ExtensionQueries {
         threshold = 0.1, maxDf = 64)
     },
 
+    // Edit-distance fuzzy matching on short strings — the family for
+    // names/titles where token hashing is too coarse; blocked on
+    // (brand, type) so candidates stay bounded.
+    "dedup_editdist" -> { (s, dir) =>
+      DedupOps.editDistancePairs(t(s, dir, "part"),
+        Seq("p_brand", "p_type"), col("p_partkey"), col("p_name"),
+        maxDist = 2)
+    },
+
     "dedup_cosine" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
       Similarity.cosineNearDupPairs(e, col("vec_id"), col("embedding"),
@@ -386,6 +395,19 @@ object ExtensionQueries {
         Seq("user_id", "ts"), col("event_id"), Seq("value"))
       EventWindows.asofJoin(clicks, purchases, "user_id", "ts",
         Seq("value"))
+    },
+
+    // The tolerance-bounded variant (pandas merge_asof parity): a
+    // purchase more than a day before the click is no match.
+    "ew_asof_tolerance" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      val purchases = Dedup.lastWins(
+        e.filter(col("event_type") === "purchase"),
+        Seq("user_id", "ts"), col("event_id"), Seq("value"))
+      EventWindows.asofJoinTolerance(clicks, purchases, "user_id", "ts",
+        Seq("value"), toleranceSeconds = 86400L)
     },
 
     // Same query through the custom plan node (logical + strategy +
@@ -1008,6 +1030,34 @@ object ExtensionQueries {
         |SELECT l.user_id, l.ts, l.click_id, r0.ts AS asof_ts, r0.value AS asof_value
         |FROM l ASOF LEFT JOIN r0
         |  ON l.user_id = r0.user_id AND r0.ts <= l.ts""".stripMargin),
+
+    // the same asof join with matches older than a day nulled out —
+    // epoch_us arithmetic keeps the bound exact on both engines
+    "ew_asof_tolerance" ->
+      (s"""WITH $evtCte,
+        |l AS (SELECT user_id, ts, event_id AS click_id FROM evts
+        |      WHERE event_type = 'click'),
+        |r0 AS (SELECT user_id, ts, value FROM evts WHERE event_type = 'purchase'
+        |       QUALIFY row_number() OVER (PARTITION BY user_id, ts
+        |                                  ORDER BY event_id DESC) = 1)
+        |SELECT l.user_id, l.ts, l.click_id,
+        |  CASE WHEN r0.ts IS NOT NULL
+        |         AND epoch_us(l.ts) - epoch_us(r0.ts) <= 86400000000
+        |       THEN r0.ts END AS asof_ts,
+        |  CASE WHEN r0.ts IS NOT NULL
+        |         AND epoch_us(l.ts) - epoch_us(r0.ts) <= 86400000000
+        |       THEN r0.value END AS asof_value
+        |FROM l ASOF LEFT JOIN r0
+        |  ON l.user_id = r0.user_id AND r0.ts <= l.ts""".stripMargin),
+
+    "dedup_editdist" ->
+      """SELECT a.p_brand, a.p_type, a.p_partkey AS id_a,
+        |  b.p_partkey AS id_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+        |     AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
 
     "sim_sql_cosine" ->
       (s"""SELECT vec_id,
