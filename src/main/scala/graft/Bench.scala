@@ -54,9 +54,9 @@ object Bench {
         case c => c.toString
       }.mkString("\"", "", "\"")
     // The harness keeps only the LAST ~2k chars of output, so the line
-    // must stay compact (3-decimal timings) and put the headline fields
-    // AFTER the per-query map, sorted fastest-first so the slowest —
-    // most informative — queries sit nearest the end of the line.
+    // must stay compact and put the headline fields AFTER the
+    // per-query map, sorted fastest-first so the slowest — most
+    // informative — queries sit nearest the end of the line.
     // Locale.ROOT: the f interpolator uses the JVM default locale, and
     // a comma-decimal locale would emit invalid JSON. Per-query times
     // print at 2 decimals so the whole line (84 queries) stays inside

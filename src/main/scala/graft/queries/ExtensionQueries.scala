@@ -41,34 +41,38 @@ object ExtensionQueries {
     t(s, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
 
-  // -- Shared near-dup pipeline stages --------------------------------
-  // The MinHash candidate pairs and the component labels derived from
-  // them feed THREE queries (pair listing, component census, survivor
+  // -- Shared near-dup pipeline stage ---------------------------------
+  // The component labels feed two queries (component census, survivor
   // selection). A production pipeline materializes such a stage once
   // and fans out — mirrored here: one localCheckpoint'd computation
-  // per (session, dir, data fingerprint), so a regenerated fixture
-  // invalidates, and every consumer reads the same physical result.
-  private val stageCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  // per (session, dir, stage), with the data fingerprint carried in
+  // the VALUE so a regenerated fixture REPLACES (and unpersists) the
+  // stale entry instead of leaking one orphaned checkpoint per
+  // regeneration. NEVER nest memo calls: a reentrant computeIfAbsent/
+  // compute on one ConcurrentHashMap throws "Recursive update" when
+  // both keys share a bin.
+  private val stageCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, DataFrame)]()
 
   private def memo(s: SparkSession, dir: String, stage: String)
                   (build: => DataFrame): DataFrame = {
-    val key = s"${s.sparkContext.applicationId}|$dir|$stage|" +
-      Tables.fingerprint(s"$dir/documents.parquet")
-    stageCache.computeIfAbsent(key, _ => build.localCheckpoint(true))
+    val key = s"${s.sparkContext.applicationId}|$dir|$stage"
+    val fp = Tables.fingerprint(s"$dir/documents.parquet")
+    stageCache.compute(key, (_, cur) =>
+      if (cur != null && cur._1 == fp) cur
+      else {
+        if (cur != null) cur._2.unpersist()
+        (fp, build.localCheckpoint(true))
+      })._2
   }
-
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    memo(s, dir, "mh_pairs") {
-      DedupOps.lshCandidatePairs(docs(s, dir), col("doc_id"),
-        TextAnalysis.shingles(col("text"), 2), numHashes = 12, bands = 4)
-    }
 
   private def componentLabels(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "cc_labels") {
+      val d = docs(s, dir)
+      val pairs = DedupOps.lshCandidatePairs(d, col("doc_id"),
+        TextAnalysis.shingles(col("text"), 2), numHashes = 12, bands = 4)
       DedupOps.connectedComponents(
-        docs(s, dir).select(col("doc_id").as("id")),
-        minhashPairs(s, dir))
+        d.select(col("doc_id").as("id")), pairs)
     }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
