@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
   * (org.apache.spark.sql.graft.Md5PrefixLong): digest → long with no
   * hex-string/substring/radix-parse allocations per row. Bit parity
   * with the built-in `conv(substring(md5(c), 1, n), 16, 10)` form is
-  * asserted in FunctionsSpec, and the oracle rendering is unchanged.
+  * asserted in ExtSpec ("native md5PrefixLong matches the conv/substring
+  * builtin form"), and the oracle rendering is unchanged.
   */
 object PortableHash {
 

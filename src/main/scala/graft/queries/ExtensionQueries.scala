@@ -46,24 +46,54 @@ object ExtensionQueries {
   // selection). A production pipeline materializes such a stage once
   // and fans out — mirrored here: one localCheckpoint'd computation
   // per (session, dir, stage), with the data fingerprint carried in
-  // the VALUE so a regenerated fixture REPLACES (and unpersists) the
+  // the cell so a regenerated fixture REPLACES (and unpersists) the
   // stale entry instead of leaking one orphaned checkpoint per
-  // regeneration. NEVER nest memo calls: a reentrant computeIfAbsent/
-  // compute on one ConcurrentHashMap throws "Recursive update" when
-  // both keys share a bin.
-  private val stageCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Long, DataFrame)]()
+  // regeneration. The build runs inside the CELL's lock, not the
+  // map's: an LSH + iterative-connected-components job inside
+  // ConcurrentHashMap.compute would block every other memo key that
+  // hashes to the same bin for the whole job (and a reentrant memo
+  // call would throw "Recursive update"). Entries whose SparkContext
+  // has stopped are swept on each call, so a long-lived JVM running
+  // several sessions does not accrete dead checkpointed frames.
+  private final class StageCell(
+      val fp: Long, val sc: org.apache.spark.SparkContext,
+      build: () => DataFrame) {
+    private var computed: DataFrame = _
+    def df: DataFrame = synchronized {
+      if (computed == null) computed = build().localCheckpoint(true)
+      computed
+    }
+    /** The frame iff the build already ran — eviction must not force
+      * a multi-job build just to unpersist its result. */
+    def forced: Option[DataFrame] = synchronized(Option(computed))
+  }
+
+  private val stageCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StageCell]()
+
+  private def dropQuietly(cell: StageCell): Unit =
+    cell.forced.foreach(d =>
+      try d.unpersist() catch { case _: Throwable => () })
 
   private def memo(s: SparkSession, dir: String, stage: String)
                   (build: => DataFrame): DataFrame = {
+    val it = stageCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue.sc.isStopped) { dropQuietly(e.getValue); it.remove() }
+    }
     val key = s"${s.sparkContext.applicationId}|$dir|$stage"
     val fp = Tables.fingerprint(s"$dir/documents.parquet")
-    stageCache.compute(key, (_, cur) =>
-      if (cur != null && cur._1 == fp) cur
-      else {
-        if (cur != null) cur._2.unpersist()
-        (fp, build.localCheckpoint(true))
-      })._2
+    val fresh = new StageCell(fp, s.sparkContext, () => build)
+    var cell = stageCache.putIfAbsent(key, fresh)
+    if (cell == null) cell = fresh
+    else if (cell.fp != fp) {
+      // stale fixture: swap in the fresh cell, drop the old checkpoint
+      cell = if (stageCache.replace(key, cell, fresh)) {
+        dropQuietly(cell); fresh
+      } else stageCache.getOrDefault(key, fresh) // lost a race: reuse winner
+    }
+    cell.df
   }
 
   private def componentLabels(s: SparkSession, dir: String): DataFrame =
@@ -74,6 +104,17 @@ object ExtensionQueries {
       DedupOps.connectedComponents(
         d.select(col("doc_id").as("id")), pairs)
     }
+
+  /** Force-builds (and times) each shared memoized stage for `dir`, so
+    * a benchmark can account the one-time stage cost explicitly
+    * instead of charging it to whichever consumer query happens to run
+    * first. Returns (stageName, seconds) per stage built.
+    */
+  def prebuildStages(s: SparkSession, dir: String): Seq[(String, Double)] = {
+    val t0 = System.nanoTime()
+    componentLabels(s, dir).count()
+    Seq("cc_labels" -> (System.nanoTime() - t0) / 1e9)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- Deduplication ------------------------------------------------

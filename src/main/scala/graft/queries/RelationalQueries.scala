@@ -303,10 +303,15 @@ object RelationalQueries {
           count(lit(1)).as("count_order"))
     },
 
+    // Canonical TPC-H Q3 predicates (spec §2.4.3): orders placed
+    // before the cutoff, line items shipped after it — the selective
+    // filters are what create the join-order pressure the query is
+    // known for, and Catalyst pushes both below the joins.
     "tpch_q3" -> { (s, dir) =>
+      val cutoff = lit("1995-03-15").cast("timestamp")
       val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
-      val o = t(s, dir, "orders")
-      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < cutoff)
+      val l = t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(l("l_orderkey"), o("o_orderdate"))
@@ -318,11 +323,17 @@ object RelationalQueries {
         .limit(10)
     },
 
+    // Canonical TPC-H Q5 predicates (spec §2.4.5): one region, one
+    // order-date year. The reference data starts 1995-01-01, so the
+    // year window is 1996 rather than the spec's 1994 — same shape
+    // (range prune on the fact table, broadcast-size region filter).
     "tpch_q5" -> { (s, dir) =>
-      val r = t(s, dir, "region")
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
       val n = t(s, dir, "nation")
       val c = t(s, dir, "customer")
       val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
       val l = t(s, dir, "lineitem")
       val su = t(s, dir, "supplier")
       l.join(o, l("l_orderkey") === o("o_orderkey"))
@@ -538,6 +549,8 @@ object RelationalQueries {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
 
@@ -550,5 +563,8 @@ object RelationalQueries {
         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name""".stripMargin)
 }

@@ -29,20 +29,25 @@ object Tables {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, StructType)]()
 
-  /** Cache fingerprint: fold (mtime, length) of every part file (or of
-    * the single file). Rewriting a part file in place changes its own
-    * mtime/length without bumping the directory mtime, and directory
-    * mtime has 1-second granularity on some filesystems — both would
-    * make a directory-mtime key serve a stale schema.
+  /** Cache fingerprint: fold (mtime, length) of every regular file in
+    * the tree (or of the single file). Rewriting a part file in place
+    * changes its own mtime/length without bumping any ancestor
+    * directory's mtime, and directory mtime has 1-second granularity
+    * on some filesystems — both would make a directory-mtime key serve
+    * a stale schema. Recursing covers partitioned layouts (`key=…`
+    * subdirectories), where a rewrite two levels down is equally
+    * invisible to the top-level listing.
     */
   private[graft] def fingerprint(path: String): Long = {
-    val f = new java.io.File(path)
-    val files =
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
-      else Array(f)
-    // listFiles() order is unspecified — sort, or identical content
-    // could fingerprint differently and spuriously re-infer
-    files.sortBy(_.getName).foldLeft(files.length.toLong) { (acc, p) =>
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        // listFiles() order is unspecified — sort, or identical content
+        // could fingerprint differently and spuriously re-infer
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .sortBy(_.getName).toSeq.flatMap(walk)
+      else Seq(f)
+    val files = walk(new java.io.File(path))
+    files.foldLeft(files.length.toLong) { (acc, p) =>
       31L * (31L * acc + p.lastModified) + p.length
     }
   }

@@ -49,7 +49,8 @@ object GraftHashUtil {
   * hottest path of every dedup signature and sampling bucket. This
   * expression goes digest → long directly and stays inside
   * WholeStageCodegen. Value parity with the built-in form is asserted
-  * bit-for-bit in FunctionsSpec, and the DuckDB oracle rendering
+  * bit-for-bit in ExtSpec ("native md5PrefixLong matches the
+  * conv/substring builtin form"), and the DuckDB oracle rendering
   * (`CAST('0x' || substr(md5(x), 1, n) AS BIGINT)`) is unchanged.
   */
 case class Md5PrefixLong(child: Expression, hexLen: Int)
