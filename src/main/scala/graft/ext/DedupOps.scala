@@ -378,4 +378,71 @@ object DedupOps {
       .select("id_a", "id_b", "hamming")
       .distinct()
   }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    * the MOSS algorithm): hash every k-char gram of the text, then
+    * keep the MINIMUM hash of each window of `window` consecutive
+    * grams. Any substring shared by two documents of length
+    * ≥ window + k − 1 contains one full gram window inside the shared
+    * region; that window's min hash is a pure function of the shared
+    * bytes, so both documents keep an identical fingerprint —
+    * guaranteed detection, unlike mod-p gram sampling (Manber '94)
+    * which can miss a planted span entirely.
+    *
+    * Relational shape (scales where the classic per-string loop does
+    * not): explode gram positions → ONE md5 per gram → windowed `min`
+    * partitioned by doc (a single shuffle on doc id, codegen'd) →
+    * distinct (doc, fingerprint). Fingerprint density is ~2/(window+1)
+    * per gram, so the downstream postings join sees a ~window/2-fold
+    * smaller table than raw grams would.
+    */
+  def winnowingFingerprints(df: DataFrame, id: Column, text: Column,
+                            k: Int = 16, window: Int = 8): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    df.filter(length(text) >= k) // also guards sequence(1, stop < 1)
+      .select(id.as("doc_id"), text.as("__t"))
+      .select(col("doc_id"), col("__t"),
+        explode(sequence(lit(1), length(col("__t")) - (k - 1))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        PortableHash.md5PrefixLong(
+          expr(s"substring(__t, pos, $k)"), 15).as("h"))
+      .select(col("doc_id"), min(col("h")).over(win).as("fp"))
+      .distinct()
+  }
+
+  /** Substring-level duplicate pairs: documents sharing ≥ `minShared`
+    * winnowing fingerprints — the exact-span family (boilerplate,
+    * license headers, copied passages) that doc-level MinHash misses
+    * when the surrounding text differs. Postings lists longer than
+    * `maxDf` are dropped before the self-join, the same
+    * quadratic-stopword guard as [[jaccardPairs]]: a fingerprint
+    * present in thousands of docs is corpus boilerplate, and its
+    * posting list alone would emit |list|² pair rows.
+    */
+  def substringDupPairs(df: DataFrame, id: Column, text: Column,
+                        k: Int = 16, window: Int = 8, minShared: Int = 3,
+                        maxDf: Int = 64): DataFrame = {
+    // Inverted-index shape, same as [[jaccardPairs]]: ONE pass builds
+    // a per-fingerprint postings list, the df-cap drops boilerplate
+    // lists, and the (a < b) pairs expand in-row from the sorted list
+    // (output-proportional, bounded by C(maxDf, 2) per list). A
+    // self-join formulation instead recomputes the md5 + windowed-min
+    // pass once per join branch — broadcast self-joins don't reuse the
+    // fingerprint exchange.
+    val fps = winnowingFingerprints(df, id, text, k, window)
+    val postings = fps.groupBy("fp")
+      // fps is already distinct per (doc, fp); sort so i < j ⇒
+      // doc_a < doc_b in the expansion below
+      .agg(sort_array(collect_list(col("doc_id"))).as("__ids"))
+      .filter(size(col("__ids")).between(2, maxDf))
+    postings
+      .select(explode(flatten(transform(col("__ids"), (x, i) =>
+        transform(slice(col("__ids"), i + lit(2), size(col("__ids"))),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("__p"))
+      .select(col("__p.doc_a"), col("__p.doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

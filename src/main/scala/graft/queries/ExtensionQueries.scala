@@ -187,6 +187,15 @@ object ExtensionQueries {
         threshold = 0.1, maxDf = 64)
     },
 
+    // Substring-level exact dedup: winnowing fingerprints guarantee
+    // any shared span ≥ window + k − 1 = 23 chars produces a shared
+    // fingerprint — the copied-passage family doc-level MinHash
+    // misses. k/window/minShared/maxDf are mirrored in the oracle.
+    "dedup_substring" -> { (s, dir) =>
+      DedupOps.substringDupPairs(docs(s, dir), col("doc_id"),
+        col("text"), k = 16, window = 8, minShared = 3, maxDf = 64)
+    },
+
     // Edit-distance fuzzy matching on short strings — the family for
     // names/titles where token hashing is too coarse; blocked on
     // (brand, type) so candidates stay bounded.
@@ -748,6 +757,29 @@ object ExtensionQueries {
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.1""".stripMargin),
+
+    // k=16-char grams, 8-gram windows (ROWS ... 7 FOLLOWING), shared
+    // fingerprints >= 3, posting-list cap 64 — identical constants to
+    // the Spark call in `queries`
+    "dedup_substring" ->
+      """WITH grams AS (
+        |  SELECT doc_id, i.i AS pos,
+        |    CAST('0x' || substring(md5(substring(text, CAST(i.i AS INT), 16)), 1, 15)
+        |         AS BIGINT) AS h
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(generate_series(1, length(text) - 15)) AS i) i
+        |  WHERE length(text) >= 16),
+        |winmin AS (
+        |  SELECT doc_id,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+        |  FROM grams),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM winmin),
+        |keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 64)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |JOIN keep ON keep.fp = a.fp
+        |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
 
     "dedup_cosine" ->
       (s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,

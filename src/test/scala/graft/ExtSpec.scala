@@ -489,6 +489,34 @@ class ExtSpec extends SparkSpec {
     assert(got === Set((1L, 2L, 0.5)))
   }
 
+  test("substringDupPairs finds every planted span >= window + k - 1") {
+    // winnowing guarantee (Schleimer et al. '03): a shared span of at
+    // least window + k - 1 chars contains a full gram window, whose
+    // min-hash fingerprint both docs then keep. k=16, window=8 -> any
+    // planted span of 23+ chars MUST be detected, even at the exact
+    // boundary length.
+    val rnd = new scala.util.Random(41)
+    def randDoc(n: Int): String =
+      (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val span40 = randDoc(40)
+    val span23 = randDoc(23) // exact guarantee boundary
+    val docs = Seq(
+      0L -> (randDoc(80) + span40 + randDoc(80)),
+      1L -> (randDoc(150) + span40 + randDoc(10)),
+      2L -> (span23 + randDoc(200)),
+      3L -> (randDoc(120) + span23 + randDoc(60))) ++
+      (4L to 11L).map(i => i -> randDoc(220))
+    val df = docs.toDF("doc_id", "text")
+    val pairs = DedupOps.substringDupPairs(df, $"doc_id", $"text",
+      k = 16, window = 8, minShared = 1, maxDf = 64)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), "40-char planted span missed")
+    assert(pairs.contains((2L, 3L)), "23-char boundary span missed")
+    // 16-char-gram collisions between independent random 220-char
+    // lowercase docs are (26^-16-scale) impossible: no other pairs
+    assert(pairs === Set((0L, 1L), (2L, 3L)))
+  }
+
   test("rangeJoin matches the range predicate across bucket boundaries") {
     val points = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1L),  // == start -> in
