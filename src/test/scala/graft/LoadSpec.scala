@@ -181,6 +181,50 @@ class LoadSpec extends SparkSpec {
     assert(rows(1).getAs[String]("LOINC_NUM") === "2-2")
   }
 
+  test("EtlMain.run drives the full chain: fetch -> zip -> transform " +
+    "-> load (S1..L6)") {
+    def zipBytes(entry: String, content: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val zos = new java.util.zip.ZipOutputStream(bos)
+      zos.putNextEntry(new java.util.zip.ZipEntry(entry))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry(); zos.close()
+      bos.toByteArray
+    }
+    val loincCsv =
+      "LOINC_NUM,COMPONENT,PROPERTY,TIME_ASPCT,SYSTEM,SCALE_TYP," +
+        "METHOD_TYP,STATUS\n" +
+        "100-1,Alpha,Mass,PT,Ser,Qn,M0,ACTIVE\n" +
+        "200-2,Beta,Conc,PT,Bld,Ql,M1,ACTIVE\n" +
+        "LP55,Gamma,Prop,PT,Sys,Qn,M2,ACTIVE\n"
+    // 100-1 appears twice: the SECOND row must win (R2 last-wins in
+    // file order), which the minted seq column has to reproduce.
+    val hierCsv =
+      "CODE,CODE_TEXT,PATH_TO_ROOT,IMMEDIATE_PARENT\n" +
+        "100-1,Alpha one,R.A,A\n" +
+        "200-2,Beta two,R.B,B\n" +
+        "LP55,Gamma lab,R.C,C\n" +
+        "100-1,Alpha v2,R.A2,A2\n"
+    val fetcher = new StubFetcher(Map(
+      graft.pipeline.EtlMain.LoginUrl -> Array.emptyByteArray,
+      graft.pipeline.EtlMain.LoincZipUrl ->
+        zipBytes("Loinc.csv", loincCsv),
+      graft.pipeline.EtlMain.HierarchyZipUrl ->
+        zipBytes("MultiAxialHierarchy.csv", hierCsv)))
+    val url = "jdbc:derby:memory:graftdb_etl;create=true"
+    val cfg = graft.pipeline.EtlMain.EtlConfig(
+      loincUser = "u", loincPassword = "p", jdbcUrl = Some(url))
+    val report = graft.pipeline.EtlMain.run(spark, fetcher, cfg, runTs)
+    assert(report.createdTable)
+    assert(report.rowsWritten === 3)
+    assert(report.verifiedCount === 3) // the L4 gate
+    val back = spark.read.jdbc(url, "I2B2", new Properties())
+    val fullname = back.filter($"C_BASECODE".endsWith("100-1"))
+      .select("C_FULLNAME").as[String].collect().head
+    assert(fullname.contains("Alpha v2"),
+      s"last-wins hierarchy row lost: $fullname")
+  }
+
   test("StubFetcher serves canned bytes; pipelines depend on Fetcher (S1)") {
     val fetcher = new StubFetcher(
       Map("https://example.test/dl" -> "zipbytes".getBytes("UTF-8")))
