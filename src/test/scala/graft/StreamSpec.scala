@@ -102,6 +102,45 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming simhash twin equals batch band pairs on the same input") {
+    // the equivalence contract: same (doc_id, simhash) rows, any
+    // batch split -> the streaming candidates (normalized to
+    // unordered pairs, deduped across bands) are exactly the batch
+    // simhashBandPairs output
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    val mask60 = (1L << 60) - 1
+    val base = Seq.fill(12)(rnd.nextLong() & mask60)
+    val docs: Seq[(Long, Long)] =
+      base.zipWithIndex.map { case (s, i) => (i.toLong, s) } ++ Seq(
+        100L -> (base(0) ^ 1L),                        // hamming 1
+        101L -> (base(3) ^ (1L << 17) ^ (1L << 40)),   // hamming 2
+        102L -> base(7))                               // exact dup
+    val batch = graft.ext.DedupOps.simhashBandPairs(
+        docs.toDF("doc_id", "simhash"), $"doc_id", $"simhash",
+        bands = 4, bitsPerBand = 15, maxHamming = 3, bits = 60)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(batch.size === 3) // the planted pairs, no accidental ones
+    val in = MemoryStream[(Long, Long)]
+    val q = StreamOps.simhashNearDupCandidates(
+      in.toDF().toDF("doc_id", "simhash"))
+      .writeStream.format("memory").queryName("simhash_eq_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (b1, rest) = docs.splitAt(5)
+      val (b2, b3) = rest.splitAt(6)
+      Seq(b1, b2, b3).foreach { b =>
+        in.addData(b); q.processAllAvailable()
+      }
+      val streamed = spark.table("simhash_eq_out")
+        .as[StreamOps.NearDup].collect()
+        .map(d => (math.min(d.doc_id, d.dup_of),
+          math.max(d.doc_id, d.dup_of), d.hamming))
+        .toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("redactPii and hash sampling run stateless on a stream") {
     // the corpus-curation scrub/downsample stage is a pure projection
     // + filter, so it streams with no watermark and no state store
