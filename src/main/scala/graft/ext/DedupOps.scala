@@ -297,10 +297,17 @@ object DedupOps {
       Seq(id.as("id_a"), text.as("__ta")): _*)
     val b = df.select(blockKeys.map(col) ++
       Seq(id.as("id_b"), text.as("__tb")): _*)
+    // two semantics-preserving cuts before/inside the O(len·len) core:
+    // |len(a) − len(b)| is a lower bound on levenshtein, so the cheap
+    // length prefilter discards those pairs without running it; the
+    // thresholded levenshtein bounds the DP band at maxDist (returns
+    // −1 past it — those pairs are exactly the ones the dist filter
+    // drops, and surviving distances are exact)
     a.join(b, blockKeys)
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("dist", levenshtein(col("__ta"), col("__tb")))
-      .filter(col("dist") <= maxDist)
+      .filter(col("id_a") < col("id_b") &&
+        abs(length(col("__ta")) - length(col("__tb"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("__ta"), col("__tb"), maxDist))
+      .filter(col("dist").between(0, maxDist))
       .select((blockKeys.map(col) ++
         Seq(col("id_a"), col("id_b"), col("dist"))): _*)
   }
