@@ -106,6 +106,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"))
   }
 
+  test("tpch_q3: both canonical date filters push to the parquet scans") {
+    val p = plan("tpch_q3")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)") ||
+      p.contains("LessThan(o_orderdate"),
+      s"orders date filter not pushed:\n$p")
+    assert(p.contains("GreaterThan(l_shipdate"),
+      s"lineitem ship filter not pushed:\n$p")
+  }
+
+  test("dedup_substring: one text pass — single scan, no join, " +
+      "pruned to (doc_id, text)") {
+    val p = plan("dedup_substring")
+    assert("Scan parquet".r.findAllIn(p).size === 1,
+      s"winnowing fingerprint pass recomputed:\n$p")
+    assert(!p.contains("Join"))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
+
   test("emb_kmeans: centroid joins broadcast, never cartesian") {
     // both Lloyd iterations cross-join the corpus against ≤k centroid
     // rows; the bounded side must broadcast — a CartesianProduct would
