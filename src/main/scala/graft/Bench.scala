@@ -44,9 +44,19 @@ object Bench {
     // its own line item instead of being charged to whichever consumer
     // query happens to run first (which made that query look 100×
     // slower than its marginal cost).
-    val stages =
-      try graft.queries.ExtensionQueries.prebuildStages(spark, sfDir)
-      catch { case _: Throwable => Seq.empty[(String, Double)] }
+    val (stages, stageErrs) =
+      try (graft.queries.ExtensionQueries.prebuildStages(spark, sfDir),
+        Seq.empty[(String, String)])
+      catch {
+        // a swallowed prebuild failure would let the stage cost slip
+        // out of the total unnoticed (the first consumer rebuilds it,
+        // min-of-k strips it) — surface it in the errors map
+        case e: Throwable =>
+          (Seq.empty[(String, Double)],
+            Seq("_stage_prebuild" -> s"${e.getClass.getSimpleName}: ${
+              Option(e.getMessage).getOrElse("").takeWhile(_ != '\n')
+                .take(160)}"))
+      }
     // A failed query must surface as an error, never masquerade as a
     // (fast!) timing — errors are reported per query in the JSON line
     // (the exit stays 0 so the line itself is always delivered).
@@ -54,19 +64,30 @@ object Bench {
     // caches make re-runs cheap, and the min strips shared-JVM noise
     // (GC from prior queries, scheduler backlog) that inflated single
     // samples 3–6× over isolated runs.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
+    val reps = sys.env.get("SPARK_GRAFT_REPS")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .getOrElse(3).max(1)
     val results = named.map { case (name, fn) =>
       var best = Double.MaxValue
       var err: Option[String] = None
       var r = 0
       while (r < reps && err.isEmpty) {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
+        try {
+          fn(spark, sfDir).count()
+          // only successful reps compete for the min: a fast FAILURE
+          // (0.3s to an exception) must not shadow a real 4s timing
+          best = best.min((System.nanoTime() - t0) / 1e9)
+        } catch {
           case e: Throwable =>
             err = Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage)
               .getOrElse("").takeWhile(_ != '\n').take(160)}")
+            // no successful rep: report the failed rep's elapsed time
+            // rather than Double.MaxValue garbage (the error entry
+            // marks it untrustworthy either way)
+            if (best == Double.MaxValue)
+              best = (System.nanoTime() - t0) / 1e9
         }
-        best = best.min((System.nanoTime() - t0) / 1e9)
         r += 1
       }
       (name, best, err)
@@ -93,7 +114,8 @@ object Bench {
     val qs = results.sortBy(_._2)
       .map { case (k, v, _) => jstr(k) + ":" + sec2(v) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
+    val errs = (stageErrs.map { case (k, e) => jstr(k) + ":" + jstr(e) } ++
+      results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) })
       .mkString("{", ",", "}")
     val stagesJson = stages
       .map { case (k, v) => jstr(k) + ":" + sec2(v) }

@@ -102,11 +102,10 @@ object EtlMain {
         bugCompatFullname = cfg.bugCompatFullname))
     val url = cfg.jdbcUrl.getOrElse(
       s"jdbc:postgresql://${cfg.pgHost}:${cfg.pgPort}/${cfg.pgDb}")
+    // credentials apply to --jdbc-url targets too (Derby ignores them)
     val props = new Properties()
-    if (cfg.jdbcUrl.isEmpty) {
-      props.setProperty("user", cfg.pgUser)
-      props.setProperty("password", cfg.pgPassword)
-    }
+    props.setProperty("user", cfg.pgUser)
+    props.setProperty("password", cfg.pgPassword)
     LoadOrchestrator.load(out, url, cfg.table, props, runTs, cfg.csvOut)
   }
 

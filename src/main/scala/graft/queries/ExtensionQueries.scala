@@ -88,7 +88,11 @@ object ExtensionQueries {
     var cell = stageCache.putIfAbsent(key, fresh)
     if (cell == null) cell = fresh
     else if (cell.fp != fp) {
-      // stale fixture: swap in the fresh cell, drop the old checkpoint
+      // Stale fixture: swap in the fresh cell, drop the old
+      // checkpoint. NOTE a caller that fetched the old frame just
+      // before the swap loses it (localCheckpoints have no lineage to
+      // recompute) — regenerating a fixture while queries over it are
+      // in flight is unsupported, matching the schema cache above.
       cell = if (stageCache.replace(key, cell, fresh)) {
         dropQuietly(cell); fresh
       } else stageCache.getOrDefault(key, fresh) // lost a race: reuse winner

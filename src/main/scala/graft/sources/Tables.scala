@@ -39,13 +39,19 @@ object Tables {
     * invisible to the top-level listing.
     */
   private[graft] def fingerprint(path: String): Long = {
+    // symlinked fixtures can form directory cycles — track canonical
+    // paths or the walk recurses forever
+    val seen = scala.collection.mutable.Set.empty[String]
     def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory)
-        // listFiles() order is unspecified — sort, or identical content
-        // could fingerprint differently and spuriously re-infer
-        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-          .sortBy(_.getName).toSeq.flatMap(walk)
-      else Seq(f)
+      if (f.isDirectory) {
+        if (!seen.add(f.getCanonicalPath)) Seq.empty
+        else
+          // listFiles() order is unspecified — sort, or identical
+          // content could fingerprint differently and spuriously
+          // re-infer
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+            .sortBy(_.getName).toSeq.flatMap(walk)
+      } else Seq(f)
     val files = walk(new java.io.File(path))
     files.foldLeft(files.length.toLong) { (acc, p) =>
       31L * (31L * acc + p.lastModified) + p.length

@@ -218,7 +218,13 @@ class LoadSpec extends SparkSpec {
     assert(report.createdTable)
     assert(report.rowsWritten === 3)
     assert(report.verifiedCount === 3) // the L4 gate
-    val back = spark.read.jdbc(url, "I2B2", new Properties())
+    // read back with the SAME credentials the load used: Derby scopes
+    // unqualified tables to a per-user schema, so an anonymous read
+    // would look in APP while the load wrote to POSTGRES
+    val backProps = new Properties()
+    backProps.setProperty("user", cfg.pgUser)
+    backProps.setProperty("password", cfg.pgPassword)
+    val back = spark.read.jdbc(url, "I2B2", backProps)
     val fullname = back.filter($"C_BASECODE".endsWith("100-1"))
       .select("C_FULLNAME").as[String].collect().head
     assert(fullname.contains("Alpha v2"),

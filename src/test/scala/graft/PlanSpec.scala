@@ -108,8 +108,7 @@ class PlanSpec extends SparkSpec {
 
   test("tpch_q3: both canonical date filters push to the parquet scans") {
     val p = plan("tpch_q3")
-    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)") ||
-      p.contains("LessThan(o_orderdate"),
+    assert(p.contains("LessThan(o_orderdate"),
       s"orders date filter not pushed:\n$p")
     assert(p.contains("GreaterThan(l_shipdate"),
       s"lineitem ship filter not pushed:\n$p")
