@@ -386,6 +386,75 @@ object DedupOps {
       .distinct()
   }
 
+  /** Word-mask Bloom filter of the `fp` values: one (word, mask) row
+    * per non-zero 64-bit word of an `mBits`-bit filter, `k` universal
+    * hashes per value ([[CountMin.bucket]]'s Carter–Wegman family —
+    * literal constants, fully codegen'd, no UDF). The table is at
+    * most mBits/64 rows regardless of input size, mergeable across
+    * batches by `bit_or` over word, and broadcastable to every probe.
+    */
+  def bloomBits(df: DataFrame, fp: Column, mBits: Int, k: Int): DataFrame = {
+    require(mBits >= 64 && (mBits & 63) == 0,
+      s"mBits ($mBits) must be a positive multiple of 64 (word-packed)")
+    df.select(PortableHash.md5PrefixLong(fp, 15).as("__it"))
+      .select(col("__it"),
+        explode(array((0 until k).map(lit): _*)).as("__seed"))
+      .select(CountMin.bucket(col("__seed"), col("__it"), k, mBits)
+        .as("__pos"))
+      .groupBy(shiftright(col("__pos"), 6).as("__w"))
+      .agg(bit_or(expr(
+        "shiftleft(cast(1 as bigint), cast(pmod(__pos, 64) as int))"))
+        .as("__mask"))
+  }
+
+  /** Exact `left_anti` on `fpCol`, accelerated by a Bloom prefilter —
+    * the incremental-dedup shape at corpus scale: rows missing ANY of
+    * the k filter bits are provably absent from `right` (no false
+    * negatives — a member's bits are all set by construction) and skip
+    * the join entirely; only the Bloom-positive sliver is verified by
+    * the exact anti join, whose left input collapses to roughly the
+    * true-duplicate rate + the filter's false-positive rate. The k
+    * probes are joins against the ≤ mBits/64-row word table (Catalyst
+    * broadcasts them); at 100 TB the filter is built once per history
+    * epoch and reused by every arriving batch.
+    *
+    * Result is EXACTLY `left.join(right, fpCol, "left_anti")` — false
+    * positives are removed by the verify join, false negatives cannot
+    * occur — so the oracle for any query using this is the plain anti
+    * join.
+    */
+  def bloomFilteredAnti(left: DataFrame, right: DataFrame, fpCol: String,
+                        mBits: Int = 1 << 18, k: Int = 3): DataFrame = {
+    val temps = Seq("__it") ++
+      (0 until k).flatMap(j => Seq(s"__p$j", s"__w$j", s"__m$j"))
+    require(temps.forall(!left.columns.contains(_)),
+      "input must not carry __it/__p*/__w*/__m* columns (reserved)")
+    val bits = bloomBits(right, col(fpCol), mBits, k)
+    var probed = left.withColumn("__it",
+      PortableHash.md5PrefixLong(col(fpCol), 15))
+    (0 until k).foreach { j =>
+      probed = probed
+        .withColumn(s"__p$j", CountMin.bucket(lit(j), col("__it"), k, mBits))
+        .withColumn(s"__w$j", shiftright(col(s"__p$j"), 6))
+        .join(bits.select(col("__w").as(s"__w$j"),
+          col("__mask").as(s"__m$j")), Seq(s"__w$j"), "left")
+    }
+    // mask with & 1, never % 2: shiftright sign-extends, so a word
+    // whose bit 63 is set goes negative and (negative % 2) is -1 —
+    // the probe would misread a SET bit as unset (a false negative,
+    // breaking the exactness contract)
+    val mightContain = (0 until k).map(j =>
+      col(s"__m$j").isNotNull && expr(
+        s"(shiftright(__m$j, cast(pmod(__p$j, 64) as int)) & 1) = 1"))
+      .reduce(_ && _)
+    val keep = left.columns.map(col)
+    probed.filter(!mightContain).select(keep: _*)
+      .unionByName(
+        probed.filter(mightContain).select(keep: _*)
+          .join(right.select(col(fpCol)).distinct(), Seq(fpCol), "left_anti")
+          .select(keep: _*))
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
     * the MOSS algorithm): hash every k-char gram of the text, then
     * keep the MINIMUM hash of each window of `window` consecutive

@@ -242,6 +242,21 @@ object ExtensionQueries {
         .select("doc_id", "fp")
     },
 
+    // Same result as dedup_incremental, via the Bloom-prefiltered
+    // anti join — the at-scale shape (the filter prunes the batch to
+    // the Bloom-positive sliver before any join; exactness is
+    // guaranteed, so the oracle is the plain anti join).
+    "dedup_incremental_bloom" -> { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"),
+        md5(substring(TextAnalysis.normalize(col("text")), 1, 40)).as("fp"))
+      val hist = d.filter(col("doc_id") % 2 === 0)
+      val batch = d.filter(col("doc_id") % 2 =!= 0)
+      DedupOps.bloomFilteredAnti(
+        DedupOps.keepFirstPerKey(batch, col("fp"), col("doc_id")),
+        hist.select("fp").distinct(), "fp")
+        .select("doc_id", "fp")
+    },
+
     // -- Similarity search -------------------------------------------
     "sim_bruteforce_topk" -> { (s, dir) =>
       val e = emb(s, dir)
@@ -914,6 +929,20 @@ object ExtensionQueries {
         |  < CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 25 WHEN 'fr' THEN 40 ELSE 60 END""".stripMargin,
 
     "dedup_incremental" ->
+      s"""WITH d AS (SELECT doc_id,
+        |  md5(substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), 1, 40)) AS fp
+        |  FROM documents),
+        |hist AS (SELECT DISTINCT fp FROM d WHERE doc_id % 2 = 0),
+        |batch AS (SELECT doc_id, fp FROM d WHERE doc_id % 2 = 1
+        |          QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1)
+        |SELECT doc_id, fp FROM batch
+        |WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.fp = batch.fp)""".stripMargin,
+
+    // the Bloom prefilter is exact (verify join removes false
+    // positives, false negatives impossible), so the oracle IS the
+    // plain anti join — same contract as join_salted's plain-join
+    // oracle
+    "dedup_incremental_bloom" ->
       s"""WITH d AS (SELECT doc_id,
         |  md5(substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), 1, 40)) AS fp
         |  FROM documents),

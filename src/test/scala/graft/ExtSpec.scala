@@ -489,6 +489,29 @@ class ExtSpec extends SparkSpec {
     assert(got === Set((1L, 2L, 0.5)))
   }
 
+  test("bloomFilteredAnti equals the plain anti join, even when the " +
+    "filter is saturated with false positives") {
+    val rnd = new scala.util.Random(13)
+    val hist = (0 until 60).map(i => s"h$i-${rnd.nextLong()}").toDF("fp")
+    val batch = ((0 until 40).map(i => i.toLong -> s"b$i-${rnd.nextLong()}")
+      ++ (0 until 20).map(i => (100L + i) -> s"h${i * 3}-x"))
+      .toDF("id", "fp")
+    // overlap: every 3rd history fp also appears in the batch
+    val overlapping = batch.union(
+      hist.limit(15).select(lit(999L).as("id"), col("fp")))
+    val expected = overlapping.join(hist, Seq("fp"), "left_anti")
+      .select("id", "fp").as[(Long, String)].collect().toSet
+    // roomy filter (few false positives) and a deliberately tiny,
+    // saturated one (64 bits for 60 values -> most probes collide):
+    // the verify join must keep both exact
+    for (mBits <- Seq(1 << 12, 64)) {
+      val got = DedupOps.bloomFilteredAnti(
+        overlapping, hist, "fp", mBits = mBits, k = 2)
+        .select("id", "fp").as[(Long, String)].collect().toSet
+      assert(got === expected, s"mismatch at mBits=$mBits")
+    }
+  }
+
   test("substringDupPairs finds every planted span >= window + k - 1") {
     // winnowing guarantee (Schleimer et al. '03): a shared span of at
     // least window + k - 1 chars contains a full gram window, whose
