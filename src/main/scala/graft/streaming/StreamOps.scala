@@ -39,6 +39,33 @@ object StreamOps {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n"))
 
+  /** Watermarked stream-stream interval join (streaming twin of
+    * EventWindows.rangeJoin): left rows pair with right rows sharing
+    * `key` whose timestamp falls in [left.ts + lowerBound, left.ts +
+    * upperBound] — the clicks-within-an-hour-of-impression shape.
+    * Both sides carry a watermark and the join condition bounds the
+    * time range in BOTH directions, which is what lets the engine
+    * evict buffered state: a side's row is dropped once the other
+    * side's watermark passes its reach (Spark's stream-stream
+    * inner-join state cleanup). Without the two-sided bound the state
+    * store grows without limit. Columns are prefixed left_/right_ so
+    * self-joins (same source twice) stay unambiguous.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   lowerBound: String, upperBound: String,
+                   watermark: String): DataFrame = {
+    val l = left.columns.foldLeft(left)((d, c) =>
+      d.withColumnRenamed(c, s"left_$c")).withWatermark(s"left_ts",
+      watermark)
+    val r = right.columns.foldLeft(right)((d, c) =>
+      d.withColumnRenamed(c, s"right_$c")).withWatermark(s"right_ts",
+      watermark)
+    l.join(r,
+      col(s"left_$key") === col(s"right_$key") &&
+        col("right_ts") >= col("left_ts") + expr(s"INTERVAL $lowerBound") &&
+        col("right_ts") <= col("left_ts") + expr(s"INTERVAL $upperBound"))
+  }
+
   /** Streaming exact dedup bounded by the watermark horizon — the
     * streaming form of DedupOps.exact: state for a key is dropped
     * once the watermark guarantees no more duplicates can arrive.

@@ -102,6 +102,33 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin pairs rows in the time range, across batches") {
+    implicit val sq = spark.sqlContext
+    val imps = MemoryStream[(Timestamp, Long, String)]
+    val clicks = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamOps.intervalJoin(
+      imps.toDF().toDF("ts", "user_id", "imp"),
+      clicks.toDF().toDF("ts", "user_id", "click"),
+      key = "user_id", lowerBound = "0 seconds", upperBound = "30 minutes",
+      watermark = "1 hour")
+      .select($"left_imp", $"right_click")
+      .writeStream.format("memory").queryName("ij_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      imps.addData((ts("2024-01-01 10:00:00"), 1L, "i1"),
+        (ts("2024-01-01 10:00:00"), 2L, "i2"))
+      q.processAllAvailable()
+      clicks.addData(
+        (ts("2024-01-01 10:10:00"), 1L, "c-in"),      // in range
+        (ts("2024-01-01 10:50:00"), 1L, "c-late"),    // past 30 min
+        (ts("2024-01-01 09:50:00"), 2L, "c-before"),  // before the imp
+        (ts("2024-01-01 10:29:00"), 3L, "c-nokey"))   // no such imp
+      q.processAllAvailable()
+      val got = spark.table("ij_out").as[(String, String)].collect().toSet
+      assert(got === Set(("i1", "c-in")))
+    } finally q.stop()
+  }
+
   test("streaming simhash twin equals batch band pairs on the same input") {
     // the equivalence contract: same (doc_id, simhash) rows, any
     // batch split -> the streaming candidates (normalized to
