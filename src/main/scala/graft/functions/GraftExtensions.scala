@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{VecDot, VecNorm, VectorColumns}
+import org.apache.spark.sql.graft.{VecDot, VecL2Sq, VecNorm, VectorColumns}
 
 /** Column-level entry points for the native vector kernels. */
 object VectorFunctions {
@@ -11,7 +11,9 @@ object VectorFunctions {
 
   def vec_norm(a: Column): Column = VectorColumns.vec_norm(a)
 
-  /** Register vec_dot/vec_norm in an existing session for SQL use. */
+  def vec_l2sq(a: Column, b: Column): Column = VectorColumns.vec_l2sq(a, b)
+
+  /** Register vec_dot/vec_norm/vec_l2sq in an existing session for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     VectorColumns.register(spark)
 }
@@ -31,5 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_norm"),
       new ExpressionInfo(classOf[VecNorm].getName, "vec_norm"),
       (children: Seq[Expression]) => VecNorm(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("vec_l2sq"),
+      new ExpressionInfo(classOf[VecL2Sq].getName, "vec_l2sq"),
+      (children: Seq[Expression]) => VecL2Sq(children(0), children(1))))
   }
 }

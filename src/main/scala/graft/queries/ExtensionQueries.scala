@@ -275,6 +275,15 @@ object ExtensionQueries {
         Similarity.seedCentroids(e, nlist = 8), k = 5, nprobe = 2)
     },
 
+    // PQ-ADC: 16 subspaces x 16 codewords = 64-bit codes (128x
+    // compression of 64-dim float32 vectors); table entries are 1e-6
+    // fixed-point longs, so the m-term score sum is exact integer
+    // arithmetic and the ranking is bit-reproducible in the oracle.
+    "sim_pq_adc_topk" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.pqTopK(e.filter(col("id") < 50), e, k = 5)
+    },
+
     // -- Text analysis -----------------------------------------------
     "text_stats" -> { (s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -599,6 +608,58 @@ object ExtensionQueries {
     s"""sqrt(list_reduce(list_transform(range(1, len($a) + 1),
        |      i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)), (x, y) -> x + y))""".stripMargin
 
+  private def l2Sql(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, len($a) + 1),
+       |      i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))), (x, y) -> x + y)""".stripMargin
+
+  /** PQ-ADC oracle, one CTE block per subspace mirroring
+    * Similarity.pqTopK's single subspace-as-data plan: codebook =
+    * first-kk init + one fixed-point Lloyd update, codes by L2 argmin
+    * (ties to smaller cid), per-query fixed-point dot tables, integer
+    * ADC sums, top-k by (adc DESC, id ASC).
+    */
+  private def pqOracleSql(m: Int, dims: Int, kk: Int, k: Int): String = {
+    val d = dims / m
+    val ctes = (0 until m).map { j =>
+      val lo = j * d + 1
+      val hi = (j + 1) * d
+      s"""sub$j AS (SELECT vec_id, embedding[$lo:$hi] AS sv FROM embeddings),
+         |cent0_$j AS (SELECT vec_id AS cid, sv AS cv FROM sub$j ORDER BY vec_id LIMIT $kk),
+         |a1_$j AS (
+         |  SELECT s.vec_id, s.sv, c.cid FROM sub$j s CROSS JOIN cent0_$j c
+         |  QUALIFY row_number() OVER (PARTITION BY s.vec_id
+         |    ORDER BY ${l2Sql("s.sv", "c.cv")} ASC, c.cid) = 1),
+         |sums_$j AS (
+         |  SELECT cid, i.i AS i,
+         |    sum(CAST(floor(CAST(sv[i.i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS s,
+         |    count(*) AS n
+         |  FROM a1_$j, LATERAL (SELECT unnest(range(1, ${d + 1})) AS i) i
+         |  GROUP BY 1, 2),
+         |cent1_$j AS (
+         |  SELECT cid, list((CAST(s AS DOUBLE) / n) / 1000000.0 ORDER BY i) AS cv
+         |  FROM sums_$j GROUP BY cid),
+         |codes_$j AS (
+         |  SELECT s.vec_id, c.cid FROM sub$j s CROSS JOIN cent1_$j c
+         |  QUALIFY row_number() OVER (PARTITION BY s.vec_id
+         |    ORDER BY ${l2Sql("s.sv", "c.cv")} ASC, c.cid) = 1),
+         |tbl_$j AS (
+         |  SELECT q.vec_id AS query_id, c.cid,
+         |    CAST(floor((${dotSql(s"q.embedding[$lo:$hi]", "c.cv")}) * 1000000.0) AS BIGINT) AS tq
+         |  FROM embeddings q CROSS JOIN cent1_$j c WHERE q.vec_id < 50)""".stripMargin
+    }
+    val parts = (0 until m).map(j =>
+      s"SELECT t.query_id, cd.vec_id AS neighbor_id, t.tq " +
+        s"FROM codes_$j cd JOIN tbl_$j t ON t.cid = cd.cid")
+      .mkString(" UNION ALL ")
+    s"""WITH ${ctes.mkString(",\n")},
+       |parts AS ($parts)
+       |SELECT query_id, neighbor_id, CAST(sum(tq) AS BIGINT) AS adc_q
+       |FROM parts WHERE query_id <> neighbor_id
+       |GROUP BY 1, 2
+       |QUALIFY row_number() OVER (PARTITION BY query_id
+       |  ORDER BY adc_q DESC, neighbor_id) <= $k""".stripMargin
+  }
+
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)}) / ((${normSql(a)}) * (${normSql(b)}))"
 
@@ -866,6 +927,8 @@ object ExtensionQueries {
         |WHERE query_id <> neighbor_id
         |QUALIFY row_number() OVER (PARTITION BY query_id
         |  ORDER BY ${cosSql("p.qv", "a.cv")} DESC, neighbor_id) <= 5""".stripMargin),
+
+    "sim_pq_adc_topk" -> pqOracleSql(m = 16, dims = 64, kk = 16, k = 5),
 
     "text_stats" ->
       (s"""WITH d AS (SELECT doc_id, text, $tokensSql AS toks FROM documents)

@@ -87,6 +87,78 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance of two float vectors — the PQ codeword
+  * assignment metric. Same kernel shape and numeric contract as
+  * [[VecDot]]: left-to-right double accumulation of (xᵢ − yᵢ)², so
+  * the DuckDB oracle's elementwise `list_reduce` fold matches bit for
+  * bit; null on null input or length mismatch.
+  */
+case class VecL2Sq(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)),
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_l2sq"
+
+  private def elemGetter(e: Expression): String =
+    e.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType => "getFloat"
+      case _ => "getDouble"
+    }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input)
+    val b = right.eval(input)
+    if (a == null || b == null) return null
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    val lf = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val rf = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val n = x.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xi - yi
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val ga = elemGetter(left)
+      val gb = elemGetter(right)
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = (double) $a.$ga($i) - (double) $b.$gb($i);
+         |    $s += $d * $d;
+         |  }
+         |  ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecL2Sq =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Euclidean norm of a float vector — same kernel shape as [[VecDot]]. */
 case class VecNorm(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
@@ -146,6 +218,10 @@ object VectorColumns {
   def vec_norm(a: Column): Column =
     ExpressionUtils.column(VecNorm(ExpressionUtils.expression(a)))
 
+  def vec_l2sq(a: Column, b: Column): Column =
+    ExpressionUtils.column(VecL2Sq(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
   /** Imperative registration into an existing session's function
     * registry (idempotent) — for sessions built without
     * `spark.sql.extensions=graft.functions.GraftExtensions`.
@@ -162,5 +238,9 @@ object VectorColumns {
       FunctionIdentifier("vec_norm"),
       new ExpressionInfo(classOf[VecNorm].getName, "vec_norm"),
       (children: Seq[Expression]) => VecNorm(children.head))
+    reg.registerFunction(
+      FunctionIdentifier("vec_l2sq"),
+      new ExpressionInfo(classOf[VecL2Sq].getName, "vec_l2sq"),
+      (children: Seq[Expression]) => VecL2Sq(children(0), children(1)))
   }
 }

@@ -489,6 +489,40 @@ class ExtSpec extends SparkSpec {
     assert(got === Set((1L, 2L, 0.5)))
   }
 
+  test("pqTopK degenerates to exact inner-product ranking when every " +
+    "vector is its own codeword") {
+    // with codebookK = n and the first-n-ids init, each subvector's
+    // nearest codeword after one Lloyd update is itself (clusters are
+    // singletons, the update is the identity mean), so the ADC sum is
+    // the quantized exact dot product — the top-k must match a
+    // brute-force dot ranking computed independently
+    val rnd = new scala.util.Random(23)
+    val n = 12
+    val dims = 8
+    val vecs = Seq.tabulate(n)(i =>
+      (i.toLong, Seq.fill(dims)(rnd.nextFloat() * 2f - 1f)))
+    val df = vecs.toDF("id", "vec")
+    val got = Similarity.pqTopK(df.filter($"id" < 3), df, k = 4,
+      m = 4, dims = dims, codebookK = n)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    // expected: exact dot ranking with the SAME fixed-point rounding
+    // per subspace (4 subspaces of 2 dims each)
+    def qdot(a: Seq[Float], b: Seq[Float]): Long =
+      (0 until 4).map { j =>
+        math.floor(a.slice(j * 2, j * 2 + 2).map(_.toDouble)
+          .zip(b.slice(j * 2, j * 2 + 2).map(_.toDouble))
+          .map { case (x, y) => x * y }.sum * 1e6).toLong
+      }.sum
+    val expected = (for {
+      (qi, qv) <- vecs if qi < 3
+      ranked = vecs.filter(_._1 != qi)
+        .sortBy { case (ni, nv) => (-qdot(qv, nv), ni) }.take(4)
+      (ni, _) <- ranked
+    } yield (qi, ni)).toSet
+    assert(got === expected)
+  }
+
   test("bloomFilteredAnti equals the plain anti join, even when the " +
     "filter is saturated with false positives") {
     val rnd = new scala.util.Random(13)
