@@ -249,6 +249,80 @@ object Similarity {
     */
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
              m: Int = 16, dims: Int = 64, codebookK: Int = 16): DataFrame = {
+    val (codes, tables) = pqCodesAndTables(queries, corpus, m, dims,
+      codebookK)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_q").desc, col("neighbor_id"))
+    codes.join(broadcast(tables), Seq("__j", "__cid"))
+      .filter(col("query_id") =!= col("__id"))
+      .groupBy(col("query_id"), col("__id").as("neighbor_id"))
+      .agg(sum("__tq").as("adc_q"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select("query_id", "neighbor_id", "adc_q")
+  }
+
+  /** IVF-PQ: [[ivfTopK]]'s coarse list pruning composed with
+    * [[pqTopK]]'s compressed-code scoring — the full FAISS
+    * `IVFx,PQy` shape for corpus-scale ANN. The coarse quantizer
+    * restricts each query to its `nprobe` nearest lists' members, and
+    * only those (query, vector) pairs are ADC-scored — at 100 TB the
+    * scan touches nprobe/nlist of the codes, each 64 bits instead of
+    * the raw vector.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
+                centroids: DataFrame, k: Int, nprobe: Int,
+                m: Int = 16, dims: Int = 64,
+                codebookK: Int = 16): DataFrame = {
+    // coarse quantizer: same cosine assign/probe as ivfTopK (the
+    // vectors themselves are NOT carried past this point — scoring
+    // happens on codes)
+    val cent = centroids.select(col("id").as("__ccid"),
+      col("vec").as("__cvec"), norm(col("vec")).as("__ctn"))
+    val assigned = corpus
+      .select(col("id").as("neighbor_id"), col("vec").as("cv"),
+        norm(col("vec")).as("__cn"))
+      .crossJoin(cent)
+      .withColumn("__ccos",
+        dot(col("cv"), col("__cvec")) / (col("__cn") * col("__ctn")))
+      .groupBy(col("neighbor_id"))
+      .agg(max_by(col("__ccid"), struct(col("__ccos"), -col("__ccid")))
+        .as("__list"))
+    val probes = queries
+      .select(col("id").as("query_id"), col("vec").as("qv"),
+        norm(col("vec")).as("__qn"))
+      .crossJoin(cent)
+      .withColumn("__ccos",
+        dot(col("qv"), col("__cvec")) / (col("__qn") * col("__ctn")))
+      .withColumn("__rn", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("__ccos").desc, col("__ccid"))))
+      .filter(col("__rn") <= nprobe)
+      .select(col("query_id"), col("__ccid").as("__list"))
+    val allowed = probes.join(assigned, "__list")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+    val (codes, tables) = pqCodesAndTables(queries, corpus, m, dims,
+      codebookK)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_q").desc, col("neighbor_id"))
+    allowed
+      .join(codes.select(col("__id").as("neighbor_id"), col("__j"),
+        col("__cid")), Seq("neighbor_id"))
+      .join(broadcast(tables), Seq("query_id", "__j", "__cid"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum("__tq").as("adc_q"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select("query_id", "neighbor_id", "adc_q")
+  }
+
+  /** Shared PQ machinery: the per-subspace codebook (first-ids init +
+    * one fixed-point Lloyd update), the corpus codes, and the
+    * per-query fixed-point ADC tables.
+    */
+  private def pqCodesAndTables(queries: DataFrame, corpus: DataFrame,
+                               m: Int, dims: Int, codebookK: Int)
+      : (DataFrame, DataFrame) = {
     require(dims % m == 0,
       s"dims ($dims) must split evenly into m ($m) subspaces")
     val d = dims / m
@@ -297,15 +371,7 @@ object Similarity {
       .select(col("query_id"), col("__j"), col("__cid"),
         floor(dot(col("__sv"), col("__cv")) * lit(1000000.0))
           .cast("long").as("__tq"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("adc_q").desc, col("neighbor_id"))
-    codes.join(broadcast(tables), Seq("__j", "__cid"))
-      .filter(col("query_id") =!= col("__id"))
-      .groupBy(col("query_id"), col("__id").as("neighbor_id"))
-      .agg(sum("__tq").as("adc_q"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .select("query_id", "neighbor_id", "adc_q")
+    (codes, tables)
   }
 
   /** Embedding-cosine near-duplicate pairs within a blocking key

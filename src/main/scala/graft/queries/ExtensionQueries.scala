@@ -284,6 +284,14 @@ object ExtensionQueries {
       Similarity.pqTopK(e.filter(col("id") < 50), e, k = 5)
     },
 
+    // the full FAISS IVFx,PQy composition: coarse-list pruning, then
+    // compressed-code ADC scoring of only the probed lists' members
+    "sim_ivfpq_topk" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.ivfPqTopK(e.filter(col("id") < 50), e,
+        Similarity.seedCentroids(e, nlist = 8), k = 5, nprobe = 2)
+    },
+
     // -- Text analysis -----------------------------------------------
     "text_stats" -> { (s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -618,8 +626,28 @@ object ExtensionQueries {
     * (ties to smaller cid), per-query fixed-point dot tables, integer
     * ADC sums, top-k by (adc DESC, id ASC).
     */
-  private def pqOracleSql(m: Int, dims: Int, kk: Int, k: Int): String = {
+  private def pqOracleSql(m: Int, dims: Int, kk: Int, k: Int,
+                          ivf: Option[(Int, Int)] = None): String = {
     val d = dims / m
+    // coarse quantizer CTEs (mirrors sim_ivf_topk's cosine
+    // assign/probe) + the allowed (query, neighbor) pair set
+    val ivfCtes = ivf.map { case (nlist, nprobe) =>
+      s"""cent AS (SELECT vec_id AS ccid, embedding AS cvec
+         |         FROM embeddings ORDER BY vec_id LIMIT $nlist),
+         |assigned AS (
+         |  SELECT c.vec_id AS neighbor_id, ct.ccid AS list
+         |  FROM embeddings c CROSS JOIN cent ct
+         |  QUALIFY row_number() OVER (PARTITION BY c.vec_id
+         |    ORDER BY ${cosSql("c.embedding", "ct.cvec")} DESC, ct.ccid) = 1),
+         |probes AS (
+         |  SELECT q.vec_id AS query_id, ct.ccid AS list
+         |  FROM embeddings q CROSS JOIN cent ct WHERE q.vec_id < 50
+         |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY ${cosSql("q.embedding", "ct.cvec")} DESC, ct.ccid) <= $nprobe),
+         |allowed AS (SELECT p.query_id, a.neighbor_id
+         |            FROM probes p JOIN assigned a USING (list)),
+         |""".stripMargin
+    }.getOrElse("")
     val ctes = (0 until m).map { j =>
       val lo = j * d + 1
       val hi = (j + 1) * d
@@ -647,11 +675,15 @@ object ExtensionQueries {
          |    CAST(floor((${dotSql(s"q.embedding[$lo:$hi]", "c.cv")}) * 1000000.0) AS BIGINT) AS tq
          |  FROM embeddings q CROSS JOIN cent1_$j c WHERE q.vec_id < 50)""".stripMargin
     }
+    val restrict = if (ivf.isDefined)
+      " JOIN allowed al ON al.neighbor_id = cd.vec_id" +
+        " AND al.query_id = t.query_id"
+    else ""
     val parts = (0 until m).map(j =>
       s"SELECT t.query_id, cd.vec_id AS neighbor_id, t.tq " +
-        s"FROM codes_$j cd JOIN tbl_$j t ON t.cid = cd.cid")
+        s"FROM codes_$j cd JOIN tbl_$j t ON t.cid = cd.cid$restrict")
       .mkString(" UNION ALL ")
-    s"""WITH ${ctes.mkString(",\n")},
+    s"""WITH $ivfCtes${ctes.mkString(",\n")},
        |parts AS ($parts)
        |SELECT query_id, neighbor_id, CAST(sum(tq) AS BIGINT) AS adc_q
        |FROM parts WHERE query_id <> neighbor_id
@@ -929,6 +961,9 @@ object ExtensionQueries {
         |  ORDER BY ${cosSql("p.qv", "a.cv")} DESC, neighbor_id) <= 5""".stripMargin),
 
     "sim_pq_adc_topk" -> pqOracleSql(m = 16, dims = 64, kk = 16, k = 5),
+
+    "sim_ivfpq_topk" ->
+      pqOracleSql(m = 16, dims = 64, kk = 16, k = 5, ivf = Some((8, 2))),
 
     "text_stats" ->
       (s"""WITH d AS (SELECT doc_id, text, $tokensSql AS toks FROM documents)

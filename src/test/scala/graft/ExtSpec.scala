@@ -523,6 +523,23 @@ class ExtSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("ivfPqTopK at nprobe = nlist equals plain pqTopK") {
+    // full probing allows every (query, vector) pair, so the coarse
+    // quantizer prunes nothing and the ADC ranking must be identical
+    val rnd = new scala.util.Random(29)
+    val df = Seq.tabulate(15)(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2f - 1f))).toDF("id", "vec")
+    val cents = Similarity.seedCentroids(
+      df.select(col("id"), col("vec")), nlist = 3)
+    val full = Similarity.ivfPqTopK(df.filter($"id" < 4), df, cents,
+      k = 3, nprobe = 3, m = 4, dims = 8, codebookK = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    val plain = Similarity.pqTopK(df.filter($"id" < 4), df,
+      k = 3, m = 4, dims = 8, codebookK = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(full === plain)
+  }
+
   test("bloomFilteredAnti equals the plain anti join, even when the " +
     "filter is saturated with false positives") {
     val rnd = new scala.util.Random(13)
