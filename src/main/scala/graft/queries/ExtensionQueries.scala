@@ -416,6 +416,15 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n_members"), sum("id").as("id_checksum"))
     },
 
+    // BM25 relevance ranking against fixed seed terms — the
+    // retrieval-scoring stage of corpus curation. Integer-only output
+    // (tf/dl/rank): libm ln is not bit-portable, so the score stays
+    // inside the ORDER BY (see TextAnalysis.bm25TopK).
+    "text_bm25_topk" -> { (s, dir) =>
+      TextAnalysis.bm25TopK(docs(s, dir), col("doc_id"), col("text"),
+        terms = Bm25Terms, k = 20)
+    },
+
     // Corpus n-gram statistics: top-5 word bigrams per language —
     // explode + count (map-side combine) + bounded window top-k.
     "text_ngram_freq" -> { (s, dir) =>
@@ -615,6 +624,34 @@ object ExtensionQueries {
   private def normSql(a: String): String =
     s"""sqrt(list_reduce(list_transform(range(1, len($a) + 1),
        |      i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)), (x, y) -> x + y))""".stripMargin
+
+  /** Seed terms for the BM25 curation query (high-df corpus words so
+    * every SF has matches); shared by the Spark call and the oracle.
+    */
+  private val Bm25Terms = Seq("data", "join", "hash")
+
+  private def bm25OracleSql(terms: Seq[String], k: Int): String = {
+    val tfs = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(toks, t -> t = '$t')) AS tf$i"
+    }.mkString(", ")
+    val dfs = terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    // identical decimal literals to the Spark expression (2.2, 1.2,
+    // 0.25, 0.75) — both engines parse the same doubles
+    val score = terms.indices.map(i =>
+      s"ln((s.n - s.df$i + 0.5)/(s.df$i + 0.5) + 1.0) * " +
+        s"(CAST(tf$i AS DOUBLE) * 2.2) / (CAST(tf$i AS DOUBLE) + " +
+        s"1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / s.avgdl))")
+      .mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |tf AS (SELECT doc_id, len(toks) AS dl, $tfs FROM d),
+       |s AS (SELECT count(*) AS n,
+       |        CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, $dfs FROM tf)
+       |SELECT doc_id, dl, ${terms.indices.map(i => s"tf$i").mkString(", ")},
+       |  CAST(row_number() OVER (ORDER BY ($score) DESC, doc_id) AS INT) AS rnk
+       |FROM tf, s
+       |QUALIFY rnk <= $k""".stripMargin
+  }
 
   private def l2Sql(a: String, b: String): String =
     s"""list_reduce(list_transform(range(1, len($a) + 1),
@@ -964,6 +1001,8 @@ object ExtensionQueries {
 
     "sim_ivfpq_topk" ->
       pqOracleSql(m = 16, dims = 64, kk = 16, k = 5, ivf = Some((8, 2))),
+
+    "text_bm25_topk" -> bm25OracleSql(Bm25Terms, k = 20),
 
     "text_stats" ->
       (s"""WITH d AS (SELECT doc_id, text, $tokensSql AS toks FROM documents)
