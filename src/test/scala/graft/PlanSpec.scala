@@ -123,6 +123,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
   }
 
+  test("sim_pq_adc_topk: ADC scan is a broadcast hash join over codes " +
+      "— no cartesian anywhere") {
+    val p = plan("sim_pq_adc_topk")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("emb_kmeans: centroid joins broadcast, never cartesian") {
     // both Lloyd iterations cross-join the corpus against ≤k centroid
     // rows; the bounded side must broadcast — a CartesianProduct would
