@@ -523,6 +523,22 @@ class ExtSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("pqTopK is partitioning-invariant (fixed-point codebook math)") {
+    // the centroid update sums 1e-6 fixed-point longs and the ADC
+    // scores sum longs — neither depends on partition or reduce
+    // order, so any repartitioning yields identical ranks
+    val rnd = new scala.util.Random(31)
+    val df = Seq.tabulate(20)(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2f - 1f))).toDF("id", "vec")
+    val a = Similarity.pqTopK(df.filter($"id" < 5), df, k = 3,
+      m = 4, dims = 8, codebookK = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    val b = Similarity.pqTopK(df.filter($"id" < 5).repartition(7),
+      df.repartition(5), k = 3, m = 4, dims = 8, codebookK = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a === b)
+  }
+
   test("ivfPqTopK at nprobe = nlist equals plain pqTopK") {
     // full probing allows every (query, vector) pair, so the coarse
     // quantizer prunes nothing and the ADC ranking must be identical
