@@ -134,6 +134,41 @@ object TextAnalysis {
         PhoneRe, "<PHONE>"),
       UrlRe, "<URL>")
 
+  /** Overlapping token-window chunking — the context-length-fitting
+    * stage of a training-data pipeline: each document becomes
+    * ceil-strided windows of `window` tokens advancing by
+    * `window − overlap`, so every token lands in at least one chunk
+    * and consecutive chunks share `overlap` tokens of context. Pure
+    * explode-of-positions: the tokenization materializes once per
+    * document below the Generate (no per-chunk re-split), chunk count
+    * is integer arithmetic (floor of an exact small-integer division
+    * — identical in the oracle), and the output is strings + ints, so
+    * the check is bit-exact. One narrow stage, no shuffle: the 100 TB
+    * shape is a map-only pass.
+    */
+  def chunkTokens(docs: DataFrame, id: Column, text: Column,
+                  window: Int = 32, overlap: Int = 8): DataFrame = {
+    require(overlap >= 0 && window > overlap,
+      s"need window ($window) > overlap ($overlap) >= 0 or the stride " +
+        "is not positive")
+    val stride = window - overlap
+    docs.select(id.as("doc_id"), tokens(text).as("__toks"))
+      .select(col("doc_id"), col("__toks"),
+        size(col("__toks")).cast("long").as("__n"))
+      .filter(col("__n") >= 1)
+      .select(col("doc_id"), col("__toks"), col("__n"),
+        explode(sequence(lit(0L),
+          floor(greatest(col("__n") - overlap - 1, lit(0L))
+            .cast("double") / stride).cast("long"))).as("__i"))
+      .select(col("doc_id"),
+        col("__i").cast("int").as("chunk_idx"),
+        array_join(slice(col("__toks"),
+          (col("__i") * stride + 1).cast("int"), lit(window)), " ")
+          .as("chunk_text"),
+        least(lit(window.toLong), col("__n") - col("__i") * stride)
+          .as("n_tokens"))
+  }
+
   /** BM25 document ranking against a fixed term list (Robertson/
     * Spärck Jones; the Okapi k1/b saturation form) — the relevance-
     * scoring stage of retrieval-based corpus curation (keep documents

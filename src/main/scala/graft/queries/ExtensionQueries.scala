@@ -416,6 +416,13 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n_members"), sum("id").as("id_checksum"))
     },
 
+    // Context-length chunking: 32-token windows, 8-token overlap —
+    // the map-only sequence-fitting stage before packing/training.
+    "text_chunk" -> { (s, dir) =>
+      TextAnalysis.chunkTokens(docs(s, dir), col("doc_id"), col("text"),
+        window = 32, overlap = 8)
+    },
+
     // BM25 relevance ranking against fixed seed terms — the
     // retrieval-scoring stage of corpus curation. Integer-only output
     // (tf/dl/rank): libm ln is not bit-portable, so the score stays
@@ -1003,6 +1010,19 @@ object ExtensionQueries {
       pqOracleSql(m = 16, dims = 64, kk = 16, k = 5, ivf = Some((8, 2))),
 
     "text_bm25_topk" -> bm25OracleSql(Bm25Terms, k = 20),
+
+    // window=32, overlap=8, stride=24 — constants mirrored from the
+    // Spark call; chunk count = floor((n - overlap - 1)/stride) + 1
+    "text_chunk" ->
+      s"""WITH d AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |c AS (SELECT doc_id, toks, len(toks) AS n, i.i AS i
+         |      FROM d, LATERAL (SELECT unnest(range(0,
+         |        CAST(floor(CAST(greatest(len(toks) - 8 - 1, 0) AS DOUBLE) / 24.0) AS BIGINT) + 1)) AS i) i
+         |      WHERE len(toks) >= 1)
+         |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         |  array_to_string(toks[CAST(i*24+1 AS INT) : CAST(i*24+32 AS INT)], ' ') AS chunk_text,
+         |  least(CAST(32 AS BIGINT), n - i*24) AS n_tokens
+         |FROM c""".stripMargin,
 
     "text_stats" ->
       (s"""WITH d AS (SELECT doc_id, text, $tokensSql AS toks FROM documents)

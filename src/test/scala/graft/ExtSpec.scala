@@ -523,6 +523,31 @@ class ExtSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("chunkTokens covers every token; consecutive chunks overlap " +
+    "by exactly `overlap` except the tail") {
+    val rnd = new scala.util.Random(37)
+    // lengths around the window/stride boundaries: 1, w-1, w, w+1,
+    // exactly 2 strides, and a long tail
+    for (len <- Seq(1, 7, 8, 9, 12, 16, 17, 50)) {
+      val words = (0 until len).map(i => s"w$i")
+      val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val chunks = TextAnalysis.chunkTokens(df, $"doc_id", $"text",
+        window = 8, overlap = 3)
+        .orderBy("chunk_idx")
+        .select("chunk_text", "n_tokens").as[(String, Long)].collect()
+      val covered = chunks.flatMap(_._1.split(" ")).toSet
+      assert(covered === words.toSet, s"len=$len missed tokens")
+      chunks.foreach { case (t, n) =>
+        assert(t.split(" ").length.toLong === n, s"len=$len bad count") }
+      chunks.sliding(2).foreach {
+        case Array((a, _), (b, _)) =>
+          // stride 5: chunk i+1 starts 5 tokens after chunk i
+          assert(b.split(" ").head === a.split(" ")(5), s"len=$len stride")
+        case _ => ()
+      }
+    }
+  }
+
   test("pqTopK is partitioning-invariant (fixed-point codebook math)") {
     // the centroid update sums 1e-6 fixed-point longs and the ADC
     // scores sum longs — neither depends on partition or reduce
