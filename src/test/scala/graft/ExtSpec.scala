@@ -523,6 +523,25 @@ class ExtSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("bm25TopK ranks the term-dense doc first; term-free docs carry " +
+    "zero tf") {
+    // same doc length everywhere, so saturation depends on tf alone:
+    // more seed-term occurrences must strictly outrank fewer
+    val docs = Seq(
+      (1L, "data data data join hash pad pad pad"),
+      (2L, "data join pad pad pad pad pad pad"),
+      (3L, "pad pad pad pad pad pad pad pad"),
+      (4L, "data data join join hash hash pad pad")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(docs, $"doc_id", $"text",
+      terms = Seq("data", "join", "hash"), k = 4)
+      .orderBy("rnk")
+      .select("doc_id", "tf0", "tf1", "tf2").as[(Long, Long, Long, Long)]
+      .collect()
+    assert(got.map(_._1).take(2).toSeq === Seq(4L, 1L)) // densest first
+    assert(got.last._1 === 3L) // the term-free doc ranks last
+    assert(got.last === ((3L, 0L, 0L, 0L)))
+  }
+
   test("chunkTokens covers every token; consecutive chunks overlap " +
     "by exactly `overlap` except the tail") {
     val rnd = new scala.util.Random(37)
