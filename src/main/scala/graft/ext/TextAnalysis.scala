@@ -134,6 +134,47 @@ object TextAnalysis {
         PhoneRe, "<PHONE>"),
       UrlRe, "<URL>")
 
+  /** Repetition metrics per document (the Gopher/MassiveText-style
+    * repetitious-text filter, Rae et al. '21): fraction of duplicate
+    * word bigrams and trigrams, and the share of the single most
+    * frequent bigram. Boilerplate, keyword stuffing and looping
+    * generations all light these up. One explode + one count
+    * aggregation per doc (map-side combine); every metric is a ratio
+    * of exact integers (division is correctly rounded — bit-identical
+    * in the oracle), and the keep flag applies the published-style
+    * literal thresholds.
+    */
+  def repetitionMetrics(docs: DataFrame, id: Column, text: Column,
+                        maxDup2: Double = 0.2, maxDup3: Double = 0.18,
+                        maxTopShare: Double = 0.2): DataFrame = {
+    val g2 = docs
+      .select(id.as("doc_id"), explode(shingles(text, 2)).as("__g"))
+      .groupBy("doc_id", "__g").agg(count(lit(1)).as("__c"))
+      .groupBy("doc_id")
+      .agg(sum("__c").as("n2"), count(lit(1)).as("d2"),
+        max("__c").as("__top2"))
+    val g3 = docs
+      .select(id.as("doc_id"), explode(shingles(text, 3)).as("__g"))
+      .groupBy("doc_id", "__g").agg(count(lit(1)).as("__c"))
+      .groupBy("doc_id")
+      .agg(sum("__c").as("n3"), count(lit(1)).as("d3"))
+    val dup2 = (col("n2") - col("d2")).cast("double") /
+      col("n2").cast("double")
+    val dup3 = (col("n3") - col("d3")).cast("double") /
+      col("n3").cast("double")
+    val topShare = col("__top2").cast("double") / col("n2").cast("double")
+    g2.join(g3, Seq("doc_id"), "left") // docs long enough for 2- not 3-grams
+      .select(col("doc_id"), col("n2"), col("d2"), col("n3"), col("d3"),
+        dup2.as("dup2_frac"),
+        coalesce(dup3, lit(0.0)).as("dup3_frac"),
+        topShare.as("top2_share"),
+        (dup2 <= maxDup2 && coalesce(dup3, lit(0.0)) <= maxDup3 &&
+          // top-share binds only past a length floor: a 2-token doc's
+          // single bigram has share 1.0 without being repetitious
+          // (the published rules carry the same length prerequisites)
+          (col("n2") < 20 || topShare <= maxTopShare)).as("keep"))
+  }
+
   /** Overlapping token-window chunking — the context-length-fitting
     * stage of a training-data pipeline: each document becomes
     * ceil-strided windows of `window` tokens advancing by

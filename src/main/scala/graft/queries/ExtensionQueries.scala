@@ -416,6 +416,13 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n_members"), sum("id").as("id_checksum"))
     },
 
+    // Gopher-style repetition filter: duplicate bigram/trigram
+    // fractions + top-bigram share, thresholds as literals.
+    "text_repetition" -> { (s, dir) =>
+      TextAnalysis.repetitionMetrics(docs(s, dir), col("doc_id"),
+        col("text"))
+    },
+
     // Context-length chunking: 32-token windows, 8-token overlap —
     // the map-only sequence-fitting stage before packing/training.
     "text_chunk" -> { (s, dir) =>
@@ -1010,6 +1017,35 @@ object ExtensionQueries {
       pqOracleSql(m = 16, dims = 64, kk = 16, k = 5, ivf = Some((8, 2))),
 
     "text_bm25_topk" -> bm25OracleSql(Bm25Terms, k = 20),
+
+    // thresholds 0.2/0.18/0.2 are the same decimal literals the Spark
+    // call carries; every ratio is exact-int / exact-int (correctly
+    // rounded division, bit-identical)
+    "text_repetition" ->
+      s"""WITH d AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |b AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+         |        THEN list_transform(range(1, len(toks)),
+         |               i -> toks[i] || '_' || toks[i+1]) ELSE [] END) AS g
+         |      FROM d),
+         |t AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+         |        THEN list_transform(range(1, len(toks) - 1),
+         |               i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2]) ELSE [] END) AS g
+         |      FROM d),
+         |b2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n2,
+         |         count(*) AS d2, CAST(max(c) AS BIGINT) AS top2
+         |       FROM (SELECT doc_id, g, count(*) AS c FROM b GROUP BY 1, 2)
+         |       GROUP BY 1),
+         |t3 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n3, count(*) AS d3
+         |       FROM (SELECT doc_id, g, count(*) AS c FROM t GROUP BY 1, 2)
+         |       GROUP BY 1)
+         |SELECT b2.doc_id, n2, d2, n3, d3,
+         |  CAST(n2 - d2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS dup2_frac,
+         |  coalesce(CAST(n3 - d3 AS DOUBLE) / CAST(n3 AS DOUBLE), 0.0) AS dup3_frac,
+         |  CAST(top2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS top2_share,
+         |  (CAST(n2 - d2 AS DOUBLE) / CAST(n2 AS DOUBLE) <= 0.2
+         |   AND coalesce(CAST(n3 - d3 AS DOUBLE) / CAST(n3 AS DOUBLE), 0.0) <= 0.18
+         |   AND (n2 < 20 OR CAST(top2 AS DOUBLE) / CAST(n2 AS DOUBLE) <= 0.2)) AS keep
+         |FROM b2 LEFT JOIN t3 USING (doc_id)""".stripMargin,
 
     // window=32, overlap=8, stride=24 — constants mirrored from the
     // Spark call; chunk count = floor((n - overlap - 1)/stride) + 1

@@ -523,6 +523,21 @@ class ExtSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("repetitionMetrics flags looping text and keeps distinct prose") {
+    val docs = Seq(
+      (1L, "buy now " * 20),                     // one bigram looped
+      (2L, (0 until 40).map(i => s"w$i").mkString(" ")), // all distinct
+      (3L, "a b")                                // bigram but no trigram
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionMetrics(docs, $"doc_id", $"text")
+      .select("doc_id", "dup2_frac", "top2_share", "keep")
+      .as[(Long, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(!m(1L)._4 && m(1L)._2 > 0.9 && m(1L)._3 > 0.4)
+    assert(m(2L)._4 && m(2L)._2 === 0.0)
+    assert(m(3L)._4) // missing trigrams count as zero repetition
+  }
+
   test("bm25TopK ranks the term-dense doc first; term-free docs carry " +
     "zero tf") {
     // same doc length everywhere, so saturation depends on tf alone:
