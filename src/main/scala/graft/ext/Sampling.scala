@@ -57,4 +57,41 @@ object Sampling {
     }
     df.filter(hashBucket(id, salt) < rate)
   }
+
+  /** Domain-mix resampling: downsample each stratum toward TARGET
+    * corpus proportions (the source-mixing stage of training-data
+    * assembly — rebalance scraped sources to a prescribed recipe).
+    * Per stratum s: rate_s = min(1, share_s · total / n_s), i.e. keep
+    * everything from under-represented sources (a hash sample cannot
+    * upsample) and thin over-represented ones; the realized mix hits
+    * the recipe up to the clamped strata. Rates derive from the data
+    * (one broadcast count join + one total row), the keep decision is
+    * the same salted-hash predicate as [[stratifiedHashSample]] at
+    * 1e-6 resolution — deterministic, partitioning-invariant, and
+    * exactly reproducible by the oracle (the rate arithmetic is
+    * correctly-rounded double ops on exact integers and shared
+    * decimal literals).
+    *
+    * @param targetShares (stratum, share) in fixed order; unlisted
+    *                     strata get `defaultShare`
+    */
+  def domainMixSample(df: DataFrame, id: Column, stratum: Column,
+                      targetShares: Seq[(String, Double)],
+                      defaultShare: Double, salt: String): DataFrame = {
+    val counts = df.groupBy(stratum.as("__st"))
+      .agg(count(lit(1)).as("__n"))
+    val total = counts.agg(sum("__n").as("__total"))
+    val share = targetShares.foldLeft(lit(defaultShare): Column) {
+      case (acc, (s, w)) => when(col("__st") === s, lit(w)).otherwise(acc)
+    }
+    val rate = least(lit(1.0),
+      share * col("__total").cast("double") / col("__n").cast("double"))
+    val thresh = floor(rate * lit(1000000.0)).cast("long")
+    df.withColumn("__st", stratum)
+      .join(broadcast(counts), "__st")
+      .crossJoin(broadcast(total))
+      .filter(PortableHash.md5PrefixLong(
+        concat(lit(salt), id.cast("string")), 7) % 1000000 < thresh)
+      .drop("__st", "__n", "__total")
+  }
 }

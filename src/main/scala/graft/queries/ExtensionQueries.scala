@@ -344,6 +344,16 @@ object ExtensionQueries {
 
     // Deterministic stratified downsampling: membership from a salted
     // id hash, so re-runs, repartitions, and external engines agree.
+    // Source-mix resampling toward a target recipe: src0 is clamped
+    // (under-represented vs its 0.2 share -> keep all), src2 and the
+    // default thin toward their shares.
+    "sample_domain_mix" -> { (s, dir) =>
+      Sampling.domainMixSample(docs(s, dir), col("doc_id"), col("source"),
+        targetShares = Seq("src0" -> 0.2, "src1" -> 0.1, "src2" -> 0.02),
+        defaultShare = 0.01, salt = "graft-mix:")
+        .select("doc_id", "source")
+    },
+
     "sample_hash_stratified" -> { (s, dir) =>
       Sampling.stratifiedHashSample(docs(s, dir), col("doc_id"),
         col("lang"),
@@ -1114,6 +1124,19 @@ object ExtensionQueries {
         |    '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
         |    'https?://[A-Za-z0-9./_-]+', '<URL>', 'g')) AS redacted_md5
         |FROM enr""".stripMargin,
+
+    // shares/default/salt mirror the Spark call; rate arithmetic is
+    // (CASE share) * total / n left-to-right, clamped, floored at 1e-6
+    "sample_domain_mix" ->
+      """WITH c AS (SELECT source AS st, count(*) AS n FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN c ON c.st = d.source CROSS JOIN tot
+        |WHERE CAST('0x' || substr(md5('graft-mix:' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 1000000
+        |  < CAST(floor(least(1.0,
+        |      CASE d.source WHEN 'src0' THEN 0.2 WHEN 'src1' THEN 0.1
+        |                    WHEN 'src2' THEN 0.02 ELSE 0.01 END
+        |      * CAST(total AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)""".stripMargin,
 
     "sample_hash_stratified" ->
       """SELECT doc_id, lang

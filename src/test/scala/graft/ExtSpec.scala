@@ -523,6 +523,27 @@ class ExtSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("domainMixSample clamps under-represented strata and thins " +
+    "over-represented ones toward the recipe") {
+    val df = ((1L to 10L).map(i => i -> "rare") ++
+      (11L to 110L).map(i => i -> "common")).toDF("id", "src")
+    // target: rare 50% (10 available of 110*0.5=55 wanted -> clamp,
+    // keep all 10), common 10% (11 of 100 wanted -> thin)
+    val kept = Sampling.domainMixSample(df, $"id", $"src",
+      targetShares = Seq("rare" -> 0.5), defaultShare = 0.1,
+      salt = "t:").as[(Long, String)].collect()
+    val byStratum = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byStratum("rare") === 10) // clamped: a hash sample can't upsample
+    val common = byStratum.getOrElse("common", 0)
+    // rate = 0.1 * 110 / 100 = 0.11 -> expect ~11 of 100, binomial spread
+    assert(common > 0 && common < 30, s"common kept $common")
+    // determinism: same inputs, same rows
+    val again = Sampling.domainMixSample(df.repartition(7), $"id", $"src",
+      targetShares = Seq("rare" -> 0.5), defaultShare = 0.1,
+      salt = "t:").as[(Long, String)].collect().toSet
+    assert(again === kept.toSet)
+  }
+
   test("repetitionMetrics flags looping text and keeps distinct prose") {
     val docs = Seq(
       (1L, "buy now " * 20),                     // one bigram looped
