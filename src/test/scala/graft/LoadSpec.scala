@@ -231,6 +231,37 @@ class LoadSpec extends SparkSpec {
       s"last-wins hierarchy row lost: $fullname")
   }
 
+  test("ParquetSink writes pruned layout: partition dirs, bounded " +
+    "files, cluster-sorted rows") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_sink").toString + "/t"
+    val df = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"lang", $"text")
+    val written = graft.sources.ParquetSink.write(df, out,
+      partitionCols = Seq("lang"), clusterKey = $"doc_id",
+      buckets = 2, maxRecordsPerFile = 20)
+    assert(written === df.count())
+    // directory-level partition pruning layout
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("lang=")))
+    // roundtrip equality
+    val back = spark.read.parquet(out)
+    assert(back.select("doc_id", "lang", "text").except(df).isEmpty &&
+      df.except(back.select("doc_id", "lang", "text")).isEmpty)
+    // bounded file sizes and tight cluster ranges: every file holds
+    // at most maxRecordsPerFile rows, sorted by the cluster key (row
+    // order within a small parquet file survives the roundtrip)
+    import org.apache.spark.sql.functions.input_file_name
+    val perFile = back.select(input_file_name().as("f"), $"doc_id")
+      .as[(String, Long)].collect().groupBy(_._1).values
+    assert(perFile.forall(_.length <= 20))
+    perFile.foreach { rows =>
+      val ids = rows.map(_._2).toSeq
+      assert(ids === ids.sorted, "rows not cluster-sorted within file")
+    }
+  }
+
   test("StubFetcher serves canned bytes; pipelines depend on Fetcher (S1)") {
     val fetcher = new StubFetcher(
       Map("https://example.test/dl" -> "zipbytes".getBytes("UTF-8")))
