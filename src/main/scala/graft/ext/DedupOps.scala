@@ -455,6 +455,38 @@ object DedupOps {
           .select(keep: _*))
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing at
+    * least `minShared` winnowing fingerprints with ANY document of
+    * the evaluation set — the one-sided application of
+    * [[winnowingFingerprints]] every serious training pipeline runs
+    * before training (evaluation text inside the training set
+    * invalidates the benchmark). The guarantee is inherited: a copied
+    * span of `window + k − 1` chars CANNOT escape undetected;
+    * `minShared` is calibrated above the corpus's ambient
+    * phrase-collision floor (common short phrases legitimately shared
+    * with the benchmark), which is what separates true contamination
+    * from topical overlap.
+    *
+    * Returns one row per corpus doc long enough to fingerprint:
+    * (doc_id, n_shared, keep). The benchmark side collapses to its
+    * DISTINCT fingerprint set — typically small enough to broadcast —
+    * so the corpus is scanned once and joined once at any scale.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, id: Column,
+                    text: Column, k: Int = 16, window: Int = 8,
+                    minShared: Int = 16): DataFrame = {
+    val c = winnowingFingerprints(corpus, id, text, k, window)
+    val b = winnowingFingerprints(benchmark, id, text, k, window)
+      .select("fp").distinct()
+    val hits = c.join(b, "fp").groupBy("doc_id")
+      .agg(count(lit(1)).as("__h"))
+    c.select("doc_id").distinct()
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__h"), lit(0L)).as("n_shared"),
+        (coalesce(col("__h"), lit(0L)) < minShared).as("keep"))
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
     * the MOSS algorithm): hash every k-char gram of the text, then
     * keep the MINIMUM hash of each window of `window` consecutive

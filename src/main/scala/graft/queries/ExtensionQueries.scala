@@ -200,6 +200,18 @@ object ExtensionQueries {
         col("text"), k = 16, window = 8, minShared = 3, maxDf = 64)
     },
 
+    // Benchmark decontamination: docs sharing >= 16 winnowing
+    // fingerprints with the held-out fifth of the corpus (the stand-in
+    // eval set) are contamination; the threshold sits above this
+    // corpus's ambient shared-phrase floor (most docs share 1-8).
+    "dedup_decontaminate" -> { (s, dir) =>
+      val d = docs(s, dir)
+      DedupOps.decontaminate(
+        d.filter(col("doc_id") % 5 =!= 0),
+        d.filter(col("doc_id") % 5 === 0),
+        col("doc_id"), col("text"), k = 16, window = 8, minShared = 16)
+    },
+
     // Edit-distance fuzzy matching on short strings — the family for
     // names/titles where token hashing is too coarse; blocked on
     // (brand, type) so candidates stay bounded.
@@ -930,6 +942,31 @@ object ExtensionQueries {
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.1""".stripMargin),
+
+    // same winnowing CTEs as dedup_substring; benchmark = doc_id%5==0,
+    // threshold 16 mirrored from the Spark call
+    "dedup_decontaminate" ->
+      """WITH grams AS (
+        |  SELECT doc_id, i.i AS pos,
+        |    CAST('0x' || substring(md5(substring(text, CAST(i.i AS INT), 16)), 1, 15)
+        |         AS BIGINT) AS h
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(generate_series(1, length(text) - 15)) AS i) i
+        |  WHERE length(text) >= 16),
+        |winmin AS (
+        |  SELECT doc_id,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+        |  FROM grams),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM winmin),
+        |bench AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 5 = 0),
+        |hits AS (SELECT f.doc_id, count(*) AS n FROM fps f
+        |         JOIN bench b ON f.fp = b.fp
+        |         WHERE f.doc_id % 5 <> 0 GROUP BY 1)
+        |SELECT d.doc_id, coalesce(h.n, 0) AS n_shared,
+        |  coalesce(h.n, 0) < 16 AS keep
+        |FROM (SELECT DISTINCT doc_id FROM fps WHERE doc_id % 5 <> 0) d
+        |LEFT JOIN hits h ON h.doc_id = d.doc_id""".stripMargin,
 
     // k=16-char grams, 8-gram windows (ROWS ... 7 FOLLOWING), shared
     // fingerprints >= 3, posting-list cap 64 — identical constants to

@@ -659,6 +659,25 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("decontaminate flags a doc copying a benchmark span, keeps " +
+    "fresh docs, and never misses at the guarantee length") {
+    val rnd = new scala.util.Random(43)
+    def randDoc(n: Int): String =
+      (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val benchSpan = randDoc(40) // >= window + k - 1 = 23 -> guaranteed
+    val bench = Seq(100L -> (randDoc(60) + benchSpan + randDoc(60)))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      1L -> (randDoc(90) + benchSpan + randDoc(30)), // contaminated
+      2L -> randDoc(200),                            // fresh
+      3L -> randDoc(200)).toDF("doc_id", "text")
+    val got = DedupOps.decontaminate(corpus, bench, $"doc_id", $"text",
+      k = 16, window = 8, minShared = 1)
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got === Map(1L -> false, 2L -> true, 3L -> true))
+  }
+
   test("substringDupPairs finds every planted span >= window + k - 1") {
     // winnowing guarantee (Schleimer et al. '03): a shared span of at
     // least window + k - 1 chars contains a full gram window, whose
