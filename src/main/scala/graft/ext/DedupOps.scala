@@ -474,9 +474,9 @@ object DedupOps {
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, id: Column,
                     text: Column, k: Int = 16, window: Int = 8,
-                    minShared: Int = 16): DataFrame = {
-    val c = winnowingFingerprints(corpus, id, text, k, window)
-    val b = winnowingFingerprints(benchmark, id, text, k, window)
+                    minShared: Int = 16, chunkChars: Int = 4096): DataFrame = {
+    val c = winnowingFingerprints(corpus, id, text, k, window, chunkChars)
+    val b = winnowingFingerprints(benchmark, id, text, k, window, chunkChars)
       .select("fp").distinct()
     val hits = c.join(b, "fp").groupBy("doc_id")
       .agg(count(lit(1)).as("__h"))
@@ -497,25 +497,40 @@ object DedupOps {
     * guaranteed detection, unlike mod-p gram sampling (Manber '94)
     * which can miss a planted span entirely.
     *
-    * Relational shape (scales where the classic per-string loop does
-    * not): explode gram positions → ONE md5 per gram → windowed `min`
-    * partitioned by doc (a single shuffle on doc id, codegen'd) →
-    * distinct (doc, fingerprint). Fingerprint density is ~2/(window+1)
-    * per gram, so the downstream postings join sees a ~window/2-fold
-    * smaller table than raw grams would.
+    * Shape (scales where the classic per-string loop does not):
+    * documents are cut into chunks of `chunkChars` window-start
+    * positions with `window + k − 2` characters of lookahead overlap,
+    * so every window is computed from exactly the bytes the unchunked
+    * definition sees (truncated windows only ever occur at the true
+    * end of a document) — a book-length outlier becomes many bounded
+    * tasks instead of one straggler. Each chunk row runs ONE codegen'd
+    * O(len) rolling-hash kernel call ([[org.apache.spark.sql.graft.WinnowKernel]]:
+    * double 31-bit polynomial hash, monotonic-deque sliding min) — no
+    * per-gram rows, no md5, and no per-document window shuffle; the
+    * only exchange is the final fingerprint `distinct`. Fingerprint
+    * density is ~2/(window+1) per gram, so the downstream postings
+    * join sees a ~window/2-fold smaller table than raw grams would.
     */
   def winnowingFingerprints(df: DataFrame, id: Column, text: Column,
-                            k: Int = 16, window: Int = 8): DataFrame = {
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
-    df.filter(length(text) >= k) // also guards sequence(1, stop < 1)
+                            k: Int = 16, window: Int = 8,
+                            chunkChars: Int = 4096): DataFrame = {
+    require(chunkChars >= 1, "chunkChars must be positive")
+    val overlap = window + k - 2
+    df.filter(length(text) >= k) // no gram fits a shorter doc
       .select(id.as("doc_id"), text.as("__t"))
+      // chunk i owns window starts i*chunkChars+1 .. min((i+1)*chunkChars, G)
+      // where G = length - k + 1; last chunk index = (G-1) div chunkChars
       .select(col("doc_id"), col("__t"),
-        explode(sequence(lit(1), length(col("__t")) - (k - 1))).as("pos"))
-      .select(col("doc_id"), col("pos"),
-        PortableHash.md5PrefixLong(
-          expr(s"substring(__t, pos, $k)"), 15).as("h"))
-      .select(col("doc_id"), min(col("h")).over(win).as("fp"))
+        expr(s"explode(sequence(0, (length(__t) - $k) div $chunkChars))")
+          .as("__ci"))
+      .select(col("doc_id"),
+        expr(s"substring(__t, __ci * $chunkChars + 1, " +
+          s"${chunkChars + overlap})").as("__chunk"),
+        least(lit(chunkChars), length(col("__t")) - lit(k - 1) -
+          col("__ci") * chunkChars).cast("int").as("__ns"))
+      .select(col("doc_id"),
+        explode(org.apache.spark.sql.graft.WinnowColumns
+          .winnow_mins(col("__chunk"), col("__ns"), k, window)).as("fp"))
       .distinct()
   }
 
@@ -530,7 +545,7 @@ object DedupOps {
     */
   def substringDupPairs(df: DataFrame, id: Column, text: Column,
                         k: Int = 16, window: Int = 8, minShared: Int = 3,
-                        maxDf: Int = 64): DataFrame = {
+                        maxDf: Int = 64, chunkChars: Int = 4096): DataFrame = {
     // Inverted-index shape, same as [[jaccardPairs]]: ONE pass builds
     // a per-fingerprint postings list, the df-cap drops boilerplate
     // lists, and the (a < b) pairs expand in-row from the sorted list
@@ -538,7 +553,7 @@ object DedupOps {
     // self-join formulation instead recomputes the md5 + windowed-min
     // pass once per join branch — broadcast self-joins don't reuse the
     // fingerprint exchange.
-    val fps = winnowingFingerprints(df, id, text, k, window)
+    val fps = winnowingFingerprints(df, id, text, k, window, chunkChars)
     val postings = fps.groupBy("fp")
       // fps is already distinct per (doc, fp); sort so i < j ⇒
       // doc_a < doc_b in the expansion below

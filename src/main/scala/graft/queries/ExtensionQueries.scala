@@ -768,6 +768,43 @@ object ExtensionQueries {
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)}) / ((${normSql(a)}) * (${normSql(b)}))"
 
+  /** DuckDB rendering of [[org.apache.spark.sql.graft.WinnowKernel]]'s
+    * double 31-bit polynomial gram hash as the positional sum
+    * Σ cp(pos+j)·B^(k−1−j) mod P (equal to the Spark side's rolling
+    * update, term by term mod P): each term ≤ 2^21 · 2^31 and the
+    * k-term sum ≤ 2^56, exact in BIGINT.
+    */
+  private def winnowHashSql(k: Int): String = {
+    import org.apache.spark.sql.graft.WinnowKernel._
+    def sum(pows: IndexedSeq[Long]) = (0 until k).map(j =>
+      s"CAST(ascii(substr(text, CAST(i.i + $j AS INT), 1)) AS BIGINT) * ${pows(j)}")
+      .mkString(" + ")
+    s"((${sum(powers(B1, P1, k))}) % $P1) * $P2 + " +
+      s"((${sum(powers(B2, P2, k))}) % $P2)"
+  }
+
+  /** Winnowing fingerprint CTEs shared by the substring-dedup and
+    * decontamination oracles — k=16-char grams, 8-gram windows (ROWS
+    * ... 7 FOLLOWING), identical constants to the Spark calls. The
+    * oracle keeps the simple per-position window form; the Spark
+    * side's chunked kernel produces the same fingerprint SET (overlap
+    * chunking truncates windows only at true document end, exactly
+    * like the window frame here).
+    */
+  private def winnowFpsCte: String =
+    s"""grams AS (
+       |  SELECT doc_id, i.i AS pos,
+       |    ${winnowHashSql(16)} AS h
+       |  FROM documents,
+       |    LATERAL (SELECT unnest(generate_series(1, length(text) - 15)) AS i) i
+       |  WHERE length(text) >= 16),
+       |winmin AS (
+       |  SELECT doc_id,
+       |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |                 ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+       |  FROM grams),
+       |fps AS (SELECT DISTINCT doc_id, fp FROM winmin)""".stripMargin
+
   /** Events view with the ns→µs timestamp truncation Tables.load does. */
   private val evtCte =
     """evts AS (SELECT event_id, make_timestamp(epoch_us(ts)) AS ts,
@@ -946,19 +983,7 @@ object ExtensionQueries {
     // same winnowing CTEs as dedup_substring; benchmark = doc_id%5==0,
     // threshold 16 mirrored from the Spark call
     "dedup_decontaminate" ->
-      """WITH grams AS (
-        |  SELECT doc_id, i.i AS pos,
-        |    CAST('0x' || substring(md5(substring(text, CAST(i.i AS INT), 16)), 1, 15)
-        |         AS BIGINT) AS h
-        |  FROM documents,
-        |    LATERAL (SELECT unnest(generate_series(1, length(text) - 15)) AS i) i
-        |  WHERE length(text) >= 16),
-        |winmin AS (
-        |  SELECT doc_id,
-        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
-        |                 ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
-        |  FROM grams),
-        |fps AS (SELECT DISTINCT doc_id, fp FROM winmin),
+      s"""WITH $winnowFpsCte,
         |bench AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 5 = 0),
         |hits AS (SELECT f.doc_id, count(*) AS n FROM fps f
         |         JOIN bench b ON f.fp = b.fp
@@ -972,19 +997,7 @@ object ExtensionQueries {
     // fingerprints >= 3, posting-list cap 64 — identical constants to
     // the Spark call in `queries`
     "dedup_substring" ->
-      """WITH grams AS (
-        |  SELECT doc_id, i.i AS pos,
-        |    CAST('0x' || substring(md5(substring(text, CAST(i.i AS INT), 16)), 1, 15)
-        |         AS BIGINT) AS h
-        |  FROM documents,
-        |    LATERAL (SELECT unnest(generate_series(1, length(text) - 15)) AS i) i
-        |  WHERE length(text) >= 16),
-        |winmin AS (
-        |  SELECT doc_id,
-        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
-        |                 ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
-        |  FROM grams),
-        |fps AS (SELECT DISTINCT doc_id, fp FROM winmin),
+      s"""WITH $winnowFpsCte,
         |keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 64)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
         |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id

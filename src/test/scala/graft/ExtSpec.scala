@@ -706,6 +706,77 @@ class ExtSpec extends SparkSpec {
     assert(pairs === Set((0L, 1L), (2L, 3L)))
   }
 
+  test("winnowing kernel matches the positional polynomial reference") {
+    // brute force the oracle's definition — per position, the direct
+    // sum Σ cp(pos+j)·B^(k−1−j) mod P for both primes, then the
+    // truncated-window min — and compare sets against the chunked
+    // rolling-hash kernel
+    import org.apache.spark.sql.graft.WinnowKernel._
+    def refFps(s: String, k: Int, w: Int): Set[Long] = {
+      val cps = s.codePoints().toArray
+      val g = cps.length - k + 1
+      if (g <= 0) return Set.empty
+      val pw1 = powers(B1, P1, k); val pw2 = powers(B2, P2, k)
+      val h = (0 until g).map { p =>
+        val s1 = (0 until k).map(j => cps(p + j) * pw1(j)).sum % P1
+        val s2 = (0 until k).map(j => cps(p + j) * pw2(j)).sum % P2
+        s1 * P2 + s2
+      }
+      (0 until g).map(p => h.slice(p, math.min(p + w, g)).min).toSet
+    }
+    val rnd = new scala.util.Random(7)
+    def randDoc(n: Int): String =
+      (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    // lengths spanning the edge cases: < k (empty), exactly k (one
+    // gram), k + w - 1 (one full window), and multi-chunk sizes for
+    // chunkChars = 64
+    val docs = Seq(10, 15, 16, 23, 40, 63, 64, 65, 100, 200, 555)
+      .zipWithIndex.map { case (n, i) => (i.toLong, randDoc(n)) }
+    val df = docs.toDF("doc_id", "text")
+    val got = DedupOps.winnowingFingerprints(df, $"doc_id", $"text",
+      k = 16, window = 8, chunkChars = 64)
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (d, fs) => d -> fs.map(_._2).toSet }
+    val want = docs.map { case (d, t) => d -> refFps(t, 16, 8) }
+      .filter(_._2.nonEmpty).toMap
+    assert(got === want)
+  }
+
+  test("chunked winnowing equals unchunked at every chunk size") {
+    val rnd = new scala.util.Random(11)
+    def randDoc(n: Int): String =
+      (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val df = (0L to 5L).map(i => (i, randDoc(300 + 97 * i.toInt)))
+      .toDF("doc_id", "text")
+    def fps(chunk: Int) = DedupOps.winnowingFingerprints(
+      df, $"doc_id", $"text", k = 16, window = 8, chunkChars = chunk)
+      .as[(Long, Long)].collect().toSet
+    val whole = fps(1 << 20) // one chunk per doc: the unchunked baseline
+    assert(fps(23) === whole)  // minimum sensible chunk (= w + k - 1)
+    assert(fps(64) === whole)
+    assert(fps(301) === whole) // boundary straddles mid-document
+  }
+
+  test("substringDupPairs finds a planted span straddling a chunk border") {
+    // the guarantee must survive chunking: a 23-char shared span that
+    // crosses the chunk boundary (chunkChars = 100 → border at char
+    // 100) still yields a shared fingerprint, because each chunk reads
+    // window + k − 2 lookahead chars past its own window starts
+    val rnd = new scala.util.Random(17)
+    def randDoc(n: Int): String =
+      (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val span = randDoc(23)
+    val docs = Seq(
+      0L -> (randDoc(90) + span + randDoc(90)),  // span covers chars 91..113
+      1L -> (randDoc(150) + span),
+      2L -> randDoc(200))
+    val pairs = DedupOps.substringDupPairs(docs.toDF("doc_id", "text"),
+      $"doc_id", $"text", k = 16, window = 8, minShared = 1, maxDf = 64,
+      chunkChars = 100)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 1L)))
+  }
+
   test("rangeJoin matches the range predicate across bucket boundaries") {
     val points = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1L),  // == start -> in
