@@ -227,41 +227,106 @@ object DedupOps {
     * graphs DO grow long chains (A≈B≈C… without A≈C), where one-hop
     * min-label propagation needs O(diameter) rounds (16 vs 6 on the
     * sf0.1 corpus). Each round is two star steps over the edge set
-    * (no per-node state carried between rounds), `localCheckpoint`
-    * truncates the per-round lineage — on a cluster use a reliable
-    * checkpoint dir instead. The early stop is exact: iteration ends
-    * when a full round leaves the edge set unchanged, a fixpoint that
-    * is necessarily the star forest (= the oracle's transitive
-    * closure), not an iteration-capped approximation.
+    * (no per-node state carried between rounds); per-round lineage is
+    * truncated by an eager checkpoint. The early stop is exact:
+    * iteration ends when a full round leaves the edge set unchanged, a
+    * fixpoint that is necessarily the star forest (= the oracle's
+    * transitive closure), not an iteration-capped approximation.
+    *
+    * Fault-tolerance contract: with `checkpointDir` set (an HDFS/S3
+    * path on a real cluster) every round writes a RELIABLE checkpoint,
+    * so losing an executor mid-job costs one round's recompute from
+    * the last checkpoint. The `None` default falls back to
+    * `localCheckpoint` — executor-local blocks, right for single-node
+    * and test runs, but a lost executor there aborts the job (lineage
+    * is truncated, there is nothing to recompute from); don't ship the
+    * default to a 1000-executor run of a 40-round graph.
     *
     * @param nodes one `id` column, every node (isolated docs become
     *              singleton components — pairs alone would drop them)
     * @param pairs `id_a`, `id_b` candidate pairs (undirected)
+    * @param checkpointDir reliable checkpoint directory; sets the
+    *                      SparkContext checkpoint dir (a context-wide
+    *                      setting) on entry
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
-                          maxIter: Int = 50): DataFrame = {
-    var e = pairs.filter(col("id_a") =!= col("id_b"))
-      .select(least(col("id_a"), col("id_b")).as("a"),
-        greatest(col("id_a"), col("id_b")).as("b"))
-      .distinct().localCheckpoint(true)
-    var prevCount = e.count()
+                          maxIter: Int = 50,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(nodes.sparkSession.sparkContext.setCheckpointDir)
+    def ckpt(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
+    // Piggyback the edge count on the checkpoint's materialization job
+    // via `observe` instead of a second count() job per round; the
+    // listener delivers metrics asynchronously just after the eager
+    // checkpoint returns, so poll briefly and fall back to the (cached,
+    // cheap) count() rather than block on Observation.get forever.
+    // Count AND an order-independent set checksum (bit_xor of a 64-bit
+    // row hash), both piggybacked on the checkpoint's materialization
+    // job via `observe` — no second count() job per round. The
+    // checksum is a cheap NEGATIVE convergence filter: differing
+    // checksums prove the edge sets differ, so the exact anti-join
+    // probe below only ever runs on rounds where count and checksum
+    // both match (in practice, once). Metrics arrive on the listener
+    // bus just after the eager checkpoint returns, so poll briefly and
+    // fall back to a (cached, cheap) count() rather than block on
+    // Observation.get forever.
+    def ckptCounted(df: DataFrame): (DataFrame, Long, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val out = ckpt(df.observe(obs, count(lit(1)).as("n"),
+        coalesce(bit_xor(xxhash64(col("a"), col("b"))), lit(0L)).as("x")))
+      var waited = 0
+      var m: Option[Map[String, Any]] = None
+      while (m.isEmpty && waited < 2000) {
+        val got = org.apache.spark.sql.graft.ObservationAccess.getOrEmpty(obs)
+        if (got.contains("n")) m = Some(got)
+        else { Thread.sleep(5); waited += 5 }
+      }
+      m match {
+        case Some(v) =>
+          (out, v("n").asInstanceOf[Long], v("x").asInstanceOf[Long])
+        case None => (out, out.count(), Long.MinValue) // sentinel: no skip
+      }
+    }
+    var (e, prevCount, prevSum) = ckptCounted(
+      pairs.filter(col("id_a") =!= col("id_b"))
+        .select(least(col("id_a"), col("id_b")).as("a"),
+          greatest(col("id_a"), col("id_b")).as("b"))
+        .distinct())
     var iter = 0
     var converged = prevCount == 0L
     while (iter < maxIter && !converged) {
-      // one large+small alternation per checkpoint: the small-star's
-      // repeated reads of the large-star subtree all shuffle on the
-      // same key, so exchange reuse (not a cache) deduplicates them;
-      // an explicit persist here measured SLOWER (InMemoryRelation
-      // blocks the exchange-reuse match), and chaining two
-      // alternations before the checkpoint recomputes subtrees
-      // exponentially
-      val next = starStep(starStep(e, large = true, dedup = false),
-        large = false).localCheckpoint(true)
-      val n = next.count()
-      // both sides are distinct sets: equal size + empty difference
-      // (one cheap probe on two checkpointed frames) ⇒ set equality
-      converged = n == prevCount && next.except(e).isEmpty
+      // checkpoint after EACH star step: the small-star reads its
+      // input through two differently-shaped exchanges (a partial-agg
+      // groupBy and a join probe), which exchange reuse does NOT
+      // deduplicate — an unmaterialized large-star output would be
+      // recomputed once per branch. An explicit persist instead of the
+      // checkpoint measured SLOWER (InMemoryRelation blocks the
+      // exchange-reuse match inside each step).
+      val tR = System.nanoTime()
+      val half = ckpt(starStep(e, large = true, dedup = false))
+      val tH = System.nanoTime()
+      val (next, n, x) = ckptCounted(starStep(half, large = false))
+      val tN = System.nanoTime()
+      // both sides are distinct sets: equal size + equal xor-checksum
+      // gate the EXACT probe — an empty anti join (strictly cheaper
+      // than `except`, which would re-distinct both already-distinct
+      // sides). The && short-circuit means the anti join only runs on
+      // rounds where count and checksum both plateaued (typically the
+      // single fixpoint-confirming round); a checksum collision merely
+      // runs the probe once more, never a false convergence.
+      converged = n == prevCount && x == prevSum &&
+        next.join(e, Seq("a", "b"), "left_anti").isEmpty
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(f"[cc] iter=$iter n=$n half=${(tH - tR) / 1e9}%.3f " +
+          f"next=${(tN - tH) / 1e9}%.3f probe=${(System.nanoTime() - tN) / 1e9}%.3f")
+      // drop superseded round state (a 40-round run would otherwise
+      // hold every round's blocks); reliable checkpoint FILES are left
+      // for the context's reference-tracking cleaner
+      half.unpersist()
+      e.unpersist()
       prevCount = n
+      prevSum = x
       e = next
       iter += 1
     }

@@ -76,3 +76,13 @@ object HashColumns {
   def md5_prefix_long(c: Column, hexLen: Int): Column =
     ExpressionUtils.column(Md5PrefixLong(ExpressionUtils.expression(c), hexLen))
 }
+
+/** `Observation.getOrEmpty` is private[sql]; this bridge exposes the
+  * non-blocking read to the iterative operators (graft.ext.DedupOps)
+  * that poll a checkpoint job's observed metrics with a fallback,
+  * rather than risking an indefinite block on `Observation.get`.
+  */
+object ObservationAccess {
+  def getOrEmpty(o: org.apache.spark.sql.Observation): Map[String, Any] =
+    o.getOrEmpty
+}

@@ -49,6 +49,29 @@ class ExtSpec extends SparkSpec {
     assert(lone.forall { case (id, c) => id == c })
   }
 
+  test("connectedComponents reliable-checkpoint path: same labels, " +
+    "checkpoint files written") {
+    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt")
+    try {
+      val nodes = Seq(1L, 2L, 3L, 4L, 7L).toDF("id")
+      val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+      val got = DedupOps.connectedComponents(nodes, pairs,
+        checkpointDir = Some(dir.toString))
+        .as[(Long, Long)].collect().toMap
+      assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L))
+      // the rounds actually wrote reliable checkpoints into the dir
+      def files(f: java.io.File): Seq[java.io.File] = {
+        val kids = Option(f.listFiles).map(_.toSeq).getOrElse(Seq.empty)
+        kids ++ kids.filter(_.isDirectory).flatMap(files)
+      }
+      assert(files(dir.toFile).exists(_.isFile),
+        "no checkpoint data written to the reliable checkpoint dir")
+    } finally {
+      import scala.sys.process._
+      Seq("rm", "-rf", dir.toString).!
+    }
+  }
+
   test("connectedComponents matches a union-find oracle on random graphs") {
     val rnd = new scala.util.Random(4242)
     for (trial <- 0 until 3) {
