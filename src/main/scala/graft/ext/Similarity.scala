@@ -135,7 +135,7 @@ object Similarity {
     val assigned = corpus
       .select(col("id").as("neighbor_id"), col("vec").as("cv"),
         norm(col("vec")).as("__cn"))
-      .crossJoin(cent)
+      .crossJoin(broadcast(cent))
       .withColumn("__ccos",
         dot(col("cv"), col("__cvec")) / (col("__cn") * col("__ctn")))
       .groupBy(col("neighbor_id"))
@@ -146,7 +146,7 @@ object Similarity {
     val probes = queries
       .select(col("id").as("query_id"), col("vec").as("qv"),
         norm(col("vec")).as("__qn"))
-      .crossJoin(cent)
+      .crossJoin(broadcast(cent))
       .withColumn("__ccos",
         dot(col("qv"), col("__cvec")) / (col("__qn") * col("__ctn")))
       .withColumn("__rn", row_number().over(Window.partitionBy("query_id")
@@ -282,7 +282,7 @@ object Similarity {
     val assigned = corpus
       .select(col("id").as("neighbor_id"), col("vec").as("cv"),
         norm(col("vec")).as("__cn"))
-      .crossJoin(cent)
+      .crossJoin(broadcast(cent))
       .withColumn("__ccos",
         dot(col("cv"), col("__cvec")) / (col("__cn") * col("__ctn")))
       .groupBy(col("neighbor_id"))
@@ -291,7 +291,7 @@ object Similarity {
     val probes = queries
       .select(col("id").as("query_id"), col("vec").as("qv"),
         norm(col("vec")).as("__qn"))
-      .crossJoin(cent)
+      .crossJoin(broadcast(cent))
       .withColumn("__ccos",
         dot(col("qv"), col("__cvec")) / (col("__qn") * col("__ctn")))
       .withColumn("__rn", row_number().over(Window.partitionBy("query_id")

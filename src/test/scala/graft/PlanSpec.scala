@@ -130,6 +130,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("ivfTopK/ivfPqTopK: centroid joins broadcast even from a " +
+    "stats-less centroid frame — never cartesian") {
+    // a centroid frame read back from parquet (e.g. a persisted kmeans
+    // result) carries no size estimate; without the explicit
+    // broadcast() pin the assign/probe cross joins can degrade to a
+    // CartesianProduct exchange that shuffles the full corpus
+    import graft.ext.Similarity
+    val tmp = java.nio.file.Files.createTempDirectory("cent").toString
+    try {
+      val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.seedCentroids(emb, 8).write.mode("overwrite").parquet(tmp)
+      val statless = spark.read.parquet(tmp)
+      for (df <- Seq(
+          Similarity.ivfTopK(emb, emb, statless, k = 5, nprobe = 2),
+          Similarity.ivfPqTopK(emb, emb, statless, k = 5, nprobe = 2))) {
+        df.collect()
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains("CartesianProduct"), s"cartesian centroid join:\n$p")
+        assert(p.contains("BroadcastNestedLoopJoin"))
+      }
+    } finally {
+      import scala.sys.process._
+      Seq("rm", "-rf", tmp).!
+    }
+  }
+
   test("emb_kmeans: centroid joins broadcast, never cartesian") {
     // both Lloyd iterations cross-join the corpus against ≤k centroid
     // rows; the bounded side must broadcast — a CartesianProduct would
