@@ -521,6 +521,24 @@ object ExtensionQueries {
         .select("event_id", "user_id", "ts", "win_start")
     },
 
+    // Interval join via the STREAMING operator's batch twin (the same
+    // plan minus watermarks — withWatermark is a no-op on batch): all
+    // clicks within the hour after a view by the same user. This is
+    // the oracle-checked half of the stream/batch equivalence pair;
+    // StreamSpec asserts the streaming run emits exactly these rows.
+    "ew_interval_join" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.streaming.StreamOps.intervalJoin(views, clicks, "user_id",
+        "0 seconds", "1 hour", "1 hour")
+        .select(col("left_event_id").as("view_id"),
+          col("left_user_id").as("user_id"), col("left_ts").as("view_ts"),
+          col("right_event_id").as("click_id"), col("right_ts").as("click_ts"))
+    },
+
     "ew_asof_join" -> { (s, dir) =>
       val e = t(s, dir, "events")
       val clicks = e.filter(col("event_type") === "click")
@@ -1384,6 +1402,19 @@ object ExtensionQueries {
         |JOIN (SELECT user_id, ts FROM evts WHERE event_type = 'signup') s
         |  ON e.user_id = s.user_id
         |  AND e.ts >= s.ts AND e.ts < s.ts + INTERVAL '2 hours'""".stripMargin),
+
+    // both range bounds inclusive, mirroring the Spark condition
+    // right_ts BETWEEN left_ts + 0s AND left_ts + 1h
+    "ew_interval_join" ->
+      (s"""WITH $evtCte
+        |SELECT v.event_id AS view_id, v.user_id AS user_id,
+        |  v.ts AS view_ts, c.event_id AS click_id, c.ts AS click_ts
+        |FROM (SELECT user_id, ts, event_id FROM evts
+        |      WHERE event_type = 'view') v
+        |JOIN (SELECT user_id, ts, event_id FROM evts
+        |      WHERE event_type = 'click') c
+        |  ON v.user_id = c.user_id
+        |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '1 hour'""".stripMargin),
 
     "ew_asof_native" ->
       (s"""WITH $evtCte,

@@ -50,20 +50,36 @@ object StreamOps {
     * inner-join state cleanup). Without the two-sided bound the state
     * store grows without limit. Columns are prefixed left_/right_ so
     * self-joins (same source twice) stay unambiguous.
+    *
+    * Applied to BATCH frames the same plan is a plain time-range join
+    * (`withWatermark` is a no-op outside streaming) — that batch twin
+    * is what the `ew_interval_join` query oracle-checks, and
+    * StreamSpec asserts the streaming run emits exactly the batch
+    * rows.
+    *
+    * @param tsCol event-time column name, present on both inputs
     */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
                    lowerBound: String, upperBound: String,
-                   watermark: String): DataFrame = {
+                   watermark: String, tsCol: String = "ts"): DataFrame = {
+    require(left.columns.contains(tsCol) && right.columns.contains(tsCol),
+      s"both inputs need the event-time column '$tsCol'")
+    require(!(left.columns ++ right.columns)
+        .exists(c => c.startsWith("left_") || c.startsWith("right_")),
+      "inputs must not already carry left_/right_ prefixed columns " +
+        "(reserved by intervalJoin's disambiguation)")
     val l = left.columns.foldLeft(left)((d, c) =>
-      d.withColumnRenamed(c, s"left_$c")).withWatermark(s"left_ts",
+      d.withColumnRenamed(c, s"left_$c")).withWatermark(s"left_$tsCol",
       watermark)
     val r = right.columns.foldLeft(right)((d, c) =>
-      d.withColumnRenamed(c, s"right_$c")).withWatermark(s"right_ts",
+      d.withColumnRenamed(c, s"right_$c")).withWatermark(s"right_$tsCol",
       watermark)
     l.join(r,
       col(s"left_$key") === col(s"right_$key") &&
-        col("right_ts") >= col("left_ts") + expr(s"INTERVAL $lowerBound") &&
-        col("right_ts") <= col("left_ts") + expr(s"INTERVAL $upperBound"))
+        col(s"right_$tsCol") >= col(s"left_$tsCol") +
+          expr(s"INTERVAL $lowerBound") &&
+        col(s"right_$tsCol") <= col(s"left_$tsCol") +
+          expr(s"INTERVAL $upperBound"))
   }
 
   /** Streaming exact dedup bounded by the watermark horizon — the

@@ -129,6 +129,46 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming intervalJoin equals its batch twin on the same input") {
+    // the equivalence contract behind the ew_interval_join oracle row:
+    // the SAME intervalJoin call on batch frames (watermark no-op) and
+    // on streams (any batch split) yields identical row sets
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(23)
+    val rows: Seq[(Timestamp, Long, String)] = (0 until 40).map { i =>
+      (new Timestamp(ts("2024-01-01 08:00:00").getTime +
+        rnd.nextInt(4 * 3600) * 1000L), (i % 5).toLong, s"e$i")
+    }
+    val (lRows, rRows) = rows.splitAt(20)
+    def batchDf(s: Seq[(Timestamp, Long, String)]) =
+      s.toDF("ts", "user_id", "tag")
+    val want = StreamOps.intervalJoin(batchDf(lRows), batchDf(rRows),
+      key = "user_id", lowerBound = "0 seconds",
+      upperBound = "45 minutes", watermark = "2 hours")
+      .select($"left_tag", $"right_tag")
+      .as[(String, String)].collect().toSet
+    assert(want.nonEmpty) // a vacuous equivalence would prove nothing
+    val lIn = MemoryStream[(Timestamp, Long, String)]
+    val rIn = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamOps.intervalJoin(
+      lIn.toDF().toDF("ts", "user_id", "tag"),
+      rIn.toDF().toDF("ts", "user_id", "tag"),
+      key = "user_id", lowerBound = "0 seconds",
+      upperBound = "45 minutes", watermark = "2 hours")
+      .select($"left_tag", $"right_tag")
+      .writeStream.format("memory").queryName("ij_eq_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      lIn.addData(lRows.take(12)); rIn.addData(rRows.take(7))
+      q.processAllAvailable()
+      lIn.addData(lRows.drop(12)); rIn.addData(rRows.drop(7))
+      q.processAllAvailable()
+      val got = spark.table("ij_eq_out")
+        .as[(String, String)].collect().toSet
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("streaming simhash twin equals batch band pairs on the same input") {
     // the equivalence contract: same (doc_id, simhash) rows, any
     // batch split -> the streaming candidates (normalized to
