@@ -1,15 +1,18 @@
 package graft.ext
 
-/** Pure-JVM container-header parsing for the public PNG / GIF / BMP
-  * image formats — byte-level, no codec dependency. Replaces the
+/** Pure-JVM container-header parsing for the public PNG / GIF / BMP /
+  * JPEG image formats — byte-level, no codec dependency. Replaces the
   * hash stand-in for payloads that really are images; the reference
   * formats are public specs (PNG: RFC 2083 §3.1/§4.1.1, GIF:
   * GIF89a specification §17-18, BMP: BITMAPCOREHEADER /
-  * BITMAPINFOHEADER layouts).
+  * BITMAPINFOHEADER layouts, JPEG: ITU-T T.81 §B.2.2 frame header).
   */
 object ImageHeader {
 
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    (u8(b, i) << 8) | u8(b, i + 1)
 
   private def be32(b: Array[Byte], i: Int): Int =
     (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
@@ -52,7 +55,41 @@ object ImageHeader {
         Some(("bmp", le32(b, 18), math.abs(le32(b, 22))))
       case _ => None
     }
+    else if (b.length >= 4 && b(0) == 0xff.toByte && b(1) == 0xd8.toByte)
+      jpegDims(b)
     else None
+  }
+
+  /** JPEG dimensions from the first frame header (ITU-T T.81 §B.2.2):
+    * walk the marker segments after SOI until an SOF marker — C0/C2
+    * (baseline/progressive) and the other SOFn variants, but NOT
+    * C4 (DHT), C8 (JPG) or CC (DAC), which share the Cx range without
+    * being frame headers — then read [precision, height:16, width:16].
+    * None for streams that are truncated, hit scan data (SOS) or the
+    * trailer before any frame header, or break marker framing.
+    */
+  private def jpegDims(b: Array[Byte]): Option[(String, Int, Int)] = {
+    var i = 2
+    while (i + 4 <= b.length && b(i) == 0xff.toByte) {
+      val marker = u8(b, i + 1)
+      if (marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+        // SOF segment: len(2) precision(1) height(2) width(2)
+        return if (i + 9 <= b.length && be16(b, i + 2) >= 8)
+          Some(("jpeg", be16(b, i + 7), be16(b, i + 5)))
+        else None
+      }
+      if (marker == 0xff) i += 1 // fill byte (§B.1.1.2)
+      else if (marker == 0xd8 || marker == 0x01 ||
+          (marker >= 0xd0 && marker <= 0xd7)) i += 2 // standalone
+      else if (marker == 0xd9 || marker == 0xda) return None // EOI/SOS
+      else {
+        val len = be16(b, i + 2)
+        if (len < 2) return None
+        i += 2 + len
+      }
+    }
+    None
   }
 
   /** Count GIF frames by walking the block stream (GIF89a spec §20-25):

@@ -31,6 +31,7 @@ object ExtensionQueries {
   private def hex2(c: Column): Column = lpad(hex(c), 2, "0")
   private def hexLe16(c: Column): Column =
     concat(hex2(pmod(c, lit(256))), hex2((c / 256).cast("int")))
+  private def hexBe16(c: Column): Column = lpad(hex(c), 4, "0")
   private def hexBe32(c: Column): Column = lpad(hex(c), 8, "0")
   private def hexLe32(c: Column): Column = concat(
     hex2(pmod(c, lit(256))), hex2(pmod((c / 256).cast("int"), lit(256))),
@@ -620,10 +621,17 @@ object ExtensionQueries {
       // BMP: "BM", size/reserved/offset, BITMAPINFOHEADER(40), LE32 dims
       val bmp = concat(lit("424D000000000000000036000000" + "28000000"),
         hexLe32(w), hexLe32(h), lit("0100180000000000"))
+      // JPEG: SOI, JFIF APP0 (len 16), SOF0 (len 17: precision 8,
+      // BE16 height THEN width, 3 components) — header-only payload,
+      // the SOF walk stops before scan data
+      val jpeg = concat(lit("FFD8" + "FFE000104A46494600010100000100010000"
+          + "FFC0001108"),
+        hexBe16(h), hexBe16(w), lit("03011100021101031101"))
       val blob = to_binary(
-        when(pmod(col("doc_id"), lit(3)) === 0, png)
-          .when(pmod(col("doc_id"), lit(3)) === 1, gif)
-          .otherwise(bmp), lit("hex"))
+        when(pmod(col("doc_id"), lit(4)) === 0, png)
+          .when(pmod(col("doc_id"), lit(4)) === 1, gif)
+          .when(pmod(col("doc_id"), lit(4)) === 2, bmp)
+          .otherwise(jpeg), lit("hex"))
       Multimodal.decodeFeatures(
           docs(s, dir).select(col("doc_id")).withColumn("blob", blob))
         .toDF()
@@ -1503,11 +1511,11 @@ object ExtensionQueries {
     // byte-level parser is wrong in either direction, these diverge
     "mm_decode_image" ->
       """SELECT doc_id,
-        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'
-        |       WHEN 1 THEN 'gif' ELSE 'bmp' END AS format,
+        |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png'
+        |       WHEN 1 THEN 'gif' WHEN 2 THEN 'bmp' ELSE 'jpeg' END AS format,
         |  CAST(doc_id % 1024 + 1 AS INT) AS width,
         |  CAST(doc_id % 768 + 1 AS INT) AS height,
-        |  CAST(CASE WHEN doc_id % 3 = 1 THEN doc_id % 5 + 1 ELSE 1 END
+        |  CAST(CASE WHEN doc_id % 4 = 1 THEN doc_id % 5 + 1 ELSE 1 END
         |       AS INT) AS n_frames
         |FROM documents""".stripMargin,
 

@@ -369,6 +369,22 @@ class ExtSpec extends SparkSpec {
     assert(ImageHeader.parse(hexBytes(
       "424D00000000000000001A000000" + "0C000000" + "1000" + "2000" +
         "01001800")) === Some(("bmp", 16, 32)))
+    // JPEG baseline (SOF0) 640x480: SOI, JFIF APP0, then the frame
+    // header carrying BE16 height first, width second
+    val app0 = "FFE000104A46494600010100000100010000"
+    assert(ImageHeader.parse(hexBytes(
+      "FFD8" + app0 + "FFC0001108" + "01E0" + "0280" +
+        "03011100021101031101")) === Some(("jpeg", 640, 480)))
+    // progressive (SOF2), a DHT (C4, NOT a frame header) first, and a
+    // fill byte before the SOF marker
+    assert(ImageHeader.parse(hexBytes(
+      "FFD8" + "FFC4001F00000105010101010101000000000000000102030405" +
+        "060708090A0B" + "FF" + "FFC2001108" + "0020" + "0010" +
+        "03011100021101031101")) === Some(("jpeg", 16, 32)))
+    // scan data before any SOF (malformed) and truncated headers parse
+    // to nothing rather than garbage
+    assert(ImageHeader.parse(hexBytes("FFD8FFDA0008")).isEmpty)
+    assert(ImageHeader.parse(hexBytes("FFD8" + app0)).isEmpty)
     // text payloads never misparse, even starting with 'BM'/'GIF'
     assert(ImageHeader.parse(
       "BMW and GIFts are words, not images, xxx".getBytes("UTF-8")).isEmpty)
@@ -381,10 +397,10 @@ class ExtSpec extends SparkSpec {
     val rows = df.as[(Long, String, Int, Int, Int)].collect()
     assert(rows.nonEmpty)
     rows.foreach { case (id, fmt, w, h, n) =>
-      assert(fmt === Seq("png", "gif", "bmp")((id % 3).toInt))
+      assert(fmt === Seq("png", "gif", "bmp", "jpeg")((id % 4).toInt))
       assert(w === (id % 1024 + 1).toInt)
       assert(h === (id % 768 + 1).toInt)
-      assert(n === (if (id % 3 == 1) (id % 5 + 1).toInt else 1))
+      assert(n === (if (id % 4 == 1) (id % 5 + 1).toInt else 1))
     }
   }
 
