@@ -48,6 +48,23 @@ object TextAnalysis {
     aggregate(transform(tokens(c), t => length(t)), lit(0),
       (acc, x) => acc + x).cast("double") / size(tokens(c)).cast("double")
 
+  /** Giant-document guard — the skew cap every production curation
+    * pipeline runs before its per-document stages: replaces `textCol`
+    * with its first `maxChars` characters and adds a `doc_truncated`
+    * flag. Downstream per-doc work (tokenize/regex/shingle/winnow) is
+    * then O(maxChars) per row, so one book-length outlier cannot turn
+    * a map stage into a single-task straggler; the flag keeps the cut
+    * auditable (count it, or route flagged docs to a long-doc path).
+    * Truncation is by character, mirrored in SQL as
+    * `substr(text, 1, maxChars)`.
+    */
+  def capDocLength(df: DataFrame, textCol: String,
+                   maxChars: Int): DataFrame = {
+    require(maxChars >= 1, "maxChars must be positive")
+    df.withColumn("doc_truncated", length(col(textCol)) > maxChars)
+      .withColumn(textCol, substring(col(textCol), 1, maxChars))
+  }
+
   /** Composite quality score in [0,1]: prose-likeness (stopwords),
     * low punctuation noise, and enough-but-bounded length.
     */

@@ -376,14 +376,17 @@ object ExtensionQueries {
     },
 
     // The flagship curation pipeline, composed end to end in ONE
-    // declarative plan: language-ID confirmation → quality gate →
-    // exact dedup (first doc per normalized fingerprint) → salted-hash
-    // downsample → PII-scrubbed output. Narrow ops fuse into one
-    // codegen stage; the only shuffle is the dedup window — at 100 TB
-    // each stage drops rows BEFORE the next pays for them, and the
-    // scrub runs on the small survivor set.
+    // declarative plan: giant-doc length cap → language-ID
+    // confirmation → quality gate → exact dedup (first doc per
+    // normalized fingerprint) → salted-hash downsample → PII-scrubbed
+    // output. Narrow ops fuse into one codegen stage; the only shuffle
+    // is the dedup window — at 100 TB each stage drops rows BEFORE the
+    // next pays for them, and the scrub runs on the small survivor
+    // set. The 20k-char cap bounds every per-doc stage's work per row
+    // (the skew guard; no-op on this corpus, mirrored in the oracle).
     "curate_corpus" -> { (s, dir) =>
-      val scored = docs(s, dir).select(col("doc_id"), col("lang"),
+      val capped = TextAnalysis.capDocLength(docs(s, dir), "text", 20000)
+      val scored = capped.select(col("doc_id"), col("lang"),
         col("text"),
         TextAnalysis.qualityScore(col("text")).as("quality"),
         TextAnalysis.langId(col("text")).as("__pred"),
@@ -1249,7 +1252,9 @@ object ExtensionQueries {
       val de = langScoreSql(Seq("der", "die", "und", "ist"))
       val fr = langScoreSql(Seq("le", "la", "et", "est"))
       val es = langScoreSql(Seq("el", "los", "y", "es"))
-      s"""WITH d AS (SELECT doc_id, lang, text, $tokensSql AS toks FROM documents),
+      s"""WITH capped AS (SELECT doc_id, lang, substr(text, 1, 20000) AS text
+        |           FROM documents),
+        |d AS (SELECT doc_id, lang, text, $tokensSql AS toks FROM capped),
         |scored AS (
         |  SELECT doc_id, lang, text,
         |    $qualitySql AS quality,

@@ -745,6 +745,41 @@ class ExtSpec extends SparkSpec {
     assert(pairs === Set((0L, 1L), (2L, 3L)))
   }
 
+  test("capDocLength bounds per-row work: a 10 MB doc flows through " +
+    "the curation stages capped at maxChars") {
+    val giant = new String(Array.fill(10 * 1024 * 1024)('a'))
+    val df = Seq(
+      (1L, "en", "the quick brown fox and the lazy dog of the fens is here"),
+      (2L, "en", giant)).toDF("doc_id", "lang", "text")
+    val capped = TextAnalysis.capDocLength(df, "text", 20000)
+    // the guard is the straggler bound: NO row past the cap, so every
+    // downstream per-doc stage (tokenize/regex/shingle/winnow) does at
+    // most O(maxChars) work per row in its task
+    val byId = capped.select(col("doc_id"), length(col("text")),
+      col("doc_truncated")).as[(Long, Int, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byId(1L)._1 < 20000 && !byId(1L)._2)
+    assert(byId(2L) === ((20000, true)))
+    // the capped frame runs the full curation stage chain (the shape
+    // curate_corpus uses) without a giant-doc task: work per row is
+    // bounded by the cap, and results stay deterministic
+    val curated = capped
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .withColumn("__pred", TextAnalysis.langId(col("text")))
+      .withColumn("__fp", TextAnalysis.fingerprint(col("text")))
+      .withColumn("redacted_md5", md5(TextAnalysis.redactPii(col("text"))))
+    assert(curated.count() === 2)
+    // and the chunked winnowing pass sees only capped text: fps of the
+    // truncated giant = fps of an explicitly truncated twin
+    val fpsCapped = DedupOps.winnowingFingerprints(
+      capped.filter(col("doc_id") === 2L), col("doc_id"), col("text"))
+      .as[(Long, Long)].collect().toSet
+    val fpsTwin = DedupOps.winnowingFingerprints(
+      Seq((2L, giant.substring(0, 20000))).toDF("doc_id", "text"),
+      col("doc_id"), col("text")).as[(Long, Long)].collect().toSet
+    assert(fpsCapped === fpsTwin && fpsCapped.nonEmpty)
+  }
+
   test("winnowing kernel matches the positional polynomial reference") {
     // brute force the oracle's definition — per position, the direct
     // sum Σ cp(pos+j)·B^(k−1−j) mod P for both primes, then the
