@@ -275,14 +275,7 @@ object DedupOps {
       val obs = org.apache.spark.sql.Observation()
       val out = ckpt(df.observe(obs, count(lit(1)).as("n"),
         coalesce(bit_xor(xxhash64(col("a"), col("b"))), lit(0L)).as("x")))
-      var waited = 0
-      var m: Option[Map[String, Any]] = None
-      while (m.isEmpty && waited < 2000) {
-        val got = org.apache.spark.sql.graft.ObservationAccess.getOrEmpty(obs)
-        if (got.contains("n")) m = Some(got)
-        else { Thread.sleep(5); waited += 5 }
-      }
-      m match {
+      org.apache.spark.sql.graft.ObservationAccess.await(obs, 2000) match {
         case Some(v) =>
           (out, v("n").asInstanceOf[Long], v("x").asInstanceOf[Long])
         case None => (out, out.count(), Long.MinValue) // sentinel: no skip

@@ -78,6 +78,9 @@ object Sampling {
   def domainMixSample(df: DataFrame, id: Column, stratum: Column,
                       targetShares: Seq[(String, Double)],
                       defaultShare: Double, salt: String): DataFrame = {
+    require(!df.columns.exists(Set("__st", "__n", "__total")),
+      "input must not carry __st/__n/__total columns (reserved by " +
+        "domainMixSample's stratum-count join)")
     val counts = df.groupBy(stratum.as("__st"))
       .agg(count(lit(1)).as("__n"))
     val total = counts.agg(sum("__n").as("__total"))

@@ -180,16 +180,24 @@ object TextAnalysis {
     val dup3 = (col("n3") - col("d3")).cast("double") /
       col("n3").cast("double")
     val topShare = col("__top2").cast("double") / col("n2").cast("double")
-    g2.join(g3, Seq("doc_id"), "left") // docs long enough for 2- not 3-grams
+    // left-join from the FULL doc spine: a doc too short for bigrams
+    // (n2/n3 null) still gets a row with zero fractions and keep=true
+    // — a consumer inner-joining on keep must not silently drop short
+    // docs just because the explode produced nothing for them
+    docs.select(id.as("doc_id"))
+      .join(g2, Seq("doc_id"), "left")
+      .join(g3, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n2"), col("d2"), col("n3"), col("d3"),
-        dup2.as("dup2_frac"),
+        coalesce(dup2, lit(0.0)).as("dup2_frac"),
         coalesce(dup3, lit(0.0)).as("dup3_frac"),
-        topShare.as("top2_share"),
-        (dup2 <= maxDup2 && coalesce(dup3, lit(0.0)) <= maxDup3 &&
+        coalesce(topShare, lit(0.0)).as("top2_share"),
+        (coalesce(dup2, lit(0.0)) <= maxDup2 &&
+          coalesce(dup3, lit(0.0)) <= maxDup3 &&
           // top-share binds only past a length floor: a 2-token doc's
           // single bigram has share 1.0 without being repetitious
           // (the published rules carry the same length prerequisites)
-          (col("n2") < 20 || topShare <= maxTopShare)).as("keep"))
+          (coalesce(col("n2"), lit(0L)) < 20 ||
+            coalesce(topShare, lit(0.0)) <= maxTopShare)).as("keep"))
   }
 
   /** Overlapping token-window chunking — the context-length-fitting

@@ -31,6 +31,11 @@ import graft.sources.{Fetcher, JdkFetcher, Tables, ZipSource}
   *   [--spec-fullname]        # corrected C_FULLNAME instead of strict
   *                            # reference parity (F2 bug-compat)
   * }}}
+  *
+  * Secrets can (and should) come from the environment instead of
+  * flags — `LOINC_PASS` and `PGPASSWORD` are used when the
+  * corresponding flag is absent, keeping passwords out of process
+  * listings and shell history.
   */
 object EtlMain {
 
@@ -137,8 +142,17 @@ object EtlMain {
       }
       i += 1
     }
+    // env-var fallbacks for secrets: CLI flags show up in process
+    // listings and shell history, so prefer LOINC_PASS / PGPASSWORD
+    // (the latter is the standard libpq variable) when the flag is
+    // absent
+    if (cfg.loincPassword == null)
+      sys.env.get("LOINC_PASS").foreach(p =>
+        cfg = cfg.copy(loincPassword = p))
+    if (!args.contains("--pg-password"))
+      sys.env.get("PGPASSWORD").foreach(p => cfg = cfg.copy(pgPassword = p))
     if (cfg.loincUser == null || cfg.loincPassword == null)
-      fail("--loinc-user and --loinc-pass are required")
+      fail("--loinc-user and --loinc-pass (or LOINC_PASS) are required")
     cfg
   }
 

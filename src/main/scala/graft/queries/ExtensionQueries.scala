@@ -1127,14 +1127,15 @@ object ExtensionQueries {
          |t3 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n3, count(*) AS d3
          |       FROM (SELECT doc_id, g, count(*) AS c FROM t GROUP BY 1, 2)
          |       GROUP BY 1)
-         |SELECT b2.doc_id, n2, d2, n3, d3,
-         |  CAST(n2 - d2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS dup2_frac,
+         |SELECT d.doc_id, n2, d2, n3, d3,
+         |  coalesce(CAST(n2 - d2 AS DOUBLE) / CAST(n2 AS DOUBLE), 0.0) AS dup2_frac,
          |  coalesce(CAST(n3 - d3 AS DOUBLE) / CAST(n3 AS DOUBLE), 0.0) AS dup3_frac,
-         |  CAST(top2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS top2_share,
-         |  (CAST(n2 - d2 AS DOUBLE) / CAST(n2 AS DOUBLE) <= 0.2
+         |  coalesce(CAST(top2 AS DOUBLE) / CAST(n2 AS DOUBLE), 0.0) AS top2_share,
+         |  (coalesce(CAST(n2 - d2 AS DOUBLE) / CAST(n2 AS DOUBLE), 0.0) <= 0.2
          |   AND coalesce(CAST(n3 - d3 AS DOUBLE) / CAST(n3 AS DOUBLE), 0.0) <= 0.18
-         |   AND (n2 < 20 OR CAST(top2 AS DOUBLE) / CAST(n2 AS DOUBLE) <= 0.2)) AS keep
-         |FROM b2 LEFT JOIN t3 USING (doc_id)""".stripMargin,
+         |   AND (coalesce(n2, 0) < 20
+         |        OR coalesce(CAST(top2 AS DOUBLE) / CAST(n2 AS DOUBLE), 0.0) <= 0.2)) AS keep
+         |FROM d LEFT JOIN b2 USING (doc_id) LEFT JOIN t3 USING (doc_id)""".stripMargin,
 
     // window=32, overlap=8, stride=24 — constants mirrored from the
     // Spark call; chunk count = floor((n - overlap - 1)/stride) + 1

@@ -26,24 +26,34 @@ object ParquetSink {
 
   /** Write `df` partitioned by `partitionCols`, clustered by
     * `clusterKey` within each output task, at most `maxRecordsPerFile`
-    * rows per file. Returns the row count written (one extra action,
-    * taken BEFORE the write so the caller can log intent vs outcome).
+    * rows per file. Returns the row count actually written, observed
+    * on the write pass itself (`observe`) — a separate pre-write
+    * count() would recompute the whole upstream DAG and, with a
+    * non-deterministic upstream, could disagree with what the write
+    * then materialized. Falls back to an explicit count only if the
+    * listener never delivers (then the old caveat applies).
     */
   def write(df: DataFrame, path: String, partitionCols: Seq[String],
             clusterKey: Column, buckets: Int,
             maxRecordsPerFile: Long = 5000000L,
             mode: SaveMode = SaveMode.Overwrite): Long = {
     require(buckets > 0, s"buckets ($buckets) must be positive")
-    val rows = df.count()
+    val obs = org.apache.spark.sql.Observation()
+    // observe ABOVE the range exchange: repartitionByRange runs a
+    // boundary-sampling pass over its child, and a metrics node below
+    // it would count every row twice (sample pass + write pass)
     val arranged = df
       .repartitionByRange(buckets,
         partitionCols.map(col) :+ clusterKey: _*)
       .sortWithinPartitions(partitionCols.map(col) :+ clusterKey: _*)
+      .observe(obs, count(lit(1)).as("n"))
     arranged.write
       .mode(mode)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCols: _*)
       .parquet(path)
-    rows
+    org.apache.spark.sql.graft.ObservationAccess.await(obs, 10000)
+      .map(_("n").asInstanceOf[Long])
+      .getOrElse(df.count())
   }
 }

@@ -85,4 +85,20 @@ object HashColumns {
 object ObservationAccess {
   def getOrEmpty(o: org.apache.spark.sql.Observation): Map[String, Any] =
     o.getOrEmpty
+
+  /** Poll for the observed metrics row after an action has returned:
+    * the listener bus delivers it asynchronously, typically within
+    * milliseconds. None after `timeoutMs` — callers fall back to an
+    * explicit recompute instead of blocking forever.
+    */
+  def await(o: org.apache.spark.sql.Observation,
+            timeoutMs: Long): Option[Map[String, Any]] = {
+    var waited = 0L
+    var got = o.getOrEmpty
+    while (got.isEmpty && waited < timeoutMs) {
+      Thread.sleep(5); waited += 5
+      got = o.getOrEmpty
+    }
+    if (got.isEmpty) None else Some(got)
+  }
 }

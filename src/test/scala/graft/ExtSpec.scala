@@ -587,7 +587,9 @@ class ExtSpec extends SparkSpec {
     val docs = Seq(
       (1L, "buy now " * 20),                     // one bigram looped
       (2L, (0 until 40).map(i => s"w$i").mkString(" ")), // all distinct
-      (3L, "a b")                                // bigram but no trigram
+      (3L, "a b"),                               // bigram but no trigram
+      (4L, "solo"),                              // one token: no bigrams
+      (5L, "")                                   // zero tokens
     ).toDF("doc_id", "text")
     val m = TextAnalysis.repetitionMetrics(docs, $"doc_id", $"text")
       .select("doc_id", "dup2_frac", "top2_share", "keep")
@@ -596,6 +598,11 @@ class ExtSpec extends SparkSpec {
     assert(!m(1L)._4 && m(1L)._2 > 0.9 && m(1L)._3 > 0.4)
     assert(m(2L)._4 && m(2L)._2 === 0.0)
     assert(m(3L)._4) // missing trigrams count as zero repetition
+    // every doc gets a row: sub-bigram docs keep=true with zero
+    // fractions instead of silently vanishing from the output
+    assert(m.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    assert(m(4L) === ((4L, 0.0, 0.0, true)))
+    assert(m(5L) === ((5L, 0.0, 0.0, true)))
   }
 
   test("bm25TopK ranks the term-dense doc first; term-free docs carry " +
