@@ -97,4 +97,27 @@ object Sampling {
         concat(lit(salt), id.cast("string")), 7) % 1000000 < thresh)
       .drop("__st", "__n", "__total")
   }
+
+  /** Leakage-guarded train/val/test assignment: the salted hash of the
+    * LEAKAGE KEY — the unit near-duplicates cluster under (source
+    * domain, url host, dedup component id) — picks the split, NOT the
+    * row id, so every document sharing the key lands in the same split
+    * and eval can't silently contain near-copies of training text.
+    * Per-mille thresholds on a 1000-bucket hash: buckets
+    * [0, testPerMille) → "test", the next valPerMille → "val", rest →
+    * "train". Map-only (one hash per row, no shuffle), reproducible
+    * anywhere via the portable hash.
+    */
+  def splitAssign(df: DataFrame, leakKey: Column, salt: String,
+                  valPerMille: Int, testPerMille: Int): DataFrame = {
+    require(valPerMille >= 0 && testPerMille >= 0 &&
+      valPerMille + testPerMille <= 1000,
+      "per-mille shares must be non-negative and sum to at most 1000")
+    val bucket = PortableHash.md5PrefixLong(
+      concat(lit(salt), leakKey.cast("string")), 7) % 1000
+    df.withColumn("split",
+      when(bucket < testPerMille, lit("test"))
+        .when(bucket < testPerMille + valPerMille, lit("val"))
+        .otherwise(lit("train")))
+  }
 }

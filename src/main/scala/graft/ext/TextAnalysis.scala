@@ -299,4 +299,83 @@ object TextAnalysis {
       .select(col("doc_id") +: col("dl") +:
         terms.indices.map(i => col(s"tf$i")) :+ col("rnk"): _*)
   }
+
+  /** Concat-and-cut sequence packing — the shard-parallel form of the
+    * packer every LLM training pipeline runs after chunking: within
+    * each shard (salted doc-id hash, the unit real pipelines pack
+    * independently), chunks concatenate in (doc_id, chunk_idx) order
+    * into a token stream cut every `capacity` tokens; a chunk belongs
+    * to the sequence where its FIRST token lands (the streaming packer
+    * with spillover). One window cumsum per shard — per-task state is
+    * one shard's chunk list, so sizing `shards` to the cluster keeps
+    * tasks bounded at any corpus size (a single global ordering would
+    * serialize the corpus through one task).
+    *
+    * Output: (doc_id, chunk_idx, n_tokens, shard, seq_id, seq_offset)
+    * where seq_id counts sequences within the shard and seq_offset is
+    * the chunk's first-token position inside its sequence's stream.
+    */
+  def packSequences(chunks: DataFrame, docId: Column, chunkIdx: Column,
+                    nTokens: Column, capacity: Int, shards: Int,
+                    salt: String): DataFrame = {
+    require(capacity >= 1 && shards >= 1,
+      "capacity and shards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("doc_id", "chunk_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunks
+      .select(docId.as("doc_id"), chunkIdx.as("chunk_idx"),
+        nTokens.cast("long").as("n_tokens"))
+      .withColumn("shard", PortableHash.md5PrefixLong(
+        concat(lit(salt), col("doc_id").cast("string")), 7) % shards)
+      .withColumn("__cum", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+        col("shard"),
+        expr(s"__cum div $capacity").as("seq_id"),
+        pmod(col("__cum"), lit(capacity.toLong)).as("seq_offset"))
+  }
+
+  /** floor(log2(x)) for positive integers, computed EXACTLY on any
+    * engine as length(bin(x)) − 1 — no floating log, no rounding
+    * question at powers of two.
+    */
+  def floorLog2(c: Column): Column = length(bin(c)) - 1
+
+  /** Integer unigram-rarity score — the perplexity-proxy quality
+    * signal of CCNet-style curation, with the corpus itself as the
+    * language model and bit-granular integer surprisal so the output
+    * is reproducible anywhere (no floating-point log):
+    *
+    *   surprisal_bits(doc) = Σ_t (⌊log2 N⌋ − ⌊log2 count(t)⌋)
+    *
+    * over the doc's tokens, where N is the corpus token count — rare
+    * tokens contribute many bits, stopwords almost none; gibberish and
+    * OCR noise score far above prose. Two aggregations (vocabulary
+    * counts, per-doc sum) and one join on token, all partial-agg
+    * friendly; every doc keeps a row (zero-token docs score 0).
+    *
+    * Output: (doc_id, n_tokens, surprisal_bits, mean_millibits) with
+    * mean_millibits = 1000·surprisal_bits div n_tokens (integer).
+    */
+  def unigramSurprisal(docs: DataFrame, id: Column,
+                       text: Column): DataFrame = {
+    val toks = docs.select(id.as("doc_id"), explode(tokens(text)).as("__t"))
+      // a whitespace-only doc tokenizes to one empty string — not a
+      // token, and it must not enter the vocabulary counts
+      .filter(col("__t") =!= "")
+    val counts = toks.groupBy("__t").agg(count(lit(1)).as("__c"))
+    val total = counts.agg(sum("__c").as("__nn"))
+    val scored = toks.join(counts, "__t")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(floorLog2(col("__nn")) - floorLog2(col("__c")))
+          .as("surprisal_bits"))
+    docs.select(id.as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("surprisal_bits"), lit(0L)).as("surprisal_bits"),
+        coalesce(expr("(surprisal_bits * 1000) div n_tokens"), lit(0L))
+          .as("mean_millibits"))
+  }
 }

@@ -456,6 +456,32 @@ object ExtensionQueries {
         window = 32, overlap = 8)
     },
 
+    // Chunks → training sequences: shard-parallel concat-and-cut
+    // packing into 256-token sequences (8 shards, salted doc-id hash).
+    "pack_sequences" -> { (s, dir) =>
+      val chunks = TextAnalysis.chunkTokens(docs(s, dir), col("doc_id"),
+        col("text"), window = 32, overlap = 8)
+      TextAnalysis.packSequences(chunks, col("doc_id"), col("chunk_idx"),
+        col("n_tokens"), capacity = 256, shards = 8, salt = "graft-pack:")
+    },
+
+    // Leakage-guarded train/val/test split: the SOURCE hash (not the
+    // doc id) picks the split, so same-domain near-dups never straddle
+    // train and eval. 10% val, 10% test per-mille thresholds.
+    "split_assign" -> { (s, dir) =>
+      Sampling.splitAssign(docs(s, dir), col("source"), "graft-split:",
+        valPerMille = 100, testPerMille = 100)
+        .select("doc_id", "source", "split")
+    },
+
+    // Corpus-as-LM unigram rarity (integer-bit surprisal): the
+    // perplexity-proxy quality signal, reproducible with no floating
+    // log anywhere.
+    "text_surprisal" -> { (s, dir) =>
+      TextAnalysis.unigramSurprisal(docs(s, dir), col("doc_id"),
+        col("text"))
+    },
+
     // BM25 relevance ranking against fixed seed terms — the
     // retrieval-scoring stage of corpus curation. Integer-only output
     // (tf/dl/rank): libm ln is not bit-portable, so the score stays
@@ -1136,6 +1162,52 @@ object ExtensionQueries {
          |   AND (coalesce(n2, 0) < 20
          |        OR coalesce(CAST(top2 AS DOUBLE) / CAST(n2 AS DOUBLE), 0.0) <= 0.2)) AS keep
          |FROM d LEFT JOIN b2 USING (doc_id) LEFT JOIN t3 USING (doc_id)""".stripMargin,
+
+    // same chunk arithmetic as text_chunk; shard = 7-hex salted hash
+    // % 8, cumulative token count per shard in (doc_id, chunk_idx)
+    // order, sequences cut every 256 tokens. `//` (floor) and Spark's
+    // `div` (truncate) agree because the cumsum is non-negative.
+    "pack_sequences" ->
+      s"""WITH d AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |c AS (SELECT doc_id, CAST(i.i AS INT) AS chunk_idx,
+         |        least(CAST(32 AS BIGINT), len(toks) - i.i*24) AS n_tokens
+         |      FROM d, LATERAL (SELECT unnest(range(0,
+         |        CAST(floor(CAST(greatest(len(toks) - 8 - 1, 0) AS DOUBLE) / 24.0) AS BIGINT) + 1)) AS i) i
+         |      WHERE len(toks) >= 1),
+         |s AS (SELECT *, CAST('0x' || substr(md5('graft-pack:' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 8 AS shard
+         |      FROM c),
+         |cum AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard
+         |          ORDER BY doc_id, chunk_idx
+         |          ROWS UNBOUNDED PRECEDING) - n_tokens AS cumb
+         |        FROM s)
+         |SELECT doc_id, chunk_idx, n_tokens, shard,
+         |  CAST(cumb // 256 AS BIGINT) AS seq_id,
+         |  CAST(cumb % 256 AS BIGINT) AS seq_offset
+         |FROM cum""".stripMargin,
+
+    "split_assign" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN CAST('0x' || substr(md5('graft-split:' || source), 1, 7) AS BIGINT) % 1000 < 100 THEN 'test'
+        |       WHEN CAST('0x' || substr(md5('graft-split:' || source), 1, 7) AS BIGINT) % 1000 < 200 THEN 'val'
+        |       ELSE 'train' END AS split
+        |FROM documents""".stripMargin,
+
+    // floor(log2(x)) = length(bin(x)) - 1 exactly on both engines;
+    // sums cast to BIGINT (DuckDB sums to HUGEINT)
+    "text_surprisal" ->
+      s"""WITH d AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |tok AS (SELECT doc_id, t FROM
+         |          (SELECT doc_id, unnest(toks) AS t FROM d) WHERE t <> ''),
+         |cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM cnt),
+         |sc AS (SELECT doc_id, count(*) AS n_tokens,
+         |         CAST(sum((length(bin(nn)) - 1) - (length(bin(c)) - 1))
+         |              AS BIGINT) AS surprisal_bits
+         |       FROM tok JOIN cnt USING (t) CROSS JOIN tot GROUP BY 1)
+         |SELECT d0.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+         |  coalesce(surprisal_bits, 0) AS surprisal_bits,
+         |  coalesce((surprisal_bits * 1000) // n_tokens, 0) AS mean_millibits
+         |FROM (SELECT doc_id FROM documents) d0 LEFT JOIN sc USING (doc_id)""".stripMargin,
 
     // window=32, overlap=8, stride=24 — constants mirrored from the
     // Spark call; chunk count = floor((n - overlap - 1)/stride) + 1

@@ -605,6 +605,60 @@ class ExtSpec extends SparkSpec {
     assert(m(5L) === ((5L, 0.0, 0.0, true)))
   }
 
+  test("packSequences: in-shard streams are gapless and chunk-ordered") {
+    val docs = (0L until 30L).map(i =>
+      (i, (0 until 10 + (i % 7).toInt).map(j => s"t${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkTokens(docs, $"doc_id", $"text",
+      window = 4, overlap = 1)
+    val packed = TextAnalysis.packSequences(chunks, $"doc_id",
+      $"chunk_idx", $"n_tokens", capacity = 16, shards = 4,
+      salt = "t-pack:")
+      .as[(Long, Int, Long, Long, Long, Long)].collect()
+    assert(packed.length === chunks.count())
+    // per shard: walking chunks in (doc_id, chunk_idx) order, each
+    // chunk starts exactly where the previous ended (concat-and-cut:
+    // global stream position = seq_id * capacity + seq_offset)
+    packed.groupBy(_._4).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._1, r._2))
+      var pos = 0L
+      ordered.foreach { case (_, _, n, _, seqId, off) =>
+        assert(seqId === pos / 16 && off === pos % 16)
+        pos += n
+      }
+    }
+    // same docs always in the same shard
+    assert(packed.groupBy(_._1).values.forall(_.map(_._4).distinct.size == 1))
+  }
+
+  test("splitAssign keeps a leakage key in one split and covers all rows") {
+    val df = (0L until 400L).map(i => (i, s"dom${i % 40}"))
+      .toDF("doc_id", "source")
+    val got = Sampling.splitAssign(df, $"source", "t-split:", 100, 100)
+      .select("doc_id", "source", "split")
+      .as[(Long, String, String)].collect()
+    assert(got.length === 400)
+    // every doc of a source gets the SAME split (the leakage guard)
+    got.groupBy(_._2).values.foreach(rows =>
+      assert(rows.map(_._3).distinct.length === 1))
+    val bySplit = got.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    assert(bySplit("train") > 200) // 80% expectation, loose bound
+  }
+
+  test("unigramSurprisal: integer bit surprisal from corpus counts") {
+    // corpus: "a a a a" + "rare" -> N=5 (floorlog2=2), count(a)=4
+    // (floorlog2=2), count(rare)=1 (floorlog2=0)
+    val df = Seq((1L, "a a a a"), (2L, "rare"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.unigramSurprisal(df, $"doc_id", $"text")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((4L, 0L, 0L)))    // 4 x (2-2) = 0 bits
+    assert(got(2L) === ((1L, 2L, 2000L))) // 1 x (2-0) = 2 bits
+    assert(got(3L) === ((0L, 0L, 0L)))    // empty doc keeps its row
+  }
+
   test("bm25TopK ranks the term-dense doc first; term-free docs carry " +
     "zero tf") {
     // same doc length everywhere, so saturation depends on tf alone:
