@@ -130,6 +130,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("split_assign: map-only — one pruned scan, no shuffle") {
+    val p = plan("split_assign")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"))
+    assert(!p.contains("Exchange"))
+  }
+
+  test("pack_sequences: exactly one exchange (the shard window), " +
+    "text column pruned after chunking") {
+    val p = plan("pack_sequences")
+    assert("Exchange".r.findAllIn(p).size === 1,
+      s"packing should shuffle once, on the shard key:\n$p")
+    assert(!p.contains("Join"))
+  }
+
   test("ivfTopK/ivfPqTopK: centroid joins broadcast even from a " +
     "stats-less centroid frame — never cartesian") {
     // a centroid frame read back from parquet (e.g. a persisted kmeans
