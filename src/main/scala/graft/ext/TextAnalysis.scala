@@ -363,6 +363,11 @@ object TextAnalysis {
       // a whitespace-only doc tokenizes to one empty string — not a
       // token, and it must not enter the vocabulary counts
       .filter(col("__t") =!= "")
+      // ONE explicit exchange on the token feeds the vocabulary count,
+      // the corpus total, and the scoring join (exchange reuse) — the
+      // naive form scans and tokenizes the corpus once per consumer
+      // (4 scans; asserted down to 2 in PlanSpec)
+      .repartition(col("__t"))
     val counts = toks.groupBy("__t").agg(count(lit(1)).as("__c"))
     val total = counts.agg(sum("__c").as("__nn"))
     val scored = toks.join(counts, "__t")

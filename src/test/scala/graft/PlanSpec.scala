@@ -130,6 +130,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("text_surprisal: the token exchange is built once and reused " +
+    "by count, total and join branches") {
+    val p = finalPlan("text_surprisal")
+    assert(p.contains("ReusedExchange") ||
+      "Scan parquet".r.findAllIn(p).size <= 2,
+      s"token pass recomputed per consumer:\n$p")
+  }
+
   test("split_assign: map-only — one pruned scan, no shuffle") {
     val p = plan("split_assign")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"))
