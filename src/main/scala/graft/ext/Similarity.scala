@@ -69,6 +69,30 @@ object Similarity {
     }
   }
 
+  /** Signed-random-projection dimensionality reduction (the
+    * Johnson–Lindenstrauss map with a ±1 matrix, Achlioptas '01):
+    * out_j = ⟨vec, s_j⟩ where s_j is row j of the deterministic
+    * [[hyperplanes]] sign matrix — the cheap PCA/OPQ stand-in that
+    * production ANN pipelines run before indexing when the native
+    * dimension is too wide. Pure map over the rows (no shuffle, no
+    * state): at 100 TB this is a narrow codegen'd pass that cuts
+    * every downstream distance computation from `dims` to `outDims`
+    * multiplies. ±1 weights keep every product exact in double, so
+    * the projection is bit-reproducible by any engine folding left
+    * to right.
+    */
+  def project(emb: DataFrame, id: Column, vec: Column, outDims: Int,
+              dims: Int): DataFrame = {
+    require(outDims >= 1 && dims >= outDims,
+      "need dims >= outDims >= 1 — projecting UP is not a reduction")
+    val signs = hyperplanes(outDims, dims)
+    val outCols = signs.zipWithIndex.map { case (w, j) =>
+      val wLit = array(w.toIndexedSeq.map(x => lit(x.toFloat)): _*)
+      dot(vec, wLit).as(s"p$j")
+    }
+    emb.select(id.as("id") +: outCols.toIndexedSeq: _*)
+  }
+
   /** LSH bucket id: `planes` sign bits of hyperplane projections. */
   def lshBucket(vec: Column, planes: Array[Array[Int]]): Column = {
     val bits = planes.zipWithIndex.map { case (w, p) =>

@@ -335,11 +335,90 @@ object TextAnalysis {
         pmod(col("__cum"), lit(capacity.toLong)).as("seq_offset"))
   }
 
+  /** Per-source corpus datasheet — the "data card" report every
+    * curated corpus ships with (Gebru et al. '18): document count,
+    * token volume, vocabulary size, integer type-token ratio
+    * (1000·vocab div tokens), and exact-duplicate document count
+    * (docs minus distinct normalized fingerprints). Two aggregations
+    * joined on the source key: a doc-level rollup (count / sum /
+    * approx-free distinct fingerprints) and a token-level distinct
+    * count; both partial-agg friendly, output is one row per source —
+    * at 100 TB this is two shuffles on a low-cardinality key and a
+    * kilobyte of output.
+    */
+  def corpusReport(docs: DataFrame, source: Column, id: Column,
+                   text: Column): DataFrame = {
+    val base = docs.select(source.as("source"), id.as("doc_id"),
+      text.as("__text"))
+    val docLevel = base
+      .select(col("source"), col("doc_id"),
+        size(filter(tokens(col("__text")), t => t =!= "")).cast("long")
+          .as("__nt"),
+        fingerprint(col("__text")).as("__fp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("__nt").as("n_tokens"),
+        (count(lit(1)) - countDistinct(col("__fp"))).as("n_dup_docs"))
+    val vocab = base
+      .select(col("source"), explode(tokens(col("__text"))).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy("source").agg(countDistinct(col("__t")).as("vocab"))
+    docLevel.join(vocab, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_dup_docs"), coalesce(col("vocab"), lit(0L)).as("vocab"),
+        coalesce(expr("(vocab * 1000) div n_tokens"), lit(0L))
+          .as("ttr_millis"))
+  }
+
   /** floor(log2(x)) for positive integers, computed EXACTLY on any
     * engine as length(bin(x)) − 1 — no floating log, no rounding
     * question at powers of two.
     */
   def floorLog2(c: Column): Column = length(bin(c)) - 1
+
+  /** Integer-bit TF-IDF top terms per document — the classic
+    * term-weighting signal (Spärck Jones '72) with the idf in exact
+    * integer bits so the output is engine-reproducible (no floating
+    * log, same construction as [[unigramSurprisal]]):
+    *
+    *   score_bits(d, t) = tf(d,t) · (⌊log2 N⌋ − ⌊log2 df(t)⌋)
+    *
+    * where N is the corpus document count. Per-doc top-k by
+    * (score_bits desc, term asc) — a total order, so ranks are
+    * deterministic. Shape at scale: one explode → (doc, term) count
+    * (map-side combine); df aggregates FROM the tf frame (one row per
+    * (doc, term) already), so the expensive tokenize+count subtree is
+    * built once and reused by both consumers (exchange reuse, pinned
+    * in PlanSpec); N is one broadcast row; the final window shuffles
+    * k-bounded input per doc. Docs with zero tokens emit no rows (a
+    * top-k over nothing is empty, matching the oracle).
+    */
+  def tfIdfTopTerms(docs: DataFrame, id: Column, text: Column,
+                    k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    // ONE explicit token exchange on term (the join key): the tf
+    // aggregate, the df aggregate and the join all sit above it, so
+    // the corpus is scanned and tokenized ONCE (ReusedExchange,
+    // pinned in PlanSpec) — term partitioning also satisfies the
+    // (doc_id, term) clustering, so neither aggregate adds a shuffle.
+    // Same construction as [[unigramSurprisal]].
+    val toks = docs
+      .select(id.as("doc_id"), explode(tokens(text)).as("term"))
+      .filter(col("term") =!= "")
+      .repartition(col("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_bits").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score_bits",
+        col("tf") * (floorLog2(col("__n")) - floorLog2(col("df"))))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+      .select("doc_id", "term", "tf", "df", "score_bits", "rnk")
+  }
 
   /** Integer unigram-rarity score — the perplexity-proxy quality
     * signal of CCNet-style curation, with the corpus itself as the

@@ -482,6 +482,30 @@ object ExtensionQueries {
         col("text"))
     },
 
+    // Integer-bit TF-IDF: per-doc top-5 terms by tf·idf_bits — the
+    // classic term-weighting signal with the idf in exact bits, so
+    // the ranking is reproducible with no floating log anywhere.
+    "text_tfidf" -> { (s, dir) =>
+      TextAnalysis.tfIdfTopTerms(docs(s, dir), col("doc_id"),
+        col("text"), k = 5)
+    },
+
+    // Per-source corpus datasheet: doc/token volume, vocabulary,
+    // integer type-token ratio, exact-dup count — the data-card
+    // report a curated corpus ships with.
+    "corpus_report" -> { (s, dir) =>
+      TextAnalysis.corpusReport(docs(s, dir), col("source"),
+        col("doc_id"), col("text"))
+    },
+
+    // Signed-random-projection (Johnson–Lindenstrauss, ±1 matrix)
+    // dimensionality reduction 64 → 8 before ANN indexing — map-only,
+    // bit-reproducible (±1 products are exact in double).
+    "emb_project" -> { (s, dir) =>
+      Similarity.project(emb(s, dir), col("id"), col("vec"),
+        outDims = 8, dims = 64)
+    },
+
     // BM25 relevance ranking against fixed seed terms — the
     // retrieval-scoring stage of corpus curation. Integer-only output
     // (tf/dl/rank): libm ln is not bit-portable, so the score stays
@@ -1208,6 +1232,49 @@ object ExtensionQueries {
          |  coalesce(surprisal_bits, 0) AS surprisal_bits,
          |  coalesce((surprisal_bits * 1000) // n_tokens, 0) AS mean_millibits
          |FROM (SELECT doc_id FROM documents) d0 LEFT JOIN sc USING (doc_id)""".stripMargin,
+
+    // idf_bits = floor(log2 N) - floor(log2 df) via length(bin(x))-1,
+    // exact on both engines; rank order (score_bits DESC, term ASC)
+    // is total, so the top-5 cut is deterministic
+    "text_tfidf" ->
+      s"""WITH d AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |tok AS (SELECT doc_id, t AS term FROM
+         |          (SELECT doc_id, unnest(toks) AS t FROM d) WHERE t <> ''),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS nn FROM documents)
+         |SELECT doc_id, term, tf, df,
+         |  tf * ((length(bin(nn)) - 1) - (length(bin(df)) - 1)) AS score_bits,
+         |  CAST(row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY tf * ((length(bin(nn)) - 1) - (length(bin(df)) - 1)) DESC,
+         |             term) AS INT) AS rnk
+         |FROM tf JOIN df USING (term) CROSS JOIN n
+         |QUALIFY rnk <= 5""".stripMargin,
+
+    // fingerprint = md5 of the whitespace-normal form (same as
+    // dedup_exact's dup_key); TTR is integer millis, exact division
+    "corpus_report" ->
+      s"""WITH d AS (SELECT source, text,
+         |             list_filter($tokensSql, t -> t <> '') AS toks
+         |           FROM documents),
+         |doc AS (SELECT source, count(*) AS n_docs,
+         |          CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+         |          count(*) - count(DISTINCT md5(regexp_replace(
+         |            lower(trim(text)), '\\s+', ' ', 'g'))) AS n_dup_docs
+         |        FROM d GROUP BY 1),
+         |voc AS (SELECT source, count(DISTINCT t) AS vocab
+         |        FROM (SELECT source, unnest(toks) AS t FROM d) GROUP BY 1)
+         |SELECT source, n_docs, n_tokens, n_dup_docs,
+         |  coalesce(vocab, 0) AS vocab,
+         |  coalesce((vocab * 1000) // n_tokens, 0) AS ttr_millis
+         |FROM doc LEFT JOIN voc USING (source)""".stripMargin,
+
+    "emb_project" -> {
+      val cols = planeSql(8, 64).zipWithIndex.map { case (w, j) =>
+        s"${dotSql("embedding", w)} AS p$j"
+      }.mkString(",\n  ")
+      s"SELECT vec_id AS id,\n  $cols\nFROM embeddings"
+    },
 
     // window=32, overlap=8, stride=24 — constants mirrored from the
     // Spark call; chunk count = floor((n - overlap - 1)/stride) + 1

@@ -659,6 +659,53 @@ class ExtSpec extends SparkSpec {
     assert(got(3L) === ((0L, 0L, 0L)))    // empty doc keeps its row
   }
 
+  test("tfIdfTopTerms: integer idf bits, rank by (score desc, term), " +
+    "empty docs emit nothing") {
+    // N=4 (floorlog2=2); df: a=2 (bits 2-1=1), b=2 (1), c=1 (2-0=2)
+    val df = Seq((1L, "a a b"), (2L, "a c"), (3L, "b b b b"), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tfIdfTopTerms(df, $"doc_id", $"text", k = 2)
+      .as[(Long, String, Long, Long, Long, Int)].collect()
+      .map(r => (r._1, r._6) -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got((1L, 1)) === (("a", 2L, 2L, 2L))) // tf2 x 1 bit
+    assert(got((1L, 2)) === (("b", 1L, 2L, 1L)))
+    assert(got((2L, 1)) === (("c", 1L, 1L, 2L))) // rare c outranks a
+    assert(got((2L, 2)) === (("a", 1L, 2L, 1L)))
+    assert(got((3L, 1)) === (("b", 4L, 2L, 4L)))
+    assert(!got.keySet.exists(_._1 === 4L)) // zero-token doc: no rows
+    assert(got.size === 5)
+  }
+
+  test("corpusReport: per-source docs/tokens/vocab/TTR/dup counts") {
+    val df = Seq(
+      ("s1", 1L, "x y"), ("s1", 2L, "x  y"), // normalize -> same fp
+      ("s1", 3L, "z"), ("s2", 4L, "")).toDF("source", "doc_id", "text")
+    val got = TextAnalysis.corpusReport(df, $"source", $"doc_id", $"text")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // s1: 3 docs, 5 tokens, 1 exact dup, vocab {x,y,z}, ttr 3000/5
+    assert(got("s1") === ((3L, 5L, 1L, 3L, 600L)))
+    // s2: one empty doc — zero tokens, zero vocab, ttr 0, no dup
+    assert(got("s2") === ((1L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("project: JL ±1 projection matches a hand fold; up-projection " +
+    "is rejected") {
+    val vec = Array(1.0f, 2.0f, 4.0f, 8.0f)
+    val df = Seq((7L, vec.toSeq)).toDF("id", "vec")
+      .select($"id", $"vec".cast("array<float>").as("vec"))
+    val signs = Similarity.hyperplanes(2, 4)
+    val want = signs.map(row =>
+      row.zip(vec).foldLeft(0.0) { case (acc, (s, v)) =>
+        acc + s.toDouble * v.toDouble })
+    val rows = Similarity.project(df, $"id", $"vec", outDims = 2, dims = 4)
+      .as[(Long, Double, Double)].collect()
+    assert(rows.toSeq === Seq((7L, want(0), want(1))))
+    intercept[IllegalArgumentException] {
+      Similarity.project(df, $"id", $"vec", outDims = 8, dims = 4)
+    }
+  }
+
   test("bm25TopK ranks the term-dense doc first; term-free docs carry " +
     "zero tf") {
     // same doc length everywhere, so saturation depends on tf alone:

@@ -138,6 +138,30 @@ class PlanSpec extends SparkSpec {
       s"token pass recomputed per consumer:\n$p")
   }
 
+  test("text_tfidf: the (doc, term) count subtree is built once — " +
+    "df aggregates from the reused tf exchange (at-scale plan)") {
+    // at tiny SF the tf⋈df join broadcasts, which rebuilds the tf
+    // subtree on the broadcast side; force the shuffle-join plan the
+    // operator runs at scale, where the term exchange must be shared
+    withBroadcastDisabled {
+      val p = finalPlan("text_tfidf")
+      assert(p.contains("ReusedExchange"),
+        s"tf pass recomputed for the df branch:\n$p")
+    }
+  }
+
+  test("emb_project: map-only — one pruned scan, no shuffle, no join") {
+    val p = plan("emb_project")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"a JL projection must stay narrow:\n$p")
+  }
+
+  test("corpus_report: two aggregations on the source key, " +
+    "no cartesian product") {
+    val p = finalPlan("corpus_report")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("split_assign: map-only — one pruned scan, no shuffle") {
     val p = plan("split_assign")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"))
