@@ -482,6 +482,18 @@ object ExtensionQueries {
         col("text"))
     },
 
+    // Misra–Gries frequent-items sketch over the token-initial stream
+    // (19 distinct, genuinely skewed): capacity 12 < distinct forces
+    // evictions; the oracle checks the exact heavy-hitter set plus the
+    // theorem-guaranteed booleans (present, error ≤ n/(k+1)).
+    "sketch_freqitems" -> { (s, dir) =>
+      val items = docs(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("__t"))
+        .filter(col("__t") =!= "")
+        .select(substring(col("__t"), 1, 1).as("item"))
+      FreqItems.heavyHittersVerified(items, col("item"), k = 12)
+    },
+
     // Integer-bit TF-IDF: per-doc top-5 terms by tf·idf_bits — the
     // classic term-weighting signal with the idf in exact bits, so
     // the ranking is reproducible with no floating log anywhere.
@@ -1232,6 +1244,18 @@ object ExtensionQueries {
          |  coalesce(surprisal_bits, 0) AS surprisal_bits,
          |  coalesce((surprisal_bits * 1000) // n_tokens, 0) AS mean_millibits
          |FROM (SELECT doc_id FROM documents) d0 LEFT JOIN sc USING (doc_id)""".stripMargin,
+
+    // the sketch side cannot appear in SQL (content is merge-order
+    // dependent); the oracle pins the exact heavy set — every item
+    // with count·13 > n — and the booleans the MG theorems force true
+    "sketch_freqitems" ->
+      s"""WITH tok AS (SELECT substr(t, 1, 1) AS item FROM
+         |  (SELECT doc_id, unnest($tokensSql) AS t FROM documents)
+         |  WHERE t <> ''),
+         |ex AS (SELECT item, count(*) AS exact_n FROM tok GROUP BY 1),
+         |n AS (SELECT CAST(sum(exact_n) AS BIGINT) AS nn FROM ex)
+         |SELECT item, exact_n, true AS in_sketch, true AS within_bound
+         |FROM ex, n WHERE exact_n * 13 > nn""".stripMargin,
 
     // idf_bits = floor(log2 N) - floor(log2 df) via length(bin(x))-1,
     // exact on both engines; rank order (score_bits DESC, term ASC)

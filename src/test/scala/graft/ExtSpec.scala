@@ -659,6 +659,30 @@ class ExtSpec extends SparkSpec {
     assert(got(3L) === ((0L, 0L, 0L)))    // empty doc keeps its row
   }
 
+  test("freqItems: MG guarantees hold across partition merges; " +
+    "sketch never over-counts") {
+    // skewed stream: 'a' x40, 'b' x20, then 30 singletons; n=90,
+    // k=4 -> threshold n/5 = 18: heavy = {a, b}
+    val stream = Seq.fill(40)("a") ++ Seq.fill(20)("b") ++
+      (0 until 30).map(i => s"x$i")
+    // scramble deterministically + spread over 7 partitions so the
+    // merge path (not just reduce) is exercised
+    val items = stream.sortBy(_.hashCode).toDF("item").repartition(7)
+    val got = FreqItems.heavyHittersVerified(items, $"item", k = 4)
+      .as[(String, Long, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet === Set("a", "b"))
+    assert(got("a") === ((40L, true, true)))
+    assert(got("b") === ((20L, true, true)))
+    // the raw sketch never over-counts ANY item it retains
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong)
+    val sk = items.agg(FreqItems.sketch(4)($"item").as("sk"))
+      .select(explode($"sk")).as[(String, Long)].collect()
+    assert(sk.length <= 4)
+    sk.foreach { case (i, est) =>
+      assert(est <= exact(i), s"over-count for $i") }
+  }
+
   test("tfIdfTopTerms: integer idf bits, rank by (score desc, term), " +
     "empty docs emit nothing") {
     // N=4 (floorlog2=2); df: a=2 (bits 2-1=1), b=2 (1), c=1 (2-0=2)
