@@ -37,6 +37,55 @@ object EventWindows {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n"))
 
+  /** Ordered event-funnel detection — the MATCH_RECOGNIZE-lite every
+    * product-analytics engine ships and Spark lacks: emit one row per
+    * FINAL-step event that completes the step sequence
+    * step₀ → step₁ → … → stepₖ within `within` per adjacent gap, in
+    * order, per key. Greedy-latest matching is exact for this
+    * existential pattern: the latest valid step-i event before a
+    * step-(i+1) event is the best possible chain mate (any earlier
+    * one only widens the gap), so one running-max window column per
+    * step decides the whole pattern — no backtracking, no explosion.
+    *
+    * Shape at scale: ONE exchange on the key; every window pass
+    * reuses the same (key, ts, tie) sort order, so k steps cost one
+    * shuffle + one sort + k linear passes. `tie` breaks equal
+    * timestamps (same-ts rows order by tie ascending), making the
+    * row sequence — and therefore the match — total and
+    * engine-reproducible.
+    *
+    * Output: (key, tie, ts, prev_ts) per completed final-step event,
+    * where prev_ts is the matched penultimate-step timestamp.
+    */
+  def funnel(events: DataFrame, key: Column, ts: Column, tie: Column,
+             eventType: Column, steps: Seq[String],
+             within: String): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    require(steps.distinct.size == steps.size,
+      "repeated step names make the greedy chain ambiguous")
+    val base = events.select(key.as("key"), ts.as("ts"), tie.as("tie"),
+      eventType.as("__etype"))
+    // strictly-preceding frame: a step cannot match itself, and
+    // equal-ts rows resolve by the tie order
+    val w = Window.partitionBy("key").orderBy(col("ts"), col("tie"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chained = steps.dropRight(1).zipWithIndex.foldLeft(base) {
+      case (df, (step, i)) =>
+        val valid =
+          if (i == 0) col("__etype") === step
+          else col("__etype") === step && col(s"__c${i - 1}").isNotNull &&
+            col("ts") <= col(s"__c${i - 1}") + expr(s"INTERVAL $within")
+        df.withColumn(s"__c$i", max(when(valid, col("ts"))).over(w))
+    }
+    val last = steps.size - 1
+    chained
+      .filter(col("__etype") === steps(last) &&
+        col(s"__c${last - 1}").isNotNull &&
+        col("ts") <= col(s"__c${last - 1}") + expr(s"INTERVAL $within"))
+      .select(col("key"), col("tie"), col("ts"),
+        col(s"__c${last - 1}").as("prev_ts"))
+  }
+
   /** Native AS-OF join via the custom plan node
     * (org.apache.spark.sql.graft.AsofJoin): logical node + strategy +
     * sorted-merge physical operator. Same contract and output as

@@ -572,6 +572,15 @@ object ExtensionQueries {
         "30 minutes")
     },
 
+    // Ordered funnel (MATCH_RECOGNIZE-lite): signup → click →
+    // purchase per user, each gap ≤ 1 day; greedy-latest chain,
+    // one exchange + one sort for the whole pattern.
+    "ew_funnel" -> { (s, dir) =>
+      EventWindows.funnel(t(s, dir, "events"), col("user_id"),
+        col("ts"), col("event_id"), col("event_type"),
+        steps = Seq("signup", "click", "purchase"), within = "1 day")
+    },
+
     // Range join: every event inside the 2-hour window after a signup
     // by the same user (bucket width = 1h ⇒ each interval covers ≤ 3
     // buckets).
@@ -1547,6 +1556,27 @@ object ExtensionQueries {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM evts GROUP BY 1, 2""".stripMargin),
+
+    // greedy-latest chain columns mirror the Spark window fold;
+    // ROWS ... 1 PRECEDING = the strictly-preceding frame, ties
+    // resolved by event_id on both engines
+    "ew_funnel" ->
+      (s"""WITH $evtCte,
+        |l1 AS (SELECT user_id, event_id, ts, event_type,
+        |         max(CASE WHEN event_type = 'signup' THEN ts END) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS c0
+        |       FROM evts),
+        |l2 AS (SELECT *,
+        |         max(CASE WHEN event_type = 'click' AND c0 IS NOT NULL
+        |                   AND ts <= c0 + INTERVAL '1 day' THEN ts END) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS c1
+        |       FROM l1)
+        |SELECT user_id AS key, event_id AS tie, ts, c1 AS prev_ts
+        |FROM l2
+        |WHERE event_type = 'purchase' AND c1 IS NOT NULL
+        |  AND ts <= c1 + INTERVAL '1 day'""".stripMargin),
 
     "ew_sliding" ->
       (s"""WITH $evtCte

@@ -169,6 +169,56 @@ object StreamOps {
       }
   }
 
+  case class PackIn(doc_id: Long, chunk_idx: Int, n_tokens: Long,
+                    shard: Long)
+  case class PackOut(doc_id: Long, chunk_idx: Int, n_tokens: Long,
+                     shard: Long, seq_id: Long, seq_offset: Long)
+
+  /** Streaming sequence packer — the continuous form of
+    * TextAnalysis.packSequences: chunks are sharded by the SAME salted
+    * doc-id hash as the batch packer, and each shard's keyed state is
+    * one Long (the running token count), so a chunk's training
+    * sequence is assigned the moment it arrives — the
+    * pack-as-you-ingest shape of a streaming pretraining pipeline.
+    * State per key is O(1) and never grows; shards partition across
+    * the cluster like the batch window's exchange.
+    *
+    * Chunks pack in ARRIVAL order (the streaming semantics); within a
+    * micro-batch rows are ordered by (doc_id, chunk_idx) so a batch's
+    * assignment is deterministic under any partitioning. When a
+    * shard's chunks arrive in (doc_id, chunk_idx) order the output
+    * equals the batch packer's row for row (pinned in StreamSpec).
+    */
+  def packSequencesStream(chunks: DataFrame, capacity: Int, shards: Int,
+                          salt: String): Dataset[PackOut] = {
+    require(capacity >= 1 && shards >= 1,
+      "capacity and shards must be positive")
+    import chunks.sparkSession.implicits._
+    chunks
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("chunk_idx").cast("int").as("chunk_idx"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        (graft.ext.PortableHash.md5PrefixLong(
+          concat(lit(salt), col("doc_id").cast("string")), 7)
+          % shards).as("shard"))
+      .as[PackIn]
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState[Long, PackOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          var cum = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(c => (c.doc_id, c.chunk_idx))
+            .map { c =>
+              val r = PackOut(c.doc_id, c.chunk_idx, c.n_tokens, c.shard,
+                cum / capacity, cum % capacity)
+              cum += c.n_tokens
+              r
+            }
+          state.update(cum)
+          out.iterator
+      }
+  }
+
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp,
                        event_type: String)
   case class UserAgg(user_id: Long, n_events: Long,

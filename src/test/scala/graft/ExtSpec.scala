@@ -659,6 +659,38 @@ class ExtSpec extends SparkSpec {
     assert(got(3L) === ((0L, 0L, 0L)))    // empty doc keeps its row
   }
 
+  test("funnel: ordered chain within per-gap windows; wrong order, " +
+    "missing steps and stale gaps all rejected") {
+    val evs = Seq(
+      // user 1: clean signup(h0) -> click(h1) -> purchase(h2): match
+      (1L, ts("2024-01-01 00:00:00"), 1L, "signup"),
+      (1L, ts("2024-01-01 01:00:00"), 2L, "click"),
+      (1L, ts("2024-01-01 02:00:00"), 3L, "purchase"),
+      // user 2: purchase BEFORE its click: no match
+      (2L, ts("2024-01-01 00:00:00"), 4L, "signup"),
+      (2L, ts("2024-01-01 02:00:00"), 5L, "purchase"),
+      (2L, ts("2024-01-01 03:00:00"), 6L, "click"),
+      // user 3: click with NO signup: no match
+      (3L, ts("2024-01-01 01:00:00"), 7L, "click"),
+      (3L, ts("2024-01-01 02:00:00"), 8L, "purchase"),
+      // user 4: signup -> (26h) click: first gap too old, but a
+      // SECOND signup revalidates the chain for the later purchase
+      (4L, ts("2024-01-01 00:00:00"), 9L, "signup"),
+      (4L, ts("2024-01-02 02:00:00"), 10L, "click"),
+      (4L, ts("2024-01-02 01:00:00"), 11L, "signup"),
+      (4L, ts("2024-01-02 03:00:00"), 12L, "purchase"),
+      // user 5: purchase 26h after its click: last gap too old
+      (5L, ts("2024-01-01 00:00:00"), 13L, "signup"),
+      (5L, ts("2024-01-01 01:00:00"), 14L, "click"),
+      (5L, ts("2024-01-02 03:30:00"), 15L, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventWindows.funnel(evs, $"user_id", $"ts", $"event_id",
+      $"event_type", steps = Seq("signup", "click", "purchase"),
+      within = "1 day")
+      .select("key", "tie").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 3L), (4L, 12L)))
+  }
+
   test("freqItems: MG guarantees hold across partition merges; " +
     "sketch never over-counts") {
     // skewed stream: 'a' x40, 'b' x20, then 30 singletons; n=90,

@@ -208,6 +208,43 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming packer equals the batch packer when chunks arrive " +
+    "in order; state carries across batches") {
+    // the equivalence contract: per-shard arrival order = the batch
+    // packer's (doc_id, chunk_idx) order -> identical sequence
+    // assignments, even when the stream is split mid-shard so the
+    // running token count must survive in keyed state
+    implicit val sq = spark.sqlContext
+    val docs = (1L to 9L).map(i =>
+      (i, (0 until (3 + (i % 4).toInt)).map(j => s"w${i}_$j")
+        .mkString(" "))).toDF("doc_id", "text")
+    val chunks = graft.ext.TextAnalysis.chunkTokens(docs, $"doc_id",
+      $"text", window = 2, overlap = 0)
+    val want = graft.ext.TextAnalysis.packSequences(chunks, $"doc_id",
+      $"chunk_idx", $"n_tokens", capacity = 5, shards = 3,
+      salt = "spec-pack:")
+      .as[(Long, Int, Long, Long, Long, Long)].collect().toSet
+    assert(want.map(_._5).size > 1) // crosses sequence boundaries
+    val ordered = chunks
+      .select($"doc_id", $"chunk_idx", $"n_tokens")
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Int, Long)].collect()
+    val in = MemoryStream[(Long, Int, Long)]
+    val q = StreamOps.packSequencesStream(
+      in.toDF().toDF("doc_id", "chunk_idx", "n_tokens"),
+      capacity = 5, shards = 3, salt = "spec-pack:")
+      .writeStream.format("memory").queryName("pack_eq_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // split mid-stream: later batches must resume from stored cums
+      val (b1, b2) = ordered.splitAt(ordered.length / 2)
+      Seq(b1, b2).foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
+      val got = spark.table("pack_eq_out")
+        .as[(Long, Int, Long, Long, Long, Long)].collect().toSet
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("redactPii and hash sampling run stateless on a stream") {
     // the corpus-curation scrub/downsample stage is a pure projection
     // + filter, so it streams with no watermark and no state store
