@@ -335,6 +335,57 @@ object TextAnalysis {
         pmod(col("__cum"), lit(capacity.toLong)).as("seq_offset"))
   }
 
+  /** Integer-bit BIGRAM surprisal — the conditional upgrade of
+    * [[unigramSurprisal]], one step closer to the n-gram LM that
+    * CCNet-style curation really scores with:
+    *
+    *   bits(doc) = Σ over consecutive token pairs (p, c) of
+    *               ⌊log2 count₁(p)⌋ − ⌊log2 count₂(p, c)⌋
+    *
+    * where count₂ is the corpus bigram count and count₁ the count of
+    * bigrams STARTING with p (so the ratio is a true conditional
+    * probability and the bit difference is never negative). Predictable
+    * continuations score ~0 bits; rare transitions — gibberish, OCR
+    * damage, shuffled text that unigram stats cannot see — score high.
+    *
+    * Shape at scale: the bigram count table aggregates once with
+    * map-side combine, and the start-token counts ROLL UP from it
+    * (Σ over cur of count₂ = count₁ — vocab²-sized input instead of
+    * a second corpus pass), so the count subtree is built once and
+    * exchange-reused between the rollup and the scoring join (pinned
+    * in PlanSpec). Every doc keeps a row; docs with < 2 tokens score
+    * 0 over 0 bigrams.
+    */
+  def bigramSurprisal(docs: DataFrame, id: Column,
+                      text: Column): DataFrame = {
+    val t = filter(tokens(text), x => x =!= "")
+    val n1 = greatest(size(t) - 1, lit(0))
+    val pairArr = zip_with(slice(t, lit(1), n1), slice(t, lit(2), n1),
+      (a, b) => struct(a.as("prev"), b.as("cur")))
+    val pairs = docs
+      .select(id.as("doc_id"), explode(pairArr).as("__p"))
+      .select(col("doc_id"), col("__p.prev").as("prev"),
+        col("__p.cur").as("cur"))
+      // prev/cur are never null by construction; stating it keeps the
+      // join-key null filters Catalyst infers IDENTICAL on every copy
+      // of the count subtree, which is what lets the exchanges
+      // canonicalize equal and reuse
+      .filter(col("prev").isNotNull && col("cur").isNotNull)
+    val c2 = pairs.groupBy("prev", "cur").agg(count(lit(1)).as("__c2"))
+    val c1 = c2.groupBy("prev").agg(sum("__c2").as("__c1"))
+    val scored = pairs.join(c2, Seq("prev", "cur")).join(c1, Seq("prev"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(floorLog2(col("__c1")) - floorLog2(col("__c2")))
+          .as("surprisal_bits"))
+    docs.select(id.as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("surprisal_bits"), lit(0L)).as("surprisal_bits"),
+        coalesce(expr("(surprisal_bits * 1000) div n_bigrams"), lit(0L))
+          .as("mean_millibits"))
+  }
+
   /** Per-source corpus datasheet — the "data card" report every
     * curated corpus ships with (Gebru et al. '18): document count,
     * token volume, vocabulary size, integer type-token ratio

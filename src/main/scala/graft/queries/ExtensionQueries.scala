@@ -482,6 +482,14 @@ object ExtensionQueries {
         col("text"))
     },
 
+    // Conditional bigram surprisal: integer bits of
+    // -log2 P(cur | prev) summed per doc — the n-gram LM upgrade of
+    // text_surprisal, catching shuffled/garbled text unigrams miss.
+    "text_surprisal_bigram" -> { (s, dir) =>
+      TextAnalysis.bigramSurprisal(docs(s, dir), col("doc_id"),
+        col("text"))
+    },
+
     // Misra–Gries frequent-items sketch over the token-initial stream
     // (19 distinct, genuinely skewed): capacity 12 < distinct forces
     // evictions; the oracle checks the exact heavy-hitter set plus the
@@ -1252,6 +1260,29 @@ object ExtensionQueries {
          |SELECT d0.doc_id, coalesce(n_tokens, 0) AS n_tokens,
          |  coalesce(surprisal_bits, 0) AS surprisal_bits,
          |  coalesce((surprisal_bits * 1000) // n_tokens, 0) AS mean_millibits
+         |FROM (SELECT doc_id FROM documents) d0 LEFT JOIN sc USING (doc_id)""".stripMargin,
+
+    // parallel unnest zips the two slices; c1 counts bigram STARTS so
+    // bits = floor(log2 c1) - floor(log2 c2) >= 0 is a true
+    // conditional; `div`/`//` agree on the non-negative cumsum
+    "text_surprisal_bigram" ->
+      s"""WITH d AS (SELECT doc_id,
+         |             list_filter($tokensSql, t -> t <> '') AS toks
+         |           FROM documents),
+         |pairs AS (SELECT doc_id,
+         |            unnest(toks[1:len(toks)-1]) AS prev,
+         |            unnest(toks[2:len(toks)]) AS cur
+         |          FROM d WHERE len(toks) >= 2),
+         |c2 AS (SELECT prev, cur, count(*) AS c2 FROM pairs GROUP BY 1, 2),
+         |c1 AS (SELECT prev, count(*) AS c1 FROM pairs GROUP BY 1),
+         |sc AS (SELECT doc_id, count(*) AS n_bigrams,
+         |         CAST(sum((length(bin(c1)) - 1) - (length(bin(c2)) - 1))
+         |              AS BIGINT) AS surprisal_bits
+         |       FROM pairs JOIN c2 USING (prev, cur) JOIN c1 USING (prev)
+         |       GROUP BY 1)
+         |SELECT d0.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+         |  coalesce(surprisal_bits, 0) AS surprisal_bits,
+         |  coalesce((surprisal_bits * 1000) // n_bigrams, 0) AS mean_millibits
          |FROM (SELECT doc_id FROM documents) d0 LEFT JOIN sc USING (doc_id)""".stripMargin,
 
     // the sketch side cannot appear in SQL (content is merge-order

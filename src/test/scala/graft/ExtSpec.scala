@@ -762,6 +762,23 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("bigramSurprisal: conditional integer bits; short docs keep " +
+    "zero rows") {
+    // corpus bigrams: doc1 = (a,b) (b,a) (a,b); doc2 = (a,c); doc3 none
+    // c1: a->3 starts (log2=1), b->1 (0); c2: (a,b)=2 (1), (b,a)=1 (0),
+    // (a,c)=1 (0)
+    val df = Seq((1L, "a b a b"), (2L, "a c"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramSurprisal(df, $"doc_id", $"text")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc1: (a,b): 1-1=0; (b,a): 0-0=0; (a,b): 0 -> 0 bits / 3 bigrams
+    assert(got(1L) === ((3L, 0L, 0L)))
+    // doc2: (a,c): log2(3)-log2(1) = 1-0 = 1 bit -> 1000 millibits
+    assert(got(2L) === ((1L, 1L, 1000L)))
+    assert(got(3L) === ((0L, 0L, 0L))) // no bigrams, row survives
+  }
+
   test("bm25TopK ranks the term-dense doc first; term-free docs carry " +
     "zero tf") {
     // same doc length everywhere, so saturation depends on tf alone:

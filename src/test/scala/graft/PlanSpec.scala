@@ -150,6 +150,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("text_surprisal_bigram: the pair exchange is shared by the " +
+    "count aggregations and the scoring joins (at-scale plan)") {
+    withBroadcastDisabled {
+      val p = finalPlan("text_surprisal_bigram")
+      assert(p.contains("ReusedExchange"),
+        s"pair pass recomputed per consumer:\n$p")
+    }
+  }
+
   test("emb_project: map-only — one pruned scan, no shuffle, no join") {
     val p = plan("emb_project")
     assert(!p.contains("Exchange") && !p.contains("Join"),
