@@ -471,6 +471,63 @@ object TextAnalysis {
       .select("doc_id", "term", "tf", "df", "score_bits", "rnk")
   }
 
+  /** Corpus vocabulary induction — the id-assignment stage of
+    * tokenizer training: frequency-ranked contiguous ids for every
+    * token above `minCount`, capped at `vocabSize` entries. Rank
+    * order (count desc, token asc) is total, so id assignment is
+    * deterministic on any engine. One aggregation with map-side
+    * combine; the ranking window runs over the aggregated VOCAB (not
+    * the corpus), which is the only part that funnels to a single
+    * task — post-agg cardinality, fine at any corpus size. Id 0 is
+    * reserved for OOV/UNK by [[encodeTokens]].
+    */
+  def buildVocab(docs: DataFrame, text: Column, vocabSize: Int,
+                 minCount: Long): DataFrame = {
+    require(vocabSize >= 1 && minCount >= 1,
+      "vocabSize and minCount must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("n").desc, col("token"))
+    docs.select(explode(tokens(text)).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .withColumn("token_id", row_number().over(w).cast("long"))
+      .filter(col("token_id") <= vocabSize)
+  }
+
+  /** Encode documents as token-id sequences against a
+    * [[buildVocab]]-shaped (token, token_id) frame — the final
+    * text→ints step before packing/training. Out-of-vocabulary
+    * tokens encode as id 0 (UNK) and are counted per doc. The id
+    * sequence is emitted as a space-joined STRING (order fixed by
+    * position via sort_array over (pos, id) structs — collect_list
+    * alone has no order contract), so the output stays hashable and
+    * engine-comparable. Shape at scale: posexplode → broadcast join
+    * on token → one per-doc aggregation; every doc keeps a row.
+    */
+  def encodeTokens(docs: DataFrame, id: Column, text: Column,
+                   vocab: DataFrame): DataFrame = {
+    val toks = docs.select(id.as("doc_id"),
+      posexplode(filter(tokens(text), t => t =!= ""))
+        .as(Seq("__pos", "token")))
+    val joined = toks
+      .join(broadcast(vocab.select(col("token"), col("token_id"))),
+        Seq("token"), "left")
+      .select(col("doc_id"), col("__pos"),
+        coalesce(col("token_id"), lit(0L)).as("__tid"))
+    val enc = joined.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__tid") === 0L, 1L).otherwise(0L)).as("n_oov"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__tid")))),
+          s => s.getField("__tid").cast("string")), " ").as("ids"))
+    docs.select(id.as("doc_id")).join(enc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(col("ids"), lit("")).as("ids"))
+  }
+
   /** Integer unigram-rarity score — the perplexity-proxy quality
     * signal of CCNet-style curation, with the corpus itself as the
     * language model and bit-granular integer surprisal so the output

@@ -482,6 +482,22 @@ object ExtensionQueries {
         col("text"))
     },
 
+    // Tokenizer vocab induction: frequency-ranked contiguous ids,
+    // top-24 tokens with count >= 2 — deterministic (n desc, token).
+    "vocab_build" -> { (s, dir) =>
+      TextAnalysis.buildVocab(docs(s, dir), col("text"),
+        vocabSize = 24, minCount = 2)
+    },
+
+    // Corpus encoding against that vocab: id 0 = UNK; the id
+    // sequence is a position-ordered string so the check is bit-exact.
+    "text_encode" -> { (s, dir) =>
+      val vocab = TextAnalysis.buildVocab(docs(s, dir), col("text"),
+        vocabSize = 24, minCount = 2)
+      TextAnalysis.encodeTokens(docs(s, dir), col("doc_id"),
+        col("text"), vocab)
+    },
+
     // Conditional bigram surprisal: integer bits of
     // -log2 P(cur | prev) summed per doc — the n-gram LM upgrade of
     // text_surprisal, catching shuffled/garbled text unigrams miss.
@@ -1261,6 +1277,42 @@ object ExtensionQueries {
          |  coalesce(surprisal_bits, 0) AS surprisal_bits,
          |  coalesce((surprisal_bits * 1000) // n_tokens, 0) AS mean_millibits
          |FROM (SELECT doc_id FROM documents) d0 LEFT JOIN sc USING (doc_id)""".stripMargin,
+
+    // rank (n DESC, token ASC) is total -> identical id assignment
+    "vocab_build" ->
+      s"""WITH tok AS (SELECT t AS token FROM
+         |  (SELECT unnest($tokensSql) AS t FROM documents) WHERE t <> ''),
+         |c AS (SELECT token, count(*) AS n FROM tok GROUP BY 1
+         |      HAVING count(*) >= 2)
+         |SELECT token, n,
+         |  CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT)
+         |    AS token_id
+         |FROM c QUALIFY token_id <= 24""".stripMargin,
+
+    // same vocab CTE; ids ordered by token position (list ... ORDER
+    // BY pos), OOV -> 0; sums cast to BIGINT (DuckDB sums to HUGEINT)
+    "text_encode" ->
+      s"""WITH d AS (SELECT doc_id,
+         |             list_filter($tokensSql, t -> t <> '') AS toks
+         |           FROM documents),
+         |tok AS (SELECT doc_id, i.i AS pos, toks[CAST(i.i AS INT)] AS token
+         |        FROM d, LATERAL (SELECT unnest(range(1, len(toks) + 1))
+         |                         AS i) i),
+         |allc AS (SELECT token, count(*) AS n FROM tok GROUP BY 1
+         |         HAVING count(*) >= 2),
+         |v AS (SELECT token,
+         |        CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT)
+         |          AS token_id
+         |      FROM allc QUALIFY token_id <= 24),
+         |enc AS (SELECT doc_id, count(*) AS n_tokens,
+         |          CAST(sum(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END)
+         |               AS BIGINT) AS n_oov,
+         |          array_to_string(list(CAST(coalesce(v.token_id, 0)
+         |            AS VARCHAR) ORDER BY pos), ' ') AS ids
+         |        FROM tok LEFT JOIN v USING (token) GROUP BY 1)
+         |SELECT d0.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+         |  coalesce(n_oov, 0) AS n_oov, coalesce(ids, '') AS ids
+         |FROM (SELECT doc_id FROM documents) d0 LEFT JOIN enc USING (doc_id)""".stripMargin,
 
     // parallel unnest zips the two slices; c1 counts bigram STARTS so
     // bits = floor(log2 c1) - floor(log2 c2) >= 0 is a true

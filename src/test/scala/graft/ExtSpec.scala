@@ -762,6 +762,24 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("buildVocab + encodeTokens: frequency-ranked ids, OOV -> 0, " +
+    "position order survives shuffling") {
+    // counts: b=4, a=3, c=2, z=1; minCount=2 drops z; vocabSize=2
+    // keeps b(id 1), a(id 2); c and z encode as UNK 0
+    val df = Seq((1L, "a b c b"), (2L, "b z a c a b"), (3L, ""))
+      .toDF("doc_id", "text").repartition(5)
+    val vocab = TextAnalysis.buildVocab(df, $"text",
+      vocabSize = 2, minCount = 2)
+    assert(vocab.as[(String, Long, Long)].collect().toSet ===
+      Set(("b", 4L, 1L), ("a", 3L, 2L)))
+    val got = TextAnalysis.encodeTokens(df, $"doc_id", $"text", vocab)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((4L, 1L, "2 1 0 1")))
+    assert(got(2L) === ((6L, 2L, "1 0 2 0 2 1")))
+    assert(got(3L) === ((0L, 0L, ""))) // empty doc keeps its row
+  }
+
   test("bigramSurprisal: conditional integer bits; short docs keep " +
     "zero rows") {
     // corpus bigrams: doc1 = (a,b) (b,a) (a,b); doc2 = (a,c); doc3 none
