@@ -482,6 +482,28 @@ object ExtensionQueries {
         col("text"))
     },
 
+    // End-to-end pretraining prep in ONE declarative plan — the
+    // flagship composition of the curation surface: giant-doc cap →
+    // language gate → Gopher repetition filter → leakage-guarded
+    // train split → context-length chunking → sequence packing.
+    // Catalyst fuses the doc-level stages into one pass; the only
+    // exchanges are the repetition aggregation and the pack window.
+    "curate_pretrain" -> { (s, dir) =>
+      val capped = TextAnalysis.capDocLength(docs(s, dir), "text", 2000)
+      val en = capped.filter(TextAnalysis.langId(col("text")) === "en")
+      val keep = TextAnalysis
+        .repetitionMetrics(en, col("doc_id"), col("text"))
+        .filter(col("keep")).select("doc_id")
+      val train = Sampling.splitAssign(en.join(keep, "doc_id"),
+          col("source"), "graft-split:",
+          valPerMille = 100, testPerMille = 100)
+        .filter(col("split") === "train")
+      val chunks = TextAnalysis.chunkTokens(train, col("doc_id"),
+        col("text"), window = 32, overlap = 8)
+      TextAnalysis.packSequences(chunks, col("doc_id"), col("chunk_idx"),
+        col("n_tokens"), capacity = 256, shards = 8, salt = "graft-pack:")
+    },
+
     // Tokenizer vocab induction: frequency-ranked contiguous ids,
     // top-24 tokens with count >= 2 — deterministic (n desc, token).
     "vocab_build" -> { (s, dir) =>
@@ -1277,6 +1299,61 @@ object ExtensionQueries {
          |  coalesce(surprisal_bits, 0) AS surprisal_bits,
          |  coalesce((surprisal_bits * 1000) // n_tokens, 0) AS mean_millibits
          |FROM (SELECT doc_id FROM documents) d0 LEFT JOIN sc USING (doc_id)""".stripMargin,
+
+    // the full curation chain as one SQL: cap -> langid -> repetition
+    // keep -> train-split hash -> chunk arithmetic -> pack window,
+    // every fragment identical to its standalone query's oracle
+    "curate_pretrain" -> {
+      val en = langScoreSql(Seq("the", "and", "of", "is"))
+      val de = langScoreSql(Seq("der", "die", "und", "ist"))
+      val fr = langScoreSql(Seq("le", "la", "et", "est"))
+      val es = langScoreSql(Seq("el", "los", "y", "es"))
+      s"""WITH capped AS (SELECT doc_id, source, substr(text, 1, 2000) AS text
+         |                FROM documents),
+         |d AS (SELECT doc_id, source, text, $tokensSql AS toks FROM capped),
+         |eng AS (SELECT doc_id, source, toks FROM d
+         |        WHERE CASE WHEN $en >= $de AND $en >= $fr AND $en >= $es THEN 'en'
+         |                   WHEN $de >= $fr AND $de >= $es THEN 'de'
+         |                   WHEN $fr >= $es THEN 'fr' ELSE 'es' END = 'en'),
+         |b AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+         |        THEN list_transform(range(1, len(toks)),
+         |               i -> toks[i] || '_' || toks[i+1]) ELSE [] END) AS g
+         |      FROM eng),
+         |t AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+         |        THEN list_transform(range(1, len(toks) - 1),
+         |               i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2]) ELSE [] END) AS g
+         |      FROM eng),
+         |b2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n2,
+         |         count(*) AS d2, CAST(max(c) AS BIGINT) AS top2
+         |       FROM (SELECT doc_id, g, count(*) AS c FROM b GROUP BY 1, 2)
+         |       GROUP BY 1),
+         |t3 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n3, count(*) AS d3
+         |       FROM (SELECT doc_id, g, count(*) AS c FROM t GROUP BY 1, 2)
+         |       GROUP BY 1),
+         |rep AS (SELECT eng.doc_id FROM eng
+         |        LEFT JOIN b2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+         |        WHERE coalesce(CAST(n2 - d2 AS DOUBLE) / CAST(n2 AS DOUBLE), 0.0) <= 0.2
+         |          AND coalesce(CAST(n3 - d3 AS DOUBLE) / CAST(n3 AS DOUBLE), 0.0) <= 0.18
+         |          AND (coalesce(n2, 0) < 20
+         |               OR coalesce(CAST(top2 AS DOUBLE) / CAST(n2 AS DOUBLE), 0.0) <= 0.2)),
+         |tr AS (SELECT eng.doc_id, eng.toks FROM eng JOIN rep USING (doc_id)
+         |       WHERE CAST('0x' || substr(md5('graft-split:' || source), 1, 7) AS BIGINT) % 1000 >= 200),
+         |c AS (SELECT doc_id, CAST(i.i AS INT) AS chunk_idx,
+         |        least(CAST(32 AS BIGINT), len(toks) - i.i*24) AS n_tokens
+         |      FROM tr, LATERAL (SELECT unnest(range(0,
+         |        CAST(floor(CAST(greatest(len(toks) - 8 - 1, 0) AS DOUBLE) / 24.0) AS BIGINT) + 1)) AS i) i
+         |      WHERE len(toks) >= 1),
+         |s AS (SELECT *, CAST('0x' || substr(md5('graft-pack:' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 8 AS shard
+         |      FROM c),
+         |cum AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard
+         |          ORDER BY doc_id, chunk_idx
+         |          ROWS UNBOUNDED PRECEDING) - n_tokens AS cumb
+         |        FROM s)
+         |SELECT doc_id, chunk_idx, n_tokens, shard,
+         |  CAST(cumb // 256 AS BIGINT) AS seq_id,
+         |  CAST(cumb % 256 AS BIGINT) AS seq_offset
+         |FROM cum""".stripMargin
+    },
 
     // rank (n DESC, token ASC) is total -> identical id assignment
     "vocab_build" ->
