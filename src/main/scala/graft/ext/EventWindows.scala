@@ -37,6 +37,29 @@ object EventWindows {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n"))
 
+  /** Weekly cohort retention — the other core product-analytics
+    * report next to [[funnel]]: users grouped by first-activity week
+    * (the cohort), counted in each subsequent week they return.
+    * Week buckets are ISO Monday truncations, and the week offset is
+    * exact integer arithmetic on week-aligned epochs, so the matrix
+    * is engine-reproducible. Shape at scale: one distinct over
+    * (user, week) — the only corpus-sized shuffle — then a per-user
+    * min and a final aggregation over the tiny (cohort, offset)
+    * matrix; the (user, week) exchange is reused by the cohort min
+    * (same clustering).
+    */
+  def retention(events: DataFrame, user: Column, ts: Column): DataFrame = {
+    val act = events
+      .select(user.as("user_id"), date_trunc("week", ts).as("w"))
+      .distinct()
+    val cohort = act.groupBy("user_id").agg(min("w").as("cw"))
+    act.join(cohort, "user_id")
+      .groupBy(col("cw").as("cohort_week"),
+        expr("(unix_timestamp(w) - unix_timestamp(cw)) div 604800")
+          .as("week_k"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** Ordered event-funnel detection — the MATCH_RECOGNIZE-lite every
     * product-analytics engine ships and Spark lacks: emit one row per
     * FINAL-step event that completes the step sequence

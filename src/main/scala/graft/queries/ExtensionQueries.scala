@@ -618,6 +618,13 @@ object ExtensionQueries {
         "30 minutes")
     },
 
+    // Weekly cohort retention matrix: first-activity week × weeks
+    // since, distinct returning users — exact integer week offsets.
+    "ew_retention" -> { (s, dir) =>
+      EventWindows.retention(t(s, dir, "events"), col("user_id"),
+        col("ts"))
+    },
+
     // Ordered funnel (MATCH_RECOGNIZE-lite): signup → click →
     // purchase per user, each gap ≤ 1 day; greedy-latest chain,
     // one exchange + one sort for the whole pattern.
@@ -1716,6 +1723,20 @@ object ExtensionQueries {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM evts GROUP BY 1, 2""".stripMargin),
+
+    // ISO Monday week truncation on both engines; epoch of
+    // week-aligned timestamps is exact, so // 604800 is exact
+    "ew_retention" ->
+      (s"""WITH $evtCte,
+        |act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+        |        FROM evts),
+        |coh AS (SELECT user_id, min(w) AS cw FROM act GROUP BY 1)
+        |SELECT cw AS cohort_week,
+        |  (CAST(epoch(w) AS BIGINT) - CAST(epoch(cw) AS BIGINT)) // 604800
+        |    AS week_k,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM act JOIN coh USING (user_id)
+        |GROUP BY 1, 2""".stripMargin),
 
     // greedy-latest chain columns mirror the Spark window fold;
     // ROWS ... 1 PRECEDING = the strictly-preceding frame, ties

@@ -169,6 +169,68 @@ object StreamOps {
       }
   }
 
+  case class FunnelEvent(key: Long, ts: java.sql.Timestamp, tie: Long,
+                         etype: String)
+  case class FunnelHit(key: Long, tie: Long, ts: java.sql.Timestamp,
+                       prev_ts: java.sql.Timestamp)
+
+  /** Streaming funnel detection — the continuous twin of
+    * EventWindows.funnel: per-key state is one greedy-latest
+    * timestamp per prefix step (O(steps) longs), updated as events
+    * arrive; a final-step event emits the moment its chain check
+    * passes — the real-time conversion tracker. Chain semantics are
+    * the batch operator's exactly: a step extends the chain iff the
+    * previous step's greedy-latest timestamp is within `withinMicros`.
+    * Within a micro-batch rows process in (ts, tie) order; for
+    * in-order arrival per key the emitted set equals the batch
+    * funnel's rows (pinned in StreamSpec). Late events update state
+    * when they arrive (arrival-order semantics) — bound lateness
+    * upstream with a watermark if exact replay parity matters.
+    */
+  def funnelStream(events: DataFrame, steps: Seq[String],
+                   withinMicros: Long): Dataset[FunnelHit] = {
+    require(steps.size >= 2 && steps.distinct.size == steps.size,
+      "need >= 2 distinct steps")
+    import events.sparkSession.implicits._
+    val idx = steps.zipWithIndex.toMap
+    val last = steps.size - 1
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    def fromMicros(m: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(m, 1000L))
+      t.setNanos((Math.floorMod(m, 1000000L) * 1000L).toInt)
+      t
+    }
+    events
+      .select(col("key").cast("long").as("key"), col("ts"),
+        col("tie").cast("long").as("tie"), col("etype"))
+      .as[FunnelEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Map[Int, Long], FunnelHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          var chain = state.getOption.getOrElse(Map.empty[Int, Long])
+          val out = List.newBuilder[FunnelHit]
+          rows.toSeq.sortBy(e => (micros(e.ts), e.tie)).foreach { e =>
+            idx.get(e.etype).foreach { i =>
+              val t = micros(e.ts)
+              if (i == last) {
+                chain.get(last - 1)
+                  .filter(p => t <= p + withinMicros)
+                  .foreach(p =>
+                    out += FunnelHit(e.key, e.tie, e.ts, fromMicros(p)))
+              } else if (i == 0 ||
+                  chain.get(i - 1).exists(p => t <= p + withinMicros)) {
+                chain = chain.updated(i,
+                  math.max(t, chain.getOrElse(i, Long.MinValue)))
+              }
+            }
+          }
+          state.update(chain)
+          out.result().iterator
+      }
+  }
+
   case class PackIn(doc_id: Long, chunk_idx: Int, n_tokens: Long,
                     shard: Long)
   case class PackOut(doc_id: Long, chunk_idx: Int, n_tokens: Long,

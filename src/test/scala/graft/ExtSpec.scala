@@ -659,6 +659,23 @@ class ExtSpec extends SparkSpec {
     assert(got(3L) === ((0L, 0L, 0L)))    // empty doc keeps its row
   }
 
+  test("retention: cohort = first-activity week, offsets exact") {
+    val evs = Seq(
+      (1L, ts("2024-01-01 10:00:00")), // Mon wk0 cohort
+      (1L, ts("2024-01-09 10:00:00")), // wk1
+      (1L, ts("2024-01-16 10:00:00")), // wk2
+      (2L, ts("2024-01-02 10:00:00")), // wk0 cohort
+      (2L, ts("2024-01-17 10:00:00")), // wk2
+      (3L, ts("2024-01-10 10:00:00"))) // wk1 cohort only
+      .toDF("user_id", "ts")
+    val got = EventWindows.retention(evs, $"user_id", $"ts")
+      .as[(java.sql.Timestamp, Long, Long)].collect()
+      .map(r => (r._1.toString.take(10), r._2) -> r._3).toMap
+    assert(got === Map(
+      ("2024-01-01", 0L) -> 2L, ("2024-01-01", 1L) -> 1L,
+      ("2024-01-01", 2L) -> 2L, ("2024-01-08", 0L) -> 1L))
+  }
+
   test("funnel: ordered chain within per-gap windows; wrong order, " +
     "missing steps and stale gaps all rejected") {
     val evs = Seq(

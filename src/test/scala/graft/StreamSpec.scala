@@ -245,6 +245,53 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel equals the batch funnel for in-order " +
+    "arrival; chain state survives the batch split") {
+    implicit val sq = spark.sqlContext
+    // same scenario family as the batch funnel spec: clean chains,
+    // wrong order, missing steps, stale gaps, revalidating signups
+    val evs = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "signup"),
+      (1L, ts("2024-01-01 01:00:00"), 2L, "click"),
+      (1L, ts("2024-01-01 02:00:00"), 3L, "purchase"),
+      (2L, ts("2024-01-01 00:00:00"), 4L, "signup"),
+      (2L, ts("2024-01-01 02:00:00"), 5L, "purchase"),
+      (2L, ts("2024-01-01 03:00:00"), 6L, "click"),
+      (3L, ts("2024-01-01 01:00:00"), 7L, "click"),
+      (3L, ts("2024-01-01 02:00:00"), 8L, "purchase"),
+      (4L, ts("2024-01-01 00:00:00"), 9L, "signup"),
+      (4L, ts("2024-01-02 01:00:00"), 10L, "signup"),
+      (4L, ts("2024-01-02 02:00:00"), 11L, "click"),
+      (4L, ts("2024-01-02 03:00:00"), 12L, "purchase"),
+      (4L, ts("2024-01-02 04:00:00"), 13L, "purchase"), // second hit
+      (5L, ts("2024-01-01 00:00:00"), 14L, "signup"),
+      (5L, ts("2024-01-01 01:00:00"), 15L, "click"),
+      (5L, ts("2024-01-02 03:30:00"), 16L, "purchase"))
+    val batchDf = evs.toDF("user_id", "ts", "event_id", "event_type")
+    val want = graft.ext.EventWindows.funnel(batchDf, $"user_id", $"ts",
+      $"event_id", $"event_type",
+      steps = Seq("signup", "click", "purchase"), within = "1 day")
+      .as[(Long, Long, Timestamp, Timestamp)].collect().toSet
+    assert(want.map(_._2) === Set(3L, 12L, 13L))
+    val in = MemoryStream[(Long, Timestamp, Long, String)]
+    val q = StreamOps.funnelStream(
+      in.toDF().toDF("key", "ts", "tie", "etype"),
+      steps = Seq("signup", "click", "purchase"),
+      withinMicros = 86400L * 1000000L)
+      .writeStream.format("memory").queryName("funnel_eq_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // split in global time order so per-key arrival stays in order;
+      // user 4's chain must survive the split in keyed state
+      val ordered = evs.sortBy(e => (e._2.getTime, e._3))
+      val (b1, b2) = ordered.splitAt(8)
+      Seq(b1, b2).foreach { b => in.addData(b); q.processAllAvailable() }
+      val got = spark.table("funnel_eq_out")
+        .as[(Long, Long, Timestamp, Timestamp)].collect().toSet
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("redactPii and hash sampling run stateless on a stream") {
     // the corpus-curation scrub/downsample stage is a pure projection
     // + filter, so it streams with no watermark and no state store
