@@ -98,6 +98,40 @@ object Sampling {
       .drop("__st", "__n", "__total")
   }
 
+  /** Temperature-flattened domain resampling (the multilingual mixing
+    * rule of mT5/XLM-R at α = 1/2): keep rate per stratum
+    * r_s = min(1, c·sqrt(N/n_s)), so surviving counts for thinned
+    * strata are ∝ sqrt(n_s) — head languages/domains flattened toward
+    * the tail — with the literal `budget` constant c tuning global
+    * retention. Deliberately UNNORMALIZED: the textbook q_s =
+    * sqrt(n_s)/Σ_d sqrt(n_d) needs a float SUM over strata, whose
+    * accumulation order no engine pins, so a normalized rate is not
+    * bit-reproducible; the budget form keeps every rate a chain of
+    * correctly-rounded ops on exact integers (divide → sqrt →
+    * multiply) and changes nothing about the flattening exponent.
+    * Same salted-hash thinning and reserved-column contract as
+    * [[domainMixSample]].
+    */
+  def temperatureSample(df: DataFrame, id: Column, stratum: Column,
+                        budget: Double, salt: String): DataFrame = {
+    require(budget > 0, "budget constant must be positive")
+    require(!df.columns.exists(Set("__st", "__n", "__total")),
+      "input must not carry __st/__n/__total columns (reserved by " +
+        "temperatureSample's stratum-count join)")
+    val counts = df.groupBy(stratum.as("__st"))
+      .agg(count(lit(1)).as("__n"))
+    val total = counts.agg(sum("__n").as("__total"))
+    val rate = least(lit(1.0), lit(budget) *
+      sqrt(col("__total").cast("double") / col("__n").cast("double")))
+    val thresh = floor(rate * lit(1000000.0)).cast("long")
+    df.withColumn("__st", stratum)
+      .join(broadcast(counts), "__st")
+      .crossJoin(broadcast(total))
+      .filter(PortableHash.md5PrefixLong(
+        concat(lit(salt), id.cast("string")), 7) % 1000000 < thresh)
+      .drop("__st", "__n", "__total")
+  }
+
   /** Leakage-guarded train/val/test assignment: the salted hash of the
     * LEAKAGE KEY — the unit near-duplicates cluster under (source
     * domain, url host, dedup component id) — picks the split, NOT the

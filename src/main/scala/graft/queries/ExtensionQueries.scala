@@ -375,6 +375,16 @@ object ExtensionQueries {
         .select("doc_id", "lang")
     },
 
+    // Temperature flattening (α = 1/2, budget c = 0.1) over the
+    // skewed lang column: surviving counts ∝ sqrt(n_lang), the
+    // mT5-style head-flattening mix, fully bit-portable (no
+    // normalizing float sum).
+    "sample_temperature" -> { (s, dir) =>
+      Sampling.temperatureSample(docs(s, dir), col("doc_id"),
+        col("lang"), budget = 0.1, salt = "graft-temp:")
+        .select("doc_id", "lang")
+    },
+
     // The flagship curation pipeline, composed end to end in ONE
     // declarative plan: giant-doc length cap → language-ID
     // confirmation → quality gate → exact dedup (first doc per
@@ -1546,6 +1556,17 @@ object ExtensionQueries {
 
     // shares/default/salt mirror the Spark call; rate arithmetic is
     // (CASE share) * total / n left-to-right, clamped, floored at 1e-6
+    // divide -> sqrt -> multiply on exact integers: every step
+    // correctly rounded, identical on both engines
+    "sample_temperature" ->
+      """WITH c AS (SELECT lang AS st, count(*) AS n FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN c ON c.st = d.lang CROSS JOIN tot
+        |WHERE CAST('0x' || substr(md5('graft-temp:' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 1000000
+        |  < CAST(floor(least(1.0,
+        |      0.1 * sqrt(CAST(total AS DOUBLE) / CAST(n AS DOUBLE))) * 1000000.0) AS BIGINT)""".stripMargin,
+
     "sample_domain_mix" ->
       """WITH c AS (SELECT source AS st, count(*) AS n FROM documents GROUP BY 1),
         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)

@@ -659,6 +659,29 @@ class ExtSpec extends SparkSpec {
     assert(got(3L) === ((0L, 0L, 0L)))    // empty doc keeps its row
   }
 
+  test("temperatureSample flattens the head toward sqrt proportions; " +
+    "reserved columns rejected") {
+    // 800 'big' vs 50 'small': thinned counts should be ~ c·sqrt(N·n)
+    val df = ((1 to 800).map(i => (i.toLong, "big")) ++
+      (1001 to 1050).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "lang")
+    val kept = Sampling.temperatureSample(df, $"doc_id", $"lang",
+      budget = 0.2, salt = "t:")
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val n = 850.0
+    def expect(ns: Int): Double = 0.2 * math.sqrt(n / ns) * ns
+    // salted-hash thinning is binomial-ish around rate·n: ±40% slack
+    assert(math.abs(kept("big") - expect(800)) < expect(800) * 0.4)
+    assert(math.abs(kept("small") - expect(50)) < expect(50) * 0.4)
+    // the head:tail ratio flattens from 16:1 toward sqrt(16):1 = 4:1
+    val ratio = kept("big").toDouble / kept("small")
+    assert(ratio < 8.0, s"head not flattened: $ratio")
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureSample(df.withColumn("__n", lit(1)),
+        $"doc_id", $"lang", budget = 0.2, salt = "t:")
+    }
+  }
+
   test("retention: cohort = first-activity week, offsets exact") {
     val evs = Seq(
       (1L, ts("2024-01-01 10:00:00")), // Mon wk0 cohort
@@ -706,6 +729,43 @@ class ExtSpec extends SparkSpec {
       within = "1 day")
       .select("key", "tie").as[(Long, Long)].collect().toSet
     assert(got === Set((1L, 3L), (4L, 12L)))
+  }
+
+  test("funnel matches a brute-force exists-chain search on random " +
+    "event streams") {
+    // the greedy-latest window fold must equal the existential
+    // pattern: purchase p matches iff SOME strictly-earlier click c
+    // within T has SOME strictly-earlier signup within T of c
+    val rnd = new scala.util.Random(91)
+    val types = Seq("signup", "click", "purchase", "noise")
+    val withinMs = 3600L * 1000 // 1 hour
+    val evs = (0 until 240).map { i =>
+      (rnd.nextInt(6).toLong,
+        new Timestamp(ts("2024-01-01 00:00:00").getTime +
+          rnd.nextInt(5 * 3600) * 1000L),
+        i.toLong, types(rnd.nextInt(types.size)))
+    }
+    val got = EventWindows.funnel(
+      evs.toDF("user_id", "ts", "event_id", "event_type"),
+      $"user_id", $"ts", $"event_id", $"event_type",
+      steps = Seq("signup", "click", "purchase"), within = "1 hour")
+      .select("key", "tie").as[(Long, Long)].collect().toSet
+    val byKey = evs.groupBy(_._1)
+    val want = (for {
+      (_, ks) <- byKey.toSeq
+      sorted = ks.sortBy(e => (e._2.getTime, e._3))
+      (p, pi) <- sorted.zipWithIndex if p._4 == "purchase"
+      if sorted.take(pi).zipWithIndex.exists { case (c, ci) =>
+        c._4 == "click" &&
+          p._2.getTime - c._2.getTime <= withinMs &&
+          p._2.getTime >= c._2.getTime &&
+          sorted.take(ci).exists(s => s._4 == "signup" &&
+            c._2.getTime - s._2.getTime <= withinMs &&
+            c._2.getTime >= s._2.getTime)
+      }
+    } yield (p._1, p._3)).toSet
+    assert(want.nonEmpty, "vacuous random instance")
+    assert(got === want)
   }
 
   test("freqItems: MG guarantees hold across partition merges; " +
