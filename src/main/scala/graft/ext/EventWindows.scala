@@ -49,8 +49,13 @@ object EventWindows {
     * (same clustering).
     */
   def retention(events: DataFrame, user: Column, ts: Column): DataFrame = {
+    // ONE explicit exchange on user_id: it satisfies the distinct's
+    // (user_id, w) clustering, the cohort min's user_id clustering
+    // AND the join, so the activity pass shuffles once and every
+    // consumer reuses it (pinned in PlanSpec)
     val act = events
       .select(user.as("user_id"), date_trunc("week", ts).as("w"))
+      .repartition(col("user_id"))
       .distinct()
     val cohort = act.groupBy("user_id").agg(min("w").as("cw"))
     act.join(cohort, "user_id")

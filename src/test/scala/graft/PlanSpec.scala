@@ -171,6 +171,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("ew_retention: the (user, week) distinct exchange feeds both " +
+    "the cohort min and the join (at-scale plan)") {
+    withBroadcastDisabled {
+      val p = finalPlan("ew_retention")
+      assert(p.contains("ReusedExchange"),
+        s"activity pass recomputed for the cohort branch:\n$p")
+    }
+  }
+
+  test("curate_pretrain: the composed pipeline never degrades to a " +
+    "cartesian product and keeps scans bounded") {
+    val p = finalPlan("curate_pretrain")
+    assert(!p.contains("CartesianProduct"))
+    // doc scans: langid+repetition branches + the split/chunk path;
+    // a regression that re-reads the corpus per stage would blow this
+    assert("Scan parquet".r.findAllIn(p).size <= 8,
+      s"corpus re-scanned per stage:\n$p")
+  }
+
   test("split_assign: map-only — one pruned scan, no shuffle") {
     val p = plan("split_assign")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"))
