@@ -248,10 +248,21 @@ object DedupOps {
     * @param checkpointDir reliable checkpoint directory; sets the
     *                      SparkContext checkpoint dir (a context-wide
     *                      setting) on entry
+    * @param localThreshold local-completion endgame (the same move
+    *                       Kiveris et al. make once contraction has
+    *                       shrunk the graph): when the current edge
+    *                       set has at most this many edges it is
+    *                       collected — a BOUNDED driver cost of
+    *                       ~16 bytes/edge ≈ 3 MB at the default —
+    *                       and finished with a min-root union-find
+    *                       instead of paying O(log n) more rounds of
+    *                       job-scheduling overhead; 0 disables the
+    *                       endgame and keeps every round distributed
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
                           maxIter: Int = 50,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None,
+                          localThreshold: Long = 200000L): DataFrame = {
     checkpointDir.foreach(nodes.sparkSession.sparkContext.setCheckpointDir)
     def ckpt(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
@@ -288,7 +299,7 @@ object DedupOps {
         .distinct())
     var iter = 0
     var converged = prevCount == 0L
-    while (iter < maxIter && !converged) {
+    while (iter < maxIter && !converged && prevCount > localThreshold) {
       // checkpoint after EACH star step: the small-star reads its
       // input through two differently-shaped exchanges (a partial-agg
       // groupBy and a join probe), which exchange reuse does NOT
@@ -322,6 +333,43 @@ object DedupOps {
       prevSum = x
       e = next
       iter += 1
+    }
+    if (!converged && prevCount <= localThreshold) {
+      // Local-completion endgame: the contracted edge set fits the
+      // driver budget, so finish with a min-root union-find — union
+      // always points the larger root at the smaller, so every tree's
+      // final root is the component minimum, the same canonical label
+      // the star-forest fixpoint yields. Mid-loop hand-off is safe:
+      // star steps never drop a node from the edge set while its
+      // component still has other members, and never merge or split
+      // components, so connectivity over `e` plus the left-join
+      // singleton fallback is exactly the original partition.
+      val spark = nodes.sparkSession
+      import spark.implicits._
+      val edges = e.select(col("a"), col("b")).as[(Long, Long)].collect()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x
+        while (parent.getOrDefault(c, c) != r) {
+          val nx = parent.get(c); parent.put(c, r); c = nx
+        }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+      val members: Seq[Long] =
+        edges.iterator.flatMap(p => Iterator(p._1, p._2)).toSet.toSeq
+      val labelDf = members.map(x => (x, find(x)))
+        .toDF("id", "component_id")
+      e.unpersist()
+      return nodes.select("id")
+        .join(broadcast(labelDf), Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("component_id"), col("id")).as("component_id"))
     }
     // fail loudly: labels read off a PARTIALLY contracted edge set are
     // silently wrong (a node's local min ≠ the component min)

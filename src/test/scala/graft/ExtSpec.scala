@@ -37,7 +37,10 @@ class ExtSpec extends SparkSpec {
     // to fixpoint, not a fixed round count; 9 is isolated
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (10L, 11L),
       (11L, 12L), (12L, 13L), (13L, 14L)).toDF("id_a", "id_b")
-    val got = DedupOps.connectedComponents(nodes, pairs)
+    // localThreshold = 0 forces the distributed star-contraction loop
+    // (the default would take the local-completion endgame here)
+    val got = DedupOps.connectedComponents(nodes, pairs,
+      localThreshold = 0L)
       .as[(Long, Long)].collect().toMap
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
       9L -> 9L, 10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
@@ -56,7 +59,7 @@ class ExtSpec extends SparkSpec {
       val nodes = Seq(1L, 2L, 3L, 4L, 7L).toDF("id")
       val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
       val got = DedupOps.connectedComponents(nodes, pairs,
-        checkpointDir = Some(dir.toString))
+        checkpointDir = Some(dir.toString), localThreshold = 0L)
         .as[(Long, Long)].collect().toMap
       assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L))
       // the rounds actually wrote reliable checkpoints into the dir
@@ -97,10 +100,16 @@ class ExtSpec extends SparkSpec {
         val m = members.min
         members.map(_ -> m)
       }
-      val got = DedupOps.connectedComponents(
+      // both the local-completion endgame (default threshold) and the
+      // pure distributed loop (threshold 0) must match the oracle
+      val gotLocal = DedupOps.connectedComponents(
         ids.toDF("id"), edges.toDF("id_a", "id_b"))
         .as[(Long, Long)].collect().toMap
-      assert(got === expect, s"trial $trial")
+      assert(gotLocal === expect, s"trial $trial (local endgame)")
+      val gotDist = DedupOps.connectedComponents(
+        ids.toDF("id"), edges.toDF("id_a", "id_b"), localThreshold = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(gotDist === expect, s"trial $trial (distributed)")
     }
   }
 
