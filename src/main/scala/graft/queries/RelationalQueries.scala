@@ -222,6 +222,38 @@ object RelationalQueries {
         .select("c_custkey", "c_name")
     },
 
+    // Full outer join of two per-user aggregates with genuinely
+    // different key sets: users who clicked but never purchased (and
+    // vice versa) keep their row with the other side null-coalesced.
+    "join_full_outer" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_clicks"))
+      val buys = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_purchases"))
+      clicks.join(buys, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+    },
+
+    // Gaps-and-islands: per-user runs of consecutive ACTIVE DAYS via
+    // the date-minus-row-number constant-group trick — exact integer
+    // day arithmetic, the classic streak analytic.
+    "win_streaks" -> { (s, dir) =>
+      val days = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val w = Window.partitionBy("user_id").orderBy("d")
+      val grp = days
+        .withColumn("__grp",
+          datediff(col("d"), lit("1970-01-01")) - row_number().over(w))
+      val streaks = grp.groupBy("user_id", "__grp")
+        .agg(count(lit(1)).as("len"))
+      streaks.groupBy("user_id")
+        .agg(max("len").as("longest_streak"),
+          count(lit(1)).as("n_streaks"))
+    },
+
     "set_intersect" -> { (s, dir) =>
       t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
         .intersect(
@@ -485,6 +517,31 @@ object RelationalQueries {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_totalprice > 100000)""".stripMargin,
+
+    "join_full_outer" ->
+      """WITH c AS (SELECT user_id, count(*) AS n_clicks FROM events
+        |           WHERE event_type = 'click' GROUP BY 1),
+        |p AS (SELECT user_id, count(*) AS n_purchases FROM events
+        |      WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT coalesce(c.user_id, p.user_id) AS user_id,
+        |  coalesce(n_clicks, 0) AS n_clicks,
+        |  coalesce(n_purchases, 0) AS n_purchases
+        |FROM c FULL OUTER JOIN p ON c.user_id = p.user_id""".stripMargin,
+
+    // date - row_number is constant within a run of consecutive days;
+    // both engines compute exact integer day arithmetic
+    "win_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |             CAST(make_timestamp(epoch_us(ts)) AS DATE) AS d
+        |           FROM events),
+        |g AS (SELECT user_id,
+        |        date_diff('day', DATE '1970-01-01', d)
+        |          - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+        |      FROM d),
+        |s AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2)
+        |SELECT user_id, max(len) AS longest_streak,
+        |  count(*) AS n_streaks
+        |FROM s GROUP BY 1""".stripMargin,
 
     "set_intersect" ->
       """SELECT c_nationkey AS nationkey FROM customer
