@@ -24,7 +24,7 @@ object TimeStage {
       DedupOps.connectedComponents(d.select(col("doc_id").as("id")), pairs)
         .count()
     }
-    cc("/root/testdata/sf0.001") // warm: codegen + schema caches
+    cc(sfDir) // warm: codegen + schema caches (same dir as the reps)
     for (r <- 1 to reps) {
       val t0 = System.nanoTime()
       val n = cc(sfDir)

@@ -267,11 +267,6 @@ object DedupOps {
     def ckpt(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
       else df.localCheckpoint(true)
-    // Piggyback the edge count on the checkpoint's materialization job
-    // via `observe` instead of a second count() job per round; the
-    // listener delivers metrics asynchronously just after the eager
-    // checkpoint returns, so poll briefly and fall back to the (cached,
-    // cheap) count() rather than block on Observation.get forever.
     // Count AND an order-independent set checksum (bit_xor of a 64-bit
     // row hash), both piggybacked on the checkpoint's materialization
     // job via `observe` — no second count() job per round. The
@@ -281,15 +276,18 @@ object DedupOps {
     // both match (in practice, once). Metrics arrive on the listener
     // bus just after the eager checkpoint returns, so poll briefly and
     // fall back to a (cached, cheap) count() rather than block on
-    // Observation.get forever.
-    def ckptCounted(df: DataFrame): (DataFrame, Long, Long) = {
+    // Observation.get forever; a missed poll yields checksum None
+    // (= unknown), which only means the exact probe cannot be skipped
+    // on count-equal rounds — it can never fake or block convergence.
+    def ckptCounted(df: DataFrame): (DataFrame, Long, Option[Long]) = {
       val obs = org.apache.spark.sql.Observation()
       val out = ckpt(df.observe(obs, count(lit(1)).as("n"),
         coalesce(bit_xor(xxhash64(col("a"), col("b"))), lit(0L)).as("x")))
       org.apache.spark.sql.graft.ObservationAccess.await(obs, 2000) match {
         case Some(v) =>
-          (out, v("n").asInstanceOf[Long], v("x").asInstanceOf[Long])
-        case None => (out, out.count(), Long.MinValue) // sentinel: no skip
+          (out, v("n").asInstanceOf[Long],
+            Some(v("x").asInstanceOf[Long]))
+        case None => (out, out.count(), None)
       }
     }
     var (e, prevCount, prevSum) = ckptCounted(
@@ -318,17 +316,31 @@ object DedupOps {
       // sides). The && short-circuit means the anti join only runs on
       // rounds where count and checksum both plateaued (typically the
       // single fixpoint-confirming round); a checksum collision merely
-      // runs the probe once more, never a false convergence.
-      converged = n == prevCount && x == prevSum &&
+      // runs the probe once more, never a false convergence. An
+      // UNKNOWN checksum (missed observe poll on either side) must
+      // not block convergence — skip the gate and let the exact probe
+      // decide, else a noisy listener bus could starve the loop to
+      // maxIter on an already-converged edge set.
+      val checksumsDiffer = (for (a <- x; b <- prevSum) yield a != b)
+        .getOrElse(false)
+      converged = n == prevCount && !checksumsDiffer &&
         next.join(e, Seq("a", "b"), "left_anti").isEmpty
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(f"[cc] iter=$iter n=$n half=${(tH - tR) / 1e9}%.3f " +
           f"next=${(tN - tH) / 1e9}%.3f probe=${(System.nanoTime() - tN) / 1e9}%.3f")
       // drop superseded round state (a 40-round run would otherwise
-      // hold every round's blocks); reliable checkpoint FILES are left
-      // for the context's reference-tracking cleaner
+      // hold every round's blocks) AND its reliable-checkpoint files —
+      // the context cleaner does not remove those under default config,
+      // so without the explicit delete every round's edge-set copy
+      // accrues in the checkpoint dir. Safe here: `next` is already
+      // checkpointed, so nothing re-reads the superseded files. The
+      // FINAL round's files are left for the caller to consume.
       half.unpersist()
       e.unpersist()
+      if (checkpointDir.isDefined) {
+        org.apache.spark.sql.graft.CheckpointFiles.delete(half)
+        org.apache.spark.sql.graft.CheckpointFiles.delete(e)
+      }
       prevCount = n
       prevSum = x
       e = next
@@ -366,6 +378,8 @@ object DedupOps {
       val labelDf = members.map(x => (x, find(x)))
         .toDF("id", "component_id")
       e.unpersist()
+      if (checkpointDir.isDefined)
+        org.apache.spark.sql.graft.CheckpointFiles.delete(e)
       return nodes.select("id")
         .join(broadcast(labelDf), Seq("id"), "left")
         .select(col("id"),

@@ -59,9 +59,12 @@ object EventWindows {
       .distinct()
     val cohort = act.groupBy("user_id").agg(min("w").as("cw"))
     act.join(cohort, "user_id")
+      // calendar-day difference, NOT epoch-seconds: datediff on the
+      // truncated weeks is DST-proof (a spring-forward week spans
+      // 601200 s, which would round an exact one-week return down to
+      // offset 0 under epoch arithmetic in a non-UTC session zone)
       .groupBy(col("cw").as("cohort_week"),
-        expr("(unix_timestamp(w) - unix_timestamp(cw)) div 604800")
-          .as("week_k"))
+        expr("datediff(w, cw) div 7").as("week_k"))
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 

@@ -32,7 +32,11 @@ class FreqItemsAggregator(k: Int)
   override def zero: Map[String, Long] = Map.empty
 
   override def reduce(b: Map[String, Long], a: String): Map[String, Long] =
-    b.get(a) match {
+    // null items are not countable (and a null map key would crash
+    // the buffer encoder at shuffle time) — skip them, matching SQL
+    // aggregate null semantics
+    if (a == null) b
+    else b.get(a) match {
       case Some(c) => b.updated(a, c + 1)
       case None if b.size < k => b.updated(a, 1L)
       case None =>

@@ -1745,15 +1745,15 @@ object ExtensionQueries {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM evts GROUP BY 1, 2""".stripMargin),
 
-    // ISO Monday week truncation on both engines; epoch of
-    // week-aligned timestamps is exact, so // 604800 is exact
+    // ISO Monday week truncation on both engines; calendar-day
+    // difference // 7 mirrors Spark's DST-proof datediff form
     "ew_retention" ->
       (s"""WITH $evtCte,
         |act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w
         |        FROM evts),
         |coh AS (SELECT user_id, min(w) AS cw FROM act GROUP BY 1)
         |SELECT cw AS cohort_week,
-        |  (CAST(epoch(w) AS BIGINT) - CAST(epoch(cw) AS BIGINT)) // 604800
+        |  date_diff('day', CAST(cw AS DATE), CAST(w AS DATE)) // 7
         |    AS week_k,
         |  count(DISTINCT user_id) AS n_users
         |FROM act JOIN coh USING (user_id)

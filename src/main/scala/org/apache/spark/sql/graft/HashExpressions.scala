@@ -82,6 +82,31 @@ object HashColumns {
   * that poll a checkpoint job's observed metrics with a fallback,
   * rather than risking an indefinite block on `Observation.get`.
   */
+/** Reliable-checkpoint files of SUPERSEDED iterative rounds are never
+  * cleaned under default config
+  * (`spark.cleaner.referenceTracking.cleanCheckpoints` is false), so a
+  * 40-round contraction would leave ~80 edge-set copies in the
+  * checkpoint bucket. This bridge reaches the `LogicalRDD` behind a
+  * `Dataset.checkpoint` result and deletes its files once the round's
+  * output has been checkpointed past — best effort: a delete failure
+  * only leaves garbage, never breaks the computation.
+  */
+object CheckpointFiles {
+  def delete(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach { rdd =>
+      rdd.getCheckpointFile.foreach { path =>
+        try {
+          val p = new org.apache.hadoop.fs.Path(path)
+          p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+          ()
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
+}
+
 object ObservationAccess {
   def getOrEmpty(o: org.apache.spark.sql.Observation): Map[String, Any] =
     o.getOrEmpty

@@ -792,6 +792,12 @@ class ExtSpec extends SparkSpec {
     assert(got.keySet === Set("a", "b"))
     assert(got("a") === ((40L, true, true)))
     assert(got("b") === ((20L, true, true)))
+    // null items are skipped, not a map-key crash at shuffle time
+    val withNulls = Seq("a", null, "b", null, "a").toDF("item")
+      .repartition(3)
+    val skN = withNulls.agg(FreqItems.sketch(4)($"item").as("sk"))
+      .select(explode($"sk")).as[(String, Long)].collect().toMap
+    assert(skN === Map("a" -> 2L, "b" -> 1L))
     // the raw sketch never over-counts ANY item it retains
     val exact = stream.groupBy(identity).view.mapValues(_.size.toLong)
     val sk = items.agg(FreqItems.sketch(4)($"item").as("sk"))
