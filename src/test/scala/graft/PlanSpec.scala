@@ -171,6 +171,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("ew_funnel: the whole pattern costs ONE exchange and ONE sort " +
+    "— every step's window reuses the same (key, ts, tie) order") {
+    val p = plan("ew_funnel")
+    assert("Exchange".r.findAllIn(p).size === 1, s"extra shuffle:\n$p")
+    assert("Sort \\[".r.findAllIn(p).size === 1, s"extra sort:\n$p")
+  }
+
   test("ew_retention: the (user, week) distinct exchange feeds both " +
     "the cohort min and the join (at-scale plan)") {
     withBroadcastDisabled {
