@@ -116,10 +116,30 @@ object DedupOps {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** n-gram Jaccard similarity of two shingle arrays (set semantics). */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b)).cast("double")
+  /** n-gram Jaccard similarity of two shingle arrays (set semantics).
+    * Two EMPTY sets score 1.0 (identical) rather than tripping ANSI
+    * divide-by-zero — two docs both shorter than the shingle width
+    * must not crash the comparison job.
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val u = size(array_union(a, b))
+    when(u === 0, lit(1.0)).otherwise(
+      size(array_intersect(a, b)).cast("double") / u.cast("double"))
+  }
+
+  /** Ordered (a < b) pair expansion inside one SORTED distinct
+    * postings list: slice-per-element is output-proportional work
+    * (not the lambda-recompute trap), and sortedness makes i < j
+    * imply first < second. The 1-based slice offset `i + 2` starts
+    * each element's partners strictly after it. Shared by the
+    * inverted-index pair generators so the off-by-one invariants
+    * live in exactly one place.
+    */
+  private def orderedPairs(ids: Column, aName: String,
+                           bName: String): Column =
+    explode(flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), size(ids)),
+        y => struct(x.as(aName), y.as(bName))))))
 
   /** Blocked n-gram Jaccard near-dup pairs via an inverted shingle
     * index — the 100 TB shape: group by (block, shingle) into a
@@ -140,8 +160,15 @@ object DedupOps {
     * toward |A|) so the measure stays a true Jaccard on the filtered
     * shingle sets.
     *
-    * @param blockKeys existing columns that bound the candidate space
-    *                  (a language/source block, or an LSH band key)
+    * @param blockKeys existing columns that bound the candidate space.
+    *                  Each row must belong to exactly ONE block (a
+    *                  partition key: language, source, …). Do NOT pass
+    *                  an exploded multi-membership key like an LSH
+    *                  band — per-doc sizes are counted over all blocks,
+    *                  so a doc appearing in `bands` blocks would have
+    *                  |A| inflated bands× and every Jaccard deflated
+    *                  below threshold. Band-blocked near-dup detection
+    *                  is [[lshCandidatePairs]]/[[simhashBandPairs]].
     */
   def jaccardPairs(df: DataFrame, blockKeys: Seq[String], id: Column,
                    shingles: Column, threshold: Double,
@@ -162,14 +189,9 @@ object DedupOps {
       .select(col("__ids"))
     val sizes = postings.select(explode(col("__ids")).as("__id"))
       .groupBy("__id").agg(count(lit(1)).as("__n"))
-    // ordered pairs within one sorted postings list (i < j ⇒ id_a <
-    // id_b, ids are distinct per shingle); slice-per-element is
-    // output-proportional work, not the lambda-recompute trap
     val inter = postings
       .filter(size(col("__ids")) >= 2)
-      .select(explode(flatten(transform(col("__ids"), (x, i) =>
-        transform(slice(col("__ids"), i + lit(2), size(col("__ids"))),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("__p"))
+      .select(orderedPairs(col("__ids"), "id_a", "id_b").as("__p"))
       .select(col("__p.id_a"), col("__p.id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("__i"))
@@ -356,11 +378,17 @@ object DedupOps {
       // component still has other members, and never merge or split
       // components, so connectivity over `e` plus the left-join
       // singleton fallback is exactly the original partition.
+      // generic over the id type (string doc ids work exactly like
+      // longs, as in the distributed loop): ids only need the same
+      // ordering least/greatest use, i.e. Catalyst's, which matches
+      // Comparable for the atomic types an id column can carry
       val spark = nodes.sparkSession
-      import spark.implicits._
-      val edges = e.select(col("a"), col("b")).as[(Long, Long)].collect()
-      val parent = new java.util.HashMap[Long, Long]()
-      def find(x: Long): Long = {
+      val edges = e.select(col("a"), col("b")).collect()
+        .map(r => (r.get(0), r.get(1)))
+      def lt(x: Any, y: Any): Boolean =
+        x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(x: Any): Any = {
         var r = x
         while (parent.getOrDefault(r, r) != r) r = parent.get(r)
         var c = x
@@ -371,12 +399,21 @@ object DedupOps {
       }
       edges.foreach { case (a, b) =>
         val ra = find(a); val rb = find(b)
-        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+        if (ra != rb) {
+          if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+        }
       }
-      val members: Seq[Long] =
+      val members: Seq[Any] =
         edges.iterator.flatMap(p => Iterator(p._1, p._2)).toSet.toSeq
-      val labelDf = members.map(x => (x, find(x)))
-        .toDF("id", "component_id")
+      val idType = e.schema("a").dataType
+      val rows = members.map(x =>
+        org.apache.spark.sql.Row(x, find(x)))
+      val labelDf = spark.createDataFrame(
+        new java.util.ArrayList(
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", idType),
+          org.apache.spark.sql.types.StructField("component_id", idType))))
       e.unpersist()
       if (checkpointDir.isDefined)
         org.apache.spark.sql.graft.CheckpointFiles.delete(e)
@@ -442,7 +479,11 @@ object DedupOps {
     * Returns the aggregate expression producing the `bits`-bit
     * simhash as a long.
     */
-  def simhashAgg(tokenHash: Column, bits: Int = 32): Column = {
+  def simhashAgg(tokenHash: Column, bits: Int = 60): Column = {
+    // default 60 = the width simhashTokenHash carries AND the width
+    // simhashBandPairs' defaults assume (4 bands × 15 bits); a
+    // narrower aggregate fed to the band join's defaults would make
+    // the high bands constant-zero and the self-join quadratic
     val bitCols = (0 until bits).map { j =>
       when(sum(((shiftright(tokenHash, j) % 2) * 2 - 1)) > 0,
         lit(1L << j)).otherwise(lit(0L))
@@ -450,11 +491,14 @@ object DedupOps {
     bitCols.reduce(_ + _)
   }
 
-  /** Hamming distance between two simhash longs (near-dup test). */
-  def hammingDistance(a: Column, b: Column, bits: Int = 32): Column =
-    (0 until bits).map { j =>
-      ((shiftright(a, j) % 2) =!= (shiftright(b, j) % 2)).cast("int")
-    }.reduce(_ + _)
+  /** Hamming distance between two simhash longs (near-dup test):
+    * one codegen'd popcount over the masked XOR — the same single
+    * expression the band join's verify step uses.
+    */
+  def hammingDistance(a: Column, b: Column, bits: Int = 60): Column = {
+    require(bits >= 1 && bits <= 63, "bits must be in [1, 63]")
+    bit_count(a.bitwiseXOR(b).bitwiseAND(lit((1L << bits) - 1)))
+  }
 
   /** SimHash near-dup pairs via band blocking: two docs whose
     * simhashes agree on ANY `bitsPerBand`-bit band are candidates
@@ -680,9 +724,7 @@ object DedupOps {
       .agg(sort_array(collect_list(col("doc_id"))).as("__ids"))
       .filter(size(col("__ids")).between(2, maxDf))
     postings
-      .select(explode(flatten(transform(col("__ids"), (x, i) =>
-        transform(slice(col("__ids"), i + lit(2), size(col("__ids"))),
-          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("__p"))
+      .select(orderedPairs(col("__ids"), "doc_a", "doc_b").as("__p"))
       .select(col("__p.doc_a"), col("__p.doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared"))

@@ -27,10 +27,15 @@ object TextAnalysis {
   def bpeishCount(c: Column): Column =
     size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
 
-  /** Ratio of punctuation (non-alphanumeric, non-space) characters. */
+  /** Ratio of punctuation (non-alphanumeric, non-space) characters.
+    * Empty text scores 0.0 — an unguarded 0/0 would throw under
+    * Spark 4's default ANSI mode the moment a scraped corpus
+    * delivers its first empty document.
+    */
   def punctRatio(c: Column): Column =
-    length(regexp_replace(c, "[A-Za-z0-9 ]", "")).cast("double") /
-      length(c).cast("double")
+    when(length(c) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(c, "[A-Za-z0-9 ]", "")).cast("double") /
+        length(c).cast("double"))
 
   val Stopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it")

@@ -156,11 +156,16 @@ object StreamOps {
             var seen = state.getOption.getOrElse(Nil)
             val out = List.newBuilder[NearDup]
             rows.toSeq.sortBy(_.doc_id).foreach { d =>
+              // at-least-once sources replay rows: a doc must not
+              // pair with its own remembered signature, nor burn a
+              // second state slot per redelivery
               seen.foreach { case (id0, sig0) =>
                 val h = java.lang.Long.bitCount(sig0 ^ d.simhash)
-                if (h <= maxHamming) out += NearDup(d.doc_id, id0, d.band, h)
+                if (h <= maxHamming && id0 != d.doc_id)
+                  out += NearDup(d.doc_id, id0, d.band, h)
               }
-              seen = ((d.doc_id, d.simhash) :: seen).take(maxPerBucket)
+              if (!seen.exists(_._1 == d.doc_id))
+                seen = ((d.doc_id, d.simhash) :: seen).take(maxPerBucket)
             }
             state.update(seen)
             idleBucketTtl.foreach(state.setTimeoutDuration)
@@ -185,10 +190,18 @@ object StreamOps {
     * in-order arrival per key the emitted set equals the batch
     * funnel's rows (pinned in StreamSpec). Late events update state
     * when they arrive (arrival-order semantics) — bound lateness
-    * upstream with a watermark if exact replay parity matters.
+    * upstream with a watermark if exact replay parity matters. The
+    * chain check requires the predecessor to PRECEDE the event
+    * (p ≤ t), matching the batch window's strictly-preceding frame —
+    * a late final step cannot complete against a chain mate from its
+    * own future. `idleKeyTtl` bounds state on unbounded key spaces
+    * (users/sessions): a key with no events for that long drops its
+    * chain (processing-time timeout, same contract and trigger
+    * caveats as [[simhashNearDupCandidates]]'s idleBucketTtl).
     */
   def funnelStream(events: DataFrame, steps: Seq[String],
-                   withinMicros: Long): Dataset[FunnelHit] = {
+                   withinMicros: Long,
+                   idleKeyTtl: Option[String] = None): Dataset[FunnelHit] = {
     require(steps.size >= 2 && steps.distinct.size == steps.size,
       "need >= 2 distinct steps")
     import events.sparkSession.implicits._
@@ -201,33 +214,45 @@ object StreamOps {
       t.setNanos((Math.floorMod(m, 1000000L) * 1000L).toInt)
       t
     }
+    val timeout = if (idleKeyTtl.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout
+    else GroupStateTimeout.NoTimeout
     events
       .select(col("key").cast("long").as("key"), col("ts"),
         col("tie").cast("long").as("tie"), col("etype"))
       .as[FunnelEvent]
       .groupByKey(_.key)
       .flatMapGroupsWithState[Map[Int, Long], FunnelHit](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeout) {
         (_, rows, state) =>
-          var chain = state.getOption.getOrElse(Map.empty[Int, Long])
-          val out = List.newBuilder[FunnelHit]
-          rows.toSeq.sortBy(e => (micros(e.ts), e.tie)).foreach { e =>
-            idx.get(e.etype).foreach { i =>
-              val t = micros(e.ts)
-              if (i == last) {
-                chain.get(last - 1)
-                  .filter(p => t <= p + withinMicros)
-                  .foreach(p =>
-                    out += FunnelHit(e.key, e.tie, e.ts, fromMicros(p)))
-              } else if (i == 0 ||
-                  chain.get(i - 1).exists(p => t <= p + withinMicros)) {
-                chain = chain.updated(i,
-                  math.max(t, chain.getOrElse(i, Long.MinValue)))
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var chain = state.getOption.getOrElse(Map.empty[Int, Long])
+            val out = List.newBuilder[FunnelHit]
+            rows.toSeq.sortBy(e => (micros(e.ts), e.tie)).foreach { e =>
+              idx.get(e.etype).foreach { i =>
+                val t = micros(e.ts)
+                // p <= t: the predecessor must precede the event in
+                // event time (batch parity for late arrivals)
+                if (i == last) {
+                  chain.get(last - 1)
+                    .filter(p => p <= t && t <= p + withinMicros)
+                    .foreach(p =>
+                      out += FunnelHit(e.key, e.tie, e.ts, fromMicros(p)))
+                } else if (i == 0 ||
+                    chain.get(i - 1)
+                      .exists(p => p <= t && t <= p + withinMicros)) {
+                  chain = chain.updated(i,
+                    math.max(t, chain.getOrElse(i, Long.MinValue)))
+                }
               }
             }
+            state.update(chain)
+            idleKeyTtl.foreach(state.setTimeoutDuration)
+            out.result().iterator
           }
-          state.update(chain)
-          out.result().iterator
       }
   }
 

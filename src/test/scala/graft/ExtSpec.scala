@@ -27,6 +27,30 @@ class ExtSpec extends SparkSpec {
     val df = Seq((Seq("a", "b", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
     val got = df.select(DedupOps.jaccard($"x", $"y")).as[Double].collect().head
     assert(got === 2.0 / 4.0) // {b,c} over {a,b,c,d}
+    // two empty shingle sets: identical (1.0), not an ANSI 0/0 crash
+    val empty = Seq((Seq.empty[String], Seq.empty[String])).toDF("x", "y")
+      .select(DedupOps.jaccard($"x", $"y")).as[Double].collect().head
+    assert(empty === 1.0)
+  }
+
+  test("connectedComponents handles string ids through the local " +
+    "endgame") {
+    val nodes = Seq("a", "b", "c", "z").toDF("id")
+    val pairs = Seq(("b", "a"), ("b", "c")).toDF("id_a", "id_b")
+    val got = DedupOps.connectedComponents(nodes, pairs)
+      .as[(String, String)].collect().toMap
+    assert(got === Map("a" -> "a", "b" -> "a", "c" -> "a", "z" -> "z"))
+  }
+
+  test("punctRatio and qualityScore survive an empty document") {
+    val got = Seq((1L, ""), (2L, "hi!")).toDF("doc_id", "text")
+      .select($"doc_id", TextAnalysis.punctRatio($"text").as("p"),
+        TextAnalysis.qualityScore($"text").as("q"))
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L)._1 === 0.0)
+    assert(!got(1L)._2.isNaN)
+    assert(got(2L)._1 === 1.0 / 3.0)
   }
 
   test("connectedComponents: min-label fixpoint over chains, " +

@@ -208,6 +208,43 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel: a late final step cannot complete against " +
+    "a chain mate from its own future; replayed docs don't self-pair") {
+    implicit val sq = spark.sqlContext
+    // click arrives first (batch 1) at 10:00; a LATE purchase with
+    // event time 09:00 arrives in batch 2 — its chain mate would be
+    // in its future, so no hit may be emitted
+    val in = MemoryStream[(Long, Timestamp, Long, String)]
+    val q = StreamOps.funnelStream(
+      in.toDF().toDF("key", "ts", "tie", "etype"),
+      steps = Seq("click", "purchase"),
+      withinMicros = 3600L * 1000000L)
+      .writeStream.format("memory").queryName("funnel_late_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((1L, ts("2024-01-01 10:00:00"), 1L, "click"))
+      q.processAllAvailable()
+      in.addData((1L, ts("2024-01-01 09:00:00"), 2L, "purchase"))
+      q.processAllAvailable()
+      assert(spark.table("funnel_late_out").count() === 0)
+      // an in-window purchase after the click still completes
+      in.addData((1L, ts("2024-01-01 10:30:00"), 3L, "purchase"))
+      q.processAllAvailable()
+      assert(spark.table("funnel_late_out").count() === 1)
+    } finally q.stop()
+    // simhash twin: an at-least-once redelivery must not self-pair
+    val sIn = MemoryStream[(Long, Long)]
+    val sq2 = StreamOps.simhashNearDupCandidates(
+      sIn.toDF().toDF("doc_id", "simhash"))
+      .writeStream.format("memory").queryName("simhash_replay_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      sIn.addData((7L, 12345L)); sq2.processAllAvailable()
+      sIn.addData((7L, 12345L)); sq2.processAllAvailable() // replay
+      assert(spark.table("simhash_replay_out").count() === 0)
+    } finally sq2.stop()
+  }
+
   test("streaming packer equals the batch packer when chunks arrive " +
     "in order; state carries across batches") {
     // the equivalence contract: per-shard arrival order = the batch
