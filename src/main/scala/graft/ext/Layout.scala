@@ -30,4 +30,43 @@ object Layout {
     (0 until 16).map { j =>
       s"((($x >> $j) % 2) * ${1L << (2 * j)} + (($y >> $j) % 2) * ${1L << (2 * j + 1)})"
     }.mkString("(", " + ", ")")
+
+  /** Hilbert index of two `bits`-bit columns — the locality-better
+    * layout key (consecutive indices are always grid-adjacent, no
+    * Z-curve diagonal jumps). Native codegen expression
+    * (org.apache.spark.sql.graft.HilbertIndex): the per-bit rotation
+    * state would make a Column-arithmetic closed form exponential in
+    * tree size, so the loop runs as one generated-code kernel.
+    */
+  def hilbert(x: Column, y: Column, bits: Int): Column =
+    org.apache.spark.sql.graft.HilbertColumns.hilbert_index(
+      x.cast("long"), y.cast("long"), bits)
+
+  /** The matching DuckDB SQL: the same quadrant-rotation loop
+    * unrolled as one nested-subquery layer per bit (carrying x_i,
+    * y_i, d_i), so both engines execute identical integer
+    * arithmetic. `from` must expose columns aliased `x0` and `y0`.
+    */
+  def hilbertSql(bits: Int, from: String): String = {
+    val n = 1L << bits
+    val layers = (bits - 1 to 0 by -1).zipWithIndex.map {
+      case (bitPos, layer) =>
+        val s = 1L << bitPos
+        val (xi, yi, di) = (s"x$layer", s"y$layer", s"d$layer")
+        val (xo, yo, do_) = (s"x${layer + 1}", s"y${layer + 1}",
+          s"d${layer + 1}")
+        val rx = s"(CASE WHEN ($xi & $s) > 0 THEN 1 ELSE 0 END)"
+        val ry = s"(CASE WHEN ($yi & $s) > 0 THEN 1 ELSE 0 END)"
+        s"""SELECT $di + $s * $s * xor(3 * $rx, $ry) AS $do_,
+           |  CASE WHEN $ry = 0 AND $rx = 1 THEN ${n - 1} - $yi
+           |       WHEN $ry = 0 THEN $yi ELSE $xi END AS $xo,
+           |  CASE WHEN $ry = 0 AND $rx = 1 THEN ${n - 1} - $xi
+           |       WHEN $ry = 0 THEN $xi ELSE $yi END AS $yo""".stripMargin
+    }
+    val base = s"(SELECT x0, y0, CAST(0 AS BIGINT) AS d0 FROM $from)"
+    val nested = layers.zipWithIndex.foldLeft(base) {
+      case (inner, (sel, i)) => s"($sel FROM $inner t$i)"
+    }
+    s"SELECT d$bits AS hkey FROM $nested tf"
+  }
 }

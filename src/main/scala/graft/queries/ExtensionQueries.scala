@@ -333,6 +333,19 @@ object ExtensionQueries {
           max("zkey").as("zmax"))
     },
 
+    // Hilbert layout key over the same two dimensions: the
+    // locality-better write-time sort (consecutive keys always
+    // grid-adjacent), computed by the native codegen kernel.
+    "layout_hilbert" -> { (s, dir) =>
+      t(s, dir, "events")
+        .select(Layout.hilbert(pmod(col("user_id"), lit(256)),
+          pmod(floor(col("value")).cast("long"), lit(256)), bits = 8)
+          .as("hkey"))
+        .groupBy((col("hkey") / 1024L).cast("long").as("hbucket"))
+        .agg(count(lit(1)).as("n"), min("hkey").as("hmin"),
+          max("hkey").as("hmax"))
+    },
+
     // PII scrubbing over a deterministically PII-enriched corpus (the
     // synthetic documents carry no natural emails/phones/URLs, so the
     // fixture injects them from doc_id — same shim idea as LoincShim —
@@ -1646,6 +1659,19 @@ object ExtensionQueries {
         |SELECT (zkey // 4096) AS zbucket, count(*) AS n,
         |  min(zkey) AS zmin, max(zkey) AS zmax
         |FROM z GROUP BY 1""".stripMargin),
+
+    // same pmod wrap as layout_zorder; the Hilbert loop unrolls as
+    // one generated subquery layer per bit — identical arithmetic to
+    // the Spark kernel
+    "layout_hilbert" -> {
+      val inner = "(SELECT (((user_id % 256) + 256) % 256) AS x0, " +
+        "(((CAST(floor(value) AS BIGINT) % 256) + 256) % 256) AS y0 " +
+        "FROM events) ei"
+      s"""WITH h AS (${Layout.hilbertSql(8, inner)})
+         |SELECT (hkey // 1024) AS hbucket, count(*) AS n,
+         |  min(hkey) AS hmin, max(hkey) AS hmax
+         |FROM h GROUP BY 1""".stripMargin
+    },
 
     "sample_weighted_quality" ->
       (s"""WITH d AS (SELECT doc_id, lang, text, $tokensSql AS toks FROM documents),

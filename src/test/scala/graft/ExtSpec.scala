@@ -692,6 +692,33 @@ class ExtSpec extends SparkSpec {
     assert(got(3L) === ((0L, 0L, 0L)))    // empty doc keeps its row
   }
 
+  test("hilbertD is a true Hilbert curve: bijective, unit-step, and " +
+    "the column kernel matches the driver loop") {
+    import org.apache.spark.sql.graft.GraftHilbertUtil
+    val bits = 3
+    val n = 1 << bits
+    val cells = for { x <- 0 until n; y <- 0 until n }
+      yield ((x, y), GraftHilbertUtil.hilbertD(bits, x, y))
+    // bijective onto [0, n^2)
+    assert(cells.map(_._2).sorted === (0L until (n.toLong * n)).toSeq)
+    // unit-step: consecutive indices are grid-adjacent — the locality
+    // property that distinguishes Hilbert from the Morton Z-curve
+    cells.sortBy(_._2).map(_._1).sliding(2).foreach {
+      case Seq((x1, y1), (x2, y2)) =>
+        assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1,
+          s"jump between d-neighbors ($x1,$y1)->($x2,$y2)")
+      case _ =>
+    }
+    // the codegen'd column kernel is the same function
+    val rnd = new scala.util.Random(11)
+    val pts = Seq.fill(200)((rnd.nextInt(256).toLong,
+      rnd.nextInt(256).toLong))
+    val got = pts.toDF("x", "y")
+      .select(Layout.hilbert($"x", $"y", bits = 8)).as[Long].collect()
+    assert(got.toSeq ===
+      pts.map(p => GraftHilbertUtil.hilbertD(8, p._1, p._2)))
+  }
+
   test("temperatureSample flattens the head toward sqrt proportions; " +
     "reserved columns rejected") {
     // 800 'big' vs 50 'small': thinned counts should be ~ c·sqrt(N·n)
