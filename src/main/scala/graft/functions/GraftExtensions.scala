@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{VecDot, VecL2Sq, VecNorm, VectorColumns}
+import org.apache.spark.sql.graft.{HilbertColumns, HilbertIndex, VecDot, VecL2Sq, VecNorm, VectorColumns}
 
 /** Column-level entry points for the native vector kernels. */
 object VectorFunctions {
@@ -37,5 +37,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_l2sq"),
       new ExpressionInfo(classOf[VecL2Sq].getName, "vec_l2sq"),
       (children: Seq[Expression]) => VecL2Sq(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("hilbert_index"),
+      new ExpressionInfo(classOf[HilbertIndex].getName, "hilbert_index"),
+      (children: Seq[Expression]) => HilbertColumns.fromChildren(children)))
   }
 }

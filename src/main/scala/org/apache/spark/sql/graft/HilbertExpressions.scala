@@ -79,4 +79,22 @@ object HilbertColumns {
   def hilbert_index(x: Column, y: Column, bits: Int): Column =
     ExpressionUtils.column(HilbertIndex(
       ExpressionUtils.expression(x), ExpressionUtils.expression(y), bits))
+
+  /** SQL builder: `hilbert_index(x, y, bits)` with `bits` a foldable
+    * integer literal (it parameterizes the generated code, so it
+    * cannot be a runtime column).
+    */
+  def fromChildren(children: Seq[Expression]): HilbertIndex = {
+    require(children.size == 3,
+      "hilbert_index(x, y, bits) takes exactly 3 arguments")
+    require(children(2).foldable,
+      "bits must be a literal — it parameterizes the generated kernel")
+    val bits = children(2).eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"bits must be an integer literal, got $other")
+    }
+    HilbertIndex(children(0), children(1), bits)
+  }
 }

@@ -242,5 +242,9 @@ object VectorColumns {
       FunctionIdentifier("vec_l2sq"),
       new ExpressionInfo(classOf[VecL2Sq].getName, "vec_l2sq"),
       (children: Seq[Expression]) => VecL2Sq(children(0), children(1)))
+    reg.registerFunction(
+      FunctionIdentifier("hilbert_index"),
+      new ExpressionInfo(classOf[HilbertIndex].getName, "hilbert_index"),
+      (children: Seq[Expression]) => HilbertColumns.fromChildren(children))
   }
 }

@@ -500,6 +500,20 @@ class ExtSpec extends SparkSpec {
 
   // -- Native vector kernels -------------------------------------------
 
+  test("hilbert_index is callable from SQL; bits must be a literal") {
+    graft.functions.VectorFunctions.register(spark)
+    Seq((3L, 5L)).toDF("x", "y").createOrReplaceTempView("hilbert_sql_t")
+    val got = spark.sql(
+      "SELECT hilbert_index(x, y, 8) AS h FROM hilbert_sql_t")
+      .as[Long].collect().head
+    assert(got ===
+      org.apache.spark.sql.graft.GraftHilbertUtil.hilbertD(8, 3L, 5L))
+    intercept[Exception] {
+      spark.sql("SELECT hilbert_index(x, y, x) FROM hilbert_sql_t")
+        .collect()
+    }
+  }
+
   test("native md5PrefixLong matches the conv/substring builtin form") {
     // parity corpus: ascii, unicode, empty, whitespace, long strings
     val strs = Seq("", "a", "hello world", "héllo wörld ünïcode",
