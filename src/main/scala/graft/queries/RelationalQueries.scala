@@ -67,6 +67,35 @@ object RelationalQueries {
             col("exact_parts").cast("double") < 0.05).as("within_tol"))
     },
 
+    // Mergeable sketch BLOBS (Datasketches HLL): per-group sketches
+    // union to a grand total WITHOUT re-scanning raw rows — the
+    // two-phase shape that lets 1000 executors sketch locally and a
+    // coordinator merge kilobytes. Verified like agg_approx_distinct:
+    // the unioned estimate must sit within 5% of the exact global
+    // distinct, and the per-group sketch estimates must each match
+    // their exact counts (lgConfigK 14 ≈ 0.8% rsd, 5× slack).
+    "agg_hll_merge" -> { (s, dir) =>
+      val perGroup = t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(hll_sketch_agg(col("l_partkey"), lit(14)).as("__sk"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+      val exactAll = t(s, dir, "lineitem")
+        .agg(countDistinct(col("l_partkey")).as("__exact_all"))
+      val merged = perGroup
+        .agg(hll_union_agg(col("__sk")).as("__u"),
+          sum(lit(1)).as("__ng"))
+        .select(hll_sketch_estimate(col("__u")).as("__est_all"),
+          col("__ng"))
+      perGroup
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(hll_sketch_estimate(col("__sk")) - col("exact_parts"))
+            .cast("double") / col("exact_parts").cast("double") < 0.05)
+            .as("group_within_tol"))
+        .crossJoin(broadcast(merged.crossJoin(broadcast(exactAll))
+          .select((abs(col("__est_all") - col("__exact_all"))
+            .cast("double") / col("__exact_all").cast("double") < 0.05)
+            .as("union_within_tol"))))
+    },
+
     "agg_stats" -> { (s, dir) =>
       t(s, dir, "lineitem").groupBy("l_returnflag").agg(
         count(lit(1)).as("n"),
@@ -416,6 +445,15 @@ object RelationalQueries {
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_partkey) AS exact_parts,
         |  TRUE AS within_tol
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // exact counts + the accuracy claims the sketch-union must meet;
+    // a drifting per-group or merged estimate flips a boolean and
+    // hash-mismatches
+    "agg_hll_merge" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS group_within_tol, TRUE AS union_within_tol
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "agg_stats" ->
