@@ -733,6 +733,74 @@ class ExtSpec extends SparkSpec {
       pts.map(p => GraftHilbertUtil.hilbertD(8, p._1, p._2)))
   }
 
+  test("hilbert-clustered writes tighten per-file column spans — the " +
+    "data-skipping claim, measured") {
+    // 4096 points on a 64x64 grid, written as 8 files two ways: range-
+    // clustered by the hilbert key vs round-robin. Row-group pruning
+    // power is the per-file (max-min) span of each filter column; the
+    // clustered layout must shrink the mean span on BOTH columns.
+    val rnd = new scala.util.Random(5)
+    val pts = Seq.fill(4096)((rnd.nextInt(64).toLong, rnd.nextInt(64).toLong))
+      .toDF("x", "y")
+    def meanSpan(dir: String): Double = {
+      val perFile = spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg(((max("x") - min("x")) + (max("y") - min("y")))
+          .cast("double").as("span"))
+        .agg(avg("span")).as[Double].collect().head
+      perFile
+    }
+    val base = java.nio.file.Files.createTempDirectory("hilbert_skip")
+    try {
+      val clustered = s"$base/clustered"
+      val shuffled = s"$base/roundrobin"
+      pts.withColumn("hk", Layout.hilbert($"x", $"y", bits = 6))
+        .repartitionByRange(8, $"hk").drop("hk")
+        .write.parquet(clustered)
+      pts.repartition(8).write.parquet(shuffled)
+      val (cs, ss) = (meanSpan(clustered), meanSpan(shuffled))
+      assert(cs < ss / 2,
+        s"hilbert clustering should at least halve the mean per-file " +
+          s"span: clustered=$cs vs roundrobin=$ss")
+    } finally {
+      import scala.sys.process._
+      Seq("rm", "-rf", base.toString).!
+    }
+  }
+
+  test("packSequences invariants: every chunk assigned once, offsets " +
+    "within capacity, shard-local contiguity") {
+    val rnd = new scala.util.Random(17)
+    val docs = (1L to 40L).map(i =>
+      (i, (0 until (1 + rnd.nextInt(30))).map(j => s"t${i}_$j")
+        .mkString(" "))).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkTokens(docs, $"doc_id", $"text",
+      window = 4, overlap = 1)
+    val packed = TextAnalysis.packSequences(chunks, $"doc_id",
+      $"chunk_idx", $"n_tokens", capacity = 10, shards = 4,
+      salt = "inv:")
+      .as[(Long, Int, Long, Long, Long, Long)].collect()
+    val inChunks = chunks.select("doc_id", "chunk_idx")
+      .as[(Long, Int)].collect().toSet
+    // bijection with the chunk set
+    assert(packed.map(p => (p._1, p._2)).toSet === inChunks)
+    assert(packed.length === inChunks.size)
+    packed.foreach { p =>
+      assert(p._6 >= 0 && p._6 < 10, s"offset out of range: $p")
+      assert(p._5 >= 0, s"negative seq id: $p")
+    }
+    // within a shard, walking chunks in (doc, idx) order reproduces
+    // exactly the (seq_id, seq_offset) assignment via a running count
+    packed.groupBy(_._4).values.foreach { shard =>
+      var cum = 0L
+      shard.sortBy(p => (p._1, p._2)).foreach { p =>
+        assert(p._5 === cum / 10 && p._6 === cum % 10,
+          s"non-contiguous assignment at $p")
+        cum += p._3
+      }
+    }
+  }
+
   test("temperatureSample flattens the head toward sqrt proportions; " +
     "reserved columns rejected") {
     // 800 'big' vs 50 'small': thinned counts should be ~ c·sqrt(N·n)
