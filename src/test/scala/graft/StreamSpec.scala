@@ -346,6 +346,27 @@ class StreamSpec extends SparkSpec {
       val got = spark.table("scrub_out").as[(Long, String)].collect().toMap
       assert(got === Map(1L -> "mail <EMAIL> now", 2L -> "plain"))
     } finally q.stop()
+    // the leakage-guarded split is equally stateless: the same hash
+    // assigns the same split on a stream as in batch
+    val sIn = MemoryStream[(Long, String)]
+    val sq2 = graft.ext.Sampling.splitAssign(
+      sIn.toDF().toDF("doc_id", "source"), $"source", "graft-split:",
+      valPerMille = 100, testPerMille = 100)
+      .writeStream.format("memory").queryName("split_stream_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      sIn.addData((1L, "src1"), (2L, "src2"), (3L, "src1"))
+      sq2.processAllAvailable()
+      val got = spark.table("split_stream_out")
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+      val want = graft.ext.Sampling.splitAssign(
+        Seq((1L, "src1"), (2L, "src2"), (3L, "src1"))
+          .toDF("doc_id", "source"),
+        $"source", "graft-split:", 100, 100)
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+      assert(got === want)
+      assert(got(1L) === got(3L)) // same source, same split — always
+    } finally sq2.stop()
   }
 
   test("sessionCounts merges session windows across batches") {
