@@ -513,10 +513,15 @@ object ExtensionQueries {
     // exchanges are the repetition aggregation and the pack window.
     "curate_pretrain" -> { (s, dir) =>
       val capped = TextAnalysis.capDocLength(docs(s, dir), "text", 2000)
-      val en = capped.filter(TextAnalysis.langId(col("text")) === "en")
+      // repetition keep over ALL capped docs, not the langid subset:
+      // the final set is keep ∩ en either way, but this keeps the
+      // expensive langid tokenization out of the two explode branches
+      // (g2/g3 would otherwise each recompute it — measured 2x the
+      // whole query)
       val keep = TextAnalysis
-        .repetitionMetrics(en, col("doc_id"), col("text"))
+        .repetitionMetrics(capped, col("doc_id"), col("text"))
         .filter(col("keep")).select("doc_id")
+      val en = capped.filter(TextAnalysis.langId(col("text")) === "en")
       val train = Sampling.splitAssign(en.join(keep, "doc_id"),
           col("source"), "graft-split:",
           valPerMille = 100, testPerMille = 100)
