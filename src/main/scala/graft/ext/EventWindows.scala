@@ -62,10 +62,15 @@ object EventWindows {
       // calendar-day difference, NOT epoch-seconds: datediff on the
       // truncated weeks is DST-proof (a spring-forward week spans
       // 601200 s, which would round an exact one-week return down to
-      // offset 0 under epoch arithmetic in a non-UTC session zone)
+      // offset 0 under epoch arithmetic in a non-UTC session zone).
+      // count, not countDistinct: act is distinct on (user, week) and
+      // a user's distinct weeks map to distinct offsets, so user_id is
+      // already unique per (cohort, offset) group — a distinct
+      // aggregate here would add a second corpus-sized exchange for
+      // nothing
       .groupBy(col("cw").as("cohort_week"),
         expr("datediff(w, cw) div 7").as("week_k"))
-      .agg(countDistinct(col("user_id")).as("n_users"))
+      .agg(count(lit(1)).as("n_users"))
   }
 
   /** Ordered event-funnel detection — the MATCH_RECOGNIZE-lite every
@@ -145,11 +150,17 @@ object EventWindows {
   def rangeJoin(points: DataFrame, intervals: DataFrame, key: String,
                 ts: String, start: String, end: String,
                 bucketSeconds: Long): DataFrame = {
+    require(!(points.columns ++ intervals.columns).contains("__bucket"),
+      "inputs must not carry a __bucket column (reserved)")
     val b = lit(bucketSeconds * 1000000L)
     def bucketOf(c: Column): Column = unix_micros(c) - pmod(unix_micros(c), b)
     val p = points.withColumn("__bucket", bucketOf(col(ts)))
-    val i = intervals.withColumn("__bucket",
-      explode(sequence(bucketOf(col(start)), bucketOf(col(end)), b)))
+    // a malformed interval (end < start, e.g. swapped columns) must
+    // match nothing — unfiltered it would make sequence() throw
+    // "Illegal sequence boundaries" and kill the whole job on one row
+    val i = intervals.filter(col(end) >= col(start))
+      .withColumn("__bucket",
+        explode(sequence(bucketOf(col(start)), bucketOf(col(end)), b)))
     p.join(i, Seq(key, "__bucket"))
       .filter(col(ts) >= col(start) && col(ts) < col(end))
       .drop("__bucket")
@@ -183,6 +194,10 @@ object EventWindows {
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                payloadCols: Seq[String]): DataFrame = {
+    require(!left.columns
+        .exists(Set("__ts", "__side", "__payload", "__carried")),
+      "left input must not carry __ts/__side/__payload/__carried " +
+        "columns (reserved by asofJoin's union-and-carry encoding)")
     val lOther = left.columns.filterNot(_ == key).toSeq
     val payload = struct((ts +: payloadCols).map(col): _*)
     val rTagged = right

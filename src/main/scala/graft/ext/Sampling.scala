@@ -75,28 +75,45 @@ object Sampling {
     * @param targetShares (stratum, share) in fixed order; unlisted
     *                     strata get `defaultShare`
     */
-  def domainMixSample(df: DataFrame, id: Column, stratum: Column,
-                      targetShares: Seq[(String, Double)],
-                      defaultShare: Double, salt: String): DataFrame = {
+  /** Shared stratum-rate thinning behind [[domainMixSample]] and
+    * [[temperatureSample]]: count strata, broadcast the counts and
+    * total back, and keep rows whose 60-bit salted id hash falls
+    * under floor(rate·1e6) per million. 60 hash bits, not 28: a
+    * 28-bit hash mod 1e6 carries a ~0.4% modulo bias (2^28 is not a
+    * multiple of 1e6), which would systematically skew every realized
+    * rate and break the 1e-6 resolution contract; at 60 bits the
+    * bias is ~4e-13. Rows with a NULL id hash to null and are
+    * dropped — deterministic sampling needs a stable id; scrub or
+    * synthesize ids upstream (the same contract as every salted-hash
+    * operator here).
+    */
+  private def rateThinned(df: DataFrame, id: Column, stratum: Column,
+                          salt: String)(rate: Column): DataFrame = {
     require(!df.columns.exists(Set("__st", "__n", "__total")),
       "input must not carry __st/__n/__total columns (reserved by " +
-        "domainMixSample's stratum-count join)")
+        "the stratum-count join)")
     val counts = df.groupBy(stratum.as("__st"))
       .agg(count(lit(1)).as("__n"))
     val total = counts.agg(sum("__n").as("__total"))
-    val share = targetShares.foldLeft(lit(defaultShare): Column) {
-      case (acc, (s, w)) => when(col("__st") === s, lit(w)).otherwise(acc)
-    }
-    val rate = least(lit(1.0),
-      share * col("__total").cast("double") / col("__n").cast("double"))
     val thresh = floor(rate * lit(1000000.0)).cast("long")
     df.withColumn("__st", stratum)
       .join(broadcast(counts), "__st")
       .crossJoin(broadcast(total))
       .filter(PortableHash.md5PrefixLong(
-        concat(lit(salt), id.cast("string")), 7) % 1000000 < thresh)
+        concat(lit(salt), id.cast("string")), 15) % 1000000 < thresh)
       .drop("__st", "__n", "__total")
   }
+
+  def domainMixSample(df: DataFrame, id: Column, stratum: Column,
+                      targetShares: Seq[(String, Double)],
+                      defaultShare: Double, salt: String): DataFrame =
+    rateThinned(df, id, stratum, salt) {
+      val share = targetShares.foldLeft(lit(defaultShare): Column) {
+        case (acc, (s, w)) => when(col("__st") === s, lit(w)).otherwise(acc)
+      }
+      least(lit(1.0),
+        share * col("__total").cast("double") / col("__n").cast("double"))
+    }
 
   /** Temperature-flattened domain resampling (the multilingual mixing
     * rule of mT5/XLM-R at α = 1/2): keep rate per stratum
@@ -115,21 +132,10 @@ object Sampling {
   def temperatureSample(df: DataFrame, id: Column, stratum: Column,
                         budget: Double, salt: String): DataFrame = {
     require(budget > 0, "budget constant must be positive")
-    require(!df.columns.exists(Set("__st", "__n", "__total")),
-      "input must not carry __st/__n/__total columns (reserved by " +
-        "temperatureSample's stratum-count join)")
-    val counts = df.groupBy(stratum.as("__st"))
-      .agg(count(lit(1)).as("__n"))
-    val total = counts.agg(sum("__n").as("__total"))
-    val rate = least(lit(1.0), lit(budget) *
-      sqrt(col("__total").cast("double") / col("__n").cast("double")))
-    val thresh = floor(rate * lit(1000000.0)).cast("long")
-    df.withColumn("__st", stratum)
-      .join(broadcast(counts), "__st")
-      .crossJoin(broadcast(total))
-      .filter(PortableHash.md5PrefixLong(
-        concat(lit(salt), id.cast("string")), 7) % 1000000 < thresh)
-      .drop("__st", "__n", "__total")
+    rateThinned(df, id, stratum, salt) {
+      least(lit(1.0), lit(budget) *
+        sqrt(col("__total").cast("double") / col("__n").cast("double")))
+    }
   }
 
   /** Leakage-guarded train/val/test assignment: the salted hash of the
@@ -140,7 +146,10 @@ object Sampling {
     * Per-mille thresholds on a 1000-bucket hash: buckets
     * [0, testPerMille) → "test", the next valPerMille → "val", rest →
     * "train". Map-only (one hash per row, no shuffle), reproducible
-    * anywhere via the portable hash.
+    * anywhere via the portable hash. A NULL leakage key hashes to
+    * null, which falls through every bucket test into "train" — the
+    * safe side (unknown-provenance docs can never leak into eval);
+    * scrub null keys upstream if they should be excluded entirely.
     */
   def splitAssign(df: DataFrame, leakKey: Column, salt: String,
                   valPerMille: Int, testPerMille: Int): DataFrame = {

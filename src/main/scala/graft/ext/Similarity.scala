@@ -10,11 +10,39 @@ import org.apache.spark.sql.functions._
   *
   * All arithmetic is double-cast before folding so Spark and DuckDB
   * fold identical IEEE754 sequences (float32 upcast is exact).
+  *
+  * Zero-norm vectors (the failed-embedding artifact every corpus
+  * carries a few of) have no direction: their cosine is 0/0 = NaN,
+  * and both Spark and DuckDB sort NaN ABOVE every real value — an
+  * unguarded zero vector would rank as the false top-1 neighbor of
+  * every query and pass every near-dup threshold. Every cosine
+  * operator here filters them out up front.
   */
 object Similarity {
 
   /** Elementwise double view of a float vector column. */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Fail-fast width check: a vector whose length disagrees with the
+    * operator's `dims` raises, instead of VecDot's null silently
+    * collapsing every LSH bucket to 0 (which would turn the bucket
+    * join into the full cross join it exists to avoid).
+    */
+  private def dimsGuard(vec: Column, dims: Int): Column =
+    when(size(vec) === dims, vec).otherwise(raise_error(concat(
+      lit(s"expected a $dims-dim vector, got length "),
+      size(vec).cast("string"))))
+
+  /** The IVF assignment tie-break (`max_by` over struct(cos, −id))
+    * negates the centroid id, which is only total-ordered for
+    * numeric ids — a string id would ANSI-error or null out into
+    * nondeterministic ties.
+    */
+  private def requireNumericCentroidIds(centroids: DataFrame): Unit =
+    require(centroids.schema("id").dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      "centroid ids must be numeric: the assignment tie-break " +
+        "negates the id inside max_by")
 
   /** Dot product of two float vectors: native codegen'd kernel
     * (graft.functions.VecDot) — a tight primitive loop instead of a
@@ -42,9 +70,9 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      k: Int): DataFrame = {
     val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
-      norm(col("vec")).as("__qn"))
+      norm(col("vec")).as("__qn")).filter(col("__qn") > 0)
     val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"),
-      norm(col("vec")).as("__cn"))
+      norm(col("vec")).as("__cn")).filter(col("__cn") > 0)
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",
@@ -86,19 +114,21 @@ object Similarity {
     require(outDims >= 1 && dims >= outDims,
       "need dims >= outDims >= 1 — projecting UP is not a reduction")
     val signs = hyperplanes(outDims, dims)
+    val v = dimsGuard(vec, dims)
     val outCols = signs.zipWithIndex.map { case (w, j) =>
       val wLit = array(w.toIndexedSeq.map(x => lit(x.toFloat)): _*)
-      dot(vec, wLit).as(s"p$j")
+      dot(v, wLit).as(s"p$j")
     }
     emb.select(id.as("id") +: outCols.toIndexedSeq: _*)
   }
 
   /** LSH bucket id: `planes` sign bits of hyperplane projections. */
   def lshBucket(vec: Column, planes: Array[Array[Int]]): Column = {
+    val v = dimsGuard(vec, planes(0).length)
     val bits = planes.zipWithIndex.map { case (w, p) =>
       // ±1 is exact in float, so the float-vector kernel applies
       val wLit = array(w.toIndexedSeq.map(x => lit(x.toFloat)): _*)
-      when(dot(vec, wLit) > 0, lit(1L << p)).otherwise(lit(0L))
+      when(dot(v, wLit) > 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
@@ -113,8 +143,10 @@ object Similarity {
     val pl = hyperplanes(planes, dims)
     val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
       norm(col("vec")).as("__qn"), lshBucket(col("vec"), pl).as("__bucket"))
+      .filter(col("__qn") > 0)
     val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"),
       norm(col("vec")).as("__cn"), lshBucket(col("vec"), pl).as("__bucket"))
+      .filter(col("__cn") > 0)
     val scored = q.join(c, Seq("__bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",
@@ -154,11 +186,14 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
               k: Int, nprobe: Int): DataFrame = {
+    requireNumericCentroidIds(centroids)
     val cent = centroids.select(col("id").as("__cid"),
       col("vec").as("__cvec"), norm(col("vec")).as("__ctn"))
+      .filter(col("__ctn") > 0)
     val assigned = corpus
       .select(col("id").as("neighbor_id"), col("vec").as("cv"),
         norm(col("vec")).as("__cn"))
+      .filter(col("__cn") > 0)
       .crossJoin(broadcast(cent))
       .withColumn("__ccos",
         dot(col("cv"), col("__cvec")) / (col("__cn") * col("__ctn")))
@@ -170,6 +205,7 @@ object Similarity {
     val probes = queries
       .select(col("id").as("query_id"), col("vec").as("qv"),
         norm(col("vec")).as("__qn"))
+      .filter(col("__qn") > 0)
       .crossJoin(broadcast(cent))
       .withColumn("__ccos",
         dot(col("qv"), col("__cvec")) / (col("__qn") * col("__ctn")))
@@ -213,8 +249,10 @@ object Similarity {
                       nassign: Int = 2): DataFrame = {
     val cent = centroids.select(col("id").as("__cid"),
       col("vec").as("__cvec"), norm(col("vec")).as("__ctn"))
+      .filter(col("__ctn") > 0)
     val assigned = df
       .select(id.as("__id"), vec.as("__v"), norm(vec).as("__n"))
+      .filter(col("__n") > 0)
       .crossJoin(broadcast(cent))
       .withColumn("__ccos",
         dot(col("__v"), col("__cvec")) / (col("__n") * col("__ctn")))
@@ -301,11 +339,14 @@ object Similarity {
     // coarse quantizer: same cosine assign/probe as ivfTopK (the
     // vectors themselves are NOT carried past this point — scoring
     // happens on codes)
+    requireNumericCentroidIds(centroids)
     val cent = centroids.select(col("id").as("__ccid"),
       col("vec").as("__cvec"), norm(col("vec")).as("__ctn"))
+      .filter(col("__ctn") > 0)
     val assigned = corpus
       .select(col("id").as("neighbor_id"), col("vec").as("cv"),
         norm(col("vec")).as("__cn"))
+      .filter(col("__cn") > 0)
       .crossJoin(broadcast(cent))
       .withColumn("__ccos",
         dot(col("cv"), col("__cvec")) / (col("__cn") * col("__ctn")))
@@ -315,6 +356,7 @@ object Similarity {
     val probes = queries
       .select(col("id").as("query_id"), col("vec").as("qv"),
         norm(col("vec")).as("__qn"))
+      .filter(col("__qn") > 0)
       .crossJoin(broadcast(cent))
       .withColumn("__ccos",
         dot(col("qv"), col("__cvec")) / (col("__qn") * col("__ctn")))
@@ -405,9 +447,9 @@ object Similarity {
   def cosineNearDupPairs(df: DataFrame, id: Column, vec: Column,
                          block: Column, threshold: Double): DataFrame = {
     val a = df.select(block.as("__blk"), id.as("id_a"), vec.as("va"),
-      norm(vec).as("__na"))
+      norm(vec).as("__na")).filter(col("__na") > 0)
     val b = df.select(block.as("__blk"), id.as("id_b"), vec.as("vb"),
-      norm(vec).as("__nb"))
+      norm(vec).as("__nb")).filter(col("__nb") > 0)
     a.join(b, Seq("__blk"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos",

@@ -1575,13 +1575,14 @@ object ExtensionQueries {
     // shares/default/salt mirror the Spark call; rate arithmetic is
     // (CASE share) * total / n left-to-right, clamped, floored at 1e-6
     // divide -> sqrt -> multiply on exact integers: every step
-    // correctly rounded, identical on both engines
+    // correctly rounded, identical on both engines; 15 hex chars =
+    // the 60-bit hash the Spark side thins with (bias ~4e-13)
     "sample_temperature" ->
       """WITH c AS (SELECT lang AS st, count(*) AS n FROM documents GROUP BY 1),
         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
         |SELECT d.doc_id, d.lang
         |FROM documents d JOIN c ON c.st = d.lang CROSS JOIN tot
-        |WHERE CAST('0x' || substr(md5('graft-temp:' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 1000000
+        |WHERE CAST('0x' || substr(md5('graft-temp:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000
         |  < CAST(floor(least(1.0,
         |      0.1 * sqrt(CAST(total AS DOUBLE) / CAST(n AS DOUBLE))) * 1000000.0) AS BIGINT)""".stripMargin,
 
@@ -1590,7 +1591,7 @@ object ExtensionQueries {
         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
         |SELECT d.doc_id, d.source
         |FROM documents d JOIN c ON c.st = d.source CROSS JOIN tot
-        |WHERE CAST('0x' || substr(md5('graft-mix:' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 1000000
+        |WHERE CAST('0x' || substr(md5('graft-mix:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000
         |  < CAST(floor(least(1.0,
         |      CASE d.source WHEN 'src0' THEN 0.2 WHEN 'src1' THEN 0.1
         |                    WHEN 'src2' THEN 0.02 ELSE 0.01 END
