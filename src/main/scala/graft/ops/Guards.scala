@@ -10,10 +10,21 @@ object Guards {
     * (Angelo_ETL_Task.py:245-258): drop any row where one of `cols` is
     * null or the empty string. Pure Catalyst Filter; pushes past
     * projections when legal.
+    *
+    * Type-aware: the empty-string test applies to STRING columns only
+    * — comparing a numeric column to '' would cast it (dropping every
+    * row, or erroring under ANSI), so non-string columns get the null
+    * check alone. This matches the reference, whose `!= ''` only ever
+    * sees pandas object columns.
     */
-  def nonNullNonEmpty(df: DataFrame, cols: Seq[String]): DataFrame =
-    df.filter(cols.map(c => col(c).isNotNull && col(c) =!= "")
-      .reduce(_ && _))
+  def nonNullNonEmpty(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    df.filter(cols.map { c =>
+      if (types(c).typeName == "string")
+        col(c).isNotNull && col(c) =!= ""
+      else col(c).isNotNull
+    }.reduce(_ && _))
+  }
 
   /** F14 — varchar-cap truncation (Angelo_ETL_Task.py:123-127):
     * `value[:n]` — TRUNCATE semantics, not varchar reject semantics.

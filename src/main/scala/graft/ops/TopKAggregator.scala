@@ -18,6 +18,9 @@ case class Scored(score: Double, id: Long)
   */
 class TopKAggregator(k: Int)
     extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+  require(k >= 1,
+    s"k must be positive (got $k) — k = 0 would make reduce() read " +
+      "b.last on an empty buffer inside an executor task")
 
   private val ord: Ordering[Scored] =
     Ordering.by((s: Scored) => (-s.score, s.id))

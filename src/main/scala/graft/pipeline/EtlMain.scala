@@ -67,7 +67,12 @@ object EtlMain {
     *
     * The reference unzips in driver memory; landing the archives on
     * disk keeps the driver footprint at one archive and lets the
-    * zip→CSV expansion run on executors. `seq` is minted from record
+    * zip→CSV expansion run on executors. NOTE the landing directory
+    * is written with driver-local java.nio — on a non-local master,
+    * `--work-dir` MUST point at a filesystem the executors share
+    * (NFS/HDFS mount), or the binaryFile scan cannot see the
+    * archives; the local[. ] default matches the reference's
+    * single-machine deployment. `seq` is minted from record
     * order: each archive is ONE binaryFile row, so its records stay in
     * file order inside one partition and `monotonically_increasing_id`
     * preserves exactly the order pandas saw — the R2 last-wins dedup

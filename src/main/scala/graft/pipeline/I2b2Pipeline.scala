@@ -141,19 +141,11 @@ object I2b2Pipeline {
       .select(outputCols.map(col): _*)
   }
 
-  /** R5 guard; the reference also compares every column to `''`, which
-    * is only meaningful for strings — comparing an int column to `''`
-    * in Spark would cast to null and drop every row, so non-string
-    * columns get the null check only.
+  /** R5 guard — the shared type-aware filter (Guards.nonNullNonEmpty
+    * applies the empty-string test to string columns only).
     */
-  private def guard(df: DataFrame): DataFrame = {
-    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
-    df.filter(notNullCols.map { c =>
-      if (types(c).typeName == "string")
-        col(c).isNotNull && col(c) =!= ""
-      else col(c).isNotNull
-    }.reduce(_ && _))
-  }
+  private def guard(df: DataFrame): DataFrame =
+    Guards.nonNullNonEmpty(df, notNullCols)
 
   /** F2 spec-correct: per-ancestor names, resolved once per DISTINCT
     * path. posexplode the distinct PATH_TO_ROOT strings, join each

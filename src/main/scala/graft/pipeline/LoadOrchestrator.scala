@@ -90,8 +90,20 @@ object LoadOrchestrator {
     */
   def tableExists(conn: Connection, table: String): Boolean = {
     val meta = conn.getMetaData
+    // getTables takes a PATTERN: '_'/'%' in a table name act as
+    // wildcards (MY_TABLE would match MYXTABLE), so escape them with
+    // the driver's escape string; scope to the connection's current
+    // schema where the driver reports one (a null schemaPattern
+    // searches every schema and can "find" another user's table)
+    val esc = Option(meta.getSearchStringEscape).getOrElse("\\")
+    def quote(t: String): String =
+      t.replace(esc, esc + esc).replace("_", esc + "_")
+        .replace("%", esc + "%")
+    val schemaPattern =
+      try Option(conn.getSchema).map(quote).orNull
+      catch { case _: Throwable => null }
     Seq(table, table.toLowerCase, table.toUpperCase).distinct.exists { t =>
-      val rs = meta.getTables(null, null, t, Array("TABLE"))
+      val rs = meta.getTables(null, schemaPattern, quote(t), Array("TABLE"))
       try rs.next() finally rs.close()
     }
   }
@@ -170,11 +182,28 @@ object LoadOrchestrator {
           "rollback could not be scoped to this run)")
     }
 
-    // L3 + L6: per-partition commits mean a mid-write failure leaves
-    // the committed partitions behind; compensate by deleting this
-    // run's rows (uniquely keyed by UPDATE_DATE = runTs) and rethrow.
-    try toWrite.write.mode(SaveMode.Append).jdbc(url, table, writeProps)
-    catch {
+    // L3–L6 in ONE compensation bracket: per-partition commits mean a
+    // mid-write failure leaves committed partitions behind, and the
+    // reference's single-connection transaction rolls back on ANY
+    // failure of the load step — so the L4 verify and the L5 CSV
+    // export must also trigger the compensating delete (a run whose
+    // CSV could not be written is a failed run, not a committed one).
+    try {
+      toWrite.write.mode(SaveMode.Append).jdbc(url, table, writeProps)
+
+      // L4: verify against the DB, keyed on this run's UPDATE_DATE.
+      val verified = withConnection(url, props)(
+        countRowsAt(_, table, runInstant))
+
+      // L5: CSV export of the inserted rows (same content by
+      // construction — no DB round-trip needed).
+      csvOut.foreach(p =>
+        toWrite.coalesce(1).write.option("header", "true")
+          .mode(SaveMode.Overwrite).csv(p))
+      toWrite.unpersist()
+
+      LoadReport(created, importDate, rows, verified)
+    } catch {
       case e: Throwable =>
         try withConnection(url, props) { conn =>
           val ps = conn.prepareStatement(
@@ -185,18 +214,5 @@ object LoadOrchestrator {
         finally toWrite.unpersist()
         throw e
     }
-
-    // L4: verify against the DB, keyed on this run's UPDATE_DATE.
-    val verified = withConnection(url, props)(
-      countRowsAt(_, table, runInstant))
-
-    // L5: CSV export of the inserted rows (same content by
-    // construction — no DB round-trip needed).
-    csvOut.foreach(p =>
-      toWrite.coalesce(1).write.option("header", "true")
-        .mode(SaveMode.Overwrite).csv(p))
-    toWrite.unpersist()
-
-    LoadReport(created, importDate, rows, verified)
   }
 }

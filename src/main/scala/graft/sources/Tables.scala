@@ -38,25 +38,48 @@ object Tables {
     * subdirectories), where a rewrite two levels down is equally
     * invisible to the top-level listing.
     */
-  private[graft] def fingerprint(path: String): Long = {
-    // symlinked fixtures can form directory cycles — track canonical
-    // paths or the walk recurses forever
-    val seen = scala.collection.mutable.Set.empty[String]
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) {
-        if (!seen.add(f.getCanonicalPath)) Seq.empty
-        else
-          // listFiles() order is unspecified — sort, or identical
-          // content could fingerprint differently and spuriously
-          // re-infer
-          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-            .sortBy(_.getName).toSeq.flatMap(walk)
-      } else Seq(f)
-    val files = walk(new java.io.File(path))
-    files.foldLeft(files.length.toLong) { (acc, p) =>
-      31L * (31L * acc + p.lastModified) + p.length
+  private[graft] def fingerprint(path: String): Long =
+    if (path.contains("://") && !path.startsWith("file:")) {
+      // remote filesystem (hdfs://, s3a://, …): java.io.File sees
+      // nothing there and would return a CONSTANT — every regeneration
+      // would then hit the cache and serve a stale schema, the exact
+      // bug the fingerprint exists to prevent. List through Hadoop.
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val conf = org.apache.spark.sql.SparkSession.getActiveSession
+          .map(_.sparkContext.hadoopConfiguration)
+          .getOrElse(new org.apache.hadoop.conf.Configuration())
+        val it = p.getFileSystem(conf).listFiles(p, true)
+        val stats = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.hadoop.fs.LocatedFileStatus]
+        while (it.hasNext) stats += it.next()
+        stats.sortBy(_.getPath.toString)
+          .foldLeft(stats.length.toLong) { (acc, st) =>
+            31L * (31L * acc + st.getModificationTime) + st.getLen
+          }
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          System.nanoTime() // unknown state: never serve a cached schema
+      }
+    } else {
+      // symlinked fixtures can form directory cycles — track canonical
+      // paths or the walk recurses forever
+      val seen = scala.collection.mutable.Set.empty[String]
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) {
+          if (!seen.add(f.getCanonicalPath)) Seq.empty
+          else
+            // listFiles() order is unspecified — sort, or identical
+            // content could fingerprint differently and spuriously
+            // re-infer
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+              .sortBy(_.getName).toSeq.flatMap(walk)
+        } else Seq(f)
+      val files = walk(new java.io.File(path))
+      files.foldLeft(files.length.toLong) { (acc, p) =>
+        31L * (31L * acc + p.lastModified) + p.length
+      }
     }
-  }
 
   private def readCached(spark: SparkSession, path: String): DataFrame = {
     // a regenerated fixture re-infers instead of silently reading with

@@ -26,43 +26,83 @@ object ZipSource {
 
   /** Read the named CSV entry from every zip under `path`.
     *
-    * @param entryName  entry to extract (exact match, e.g. "Loinc.csv");
+    * Columns bind BY HEADER NAME (case-insensitive), exactly like the
+    * reference's `pd.read_csv` + column selection — NOT by position:
+    * the real Loinc.csv carries ~40 columns whose 8th is CLASS, so a
+    * positional bind of the 8-column schema would silently read CLASS
+    * as STATUS, and the real MultiAxialHierarchy.csv orders its
+    * columns differently than our schema declares. Extra file columns
+    * are ignored; a declared column missing from the header fails
+    * loudly with the header that was found.
+    *
+    * Failures are loud: a zip without the entry (a renamed release
+    * layout) or a body that is not a zip at all (e.g. the HTML error
+    * page a failed loinc.org login returns) raises with the entries
+    * actually seen, instead of yielding an empty frame that a
+    * downstream load would happily write as "success".
+    *
+    * @param entryName  entry to extract (exact name, or a path ending
+    *                   in "/name" for nested release layouts);
     *                   null/empty picks the first `.csv` entry
-    * @param schema     explicit column schema, matched positionally;
-    *                   the header record of each file is dropped, short
-    *                   records pad with null, empty fields read as null
+    * @param schema     declared columns; short records pad with null,
+    *                   empty/malformed typed fields read as null
     */
   def zipEntryCsv(spark: SparkSession, path: String, entryName: String,
                   schema: StructType): DataFrame = {
     import spark.implicits._
+    val fieldNames = schema.fields.map(_.name).toSeq
     val bin = spark.read.format("binaryFile").load(path)
       .select("content").as[Array[Byte]]
     val records = bin.flatMap { bytes =>
       val zin = new ZipInputStream(new java.io.ByteArrayInputStream(bytes))
+      val seen = scala.collection.mutable.ArrayBuffer[String]()
       Iterator
         .continually(zin.getNextEntry)
         .takeWhile(_ != null)
-        .find(e => !e.isDirectory &&
-          (if (entryName == null || entryName.isEmpty)
-            e.getName.toLowerCase.endsWith(".csv")
-          else e.getName == entryName))
+        .find { e =>
+          seen += e.getName
+          !e.isDirectory &&
+            (if (entryName == null || entryName.isEmpty)
+              e.getName.toLowerCase.endsWith(".csv")
+            else e.getName == entryName ||
+              e.getName.endsWith("/" + entryName))
+        }
         .map { _ =>
           val settings = new CsvParserSettings()
           settings.setMaxCharsPerColumn(-1)
           settings.setLineSeparatorDetectionEnabled(true)
-          settings.setNumberOfRowsToSkip(1) // header; schema is explicit
           // one parser instance per entry, records streamed through it
-          new CsvParser(settings)
+          val it = new CsvParser(settings)
             .iterate(new InputStreamReader(zin, StandardCharsets.UTF_8))
-            .iterator.asScala.map(_.toSeq)
+            .iterator.asScala
+          if (!it.hasNext)
+            throw new IllegalArgumentException(
+              s"entry '$entryName' is empty — no header record")
+          val header = it.next().toSeq
+            .map(h => if (h == null) "" else h.trim)
+          val idx = fieldNames.map { n =>
+            val i = header.indexWhere(_.equalsIgnoreCase(n))
+            if (i < 0) throw new IllegalArgumentException(
+              s"declared column '$n' missing from '$entryName' header " +
+                s"${header.mkString("[", ", ", "]")}")
+            i
+          }
+          it.map { rec =>
+            idx.map(i => if (i < rec.length) rec(i) else null)
+          }
         }
-        .getOrElse(Iterator.empty)
+        .getOrElse(throw new IllegalArgumentException(
+          s"entry '$entryName' not found in zip under $path — entries " +
+            s"seen: ${seen.mkString("[", ", ", "]")}" +
+            (if (seen.isEmpty) " (no zip entries at all: the body is " +
+              "not a zip — e.g. an HTML error page from a failed login)"
+            else "")))
     }
     records.toDF("__fields").select(
       schema.fields.zipWithIndex.map { case (f, i) =>
-        // `get` is null (not an ANSI error) past the end of short rows;
-        // try_cast keeps a malformed typed cell null (pandas/PERMISSIVE
-        // semantics) instead of failing the job under ANSI mode
+        // fields are already reordered to schema order; try_cast keeps
+        // a malformed typed cell null (pandas/PERMISSIVE semantics)
+        // instead of failing the job under ANSI mode
         get(col("__fields"), lit(i)).try_cast(f.dataType).as(f.name)
       }: _*)
   }

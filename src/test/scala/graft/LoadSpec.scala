@@ -159,6 +159,53 @@ class LoadSpec extends SparkSpec {
     assert(rows(0).isNullAt(rows(0).fieldIndex("METHOD_TYP")))
   }
 
+  test("zipEntryCsv binds columns by header NAME: the real ~40-column " +
+    "LOINC layout and reordered hierarchy columns read correctly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zip_named")
+    val zipPath = dir.resolve("real_layout.zip")
+    val zos = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(zipPath))
+    zos.putNextEntry(new java.util.zip.ZipEntry("Loinc.csv"))
+    // real-file shape: extra columns interleaved, CLASS in position 8
+    // where a positional bind would have read STATUS, declared columns
+    // scattered out of declaration order
+    zos.write(
+      ("LOINC_NUM,COMPONENT,PROPERTY,TIME_ASPCT,SYSTEM,SCALE_TYP," +
+        "METHOD_TYP,CLASS,VersionLastChanged,CHNG_TYPE,STATUS\n" +
+        "4548-4,Hemoglobin A1c,MFr,Pt,Bld,Qn,M1,HEM/BC,2.77,MIN,ACTIVE\n")
+        .getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.close()
+    val df = ZipSource.zipEntryCsv(spark, zipPath.toString, "Loinc.csv",
+      Tables.loincSchema)
+    val r = df.collect().head
+    assert(r.getAs[String]("STATUS") === "ACTIVE") // NOT 'HEM/BC'
+    assert(r.getAs[String]("METHOD_TYP") === "M1")
+    // a declared column missing from the header fails LOUDLY
+    val badZip = dir.resolve("missing_col.zip")
+    val z2 = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(badZip))
+    z2.putNextEntry(new java.util.zip.ZipEntry("Loinc.csv"))
+    z2.write("LOINC_NUM,COMPONENT\n1-1,X\n".getBytes("UTF-8"))
+    z2.closeEntry(); z2.close()
+    val e1 = intercept[org.apache.spark.SparkException] {
+      ZipSource.zipEntryCsv(spark, badZip.toString, "Loinc.csv",
+        Tables.loincSchema).collect()
+    }
+    assert(e1.getMessage.contains("missing") ||
+      Option(e1.getCause).exists(_.getMessage.contains("missing")))
+    // a body that is not a zip at all (failed-login HTML) fails LOUDLY
+    val html = dir.resolve("error_page.zip")
+    java.nio.file.Files.write(html,
+      "<html>login failed</html>".getBytes("UTF-8"))
+    val e2 = intercept[org.apache.spark.SparkException] {
+      ZipSource.zipEntryCsv(spark, html.toString, "Loinc.csv",
+        Tables.loincSchema).collect()
+    }
+    assert(e2.getMessage.contains("not found") ||
+      Option(e2.getCause).exists(_.getMessage.contains("not found")))
+  }
+
   test("zipEntryCsv: RFC-4180 quoted newlines and escaped quotes survive") {
     val dir = java.nio.file.Files.createTempDirectory("graft_zip_rfc")
     val zipPath = dir.resolve("data.zip")
