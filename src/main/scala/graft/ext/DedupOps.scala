@@ -380,13 +380,22 @@ object DedupOps {
       // singleton fallback is exactly the original partition.
       // generic over the id type (string doc ids work exactly like
       // longs, as in the distributed loop): ids only need the same
-      // ordering least/greatest use, i.e. Catalyst's, which matches
-      // Comparable for the atomic types an id column can carry
+      // ordering least/greatest use, i.e. Catalyst's. For strings
+      // that is UTF8String's UTF-8 BYTE order, which differs from
+      // java.lang.String.compareTo (UTF-16 code units) when
+      // supplementary-plane chars mix with U+E000–U+FFFF — so strings
+      // compare via their UTF-8 bytes here, keeping the endgame's
+      // canonical minima identical to the distributed loop's
       val spark = nodes.sparkSession
       val edges = e.select(col("a"), col("b")).collect()
         .map(r => (r.get(0), r.get(1)))
-      def lt(x: Any, y: Any): Boolean =
-        x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+      def lt(x: Any, y: Any): Boolean = (x, y) match {
+        case (a: String, b: String) =>
+          java.util.Arrays.compareUnsigned(
+            a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+        case _ => x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+      }
       val parent = new java.util.HashMap[Any, Any]()
       def find(x: Any): Any = {
         var r = x

@@ -315,10 +315,13 @@ object Similarity {
       codebookK)
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc_q").desc, col("neighbor_id"))
-    codes.join(broadcast(tables), Seq("__j", "__cid"))
+    // one row per (query, neighbor) — the m-entry sum is a single
+    // map-lookup fold over the packed code array, not an m-way row
+    // expansion + re-shuffle
+    codes.crossJoin(broadcast(tables))
       .filter(col("query_id") =!= col("__id"))
-      .groupBy(col("query_id"), col("__id").as("neighbor_id"))
-      .agg(sum("__tq").as("adc_q"))
+      .select(col("query_id"), col("__id").as("neighbor_id"),
+        adcSum(col("__ck"), col("__tm")).as("adc_q"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .select("query_id", "neighbor_id", "adc_q")
@@ -371,20 +374,28 @@ object Similarity {
       codebookK)
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc_q").desc, col("neighbor_id"))
+    // one code-array row per candidate — the old shape expanded every
+    // (query, neighbor) pair m× before a groupBy re-collapsed it; the
+    // packed form joins each candidate ONCE and folds the m lookups
+    // against the broadcast per-query table map
     allowed
-      .join(codes.select(col("__id").as("neighbor_id"), col("__j"),
-        col("__cid")), Seq("neighbor_id"))
-      .join(broadcast(tables), Seq("query_id", "__j", "__cid"))
-      .groupBy("query_id", "neighbor_id")
-      .agg(sum("__tq").as("adc_q"))
+      .join(codes.select(col("__id").as("neighbor_id"), col("__ck")),
+        Seq("neighbor_id"))
+      .join(broadcast(tables), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        adcSum(col("__ck"), col("__tm")).as("adc_q"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .select("query_id", "neighbor_id", "adc_q")
   }
 
   /** Shared PQ machinery: the per-subspace codebook (first-ids init +
-    * one fixed-point Lloyd update), the corpus codes, and the
-    * per-query fixed-point ADC tables.
+    * one fixed-point Lloyd update), the corpus codes PACKED as one
+    * "j:cid" key array per vector (`__id`, `__ck`), and the per-query
+    * fixed-point ADC tables PACKED as one (j:cid)→tq map per query
+    * (`query_id`, `__tm`, ≤ m·codebookK entries — broadcastable).
+    * Packing at encode time means scoring joins carry ONE row per
+    * (query, neighbor) candidate instead of m.
     */
   private def pqCodesAndTables(queries: DataFrame, corpus: DataFrame,
                                m: Int, dims: Int, codebookK: Int)
@@ -429,16 +440,38 @@ object Similarity {
     val cent0 = subs(corpus.orderBy(col("id")).limit(codebookK), "__cid")
       .select(col("__j"), col("__cid"), col("__sv").as("__cv"))
     val cent1 = update(assign(base, cent0))
-    val codes = assign(base, cent1).select("__id", "__j", "__cid")
-    // per-query ADC tables: one fixed-point dot per (query, subspace,
-    // codeword) — |Q|·m·codebookK rows, broadcastable
+    // pack the m (j, cid) codes into one ordered key array per vector;
+    // cids are seed-vector ids (not 0..k−1), so the lookup key is the
+    // composite "j:cid" string — collision-free for any id domain
+    val codes = assign(base, cent1)
+      .groupBy("__id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("__j"), col("__cid")))),
+        e => concat_ws(":", e("__j").cast("string"),
+          e("__cid").cast("string"))).as("__ck"))
+    // per-query ADC table: one fixed-point dot per (subspace, codeword)
+    // folded into a single ≤ m·codebookK-entry map — broadcastable
     val tables = subs(queries, "query_id")
       .join(broadcast(cent1), "__j")
       .select(col("query_id"), col("__j"), col("__cid"),
         floor(dot(col("__sv"), col("__cv")) * lit(1000000.0))
           .cast("long").as("__tq"))
+      .groupBy("query_id")
+      .agg(map_from_entries(collect_list(struct(
+        concat_ws(":", col("__j").cast("string"),
+          col("__cid").cast("string")), col("__tq")))).as("__tm"))
     (codes, tables)
   }
+
+  /** ADC score of one candidate: fold the packed code-key array
+    * against the query's broadcast (j:cid)→tq map. Every key is
+    * present by construction (codes and tables both derive from
+    * cent1's (j, cid) set); the coalesce(0) mirrors the old inner
+    * join's contribute-nothing-on-no-match semantics.
+    */
+  private def adcSum(codeKeys: Column, tableMap: Column): Column =
+    aggregate(codeKeys, lit(0L),
+      (acc, k) => acc + coalesce(element_at(tableMap, k), lit(0L)))
 
   /** Embedding-cosine near-duplicate pairs within a blocking key
     * (e.g. a label or coarse LSH bucket): pairs (a<b) with cosine

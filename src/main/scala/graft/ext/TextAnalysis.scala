@@ -256,13 +256,17 @@ object TextAnalysis {
     * Shape at scale: tf is explode → filter-to-terms → partial-agg
     * counts (map-side combine, no HOF lambda in the hot loop); the
     * corpus stats (n, avgdl, per-term df) are ONE aggregated row
-    * cross-joined (broadcast) back; the final global top-k is a
-    * single-partition window over k-bounded input — rank only the
-    * rows a per-partition pre-top-k keeps if |corpus| is huge.
+    * cross-joined (broadcast) back; the global top-k is
+    * `orderBy(score desc).limit(k)` — TakeOrderedAndProject, i.e. a
+    * bounded per-partition heap in every task and a k-row merge, so
+    * NO task ever holds more than k rows no matter the corpus size.
+    * The rank column is then re-derived on the ≤k survivors by
+    * sorting them inside ONE array (score negated so ascending struct
+    * order = score desc, doc_id asc — the exact TakeOrdered key) and
+    * posexploding; no unpartitioned window anywhere in the plan.
     */
   def bm25TopK(docs: DataFrame, id: Column, text: Column,
                terms: Seq[String], k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(terms.nonEmpty && terms.size <= 16,
       "terms drive one tf column each — keep the list small")
     val base = docs.select(id.as("doc_id"), tokens(text).as("__toks"))
@@ -296,13 +300,24 @@ object TextAnalysis {
           lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") /
             col("__avgdl")))
     }.reduce(_ + _)
-    val w = Window.orderBy(col("__score").desc, col("doc_id"))
-    tf.crossJoin(broadcast(stats))
+    // distributed top-k: per-partition k-row heaps + one k-row merge
+    val top = tf.crossJoin(broadcast(stats))
       .withColumn("__score", score)
-      .withColumn("rnk", row_number().over(w).cast("int"))
-      .filter(col("rnk") <= k)
-      .select(col("doc_id") +: col("dl") +:
-        terms.indices.map(i => col(s"tf$i")) :+ col("rnk"): _*)
+      .orderBy(col("__score").desc, col("doc_id"))
+      .limit(k)
+    // scores are ≥ 0 (idf = ln(x+1) with x > 0, tf ≥ 0), so negation
+    // is exact and order-reversing; doc_id is unique (group key), so
+    // (−score, doc_id) ascending is a total order matching the
+    // TakeOrdered key — dl/tf fields trail and never decide order
+    val packed = struct(
+      (-col("__score")).as("ns") +: col("doc_id").as("doc_id") +:
+        col("dl").as("dl") +:
+        terms.indices.map(i => col(s"tf$i").as(s"tf$i")): _*)
+    top.agg(sort_array(collect_list(packed)).as("__a"))
+      .select(posexplode(col("__a")).as(Seq("__pos", "__r")))
+      .select(col("__r.doc_id").as("doc_id") +: col("__r.dl").as("dl") +:
+        terms.indices.map(i => col(s"__r.tf$i").as(s"tf$i")) :+
+        (col("__pos") + 1).cast("int").as("rnk"): _*)
   }
 
   /** Concat-and-cut sequence packing — the shard-parallel form of the
@@ -481,23 +496,34 @@ object TextAnalysis {
     * token above `minCount`, capped at `vocabSize` entries. Rank
     * order (count desc, token asc) is total, so id assignment is
     * deterministic on any engine. One aggregation with map-side
-    * combine; the ranking window runs over the aggregated VOCAB (not
-    * the corpus), which is the only part that funnels to a single
-    * task — post-agg cardinality, fine at any corpus size. Id 0 is
-    * reserved for OOV/UNK by [[encodeTokens]].
+    * combine; the cap is `orderBy(n desc, token).limit(vocabSize)` —
+    * for small caps that is TakeOrderedAndProject (a vocabSize-bounded
+    * heap per partition + one bounded merge), and past the top-k
+    * fallback threshold it degrades to a range-partitioned distributed
+    * sort, so NO task ever ranks the full distinct-token set (a 100 TB
+    * web corpus has billions of distinct junk tokens before the cap
+    * prunes). Ids are then re-derived on the ≤vocabSize survivors by
+    * sorting them inside one array (count negated so ascending struct
+    * order = n desc, token asc) and posexploding — contiguous 1..cap,
+    * no unpartitioned window anywhere. Id 0 is reserved for OOV/UNK
+    * by [[encodeTokens]].
     */
   def buildVocab(docs: DataFrame, text: Column, vocabSize: Int,
                  minCount: Long): DataFrame = {
     require(vocabSize >= 1 && minCount >= 1,
       "vocabSize and minCount must be positive")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("n").desc, col("token"))
-    docs.select(explode(tokens(text)).as("token"))
+    val top = docs.select(explode(tokens(text)).as("token"))
       .filter(col("token") =!= "")
       .groupBy("token").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
-      .withColumn("token_id", row_number().over(w).cast("long"))
-      .filter(col("token_id") <= vocabSize)
+      .orderBy(col("n").desc, col("token"))
+      .limit(vocabSize)
+    // n ≥ minCount ≥ 1, so long negation is exact and order-reversing
+    top.agg(sort_array(collect_list(
+        struct((-col("n")).as("nn"), col("token").as("token")))).as("__a"))
+      .select(posexplode(col("__a")).as(Seq("__pos", "__r")))
+      .select(col("__r.token").as("token"), (-col("__r.nn")).as("n"),
+        (col("__pos") + 1).cast("long").as("token_id"))
   }
 
   /** Encode documents as token-id sequences against a

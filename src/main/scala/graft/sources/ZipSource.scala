@@ -77,14 +77,19 @@ object ZipSource {
             .iterator.asScala
           if (!it.hasNext)
             throw new IllegalArgumentException(
-              s"entry '$entryName' is empty — no header record")
+              (if (entryName == null || entryName.isEmpty)
+                "first .csv entry"
+              else s"entry '$entryName'") + " is empty — no header record")
           val header = it.next().toSeq
             .map(h => if (h == null) "" else h.trim)
           val idx = fieldNames.map { n =>
             val i = header.indexWhere(_.equalsIgnoreCase(n))
             if (i < 0) throw new IllegalArgumentException(
-              s"declared column '$n' missing from '$entryName' header " +
-                s"${header.mkString("[", ", ", "]")}")
+              s"declared column '$n' missing from " +
+                (if (entryName == null || entryName.isEmpty)
+                  "first .csv entry"
+                else s"'$entryName'") +
+                s" header ${header.mkString("[", ", ", "]")}")
             i
           }
           it.map { rec =>
@@ -92,7 +97,10 @@ object ZipSource {
           }
         }
         .getOrElse(throw new IllegalArgumentException(
-          s"entry '$entryName' not found in zip under $path — entries " +
+          (if (entryName == null || entryName.isEmpty)
+            "no .csv entry found"
+          else s"entry '$entryName' not found") +
+            s" in zip under $path — entries " +
             s"seen: ${seen.mkString("[", ", ", "]")}" +
             (if (seen.isEmpty) " (no zip entries at all: the body is " +
               "not a zip — e.g. an HTML error page from a failed login)"

@@ -32,6 +32,19 @@ class PlanSpec extends SparkSpec {
     assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet)
   }
 
+  test("no query ranks through an unpartitioned window (the one " +
+      "physical shape that funnels an unbounded input into one task)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).collect {
+      case (name, build)
+          if build(spark, dir).queryExecution.optimizedPlan.collect {
+            case w: LWindow if w.partitionSpec.isEmpty => w
+          }.nonEmpty => name
+    }
+    assert(offenders.isEmpty,
+      s"global single-task windows in: ${offenders.mkString(", ")}")
+  }
+
   test("tpch_q5: all five dimension joins broadcast; lineitem streams") {
     val p = plan("tpch_q5")
     assert("BroadcastHashJoin".r.findAllIn(p).size === 5)
@@ -123,10 +136,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
   }
 
-  test("sim_pq_adc_topk: ADC scan is a broadcast hash join over codes " +
-      "— no cartesian anywhere") {
+  test("sim_pq_adc_topk: ADC scan broadcasts the packed per-query " +
+      "table maps against one row per candidate — no cartesian, no " +
+      "m-way code expansion") {
     val p = plan("sim_pq_adc_topk")
-    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("BroadcastNestedLoopJoin"))
     assert(!p.contains("CartesianProduct"))
   }
 
