@@ -86,6 +86,13 @@ object Sampling {
     * dropped — deterministic sampling needs a stable id; scrub or
     * synthesize ids upstream (the same contract as every salted-hash
     * operator here).
+    *
+    * COMPATIBILITY NOTE: widening the hash from 7 to 15 hex chars
+    * (the 28→60-bit change above) altered which (salt, id) rows each
+    * rate selects. Sampling is deterministic per library version, not
+    * across versions — pipelines pinned to pre-60-bit membership must
+    * re-materialize their samples rather than expect this version to
+    * reproduce the old (biased) selection.
     */
   private def rateThinned(df: DataFrame, id: Column, stratum: Column,
                           salt: String)(rate: Column): DataFrame = {

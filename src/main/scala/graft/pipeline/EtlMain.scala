@@ -27,6 +27,9 @@ import graft.sources.{Fetcher, JdkFetcher, Tables, ZipSource}
   *   [--pg-host localhost] [--pg-port 5432] [--pg-db postgres] \
   *   [--pg-user postgres] [--pg-password postgres] \
   *   [--table I2B2] [--csv-out /path] [--work-dir /tmp/...] \
+  *   [--work-dir-shared]      # REQUIRED on a non-local master:
+  *                            # confirms --work-dir is a mount every
+  *                            # executor shares (NFS/HDFS)
   *   [--jdbc-url jdbc:...]    # overrides the pg-* url construction
   *   [--spec-fullname]        # corrected C_FULLNAME instead of strict
   *                            # reference parity (F2 bug-compat)
@@ -51,7 +54,11 @@ object EtlMain {
       csvOut: Option[String] = None,
       workDir: Option[String] = None,
       jdbcUrl: Option[String] = None,
-      bugCompatFullname: Boolean = true)
+      bugCompatFullname: Boolean = true,
+      // on a non-local master the landing dir is written driver-side
+      // but scanned by executors; this flag is the operator's explicit
+      // promise that --work-dir is a shared mount (NFS/HDFS/fuse)
+      workDirShared: Boolean = false)
 
   /** Public endpoints the reference posts to (Angelo_ETL_Task.py:
     * 138-142): session login, then one form POST per ZIP artifact.
@@ -67,19 +74,38 @@ object EtlMain {
     *
     * The reference unzips in driver memory; landing the archives on
     * disk keeps the driver footprint at one archive and lets the
-    * zip→CSV expansion run on executors. NOTE the landing directory
-    * is written with driver-local java.nio — on a non-local master,
-    * `--work-dir` MUST point at a filesystem the executors share
-    * (NFS/HDFS mount), or the binaryFile scan cannot see the
-    * archives; the local[. ] default matches the reference's
-    * single-machine deployment. `seq` is minted from record
+    * zip→CSV expansion run on executors. The landing directory is
+    * written with driver-local java.nio, so on a non-local master
+    * [[requireExecutorVisibleLanding]] fails fast unless the operator
+    * passed both `--work-dir` and `--work-dir-shared`; the local[. ]
+    * default matches the reference's single-machine deployment.
+    * `seq` is minted from record
     * order: each archive is ONE binaryFile row, so its records stay in
     * file order inside one partition and `monotonically_increasing_id`
     * preserves exactly the order pandas saw — the R2 last-wins dedup
     * depends on it.
     */
+  /** The cluster-mode landing contract, enforced instead of noted: a
+    * non-local master runs executors on other hosts, but the archives
+    * land via driver-local java.nio — so the operator must both pick
+    * the directory (`--work-dir`) and explicitly confirm it is a
+    * shared mount (`--work-dir-shared`). Factored out of [[extract]]
+    * so the spec can pin the message without a real cluster.
+    */
+  private[graft] def requireExecutorVisibleLanding(
+      master: String, cfg: EtlConfig): Unit =
+    if (!master.startsWith("local"))
+      require(cfg.workDir.isDefined && cfg.workDirShared,
+        s"master '$master' runs executors on other hosts, but the zip " +
+          "landing directory is written with driver-local file I/O — " +
+          "pass --work-dir pointing at a filesystem every executor " +
+          "mounts AND --work-dir-shared to confirm it is shared " +
+          "(NFS/HDFS); otherwise the distributed zip scan cannot see " +
+          "the downloaded archives")
+
   def extract(spark: SparkSession, fetcher: Fetcher, cfg: EtlConfig)
       : (DataFrame, DataFrame) = {
+    requireExecutorVisibleLanding(spark.sparkContext.master, cfg)
     fetcher.post(LoginUrl,
       Map("log" -> cfg.loincUser, "pwd" -> cfg.loincPassword))
     val form = Map("tc_submit" -> "Download", "tc_accepted" -> "1")
@@ -141,6 +167,7 @@ object EtlMain {
         case "--table" => cfg = cfg.copy(table = value)
         case "--csv-out" => cfg = cfg.copy(csvOut = Some(value))
         case "--work-dir" => cfg = cfg.copy(workDir = Some(value))
+        case "--work-dir-shared" => cfg = cfg.copy(workDirShared = true)
         case "--jdbc-url" => cfg = cfg.copy(jdbcUrl = Some(value))
         case "--spec-fullname" => cfg = cfg.copy(bugCompatFullname = false)
         case other => fail(s"unknown argument: $other")

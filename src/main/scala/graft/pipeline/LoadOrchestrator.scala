@@ -99,9 +99,20 @@ object LoadOrchestrator {
     def quote(t: String): String =
       t.replace(esc, esc + esc).replace("_", esc + "_")
         .replace("%", esc + "%")
+    // only the two expected failure modes fall back to an unscoped
+    // (every-schema) probe — and loudly, since the fallback re-opens
+    // the cross-schema false positive the scoping exists to close;
+    // anything else (connection death, auth) must surface
     val schemaPattern =
       try Option(conn.getSchema).map(quote).orNull
-      catch { case _: Throwable => null }
+      catch {
+        case e @ (_: java.sql.SQLException | _: AbstractMethodError) =>
+          System.err.println(
+            s"[load] could not determine connection schema " +
+              s"(${e.getClass.getSimpleName}: ${e.getMessage}); " +
+              "table-existence probe searches every schema")
+          null
+      }
     Seq(table, table.toLowerCase, table.toUpperCase).distinct.exists { t =>
       val rs = meta.getTables(null, schemaPattern, quote(t), Array("TABLE"))
       try rs.next() finally rs.close()

@@ -41,8 +41,15 @@ object RelationalQueries {
               |""".stripMargin)
     },
 
-    // Exact interpolated quantiles (sort-based). For sketched
-    // quantiles at scale see agg_approx_distinct's note.
+    // Exact interpolated quantiles. SCALE CONTRACT: `percentile` is a
+    // TypedImperativeAggregate that BUFFERS EVERY VALUE of a group in
+    // one task's memory before sorting — exactness has no mergeable
+    // sublinear form. That is the right tool when groups are bounded
+    // (here: a handful of return flags at test SF), and an OOM by
+    // design when a group can be billions of rows; for unbounded
+    // groups use agg_approx_quantiles (approx_percentile: KLL-style
+    // mergeable sketch, constant memory per task, rank error ≤ the
+    // configured accuracy) — same output shape, bounded everywhere.
     "agg_quantiles" -> { (s, dir) =>
       t(s, dir, "lineitem").groupBy("l_returnflag")
         .agg(expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("q"))

@@ -178,6 +178,11 @@ object StreamOps {
                          etype: String)
   case class FunnelHit(key: Long, tie: Long, ts: java.sql.Timestamp,
                        prev_ts: java.sql.Timestamp)
+  /** Per-key funnel state: the greedy-latest chain timestamps plus
+    * the (ts, tie) of the newest emitted hit — the replay guard that
+    * keeps emission idempotent under at-least-once delivery.
+    */
+  case class FunnelState(chain: Map[Int, Long], emTs: Long, emTie: Long)
 
   /** Streaming funnel detection — the continuous twin of
     * EventWindows.funnel: per-key state is one greedy-latest
@@ -194,7 +199,18 @@ object StreamOps {
     * chain check requires the predecessor to PRECEDE the event
     * (p ≤ t), matching the batch window's strictly-preceding frame —
     * a late final step cannot complete against a chain mate from its
-    * own future. `idleKeyTtl` bounds state on unbounded key spaces
+    * own future.
+    *
+    * REPLAY GUARD: state remembers the newest emitted hit's (ts, tie)
+    * per key, and a final-step event at or below that mark never
+    * re-emits — so an at-least-once source redelivering a batch
+    * produces no duplicate FunnelHits (chain updates were already
+    * idempotent via max). The flip side of the guard is that a
+    * genuinely LATE final step ordered before an already-emitted hit
+    * is suppressed too (the two are indistinguishable at the
+    * operator): bound lateness upstream with a watermark if late
+    * final-step conversions must still count.
+    * `idleKeyTtl` bounds state on unbounded key spaces
     * (users/sessions): a key with no events for that long drops its
     * chain (processing-time timeout, same contract and trigger
     * caveats as [[simhashNearDupCandidates]]'s idleBucketTtl).
@@ -222,14 +238,18 @@ object StreamOps {
         col("tie").cast("long").as("tie"), col("etype"))
       .as[FunnelEvent]
       .groupByKey(_.key)
-      .flatMapGroupsWithState[Map[Int, Long], FunnelHit](
+      .flatMapGroupsWithState[FunnelState, FunnelHit](
         OutputMode.Append, timeout) {
         (_, rows, state) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
-            var chain = state.getOption.getOrElse(Map.empty[Int, Long])
+            val st0 = state.getOption.getOrElse(
+              FunnelState(Map.empty, Long.MinValue, Long.MinValue))
+            var chain = st0.chain
+            var emTs = st0.emTs
+            var emTie = st0.emTie
             val out = List.newBuilder[FunnelHit]
             rows.toSeq.sortBy(e => (micros(e.ts), e.tie)).foreach { e =>
               idx.get(e.etype).foreach { i =>
@@ -237,10 +257,15 @@ object StreamOps {
                 // p <= t: the predecessor must precede the event in
                 // event time (batch parity for late arrivals)
                 if (i == last) {
-                  chain.get(last - 1)
-                    .filter(p => p <= t && t <= p + withinMicros)
-                    .foreach(p =>
-                      out += FunnelHit(e.key, e.tie, e.ts, fromMicros(p)))
+                  // replay guard: only emit strictly past the newest
+                  // emitted (ts, tie) — redelivered final steps no-op
+                  if (t > emTs || (t == emTs && e.tie > emTie))
+                    chain.get(last - 1)
+                      .filter(p => p <= t && t <= p + withinMicros)
+                      .foreach { p =>
+                        out += FunnelHit(e.key, e.tie, e.ts, fromMicros(p))
+                        emTs = t; emTie = e.tie
+                      }
                 } else if (i == 0 ||
                     chain.get(i - 1)
                       .exists(p => p <= t && t <= p + withinMicros)) {
@@ -249,7 +274,7 @@ object StreamOps {
                 }
               }
             }
-            state.update(chain)
+            state.update(FunnelState(chain, emTs, emTie))
             idleKeyTtl.foreach(state.setTimeoutDuration)
             out.result().iterator
           }
@@ -275,6 +300,22 @@ object StreamOps {
     * assignment is deterministic under any partitioning. When a
     * shard's chunks arrive in (doc_id, chunk_idx) order the output
     * equals the batch packer's row for row (pinned in StreamSpec).
+    *
+    * LATE-ARRIVAL CONTRACT (read before pointing an out-of-order
+    * source at this): there is NO reordering buffer — state is one
+    * running token count, so a chunk that arrives in a later
+    * micro-batch than its (doc_id, chunk_idx) order implies is packed
+    * at its ARRIVAL position, diverging from the batch packer's
+    * assignment for that chunk and every chunk after it in the shard.
+    * Token accounting stays exact (offsets within each sequence are
+    * still gapless and every chunk is packed exactly once — pinned in
+    * StreamSpec's shuffled-batch test); only the chunk→sequence
+    * mapping differs. If batch/stream assignment parity matters,
+    * deliver per-shard in order (e.g. partition the upstream by the
+    * same salted hash) or re-pack with the batch operator after
+    * landing. This is the same tradeoff every streaming packer makes:
+    * buffering for reorder would hold unbounded state on a gap that
+    * never fills.
     */
   def packSequencesStream(chunks: DataFrame, capacity: Int, shards: Int,
                           salt: String): Dataset[PackOut] = {

@@ -309,6 +309,27 @@ class LoadSpec extends SparkSpec {
     }
   }
 
+  test("extract refuses a non-local master unless the landing dir is " +
+      "declared shared (cluster-mode zip contract)") {
+    import graft.pipeline.EtlMain
+    val cfg = EtlMain.EtlConfig(loincUser = "u", loincPassword = "p")
+    // local masters: fine with any landing config
+    EtlMain.requireExecutorVisibleLanding("local[32]", cfg)
+    EtlMain.requireExecutorVisibleLanding("local", cfg)
+    // cluster master: must name the dir AND confirm it is shared
+    val e = intercept[IllegalArgumentException] {
+      EtlMain.requireExecutorVisibleLanding("spark://host:7077", cfg)
+    }
+    assert(e.getMessage.contains("--work-dir-shared"))
+    assert(e.getMessage.contains("spark://host:7077"))
+    intercept[IllegalArgumentException] {
+      EtlMain.requireExecutorVisibleLanding("yarn",
+        cfg.copy(workDir = Some("/mnt/shared")))  // dir but no promise
+    }
+    EtlMain.requireExecutorVisibleLanding("spark://host:7077",
+      cfg.copy(workDir = Some("/mnt/shared"), workDirShared = true))
+  }
+
   test("StubFetcher serves canned bytes; pipelines depend on Fetcher (S1)") {
     val fetcher = new StubFetcher(
       Map("https://example.test/dl" -> "zipbytes".getBytes("UTF-8")))

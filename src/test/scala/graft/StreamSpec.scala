@@ -329,6 +329,137 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming simhash: the candidate-pair set is invariant under " +
+    "adversarially shuffled micro-batch delivery") {
+    // same docs as the equivalence test, but delivered in a seeded
+    // random order across uneven batches: every bucket pair is still
+    // compared exactly once (when its later-arriving member lands),
+    // so the normalized pair set must equal the batch operator's
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    val mask60 = (1L << 60) - 1
+    val base = Seq.fill(12)(rnd.nextLong() & mask60)
+    val docs: Seq[(Long, Long)] =
+      base.zipWithIndex.map { case (s, i) => (i.toLong, s) } ++ Seq(
+        100L -> (base(0) ^ 1L),
+        101L -> (base(3) ^ (1L << 17) ^ (1L << 40)),
+        102L -> base(7))
+    val batch = graft.ext.DedupOps.simhashBandPairs(
+        docs.toDF("doc_id", "simhash"), $"doc_id", $"simhash",
+        bands = 4, bitsPerBand = 15, maxHamming = 3, bits = 60)
+      .as[(Long, Long, Int)].collect().toSet
+    val shuffled = new scala.util.Random(41).shuffle(docs)
+    val in = MemoryStream[(Long, Long)]
+    val q = StreamOps.simhashNearDupCandidates(
+      in.toDF().toDF("doc_id", "simhash"))
+      .writeStream.format("memory").queryName("simhash_shuf_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (b1, rest) = shuffled.splitAt(4)
+      val (b2, b3) = rest.splitAt(7)
+      Seq(b1, b2, b3).foreach { b =>
+        in.addData(b); q.processAllAvailable()
+      }
+      val streamed = spark.table("simhash_shuf_out")
+        .as[StreamOps.NearDup].collect()
+        .map(d => (math.min(d.doc_id, d.dup_of),
+          math.max(d.doc_id, d.dup_of), d.hamming))
+        .toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("streaming funnel: arbitrary within-batch permutation matches " +
+    "the batch funnel, and a full at-least-once replay re-emits nothing") {
+    implicit val sq = spark.sqlContext
+    val evs = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "signup"),
+      (1L, ts("2024-01-01 01:00:00"), 2L, "click"),
+      (1L, ts("2024-01-01 02:00:00"), 3L, "purchase"),
+      (2L, ts("2024-01-01 00:00:00"), 4L, "signup"),
+      (2L, ts("2024-01-01 02:00:00"), 5L, "purchase"),
+      (2L, ts("2024-01-01 03:00:00"), 6L, "click"),
+      (4L, ts("2024-01-01 00:00:00"), 9L, "signup"),
+      (4L, ts("2024-01-02 01:00:00"), 10L, "signup"),
+      (4L, ts("2024-01-02 02:00:00"), 11L, "click"),
+      (4L, ts("2024-01-02 03:00:00"), 12L, "purchase"),
+      (4L, ts("2024-01-02 04:00:00"), 13L, "purchase"))
+    val want = graft.ext.EventWindows.funnel(
+      evs.toDF("user_id", "ts", "event_id", "event_type"),
+      $"user_id", $"ts", $"event_id", $"event_type",
+      steps = Seq("signup", "click", "purchase"), within = "1 day")
+      .as[(Long, Long, Timestamp, Timestamp)].collect().toSet
+    assert(want.map(_._2) === Set(3L, 12L, 13L))
+    // one micro-batch, rows in a seeded random permutation: the
+    // operator's (ts, tie) within-batch sort must make the emitted
+    // set independent of delivery order
+    val shuffled = new scala.util.Random(23).shuffle(evs)
+    val in = MemoryStream[(Long, Timestamp, Long, String)]
+    val q = StreamOps.funnelStream(
+      in.toDF().toDF("key", "ts", "tie", "etype"),
+      steps = Seq("signup", "click", "purchase"),
+      withinMicros = 86400L * 1000000L)
+      .writeStream.format("memory").queryName("funnel_shuf_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(shuffled); q.processAllAvailable()
+      val got = spark.table("funnel_shuf_out")
+        .as[(Long, Long, Timestamp, Timestamp)].collect().toSet
+      assert(got === want)
+      // at-least-once replay of the ENTIRE batch: chain updates are
+      // idempotent (max) and the replay guard holds emission at the
+      // newest emitted (ts, tie) per key — zero new rows
+      in.addData(shuffled); q.processAllAvailable()
+      assert(spark.table("funnel_shuf_out").count() === want.size)
+    } finally q.stop()
+  }
+
+  test("streaming packer under shuffled delivery: every chunk packs " +
+    "exactly once into a gapless per-shard token stream (the " +
+    "documented arrival-order contract)") {
+    implicit val sq = spark.sqlContext
+    val docs = (1L to 9L).map(i =>
+      (i, (0 until (3 + (i % 4).toInt)).map(j => s"w${i}_$j")
+        .mkString(" "))).toDF("doc_id", "text")
+    val chunks = graft.ext.TextAnalysis.chunkTokens(docs, $"doc_id",
+      $"text", window = 2, overlap = 0)
+      .select($"doc_id", $"chunk_idx", $"n_tokens")
+      .as[(Long, Int, Long)].collect()
+    val shuffled = new scala.util.Random(11).shuffle(chunks.toSeq)
+    val in = MemoryStream[(Long, Int, Long)]
+    val q = StreamOps.packSequencesStream(
+      in.toDF().toDF("doc_id", "chunk_idx", "n_tokens"),
+      capacity = 5, shards = 3, salt = "spec-pack:")
+      .writeStream.format("memory").queryName("pack_shuf_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (b1, rest) = shuffled.splitAt(shuffled.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      Seq(b1, b2, b3).foreach { b =>
+        in.addData(b); q.processAllAvailable()
+      }
+      val got = spark.table("pack_shuf_out")
+        .as[(Long, Int, Long, Long, Long, Long)].collect()
+      // exactly once: every input chunk appears once
+      assert(got.map(r => (r._1, r._2)).toSet ===
+        chunks.map(c => (c._1, c._2)).toSet)
+      assert(got.length === chunks.length)
+      // gapless: per shard, the stream positions (seq_id·capacity +
+      // seq_offset) sorted ascending are the exclusive prefix sums of
+      // the chunk token counts — no hole, no overlap, regardless of
+      // which arrival order produced them
+      got.groupBy(_._4).foreach { case (_, rows) =>
+        val byPos = rows.sortBy(r => r._5 * 5 + r._6)
+        var expect = 0L
+        byPos.foreach { r =>
+          assert(r._5 * 5 + r._6 === expect,
+            s"hole or overlap at shard ${r._4}")
+          expect += r._3
+        }
+      }
+    } finally q.stop()
+  }
+
   test("redactPii and hash sampling run stateless on a stream") {
     // the corpus-curation scrub/downsample stage is a pure projection
     // + filter, so it streams with no watermark and no state store
