@@ -310,9 +310,10 @@ object Similarity {
     * most of the variance.
     */
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-             m: Int = 16, dims: Int = 64, codebookK: Int = 16): DataFrame = {
+             m: Int = 16, dims: Int = 64, codebookK: Int = 16,
+             codebook: Option[DataFrame] = None): DataFrame = {
     val (codes, tables) = pqCodesAndTables(queries, corpus, m, dims,
-      codebookK)
+      codebookK, codebook)
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc_q").desc, col("neighbor_id"))
     // one row per (query, neighbor) — the m-entry sum is a single
@@ -337,8 +338,8 @@ object Similarity {
     */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
                 centroids: DataFrame, k: Int, nprobe: Int,
-                m: Int = 16, dims: Int = 64,
-                codebookK: Int = 16): DataFrame = {
+                m: Int = 16, dims: Int = 64, codebookK: Int = 16,
+                codebook: Option[DataFrame] = None): DataFrame = {
     // coarse quantizer: same cosine assign/probe as ivfTopK (the
     // vectors themselves are NOT carried past this point — scoring
     // happens on codes)
@@ -371,7 +372,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
     val (codes, tables) = pqCodesAndTables(queries, corpus, m, dims,
-      codebookK)
+      codebookK, codebook)
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc_q").desc, col("neighbor_id"))
     // one code-array row per candidate — the old shape expanded every
@@ -397,81 +398,128 @@ object Similarity {
     * Packing at encode time means scoring joins carry ONE row per
     * (query, neighbor) candidate instead of m.
     */
+  // one row per (vector, subspace): subspace index as DATA, so the
+  // m codebooks train/encode/score in ONE plan, not m plan copies
+  private def pqSubs(df: DataFrame, idName: String, m: Int,
+                     d: Int): DataFrame =
+    df.select(col("id").as(idName),
+      posexplode(array((0 until m).map(j =>
+        slice(col("vec"), j * d + 1, d)): _*)).as(Seq("__j", "__sv")))
+
+  // argmin_{codeword} l2sq, ties to the smaller cid; keeps __sv for
+  // the centroid update (same shape as Clustering.assignNearest —
+  // broadcast join against the bounded codebook, map-side-collapsing
+  // argmin aggregation)
+  private def pqAssign(pts: DataFrame, cents: DataFrame): DataFrame =
+    pts.join(broadcast(cents), "__j")
+      .groupBy("__id", "__j")
+      .agg(min_by(struct(col("__cid"), col("__sv")),
+        struct(l2sq(col("__sv"), col("__cv")), col("__cid"))).as("__a"))
+      .select(col("__id"), col("__j"),
+        col("__a.__cid").as("__cid"), col("__a.__sv").as("__sv"))
+
+  // fixed-point per-dimension means (Clustering.updateCentroids with
+  // the subspace in the key)
+  private def pqUpdate(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("__j"), col("__cid"),
+        posexplode(col("__sv")).as(Seq("__i", "__x")))
+      .groupBy("__j", "__cid", "__i")
+      .agg(sum(floor(col("__x").cast("double") * lit(1000000.0))
+        .cast("long")).as("__s"), count(lit(1)).as("__n"))
+      .groupBy("__j", "__cid")
+      .agg(transform(
+        array_sort(collect_list(struct(col("__i"), col("__s"),
+          col("__n")))),
+        e => (e("__s").cast("double") / e("__n")) / lit(1000000.0))
+        .as("__cv"))
+
+  /** Train the PQ codebook for `corpus` — the per-subspace codewords
+    * (first-`codebookK`-ids init + one fixed-point Lloyd update) with
+    * each codeword's dense within-subspace rank. Output columns:
+    * (`__j` subspace, `__cid` codeword id, `__cv` codeword vector,
+    * `__r` rank) — ≤ m·codebookK rows.
+    *
+    * Training depends on the CORPUS only, which is why it is public:
+    * an index is trained once and queried many times (the FAISS
+    * lifecycle), so callers running several PQ searches over one
+    * corpus should train once (or memoize — see
+    * ExtensionQueries.prebuildStages) and pass the result through
+    * [[pqTopK]]/[[ivfPqTopK]]'s `codebook` parameter rather than let
+    * every query replan the training aggregations. Within one plan
+    * the codebook subtree is consumed by several broadcasts, so an
+    * un-materialized codebook is recomputed per consumer — the
+    * dominant cost of a PQ query at small scale, and pure waste at
+    * any scale.
+    */
+  def pqTrain(corpus: DataFrame, m: Int = 16, dims: Int = 64,
+              codebookK: Int = 16): DataFrame = {
+    require(dims % m == 0,
+      s"dims ($dims) must split evenly into m ($m) subspaces")
+    val d = dims / m
+    val base = pqSubs(corpus, "__id", m, d)
+    val cent0 = pqSubs(corpus.orderBy(col("id")).limit(codebookK),
+        "__cid", m, d)
+      .select(col("__j"), col("__cid"), col("__sv").as("__cv"))
+    val cent1 = pqUpdate(pqAssign(base, cent0))
+    // cids are seed-vector ids (not 0..k−1) and a subspace can lose
+    // empty codewords, so rank each codeword WITHIN its subspace —
+    // (j, rank) is then a dense O(1)-indexable address. The window is
+    // over the ≤ m·codebookK codebook, partitioned by subspace.
+    cent1.withColumn("__r",
+      row_number().over(Window.partitionBy("__j").orderBy("__cid")) - 1)
+  }
+
   private def pqCodesAndTables(queries: DataFrame, corpus: DataFrame,
-                               m: Int, dims: Int, codebookK: Int)
+                               m: Int, dims: Int, codebookK: Int,
+                               codebook: Option[DataFrame])
       : (DataFrame, DataFrame) = {
     require(dims % m == 0,
       s"dims ($dims) must split evenly into m ($m) subspaces")
     val d = dims / m
-    // one row per (vector, subspace): subspace index as DATA, so the
-    // m codebooks train/encode/score in ONE plan, not m plan copies
-    def subs(df: DataFrame, idName: String): DataFrame =
-      df.select(col("id").as(idName),
-        posexplode(array((0 until m).map(j =>
-          slice(col("vec"), j * d + 1, d)): _*)).as(Seq("__j", "__sv")))
-    // argmin_{codeword} l2sq, ties to the smaller cid; keeps __sv for
-    // the centroid update (same shape as Clustering.assignNearest —
-    // broadcast join against the bounded codebook, map-side-collapsing
-    // argmin aggregation)
-    def assign(pts: DataFrame, cents: DataFrame): DataFrame =
-      pts.join(broadcast(cents), "__j")
-        .groupBy("__id", "__j")
-        .agg(min_by(struct(col("__cid"), col("__sv")),
-          struct(l2sq(col("__sv"), col("__cv")), col("__cid"))).as("__a"))
-        .select(col("__id"), col("__j"),
-          col("__a.__cid").as("__cid"), col("__a.__sv").as("__sv"))
-    // fixed-point per-dimension means (Clustering.updateCentroids with
-    // the subspace in the key)
-    def update(assigned: DataFrame): DataFrame =
-      assigned
-        .select(col("__j"), col("__cid"),
-          posexplode(col("__sv")).as(Seq("__i", "__x")))
-        .groupBy("__j", "__cid", "__i")
-        .agg(sum(floor(col("__x").cast("double") * lit(1000000.0))
-          .cast("long")).as("__s"), count(lit(1)).as("__n"))
-        .groupBy("__j", "__cid")
-        .agg(transform(
-          array_sort(collect_list(struct(col("__i"), col("__s"),
-            col("__n")))),
-          e => (e("__s").cast("double") / e("__n")) / lit(1000000.0))
-          .as("__cv"))
-
-    val base = subs(corpus, "__id")
-    val cent0 = subs(corpus.orderBy(col("id")).limit(codebookK), "__cid")
-      .select(col("__j"), col("__cid"), col("__sv").as("__cv"))
-    val cent1 = update(assign(base, cent0))
-    // pack the m (j, cid) codes into one ordered key array per vector;
-    // cids are seed-vector ids (not 0..k−1), so the lookup key is the
-    // composite "j:cid" string — collision-free for any id domain
-    val codes = assign(base, cent1)
+    val centRanked = codebook.getOrElse(pqTrain(corpus, m, dims,
+      codebookK))
+    // pack the m codes into one (j, rank) array per vector, ordered
+    // by subspace (assign against the codebook, then swap the raw
+    // cid for its dense rank)
+    val codes = pqAssign(pqSubs(corpus, "__id", m, d),
+        centRanked.select("__j", "__cid", "__cv"))
+      .join(broadcast(centRanked.select("__j", "__cid", "__r")),
+        Seq("__j", "__cid"))
       .groupBy("__id")
       .agg(transform(
-        array_sort(collect_list(struct(col("__j"), col("__cid")))),
-        e => concat_ws(":", e("__j").cast("string"),
-          e("__cid").cast("string"))).as("__ck"))
-    // per-query ADC table: one fixed-point dot per (subspace, codeword)
-    // folded into a single ≤ m·codebookK-entry map — broadcastable
-    val tables = subs(queries, "query_id")
-      .join(broadcast(cent1), "__j")
-      .select(col("query_id"), col("__j"), col("__cid"),
+        array_sort(collect_list(struct(col("__j"), col("__r")))),
+        e => struct(e("__j").as("j"), e("__r").as("r"))).as("__ck"))
+    // per-query ADC table: one fixed-point dot per (subspace,
+    // codeword), folded into a nested array indexed [j][rank] — a
+    // ≤ m·codebookK-entry broadcastable structure whose lookups are
+    // two O(1) array derefs (a Catalyst MAP's element_at is a LINEAR
+    // key scan — measurably catastrophic 16× per candidate)
+    val tables = pqSubs(queries, "query_id", m, d)
+      .join(broadcast(centRanked), "__j")
+      .select(col("query_id"), col("__j"), col("__r"),
         floor(dot(col("__sv"), col("__cv")) * lit(1000000.0))
           .cast("long").as("__tq"))
+      .groupBy("query_id", "__j")
+      .agg(transform(array_sort(collect_list(struct(col("__r"),
+        col("__tq")))), e => e("__tq")).as("__tj"))
       .groupBy("query_id")
-      .agg(map_from_entries(collect_list(struct(
-        concat_ws(":", col("__j").cast("string"),
-          col("__cid").cast("string")), col("__tq")))).as("__tm"))
+      .agg(transform(array_sort(collect_list(struct(col("__j"),
+        col("__tj")))), e => e("__tj")).as("__tm"))
     (codes, tables)
   }
 
-  /** ADC score of one candidate: fold the packed code-key array
-    * against the query's broadcast (j:cid)→tq map. Every key is
-    * present by construction (codes and tables both derive from
-    * cent1's (j, cid) set); the coalesce(0) mirrors the old inner
-    * join's contribute-nothing-on-no-match semantics.
+  /** ADC score of one candidate: fold the packed (j, rank) code array
+    * against the query's nested [j][rank] table — O(1) per entry.
+    * Every address is present by construction (codes and tables both
+    * derive from cent1's (j, cid) set; ranks are contiguous within a
+    * subspace); the coalesce(0) mirrors the old inner join's
+    * contribute-nothing-on-no-match semantics.
     */
-  private def adcSum(codeKeys: Column, tableMap: Column): Column =
-    aggregate(codeKeys, lit(0L),
-      (acc, k) => acc + coalesce(element_at(tableMap, k), lit(0L)))
+  private def adcSum(codeSlots: Column, tbl: Column): Column =
+    aggregate(codeSlots, lit(0L), (acc, s) =>
+      acc + coalesce(element_at(element_at(tbl, s.getField("j") + 1),
+        s.getField("r") + 1), lit(0L)))
 
   /** Embedding-cosine near-duplicate pairs within a blocking key
     * (e.g. a label or coarse LSH bucket): pairs (a<b) with cosine

@@ -76,7 +76,8 @@ object ExtensionQueries {
     cell.forced.foreach(d =>
       try d.unpersist() catch { case _: Throwable => () })
 
-  private def memo(s: SparkSession, dir: String, stage: String)
+  private def memo(s: SparkSession, dir: String, stage: String,
+                   fpFile: String = "documents.parquet")
                   (build: => DataFrame): DataFrame = {
     val it = stageCache.entrySet().iterator()
     while (it.hasNext) {
@@ -84,7 +85,7 @@ object ExtensionQueries {
       if (e.getValue.sc.isStopped) { dropQuietly(e.getValue); it.remove() }
     }
     val key = s"${s.sparkContext.applicationId}|$dir|$stage"
-    val fp = Tables.fingerprint(s"$dir/documents.parquet")
+    val fp = Tables.fingerprint(s"$dir/$fpFile")
     val fresh = new StageCell(fp, s.sparkContext, () => build)
     var cell = stageCache.putIfAbsent(key, fresh)
     if (cell == null) cell = fresh
@@ -115,11 +116,40 @@ object ExtensionQueries {
     * instead of charging it to whichever consumer query happens to run
     * first. Returns (stageName, seconds) per stage built.
     */
+  /** PQ codebook over the embeddings corpus at the queries' default
+    * geometry — trained ONCE per (session, dir) and shared by both PQ
+    * queries (the FAISS train-once/query-many lifecycle; see
+    * Similarity.pqTrain's scaladoc for why an un-materialized
+    * codebook is recomputed per broadcast consumer).
+    */
+  private def pqCodebook(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "pq_codebook", fpFile = "embeddings.parquet") {
+      Similarity.pqTrain(emb(s, dir), m = 16, dims = 64, codebookK = 16)
+    }
+
   def prebuildStages(s: SparkSession, dir: String): Seq[(String, Double)] = {
-    val t0 = System.nanoTime()
-    componentLabels(s, dir).count()
-    Seq("cc_labels" -> (System.nanoTime() - t0) / 1e9)
+    def timed(name: String)(f: => Unit): (String, Double) = {
+      val t0 = System.nanoTime()
+      f
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    Seq(
+      timed("cc_labels") { componentLabels(s, dir).count() },
+      timed("pq_codebook") { pqCodebook(s, dir).count() })
   }
+
+  /** Bench-only: drop this (session, dir)'s memoized stages so
+    * [[prebuildStages]] can time a REBUILD — one-shot stage costs
+    * carry ±0.3 s of scheduling jitter that min-of-k strips for
+    * ordinary queries but a memo would otherwise lock in. Unsupported
+    * while queries over the old frame are in flight (same contract as
+    * fixture regeneration above).
+    */
+  private[graft] def evictStages(s: SparkSession, dir: String): Unit =
+    Seq("cc_labels", "pq_codebook").foreach { stage =>
+      val key = s"${s.sparkContext.applicationId}|$dir|$stage"
+      Option(stageCache.remove(key)).foreach(dropQuietly)
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- Deduplication ------------------------------------------------
@@ -294,7 +324,8 @@ object ExtensionQueries {
     // arithmetic and the ranking is bit-reproducible in the oracle.
     "sim_pq_adc_topk" -> { (s, dir) =>
       val e = emb(s, dir)
-      Similarity.pqTopK(e.filter(col("id") < 50), e, k = 5)
+      Similarity.pqTopK(e.filter(col("id") < 50), e, k = 5,
+        codebook = Some(pqCodebook(s, dir)))
     },
 
     // the full FAISS IVFx,PQy composition: coarse-list pruning, then
@@ -302,7 +333,8 @@ object ExtensionQueries {
     "sim_ivfpq_topk" -> { (s, dir) =>
       val e = emb(s, dir)
       Similarity.ivfPqTopK(e.filter(col("id") < 50), e,
-        Similarity.seedCentroids(e, nlist = 8), k = 5, nprobe = 2)
+        Similarity.seedCentroids(e, nlist = 8), k = 5, nprobe = 2,
+        codebook = Some(pqCodebook(s, dir)))
     },
 
     // -- Text analysis -----------------------------------------------
