@@ -144,6 +144,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("PQ queries consume the memoized codebook instead of " +
+      "retraining it (the train-once / query-many lifecycle)") {
+    // the codebook stage is a localCheckpoint: a query plan that
+    // contains the training aggregations (the per-subspace rank
+    // window) or more than the two legitimate embedding scans
+    // (corpus encode + query table) is re-training per query
+    for (q <- Seq("sim_pq_adc_topk", "sim_ivfpq_topk")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      val p = df.queryExecution.optimizedPlan
+      import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+      val trainingWindows = p.collect {
+        // the training plan's rank window aliases exactly "__r"; the
+        // query's own top-k window aliases "__rn"
+        case w: LWindow if w.windowExpressions.exists(_.name == "__r") => w
+      }
+      assert(trainingWindows.isEmpty,
+        s"$q replans codebook training:\n$p")
+    }
+  }
+
   test("text_surprisal: the token exchange is built once and reused " +
     "by count, total and join branches") {
     val p = finalPlan("text_surprisal")
