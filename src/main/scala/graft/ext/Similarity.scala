@@ -509,6 +509,45 @@ object Similarity {
     (codes, tables)
   }
 
+  /** Two-stage retrieval: PQ/ADC approximate candidate generation
+    * re-scored EXACTLY — the FAISS `IndexRefineFlat` composition and
+    * the shape production retrieval actually ships (a cheap
+    * compressed-domain scan proposes `k·refine` candidates per query;
+    * only those ≤ k·refine rows ever touch full vectors again).
+    *
+    * Scale: stage 1 is [[pqTopK]] (codes-only scan, broadcastable
+    * tables); stage 2 joins the k·refine candidate ids back to the
+    * corpus — an equi-join that shuffles candidates, never the
+    * corpus² — and the final window ranks ≤ k·refine rows per query.
+    * Zero-norm vectors are excluded from re-scoring (cosine is
+    * undefined); raise `refine` if the corpus carries many.
+    *
+    * Cosine op order matches the exact-search operators (dot(q, c) /
+    * (‖q‖·‖c‖), left-fold sums) so scores are bit-reproducible in the
+    * oracle.
+    */
+  def pqRefineTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                   refine: Int = 4, m: Int = 16, dims: Int = 64,
+                   codebookK: Int = 16,
+                   codebook: Option[DataFrame] = None): DataFrame = {
+    require(refine >= 1, "refine factor must be >= 1")
+    val cand = pqTopK(queries, corpus, k * refine, m, dims, codebookK,
+      codebook).select("query_id", "neighbor_id")
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
+      norm(col("vec")).as("__qn")).filter(col("__qn") > 0)
+    val c = corpus.select(col("id").as("neighbor_id"),
+      col("vec").as("cv"), norm(col("vec")).as("__cn"))
+      .filter(col("__cn") > 0)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.join(c, "neighbor_id").join(q, "query_id")
+      .withColumn("cos",
+        dot(col("qv"), col("cv")) / (col("__qn") * col("__cn")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select("query_id", "neighbor_id", "cos")
+  }
+
   /** ADC score of one candidate: fold the packed (j, rank) code array
     * against the query's nested [j][rank] table — O(1) per entry.
     * Every address is present by construction (codes and tables both

@@ -328,6 +328,15 @@ object ExtensionQueries {
         codebook = Some(pqCodebook(s, dir)))
     },
 
+    // two-stage retrieval (FAISS IndexRefineFlat): ADC proposes
+    // k·refine candidates from codes alone; only those rows touch
+    // full vectors again for the exact cosine re-rank
+    "sim_pq_refine_topk" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.pqRefineTopK(e.filter(col("id") < 50), e, k = 5,
+        refine = 4, codebook = Some(pqCodebook(s, dir)))
+    },
+
     // the full FAISS IVFx,PQy composition: coarse-list pruning, then
     // compressed-code ADC scoring of only the probed lists' members
     "sim_ivfpq_topk" -> { (s, dir) =>
@@ -913,7 +922,8 @@ object ExtensionQueries {
     * ADC sums, top-k by (adc DESC, id ASC).
     */
   private def pqOracleSql(m: Int, dims: Int, kk: Int, k: Int,
-                          ivf: Option[(Int, Int)] = None): String = {
+                          ivf: Option[(Int, Int)] = None,
+                          refine: Option[Int] = None): String = {
     val d = dims / m
     // coarse quantizer CTEs (mirrors sim_ivf_topk's cosine
     // assign/probe) + the allowed (query, neighbor) pair set
@@ -969,13 +979,37 @@ object ExtensionQueries {
       s"SELECT t.query_id, cd.vec_id AS neighbor_id, t.tq " +
         s"FROM codes_$j cd JOIN tbl_$j t ON t.cid = cd.cid$restrict")
       .mkString(" UNION ALL ")
-    s"""WITH $ivfCtes${ctes.mkString(",\n")},
-       |parts AS ($parts)
-       |SELECT query_id, neighbor_id, CAST(sum(tq) AS BIGINT) AS adc_q
-       |FROM parts WHERE query_id <> neighbor_id
-       |GROUP BY 1, 2
-       |QUALIFY row_number() OVER (PARTITION BY query_id
-       |  ORDER BY adc_q DESC, neighbor_id) <= $k""".stripMargin
+    // stage-1 candidate cap: k·refine when a refine stage follows,
+    // plain k otherwise
+    val capK = k * refine.getOrElse(1)
+    val adcSel =
+      s"""SELECT query_id, neighbor_id, CAST(sum(tq) AS BIGINT) AS adc_q
+         |FROM parts WHERE query_id <> neighbor_id
+         |GROUP BY 1, 2
+         |QUALIFY row_number() OVER (PARTITION BY query_id
+         |  ORDER BY adc_q DESC, neighbor_id) <= $capK""".stripMargin
+    refine match {
+      case None =>
+        s"""WITH $ivfCtes${ctes.mkString(",\n")},
+           |parts AS ($parts)
+           |$adcSel""".stripMargin
+      case Some(_) =>
+        // exact cosine re-rank of the ADC candidates; same op order
+        // as the Spark side (dot(q,c) / (norm(q)·norm(c))), zero-norm
+        // vectors excluded on both sides
+        s"""WITH $ivfCtes${ctes.mkString(",\n")},
+           |parts AS ($parts),
+           |adc AS ($adcSel)
+           |SELECT a.query_id, a.neighbor_id,
+           |  ${cosSql("q.embedding", "c.embedding")} AS cos
+           |FROM adc a
+           |JOIN embeddings c ON c.vec_id = a.neighbor_id
+           |JOIN embeddings q ON q.vec_id = a.query_id
+           |WHERE (${normSql("c.embedding")}) > 0
+           |  AND (${normSql("q.embedding")}) > 0
+           |QUALIFY row_number() OVER (PARTITION BY a.query_id
+           |  ORDER BY cos DESC, a.neighbor_id) <= $k""".stripMargin
+    }
   }
 
   private def cosSql(a: String, b: String): String =
@@ -1285,6 +1319,9 @@ object ExtensionQueries {
         |  ORDER BY ${cosSql("p.qv", "a.cv")} DESC, neighbor_id) <= 5""".stripMargin),
 
     "sim_pq_adc_topk" -> pqOracleSql(m = 16, dims = 64, kk = 16, k = 5),
+
+    "sim_pq_refine_topk" ->
+      pqOracleSql(m = 16, dims = 64, kk = 16, k = 5, refine = Some(4)),
 
     "sim_ivfpq_topk" ->
       pqOracleSql(m = 16, dims = 64, kk = 16, k = 5, ivf = Some((8, 2))),
