@@ -491,6 +491,59 @@ object TextAnalysis {
       .select("doc_id", "term", "tf", "df", "score_bits", "rnk")
   }
 
+  /** Gopher rule-based quality gate (Rae et al. 2021, appendix A1.1 —
+    * the published heuristic filter every pretraining pipeline runs
+    * before model-based scoring). Token-level rules, each phrased as
+    * EXACT integer arithmetic so the gate is bit-reproducible on any
+    * engine (a mean-word-length bound `3 ≤ sum/n ≤ 10` is evaluated
+    * as `3n ≤ sum ∧ sum ≤ 10n` — no division, no floats):
+    *
+    *   bit 0 — word count outside [minWords, maxWords]
+    *   bit 1 — mean word length outside [3, 10]
+    *   bit 2 — symbol-to-word ratio ('#' chars + '...' runs) ≥ 0.1
+    *   bit 3 — fraction of words with an alphabetic char ≤ 0.8
+    *   bit 4 — fewer than 2 stopword tokens ([[Stopwords]], Gopher's
+    *           "required word" rule with this engine's shared list)
+    *
+    * The paper's LINE-based rules (bullet-start / ellipsis-end
+    * fractions) are deliberately omitted: the corpus fixtures carry no
+    * line structure, and cross-engine line-splitting edge cases (empty
+    * trailing lines) would put un-exercised parity risk in the oracle.
+    *
+    * Output: per-doc feature ints, `fail_mask` (OR of failed rule
+    * bits), and `keep` = fail_mask == 0. Map-only — one projection,
+    * no shuffle, safe at any corpus size.
+    */
+  def gopherRules(docs: DataFrame, id: Column, text: Column,
+                  minWords: Long = 50, maxWords: Long = 100000)
+      : DataFrame = {
+    val toks = tokens(text)
+    val nWords = size(toks).cast("long")
+    val sumLen = aggregate(transform(toks, t => length(t).cast("long")),
+      lit(0L), (a, x) => a + x)
+    val nAlpha = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+    val nHash = (length(text) - length(regexp_replace(text, "#", "")))
+      .cast("long")
+    val nEllipsis = ((length(text) -
+      length(regexp_replace(text, "\\.\\.\\.", ""))) / 3).cast("long")
+    val nStop = size(filter(toks,
+      t => lower(t).isin(Stopwords: _*))).cast("long")
+    val fails = Seq(
+      nWords < minWords || nWords > maxWords,
+      sumLen < lit(3L) * nWords || sumLen > lit(10L) * nWords,
+      lit(10L) * (nHash + nEllipsis) >= nWords,
+      lit(5L) * nAlpha <= lit(4L) * nWords,
+      nStop < 2L)
+    val mask = fails.zipWithIndex
+      .map { case (f, i) => when(f, lit(1L << i)).otherwise(lit(0L)) }
+      .reduce(_ + _)
+    docs.select(id.as("doc_id"), nWords.as("n_words"),
+        sumLen.as("sum_word_len"), nAlpha.as("n_alpha_words"),
+        (nHash + nEllipsis).as("n_symbols"), nStop.as("n_stop"),
+        mask.cast("int").as("fail_mask"))
+      .withColumn("keep", col("fail_mask") === 0)
+  }
+
   /** Corpus vocabulary induction — the id-assignment stage of
     * tokenizer training: frequency-ranked contiguous ids for every
     * token above `minCount`, capped at `vocabSize` entries. Rank

@@ -362,6 +362,15 @@ object ExtensionQueries {
         TextAnalysis.langId(col("text")).as("lang_pred"))
     },
 
+    // Gopher rule-based quality gate: integer-exact heuristics, one
+    // fail bit per rule (minWords=25 — the synthetic docs run 10–99
+    // words, so the paper's 50 would gate half the corpus on length
+    // alone and hide the other rules)
+    "text_gopher_rules" -> { (s, dir) =>
+      TextAnalysis.gopherRules(docs(s, dir), col("doc_id"), col("text"),
+        minWords = 25)
+    },
+
     // Z-order layout key over (user_id, value): the per-bucket census
     // proves the interleave clusters both dimensions — the write-time
     // sort key for double-column data skipping.
@@ -1611,6 +1620,42 @@ object ExtensionQueries {
         |       WHEN $fr >= $es THEN 'fr'
         |       ELSE 'es' END AS lang_pred
         |FROM d""".stripMargin
+    },
+
+    // integer-exact Gopher gate: every rule is multiply-compare on
+    // BIGINTs, so fail_mask/keep hash identically; stop list matches
+    // TextAnalysis.Stopwords, alpha check is the same one-class regex
+    "text_gopher_rules" -> {
+      val stops = graft.ext.TextAnalysis.Stopwords
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH d AS (SELECT doc_id, text, $tokensSql AS toks FROM documents),
+        |f AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_words,
+        |  CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
+        |    AS sum_word_len,
+        |  CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+        |    AS BIGINT) AS n_alpha_words,
+        |  CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) +
+        |    CAST((length(text) - length(replace(text, '...', ''))) // 3
+        |      AS BIGINT) AS n_symbols,
+        |  CAST(len(list_filter(toks, t -> list_contains($stops, lower(t))))
+        |    AS BIGINT) AS n_stop
+        |FROM d)
+        |SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_symbols,
+        |  n_stop,
+        |  CAST((CASE WHEN n_words < 25 OR n_words > 100000 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN sum_word_len < 3 * n_words
+        |            OR sum_word_len > 10 * n_words THEN 2 ELSE 0 END)
+        |    + (CASE WHEN 10 * n_symbols >= n_words THEN 4 ELSE 0 END)
+        |    + (CASE WHEN 5 * n_alpha_words <= 4 * n_words THEN 8 ELSE 0 END)
+        |    + (CASE WHEN n_stop < 2 THEN 16 ELSE 0 END) AS INT) AS fail_mask,
+        |  ((CASE WHEN n_words < 25 OR n_words > 100000 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN sum_word_len < 3 * n_words
+        |            OR sum_word_len > 10 * n_words THEN 2 ELSE 0 END)
+        |    + (CASE WHEN 10 * n_symbols >= n_words THEN 4 ELSE 0 END)
+        |    + (CASE WHEN 5 * n_alpha_words <= 4 * n_words THEN 8 ELSE 0 END)
+        |    + (CASE WHEN n_stop < 2 THEN 16 ELSE 0 END)) = 0 AS keep
+        |FROM f""".stripMargin
     },
 
     "text_ngram_freq" ->

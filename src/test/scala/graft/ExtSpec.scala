@@ -42,6 +42,38 @@ class ExtSpec extends SparkSpec {
     assert(got === Map("a" -> "a", "b" -> "a", "c" -> "a", "z" -> "z"))
   }
 
+  test("gopherRules: each rule bit fires on its crafted violation " +
+      "and a clean doc keeps") {
+    import spark.implicits._
+    val okWords = "the quick brown fox and dog ran over it " * 4 // 36 w
+    val docs = Seq(
+      1L -> okWords,                                // clean → keep
+      2L -> "the of and it is",                     // too short → bit 0
+      3L -> ("xx " * 30 + "the of extraordinarily" +
+        "longtokenthatbreaksmeanlength" * 4),       // still short words OK
+      4L -> (Seq.fill(30)("the of is it").mkString(" ") +
+        " ####################################"),   // symbols vs 121 words
+      5L -> ("the of " + "9 8 7 6 5 4 3 2 1 0 " * 3), // digits → alpha bit
+      6L -> ("zebra yak xun walrus vole urchin tapir snail rhino quail " * 3)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, $"doc_id", $"text",
+        minWords = 10, maxWords = 1000)
+      .select($"doc_id", $"fail_mask", $"keep")
+      .as[(Long, Int, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === ((0, true)))
+    assert((out(2L)._1 & 1) === 1 && !out(2L)._2)      // word count
+    assert((out(4L)._1 & 4) === 4 && !out(4L)._2)      // symbol ratio
+    assert((out(5L)._1 & 8) === 8 && !out(5L)._2)      // alpha fraction
+    assert((out(6L)._1 & 16) === 16 && !out(6L)._2)    // stopwords < 2
+    // mean word length: one doc of 1-char tokens fails low bound
+    val short = Seq(7L -> ("a b " * 10 + "the of")).toDF("doc_id", "text")
+    val m7 = TextAnalysis.gopherRules(short, $"doc_id", $"text",
+      minWords = 5, maxWords = 1000)
+      .select($"fail_mask").as[Int].head()
+    assert((m7 & 2) === 2)
+  }
+
   test("punctRatio and qualityScore survive an empty document") {
     val got = Seq((1L, ""), (2L, "hi!")).toDF("doc_id", "text")
       .select($"doc_id", TextAnalysis.punctRatio($"text").as("p"),
