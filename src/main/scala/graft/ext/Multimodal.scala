@@ -32,6 +32,23 @@ case class AudioFeatures(
     n_samples: Long,
     duration_ms: Long)
 
+/** Decoded video container features; real for MP4/ISO-BMFF payloads
+  * ([[VideoHeader]]), hash stand-in (`format` = "raw") otherwise.
+  * `n_sampled_1hz` is the 1-frame-per-second sampling plan every
+  * vision-language pipeline starts from: how many frames a 1 Hz
+  * sampler pulls from this clip (floor(duration)+1, the t=0 frame
+  * included).
+  */
+case class VideoFeatures(
+    doc_id: Long,
+    byte_len: Long,
+    format: String,
+    n_tracks: Int,
+    timescale: Long,
+    duration_ticks: Long,
+    duration_ms: Long,
+    n_sampled_1hz: Long)
+
 /** Multimodal-column handling: media as opaque `binary` columns with
   * typed metadata, decoded per-partition.
   *
@@ -125,6 +142,37 @@ object Multimodal {
                 (java.lang.Long.parseLong(hex.substring(7, 14), 16) % 2)
                   .toInt + 1,
                 rate, 16, n.toLong, n * 1000L / rate)
+          }
+        }
+      }
+  }
+
+  /** Per-partition batch decode of (doc_id, blob) video rows: real
+    * MP4/ISO-BMFF box walk ([[VideoHeader]]); non-video payloads get
+    * the deterministic hash stand-in with format "raw". All derived
+    * fields are exact long arithmetic (floor), reproducible in SQL.
+    */
+  def decodeVideo(df: DataFrame): Dataset[VideoFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          VideoHeader.parseMp4(bytes) match {
+            case Some(h) =>
+              val ms = h.durationTicks * 1000L / h.timescale
+              VideoFeatures(id, bytes.length.toLong, "mp4", h.nTracks,
+                h.timescale, h.durationTicks, ms, ms / 1000L + 1L)
+            case None =>
+              val hex = md5Hex(bytes)
+              val ts = 600L
+              val dur = java.lang.Long.parseLong(hex.substring(0, 7), 16) %
+                36000L
+              val ms = dur * 1000L / ts
+              VideoFeatures(id, bytes.length.toLong, "raw",
+                (java.lang.Long.parseLong(hex.substring(7, 14), 16) % 3)
+                  .toInt + 1,
+                ts, dur, ms, ms / 1000L + 1L)
           }
         }
       }

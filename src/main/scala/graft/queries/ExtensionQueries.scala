@@ -868,6 +868,36 @@ object ExtensionQueries {
           "bits_per_sample", "n_samples", "duration_ms")
     },
 
+    // real MP4/ISO-BMFF parsing, verified end-to-end like
+    // mm_decode_image: synthesize a spec-shaped container (ftyp, moov
+    // with a v0 mvhd and n empty trak boxes — sizes, timescale and
+    // duration closed forms of doc_id), walk it with the SAME
+    // VideoHeader box parser production payloads would hit, and let
+    // the oracle recompute every fact in closed form
+    "mm_decode_video" -> { (s, dir) =>
+      val nTracks = (pmod(col("doc_id"), lit(3)) + 1).cast("int")
+      val timescale = ((pmod(col("doc_id"), lit(3)) + 1) * 600).cast("int")
+      val duration =
+        (pmod(col("doc_id") * 7, lit(36000)) + 600).cast("int")
+      // mvhd v0: 108-byte box — header, version/flags, ctime, mtime,
+      // timescale, duration, then 80 spec-reserved/matrix bytes of 0
+      val mvhd = concat(
+        lit("0000006C" + "6D766864" + "00000000" + "00000000" +
+          "00000000"),
+        hexBe32(timescale), hexBe32(duration), lit("0" * 160))
+      val moov = concat(
+        hexBe32(lit(116) + lit(8) * nTracks), lit("6D6F6F76"), mvhd,
+        array_join(transform(sequence(lit(1), nTracks),
+          _ => lit("00000008" + "7472616B")), ""))
+      val mp4 = concat(
+        lit("00000010" + "66747970" + "69736F6D" + "00000000"), moov)
+      Multimodal.decodeVideo(docs(s, dir).select(col("doc_id"))
+          .withColumn("blob", to_binary(mp4, lit("hex"))))
+        .toDF()
+        .select("doc_id", "byte_len", "format", "n_tracks", "timescale",
+          "duration_ticks", "duration_ms", "n_sampled_1hz")
+    },
+
     // resize + frame-sample plumbing over the decoded features
     "mm_thumbnail" -> { (s, dir) =>
       val feats = Multimodal.decodeFeatures(
@@ -2074,5 +2104,21 @@ object ExtensionQueries {
         |  CAST(doc_id % 100 + 1 AS BIGINT) AS n_samples,
         |  CAST((doc_id % 100 + 1) * 1000 // ((doc_id % 3 + 1) * 8000)
         |       AS BIGINT) AS duration_ms
+        |FROM documents""".stripMargin,
+
+    // closed-form recomputation of the synthesized MP4's facts:
+    // byte_len = ftyp(16) + moov header(8) + mvhd(108) + 8 per trak
+    "mm_decode_video" ->
+      """SELECT doc_id,
+        |  CAST(132 + 8 * (doc_id % 3 + 1) AS BIGINT) AS byte_len,
+        |  'mp4' AS format,
+        |  CAST(doc_id % 3 + 1 AS INT) AS n_tracks,
+        |  CAST((doc_id % 3 + 1) * 600 AS BIGINT) AS timescale,
+        |  CAST((doc_id * 7) % 36000 + 600 AS BIGINT) AS duration_ticks,
+        |  CAST(((doc_id * 7) % 36000 + 600) * 1000
+        |       // ((doc_id % 3 + 1) * 600) AS BIGINT) AS duration_ms,
+        |  CAST((((doc_id * 7) % 36000 + 600) * 1000
+        |       // ((doc_id % 3 + 1) * 600)) // 1000 + 1
+        |       AS BIGINT) AS n_sampled_1hz
         |FROM documents""".stripMargin)
 }

@@ -74,6 +74,40 @@ class ExtSpec extends SparkSpec {
     assert((m7 & 2) === 2)
   }
 
+  test("VideoHeader: v0/v1 mvhd, largesize moov, trak count; text " +
+      "never misparses") {
+    import graft.ext.VideoHeader
+    def hex(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").grouped(2)
+        .map(Integer.parseInt(_, 16).toByte).toArray
+    val ftyp = "00000010 66747970 69736F6D 00000000"
+    // v0 mvhd (108 B), timescale 600, duration 1234, two empty traks
+    val mvhd0 = "0000006C 6D766864 00000000 00000000 00000000" +
+      " 00000258 000004D2" + "00" * 80
+    val v0 = hex(ftyp + f"${8 + 108 + 16}%08X" + "6D6F6F76" + mvhd0 +
+      "00000008 7472616B" + "00000008 7472616B")
+    assert(VideoHeader.parseMp4(v0) ===
+      Some(VideoHeader.Mp4Header(2, 600L, 1234L)))
+    // v1 mvhd (120 B): 64-bit ctime/mtime/duration, timescale at +28
+    val mvhd1 = "00000078 6D766864 01000000" +
+      "0000000000000000 0000000000000000" +        // ctime, mtime (64)
+      "00000258" + "00000000000004D2" + "00" * 80  // ts, duration (64)
+    val v1 = hex(ftyp + f"${8 + 120}%08X" + "6D6F6F76" + mvhd1)
+    assert(VideoHeader.parseMp4(v1) ===
+      Some(VideoHeader.Mp4Header(0, 600L, 1234L)))
+    // largesize moov (size==1 + 64-bit size, 16-byte header)
+    val vL = hex(ftyp + "00000001" + "6D6F6F76" +
+      f"${16 + 108}%016X" + mvhd0)
+    assert(VideoHeader.parseMp4(vL) ===
+      Some(VideoHeader.Mp4Header(0, 600L, 1234L)))
+    // printable text: BE32 "size" >= 0x20202020 fails the ftyp bound
+    assert(VideoHeader.parseMp4(
+      "this is definitely not an mp4 container at all ...."
+        .getBytes("UTF-8")) === None)
+    // truncated moov: walk must fail closed, not read past the buffer
+    assert(VideoHeader.parseMp4(v0.dropRight(10)) === None)
+  }
+
   test("punctRatio and qualityScore survive an empty document") {
     val got = Seq((1L, ""), (2L, "hi!")).toDF("doc_id", "text")
       .select($"doc_id", TextAnalysis.punctRatio($"text").as("p"),
