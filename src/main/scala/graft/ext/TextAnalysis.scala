@@ -491,6 +491,58 @@ object TextAnalysis {
       .select("doc_id", "term", "tf", "df", "score_bits", "rnk")
   }
 
+  /** URL canonicalization — the dedup key every web-corpus pipeline
+    * computes before URL-level dedup (Common-Crawl style): lowercase
+    * scheme and host, strip the scheme's default port (http:80 /
+    * https:443), drop the fragment, remove tracking parameters
+    * (utm_*, fbclid, gclid), sort surviving query parameters, and
+    * normalize the path's trailing slash (root stays "/"). Pure
+    * string/array expressions — map-only, codegen'd, and written so
+    * the identical algorithm runs in the oracle's SQL (each step is a
+    * regexp/split/filter/sort with engine-identical semantics; the
+    * trailing-slash regexp anchors to one match so first-match and
+    * global replace agree).
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val scheme = lower(regexp_extract(u,
+      "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(u,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = when(scheme === "http",
+        regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    // path + query, fragment dropped
+    val rest = regexp_extract(u,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    val qPos = instr(rest, "?")
+    val path0 = when(qPos > 0, substring_index(rest, "?", 1))
+      .otherwise(rest)
+    val query0 = when(qPos > 0, rest.substr(qPos + 1, length(rest)))
+      .otherwise(lit(""))
+    val params = filter(split(query0, "&"), p =>
+      !(p.rlike("^(utm_[A-Za-z0-9]+|fbclid|gclid)=") || p === ""))
+    val queryNorm = array_join(array_sort(params), "&")
+    val p1 = regexp_replace(path0, "/+$", "")
+    val pathNorm = when(p1 === "", lit("/")).otherwise(p1)
+    concat(scheme, lit("://"), host, pathNorm,
+      when(queryNorm =!= "", concat(lit("?"), queryNorm))
+        .otherwise(lit("")))
+  }
+
+  /** The lowercased host (default port stripped) of a URL — the
+    * domain key for per-site statistics and domain-mix sampling.
+    */
+  def urlHost(u: Column): Column = {
+    val scheme = lower(regexp_extract(u,
+      "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(u,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+  }
+
   /** Gopher rule-based quality gate (Rae et al. 2021, appendix A1.1 —
     * the published heuristic filter every pretraining pipeline runs
     * before model-based scoring). Token-level rules, each phrased as

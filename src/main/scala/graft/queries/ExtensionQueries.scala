@@ -362,6 +362,36 @@ object ExtensionQueries {
         TextAnalysis.langId(col("text")).as("lang_pred"))
     },
 
+    // URL canonicalization — the web-corpus dedup key. The fixture
+    // has no URL column, so messy URLs (mixed-case scheme/host,
+    // default and explicit ports, tracking params, unsorted params,
+    // fragments, trailing slashes) are synthesized from doc_id (same
+    // shim idea as text_redact_pii) and the SAME normalization
+    // algorithm runs on both engines.
+    "text_url_canonical" -> { (s, dir) =>
+      val id = col("doc_id")
+      val scheme = when(pmod(id, lit(2)) === 0, lit("HTTP"))
+        .otherwise(lit("HTTPS"))
+      val port = when(pmod(id, lit(4)) === 0, lit(":80"))
+        .when(pmod(id, lit(5)) === 0, lit(":8080")).otherwise(lit(""))
+      val hostStr = concat(lit("WWW.Site"),
+        pmod(id, lit(7)).cast("string"), lit(".COM"), port)
+      val path = concat(lit("/Dir"), pmod(id, lit(9)).cast("string"),
+        lit("/Page"),
+        when(pmod(id, lit(2)) === 0, lit("/")).otherwise(lit("")))
+      val q = when(pmod(id, lit(3)) === 0,
+          concat(lit("?utm_source=feed&b="),
+            pmod(id, lit(5)).cast("string"), lit("&a=1")))
+        .when(pmod(id, lit(3)) === 1, lit("?z=9&fbclid=track&y=2"))
+        .otherwise(lit(""))
+      val frag = when(pmod(id, lit(6)) === 0, lit("#section"))
+        .otherwise(lit(""))
+      val url = concat(scheme, lit("://"), hostStr, path, q, frag)
+      docs(s, dir).select(id.as("doc_id"), url.as("url"),
+        TextAnalysis.canonicalizeUrl(url).as("canonical_url"),
+        TextAnalysis.urlHost(url).as("host"))
+    },
+
     // Gopher rule-based quality gate: integer-exact heuristics, one
     // fail bit per rule (minWords=25 — the synthetic docs run 10–99
     // words, so the paper's 50 would gate half the corpus on length
@@ -1651,6 +1681,56 @@ object ExtensionQueries {
         |       ELSE 'es' END AS lang_pred
         |FROM d""".stripMargin
     },
+
+    // the same synthesis and the same canonicalization algorithm,
+    // step for step, in DuckDB (regexp_extract groups, list filter/
+    // sort, strpos-based query split)
+    "text_url_canonical" ->
+      """WITH u AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'HTTPS' END) ||
+        |  '://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.COM' ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN ':80'
+        |        WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END) ||
+        |  '/Dir' || CAST(doc_id % 9 AS VARCHAR) || '/Page' ||
+        |  (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&b=' ||
+        |          CAST(doc_id % 5 AS VARCHAR) || '&a=1'
+        |        WHEN doc_id % 3 = 1 THEN '?z=9&fbclid=track&y=2'
+        |        ELSE '' END) ||
+        |  (CASE WHEN doc_id % 6 = 0 THEN '#section' ELSE '' END)
+        |  AS url FROM documents),
+        |parts AS (SELECT doc_id, url,
+        |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |    AS scheme,
+        |  lower(regexp_extract(url,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+        |  regexp_extract(url,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest
+        |FROM u),
+        |norm AS (SELECT doc_id, url, scheme,
+        |  CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |       WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |       ELSE hostport END AS host,
+        |  CASE WHEN strpos(rest, '?') > 0
+        |       THEN substr(rest, 1, strpos(rest, '?') - 1)
+        |       ELSE rest END AS path0,
+        |  CASE WHEN strpos(rest, '?') > 0
+        |       THEN substr(rest, strpos(rest, '?') + 1) ELSE '' END AS q0
+        |FROM parts),
+        |qn AS (SELECT doc_id, url, scheme, host, path0,
+        |  array_to_string(list_sort(list_filter(string_split(q0, '&'),
+        |    p -> NOT regexp_matches(p,
+        |      '^(utm_[A-Za-z0-9]+|fbclid|gclid)=') AND p <> '')), '&')
+        |    AS qnorm
+        |FROM norm)
+        |SELECT doc_id, url,
+        |  scheme || '://' || host ||
+        |  (CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+        |        ELSE regexp_replace(path0, '/+$', '') END) ||
+        |  (CASE WHEN qnorm <> '' THEN '?' || qnorm ELSE '' END)
+        |    AS canonical_url,
+        |  host
+        |FROM qn""".stripMargin,
 
     // integer-exact Gopher gate: every rule is multiply-compare on
     // BIGINTs, so fail_mask/keep hash identically; stop list matches

@@ -74,6 +74,22 @@ class ExtSpec extends SparkSpec {
     assert((m7 & 2) === 2)
   }
 
+  test("canonicalizeUrl: default ports per scheme, root path, " +
+      "tracking-only query, fragment, param sort") {
+    import spark.implicits._
+    val cases = Seq(
+      "HTTPS://Ex.COM:443/" -> "https://ex.com/",
+      "https://ex.com:8443/" -> "https://ex.com:8443/",   // non-default kept
+      "http://ex.com" -> "http://ex.com/",                // empty path → root
+      "http://ex.com/?utm_source=a&utm_medium=b" -> "http://ex.com/",
+      "http://ex.com/p?b=2&a=1#frag" -> "http://ex.com/p?a=1&b=2",
+      "http://ex.com:443/p" -> "http://ex.com:443/p",     // 443 on http kept
+      "http://ex.com/p///" -> "http://ex.com/p")
+    val got = cases.map(_._1).toDF("url")
+      .select(TextAnalysis.canonicalizeUrl($"url")).as[String].collect()
+    assert(got.toSeq === cases.map(_._2))
+  }
+
   test("VideoHeader: v0/v1 mvhd, largesize moov, trak count; text " +
       "never misparses") {
     import graft.ext.VideoHeader
