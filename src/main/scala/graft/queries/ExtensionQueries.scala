@@ -413,6 +413,28 @@ object ExtensionQueries {
           max("zkey").as("zmax"))
     },
 
+    // Bucketed co-located join: both sides hash-bucketed into the
+    // same bucket count on doc_id, so the join needs NO exchange on
+    // either side (PlanSpec pins it) — the write-once/join-many
+    // physical layout for repeated fact-table joins at corpus scale.
+    // The result is the plain join's rows, so the oracle is ordinary
+    // SQL over the raw table.
+    "layout_bucket_join" -> { (s, dir) =>
+      import graft.sources.BucketedTables
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_bucketed"
+      BucketedTables.writeBucketed(
+        docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+        "graft_docs_bkt", s"$tmp/docs", "doc_id", buckets = 8)
+      BucketedTables.writeBucketed(
+        docs(s, dir).select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long")
+            .as("n_tokens")),
+        "graft_stats_bkt", s"$tmp/stats", "doc_id", buckets = 8)
+      s.table("graft_docs_bkt")
+        .join(s.table("graft_stats_bkt"), "doc_id")
+        .select("doc_id", "lang", "n_chars", "n_tokens")
+    },
+
     // Hilbert layout key over the same two dimensions: the
     // locality-better write-time sort (consecutive keys always
     // grid-adjacent), computed by the native codegen kernel.
@@ -1880,6 +1902,13 @@ object ExtensionQueries {
     },
 
     // inputs wrapped pmod-style (((x % m) + m) % m): DuckDB % keeps
+    // bucketing is physical layout; the logical result is the plain
+    // join
+    "layout_bucket_join" ->
+      s"""SELECT doc_id, lang, n_chars,
+         |  CAST(len($tokensSql) AS BIGINT) AS n_tokens
+         |FROM documents""".stripMargin,
+
     // the dividend's sign, Spark pmod does not — without this the two
     // sides disagree on negative ids
     "layout_zorder" ->

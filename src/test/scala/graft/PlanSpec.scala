@@ -272,6 +272,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("layout_bucket_join: co-located — the bucketed join reads " +
+      "both sides with NO exchange") {
+    // the whole point of the bucketed layout: the join's required
+    // hash distribution is satisfied by the tables themselves; force
+    // the shuffle-join path (tiny test data would broadcast) and
+    // assert nothing re-partitions
+    withBroadcastDisabled {
+      val df = SparkEntry.queries("layout_bucket_join")(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$p")
+      assert(p.contains("Bucketed: true"), s"scan not bucketed:\n$p")
+    }
+  }
+
   test("emb_kmeans: centroid joins broadcast, never cartesian") {
     // both Lloyd iterations cross-join the corpus against ≤k centroid
     // rows; the bounded side must broadcast — a CartesianProduct would
