@@ -498,6 +498,33 @@ class StreamSpec extends SparkSpec {
       assert(got === want)
       assert(got(1L) === got(3L)) // same source, same split — always
     } finally sq2.stop()
+    // the Gopher quality gate is a map-only projection too: identical
+    // verdicts on a stream as in batch, no state store
+    val gIn = MemoryStream[(Long, String)]
+    val gDocs = Seq(
+      1L -> ("the quick brown fox and dog ran over it " * 4),
+      2L -> "the of and it is")
+    val gq = graft.ext.TextAnalysis.gopherRules(
+      gIn.toDF().toDF("doc_id", "text"), $"doc_id", $"text",
+      minWords = 10, maxWords = 1000)
+      .select("doc_id", "fail_mask", "keep")
+      .writeStream.format("memory").queryName("gopher_stream_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      gIn.addData(gDocs: _*)
+      gq.processAllAvailable()
+      val got = spark.table("gopher_stream_out")
+        .as[(Long, Int, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val want = graft.ext.TextAnalysis.gopherRules(
+        gDocs.toDF("doc_id", "text"), $"doc_id", $"text",
+        minWords = 10, maxWords = 1000)
+        .select("doc_id", "fail_mask", "keep")
+        .as[(Long, Int, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got === want)
+      assert(want(1L)._2 && !want(2L)._2) // the gate discriminates
+    } finally gq.stop()
   }
 
   test("sessionCounts merges session windows across batches") {
