@@ -31,19 +31,34 @@ object Sampling {
     PortableHash.md5PrefixLong(concat(lit(salt), id.cast("string")), 15)
 
   /** Exactly `n` rows per stratum (fewer if the stratum is smaller):
-    * the n smallest hash ranks, ties broken by id. The window form
-    * shuffles each stratum to one partition — for heavily skewed
-    * strata sizes swap in the bounded TopKAggregator, which carries
-    * ≤ n rows per (stratum, mapper) through the shuffle.
+    * the n smallest hash ranks, ties broken by id. Two-phase so a
+    * giant stratum never funnels through one task (strata are often
+    * LOW-cardinality — a handful of domains over billions of rows):
+    * phase 1 ranks within (stratum, id-hash shard) — 32-way parallel
+    * per stratum — and phase 2 re-ranks only the ≤ 32·n shard
+    * winners. Top-n is distributive over any partition of the input,
+    * so the result is row-identical to the single-window form.
     */
   def fixedSizeStratifiedSample(df: DataFrame, id: Column, stratum: Column,
                                 n: Int, salt: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(stratum)
-      .orderBy(hashRank(id, salt), id)
-    df.withColumn("__rn", row_number().over(w))
+    val shards = 32
+    val w1 = Window.partitionBy(col("__st"), col("__shard"))
+      .orderBy(col("__hr"), col("__sid"))
+    val w2 = Window.partitionBy(col("__st"))
+      .orderBy(col("__hr"), col("__sid"))
+    df.withColumn("__st", stratum)
+      .withColumn("__sid", id)
+      .withColumn("__hr", hashRank(id, salt))
+      .withColumn("__shard",
+        pmod(PortableHash.md5PrefixLong(
+          concat(lit(salt), lit("shard:"), id.cast("string")), 7),
+          lit(shards)))
+      .withColumn("__rn1", row_number().over(w1))
+      .filter(col("__rn1") <= n)
+      .withColumn("__rn", row_number().over(w2))
       .filter(col("__rn") <= n)
-      .drop("__rn")
+      .drop("__st", "__sid", "__hr", "__shard", "__rn1", "__rn")
   }
 
   /** Keep rows whose hash bucket falls under their stratum's

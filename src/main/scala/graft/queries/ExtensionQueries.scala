@@ -703,16 +703,28 @@ object ExtensionQueries {
         terms = Bm25Terms, k = 20)
     },
 
-    // Corpus n-gram statistics: top-5 word bigrams per language —
-    // explode + count (map-side combine) + bounded window top-k.
+    // Corpus n-gram statistics: top-5 word bigrams per language.
+    // lang is a LOW-cardinality key over a web-scale distinct-gram
+    // set, so the rank is two-phase (the bm25TopK lesson): phase 1
+    // ranks within (lang, gram-hash shard) — 32-way parallel per
+    // language — phase 2 re-ranks only the ≤ 32·5 shard winners.
+    // Top-k is distributive, so rows are identical to a single
+    // per-lang window.
     "text_ngram_freq" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val grams = docs(s, dir).select(col("lang"),
         explode(TextAnalysis.shingles(col("text"), 2)).as("gram"))
         .groupBy("lang", "gram").agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy("lang")
+        .withColumn("__shard",
+          pmod(PortableHash.md5PrefixLong(
+            concat(lit("ngram-shard:"), col("gram")), 7), lit(32)))
+      val w1 = Window.partitionBy("lang", "__shard")
         .orderBy(col("n").desc, col("gram"))
-      grams.withColumn("rnk", row_number().over(w))
+      val w2 = Window.partitionBy("lang")
+        .orderBy(col("n").desc, col("gram"))
+      grams.withColumn("__rn1", row_number().over(w1))
+        .filter(col("__rn1") <= 5)
+        .withColumn("rnk", row_number().over(w2))
         .filter(col("rnk") <= 5)
         .select(col("lang"), col("gram"), col("n"),
           col("rnk").cast("int").as("rnk"))
