@@ -548,6 +548,36 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos")
   }
 
+  /** The full production ladder in one call: IVF coarse pruning →
+    * PQ/ADC compressed scoring → exact re-rank of the k·refine
+    * survivors ([[ivfPqTopK]] composed with [[pqRefineTopK]]'s refine
+    * stage — FAISS `IVFx,PQy` wrapped in `IndexRefineFlat`). At scale
+    * each query touches nprobe/nlist of the codes, and full vectors
+    * only for k·refine candidate rows.
+    */
+  def ivfPqRefineTopK(queries: DataFrame, corpus: DataFrame,
+                      centroids: DataFrame, k: Int, nprobe: Int,
+                      refine: Int = 4, m: Int = 16, dims: Int = 64,
+                      codebookK: Int = 16,
+                      codebook: Option[DataFrame] = None): DataFrame = {
+    require(refine >= 1, "refine factor must be >= 1")
+    val cand = ivfPqTopK(queries, corpus, centroids, k * refine, nprobe,
+      m, dims, codebookK, codebook).select("query_id", "neighbor_id")
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
+      norm(col("vec")).as("__qn")).filter(col("__qn") > 0)
+    val c = corpus.select(col("id").as("neighbor_id"),
+      col("vec").as("cv"), norm(col("vec")).as("__cn"))
+      .filter(col("__cn") > 0)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.join(c, "neighbor_id").join(q, "query_id")
+      .withColumn("cos",
+        dot(col("qv"), col("cv")) / (col("__qn") * col("__cn")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select("query_id", "neighbor_id", "cos")
+  }
+
   /** ADC score of one candidate: fold the packed (j, rank) code array
     * against the query's nested [j][rank] table — O(1) per entry.
     * Every address is present by construction (codes and tables both

@@ -346,6 +346,15 @@ object ExtensionQueries {
         codebook = Some(pqCodebook(s, dir)))
     },
 
+    // the complete production index: IVF pruning + PQ scoring + exact
+    // re-rank of the k·refine survivors
+    "sim_ivfpq_refine_topk" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.ivfPqRefineTopK(e.filter(col("id") < 50), e,
+        Similarity.seedCentroids(e, nlist = 8), k = 5, nprobe = 2,
+        refine = 4, codebook = Some(pqCodebook(s, dir)))
+    },
+
     // -- Text analysis -----------------------------------------------
     "text_stats" -> { (s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -1428,6 +1437,10 @@ object ExtensionQueries {
 
     "sim_ivfpq_topk" ->
       pqOracleSql(m = 16, dims = 64, kk = 16, k = 5, ivf = Some((8, 2))),
+
+    "sim_ivfpq_refine_topk" ->
+      pqOracleSql(m = 16, dims = 64, kk = 16, k = 5, ivf = Some((8, 2)),
+        refine = Some(4)),
 
     "text_bm25_topk" -> bm25OracleSql(Bm25Terms, k = 20),
 
