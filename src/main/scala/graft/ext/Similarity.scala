@@ -122,6 +122,42 @@ object Similarity {
     emb.select(id.as("id") +: outCols.toIndexedSeq: _*)
   }
 
+  /** Int8 scalar quantization — the storage form production embedding
+    * stores keep vectors in (4× smaller than float32, cheap SIMD
+    * distance kernels): per-dimension global [min, max] over the
+    * corpus, then code = floor((x − min)·255 / (max − min)), clamped
+    * to [0, 255] (a constant dimension codes to 0). floor of a double
+    * quotient, not round(): both engines round-half differently, but
+    * floor of the identically-computed quotient is bit-exact. Output
+    * is the code sequence as a space-joined string in dimension order
+    * (hashable, engine-comparable) plus the per-vector code min/max.
+    *
+    * Shape at scale: one dims-row aggregate (map-side combine)
+    * broadcast back to a map-only encode pass — no shuffle of the
+    * corpus itself beyond the stats aggregation.
+    */
+  def quantizeInt8(emb: DataFrame, id: Column, vec: Column,
+                   dims: Int): DataFrame = {
+    val exploded = emb.select(id.as("id"),
+      posexplode(dimsGuard(vec, dims)).as(Seq("__i", "__x")))
+      .withColumn("__x", col("__x").cast("double"))
+    val stats = exploded.groupBy("__i")
+      .agg(min(col("__x")).as("__lo"), max(col("__x")).as("__hi"))
+    val code = when(col("__hi") === col("__lo"), lit(0))
+      .otherwise(least(lit(255), greatest(lit(0),
+        floor((col("__x") - col("__lo")) * lit(255.0) /
+          (col("__hi") - col("__lo"))).cast("int"))))
+    exploded.join(broadcast(stats), "__i")
+      .select(col("id"), col("__i"), code.as("__c"))
+      .groupBy("id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__i"), col("__c")))),
+          e => e("__c").cast("string")), " ").as("codes"),
+        min(col("__c")).as("code_min"),
+        max(col("__c")).as("code_max"))
+  }
+
   /** LSH bucket id: `planes` sign bits of hyperplane projections. */
   def lshBucket(vec: Column, planes: Array[Array[Int]]): Column = {
     val v = dimsGuard(vec, planes(0).length)

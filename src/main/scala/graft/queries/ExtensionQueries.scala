@@ -703,6 +703,14 @@ object ExtensionQueries {
         outDims = 8, dims = 64)
     },
 
+    // int8 scalar quantization — the 4×-smaller storage form vector
+    // stores keep embeddings in; floor-based codes so both engines
+    // agree bit for bit
+    "emb_quantize_int8" -> { (s, dir) =>
+      Similarity.quantizeInt8(emb(s, dir), col("id"), col("vec"),
+        dims = 64)
+    },
+
     // BM25 relevance ranking against fixed seed terms — the
     // retrieval-scoring stage of corpus curation. Integer-only output
     // (tf/dl/rank): libm ln is not bit-portable, so the score stays
@@ -1688,6 +1696,25 @@ object ExtensionQueries {
       }.mkString(",\n  ")
       s"SELECT vec_id AS id,\n  $cols\nFROM embeddings"
     },
+
+    // identical floor-quotient arithmetic: per-dim global min/max,
+    // code = floor((x-lo)*255/(hi-lo)) clamped — both engines compute
+    // the same doubles, and floor (unlike round) ties identically
+    "emb_quantize_int8" ->
+      """WITH x AS (SELECT vec_id AS id, i.i AS i,
+        |    CAST(embedding[i.i] AS DOUBLE) AS x
+        |  FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i) i),
+        |st AS (SELECT i, min(x) AS lo, max(x) AS hi FROM x GROUP BY 1),
+        |c AS (SELECT id, x.i,
+        |  CASE WHEN hi = lo THEN 0
+        |       ELSE least(255, greatest(0,
+        |         CAST(floor((x - lo) * 255.0 / (hi - lo)) AS INT))) END AS c
+        |  FROM x JOIN st USING (i))
+        |SELECT id,
+        |  string_agg(CAST(c AS VARCHAR), ' ' ORDER BY i) AS codes,
+        |  CAST(min(c) AS INT) AS code_min,
+        |  CAST(max(c) AS INT) AS code_max
+        |FROM c GROUP BY id""".stripMargin,
 
     // window=32, overlap=8, stride=24 — constants mirrored from the
     // Spark call; chunk count = floor((n - overlap - 1)/stride) + 1
