@@ -706,4 +706,121 @@ object TextAnalysis {
         coalesce(expr("(surprisal_bits * 1000) div n_tokens"), lit(0L))
           .as("mean_millibits"))
   }
+
+  /** DSIR importance weights (Xie et al., NeurIPS 2023 — Data
+    * Selection via Importance Resampling): score every raw document by
+    * log p_target(x)/p_raw(x) under bag-of-unigram language models,
+    * where the target distribution comes from a caller-marked subset
+    * (the domain you want more of) and raw is the whole corpus. High
+    * weight = looks like the target domain; downstream, resample
+    * ∝ weight (compose with [[Sampling]]) or threshold via
+    * [[ccnetBuckets]]-style terciles.
+    *
+    * Bit-exact integer arithmetic (the engine's reproducibility
+    * contract — no floating log):
+    *
+    *   dsir_bits(doc) = Σ_t [⌊log2(c_tgt(t)+1)⌋ − ⌊log2(c_raw(t)+1)⌋]
+    *                  + n_tokens·(⌊log2(N_raw+V)⌋ − ⌊log2(N_tgt+V)⌋)
+    *
+    * with c_* the add-one-smoothed unigram counts, N_* the model
+    * token totals, V the raw vocabulary size (shared smoothing
+    * denominator). SCALE SHAPE: one token explode feeding both count
+    * models through a single explicit token exchange (the
+    * [[unigramSurprisal]] pattern), scalar totals broadcast, per-doc
+    * sum, left-join spine so every doc keeps a row. No windows, no
+    * driver state.
+    *
+    * Output: (doc_id, n_tokens, dsir_bits, mean_millibits) with
+    * mean_millibits = 1000·dsir_bits div n_tokens (length-normalized
+    * comparison score; 0 for empty docs).
+    */
+  def dsirWeights(docs: DataFrame, id: Column, text: Column,
+                  isTarget: Column): DataFrame = {
+    val toks = docs
+      .select(id.as("doc_id"), isTarget.cast("boolean").as("__tgt"),
+        explode(tokens(text)).as("__t"))
+      .filter(col("__t") =!= "")
+      // ONE exchange on the token shared by the raw counts, the
+      // target counts, and the scoring join
+      .repartition(col("__t"))
+    // both models from one aggregation: raw count + target count per
+    // token (conditional sum), so the models cannot drift apart
+    val cnt = toks.groupBy("__t").agg(
+      count(lit(1)).as("__cr"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"))
+    val totals = cnt.agg(
+      sum("__cr").as("__nr"), sum("__ct").as("__nt"),
+      count(lit(1)).as("__v"))
+    val scored = toks.join(cnt, "__t")
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(floorLog2(col("__ct") + 1L) - floorLog2(col("__cr") + 1L)
+          + (floorLog2(col("__nr") + col("__v"))
+            - floorLog2(col("__nt") + col("__v")))).as("dsir_bits"))
+    docs.select(id.as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("dsir_bits"), lit(0L)).as("dsir_bits"),
+        coalesce(expr("(dsir_bits * 1000) div n_tokens"), lit(0L))
+          .as("mean_millibits"))
+  }
+
+  /** CCNet-style corpus partitioning (Wenzek et al., LREC 2020 §4.4):
+    * per language, split the corpus into `head` / `middle` / `tail`
+    * terciles by language-model perplexity — head is the most fluent
+    * third, tail the noisiest, and downstream pipelines train on head
+    * (+middle) or use the buckets as curriculum stages. The LM score
+    * here is [[unigramSurprisal]]'s integer `mean_millibits` (the
+    * engine's reproducible perplexity proxy).
+    *
+    * SCALE SHAPE — the tercile cut is NOT a per-doc ranking window
+    * (that would order billions of rows per language through one
+    * task). `mean_millibits` lives in a bounded integer domain
+    * (≤ 64 bits/token ⇒ ≤ 64 000 distinct values), so the cut is
+    * computed on a per-(lang, score) HISTOGRAM: one aggregation over
+    * the corpus, then a cumulative window over ≤ 64 k rows per
+    * language — bounded regardless of corpus size — and the resulting
+    * (lang, score) → bucket map broadcasts back onto the docs
+    * map-side. Ties share a score row, so they land in one bucket
+    * deterministically on any engine (PERCENTILE_DISC semantics:
+    * a bucket boundary never splits equal scores).
+    *
+    * Output: (doc_id, lang, mean_millibits, bucket).
+    */
+  def ccnetBuckets(docs: DataFrame, id: Column, text: Column,
+                   lang: Column): DataFrame = {
+    val scored = unigramSurprisal(docs, id, text)
+      .join(docs.select(id.as("doc_id"), lang.as("lang")), "doc_id")
+    val hist = scored.groupBy("lang", "mean_millibits")
+      .agg(count(lit(1)).as("__c"))
+    // BOTH tercile thresholds in ONE aggregation per language: sort
+    // the (score, count) histogram — bounded by the millibits domain,
+    // ≤ 64 k entries per lang at ANY corpus size — and fold it with a
+    // running count. head_max = largest score whose strictly-below
+    // count is < n/3 (ditto mid_max at 2n/3). A window + totals join
+    // would consume `hist` twice and re-plan the whole token-explode
+    // pipeline per broadcast consumer (the measured subtree-recompute
+    // trap); this consumes it once.
+    val thr = hist.groupBy("lang")
+      .agg(sort_array(collect_list(struct(
+          col("mean_millibits").as("s"), col("__c").as("c")))).as("__h"),
+        sum("__c").as("__n"))
+      .select(col("lang"), aggregate(col("__h"),
+          struct(lit(0L).as("run"), lit(Long.MinValue).as("h"),
+            lit(Long.MinValue).as("m")),
+          (acc, x) => struct(
+            (acc("run") + x("c")).as("run"),
+            when(acc("run") * 3 < col("__n"), x("s")).otherwise(acc("h"))
+              .as("h"),
+            when(acc("run") * 3 < col("__n") * 2, x("s"))
+              .otherwise(acc("m")).as("m"))).as("__t"))
+      .select(col("lang"), col("__t.h").as("__head_max"),
+        col("__t.m").as("__mid_max"))
+    scored.join(broadcast(thr), "lang")
+      .select(col("doc_id"), col("lang"), col("mean_millibits"),
+        when(col("mean_millibits") <= col("__head_max"), "head")
+          .when(col("mean_millibits") <= col("__mid_max"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
 }

@@ -616,6 +616,22 @@ object ExtensionQueries {
         col("text"))
     },
 
+    // DSIR importance weights vs the src0 target domain — integer-bit
+    // log-ratio of target/raw unigram models, the domain-adaptation
+    // selection signal.
+    "text_dsir_weight" -> { (s, dir) =>
+      TextAnalysis.dsirWeights(docs(s, dir), col("doc_id"),
+        col("text"), col("source") === "src0")
+    },
+
+    // CCNet head/middle/tail terciles per language — the perplexity
+    // partition computed on a bounded per-(lang, score) histogram,
+    // never a per-doc ranking window.
+    "text_ccnet_buckets" -> { (s, dir) =>
+      TextAnalysis.ccnetBuckets(docs(s, dir), col("doc_id"),
+        col("text"), col("lang"))
+    },
+
     // End-to-end pretraining prep in ONE declarative plan — the
     // flagship composition of the curation surface: giant-doc cap →
     // language gate → Gopher repetition filter → leakage-guarded
@@ -1527,6 +1543,66 @@ object ExtensionQueries {
          |  coalesce(surprisal_bits, 0) AS surprisal_bits,
          |  coalesce((surprisal_bits * 1000) // n_tokens, 0) AS mean_millibits
          |FROM (SELECT doc_id FROM documents) d0 LEFT JOIN sc USING (doc_id)""".stripMargin,
+
+    // one token table feeds both count models; add-one smoothing and
+    // the shared-denominator normalizer keep every term a BIGINT
+    "text_dsir_weight" ->
+      s"""WITH d AS (SELECT doc_id, source = 'src0' AS tgt,
+         |             $tokensSql AS toks FROM documents),
+         |tok AS (SELECT doc_id, tgt, t FROM
+         |          (SELECT doc_id, tgt, unnest(toks) AS t FROM d)
+         |        WHERE t <> ''),
+         |cnt AS (SELECT t, count(*) AS cr,
+         |          CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct
+         |        FROM tok GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+         |          CAST(sum(ct) AS BIGINT) AS nt,
+         |          CAST(count(*) AS BIGINT) AS v FROM cnt),
+         |sc AS (SELECT doc_id, count(*) AS n_tokens,
+         |         CAST(sum((length(bin(ct + 1)) - 1)
+         |             - (length(bin(cr + 1)) - 1)
+         |             + ((length(bin(nr + v)) - 1)
+         |               - (length(bin(nt + v)) - 1))) AS BIGINT)
+         |           AS dsir_bits
+         |       FROM tok JOIN cnt USING (t) CROSS JOIN tot GROUP BY 1)
+         |SELECT d0.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+         |  coalesce(dsir_bits, 0) AS dsir_bits,
+         |  coalesce((dsir_bits * 1000) // n_tokens, 0) AS mean_millibits
+         |FROM (SELECT doc_id FROM documents) d0 LEFT JOIN sc USING (doc_id)""".stripMargin,
+
+    // surprisal CTEs verbatim, then the tercile cut as a cumulative
+    // sum over the (lang, mean_millibits) histogram — strictly-below
+    // count, PERCENTILE_DISC-style tie handling, all integers
+    "text_ccnet_buckets" ->
+      s"""WITH d AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |tok AS (SELECT doc_id, t FROM
+         |          (SELECT doc_id, unnest(toks) AS t FROM d) WHERE t <> ''),
+         |cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM cnt),
+         |sc AS (SELECT doc_id, count(*) AS n_tokens,
+         |         CAST(sum((length(bin(nn)) - 1) - (length(bin(c)) - 1))
+         |              AS BIGINT) AS surprisal_bits
+         |       FROM tok JOIN cnt USING (t) CROSS JOIN tot GROUP BY 1),
+         |scored AS (SELECT d0.doc_id, d0.lang,
+         |    coalesce((surprisal_bits * 1000) // n_tokens, 0) AS mean_millibits
+         |  FROM documents d0 LEFT JOIN sc USING (doc_id)),
+         |hist AS (SELECT lang, mean_millibits, count(*) AS c
+         |         FROM scored GROUP BY 1, 2),
+         |cum AS (SELECT lang, mean_millibits,
+         |    coalesce(CAST(sum(c) OVER (PARTITION BY lang
+         |        ORDER BY mean_millibits
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS BIGINT), 0) AS lt
+         |  FROM hist),
+         |ln AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+         |       FROM scored GROUP BY 1),
+         |b AS (SELECT cum.lang, cum.mean_millibits,
+         |    CASE WHEN lt * 3 < n THEN 'head'
+         |         WHEN lt * 3 < 2 * n THEN 'middle'
+         |         ELSE 'tail' END AS bucket
+         |  FROM cum JOIN ln USING (lang))
+         |SELECT scored.doc_id, scored.lang, scored.mean_millibits, b.bucket
+         |FROM scored JOIN b USING (lang, mean_millibits)""".stripMargin,
 
     // the full curation chain as one SQL: cap -> langid -> repetition
     // keep -> train-split hash -> chunk arithmetic -> pack window,

@@ -788,6 +788,59 @@ class ExtSpec extends SparkSpec {
     assert(got(3L) === ((0L, 0L, 0L)))    // empty doc keeps its row
   }
 
+  test("dsirWeights: integer log-ratio of target/raw unigram models") {
+    // target doc1 "a a b", raw-only doc2 "a c", empty doc3
+    // cr: a=3 b=1 c=1; ct: a=2 b=1 c=0; V=3, Nr=5, Nt=3
+    // per-token fl2(ct+1)-fl2(cr+1): a=1-2=-1, b=1-1=0, c=0-1=-1
+    // normalizer per token: fl2(5+3)-fl2(3+3) = 3-2 = 1
+    val df = Seq((1L, "a a b", "tgt"), (2L, "a c", "raw"),
+      (3L, "", "raw")).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.dsirWeights(df, $"doc_id", $"text",
+        $"source" === "tgt")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((3L, 1L, 333L)))  // -1-1+0 + 3*1 = 1
+    assert(got(2L) === ((2L, 0L, 0L)))    // -1-1 + 2*1 = 0
+    assert(got(3L) === ((0L, 0L, 0L)))    // empty doc keeps its row
+    // the target-domain doc outranks the raw doc — the signal DSIR
+    // selects on
+    assert(got(1L)._3 > got(2L)._3)
+  }
+
+  test("ccnetBuckets: per-lang terciles, tie-atomic, monotone in " +
+    "score, every doc bucketed") {
+    // two languages with different score spreads; "zz"/"qq" style
+    // rare tokens push surprisal up monotonically with rarity
+    val docs = (1L to 30L).map { i =>
+      val lang = if (i <= 18) "en" else "de"
+      // doc i repeats a token shared by ceil(rank) docs -> distinct
+      // surprisal levels, plus two exact ties at the boundary
+      val tok = s"w${(i / 3) * 3}" // groups of 3 share a score (ties)
+      (i, Seq.fill(4)(tok).mkString(" "), lang)
+    }.toDF("doc_id", "text", "lang")
+    val got = TextAnalysis
+      .ccnetBuckets(docs, $"doc_id", $"text", $"lang")
+      .as[(Long, String, Long, String)].collect()
+    assert(got.length === 30)               // every doc keeps a row
+    assert(got.map(_._4).toSet.subsetOf(Set("head", "middle", "tail")))
+    for ((_, rows) <- got.groupBy(_._2)) {
+      // tie-atomic: one bucket per (lang, score)
+      rows.groupBy(_._3).values.foreach(g =>
+        assert(g.map(_._4).distinct.length === 1))
+      // monotone: head scores <= middle scores <= tail scores
+      def scores(b: String) = rows.filter(_._4 == b).map(_._3)
+      val order = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+      val sorted = rows.sortBy(_._3).map(r => order(r._4))
+      assert(sorted === sorted.sorted, s"buckets not monotone: $sorted")
+      // tercile balance up to tie granularity: head is non-empty and
+      // no bucket swallows everything when >=3 distinct scores exist
+      if (rows.map(_._3).distinct.length >= 3) {
+        assert(scores("head").nonEmpty)
+        assert(rows.map(_._4).distinct.length >= 2)
+      }
+    }
+  }
+
   test("hilbertD is a true Hilbert curve: bijective, unit-step, and " +
     "the column kernel matches the driver loop") {
     import org.apache.spark.sql.graft.GraftHilbertUtil
