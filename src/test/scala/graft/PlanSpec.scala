@@ -172,6 +172,24 @@ class PlanSpec extends SparkSpec {
       s"token pass recomputed per consumer:\n$p")
   }
 
+  test("text_dsir_weight: one token exchange feeds both count models " +
+    "and the scoring join (at-scale plan)") {
+    withBroadcastDisabled {
+      val p = finalPlan("text_dsir_weight")
+      assert(p.contains("ReusedExchange"),
+        s"token pass recomputed per consumer:\n$p")
+    }
+  }
+
+  test("text_ccnet_buckets: threshold side broadcasts (no lang-keyed " +
+    "shuffle join — 4 keys would skew) and no ranking window at all") {
+    val p = finalPlan("text_ccnet_buckets")
+    assert(p.contains("BroadcastExchange"),
+      s"thresholds must broadcast, not shuffle on lang:\n$p")
+    assert(!p.contains("Window"),
+      s"the tercile cut must be a histogram fold, not a window:\n$p")
+  }
+
   test("text_tfidf: the (doc, term) count subtree is built once — " +
     "df aggregates from the reused tf exchange (at-scale plan)") {
     // at tiny SF the tf⋈df join broadcasts, which rebuilds the tf
