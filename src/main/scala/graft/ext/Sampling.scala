@@ -40,26 +40,18 @@ object Sampling {
     * so the result is row-identical to the single-window form.
     */
   def fixedSizeStratifiedSample(df: DataFrame, id: Column, stratum: Column,
-                                n: Int, salt: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val shards = 32
-    val w1 = Window.partitionBy(col("__st"), col("__shard"))
-      .orderBy(col("__hr"), col("__sid"))
-    val w2 = Window.partitionBy(col("__st"))
-      .orderBy(col("__hr"), col("__sid"))
-    df.withColumn("__st", stratum)
-      .withColumn("__sid", id)
-      .withColumn("__hr", hashRank(id, salt))
-      .withColumn("__shard",
-        pmod(PortableHash.md5PrefixLong(
-          concat(lit(salt), lit("shard:"), id.cast("string")), 7),
-          lit(shards)))
-      .withColumn("__rn1", row_number().over(w1))
-      .filter(col("__rn1") <= n)
-      .withColumn("__rn", row_number().over(w2))
-      .filter(col("__rn") <= n)
-      .drop("__st", "__sid", "__hr", "__shard", "__rn1", "__rn")
-  }
+                                n: Int, salt: String): DataFrame =
+    Ranking.twoPhaseTopN(
+        df.withColumn("__st", stratum)
+          .withColumn("__sid", id)
+          .withColumn("__hr", hashRank(id, salt)),
+        keys = Seq(col("__st")),
+        order = Seq(col("__hr"), col("__sid")), n = n,
+        // shard hash salted differently from the rank hash — see the
+        // independence clause of twoPhaseTopN's contract
+        shardOf = PortableHash.md5PrefixLong(
+          concat(lit(salt), lit("shard:"), id.cast("string")), 7))
+      .drop("__st", "__sid", "__hr", "__rn")
 
   /** Keep rows whose hash bucket falls under their stratum's
     * percentage rate; strata not in `rates` use `defaultRate`.

@@ -132,30 +132,42 @@ object Similarity {
     * is the code sequence as a space-joined string in dimension order
     * (hashable, engine-comparable) plus the per-vector code min/max.
     *
-    * Shape at scale: one dims-row aggregate (map-side combine)
-    * broadcast back to a map-only encode pass — no shuffle of the
-    * corpus itself beyond the stats aggregation.
+    * Shape at scale: one dims-row aggregate (map-side combine),
+    * packed into a SINGLE broadcast row of dim-ordered lo[]/hi[]
+    * arrays, then a genuinely map-only encode — codes are computed in
+    * place with an indexed `transform` over the vector, so the corpus
+    * is never exploded-and-regrouped (the first cut joined stats onto
+    * a 64× posexplode and shuffled it back together on id — a full
+    * corpus shuffle the docstring wrongly called map-only; PlanSpec
+    * now pins the no-regroup shape).
     */
   def quantizeInt8(emb: DataFrame, id: Column, vec: Column,
                    dims: Int): DataFrame = {
-    val exploded = emb.select(id.as("id"),
-      posexplode(dimsGuard(vec, dims)).as(Seq("__i", "__x")))
+    val exploded = emb
+      .select(posexplode(dimsGuard(vec, dims)).as(Seq("__i", "__x")))
       .withColumn("__x", col("__x").cast("double"))
     val stats = exploded.groupBy("__i")
       .agg(min(col("__x")).as("__lo"), max(col("__x")).as("__hi"))
-    val code = when(col("__hi") === col("__lo"), lit(0))
-      .otherwise(least(lit(255), greatest(lit(0),
-        floor((col("__x") - col("__lo")) * lit(255.0) /
-          (col("__hi") - col("__lo"))).cast("int"))))
-    exploded.join(broadcast(stats), "__i")
-      .select(col("id"), col("__i"), code.as("__c"))
-      .groupBy("id")
-      .agg(
-        array_join(transform(
-          array_sort(collect_list(struct(col("__i"), col("__c")))),
-          e => e("__c").cast("string")), " ").as("codes"),
-        min(col("__c")).as("code_min"),
-        max(col("__c")).as("code_max"))
+    val packed = stats
+      .agg(array_sort(collect_list(struct(
+        col("__i"), col("__lo"), col("__hi")))).as("__s"))
+      .select(transform(col("__s"), e => e("__lo")).as("__lo"),
+        transform(col("__s"), e => e("__hi")).as("__hi"))
+    // identical IEEE sequence to the stats-join form: (x−lo)·255/(hi−lo)
+    def codeAt(x: Column, lo: Column, hi: Column): Column =
+      when(hi === lo, lit(0)).otherwise(least(lit(255), greatest(lit(0),
+        floor((x - lo) * lit(255.0) / (hi - lo)).cast("int"))))
+    emb.select(id.as("id"), dimsGuard(vec, dims).as("__v"))
+      .crossJoin(broadcast(packed))
+      .select(col("id"), transform(col("__v"),
+        (x, i) => codeAt(x.cast("double"),
+          element_at(col("__lo"), i + 1),
+          element_at(col("__hi"), i + 1))).as("__cs"))
+      .select(col("id"),
+        array_join(transform(col("__cs"), c => c.cast("string")), " ")
+          .as("codes"),
+        array_min(col("__cs")).as("code_min"),
+        array_max(col("__cs")).as("code_max"))
   }
 
   /** LSH bucket id: `planes` sign bits of hyperplane projections. */
@@ -569,6 +581,19 @@ object Similarity {
     require(refine >= 1, "refine factor must be >= 1")
     val cand = pqTopK(queries, corpus, k * refine, m, dims, codebookK,
       codebook).select("query_id", "neighbor_id")
+    exactRefine(cand, queries, corpus, k)
+  }
+
+  /** The shared exact re-rank stage of the two refine operators: join
+    * the per-query candidate ids back to full vectors (an equi-join
+    * that shuffles candidates, never the corpus²), score the
+    * documented cosine sequence, keep top-k per query over ≤ the
+    * bounded candidate set. One definition so the zero-norm policy
+    * and (cos desc, neighbor_id) tie-break cannot fork between the
+    * operators while their oracles stay unified.
+    */
+  private def exactRefine(cand: DataFrame, queries: DataFrame,
+                          corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
       norm(col("vec")).as("__qn")).filter(col("__qn") > 0)
     val c = corpus.select(col("id").as("neighbor_id"),
@@ -599,19 +624,7 @@ object Similarity {
     require(refine >= 1, "refine factor must be >= 1")
     val cand = ivfPqTopK(queries, corpus, centroids, k * refine, nprobe,
       m, dims, codebookK, codebook).select("query_id", "neighbor_id")
-    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
-      norm(col("vec")).as("__qn")).filter(col("__qn") > 0)
-    val c = corpus.select(col("id").as("neighbor_id"),
-      col("vec").as("cv"), norm(col("vec")).as("__cn"))
-      .filter(col("__cn") > 0)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    cand.join(c, "neighbor_id").join(q, "query_id")
-      .withColumn("cos",
-        dot(col("qv"), col("cv")) / (col("__qn") * col("__cn")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .select("query_id", "neighbor_id", "cos")
+    exactRefine(cand, queries, corpus, k)
   }
 
   /** ADC score of one candidate: fold the packed (j, rank) code array

@@ -744,21 +744,14 @@ object ExtensionQueries {
     // Top-k is distributive, so rows are identical to a single
     // per-lang window.
     "text_ngram_freq" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val grams = docs(s, dir).select(col("lang"),
         explode(TextAnalysis.shingles(col("text"), 2)).as("gram"))
         .groupBy("lang", "gram").agg(count(lit(1)).as("n"))
-        .withColumn("__shard",
-          pmod(PortableHash.md5PrefixLong(
-            concat(lit("ngram-shard:"), col("gram")), 7), lit(32)))
-      val w1 = Window.partitionBy("lang", "__shard")
-        .orderBy(col("n").desc, col("gram"))
-      val w2 = Window.partitionBy("lang")
-        .orderBy(col("n").desc, col("gram"))
-      grams.withColumn("__rn1", row_number().over(w1))
-        .filter(col("__rn1") <= 5)
-        .withColumn("rnk", row_number().over(w2))
-        .filter(col("rnk") <= 5)
+      Ranking.twoPhaseTopN(grams, Seq(col("lang")),
+          Seq(col("n").desc, col("gram")), n = 5,
+          shardOf = PortableHash.md5PrefixLong(
+            concat(lit("ngram-shard:"), col("gram")), 7),
+          rankCol = "rnk")
         .select(col("lang"), col("gram"), col("n"),
           col("rnk").cast("int").as("rnk"))
     },

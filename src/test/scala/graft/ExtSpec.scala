@@ -808,36 +808,40 @@ class ExtSpec extends SparkSpec {
   }
 
   test("ccnetBuckets: per-lang terciles, tie-atomic, monotone in " +
-    "score, every doc bucketed") {
-    // two languages with different score spreads; "zz"/"qq" style
-    // rare tokens push surprisal up monotonically with rarity
-    val docs = (1L to 30L).map { i =>
-      val lang = if (i <= 18) "en" else "de"
-      // doc i repeats a token shared by ceil(rank) docs -> distinct
-      // surprisal levels, plus two exact ties at the boundary
-      val tok = s"w${(i / 3) * 3}" // groups of 3 share a score (ties)
-      (i, Seq.fill(4)(tok).mkString(" "), lang)
+    "score, exact cut positions") {
+    // Group sizes 1/2/4/8 put token counts 4/8/16/32 on DIFFERENT
+    // power-of-2 rungs (floor-log2 would collapse same-rung counts to
+    // one score — the first cut of this fixture did exactly that and
+    // tested nothing). N = 4*22 = 88 total tokens, fl2(88) = 6, so a
+    // group of g docs scores (6 - fl2(4g))*1000 millibits.
+    val groups = Seq(("en", "e1", 1), ("en", "e2", 2), ("en", "e4", 4),
+      ("en", "e8", 8), ("de", "d1", 1), ("de", "d2", 2), ("de", "d4", 4))
+    val docs = groups.zipWithIndex.flatMap { case ((lang, tok, g), gi) =>
+      (1 to g).map(j => (gi * 100L + j, Seq.fill(4)(tok).mkString(" "),
+        lang))
     }.toDF("doc_id", "text", "lang")
     val got = TextAnalysis
       .ccnetBuckets(docs, $"doc_id", $"text", $"lang")
       .as[(Long, String, Long, String)].collect()
-    assert(got.length === 30)               // every doc keeps a row
-    assert(got.map(_._4).toSet.subsetOf(Set("head", "middle", "tail")))
+    assert(got.length === 22)               // every doc keeps a row
+    // exact cuts from the strictly-below-count rule:
+    // en n=15, scores asc 1000x8 (lt=0, head), 2000x4 (lt=8, middle),
+    //   3000x2 (lt=12, tail), 4000x1 (lt=14, tail)
+    // de n=7, scores asc 2000x4 (lt=0, head), 3000x2 (lt=4, middle),
+    //   4000x1 (lt=6, tail)
+    val byLangBucket = got.groupBy(r => (r._2, r._4))
+      .view.mapValues(_.length).toMap
+    assert(byLangBucket === Map(
+      ("en", "head") -> 8, ("en", "middle") -> 4, ("en", "tail") -> 3,
+      ("de", "head") -> 4, ("de", "middle") -> 2, ("de", "tail") -> 1))
     for ((_, rows) <- got.groupBy(_._2)) {
       // tie-atomic: one bucket per (lang, score)
       rows.groupBy(_._3).values.foreach(g =>
         assert(g.map(_._4).distinct.length === 1))
       // monotone: head scores <= middle scores <= tail scores
-      def scores(b: String) = rows.filter(_._4 == b).map(_._3)
       val order = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
       val sorted = rows.sortBy(_._3).map(r => order(r._4))
       assert(sorted === sorted.sorted, s"buckets not monotone: $sorted")
-      // tercile balance up to tie granularity: head is non-empty and
-      // no bucket swallows everything when >=3 distinct scores exist
-      if (rows.map(_._3).distinct.length >= 3) {
-        assert(scores("head").nonEmpty)
-        assert(rows.map(_._4).distinct.length >= 2)
-      }
     }
   }
 

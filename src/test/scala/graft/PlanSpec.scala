@@ -172,6 +172,15 @@ class PlanSpec extends SparkSpec {
       s"token pass recomputed per consumer:\n$p")
   }
 
+  test("emb_quantize_int8: map-only encode — the corpus is never " +
+    "regrouped on id (stats pack into one broadcast row)") {
+    val p = finalPlan("emb_quantize_int8")
+    assert(!p.contains("hashpartitioning(id"),
+      s"encode side shuffles the exploded corpus back together:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"per-dim stats must broadcast:\n$p")
+  }
+
   test("text_dsir_weight: one token exchange feeds both count models " +
     "and the scoring join (at-scale plan)") {
     withBroadcastDisabled {
@@ -188,6 +197,14 @@ class PlanSpec extends SparkSpec {
       s"thresholds must broadcast, not shuffle on lang:\n$p")
     assert(!p.contains("Window"),
       s"the tercile cut must be a histogram fold, not a window:\n$p")
+    // at-scale guard for the subtree-recompute trap: with broadcasts
+    // off, the scored pipeline feeds both the threshold aggregation
+    // and the probe side through shared exchanges
+    withBroadcastDisabled {
+      val p2 = finalPlan("text_ccnet_buckets")
+      assert(p2.contains("ReusedExchange"),
+        s"scored pipeline recomputed per consumer at scale:\n$p2")
+    }
   }
 
   test("text_tfidf: the (doc, term) count subtree is built once — " +
