@@ -792,21 +792,42 @@ object TextAnalysis {
                    lang: Column): DataFrame = {
     val scored = unigramSurprisal(docs, id, text)
       .join(docs.select(id.as("doc_id"), lang.as("lang")), "doc_id")
-    val hist = scored.groupBy("lang", "mean_millibits")
-      .agg(count(lit(1)).as("__c"))
-    // BOTH tercile thresholds in ONE aggregation per language: sort
-    // the (score, count) histogram — bounded by the millibits domain,
-    // ≤ 64 k entries per lang at ANY corpus size — and fold it with a
-    // running count. head_max = largest score whose strictly-below
-    // count is < n/3 (ditto mid_max at 2n/3). A window + totals join
-    // would consume `hist` twice and re-plan the whole token-explode
-    // pipeline per broadcast consumer (the measured subtree-recompute
-    // trap); this consumes it once.
-    val thr = hist.groupBy("lang")
+    scoreTerciles(scored, "lang", "mean_millibits")
+      .select("doc_id", "lang", "mean_millibits", "bucket")
+  }
+
+  /** The reusable exact-tercile cut: label every row of `scored`
+    * `head`/`middle`/`tail` by its integer `score` within its `key`
+    * group — PERCENTILE_DISC semantics (a boundary never splits equal
+    * scores), head = lowest scores.
+    *
+    * BOTH thresholds come from ONE aggregation per key: sort the
+    * (score, count) histogram — bounded by the score's integer domain
+    * (millibit scores: ≤ 64 k entries per key at ANY corpus size) —
+    * and fold it with a running count. head_max = largest score whose
+    * strictly-below count is < n/3 (ditto mid_max at 2n/3). A window
+    * + totals join would consume the histogram twice and re-plan the
+    * whole upstream pipeline per broadcast consumer (the measured
+    * subtree-recompute trap); this consumes it once, and the tiny
+    * per-key threshold row broadcasts back onto `scored` map-side.
+    *
+    * Contract: `score` must be a bounded-domain integer column (the
+    * histogram is per distinct value); `scored` is consumed twice
+    * (threshold aggregation + probe) — inherent to an exact global
+    * percentile split. Tie groups never split, and the group
+    * straddling a boundary lands WHOLE in the lower bucket — so
+    * `head` always holds at least ⌈n/3⌉ rows (the cut is generous
+    * downward; a heavily-tied distribution can push the whole mode
+    * into head).
+    */
+  def scoreTerciles(scored: DataFrame, key: String,
+                    score: String): DataFrame = {
+    val hist = scored.groupBy(key, score).agg(count(lit(1)).as("__c"))
+    val thr = hist.groupBy(key)
       .agg(sort_array(collect_list(struct(
-          col("mean_millibits").as("s"), col("__c").as("c")))).as("__h"),
+          col(score).as("s"), col("__c").as("c")))).as("__h"),
         sum("__c").as("__n"))
-      .select(col("lang"), aggregate(col("__h"),
+      .select(col(key), aggregate(col("__h"),
           struct(lit(0L).as("run"), lit(Long.MinValue).as("h"),
             lit(Long.MinValue).as("m")),
           (acc, x) => struct(
@@ -815,12 +836,13 @@ object TextAnalysis {
               .as("h"),
             when(acc("run") * 3 < col("__n") * 2, x("s"))
               .otherwise(acc("m")).as("m"))).as("__t"))
-      .select(col("lang"), col("__t.h").as("__head_max"),
+      .select(col(key), col("__t.h").as("__head_max"),
         col("__t.m").as("__mid_max"))
-    scored.join(broadcast(thr), "lang")
-      .select(col("doc_id"), col("lang"), col("mean_millibits"),
-        when(col("mean_millibits") <= col("__head_max"), "head")
-          .when(col("mean_millibits") <= col("__mid_max"), "middle")
-          .otherwise("tail").as("bucket"))
+    scored.join(broadcast(thr), key)
+      .withColumn("bucket",
+        when(col(score) <= col("__head_max"), "head")
+          .when(col(score) <= col("__mid_max"), "middle")
+          .otherwise("tail"))
+      .drop("__head_max", "__mid_max")
   }
 }

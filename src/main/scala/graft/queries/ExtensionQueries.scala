@@ -624,6 +624,26 @@ object ExtensionQueries {
         col("text"), col("source") === "src0")
     },
 
+    // The DSIR use-case end-to-end: keep the top-third most
+    // target-domain-like docs per language — importance weights fed
+    // through the bounded-histogram tercile cut on the NEGATED score
+    // (head = lowest, so negation selects the highest weights).
+    // Guarantee is "AT LEAST a third": the cut never splits a tie
+    // group, so when the weight distribution is discrete enough that
+    // one value straddles the boundary (this fixture's uniform word
+    // soup ties 95% of docs at 0 bits), the whole group is kept —
+    // deterministic on any engine, generous in the keep direction.
+    "curate_domain" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val wts = TextAnalysis.dsirWeights(d, col("doc_id"),
+          col("text"), col("source") === "src0")
+        .join(d.select(col("doc_id"), col("lang")), "doc_id")
+        .withColumn("__negw", -col("mean_millibits"))
+      TextAnalysis.scoreTerciles(wts, "lang", "__negw")
+        .filter(col("bucket") === "head")
+        .select(col("doc_id"), col("lang"), col("mean_millibits"))
+    },
+
     // CCNet head/middle/tail terciles per language — the perplexity
     // partition computed on a bounded per-(lang, score) histogram,
     // never a per-doc ranking window.
@@ -1562,6 +1582,48 @@ object ExtensionQueries {
          |  coalesce(dsir_bits, 0) AS dsir_bits,
          |  coalesce((dsir_bits * 1000) // n_tokens, 0) AS mean_millibits
          |FROM (SELECT doc_id FROM documents) d0 LEFT JOIN sc USING (doc_id)""".stripMargin,
+
+    // DSIR CTEs verbatim, then the tercile cut over the negated
+    // weight (head = most target-like), filtered to the kept third
+    "curate_domain" ->
+      s"""WITH d AS (SELECT doc_id, source = 'src0' AS tgt,
+         |             $tokensSql AS toks FROM documents),
+         |tok AS (SELECT doc_id, tgt, t FROM
+         |          (SELECT doc_id, tgt, unnest(toks) AS t FROM d)
+         |        WHERE t <> ''),
+         |cnt AS (SELECT t, count(*) AS cr,
+         |          CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct
+         |        FROM tok GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+         |          CAST(sum(ct) AS BIGINT) AS nt,
+         |          CAST(count(*) AS BIGINT) AS v FROM cnt),
+         |sc AS (SELECT doc_id, count(*) AS n_tokens,
+         |         CAST(sum((length(bin(ct + 1)) - 1)
+         |             - (length(bin(cr + 1)) - 1)
+         |             + ((length(bin(nr + v)) - 1)
+         |               - (length(bin(nt + v)) - 1))) AS BIGINT)
+         |           AS dsir_bits
+         |       FROM tok JOIN cnt USING (t) CROSS JOIN tot GROUP BY 1),
+         |scored AS (SELECT d0.doc_id, d0.lang,
+         |    coalesce((dsir_bits * 1000) // n_tokens, 0) AS mean_millibits,
+         |    -coalesce((dsir_bits * 1000) // n_tokens, 0) AS negw
+         |  FROM documents d0 LEFT JOIN sc USING (doc_id)),
+         |hist AS (SELECT lang, negw, count(*) AS c
+         |         FROM scored GROUP BY 1, 2),
+         |cum AS (SELECT lang, negw,
+         |    coalesce(CAST(sum(c) OVER (PARTITION BY lang ORDER BY negw
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS BIGINT), 0) AS lt
+         |  FROM hist),
+         |ln AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+         |       FROM scored GROUP BY 1),
+         |b AS (SELECT cum.lang, cum.negw,
+         |    CASE WHEN lt * 3 < n THEN 'head'
+         |         WHEN lt * 3 < 2 * n THEN 'middle'
+         |         ELSE 'tail' END AS bucket
+         |  FROM cum JOIN ln USING (lang))
+         |SELECT scored.doc_id, scored.lang, scored.mean_millibits
+         |FROM scored JOIN b USING (lang, negw) WHERE bucket = 'head'""".stripMargin,
 
     // surprisal CTEs verbatim, then the tercile cut as a cumulative
     // sum over the (lang, mean_millibits) histogram — strictly-below

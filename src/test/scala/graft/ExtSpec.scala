@@ -807,6 +807,29 @@ class ExtSpec extends SparkSpec {
     assert(got(1L)._3 > got(2L)._3)
   }
 
+  test("scoreTerciles: exact thirds on distinct scores; a boundary-" +
+    "straddling tie group lands whole in the lower bucket") {
+    // distinct scores 1..9 -> exact thirds
+    val a = (1L to 9L).map(i => (i, "x", i)).toDF("id", "k", "s")
+    val gotA = TextAnalysis.scoreTerciles(a, "k", "s")
+      .select("id", "bucket").as[(Long, String)].collect().toMap
+    assert((1L to 3L).forall(gotA(_) == "head"))
+    assert((4L to 6L).forall(gotA(_) == "middle"))
+    assert((7L to 9L).forall(gotA(_) == "tail"))
+    // 5-way tie at the minimum (n=7): the tie group straddles the
+    // n/3 boundary and lands WHOLE in head; the next score's
+    // strictly-below count (5) already passes 2n/3, so middle is
+    // empty — the documented generous-downward cut
+    val b = (Seq.fill(5)(1L) ++ Seq(2L, 3L)).zipWithIndex
+      .map { case (s, i) => (i.toLong, "x", s) }.toDF("id", "k", "s")
+    val gotB = TextAnalysis.scoreTerciles(b, "k", "s")
+      .select("s", "bucket").as[(Long, String)].collect()
+    assert(gotB.filter(_._1 == 1L).forall(_._2 == "head"))
+    assert(gotB.filter(_._1 >= 2L).forall(_._2 == "tail"))
+    // head >= ceil(n/3) always
+    assert(gotB.count(_._2 == "head") * 3 >= gotB.length)
+  }
+
   test("ccnetBuckets: per-lang terciles, tie-atomic, monotone in " +
     "score, exact cut positions") {
     // Group sizes 1/2/4/8 put token counts 4/8/16/32 on DIFFERENT
