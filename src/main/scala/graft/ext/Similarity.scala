@@ -140,6 +140,11 @@ object Similarity {
     * a 64× posexplode and shuffled it back together on id — a full
     * corpus shuffle the docstring wrongly called map-only; PlanSpec
     * now pins the no-regroup shape).
+    *
+    * Precondition: `id` should be unique — the encode is one output
+    * row per INPUT row (the old groupBy form silently merged
+    * duplicate ids into one garbled row; this one faithfully emits
+    * each row, so a caller with duplicate ids gets duplicates out).
     */
   def quantizeInt8(emb: DataFrame, id: Column, vec: Column,
                    dims: Int): DataFrame = {

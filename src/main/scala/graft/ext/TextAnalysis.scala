@@ -722,23 +722,30 @@ object TextAnalysis {
     *   dsir_bits(doc) = Σ_t [⌊log2(c_tgt(t)+1)⌋ − ⌊log2(c_raw(t)+1)⌋]
     *                  + n_tokens·(⌊log2(N_raw+V)⌋ − ⌊log2(N_tgt+V)⌋)
     *
-    * with c_* the add-one-smoothed unigram counts, N_* the model
-    * token totals, V the raw vocabulary size (shared smoothing
-    * denominator). SCALE SHAPE: one token explode feeding both count
-    * models through a single explicit token exchange (the
+    * with c_* the add-one-smoothed feature counts, N_* the model
+    * feature totals, V the raw feature-vocabulary size (shared
+    * smoothing denominator). Features are word `ngram`-grams —
+    * unigrams by default; the paper's models use hashed bigrams
+    * (`ngram = 2`), which also spread the integer weights far better
+    * on near-uniform corpora (unigram weights quantize to few
+    * values). SCALE SHAPE: one feature explode feeding both count
+    * models through a single explicit exchange (the
     * [[unigramSurprisal]] pattern), scalar totals broadcast, per-doc
     * sum, left-join spine so every doc keeps a row. No windows, no
     * driver state.
     *
     * Output: (doc_id, n_tokens, dsir_bits, mean_millibits) with
     * mean_millibits = 1000·dsir_bits div n_tokens (length-normalized
-    * comparison score; 0 for empty docs).
+    * comparison score; 0 for docs with no features — empty docs, or
+    * docs shorter than `ngram` words).
     */
   def dsirWeights(docs: DataFrame, id: Column, text: Column,
-                  isTarget: Column): DataFrame = {
+                  isTarget: Column, ngram: Int = 1): DataFrame = {
+    require(ngram >= 1, "ngram order must be positive")
+    val feats = if (ngram == 1) tokens(text) else shingles(text, ngram)
     val toks = docs
       .select(id.as("doc_id"), isTarget.cast("boolean").as("__tgt"),
-        explode(tokens(text)).as("__t"))
+        explode(feats).as("__t"))
       .filter(col("__t") =!= "")
       // ONE exchange on the token shared by the raw counts, the
       // target counts, and the scoring join

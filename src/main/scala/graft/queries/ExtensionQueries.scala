@@ -625,18 +625,18 @@ object ExtensionQueries {
     },
 
     // The DSIR use-case end-to-end: keep the top-third most
-    // target-domain-like docs per language — importance weights fed
-    // through the bounded-histogram tercile cut on the NEGATED score
-    // (head = lowest, so negation selects the highest weights).
-    // Guarantee is "AT LEAST a third": the cut never splits a tie
-    // group, so when the weight distribution is discrete enough that
-    // one value straddles the boundary (this fixture's uniform word
-    // soup ties 95% of docs at 0 bits), the whole group is kept —
-    // deterministic on any engine, generous in the keep direction.
+    // target-domain-like docs per language — BIGRAM-feature
+    // importance weights (the paper's hashed-bigram models; unigram
+    // weights quantize to a 95%-tie mode on this corpus, which would
+    // make the cut trivially keep everything) fed through the
+    // bounded-histogram tercile cut on the NEGATED score (head =
+    // lowest, so negation selects the highest weights). The cut
+    // never splits a tie group, so the guarantee is "at least a
+    // third", generous in the keep direction.
     "curate_domain" -> { (s, dir) =>
       val d = docs(s, dir)
       val wts = TextAnalysis.dsirWeights(d, col("doc_id"),
-          col("text"), col("source") === "src0")
+          col("text"), col("source") === "src0", ngram = 2)
         .join(d.select(col("doc_id"), col("lang")), "doc_id")
         .withColumn("__negw", -col("mean_millibits"))
       TextAnalysis.scoreTerciles(wts, "lang", "__negw")
@@ -1583,14 +1583,16 @@ object ExtensionQueries {
          |  coalesce((dsir_bits * 1000) // n_tokens, 0) AS mean_millibits
          |FROM (SELECT doc_id FROM documents) d0 LEFT JOIN sc USING (doc_id)""".stripMargin,
 
-    // DSIR CTEs verbatim, then the tercile cut over the negated
-    // weight (head = most target-like), filtered to the kept third
+    // DSIR CTEs with BIGRAM features (the '_'-joined shingle form,
+    // identical to curate_pretrain's bigram SQL), then the tercile
+    // cut over the negated weight, filtered to the kept third
     "curate_domain" ->
       s"""WITH d AS (SELECT doc_id, source = 'src0' AS tgt,
          |             $tokensSql AS toks FROM documents),
-         |tok AS (SELECT doc_id, tgt, t FROM
-         |          (SELECT doc_id, tgt, unnest(toks) AS t FROM d)
-         |        WHERE t <> ''),
+         |tok AS (SELECT doc_id, tgt, unnest(CASE WHEN len(toks) >= 2
+         |          THEN list_transform(range(1, len(toks)),
+         |                 i -> toks[i] || '_' || toks[i+1]) ELSE [] END) AS t
+         |        FROM d),
          |cnt AS (SELECT t, count(*) AS cr,
          |          CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct
          |        FROM tok GROUP BY 1),

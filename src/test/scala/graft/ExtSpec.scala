@@ -805,6 +805,16 @@ class ExtSpec extends SparkSpec {
     // the target-domain doc outranks the raw doc — the signal DSIR
     // selects on
     assert(got(1L)._3 > got(2L)._3)
+    // bigram features (ngram = 2, the paper's model): doc1 a_a a_b,
+    // doc2 a_c; cr all 1, ct: a_a=1 a_b=1 a_c=0; V=3 Nr=3 Nt=2,
+    // normalizer fl2(6)-fl2(5) = 0 per feature
+    val got2 = TextAnalysis.dsirWeights(df, $"doc_id", $"text",
+        $"source" === "tgt", ngram = 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got2(1L) === ((2L, 0L, 0L)))     // (1-1)+(1-1)+0
+    assert(got2(2L) === ((1L, -1L, -1000L))) // fl2(1)-fl2(2) = -1
+    assert(got2(3L) === ((0L, 0L, 0L)))     // no bigrams -> 0 row kept
   }
 
   test("scoreTerciles: exact thirds on distinct scores; a boundary-" +
