@@ -281,6 +281,67 @@ object DedupOps {
     *                       job-scheduling overhead; 0 disables the
     *                       endgame and keeps every round distributed
     */
+  /** Local-completion endgame: the contracted edge set fits the
+    * driver budget, so finish with a min-root union-find — union
+    * always points the larger root at the smaller, so every tree's
+    * final root is the component minimum, the same canonical label
+    * the star-forest fixpoint yields. Mid-loop hand-off is safe:
+    * star steps never drop a node from the edge set while its
+    * component still has other members, and never merge or split
+    * components, so connectivity over the collected edges plus the
+    * left-join singleton fallback is exactly the original partition.
+    * Generic over the id type (string doc ids work exactly like
+    * longs, as in the distributed loop): ids only need the same
+    * ordering least/greatest use, i.e. Catalyst's. For strings
+    * that is UTF8String's UTF-8 BYTE order, which differs from
+    * java.lang.String.compareTo (UTF-16 code units) when
+    * supplementary-plane chars mix with U+E000–U+FFFF — so strings
+    * compare via their UTF-8 bytes here, keeping the endgame's
+    * canonical minima identical to the distributed loop's.
+    */
+  private def localFinish(nodes: DataFrame, edges: Array[(Any, Any)],
+                          idType: org.apache.spark.sql.types.DataType)
+      : DataFrame = {
+    val spark = nodes.sparkSession
+    def lt(x: Any, y: Any): Boolean = (x, y) match {
+      case (a: String, b: String) =>
+        java.util.Arrays.compareUnsigned(
+          a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+      case _ => x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    }
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      var c = x
+      while (parent.getOrDefault(c, c) != r) {
+        val nx = parent.get(c); parent.put(c, r); c = nx
+      }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val members: Seq[Any] =
+      edges.iterator.flatMap(p => Iterator(p._1, p._2)).toSet.toSeq
+    val rows = members.map(x =>
+      org.apache.spark.sql.Row(x, find(x)))
+    val labelDf = spark.createDataFrame(
+      new java.util.ArrayList(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("component_id", idType))))
+    nodes.select("id")
+      .join(broadcast(labelDf), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component_id"), col("id")).as("component_id"))
+  }
+
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
                           maxIter: Int = 50,
                           checkpointDir: Option[String] = None,
@@ -312,11 +373,32 @@ object DedupOps {
         case None => (out, out.count(), None)
       }
     }
-    var (e, prevCount, prevSum) = ckptCounted(
-      pairs.filter(col("id_a") =!= col("id_b"))
-        .select(least(col("id_a"), col("id_b")).as("a"),
-          greatest(col("id_a"), col("id_b")).as("b"))
-        .distinct())
+    val canon = pairs.filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+      .distinct()
+    // Fast-path probe for the local-completion endgame: run the pair
+    // job ONCE under a persist and limit-collect threshold+1 rows. A
+    // small graph (the common case once upstream blocking has done
+    // its job) finishes right here — no eager checkpoint of the edge
+    // set, no Observation round-trip, no second collect pass. A big
+    // graph costs one cheap scheduling round: CollectLimit stops
+    // scanning once it has threshold+1 rows, computed partitions stay
+    // cached, and the checkpoint pass below reads them back instead
+    // of recomputing.
+    if (localThreshold > 0) {
+      canon.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cap = math.min(localThreshold + 1, Int.MaxValue.toLong).toInt
+      val probe = canon.limit(cap).collect()
+      if (probe.length <= localThreshold) {
+        val out = localFinish(nodes,
+          probe.map(r => (r.get(0), r.get(1))), canon.schema("a").dataType)
+        canon.unpersist()
+        return out
+      }
+    }
+    var (e, prevCount, prevSum) = ckptCounted(canon)
+    canon.unpersist()
     var iter = 0
     var converged = prevCount == 0L
     while (iter < maxIter && !converged && prevCount > localThreshold) {
@@ -369,67 +451,14 @@ object DedupOps {
       iter += 1
     }
     if (!converged && prevCount <= localThreshold) {
-      // Local-completion endgame: the contracted edge set fits the
-      // driver budget, so finish with a min-root union-find — union
-      // always points the larger root at the smaller, so every tree's
-      // final root is the component minimum, the same canonical label
-      // the star-forest fixpoint yields. Mid-loop hand-off is safe:
-      // star steps never drop a node from the edge set while its
-      // component still has other members, and never merge or split
-      // components, so connectivity over `e` plus the left-join
-      // singleton fallback is exactly the original partition.
-      // generic over the id type (string doc ids work exactly like
-      // longs, as in the distributed loop): ids only need the same
-      // ordering least/greatest use, i.e. Catalyst's. For strings
-      // that is UTF8String's UTF-8 BYTE order, which differs from
-      // java.lang.String.compareTo (UTF-16 code units) when
-      // supplementary-plane chars mix with U+E000–U+FFFF — so strings
-      // compare via their UTF-8 bytes here, keeping the endgame's
-      // canonical minima identical to the distributed loop's
-      val spark = nodes.sparkSession
-      val edges = e.select(col("a"), col("b")).collect()
-        .map(r => (r.get(0), r.get(1)))
-      def lt(x: Any, y: Any): Boolean = (x, y) match {
-        case (a: String, b: String) =>
-          java.util.Arrays.compareUnsigned(
-            a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-            b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
-        case _ => x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
-      }
-      val parent = new java.util.HashMap[Any, Any]()
-      def find(x: Any): Any = {
-        var r = x
-        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
-        var c = x
-        while (parent.getOrDefault(c, c) != r) {
-          val nx = parent.get(c); parent.put(c, r); c = nx
-        }
-        r
-      }
-      edges.foreach { case (a, b) =>
-        val ra = find(a); val rb = find(b)
-        if (ra != rb) {
-          if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
-        }
-      }
-      val members: Seq[Any] =
-        edges.iterator.flatMap(p => Iterator(p._1, p._2)).toSet.toSeq
-      val idType = e.schema("a").dataType
-      val rows = members.map(x =>
-        org.apache.spark.sql.Row(x, find(x)))
-      val labelDf = spark.createDataFrame(
-        new java.util.ArrayList(
-          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("id", idType),
-          org.apache.spark.sql.types.StructField("component_id", idType))))
+      val out = localFinish(nodes,
+        e.select(col("a"), col("b")).collect()
+          .map(r => (r.get(0), r.get(1))),
+        e.schema("a").dataType)
       e.unpersist()
       if (checkpointDir.isDefined)
         org.apache.spark.sql.graft.CheckpointFiles.delete(e)
-      return nodes.select("id")
-        .join(broadcast(labelDf), Seq("id"), "left")
-        .select(col("id"),
-          coalesce(col("component_id"), col("id")).as("component_id"))
+      return out
     }
     // fail loudly: labels read off a PARTIALLY contracted edge set are
     // silently wrong (a node's local min ≠ the component min)

@@ -364,15 +364,16 @@ object Similarity {
     */
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
              m: Int = 16, dims: Int = 64, codebookK: Int = 16,
-             codebook: Option[DataFrame] = None): DataFrame = {
-    val (codes, tables) = pqCodesAndTables(queries, corpus, m, dims,
-      codebookK, codebook)
+             codebook: Option[DataFrame] = None,
+             codes: Option[DataFrame] = None): DataFrame = {
+    val (codesDf, tables) = pqCodesAndTables(queries, corpus, m, dims,
+      codebookK, codebook, codes)
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc_q").desc, col("neighbor_id"))
     // one row per (query, neighbor) — the m-entry sum is a single
     // map-lookup fold over the packed code array, not an m-way row
     // expansion + re-shuffle
-    codes.crossJoin(broadcast(tables))
+    codesDf.crossJoin(broadcast(tables))
       .filter(col("query_id") =!= col("__id"))
       .select(col("query_id"), col("__id").as("neighbor_id"),
         adcSum(col("__ck"), col("__tm")).as("adc_q"))
@@ -392,7 +393,8 @@ object Similarity {
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
                 centroids: DataFrame, k: Int, nprobe: Int,
                 m: Int = 16, dims: Int = 64, codebookK: Int = 16,
-                codebook: Option[DataFrame] = None): DataFrame = {
+                codebook: Option[DataFrame] = None,
+                codes: Option[DataFrame] = None): DataFrame = {
     // coarse quantizer: same cosine assign/probe as ivfTopK (the
     // vectors themselves are NOT carried past this point — scoring
     // happens on codes)
@@ -424,8 +426,8 @@ object Similarity {
     val allowed = probes.join(assigned, "__list")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
-    val (codes, tables) = pqCodesAndTables(queries, corpus, m, dims,
-      codebookK, codebook)
+    val (codesDf, tables) = pqCodesAndTables(queries, corpus, m, dims,
+      codebookK, codebook, codes)
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc_q").desc, col("neighbor_id"))
     // one code-array row per candidate — the old shape expanded every
@@ -433,7 +435,7 @@ object Similarity {
     // packed form joins each candidate ONCE and folds the m lookups
     // against the broadcast per-query table map
     allowed
-      .join(codes.select(col("__id").as("neighbor_id"), col("__ck")),
+      .join(codesDf.select(col("__id").as("neighbor_id"), col("__ck")),
         Seq("neighbor_id"))
       .join(broadcast(tables), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -523,10 +525,20 @@ object Similarity {
       row_number().over(Window.partitionBy("__j").orderBy("__cid")) - 1)
   }
 
-  private def pqCodesAndTables(queries: DataFrame, corpus: DataFrame,
-                               m: Int, dims: Int, codebookK: Int,
-                               codebook: Option[DataFrame])
-      : (DataFrame, DataFrame) = {
+  /** Encode the corpus against a trained codebook: ONE packed
+    * (`__id`, `__ck`) row per vector, `__ck` the subspace-ordered
+    * (j, rank) code array. Like [[pqTrain]], this depends on the
+    * CORPUS (and codebook) only — the index-build half of the FAISS
+    * lifecycle — so callers running several PQ searches over one
+    * corpus should encode once and pass the result through the
+    * `codes` parameter of [[pqTopK]]/[[ivfPqTopK]]/[[pqRefineTopK]]/
+    * [[ivfPqRefineTopK]] (or memoize: ExtensionQueries' `pq_codes`
+    * stage); an un-materialized codes subtree is otherwise re-built
+    * by every query over the same index.
+    */
+  def pqEncode(corpus: DataFrame, m: Int = 16, dims: Int = 64,
+               codebookK: Int = 16,
+               codebook: Option[DataFrame] = None): DataFrame = {
     require(dims % m == 0,
       s"dims ($dims) must split evenly into m ($m) subspaces")
     val d = dims / m
@@ -535,7 +547,7 @@ object Similarity {
     // pack the m codes into one (j, rank) array per vector, ordered
     // by subspace (assign against the codebook, then swap the raw
     // cid for its dense rank)
-    val codes = pqAssign(pqSubs(corpus, "__id", m, d),
+    pqAssign(pqSubs(corpus, "__id", m, d),
         centRanked.select("__j", "__cid", "__cv"))
       .join(broadcast(centRanked.select("__j", "__cid", "__r")),
         Seq("__j", "__cid"))
@@ -543,6 +555,20 @@ object Similarity {
       .agg(transform(
         array_sort(collect_list(struct(col("__j"), col("__r")))),
         e => struct(e("__j").as("j"), e("__r").as("r"))).as("__ck"))
+  }
+
+  private def pqCodesAndTables(queries: DataFrame, corpus: DataFrame,
+                               m: Int, dims: Int, codebookK: Int,
+                               codebook: Option[DataFrame],
+                               precodes: Option[DataFrame])
+      : (DataFrame, DataFrame) = {
+    require(dims % m == 0,
+      s"dims ($dims) must split evenly into m ($m) subspaces")
+    val d = dims / m
+    val centRanked = codebook.getOrElse(pqTrain(corpus, m, dims,
+      codebookK))
+    val codes = precodes.getOrElse(
+      pqEncode(corpus, m, dims, codebookK, Some(centRanked)))
     // per-query ADC table: one fixed-point dot per (subspace,
     // codeword), folded into a nested array indexed [j][rank] — a
     // ≤ m·codebookK-entry broadcastable structure whose lookups are
@@ -582,10 +608,11 @@ object Similarity {
   def pqRefineTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                    refine: Int = 4, m: Int = 16, dims: Int = 64,
                    codebookK: Int = 16,
-                   codebook: Option[DataFrame] = None): DataFrame = {
+                   codebook: Option[DataFrame] = None,
+                   codes: Option[DataFrame] = None): DataFrame = {
     require(refine >= 1, "refine factor must be >= 1")
     val cand = pqTopK(queries, corpus, k * refine, m, dims, codebookK,
-      codebook).select("query_id", "neighbor_id")
+      codebook, codes).select("query_id", "neighbor_id")
     exactRefine(cand, queries, corpus, k)
   }
 
@@ -625,10 +652,11 @@ object Similarity {
                       centroids: DataFrame, k: Int, nprobe: Int,
                       refine: Int = 4, m: Int = 16, dims: Int = 64,
                       codebookK: Int = 16,
-                      codebook: Option[DataFrame] = None): DataFrame = {
+                      codebook: Option[DataFrame] = None,
+                      codes: Option[DataFrame] = None): DataFrame = {
     require(refine >= 1, "refine factor must be >= 1")
     val cand = ivfPqTopK(queries, corpus, centroids, k * refine, nprobe,
-      m, dims, codebookK, codebook).select("query_id", "neighbor_id")
+      m, dims, codebookK, codebook, codes).select("query_id", "neighbor_id")
     exactRefine(cand, queries, corpus, k)
   }
 

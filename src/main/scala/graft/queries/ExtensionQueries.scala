@@ -127,6 +127,18 @@ object ExtensionQueries {
       Similarity.pqTrain(emb(s, dir), m = 16, dims = 64, codebookK = 16)
     }
 
+  /** Packed PQ codes of the embeddings corpus at the same geometry —
+    * the index-build half of the FAISS lifecycle (encode once, search
+    * many), shared by all four PQ queries. Without the memo each
+    * query re-runs the assign-join + pack aggregation over the whole
+    * corpus — pure duplicated work at any scale.
+    */
+  private def pqCodes(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "pq_codes", fpFile = "embeddings.parquet") {
+      Similarity.pqEncode(emb(s, dir), m = 16, dims = 64,
+        codebookK = 16, codebook = Some(pqCodebook(s, dir)))
+    }
+
   def prebuildStages(s: SparkSession, dir: String): Seq[(String, Double)] = {
     def timed(name: String)(f: => Unit): (String, Double) = {
       val t0 = System.nanoTime()
@@ -135,7 +147,8 @@ object ExtensionQueries {
     }
     Seq(
       timed("cc_labels") { componentLabels(s, dir).count() },
-      timed("pq_codebook") { pqCodebook(s, dir).count() })
+      timed("pq_codebook") { pqCodebook(s, dir).count() },
+      timed("pq_codes") { pqCodes(s, dir).count() })
   }
 
   /** Bench-only: drop this (session, dir)'s memoized stages so
@@ -146,7 +159,7 @@ object ExtensionQueries {
     * fixture regeneration above).
     */
   private[graft] def evictStages(s: SparkSession, dir: String): Unit =
-    Seq("cc_labels", "pq_codebook").foreach { stage =>
+    Seq("cc_labels", "pq_codebook", "pq_codes").foreach { stage =>
       val key = s"${s.sparkContext.applicationId}|$dir|$stage"
       Option(stageCache.remove(key)).foreach(dropQuietly)
     }
@@ -325,7 +338,8 @@ object ExtensionQueries {
     "sim_pq_adc_topk" -> { (s, dir) =>
       val e = emb(s, dir)
       Similarity.pqTopK(e.filter(col("id") < 50), e, k = 5,
-        codebook = Some(pqCodebook(s, dir)))
+        codebook = Some(pqCodebook(s, dir)),
+        codes = Some(pqCodes(s, dir)))
     },
 
     // two-stage retrieval (FAISS IndexRefineFlat): ADC proposes
@@ -334,7 +348,8 @@ object ExtensionQueries {
     "sim_pq_refine_topk" -> { (s, dir) =>
       val e = emb(s, dir)
       Similarity.pqRefineTopK(e.filter(col("id") < 50), e, k = 5,
-        refine = 4, codebook = Some(pqCodebook(s, dir)))
+        refine = 4, codebook = Some(pqCodebook(s, dir)),
+        codes = Some(pqCodes(s, dir)))
     },
 
     // the full FAISS IVFx,PQy composition: coarse-list pruning, then
@@ -343,7 +358,8 @@ object ExtensionQueries {
       val e = emb(s, dir)
       Similarity.ivfPqTopK(e.filter(col("id") < 50), e,
         Similarity.seedCentroids(e, nlist = 8), k = 5, nprobe = 2,
-        codebook = Some(pqCodebook(s, dir)))
+        codebook = Some(pqCodebook(s, dir)),
+        codes = Some(pqCodes(s, dir)))
     },
 
     // the complete production index: IVF pruning + PQ scoring + exact
@@ -352,7 +368,8 @@ object ExtensionQueries {
       val e = emb(s, dir)
       Similarity.ivfPqRefineTopK(e.filter(col("id") < 50), e,
         Similarity.seedCentroids(e, nlist = 8), k = 5, nprobe = 2,
-        refine = 4, codebook = Some(pqCodebook(s, dir)))
+        refine = 4, codebook = Some(pqCodebook(s, dir)),
+        codes = Some(pqCodes(s, dir)))
     },
 
     // -- Text analysis -----------------------------------------------
