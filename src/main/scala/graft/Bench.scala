@@ -175,13 +175,17 @@ object Bench {
         case c => c.toString
       }.mkString("\"", "", "\"")
     // The harness keeps only the LAST ~2k chars of output, so the line
-    // must stay compact and put the headline fields AFTER the
-    // per-query map, sorted fastest-first so the slowest — most
-    // informative — queries sit nearest the end of the line.
+    // puts the headline fields AFTER the per-query map, sorted
+    // fastest-first so the slowest — most informative — queries sit
+    // nearest the end of the line. At the current ~125-query surface
+    // the full line EXCEEDS 2k chars: the fastest queries' figures
+    // fall off the front of the captured tail, the headline fields
+    // survive because they print last, and the COMPLETE record is
+    // also written to target/bench_<sf>.json below so no analysis
+    // ever depends on the truncated stdout capture.
     // Locale.ROOT: the f interpolator uses the JVM default locale, and
     // a comma-decimal locale would emit invalid JSON. Per-query times
-    // print at 2 decimals so the whole line (114 queries) stays inside
-    // the harness's ~2k-char output tail; the total keeps 3.
+    // print at 2 decimals; the total keeps 3.
     def sec(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def sec2(v: Double): String =
@@ -199,7 +203,20 @@ object Bench {
     // the memoized work is still paid for in the headline number.
     val total = results.map(_._2).sum + stages.map(_._2).sum
     val sfName = sfDir.split('/').last
-    println(s"""{"queries":$qs,"errors":$errs,"stages":$stagesJson,"reps":$reps,"sf":"$sfName","n":${results.size},"unit":"sec","metric":"total","value":${sec(total)}}""")
+    val line = s"""{"queries":$qs,"errors":$errs,"stages":$stagesJson,"reps":$reps,"sf":"$sfName","n":${results.size},"unit":"sec","metric":"total","value":${sec(total)}}"""
+    println(line)
+    // Durable copy: stdout goes through a harness that keeps only a
+    // ~2k-char tail, so the full record is also written to a file —
+    // round-over-round comparisons read this, never the capture.
+    try {
+      val out = java.nio.file.Paths.get("target", s"bench_$sfName.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, line.getBytes("UTF-8"))
+      System.err.println(s"[bench] full record written to $out")
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] could not write record file: $e")
+    }
     spark.stop()
   }
 }

@@ -160,7 +160,13 @@ object Multimodal {
         rows.map { case (id, bytes) =>
           VideoHeader.parseMp4(bytes) match {
             case Some(h) =>
-              val ms = h.durationTicks * 1000L / h.timescale
+              // clamp before the ×1000: an adversarial mvhd can carry
+              // durationTicks near 2^63, and the unclamped multiply
+              // wraps negative — duration_ms/n_sampled_1hz must stay
+              // non-negative for any payload that parses as mp4
+              val safeTicks =
+                math.min(h.durationTicks, Long.MaxValue / 1000L)
+              val ms = safeTicks * 1000L / h.timescale
               VideoFeatures(id, bytes.length.toLong, "mp4", h.nTracks,
                 h.timescale, h.durationTicks, ms, ms / 1000L + 1L)
             case None =>

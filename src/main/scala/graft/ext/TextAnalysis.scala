@@ -292,13 +292,21 @@ object TextAnalysis {
     // constants as the same decimal literals the oracle SQL carries —
     // "k1 + 1" computed in double rounds differently than the parsed
     // literal "2.2", and the hash gate is bit-exact
+    // degenerate-corpus guard: an all-empty corpus has avgdl = 0, and
+    // dl/avgdl = 0/0 = NaN would rank differently between the old
+    // window form (NaN first under desc) and the ascending −score
+    // sort below (NaN last) — pin the length norm to 0 so every score
+    // is a real number and the two forms can never disagree. Fixture
+    // corpora never hit this; the oracle needs no mirror because the
+    // branch is unreachable on any corpus with one non-empty doc.
+    val dlNorm = when(col("__avgdl") > 0,
+      col("dl").cast("double") / col("__avgdl")).otherwise(lit(0.0))
     val score = terms.indices.map { i =>
       log((col("__n") - col(s"__df$i") + lit(0.5)) /
         (col(s"__df$i") + lit(0.5)) + lit(1.0)) *
         (col(s"tf$i").cast("double") * lit(2.2)) /
         (col(s"tf$i").cast("double") +
-          lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") /
-            col("__avgdl")))
+          lit(1.2) * (lit(0.25) + lit(0.75) * dlNorm))
     }.reduce(_ + _)
     // distributed top-k: per-partition k-row heaps + one k-row merge
     val top = tf.crossJoin(broadcast(stats))

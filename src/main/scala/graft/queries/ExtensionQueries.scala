@@ -139,6 +139,50 @@ object ExtensionQueries {
         codebookK = 16, codebook = Some(pqCodebook(s, dir)))
     }
 
+  // -- Write-once bucketed layout (layout_bucket_join) ----------------
+  // Key → documents fingerprint at write time, so a regenerated
+  // fixture re-writes. The two write jobs run inside compute's bin
+  // lock — acceptable for this single-purpose map (unlike the shared
+  // stageCache above, no other key can be starved behind it).
+  private val bucketedWritten =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Catalog/table suffix unique per (session, dir): concurrent
+    * sessions and parallel bench/verify runs on one machine must not
+    * race on a shared table name or output directory.
+    */
+  private[graft] def bucketedSuffix(s: SparkSession, dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s"${s.sparkContext.applicationId}|$dir".getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+  }
+
+  /** Write both bucketed tables ONCE per (session, dir) — the
+    * write-once/join-many contract of a bucketed layout. Re-invoking
+    * the query joins the already-written tables.
+    */
+  private[graft] def bucketedLayout(s: SparkSession, dir: String): Unit = {
+    val sfx = bucketedSuffix(s, dir)
+    val key = s"${s.sparkContext.applicationId}|$dir|bucketed"
+    val fp = Tables.fingerprint(s"$dir/documents.parquet")
+    bucketedWritten.compute(key, (_, prev) => {
+      if (prev == null || prev.longValue() != fp) {
+        import graft.sources.BucketedTables
+        val tmp = System.getProperty("java.io.tmpdir") +
+          s"/graft_bucketed_$sfx"
+        BucketedTables.writeBucketed(
+          docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+          s"graft_docs_bkt_$sfx", s"$tmp/docs", "doc_id", buckets = 8)
+        BucketedTables.writeBucketed(
+          docs(s, dir).select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).cast("long")
+              .as("n_tokens")),
+          s"graft_stats_bkt_$sfx", s"$tmp/stats", "doc_id", buckets = 8)
+      }
+      java.lang.Long.valueOf(fp)
+    })
+  }
+
   def prebuildStages(s: SparkSession, dir: String): Seq[(String, Double)] = {
     def timed(name: String)(f: => Unit): (String, Double) = {
       val t0 = System.nanoTime()
@@ -148,7 +192,8 @@ object ExtensionQueries {
     Seq(
       timed("cc_labels") { componentLabels(s, dir).count() },
       timed("pq_codebook") { pqCodebook(s, dir).count() },
-      timed("pq_codes") { pqCodes(s, dir).count() })
+      timed("pq_codes") { pqCodes(s, dir).count() },
+      timed("bucketed_layout") { bucketedLayout(s, dir) })
   }
 
   /** Bench-only: drop this (session, dir)'s memoized stages so
@@ -158,11 +203,14 @@ object ExtensionQueries {
     * while queries over the old frame are in flight (same contract as
     * fixture regeneration above).
     */
-  private[graft] def evictStages(s: SparkSession, dir: String): Unit =
+  private[graft] def evictStages(s: SparkSession, dir: String): Unit = {
     Seq("cc_labels", "pq_codebook", "pq_codes").foreach { stage =>
       val key = s"${s.sparkContext.applicationId}|$dir|$stage"
       Option(stageCache.remove(key)).foreach(dropQuietly)
     }
+    // next bucketedLayout call re-writes the tables (rebuild timing)
+    bucketedWritten.remove(s"${s.sparkContext.applicationId}|$dir|bucketed")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- Deduplication ------------------------------------------------
@@ -444,20 +492,19 @@ object ExtensionQueries {
     // either side (PlanSpec pins it) — the write-once/join-many
     // physical layout for repeated fact-table joins at corpus scale.
     // The result is the plain join's rows, so the oracle is ordinary
-    // SQL over the raw table.
+    // SQL over the raw table. Table names and the output path are
+    // derived from (applicationId, dir): concurrent sessions (or
+    // parallel bench/verify runs on one machine) never race on a
+    // shared catalog name or directory, and the write itself runs
+    // ONCE per (session, dir) — write-once/join-many is the entire
+    // point of the layout, so re-paying the physical write on every
+    // invocation both misrepresented the operator's cost and raced
+    // against itself.
     "layout_bucket_join" -> { (s, dir) =>
-      import graft.sources.BucketedTables
-      val tmp = System.getProperty("java.io.tmpdir") + "/graft_bucketed"
-      BucketedTables.writeBucketed(
-        docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
-        "graft_docs_bkt", s"$tmp/docs", "doc_id", buckets = 8)
-      BucketedTables.writeBucketed(
-        docs(s, dir).select(col("doc_id"),
-          TextAnalysis.tokenCount(col("text")).cast("long")
-            .as("n_tokens")),
-        "graft_stats_bkt", s"$tmp/stats", "doc_id", buckets = 8)
-      s.table("graft_docs_bkt")
-        .join(s.table("graft_stats_bkt"), "doc_id")
+      bucketedLayout(s, dir)
+      val sfx = bucketedSuffix(s, dir)
+      s.table(s"graft_docs_bkt_$sfx")
+        .join(s.table(s"graft_stats_bkt_$sfx"), "doc_id")
         .select("doc_id", "lang", "n_chars", "n_tokens")
     },
 

@@ -124,6 +124,28 @@ class ExtSpec extends SparkSpec {
     assert(VideoHeader.parseMp4(v0.dropRight(10)) === None)
   }
 
+  test("decodeVideo clamps an adversarial near-2^63 mvhd duration — " +
+      "derived fields stay non-negative") {
+    def hex(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").grouped(2)
+        .map(Integer.parseInt(_, 16).toByte).toArray
+    val ftyp = "00000010 66747970 69736F6D 00000000"
+    // v1 mvhd, timescale 600, duration 2^63 − 1: ticks·1000 would wrap
+    // negative without the clamp
+    val mvhd1 = "00000078 6D766864 01000000" +
+      "0000000000000000 0000000000000000" +
+      "00000258" + "7FFFFFFFFFFFFFFF" + "00" * 80
+    val blob = hex(ftyp + f"${8 + 120}%08X" + "6D6F6F76" + mvhd1)
+    val row = graft.ext.Multimodal
+      .decodeVideo(Seq((1L, blob)).toDF("doc_id", "blob"))
+      .collect().head
+    assert(row.format === "mp4")
+    assert(row.duration_ticks === Long.MaxValue)
+    assert(row.duration_ms >= 0L,
+      s"duration_ms wrapped negative: ${row.duration_ms}")
+    assert(row.n_sampled_1hz >= 0L)
+  }
+
   test("punctRatio and qualityScore survive an empty document") {
     val got = Seq((1L, ""), (2L, "hi!")).toDF("doc_id", "text")
       .select($"doc_id", TextAnalysis.punctRatio($"text").as("p"),

@@ -414,6 +414,48 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel replay guard: a genuinely LATE out-of-order " +
+    "final step is suppressed — the documented divergence from the " +
+    "batch funnel") {
+    // The guard cannot distinguish an at-least-once redelivery from a
+    // real conversion that arrives out of order BEHIND an already
+    // emitted hit: both sit at-or-below the newest emitted (ts, tie).
+    // The operator documents that it drops them (bound lateness with a
+    // watermark upstream if they must count); this test pins the drop
+    // so the batch-equivalence contract's exception is test-visible,
+    // not just scaladoc-stated.
+    implicit val sq = spark.sqlContext
+    val early = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "signup"),
+      (1L, ts("2024-01-01 01:00:00"), 2L, "click"),
+      (1L, ts("2024-01-01 03:00:00"), 4L, "purchase"))
+    // arrives AFTER the t=03:00 hit was emitted, but is event-timed
+    // BEFORE it — the batch funnel counts it, the stream cannot
+    val late = (1L, ts("2024-01-01 02:00:00"), 3L, "purchase")
+    val batchHits = graft.ext.EventWindows.funnel(
+      (early :+ late).toDF("user_id", "ts", "event_id", "event_type"),
+      $"user_id", $"ts", $"event_id", $"event_type",
+      steps = Seq("signup", "click", "purchase"), within = "1 day")
+      .as[(Long, Long, Timestamp, Timestamp)].collect().toSet
+    assert(batchHits.map(_._2) === Set(3L, 4L),
+      "batch funnel must count BOTH purchases for the divergence to exist")
+    val in = MemoryStream[(Long, Timestamp, Long, String)]
+    val q = StreamOps.funnelStream(
+      in.toDF().toDF("key", "ts", "tie", "etype"),
+      steps = Seq("signup", "click", "purchase"),
+      withinMicros = 86400L * 1000000L)
+      .writeStream.format("memory").queryName("funnel_lff_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(early); q.processAllAvailable()
+      in.addData(Seq(late)); q.processAllAvailable()
+      val got = spark.table("funnel_lff_out")
+        .as[(Long, Long, Timestamp, Timestamp)].collect().toSet
+      assert(got.map(_._2) === Set(4L),
+        "the late final step must be suppressed, the early hit kept")
+    } finally q.stop()
+  }
+
   test("streaming packer under shuffled delivery: every chunk packs " +
     "exactly once into a gapless per-shard token stream (the " +
     "documented arrival-order contract)") {
