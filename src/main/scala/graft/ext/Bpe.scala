@@ -1,0 +1,143 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge induction (Sennrich/Haddow/Birch, ACL'16 —
+  * the subword tokenizer-training algorithm every LLM pipeline runs) —
+  * the bounded-round distributed form: each round is ONE pair-count
+  * aggregation over the word table plus a broadcast one-row re-encode,
+  * so k merges cost k aggregations of a vocabulary-bounded table, not
+  * k passes over the corpus. The corpus-scale work (word counting)
+  * happens exactly once.
+  *
+  * THE representation trick makes the whole loop engine-portable: a
+  * word's symbol sequence is kept as a DELIMITED STRING — every symbol
+  * wrapped in pipes, `low` → `|l||o||w|` — so applying merge (A, B) is
+  * a plain leftmost non-overlapping `replace(str, "|A||B|", "|AB|")`:
+  *
+  *   - greedy left-to-right semantics match BPE's scan exactly
+  *     (`|a||a||a||a||a|` --(a,a)--> `|aa||aa||a|`, never
+  *     `|aa||a||aa|`), because each symbol's wrapper is self-contained
+  *     and adjacent occurrences share no characters;
+  *   - a pattern can never match across a symbol boundary
+  *     (`|xa||b|` does not contain `|a||b|`) or across a word
+  *     boundary (words join with a space in [[encode]]);
+  *   - Spark's `replace` and DuckDB's `replace` share these exact
+  *     semantics, so the oracle replays the identical induction.
+  *
+  * Symbols never contain `|` (words come from whitespace
+  * tokenization of text that is pipe-free in the fixtures; a corpus
+  * with literal pipes would need a rarer sentinel).
+  *
+  * The per-round top pair is the (count, pair-bytes) maximum —
+  * deterministic on any engine, both orders bytewise. The merge
+  * decision is inherently sequential (merge r changes the pair counts
+  * merge r+1 sees), so the rounds chain; each round's winner is a
+  * ONE-ROW broadcast against the word table, and the plan stays fully
+  * lazy — no driver-side loop state, no collect.
+  */
+object Bpe {
+
+  /** `low` → `|l||o||w|` — one wrapped symbol per character. */
+  def symbolize(word: Column): Column =
+    regexp_replace(word, "(.)", "|$1|")
+
+  /** The corpus word table the induction runs on: one row per
+    * DISTINCT word with its corpus count and symbolized form, capped
+    * at the `maxWords` most frequent (count desc, word — the cap is a
+    * TakeOrderedAndProject, bounded per task at any corpus size).
+    * Real trainers cap the same way: the pair-count tail below the
+    * cap cannot win a merge round that matters.
+    */
+  def wordCounts(docs: DataFrame, text: Column, maxWords: Int): DataFrame =
+    docs.select(explode(split(trim(text), "\\s+")).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy("__w").agg(count(lit(1)).as("__wc"))
+      .orderBy(col("__wc").desc, col("__w"))
+      .limit(maxWords)
+      .select(col("__wc"), symbolize(col("__w")).as("__str"))
+
+  /** Adjacent-pair counts of a (``__wc``, ``__str``) word table:
+    * (`__pat` the replace pattern `|A||B|`, `__rep` its replacement
+    * `|AB|`, `n` the corpus-weighted count).
+    */
+  def pairCounts(words: DataFrame): DataFrame = {
+    val syms = split(trim(col("__str"), "|"), "\\|\\|")
+    val cnt = greatest(size(syms) - 1, lit(0))
+    val pairs = zip_with(
+      slice(syms, lit(1), cnt), slice(syms, lit(2), cnt),
+      (a, b) => struct(a.as("l"), b.as("r")))
+    words
+      .select(col("__wc"), explode(pairs).as("__p"))
+      .groupBy(col("__p.l").as("__l"), col("__p.r").as("__r"))
+      .agg(sum(col("__wc")).as("n"))
+      .select(col("__l"), col("__r"),
+        concat(lit("|"), col("__l"), lit("||"), col("__r"), lit("|"))
+          .as("__pat"),
+        concat(lit("|"), col("__l"), col("__r"), lit("|")).as("__rep"),
+        col("n"))
+  }
+
+  private def topPair(words: DataFrame): DataFrame =
+    pairCounts(words)
+      .orderBy(col("n").desc, col("__pat"))
+      .limit(1)
+
+  /** Induce the first `k` BPE merges over the corpus. Output: one row
+    * per merge — (rank, left, right, merged, n), rank 1 = first merge,
+    * n = the pair's corpus-weighted count AT ITS MERGE ROUND (counts
+    * shift as earlier merges rewrite the words). Fewer than k rows
+    * come back iff the capped word table runs out of adjacent pairs.
+    */
+  def train(docs: DataFrame, text: Column, k: Int,
+            maxWords: Int = 512): DataFrame = {
+    require(k >= 1 && k <= 32,
+      "each merge is one aggregation round over the word table — keep k small")
+    var words = wordCounts(docs, text, maxWords)
+    val rounds = (1 to k).map { r =>
+      val tp = topPair(words)
+      words = words.crossJoin(broadcast(tp.select("__pat", "__rep")))
+        .select(col("__wc"),
+          call_function("replace", col("__str"), col("__pat"),
+            col("__rep")).as("__str"))
+      tp.select(lit(r).as("rank"), col("__l").as("left"),
+        col("__r").as("right"),
+        concat(col("__l"), col("__r")).as("merged"), col("n"))
+    }
+    rounds.reduce(_ unionByName _)
+  }
+
+  /** Segment text with an induced merge table: every word symbolized
+    * and each merge applied in rank order — the encode half of the
+    * tokenizer, consuming [[train]]'s output. Words join with a
+    * space, so no merge can cross a word boundary. The merge fold is
+    * an `aggregate` over the rank-sorted merge list (one broadcast
+    * row carrying the whole table — merges are k rows by
+    * construction).
+    *
+    * Output: (id, bpe — the segmented delimited string, n_pieces).
+    */
+  def encode(docs: DataFrame, id: Column, text: Column,
+             merges: DataFrame): DataFrame = {
+    val packed = merges.agg(
+      array_sort(collect_list(struct(col("rank"),
+        concat(lit("|"), col("left"), lit("||"), col("right"), lit("|"))
+          .as("pat"),
+        concat(lit("|"), col("left"), col("right"), lit("|"))
+          .as("rep")))).as("__m"))
+    val sym = concat_ws(" ",
+      transform(split(trim(text), "\\s+"),
+        w => when(w === "", w).otherwise(symbolize(w))))
+    docs.select(id.as("id"), sym.as("__s"))
+      .crossJoin(broadcast(packed))
+      .select(col("id"),
+        aggregate(col("__m"), col("__s"), (acc, m) =>
+          call_function("replace", acc, m.getField("pat"),
+            m.getField("rep"))).as("bpe"))
+      .withColumn("n_pieces",
+        ((length(col("bpe")) -
+          length(call_function("replace", col("bpe"), lit("|"), lit(""))))
+          / 2).cast("long"))
+  }
+}

@@ -183,6 +183,15 @@ object ExtensionQueries {
     })
   }
 
+  /** The induced BPE merge table (k = 6, maxWords = 512) — one
+    * train-once stage shared by the vocab query and the encoder, the
+    * tokenizer-training lifecycle (train once, encode everything).
+    */
+  private def bpeMerges(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "bpe_merges") {
+      Bpe.train(docs(s, dir), col("text"), k = 6, maxWords = 512)
+    }
+
   def prebuildStages(s: SparkSession, dir: String): Seq[(String, Double)] = {
     def timed(name: String)(f: => Unit): (String, Double) = {
       val t0 = System.nanoTime()
@@ -193,6 +202,7 @@ object ExtensionQueries {
       timed("cc_labels") { componentLabels(s, dir).count() },
       timed("pq_codebook") { pqCodebook(s, dir).count() },
       timed("pq_codes") { pqCodes(s, dir).count() },
+      timed("bpe_merges") { bpeMerges(s, dir).count() },
       timed("bucketed_layout") { bucketedLayout(s, dir) })
   }
 
@@ -204,7 +214,8 @@ object ExtensionQueries {
     * fixture regeneration above).
     */
   private[graft] def evictStages(s: SparkSession, dir: String): Unit = {
-    Seq("cc_labels", "pq_codebook", "pq_codes").foreach { stage =>
+    Seq("cc_labels", "pq_codebook", "pq_codes", "bpe_merges")
+      .foreach { stage =>
       val key = s"${s.sparkContext.applicationId}|$dir|$stage"
       Option(stageCache.remove(key)).foreach(dropQuietly)
     }
@@ -748,6 +759,27 @@ object ExtensionQueries {
     "vocab_build" -> { (s, dir) =>
       TextAnalysis.buildVocab(docs(s, dir), col("text"),
         vocabSize = 24, minCount = 2)
+    },
+
+    // BPE merge induction (the tokenizer-training stage proper):
+    // 6 merge rounds over the 512 most frequent words — each round
+    // ONE pair-count aggregation + a broadcast one-row re-encode of
+    // the delimited symbol strings (see graft.ext.Bpe for why replace
+    // on the wrapped form IS greedy BPE on both engines). Served from
+    // the train-once `bpe_merges` stage (the tokenizer lifecycle);
+    // the training plan itself is pinned in PlanSpec.
+    "vocab_bpe" -> { (s, dir) =>
+      bpeMerges(s, dir)
+    },
+
+    // The encode half of the tokenizer: segment every document with
+    // the induced merges (rank-order fold of 6 replaces over the
+    // space-joined symbolized words — a merge never crosses a word
+    // boundary).
+    "text_bpe_encode" -> { (s, dir) =>
+      Bpe.encode(docs(s, dir), col("doc_id"), col("text"),
+        bpeMerges(s, dir))
+        .select(col("id").as("doc_id"), col("bpe"), col("n_pieces"))
     },
 
     // Corpus encoding against that vocab: id 0 = UNK; the id
@@ -1295,6 +1327,40 @@ object ExtensionQueries {
 
   private val tokensSql = """string_split_regex(trim(text), '\s+')"""
 
+  /** The BPE induction as a CTE chain (graft.ext.Bpe replayed in SQL):
+    * `w0` is the capped word table with delimited symbol strings;
+    * round r computes pair counts `pc_r` from `w_(r-1)`, picks the
+    * (n DESC, pattern-bytes ASC) top pair `t_r`, and re-encodes into
+    * `w_r` with the same leftmost non-overlapping `replace` Spark
+    * runs. Ends with `t1..tk` in scope.
+    */
+  private def bpeCtes(k: Int, maxWords: Int): String = {
+    val w0 = raw"""w0 AS (
+      |  SELECT wc, regexp_replace(w, '(.)', '|\1|', 'g') AS str FROM (
+      |    SELECT t AS w, count(*) AS wc
+      |    FROM (SELECT unnest($tokensSql) AS t FROM documents)
+      |    WHERE t <> ''
+      |    GROUP BY 1 ORDER BY wc DESC, w LIMIT $maxWords))""".stripMargin
+    val rounds = (1 to k).map { r =>
+      s"""pc$r AS (
+        |  SELECT s[i] AS sl, s[i + 1] AS sr, CAST(sum(wc) AS BIGINT) AS n
+        |  FROM (SELECT wc, s, unnest(generate_series(1, len(s) - 1)) AS i
+        |        FROM (SELECT wc, string_split(trim(str, '|'), '||') AS s
+        |              FROM w${r - 1}))
+        |  GROUP BY 1, 2),
+        |t$r AS (
+        |  SELECT $r AS rank, sl, sr, sl || sr AS merged,
+        |         '|' || sl || '||' || sr || '|' AS pat,
+        |         '|' || sl || sr || '|' AS rep, n
+        |  FROM pc$r ORDER BY n DESC, pat LIMIT 1),
+        |w$r AS (
+        |  SELECT wc, replace(str, (SELECT pat FROM t$r),
+        |                     (SELECT rep FROM t$r)) AS str
+        |  FROM w${r - 1})""".stripMargin
+    }
+    (w0 +: rounds).mkString(",\n")
+  }
+
   private def stopContains(arr: String): String = {
     val stops = TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
     s"len(list_filter($arr, t -> list_contains($stops, t)))"
@@ -1793,6 +1859,31 @@ object ExtensionQueries {
 
     // same vocab CTE; ids ordered by token position (list ... ORDER
     // BY pos), OOV -> 0; sums cast to BIGINT (DuckDB sums to HUGEINT)
+    "vocab_bpe" ->
+      (s"WITH ${bpeCtes(k = 6, maxWords = 512)}\n" +
+        (1 to 6).map(r =>
+          s"""SELECT rank, sl AS "left", sr AS "right", merged, n FROM t$r""")
+          .mkString("\nUNION ALL ")),
+
+    "text_bpe_encode" ->
+      (s"WITH ${bpeCtes(k = 6, maxWords = 512)},\n" +
+        raw"""sym AS (
+          |  SELECT doc_id, array_to_string(
+          |    list_transform($tokensSql,
+          |      w -> CASE WHEN w = '' THEN w
+          |           ELSE regexp_replace(w, '(.)', '|\1|', 'g') END),
+          |    ' ') AS s
+          |  FROM documents),
+          |enc AS (SELECT doc_id,""".stripMargin + "\n" +
+        // unrolled rank-order fold: replace(...replace(s, t1)... , t6)
+        (1 to 6).foldLeft("s") { (acc, r) =>
+          s"replace($acc, (SELECT pat FROM t$r), (SELECT rep FROM t$r))"
+        } + " AS bpe FROM sym)\n" +
+        """SELECT doc_id, bpe,
+          |  CAST((length(bpe) - length(replace(bpe, '|', ''))) / 2
+          |       AS BIGINT) AS n_pieces
+          |FROM enc""".stripMargin),
+
     "text_encode" ->
       s"""WITH d AS (SELECT doc_id,
          |             list_filter($tokensSql, t -> t <> '') AS toks

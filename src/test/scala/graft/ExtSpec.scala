@@ -146,6 +146,61 @@ class ExtSpec extends SparkSpec {
     assert(row.n_sampled_1hz >= 0L)
   }
 
+  test("Bpe.train/encode match a straight-line reference BPE on the " +
+      "classic corpus (merge order, tie-breaks, greedy re-encode)") {
+    import graft.ext.Bpe
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val text = words.mkString(" ")
+    // reference: the textbook algorithm on (symbol-list, count) pairs,
+    // top pair by (count desc, delimited-pattern bytes asc), greedy
+    // left-to-right merge
+    var ref = words.groupBy(identity).map { case (w, g) =>
+      (w.map(_.toString).toList, g.size.toLong) }.toList
+    val expect = (1 to 6).map { _ =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      ref.foreach { case (syms, c) =>
+        syms.zip(syms.tail).foreach(p =>
+          counts(p) = counts.getOrElse(p, 0L) + c) }
+      val top = counts.toSeq.minBy { case ((l, r), n) =>
+        (-n, s"|$l||$r|") }
+      def mergeGreedy(s: List[String]): List[String] = s match {
+        case a :: b :: rest if (a, b) == top._1 =>
+          (a + b) :: mergeGreedy(rest)
+        case a :: rest => a :: mergeGreedy(rest)
+        case Nil => Nil
+      }
+      ref = ref.map { case (syms, c) => (mergeGreedy(syms), c) }
+      (top._1._1, top._1._2, top._1._1 + top._1._2, top._2)
+    }
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, $"text", k = 6, maxWords = 512)
+    val got = merges.orderBy("rank")
+      .as[(Int, String, String, String, Long)].collect()
+      .map(r => (r._2, r._3, r._4, r._5)).toSeq
+    assert(got === expect)
+    // encode: the reference's final symbolization, joined by spaces
+    val refEnc = words.distinct.map { w =>
+      var syms = w.map(_.toString).toList
+      expect.foreach { case (l, r, m, _) =>
+        def g(s: List[String]): List[String] = s match {
+          case a :: b :: rest if a == l && b == r => m :: g(rest)
+          case a :: rest => a :: g(rest)
+          case Nil => Nil
+        }
+        syms = g(syms)
+      }
+      w -> syms.map(s => s"|$s|").mkString
+    }.toMap
+    val enc = Bpe.encode(Seq((7L, "low lower newest"))
+        .toDF("doc_id", "text"), $"doc_id", $"text", merges)
+      .as[(Long, String, Long)].collect().head
+    assert(enc._2 ===
+      Seq("low", "lower", "newest").map(refEnc).mkString(" "))
+    assert(enc._3 ===
+      enc._2.count(_ == '|').toLong / 2)
+  }
+
   test("punctRatio and qualityScore survive an empty document") {
     val got = Seq((1L, ""), (2L, "hi!")).toDF("doc_id", "text")
       .select($"doc_id", TextAnalysis.punctRatio($"text").as("p"),

@@ -45,6 +45,27 @@ class PlanSpec extends SparkSpec {
       s"global single-task windows in: ${offenders.mkString(", ")}")
   }
 
+  test("Bpe.train: the merge loop's joins are all broadcast one-row " +
+      "re-encodes, the word cap is a bounded TakeOrdered — no " +
+      "cartesian, no global window") {
+    val df = graft.ext.Bpe.train(
+      graft.sources.Tables.load(spark, dir, "documents"),
+      col("text"), k = 6, maxWords = 512)
+    val p = df.queryExecution.executedPlan.toString
+    // per-round winner + word cap both bound at k rows per task
+    assert(p.contains("TakeOrderedAndProject"),
+      s"word cap / top-pair not a bounded TakeOrdered:\n${p.take(2000)}")
+    // the only joins are the broadcast one-row (pattern, replacement)
+    // attaches — a nested-loop join NOT labeled BuildRight broadcast
+    // would be a corpus-side cartesian
+    assert(!p.contains("CartesianProduct"),
+      "merge re-encode degraded to a cartesian product")
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    assert(df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }.isEmpty, "global window in the BPE train plan")
+  }
+
   test("tpch_q5: all five dimension joins broadcast; lineitem streams") {
     val p = plan("tpch_q5")
     assert("BroadcastHashJoin".r.findAllIn(p).size === 5)
