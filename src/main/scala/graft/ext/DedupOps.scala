@@ -72,8 +72,27 @@ object DedupOps {
     * signature subtree twice. Docs with zero shingles drop out (no
     * hash → no bucket).
     */
+  /** @param maxBucket optional hot-bucket cap (0 = unlimited, the
+    *                   default — output is the full candidate set).
+    *                   A band bucket holding n docs emits C(n, 2)
+    *                   join rows; one boilerplate flood (a million
+    *                   byte-identical headers) makes a single bucket
+    *                   quadratic — the same failure mode as a
+    *                   stopword shingle in [[jaccardPairs]], and the
+    *                   same guard: buckets above the cap are dropped
+    *                   from pair expansion. Recall tradeoff is
+    *                   deliberate and visible: a capped bucket's
+    *                   members ARE near-dups of each other, so a
+    *                   pipeline that caps should route oversize
+    *                   buckets to a direct all-same-cluster rule
+    *                   (they need no pairwise verification) instead
+    *                   of the pair path. The bucket census costs one
+    *                   window over the band exchange (no extra
+    *                   shuffle — same partitioning).
+    */
   def lshCandidatePairs(df: DataFrame, id: Column, shingles: Column,
-                        numHashes: Int = 12, bands: Int = 4): DataFrame = {
+                        numHashes: Int = 12, bands: Int = 4,
+                        maxBucket: Int = 0): DataFrame = {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be a multiple of bands ($bands); " +
         "otherwise trailing signature columns silently drop out of every band")
@@ -91,9 +110,18 @@ object DedupOps {
         lit(b.toString) +: (b * rows until (b + 1) * rows)
           .map(j => col(s"__m$j").cast("string")): _*))
     }
-    val banded = sig.select(col("__id"),
+    val banded0 = sig.select(col("__id"),
       posexplode(array(keyCols: _*)).as(Seq("__band", "__key")))
       .repartition(col("__band"), col("__key"))
+    val banded =
+      if (maxBucket <= 0) banded0
+      else {
+        import org.apache.spark.sql.expressions.Window
+        banded0.withColumn("__bs", count(lit(1)).over(
+            Window.partitionBy(col("__band"), col("__key"))))
+          .filter(col("__bs") <= maxBucket)
+          .drop("__bs")
+      }
     val a = banded.select(col("__band"), col("__key"), col("__id").as("id_a"))
     val b = banded.select(col("__band"), col("__key"), col("__id").as("id_b"))
     a.join(b, Seq("__band", "__key"))
@@ -560,7 +588,8 @@ object DedupOps {
     */
   def simhashBandPairs(df: DataFrame, id: Column, simhash: Column,
                        bands: Int = 4, bitsPerBand: Int = 15,
-                       maxHamming: Int = 3, bits: Int = 60): DataFrame = {
+                       maxHamming: Int = 3, bits: Int = 60,
+                       maxBucket: Int = 0): DataFrame = {
     require(bands * bitsPerBand == bits,
       s"bands ($bands) * bitsPerBand ($bitsPerBand) must equal the " +
         s"simhash width ($bits); a shortfall silently drops the top " +
@@ -571,10 +600,21 @@ object DedupOps {
     // explicit join-key repartition: one exchange feeds both self-join
     // branches (exchange reuse), so the simhash aggregation upstream is
     // computed and shuffled once in every plan — same rationale as
-    // [[lshCandidatePairs]]
-    val banded = df.select(id.as("__id"), simhash.as("__s"),
+    // [[lshCandidatePairs]], including the optional maxBucket
+    // hot-bucket cap (0 = unlimited; same census-window shape and
+    // same route-oversize-buckets-to-a-cluster-rule tradeoff)
+    val banded0 = df.select(id.as("__id"), simhash.as("__s"),
       posexplode(keys).as(Seq("__band", "__key")))
       .repartition(col("__band"), col("__key"))
+    val banded =
+      if (maxBucket <= 0) banded0
+      else {
+        import org.apache.spark.sql.expressions.Window
+        banded0.withColumn("__bs", count(lit(1)).over(
+            Window.partitionBy(col("__band"), col("__key"))))
+          .filter(col("__bs") <= maxBucket)
+          .drop("__bs")
+      }
     val a = banded.select(col("__band"), col("__key"),
       col("__id").as("id_a"), col("__s").as("__sa"))
     val b = banded.select(col("__band"), col("__key"),

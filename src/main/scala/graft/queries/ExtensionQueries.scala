@@ -42,65 +42,18 @@ object ExtensionQueries {
     t(s, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
 
-  // -- Shared near-dup pipeline stage ---------------------------------
-  // The component labels feed two queries (component census, survivor
-  // selection). A production pipeline materializes such a stage once
-  // and fans out — mirrored here: one localCheckpoint'd computation
-  // per (session, dir, stage), with the data fingerprint carried in
-  // the cell so a regenerated fixture REPLACES (and unpersists) the
-  // stale entry instead of leaking one orphaned checkpoint per
-  // regeneration. The build runs inside the CELL's lock, not the
-  // map's: an LSH + iterative-connected-components job inside
-  // ConcurrentHashMap.compute would block every other memo key that
-  // hashes to the same bin for the whole job (and a reentrant memo
-  // call would throw "Recursive update"). Entries whose SparkContext
-  // has stopped are swept on each call, so a long-lived JVM running
-  // several sessions does not accrete dead checkpointed frames.
-  private final class StageCell(
-      val fp: Long, val sc: org.apache.spark.SparkContext,
-      build: () => DataFrame) {
-    private var computed: DataFrame = _
-    def df: DataFrame = synchronized {
-      if (computed == null) computed = build().localCheckpoint(true)
-      computed
-    }
-    /** The frame iff the build already ran — eviction must not force
-      * a multi-job build just to unpersist its result. */
-    def forced: Option[DataFrame] = synchronized(Option(computed))
-  }
-
-  private val stageCache =
-    new java.util.concurrent.ConcurrentHashMap[String, StageCell]()
-
-  private def dropQuietly(cell: StageCell): Unit =
-    cell.forced.foreach(d =>
-      try d.unpersist() catch { case _: Throwable => () })
-
+  // -- Shared pipeline stages -----------------------------------------
+  // The component labels, PQ codebook/codes, and BPE merges each feed
+  // several queries. A production pipeline materializes such a stage
+  // once and fans out — mirrored through the public
+  // [[graft.ext.Stages]] cache (one localCheckpoint'd build per
+  // (session, dir, stage), fingerprint-swapped on fixture
+  // regeneration; full contract in its scaladoc).
   private def memo(s: SparkSession, dir: String, stage: String,
                    fpFile: String = "documents.parquet")
-                  (build: => DataFrame): DataFrame = {
-    val it = stageCache.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.getValue.sc.isStopped) { dropQuietly(e.getValue); it.remove() }
-    }
-    val key = s"${s.sparkContext.applicationId}|$dir|$stage"
-    val fp = Tables.fingerprint(s"$dir/$fpFile")
-    val fresh = new StageCell(fp, s.sparkContext, () => build)
-    var cell = stageCache.putIfAbsent(key, fresh)
-    if (cell == null) cell = fresh
-    else if (cell.fp != fp) {
-      // Stale fixture: swap in the fresh cell, drop the old
-      // checkpoint. NOTE a caller that fetched the old frame just
-      // before the swap loses it (localCheckpoints have no lineage to
-      // recompute) — regenerating a fixture while queries over it are
-      // in flight is unsupported, matching the schema cache above.
-      cell = if (stageCache.replace(key, cell, fresh)) {
-        dropQuietly(cell); fresh
-      } else stageCache.getOrDefault(key, fresh) // lost a race: reuse winner
-    }
-    cell.df
-  }
+                  (build: => DataFrame): DataFrame =
+    Stages.stage(s, s"$dir|$stage",
+      Tables.fingerprint(s"$dir/$fpFile"))(build)
 
   private def componentLabels(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "cc_labels") {
@@ -215,10 +168,7 @@ object ExtensionQueries {
     */
   private[graft] def evictStages(s: SparkSession, dir: String): Unit = {
     Seq("cc_labels", "pq_codebook", "pq_codes", "bpe_merges")
-      .foreach { stage =>
-      val key = s"${s.sparkContext.applicationId}|$dir|$stage"
-      Option(stageCache.remove(key)).foreach(dropQuietly)
-    }
+      .foreach(stage => Stages.evict(s, s"$dir|$stage"))
     // next bucketedLayout call re-writes the tables (rebuild timing)
     bucketedWritten.remove(s"${s.sparkContext.applicationId}|$dir|bucketed")
   }

@@ -146,6 +146,108 @@ class ExtSpec extends SparkSpec {
     assert(row.n_sampled_1hz >= 0L)
   }
 
+  test("Stages: build-once, fingerprint swap, evict-rebuild, and " +
+      "checkpoint-backed results") {
+    import graft.ext.Stages
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    def build(tag: String) = {
+      builds.incrementAndGet()
+      Seq((1L, tag), (2L, tag)).toDF("id", "tag")
+    }
+    val name = s"extspec-stage-${System.nanoTime()}"
+    val a = Stages.stage(spark, name, fingerprint = 1L)(build("v1"))
+    val b = Stages.stage(spark, name, fingerprint = 1L)(build("v1"))
+    assert(builds.get() === 1, "same fingerprint must not rebuild")
+    // the cached frame is materialized: its plan scans the checkpoint,
+    // not the original lineage (consumers can't replan the build)
+    assert(a.queryExecution.optimizedPlan.toString
+      .contains("LogicalRDD"), "stage result not checkpoint-backed")
+    assert(b.as[(Long, String)].collect().toSet ===
+      Set(1L -> "v1", 2L -> "v1"))
+    // changed fingerprint: atomically swaps in the rebuilt frame
+    val c = Stages.stage(spark, name, fingerprint = 2L)(build("v2"))
+    assert(builds.get() === 2, "fingerprint change must rebuild")
+    assert(c.as[(Long, String)].collect().toSet ===
+      Set(1L -> "v2", 2L -> "v2"))
+    // evict: next call rebuilds even at the same fingerprint
+    Stages.evict(spark, name)
+    Stages.stage(spark, name, fingerprint = 2L)(build("v3"))
+    assert(builds.get() === 3, "evict must force a rebuild")
+    Stages.evict(spark, name)
+  }
+
+  test("simhashBandPairs under a pathologically hot band bucket: " +
+      "exact vs a brute-force reference, and maxBucket bounds the " +
+      "expansion") {
+    import graft.ext.DedupOps
+    // 60 of 100 docs share band 0's key (low 15 bits all = 7) with
+    // random high bits — one bucket holds >50% of the corpus, the
+    // skew shape a boilerplate flood produces. 3 planted near-dups.
+    val rnd = new scala.util.Random(13)
+    val mask60 = (1L << 60) - 1
+    val hot = (1L to 60L).map(i =>
+      i -> (((rnd.nextLong() & mask60) & ~32767L) | 7L))
+    val cold = (61L to 100L).map(i => i -> (rnd.nextLong() & mask60))
+    val planted = Seq(200L -> (hot.head._2 ^ 1L),
+      201L -> (cold.head._2 ^ (1L << 20)))
+    val docs = hot ++ cold ++ planted
+    def bandKeys(s: Long): Seq[Long] =
+      (0 until 4).map(b => (s >>> (b * 15)) & 32767L)
+    def hamming(a: Long, b: Long): Int =
+      java.lang.Long.bitCount((a ^ b) & mask60)
+    val want = (for {
+      (ia, sa) <- docs; (ib, sb) <- docs
+      if ia < ib
+      if bandKeys(sa).zip(bandKeys(sb)).exists(p => p._1 == p._2)
+      if hamming(sa, sb) <= 3
+    } yield (ia, ib, hamming(sa, sb))).toSet
+    assert(want.nonEmpty && want.size >= 2)
+    val df = docs.toDF("doc_id", "simhash")
+    val got = DedupOps.simhashBandPairs(df, $"doc_id", $"simhash",
+        bands = 4, bitsPerBand = 15, maxHamming = 3, bits = 60)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === want, "hot-bucket candidate set must stay exact")
+    // the cap drops only pairs whose EVERY shared band bucket is
+    // oversize: here the hot bucket (61 members) is the only
+    // oversize one, so pairs relying on it alone disappear
+    val capped = DedupOps.simhashBandPairs(df, $"doc_id", $"simhash",
+        bands = 4, bitsPerBand = 15, maxHamming = 3, bits = 60,
+        maxBucket = 32)
+      .as[(Long, Long, Int)].collect().toSet
+    val hotIds = (hot.map(_._1) :+ 200L).toSet
+    val hotOnly = want.filter { case (a, b, _) =>
+      hotIds(a) && hotIds(b) &&
+        bandKeys(docs.toMap.apply(a)).zip(bandKeys(docs.toMap.apply(b)))
+          .zipWithIndex.forall { case ((x, y), bi) =>
+            x != y || bi == 0 } }
+    assert(capped === want -- hotOnly,
+      "cap must drop exactly the pairs carried only by the hot bucket")
+  }
+
+  test("lshCandidatePairs under a boilerplate flood: all-identical " +
+      "docs stay exact, and maxBucket removes only the flood's pairs") {
+    import graft.ext.{DedupOps, TextAnalysis}
+    // 30 byte-identical docs (every band bucket shared) + 20 distinct
+    val flood = (1L to 30L).map(i => i -> "alpha beta gamma delta epsilon")
+    val rest = (31L to 50L).map(i =>
+      i -> s"unique${i} words${i} here${i} text${i} body${i}")
+    val df = (flood ++ rest).toDF("doc_id", "text")
+    val got = DedupOps.lshCandidatePairs(df, $"doc_id",
+        TextAnalysis.shingles($"text", 2))
+      .as[(Long, Long)].collect().toSet
+    val floodPairs = (for {
+      a <- 1L to 30L; b <- (a + 1) to 30L } yield (a, b)).toSet
+    assert(floodPairs.subsetOf(got),
+      "every identical-doc pair must be a candidate")
+    assert(got.forall { case (a, b) => a <= 30L == (b <= 30L) },
+      "no candidate pair may straddle the flood and the distinct docs")
+    val capped = DedupOps.lshCandidatePairs(df, $"doc_id",
+        TextAnalysis.shingles($"text", 2), maxBucket = 16)
+      .as[(Long, Long)].collect().toSet
+    assert(capped === got -- floodPairs,
+      "cap must remove exactly the flood's quadratic pair set")
+  }
+
   test("Bpe.train/encode match a straight-line reference BPE on the " +
       "classic corpus (merge order, tie-breaks, greedy re-encode)") {
     import graft.ext.Bpe
