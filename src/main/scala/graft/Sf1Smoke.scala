@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1 scale smoke (dev tool): deterministically scale the sf0.1
+  * documents/embeddings fixtures 10× into `target/sf1`, run the most
+  * expensive queries and every shared stage there, and record
+  * per-query times + plan audits to SF1_SMOKE.md. The shape audits
+  * (PlanSpec) argue every plan survives 100×; this run pins the
+  * CONSTANT FACTORS at 10× — no OOM, no cartesian or global window
+  * appearing under AQE at the larger input, wall times scaling like
+  * the data, not like its square.
+  *
+  * Scaling is replica-based: replica k of a document carries
+  * doc_id + k·10_000_000 and a replica-salted text prefix for k > 0,
+  * so exact/near-dup structure is preserved (replica 0 is the
+  * original corpus; salted replicas are near- but not exact dups of
+  * it — the dedup families keep non-trivial work). Embeddings keep
+  * their vectors with offset ids — exact-duplicate vectors across
+  * replicas, the worst case for ANN candidate generation.
+  */
+object Sf1Smoke {
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outDir = args.lift(1).getOrElse("target/sf1")
+    val factor = 10
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def gen(): Unit = {
+      val reps = spark.range(factor).select(col("id").as("__k"))
+      val docs = graft.sources.Tables.load(spark, srcDir, "documents")
+      docs.crossJoin(reps)
+        .select(
+          (col("doc_id") + col("__k") * 10000000L).as("doc_id"),
+          when(col("__k") === 0, col("text"))
+            .otherwise(concat(lit("r"), col("__k").cast("string"),
+              lit("salt "), col("text"))).as("text"),
+          col("lang"), col("source"),
+          (col("n_chars") + when(col("__k") === 0, 0).otherwise(7))
+            .as("n_chars"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+      val emb = graft.sources.Tables.load(spark, srcDir, "embeddings")
+      emb.crossJoin(reps)
+        .select((col("vec_id") + col("__k") * 10000000L).as("vec_id"),
+          col("embedding"), col("label"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    }
+    if (!new java.io.File(s"$outDir/documents.parquet").exists()) {
+      println("[sf1] generating scaled fixtures...")
+      gen()
+    }
+
+    val names = Seq(
+      "sim_pq_adc_topk", "sim_pq_refine_topk", "sim_ivfpq_topk",
+      "sim_ivfpq_refine_topk", "dedup_ngram_jaccard", "dedup_substring",
+      "curate_pretrain", "curate_domain", "dedup_minhash_lsh",
+      "dedup_components", "dedup_simhash_pairs", "curate_corpus",
+      "vocab_bpe", "text_bpe_encode")
+
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    def audit(df: DataFrame): Seq[String] = {
+      val bad = List.newBuilder[String]
+      if (df.queryExecution.executedPlan.toString
+          .contains("CartesianProduct"))
+        bad += "CartesianProduct"
+      if (df.queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w }.nonEmpty)
+        bad += "global-window"
+      bad.result()
+    }
+
+    val t0 = System.nanoTime()
+    val stages = graft.queries.ExtensionQueries.prebuildStages(spark, outDir)
+    val rows = names.map { n =>
+      val q = SparkEntry.queries(n)
+      var best = Double.MaxValue
+      var cnt = 0L
+      var bad: Seq[String] = Nil
+      for (_ <- 1 to 2) {
+        val t = System.nanoTime()
+        val df = q(spark, outDir)
+        cnt = df.count()
+        best = math.min(best, (System.nanoTime() - t) / 1e9)
+        bad = audit(df)
+      }
+      println(f"[sf1] $n%-24s $best%7.2f s rows=$cnt ${bad.mkString(",")}")
+      (n, best, cnt, bad)
+    }
+    val wall = (System.nanoTime() - t0) / 1e9
+
+    val sb = new StringBuilder
+    sb ++= "# SF1 scale smoke\n\n"
+    sb ++= s"10x the sf0.1 documents/embeddings fixtures (50k docs, " +
+      s"20k vectors, replica-salted — see `graft.Sf1Smoke`), " +
+      s"local[32], min-of-2 reps, ${java.time.LocalDate.now()}.\n\n"
+    sb ++= "| stage/query | sf1 s | rows | plan flags |\n|---|---|---|---|\n"
+    stages.foreach { case (k, v) =>
+      sb ++= f"| stage `$k` | $v%.2f | — | |\n" }
+    rows.foreach { case (n, s, c, bad) =>
+      sb ++= f"| `$n` | $s%.2f | $c | ${bad.mkString(",")} |\n" }
+    sb ++= f"\nTotal wall (stages + all queries, both reps): $wall%.1f s. "
+    sb ++= "No query failed or spilled to OOM; empty plan-flag column = " +
+      "no cartesian product and no unpartitioned window under AQE at " +
+      "10x input.\n"
+    java.nio.file.Files.write(java.nio.file.Paths.get("SF1_SMOKE.md"),
+      sb.toString.getBytes("UTF-8"))
+    println(s"[sf1] wrote SF1_SMOKE.md (total ${wall.round} s)")
+    spark.stop()
+  }
+}
