@@ -79,39 +79,84 @@ object Bpe {
         col("n"))
   }
 
-  private def topPair(words: DataFrame): DataFrame =
-    pairCounts(words)
-      .orderBy(col("n").desc, col("__pat"))
-      .limit(1)
+  /** Unsigned-byte (UTF-8) string comparison — Spark's binary string
+    * collation, NOT Java's UTF-16 `compareTo` (they diverge above the
+    * BMP; same trap the components endgame fixed).
+    */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
 
   /** Induce the first `k` BPE merges over the corpus. Output: one row
     * per merge — (rank, left, right, merged, n), rank 1 = first merge,
     * n = the pair's corpus-weighted count AT ITS MERGE ROUND (counts
     * shift as earlier merges rewrite the words). Fewer than k rows
     * come back iff the capped word table runs out of adjacent pairs.
+    *
+    * The corpus-scale work (word counting + frequency cap) is ONE
+    * distributed pass; the merge induction itself runs on the DRIVER
+    * over the collected ≤ `maxWords`-row table — the bounded-endgame
+    * move (cf. connectedComponents' union-find threshold), and how
+    * real tokenizer trainers work: SentencePiece/HF collect word
+    * counts, then iterate in memory. A distributed round per merge
+    * was measured pure scheduling overhead (k TakeOrdered jobs over a
+    * 512-row table); the local loop is semantically IDENTICAL — Java
+    * `String.replace` shares Spark/DuckDB's leftmost non-overlapping
+    * literal semantics, and the per-round winner maximizes (count,
+    * then smallest pattern in UTF-8 byte order).
     */
   def train(docs: DataFrame, text: Column, k: Int,
             maxWords: Int = 512): DataFrame = {
     require(k >= 1 && k <= 32,
-      "each merge is one aggregation round over the word table — keep k small")
-    // materialize the capped word table ONCE (≤ maxWords rows): the k
-    // rounds chain plans off it, and without the checkpoint each
-    // round's pair-count subtree re-derives the CORPUS-WIDE word
-    // count — k passes over the corpus instead of one (measured 5× the
-    // whole train at 10× scale). Eager and tiny; train is the
-    // one-shot index-build call of the tokenizer lifecycle.
-    var words = wordCounts(docs, text, maxWords).localCheckpoint(true)
-    val rounds = (1 to k).map { r =>
-      val tp = topPair(words)
-      words = words.crossJoin(broadcast(tp.select("__pat", "__rep")))
-        .select(col("__wc"),
-          call_function("replace", col("__str"), col("__pat"),
-            col("__rep")).as("__str"))
-      tp.select(lit(r).as("rank"), col("__l").as("left"),
-        col("__r").as("right"),
-        concat(col("__l"), col("__r")).as("merged"), col("n"))
+      "the oracle replays one unrolled CTE per merge — keep k small")
+    require(maxWords <= (1 << 16),
+      "the merge loop collects the capped word table to the driver")
+    val spark = docs.sparkSession
+    var words = wordCounts(docs, text, maxWords)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val out = Seq.newBuilder[(Int, String, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= k && !done) {
+      // corpus-weighted adjacent-pair counts of the current word table
+      val counts = scala.collection.mutable.LinkedHashMap
+        .empty[(String, String), Long]
+      for ((wc, str) <- words) {
+        val syms = str.stripPrefix("|").stripSuffix("|").split("\\|\\|", -1)
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + wc
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        // max count, ties to the smallest "|A||B|" pattern bytewise —
+        // the same (n DESC, __pat ASC) order the oracle's CTE uses
+        val ((l, rr), n) = counts.reduceLeft { (a, b) =>
+          val pa = s"|${a._1._1}||${a._1._2}|"
+          val pb = s"|${b._1._1}||${b._1._2}|"
+          if (b._2 > a._2 || (b._2 == a._2 && utf8Lt(pb, pa))) b else a
+        }
+        out += ((r, l, rr, l + rr, n))
+        val pat = s"|$l||$rr|"
+        val rep = s"|$l$rr|"
+        words = words.map { case (wc, s) => (wc, s.replace(pat, rep)) }
+        r += 1
+      }
     }
-    rounds.reduce(_ unionByName _)
+    spark.createDataFrame(out.result())
+      .toDF("rank", "left", "right", "merged", "n")
   }
 
   /** Segment text with an induced merge table: every word symbolized

@@ -506,14 +506,26 @@ object Similarity {
     * un-materialized codebook is recomputed per consumer — the
     * dominant cost of a PQ query at small scale, and pure waste at
     * any scale.
+    *
+    * `trainSample` > 1 trains on the deterministic id-modulus
+    * subsample `id % trainSample == 0` (seeds included) — the FAISS
+    * practice: k-means codebooks converge on a sample, and at corpus
+    * scale training on everything is pure waste (FAISS caps training
+    * points per centroid and subsamples the rest). The sample is a
+    * pure function of the ids, so an oracle re-derives the identical
+    * codebook. Codes/encode still cover the FULL corpus.
     */
   def pqTrain(corpus: DataFrame, m: Int = 16, dims: Int = 64,
-              codebookK: Int = 16): DataFrame = {
+              codebookK: Int = 16, trainSample: Int = 1): DataFrame = {
     require(dims % m == 0,
       s"dims ($dims) must split evenly into m ($m) subspaces")
+    require(trainSample >= 1, "trainSample is a modulus, must be >= 1")
     val d = dims / m
-    val base = pqSubs(corpus, "__id", m, d)
-    val cent0 = pqSubs(corpus.orderBy(col("id")).limit(codebookK),
+    val train =
+      if (trainSample == 1) corpus
+      else corpus.filter(col("id") % trainSample === 0)
+    val base = pqSubs(train, "__id", m, d)
+    val cent0 = pqSubs(train.orderBy(col("id")).limit(codebookK),
         "__cid", m, d)
       .select(col("__j"), col("__cid"), col("__sv").as("__cv"))
     val cent1 = pqUpdate(pqAssign(base, cent0))
@@ -688,5 +700,43 @@ object Similarity {
         dot(col("va"), col("vb")) / (col("__na") * col("__nb")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
+  }
+
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540):
+    * k-means partitions the embedding space, then near-duplicates are
+    * detected ONLY within each cluster — the clustering is the
+    * blocking key, so the pair space is Σ C(|cluster|,2) instead of
+    * C(n,2). Returns the KEPT rows (`id`, `cid`): a row is dropped
+    * iff some same-cluster row with a SMALLER id is cosine-similar at
+    * ≥ `threshold` (keep-min is deterministic and order-independent;
+    * the paper keeps one representative per ε-ball, and which one is
+    * a free policy choice). Note the rule is non-transitive by
+    * design: in a chain a~b, b~c, a≁c, both b and c are dropped —
+    * each has its own smaller similar neighbor — which matches the
+    * paper's "remove all but one point of every ε-cluster" intent.
+    *
+    * Scale: k grows with the corpus so |cluster| ≈ n/k stays bounded
+    * (the paper runs 50k clusters over 5 B LAION embeddings keeping
+    * clusters at ~100k, each dedup'd independently); the within-
+    * cluster self-join shuffles each side once on `cid`, and the
+    * final anti join removes the dropped set. Nothing is quadratic in
+    * n — only in the bounded cluster size.
+    */
+  def semanticDedup(df: DataFrame, id: Column, vec: Column, k: Int,
+                    iters: Int = 2, threshold: Double = 0.25): DataFrame = {
+    val v = df.select(id.as("__id"), vec.as("__v"),
+      norm(vec).as("__n"))
+    val labels = Clustering.kmeansAssign(df, id, vec, k, iters)
+    val withVec = labels.join(
+      v.select(col("__id").as("id"), col("__v"), col("__n")), "id")
+    val dropped = withVec.as("a")
+      .join(withVec.as("b"),
+        col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+      .filter(col("a.__n") > 0 && col("b.__n") > 0 &&
+        dot(col("a.__v"), col("b.__v")) /
+          (col("a.__n") * col("b.__n")) >= threshold)
+      .select(col("b.id").as("id")).distinct()
+    labels.join(dropped, Seq("id"), "left_anti").select("id", "cid")
   }
 }

@@ -75,9 +75,14 @@ object ExtensionQueries {
     * Similarity.pqTrain's scaladoc for why an un-materialized
     * codebook is recomputed per broadcast consumer).
     */
+  // trainSample=4: the Lloyd update runs over a quarter of the
+  // corpus (FAISS trains codebooks on a sample); the id-modulus
+  // sample is deterministic so the DuckDB oracle re-derives the
+  // identical codebook. Codes still cover the full corpus.
   private def pqCodebook(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "pq_codebook", fpFile = "embeddings.parquet") {
-      Similarity.pqTrain(emb(s, dir), m = 16, dims = 64, codebookK = 16)
+      Similarity.pqTrain(emb(s, dir), m = 16, dims = 64, codebookK = 16,
+        trainSample = 4)
     }
 
   /** Packed PQ codes of the embeddings corpus at the same geometry —
@@ -288,6 +293,15 @@ object ExtensionQueries {
       Similarity.ivfNearDupPairs(e, col("id"), col("vec"),
         Similarity.seedCentroids(e, nlist = 8), threshold = 0.25,
         nassign = 2)
+    },
+
+    // SemDeDup (Abbas'23): k-means clusters ARE the blocking key;
+    // near-dups detected only within a cluster, keep-min-id. Returns
+    // the kept corpus — the pipeline stage shape (dedup_cosine_ivf
+    // returns the PAIRS; this returns the surviving rows).
+    "dedup_semantic" -> { (s, dir) =>
+      Similarity.semanticDedup(emb(s, dir), col("id"), col("vec"),
+        k = 8, iters = 2, threshold = 0.25)
     },
 
     // Incremental (production) dedup: a new batch first dedups within
@@ -613,6 +627,14 @@ object ExtensionQueries {
     "text_chunk" -> { (s, dir) =>
       TextAnalysis.chunkTokens(docs(s, dir), col("doc_id"), col("text"),
         window = 32, overlap = 8)
+    },
+
+    // CCNet/C4-style corpus-level exact span dedup: every 16-token
+    // span keeps only its global first occurrence; docs report how
+    // much of them survived (see TextAnalysis.spanDedup's scaladoc).
+    "text_span_dedup" -> { (s, dir) =>
+      TextAnalysis.spanDedup(docs(s, dir), col("doc_id"), col("text"),
+        window = 16)
     },
 
     // Chunks → training sequences: shard-parallel concat-and-cut
@@ -1118,8 +1140,13 @@ object ExtensionQueries {
     */
   private def pqOracleSql(m: Int, dims: Int, kk: Int, k: Int,
                           ivf: Option[(Int, Int)] = None,
-                          refine: Option[Int] = None): String = {
+                          refine: Option[Int] = None,
+                          trainSample: Int = 1): String = {
     val d = dims / m
+    // mirror of pqTrain's trainSample: seeds and the Lloyd update run
+    // over the deterministic id-modulus sample; codes cover everything
+    val trainW =
+      if (trainSample == 1) "" else s" WHERE vec_id % $trainSample = 0"
     // coarse quantizer CTEs (mirrors sim_ivf_topk's cosine
     // assign/probe) + the allowed (query, neighbor) pair set
     val ivfCtes = ivf.map { case (nlist, nprobe) =>
@@ -1143,9 +1170,10 @@ object ExtensionQueries {
       val lo = j * d + 1
       val hi = (j + 1) * d
       s"""sub$j AS (SELECT vec_id, embedding[$lo:$hi] AS sv FROM embeddings),
-         |cent0_$j AS (SELECT vec_id AS cid, sv AS cv FROM sub$j ORDER BY vec_id LIMIT $kk),
+         |cent0_$j AS (SELECT vec_id AS cid, sv AS cv FROM sub$j$trainW ORDER BY vec_id LIMIT $kk),
          |a1_$j AS (
-         |  SELECT s.vec_id, s.sv, c.cid FROM sub$j s CROSS JOIN cent0_$j c
+         |  SELECT s.vec_id, s.sv, c.cid
+         |  FROM (SELECT * FROM sub$j$trainW) s CROSS JOIN cent0_$j c
          |  QUALIFY row_number() OVER (PARTITION BY s.vec_id
          |    ORDER BY ${l2Sql("s.sv", "c.cv")} ASC, c.cid) = 1),
          |sums_$j AS (
@@ -1503,6 +1531,40 @@ object ExtensionQueries {
         |FROM assigned a JOIN assigned b USING (list)
         |WHERE a.id < b.id AND ${cosSql("a.v", "b.v")} >= 0.25""".stripMargin),
 
+    // two-iteration kmeans fragment identical to emb_kmeans's oracle;
+    // the final assignment carries the embedding so the within-cluster
+    // similarity join and the keep-min anti join mirror semanticDedup
+    "dedup_semantic" ->
+      (s"""WITH cent0 AS (SELECT vec_id AS cid, embedding AS cv
+        |              FROM embeddings ORDER BY vec_id LIMIT 8),
+        |a1 AS (
+        |  SELECT e.vec_id, e.embedding AS ev, c.cid
+        |  FROM embeddings e CROSS JOIN cent0 c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.cid) = 1),
+        |dims AS (
+        |  SELECT cid, generate_subscripts(ev, 1) AS i,
+        |    unnest(list_transform(ev,
+        |      v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT))) AS qv
+        |  FROM a1),
+        |sums AS (SELECT cid, i, sum(qv) AS s, count(*) AS n FROM dims GROUP BY 1, 2),
+        |cent1 AS (
+        |  SELECT cid, list((CAST(s AS DOUBLE) / n) / 1000000.0 ORDER BY i) AS cv
+        |  FROM sums GROUP BY cid),
+        |a2 AS (
+        |  SELECT e.vec_id, e.embedding AS ev, c.cid
+        |  FROM embeddings e CROSS JOIN cent1 c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.cid) = 1),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id AS vid
+        |  FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  WHERE (${normSql("a.ev")}) > 0 AND (${normSql("b.ev")}) > 0
+        |    AND (${dotSql("a.ev", "b.ev")}) /
+        |        ((${normSql("a.ev")}) * (${normSql("b.ev")})) >= 0.25)
+        |SELECT vec_id AS id, cid FROM a2
+        |WHERE vec_id NOT IN (SELECT vid FROM dropped)""".stripMargin),
+
     "sim_bruteforce_topk" ->
       (s"""SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |  ${cosSql("q.embedding", "c.embedding")} AS cos
@@ -1547,17 +1609,20 @@ object ExtensionQueries {
         |QUALIFY row_number() OVER (PARTITION BY query_id
         |  ORDER BY ${cosSql("p.qv", "a.cv")} DESC, neighbor_id) <= 5""".stripMargin),
 
-    "sim_pq_adc_topk" -> pqOracleSql(m = 16, dims = 64, kk = 16, k = 5),
+    "sim_pq_adc_topk" ->
+      pqOracleSql(m = 16, dims = 64, kk = 16, k = 5, trainSample = 4),
 
     "sim_pq_refine_topk" ->
-      pqOracleSql(m = 16, dims = 64, kk = 16, k = 5, refine = Some(4)),
+      pqOracleSql(m = 16, dims = 64, kk = 16, k = 5, refine = Some(4),
+        trainSample = 4),
 
     "sim_ivfpq_topk" ->
-      pqOracleSql(m = 16, dims = 64, kk = 16, k = 5, ivf = Some((8, 2))),
+      pqOracleSql(m = 16, dims = 64, kk = 16, k = 5, ivf = Some((8, 2)),
+        trainSample = 4),
 
     "sim_ivfpq_refine_topk" ->
       pqOracleSql(m = 16, dims = 64, kk = 16, k = 5, ivf = Some((8, 2)),
-        refine = Some(4)),
+        refine = Some(4), trainSample = 4),
 
     "text_bm25_topk" -> bm25OracleSql(Bm25Terms, k = 20),
 
@@ -1966,6 +2031,30 @@ object ExtensionQueries {
          |  array_to_string(toks[CAST(i*24+1 AS INT) : CAST(i*24+32 AS INT)], ' ') AS chunk_text,
          |  least(CAST(32 AS BIGINT), n - i*24) AS n_tokens
          |FROM c""".stripMargin,
+
+    // disjoint 16-token spans (stride = window); ownership tie-break
+    // (doc_id, chunk_idx) mirrors Spark's min(struct(..)); the span is
+    // hashed to the same 15-hex md5 prefix long before grouping
+    "text_span_dedup" ->
+      s"""WITH d AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |ch AS (SELECT doc_id, CAST(i.i AS INT) AS chunk_idx,
+         |    array_to_string(toks[CAST(i.i*16+1 AS INT) : CAST(i.i*16+16 AS INT)], ' ') AS chunk_text
+         |  FROM d, LATERAL (SELECT unnest(range(0,
+         |    CAST(floor(CAST(greatest(len(toks) - 1, 0) AS DOUBLE) / 16.0) AS BIGINT) + 1)) AS i) i
+         |  WHERE len(toks) >= 1),
+         |h AS (SELECT doc_id, chunk_idx, chunk_text,
+         |    CAST('0x' || substr(md5(chunk_text), 1, 15) AS BIGINT) AS hh FROM ch),
+         |own AS (SELECT hh, doc_id AS od, chunk_idx AS oi FROM h
+         |  QUALIFY row_number() OVER (PARTITION BY hh
+         |    ORDER BY doc_id, chunk_idx) = 1),
+         |k AS (SELECT h.doc_id, h.chunk_idx, h.chunk_text,
+         |    (h.doc_id = o.od AND h.chunk_idx = o.oi) AS keep
+         |  FROM h JOIN own o USING (hh))
+         |SELECT doc_id, count(*) AS n_chunks,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  string_agg(CASE WHEN keep THEN chunk_text END, ' '
+         |    ORDER BY chunk_idx) AS text_kept
+         |FROM k GROUP BY doc_id""".stripMargin,
 
     "text_stats" ->
       (s"""WITH d AS (SELECT doc_id, text, $tokensSql AS toks FROM documents)

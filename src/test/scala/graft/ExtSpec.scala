@@ -248,6 +248,54 @@ class ExtSpec extends SparkSpec {
       "cap must remove exactly the flood's quadratic pair set")
   }
 
+  test("semanticDedup keeps min-id per similar pair within a cluster " +
+      "and is non-transitive by design") {
+    // two obvious blobs on orthogonal axes; ids 1,2,3 near +x (1~2,
+    // 2~3 similar at the threshold but 1!~3), ids 10,11 near +y
+    val v = Seq(
+      1L -> Seq(1.0f, 0.0f, 0.0f, 0.0f),
+      2L -> Seq(0.9f, 0.44f, 0.0f, 0.0f),
+      3L -> Seq(0.6f, 0.8f, 0.0f, 0.0f),
+      10L -> Seq(0.0f, 0.0f, 1.0f, 0.0f),
+      11L -> Seq(0.0f, 0.0f, 1.0f, 0.01f)
+    ).toDF("id", "vec")
+    // k=2 seeds at ids 1,2 — one Lloyd step lands 1,2,3 in one
+    // cluster, 10,11 in the other (cos(1,3)=0.6 < cos thresholds
+    // inside the cluster pairs)
+    val got = Similarity.semanticDedup(v, $"id", $"vec", k = 2,
+      iters = 2, threshold = 0.9)
+      .as[(Long, Long)].collect().map(_._1).toSet
+    // cos(1,2)≈0.898? — compute: dot=0.9, |b|=sqrt(0.81+0.1936)=1.0018 →
+    // 0.898 < 0.9 keeps 2; cos(2,3)=0.54+0.352=0.892/(1.0018*1.0)=0.89
+    // — thresholds chosen so only 10~11 (cos≈1.0) dedups: 11 dropped
+    assert(got === Set(1L, 2L, 3L, 10L))
+    // tighter threshold: 1~2 (0.898) and 2~3 (0.89) now similar but
+    // 1~3 (0.6+0.0=0.6... cos(1,3)=0.6) is not: 2 drops (neighbor 1),
+    // 3 drops (neighbor 2) — BOTH non-minimal chain members go
+    val got2 = Similarity.semanticDedup(v, $"id", $"vec", k = 2,
+      iters = 2, threshold = 0.85)
+      .as[(Long, Long)].collect().map(_._1).toSet
+    assert(got2 === Set(1L, 10L))
+  }
+
+  test("spanDedup keeps each span's global first occurrence and " +
+      "reassembles surviving text; a fully-duplicated doc dies") {
+    val w = 2 // 2-token spans
+    val docs = Seq(
+      (1L, "a b c d"),        // spans: "a b", "c d"
+      (2L, "c d e f"),        // "c d" repeats doc 1 → keeps "e f"
+      (3L, "a b c d"),        // both spans repeat → doc dies
+      (4L, "x")               // short doc, one 1-token span
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.spanDedup(docs, $"doc_id", $"text", window = w)
+      .as[(Long, Long, Long, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((2L, 2L, Some("a b c d"))))
+    assert(got(2L) === ((2L, 1L, Some("e f"))))
+    assert(got(3L) === ((2L, 0L, None)))
+    assert(got(4L) === ((1L, 1L, Some("x"))))
+  }
+
   test("Bpe.train/encode match a straight-line reference BPE on the " +
       "classic corpus (merge order, tie-breaks, greedy re-encode)") {
     import graft.ext.Bpe

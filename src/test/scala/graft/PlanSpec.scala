@@ -45,25 +45,29 @@ class PlanSpec extends SparkSpec {
       s"global single-task windows in: ${offenders.mkString(", ")}")
   }
 
-  test("Bpe.train: the merge loop's joins are all broadcast one-row " +
-      "re-encodes, the word cap is a bounded TakeOrdered — no " +
-      "cartesian, no global window") {
-    val df = graft.ext.Bpe.train(
-      graft.sources.Tables.load(spark, dir, "documents"),
-      col("text"), k = 6, maxWords = 512)
-    val p = df.queryExecution.executedPlan.toString
-    // per-round winner + word cap both bound at k rows per task
+  test("Bpe.train: the one corpus pass is a bounded TakeOrdered word " +
+      "cap (no cartesian, no global window); the induced merge table " +
+      "is a driver-local relation") {
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    // the only distributed work: the capped word count
+    val wc = graft.ext.Bpe.wordCounts(docs, col("text"), 512)
+    val p = wc.queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"),
-      s"word cap / top-pair not a bounded TakeOrdered:\n${p.take(2000)}")
-    // the only joins are the broadcast one-row (pattern, replacement)
-    // attaches — a nested-loop join NOT labeled BuildRight broadcast
-    // would be a corpus-side cartesian
+      s"word cap not a bounded TakeOrdered:\n${p.take(2000)}")
     assert(!p.contains("CartesianProduct"),
-      "merge re-encode degraded to a cartesian product")
+      "word counting degraded to a cartesian product")
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
-    assert(df.queryExecution.optimizedPlan.collect {
+    assert(wc.queryExecution.optimizedPlan.collect {
       case w: LWindow if w.partitionSpec.isEmpty => w
-    }.isEmpty, "global window in the BPE train plan")
+    }.isEmpty, "global window in the word-count plan")
+    // the merge induction itself is the bounded driver endgame: its
+    // result plans as a LocalRelation (≤ k rows), no further jobs
+    val df = graft.ext.Bpe.train(docs, col("text"), k = 6,
+      maxWords = 512)
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    assert(df.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l
+    }.nonEmpty, "merge table should be a driver-local relation")
   }
 
   test("tpch_q5: all five dimension joins broadcast; lineitem streams") {
