@@ -861,6 +861,84 @@ object TextAnalysis {
       .drop("__head_max", "__mid_max")
   }
 
+  /** log2 in EIGHTHS of a bit, as a pure integer function of a
+    * positive integer: 8·⌊log2 x⌋ + (top 4 bits of x) − 8. The top-4-
+    * bit term linearly interpolates the fractional bit, so the result
+    * tracks 8·log2 x from BELOW within 1.7 eighth-bits (~0.21 bit;
+    * worst case sits just under 12·2^k — truncation to 4 bits plus
+    * interpolation slack; log2(1+f) ≥ f makes it never overshoot),
+    * and, unlike a
+    * libm log, it is bit-identical on every engine: msb
+    * position from binary length, shifts, one subtract.
+    * [[floorLog2]]'s whole-bit granularity flattens likelihood ratios
+    * under ~2× to zero; eighth-bits resolve them.
+    */
+  def qlog8(c: Column): Column = {
+    val b = floorLog2(c)
+    val m = when(b >= 3, call_function("shiftright", c, b - lit(3)))
+      .otherwise(call_function("shiftleft", c, lit(3) - b))
+    (lit(8) * b.cast("long") + m.cast("long") - lit(8L))
+  }
+
+  /** One-pass multinomial Naive Bayes quality classifier — the
+    * cheap-classifier curation stage (the fastText-classifier shape
+    * of GPT-3/LLaMA/DCLM data pipelines: label a corpus slice with a
+    * rule or reference set, fit a linear text classifier, score
+    * everything). Trains on `label` (pass/fail) over unigram token
+    * features with add-one smoothing and scores every document with
+    * the class log-odds — in integer EIGHTH-BITS ([[qlog8]]; no libm
+    * log, bit-reproducible on any engine; whole bits were measured
+    * too coarse: per-token odds under 2× all floor to zero and the
+    * classifier degenerates to the prior).
+    *
+    *   nb_q8(d) = qlog8(N⁺+1) − qlog8(N⁻+1)                    (prior)
+    *     + Σ_{t∈d} [qlog8(c⁺(t)+1) − qlog8(c⁻(t)+1)
+    *                + (qlog8(T⁻+V) − qlog8(T⁺+V))]
+    *
+    * with c± per-class token counts, T± class token totals, V the
+    * vocabulary size, N± class doc counts. `pred_pass` = nb_q8 > 0.
+    *
+    * Scale: ONE token exchange (repartition on token) feeds both the
+    * count model and the scoring join — the [[dsirWeights]] shape;
+    * totals and priors attach as broadcast one-row aggregates. NB is
+    * the right first classifier at 100 TB because training IS one
+    * aggregation pass — no gradient loop touches the corpus.
+    */
+  def nbQuality(docs: DataFrame, id: Column, text: Column,
+                label: Column): DataFrame = {
+    val base = docs.select(id.as("doc_id"),
+      label.cast("boolean").as("__y"), text.as("__text"))
+    val toks = base
+      .select(col("doc_id"), col("__y"),
+        explode(tokens(col("__text"))).as("__t"))
+      .filter(col("__t") =!= "")
+      .repartition(col("__t"))
+    val cnt = toks.groupBy("__t").agg(
+      sum(when(col("__y"), 1L).otherwise(0L)).as("__cp"),
+      sum(when(col("__y"), 0L).otherwise(1L)).as("__cf"))
+    val totals = cnt.agg(sum("__cp").as("__tp"), sum("__cf").as("__tf"),
+      count(lit(1)).as("__v"))
+    val priors = base.agg(
+      sum(when(col("__y"), 1L).otherwise(0L)).as("__np"),
+      sum(when(col("__y"), 0L).otherwise(1L)).as("__nf"))
+    val scored = toks.join(cnt, "__t")
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(qlog8(col("__cp") + 1L) - qlog8(col("__cf") + 1L)
+          + (qlog8(col("__tf") + col("__v"))
+            - qlog8(col("__tp") + col("__v")))).as("__s"))
+    base.select(col("doc_id"), col("__y"))
+      .join(scored, Seq("doc_id"), "left")
+      .crossJoin(broadcast(priors))
+      .select(col("doc_id"), col("__y").as("label_pass"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        (coalesce(col("__s"), lit(0L))
+          + (qlog8(col("__np") + 1L) - qlog8(col("__nf") + 1L)))
+          .cast("long").as("nb_q8"))
+      .withColumn("pred_pass", col("nb_q8") > 0)
+  }
+
   /** Corpus-level exact span dedup — the CCNet/C4 paragraph-hash
     * shape (Wenzek et al. '19 dedupe paragraphs by hash across
     * shards; C4 drops repeated three-sentence spans): split every

@@ -637,6 +637,17 @@ object ExtensionQueries {
         window = 16)
     },
 
+    // quality-classifier curation stage: label with the Gopher rule
+    // gate, fit one-pass integer-bit Naive Bayes, score every doc —
+    // the rule-labeled-classifier shape of GPT-3/DCLM pipelines
+    "text_nb_quality" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val lab = TextAnalysis.gopherRules(d, col("doc_id"), col("text"),
+        minWords = 25).select(col("doc_id"), col("keep"))
+      TextAnalysis.nbQuality(d.join(lab, "doc_id"), col("doc_id"),
+        col("text"), col("keep"))
+    },
+
     // Chunks → training sequences: shard-parallel concat-and-cut
     // packing into 256-token sequences (8 shards, salted doc-id hash).
     "pack_sequences" -> { (s, dir) =>
@@ -1237,6 +1248,18 @@ object ExtensionQueries {
 
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)}) / ((${normSql(a)}) * (${normSql(b)}))"
+
+  /** DuckDB rendering of [[TextAnalysis.qlog8]] — log2 in integer
+    * eighth-bits: 8·(binlen−1) + (top 4 bits) − 8, msb from binary
+    * string length, shift direction by msb position. `x` must be a
+    * positive integer expression (it is interpolated several times —
+    * keep it simple, no side effects).
+    */
+  private def qlog8Sql(x: String): String = {
+    val len = s"length(bin($x))"
+    s"(8 * ($len - 1) + (CASE WHEN $len >= 4 " +
+      s"THEN ($x) >> ($len - 4) ELSE ($x) << (4 - $len) END) - 8)"
+  }
 
   /** DuckDB rendering of [[org.apache.spark.sql.graft.WinnowKernel]]'s
     * double 31-bit polynomial gram hash as the positional sum
@@ -2167,6 +2190,62 @@ object ExtensionQueries {
         |    + (CASE WHEN 5 * n_alpha_words <= 4 * n_words THEN 8 ELSE 0 END)
         |    + (CASE WHEN n_stop < 2 THEN 16 ELSE 0 END)) = 0 AS keep
         |FROM f""".stripMargin
+    },
+
+    // Gopher keep flag re-derived as the training label; logs in
+    // integer eighth-bits (TextAnalysis.qlog8: msb via binary length
+    // + top-4-bit interpolation, pure integer ops on both engines)
+    "text_nb_quality" -> {
+      val stops = graft.ext.TextAnalysis.Stopwords
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH d AS (SELECT doc_id, text, $tokensSql AS toks FROM documents),
+        |f AS (SELECT doc_id, toks,
+        |  CAST(len(toks) AS BIGINT) AS n_words,
+        |  CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
+        |    AS sum_word_len,
+        |  CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+        |    AS BIGINT) AS n_alpha_words,
+        |  CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) +
+        |    CAST((length(text) - length(replace(text, '...', ''))) // 3
+        |      AS BIGINT) AS n_symbols,
+        |  CAST(len(list_filter(toks, t -> list_contains($stops, lower(t))))
+        |    AS BIGINT) AS n_stop
+        |FROM d),
+        |lab AS (SELECT doc_id, toks,
+        |  ((CASE WHEN n_words < 25 OR n_words > 100000 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN sum_word_len < 3 * n_words
+        |           OR sum_word_len > 10 * n_words THEN 2 ELSE 0 END)
+        |   + (CASE WHEN 10 * n_symbols >= n_words THEN 4 ELSE 0 END)
+        |   + (CASE WHEN 5 * n_alpha_words <= 4 * n_words THEN 8 ELSE 0 END)
+        |   + (CASE WHEN n_stop < 2 THEN 16 ELSE 0 END)) = 0 AS y
+        |FROM f),
+        |tok AS (SELECT doc_id, y, t
+        |  FROM (SELECT doc_id, y, unnest(toks) AS t FROM lab)
+        |  WHERE t <> ''),
+        |cnt AS (SELECT t,
+        |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+        |  CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS cf
+        |  FROM tok GROUP BY t),
+        |tot AS (SELECT CAST(sum(cp) AS BIGINT) AS tp,
+        |  CAST(sum(cf) AS BIGINT) AS tf, count(*) AS v FROM cnt),
+        |pri AS (SELECT
+        |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |  CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS nf
+        |  FROM lab),
+        |sc AS (SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(${qlog8Sql("cp + 1")} - ${qlog8Sql("cf + 1")}
+        |    + (${qlog8Sql("tf + v")} - ${qlog8Sql("tp + v")}))
+        |    AS BIGINT) AS s
+        |  FROM tok JOIN cnt USING (t) CROSS JOIN tot GROUP BY doc_id)
+        |SELECT l.doc_id, l.y AS label_pass,
+        |  coalesce(sc.n_tokens, 0) AS n_tokens,
+        |  CAST(coalesce(sc.s, 0)
+        |    + (${qlog8Sql("np + 1")} - ${qlog8Sql("nf + 1")})
+        |    AS BIGINT) AS nb_q8,
+        |  (coalesce(sc.s, 0)
+        |    + (${qlog8Sql("np + 1")} - ${qlog8Sql("nf + 1")})) > 0
+        |    AS pred_pass
+        |FROM lab l LEFT JOIN sc USING (doc_id) CROSS JOIN pri""".stripMargin
     },
 
     "text_ngram_freq" ->

@@ -187,6 +187,33 @@ object RelationalQueries {
         lead(col("o_orderkey"), 1).over(w).as("next_order"))
     },
 
+    // Slowly-changing-dimension type-2 history build from a change
+    // log — the warehouse merge every dimension load runs: change
+    // capture is a lag-compare (drop rows whose tracked value equals
+    // the previous event's), versioning is a lead over the surviving
+    // change rows ([valid_from, valid_to) intervals, is_current on
+    // the open row). Both windows partition on the same key, so the
+    // change filter reuses the version window's exchange — one
+    // shuffle total, no self-join against the dimension's history.
+    "scd2_merge" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderstatus"),
+          col("o_orderdate"), col("o_orderkey"))
+        .withColumn("__prev", lag(col("o_orderstatus"), 1).over(w))
+        .filter(col("__prev").isNull ||
+          col("__prev") =!= col("o_orderstatus"))
+        .select(col("o_custkey").as("custkey"),
+          col("o_orderstatus").as("status"),
+          col("o_orderdate").as("valid_from"),
+          lead(col("o_orderdate"), 1).over(
+            Window.partitionBy("o_custkey")
+              .orderBy(col("o_orderdate"), col("o_orderkey")))
+            .as("valid_to"))
+        .withColumn("is_current", col("valid_to").isNull)
+    },
+
     "topk_per_group" -> { (s, dir) =>
       topKPerGroup(t(s, dir, "orders"), Seq("o_custkey"),
         Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
@@ -539,6 +566,20 @@ object RelationalQueries {
         |  lead(o_orderkey, 1) OVER w AS next_order
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    "scd2_merge" ->
+      """WITH ch AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |    lag(o_orderstatus) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders)
+        |SELECT o_custkey AS custkey, o_orderstatus AS status,
+        |  o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER w AS valid_to,
+        |  lead(o_orderdate) OVER w IS NULL AS is_current
+        |FROM ch WHERE prev IS NULL OR prev <> o_orderstatus
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey)""".stripMargin,
 
     "topk_per_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM orders

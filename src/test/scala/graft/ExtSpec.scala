@@ -296,6 +296,58 @@ class ExtSpec extends SparkSpec {
     assert(got(4L) === ((1L, 1L, Some("x"))))
   }
 
+  test("qlog8 is exact at powers of two and tracks 8*log2 within an " +
+      "eighth-bit everywhere") {
+    val xs = (1L to 4096L) ++ Seq(1L << 40, (1L << 40) + 12345L,
+      Long.MaxValue / 2)
+    val got = xs.toDF("x")
+      .select($"x", TextAnalysis.qlog8($"x").as("q"))
+      .as[(Long, Long)].collect()
+    for ((x, q) <- got) {
+      val exact = 8.0 * math.log(x.toDouble) / math.log(2.0)
+      if ((x & (x - 1)) == 0)
+        assert(q === math.round(exact), s"x=$x power of two")
+      // truncation to the top 4 bits + linear interpolation always
+      // UNDER-estimates (log2(1+f) >= f); brute force over 1..1e6
+      // puts the worst gap at ~1.68 eighth-bits (~0.21 bit), x just
+      // under 12*2^k
+      assert(q > exact - 1.7 && q <= exact + 1e-9, s"x=$x q=$q exact=$exact")
+    }
+  }
+
+  test("nbQuality matches a straight-line Naive Bayes in eighth-bits " +
+      "on a hand-labeled corpus") {
+    def qref(x: Long): Long = {
+      val b = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      val m = if (b >= 3) x >> (b - 3) else x << (3 - b)
+      8L * b + m - 8L
+    }
+    val corpus = Seq(
+      (1L, "good good nice", true),
+      (2L, "bad bad ugly", false),
+      (3L, "good bad", true),
+      (4L, "ugly nice good", false))
+    // reference model
+    val toks = corpus.flatMap { case (id, t, y) =>
+      t.split("\\s+").map(w => (id, w, y)) }
+    val cp = toks.filter(_._3).groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val cf = toks.filterNot(_._3).groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val v = (cp.keySet ++ cf.keySet).size.toLong
+    val (tp, tf) = (cp.values.sum, cf.values.sum)
+    val (np_, nf) = (2L, 2L)
+    val expect = corpus.map { case (id, t, y) =>
+      val s = t.split("\\s+").map { w =>
+        qref(cp.getOrElse(w, 0L) + 1) - qref(cf.getOrElse(w, 0L) + 1) +
+          (qref(tf + v) - qref(tp + v))
+      }.sum + (qref(np_ + 1) - qref(nf + 1))
+      (id, y, t.split("\\s+").length.toLong, s, s > 0)
+    }.toSet
+    val got = TextAnalysis.nbQuality(
+      corpus.toDF("doc_id", "text", "y"), $"doc_id", $"text", $"y")
+      .as[(Long, Boolean, Long, Long, Boolean)].collect().toSet
+    assert(got === expect)
+  }
+
   test("Bpe.train/encode match a straight-line reference BPE on the " +
       "classic corpus (merge order, tie-breaks, greedy re-encode)") {
     import graft.ext.Bpe
