@@ -62,7 +62,9 @@ object Sf1Smoke {
       "sim_ivfpq_refine_topk", "dedup_ngram_jaccard", "dedup_substring",
       "curate_pretrain", "curate_domain", "dedup_minhash_lsh",
       "dedup_components", "dedup_simhash_pairs", "curate_corpus",
-      "vocab_bpe", "text_bpe_encode")
+      "vocab_bpe", "text_bpe_encode",
+      // round-7 additions (span ownership groupBy; one-pass NB)
+      "text_span_dedup", "text_nb_quality")
 
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     def audit(df: DataFrame): Seq[String] = {
@@ -78,8 +80,21 @@ object Sf1Smoke {
 
     val t0 = System.nanoTime()
     val stages = graft.queries.ExtensionQueries.prebuildStages(spark, outDir)
-    val rows = names.map { n =>
-      val q = SparkEntry.queries(n)
+    // dedup_semantic's contract is that k GROWS with the corpus so
+    // |cluster| ~ n/k stays bounded (Similarity.semanticDedup's
+    // scaladoc; the SemDeDup paper scales clusters the same way). The
+    // bench query fixes k=8 for the oracle; at 10x input the correct
+    // production call is k=80 — same bounded per-cluster pair work —
+    // and THAT is the scale shape this smoke pins.
+    val semanticAt10x = "dedup_semantic(k=80)" -> { (s: SparkSession,
+        d: String) =>
+      val e = graft.sources.Tables.load(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      graft.ext.Similarity.semanticDedup(e, col("id"), col("vec"),
+        k = 80, iters = 2, threshold = 0.25)
+    }
+    val rows = (names.map(n => n -> SparkEntry.queries(n)) :+
+        semanticAt10x).map { case (n, q) =>
       var best = Double.MaxValue
       var cnt = 0L
       var bad: Seq[String] = Nil
