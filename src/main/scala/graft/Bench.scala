@@ -90,8 +90,9 @@ object Bench {
                 .take(160)}"))
       }
     // A failed query must surface as an error, never masquerade as a
-    // (fast!) timing — errors are reported per query in the JSON line
-    // (the exit stays 0 so the line itself is always delivered).
+    // (fast!) timing — errors are reported per query in the JSON line,
+    // and the process exits NONZERO after printing it (an error round
+    // must not be recordable as a clean official total).
     // Each query runs `reps` times and reports the MIN: plan + codegen
     // caches make re-runs cheap, and the min strips shared-JVM noise
     // (GC from prior queries, scheduler backlog) that inflated single
@@ -218,5 +219,14 @@ object Bench {
         System.err.println(s"[bench] could not write record file: $e")
     }
     spark.stop()
+    // Exit nonzero on ANY query/stage error — after the JSON line and
+    // the durable record file are already written, so diagnostics
+    // survive, but the wrapper records the round as failed instead of
+    // archiving a total that silently excludes broken queries.
+    val nErr = stageErrs.size + results.count(_._3.isDefined)
+    if (nErr > 0) {
+      System.err.println(s"[bench] $nErr queries errored; exiting 1")
+      sys.exit(1)
+    }
   }
 }

@@ -17,15 +17,31 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var failed = List.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // A failed query must become a FAILING case in the driver's
+        // compare, never a silently-absent one (round 7 dropped 17
+        // cases this way and recorded a regression as a clean pass).
+        // Write a marker parquet whose schema can never match the
+        // oracle, so the compare runs and records the mismatch.
+        failed ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        try {
+          import spark.implicits._
+          Seq(s"${e.getClass.getSimpleName}: ${Option(e.getMessage)
+            .getOrElse("").take(500)}").toDF("__query_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
     }
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} FAILED: ${
+        failed.sorted.mkString(", ")}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

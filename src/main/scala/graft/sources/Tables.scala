@@ -94,18 +94,35 @@ object Tables {
 
   /** Load one test table from a scale-factor directory.
     *
-    * `events.ts` is a nanosecond parquet timestamp, which Spark has no
-    * native type for — read it as raw nanos (legacy conf) and truncate
-    * to a microsecond TimestampType (`ts div 1000` keeps long integer
-    * division: a double roundtrip would lose precision above 2^53 ns).
-    * Oracles align with DuckDB's `make_timestamp(epoch_us(ts))`.
+    * `events.ts` has shipped in two fixture generations: nanosecond
+    * parquet timestamps (which Spark reads only as raw long nanos via
+    * the legacy conf) and plain `timestamp[us]`. Branch on the ACTUAL
+    * file schema: a long column is nanos and gets truncated to a
+    * microsecond TimestampType (`ts div 1000` keeps long integer
+    * division: a double roundtrip would lose precision above 2^53 ns);
+    * a timestamp column passes through untouched. Both land on the same
+    * TimestampType the oracles use. The nanosAsLong conf is set before
+    * inference so a ns file infers as LongType instead of throwing, and
+    * is harmless for µs files (it only affects TIMESTAMP(NANOS)).
+    * The schema cache needs no extra invalidation for the branch: the
+    * branch is derived from the cached schema itself, and a regenerated
+    * fixture re-fingerprints and re-infers.
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      readCached(spark, s"$sfDir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      val raw = readCached(spark, s"$sfDir/events.parquet")
+      val ts = raw.schema("ts").dataType match {
+        case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // timestamp[us] with no zone infers as NTZ; cast to the
+        // TimestampType every downstream query was built on (identity
+        // under the UTC session timezone both harnesses set)
+        case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+        case TimestampType => raw
+        case other => throw new IllegalStateException(
+          s"events.ts has unsupported type $other (expected long nanos or timestamp)")
+      }
+      ts.select("event_id", "ts", "user_id", "event_type", "value", "props")
     } else readCached(spark, s"$sfDir/$name.parquet")
   }
 
