@@ -1,0 +1,133 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics over edge-list DataFrames — the two
+  * algorithms a web-scale corpus pipeline actually runs: PageRank as a
+  * document/host quality prior (the Common-Crawl-style link-graph
+  * signal used to weight training data) and triangle counting as the
+  * clustering/community density probe.
+  *
+  * Both are expressed as bounded sequences of equi-joins and
+  * aggregations — every shuffle is on a graph key (never a cartesian),
+  * map-side partial aggregation absorbs hot destination nodes, and all
+  * arithmetic is integer fixed-point so results hash-match any engine
+  * that runs the same plan (floating-point PageRank would differ in the
+  * last ulp per fold order).
+  */
+object Graph {
+
+  /** PageRank with integer micro-unit arithmetic, `iters` rounds.
+    *
+    * Ranks are BIGINT millionths: r0 = 1_000_000 per node;
+    * r_{k+1}(n) = 150_000 + (17 · Σ_{(s→n)∈E} (r_k(s) div deg(s))) div 20
+    * — i.e. damping 0.85 as the exact rational 17/20 and per-edge
+    * contributions as integer division, so every engine computing the
+    * same schedule produces bit-identical ranks (the fixed-point trick
+    * the engine also uses for k-means and ADC, Clustering.scala /
+    * Similarity.scala).
+    *
+    * Scale shape: the degree-annotated edge list is materialized ONCE
+    * (localCheckpoint — on a real cluster pass a reliable checkpoint
+    * dir exactly as [[DedupOps.connectedComponents]] documents) and
+    * re-joined each round; one shuffle per iteration on `dst` with
+    * map-side partial sums, so a hot page (in-degree millions) costs a
+    * combiner tree, not a single reducer. Rank state stays a
+    * (node, long) table — never collected to the driver.
+    *
+    * @param edges directed edges, columns `src`, `dst`
+    * @param nodes every node id, column `node_id` (nodes with no
+    *              in-edges keep the teleport mass 150_000; nodes with
+    *              no out-edges leak mass — the standard simplification)
+    * @param iters rounds (unrolled; callers keep this small — quality
+    *              priors converge in single digits)
+    */
+  def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 20, "iters must be in [1, 20]")
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val e = edges.join(deg, "src").localCheckpoint(true)
+    val n = nodes.select(col("node_id")).localCheckpoint(true)
+    var ranks = n.withColumn("rank_micros", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(ranks, e("src") === ranks("node_id"))
+        .select(col("dst"), expr("rank_micros div deg").as("c"))
+        .groupBy("dst").agg(sum("c").as("s"))
+      ranks = n
+        .join(contrib, n("node_id") === contrib("dst"), "left")
+        .select(col("node_id"),
+          (lit(150000L) +
+            expr("17 * coalesce(s, 0L) div 20")).as("rank_micros"))
+    }
+    ranks
+  }
+
+  /** Exact triangle count via degree-ordered edge orientation — the
+    * standard O(m^1.5) enumeration bound: each undirected edge is
+    * directed from its lower-(degree, id) endpoint, so every node's
+    * out-degree is O(√m) and the wedge join never explodes on hubs
+    * (a star node of degree d contributes 0 wedges instead of d²).
+    * Each triangle is counted exactly once, at its lowest-ordered
+    * apex.
+    *
+    * Input `edges` must be canonical undirected: columns `u` < `v`,
+    * one row per edge. Returns one row:
+    * (n_nodes, n_edges, n_wedges, n_triangles).
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("u"), col("v")).localCheckpoint(true)
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val oriented = und
+      .join(deg.select(col("node").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), Seq("v"))
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("src"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("dst"))
+      .localCheckpoint(true)
+    val a = oriented.select(col("src"), col("dst").as("y"))
+    val b = oriented.select(col("src"), col("dst").as("z"))
+    // out-neighbor pairs of each apex; y < z canonicalizes the wedge
+    val wedges = a.join(b, Seq("src")).filter(col("y") < col("z"))
+    // closure probe against the canonical undirected edge set: the
+    // wedge (y, z) already has y < z, matching the u < v invariant
+    val closed = wedges.join(und,
+      wedges("y") === und("u") && wedges("z") === und("v"), "left_semi")
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = und.agg(count(lit(1)).as("n_edges"))
+    val nWedges = wedges.agg(count(lit(1)).as("n_wedges"))
+    val nTri = closed.agg(count(lit(1)).as("n_triangles"))
+    nNodes.crossJoin(nEdges).crossJoin(nWedges).crossJoin(nTri)
+  }
+
+  /** Co-occurrence edges from an (item, group) incidence: items
+    * sharing a group get an edge, kept when they co-occur in at least
+    * `minSupport` groups. The support floor is the scale guard — on a
+    * power-law corpus the support-1 tail is ~99% of all pairs (pure
+    * noise for community structure), and dropping it bounds the edge
+    * set the graph algorithms above iterate over. Groups larger than
+    * `maxGroupSize` are dropped whole before the self-join: a single
+    * hot group of size g costs g²/2 pairs, the exact blow-up the
+    * df-cap on [[DedupOps]]'s inverted indexes guards against.
+    *
+    * Returns canonical undirected edges (`u` < `v`, `support`).
+    */
+  def coOccurrenceEdges(incidence: DataFrame, minSupport: Long,
+                        maxGroupSize: Long = 1000L): DataFrame = {
+    val inc = incidence.select(col("group"), col("item")).distinct()
+    val sized = inc.join(
+      inc.groupBy("group").agg(count(lit(1)).as("__gsz"))
+        .filter(col("__gsz") <= maxGroupSize),
+      Seq("group"))
+    val l = sized.select(col("group"), col("item").as("u"))
+    val r = sized.select(col("group"), col("item").as("v"))
+    l.join(r, Seq("group")).filter(col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+  }
+}

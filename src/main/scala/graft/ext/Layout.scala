@@ -1,6 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Storage-layout keys for 100 TB parquet: writing data ordered by a
@@ -68,5 +69,32 @@ object Layout {
       case (inner, (sel, i)) => s"($sel FROM $inner t$i)"
     }
     s"SELECT d$bits AS hkey FROM $nested tf"
+  }
+
+  /** Small-file compaction plan: assign each input file to an output
+    * bucket of ~`targetBytes` by cumulative size within its partition
+    * key — the OPTIMIZE/compact planner every lakehouse table needs
+    * once streaming writers have littered it with kilobyte parquet
+    * files (each costing a task + a footer read per query).
+    *
+    * The assignment is the deterministic prefix-sum rule
+    * `bucket = (cumsum_exclusive div targetBytes)`: files stay in
+    * `fileId` order (preserving any within-partition sort the data
+    * carries), every bucket except the last holds at least
+    * `targetBytes` once closed, and the rule is a pure window
+    * expression — the planner runs over the file MANIFEST (millions
+    * of rows at 100 TB, not the data), one shuffle on the partition
+    * key.
+    *
+    * @param files columns `part` (partition key), `file_id`, `bytes`
+    */
+  def compactionPlan(files: DataFrame, targetBytes: Long): DataFrame = {
+    require(targetBytes >= 1, "targetBytes must be positive")
+    val w = Window.partitionBy("part").orderBy("file_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    files.select(col("part"), col("file_id"), col("bytes"),
+      (sum(col("bytes")).over(w) - col("bytes")).as("__cum0"))
+      .select(col("part"), col("file_id"), col("bytes"),
+        expr(s"__cum0 div ${targetBytes}L").as("out_bucket"))
   }
 }

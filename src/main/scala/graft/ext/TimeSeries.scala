@@ -1,0 +1,78 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series shaping over event tables: grid resampling with
+  * gap-fill (the telemetry downsampling every monitoring/feature
+  * pipeline runs before joining signals on a common clock) and
+  * exponentially-weighted state folds.
+  *
+  * Scale shape: everything partitions on the series key. The grid is
+  * generated per key from its own [min, max] span (never a global
+  * calendar cross-join), the gap-fill is one keyed window, and the
+  * EWMA folds a per-key sorted array — per-key event counts are the
+  * only bound that matters, and a key whose history can't sit in one
+  * task's memory needs chunked pre-aggregation first (the same
+  * contract as any collect_list).
+  */
+object TimeSeries {
+
+  /** Resample events to a fixed `slotSeconds` grid per key, carrying
+    * the last observation forward across empty slots (LOCF).
+    *
+    * Phase 1 aggregates events into their slots (max over the slot —
+    * deterministic under any fold order, unlike a float sum). Phase 2
+    * generates each key's dense grid from its own span via `sequence`
+    * + `explode` — a per-key row build, not a join against a global
+    * calendar. Phase 3 left-joins the sparse slots onto the grid and
+    * fills gaps with `last(..., ignoreNulls)` over the keyed window.
+    * Three shuffles, all on the series key (the slot agg shuffles on
+    * (key, slot) — AQE coalesces; the window is per-key, bounded by
+    * span/slotSeconds rows).
+    *
+    * @param events columns `key`, `ts` (timestamp), `value` (double)
+    */
+  def resampleLocf(events: DataFrame, slotSeconds: Long): DataFrame = {
+    val slot = timestamp_seconds(
+      expr(s"unix_timestamp(ts) div $slotSeconds") * slotSeconds)
+    val slotted = events
+      .select(col("key"), slot.as("slot"), col("value"))
+      .groupBy("key", "slot").agg(max("value").as("v"))
+    val grid = slotted.groupBy("key")
+      .agg(min("slot").as("lo"), max("slot").as("hi"))
+      .select(col("key"), explode(expr(
+        s"sequence(lo, hi, interval $slotSeconds seconds)")).as("slot"))
+    val w = Window.partitionBy("key").orderBy("slot")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(slotted, Seq("key", "slot"), "left")
+      .select(col("key"), col("slot"),
+        last(col("v"), ignoreNulls = true).over(w).as("v_locf"),
+        col("v").isNotNull.as("observed"))
+  }
+
+  /** Per-key EWMA with α = 1/2 in integer micro-units: the recursion
+    * y ← (y + x) div 2 over the key's events in (ts, tie) order.
+    * Integer fixed point makes the fold bit-exact on any engine
+    * (float EWMA differs in the last ulp); α = 1/2 keeps it a single
+    * add-shift per step. Sequential recursions have no closed window
+    * form, so the fold runs over the key's SORTED value array — one
+    * shuffle (the groupBy), per-key memory O(events); `tie` must make
+    * (ts, tie) a total order per key or the collect order is
+    * nondeterministic.
+    *
+    * Returns (key, n_events, ewma_micros).
+    */
+  def ewmaFixed(events: DataFrame, tie: Column): DataFrame =
+    events
+      .select(col("key"),
+        struct(unix_micros(col("ts")).as("t"), tie.as("tb"),
+          expr("cast(floor(value * 1000000) as bigint)").as("v")).as("e"))
+      .groupBy("key")
+      .agg(sort_array(collect_list(col("e"))).as("es"))
+      .select(col("key"), size(col("es")).cast("long").as("n_events"),
+        expr("""aggregate(slice(transform(es, e -> e.v), 2, size(es) - 1),
+                          es[0].v, (acc, x) -> (acc + x) div 2)""")
+          .as("ewma_micros"))
+}

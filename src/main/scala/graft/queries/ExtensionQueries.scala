@@ -871,6 +871,90 @@ object ExtensionQueries {
         TextAnalysis.minShingleFingerprint(col("text"), 3).as("min_shingle_fp"))
     },
 
+    // -- Graph analytics --------------------------------------------
+    // PageRank over the customer↔supplier trade graph (bipartite,
+    // symmetric edges from co-appearing on an order) — the link-graph
+    // quality prior web corpora weight documents by (Common Crawl
+    // host-rank filtering). Integer micro-unit damping (17/20), three
+    // unrolled rounds; one shuffle per round on dst with map-side
+    // partial sums, edges degree-annotated and checkpointed once.
+    "graph_pagerank" -> { (s, dir) =>
+      val ej = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = ej
+        .select((col("c") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+        .unionAll(ej.select((col("sk") * 2 + 1).as("src"),
+          (col("c") * 2).as("dst")))
+      val nodes = t(s, dir, "customer")
+        .select((col("c_custkey") * 2).as("node_id"))
+        .unionAll(t(s, dir, "supplier")
+          .select((col("s_suppkey") * 2 + 1).as("node_id")))
+      Graph.pageRank(edges, nodes, iters = 3)
+    },
+
+    // Exact triangle count on the co-purchase graph (parts sharing an
+    // order, support ≥ 2 — the support floor drops the ~99% noise
+    // tail of support-1 pairs). Degree-ordered orientation bounds the
+    // wedge join at O(m^1.5) regardless of hub degree.
+    "graph_triangles" -> { (s, dir) =>
+      val inc = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("group"), col("l_partkey").as("item"))
+      val edges = Graph.coOccurrenceEdges(inc, minSupport = 2)
+      Graph.triangleStats(edges.select(col("u"), col("v")))
+    },
+
+    // -- Distribution profiling / layout planning --------------------
+    // The skew probe you run before a 100 TB join: exact top-20
+    // heavy-hitter keys with ppm shares. TakeOrderedAndProject cap,
+    // cumulative window only over the capped 20 rows.
+    "stats_key_skew" -> { (s, dir) =>
+      Profiling.keySkewProfile(t(s, dir, "lineitem"), col("l_partkey"),
+        k = 20)
+    },
+
+    // Small-file compaction plan over a simulated file manifest
+    // (documents rolled into ~16-doc files per source): deterministic
+    // prefix-sum binning to ~32 KiB output buckets. Planner cost is
+    // manifest-sized, one shuffle on the partition key.
+    "layout_compaction" -> { (s, dir) =>
+      val files = docs(s, dir)
+        .groupBy(col("source").as("part"),
+          expr("doc_id div 16").as("file_id"))
+        .agg(sum("n_chars").as("bytes"))
+      Layout.compactionPlan(files, targetBytes = 32768)
+    },
+
+    // -- Time-series shaping -----------------------------------------
+    // Hourly grid resample with last-observation-carried-forward per
+    // user: per-key span grids (no global calendar join), keyed
+    // windows only.
+    "ts_resample_locf" -> { (s, dir) =>
+      TimeSeries.resampleLocf(
+        t(s, dir, "events")
+          .select(col("user_id").as("key"), col("ts"), col("value")),
+        slotSeconds = 3600)
+        .select(col("key").as("user_id"), col("slot"), col("v_locf"),
+          col("observed"))
+    },
+
+    // Per-user EWMA (α = 1/2) in integer micro-units over the sorted
+    // event history — the sequential-recursion-as-sorted-array-fold
+    // pattern, bit-exact on any engine.
+    "ts_ewma" -> { (s, dir) =>
+      TimeSeries.ewmaFixed(
+        t(s, dir, "events")
+          .select(col("user_id").as("key"), col("ts"), col("value"),
+            col("event_id")),
+        tie = col("event_id"))
+        .select(col("key").as("user_id"), col("n_events"),
+          col("ewma_micros"))
+    },
+
     // -- Event-time windowing / ordered joins ------------------------
     "ew_tumbling" -> { (s, dir) =>
       EventWindows.tumbling(t(s, dir, "events"), "1 hour")
@@ -1413,7 +1497,119 @@ object ExtensionQueries {
       |  WHERE a.doc_id < b2.doc_id)""".stripMargin
   }
 
+  /** Unrolled integer-fixed-point PageRank rounds (mirrors
+    * Graph.pageRank's schedule exactly: same integer divisions, same
+    * damping rational).
+    */
+  private def pageRankCtes(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""s$k AS (SELECT e.dst AS node_id, sum(r${k - 1}.r // e.deg) AS m
+         |        FROM e JOIN r${k - 1} ON e.src = r${k - 1}.node_id
+         |        GROUP BY 1),
+         |r$k AS (SELECT n.node_id,
+         |          CAST(150000 + (17 * COALESCE(s$k.m, 0)) // 20 AS BIGINT) AS r
+         |        FROM nodes n LEFT JOIN s$k USING (node_id))""".stripMargin
+    }.mkString(",\n")
+    s"""ej AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
+       |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (SELECT 2 * c AS src, 2 * sk + 1 AS dst FROM ej
+       |          UNION ALL SELECT 2 * sk + 1, 2 * c FROM ej),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+       |e AS (SELECT edges.src, edges.dst, deg.deg
+       |      FROM edges JOIN deg USING (src)),
+       |nodes AS (SELECT 2 * c_custkey AS node_id FROM customer
+       |          UNION ALL SELECT 2 * s_suppkey + 1 FROM supplier),
+       |r0 AS (SELECT node_id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |$rounds""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "graph_pagerank" ->
+      s"""WITH ${pageRankCtes(3)}
+         |SELECT node_id, r AS rank_micros FROM r3""".stripMargin,
+
+    "graph_triangles" ->
+      """WITH oi AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item
+        |            FROM lineitem),
+        |gok AS (SELECT grp FROM oi GROUP BY grp HAVING count(*) <= 1000),
+        |oi2 AS (SELECT oi.grp, oi.item FROM oi JOIN gok USING (grp)),
+        |pairs AS (SELECT a.item AS u, b.item AS v, count(*) AS sup
+        |          FROM oi2 a JOIN oi2 b ON a.grp = b.grp AND a.item < b.item
+        |          GROUP BY 1, 2),
+        |edges AS (SELECT u, v FROM pairs WHERE sup >= 2),
+        |deg AS (SELECT node, count(*) AS d FROM (
+        |          SELECT u AS node FROM edges
+        |          UNION ALL SELECT v FROM edges) GROUP BY 1),
+        |ori AS (SELECT
+        |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+        |         THEN e.u ELSE e.v END AS src,
+        |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+        |         THEN e.v ELSE e.u END AS dst
+        |  FROM edges e JOIN deg du ON du.node = e.u
+        |               JOIN deg dv ON dv.node = e.v),
+        |wed AS (SELECT a.src, a.dst AS y, b.dst AS z
+        |        FROM ori a JOIN ori b ON a.src = b.src AND a.dst < b.dst),
+        |tri AS (SELECT w.src FROM wed w
+        |        JOIN edges e2 ON w.y = e2.u AND w.z = e2.v)
+        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        |       (SELECT count(*) FROM edges) AS n_edges,
+        |       (SELECT count(*) FROM wed) AS n_wedges,
+        |       (SELECT count(*) FROM tri) AS n_triangles""".stripMargin,
+
+    "stats_key_skew" ->
+      """WITH counts AS (SELECT l_partkey AS key, count(*) AS n
+        |                FROM lineitem GROUP BY 1),
+        |tot AS (SELECT sum(n) AS tot FROM counts),
+        |top AS (SELECT key, n FROM counts ORDER BY n DESC, key LIMIT 20)
+        |SELECT key, n,
+        |  CAST(row_number() OVER (ORDER BY n DESC, key) AS INT) AS rank,
+        |  CAST(n * 1000000 // tot AS BIGINT) AS share_ppm,
+        |  CAST(sum(n) OVER (ORDER BY n DESC, key
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |       * 1000000 // tot AS BIGINT) AS cum_ppm
+        |FROM top, tot""".stripMargin,
+
+    "layout_compaction" ->
+      """WITH files AS (SELECT source AS part, doc_id // 16 AS file_id,
+        |                 CAST(sum(n_chars) AS BIGINT) AS bytes
+        |               FROM documents GROUP BY 1, 2)
+        |SELECT part, file_id, bytes,
+        |  CAST((sum(bytes) OVER (PARTITION BY part ORDER BY file_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        - bytes) // 32768 AS BIGINT) AS out_bucket
+        |FROM files""".stripMargin,
+
+    "ts_resample_locf" ->
+      (s"""WITH $evtCte,
+        |slotted AS (SELECT user_id,
+        |    make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS slot,
+        |    max(value) AS v
+        |  FROM evts GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(slot) AS lo, max(slot) AS hi
+        |         FROM slotted GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |    unnest(generate_series(lo, hi, INTERVAL 3600 SECOND)) AS slot
+        |  FROM span),
+        |j AS (SELECT g.user_id, g.slot, s.v
+        |      FROM grid g LEFT JOIN slotted s
+        |        ON g.user_id = s.user_id AND g.slot = s.slot)
+        |SELECT user_id, slot,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY slot ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS v_locf,
+        |  v IS NOT NULL AS observed
+        |FROM j""".stripMargin),
+
+    "ts_ewma" ->
+      (s"""WITH $evtCte,
+        |l AS (SELECT user_id,
+        |        list(CAST(floor(value * 1000000) AS BIGINT)
+        |             ORDER BY ts, event_id) AS vs
+        |      FROM evts GROUP BY 1)
+        |SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
+        |  list_reduce(vs, (acc, x) -> (acc + x) // 2) AS ewma_micros
+        |FROM l""".stripMargin),
+
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS dup_key,
         |  min(doc_id) AS canonical_id, count(*) AS n_copies

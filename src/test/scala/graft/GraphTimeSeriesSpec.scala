@@ -1,0 +1,131 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.ext._
+
+/** Hand-computed expectations for the graph, time-series, profiling,
+  * and compaction-planning operators on tiny literal frames.
+  */
+class GraphTimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  // -- Graph -----------------------------------------------------------
+
+  test("pageRank on a 3-path matches the hand-rolled integer schedule") {
+    // graph 1–2–3 (symmetric); deg(1)=deg(3)=1, deg(2)=2
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L).toDF("node_id")
+    // round 1: r(1)=r(3)=150000+17*(1000000/2)/20=575000
+    //          r(2)=150000+17*(1000000+1000000)/20=1850000
+    // round 2: r(1)=r(3)=150000+17*(1850000/2)/20=936250
+    //          r(2)=150000+17*(575000+575000)/20=1127500
+    val got = Graph.pageRank(edges, nodes, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 936250L, 2L -> 1127500L, 3L -> 936250L))
+  }
+
+  test("pageRank: a node with no in-edges keeps exactly the teleport " +
+      "mass; an absent contribution is 0, not null") {
+    // 1 → 2 only; node 3 isolated
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L).toDF("node_id")
+    val got = Graph.pageRank(edges, nodes, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) === 150000L && got(3L) === 150000L)
+    assert(got(2L) === 150000L + 17L * 1000000L / 20L)
+  }
+
+  test("triangleStats counts the one triangle of a paw graph, with " +
+      "degree-ordered wedges") {
+    // triangle {1,2,3} plus pendant edge 3–4
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val got = Graph.triangleStats(edges)
+      .as[(Long, Long, Long, Long)].collect().head
+    // orientation: deg 1=2, 2=2, 3=3, 4=1 → 1→2, 1→3, 2→3, 4→3;
+    // only apex 1 has two out-neighbors → exactly one wedge, closed
+    assert(got === ((4L, 4L, 1L, 1L)))
+  }
+
+  test("coOccurrenceEdges applies the support floor and drops " +
+      "over-sized hot groups before the pair join") {
+    val inc = (Seq(("g1", "a"), ("g1", "b"), ("g1", "c"),
+      ("g2", "a"), ("g2", "b"), ("g3", "a"), ("g3", "b"),
+      // duplicate incidence row: must not inflate support
+      ("g3", "a")) ++
+      // hot group of 5 items: dropped whole at maxGroupSize = 4
+      (1 to 5).map(i => ("hot", s"x$i"))).toDF("group", "item")
+    val got = Graph.coOccurrenceEdges(inc, minSupport = 2,
+      maxGroupSize = 4)
+      .as[(String, String, Long)].collect().toSet
+    assert(got === Set(("a", "b", 3L)))
+  }
+
+  // -- Profiling -------------------------------------------------------
+
+  test("keySkewProfile: exact ranks, ppm shares, cumulative shares") {
+    val df = (Seq.fill(3)("a") ++ Seq.fill(2)("b") ++ Seq("c"))
+      .toDF("k")
+    val got = Profiling.keySkewProfile(df, col("k"), k = 2)
+      .as[(String, Long, Int, Long, Long)].collect().toSet
+    // total 6: a 3/6 = 500000 ppm, cum 500000; b 2/6 = 333333, cum 833333
+    assert(got === Set(("a", 3L, 1, 500000L, 500000L),
+      ("b", 2L, 2, 333333L, 833333L)))
+  }
+
+  // -- Layout ----------------------------------------------------------
+
+  test("compactionPlan: prefix-sum binning closes buckets at the " +
+      "target and keeps file order") {
+    val files = Seq(("p", 1L, 10L), ("p", 2L, 20L), ("p", 3L, 5L),
+      ("p", 4L, 40L), ("p", 5L, 100L), ("q", 1L, 99L))
+      .toDF("part", "file_id", "bytes")
+    val got = Layout.compactionPlan(files, targetBytes = 30L)
+      .select("part", "file_id", "out_bucket")
+      .as[(String, Long, Long)].collect().toSet
+    // p cum-exclusive: 0,10,30,35,75 → buckets 0,0,1,1,2; q restarts
+    assert(got === Set(("p", 1L, 0L), ("p", 2L, 0L), ("p", 3L, 1L),
+      ("p", 4L, 1L), ("p", 5L, 2L), ("q", 1L, 0L)))
+  }
+
+  // -- TimeSeries ------------------------------------------------------
+
+  test("resampleLocf: dense per-key grid, max within slot, LOCF " +
+      "across gaps, observed flags") {
+    val events = Seq(
+      (7L, ts("2024-01-01 00:10:00"), 1.0),
+      (7L, ts("2024-01-01 00:50:00"), 4.0), // same slot → max 4.0
+      (7L, ts("2024-01-01 03:20:00"), 2.0),
+      (8L, ts("2024-01-01 05:00:00"), 9.0))
+      .toDF("key", "ts", "value")
+    val got = TimeSeries.resampleLocf(events, slotSeconds = 3600)
+      .select(col("key"), col("slot"), col("v_locf"), col("observed"))
+      .as[(Long, Timestamp, Double, Boolean)].collect().toSet
+    assert(got === Set(
+      (7L, ts("2024-01-01 00:00:00"), 4.0, true),
+      (7L, ts("2024-01-01 01:00:00"), 4.0, false),
+      (7L, ts("2024-01-01 02:00:00"), 4.0, false),
+      (7L, ts("2024-01-01 03:00:00"), 2.0, true),
+      (8L, ts("2024-01-01 05:00:00"), 9.0, true)))
+  }
+
+  test("ewmaFixed matches the sequential (acc + x) div 2 fold in " +
+      "event order, independent of input row order") {
+    val vals = Seq(3.5, 1.25, 10.0, 0.000001, 7.75)
+    val micro = vals.map(v => math.floor(v * 1e6).toLong)
+    val expect = micro.tail.foldLeft(micro.head)((a, x) => (a + x) / 2)
+    // deliver rows shuffled; (ts, event_id) recovers the order
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      (5L, ts(f"2024-01-01 00:0$i:00"), v, i.toLong)
+    }
+    val events = scala.util.Random.shuffle(rows)
+      .toDF("key", "ts", "value", "event_id")
+    val got = TimeSeries.ewmaFixed(events, tie = col("event_id"))
+      .as[(Long, Long, Long)].collect().head
+    assert(got === ((5L, 5L, expect)))
+  }
+}

@@ -356,4 +356,54 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size === 2)
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("graph_pagerank: every rank round is an equi-join + partial " +
+      "aggregation — no cartesian, and the iterated edge side is a " +
+      "checkpoint scan, not a recomputed lineitem join") {
+    val df = SparkEntry.queries("graph_pagerank")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    // the degree-annotated edge list was localCheckpoint'd once: the
+    // per-round joins must read cached scans (no Parquet re-scan of
+    // lineitem inside the unrolled rounds — 1 scan would appear per
+    // round otherwise)
+    assert(!p.toLowerCase.contains("filescan parquet"),
+      s"rank rounds re-scan parquet instead of the checkpoint:\n$p")
+  }
+
+  test("stats_key_skew: heavy-hitter cap is a TakeOrdered heap, and " +
+      "rank/cumshare run window-free (the global-window ban holds " +
+      "even for the capped k rows)") {
+    val df = SparkEntry.queries("stats_key_skew")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k cap is not a bounded TakeOrdered:\n$p")
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    assert(df.queryExecution.optimizedPlan.collect {
+      case w: LWindow => w
+    }.isEmpty, "skew profile should not plan any window")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("graph_triangles: wedge and closure joins stay equi-joins on " +
+      "graph keys — no cartesian anywhere") {
+    val p = plan("graph_triangles")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("ts_ewma: exactly one exchange (the per-key fold's groupBy)") {
+    val p = plan("ts_ewma")
+    assert("Exchange".r.findAllIn(p).size === 1,
+      s"EWMA should shuffle once, on the series key:\n$p")
+    assert(!p.contains("Join"))
+  }
+
+  test("ts_resample_locf / layout_compaction: every window is keyed " +
+      "(covered by the global sweep) and the grid build is per-key " +
+      "generate — no calendar cross-join") {
+    val p = plan("ts_resample_locf")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"grid degraded to a calendar cross-join:\n$p")
+  }
 }
