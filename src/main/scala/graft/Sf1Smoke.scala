@@ -52,9 +52,42 @@ object Sf1Smoke {
         .repartition(32)
         .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     }
+    // Relational/event tables, 10× by disjoint key-offset replicas:
+    // every id space (orders, customers, suppliers, parts, users,
+    // events) shifts by k·offset, so each replica is a disjoint
+    // subgraph — the graph and time-series operators see 10× nodes,
+    // edges and series, with per-key density unchanged (the scaling a
+    // real corpus-growth exhibits; a key-collapsing scale-up would
+    // instead densify hot keys 10×).
+    def genRel(): Unit = {
+      val reps = spark.range(factor).select(col("id").as("__k"))
+      def scaled(name: String, idCols: Map[String, Long]): Unit = {
+        val src = graft.sources.Tables.load(spark, srcDir, name)
+        src.crossJoin(reps)
+          .select(src.columns.map { c =>
+            idCols.get(c)
+              .map(off => (col(c) + col("__k") * off).as(c))
+              .getOrElse(col(c))
+          }.toSeq: _*)
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      }
+      scaled("orders", Map("o_orderkey" -> 100000000L,
+        "o_custkey" -> 10000000L))
+      scaled("lineitem", Map("l_orderkey" -> 100000000L,
+        "l_partkey" -> 10000000L, "l_suppkey" -> 10000000L))
+      scaled("customer", Map("c_custkey" -> 10000000L))
+      scaled("supplier", Map("s_suppkey" -> 10000000L))
+      scaled("events", Map("event_id" -> 100000000L,
+        "user_id" -> 10000000L))
+    }
     if (!new java.io.File(s"$outDir/documents.parquet").exists()) {
       println("[sf1] generating scaled fixtures...")
       gen()
+    }
+    if (!new java.io.File(s"$outDir/orders.parquet").exists()) {
+      println("[sf1] generating scaled relational fixtures...")
+      genRel()
     }
 
     val names = Seq(
@@ -64,7 +97,11 @@ object Sf1Smoke {
       "dedup_components", "dedup_simhash_pairs", "curate_corpus",
       "vocab_bpe", "text_bpe_encode",
       // round-7 additions (span ownership groupBy; one-pass NB)
-      "text_span_dedup", "text_nb_quality")
+      "text_span_dedup", "text_nb_quality",
+      // round-8 additions: iterative graph rounds, wedge join,
+      // per-key grid explode, sorted-array fold, heavy-hitter cap
+      "graph_pagerank", "graph_triangles", "stats_key_skew",
+      "layout_compaction", "ts_resample_locf", "ts_ewma")
 
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     def audit(df: DataFrame): Seq[String] = {
