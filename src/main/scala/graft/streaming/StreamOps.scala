@@ -373,4 +373,79 @@ object StreamOps {
           Iterator.single(next)
       }
   }
+
+  case class SeriesEvent(key: Long, ts: java.sql.Timestamp, tie: Long,
+                         value: Double)
+  case class EwmaPoint(key: Long, ts: java.sql.Timestamp, tie: Long,
+                       n_events: Long, ewma_micros: Long)
+  /** O(1) per-key EWMA state: the integer accumulator plus the
+    * (ts, tie) high-water mark that makes the fold order-safe and
+    * replay-idempotent.
+    */
+  case class EwmaState(acc: Long, n: Long, hwTs: Long, hwTie: Long)
+
+  /** Streaming twin of [[graft.ext.TimeSeries.ewmaFixed]]: the per-key
+    * integer EWMA recursion `acc ← (acc + x) div 2` applied as events
+    * arrive, emitting the updated point per fold step — the real-time
+    * feature value a serving layer reads.
+    *
+    * Order discipline: within a micro-batch rows fold in (ts, tie)
+    * order; across batches the state's (ts, tie) HIGH-WATER MARK
+    * drops any event at or below the newest folded event. That one
+    * rule buys both batch parity and replay idempotency: for in-order
+    * delivery per key the final point per key is exactly the batch
+    * `ewmaFixed` row, and an at-least-once source redelivering a
+    * batch re-folds nothing (every redelivered event sits at or below
+    * the mark). The flip side is that a genuinely LATE event is
+    * dropped rather than retro-folded — an order-sensitive recursion
+    * cannot re-run its past without unbounded event retention; bound
+    * lateness upstream with a watermark and sort within it if late
+    * events must count.
+    *
+    * State is O(1) longs per key (contrast: the funnel's O(steps)),
+    * partitioned by the same key the batch groupBy shuffles on.
+    * `idleKeyTtl` bounds the key space exactly as
+    * [[funnelStream]]'s guard does.
+    */
+  def ewmaStream(events: DataFrame,
+                 idleKeyTtl: Option[String] = None): Dataset[EwmaPoint] = {
+    import events.sparkSession.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    val timeout = if (idleKeyTtl.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout
+    else GroupStateTimeout.NoTimeout
+    events
+      .select(col("key").cast("long").as("key"), col("ts"),
+        col("tie").cast("long").as("tie"),
+        col("value").cast("double").as("value"))
+      .as[SeriesEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[EwmaState, EwmaPoint](
+        OutputMode.Append, timeout) {
+        (key, rows, state) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(
+              EwmaState(0L, 0L, Long.MinValue, Long.MinValue))
+            val out = List.newBuilder[EwmaPoint]
+            rows.toSeq.sortBy(e => (micros(e.ts), e.tie)).foreach { e =>
+              val t = micros(e.ts)
+              if (t > st.hwTs || (t == st.hwTs && e.tie > st.hwTie)) {
+                // batch parity: floor() then SQL `div` truncation —
+                // Scala / on Long truncates identically
+                val x = math.floor(e.value * 1e6).toLong
+                val acc = if (st.n == 0L) x else (st.acc + x) / 2
+                st = EwmaState(acc, st.n + 1, t, e.tie)
+                out += EwmaPoint(key, e.ts, e.tie, st.n, acc)
+              }
+            }
+            state.update(st)
+            idleKeyTtl.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+      }
+  }
 }

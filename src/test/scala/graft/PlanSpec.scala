@@ -383,6 +383,11 @@ class PlanSpec extends SparkSpec {
       case w: LWindow => w
     }.isEmpty, "skew profile should not plan any window")
     assert(!p.contains("CartesianProduct"))
+    // the top/peers/total branches must share ONE scan + partial
+    // count — a profile that reads its 100 TB input three times is
+    // three times the tool it needs to be
+    assert(finalPlan("stats_key_skew").contains("ReusedExchange"),
+      "count aggregation not exchange-reused across branches")
   }
 
   test("graph_triangles: wedge and closure joins stay equi-joins on " +

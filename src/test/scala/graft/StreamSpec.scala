@@ -589,4 +589,49 @@ class StreamSpec extends SparkSpec {
         (1L, ts("2024-01-01 12:00:00"), 1L)))
     } finally q.stop()
   }
+
+  test("streaming EWMA: shuffled within-batch delivery matches the " +
+    "batch fold, and a full at-least-once replay re-folds nothing") {
+    implicit val sq = spark.sqlContext
+    // two keys, five events each, values exercising the floor+div path
+    val evs = for {
+      k <- Seq(1L, 2L)
+      (v, i) <- Seq(3.5, 1.25, 10.0, 0.000001, 7.75).zipWithIndex
+    } yield (k, ts(f"2024-01-01 00:0$i:00"), i.toLong, v + k)
+    val batch = graft.ext.TimeSeries.ewmaFixed(
+        evs.toDF("key", "ts", "tie", "value"),
+        tie = lit(0L)) // constant tie: ts is unique per key here
+      .as[(Long, Long, Long)].collect()
+      .map { case (k, n, e) => k -> ((n, e)) }.toMap
+    val in = MemoryStream[(Long, Timestamp, Long, Double)]
+    val q = StreamOps.ewmaStream(
+        in.toDF().toDF("key", "ts", "tie", "value"))
+      .writeStream.format("memory").queryName("ewma_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batches split mid-key-history; rows shuffled WITHIN each batch
+      // (cross-batch order per key stays in ts order — the contract)
+      val rnd = new scala.util.Random(13)
+      val byTime = evs.sortBy(_._2.getTime)
+      val (b1, b2) = byTime.splitAt(4)
+      Seq(b1, b2).foreach { b =>
+        in.addData(rnd.shuffle(b)); q.processAllAvailable()
+      }
+      val points = spark.table("ewma_out").as[StreamOps.EwmaPoint]
+        .collect()
+      // one point per folded event, and the newest point per key is
+      // exactly the batch ewmaFixed row
+      assert(points.length === evs.size)
+      val finalByKey = points.groupBy(_.key)
+        .map { case (k, ps) => k -> ps.maxBy(_.n_events) }
+      for ((k, (n, e)) <- batch) {
+        assert(finalByKey(k).n_events === n)
+        assert(finalByKey(k).ewma_micros === e)
+      }
+      // at-least-once replay: redeliver EVERYTHING; the high-water
+      // mark must drop every row — no new points, state unchanged
+      in.addData(rnd.shuffle(byTime)); q.processAllAvailable()
+      assert(spark.table("ewma_out").count() === evs.size.toLong)
+    } finally q.stop()
+  }
 }
