@@ -61,6 +61,38 @@ object Relational {
       .drop("__salt")
   }
 
+  /** MERGE INTO semantics as one declarative plan — the CDC apply
+    * every warehouse runs: `target` (unique `key`) merged with
+    * `changes` (unique `key`, an `op` column of "upsert"/"delete" and
+    * the new `payload`).
+    *
+    *   - matched + delete  → row dropped
+    *   - matched + upsert  → payload replaced ("updated")
+    *   - unmatched upsert  → row inserted ("inserted")
+    *   - no change         → row kept ("kept")
+    *   - delete of an absent key → no-op
+    *
+    * One full-outer join on the key — the exact shuffle MERGE INTO
+    * costs in any engine; both sides pre-deduped by contract (feed a
+    * last-wins dedup upstream for raw CDC logs). The action column
+    * makes the plan auditable downstream (row-count reconciliation
+    * per action is the standard load check).
+    */
+  def mergeUpsert(target: DataFrame, changes: DataFrame): DataFrame = {
+    val t = target.select(col("key"), col("payload").as("__tp"))
+    val c = changes.select(col("key"), col("op"),
+      col("payload").as("__cp"))
+    t.join(c, Seq("key"), "full_outer")
+      // deletes drop the row; a delete of an absent key drops its
+      // own change row — both cases are the one predicate below
+      .filter(col("op").isNull || col("op") =!= "delete")
+      .select(col("key"),
+        coalesce(col("__cp"), col("__tp")).as("payload"),
+        when(col("op").isNull, "kept")
+          .when(col("__tp").isNull, "inserted")
+          .otherwise("updated").as("action"))
+  }
+
   /** EXISTS — rows of `df` with a match in `other`. */
   def semiJoin(df: DataFrame, other: DataFrame, cond: Column): DataFrame =
     df.join(other, cond, "left_semi")

@@ -214,6 +214,28 @@ object RelationalQueries {
         .withColumn("is_current", col("valid_to").isNull)
     },
 
+    // MERGE INTO semantics (the warehouse CDC apply): the last event
+    // per user becomes an upsert ('error' ⇒ delete) against the
+    // customer balance table — matched rows update, unmatched upserts
+    // insert, deletes drop, untouched rows keep, absent-key deletes
+    // no-op. One full-outer shuffle, the exact cost MERGE pays in any
+    // engine; the action column is the standard load-reconciliation
+    // audit.
+    "merge_upsert" -> { (s, dir) =>
+      val target = t(s, dir, "customer")
+        .select(col("c_custkey").as("key"),
+          col("c_acctbal").as("payload"))
+      val changes = t(s, dir, "events")
+        .groupBy(col("user_id").as("key"))
+        .agg(max_by(struct(col("event_type"), col("value")),
+          struct(col("ts"), col("event_id"))).as("__l"))
+        .select(col("key"),
+          when(col("__l.event_type") === "error", "delete")
+            .otherwise("upsert").as("op"),
+          col("__l.value").as("payload"))
+      mergeUpsert(target, changes)
+    },
+
     "topk_per_group" -> { (s, dir) =>
       topKPerGroup(t(s, dir, "orders"), Seq("o_custkey"),
         Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
@@ -580,6 +602,26 @@ object RelationalQueries {
         |FROM ch WHERE prev IS NULL OR prev <> o_orderstatus
         |WINDOW w AS (PARTITION BY o_custkey
         |  ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    "merge_upsert" ->
+      """WITH last AS (
+        |  SELECT user_id AS key,
+        |    CASE WHEN event_type = 'error' THEN 'delete'
+        |         ELSE 'upsert' END AS op,
+        |    value AS payload
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) = 1),
+        |tgt AS (SELECT c_custkey AS key, c_acctbal AS payload
+        |        FROM customer),
+        |m AS (SELECT coalesce(t.key, c.key) AS key, t.payload AS tp,
+        |        c.op, c.payload AS cp
+        |      FROM tgt t FULL OUTER JOIN last c ON t.key = c.key)
+        |SELECT key, coalesce(cp, tp) AS payload,
+        |  CASE WHEN op IS NULL THEN 'kept'
+        |       WHEN tp IS NULL THEN 'inserted'
+        |       ELSE 'updated' END AS action
+        |FROM m WHERE op IS NULL OR op <> 'delete'""".stripMargin,
 
     "topk_per_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM orders

@@ -142,4 +142,22 @@ class OpsSpec extends SparkSpec {
       .select($"k", $"v", $"name").as[(Long, Int, String)].collect().sorted
     assert(salted.toSeq === plain.toSeq)
   }
+
+  test("mergeUpsert: update, insert, keep, delete, and absent-key " +
+      "delete no-op") {
+    val target = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0))
+      .toDF("key", "payload")
+    val changes = Seq(
+      (1L, "upsert", 11.0),  // matched update
+      (3L, "delete", 0.0),   // matched delete
+      (4L, "upsert", 44.0),  // unmatched insert
+      (5L, "delete", 0.0))   // absent-key delete: no-op
+      .toDF("key", "op", "payload")
+    val got = Relational.mergeUpsert(target, changes)
+      .as[(Long, Double, String)].collect().toSet
+    assert(got === Set(
+      (1L, 11.0, "updated"),
+      (2L, 20.0, "kept"),
+      (4L, 44.0, "inserted")))
+  }
 }
