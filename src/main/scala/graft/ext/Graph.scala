@@ -43,11 +43,29 @@ object Graph {
     * @param iters rounds (unrolled; callers keep this small — quality
     *              priors converge in single digits)
     */
-  def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
-    require(iters >= 1 && iters <= 20, "iters must be in [1, 20]")
+  def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int): DataFrame =
+    pageRankPrepared(prepareEdges(edges).localCheckpoint(true), nodes,
+      iters)
+
+  /** Degree-annotate an edge list — the build-once half of the
+    * PageRank lifecycle (a link graph is constructed once and ranked
+    * many times as damping/iteration choices are tuned). Materialize
+    * the result (localCheckpoint, a reliable checkpoint dir, or the
+    * [[Stages]] cache) before iterating over it, or every rank round
+    * replans the full edge derivation.
+    */
+  def prepareEdges(edges: DataFrame): DataFrame = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val e = edges.join(deg, "src").localCheckpoint(true)
-    val n = nodes.select(col("node_id")).localCheckpoint(true)
+    edges.join(deg, "src")
+  }
+
+  /** The rank rounds over an already-materialized degree-annotated
+    * edge table (`src`, `dst`, `deg` — see [[prepareEdges]]).
+    */
+  def pageRankPrepared(e: DataFrame, nodes: DataFrame,
+                       iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 20, "iters must be in [1, 20]")
+    val n = nodes.select(col("node_id"))
     var ranks = n.withColumn("rank_micros", lit(1000000L))
     for (_ <- 1 to iters) {
       val contrib = e.join(ranks, e("src") === ranks("node_id"))

@@ -363,12 +363,13 @@ class PlanSpec extends SparkSpec {
     val df = SparkEntry.queries("graph_pagerank")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
-    // the degree-annotated edge list was localCheckpoint'd once: the
-    // per-round joins must read cached scans (no Parquet re-scan of
-    // lineitem inside the unrolled rounds — 1 scan would appear per
-    // round otherwise)
-    assert(!p.toLowerCase.contains("filescan parquet"),
-      s"rank rounds re-scan parquet instead of the checkpoint:\n$p")
+    // the degree-annotated edge list is the memoized pr_graph stage
+    // (checkpoint-backed): the per-round joins must never re-scan or
+    // re-join orders/lineitem — 1 scan of each would appear per round
+    // otherwise. The cheap nodes union (customer/supplier) stays a
+    // plain scan by design.
+    assert(!p.contains("lineitem") && !p.contains("orders"),
+      s"rank rounds re-derive the edge list instead of the stage:\n$p")
   }
 
   test("stats_key_skew: heavy-hitter cap is a TakeOrdered heap, and " +
