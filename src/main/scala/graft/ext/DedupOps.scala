@@ -163,7 +163,7 @@ object DedupOps {
     * inverted-index pair generators so the off-by-one invariants
     * live in exactly one place.
     */
-  private def orderedPairs(ids: Column, aName: String,
+  private[ext] def orderedPairs(ids: Column, aName: String,
                            bName: String): Column =
     explode(flatten(transform(ids, (x, i) =>
       transform(slice(ids, i + lit(2), size(ids)),

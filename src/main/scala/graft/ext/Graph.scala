@@ -136,16 +136,21 @@ object Graph {
     * Returns canonical undirected edges (`u` < `v`, `support`).
     */
   def coOccurrenceEdges(incidence: DataFrame, minSupport: Long,
-                        maxGroupSize: Long = 1000L): DataFrame = {
-    val inc = incidence.select(col("group"), col("item")).distinct()
-    val sized = inc.join(
-      inc.groupBy("group").agg(count(lit(1)).as("__gsz"))
-        .filter(col("__gsz") <= maxGroupSize),
-      Seq("group"))
-    val l = sized.select(col("group"), col("item").as("u"))
-    val r = sized.select(col("group"), col("item").as("v"))
-    l.join(r, Seq("group")).filter(col("u") < col("v"))
+                        maxGroupSize: Long = 1000L): DataFrame =
+    incidence
+      .groupBy("group")
+      // collect_set dedups repeated incidence rows; sort_array makes
+      // i < j imply item_i < item_j, so orderedPairs emits each pair
+      // once in canonical u < v form. TWO shuffles total (group
+      // postings, then pair counts) — the self-join formulation pays
+      // a third for the size-filter join. Per-group memory is one
+      // postings array; the size filter bounds pair EXPLOSION, and a
+      // pathologically hot group still collects before being dropped
+      // — cap upstream if single groups exceed task memory.
+      .agg(sort_array(collect_set(col("item"))).as("__items"))
+      .filter(size(col("__items")).between(2, maxGroupSize))
+      .select(DedupOps.orderedPairs(col("__items"), "u", "v").as("__p"))
+      .select(col("__p.u"), col("__p.v"))
       .groupBy("u", "v").agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
-  }
 }
