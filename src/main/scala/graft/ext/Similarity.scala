@@ -211,6 +211,58 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos")
   }
 
+  /** Exact-score MIPS (maximum inner product) top-k with
+    * augmented-space LSH blocking — the MIPS→cosine reduction
+    * (Neyshabur & Srebro ICML'15; asymmetric LSH, Shrivastava & Li
+    * NeurIPS'14): corpus vector c augments to [c ; √(M² − ‖c‖²)]
+    * with M = max corpus norm, so every augmented corpus vector has
+    * norm exactly M and cosine ORDER in the augmented space IS
+    * inner-product order — hyperplane LSH then blocks MIPS
+    * candidates exactly as it blocks cosine. Queries augment with 0
+    * (their extra coordinate never fires a plane's last weight).
+    *
+    * The retrieval shape of recommendation/embedding-scoring
+    * workloads, where magnitude matters and cosine is the wrong
+    * metric. Candidates rank by the EXACT dot product — the
+    * augmentation drives only the blocking, so emitted scores are
+    * true inner products. M arrives as ONE broadcast row; the extra
+    * coordinate's √(max(M²−n², 0)) is the same guarded IEEE sequence
+    * on any engine. Scale shape = [[lshTopK]]'s: a bucket equi-join
+    * replaces the cross join, recall tunes with `planes`.
+    */
+  def mipsTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+               planes: Int = 2, dims: Int = 64): DataFrame = {
+    val pl = hyperplanes(planes, dims + 1)
+    val mrow = corpus.agg(max(norm(col("vec"))).as("__m"))
+    def bucketBits(v: Column, extra: Column): Column =
+      pl.zipWithIndex.map { case (w, p) =>
+        val wPrefix =
+          array(w.take(dims).toIndexedSeq.map(x => lit(x.toFloat)): _*)
+        when(dot(v, wPrefix) + lit(w(dims).toDouble) * extra > 0,
+          lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val c = corpus
+      .select(col("id").as("neighbor_id"),
+        dimsGuard(col("vec"), dims).as("cv"),
+        norm(col("vec")).as("__cn"))
+      .crossJoin(broadcast(mrow))
+      .select(col("neighbor_id"), col("cv"),
+        bucketBits(col("cv"), sqrt(greatest(
+          col("__m") * col("__m") - col("__cn") * col("__cn"),
+          lit(0.0)))).as("__bucket"))
+    val q = queries
+      .select(col("id").as("query_id"), dimsGuard(col("vec"), dims).as("qv"))
+      .withColumn("__bucket", bucketBits(col("qv"), lit(0.0)))
+    val scored = q.join(c, Seq("__bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("ip", dot(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("ip").desc, col("neighbor_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select("query_id", "neighbor_id", "ip")
+  }
+
   /** First `nlist` corpus vectors (by id) as deterministic IVF seed
     * centroids. Production IVF learns centroids with k-means; any
     * (id, vec) frame — e.g. k-means output — plugs into [[ivfTopK]]

@@ -372,6 +372,15 @@ object ExtensionQueries {
         planes = 4, dims = 64)
     },
 
+    // MIPS retrieval (recommendation scoring: magnitude matters, so
+    // cosine is the wrong metric) via the augmented-space reduction —
+    // blocking in [c ; √(M²−‖c‖²)] space, exact inner-product ranks.
+    "sim_mips_topk" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.mipsTopK(e.filter(col("id") < 50), e, k = 5,
+        planes = 2, dims = 64)
+    },
+
     "sim_ivf_topk" -> { (s, dir) =>
       val e = emb(s, dir)
       Similarity.ivfTopK(e.filter(col("id") < 50), e,
@@ -1425,6 +1434,27 @@ object ExtensionQueries {
 
   private val tokensSql = """string_split_regex(trim(text), '\s+')"""
 
+  /** Augmented-space MIPS bucket (mirrors Similarity.mipsTopK's
+    * bucketBits): per plane, sign of ⟨v, w₁..d⟩ + w_{d+1}·extra where
+    * extra = √(max(M²−n², 0)) for corpus rows and 0 for queries (the
+    * +0 term is an IEEE no-op, so the query side omits it).
+    */
+  private def mipsBucketSql(vec: String, extra: Option[String],
+                            planes: Int, dims: Int): String = {
+    val pl = Similarity.hyperplanes(planes, dims + 1)
+    pl.zipWithIndex.map { case (w, p) =>
+      val prefix = w.take(dims)
+        .map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      val proj = extra match {
+        case Some(e) =>
+          val wl = if (w(dims) > 0) "1.0" else "-1.0"
+          s"(${dotSql(vec, prefix)}) + $wl * $e"
+        case None => s"(${dotSql(vec, prefix)})"
+      }
+      s"(CASE WHEN ($proj) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
+
   /** The BPE induction as a CTE chain (graft.ext.Bpe replayed in SQL):
     * `w0` is the capped word table with delimited symbol strings;
     * round r computes pair counts `pc_r` from `w_(r-1)`, picks the
@@ -1817,6 +1847,25 @@ object ExtensionQueries {
         |FROM q JOIN c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
         |QUALIFY row_number() OVER (PARTITION BY q.vec_id
         |  ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id) <= 5""".stripMargin),
+
+    "sim_mips_topk" ->
+      (s"""WITH mm AS (SELECT max(${normSql("embedding")}) AS m
+        |            FROM embeddings),
+        |cn AS (SELECT vec_id, embedding,
+        |         ${normSql("embedding")} AS n FROM embeddings),
+        |c AS (SELECT vec_id, embedding,
+        |        ${mipsBucketSql("embedding",
+               Some("sqrt(greatest(mm.m * mm.m - n * n, 0))"), 2, 64)}
+        |          AS bucket
+        |      FROM cn, mm),
+        |q AS (SELECT vec_id, embedding,
+        |        ${mipsBucketSql("embedding", None, 2, 64)} AS bucket
+        |      FROM embeddings WHERE vec_id < 50)
+        |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  ${dotSql("q.embedding", "c.embedding")} AS ip
+        |FROM q JOIN c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        |QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        |  ORDER BY ${dotSql("q.embedding", "c.embedding")} DESC, c.vec_id) <= 5""".stripMargin),
 
     // assignment tie-break (cos DESC, cid ASC) mirrors Spark's
     // max_by(cid, struct(cos, -cid)); floats are bit-identical on

@@ -65,6 +65,47 @@ class GraphTimeSeriesSpec extends SparkSpec {
     assert(got === Set(("a", "b", 3L)))
   }
 
+  // -- Similarity (MIPS) ----------------------------------------------
+
+  test("mipsTopK matches a plain-Scala mirror of the augmented-space " +
+      "reduction: same buckets, exact inner-product ranks") {
+    val dims = 4
+    val rnd = new scala.util.Random(99)
+    val vecs: Seq[(Long, Array[Float])] = (0L until 12L).map { i =>
+      i -> Array.fill(dims)((rnd.nextDouble() * 4 - 2).toFloat)
+    }
+    val df = vecs.toDF("id", "vec")
+    val got = Similarity.mipsTopK(df.filter($"id" < 3), df, k = 3,
+        planes = 2, dims = dims)
+      .as[(Long, Long, Double)].collect().toSet
+    // mirror: identical double folds, max norm, augmented buckets
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i).toDouble * b(i).toDouble)
+    def nrm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+    val m = vecs.map(v => nrm(v._2)).max
+    val pl = Similarity.hyperplanes(2, dims + 1)
+    def bucket(v: Array[Float], extra: Double): Long =
+      pl.zipWithIndex.map { case (w, p) =>
+        val proj = v.indices.foldLeft(0.0)((s, i) =>
+          s + v(i).toDouble * w(i).toFloat.toDouble) +
+          w(dims).toDouble * extra
+        if (proj > 0) 1L << p else 0L
+      }.sum
+    def cExtra(v: Array[Float]): Double =
+      math.sqrt(math.max(m * m - nrm(v) * nrm(v), 0.0))
+    val expect = vecs.filter(_._1 < 3).flatMap { case (qid, qv) =>
+      val qb = bucket(qv, 0.0)
+      vecs.filter { case (cid, cv) =>
+        cid != qid && bucket(cv, cExtra(cv)) == qb }
+        .map { case (cid, cv) => (cid, dot(qv, cv)) }
+        .sortBy { case (cid, ip) => (-ip, cid) }
+        .take(3)
+        .map { case (cid, ip) => (qid, cid, ip) }
+    }.toSet
+    assert(got === expect)
+    assert(expect.nonEmpty) // the fixture must actually exercise it
+  }
+
   // -- Profiling -------------------------------------------------------
 
   test("keySkewProfile: exact ranks, ppm shares, cumulative shares") {
