@@ -25,6 +25,51 @@ object Profiling {
     * Returns (key, n, rank, share_ppm, cum_ppm), rank 1-based by
     * (n DESC, key).
     */
+  /** Exact equi-depth `q`-quantile binning of an integer `score`
+    * within each `key` group — the feature-bucketing step every
+    * curation pipeline runs on its quality scores (decile features,
+    * percentile caps). PERCENTILE_DISC semantics: a boundary never
+    * splits equal scores, and a tie group straddling a boundary lands
+    * WHOLE in the lower bin (the same generous-downward contract as
+    * TextAnalysis.scoreTerciles, which this generalizes from q=3 to
+    * any q).
+    *
+    * All q−1 thresholds come from ONE aggregation per key: the
+    * (score, count) histogram — bounded by the score's integer
+    * domain, NOT the row count — folds once with a running count,
+    * updating the whole threshold array per step (`zip_with`);
+    * threshold_i is the largest score whose strictly-below count is
+    * < n·i/q. The tiny per-key threshold row then broadcasts back
+    * onto the input map-side: no per-row ranking window ever runs.
+    *
+    * Returns the input plus an int `bin` in [0, q) (0 = lowest
+    * scores). `score` must be integral and bounded-domain (the
+    * histogram is per distinct value).
+    */
+  def equidepthBins(scored: DataFrame, key: String, score: String,
+                    q: Int): DataFrame = {
+    require(q >= 2 && q <= 1024, "q must be in [2, 1024]")
+    val hist = scored.groupBy(col(key), col(score).cast("long").as("__s"))
+      .agg(count(lit(1)).as("__c"))
+    val thr = hist.groupBy(key)
+      .agg(sort_array(collect_list(struct(col("__s"), col("__c"))))
+          .as("__h"),
+        sum("__c").as("__n"))
+      .select(col(key), expr(
+        s"""aggregate(__h,
+           |  named_struct('run', 0L,
+           |    'th', transform(sequence(1, ${q - 1}), i -> 0L)),
+           |  (acc, x) -> named_struct(
+           |    'run', acc.run + x.__c,
+           |    'th', zip_with(acc.th, sequence(1, ${q - 1}),
+           |      (t, i) -> if(acc.run * $q < __n * cast(i as bigint),
+           |                   x.__s, t)))).th""".stripMargin).as("__th"))
+    scored.join(broadcast(thr), key)
+      .withColumn("bin", expr(
+        s"size(filter(__th, t -> cast($score as bigint) > t))"))
+      .drop("__th")
+  }
+
   def keySkewProfile(df: DataFrame, key: Column, k: Int): DataFrame = {
     require(k >= 1, "k must be positive")
     val counts = df.select(key.as("key")).groupBy("key")

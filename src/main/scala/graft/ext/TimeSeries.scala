@@ -35,15 +35,30 @@ object TimeSeries {
     * @param events columns `key`, `ts` (timestamp), `value` (double)
     */
   def resampleLocf(events: DataFrame, slotSeconds: Long): DataFrame = {
+    require(slotSeconds >= 1, "slotSeconds must be positive")
     val slot = timestamp_seconds(
       expr(s"unix_timestamp(ts) div $slotSeconds") * slotSeconds)
     val slotted = events
       .select(col("key"), slot.as("slot"), col("value"))
       .groupBy("key", "slot").agg(max("value").as("v"))
+    // Grid build is TWO-LEVEL: slot indices are generated per 4096-slot
+    // chunk, never as one per-key array — a single `sequence(lo, hi)`
+    // materializes the whole span in one task's memory, and a
+    // years-long key at second granularity is a 10⁸-element array
+    // (an OOM hiding behind an innocent-looking explode). Chunking
+    // bounds every array at max(4096, span/4096·slot) elements while
+    // producing the identical slot set.
+    val k = 4096L
     val grid = slotted.groupBy("key")
-      .agg(min("slot").as("lo"), max("slot").as("hi"))
+      .agg(expr(s"unix_seconds(min(slot)) div $slotSeconds").as("__lo"),
+        expr(s"unix_seconds(max(slot)) div $slotSeconds").as("__hi"))
+      .select(col("key"), col("__lo"), col("__hi"),
+        explode(expr(s"sequence(__lo div $k, __hi div $k)")).as("__chunk"))
       .select(col("key"), explode(expr(
-        s"sequence(lo, hi, interval $slotSeconds seconds)")).as("slot"))
+        s"""sequence(greatest(__chunk * $k, __lo),
+                     least(__chunk * $k + ${k - 1}, __hi))""")).as("__n"))
+      .select(col("key"),
+        timestamp_seconds(col("__n") * slotSeconds).as("slot"))
     val w = Window.partitionBy("key").orderBy("slot")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(slotted, Seq("key", "slot"), "left")

@@ -930,6 +930,17 @@ object ExtensionQueries {
       Graph.triangleStats(edges.select(col("u"), col("v")))
     },
 
+    // Equi-depth decile features: each doc's length decile within its
+    // language — the quality-score bucketing every curation pipeline
+    // feeds its classifier. Exact PERCENTILE_DISC cuts from ONE
+    // bounded histogram fold per language, broadcast back map-side —
+    // never a per-doc ranking window.
+    "feat_equidepth_bins" -> { (s, dir) =>
+      Profiling.equidepthBins(
+        docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+        key = "lang", score = "n_chars", q = 10)
+    },
+
     // -- Distribution profiling / layout planning --------------------
     // The skew probe you run before a 100 TB join: exact top-20
     // heavy-hitter keys with ppm shares. TakeOrderedAndProject cap,
@@ -1598,6 +1609,26 @@ object ExtensionQueries {
         |       (SELECT count(*) FROM edges) AS n_edges,
         |       (SELECT count(*) FROM wed) AS n_wedges,
         |       (SELECT count(*) FROM tri) AS n_triangles""".stripMargin,
+
+    // threshold_i = max score whose strictly-below count is < n·i/q
+    // (the same monotone-prefix rule the Spark fold applies); bin =
+    // number of thresholds strictly below the row's score
+    "feat_equidepth_bins" ->
+      """WITH h AS (SELECT lang, n_chars AS s, count(*) AS c
+        |           FROM documents GROUP BY 1, 2),
+        |hh AS (SELECT lang, s, c,
+        |         sum(c) OVER (PARTITION BY lang ORDER BY s
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+        |           AS below,
+        |         sum(c) OVER (PARTITION BY lang) AS n
+        |       FROM h),
+        |th AS (SELECT lang, i,
+        |         max(CASE WHEN below * 10 < n * i THEN s END) AS t
+        |       FROM hh, unnest(range(1, 10)) AS u(i) GROUP BY 1, 2)
+        |SELECT d.doc_id, d.lang, d.n_chars,
+        |  CAST(count(CASE WHEN d.n_chars > th.t THEN 1 END) AS INT) AS bin
+        |FROM documents d JOIN th ON d.lang = th.lang
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "stats_key_skew" ->
       """WITH counts AS (SELECT l_partkey AS key, count(*) AS n

@@ -25,6 +25,22 @@ object RelationalQueries {
           count(lit(1)).as("n"))
     },
 
+    // Exact per-group mode with a deterministic tie-break
+    // ((count DESC, value ASC) via min_by over (-n, value)) — two
+    // partial-agg-friendly hash aggregations, no per-group sort or
+    // window; the (group, value) pair count combines map-side, so a
+    // hot group's mode never funnels its raw rows anywhere.
+    "agg_mode" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"), col("l_returnflag"))
+        .agg(count(lit(1)).as("__n"))
+        .groupBy("l_suppkey")
+        .agg(
+          min_by(col("l_returnflag"),
+            struct(-col("__n"), col("l_returnflag"))).as("mode_flag"),
+          max(col("__n")).as("mode_n"))
+    },
+
     "agg_cube" -> { (s, dir) =>
       t(s, dir, "lineitem")
         .cube("l_returnflag", "l_linestatus")
@@ -476,6 +492,13 @@ object RelationalQueries {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "agg_mode" ->
+      """WITH c AS (SELECT l_suppkey, l_returnflag, count(*) AS n
+        |           FROM lineitem GROUP BY 1, 2)
+        |SELECT l_suppkey, l_returnflag AS mode_flag, n AS mode_n FROM c
+        |QUALIFY row_number() OVER (PARTITION BY l_suppkey
+        |  ORDER BY n DESC, l_returnflag) = 1""".stripMargin,
 
     "agg_cube" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,

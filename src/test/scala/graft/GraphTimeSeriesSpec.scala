@@ -108,6 +108,25 @@ class GraphTimeSeriesSpec extends SparkSpec {
 
   // -- Profiling -------------------------------------------------------
 
+  test("equidepthBins: exact PERCENTILE_DISC cuts, ties land whole " +
+      "in the lower bin, per-key boundaries independent") {
+    // key a: 1..10 once each at q=5 → bins 0,0,1,1,2,2,3,3,4,4
+    // key b: [5,5,5,6] at q=5 → the 5-tie group stays whole in bin 0;
+    // 6 exceeds thresholds (5,5,5) but not t4=6 → bin 3
+    val rows = (1 to 10).map(i => ("a", i.toLong, i.toLong)) ++
+      Seq(("b", 100L, 5L), ("b", 101L, 5L), ("b", 102L, 5L),
+        ("b", 103L, 6L))
+    val got = Profiling.equidepthBins(
+        rows.toDF("lang", "doc_id", "n_chars"),
+        key = "lang", score = "n_chars", q = 5)
+      .select($"lang", $"doc_id", $"bin")
+      .as[(String, Long, Int)].collect().toSet
+    val expectA = (1 to 10).map(i => ("a", i.toLong, (i - 1) / 2)).toSet
+    val expectB = Set(("b", 100L, 0), ("b", 101L, 0), ("b", 102L, 0),
+      ("b", 103L, 3))
+    assert(got === expectA ++ expectB)
+  }
+
   test("keySkewProfile: exact ranks, ppm shares, cumulative shares") {
     val df = (Seq.fill(3)("a") ++ Seq.fill(2)("b") ++ Seq("c"))
       .toDF("k")
@@ -152,6 +171,21 @@ class GraphTimeSeriesSpec extends SparkSpec {
       (7L, ts("2024-01-01 02:00:00"), 4.0, false),
       (7L, ts("2024-01-01 03:00:00"), 2.0, true),
       (8L, ts("2024-01-01 05:00:00"), 9.0, true)))
+  }
+
+  test("resampleLocf chunked grid: spans crossing 4096-slot chunk " +
+      "boundaries produce exactly the dense slot set, no dupes, no " +
+      "gaps") {
+    // slot = 60 s; span of 10_000 minutes crosses two chunk
+    // boundaries (4096, 8192) with non-aligned endpoints
+    val t0 = ts("2024-01-01 00:07:00")
+    val tN = new Timestamp(t0.getTime + 9999L * 60000L)
+    val events = Seq((1L, t0, 1.0), (1L, tN, 2.0)).toDF("key", "ts", "value")
+    val got = TimeSeries.resampleLocf(events, slotSeconds = 60)
+      .select(col("slot")).as[Timestamp].collect()
+    assert(got.length === 10000)
+    assert(got.distinct.length === 10000)
+    assert(got.min === t0 && got.max === tN)
   }
 
   test("ewmaFixed matches the sequential (acc + x) div 2 fold in " +
