@@ -99,9 +99,11 @@ object Sf1Smoke {
       // round-7 additions (span ownership groupBy; one-pass NB)
       "text_span_dedup", "text_nb_quality",
       // round-8 additions: iterative graph rounds, wedge join,
-      // per-key grid explode, sorted-array fold, heavy-hitter cap
+      // per-key grid explode, sorted-array fold, heavy-hitter cap,
+      // CDC merge, MIPS bucket join, mode/binning aggs
       "graph_pagerank", "graph_triangles", "stats_key_skew",
-      "layout_compaction", "ts_resample_locf", "ts_ewma")
+      "layout_compaction", "ts_resample_locf", "ts_ewma",
+      "merge_upsert", "sim_mips_topk", "agg_mode", "feat_equidepth_bins")
 
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     def audit(df: DataFrame): Seq[String] = {

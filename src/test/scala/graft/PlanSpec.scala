@@ -397,6 +397,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
 
+  test("agg_mode / feat_equidepth_bins: no ranking window anywhere — " +
+      "mode is two hash aggs, binning is a histogram fold + broadcast " +
+      "probe") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (q <- Seq("agg_mode", "feat_equidepth_bins")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      assert(df.queryExecution.optimizedPlan.collect {
+        case w: LWindow => w
+      }.isEmpty, s"$q plans a window")
+      assert(!df.queryExecution.executedPlan.toString
+        .contains("CartesianProduct"), s"$q plans a cartesian")
+    }
+    // the threshold row must come back as a broadcast, not a shuffle
+    assert(plan("feat_equidepth_bins").contains("BroadcastHashJoin"))
+  }
+
   test("ts_ewma: exactly one exchange (the per-key fold's groupBy)") {
     val p = plan("ts_ewma")
     assert("Exchange".r.findAllIn(p).size === 1,
