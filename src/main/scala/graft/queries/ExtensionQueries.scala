@@ -185,6 +185,7 @@ object ExtensionQueries {
       timed("pq_codes") { pqCodes(s, dir).count() },
       timed("bpe_merges") { bpeMerges(s, dir).count() },
       timed("pr_graph") { prGraph(s, dir).count() },
+      timed("copurchase_edges") { copurchaseEdges(s, dir).count() },
       timed("bucketed_layout") { bucketedLayout(s, dir) })
   }
 
@@ -196,11 +197,25 @@ object ExtensionQueries {
     * fixture regeneration above).
     */
   private[graft] def evictStages(s: SparkSession, dir: String): Unit = {
-    Seq("cc_labels", "pq_codebook", "pq_codes", "bpe_merges", "pr_graph")
+    Seq("cc_labels", "pq_codebook", "pq_codes", "bpe_merges", "pr_graph",
+      "copurchase_edges")
       .foreach(stage => Stages.evict(s, s"$dir|$stage"))
     // next bucketedLayout call re-writes the tables (rebuild timing)
     bucketedWritten.remove(s"${s.sparkContext.applicationId}|$dir|bucketed")
   }
+
+  /** Support-≥2 co-purchase edges (canonical u < v) — like
+    * [[prGraph]], a graph artifact built once and consumed by several
+    * analyses (triangle census, community extraction).
+    */
+  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    Stages.stage(s, s"$dir|copurchase_edges",
+      Tables.fingerprint(s"$dir/lineitem.parquet")) {
+      Graph.coOccurrenceEdges(
+        t(s, dir, "lineitem").select(col("l_orderkey").as("group"),
+          col("l_partkey").as("item")),
+        minSupport = 2)
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- Deduplication ------------------------------------------------
@@ -924,10 +939,23 @@ object ExtensionQueries {
     // tail of support-1 pairs). Degree-ordered orientation bounds the
     // wedge join at O(m^1.5) regardless of hub degree.
     "graph_triangles" -> { (s, dir) =>
-      val inc = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("group"), col("l_partkey").as("item"))
-      val edges = Graph.coOccurrenceEdges(inc, minSupport = 2)
-      Graph.triangleStats(edges.select(col("u"), col("v")))
+      Graph.triangleStats(
+        copurchaseEdges(s, dir).select(col("u"), col("v")))
+    },
+
+    // Communities of the same co-purchase graph: connectivity over
+    // the SHARED copurchase_edges stage (build the graph once, run
+    // every analysis on it) via the alternating star-contraction
+    // components loop. Nodes are the edge endpoints — parts in at
+    // least one support-≥2 relationship.
+    "graph_communities" -> { (s, dir) =>
+      val e = copurchaseEdges(s, dir)
+      val nodes = e.select(col("u").as("id"))
+        .unionAll(e.select(col("v").as("id"))).distinct()
+      DedupOps.connectedComponents(nodes,
+          e.select(col("u").as("id_a"), col("v").as("id_b")))
+        .select(col("id").as("item_id"),
+          col("component_id").as("community_id"))
     },
 
     // Equi-depth decile features: each doc's length decile within its
@@ -1577,20 +1605,27 @@ object ExtensionQueries {
        |$rounds""".stripMargin
   }
 
+  /** Shared co-purchase edge CTEs (mirrors the `copurchase_edges`
+    * stage: distinct incidence, 1000-item group cap, support-≥2 pair
+    * floor, canonical u < v).
+    */
+  private val copurchaseCtes =
+    """oi AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item
+      |            FROM lineitem),
+      |gok AS (SELECT grp FROM oi GROUP BY grp HAVING count(*) <= 1000),
+      |oi2 AS (SELECT oi.grp, oi.item FROM oi JOIN gok USING (grp)),
+      |pairs AS (SELECT a.item AS u, b.item AS v, count(*) AS sup
+      |          FROM oi2 a JOIN oi2 b ON a.grp = b.grp AND a.item < b.item
+      |          GROUP BY 1, 2),
+      |edges AS (SELECT u, v FROM pairs WHERE sup >= 2)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "graph_pagerank" ->
       s"""WITH ${pageRankCtes(3)}
          |SELECT node_id, r AS rank_micros FROM r3""".stripMargin,
 
     "graph_triangles" ->
-      """WITH oi AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item
-        |            FROM lineitem),
-        |gok AS (SELECT grp FROM oi GROUP BY grp HAVING count(*) <= 1000),
-        |oi2 AS (SELECT oi.grp, oi.item FROM oi JOIN gok USING (grp)),
-        |pairs AS (SELECT a.item AS u, b.item AS v, count(*) AS sup
-        |          FROM oi2 a JOIN oi2 b ON a.grp = b.grp AND a.item < b.item
-        |          GROUP BY 1, 2),
-        |edges AS (SELECT u, v FROM pairs WHERE sup >= 2),
+      (s"""WITH $copurchaseCtes,
         |deg AS (SELECT node, count(*) AS d FROM (
         |          SELECT u AS node FROM edges
         |          UNION ALL SELECT v FROM edges) GROUP BY 1),
@@ -1608,7 +1643,23 @@ object ExtensionQueries {
         |SELECT (SELECT count(*) FROM deg) AS n_nodes,
         |       (SELECT count(*) FROM edges) AS n_edges,
         |       (SELECT count(*) FROM wed) AS n_wedges,
-        |       (SELECT count(*) FROM tri) AS n_triangles""".stripMargin,
+        |       (SELECT count(*) FROM tri) AS n_triangles""".stripMargin),
+
+    // transitive closure over the shared co-purchase edge CTEs —
+    // min reachable item per node, same label convention as
+    // dedup_components
+    "graph_communities" ->
+      (s"""WITH RECURSIVE $copurchaseCtes,
+        |nodes AS (SELECT DISTINCT u AS id FROM edges
+        |          UNION SELECT v FROM edges),
+        |e2 AS (SELECT u AS ea, v AS eb FROM edges
+        |       UNION ALL SELECT v, u FROM edges),
+        |reach(src, dst) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT r.src, e.eb FROM reach r JOIN e2 e ON r.dst = e.ea)
+        |SELECT src AS item_id, min(dst) AS community_id
+        |FROM reach GROUP BY src""".stripMargin),
 
     // threshold_i = max score whose strictly-below count is < n·i/q
     // (the same monotone-prefix rule the Spark fold applies); bin =
