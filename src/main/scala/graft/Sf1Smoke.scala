@@ -85,7 +85,10 @@ object Sf1Smoke {
       println("[sf1] generating scaled fixtures...")
       gen()
     }
-    if (!new java.io.File(s"$outDir/orders.parquet").exists()) {
+    // sentinel = the LAST table genRel writes: a crash mid-generation
+    // leaves it absent, so the next run regenerates instead of
+    // serving a half-written fixture set
+    if (!new java.io.File(s"$outDir/events.parquet").exists()) {
       println("[sf1] generating scaled relational fixtures...")
       genRel()
     }

@@ -112,15 +112,21 @@ object Graph {
     val b = oriented.select(col("src"), col("dst").as("z"))
     // out-neighbor pairs of each apex; y < z canonicalizes the wedge
     val wedges = a.join(b, Seq("src")).filter(col("y") < col("z"))
-    // closure probe against the canonical undirected edge set: the
-    // wedge (y, z) already has y < z, matching the u < v invariant
-    val closed = wedges.join(und,
-      wedges("y") === und("u") && wedges("z") === und("v"), "left_semi")
+    // closure probe against the canonical undirected edge set (the
+    // wedge (y, z) already has y < z, matching the u < v invariant)
+    // as a LEFT join + conditional count, so the O(m^1.5) wedge
+    // enumeration — the dominant cost by design — runs ONCE for both
+    // the wedge and triangle counts (a separate semi-join branch
+    // would re-run the whole wedge join under the second aggregate)
+    val probed = wedges.join(
+      und.select(col("u").as("y"), col("v").as("z"),
+        lit(1).as("__closed")),
+      Seq("y", "z"), "left")
+    val wedgeTri = probed.agg(count(lit(1)).as("n_wedges"),
+      count(col("__closed")).as("n_triangles"))
     val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
     val nEdges = und.agg(count(lit(1)).as("n_edges"))
-    val nWedges = wedges.agg(count(lit(1)).as("n_wedges"))
-    val nTri = closed.agg(count(lit(1)).as("n_triangles"))
-    nNodes.crossJoin(nEdges).crossJoin(nWedges).crossJoin(nTri)
+    nNodes.crossJoin(nEdges).crossJoin(wedgeTri)
   }
 
   /** Co-occurrence edges from an (item, group) incidence: items

@@ -7,24 +7,6 @@ import org.apache.spark.sql.functions._
   * join or groupBy to find the keys that will melt a reducer. */
 object Profiling {
 
-  /** Top-`k` heaviest keys of `key` with exact counts and integer
-    * parts-per-million shares (ppm avoids a float fold whose last ulp
-    * depends on fold order).
-    *
-    * Scale shape: one hash aggregation over the input (map-side
-    * partial — a hot key combines before the shuffle, so profiling
-    * skew never suffers the skew it measures), then
-    * TakeOrderedAndProject for the top k — per-partition heaps, only
-    * k rows per partition reach the driver-side merge. Rank and
-    * cumulative share are computed by a broadcast triangular
-    * self-join over the ALREADY-CAPPED k rows (k² ≤ 400 comparisons,
-    * all map-side) — deliberately not an unpartitioned window, the
-    * one plan shape this engine bans globally (PlanSpec's sweep)
-    * because on unbounded input it funnels everything into one task.
-    *
-    * Returns (key, n, rank, share_ppm, cum_ppm), rank 1-based by
-    * (n DESC, key).
-    */
   /** Exact equi-depth `q`-quantile binning of an integer `score`
     * within each `key` group — the feature-bucketing step every
     * curation pipeline runs on its quality scores (decile features,
@@ -70,6 +52,28 @@ object Profiling {
       .drop("__th")
   }
 
+  /** Top-`k` heaviest keys of `key` with exact counts and integer
+    * parts-per-million shares (ppm avoids a float fold whose last ulp
+    * depends on fold order).
+    *
+    * Scale shape: one hash aggregation over the input (map-side
+    * partial — a hot key combines before the shuffle, so profiling
+    * skew never suffers the skew it measures), then
+    * TakeOrderedAndProject for the top k — per-partition heaps, only
+    * k rows per partition reach the driver-side merge. Rank and
+    * cumulative share are computed by a broadcast triangular
+    * self-join over the ALREADY-CAPPED k rows (k² ≤ 400 comparisons,
+    * all map-side) — deliberately not an unpartitioned window, the
+    * one plan shape this engine bans globally (PlanSpec's sweep)
+    * because on unbounded input it funnels everything into one task.
+    *
+    * Returns (key, n, rank, share_ppm, cum_ppm), rank 1-based by
+    * (n DESC, key NULLS FIRST) — NULL is a first-class key here
+    * (a null-heavy join column is the single most common real skew
+    * cause this profile exists to catch), so the tie-break treats
+    * NULL as the smallest key instead of letting three-valued logic
+    * drop the null row from its own rank join.
+    */
   def keySkewProfile(df: DataFrame, key: Column, k: Int): DataFrame = {
     require(k >= 1, "k must be positive")
     val counts = df.select(key.as("key")).groupBy("key")
@@ -77,11 +81,16 @@ object Profiling {
     val tot = counts.agg(sum("n").as("__tot"))
     val top = counts.orderBy(col("n").desc, col("key")).limit(k)
     val peers = top.select(col("key").as("__k2"), col("n").as("__n2"))
-    // each row pairs with every peer at-or-before it in (n DESC, key)
-    // order — including itself, so no row is lost to the inner join
+    // each row pairs with every peer at-or-before it in (n DESC, key
+    // NULLS FIRST) order — including itself, so no row is lost to the
+    // inner join even when the key is NULL (a plain __k2 <= key would
+    // be three-valued-NULL for the null-key row and silently drop the
+    // heaviest key exactly when it is the interesting one)
     top.join(broadcast(peers),
         col("__n2") > col("n") ||
-          (col("__n2") === col("n") && col("__k2") <= col("key")))
+          (col("__n2") === col("n") &&
+            (col("__k2").isNull ||
+              (col("key").isNotNull && col("__k2") <= col("key")))))
       .groupBy("key", "n")
       .agg(count(lit(1)).cast("int").as("rank"),
         sum("__n2").as("__cum"))

@@ -77,9 +77,15 @@ object Relational {
     * last-wins dedup upstream for raw CDC logs). The action column
     * makes the plan auditable downstream (row-count reconciliation
     * per action is the standard load check).
+    *
+    * Row presence is tracked by an explicit marker, never by payload
+    * nullability: an upsert carrying a NULL payload SETS the payload
+    * to null (as MERGE does), and a matched target row whose stored
+    * payload is null still reconciles as "updated", not "inserted".
     */
   def mergeUpsert(target: DataFrame, changes: DataFrame): DataFrame = {
-    val t = target.select(col("key"), col("payload").as("__tp"))
+    val t = target.select(col("key"), col("payload").as("__tp"),
+      lit(true).as("__tin"))
     val c = changes.select(col("key"), col("op"),
       col("payload").as("__cp"))
     t.join(c, Seq("key"), "full_outer")
@@ -87,9 +93,10 @@ object Relational {
       // own change row — both cases are the one predicate below
       .filter(col("op").isNull || col("op") =!= "delete")
       .select(col("key"),
-        coalesce(col("__cp"), col("__tp")).as("payload"),
+        when(col("op").isNotNull, col("__cp")).otherwise(col("__tp"))
+          .as("payload"),
         when(col("op").isNull, "kept")
-          .when(col("__tp").isNull, "inserted")
+          .when(col("__tin").isNull, "inserted")
           .otherwise("updated").as("action"))
   }
 

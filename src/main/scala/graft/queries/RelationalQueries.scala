@@ -635,14 +635,16 @@ object RelationalQueries {
         |  FROM events
         |  QUALIFY row_number() OVER (PARTITION BY user_id
         |    ORDER BY ts DESC, event_id DESC) = 1),
-        |tgt AS (SELECT c_custkey AS key, c_acctbal AS payload
+        |tgt AS (SELECT c_custkey AS key, c_acctbal AS payload,
+        |          TRUE AS tin
         |        FROM customer),
         |m AS (SELECT coalesce(t.key, c.key) AS key, t.payload AS tp,
-        |        c.op, c.payload AS cp
+        |        t.tin, c.op, c.payload AS cp
         |      FROM tgt t FULL OUTER JOIN last c ON t.key = c.key)
-        |SELECT key, coalesce(cp, tp) AS payload,
+        |SELECT key,
+        |  CASE WHEN op IS NOT NULL THEN cp ELSE tp END AS payload,
         |  CASE WHEN op IS NULL THEN 'kept'
-        |       WHEN tp IS NULL THEN 'inserted'
+        |       WHEN tin IS NULL THEN 'inserted'
         |       ELSE 'updated' END AS action
         |FROM m WHERE op IS NULL OR op <> 'delete'""".stripMargin,
 

@@ -160,4 +160,20 @@ class OpsSpec extends SparkSpec {
       (2L, 20.0, "kept"),
       (4L, 44.0, "inserted")))
   }
+
+  test("mergeUpsert tracks presence, not payload nullability: a NULL-" +
+      "payload upsert SETS null, and a null-payload target row still " +
+      "reconciles as updated") {
+    val target = Seq((1L, Some(10.0)), (2L, None))
+      .toDF("key", "payload")
+    val changes = Seq(
+      (1L, "upsert", None),        // null payload must LAND, not revert
+      (2L, "upsert", Some(22.0)))  // matched despite null stored payload
+      .toDF("key", "op", "payload")
+    val got = Relational.mergeUpsert(target, changes)
+      .as[(Long, Option[Double], String)].collect().toSet
+    assert(got === Set(
+      (1L, None, "updated"),
+      (2L, Some(22.0), "updated")))
+  }
 }
