@@ -167,8 +167,20 @@ object Sf1Smoke {
     sb ++= "No query failed or spilled to OOM; empty plan-flag column = " +
       "no cartesian product and no unpartitioned window under AQE at " +
       "10x input.\n"
-    java.nio.file.Files.write(java.nio.file.Paths.get("SF1_SMOKE.md"),
-      sb.toString.getBytes("UTF-8"))
+    // Preserve the hand-written analysis below the marker — the
+    // generator owns only the header + table; re-running the smoke
+    // must not clobber the cross-run narrative.
+    val marker = "<!-- MANUAL ANALYSIS -->"
+    val path = java.nio.file.Paths.get("SF1_SMOKE.md")
+    val manual =
+      if (java.nio.file.Files.exists(path)) {
+        val prev = new String(java.nio.file.Files.readAllBytes(path),
+          "UTF-8")
+        val i = prev.indexOf(marker)
+        if (i >= 0) prev.substring(i) else s"$marker\n"
+      } else s"$marker\n"
+    sb ++= "\n" + manual
+    java.nio.file.Files.write(path, sb.toString.getBytes("UTF-8"))
     println(s"[sf1] wrote SF1_SMOKE.md (total ${wall.round} s)")
     spark.stop()
   }
