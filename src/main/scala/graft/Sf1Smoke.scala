@@ -81,14 +81,19 @@ object Sf1Smoke {
       scaled("events", Map("event_id" -> 100000000L,
         "user_id" -> 10000000L))
     }
-    if (!new java.io.File(s"$outDir/documents.parquet").exists()) {
+    // Sentinel = the _SUCCESS marker of the LAST table each generator
+    // writes. Spark creates the output DIRECTORY at write start, so a
+    // bare exists() on the path is true even for a crashed, never-
+    // committed write; _SUCCESS lands only at job commit, making the
+    // skip decision transactional — a crash anywhere mid-generation
+    // regenerates instead of serving a half-written fixture set.
+    def committed(table: String): Boolean =
+      new java.io.File(s"$outDir/$table.parquet/_SUCCESS").exists()
+    if (!committed("embeddings")) {
       println("[sf1] generating scaled fixtures...")
       gen()
     }
-    // sentinel = the LAST table genRel writes: a crash mid-generation
-    // leaves it absent, so the next run regenerates instead of
-    // serving a half-written fixture set
-    if (!new java.io.File(s"$outDir/events.parquet").exists()) {
+    if (!committed("events")) {
       println("[sf1] generating scaled relational fixtures...")
       genRel()
     }

@@ -1681,15 +1681,22 @@ object ExtensionQueries {
         |FROM documents d JOIN th ON d.lang = th.lang
         |GROUP BY 1, 2, 3""".stripMargin,
 
+    // NULLS FIRST pins DuckDB (default NULLS LAST on ASC) to the
+    // operator's contract: NULL is the SMALLEST key in the tie order
+    // (Spark's default ASC placement). l_partkey is non-null in the
+    // fixtures, but the oracle must encode the contract, not the
+    // fixture.
     "stats_key_skew" ->
       """WITH counts AS (SELECT l_partkey AS key, count(*) AS n
         |                FROM lineitem GROUP BY 1),
         |tot AS (SELECT sum(n) AS tot FROM counts),
-        |top AS (SELECT key, n FROM counts ORDER BY n DESC, key LIMIT 20)
+        |top AS (SELECT key, n FROM counts
+        |        ORDER BY n DESC, key NULLS FIRST LIMIT 20)
         |SELECT key, n,
-        |  CAST(row_number() OVER (ORDER BY n DESC, key) AS INT) AS rank,
+        |  CAST(row_number() OVER (ORDER BY n DESC, key NULLS FIRST)
+        |    AS INT) AS rank,
         |  CAST(n * 1000000 // tot AS BIGINT) AS share_ppm,
-        |  CAST(sum(n) OVER (ORDER BY n DESC, key
+        |  CAST(sum(n) OVER (ORDER BY n DESC, key NULLS FIRST
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |       * 1000000 // tot AS BIGINT) AS cum_ppm
         |FROM top, tot""".stripMargin,

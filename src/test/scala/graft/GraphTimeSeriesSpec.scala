@@ -137,6 +137,21 @@ class GraphTimeSeriesSpec extends SparkSpec {
       ("b", 2L, 2, 333333L, 833333L)))
   }
 
+  test("keySkewProfile: a NULL key — the classic real-world skew " +
+      "cause — ranks as a first-class (smallest) key, never dropped") {
+    // null is the HEAVIEST key and ties with "a" are broken
+    // nulls-first
+    val df = (Seq.fill(3)(None) ++ Seq.fill(3)(Some("a")) ++
+      Seq(Some("b"))).toDF("k")
+    val got = Profiling.keySkewProfile(df, col("k"), k = 3)
+      .as[(Option[String], Long, Int, Long, Long)].collect().toSet
+    // total 7: null 3/7=428571 cum 428571; a 3/7 cum 857142; b 1/7
+    assert(got === Set(
+      (None, 3L, 1, 428571L, 428571L),
+      (Some("a"), 3L, 2, 428571L, 857142L),
+      (Some("b"), 1L, 3, 142857L, 1000000L)))
+  }
+
   // -- Layout ----------------------------------------------------------
 
   test("compactionPlan: prefix-sum binning closes buckets at the " +
