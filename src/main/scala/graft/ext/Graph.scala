@@ -129,6 +129,36 @@ object Graph {
     nNodes.crossJoin(nEdges).crossJoin(wedgeTri)
   }
 
+  /** Bounded-hop BFS: minimum hop distance (≤ `hops`) from any seed,
+    * by iterated frontier expansion — each round joins the current
+    * distance table to the edge list and folds with `min(dist)`.
+    * Unreached nodes are simply absent (no infinity sentinel to
+    * carry). The expansion is monotone (distances only appear, never
+    * grow), so re-deriving a node's distance in a later round is
+    * absorbed by the min — the standard relaxation argument.
+    *
+    * Scale shape: one equi-join + one aggregation per hop, both on
+    * node ids; the distance table is nodes-sized, never collected.
+    * `edges` should be materialized (a [[graft.ext.Stages]] frame or
+    * checkpoint) — it is re-joined every round.
+    *
+    * @param edges directed edges (`src`, `dst`) — pass both
+    *              directions for an undirected graph
+    * @param seeds one `id` column, distance-0 nodes
+    */
+  def kHopDistances(edges: DataFrame, seeds: DataFrame,
+                    hops: Int): DataFrame = {
+    require(hops >= 1 && hops <= 20, "hops must be in [1, 20]")
+    var dist = seeds.select(col("id"), lit(0).as("dist"))
+    for (h <- 1 to hops) {
+      val next = edges.join(dist, edges("src") === dist("id"))
+        .select(col("dst").as("id"), lit(h).as("dist"))
+      dist = dist.unionAll(next)
+        .groupBy("id").agg(min("dist").as("dist"))
+    }
+    dist
+  }
+
   /** Co-occurrence edges from an (item, group) incidence: items
     * sharing a group get an edge, kept when they co-occur in at least
     * `minSupport` groups. The support floor is the scale guard — on a

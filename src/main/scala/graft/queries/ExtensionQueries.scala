@@ -969,6 +969,24 @@ object ExtensionQueries {
         key = "lang", score = "n_chars", q = 10)
     },
 
+    // Bounded-hop BFS from the ten highest-degree items over the SAME
+    // shared co-purchase graph — "what's within 3 hops of the hubs",
+    // the frontier-expansion pattern (recommendation neighborhoods,
+    // contamination blast radius). Third consumer of the
+    // copurchase_edges stage.
+    "graph_khop" -> { (s, dir) =>
+      val e = copurchaseEdges(s, dir)
+      val und = e.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+      val seeds = e.select(col("u").as("id"))
+        .unionAll(e.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("__d"))
+        .orderBy(col("__d").desc, col("id")).limit(10)
+        .select(col("id"))
+      Graph.kHopDistances(und, seeds, hops = 3)
+        .select(col("id").as("item_id"), col("dist"))
+    },
+
     // -- Distribution profiling / layout planning --------------------
     // The skew probe you run before a 100 TB join: exact top-20
     // heavy-hitter keys with ppm shares. TakeOrderedAndProject cap,
@@ -1644,6 +1662,27 @@ object ExtensionQueries {
         |       (SELECT count(*) FROM edges) AS n_edges,
         |       (SELECT count(*) FROM wed) AS n_wedges,
         |       (SELECT count(*) FROM tri) AS n_triangles""".stripMargin),
+
+    // unrolled frontier expansion over the shared co-purchase CTEs;
+    // min(dist) per round mirrors the Spark relaxation fold exactly
+    "graph_khop" ->
+      (s"""WITH $copurchaseCtes,
+        |und AS (SELECT u AS src, v AS dst FROM edges
+        |        UNION ALL SELECT v, u FROM edges),
+        |degn AS (SELECT id, count(*) AS d FROM (
+        |           SELECT u AS id FROM edges
+        |           UNION ALL SELECT v FROM edges) GROUP BY 1),
+        |seeds AS (SELECT id FROM degn ORDER BY d DESC, id LIMIT 10),
+        |d0 AS (SELECT id, 0 AS dist FROM seeds),
+        |${(1 to 3).map { h =>
+             s"""d$h AS (SELECT id, min(dist) AS dist FROM (
+                |  SELECT id, dist FROM d${h - 1}
+                |  UNION ALL
+                |  SELECT und.dst AS id, $h AS dist
+                |  FROM und JOIN d${h - 1} ON und.src = d${h - 1}.id)
+                |  GROUP BY id)""".stripMargin
+           }.mkString(",\n")}
+        |SELECT id AS item_id, dist FROM d3""".stripMargin),
 
     // transitive closure over the shared co-purchase edge CTEs —
     // min reachable item per node, same label convention as

@@ -51,6 +51,17 @@ class GraphTimeSeriesSpec extends SparkSpec {
     assert(got === ((4L, 4L, 1L, 1L)))
   }
 
+  test("kHopDistances: frontier expansion relaxes to min hops, " +
+      "unreached nodes absent, cycles don't inflate distances") {
+    // path 1-2-3-4-5 plus a 1-3 chord: dist(3) must relax to 1
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val got = Graph.kHopDistances(und, Seq(1L).toDF("id"), hops = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(got === Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2))
+  }
+
   test("coOccurrenceEdges applies the support floor and drops " +
       "over-sized hot groups before the pair join") {
     val inc = (Seq(("g1", "a"), ("g1", "b"), ("g1", "c"),
