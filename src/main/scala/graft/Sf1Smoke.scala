@@ -112,7 +112,7 @@ object Sf1Smoke {
       "graph_pagerank", "graph_triangles", "stats_key_skew",
       "layout_compaction", "ts_resample_locf", "ts_ewma",
       "merge_upsert", "sim_mips_topk", "agg_mode", "feat_equidepth_bins",
-      "graph_communities")
+      "graph_communities", "graph_khop")
 
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     def audit(df: DataFrame): Seq[String] = {
