@@ -130,17 +130,25 @@ object Graph {
   }
 
   /** Bounded-hop BFS: minimum hop distance (≤ `hops`) from any seed,
-    * by iterated frontier expansion — each round joins the current
-    * distance table to the edge list and folds with `min(dist)`.
-    * Unreached nodes are simply absent (no infinity sentinel to
-    * carry). The expansion is monotone (distances only appear, never
-    * grow), so re-deriving a node's distance in a later round is
-    * absorbed by the min — the standard relaxation argument.
+    * by FRONTIER expansion — each round joins the edge list against
+    * only the nodes first reached in the previous round, anti-joins
+    * away everything already labelled, and the new nodes become the
+    * next frontier. Unreached nodes are simply absent (no infinity
+    * sentinel to carry). Frontier BFS computes exactly the
+    * min-relaxation fixpoint: a node's first discovery round IS its
+    * minimum hop distance.
     *
-    * Scale shape: one equi-join + one aggregation per hop, both on
-    * node ids; the distance table is nodes-sized, never collected.
-    * `edges` should be materialized (a [[graft.ext.Stages]] frame or
-    * checkpoint) — it is re-joined every round.
+    * Scale shape: per hop, one equi-join against the (shrinking)
+    * frontier + one distinct + one anti-join — never a re-expansion
+    * of the full accumulated distance table (which would re-enumerate
+    * every hub's adjacency each round only for min() to discard it).
+    * Each round's new labels are checkpointed, so lineage grows
+    * linearly in hops, not 2^hops (the trap of referencing the
+    * accumulator twice per round — same discipline as
+    * [[DedupOps.connectedComponents]]'s loop). The distance table is
+    * nodes-sized and never collected. `edges` should be materialized
+    * (a [[graft.ext.Stages]] frame or checkpoint) — it is re-joined
+    * every round.
     *
     * @param edges directed edges (`src`, `dst`) — pass both
     *              directions for an undirected graph
@@ -149,14 +157,22 @@ object Graph {
   def kHopDistances(edges: DataFrame, seeds: DataFrame,
                     hops: Int): DataFrame = {
     require(hops >= 1 && hops <= 20, "hops must be in [1, 20]")
-    var dist = seeds.select(col("id"), lit(0).as("dist"))
+    var frontier = seeds.select(col("id"), lit(0).as("dist"))
+      .localCheckpoint(true)
+    val labelled = scala.collection.mutable.ArrayBuffer(frontier)
     for (h <- 1 to hops) {
-      val next = edges.join(dist, edges("src") === dist("id"))
-        .select(col("dst").as("id"), lit(h).as("dist"))
-      dist = dist.unionAll(next)
-        .groupBy("id").agg(min("dist").as("dist"))
+      if (!frontier.isEmpty) {
+        val reached = edges
+          .join(frontier, edges("src") === frontier("id"))
+          .select(col("dst").as("id")).distinct()
+        val dist = labelled.reduce(_ unionAll _)
+        frontier = reached.join(dist, Seq("id"), "left_anti")
+          .select(col("id"), lit(h).as("dist"))
+          .localCheckpoint(true)
+        labelled += frontier
+      }
     }
-    dist
+    labelled.reduce(_ unionAll _)
   }
 
   /** Co-occurrence edges from an (item, group) incidence: items
