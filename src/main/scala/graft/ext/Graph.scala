@@ -188,21 +188,35 @@ object Graph {
     * Returns canonical undirected edges (`u` < `v`, `support`).
     */
   def coOccurrenceEdges(incidence: DataFrame, minSupport: Long,
-                        maxGroupSize: Long = 1000L): DataFrame =
+                        maxGroupSize: Long = 1000L): DataFrame = {
+    // Distinct-item count per group FIRST (count_distinct is a pure
+    // two-phase hash aggregate — partial-agg friendly, no arrays), so
+    // a pathologically hot group is dropped by the semi-join BEFORE
+    // its postings array ever materializes in an aggregation task. A
+    // size(...) filter AFTER collect_set would bound only pair
+    // EXPLOSION, not the collect itself: one order holding millions
+    // of items at 100× scale must still build its full item set in
+    // one task just to be discarded — the task-OOM shape the df-cap
+    // on [[DedupOps.jaccardPairs]]'s inverted index exists to prevent.
+    val keep = incidence
+      .groupBy("group")
+      .agg(count_distinct(col("item")).as("__n"))
+      .filter(col("__n").between(2, maxGroupSize))
+      .select(col("group"))
     incidence
+      .join(keep, Seq("group"), "left_semi")
       .groupBy("group")
       // collect_set dedups repeated incidence rows; sort_array makes
       // i < j imply item_i < item_j, so orderedPairs emits each pair
-      // once in canonical u < v form. TWO shuffles total (group
-      // postings, then pair counts) — the self-join formulation pays
-      // a third for the size-filter join. Per-group memory is one
-      // postings array; the size filter bounds pair EXPLOSION, and a
-      // pathologically hot group still collects before being dropped
-      // — cap upstream if single groups exceed task memory.
+      // once in canonical u < v form. THREE shuffles total (group
+      // counts, group postings, pair counts) — the middle two land on
+      // the same key, so the extra guard exchange is small and
+      // co-partitioned. Per-group memory is one ≤ maxGroupSize
+      // postings array, now guaranteed by construction.
       .agg(sort_array(collect_set(col("item"))).as("__items"))
-      .filter(size(col("__items")).between(2, maxGroupSize))
       .select(DedupOps.orderedPairs(col("__items"), "u", "v").as("__p"))
       .select(col("__p.u"), col("__p.v"))
       .groupBy("u", "v").agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
+  }
 }

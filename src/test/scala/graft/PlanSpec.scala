@@ -397,6 +397,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
 
+  test("coOccurrenceEdges: the maxGroupSize guard is a count " +
+      "semi-join BELOW the postings collect_set — a hot group is " +
+      "dropped before its item array ever materializes in a task") {
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val inc = graft.sources.Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("group"), col("l_partkey").as("item"))
+    val df = graft.ext.Graph.coOccurrenceEdges(inc, minSupport = 2)
+    val lp = df.queryExecution.optimizedPlan
+    val postings = lp.collect {
+      case a: Aggregate if a.aggregateExpressions
+        .exists(_.toString.contains("collect_set")) => a
+    }
+    assert(postings.nonEmpty, s"postings collect_set missing:\n$lp")
+    // the guard (distinct-count aggregate behind a semi-join) must sit
+    // INSIDE the postings aggregate's child subtree, so oversized
+    // groups never reach the array-building aggregation
+    assert(postings.exists(_.child.collect {
+      case j: Join if j.joinType == LeftSemi => j
+    }.nonEmpty), s"size guard does not precede the postings collect:\n$lp")
+  }
+
   test("agg_mode / feat_equidepth_bins: no ranking window anywhere — " +
       "mode is two hash aggs, binning is a histogram fold + broadcast " +
       "probe") {
