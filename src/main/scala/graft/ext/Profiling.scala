@@ -46,10 +46,17 @@ object Profiling {
            |    'th', zip_with(acc.th, sequence(1, ${q - 1}),
            |      (t, i) -> if(acc.run * $q < __n * cast(i as bigint),
            |                   x.__s, t)))).th""".stripMargin).as("__th"))
-    scored.join(broadcast(thr), key)
+    // null-safe key equality (<=>): a NULL key group — first-class
+    // here exactly as in keySkewProfile below — computes a threshold
+    // row like any other group and must match it back; a plain
+    // equi-join's three-valued NULL = NULL would silently drop every
+    // null-key input row. <=> is still a hash-join key (PlanSpec pins
+    // the broadcast), so the plan shape is unchanged.
+    scored.join(broadcast(thr.withColumnRenamed(key, "__key")),
+        col(key) <=> col("__key"))
       .withColumn("bin", expr(
         s"size(filter(__th, t -> cast($score as bigint) > t))"))
-      .drop("__th")
+      .drop("__th", "__key")
   }
 
   /** Top-`k` heaviest keys of `key` with exact counts and integer
@@ -75,7 +82,12 @@ object Profiling {
     * drop the null row from its own rank join.
     */
   def keySkewProfile(df: DataFrame, key: Column, k: Int): DataFrame = {
-    require(k >= 1, "k must be positive")
+    // upper bound mirrors the [1, 20] caps on pageRank/kHop iterations:
+    // the rank/cumshare step is a deliberate k² broadcast self-join
+    // (the price of the global no-unpartitioned-window ban), so k must
+    // stay profile-sized — at k = 1000 that is 10⁶ map-side
+    // comparisons, the most this diagnostic should ever cost
+    require(k >= 1 && k <= 1000, "k must be in [1, 1000]")
     val counts = df.select(key.as("key")).groupBy("key")
       .agg(count(lit(1)).as("n"))
     val tot = counts.agg(sum("n").as("__tot"))

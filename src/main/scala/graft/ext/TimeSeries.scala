@@ -36,8 +36,17 @@ object TimeSeries {
     */
   def resampleLocf(events: DataFrame, slotSeconds: Long): DataFrame = {
     require(slotSeconds >= 1, "slotSeconds must be positive")
+    // FLOOR division everywhere an index is computed (`div` truncates
+    // toward zero): a pre-1970 timestamp must bucket to the slot AT OR
+    // BEFORE it (floor), and chunk indices must partition the integers
+    // exactly — with truncation, a negative span straddling 0 maps
+    // chunks -1 and 0 onto overlapping slot ranges (sequence(0, -100)
+    // even DESCENDS) and silently drops the slots below the lowest
+    // chunk boundary. fdiv(a, d) = floor(a / d) for d > 0.
+    def fdiv(a: String, d: Long): String =
+      s"(($a) div $d - (case when ($a) % $d < 0 then 1 else 0 end))"
     val slot = timestamp_seconds(
-      expr(s"unix_timestamp(ts) div $slotSeconds") * slotSeconds)
+      expr(fdiv("unix_timestamp(ts)", slotSeconds)) * slotSeconds)
     val slotted = events
       .select(col("key"), slot.as("slot"), col("value"))
       .groupBy("key", "slot").agg(max("value").as("v"))
@@ -47,13 +56,18 @@ object TimeSeries {
     // years-long key at second granularity is a 10⁸-element array
     // (an OOM hiding behind an innocent-looking explode). Chunking
     // bounds every array at max(4096, span/4096·slot) elements while
-    // producing the identical slot set.
+    // producing the identical slot set. (min/max slot are exact
+    // multiples of slotSeconds, so their div is remainder-free and
+    // truncation == floor there; the chunk indices are not, hence
+    // fdiv.)
     val k = 4096L
     val grid = slotted.groupBy("key")
       .agg(expr(s"unix_seconds(min(slot)) div $slotSeconds").as("__lo"),
         expr(s"unix_seconds(max(slot)) div $slotSeconds").as("__hi"))
       .select(col("key"), col("__lo"), col("__hi"),
-        explode(expr(s"sequence(__lo div $k, __hi div $k)")).as("__chunk"))
+        explode(expr(
+          s"sequence(${fdiv("__lo", k)}, ${fdiv("__hi", k)})"))
+          .as("__chunk"))
       .select(col("key"), explode(expr(
         s"""sequence(greatest(__chunk * $k, __lo),
                      least(__chunk * $k + ${k - 1}, __hi))""")).as("__n"))
@@ -70,7 +84,12 @@ object TimeSeries {
   /** Per-key EWMA with α = 1/2 in integer micro-units: the recursion
     * y ← (y + x) div 2 over the key's events in (ts, tie) order.
     * Integer fixed point makes the fold bit-exact on any engine
-    * (float EWMA differs in the last ulp); α = 1/2 keeps it a single
+    * (float EWMA differs in the last ulp). Division semantics are
+    * TRUNCATION toward zero for any sign of the accumulator — the
+    * shared behavior of Spark `div`, Scala `Long./` (the
+    * [[graft.streaming.StreamOps.ewmaStream]] twin), and DuckDB 1.0
+    * `//` (verified: -3 // 2 = -1), so negative values keep all three
+    * engines bit-identical; α = 1/2 keeps it a single
     * add-shift per step. Sequential recursions have no closed window
     * form, so the fold runs over the key's SORTED value array — one
     * shuffle (the groupBy), per-key memory O(events); `tie` must make

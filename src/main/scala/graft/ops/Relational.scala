@@ -82,20 +82,36 @@ object Relational {
     * nullability: an upsert carrying a NULL payload SETS the payload
     * to null (as MERGE does), and a matched target row whose stored
     * payload is null still reconciles as "updated", not "inserted".
+    *
+    * A change row whose `op` is NULL or not in {"upsert", "delete"}
+    * raises at execution (`raise_error`) — malformed CDC input must
+    * fail the merge, not silently no-op or insert a phantom row.
     */
   def mergeUpsert(target: DataFrame, changes: DataFrame): DataFrame = {
     val t = target.select(col("key"), col("payload").as("__tp"),
       lit(true).as("__tin"))
     val c = changes.select(col("key"), col("op"),
-      col("payload").as("__cp"))
+      col("payload").as("__cp"), lit(true).as("__cin"))
     t.join(c, Seq("key"), "full_outer")
+      // malformed CDC input fails loudly instead of corrupting the
+      // target: change rows by definition carry a non-null op, so a
+      // present change row (its __cin marker survived the join) whose
+      // op is NULL or unknown raises — silently treating it as "no
+      // change" (matched) or a phantom null-payload insert (unmatched)
+      // would corrupt the merge result
+      .withColumn("__op",
+        when(col("__cin").isNull ||
+          col("op").isin("upsert", "delete"), col("op"))
+          .otherwise(raise_error(concat(
+            lit("mergeUpsert: change row with invalid op '"),
+            coalesce(col("op"), lit("NULL")), lit("'")))))
       // deletes drop the row; a delete of an absent key drops its
       // own change row — both cases are the one predicate below
-      .filter(col("op").isNull || col("op") =!= "delete")
+      .filter(col("__op").isNull || col("__op") =!= "delete")
       .select(col("key"),
-        when(col("op").isNotNull, col("__cp")).otherwise(col("__tp"))
+        when(col("__cin").isNotNull, col("__cp")).otherwise(col("__tp"))
           .as("payload"),
-        when(col("op").isNull, "kept")
+        when(col("__cin").isNull, "kept")
           .when(col("__tin").isNull, "inserted")
           .otherwise("updated").as("action"))
   }

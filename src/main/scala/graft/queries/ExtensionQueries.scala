@@ -1702,7 +1702,10 @@ object ExtensionQueries {
 
     // threshold_i = max score whose strictly-below count is < n·i/q
     // (the same monotone-prefix rule the Spark fold applies); bin =
-    // number of thresholds strictly below the row's score
+    // number of thresholds strictly below the row's score. The
+    // threshold join is null-safe (IS NOT DISTINCT FROM) to encode the
+    // operator's NULL-key-is-a-group contract — lang is non-null in
+    // the fixtures, but the oracle must encode the contract.
     "feat_equidepth_bins" ->
       """WITH h AS (SELECT lang, n_chars AS s, count(*) AS c
         |           FROM documents GROUP BY 1, 2),
@@ -1717,7 +1720,7 @@ object ExtensionQueries {
         |       FROM hh, unnest(range(1, 10)) AS u(i) GROUP BY 1, 2)
         |SELECT d.doc_id, d.lang, d.n_chars,
         |  CAST(count(CASE WHEN d.n_chars > th.t THEN 1 END) AS INT) AS bin
-        |FROM documents d JOIN th ON d.lang = th.lang
+        |FROM documents d JOIN th ON d.lang IS NOT DISTINCT FROM th.lang
         |GROUP BY 1, 2, 3""".stripMargin,
 
     // NULLS FIRST pins DuckDB (default NULLS LAST on ASC) to the
@@ -1750,10 +1753,17 @@ object ExtensionQueries {
         |        - bytes) // 32768 AS BIGINT) AS out_bucket
         |FROM files""".stripMargin,
 
+    // slot = FLOOR(epoch / 3600s): DuckDB's `//` truncates toward zero
+    // (verified on 1.0.0: -3 // 2 = -1), so the CASE turns it into the
+    // floor the Spark side computes — pre-1970 events bucket to the
+    // slot at-or-before them on both engines. Fixture epochs are
+    // nonnegative, where the two divisions coincide.
     "ts_resample_locf" ->
       (s"""WITH $evtCte,
         |slotted AS (SELECT user_id,
-        |    make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS slot,
+        |    make_timestamp((epoch_us(ts) // 3600000000
+        |        - CASE WHEN epoch_us(ts) % 3600000000 < 0
+        |               THEN 1 ELSE 0 END) * 3600000000) AS slot,
         |    max(value) AS v
         |  FROM evts GROUP BY 1, 2),
         |span AS (SELECT user_id, min(slot) AS lo, max(slot) AS hi
@@ -1771,6 +1781,12 @@ object ExtensionQueries {
         |  v IS NOT NULL AS observed
         |FROM j""".stripMargin),
 
+    // (acc + x) // 2 in DuckDB 1.0 TRUNCATES toward zero (verified:
+    // -3 // 2 = -1), exactly like Spark's `div` in ewmaFixed and
+    // Scala's `/` in the streaming twin — all three engines share
+    // truncation semantics for any sign, so the bit-exact claim holds
+    // on negative accumulators too (GraphTimeSeriesSpec pins the
+    // Spark/Scala pair on a negative-value fixture).
     "ts_ewma" ->
       (s"""WITH $evtCte,
         |l AS (SELECT user_id,

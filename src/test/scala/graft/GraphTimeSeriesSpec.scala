@@ -119,6 +119,22 @@ class GraphTimeSeriesSpec extends SparkSpec {
 
   // -- Profiling -------------------------------------------------------
 
+  test("equidepthBins: NULL-key rows form a first-class group and " +
+      "match their own thresholds back (null-safe join) — the same " +
+      "contract keySkewProfile keeps in this module") {
+    val rows: Seq[(Option[String], Long, Long)] =
+      Seq((Some("a"), 1L, 1L), (Some("a"), 2L, 2L),
+        (None, 3L, 5L), (None, 4L, 6L), (None, 5L, 7L), (None, 6L, 8L))
+    val got = Profiling.equidepthBins(
+        rows.toDF("lang", "doc_id", "n_chars"),
+        key = "lang", score = "n_chars", q = 2)
+      .select($"doc_id", $"bin").as[(Long, Int)].collect().toMap
+    // null group thresholds from its own histogram (t1 = 6):
+    // 5,6 → bin 0; 7,8 → bin 1. An equi-join would drop docs 3-6.
+    assert(got === Map(1L -> 0, 2L -> 1,
+      3L -> 0, 4L -> 0, 5L -> 1, 6L -> 1))
+  }
+
   test("equidepthBins: exact PERCENTILE_DISC cuts, ties land whole " +
       "in the lower bin, per-key boundaries independent") {
     // key a: 1..10 once each at q=5 → bins 0,0,1,1,2,2,3,3,4,4
@@ -212,6 +228,49 @@ class GraphTimeSeriesSpec extends SparkSpec {
     assert(got.length === 10000)
     assert(got.distinct.length === 10000)
     assert(got.min === t0 && got.max === tN)
+  }
+
+  test("resampleLocf pre-1970: floor slotting buckets negative epochs " +
+      "to the slot AT-OR-BEFORE, and floor chunk indices keep the " +
+      "grid dense across negative chunk boundaries and zero") {
+    // slot = 60 s. Key 1 spans slot indices [-5000, -100] (crosses
+    // the -4096 chunk boundary); key 2 spans [-5000, 1] (straddles
+    // zero — with truncating division, chunk 0 would plan the
+    // DESCENDING sequence(0, -100) and chunks -1/0 would overlap).
+    // Event timestamps sit MID-slot so truncation would bucket them
+    // one slot too high.
+    val e1a = new Timestamp(-300000L * 1000 + 10000) // slot -5000
+    val e1b = new Timestamp(-6000L * 1000 + 5000)    // slot -100
+    val e2c = new Timestamp(70L * 1000)              // slot 1
+    val events = Seq((1L, e1a, 1.0), (1L, e1b, 2.0),
+      (2L, e1a, 1.0), (2L, e2c, 3.0)).toDF("key", "ts", "value")
+    val got = TimeSeries.resampleLocf(events, slotSeconds = 60)
+      .select(col("key"), col("slot"))
+      .as[(Long, Timestamp)].collect()
+    val k1 = got.filter(_._1 == 1L).map(_._2.getTime)
+    val k2 = got.filter(_._1 == 2L).map(_._2.getTime)
+    assert(k1.length === 4901 && k1.distinct.length === 4901)
+    assert(k1.min === -300000L * 1000 && k1.max === -6000L * 1000)
+    assert(k2.length === 5002 && k2.distinct.length === 5002)
+    assert(k2.min === -300000L * 1000 && k2.max === 60L * 1000)
+  }
+
+  test("ewmaFixed on NEGATIVE values truncates toward zero exactly " +
+      "like the Scala fold of the streaming twin — the shared " +
+      "tri-engine division semantics (DuckDB 1.0 // also truncates: " +
+      "-3 // 2 = -1)") {
+    // odd negative accumulator sums are where truncation and floor
+    // disagree: (-1000001) / 2 = -500000 trunc vs -500001 floor
+    val vals = Seq(-3.000001, 2.0, -9.999999)
+    val micro = vals.map(v => math.floor(v * 1e6).toLong)
+    val expect = micro.tail.foldLeft(micro.head)((a, x) => (a + x) / 2)
+    val events = vals.zipWithIndex.map { case (v, i) =>
+      (9L, ts(f"2024-01-01 00:0$i:00"), v, i.toLong)
+    }.toDF("key", "ts", "value", "event_id")
+    val got = TimeSeries.ewmaFixed(events, tie = col("event_id"))
+      .as[(Long, Long, Long)].collect().head
+    assert(got === ((9L, 3L, expect)))
+    assert(expect === -5249999L) // trunc; floor semantics give -5250000
   }
 
   test("ewmaFixed matches the sequential (acc + x) div 2 fold in " +

@@ -176,4 +176,26 @@ class OpsSpec extends SparkSpec {
       (1L, None, "updated"),
       (2L, Some(22.0), "updated")))
   }
+
+  test("mergeUpsert: a change row with NULL or unknown op raises — " +
+      "malformed CDC input must fail the merge, not be 'kept' " +
+      "(matched) or inserted as a null-payload phantom (unmatched)") {
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString("|")
+    val target = Seq((1L, 10.0)).toDF("key", "payload")
+    // matched (key 1) and unmatched (key 2) malformed rows both raise
+    for (badKey <- Seq(1L, 2L); badOp <- Seq(null, "update")) {
+      val changes = Seq((badKey, badOp, 99.0)).toDF("key", "op", "payload")
+      val e = intercept[Exception] {
+        Relational.mergeUpsert(target, changes).collect()
+      }
+      assert(chain(e).contains("invalid op"), s"got: ${chain(e)}")
+    }
+    // and a well-formed merge still passes through untouched
+    val ok = Relational.mergeUpsert(target,
+      Seq((1L, "upsert", 11.0)).toDF("key", "op", "payload"))
+      .as[(Long, Double, String)].collect().toSet
+    assert(ok === Set((1L, 11.0, "updated")))
+  }
 }
