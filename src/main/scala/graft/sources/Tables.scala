@@ -103,15 +103,27 @@ object Tables {
     * a timestamp column passes through untouched. Both land on the same
     * TimestampType the oracles use. The nanosAsLong conf is set before
     * inference so a ns file infers as LongType instead of throwing, and
-    * is harmless for µs files (it only affects TIMESTAMP(NANOS)).
+    * the session's prior value is RESTORED once the file proves to be
+    * µs/timestamp-typed — a library must not leave a session conf
+    * mutated behind a caller's back. For a ns file the conf must stay
+    * set: parquet scans re-read it when the PHYSICAL plan is built
+    * (lazily, at action time, long after this method returns), so
+    * restoring it would make every downstream action on the loaded
+    * frame throw on the TIMESTAMP(NANOS) column.
     * The schema cache needs no extra invalidation for the branch: the
     * branch is derived from the cached schema itself, and a regenerated
     * fixture re-fingerprints and re-infers.
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+      val prior = spark.conf.getOption(nanosKey)
+      spark.conf.set(nanosKey, "true")
       val raw = readCached(spark, s"$sfDir/events.parquet")
+      if (raw.schema("ts").dataType != LongType) prior match {
+        case Some(v) => spark.conf.set(nanosKey, v)
+        case None => spark.conf.unset(nanosKey)
+      }
       val ts = raw.schema("ts").dataType match {
         case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
         // timestamp[us] with no zone infers as NTZ; cast to the

@@ -330,6 +330,25 @@ class LoadSpec extends SparkSpec {
       cfg.copy(workDir = Some("/mnt/shared"), workDirShared = true))
   }
 
+  test("Tables.load leaves the session nanosAsLong conf exactly as it " +
+      "found it after a µs-typed events load — the library must not " +
+      "mutate session state behind the caller's back") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    // the key is a REGISTERED conf, so its effective value (default
+    // "false" when unset) is the observable surface — assert the load
+    // does not leave it flipped to "true"
+    spark.conf.unset(key)
+    val before = spark.conf.get(key)
+    assert(before === "false")
+    val df = graft.sources.Tables.load(spark,
+      "/root/testdata/sf0.001", "events")
+    assert(df.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+    assert(spark.conf.get(key) === before,
+      "load left the session nanosAsLong conf mutated")
+    spark.conf.unset(key)
+  }
+
   test("StubFetcher serves canned bytes; pipelines depend on Fetcher (S1)") {
     val fetcher = new StubFetcher(
       Map("https://example.test/dl" -> "zipbytes".getBytes("UTF-8")))
