@@ -60,24 +60,72 @@ object Graph {
   }
 
   /** The rank rounds over an already-materialized degree-annotated
-    * edge table (`src`, `dst`, `deg` — see [[prepareEdges]]).
+    * edge table (`src`, `dst`, `deg` — see [[prepareEdges]]), with
+    * EARLY EXIT on the exact rank fixpoint.
+    *
+    * Each round's (node, rank) table is localCheckpoint'd — constant
+    * lineage depth instead of an iters-deep join tree — with an
+    * order-independent xor checksum piggybacked on the
+    * materialization job (`observe`, the same no-extra-job gate as
+    * [[DedupOps.connectedComponents]]). A round whose checksum
+    * matches the previous round's runs one exact anti-join probe;
+    * an empty probe proves `next = prev` and stops the loop — the
+    * remaining rounds would reproduce the same table verbatim, a
+    * guarantee only INTEGER ranks give (a float PageRank never lands
+    * exactly, which is half the reason the fixed-point arithmetic
+    * exists). Differing checksums prove non-convergence, so the probe
+    * never runs on a progressing round; a checksum collision or a
+    * missed observe poll merely runs one redundant probe, never a
+    * false stop.
     */
   def pageRankPrepared(e: DataFrame, nodes: DataFrame,
-                       iters: Int): DataFrame = {
+                       iters: Int): DataFrame =
+    pageRankRounds(e, nodes, iters)._1
+
+  /** [[pageRankPrepared]] plus the number of rank rounds actually
+    * executed (≤ `iters`; tests pin the early exit with it).
+    */
+  private[graft] def pageRankRounds(e: DataFrame, nodes: DataFrame,
+                                    iters: Int): (DataFrame, Int) = {
     require(iters >= 1 && iters <= 20, "iters must be in [1, 20]")
     val n = nodes.select(col("node_id"))
-    var ranks = n.withColumn("rank_micros", lit(1000000L))
-    for (_ <- 1 to iters) {
+    def checksummed(df: DataFrame): (DataFrame, Option[Long]) = {
+      val obs = org.apache.spark.sql.Observation()
+      val out = df.observe(obs,
+        coalesce(bit_xor(xxhash64(col("node_id"), col("rank_micros"))),
+          lit(0L)).as("x")).localCheckpoint(true)
+      (out, org.apache.spark.sql.graft.ObservationAccess.await(obs, 2000)
+        .map(_("x").asInstanceOf[Long]))
+    }
+    var (ranks, prevX) =
+      checksummed(n.withColumn("rank_micros", lit(1000000L)))
+    var iter = 0
+    var converged = false
+    while (iter < iters && !converged) {
       val contrib = e.join(ranks, e("src") === ranks("node_id"))
         .select(col("dst"), expr("rank_micros div deg").as("c"))
         .groupBy("dst").agg(sum("c").as("s"))
-      ranks = n
+      val (next, x) = checksummed(n
         .join(contrib, n("node_id") === contrib("dst"), "left")
         .select(col("node_id"),
           (lit(150000L) +
-            expr("17 * coalesce(s, 0L) div 20")).as("rank_micros"))
+            expr("17 * coalesce(s, 0L) div 20")).as("rank_micros")))
+      // node set is constant, so set equality == elementwise equality;
+      // an unknown checksum (missed poll) falls through to the probe,
+      // which alone decides — it can cost a round, never correctness
+      val differ = (for (a <- x; b <- prevX) yield a != b)
+        .getOrElse(false)
+      converged = !differ &&
+        next.join(ranks, Seq("node_id", "rank_micros"), "left_anti")
+          .isEmpty
+      // superseded round state: `next` is already materialized, so
+      // nothing re-reads the previous checkpoint's blocks
+      ranks.unpersist()
+      ranks = next
+      prevX = x
+      iter += 1
     }
-    ranks
+    (ranks, iter)
   }
 
   /** Exact triangle count via degree-ordered edge orientation — the

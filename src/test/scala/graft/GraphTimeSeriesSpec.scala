@@ -40,6 +40,27 @@ class GraphTimeSeriesSpec extends SparkSpec {
     assert(got(2L) === 150000L + 17L * 1000000L / 20L)
   }
 
+  test("pageRank early-exits on the exact integer fixpoint: a " +
+      "1-regular graph is at its fixpoint from the seed, so a " +
+      "20-iteration budget runs ONE confirming round") {
+    // symmetric pair: every node deg 1, rank stays exactly 1_000_000
+    // (150000 + 17·1000000 div 20 = 1000000) — fixpoint from round 1
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L).toDF("node_id")
+    val (ranks, rounds) = Graph.pageRankRounds(
+      Graph.prepareEdges(edges).localCheckpoint(true), nodes, iters = 20)
+    assert(ranks.as[(Long, Long)].collect().toMap ===
+      Map(1L -> 1000000L, 2L -> 1000000L))
+    assert(rounds === 1, s"fixpoint not detected, ran $rounds rounds")
+    // and a non-trivial graph still uses its full small budget
+    val path = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val (_, r2) = Graph.pageRankRounds(
+      Graph.prepareEdges(path).localCheckpoint(true),
+      Seq(1L, 2L, 3L).toDF("node_id"), iters = 2)
+    assert(r2 === 2)
+  }
+
   test("triangleStats counts the one triangle of a paw graph, with " +
       "degree-ordered wedges") {
     // triangle {1,2,3} plus pendant edge 3–4
