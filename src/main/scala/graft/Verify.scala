@@ -9,6 +9,18 @@ object Verify {
     // dev convenience: trailing args subset the queries to re-dump
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Same stage disk tier as Bench: shared artifacts (component
+    // labels, PQ codebook/codes, graphs) are deterministic functions
+    // of the fixtures, so a verify run after a bench run (or a
+    // re-verify) reads them back instead of rebuilding.
+    sys.env.get("SPARK_GRAFT_STAGE_DIR") match {
+      case Some(v) if v.trim.isEmpty => ()
+      case Some(v) => System.setProperty("graft.stage.dir", v)
+      case None =>
+        if (sys.props.get("graft.stage.dir").isEmpty)
+          System.setProperty("graft.stage.dir",
+            s"target/stages/${sfDir.split('/').last}")
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

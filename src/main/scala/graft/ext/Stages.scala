@@ -54,7 +54,7 @@ object Stages {
       build: () => DataFrame) {
     private var computed: DataFrame = _
     def df: DataFrame = synchronized {
-      if (computed == null) computed = build().localCheckpoint(true)
+      if (computed == null) computed = build()
       computed
     }
     /** The frame iff the build already ran — eviction must not force
@@ -72,6 +72,81 @@ object Stages {
   private def keyOf(s: SparkSession, name: String): String =
     s"${s.sparkContext.applicationId}|$name"
 
+  // -- Disk tier ------------------------------------------------------
+  // Opt-in via the `graft.stage.dir` system property (Bench/Verify set
+  // it to target/stages/<sf>): stage artifacts additionally persist as
+  // parquet under <root>/<name>__fp<hex>, so a NEW process (the next
+  // bench round, a verify run) pays only a parquet read instead of the
+  // whole build. Invalidation stays fingerprint-driven — a regenerated
+  // fixture hashes to a new directory name and the stale sibling is
+  // deleted before the rebuilt artifact is published (tmp-dir write +
+  // atomic rename, so a concurrent process never reads a half-written
+  // stage). This is the "reliable storage" tier the cluster note below
+  // calls for: on a real cluster the root would be object storage and
+  // a lost executor costs nothing (the artifact has no lineage to
+  // lose, it is re-read).
+
+  private def diskRoot: Option[String] =
+    sys.props.get("graft.stage.dir").map(_.trim).filter(_.nonEmpty)
+
+  private def sanitize(name: String): String =
+    name.map(c => if (c.isLetterOrDigit || c == '.' || c == '-') c else '_')
+
+  private def deleteTree(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteTree)
+    f.delete(): Unit
+  }
+
+  /** Build the stage frame, persisting through the disk tier when
+    * enabled. Runs inside the cell's lock (same as the plain build).
+    * Any disk-tier failure falls back to the in-memory contract — a
+    * full filesystem or permission problem must degrade to round-7
+    * behavior, not fail the query.
+    */
+  private def materialize(s: SparkSession, name: String, fp: Long,
+                          build: () => DataFrame): DataFrame =
+    diskRoot match {
+      case None => build().localCheckpoint(true)
+      case Some(root) =>
+        try {
+          val dirName = s"${sanitize(name)}__fp${java.lang.Long.toHexString(fp)}"
+          val dir = new java.io.File(root, dirName)
+          if (!new java.io.File(dir, "_SUCCESS").isFile) {
+            val built = build()
+            // a regenerated fixture must not leak its predecessor's
+            // artifact: drop stale fingerprints of this stage first
+            Option(new java.io.File(root).listFiles())
+              .getOrElse(Array.empty)
+              .filter(f => f.getName.startsWith(sanitize(name) + "__fp")
+                && f.getName != dirName)
+              .foreach(deleteTree)
+            val tmp = new java.io.File(root,
+              s"$dirName.tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+            graft.sources.ParquetSink.write(built, tmp.getPath,
+              Seq.empty, built(built.columns.head), buckets = 4)
+            try
+              java.nio.file.Files.move(tmp.toPath, dir.toPath,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            catch {
+              // lost a publish race to another process: its artifact
+              // is equivalent (same fingerprint) — keep it, drop ours
+              case _: java.nio.file.FileSystemException
+                  if new java.io.File(dir, "_SUCCESS").isFile =>
+                deleteTree(tmp)
+            }
+          }
+          s.read.parquet(dir.getPath)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[stages] disk tier failed for $name " +
+              s"(${e.getClass.getSimpleName}: ${Option(e.getMessage)
+                .getOrElse("").takeWhile(_ != '\n').take(120)}); " +
+              "falling back to localCheckpoint")
+            build().localCheckpoint(true)
+        }
+    }
+
   /** The memoized frame for (session, `name`); `build` runs at most
     * once per fingerprint. See the object scaladoc for the contract.
     */
@@ -83,7 +158,8 @@ object Stages {
       if (e.getValue.sc.isStopped) { dropQuietly(e.getValue); it.remove() }
     }
     val key = keyOf(s, name)
-    val fresh = new StageCell(fingerprint, s.sparkContext, () => build)
+    val fresh = new StageCell(fingerprint, s.sparkContext,
+      () => materialize(s, name, fingerprint, () => build))
     var cell = cache.putIfAbsent(key, fresh)
     if (cell == null) cell = fresh
     else if (cell.fp != fingerprint) {
