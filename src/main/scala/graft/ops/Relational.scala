@@ -61,6 +61,25 @@ object Relational {
       .drop("__salt")
   }
 
+  /** AQE-delegated skew join — the complement of [[saltedJoin]] and
+    * the path a 100 TB cluster leans on FIRST: keep the plan a plain
+    * shuffle equi-join and let Spark's `OptimizeSkewedJoin` split an
+    * oversized partition into advisory-sized chunks at runtime
+    * (replicating the matching build-side partition per chunk). The
+    * `SHUFFLE_MERGE` hint forces the sort-merge strategy so the skew
+    * rule has a shuffle join to operate on — a broadcast pick (right
+    * for a genuinely small dim, where skew is moot) would bypass it.
+    * Unlike salting, the split factor is sized per-partition from
+    * observed bytes, costs nothing when the data is uniform, and
+    * needs no salt-count tuning.
+    *
+    * Semantics are exactly the plain equi-join's — skew splitting is
+    * a physical re-plan, never a result change.
+    */
+  def aqeSkewJoin(fact: DataFrame, dim: DataFrame, key: String,
+                  joinType: String = "inner"): DataFrame =
+    fact.hint("SHUFFLE_MERGE").join(dim, Seq(key), joinType)
+
   /** MERGE INTO semantics as one declarative plan — the CDC apply
     * every warehouse runs: `target` (unique `key`) merged with
     * `changes` (unique `key`, an `op` column of "upsert"/"delete" and

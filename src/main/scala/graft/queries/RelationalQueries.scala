@@ -293,6 +293,27 @@ object RelationalQueries {
             .as("sum_qty"))
     },
 
+    // The AQE twin of join_salted: a deliberately skewed derived key
+    // (91% of lineitem lands on k=0) joined through aqeSkewJoin, so
+    // at scale OptimizeSkewedJoin splits the hot partition at runtime
+    // (PlanSpec pins the rule firing under production-shaped
+    // thresholds). The oracle is the PLAIN join — skew handling is a
+    // physical re-plan, never a result change.
+    "join_skew_aqe" -> { (s, dir) =>
+      val fact = t(s, dir, "lineitem").select(
+        when(pmod(col("l_orderkey"), lit(100)) < 91, lit(0L))
+          .otherwise(pmod(col("l_orderkey"), lit(100)) - 90).as("k"),
+        col("l_extendedprice"))
+      val dim = t(s, dir, "nation")
+        .filter(col("n_nationkey") < 10)
+        .select(col("n_nationkey").cast("bigint").as("k"), col("n_name"))
+      graft.ops.Relational.aqeSkewJoin(fact, dim, "k")
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("rev"))
+    },
+
     // RANGE window frame (value-based, unlike win_running's ROWS
     // frame): per customer, total spend over orders within 30 days
     // before each order — peer rows at equal dates all see the same
@@ -603,6 +624,15 @@ object RelationalQueries {
       """SELECT s_nationkey, count(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1""".stripMargin,
+
+    "join_skew_aqe" ->
+      """SELECT n_name, count(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |FROM lineitem JOIN nation
+        |  ON n_nationkey = CASE WHEN l_orderkey % 100 < 91 THEN 0
+        |                        ELSE l_orderkey % 100 - 90 END
+        |WHERE n_nationkey < 10
         |GROUP BY 1""".stripMargin,
 
     "win_lag_lead" ->

@@ -419,6 +419,47 @@ class PlanSpec extends SparkSpec {
     }.nonEmpty), s"size guard does not precede the postings collect:\n$lp")
   }
 
+  test("aqeSkewJoin: OptimizeSkewedJoin splits the hot partition " +
+      "under production-shaped thresholds, and the result is the " +
+      "plain join's") {
+    // production shape scaled to test bytes: a 95%-hot key, skew
+    // thresholds lowered in proportion (a cluster's defaults are
+    // 256 MB / factor 5 on multi-GB partitions)
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+        "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    // getOption-style read: unset (or None-default) confs read back
+    // null, which must restore as unset, not as set(null)
+    val prev = confs.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption.filter(_ != null) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.range(0, 200000).select(
+        when(col("id") % 100 < 95, lit(0L))
+          .otherwise(col("id") % 100).as("k"),
+        col("id").as("payload"))
+      val dim = spark.range(0, 100).select(col("id").as("k"),
+        concat(lit("g"), col("id")).as("tag"))
+      val j = graft.ops.Relational.aqeSkewJoin(fact, dim, "k")
+      // collect, not count: count would build a SEPARATE query
+      // execution and leave this frame's adaptive plan unexecuted
+      assert(j.collect().length === 200000,
+        "skew split must not change the join result")
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"OptimizeSkewedJoin did not fire:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("agg_mode / feat_equidepth_bins: no ranking window anywhere — " +
       "mode is two hash aggs, binning is a histogram fold + broadcast " +
       "probe") {
