@@ -208,11 +208,22 @@ object DedupOps {
       // the hash-compare cost ~40% (collision odds at 60 bits are
       // ~n²/2^61 — noise next to the shingling itself)
       .withColumn("__sh", PortableHash.md5PrefixLong(col("__sh"), 15))
+    // df cap INSIDE the aggregation buffer: a stopword shingle shared
+    // by millions of docs stops accumulating at maxDf+1 ids (O(maxDf)
+    // task memory), and the filter below then drops it exactly as a
+    // full-set size check would — BoundedCollectSet's scaladoc proves
+    // size ≤ maxDf iff true distinct count ≤ maxDf, and kept groups
+    // always carry their complete set. The set semantics also dedupe
+    // duplicate-delivered ids (a doc delivered twice must not
+    // self-pair or inflate counts), map-side. A pre-aggregated
+    // count+semi-join guard was measured instead and rejected: column
+    // pruning makes the count branch's exchange non-identical to the
+    // postings exchange, so the whole scan+shingle+hash pipeline ran
+    // twice (+40-70% end to end).
     val postings = e0
       .groupBy(blockKeys.map(col) :+ col("__sh"): _*)
-      // distinct guards against duplicate ids in the input (a doc
-      // delivered twice must not self-pair or inflate counts)
-      .agg(array_distinct(sort_array(collect_list(col("__id")))).as("__ids"))
+      .agg(sort_array(org.apache.spark.sql.graft.AggColumns
+        .bounded_collect_set(col("__id"), maxDf + 1)).as("__ids"))
       .filter(size(col("__ids")) <= maxDf)
       .select(col("__ids"))
     val sizes = postings.select(explode(col("__ids")).as("__id"))

@@ -176,6 +176,33 @@ class ExtSpec extends SparkSpec {
     Stages.evict(spark, name)
   }
 
+  test("bounded_collect_set: cap-and-drop matches the unbounded " +
+      "collect_set exactly, across partial-aggregated partitions and " +
+      "duplicate deliveries") {
+    import org.apache.spark.sql.graft.AggColumns
+    // distinct counts 1..30 straddling the cap; duplicate rows mixed
+    // in (set semantics must dedupe them before the cap counts)
+    val rows = for {
+      k <- 0 until 30
+      i <- 0 until (k + 1)
+      _ <- 0 to (i % 2)
+    } yield (k, (i % (k + 1)).toLong)
+    val df = rows.toDF("k", "v").repartition(7)
+    val limit = 5
+    def collectPairs(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getInt(0), r.getSeq[Long](1))).toSet
+    val bounded = collectPairs(df.groupBy("k")
+      .agg(sort_array(AggColumns.bounded_collect_set(col("v"), limit + 1))
+        .as("s"))
+      .filter(size(col("s")) <= limit))
+    val ref = collectPairs(df.groupBy("k")
+      .agg(sort_array(collect_set(col("v"))).as("s"))
+      .filter(size(col("s")) <= limit))
+    assert(bounded === ref)
+    assert(bounded.nonEmpty && bounded.size === limit,
+      s"expected exactly $limit kept groups (distinct counts 1..$limit)")
+  }
+
   test("Stages disk tier: artifact survives eviction (new-process " +
       "warm read), fingerprint change invalidates the disk copy, and " +
       "empty frames round-trip") {
