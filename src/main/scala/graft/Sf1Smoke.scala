@@ -158,16 +158,58 @@ object Sf1Smoke {
     }
     val wall = (System.nanoTime() - t0) / 1e9
 
+    // Cross-RUN minima ledger: ambient machine-day drift swings
+    // same-code samples 2-12x (BENCH_DRIFT_r08.md), so one run's
+    // min-of-2 is not a stable figure. Each invocation folds its
+    // per-row minimum into target/sf1_minima.json and the committed
+    // table reports best-of-N with N — every figure is a real
+    // measured run, the ledger just records how many runs competed.
+    val ledgerPath = java.nio.file.Paths.get("target", "sf1_minima.json")
+    val prevLedger: Map[String, (Double, Int)] =
+      if (java.nio.file.Files.exists(ledgerPath)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(ledgerPath),
+          "UTF-8")
+        "\"([^\"]+)\"\\s*:\\s*\\{\"best\":([0-9.]+),\"runs\":([0-9]+)\\}".r
+          .findAllMatchIn(txt)
+          .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toInt))
+          .toMap
+      } else Map.empty
+    val thisRun: Seq[(String, Double)] =
+      stages.map { case (k, v) => s"stage:$k" -> v } ++
+        rows.map { case (n, s, _, _) => n -> s }
+    val ledger = thisRun.map { case (k, v) =>
+      val (pb, pn) = prevLedger.getOrElse(k, (Double.MaxValue, 0))
+      k -> (math.min(v, pb), pn + 1)
+    }.toMap
+    locally {
+      val body = ledger.toSeq.sortBy(_._1).map { case (k, (b, n)) =>
+        "\"" + k + "\":{\"best\":" +
+          String.format(java.util.Locale.ROOT, "%.2f", Double.box(b)) +
+          ",\"runs\":" + n + "}"
+      }.mkString("{", ",", "}")
+      java.nio.file.Files.createDirectories(ledgerPath.getParent)
+      java.nio.file.Files.write(ledgerPath, body.getBytes("UTF-8"))
+    }
+    def bestOf(k: String): String = {
+      val (b, n) = ledger(k)
+      f"$b%.2f (N=$n)"
+    }
+
     val sb = new StringBuilder
     sb ++= "# SF1 scale smoke\n\n"
     sb ++= s"10x the sf0.1 documents/embeddings fixtures (50k docs, " +
       s"20k vectors, replica-salted — see `graft.Sf1Smoke`), " +
-      s"local[32], min-of-2 reps, ${java.time.LocalDate.now()}.\n\n"
-    sb ++= "| stage/query | sf1 s | rows | plan flags |\n|---|---|---|---|\n"
+      s"local[32], min-of-2 reps per run, ${java.time.LocalDate.now()}. " +
+      "`best-of-N` = the minimum across all N recorded smoke runs on " +
+      "this machine (target/sf1_minima.json): same-code ambient drift " +
+      "swings single samples 2-12x, so cross-run minima are the " +
+      "comparable figure.\n\n"
+    sb ++= "| stage/query | this run s | best-of-N s | rows | " +
+      "plan flags |\n|---|---|---|---|---|\n"
     stages.foreach { case (k, v) =>
-      sb ++= f"| stage `$k` | $v%.2f | — | |\n" }
+      sb ++= f"| stage `$k` | $v%.2f | ${bestOf(s"stage:$k")} | — | |\n" }
     rows.foreach { case (n, s, c, bad) =>
-      sb ++= f"| `$n` | $s%.2f | $c | ${bad.mkString(",")} |\n" }
+      sb ++= f"| `$n` | $s%.2f | ${bestOf(n)} | $c | ${bad.mkString(",")} |\n" }
     sb ++= f"\nTotal wall (stages + all queries, both reps): $wall%.1f s. "
     sb ++= "No query failed or spilled to OOM; empty plan-flag column = " +
       "no cartesian product and no unpartitioned window under AQE at " +

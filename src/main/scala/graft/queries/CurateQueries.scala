@@ -1,0 +1,499 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext._
+import graft.ops.Dedup
+import graft.sources.Tables
+import graft.queries.ExtensionSupport._
+
+/** Corpus-curation query surface: sampling, mixing, splits,
+  * sketches, sequence packing and end-to-end curation chains, each
+  * mirrored by a DuckDB oracle.
+  *
+  * Split from the one-file registry by family (round 9); entries and
+  * oracle SQL are byte-identical to the pre-split registry.
+  */
+private[queries] object CurateQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Deterministic stratified downsampling: membership from a salted
+    // id hash, so re-runs, repartitions, and external engines agree.
+    // Source-mix resampling toward a target recipe: src0 is clamped
+    // (under-represented vs its 0.2 share -> keep all), src2 and the
+    // default thin toward their shares.
+    "sample_domain_mix" -> { (s, dir) =>
+      Sampling.domainMixSample(docs(s, dir), col("doc_id"), col("source"),
+        targetShares = Seq("src0" -> 0.2, "src1" -> 0.1, "src2" -> 0.02),
+        defaultShare = 0.01, salt = "graft-mix:")
+        .select("doc_id", "source")
+    },
+
+
+    "sample_hash_stratified" -> { (s, dir) =>
+      Sampling.stratifiedHashSample(docs(s, dir), col("doc_id"),
+        col("lang"),
+        rates = Map("en" -> 10, "de" -> 25, "fr" -> 40),
+        defaultRate = 60, salt = "graft-sample:")
+        .select("doc_id", "lang")
+    },
+
+
+    // Temperature flattening (α = 1/2, budget c = 0.1) over the
+    // skewed lang column: surviving counts ∝ sqrt(n_lang), the
+    // mT5-style head-flattening mix, fully bit-portable (no
+    // normalizing float sum).
+    "sample_temperature" -> { (s, dir) =>
+      Sampling.temperatureSample(docs(s, dir), col("doc_id"),
+        col("lang"), budget = 0.1, salt = "graft-temp:")
+        .select("doc_id", "lang")
+    },
+
+
+    // The flagship curation pipeline, composed end to end in ONE
+    // declarative plan: giant-doc length cap → language-ID
+    // confirmation → quality gate → exact dedup (first doc per
+    // normalized fingerprint) → salted-hash downsample → PII-scrubbed
+    // output. Narrow ops fuse into one codegen stage; the only shuffle
+    // is the dedup window — at 100 TB each stage drops rows BEFORE the
+    // next pays for them, and the scrub runs on the small survivor
+    // set. The 20k-char cap bounds every per-doc stage's work per row
+    // (the skew guard; no-op on this corpus, mirrored in the oracle).
+    "curate_corpus" -> { (s, dir) =>
+      val capped = TextAnalysis.capDocLength(docs(s, dir), "text", 20000)
+      val scored = capped.select(col("doc_id"), col("lang"),
+        col("text"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.langId(col("text")).as("__pred"),
+        TextAnalysis.fingerprint(col("text")).as("__fp"))
+      val kept = scored
+        .filter(col("__pred") === col("lang") && col("quality") >= 0.45)
+      DedupOps.keepFirstPerKey(kept, col("__fp"), col("doc_id"))
+        .filter(Sampling.hashBucket(col("doc_id"), "graft-sample:") < 50)
+        .select(col("doc_id"), col("lang"), col("quality"),
+          md5(TextAnalysis.redactPii(col("text"))).as("redacted_md5"))
+    },
+
+
+    // Quality-weighted deterministic sampling: a doc's retention
+    // probability IS its quality score (hash bucket < quality·100) —
+    // the curation policy "keep good text more often", reproducible
+    // because the coin flip is a salted id hash, not an RNG.
+    "sample_weighted_quality" -> { (s, dir) =>
+      docs(s, dir)
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .filter(Sampling.hashBucket(col("doc_id"), "graft-wq:") <
+          floor(col("quality") * 100).cast("long"))
+        .select("doc_id", "lang", "quality")
+    },
+
+
+    // Fixed-size deterministic sample: exactly 20 docs per language,
+    // chosen by smallest salted hash rank — reproducible everywhere.
+    "sample_fixed_stratified" -> { (s, dir) =>
+      Sampling.fixedSizeStratifiedSample(docs(s, dir), col("doc_id"),
+        col("lang"), n = 20, salt = "graft-fix:")
+        .select("doc_id", "lang")
+    },
+
+
+    // Count-min sketch as dataflow: cell table from one aggregation,
+    // top-10 heavy hitters probed against it. cms_n ≥ exact_n always
+    // (the sketch never under-counts); collisions make some rows over.
+    "sketch_countmin" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val sk = CountMin.table(li, col("l_partkey"), depth = 3, width = 1024)
+      val exact = li.groupBy(col("l_partkey").as("item"))
+        .agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("item")).limit(10)
+      CountMin.estimate(sk, exact, col("item"), depth = 3, width = 1024)
+        .withColumn("never_under", col("cms_n") >= col("exact_n"))
+    },
+
+
+    // Chunks → training sequences: shard-parallel concat-and-cut
+    // packing into 256-token sequences (8 shards, salted doc-id hash).
+    "pack_sequences" -> { (s, dir) =>
+      val chunks = TextAnalysis.chunkTokens(docs(s, dir), col("doc_id"),
+        col("text"), window = 32, overlap = 8)
+      TextAnalysis.packSequences(chunks, col("doc_id"), col("chunk_idx"),
+        col("n_tokens"), capacity = 256, shards = 8, salt = "graft-pack:")
+    },
+
+
+    // Leakage-guarded train/val/test split: the SOURCE hash (not the
+    // doc id) picks the split, so same-domain near-dups never straddle
+    // train and eval. 10% val, 10% test per-mille thresholds.
+    "split_assign" -> { (s, dir) =>
+      Sampling.splitAssign(docs(s, dir), col("source"), "graft-split:",
+        valPerMille = 100, testPerMille = 100)
+        .select("doc_id", "source", "split")
+    },
+
+
+    // The DSIR use-case end-to-end: keep the top-third most
+    // target-domain-like docs per language — BIGRAM-feature
+    // importance weights (the paper's hashed-bigram models; unigram
+    // weights quantize to a 95%-tie mode on this corpus, which would
+    // make the cut trivially keep everything) fed through the
+    // bounded-histogram tercile cut on the NEGATED score (head =
+    // lowest, so negation selects the highest weights). The cut
+    // never splits a tie group, so the guarantee is "at least a
+    // third", generous in the keep direction.
+    "curate_domain" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val wts = TextAnalysis.dsirWeights(d, col("doc_id"),
+          col("text"), col("source") === "src0", ngram = 2)
+        .join(d.select(col("doc_id"), col("lang")), "doc_id")
+        .withColumn("__negw", -col("mean_millibits"))
+      TextAnalysis.scoreTerciles(wts, "lang", "__negw")
+        .filter(col("bucket") === "head")
+        .select(col("doc_id"), col("lang"), col("mean_millibits"))
+    },
+
+
+    // End-to-end pretraining prep in ONE declarative plan — the
+    // flagship composition of the curation surface: giant-doc cap →
+    // language gate → Gopher repetition filter → leakage-guarded
+    // train split → context-length chunking → sequence packing.
+    // Catalyst fuses the doc-level stages into one pass; the only
+    // exchanges are the repetition aggregation and the pack window.
+    "curate_pretrain" -> { (s, dir) =>
+      val capped = TextAnalysis.capDocLength(docs(s, dir), "text", 2000)
+      // repetition keep over ALL capped docs, not the langid subset:
+      // the final set is keep ∩ en either way, but this keeps the
+      // expensive langid tokenization out of the two explode branches
+      // (g2/g3 would otherwise each recompute it — measured 2x the
+      // whole query)
+      val keep = TextAnalysis
+        .repetitionMetrics(capped, col("doc_id"), col("text"))
+        .filter(col("keep")).select("doc_id")
+      val en = capped.filter(TextAnalysis.langId(col("text")) === "en")
+      val train = Sampling.splitAssign(en.join(keep, "doc_id"),
+          col("source"), "graft-split:",
+          valPerMille = 100, testPerMille = 100)
+        .filter(col("split") === "train")
+      val chunks = TextAnalysis.chunkTokens(train, col("doc_id"),
+        col("text"), window = 32, overlap = 8)
+      TextAnalysis.packSequences(chunks, col("doc_id"), col("chunk_idx"),
+        col("n_tokens"), capacity = 256, shards = 8, salt = "graft-pack:")
+    },
+
+
+    // Misra–Gries frequent-items sketch over the token-initial stream
+    // (19 distinct, genuinely skewed): capacity 12 < distinct forces
+    // evictions; the oracle checks the exact heavy-hitter set plus the
+    // theorem-guaranteed booleans (present, error ≤ n/(k+1)).
+    "sketch_freqitems" -> { (s, dir) =>
+      val items = docs(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("__t"))
+        .filter(col("__t") =!= "")
+        .select(substring(col("__t"), 1, 1).as("item"))
+      FreqItems.heavyHittersVerified(items, col("item"), k = 12)
+    },
+
+
+    // Per-source corpus datasheet: doc/token volume, vocabulary,
+    // integer type-token ratio, exact-dup count — the data-card
+    // report a curated corpus ships with.
+    "corpus_report" -> { (s, dir) =>
+      TextAnalysis.corpusReport(docs(s, dir), col("source"),
+        col("doc_id"), col("text"))
+    },
+
+
+    // Value-distribution histogram: fixed-width buckets over the
+    // events value column (floor math, exact in both engines).
+    "agg_histogram" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(floor(col("value") / 50.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+    },
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    // same chunk arithmetic as text_chunk; shard = 7-hex salted hash
+    // % 8, cumulative token count per shard in (doc_id, chunk_idx)
+    // order, sequences cut every 256 tokens. `//` (floor) and Spark's
+    // `div` (truncate) agree because the cumsum is non-negative.
+    "pack_sequences" ->
+      s"""WITH d AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |c AS (SELECT doc_id, CAST(i.i AS INT) AS chunk_idx,
+         |        least(CAST(32 AS BIGINT), len(toks) - i.i*24) AS n_tokens
+         |      FROM d, LATERAL (SELECT unnest(range(0,
+         |        CAST(floor(CAST(greatest(len(toks) - 8 - 1, 0) AS DOUBLE) / 24.0) AS BIGINT) + 1)) AS i) i
+         |      WHERE len(toks) >= 1),
+         |s AS (SELECT *, CAST('0x' || substr(md5('graft-pack:' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 8 AS shard
+         |      FROM c),
+         |cum AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard
+         |          ORDER BY doc_id, chunk_idx
+         |          ROWS UNBOUNDED PRECEDING) - n_tokens AS cumb
+         |        FROM s)
+         |SELECT doc_id, chunk_idx, n_tokens, shard,
+         |  CAST(cumb // 256 AS BIGINT) AS seq_id,
+         |  CAST(cumb % 256 AS BIGINT) AS seq_offset
+         |FROM cum""".stripMargin,
+
+
+    "split_assign" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN CAST('0x' || substr(md5('graft-split:' || source), 1, 7) AS BIGINT) % 1000 < 100 THEN 'test'
+        |       WHEN CAST('0x' || substr(md5('graft-split:' || source), 1, 7) AS BIGINT) % 1000 < 200 THEN 'val'
+        |       ELSE 'train' END AS split
+        |FROM documents""".stripMargin,
+
+
+    // DSIR CTEs with BIGRAM features (the '_'-joined shingle form,
+    // identical to curate_pretrain's bigram SQL), then the tercile
+    // cut over the negated weight, filtered to the kept third
+    "curate_domain" ->
+      s"""WITH d AS (SELECT doc_id, source = 'src0' AS tgt,
+         |             $tokensSql AS toks FROM documents),
+         |tok AS (SELECT doc_id, tgt, unnest(CASE WHEN len(toks) >= 2
+         |          THEN list_transform(range(1, len(toks)),
+         |                 i -> toks[i] || '_' || toks[i+1]) ELSE [] END) AS t
+         |        FROM d),
+         |cnt AS (SELECT t, count(*) AS cr,
+         |          CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct
+         |        FROM tok GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+         |          CAST(sum(ct) AS BIGINT) AS nt,
+         |          CAST(count(*) AS BIGINT) AS v FROM cnt),
+         |sc AS (SELECT doc_id, count(*) AS n_tokens,
+         |         CAST(sum((length(bin(ct + 1)) - 1)
+         |             - (length(bin(cr + 1)) - 1)
+         |             + ((length(bin(nr + v)) - 1)
+         |               - (length(bin(nt + v)) - 1))) AS BIGINT)
+         |           AS dsir_bits
+         |       FROM tok JOIN cnt USING (t) CROSS JOIN tot GROUP BY 1),
+         |scored AS (SELECT d0.doc_id, d0.lang,
+         |    coalesce((dsir_bits * 1000) // n_tokens, 0) AS mean_millibits,
+         |    -coalesce((dsir_bits * 1000) // n_tokens, 0) AS negw
+         |  FROM documents d0 LEFT JOIN sc USING (doc_id)),
+         |hist AS (SELECT lang, negw, count(*) AS c
+         |         FROM scored GROUP BY 1, 2),
+         |cum AS (SELECT lang, negw,
+         |    coalesce(CAST(sum(c) OVER (PARTITION BY lang ORDER BY negw
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS BIGINT), 0) AS lt
+         |  FROM hist),
+         |ln AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+         |       FROM scored GROUP BY 1),
+         |b AS (SELECT cum.lang, cum.negw,
+         |    CASE WHEN lt * 3 < n THEN 'head'
+         |         WHEN lt * 3 < 2 * n THEN 'middle'
+         |         ELSE 'tail' END AS bucket
+         |  FROM cum JOIN ln USING (lang))
+         |SELECT scored.doc_id, scored.lang, scored.mean_millibits
+         |FROM scored JOIN b USING (lang, negw) WHERE bucket = 'head'""".stripMargin,
+
+
+    // the full curation chain as one SQL: cap -> langid -> repetition
+    // keep -> train-split hash -> chunk arithmetic -> pack window,
+    // every fragment identical to its standalone query's oracle
+    "curate_pretrain" -> {
+      val en = langScoreSql(Seq("the", "and", "of", "is"))
+      val de = langScoreSql(Seq("der", "die", "und", "ist"))
+      val fr = langScoreSql(Seq("le", "la", "et", "est"))
+      val es = langScoreSql(Seq("el", "los", "y", "es"))
+      s"""WITH capped AS (SELECT doc_id, source, substr(text, 1, 2000) AS text
+         |                FROM documents),
+         |d AS (SELECT doc_id, source, text, $tokensSql AS toks FROM capped),
+         |eng AS (SELECT doc_id, source, toks FROM d
+         |        WHERE CASE WHEN $en >= $de AND $en >= $fr AND $en >= $es THEN 'en'
+         |                   WHEN $de >= $fr AND $de >= $es THEN 'de'
+         |                   WHEN $fr >= $es THEN 'fr' ELSE 'es' END = 'en'),
+         |b AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+         |        THEN list_transform(range(1, len(toks)),
+         |               i -> toks[i] || '_' || toks[i+1]) ELSE [] END) AS g
+         |      FROM eng),
+         |t AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+         |        THEN list_transform(range(1, len(toks) - 1),
+         |               i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2]) ELSE [] END) AS g
+         |      FROM eng),
+         |b2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n2,
+         |         count(*) AS d2, CAST(max(c) AS BIGINT) AS top2
+         |       FROM (SELECT doc_id, g, count(*) AS c FROM b GROUP BY 1, 2)
+         |       GROUP BY 1),
+         |t3 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n3, count(*) AS d3
+         |       FROM (SELECT doc_id, g, count(*) AS c FROM t GROUP BY 1, 2)
+         |       GROUP BY 1),
+         |rep AS (SELECT eng.doc_id FROM eng
+         |        LEFT JOIN b2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+         |        WHERE coalesce(CAST(n2 - d2 AS DOUBLE) / CAST(n2 AS DOUBLE), 0.0) <= 0.2
+         |          AND coalesce(CAST(n3 - d3 AS DOUBLE) / CAST(n3 AS DOUBLE), 0.0) <= 0.18
+         |          AND (coalesce(n2, 0) < 20
+         |               OR coalesce(CAST(top2 AS DOUBLE) / CAST(n2 AS DOUBLE), 0.0) <= 0.2)),
+         |tr AS (SELECT eng.doc_id, eng.toks FROM eng JOIN rep USING (doc_id)
+         |       WHERE CAST('0x' || substr(md5('graft-split:' || source), 1, 7) AS BIGINT) % 1000 >= 200),
+         |c AS (SELECT doc_id, CAST(i.i AS INT) AS chunk_idx,
+         |        least(CAST(32 AS BIGINT), len(toks) - i.i*24) AS n_tokens
+         |      FROM tr, LATERAL (SELECT unnest(range(0,
+         |        CAST(floor(CAST(greatest(len(toks) - 8 - 1, 0) AS DOUBLE) / 24.0) AS BIGINT) + 1)) AS i) i
+         |      WHERE len(toks) >= 1),
+         |s AS (SELECT *, CAST('0x' || substr(md5('graft-pack:' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 8 AS shard
+         |      FROM c),
+         |cum AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard
+         |          ORDER BY doc_id, chunk_idx
+         |          ROWS UNBOUNDED PRECEDING) - n_tokens AS cumb
+         |        FROM s)
+         |SELECT doc_id, chunk_idx, n_tokens, shard,
+         |  CAST(cumb // 256 AS BIGINT) AS seq_id,
+         |  CAST(cumb % 256 AS BIGINT) AS seq_offset
+         |FROM cum""".stripMargin
+    },
+
+
+    // the sketch side cannot appear in SQL (content is merge-order
+    // dependent); the oracle pins the exact heavy set — every item
+    // with count·13 > n — and the booleans the MG theorems force true
+    "sketch_freqitems" ->
+      s"""WITH tok AS (SELECT substr(t, 1, 1) AS item FROM
+         |  (SELECT doc_id, unnest($tokensSql) AS t FROM documents)
+         |  WHERE t <> ''),
+         |ex AS (SELECT item, count(*) AS exact_n FROM tok GROUP BY 1),
+         |n AS (SELECT CAST(sum(exact_n) AS BIGINT) AS nn FROM ex)
+         |SELECT item, exact_n, true AS in_sketch, true AS within_bound
+         |FROM ex, n WHERE exact_n * 13 > nn""".stripMargin,
+
+
+    // fingerprint = md5 of the whitespace-normal form (same as
+    // dedup_exact's dup_key); TTR is integer millis, exact division
+    "corpus_report" ->
+      s"""WITH d AS (SELECT source, text,
+         |             list_filter($tokensSql, t -> t <> '') AS toks
+         |           FROM documents),
+         |doc AS (SELECT source, count(*) AS n_docs,
+         |          CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+         |          count(*) - count(DISTINCT md5(regexp_replace(
+         |            lower(trim(text)), '\\s+', ' ', 'g'))) AS n_dup_docs
+         |        FROM d GROUP BY 1),
+         |voc AS (SELECT source, count(DISTINCT t) AS vocab
+         |        FROM (SELECT source, unnest(toks) AS t FROM d) GROUP BY 1)
+         |SELECT source, n_docs, n_tokens, n_dup_docs,
+         |  coalesce(vocab, 0) AS vocab,
+         |  coalesce((vocab * 1000) // n_tokens, 0) AS ttr_millis
+         |FROM doc LEFT JOIN voc USING (source)""".stripMargin,
+
+
+    // shares/default/salt mirror the Spark call; rate arithmetic is
+    // (CASE share) * total / n left-to-right, clamped, floored at 1e-6
+    // divide -> sqrt -> multiply on exact integers: every step
+    // correctly rounded, identical on both engines; 15 hex chars =
+    // the 60-bit hash the Spark side thins with (bias ~4e-13)
+    "sample_temperature" ->
+      """WITH c AS (SELECT lang AS st, count(*) AS n FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN c ON c.st = d.lang CROSS JOIN tot
+        |WHERE CAST('0x' || substr(md5('graft-temp:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000
+        |  < CAST(floor(least(1.0,
+        |      0.1 * sqrt(CAST(total AS DOUBLE) / CAST(n AS DOUBLE))) * 1000000.0) AS BIGINT)""".stripMargin,
+
+
+    "sample_domain_mix" ->
+      """WITH c AS (SELECT source AS st, count(*) AS n FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN c ON c.st = d.source CROSS JOIN tot
+        |WHERE CAST('0x' || substr(md5('graft-mix:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000
+        |  < CAST(floor(least(1.0,
+        |      CASE d.source WHEN 'src0' THEN 0.2 WHEN 'src1' THEN 0.1
+        |                    WHEN 'src2' THEN 0.02 ELSE 0.01 END
+        |      * CAST(total AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)""".stripMargin,
+
+
+    "sample_hash_stratified" ->
+      """SELECT doc_id, lang
+        |FROM documents
+        |WHERE CAST('0x' || substr(md5('graft-sample:' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 100
+        |  < CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 25 WHEN 'fr' THEN 40 ELSE 60 END""".stripMargin,
+
+
+    "curate_corpus" -> {
+      val en = langScoreSql(Seq("the", "and", "of", "is"))
+      val de = langScoreSql(Seq("der", "die", "und", "ist"))
+      val fr = langScoreSql(Seq("le", "la", "et", "est"))
+      val es = langScoreSql(Seq("el", "los", "y", "es"))
+      s"""WITH capped AS (SELECT doc_id, lang, substr(text, 1, 20000) AS text
+        |           FROM documents),
+        |d AS (SELECT doc_id, lang, text, $tokensSql AS toks FROM capped),
+        |scored AS (
+        |  SELECT doc_id, lang, text,
+        |    $qualitySql AS quality,
+        |    CASE WHEN $en >= $de AND $en >= $fr AND $en >= $es THEN 'en'
+        |         WHEN $de >= $fr AND $de >= $es THEN 'de'
+        |         WHEN $fr >= $es THEN 'fr' ELSE 'es' END AS pred,
+        |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        |  FROM d),
+        |kept AS (SELECT * FROM scored WHERE pred = lang AND quality >= 0.45),
+        |ded AS (SELECT * FROM kept
+        |        QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1)
+        |SELECT doc_id, lang, quality,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+        |    'https?://[A-Za-z0-9./_-]+', '<URL>', 'g')) AS redacted_md5
+        |FROM ded
+        |WHERE CAST('0x' || substr(md5('graft-sample:' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 100 < 50""".stripMargin
+    },
+
+
+    "sample_weighted_quality" ->
+      (s"""WITH d AS (SELECT doc_id, lang, text, $tokensSql AS toks FROM documents),
+        |q AS (SELECT doc_id, lang, $qualitySql AS quality
+        |FROM d)
+        |SELECT doc_id, lang, quality FROM q
+        |WHERE CAST('0x' || substr(md5('graft-wq:' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 100
+        |  < CAST(floor(quality * 100) AS BIGINT)""".stripMargin),
+
+
+    "sample_fixed_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY lang
+        |  ORDER BY CAST('0x' || substr(md5('graft-fix:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+        |           doc_id) <= 20""".stripMargin,
+
+
+    // Carter–Wegman bucket ((a·x + b) mod 2^31−1) mod width, written
+    // identically to CountMin.bucket — integer-only, no digest. The
+    // per-row (a, b) literals below are CountMin.rowConsts(3)
+    // (splitmix64 of the row index), interpolated so both engines hash
+    // with the same genuinely independent rows.
+    "sketch_countmin" -> {
+      val consts = graft.ext.CountMin.rowConsts(3)
+        .zipWithIndex
+        .map { case ((a, b), j) => s"($j, $a, $b)" }
+        .mkString(", ")
+      s"""WITH consts(seed, a, b) AS (VALUES $consts),
+        |cells AS (
+        |  SELECT c.seed,
+        |    ((c.a * (l_partkey % 2147483647) + c.b) % 2147483647) % 1024 AS bkt,
+        |    count(*) AS n
+        |  FROM lineitem CROSS JOIN consts c
+        |  GROUP BY 1, 2),
+        |exact AS (
+        |  SELECT l_partkey AS item, count(*) AS exact_n
+        |  FROM lineitem GROUP BY 1
+        |  QUALIFY row_number() OVER (ORDER BY count(*) DESC, l_partkey) <= 10),
+        |est AS (
+        |  SELECT e.item, e.exact_n, min(cl.n) AS cms_n
+        |  FROM exact e CROSS JOIN consts c
+        |  JOIN cells cl ON cl.seed = c.seed
+        |    AND cl.bkt = ((c.a * (e.item % 2147483647) + c.b) % 2147483647) % 1024
+        |  GROUP BY 1, 2)
+        |SELECT item, exact_n, cms_n, cms_n >= exact_n AS never_under FROM est""".stripMargin
+    },
+
+
+    "agg_histogram" ->
+      """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
+  )
+}

@@ -1,0 +1,590 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext._
+import graft.sources.Tables
+
+/** Shared plumbing for the per-family extension query registries:
+  * table loaders, the memoized shared pipeline stages (component
+  * labels, PQ codebook/codes, graphs, BPE merges, bucketed layout),
+  * and the DuckDB-oracle SQL builders whose float math must stay
+  * written identically to the Spark side.
+  */
+private[queries] object ExtensionSupport {
+
+
+  private[queries] def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private[queries] def docs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+
+  // hex-string byte encoders for synthesizing container headers in
+  // pure codegen'd expressions (to_binary at the end, no UDF)
+  private[queries] def hex2(c: Column): Column = lpad(hex(c), 2, "0")
+  private[queries] def hexLe16(c: Column): Column =
+    concat(hex2(pmod(c, lit(256))), hex2((c / 256).cast("int")))
+  private[queries] def hexBe16(c: Column): Column = lpad(hex(c), 4, "0")
+  private[queries] def hexBe32(c: Column): Column = lpad(hex(c), 8, "0")
+  private[queries] def hexLe32(c: Column): Column = concat(
+    hex2(pmod(c, lit(256))), hex2(pmod((c / 256).cast("int"), lit(256))),
+    hex2(pmod((c / 65536).cast("int"), lit(256))),
+    hex2((c / 16777216).cast("int")))
+
+  private[queries] def emb(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  // -- Shared pipeline stages -----------------------------------------
+  // The component labels, PQ codebook/codes, and BPE merges each feed
+  // several queries. A production pipeline materializes such a stage
+  // once and fans out — mirrored through the public
+  // [[graft.ext.Stages]] cache (one localCheckpoint'd build per
+  // (session, dir, stage), fingerprint-swapped on fixture
+  // regeneration; full contract in its scaladoc).
+  private[queries] def memo(s: SparkSession, dir: String, stage: String,
+                   fpFile: String = "documents.parquet")
+                  (build: => DataFrame): DataFrame =
+    Stages.stage(s, s"$dir|$stage",
+      Tables.fingerprint(s"$dir/$fpFile"))(build)
+
+  private[queries] def componentLabels(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "cc_labels") {
+      val d = docs(s, dir)
+      val pairs = DedupOps.lshCandidatePairs(d, col("doc_id"),
+        TextAnalysis.shingles(col("text"), 2), numHashes = 12, bands = 4)
+      DedupOps.connectedComponents(
+        d.select(col("doc_id").as("id")), pairs)
+    }
+
+  /** Force-builds (and times) each shared memoized stage for `dir`, so
+    * a benchmark can account the one-time stage cost explicitly
+    * instead of charging it to whichever consumer query happens to run
+    * first. Returns (stageName, seconds) per stage built.
+    */
+  /** PQ codebook over the embeddings corpus at the queries' default
+    * geometry — trained ONCE per (session, dir) and shared by both PQ
+    * queries (the FAISS train-once/query-many lifecycle; see
+    * Similarity.pqTrain's scaladoc for why an un-materialized
+    * codebook is recomputed per broadcast consumer).
+    */
+  // trainSample=4: the Lloyd update runs over a quarter of the
+  // corpus (FAISS trains codebooks on a sample); the id-modulus
+  // sample is deterministic so the DuckDB oracle re-derives the
+  // identical codebook. Codes still cover the full corpus.
+  private[queries] def pqCodebook(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "pq_codebook", fpFile = "embeddings.parquet") {
+      Similarity.pqTrain(emb(s, dir), m = 16, dims = 64, codebookK = 16,
+        trainSample = 4)
+    }
+
+  /** Packed PQ codes of the embeddings corpus at the same geometry —
+    * the index-build half of the FAISS lifecycle (encode once, search
+    * many), shared by all four PQ queries. Without the memo each
+    * query re-runs the assign-join + pack aggregation over the whole
+    * corpus — pure duplicated work at any scale.
+    */
+  private[queries] def pqCodes(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "pq_codes", fpFile = "embeddings.parquet") {
+      Similarity.pqEncode(emb(s, dir), m = 16, dims = 64,
+        codebookK = 16, codebook = Some(pqCodebook(s, dir)))
+    }
+
+  /** Degree-annotated trade-graph edges — the build-once half of the
+    * PageRank lifecycle (a link graph is constructed once, then
+    * ranked many times). Fingerprinted over BOTH source tables; the
+    * single-file `memo` helper fits the other stages, so this one
+    * calls [[Stages.stage]] directly.
+    */
+  private[queries] def prGraph(s: SparkSession, dir: String): DataFrame =
+    Stages.stage(s, s"$dir|pr_graph",
+      31L * Tables.fingerprint(s"$dir/orders.parquet") +
+        Tables.fingerprint(s"$dir/lineitem.parquet")) {
+      val ej = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+        .distinct()
+      Graph.prepareEdges(ej
+        .select((col("c") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+        .unionAll(ej.select((col("sk") * 2 + 1).as("src"),
+          (col("c") * 2).as("dst"))))
+    }
+
+  // -- Write-once bucketed layout (layout_bucket_join) ----------------
+  // Key → documents fingerprint at write time, so a regenerated
+  // fixture re-writes. The two write jobs run inside compute's bin
+  // lock — acceptable for this single-purpose map (unlike the shared
+  // stageCache above, no other key can be starved behind it).
+  private[queries] val bucketedWritten =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Catalog/table suffix unique per (session, dir): concurrent
+    * sessions and parallel bench/verify runs on one machine must not
+    * race on a shared table name or output directory.
+    */
+  private[graft] def bucketedSuffix(s: SparkSession, dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s"${s.sparkContext.applicationId}|$dir".getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+  }
+
+  /** Write both bucketed tables ONCE per (session, dir) — the
+    * write-once/join-many contract of a bucketed layout. Re-invoking
+    * the query joins the already-written tables.
+    */
+  private[graft] def bucketedLayout(s: SparkSession, dir: String): Unit = {
+    val sfx = bucketedSuffix(s, dir)
+    val key = s"${s.sparkContext.applicationId}|$dir|bucketed"
+    val fp = Tables.fingerprint(s"$dir/documents.parquet")
+    bucketedWritten.compute(key, (_, prev) => {
+      if (prev == null || prev.longValue() != fp) {
+        import graft.sources.BucketedTables
+        val tmp = System.getProperty("java.io.tmpdir") +
+          s"/graft_bucketed_$sfx"
+        BucketedTables.writeBucketed(
+          docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+          s"graft_docs_bkt_$sfx", s"$tmp/docs", "doc_id", buckets = 8)
+        BucketedTables.writeBucketed(
+          docs(s, dir).select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).cast("long")
+              .as("n_tokens")),
+          s"graft_stats_bkt_$sfx", s"$tmp/stats", "doc_id", buckets = 8)
+      }
+      java.lang.Long.valueOf(fp)
+    })
+  }
+
+  /** The induced BPE merge table (k = 6, maxWords = 512) — one
+    * train-once stage shared by the vocab query and the encoder, the
+    * tokenizer-training lifecycle (train once, encode everything).
+    */
+  private[queries] def bpeMerges(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "bpe_merges") {
+      Bpe.train(docs(s, dir), col("text"), k = 6, maxWords = 512)
+    }
+
+  def prebuildStages(s: SparkSession, dir: String): Seq[(String, Double)] = {
+    def timed(name: String)(f: => Unit): (String, Double) = {
+      val t0 = System.nanoTime()
+      f
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    Seq(
+      timed("cc_labels") { componentLabels(s, dir).count() },
+      timed("pq_codebook") { pqCodebook(s, dir).count() },
+      timed("pq_codes") { pqCodes(s, dir).count() },
+      timed("bpe_merges") { bpeMerges(s, dir).count() },
+      timed("pr_graph") { prGraph(s, dir).count() },
+      timed("copurchase_edges") { copurchaseEdges(s, dir).count() },
+      timed("bucketed_layout") { bucketedLayout(s, dir) })
+  }
+
+  /** Bench-only: drop this (session, dir)'s memoized stages so
+    * [[prebuildStages]] can time a REBUILD — one-shot stage costs
+    * carry ±0.3 s of scheduling jitter that min-of-k strips for
+    * ordinary queries but a memo would otherwise lock in. Unsupported
+    * while queries over the old frame are in flight (same contract as
+    * fixture regeneration above).
+    */
+  private[graft] def evictStages(s: SparkSession, dir: String): Unit = {
+    Seq("cc_labels", "pq_codebook", "pq_codes", "bpe_merges", "pr_graph",
+      "copurchase_edges")
+      .foreach(stage => Stages.evict(s, s"$dir|$stage"))
+    // next bucketedLayout call re-writes the tables (rebuild timing)
+    bucketedWritten.remove(s"${s.sparkContext.applicationId}|$dir|bucketed")
+  }
+
+  /** Support-≥2 co-purchase edges (canonical u < v) — like
+    * [[prGraph]], a graph artifact built once and consumed by several
+    * analyses (triangle census, community extraction).
+    */
+  private[queries] def copurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    Stages.stage(s, s"$dir|copurchase_edges",
+      Tables.fingerprint(s"$dir/lineitem.parquet")) {
+      Graph.coOccurrenceEdges(
+        t(s, dir, "lineitem").select(col("l_orderkey").as("group"),
+          col("l_partkey").as("item")),
+        minSupport = 2)
+    }
+
+  // ------------------------------------------------------------------ //
+  // DuckDB oracles. Helpers keep the float math written identically
+  // to the Spark side (left fold, double casts).
+
+  /** Left-fold dot product of two float-list columns, double math. */
+  private[queries] def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, len($a) + 1),
+       |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
+
+  private[queries] def normSql(a: String): String =
+    s"""sqrt(list_reduce(list_transform(range(1, len($a) + 1),
+       |      i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)), (x, y) -> x + y))""".stripMargin
+
+  /** Seed terms for the BM25 curation query (high-df corpus words so
+    * every SF has matches); shared by the Spark call and the oracle.
+    */
+  private[queries] val Bm25Terms = Seq("data", "join", "hash")
+
+  private[queries] def bm25OracleSql(terms: Seq[String], k: Int): String = {
+    val tfs = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(toks, t -> t = '$t')) AS tf$i"
+    }.mkString(", ")
+    val dfs = terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    // identical decimal literals to the Spark expression (2.2, 1.2,
+    // 0.25, 0.75) — both engines parse the same doubles
+    val score = terms.indices.map(i =>
+      s"ln((s.n - s.df$i + 0.5)/(s.df$i + 0.5) + 1.0) * " +
+        s"(CAST(tf$i AS DOUBLE) * 2.2) / (CAST(tf$i AS DOUBLE) + " +
+        s"1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / s.avgdl))")
+      .mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |tf AS (SELECT doc_id, len(toks) AS dl, $tfs FROM d),
+       |s AS (SELECT count(*) AS n,
+       |        CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, $dfs FROM tf)
+       |SELECT doc_id, dl, ${terms.indices.map(i => s"tf$i").mkString(", ")},
+       |  CAST(row_number() OVER (ORDER BY ($score) DESC, doc_id) AS INT) AS rnk
+       |FROM tf, s
+       |QUALIFY rnk <= $k""".stripMargin
+  }
+
+  private[queries] def l2Sql(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, len($a) + 1),
+       |      i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))), (x, y) -> x + y)""".stripMargin
+
+  /** PQ-ADC oracle, one CTE block per subspace mirroring
+    * Similarity.pqTopK's single subspace-as-data plan: codebook =
+    * first-kk init + one fixed-point Lloyd update, codes by L2 argmin
+    * (ties to smaller cid), per-query fixed-point dot tables, integer
+    * ADC sums, top-k by (adc DESC, id ASC).
+    */
+  private[queries] def pqOracleSql(m: Int, dims: Int, kk: Int, k: Int,
+                          ivf: Option[(Int, Int)] = None,
+                          refine: Option[Int] = None,
+                          trainSample: Int = 1): String = {
+    val d = dims / m
+    // mirror of pqTrain's trainSample: seeds and the Lloyd update run
+    // over the deterministic id-modulus sample; codes cover everything
+    val trainW =
+      if (trainSample == 1) "" else s" WHERE vec_id % $trainSample = 0"
+    // coarse quantizer CTEs (mirrors sim_ivf_topk's cosine
+    // assign/probe) + the allowed (query, neighbor) pair set
+    val ivfCtes = ivf.map { case (nlist, nprobe) =>
+      s"""cent AS (SELECT vec_id AS ccid, embedding AS cvec
+         |         FROM embeddings ORDER BY vec_id LIMIT $nlist),
+         |assigned AS (
+         |  SELECT c.vec_id AS neighbor_id, ct.ccid AS list
+         |  FROM embeddings c CROSS JOIN cent ct
+         |  QUALIFY row_number() OVER (PARTITION BY c.vec_id
+         |    ORDER BY ${cosSql("c.embedding", "ct.cvec")} DESC, ct.ccid) = 1),
+         |probes AS (
+         |  SELECT q.vec_id AS query_id, ct.ccid AS list
+         |  FROM embeddings q CROSS JOIN cent ct WHERE q.vec_id < 50
+         |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY ${cosSql("q.embedding", "ct.cvec")} DESC, ct.ccid) <= $nprobe),
+         |allowed AS (SELECT p.query_id, a.neighbor_id
+         |            FROM probes p JOIN assigned a USING (list)),
+         |""".stripMargin
+    }.getOrElse("")
+    val ctes = (0 until m).map { j =>
+      val lo = j * d + 1
+      val hi = (j + 1) * d
+      s"""sub$j AS (SELECT vec_id, embedding[$lo:$hi] AS sv FROM embeddings),
+         |cent0_$j AS (SELECT vec_id AS cid, sv AS cv FROM sub$j$trainW ORDER BY vec_id LIMIT $kk),
+         |a1_$j AS (
+         |  SELECT s.vec_id, s.sv, c.cid
+         |  FROM (SELECT * FROM sub$j$trainW) s CROSS JOIN cent0_$j c
+         |  QUALIFY row_number() OVER (PARTITION BY s.vec_id
+         |    ORDER BY ${l2Sql("s.sv", "c.cv")} ASC, c.cid) = 1),
+         |sums_$j AS (
+         |  SELECT cid, i.i AS i,
+         |    sum(CAST(floor(CAST(sv[i.i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS s,
+         |    count(*) AS n
+         |  FROM a1_$j, LATERAL (SELECT unnest(range(1, ${d + 1})) AS i) i
+         |  GROUP BY 1, 2),
+         |cent1_$j AS (
+         |  SELECT cid, list((CAST(s AS DOUBLE) / n) / 1000000.0 ORDER BY i) AS cv
+         |  FROM sums_$j GROUP BY cid),
+         |codes_$j AS (
+         |  SELECT s.vec_id, c.cid FROM sub$j s CROSS JOIN cent1_$j c
+         |  QUALIFY row_number() OVER (PARTITION BY s.vec_id
+         |    ORDER BY ${l2Sql("s.sv", "c.cv")} ASC, c.cid) = 1),
+         |tbl_$j AS (
+         |  SELECT q.vec_id AS query_id, c.cid,
+         |    CAST(floor((${dotSql(s"q.embedding[$lo:$hi]", "c.cv")}) * 1000000.0) AS BIGINT) AS tq
+         |  FROM embeddings q CROSS JOIN cent1_$j c WHERE q.vec_id < 50)""".stripMargin
+    }
+    val restrict = if (ivf.isDefined)
+      " JOIN allowed al ON al.neighbor_id = cd.vec_id" +
+        " AND al.query_id = t.query_id"
+    else ""
+    val parts = (0 until m).map(j =>
+      s"SELECT t.query_id, cd.vec_id AS neighbor_id, t.tq " +
+        s"FROM codes_$j cd JOIN tbl_$j t ON t.cid = cd.cid$restrict")
+      .mkString(" UNION ALL ")
+    // stage-1 candidate cap: k·refine when a refine stage follows,
+    // plain k otherwise
+    val capK = k * refine.getOrElse(1)
+    val adcSel =
+      s"""SELECT query_id, neighbor_id, CAST(sum(tq) AS BIGINT) AS adc_q
+         |FROM parts WHERE query_id <> neighbor_id
+         |GROUP BY 1, 2
+         |QUALIFY row_number() OVER (PARTITION BY query_id
+         |  ORDER BY adc_q DESC, neighbor_id) <= $capK""".stripMargin
+    refine match {
+      case None =>
+        s"""WITH $ivfCtes${ctes.mkString(",\n")},
+           |parts AS ($parts)
+           |$adcSel""".stripMargin
+      case Some(_) =>
+        // exact cosine re-rank of the ADC candidates; same op order
+        // as the Spark side (dot(q,c) / (norm(q)·norm(c))), zero-norm
+        // vectors excluded on both sides
+        s"""WITH $ivfCtes${ctes.mkString(",\n")},
+           |parts AS ($parts),
+           |adc AS ($adcSel)
+           |SELECT a.query_id, a.neighbor_id,
+           |  ${cosSql("q.embedding", "c.embedding")} AS cos
+           |FROM adc a
+           |JOIN embeddings c ON c.vec_id = a.neighbor_id
+           |JOIN embeddings q ON q.vec_id = a.query_id
+           |WHERE (${normSql("c.embedding")}) > 0
+           |  AND (${normSql("q.embedding")}) > 0
+           |QUALIFY row_number() OVER (PARTITION BY a.query_id
+           |  ORDER BY cos DESC, a.neighbor_id) <= $k""".stripMargin
+    }
+  }
+
+  private[queries] def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)}) / ((${normSql(a)}) * (${normSql(b)}))"
+
+  /** DuckDB rendering of [[TextAnalysis.qlog8]] — log2 in integer
+    * eighth-bits: 8·(binlen−1) + (top 4 bits) − 8, msb from binary
+    * string length, shift direction by msb position. `x` must be a
+    * positive integer expression (it is interpolated several times —
+    * keep it simple, no side effects).
+    */
+  private[queries] def qlog8Sql(x: String): String = {
+    val len = s"length(bin($x))"
+    s"(8 * ($len - 1) + (CASE WHEN $len >= 4 " +
+      s"THEN ($x) >> ($len - 4) ELSE ($x) << (4 - $len) END) - 8)"
+  }
+
+  /** DuckDB rendering of [[org.apache.spark.sql.graft.WinnowKernel]]'s
+    * double 31-bit polynomial gram hash as the positional sum
+    * Σ cp(pos+j)·B^(k−1−j) mod P (equal to the Spark side's rolling
+    * update, term by term mod P): each term ≤ 2^21 · 2^31 and the
+    * k-term sum ≤ 2^56, exact in BIGINT.
+    */
+  private[queries] def winnowHashSql(k: Int): String = {
+    import org.apache.spark.sql.graft.WinnowKernel._
+    def sum(pows: IndexedSeq[Long]) = (0 until k).map(j =>
+      s"CAST(ascii(substr(text, CAST(i.i + $j AS INT), 1)) AS BIGINT) * ${pows(j)}")
+      .mkString(" + ")
+    s"((${sum(powers(B1, P1, k))}) % $P1) * $P2 + " +
+      s"((${sum(powers(B2, P2, k))}) % $P2)"
+  }
+
+  /** Winnowing fingerprint CTEs shared by the substring-dedup and
+    * decontamination oracles — k=16-char grams, 8-gram windows (ROWS
+    * ... 7 FOLLOWING), identical constants to the Spark calls. The
+    * oracle keeps the simple per-position window form; the Spark
+    * side's chunked kernel produces the same fingerprint SET (overlap
+    * chunking truncates windows only at true document end, exactly
+    * like the window frame here).
+    */
+  private[queries] def winnowFpsCte: String =
+    s"""grams AS (
+       |  SELECT doc_id, i.i AS pos,
+       |    ${winnowHashSql(16)} AS h
+       |  FROM documents,
+       |    LATERAL (SELECT unnest(generate_series(1, length(text) - 15)) AS i) i
+       |  WHERE length(text) >= 16),
+       |winmin AS (
+       |  SELECT doc_id,
+       |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |                 ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+       |  FROM grams),
+       |fps AS (SELECT DISTINCT doc_id, fp FROM winmin)""".stripMargin
+
+  /** Events view with the ns→µs timestamp truncation Tables.load does. */
+  private[queries] val evtCte =
+    """evts AS (SELECT event_id, make_timestamp(epoch_us(ts)) AS ts,
+      |               user_id, event_type, value, props FROM events)""".stripMargin
+
+  /** Word bigram shingles of `text` (TextAnalysis.shingles k=2). */
+  private[queries] val shingleCte =
+    """sh AS (
+      |  SELECT doc_id, lang, source,
+      |    CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 2
+      |      THEN list_transform(range(1, len(string_split_regex(trim(text), '\s+'))),
+      |             i -> string_split_regex(trim(text), '\s+')[i] || '_' ||
+      |                  string_split_regex(trim(text), '\s+')[i+1])
+      |      ELSE [] END AS s
+      |  FROM documents)""".stripMargin
+
+  /** DuckDB rendering of the deterministic ±1 hyperplane matrix
+    * (Similarity.hyperplanes) as literal lists, one per plane.
+    */
+  private[queries] def planeSql(planes: Int, dims: Int): Seq[String] =
+    Similarity.hyperplanes(planes, dims).toSeq.map(row =>
+      row.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]"))
+
+  private[queries] def lshBucketSql(vec: String, planes: Int, dims: Int): String =
+    planeSql(planes, dims).zipWithIndex.map { case (w, p) =>
+      s"(CASE WHEN (${dotSql(vec, w)}) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  private[queries] val tokensSql = """string_split_regex(trim(text), '\s+')"""
+
+  /** Augmented-space MIPS bucket (mirrors Similarity.mipsTopK's
+    * bucketBits): per plane, sign of ⟨v, w₁..d⟩ + w_{d+1}·extra where
+    * extra = √(max(M²−n², 0)) for corpus rows and 0 for queries (the
+    * +0 term is an IEEE no-op, so the query side omits it).
+    */
+  private[queries] def mipsBucketSql(vec: String, extra: Option[String],
+                            planes: Int, dims: Int): String = {
+    val pl = Similarity.hyperplanes(planes, dims + 1)
+    pl.zipWithIndex.map { case (w, p) =>
+      val prefix = w.take(dims)
+        .map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      val proj = extra match {
+        case Some(e) =>
+          val wl = if (w(dims) > 0) "1.0" else "-1.0"
+          s"(${dotSql(vec, prefix)}) + $wl * $e"
+        case None => s"(${dotSql(vec, prefix)})"
+      }
+      s"(CASE WHEN ($proj) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
+
+  /** The BPE induction as a CTE chain (graft.ext.Bpe replayed in SQL):
+    * `w0` is the capped word table with delimited symbol strings;
+    * round r computes pair counts `pc_r` from `w_(r-1)`, picks the
+    * (n DESC, pattern-bytes ASC) top pair `t_r`, and re-encodes into
+    * `w_r` with the same leftmost non-overlapping `replace` Spark
+    * runs. Ends with `t1..tk` in scope.
+    */
+  private[queries] def bpeCtes(k: Int, maxWords: Int): String = {
+    val w0 = raw"""w0 AS (
+      |  SELECT wc, regexp_replace(w, '(.)', '|\1|', 'g') AS str FROM (
+      |    SELECT t AS w, count(*) AS wc
+      |    FROM (SELECT unnest($tokensSql) AS t FROM documents)
+      |    WHERE t <> ''
+      |    GROUP BY 1 ORDER BY wc DESC, w LIMIT $maxWords))""".stripMargin
+    val rounds = (1 to k).map { r =>
+      s"""pc$r AS (
+        |  SELECT s[i] AS sl, s[i + 1] AS sr, CAST(sum(wc) AS BIGINT) AS n
+        |  FROM (SELECT wc, s, unnest(generate_series(1, len(s) - 1)) AS i
+        |        FROM (SELECT wc, string_split(trim(str, '|'), '||') AS s
+        |              FROM w${r - 1}))
+        |  GROUP BY 1, 2),
+        |t$r AS (
+        |  SELECT $r AS rank, sl, sr, sl || sr AS merged,
+        |         '|' || sl || '||' || sr || '|' AS pat,
+        |         '|' || sl || sr || '|' AS rep, n
+        |  FROM pc$r ORDER BY n DESC, pat LIMIT 1),
+        |w$r AS (
+        |  SELECT wc, replace(str, (SELECT pat FROM t$r),
+        |                     (SELECT rep FROM t$r)) AS str
+        |  FROM w${r - 1})""".stripMargin
+    }
+    (w0 +: rounds).mkString(",\n")
+  }
+
+  private[queries] def stopContains(arr: String): String = {
+    val stops = TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter($arr, t -> list_contains($stops, t)))"
+  }
+
+  /** TextAnalysis.qualityScore in SQL — expects `text` and `toks`
+    * columns in scope. ONE definition spliced into every oracle that
+    * scores quality, so the three-term formula cannot drift per query.
+    */
+  private[queries] lazy val qualitySql: String =
+    s"CAST(${stopContains("toks")} AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.5 + " +
+      "(1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / " +
+      "CAST(length(text) AS DOUBLE)) * 0.3 + " +
+      "least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.2"
+
+  private[queries] def langScoreSql(markers: Seq[String]): String = {
+    val m = markers.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter(toks, t -> list_contains($m, t)))"
+  }
+
+  /** The MinHash-LSH candidate-pair pipeline as a reusable CTE chain
+    * ending in `mh_pairs(id_a, id_b)` — spliced into both the pair
+    * query and the connected-components closure so the two oracles
+    * cannot drift.
+    */
+  private[queries] lazy val minhashPairCtes: String = {
+    val coef = DedupOps.minhashCoefficients(12)
+    val p = DedupOps.MinhashP
+    val sigCols = coef.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * h + $b) % $p) AS m$i"
+    }.mkString(",\n|    ")
+    val bandSelects = (0 until 4).map { b =>
+      val ms = (b * 3 until b * 3 + 3)
+        .map(j => s"CAST(m$j AS VARCHAR)").mkString(", ")
+      s"SELECT doc_id, $b AS b, md5(concat_ws(',', '$b', $ms)) AS bkey FROM sig"
+    }.mkString("\n|  UNION ALL ")
+    s"""$shingleCte,
+      |hs AS (SELECT doc_id,
+      |         CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) % $p AS h
+      |       FROM (SELECT doc_id, unnest(s) AS s FROM sh)),
+      |sig AS (SELECT doc_id,
+      |    $sigCols
+      |  FROM hs GROUP BY doc_id),
+      |bands AS (
+      |  $bandSelects),
+      |mh_pairs AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+      |  FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bkey = b2.bkey
+      |  WHERE a.doc_id < b2.doc_id)""".stripMargin
+  }
+
+  /** Unrolled integer-fixed-point PageRank rounds (mirrors
+    * Graph.pageRank's schedule exactly: same integer divisions, same
+    * damping rational).
+    */
+  private[queries] def pageRankCtes(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""s$k AS (SELECT e.dst AS node_id, sum(r${k - 1}.r // e.deg) AS m
+         |        FROM e JOIN r${k - 1} ON e.src = r${k - 1}.node_id
+         |        GROUP BY 1),
+         |r$k AS (SELECT n.node_id,
+         |          CAST(150000 + (17 * COALESCE(s$k.m, 0)) // 20 AS BIGINT) AS r
+         |        FROM nodes n LEFT JOIN s$k USING (node_id))""".stripMargin
+    }.mkString(",\n")
+    s"""ej AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
+       |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (SELECT 2 * c AS src, 2 * sk + 1 AS dst FROM ej
+       |          UNION ALL SELECT 2 * sk + 1, 2 * c FROM ej),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+       |e AS (SELECT edges.src, edges.dst, deg.deg
+       |      FROM edges JOIN deg USING (src)),
+       |nodes AS (SELECT 2 * c_custkey AS node_id FROM customer
+       |          UNION ALL SELECT 2 * s_suppkey + 1 FROM supplier),
+       |r0 AS (SELECT node_id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |$rounds""".stripMargin
+  }
+
+  /** Shared co-purchase edge CTEs (mirrors the `copurchase_edges`
+    * stage: distinct incidence, 1000-item group cap, support-≥2 pair
+    * floor, canonical u < v).
+    */
+  private[queries] val copurchaseCtes =
+    """oi AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item
+      |            FROM lineitem),
+      |gok AS (SELECT grp FROM oi GROUP BY grp HAVING count(*) <= 1000),
+      |oi2 AS (SELECT oi.grp, oi.item FROM oi JOIN gok USING (grp)),
+      |pairs AS (SELECT a.item AS u, b.item AS v, count(*) AS sup
+      |          FROM oi2 a JOIN oi2 b ON a.grp = b.grp AND a.item < b.item
+      |          GROUP BY 1, 2),
+      |edges AS (SELECT u, v FROM pairs WHERE sup >= 2)""".stripMargin
+
+}

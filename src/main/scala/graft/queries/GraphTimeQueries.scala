@@ -1,0 +1,643 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext._
+import graft.ops.Dedup
+import graft.sources.Tables
+import graft.queries.ExtensionSupport._
+
+/** Graph, time-series, event-window, layout, and profiling
+  * query surface, each mirrored by a DuckDB oracle.
+  *
+  * Split from the one-file registry by family (round 9); entries and
+  * oracle SQL are byte-identical to the pre-split registry.
+  */
+private[queries] object GraphTimeQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Z-order layout key over (user_id, value): the per-bucket census
+    // proves the interleave clusters both dimensions — the write-time
+    // sort key for double-column data skipping.
+    "layout_zorder" -> { (s, dir) =>
+      t(s, dir, "events")
+        .select(Layout.zorder16(pmod(col("user_id"), lit(65536)),
+          pmod(floor(col("value")).cast("long"), lit(65536))).as("zkey"))
+        .groupBy((col("zkey") / 4096L).cast("long").as("zbucket"))
+        .agg(count(lit(1)).as("n"), min("zkey").as("zmin"),
+          max("zkey").as("zmax"))
+    },
+
+
+    // Bucketed co-located join: both sides hash-bucketed into the
+    // same bucket count on doc_id, so the join needs NO exchange on
+    // either side (PlanSpec pins it) — the write-once/join-many
+    // physical layout for repeated fact-table joins at corpus scale.
+    // The result is the plain join's rows, so the oracle is ordinary
+    // SQL over the raw table. Table names and the output path are
+    // derived from (applicationId, dir): concurrent sessions (or
+    // parallel bench/verify runs on one machine) never race on a
+    // shared catalog name or directory, and the write itself runs
+    // ONCE per (session, dir) — write-once/join-many is the entire
+    // point of the layout, so re-paying the physical write on every
+    // invocation both misrepresented the operator's cost and raced
+    // against itself.
+    "layout_bucket_join" -> { (s, dir) =>
+      bucketedLayout(s, dir)
+      val sfx = bucketedSuffix(s, dir)
+      s.table(s"graft_docs_bkt_$sfx")
+        .join(s.table(s"graft_stats_bkt_$sfx"), "doc_id")
+        .select("doc_id", "lang", "n_chars", "n_tokens")
+    },
+
+
+    // Hilbert layout key over the same two dimensions: the
+    // locality-better write-time sort (consecutive keys always
+    // grid-adjacent), computed by the native codegen kernel.
+    "layout_hilbert" -> { (s, dir) =>
+      t(s, dir, "events")
+        .select(Layout.hilbert(pmod(col("user_id"), lit(256)),
+          pmod(floor(col("value")).cast("long"), lit(256)), bits = 8)
+          .as("hkey"))
+        .groupBy((col("hkey") / 1024L).cast("long").as("hbucket"))
+        .agg(count(lit(1)).as("n"), min("hkey").as("hmin"),
+          max("hkey").as("hmax"))
+    },
+
+
+    // -- Graph analytics --------------------------------------------
+    // PageRank over the customer↔supplier trade graph (bipartite,
+    // symmetric edges from co-appearing on an order) — the link-graph
+    // quality prior web corpora weight documents by (Common Crawl
+    // host-rank filtering). Integer micro-unit damping (17/20), three
+    // unrolled rounds; one shuffle per round on dst with map-side
+    // partial sums, edges degree-annotated and checkpointed once.
+    "graph_pagerank" -> { (s, dir) =>
+      val nodes = t(s, dir, "customer")
+        .select((col("c_custkey") * 2).as("node_id"))
+        .unionAll(t(s, dir, "supplier")
+          .select((col("s_suppkey") * 2 + 1).as("node_id")))
+      Graph.pageRankPrepared(prGraph(s, dir), nodes, iters = 3)
+    },
+
+
+    // Exact triangle count on the co-purchase graph (parts sharing an
+    // order, support ≥ 2 — the support floor drops the ~99% noise
+    // tail of support-1 pairs). Degree-ordered orientation bounds the
+    // wedge join at O(m^1.5) regardless of hub degree.
+    "graph_triangles" -> { (s, dir) =>
+      Graph.triangleStats(
+        copurchaseEdges(s, dir).select(col("u"), col("v")))
+    },
+
+
+    // Communities of the same co-purchase graph: connectivity over
+    // the SHARED copurchase_edges stage (build the graph once, run
+    // every analysis on it) via the alternating star-contraction
+    // components loop. Nodes are the edge endpoints — parts in at
+    // least one support-≥2 relationship.
+    "graph_communities" -> { (s, dir) =>
+      val e = copurchaseEdges(s, dir)
+      val nodes = e.select(col("u").as("id"))
+        .unionAll(e.select(col("v").as("id"))).distinct()
+      DedupOps.connectedComponents(nodes,
+          e.select(col("u").as("id_a"), col("v").as("id_b")))
+        .select(col("id").as("item_id"),
+          col("component_id").as("community_id"))
+    },
+
+
+    // Equi-depth decile features: each doc's length decile within its
+    // language — the quality-score bucketing every curation pipeline
+    // feeds its classifier. Exact PERCENTILE_DISC cuts from ONE
+    // bounded histogram fold per language, broadcast back map-side —
+    // never a per-doc ranking window.
+    "feat_equidepth_bins" -> { (s, dir) =>
+      Profiling.equidepthBins(
+        docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+        key = "lang", score = "n_chars", q = 10)
+    },
+
+
+    // Bounded-hop BFS from the ten highest-degree items over the SAME
+    // shared co-purchase graph — "what's within 3 hops of the hubs",
+    // the frontier-expansion pattern (recommendation neighborhoods,
+    // contamination blast radius). Third consumer of the
+    // copurchase_edges stage.
+    "graph_khop" -> { (s, dir) =>
+      val e = copurchaseEdges(s, dir)
+      val und = e.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+      val seeds = e.select(col("u").as("id"))
+        .unionAll(e.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("__d"))
+        .orderBy(col("__d").desc, col("id")).limit(10)
+        .select(col("id"))
+      Graph.kHopDistances(und, seeds, hops = 3)
+        .select(col("id").as("item_id"), col("dist"))
+    },
+
+
+    // -- Distribution profiling / layout planning --------------------
+    // The skew probe you run before a 100 TB join: exact top-20
+    // heavy-hitter keys with ppm shares. TakeOrderedAndProject cap,
+    // cumulative window only over the capped 20 rows.
+    "stats_key_skew" -> { (s, dir) =>
+      Profiling.keySkewProfile(t(s, dir, "lineitem"), col("l_partkey"),
+        k = 20)
+    },
+
+
+    // Small-file compaction plan over a simulated file manifest
+    // (documents rolled into ~16-doc files per source): deterministic
+    // prefix-sum binning to ~32 KiB output buckets. Planner cost is
+    // manifest-sized, one shuffle on the partition key.
+    "layout_compaction" -> { (s, dir) =>
+      val files = docs(s, dir)
+        .groupBy(col("source").as("part"),
+          expr("doc_id div 16").as("file_id"))
+        .agg(sum("n_chars").as("bytes"))
+      Layout.compactionPlan(files, targetBytes = 32768)
+    },
+
+
+    // -- Time-series shaping -----------------------------------------
+    // Hourly grid resample with last-observation-carried-forward per
+    // user: per-key span grids (no global calendar join), keyed
+    // windows only.
+    "ts_resample_locf" -> { (s, dir) =>
+      TimeSeries.resampleLocf(
+        t(s, dir, "events")
+          .select(col("user_id").as("key"), col("ts"), col("value")),
+        slotSeconds = 3600)
+        .select(col("key").as("user_id"), col("slot"), col("v_locf"),
+          col("observed"))
+    },
+
+
+    // Per-user EWMA (α = 1/2) in integer micro-units over the sorted
+    // event history — the sequential-recursion-as-sorted-array-fold
+    // pattern, bit-exact on any engine.
+    "ts_ewma" -> { (s, dir) =>
+      TimeSeries.ewmaFixed(
+        t(s, dir, "events")
+          .select(col("user_id").as("key"), col("ts"), col("value"),
+            col("event_id")),
+        tie = col("event_id"))
+        .select(col("key").as("user_id"), col("n_events"),
+          col("ewma_micros"))
+    },
+
+
+    // -- Event-time windowing / ordered joins ------------------------
+    "ew_tumbling" -> { (s, dir) =>
+      EventWindows.tumbling(t(s, dir, "events"), "1 hour")
+    },
+
+
+    "ew_sliding" -> { (s, dir) =>
+      EventWindows.sliding(t(s, dir, "events"), "1 hour", "15 minutes")
+    },
+
+
+    "ew_sessions" -> { (s, dir) =>
+      EventWindows.sessions(t(s, dir, "events"), col("user_id"),
+        "30 minutes")
+    },
+
+
+    // Weekly cohort retention matrix: first-activity week × weeks
+    // since, distinct returning users — exact integer week offsets.
+    "ew_retention" -> { (s, dir) =>
+      EventWindows.retention(t(s, dir, "events"), col("user_id"),
+        col("ts"))
+    },
+
+
+    // Ordered funnel (MATCH_RECOGNIZE-lite): signup → click →
+    // purchase per user, each gap ≤ 1 day; greedy-latest chain,
+    // one exchange + one sort for the whole pattern.
+    "ew_funnel" -> { (s, dir) =>
+      EventWindows.funnel(t(s, dir, "events"), col("user_id"),
+        col("ts"), col("event_id"), col("event_type"),
+        steps = Seq("signup", "click", "purchase"), within = "1 day")
+    },
+
+
+    // Range join: every event inside the 2-hour window after a signup
+    // by the same user (bucket width = 1h ⇒ each interval covers ≤ 3
+    // buckets).
+    "ew_range_join" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("win_start"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("win_end"))
+      EventWindows.rangeJoin(
+        e.select(col("user_id"), col("ts"), col("event_id")),
+        signups, "user_id", "ts", "win_start", "win_end",
+        bucketSeconds = 3600)
+        .select("event_id", "user_id", "ts", "win_start")
+    },
+
+
+    // Interval join via the STREAMING operator's batch twin (the same
+    // plan minus watermarks — withWatermark is a no-op on batch): all
+    // clicks within the hour after a view by the same user. This is
+    // the oracle-checked half of the stream/batch equivalence pair;
+    // StreamSpec asserts the streaming run emits exactly these rows.
+    "ew_interval_join" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.streaming.StreamOps.intervalJoin(views, clicks, "user_id",
+        "0 seconds", "1 hour", "1 hour")
+        .select(col("left_event_id").as("view_id"),
+          col("left_user_id").as("user_id"), col("left_ts").as("view_ts"),
+          col("right_event_id").as("click_id"), col("right_ts").as("click_ts"))
+    },
+
+
+    "ew_asof_join" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      val purchases = Dedup.lastWins(
+        e.filter(col("event_type") === "purchase"),
+        Seq("user_id", "ts"), col("event_id"), Seq("value"))
+      EventWindows.asofJoin(clicks, purchases, "user_id", "ts",
+        Seq("value"))
+    },
+
+
+    // The tolerance-bounded variant (pandas merge_asof parity): a
+    // purchase more than a day before the click is no match.
+    "ew_asof_tolerance" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      val purchases = Dedup.lastWins(
+        e.filter(col("event_type") === "purchase"),
+        Seq("user_id", "ts"), col("event_id"), Seq("value"))
+      EventWindows.asofJoinTolerance(clicks, purchases, "user_id", "ts",
+        Seq("value"), toleranceSeconds = 86400L)
+    },
+
+
+    // Same query through the custom plan node (logical + strategy +
+    // sorted-merge SparkPlan) — oracle-checked end to end.
+    "ew_asof_native" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      val purchases = Dedup.lastWins(
+        e.filter(col("event_type") === "purchase"),
+        Seq("user_id", "ts"), col("event_id"), Seq("value"))
+      EventWindows.asofJoinNative(clicks, purchases, "user_id", "ts",
+        Seq("value"))
+    },
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "graph_pagerank" ->
+      s"""WITH ${pageRankCtes(3)}
+         |SELECT node_id, r AS rank_micros FROM r3""".stripMargin,
+
+
+    "graph_triangles" ->
+      (s"""WITH $copurchaseCtes,
+        |deg AS (SELECT node, count(*) AS d FROM (
+        |          SELECT u AS node FROM edges
+        |          UNION ALL SELECT v FROM edges) GROUP BY 1),
+        |ori AS (SELECT
+        |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+        |         THEN e.u ELSE e.v END AS src,
+        |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+        |         THEN e.v ELSE e.u END AS dst
+        |  FROM edges e JOIN deg du ON du.node = e.u
+        |               JOIN deg dv ON dv.node = e.v),
+        |wed AS (SELECT a.src, a.dst AS y, b.dst AS z
+        |        FROM ori a JOIN ori b ON a.src = b.src AND a.dst < b.dst),
+        |tri AS (SELECT w.src FROM wed w
+        |        JOIN edges e2 ON w.y = e2.u AND w.z = e2.v)
+        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        |       (SELECT count(*) FROM edges) AS n_edges,
+        |       (SELECT count(*) FROM wed) AS n_wedges,
+        |       (SELECT count(*) FROM tri) AS n_triangles""".stripMargin),
+
+
+    // unrolled frontier expansion over the shared co-purchase CTEs;
+    // min(dist) per round mirrors the Spark relaxation fold exactly
+    "graph_khop" ->
+      (s"""WITH $copurchaseCtes,
+        |und AS (SELECT u AS src, v AS dst FROM edges
+        |        UNION ALL SELECT v, u FROM edges),
+        |degn AS (SELECT id, count(*) AS d FROM (
+        |           SELECT u AS id FROM edges
+        |           UNION ALL SELECT v FROM edges) GROUP BY 1),
+        |seeds AS (SELECT id FROM degn ORDER BY d DESC, id LIMIT 10),
+        |d0 AS (SELECT id, 0 AS dist FROM seeds),
+        |${(1 to 3).map { h =>
+             s"""d$h AS (SELECT id, min(dist) AS dist FROM (
+                |  SELECT id, dist FROM d${h - 1}
+                |  UNION ALL
+                |  SELECT und.dst AS id, $h AS dist
+                |  FROM und JOIN d${h - 1} ON und.src = d${h - 1}.id)
+                |  GROUP BY id)""".stripMargin
+           }.mkString(",\n")}
+        |SELECT id AS item_id, dist FROM d3""".stripMargin),
+
+
+    // transitive closure over the shared co-purchase edge CTEs —
+    // min reachable item per node, same label convention as
+    // dedup_components
+    "graph_communities" ->
+      (s"""WITH RECURSIVE $copurchaseCtes,
+        |nodes AS (SELECT DISTINCT u AS id FROM edges
+        |          UNION SELECT v FROM edges),
+        |e2 AS (SELECT u AS ea, v AS eb FROM edges
+        |       UNION ALL SELECT v, u FROM edges),
+        |reach(src, dst) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT r.src, e.eb FROM reach r JOIN e2 e ON r.dst = e.ea)
+        |SELECT src AS item_id, min(dst) AS community_id
+        |FROM reach GROUP BY src""".stripMargin),
+
+
+    // threshold_i = max score whose strictly-below count is < n·i/q
+    // (the same monotone-prefix rule the Spark fold applies); bin =
+    // number of thresholds strictly below the row's score. The
+    // threshold join is null-safe (IS NOT DISTINCT FROM) to encode the
+    // operator's NULL-key-is-a-group contract — lang is non-null in
+    // the fixtures, but the oracle must encode the contract.
+    "feat_equidepth_bins" ->
+      """WITH h AS (SELECT lang, n_chars AS s, count(*) AS c
+        |           FROM documents GROUP BY 1, 2),
+        |hh AS (SELECT lang, s, c,
+        |         sum(c) OVER (PARTITION BY lang ORDER BY s
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+        |           AS below,
+        |         sum(c) OVER (PARTITION BY lang) AS n
+        |       FROM h),
+        |th AS (SELECT lang, i,
+        |         max(CASE WHEN below * 10 < n * i THEN s END) AS t
+        |       FROM hh, unnest(range(1, 10)) AS u(i) GROUP BY 1, 2)
+        |SELECT d.doc_id, d.lang, d.n_chars,
+        |  CAST(count(CASE WHEN d.n_chars > th.t THEN 1 END) AS INT) AS bin
+        |FROM documents d JOIN th ON d.lang IS NOT DISTINCT FROM th.lang
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+
+    // NULLS FIRST pins DuckDB (default NULLS LAST on ASC) to the
+    // operator's contract: NULL is the SMALLEST key in the tie order
+    // (Spark's default ASC placement). l_partkey is non-null in the
+    // fixtures, but the oracle must encode the contract, not the
+    // fixture.
+    "stats_key_skew" ->
+      """WITH counts AS (SELECT l_partkey AS key, count(*) AS n
+        |                FROM lineitem GROUP BY 1),
+        |tot AS (SELECT sum(n) AS tot FROM counts),
+        |top AS (SELECT key, n FROM counts
+        |        ORDER BY n DESC, key NULLS FIRST LIMIT 20)
+        |SELECT key, n,
+        |  CAST(row_number() OVER (ORDER BY n DESC, key NULLS FIRST)
+        |    AS INT) AS rank,
+        |  CAST(n * 1000000 // tot AS BIGINT) AS share_ppm,
+        |  CAST(sum(n) OVER (ORDER BY n DESC, key NULLS FIRST
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |       * 1000000 // tot AS BIGINT) AS cum_ppm
+        |FROM top, tot""".stripMargin,
+
+
+    "layout_compaction" ->
+      """WITH files AS (SELECT source AS part, doc_id // 16 AS file_id,
+        |                 CAST(sum(n_chars) AS BIGINT) AS bytes
+        |               FROM documents GROUP BY 1, 2)
+        |SELECT part, file_id, bytes,
+        |  CAST((sum(bytes) OVER (PARTITION BY part ORDER BY file_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        - bytes) // 32768 AS BIGINT) AS out_bucket
+        |FROM files""".stripMargin,
+
+
+    // slot = FLOOR(epoch / 3600s): DuckDB's `//` truncates toward zero
+    // (verified on 1.0.0: -3 // 2 = -1), so the CASE turns it into the
+    // floor the Spark side computes — pre-1970 events bucket to the
+    // slot at-or-before them on both engines. Fixture epochs are
+    // nonnegative, where the two divisions coincide.
+    "ts_resample_locf" ->
+      (s"""WITH $evtCte,
+        |slotted AS (SELECT user_id,
+        |    make_timestamp((epoch_us(ts) // 3600000000
+        |        - CASE WHEN epoch_us(ts) % 3600000000 < 0
+        |               THEN 1 ELSE 0 END) * 3600000000) AS slot,
+        |    max(value) AS v
+        |  FROM evts GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(slot) AS lo, max(slot) AS hi
+        |         FROM slotted GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |    unnest(generate_series(lo, hi, INTERVAL 3600 SECOND)) AS slot
+        |  FROM span),
+        |j AS (SELECT g.user_id, g.slot, s.v
+        |      FROM grid g LEFT JOIN slotted s
+        |        ON g.user_id = s.user_id AND g.slot = s.slot)
+        |SELECT user_id, slot,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY slot ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS v_locf,
+        |  v IS NOT NULL AS observed
+        |FROM j""".stripMargin),
+
+
+    // (acc + x) // 2 in DuckDB 1.0 TRUNCATES toward zero (verified:
+    // -3 // 2 = -1), exactly like Spark's `div` in ewmaFixed and
+    // Scala's `/` in the streaming twin — all three engines share
+    // truncation semantics for any sign, so the bit-exact claim holds
+    // on negative accumulators too (GraphTimeSeriesSpec pins the
+    // Spark/Scala pair on a negative-value fixture).
+    "ts_ewma" ->
+      (s"""WITH $evtCte,
+        |l AS (SELECT user_id,
+        |        list(CAST(floor(value * 1000000) AS BIGINT)
+        |             ORDER BY ts, event_id) AS vs
+        |      FROM evts GROUP BY 1)
+        |SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
+        |  list_reduce(vs, (acc, x) -> (acc + x) // 2) AS ewma_micros
+        |FROM l""".stripMargin),
+
+
+    // inputs wrapped pmod-style (((x % m) + m) % m): DuckDB % keeps
+    // bucketing is physical layout; the logical result is the plain
+    // join
+    "layout_bucket_join" ->
+      s"""SELECT doc_id, lang, n_chars,
+         |  CAST(len($tokensSql) AS BIGINT) AS n_tokens
+         |FROM documents""".stripMargin,
+
+
+    // the dividend's sign, Spark pmod does not — without this the two
+    // sides disagree on negative ids
+    "layout_zorder" ->
+      (s"""WITH z AS (SELECT ${Layout.zorder16Sql(
+             "(((user_id % 65536) + 65536) % 65536)",
+             "(((CAST(floor(value) AS BIGINT) % 65536) + 65536) % 65536)")} AS zkey FROM events)
+        |SELECT (zkey // 4096) AS zbucket, count(*) AS n,
+        |  min(zkey) AS zmin, max(zkey) AS zmax
+        |FROM z GROUP BY 1""".stripMargin),
+
+
+    // same pmod wrap as layout_zorder; the Hilbert loop unrolls as
+    // one generated subquery layer per bit — identical arithmetic to
+    // the Spark kernel
+    "layout_hilbert" -> {
+      val inner = "(SELECT (((user_id % 256) + 256) % 256) AS x0, " +
+        "(((CAST(floor(value) AS BIGINT) % 256) + 256) % 256) AS y0 " +
+        "FROM events) ei"
+      s"""WITH h AS (${Layout.hilbertSql(8, inner)})
+         |SELECT (hkey // 1024) AS hbucket, count(*) AS n,
+         |  min(hkey) AS hmin, max(hkey) AS hmax
+         |FROM h GROUP BY 1""".stripMargin
+    },
+
+
+    "ew_tumbling" ->
+      (s"""WITH $evtCte
+        |SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM evts GROUP BY 1, 2""".stripMargin),
+
+
+    // ISO Monday week truncation on both engines; calendar-day
+    // difference // 7 mirrors Spark's DST-proof datediff form
+    "ew_retention" ->
+      (s"""WITH $evtCte,
+        |act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+        |        FROM evts),
+        |coh AS (SELECT user_id, min(w) AS cw FROM act GROUP BY 1)
+        |SELECT cw AS cohort_week,
+        |  date_diff('day', CAST(cw AS DATE), CAST(w AS DATE)) // 7
+        |    AS week_k,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM act JOIN coh USING (user_id)
+        |GROUP BY 1, 2""".stripMargin),
+
+
+    // greedy-latest chain columns mirror the Spark window fold;
+    // ROWS ... 1 PRECEDING = the strictly-preceding frame, ties
+    // resolved by event_id on both engines
+    "ew_funnel" ->
+      (s"""WITH $evtCte,
+        |l1 AS (SELECT user_id, event_id, ts, event_type,
+        |         max(CASE WHEN event_type = 'signup' THEN ts END) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS c0
+        |       FROM evts),
+        |l2 AS (SELECT *,
+        |         max(CASE WHEN event_type = 'click' AND c0 IS NOT NULL
+        |                   AND ts <= c0 + INTERVAL '1 day' THEN ts END) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS c1
+        |       FROM l1)
+        |SELECT user_id AS key, event_id AS tie, ts, c1 AS prev_ts
+        |FROM l2
+        |WHERE event_type = 'purchase' AND c1 IS NOT NULL
+        |  AND ts <= c1 + INTERVAL '1 day'""".stripMargin),
+
+
+    "ew_sliding" ->
+      (s"""WITH $evtCte
+        |SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS wstart,
+        |  count(*) AS n
+        |FROM evts, unnest([0, 1, 2, 3]) AS u(k)
+        |GROUP BY 1""".stripMargin),
+
+
+    "ew_sessions" ->
+      (s"""WITH $evtCte,
+        |m AS (SELECT user_id, ts,
+        |        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |               OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                    >= INTERVAL '30 minutes'
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM evts),
+        |g AS (SELECT user_id, ts,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                       ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m)
+        |SELECT min(ts) AS session_start,
+        |  max(ts) + INTERVAL '30 minutes' AS session_end,
+        |  user_id, count(*) AS n
+        |FROM g GROUP BY user_id, sid""".stripMargin),
+
+
+    "ew_range_join" ->
+      (s"""WITH $evtCte
+        |SELECT e.event_id, e.user_id, e.ts, s.ts AS win_start
+        |FROM evts e
+        |JOIN (SELECT user_id, ts FROM evts WHERE event_type = 'signup') s
+        |  ON e.user_id = s.user_id
+        |  AND e.ts >= s.ts AND e.ts < s.ts + INTERVAL '2 hours'""".stripMargin),
+
+
+    // both range bounds inclusive, mirroring the Spark condition
+    // right_ts BETWEEN left_ts + 0s AND left_ts + 1h
+    "ew_interval_join" ->
+      (s"""WITH $evtCte
+        |SELECT v.event_id AS view_id, v.user_id AS user_id,
+        |  v.ts AS view_ts, c.event_id AS click_id, c.ts AS click_ts
+        |FROM (SELECT user_id, ts, event_id FROM evts
+        |      WHERE event_type = 'view') v
+        |JOIN (SELECT user_id, ts, event_id FROM evts
+        |      WHERE event_type = 'click') c
+        |  ON v.user_id = c.user_id
+        |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '1 hour'""".stripMargin),
+
+
+    "ew_asof_native" ->
+      (s"""WITH $evtCte,
+        |l AS (SELECT user_id, ts, event_id AS click_id FROM evts
+        |      WHERE event_type = 'click'),
+        |r0 AS (SELECT user_id, ts, value FROM evts WHERE event_type = 'purchase'
+        |       QUALIFY row_number() OVER (PARTITION BY user_id, ts
+        |                                  ORDER BY event_id DESC) = 1)
+        |SELECT l.user_id, l.ts, l.click_id, r0.ts AS asof_ts, r0.value AS asof_value
+        |FROM l ASOF LEFT JOIN r0
+        |  ON l.user_id = r0.user_id AND r0.ts <= l.ts""".stripMargin),
+
+
+    "ew_asof_join" ->
+      (s"""WITH $evtCte,
+        |l AS (SELECT user_id, ts, event_id AS click_id FROM evts
+        |      WHERE event_type = 'click'),
+        |r0 AS (SELECT user_id, ts, value FROM evts WHERE event_type = 'purchase'
+        |       QUALIFY row_number() OVER (PARTITION BY user_id, ts
+        |                                  ORDER BY event_id DESC) = 1)
+        |SELECT l.user_id, l.ts, l.click_id, r0.ts AS asof_ts, r0.value AS asof_value
+        |FROM l ASOF LEFT JOIN r0
+        |  ON l.user_id = r0.user_id AND r0.ts <= l.ts""".stripMargin),
+
+
+    // the same asof join with matches older than a day nulled out —
+    // epoch_us arithmetic keeps the bound exact on both engines
+    "ew_asof_tolerance" ->
+      (s"""WITH $evtCte,
+        |l AS (SELECT user_id, ts, event_id AS click_id FROM evts
+        |      WHERE event_type = 'click'),
+        |r0 AS (SELECT user_id, ts, value FROM evts WHERE event_type = 'purchase'
+        |       QUALIFY row_number() OVER (PARTITION BY user_id, ts
+        |                                  ORDER BY event_id DESC) = 1)
+        |SELECT l.user_id, l.ts, l.click_id,
+        |  CASE WHEN r0.ts IS NOT NULL
+        |         AND epoch_us(l.ts) - epoch_us(r0.ts) <= 86400000000
+        |       THEN r0.ts END AS asof_ts,
+        |  CASE WHEN r0.ts IS NOT NULL
+        |         AND epoch_us(l.ts) - epoch_us(r0.ts) <= 86400000000
+        |       THEN r0.value END AS asof_value
+        |FROM l ASOF LEFT JOIN r0
+        |  ON l.user_id = r0.user_id AND r0.ts <= l.ts""".stripMargin),
+  )
+}

@@ -1,0 +1,214 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext._
+import graft.ops.Dedup
+import graft.sources.Tables
+import graft.queries.ExtensionSupport._
+
+/** Multimodal binary-column query surface: container-header
+  * decode (PNG/GIF/BMP/JPEG, RIFF/WAVE, MP4) and thumbnailing over
+  * synthesized blobs, each mirrored by a DuckDB oracle.
+  *
+  * Split from the one-file registry by family (round 9); entries and
+  * oracle SQL are byte-identical to the pre-split registry.
+  */
+private[queries] object MultimodalQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // -- Multimodal binary columns -----------------------------------
+    "mm_decode" -> { (s, dir) =>
+      Multimodal.decodeFeatures(
+        Multimodal.withBlob(docs(s, dir), "text")).toDF()
+    },
+
+
+    // real container parsing, verified end-to-end: synthesize valid
+    // PNG / GIF89a / BMP payloads (width/height/frames a closed form
+    // of doc_id, format round-robin) as the binary column, decode
+    // them through the SAME decodeFeatures path as mm_decode, and let
+    // the oracle recompute the facts in closed form — a broken parser
+    // hash-mismatches. Header bytes are built with codegen'd hex
+    // string expressions + one to_binary; no UDF. The GIF variant is
+    // a COMPLETE stream — screen descriptor, n image-descriptor
+    // blocks with LZW sub-blocks, trailer — so the frame-count block
+    // walk is exercised, not just the fixed header offsets.
+    "mm_decode_image" -> { (s, dir) =>
+      val w = (pmod(col("doc_id"), lit(1024)) + 1).cast("int")
+      val h = (pmod(col("doc_id"), lit(768)) + 1).cast("int")
+      val nFrames = (pmod(col("doc_id"), lit(5)) + 1).cast("int")
+      // PNG: 8-byte signature, IHDR length 13, "IHDR", BE32 dims
+      val png = concat(lit("89504E470D0A1A0A0000000D49484452"),
+        hexBe32(w), hexBe32(h), lit("0806000000"))
+      // GIF89a: magic, LE16 screen dims, no global table, then one
+      // image descriptor + 1-byte LZW sub-block per frame, trailer
+      val gifFrame = concat(lit("2C00000000"), hexLe16(w), hexLe16(h),
+        lit("0002010100"))
+      val gif = concat(lit("474946383961"), hexLe16(w), hexLe16(h),
+        lit("000000"),
+        array_join(transform(sequence(lit(1), nFrames), _ => gifFrame), ""),
+        lit("3B"))
+      // BMP: "BM", size/reserved/offset, BITMAPINFOHEADER(40), LE32 dims
+      val bmp = concat(lit("424D000000000000000036000000" + "28000000"),
+        hexLe32(w), hexLe32(h), lit("0100180000000000"))
+      // JPEG: SOI, JFIF APP0 (len 16), SOF0 (len 17: precision 8,
+      // BE16 height THEN width, 3 components) — header-only payload,
+      // the SOF walk stops before scan data
+      val jpeg = concat(lit("FFD8" + "FFE000104A46494600010100000100010000"
+          + "FFC0001108"),
+        hexBe16(h), hexBe16(w), lit("03011100021101031101"))
+      val blob = to_binary(
+        when(pmod(col("doc_id"), lit(4)) === 0, png)
+          .when(pmod(col("doc_id"), lit(4)) === 1, gif)
+          .when(pmod(col("doc_id"), lit(4)) === 2, bmp)
+          .otherwise(jpeg), lit("hex"))
+      Multimodal.decodeFeatures(
+          docs(s, dir).select(col("doc_id")).withColumn("blob", blob))
+        .toDF()
+        .select("doc_id", "format", "width", "height", "n_frames")
+    },
+
+
+    // real RIFF/WAVE header parsing, verified the same way: synthesize
+    // valid WAV headers (channels / sample rate / sample count a
+    // closed form of doc_id; the data payload itself stays absent —
+    // only its declared size matters, the shape of a metadata scan
+    // over huge audio files) and decode through decodeAudio
+    "mm_decode_audio" -> { (s, dir) =>
+      val ch = (pmod(col("doc_id"), lit(2)) + 1).cast("int")
+      val rate = ((pmod(col("doc_id"), lit(3)) + 1) * 8000).cast("int")
+      val nSamples = (pmod(col("doc_id"), lit(100)) + 1).cast("int")
+      val blockAlign = ch * 2 // 16-bit PCM
+      val dataSize = nSamples * blockAlign
+      val wav = concat(
+        lit("52494646"), hexLe32(dataSize + 36), lit("57415645"), // RIFF size WAVE
+        lit("666D7420" + "10000000" + "0100"), // fmt(16), PCM
+        hexLe16(ch), hexLe32(rate), hexLe32(rate * blockAlign),
+        hexLe16(blockAlign), lit("1000"), // 16 bits/sample
+        lit("64617461"), hexLe32(dataSize)) // data chunk header
+      Multimodal.decodeAudio(
+          docs(s, dir).select(col("doc_id"))
+            .withColumn("blob", to_binary(wav, lit("hex"))))
+        .toDF()
+        .select("doc_id", "format", "channels", "sample_rate",
+          "bits_per_sample", "n_samples", "duration_ms")
+    },
+
+
+    // real MP4/ISO-BMFF parsing, verified end-to-end like
+    // mm_decode_image: synthesize a spec-shaped container (ftyp, moov
+    // with a v0 mvhd and n empty trak boxes — sizes, timescale and
+    // duration closed forms of doc_id), walk it with the SAME
+    // VideoHeader box parser production payloads would hit, and let
+    // the oracle recompute every fact in closed form
+    "mm_decode_video" -> { (s, dir) =>
+      val nTracks = (pmod(col("doc_id"), lit(3)) + 1).cast("int")
+      val timescale = ((pmod(col("doc_id"), lit(3)) + 1) * 600).cast("int")
+      val duration =
+        (pmod(col("doc_id") * 7, lit(36000)) + 600).cast("int")
+      // mvhd v0: 108-byte box — header, version/flags, ctime, mtime,
+      // timescale, duration, then 80 spec-reserved/matrix bytes of 0
+      val mvhd = concat(
+        lit("0000006C" + "6D766864" + "00000000" + "00000000" +
+          "00000000"),
+        hexBe32(timescale), hexBe32(duration), lit("0" * 160))
+      val moov = concat(
+        hexBe32(lit(116) + lit(8) * nTracks), lit("6D6F6F76"), mvhd,
+        array_join(transform(sequence(lit(1), nTracks),
+          _ => lit("00000008" + "7472616B")), ""))
+      val mp4 = concat(
+        lit("00000010" + "66747970" + "69736F6D" + "00000000"), moov)
+      Multimodal.decodeVideo(docs(s, dir).select(col("doc_id"))
+          .withColumn("blob", to_binary(mp4, lit("hex"))))
+        .toDF()
+        .select("doc_id", "byte_len", "format", "n_tracks", "timescale",
+          "duration_ticks", "duration_ms", "n_sampled_1hz")
+    },
+
+
+    // resize + frame-sample plumbing over the decoded features
+    "mm_thumbnail" -> { (s, dir) =>
+      val feats = Multimodal.decodeFeatures(
+        Multimodal.withBlob(docs(s, dir), "text")).toDF()
+      Multimodal.withThumbnailDims(feats, 128, 96)
+        .select(col("doc_id"), col("width"), col("height"),
+          col("thumb_w"), col("thumb_h"),
+          size(Multimodal.frameSampleIndices(col("n_frames"), 5))
+            .as("n_sampled"))
+    },
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "mm_thumbnail" ->
+      """WITH f AS (SELECT doc_id,
+        |  CAST(CAST('0x' || substr(md5(text), 1, 7) AS BIGINT) % 1024 AS INT) AS width,
+        |  CAST(CAST('0x' || substr(md5(text), 8, 7) AS BIGINT) % 768 AS INT) AS height,
+        |  CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames
+        |FROM documents),
+        |s AS (SELECT *, CAST(least(
+        |        floor(128000000 / greatest(width, 1)),
+        |        floor(96000000 / greatest(height, 1)),
+        |        1000000) AS BIGINT) AS scale
+        |      FROM f)
+        |SELECT doc_id, width, height,
+        |  CAST(greatest(floor(width * scale / 1000000), 1) AS INT) AS thumb_w,
+        |  CAST(greatest(floor(height * scale / 1000000), 1) AS INT) AS thumb_h,
+        |  CAST(len(range(0, n_frames, 5)) AS INT) AS n_sampled
+        |FROM s""".stripMargin,
+
+
+    "mm_decode" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  md5(text) AS fp,
+        |  'raw' AS format,
+        |  CAST(CAST('0x' || substr(md5(text), 1, 7) AS BIGINT) % 1024 AS INT) AS width,
+        |  CAST(CAST('0x' || substr(md5(text), 8, 7) AS BIGINT) % 768 AS INT) AS height,
+        |  CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames
+        |FROM documents""".stripMargin,
+
+
+    // closed-form dims: if the Spark side's header synthesis or the
+    // byte-level parser is wrong in either direction, these diverge
+    "mm_decode_image" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png'
+        |       WHEN 1 THEN 'gif' WHEN 2 THEN 'bmp' ELSE 'jpeg' END AS format,
+        |  CAST(doc_id % 1024 + 1 AS INT) AS width,
+        |  CAST(doc_id % 768 + 1 AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 4 = 1 THEN doc_id % 5 + 1 ELSE 1 END
+        |       AS INT) AS n_frames
+        |FROM documents""".stripMargin,
+
+
+    "mm_decode_audio" ->
+      """SELECT doc_id, 'wav' AS format,
+        |  CAST(doc_id % 2 + 1 AS INT) AS channels,
+        |  CAST((doc_id % 3 + 1) * 8000 AS INT) AS sample_rate,
+        |  CAST(16 AS INT) AS bits_per_sample,
+        |  CAST(doc_id % 100 + 1 AS BIGINT) AS n_samples,
+        |  CAST((doc_id % 100 + 1) * 1000 // ((doc_id % 3 + 1) * 8000)
+        |       AS BIGINT) AS duration_ms
+        |FROM documents""".stripMargin,
+
+
+    // closed-form recomputation of the synthesized MP4's facts:
+    // byte_len = ftyp(16) + moov header(8) + mvhd(108) + 8 per trak
+    "mm_decode_video" ->
+      """SELECT doc_id,
+        |  CAST(132 + 8 * (doc_id % 3 + 1) AS BIGINT) AS byte_len,
+        |  'mp4' AS format,
+        |  CAST(doc_id % 3 + 1 AS INT) AS n_tracks,
+        |  CAST((doc_id % 3 + 1) * 600 AS BIGINT) AS timescale,
+        |  CAST((doc_id * 7) % 36000 + 600 AS BIGINT) AS duration_ticks,
+        |  CAST(((doc_id * 7) % 36000 + 600) * 1000
+        |       // ((doc_id % 3 + 1) * 600) AS BIGINT) AS duration_ms,
+        |  CAST((((doc_id * 7) % 36000 + 600) * 1000
+        |       // ((doc_id % 3 + 1) * 600)) // 1000 + 1
+        |       AS BIGINT) AS n_sampled_1hz
+        |FROM documents""".stripMargin,
+  )
+}

@@ -1,0 +1,288 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext._
+import graft.ops.Dedup
+import graft.sources.Tables
+import graft.queries.ExtensionSupport._
+
+/** Similarity-search query surface: brute-force / LSH / MIPS /
+  * IVF / PQ ANN ladder plus embedding utilities, each mirrored by a
+  * DuckDB oracle.
+  *
+  * Split from the one-file registry by family (round 9); entries and
+  * oracle SQL are byte-identical to the pre-split registry.
+  */
+private[queries] object SimQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // -- Similarity search -------------------------------------------
+    "sim_bruteforce_topk" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.bruteForceTopK(e.filter(col("id") < 50), e, k = 5)
+    },
+
+
+    "sim_lsh_topk" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.lshTopK(e.filter(col("id") < 50), e, k = 5,
+        planes = 4, dims = 64)
+    },
+
+
+    // MIPS retrieval (recommendation scoring: magnitude matters, so
+    // cosine is the wrong metric) via the augmented-space reduction —
+    // blocking in [c ; √(M²−‖c‖²)] space, exact inner-product ranks.
+    "sim_mips_topk" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.mipsTopK(e.filter(col("id") < 50), e, k = 5,
+        planes = 2, dims = 64)
+    },
+
+
+    "sim_ivf_topk" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.ivfTopK(e.filter(col("id") < 50), e,
+        Similarity.seedCentroids(e, nlist = 8), k = 5, nprobe = 2)
+    },
+
+
+    // PQ-ADC: 16 subspaces x 16 codewords = 64-bit codes (128x
+    // compression of 64-dim float32 vectors); table entries are 1e-6
+    // fixed-point longs, so the m-term score sum is exact integer
+    // arithmetic and the ranking is bit-reproducible in the oracle.
+    "sim_pq_adc_topk" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.pqTopK(e.filter(col("id") < 50), e, k = 5,
+        codebook = Some(pqCodebook(s, dir)),
+        codes = Some(pqCodes(s, dir)))
+    },
+
+
+    // two-stage retrieval (FAISS IndexRefineFlat): ADC proposes
+    // k·refine candidates from codes alone; only those rows touch
+    // full vectors again for the exact cosine re-rank
+    "sim_pq_refine_topk" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.pqRefineTopK(e.filter(col("id") < 50), e, k = 5,
+        refine = 4, codebook = Some(pqCodebook(s, dir)),
+        codes = Some(pqCodes(s, dir)))
+    },
+
+
+    // the full FAISS IVFx,PQy composition: coarse-list pruning, then
+    // compressed-code ADC scoring of only the probed lists' members
+    "sim_ivfpq_topk" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.ivfPqTopK(e.filter(col("id") < 50), e,
+        Similarity.seedCentroids(e, nlist = 8), k = 5, nprobe = 2,
+        codebook = Some(pqCodebook(s, dir)),
+        codes = Some(pqCodes(s, dir)))
+    },
+
+
+    // the complete production index: IVF pruning + PQ scoring + exact
+    // re-rank of the k·refine survivors
+    "sim_ivfpq_refine_topk" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.ivfPqRefineTopK(e.filter(col("id") < 50), e,
+        Similarity.seedCentroids(e, nlist = 8), k = 5, nprobe = 2,
+        refine = 4, codebook = Some(pqCodebook(s, dir)),
+        codes = Some(pqCodes(s, dir)))
+    },
+
+
+    // K-means over the embedding corpus (the IVF centroid trainer):
+    // 2 Lloyd iterations, fixed-point centroid update, k=8. Output is
+    // the exact per-cluster membership census.
+    "emb_kmeans" -> { (s, dir) =>
+      Clustering.kmeansAssign(emb(s, dir), col("id"), col("vec"),
+        k = 8, iters = 2)
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_members"), sum("id").as("id_checksum"))
+    },
+
+
+    // Signed-random-projection (Johnson–Lindenstrauss, ±1 matrix)
+    // dimensionality reduction 64 → 8 before ANN indexing — map-only,
+    // bit-reproducible (±1 products are exact in double).
+    "emb_project" -> { (s, dir) =>
+      Similarity.project(emb(s, dir), col("id"), col("vec"),
+        outDims = 8, dims = 64)
+    },
+
+
+    // int8 scalar quantization — the 4×-smaller storage form vector
+    // stores keep embeddings in; floor-based codes so both engines
+    // agree bit for bit
+    "emb_quantize_int8" -> { (s, dir) =>
+      Similarity.quantizeInt8(emb(s, dir), col("id"), col("vec"),
+        dims = 64)
+    },
+
+
+    // SQL surface over the native kernels (registered imperatively;
+    // sessions built with spark.sql.extensions get them for free).
+    "sim_sql_cosine" -> { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
+      t(s, dir, "embeddings").createOrReplaceTempView("emb_sql")
+      s.sql("""SELECT vec_id, vec_dot(embedding, embedding) AS dot_self,
+              |       vec_norm(embedding) AS nrm
+              |FROM emb_sql""".stripMargin)
+    },
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "sim_bruteforce_topk" ->
+      (s"""SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  ${cosSql("q.embedding", "c.embedding")} AS cos
+        |FROM embeddings q CROSS JOIN embeddings c
+        |WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id
+        |QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        |  ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id) <= 5""".stripMargin),
+
+
+    "sim_lsh_topk" ->
+      (s"""WITH q AS (SELECT vec_id, embedding,
+        |             ${lshBucketSql("embedding", 4, 64)} AS bucket
+        |           FROM embeddings WHERE vec_id < 50),
+        |c AS (SELECT vec_id, embedding,
+        |        ${lshBucketSql("embedding", 4, 64)} AS bucket
+        |      FROM embeddings)
+        |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  ${cosSql("q.embedding", "c.embedding")} AS cos
+        |FROM q JOIN c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        |QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        |  ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id) <= 5""".stripMargin),
+
+
+    "sim_mips_topk" ->
+      (s"""WITH mm AS (SELECT max(${normSql("embedding")}) AS m
+        |            FROM embeddings),
+        |cn AS (SELECT vec_id, embedding,
+        |         ${normSql("embedding")} AS n FROM embeddings),
+        |c AS (SELECT vec_id, embedding,
+        |        ${mipsBucketSql("embedding",
+               Some("sqrt(greatest(mm.m * mm.m - n * n, 0))"), 2, 64)}
+        |          AS bucket
+        |      FROM cn, mm),
+        |q AS (SELECT vec_id, embedding,
+        |        ${mipsBucketSql("embedding", None, 2, 64)} AS bucket
+        |      FROM embeddings WHERE vec_id < 50)
+        |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  ${dotSql("q.embedding", "c.embedding")} AS ip
+        |FROM q JOIN c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        |QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        |  ORDER BY ${dotSql("q.embedding", "c.embedding")} DESC, c.vec_id) <= 5""".stripMargin),
+
+
+    // assignment tie-break (cos DESC, cid ASC) mirrors Spark's
+    // max_by(cid, struct(cos, -cid)); floats are bit-identical on
+    // both sides so the argmax resolves identically
+    "sim_ivf_topk" ->
+      (s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+        |             FROM embeddings ORDER BY vec_id LIMIT 8),
+        |assigned AS (
+        |  SELECT c.vec_id AS neighbor_id, c.embedding AS cv, ct.cid AS list
+        |  FROM embeddings c CROSS JOIN cent ct
+        |  QUALIFY row_number() OVER (PARTITION BY c.vec_id
+        |    ORDER BY ${cosSql("c.embedding", "ct.cvec")} DESC, ct.cid) = 1),
+        |probes AS (
+        |  SELECT q.vec_id AS query_id, q.embedding AS qv, ct.cid AS list
+        |  FROM embeddings q CROSS JOIN cent ct
+        |  WHERE q.vec_id < 50
+        |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY ${cosSql("q.embedding", "ct.cvec")} DESC, ct.cid) <= 2)
+        |SELECT query_id, neighbor_id, ${cosSql("p.qv", "a.cv")} AS cos
+        |FROM probes p JOIN assigned a USING (list)
+        |WHERE query_id <> neighbor_id
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY ${cosSql("p.qv", "a.cv")} DESC, neighbor_id) <= 5""".stripMargin),
+
+
+    "sim_pq_adc_topk" ->
+      pqOracleSql(m = 16, dims = 64, kk = 16, k = 5, trainSample = 4),
+
+
+    "sim_pq_refine_topk" ->
+      pqOracleSql(m = 16, dims = 64, kk = 16, k = 5, refine = Some(4),
+        trainSample = 4),
+
+
+    "sim_ivfpq_topk" ->
+      pqOracleSql(m = 16, dims = 64, kk = 16, k = 5, ivf = Some((8, 2)),
+        trainSample = 4),
+
+
+    "sim_ivfpq_refine_topk" ->
+      pqOracleSql(m = 16, dims = 64, kk = 16, k = 5, ivf = Some((8, 2)),
+        refine = Some(4), trainSample = 4),
+
+
+    "emb_project" -> {
+      val cols = planeSql(8, 64).zipWithIndex.map { case (w, j) =>
+        s"${dotSql("embedding", w)} AS p$j"
+      }.mkString(",\n  ")
+      s"SELECT vec_id AS id,\n  $cols\nFROM embeddings"
+    },
+
+
+    // identical floor-quotient arithmetic: per-dim global min/max,
+    // code = floor((x-lo)*255/(hi-lo)) clamped — both engines compute
+    // the same doubles, and floor (unlike round) ties identically
+    "emb_quantize_int8" ->
+      """WITH x AS (SELECT vec_id AS id, i.i AS i,
+        |    CAST(embedding[i.i] AS DOUBLE) AS x
+        |  FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i) i),
+        |st AS (SELECT i, min(x) AS lo, max(x) AS hi FROM x GROUP BY 1),
+        |c AS (SELECT id, x.i,
+        |  CASE WHEN hi = lo THEN 0
+        |       ELSE least(255, greatest(0,
+        |         CAST(floor((x - lo) * 255.0 / (hi - lo)) AS INT))) END AS c
+        |  FROM x JOIN st USING (i))
+        |SELECT id,
+        |  string_agg(CAST(c AS VARCHAR), ' ' ORDER BY i) AS codes,
+        |  CAST(min(c) AS INT) AS code_min,
+        |  CAST(max(c) AS INT) AS code_max
+        |FROM c GROUP BY id""".stripMargin,
+
+
+    // 2 unrolled Lloyd iterations; the fixed-point centroid update
+    // (exact BIGINT sums) is what makes the float-free parts exact and
+    // the cosine folds bit-identical to the Spark side
+    "emb_kmeans" ->
+      (s"""WITH cent0 AS (SELECT vec_id AS cid, embedding AS cv
+        |              FROM embeddings ORDER BY vec_id LIMIT 8),
+        |a1 AS (
+        |  SELECT e.vec_id, e.embedding AS ev, c.cid
+        |  FROM embeddings e CROSS JOIN cent0 c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.cid) = 1),
+        |dims AS (
+        |  SELECT cid, generate_subscripts(ev, 1) AS i,
+        |    unnest(list_transform(ev,
+        |      v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT))) AS qv
+        |  FROM a1),
+        |sums AS (SELECT cid, i, sum(qv) AS s, count(*) AS n FROM dims GROUP BY 1, 2),
+        |cent1 AS (
+        |  SELECT cid, list((CAST(s AS DOUBLE) / n) / 1000000.0 ORDER BY i) AS cv
+        |  FROM sums GROUP BY cid),
+        |a2 AS (
+        |  SELECT e.vec_id, c.cid
+        |  FROM embeddings e CROSS JOIN cent1 c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.cid) = 1)
+        |SELECT cid, count(*) AS n_members, CAST(sum(vec_id) AS BIGINT) AS id_checksum
+        |FROM a2 GROUP BY cid""".stripMargin),
+
+
+    "sim_sql_cosine" ->
+      (s"""SELECT vec_id,
+        |  ${dotSql("embedding", "embedding")} AS dot_self,
+        |  ${normSql("embedding")} AS nrm
+        |FROM embeddings""".stripMargin),
+  )
+}
