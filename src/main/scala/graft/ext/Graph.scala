@@ -237,31 +237,29 @@ object Graph {
     */
   def coOccurrenceEdges(incidence: DataFrame, minSupport: Long,
                         maxGroupSize: Long = 1000L): DataFrame = {
-    // Distinct-item count per group FIRST (count_distinct is a pure
-    // two-phase hash aggregate — partial-agg friendly, no arrays), so
-    // a pathologically hot group is dropped by the semi-join BEFORE
-    // its postings array ever materializes in an aggregation task. A
-    // size(...) filter AFTER collect_set would bound only pair
-    // EXPLOSION, not the collect itself: one order holding millions
-    // of items at 100× scale must still build its full item set in
-    // one task just to be discarded — the task-OOM shape the df-cap
-    // on [[DedupOps.jaccardPairs]]'s inverted index exists to prevent.
-    val keep = incidence
-      .groupBy("group")
-      .agg(count_distinct(col("item")).as("__n"))
-      .filter(col("__n").between(2, maxGroupSize))
-      .select(col("group"))
+    require(maxGroupSize >= 2 && maxGroupSize < Int.MaxValue,
+      s"maxGroupSize ($maxGroupSize) must be in [2, Int.MaxValue)")
     incidence
-      .join(keep, Seq("group"), "left_semi")
       .groupBy("group")
-      // collect_set dedups repeated incidence rows; sort_array makes
-      // i < j imply item_i < item_j, so orderedPairs emits each pair
-      // once in canonical u < v form. THREE shuffles total (group
-      // counts, group postings, pair counts) — the middle two land on
-      // the same key, so the extra guard exchange is small and
-      // co-partitioned. Per-group memory is one ≤ maxGroupSize
-      // postings array, now guaranteed by construction.
-      .agg(sort_array(collect_set(col("item"))).as("__items"))
+      // The size guard lives INSIDE the aggregation buffer: a
+      // pathologically hot group (one order holding millions of items
+      // at 100× scale) stops accumulating at maxGroupSize+1 distinct
+      // items — O(maxGroupSize) task memory — and the size filter
+      // below then drops it exactly as a full-set check would
+      // (BoundedCollectSet's scaladoc proves size ≤ cap iff the true
+      // distinct count is ≤ cap, with kept groups always complete).
+      // This replaced a count_distinct + semi-join pre-filter: the
+      // distinct agg cost two extra differently-keyed exchanges and a
+      // second incidence scan, where the bounded collect guards in
+      // the ONE exchange the postings already pay. Set semantics
+      // dedupe repeated incidence rows; sort_array makes i < j imply
+      // item_i < item_j, so orderedPairs emits each pair once in
+      // canonical u < v form. TWO shuffles total (group postings,
+      // pair counts).
+      .agg(sort_array(org.apache.spark.sql.graft.AggColumns
+        .bounded_collect_set(col("item"), maxGroupSize.toInt + 1))
+        .as("__items"))
+      .filter(size(col("__items")).between(2, maxGroupSize))
       .select(DedupOps.orderedPairs(col("__items"), "u", "v").as("__p"))
       .select(col("__p.u"), col("__p.v"))
       .groupBy("u", "v").agg(count(lit(1)).as("support"))

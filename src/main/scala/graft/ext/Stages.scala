@@ -89,6 +89,27 @@ object Stages {
   private def diskRoot: Option[String] =
     sys.props.get("graft.stage.dir").map(_.trim).filter(_.nonEmpty)
 
+  /** Code stamp folded into every disk key: the newest .class mtime
+    * under this library's code source (or the jar's own mtime). The
+    * fixture fingerprint alone cannot see a CODE change to a stage
+    * build — without this, editing an algorithm would keep serving
+    * the artifact the OLD code wrote. Any recompile invalidates
+    * (conservative — rebuild cost is a few seconds once per build),
+    * while every process of one build (verify, bench, its reps)
+    * still shares warm artifacts.
+    */
+  private lazy val codeStamp: Long =
+    try {
+      val src = classOf[StageCell].getProtectionDomain.getCodeSource
+      val loc = java.nio.file.Paths.get(src.getLocation.toURI)
+      if (java.nio.file.Files.isDirectory(loc)) {
+        val s = java.nio.file.Files.walk(loc)
+        try s.filter(p => p.toString.endsWith(".class"))
+          .mapToLong(p => p.toFile.lastModified()).max().orElse(0L)
+        finally s.close()
+      } else loc.toFile.lastModified()
+    } catch { case _: Throwable => 0L }
+
   private def sanitize(name: String): String =
     name.map(c => if (c.isLetterOrDigit || c == '.' || c == '-') c else '_')
 
@@ -110,7 +131,8 @@ object Stages {
       case None => build().localCheckpoint(true)
       case Some(root) =>
         try {
-          val dirName = s"${sanitize(name)}__fp${java.lang.Long.toHexString(fp)}"
+          val dirName = s"${sanitize(name)}__fp${
+            java.lang.Long.toHexString(fp * 31L + codeStamp)}"
           val dir = new java.io.File(root, dirName)
           if (!new java.io.File(dir, "_SUCCESS").isFile) {
             val built = build()

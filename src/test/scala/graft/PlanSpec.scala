@@ -397,26 +397,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
 
-  test("coOccurrenceEdges: the maxGroupSize guard is a count " +
-      "semi-join BELOW the postings collect_set — a hot group is " +
-      "dropped before its item array ever materializes in a task") {
-    import org.apache.spark.sql.catalyst.plans.LeftSemi
+  test("coOccurrenceEdges: the maxGroupSize guard is the bounded " +
+      "collect itself — a hot group's buffer stops at the cap, with " +
+      "no join and no second incidence pass below the postings " +
+      "aggregate") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import org.apache.spark.sql.graft.BoundedCollectSet
     val inc = graft.sources.Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey").as("group"), col("l_partkey").as("item"))
-    val df = graft.ext.Graph.coOccurrenceEdges(inc, minSupport = 2)
+    val df = graft.ext.Graph.coOccurrenceEdges(inc, minSupport = 2,
+      maxGroupSize = 1000L)
     val lp = df.queryExecution.optimizedPlan
     val postings = lp.collect {
-      case a: Aggregate if a.aggregateExpressions
-        .exists(_.toString.contains("collect_set")) => a
+      case a: Aggregate if a.aggregateExpressions.exists(
+        _.find {
+          case b: BoundedCollectSet => b.maxSize === 1001
+          case _ => false
+        }.isDefined) => a
     }
-    assert(postings.nonEmpty, s"postings collect_set missing:\n$lp")
-    // the guard (distinct-count aggregate behind a semi-join) must sit
-    // INSIDE the postings aggregate's child subtree, so oversized
-    // groups never reach the array-building aggregation
-    assert(postings.exists(_.child.collect {
-      case j: Join if j.joinType == LeftSemi => j
-    }.nonEmpty), s"size guard does not precede the postings collect:\n$lp")
+    assert(postings.nonEmpty,
+      s"bounded postings collect (cap = maxGroupSize+1) missing:\n$lp")
+    // single-pass guard: nothing below the postings aggregate but the
+    // incidence scan — a join here would mean a second pass / a
+    // pre-filter subtree re-reading the input
+    assert(postings.forall(_.child.collect { case j: Join => j }.isEmpty),
+      s"postings aggregate is not a single pass over incidence:\n$lp")
   }
 
   test("aqeSkewJoin: OptimizeSkewedJoin splits the hot partition " +
