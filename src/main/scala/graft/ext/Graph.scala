@@ -61,9 +61,12 @@ object Graph {
 
   /** The rank rounds over an already-materialized degree-annotated
     * edge table (`src`, `dst`, `deg` — see [[prepareEdges]]), with
-    * EARLY EXIT on the exact rank fixpoint.
+    * EARLY EXIT on the exact rank fixpoint for budgets over 4 rounds
+    * (smaller budgets run as one fused lazy plan — see
+    * [[pageRankRounds]] for the measured trade).
     *
-    * Each round's (node, rank) table is localCheckpoint'd — constant
+    * For the eager regime: each round's (node, rank) table is
+    * localCheckpoint'd — constant
     * lineage depth instead of an iters-deep join tree — with an
     * order-independent xor checksum piggybacked on the
     * materialization job (`observe`, the same no-extra-job gate as
@@ -89,6 +92,25 @@ object Graph {
                                     iters: Int): (DataFrame, Int) = {
     require(iters >= 1 && iters <= 20, "iters must be in [1, 20]")
     val n = nodes.select(col("node_id"))
+    def round(r: DataFrame): DataFrame = {
+      val contrib = e.join(r, e("src") === r("node_id"))
+        .select(col("dst"), expr("rank_micros div deg").as("c"))
+        .groupBy("dst").agg(sum("c").as("s"))
+      n.join(contrib, n("node_id") === contrib("dst"), "left")
+        .select(col("node_id"),
+          (lit(150000L) +
+            expr("17 * coalesce(s, 0L) div 20")).as("rank_micros"))
+    }
+    val seed = n.withColumn("rank_micros", lit(1000000L))
+    // Small budgets (the quality-prior regime the bench query runs)
+    // execute as ONE fused lazy plan: per-round materialization +
+    // checksum + probe machinery costs more than the rounds
+    // themselves at this depth (measured 13x on the bench query), and
+    // a ≤4-join lineage needs no checkpointing. Fixpoint detection
+    // only pays when the budget is large enough to have slack to
+    // save — so it engages, from round 1, for iters > 4.
+    if (iters <= 4)
+      return ((1 to iters).foldLeft(seed)((r, _) => round(r)), iters)
     def checksummed(df: DataFrame): (DataFrame, Option[Long]) = {
       val obs = org.apache.spark.sql.Observation()
       val out = df.observe(obs,
@@ -97,19 +119,11 @@ object Graph {
       (out, org.apache.spark.sql.graft.ObservationAccess.await(obs, 2000)
         .map(_("x").asInstanceOf[Long]))
     }
-    var (ranks, prevX) =
-      checksummed(n.withColumn("rank_micros", lit(1000000L)))
+    var (ranks, prevX) = checksummed(seed)
     var iter = 0
     var converged = false
     while (iter < iters && !converged) {
-      val contrib = e.join(ranks, e("src") === ranks("node_id"))
-        .select(col("dst"), expr("rank_micros div deg").as("c"))
-        .groupBy("dst").agg(sum("c").as("s"))
-      val (next, x) = checksummed(n
-        .join(contrib, n("node_id") === contrib("dst"), "left")
-        .select(col("node_id"),
-          (lit(150000L) +
-            expr("17 * coalesce(s, 0L) div 20")).as("rank_micros")))
+      val (next, x) = checksummed(round(ranks))
       // node set is constant, so set equality == elementwise equality;
       // an unknown checksum (missed poll) falls through to the probe,
       // which alone decides — it can cost a round, never correctness
