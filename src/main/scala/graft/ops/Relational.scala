@@ -80,6 +80,24 @@ object Relational {
                   joinType: String = "inner"): DataFrame =
     fact.hint("SHUFFLE_MERGE").join(dim, Seq(key), joinType)
 
+  /** Runtime-bloom-pruned fact×dim equi-join — the third scan-side
+    * lever next to [[aqeSkewJoin]] and static partition pruning:
+    * when the dim side carries a selective predicate, Spark's
+    * `InjectRuntimeFilter` rule turns it into a bloom filter
+    * evaluated AT THE FACT SCAN, so at 100 TB the fact side ships
+    * only rows whose key might join instead of shuffling the full
+    * table and discarding most of it at the join. The plan stays the
+    * plain equi-join (`SHUFFLE_MERGE` hint keeps a shuffle join for
+    * the filter to prune); injection itself is governed by the
+    * `spark.sql.optimizer.runtime.bloomFilter.*` thresholds, sized
+    * for cluster-scale inputs — the semantics never depend on whether
+    * the filter fired (bloom false positives are re-checked by the
+    * join).
+    */
+  def bloomPrunedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                      joinType: String = "inner"): DataFrame =
+    fact.hint("SHUFFLE_MERGE").join(dim, Seq(key), joinType)
+
   /** MERGE INTO semantics as one declarative plan — the CDC apply
     * every warehouse runs: `target` (unique `key`) merged with
     * `changes` (unique `key`, an `op` column of "upsert"/"delete" and

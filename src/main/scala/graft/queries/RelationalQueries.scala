@@ -314,6 +314,28 @@ object RelationalQueries {
             .cast("double").as("rev"))
     },
 
+    // Runtime bloom pruning: the dim side's selective predicate
+    // becomes a bloom filter at the fact scan when the
+    // runtime.bloomFilter thresholds qualify (PlanSpec pins the
+    // injection under production-shaped thresholds). The oracle is
+    // the PLAIN join — bloom false positives are re-checked by the
+    // join, so pruning never changes results.
+    "join_bloom_runtime" -> { (s, dir) =>
+      graft.ops.Relational.bloomPrunedJoin(
+        t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_quantity")),
+        t(s, dir, "orders")
+          .filter(col("o_orderstatus") === "F" &&
+            col("o_totalprice") > 100000.0)
+          .select(col("o_orderkey").as("l_orderkey"),
+            col("o_orderpriority")),
+        "l_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").as("sum_qty"))
+    },
+
     // RANGE window frame (value-based, unlike win_running's ROWS
     // frame): per customer, total spend over orders within 30 days
     // before each order — peer rows at equal dates all see the same
@@ -624,6 +646,13 @@ object RelationalQueries {
       """SELECT s_nationkey, count(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1""".stripMargin,
+
+    "join_bloom_runtime" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F' AND o_totalprice > 100000
         |GROUP BY 1""".stripMargin,
 
     "join_skew_aqe" ->

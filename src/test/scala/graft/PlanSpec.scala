@@ -465,6 +465,43 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bloomPrunedJoin: InjectRuntimeFilter plants a bloom probe at " +
+      "the fact scan under production-shaped thresholds, and the " +
+      "result is the plain join's") {
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // production shape scaled to test bytes: a multi-GB fact scan
+      // qualifies against the default 10GB threshold; the fixture
+      // scan qualifies against 0
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption.filter(_ != null) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = graft.sources.Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val dim = graft.sources.Tables.load(spark, dir, "orders")
+        .filter(col("o_orderstatus") === "F" &&
+          col("o_totalprice") > 100000.0)
+        .select(col("o_orderkey").as("l_orderkey"))
+      val j = graft.ops.Relational.bloomPrunedJoin(fact, dim,
+        "l_orderkey")
+      val rows = j.collect().length
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"runtime bloom filter not injected:\n$p")
+      // semantics: identical to the plain unhinted, unfiltered-scan join
+      val plainRows = fact.join(dim, Seq("l_orderkey")).count()
+      assert(rows.toLong === plainRows,
+        "bloom pruning must not change the join result")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("agg_mode / feat_equidepth_bins: no ranking window anywhere — " +
       "mode is two hash aggs, binning is a histogram fold + broadcast " +
       "probe") {
