@@ -808,9 +808,15 @@ object DedupOps {
     // fingerprint exchange.
     val fps = winnowingFingerprints(df, id, text, k, window, chunkChars)
     val postings = fps.groupBy("fp")
-      // fps is already distinct per (doc, fp); sort so i < j ⇒
-      // doc_a < doc_b in the expansion below
-      .agg(sort_array(collect_list(col("doc_id"))).as("__ids"))
+      // fps is already distinct per (doc, fp), so the bounded SET is
+      // the same list — and the df cap holds INSIDE the aggregation
+      // buffer (O(maxDf) task memory even for a boilerplate
+      // fingerprint present in millions of docs; the size filter then
+      // drops exactly the same lists a full collect would, see
+      // BoundedCollectSet's scaladoc). Sorted so i < j ⇒
+      // doc_a < doc_b in the expansion below.
+      .agg(sort_array(org.apache.spark.sql.graft.AggColumns
+        .bounded_collect_set(col("doc_id"), maxDf + 1)).as("__ids"))
       .filter(size(col("__ids")).between(2, maxDf))
     postings
       .select(orderedPairs(col("__ids"), "doc_a", "doc_b").as("__p"))

@@ -201,6 +201,15 @@ class ExtSpec extends SparkSpec {
     assert(bounded === ref)
     assert(bounded.nonEmpty && bounded.size === limit,
       s"expected exactly $limit kept groups (distinct counts 1..$limit)")
+    // binary payloads take the UnsafeArrayData buffer path: value
+    // equality (not reference) must dedupe equal byte arrays
+    val bin = Seq((1, Array[Byte](1, 2)), (1, Array[Byte](1, 2)),
+      (1, Array[Byte](3)), (2, Array[Byte](9)))
+      .toDF("k", "v")
+    val got = bin.groupBy("k")
+      .agg(size(AggColumns.bounded_collect_set(col("v"), 10)).as("n"))
+      .as[(Int, Int)].collect().toMap
+    assert(got === Map(1 -> 2, 2 -> 1))
   }
 
   test("Stages disk tier: artifact survives eviction (new-process " +
