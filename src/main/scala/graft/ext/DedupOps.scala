@@ -98,9 +98,24 @@ object DedupOps {
         "otherwise trailing signature columns silently drop out of every band")
     val rows = numHashes / bands
     val coef = minhashCoefficients(numHashes)
-    val based = df
-      .select(id.as("__id"), explode(shingles).as("__sh"))
-      .select(col("__id"), shingleHash(col("__sh")).as("__h"))
+    // A LONG-array shingle column is consumed as ALREADY-HASHED
+    // shingle ids in the md5PrefixLong(·, 8) domain (build with
+    // TextAnalysis.shingleHashes(c, k, hexLen = 8)); only the
+    // MinhashP reduction remains. Duplicate shingles never matter
+    // here — the signature is a per-doc MIN.
+    val preHashed = df.select(shingles.as("__probe")).schema.head
+      .dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    val based =
+      if (preHashed)
+        df.select(id.as("__id"), explode(shingles).as("__sh"))
+          .select(col("__id"), (col("__sh") % MinhashP).as("__h"))
+      else
+        df.select(id.as("__id"), explode(shingles).as("__sh"))
+          .select(col("__id"), shingleHash(col("__sh")).as("__h"))
     val mins = coef.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("__h") + lit(b)) % MinhashP).as(s"__m$i")
     }
@@ -201,13 +216,28 @@ object DedupOps {
   def jaccardPairs(df: DataFrame, blockKeys: Seq[String], id: Column,
                    shingles: Column, threshold: Double,
                    maxDf: Int = 64): DataFrame = {
-    val e0 = df.select(blockKeys.map(col) ++ Seq(id.as("__id"),
-      explode(array_distinct(shingles)).as("__sh")): _*)
-      // hash each shingle to a 60-bit long BEFORE the shuffle: 8-byte
-      // grouping keys instead of ~25-byte strings cut the exchange and
-      // the hash-compare cost ~40% (collision odds at 60 bits are
-      // ~n²/2^61 — noise next to the shingling itself)
-      .withColumn("__sh", PortableHash.md5PrefixLong(col("__sh"), 15))
+    // A LONG-array shingle column is consumed as ALREADY-HASHED
+    // distinct shingle ids in the md5PrefixLong(·, 15) domain (build
+    // it with TextAnalysis.shingleHashes(c, k) — the fused one-pass
+    // kernel); a string-array column takes the declarative
+    // distinct→explode→hash path below. Either way the exchange
+    // carries 8-byte keys instead of ~25-byte strings (~40% off the
+    // shuffle and hash-compare cost; collision odds at 60 bits are
+    // ~n²/2^61 — noise next to the shingling itself).
+    val preHashed = df.select(shingles.as("__probe")).schema.head
+      .dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    val e0 =
+      if (preHashed)
+        df.select(blockKeys.map(col) ++ Seq(id.as("__id"),
+          explode(shingles).as("__sh")): _*)
+      else
+        df.select(blockKeys.map(col) ++ Seq(id.as("__id"),
+          explode(array_distinct(shingles)).as("__sh")): _*)
+          .withColumn("__sh", PortableHash.md5PrefixLong(col("__sh"), 15))
     // df cap INSIDE the aggregation buffer: a stopword shingle shared
     // by millions of docs stops accumulating at maxDf+1 ids (O(maxDf)
     // task memory), and the filter below then drops it exactly as a

@@ -123,6 +123,17 @@ object TextAnalysis {
     parts.reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit("_"), y)))
   }
 
+  /** Distinct md5-prefix hashes of the k-token shingles, as one
+    * fused codegen'd pass (see
+    * [[org.apache.spark.sql.graft.ShingleHashes]]) — the array the
+    * dedup front-ends consume anyway, without ever materializing the
+    * shingle strings. `hexLen = 15` matches [[graft.ext.DedupOps]]'s
+    * Jaccard keys; pass 8 for the MinHash pipeline's
+    * [[graft.ext.DedupOps.shingleHash]] domain.
+    */
+  def shingleHashes(c: Column, k: Int = 3, hexLen: Int = 15): Column =
+    org.apache.spark.sql.graft.HashColumns.shingle_hashes(c, k, hexLen)
+
   /** Min-shingle fingerprint: lexicographic min of md5'd shingles —
     * a single-hash MinHash, cheap near-dup prefilter.
     */

@@ -29,7 +29,8 @@ private[queries] object DedupQueries {
     // audit surface — a checkpoint scan would hide it
     "dedup_minhash_lsh" -> { (s, dir) =>
       DedupOps.lshCandidatePairs(docs(s, dir), col("doc_id"),
-        TextAnalysis.shingles(col("text"), 2), numHashes = 12, bands = 4)
+        TextAnalysis.shingleHashes(col("text"), 2, hexLen = 8),
+        numHashes = 12, bands = 4)
     },
 
 
@@ -89,7 +90,7 @@ private[queries] object DedupQueries {
 
     "dedup_ngram_jaccard" -> { (s, dir) =>
       DedupOps.jaccardPairs(docs(s, dir), Seq("lang", "source"),
-        col("doc_id"), TextAnalysis.shingles(col("text"), 2),
+        col("doc_id"), TextAnalysis.shingleHashes(col("text"), 2),
         threshold = 0.1, maxDf = 64)
     },
 

@@ -53,7 +53,8 @@ private[queries] object ExtensionSupport {
     memo(s, dir, "cc_labels") {
       val d = docs(s, dir)
       val pairs = DedupOps.lshCandidatePairs(d, col("doc_id"),
-        TextAnalysis.shingles(col("text"), 2), numHashes = 12, bands = 4)
+        TextAnalysis.shingleHashes(col("text"), 2, hexLen = 8),
+        numHashes = 12, bands = 4)
       DedupOps.connectedComponents(
         d.select(col("doc_id").as("id")), pairs)
     }

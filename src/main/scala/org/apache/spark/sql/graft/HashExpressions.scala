@@ -39,6 +39,71 @@ object GraftHashUtil {
     }
     v
   }
+
+  /** Kernel behind [[ShingleHashes]]: distinct `md5PrefixLong` hashes
+    * of the k-token '_'-joined shingles, one byte pass. Tokenization
+    * replicates `split(trim(c), "\\s+")` exactly — Java's `\s` is the
+    * ASCII set [ \t\n\x0B\f\r] (each single-byte in UTF-8, so the
+    * byte scan cannot split a multi-byte char), a string starting
+    * with a separator yields a leading EMPTY token, one ENDING with a
+    * separator yields a trailing empty token (Spark's split runs at
+    * limit = -1, which KEEPS trailing empties — unlike Java's
+    * String.split default), and an empty trimmed string yields [""].
+    * Digests run straight off the token byte ranges (no shingle
+    * string is ever built), so a hash is bit-identical to
+    * `md5PrefixLong(tok_i ++ "_" ++ ... ++ tok_{i+k-1}, hexLen)`.
+    */
+  def shingleHashes(s: UTF8String, k: Int,
+                    hexLen: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val b = s.trim().getBytes
+    def isWs(x: Byte): Boolean = x == ' ' || x == '\t' || x == '\n' ||
+      x == 0x0b || x == '\f' || x == '\r'
+    val starts = new java.util.ArrayList[Integer]
+    val ends = new java.util.ArrayList[Integer]
+    if (b.length == 0) { starts.add(0); ends.add(0) }
+    else {
+      if (isWs(b(0))) { starts.add(0); ends.add(0) }
+      var i = 0
+      while (i < b.length) {
+        while (i < b.length && isWs(b(i))) i += 1
+        if (i < b.length) {
+          starts.add(i)
+          while (i < b.length && !isWs(b(i))) i += 1
+          ends.add(i)
+        }
+      }
+      if (isWs(b(b.length - 1))) { starts.add(b.length); ends.add(b.length) }
+    }
+    val n = starts.size()
+    val m = md.get()
+    val seen = new java.util.HashSet[java.lang.Long]
+    val out = new java.util.ArrayList[java.lang.Long]
+    val sep = Array('_'.toByte)
+    var w = 0
+    while (w + k <= n) {
+      m.reset()
+      var j = 0
+      while (j < k) {
+        m.update(b, starts.get(w + j), ends.get(w + j) - starts.get(w + j))
+        if (j < k - 1) m.update(sep, 0, 1)
+        j += 1
+      }
+      val d = m.digest()
+      var v = 0L
+      var t = 0
+      while (t < hexLen) {
+        val by = d(t >> 1) & 0xff
+        v = (v << 4) | (if ((t & 1) == 0) by >>> 4 else by & 0xf)
+        t += 1
+      }
+      if (seen.add(v)) out.add(v)
+      w += 1
+    }
+    val arr = new Array[Long](out.size())
+    var z = 0
+    while (z < arr.length) { arr(z) = out.get(z); z += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
 }
 
 /** Native form of the engine's portable-hash idiom (see
@@ -53,6 +118,44 @@ object GraftHashUtil {
   * conv/substring builtin form"), and the DuckDB oracle rendering
   * (`CAST('0x' || substr(md5(x), 1, n) AS BIGINT)`) is unchanged.
   */
+/** `shingle_hashes(text, k, hexLen)` — the fused native form of the
+  * dedup front-end `array_distinct → explode → md5_prefix_long` over
+  * `TextAnalysis.shingles(text, k)`: ONE pass over the UTF-8 bytes
+  * tokenizes (replicating `split(trim(c), "\\s+")` exactly, leading
+  * empty token and all), digests each k-token window joined with '_'
+  * directly from the token byte ranges, and emits the DISTINCT
+  * hashes in first-occurrence order. No intermediate token array, no
+  * shingle strings, no string-set distinct — the declarative
+  * composition allocates three strings per shingle on the hottest
+  * path of every corpus dedup. Hash values are bit-identical to
+  * `md5_prefix_long(shingle)` (ExtSpec pins the parity), so the
+  * DuckDB oracle rendering is unchanged.
+  *
+  * Distinctness is on the HASH, not the string: two shingles
+  * colliding in `4·hexLen` bits collapse here where array_distinct
+  * kept both — indistinguishable downstream, where consumers group
+  * or min by the hash anyway.
+  */
+case class ShingleHashes(child: Expression, k: Int, hexLen: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1 && k <= 16, "k must be in [1, 16]")
+  require(hexLen >= 1 && hexLen <= 15, "1..15 hex chars fit a long")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(s: Any): Any =
+    GraftHashUtil.shingleHashes(s.asInstanceOf[UTF8String], k, hexLen)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.GraftHashUtil.shingleHashes($c, $k, $hexLen)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ShingleHashes = copy(child = newChild)
+}
+
 case class Md5PrefixLong(child: Expression, hexLen: Int)
     extends UnaryExpression with ExpectsInputTypes {
   require(hexLen >= 1 && hexLen <= 15, "1..15 hex chars fit a long")
@@ -75,6 +178,10 @@ case class Md5PrefixLong(child: Expression, hexLen: Int)
 object HashColumns {
   def md5_prefix_long(c: Column, hexLen: Int): Column =
     ExpressionUtils.column(Md5PrefixLong(ExpressionUtils.expression(c), hexLen))
+
+  def shingle_hashes(c: Column, k: Int, hexLen: Int): Column =
+    ExpressionUtils.column(
+      ShingleHashes(ExpressionUtils.expression(c), k, hexLen))
 }
 
 /** `Observation.getOrEmpty` is private[sql]; this bridge exposes the

@@ -176,6 +176,33 @@ class ExtSpec extends SparkSpec {
     Stages.evict(spark, name)
   }
 
+  test("shingleHashes: the fused kernel matches the declarative " +
+      "array_distinct(shingles) -> md5PrefixLong composition on " +
+      "whitespace edge cases, unicode, and random text") {
+    import graft.ext.{PortableHash, TextAnalysis}
+    val rnd = new scala.util.Random(17)
+    val alphabet = "ab é日\t\n\f\r  _x9"
+    val crafted = Seq("", " ", "  ", "\t", "\ta b", "a", "a b",
+      "a  b", " a b ", "a\tb\nc", "a b a b a b", "_ _", "é 日 é",
+      "xy\fz\rw", "a_b c_d")
+    val fuzz = (1 to 60).map(_ => (1 to rnd.nextInt(40))
+      .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    for (k <- Seq(1, 2, 3); hexLen <- Seq(8, 15)) {
+      val df = (crafted ++ fuzz).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+      val ref = df.select($"id", array_distinct(transform(
+          TextAnalysis.shingles($"t", k),
+          s => PortableHash.md5PrefixLongBuiltin(s, hexLen))).as("h"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val got = df.select($"id",
+          TextAnalysis.shingleHashes($"t", k, hexLen).as("h"))
+        .as[(Long, Seq[Long])].collect().toMap
+      // first-occurrence order must match too (array_distinct keeps
+      // first occurrence; so does the kernel)
+      assert(got === ref, s"mismatch at k=$k hexLen=$hexLen")
+    }
+  }
+
   test("bounded_collect_set: cap-and-drop matches the unbounded " +
       "collect_set exactly, across partial-aggregated partitions and " +
       "duplicate deliveries") {
