@@ -791,4 +791,58 @@ object Similarity {
       .select(col("b.id").as("id")).distinct()
     labels.join(dropped, Seq("id"), "left_anti").select("id", "cid")
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher SIGIR'09) — the
+    * standard hybrid-retrieval combiner: each input ranked list
+    * contributes 1/(k0 + rank) per document and the fused order is by
+    * the summed score. This is how production RAG stacks merge a
+    * lexical (BM25) list with a vector (ANN) list without score
+    * calibration — RRF only reads RANKS, so the two retrievers'
+    * incomparable score scales never touch.
+    *
+    * Scores are integer parts-per-million (`1000000 div (k0+rank)`,
+    * exact on any engine) — a float 1/(k0+r) sum would be fold-order
+    * sensitive in the last ulp and could never hash-match an oracle.
+    *
+    * `lists` maps a short name to a (doc_id, rnk) DataFrame (rnk
+    * 1-based int). Output: (doc_id, <name>_rnk…, rrf_ppm, rnk) for
+    * the fused top `k`, rnk by (rrf_ppm DESC, doc_id ASC); a document
+    * absent from a list carries a NULL <name>_rnk and contributes 0.
+    *
+    * Scale shape: the inputs are ALREADY top-k' lists (bounded — each
+    * retriever capped its own output with a TakeOrdered heap), so the
+    * union + groupBy here moves ≤ Σk' rows total; the fused top-k is
+    * `orderBy.limit(k)` (per-partition heaps) and the final rank is
+    * derived by sorting the ≤k survivors inside ONE array — no
+    * unpartitioned window, the global ban holds.
+    */
+  def rrfFuse(lists: Seq[(String, DataFrame)], k0: Int, k: Int): DataFrame = {
+    require(lists.size >= 2 && lists.size <= 8,
+      "fusion wants 2..8 ranked lists")
+    require(k0 >= 1 && k >= 1, "k0 and k must be positive")
+    val tagged = lists.zipWithIndex.map { case ((_, df), i) =>
+      df.select(col("doc_id"), lit(i).as("__l"),
+        col("rnk").cast("int").as("rnk"))
+    }.reduce(_ unionByName _)
+    val rankCols = lists.zipWithIndex.map { case ((nm, _), i) =>
+      max(when(col("__l") === i, col("rnk"))).as(s"${nm}_rnk")
+    }
+    val fused = tagged.groupBy("doc_id")
+      .agg(sum(expr(s"1000000 div ($k0 + rnk)")).as("rrf_ppm"),
+        rankCols: _*)
+      .orderBy(col("rrf_ppm").desc, col("doc_id"))
+      .limit(k)
+    // rrf_ppm > 0 always, so negation is exact and order-reversing;
+    // doc_id is unique (group key) — (−ppm, doc_id) ascending is the
+    // exact TakeOrdered key (same re-rank shape as bm25TopK)
+    val packed = struct(
+      (-col("rrf_ppm")).as("ns") +: col("doc_id").as("doc_id") +:
+        lists.map { case (nm, _) => col(s"${nm}_rnk").as(s"${nm}_rnk") }: _*)
+    fused.agg(sort_array(collect_list(packed)).as("__a"))
+      .select(posexplode(col("__a")).as(Seq("__pos", "__r")))
+      .select(col("__r.doc_id").as("doc_id") +:
+        lists.map { case (nm, _) => col(s"__r.${nm}_rnk").as(s"${nm}_rnk") } :+
+        (-col("__r.ns")).as("rrf_ppm") :+
+        (col("__pos") + 1).cast("int").as("rnk"): _*)
+  }
 }

@@ -253,6 +253,22 @@ private[queries] object ExtensionSupport {
        |QUALIFY rnk <= $k""".stripMargin
   }
 
+  /** The WITH-block prefix of [[bm25OracleSql]] plus a `lex` CTE of
+    * (doc_id, rnk) for the top `k` — composable into a larger oracle
+    * (the RRF fusion query reuses the exact bm25 ranking this way
+    * instead of carrying a second copy of the score expression).
+    */
+  private[queries] def bm25RankCtes(terms: Seq[String], k: Int): String = {
+    val full = bm25OracleSql(terms, k)
+    val selIdx = full.indexOf("SELECT doc_id, dl,")
+    val prefix = full.substring(0, selIdx).trim.stripSuffix(",") + ","
+    val rankSel = full.substring(selIdx)
+      .replace(s"QUALIFY rnk <= $k", s"  QUALIFY rnk <= $k")
+    s"""$prefix
+       |lex AS (SELECT doc_id, rnk FROM (
+       |  $rankSel))""".stripMargin
+  }
+
   private[queries] def l2Sql(a: String, b: String): String =
     s"""list_reduce(list_transform(range(1, len($a) + 1),
        |      i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))), (x, y) -> x + y)""".stripMargin

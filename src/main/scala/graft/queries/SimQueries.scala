@@ -132,9 +132,58 @@ private[queries] object SimQueries {
               |       vec_norm(embedding) AS nrm
               |FROM emb_sql""".stripMargin)
     },
+
+
+    // Hybrid retrieval: the BM25 lexical top-20 and the cosine
+    // vector top-20 (query = doc 0's embedding; doc_id/vec_id share
+    // the fixture id space) fused by reciprocal ranks — the
+    // calibration-free combiner RAG stacks run because BM25 scores
+    // and cosine scores are incommensurable but RANKS always fuse.
+    "sim_hybrid_rrf" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val lex = TextAnalysis.bm25TopK(docs(s, dir), col("doc_id"),
+        col("text"), Bm25Terms, k = 20).select("doc_id", "rnk")
+      val e = emb(s, dir)
+      // re-rank the ≤20 survivors with a KEYED window (one query id)
+      // — the same (cos DESC, id ASC) key bruteForceTopK capped with
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      val vec = Similarity
+        .bruteForceTopK(e.filter(col("id") === 0), e, k = 20)
+        .withColumn("rnk", row_number().over(w).cast("int"))
+        .select(col("neighbor_id").as("doc_id"), col("rnk"))
+      Similarity.rrfFuse(Seq("lex" -> lex, "vec" -> vec),
+        k0 = 60, k = 10)
+    },
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // integer ppm contributions (1000000 // (60+rnk), positive so
+    // floor = trunc on both engines); absent-list ranks stay NULL and
+    // contribute nothing; fused order (rrf_ppm DESC, doc_id)
+    "sim_hybrid_rrf" ->
+      (s"""${bm25RankCtes(Bm25Terms, 20)},
+        |vec AS (SELECT c.vec_id AS doc_id,
+        |    CAST(row_number() OVER (ORDER BY
+        |      ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id)
+        |      AS INT) AS rnk
+        |  FROM embeddings q CROSS JOIN embeddings c
+        |  WHERE q.vec_id = 0 AND c.vec_id <> 0
+        |  QUALIFY rnk <= 20),
+        |u AS (SELECT doc_id, 0 AS l, rnk FROM lex
+        |      UNION ALL SELECT doc_id, 1 AS l, rnk FROM vec),
+        |f AS (SELECT doc_id,
+        |        CAST(sum(1000000 // (60 + rnk)) AS BIGINT) AS rrf_ppm,
+        |        max(CASE WHEN l = 0 THEN rnk END) AS lex_rnk,
+        |        max(CASE WHEN l = 1 THEN rnk END) AS vec_rnk
+        |      FROM u GROUP BY 1)
+        |SELECT doc_id, lex_rnk, vec_rnk, rrf_ppm,
+        |  CAST(row_number() OVER (ORDER BY rrf_ppm DESC, doc_id)
+        |    AS INT) AS rnk
+        |FROM f
+        |QUALIFY rnk <= 10""".stripMargin),
+
 
     "sim_bruteforce_topk" ->
       (s"""SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

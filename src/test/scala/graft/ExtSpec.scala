@@ -2054,4 +2054,33 @@ class ExtSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(again === got)
   }
+
+  test("rrfFuse sums reciprocal-rank ppm, keeps per-list ranks, " +
+    "ranks by (ppm desc, doc_id)") {
+    // lex: docs 1,2,3 at ranks 1,2,3; vec: docs 3,4 at ranks 1,2.
+    // k0 = 60 → contributions 1000000 div 61/62/63 and 61/62.
+    val lex = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rnk")
+    val vec = Seq((3L, 1), (4L, 2)).toDF("doc_id", "rnk")
+    val got = Similarity.rrfFuse(Seq("lex" -> lex, "vec" -> vec),
+      k0 = 60, k = 3)
+      .select($"doc_id", $"lex_rnk", $"vec_rnk", $"rrf_ppm", $"rnk")
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)), Option(r.get(2)), r.getLong(3), r.getInt(4)))
+      .toSeq
+    val c = (r: Int) => 1000000L / (60 + r)
+    // doc 3 is in both lists → top; docs 1,2 lex-only; doc 4 is cut
+    // at k = 3 because c(2) < c(1) (its vec-only ppm trails doc 1's)
+    assert(got === Seq(
+      (3L, Some(3), Some(1), c(3) + c(1), 1),
+      (1L, Some(1), None, c(1), 2),
+      (2L, Some(2), None, c(2), 3)))
+  }
+
+  test("rrfFuse ppm tie breaks toward the smaller doc_id") {
+    val a = Seq((9L, 1), (4L, 2)).toDF("doc_id", "rnk")
+    val b = Seq((4L, 1), (9L, 2)).toDF("doc_id", "rnk")
+    val got = Similarity.rrfFuse(Seq("a" -> a, "b" -> b), 60, 2)
+      .select($"doc_id", $"rnk").as[(Long, Int)].collect().toSeq
+    assert(got === Seq((4L, 1), (9L, 2)))
+  }
 }
