@@ -111,4 +111,60 @@ object Profiling {
         expr("n * 1000000 div __tot").as("share_ppm"),
         expr("__cum * 1000000 div __tot").as("cum_ppm"))
   }
+
+  /** Exact per-`key` PERCENTILE_DISC(0.5) of long column `v` via the
+    * same bounded (value, count) histogram fold [[equidepthBins]]
+    * runs — med = the largest value whose strictly-below count is
+    * < n/2, which IS the PERCENTILE_DISC(0.5) element (smallest value
+    * with cume_dist ≥ 0.5; verified equivalent against DuckDB on
+    * even, odd, and two-element groups). The histogram is bounded by
+    * the value DOMAIN, not the row count, so a hot key folds a small
+    * sorted array no matter how many events it carries.
+    */
+  private def discMedian(df: DataFrame, out: String): DataFrame =
+    df.groupBy(col("key"), col("v")).agg(count(lit(1)).as("__c"))
+      .groupBy("key")
+      .agg(sort_array(collect_list(struct(col("v"), col("__c"))))
+          .as("__h"),
+        sum("__c").as("__n"))
+      .select(col("key"), expr(
+        """aggregate(__h,
+          |  named_struct('run', 0L, 'th', cast(null as bigint)),
+          |  (acc, x) -> named_struct(
+          |    'run', acc.run + x.__c,
+          |    'th', if(acc.run * 2 < __n, x.v, acc.th))).th"""
+          .stripMargin).as(out))
+
+  /** Robust per-key outlier detection — median/MAD (median absolute
+    * deviation), the estimator monitoring pipelines use instead of
+    * mean/stddev because one spike can't drag the threshold (50%
+    * breakdown point vs 0 for z-scores). Flags rows where
+    * |v − median| > `mult` · MAD; all arithmetic is exact integer
+    * (`value` must already be integer-scaled, e.g. centi-units), so
+    * the flag set is bit-identical on any engine.
+    *
+    * Scale shape: two bounded histogram aggregations per key (the
+    * [[discMedian]] fold — per-task state is the key's distinct-value
+    * census, never its row list) and two equi-joins, everything keyed
+    * on `key` so the exchanges are plain hash partitions; no window,
+    * no driver collect. MAD = 0 (over half the key's mass on one
+    * value) degenerates to "flag anything off the median", the
+    * standard MAD caveat — callers on near-constant streams should
+    * pre-filter or raise `mult`.
+    *
+    * Returns ONLY the anomalous rows: (id, key, v, med, dev, mad).
+    */
+  def madOutliers(df: DataFrame, key: Column, id: Column, value: Column,
+                  mult: Int = 3): DataFrame = {
+    require(mult >= 1 && mult <= 1000, "mult must be in [1, 1000]")
+    val base = df.select(key.as("key"), id.as("id"),
+      value.cast("long").as("v"))
+    val withMed = base.join(discMedian(base, "med"), "key")
+      .withColumn("dev", abs(col("v") - col("med")))
+    val mad = discMedian(
+      withMed.select(col("key"), col("dev").as("v")), "mad")
+    withMed.join(mad, "key")
+      .filter(col("dev") > lit(mult.toLong) * col("mad"))
+      .select("id", "key", "v", "med", "dev", "mad")
+  }
 }

@@ -190,6 +190,22 @@ private[queries] object GraphTimeQueries {
     },
 
 
+    // Robust per-user outlier flags on the metric stream — median/MAD
+    // in exact centi-units (floor(value*100), the house double→long
+    // idiom), mult = 3; only the anomalous events survive. The
+    // monitoring shape: two bounded histogram folds per key, no
+    // window, a hot user costs its distinct-value census not its row
+    // list.
+    "ts_anomaly" -> { (s, dir) =>
+      Profiling.madOutliers(
+        t(s, dir, "events"), key = col("user_id"),
+        id = col("event_id"), value = floor(col("value") * 100),
+        mult = 3)
+        .select(col("id").as("event_id"), col("key").as("user_id"),
+          col("v"), col("med"), col("dev"), col("mad"))
+    },
+
+
     // -- Event-time windowing / ordered joins ------------------------
     "ew_tumbling" -> { (s, dir) =>
       EventWindows.tumbling(t(s, dir, "events"), "1 hour")
@@ -467,6 +483,27 @@ private[queries] object GraphTimeQueries {
         |SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
         |  list_reduce(vs, (acc, x) -> (acc + x) // 2) AS ewma_micros
         |FROM l""".stripMargin),
+
+
+    // PERCENTILE_DISC(0.5) is exactly the histogram-fold median rule
+    // (largest v with 2·below(v) < n — verified on even/odd/two-row
+    // groups); centi-units via floor(value*100), exact on both
+    // engines since the double product is IEEE-identical
+    "ts_anomaly" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |        CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+        |m AS (SELECT user_id,
+        |        PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY v) AS med
+        |      FROM e GROUP BY 1),
+        |d AS (SELECT e.event_id, e.user_id, e.v, m.med,
+        |        abs(e.v - m.med) AS dev
+        |      FROM e JOIN m USING (user_id)),
+        |md AS (SELECT user_id,
+        |         PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY dev) AS mad
+        |       FROM d GROUP BY 1)
+        |SELECT event_id, user_id, v, med, dev, mad
+        |FROM d JOIN md USING (user_id)
+        |WHERE dev > 3 * mad""".stripMargin,
 
 
     // inputs wrapped pmod-style (((x % m) + m) % m): DuckDB % keeps

@@ -309,4 +309,32 @@ class GraphTimeSeriesSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().head
     assert(got === ((5L, 5L, expect)))
   }
+
+  test("madOutliers flags only |v - med| > mult*mad with the " +
+      "PERCENTILE_DISC median on even and odd groups") {
+    // key 1 (odd n=5): vs 10,12,14,16,100 → med=14 (position 3);
+    //   devs 4,2,0,2,86 → sorted 0,2,2,4,86 → mad=2; flag dev > 6:
+    //   only v=100 (dev 86).
+    // key 2 (even n=4): vs 1,2,3,4 → med=2 (PERCENTILE_DISC(0.5) on
+    //   even n takes the LOWER middle); devs 1,0,1,2 → sorted
+    //   0,1,1,2 → mad=1; flag dev > 3: none.
+    val df = (Seq(10L, 12L, 14L, 16L, 100L).zipWithIndex.map {
+      case (v, i) => (1L, i.toLong, v)
+    } ++ Seq(1L, 2L, 3L, 4L).zipWithIndex.map {
+      case (v, i) => (2L, 10L + i, v)
+    }).toDF("k", "id", "v")
+    val got = Profiling.madOutliers(df, $"k", $"id", $"v", mult = 3)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((4L, 1L, 100L, 14L, 86L, 2L)))
+  }
+
+  test("madOutliers with MAD = 0 degenerates to flagging anything " +
+      "off the median") {
+    // over half the mass on 5 → med=5, mad=0; 5s never flag, 7 does
+    val df = Seq((9L, 0L, 5L), (9L, 1L, 5L), (9L, 2L, 5L),
+      (9L, 3L, 7L)).toDF("k", "id", "v")
+    val got = Profiling.madOutliers(df, $"k", $"id", $"v", mult = 3)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((3L, 9L, 7L, 5L, 2L, 0L)))
+  }
 }
