@@ -448,4 +448,69 @@ object StreamOps {
           }
       }
   }
+
+  case class FreqItem(shard: Int, item: String)
+  case class FreqSummary(shard: Int, item: String, est: Long,
+                         shard_n: Long)
+  /** ≤ k Misra–Gries counters plus the shard's exact stream length
+    * (the denominator of the n/(k+1) guarantee).
+    */
+  case class FreqState(counters: Map[String, Long], n: Long)
+
+  /** Streaming twin of [[graft.ext.FreqItemsAggregator]]: per-shard
+    * Misra–Gries counters maintained as items arrive, re-emitting the
+    * shard's summary after each micro-batch that touches it — the
+    * live trending-items / hot-keys monitor.
+    *
+    * Sharding discipline: the item HASH picks the shard, so every
+    * occurrence of an item folds into the same ≤ k-counter state and
+    * the per-shard guarantee (est ≤ exact; exact − est ≤
+    * shard_n/(k+1)) holds independently per shard — strictly tighter
+    * than one global sketch, and the union of shard summaries is the
+    * serving surface with no merge step. State is O(shards · k)
+    * TOTAL, fixed at deployment: the stream can run forever without
+    * state growth (`idleKeyTtl` is still available for bursty shard
+    * spaces).
+    *
+    * The fold step IS the batch aggregator's `reduce` (one
+    * implementation, two runtimes), so a single-shard in-order stream
+    * reproduces the sequential batch fold exactly — StreamSpec pins
+    * both that equivalence and the theorem bounds under multi-batch
+    * delivery.
+    */
+  def freqItemsStream(items: DataFrame, k: Int, shards: Int,
+                      idleKeyTtl: Option[String] = None)
+      : Dataset[FreqSummary] = {
+    import items.sparkSession.implicits._
+    require(k >= 1 && shards >= 1, "k and shards must be positive")
+    val mg = new graft.ext.FreqItemsAggregator(k)
+    val timeout = if (idleKeyTtl.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout
+    else GroupStateTimeout.NoTimeout
+    items
+      .select(pmod(hash(col("item")), lit(shards)).cast("int")
+          .as("shard"),
+        col("item").cast("string").as("item"))
+      .as[FreqItem]
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState[FreqState, FreqSummary](
+        OutputMode.Append, timeout) {
+        (shard, rows, state) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(FreqState(Map.empty, 0L))
+            rows.foreach { r =>
+              st = FreqState(mg.reduce(st.counters, r.item),
+                if (r.item == null) st.n else st.n + 1)
+            }
+            state.update(st)
+            idleKeyTtl.foreach(state.setTimeoutDuration)
+            st.counters.toSeq.sortBy(_._1).iterator.map {
+              case (item, est) => FreqSummary(shard, item, est, st.n)
+            }
+          }
+      }
+  }
 }

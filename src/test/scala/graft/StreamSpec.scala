@@ -634,4 +634,69 @@ class StreamSpec extends SparkSpec {
       assert(spark.table("ewma_out").count() === evs.size.toLong)
     } finally q.stop()
   }
+
+  test("streaming Misra-Gries: single-shard stream reproduces the " +
+    "sequential batch fold; theorem bounds hold across batches") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = StreamOps.freqItemsStream(in.toDF().toDF("item"),
+      k = 2, shards = 1)
+      .writeStream.format("memory").queryName("freq_out")
+      .outputMode(OutputMode.Append).start()
+    val b1 = Seq("a", "b", "c")
+    val b2 = Seq("a", "a", "b")
+    try {
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+      val rows = spark.table("freq_out").as[StreamOps.FreqSummary]
+        .collect()
+      val n = (b1 ++ b2).size.toLong
+      val fin = rows.filter(_.shard_n == n)
+        .map(r => r.item -> r.est).toMap
+      // same reduce, same order → identical summary content
+      val mg = new graft.ext.FreqItemsAggregator(2)
+      val want = (b1 ++ b2).foldLeft(Map.empty[String, Long])(mg.reduce)
+      assert(fin === want)
+      // the MG theorems on the final state: never over-counts, and
+      // under-counts by at most n/(k+1)
+      val exact = (b1 ++ b2).groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+      fin.foreach { case (i, est) =>
+        assert(est <= exact(i) && exact(i) - est <= n / 3)
+      }
+      // every heavy item (exact > n/(k+1)) is present
+      exact.filter(_._2 > n / 3).keys
+        .foreach(i => assert(fin.contains(i)))
+    } finally q.stop()
+  }
+
+  test("streaming Misra-Gries: item-hash sharding keeps each item's " +
+    "counters in one shard with per-shard stream lengths") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = StreamOps.freqItemsStream(in.toDF().toDF("item"),
+      k = 4, shards = 3)
+      .writeStream.format("memory").queryName("freq_shard_out")
+      .outputMode(OutputMode.Append).start()
+    val items = Seq.tabulate(30)(i => s"w${i % 5}")
+    try {
+      in.addData(items.take(15)); q.processAllAvailable()
+      in.addData(items.drop(15)); q.processAllAvailable()
+      val rows = spark.table("freq_shard_out").as[StreamOps.FreqSummary]
+        .collect()
+      // an item never appears under two shards
+      assert(rows.groupBy(_.item).forall(_._2.map(_.shard).distinct
+        .size == 1))
+      // final summaries: per shard, the newest shard_n; the shard
+      // stream lengths partition the 30 items
+      val fin = rows.groupBy(_.shard)
+        .map { case (s, rs) => s -> rs.filter(
+          _.shard_n == rs.map(_.shard_n).max) }
+      assert(fin.values.map(_.head.shard_n).sum === 30L)
+      // k=4 ≥ distinct-per-shard → every count is exact (no decrement
+      // ever fires): 5 distinct items × 6 occurrences each
+      val est = fin.values.flatten.map(r => r.item -> r.est).toMap
+      assert(est === Seq.tabulate(5)(i => s"w$i" -> 6L).toMap)
+    } finally q.stop()
+  }
 }
