@@ -203,6 +203,27 @@ private[queries] object CurateQueries {
     },
 
 
+    // JSONL ingestion round-trip: stage the documents corpus as
+    // JSON-Lines once (fingerprint-keyed), read it back through the
+    // explicit-schema FAILFAST reader (graft.sources.JsonlSource —
+    // never an inference pass), and prove content survives with a
+    // per-(source, lang) census carrying an md5-prefix content
+    // checksum. Oracle = the same census straight off the parquet.
+    "src_jsonl_roundtrip" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val path = graft.sources.JsonlSource.stage(d, "target/jsonl",
+        s"${dir.split('/').last}_documents",
+        Tables.fingerprint(s"$dir/documents.parquet"))
+      graft.sources.JsonlSource.read(s, path, d.schema)
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          sum(length(col("text")).cast("long")).as("sum_len"),
+          sum(PortableHash.md5PrefixLong(col("text"), 14))
+            .as("text_checksum"))
+    },
+
+
     // Value-distribution histogram: fixed-width buckets over the
     // events value column (floor math, exact in both engines).
     "agg_histogram" -> { (s, dir) =>
@@ -215,6 +236,19 @@ private[queries] object CurateQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // the oracle never sees the JSONL — it censuses the parquet
+    // directly, so any loss in the write/read cycle (a mangled
+    // escape, a truncated line, a mistyped field) breaks the
+    // checksum or counts
+    "src_jsonl_roundtrip" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_len,
+        |  CAST(sum(CAST('0x' || substr(md5(text), 1, 14) AS BIGINT))
+        |    AS BIGINT) AS text_checksum
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+
 
     // same chunk arithmetic as text_chunk; shard = 7-hex salted hash
     // % 8, cumulative token count per shard in (doc_id, chunk_idx)

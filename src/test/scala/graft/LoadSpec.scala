@@ -358,4 +358,39 @@ class LoadSpec extends SparkSpec {
       fetcher.post("https://example.test/missing", Map.empty)
     }
   }
+
+  test("JsonlSource: lossless round-trip with explicit schema; " +
+    "FAILFAST surfaces a corrupt line; staging is fingerprint-once") {
+    import graft.sources.JsonlSource
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-jsonl").toString
+    val df = Seq(
+      (1L, "plain text", "en"),
+      (2L, "newline\nand \"quotes\" and unicode é中", "fr"),
+      (3L, null.asInstanceOf[String], "de")).toDF("id", "text", "lang")
+    val p1 = JsonlSource.stage(df, root, "t", fingerprint = 7L)
+    val back = JsonlSource.read(spark, p1, df.schema)
+      .as[(Long, String, String)].collect().toSet
+    assert(back === Set((1L, "plain text", "en"),
+      (2L, "newline\nand \"quotes\" and unicode é中", "fr"),
+      (3L, null, "de")))
+    // same fingerprint → the staged dir is reused, not rewritten
+    val mtime = new java.io.File(p1, "_SUCCESS").lastModified()
+    assert(JsonlSource.stage(df, root, "t", 7L) === p1)
+    assert(new java.io.File(p1, "_SUCCESS").lastModified() === mtime)
+    // a NEW fingerprint stages fresh and deletes the stale sibling
+    val p2 = JsonlSource.stage(df.limit(1), root, "t", 8L)
+    assert(p2 !== p1)
+    assert(!new java.io.File(p1).exists())
+    // corrupt line: FAILFAST fails the read instead of nulling the row
+    val bad = new java.io.File(root, "bad")
+    bad.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(bad, "part-0.json").toPath,
+      "{\"id\": 1, \"text\": \"ok\", \"lang\": \"en\"}\n{not json\n"
+        .getBytes("UTF-8"))
+    intercept[org.apache.spark.SparkException] {
+      JsonlSource.read(spark, bad.toString, df.schema).collect()
+    }
+  }
 }
