@@ -1,5 +1,9 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.ext._
+import graft.queries.ExtensionSupport
 
 /** Dev scratchpad for A/B timing experiments (not part of the
   * operator surface; rewritten per investigation).
@@ -12,29 +16,32 @@ object Scratch {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val names = Seq("sim_pq_adc_topk", "sim_pq_refine_topk",
-      "sim_ivfpq_topk", "sim_ivfpq_refine_topk")
-    // warm
-    graft.queries.ExtensionQueries.prebuildStages(spark, sfDir)
-    names.foreach(n => SparkEntry.queries(n)(spark, sfDir).count())
-    var best = Map[String, Double]().withDefaultValue(1e9)
-    var stBest = Map[String, Double]().withDefaultValue(1e9)
-    for (r <- 1 to 4) {
-      graft.queries.ExtensionQueries.evictStages(spark, sfDir)
-      graft.queries.ExtensionQueries.prebuildStages(spark, sfDir)
-        .foreach { case (k, v) =>
-          stBest = stBest.updated(k, math.min(stBest(k), v)) }
-      names.foreach { n =>
-        val t0 = System.nanoTime()
-        SparkEntry.queries(n)(spark, sfDir).count()
-        best = best.updated(n,
-          math.min(best(n), (System.nanoTime() - t0) / 1e9))
+    def docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    def emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    def t(label: String)(f: => Long): Unit = {
+      var best = 1e9
+      for (_ <- 1 to 3) {
+        val t0 = System.nanoTime(); val c = f
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        if (c < 0) println("")
       }
+      println(f"[scr] $label%-24s $best%7.3f s")
     }
-    stBest.toSeq.sortBy(_._1).foreach { case (k, v) =>
-      println(f"[pq] stage $k%-22s $v%6.3f") }
-    names.foreach(n => println(f"[pq] query $n%-22s ${best(n)}%6.3f"))
-    println(f"[pq] TOTAL ${stBest.values.sum + names.map(best).sum}%6.3f")
+    t("lex:bm25") {
+      TextAnalysis.bm25TopK(docs, col("doc_id"), col("text"),
+        Seq("data", "join", "hash"), 20).count()
+    }
+    t("vec:brute") {
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      Similarity.bruteForceTopK(emb.filter(col("id") === 0), emb, 20)
+        .withColumn("rnk", row_number().over(w).cast("int"))
+        .select(col("neighbor_id").as("doc_id"), col("rnk")).count()
+    }
+    t("full:rrf") {
+      SparkEntry.queries("sim_hybrid_rrf")(spark, sfDir).count()
+    }
     spark.stop()
   }
 }
