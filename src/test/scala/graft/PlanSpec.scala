@@ -533,4 +533,34 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"),
       s"grid degraded to a calendar cross-join:\n$p")
   }
+
+  test("ts_anomaly: window-free — medians are hash-agg histogram " +
+      "folds, and the tiny med/mad tables broadcast back") {
+    val p = finalPlan("ts_anomaly")
+    assert(!p.contains("Window"),
+      s"MAD should never rank per-row through a window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-key median tables should broadcast at test scale:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("sim_hybrid_rrf: both retriever top-ks and the fused top-k " +
+      "are bounded TakeOrdered heaps — no global sort survives") {
+    val p = plan("sim_hybrid_rrf")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
+      s"retriever caps should be per-partition k-row heaps:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("src_jsonl_roundtrip: the JSONL scan runs the DECLARED schema " +
+      "(no inference) and no shuffle beyond the census agg") {
+    val p = plan("src_jsonl_roundtrip")
+    assert(p.contains("Scan json"), s"expected a json file scan:\n$p")
+    assert(p.contains(
+      "struct<doc_id:bigint,text:string,lang:string,source:string," +
+        "n_chars:bigint>") || p.contains("n_chars:bigint"),
+      s"declared schema not on the scan:\n$p")
+    assert("Exchange".r.findAllIn(p).size === 1,
+      s"census should cost exactly the one groupBy exchange:\n$p")
+  }
 }
