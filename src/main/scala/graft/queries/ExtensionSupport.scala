@@ -168,6 +168,18 @@ private[queries] object ExtensionSupport {
       Bpe.train(docs(s, dir), col("text"), k = 6, maxWords = 512)
     }
 
+  /** BM25 top-20 against the seed terms — one ranking, two consumers
+    * (`text_bm25_topk` serves it whole; `sim_hybrid_rrf` fuses its
+    * (doc_id, rnk) projection with the vector list). The checkpoint
+    * is 20 rows; the saving is the tokenize→explode→score pass the
+    * second consumer would otherwise repeat.
+    */
+  private[queries] def bm25Top20(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "bm25_top20") {
+      TextAnalysis.bm25TopK(docs(s, dir), col("doc_id"), col("text"),
+        Bm25Terms, k = 20)
+    }
+
   def prebuildStages(s: SparkSession, dir: String): Seq[(String, Double)] = {
     def timed(name: String)(f: => Unit): (String, Double) = {
       val t0 = System.nanoTime()
@@ -179,6 +191,7 @@ private[queries] object ExtensionSupport {
       timed("pq_codebook") { pqCodebook(s, dir).count() },
       timed("pq_codes") { pqCodes(s, dir).count() },
       timed("bpe_merges") { bpeMerges(s, dir).count() },
+      timed("bm25_top20") { bm25Top20(s, dir).count() },
       timed("pr_graph") { prGraph(s, dir).count() },
       timed("copurchase_edges") { copurchaseEdges(s, dir).count() },
       timed("bucketed_layout") { bucketedLayout(s, dir) })
@@ -192,8 +205,8 @@ private[queries] object ExtensionSupport {
     * fixture regeneration above).
     */
   private[graft] def evictStages(s: SparkSession, dir: String): Unit = {
-    Seq("cc_labels", "pq_codebook", "pq_codes", "bpe_merges", "pr_graph",
-      "copurchase_edges")
+    Seq("cc_labels", "pq_codebook", "pq_codes", "bpe_merges",
+      "bm25_top20", "pr_graph", "copurchase_edges")
       .foreach(stage => Stages.evict(s, s"$dir|$stage"))
     // next bucketedLayout call re-writes the tables (rebuild timing)
     bucketedWritten.remove(s"${s.sparkContext.applicationId}|$dir|bucketed")

@@ -141,8 +141,7 @@ private[queries] object SimQueries {
     // and cosine scores are incommensurable but RANKS always fuse.
     "sim_hybrid_rrf" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val lex = TextAnalysis.bm25TopK(docs(s, dir), col("doc_id"),
-        col("text"), Bm25Terms, k = 20).select("doc_id", "rnk")
+      val lex = bm25Top20(s, dir).select("doc_id", "rnk")
       val e = emb(s, dir)
       // re-rank the ≤20 survivors with a KEYED window (one query id)
       // — the same (cos DESC, id ASC) key bruteForceTopK capped with

@@ -228,8 +228,7 @@ private[queries] object TextQueries {
     // (tf/dl/rank): libm ln is not bit-portable, so the score stays
     // inside the ORDER BY (see TextAnalysis.bm25TopK).
     "text_bm25_topk" -> { (s, dir) =>
-      TextAnalysis.bm25TopK(docs(s, dir), col("doc_id"), col("text"),
-        terms = Bm25Terms, k = 20)
+      bm25Top20(s, dir)
     },
 
 

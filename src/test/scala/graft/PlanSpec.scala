@@ -544,12 +544,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("sim_hybrid_rrf: both retriever top-ks and the fused top-k " +
-      "are bounded TakeOrdered heaps — no global sort survives") {
+  test("sim_hybrid_rrf: the lexical list comes from the shared " +
+      "bm25_top20 stage (never re-scored), and the fused top-k is a " +
+      "bounded TakeOrdered heap") {
     val p = plan("sim_hybrid_rrf")
-    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
-      s"retriever caps should be per-partition k-row heaps:\n$p")
+    // the bm25 build tokenizes documents; a consumer plan that still
+    // scans the documents parquet is re-running the retriever
+    assert(!p.contains("documents.parquet"),
+      s"lex side replans bm25 instead of reading the stage:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"fused cap should be a per-partition k-row heap:\n$p")
     assert(!p.contains("CartesianProduct"))
+  }
+
+  test("text_bm25_topk serves the shared bm25_top20 stage (the " +
+      "build-once / consume-many lifecycle)") {
+    val p = plan("text_bm25_topk")
+    assert(!p.contains("documents.parquet"),
+      s"bm25 consumer replans the ranking:\n$p")
   }
 
   test("src_jsonl_roundtrip: the JSONL scan runs the DECLARED schema " +
