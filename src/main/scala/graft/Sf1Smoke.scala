@@ -112,7 +112,10 @@ object Sf1Smoke {
       "graph_pagerank", "graph_triangles", "stats_key_skew",
       "layout_compaction", "ts_resample_locf", "ts_ewma",
       "merge_upsert", "sim_mips_topk", "agg_mode", "feat_equidepth_bins",
-      "graph_communities", "graph_khop")
+      "graph_communities", "graph_khop",
+      // round-9 additions: RRF fusion over the shared bm25 stage,
+      // double histogram-fold median/MAD, JSONL staging round-trip
+      "sim_hybrid_rrf", "ts_anomaly", "src_jsonl_roundtrip")
 
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     def audit(df: DataFrame): Seq[String] = {

@@ -122,7 +122,11 @@ object Profiling {
     * sorted array no matter how many events it carries.
     */
   private def discMedian(df: DataFrame, out: String): DataFrame =
-    df.groupBy(col("key"), col("v")).agg(count(lit(1)).as("__c"))
+    // SQL aggregate null semantics (PERCENTILE_DISC ignores NULLs): a
+    // null v must not enter the histogram — an unfiltered null struct
+    // sorts FIRST and corrupts the fold's running count
+    df.filter(col("v").isNotNull)
+      .groupBy(col("key"), col("v")).agg(count(lit(1)).as("__c"))
       .groupBy("key")
       .agg(sort_array(collect_list(struct(col("v"), col("__c"))))
           .as("__h"),
@@ -159,11 +163,20 @@ object Profiling {
     require(mult >= 1 && mult <= 1000, "mult must be in [1, 1000]")
     val base = df.select(key.as("key"), id.as("id"),
       value.cast("long").as("v"))
-    val withMed = base.join(discMedian(base, "med"), "key")
+    // null-safe key equality (<=>), same first-class-NULL contract as
+    // equidepthBins/keySkewProfile above: a NULL-key series computes
+    // its own median like any other and must match it back — a plain
+    // equi-join's three-valued NULL = NULL would silently exempt
+    // null-key rows from monitoring. Null Vs never flag (dev stays
+    // NULL, the > predicate is not-true), matching the oracle's WHERE.
+    val med = discMedian(base, "med").withColumnRenamed("key", "__mk")
+    val withMed = base.join(med, col("key") <=> col("__mk"))
+      .drop("__mk")
       .withColumn("dev", abs(col("v") - col("med")))
     val mad = discMedian(
       withMed.select(col("key"), col("dev").as("v")), "mad")
-    withMed.join(mad, "key")
+      .withColumnRenamed("key", "__mk")
+    withMed.join(mad, col("key") <=> col("__mk")).drop("__mk")
       .filter(col("dev") > lit(mult.toLong) * col("mad"))
       .select("id", "key", "v", "med", "dev", "mad")
   }

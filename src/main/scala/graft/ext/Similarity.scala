@@ -820,9 +820,16 @@ object Similarity {
     require(lists.size >= 2 && lists.size <= 8,
       "fusion wants 2..8 ranked lists")
     require(k0 >= 1 && k >= 1, "k0 and k must be positive")
-    val tagged = lists.zipWithIndex.map { case ((_, df), i) =>
+    // a NULL or non-positive rank is malformed retriever output (rnk
+    // is 1-based by contract); silently treating it as "absent" would
+    // mis-score the fusion — fail loudly, the mergeUpsert precedent
+    // for malformed upstream rows. Cost: one branch over ≤ Σk rows.
+    val tagged = lists.zipWithIndex.map { case ((nm, df), i) =>
       df.select(col("doc_id"), lit(i).as("__l"),
-        col("rnk").cast("int").as("rnk"))
+        when(col("rnk").isNull || col("rnk") < 1,
+          raise_error(concat(lit(s"rrfFuse: list '$nm' carries a " +
+            "null/non-positive rank for doc_id "), col("doc_id"))))
+          .otherwise(col("rnk")).cast("int").as("rnk"))
     }.reduce(_ unionByName _)
     val rankCols = lists.zipWithIndex.map { case ((nm, _), i) =>
       max(when(col("__l") === i, col("rnk"))).as(s"${nm}_rnk")

@@ -51,7 +51,20 @@ object JsonlSource {
         .filter(f => f.getName.startsWith(s"${safe}__fp") &&
           f.getName != dirName)
         .foreach(deleteTree)
-      df.write.mode("overwrite").json(dir.toString)
+      // tmp write + atomic rename (the stage disk tier's publish
+      // protocol): a concurrent or crashed process never observes a
+      // half-written corpus under the published name
+      val tmp = new java.io.File(root, s".$dirName.tmp")
+      deleteTree(tmp)
+      df.write.mode("overwrite").json(tmp.toString)
+      if (!tmp.renameTo(dir)) {
+        // lost a publish race (or stale dir): keep whichever full
+        // write landed, drop ours
+        deleteTree(tmp)
+        if (!done.isFile)
+          throw new java.io.IOException(
+            s"JsonlSource: could not publish $dir")
+      }
     }
     dir.toString
   }

@@ -2083,4 +2083,19 @@ class ExtSpec extends SparkSpec {
       .select($"doc_id", $"rnk").as[(Long, Int)].collect().toSeq
     assert(got === Seq((4L, 1), (9L, 2)))
   }
+
+  test("rrfFuse raises on a null or non-positive rank instead of " +
+    "silently mis-scoring the fusion") {
+    val a = Seq((1L, Some(1)), (2L, None)).toDF("doc_id", "rnk")
+    val b = Seq((1L, 1)).toDF("doc_id", "rnk")
+    val e = intercept[Exception] {
+      Similarity.rrfFuse(Seq("a" -> a, "b" -> b), 60, 2).collect()
+    }
+    assert(e.getMessage.contains("null/non-positive rank"))
+    val z = Seq((1L, 0)).toDF("doc_id", "rnk")
+    val e2 = intercept[Exception] {
+      Similarity.rrfFuse(Seq("a" -> z, "b" -> b), 60, 2).collect()
+    }
+    assert(e2.getMessage.contains("null/non-positive rank"))
+  }
 }

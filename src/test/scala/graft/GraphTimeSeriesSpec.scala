@@ -337,4 +337,22 @@ class GraphTimeSeriesSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
     assert(got === Seq((3L, 9L, 7L, 5L, 2L, 0L)))
   }
+
+  test("madOutliers: NULL keys are a first-class monitored series, " +
+      "and NULL values neither enter the median nor flag") {
+    // null-key series: 1,1,1,50 → med=1, devs 0,0,0,49 → mad=0,
+    // flag 50. A null v among key 5's rows must not shift its median
+    // (5,7,9 → med 7) and must never itself flag.
+    val df = Seq[(Option[Long], Long, Option[Long])](
+      (None, 0L, Some(1L)), (None, 1L, Some(1L)),
+      (None, 2L, Some(1L)), (None, 3L, Some(50L)),
+      (Some(5L), 4L, Some(5L)), (Some(5L), 5L, Some(7L)),
+      (Some(5L), 6L, Some(9L)), (Some(5L), 7L, None))
+      .toDF("k", "id", "v")
+    val got = Profiling.madOutliers(df, $"k", $"id", $"v", mult = 3)
+      .select($"id", $"key", $"v", $"med", $"mad").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === Seq((3L, None, 50L, 1L, 0L)))
+  }
 }
