@@ -513,4 +513,47 @@ object StreamOps {
           }
       }
   }
+
+  /** Idempotent write of one micro-batch under `path/batch_id=<id>` —
+    * the unit the exactly-once sink replays safely:
+    *   - a batch id whose partition already COMMITTED (_SUCCESS
+    *     present) is skipped whole, so an at-least-once redelivery
+    *     after a sink-side success writes nothing;
+    *   - a partition without _SUCCESS (crash mid-write) is rewritten
+    *     with mode=overwrite, so a half-written attempt is replaced,
+    *     never appended to.
+    * Returns true when this call performed the write.
+    */
+  def writeBatchIdempotent(batch: DataFrame, path: String,
+                           batchId: Long): Boolean = {
+    val dir = new java.io.File(path, s"batch_id=$batchId")
+    if (new java.io.File(dir, "_SUCCESS").isFile) false
+    else {
+      batch.write.mode("overwrite").parquet(dir.toString)
+      true
+    }
+  }
+
+  /** End-to-end exactly-once parquet sink: Structured Streaming's
+    * checkpointed offset log makes batch ids DETERMINISTIC per input
+    * range, and [[writeBatchIdempotent]] makes each id's write
+    * replay-safe — replayable source + deterministic batches +
+    * idempotent sink is exactly Spark's documented recipe for
+    * end-to-end exactly-once without a transactional store. The
+    * output is a `batch_id`-partitioned parquet table readers load
+    * with partition pruning; downstream compaction (layout_compaction)
+    * folds the per-batch files once the partition goes cold.
+    *
+    * Returns the started query (caller owns its lifecycle).
+    */
+  def exactlyOnceParquetSink(ds: DataFrame, path: String,
+                             checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    ds.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        writeBatchIdempotent(batch, path, id): Unit
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .start()
 }

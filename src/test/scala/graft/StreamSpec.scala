@@ -670,6 +670,48 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("exactly-once sink: committed batch ids skip on replay, " +
+    "half-written attempts rewrite, and the streamed table equals " +
+    "the input exactly once") {
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-eos").toString
+    val out = s"$root/table"
+    // unit level: same id twice → one write; the redelivery (even
+    // with DIFFERENT content, the at-least-once worst case) is a no-op
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    assert(StreamOps.writeBatchIdempotent(b0, out, 0L))
+    assert(!StreamOps.writeBatchIdempotent(
+      Seq((9L, "z")).toDF("k", "v"), out, 0L))
+    assert(spark.read.parquet(s"$out/batch_id=0")
+      .as[(Long, String)].collect().toSet === Set((1L, "a"), (2L, "b")))
+    // crash mid-write: no _SUCCESS → the retry REPLACES the partial
+    val dir1 = new java.io.File(out, "batch_id=1")
+    dir1.mkdirs()
+    b0.limit(1).write.mode("overwrite")
+      .parquet(dir1.toString)
+    new java.io.File(dir1, "_SUCCESS").delete()
+    assert(StreamOps.writeBatchIdempotent(
+      Seq((3L, "c")).toDF("k", "v"), out, 1L))
+    assert(spark.read.parquet(dir1.toString)
+      .as[(Long, String)].collect().toSeq === Seq((3L, "c")))
+    // end to end: the sink lands each micro-batch once, partitioned
+    // by batch_id, and the union equals everything streamed
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.exactlyOnceParquetSink(
+      in.toDF().toDF("k", "v"), s"$root/stream",
+      s"$root/ckpt")
+    try {
+      in.addData((10L, "x")); q.processAllAvailable()
+      in.addData((11L, "y"), (12L, "z")); q.processAllAvailable()
+      val got = spark.read.parquet(s"$root/stream")
+        .select($"k", $"v").as[(Long, String)].collect().toSet
+      assert(got === Set((10L, "x"), (11L, "y"), (12L, "z")))
+      assert(spark.read.parquet(s"$root/stream")
+        .select($"batch_id").distinct().count() === 2)
+    } finally q.stop()
+  }
+
   test("streaming Misra-Gries: item-hash sharding keeps each item's " +
     "counters in one shard with per-shard stream lengths") {
     implicit val sq = spark.sqlContext
