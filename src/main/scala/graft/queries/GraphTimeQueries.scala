@@ -190,6 +190,25 @@ private[queries] object GraphTimeQueries {
     },
 
 
+    // Declarative data-quality gate (the Deequ shape): the whole
+    // row-level suite in ONE scan, uniqueness as a partial-agg
+    // groupBy, referential integrity as a distinct-distinct anti
+    // join. Thresholds chosen to exercise BOTH outcomes on the
+    // fixture: the completeness/range/FK checks pass, the 90%-low-
+    // discount and order-line-uniqueness checks genuinely fail.
+    "quality_constraints" -> { (s, dir) =>
+      Quality.report(t(s, dir, "lineitem"), Seq(
+        Quality.Complete("l_quantity_complete", "l_quantity"),
+        Quality.InRange("l_quantity_in_1_50", "l_quantity", 1.0, 50.0),
+        Quality.InRange("l_discount_low_90pct", "l_discount",
+          0.0, 0.05, minPpm = 900000L),
+        Quality.Unique("order_line_unique",
+          Seq("l_orderkey", "l_linenumber")),
+        Quality.SubsetOf("orderkey_in_orders", "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey")))
+    },
+
+
     // Robust per-user outlier flags on the metric stream — median/MAD
     // in exact centi-units (floor(value*100), the house double→long
     // idiom), mult = 3; only the anomalous events survive. The
@@ -483,6 +502,47 @@ private[queries] object GraphTimeQueries {
         |SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
         |  list_reduce(vs, (acc, x) -> (acc + x) // 2) AS ewma_micros
         |FROM l""".stripMargin),
+
+
+    // one aggregate CTE mirrors the single-scan row suite; `//` on
+    // non-negative ints = Spark div; the same 0.05/900000 literals
+    "quality_constraints" ->
+      """WITH n AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN l_quantity IS NOT NULL THEN 1 ELSE 0 END) AS ok1,
+        |    sum(CASE WHEN l_quantity >= 1.0 AND l_quantity <= 50.0
+        |        THEN 1 ELSE 0 END) AS ok2,
+        |    sum(CASE WHEN l_discount >= 0.0 AND l_discount <= 0.05
+        |        THEN 1 ELSE 0 END) AS ok3
+        |  FROM lineitem),
+        |u AS (SELECT CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0)
+        |        AS BIGINT) AS dups
+        |      FROM (SELECT count(*) AS c FROM lineitem
+        |            GROUP BY l_orderkey, l_linenumber)),
+        |r AS (SELECT count(*) AS orphans FROM
+        |       (SELECT DISTINCT l_orderkey AS v FROM lineitem
+        |        WHERE l_orderkey IS NOT NULL)
+        |      WHERE v NOT IN (SELECT o_orderkey FROM orders
+        |                      WHERE o_orderkey IS NOT NULL))
+        |SELECT 'l_quantity_complete' AS check_name,
+        |  CAST(coalesce(ok1 * 1000000 // n, 1000000) AS BIGINT) AS metric,
+        |  CAST(1000000 AS BIGINT) AS threshold,
+        |  coalesce(ok1 * 1000000 // n, 1000000) >= 1000000 AS pass FROM n
+        |UNION ALL
+        |SELECT 'l_quantity_in_1_50',
+        |  CAST(coalesce(ok2 * 1000000 // n, 1000000) AS BIGINT),
+        |  CAST(1000000 AS BIGINT),
+        |  coalesce(ok2 * 1000000 // n, 1000000) >= 1000000 FROM n
+        |UNION ALL
+        |SELECT 'l_discount_low_90pct',
+        |  CAST(coalesce(ok3 * 1000000 // n, 1000000) AS BIGINT),
+        |  CAST(900000 AS BIGINT),
+        |  coalesce(ok3 * 1000000 // n, 1000000) >= 900000 FROM n
+        |UNION ALL
+        |SELECT 'order_line_unique', dups, CAST(0 AS BIGINT),
+        |  dups = 0 FROM u
+        |UNION ALL
+        |SELECT 'orderkey_in_orders', CAST(orphans AS BIGINT),
+        |  CAST(0 AS BIGINT), orphans = 0 FROM r""".stripMargin,
 
 
     // PERCENTILE_DISC(0.5) is exactly the histogram-fold median rule

@@ -355,4 +355,37 @@ class GraphTimeSeriesSpec extends SparkSpec {
         r.getLong(3), r.getLong(4))).toSeq
     assert(got === Seq((3L, None, 50L, 1L, 0L)))
   }
+
+  test("Quality.report: ppm row metrics, dup-row and orphan counts, " +
+      "nulls fail ranges, names must be unique") {
+    val df = Seq[(Option[Long], Option[Long], Long)](
+      (Some(5L), Some(1L), 10L), (Some(60L), None, 10L),
+      (None, Some(2L), 11L), (Some(7L), Some(3L), 12L))
+      .toDF("a", "b", "k")
+    val ref = Seq(10L, 12L).toDF("rk")
+    val got = Quality.report(df, Seq(
+      Quality.Complete("a_complete", "a", minPpm = 700000L),
+      Quality.InRange("a_in_0_50", "a", 0.0, 50.0, minPpm = 500000L),
+      Quality.Unique("k_unique", Seq("k")),
+      Quality.SubsetOf("k_in_ref", "k", ref, "rk")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSeq
+    assert(got === Seq(
+      ("a_complete", 750000L, 700000L, true),
+      // null a and 60 both violate [0,50]: 2/4 = 500000 ppm, pass at =
+      ("a_in_0_50", 500000L, 500000L, true),
+      // k=10 appears twice → 2 rows live in dup groups
+      ("k_unique", 2L, 0L, false),
+      // distinct orphan values: k=11 only
+      ("k_in_ref", 1L, 0L, false)))
+    // empty table: row checks pass vacuously at the pinned 1000000
+    val empty = Quality.report(df.filter(lit(false)), Seq(
+      Quality.Complete("a_complete", "a")))
+      .collect().map(r => (r.getLong(1), r.getBoolean(3))).toSeq
+    assert(empty === Seq((1000000L, true)))
+    intercept[IllegalArgumentException] {
+      Quality.report(df, Seq(Quality.Complete("x", "a"),
+        Quality.Unique("x", Seq("k"))))
+    }
+  }
 }
