@@ -160,4 +160,50 @@ object Relational {
   /** NOT EXISTS — rows of `df` with no match in `other`. */
   def antiJoin(df: DataFrame, other: DataFrame, cond: Column): DataFrame =
     df.join(other, cond, "left_anti")
+
+  /** Snapshot diff between two versions of a keyed table — the
+    * lakehouse table-diff / pipeline-regression probe: which rows did
+    * this run ADD, REMOVE, or CHANGE relative to the last one? Rows
+    * equal on every `compareCols` are dropped (the diff is the
+    * output, not the table).
+    *
+    * Returns (key…, action ∈ {added, removed, changed},
+    * old_<c>/new_<c> for each compare column); unchanged rows never
+    * leave the join. Comparison is null-safe per column (`<=>`), so
+    * NULL→value and value→NULL both read as a change and NULL→NULL
+    * does not.
+    *
+    * Scale shape: ONE full-outer hash join on the key — the minimum
+    * any diff pays — with both sides pruned to key + compare columns
+    * before the exchange; the action/compare logic is a map-side
+    * projection. `keyCols` must be unique per side (it is the row
+    * identity; duplicate keys would cross-multiply in the join — run
+    * a [[graft.ext.Quality.Unique]] check first if unsure).
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   keyCols: Seq[String],
+                   compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && compareCols.nonEmpty,
+      "need key and compare columns")
+    val o = oldDf.select(
+      keyCols.map(col) ++
+        compareCols.map(c => col(c).as(s"old_$c")) :+
+        lit(1).as("__o"): _*)
+    val n = newDf.select(
+      keyCols.map(col) ++
+        compareCols.map(c => col(c).as(s"new_$c")) :+
+        lit(1).as("__n"): _*)
+    val changed = compareCols
+      .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduce(_ || _)
+    o.join(n, keyCols, "full_outer")
+      .withColumn("action",
+        when(col("__o").isNull, lit("added"))
+          .when(col("__n").isNull, lit("removed"))
+          .when(changed, lit("changed")))
+      .filter(col("action").isNotNull)
+      .select(keyCols.map(col) :+ col("action") :++
+        compareCols.flatMap(c =>
+          Seq(col(s"old_$c"), col(s"new_$c"))): _*)
+  }
 }

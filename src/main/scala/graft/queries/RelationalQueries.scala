@@ -252,6 +252,24 @@ object RelationalQueries {
       mergeUpsert(target, changes)
     },
 
+    // Snapshot diff between table versions — the lakehouse
+    // regression probe. v2 is a deterministic mutation of orders
+    // (drop %97 keys, bump %101 totalprices, add offset copies of
+    // %103 keys), so the diff exercises all three actions; one
+    // full-outer key join, unchanged rows never leave it.
+    "rel_snapshot_diff" -> { (s, dir) =>
+      val v1 = t(s, dir, "orders")
+      val base = v1.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 101 === 0,
+            col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+      val adds = v1.filter(col("o_orderkey") % 103 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 900000000L)
+      snapshotDiff(v1, base.unionByName(adds), Seq("o_orderkey"),
+        Seq("o_totalprice", "o_orderstatus"))
+    },
+
     "topk_per_group" -> { (s, dir) =>
       topKPerGroup(t(s, dir, "orders"), Seq("o_custkey"),
         Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
@@ -684,6 +702,44 @@ object RelationalQueries {
         |FROM ch WHERE prev IS NULL OR prev <> o_orderstatus
         |WINDOW w AS (PARTITION BY o_custkey
         |  ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    // same mutation literals; IS DISTINCT FROM mirrors the null-safe
+    // per-column change test; +1.0 on a double is IEEE-identical
+    "rel_snapshot_diff" ->
+      """WITH v1 AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+        |            FROM orders),
+        |v2 AS (SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
+        |              ELSE o_totalprice END AS o_totalprice,
+        |         o_orderstatus
+        |       FROM orders WHERE o_orderkey % 97 <> 0
+        |       UNION ALL
+        |       SELECT o_orderkey + 900000000, o_totalprice,
+        |         o_orderstatus
+        |       FROM orders WHERE o_orderkey % 103 = 0),
+        |j AS (SELECT coalesce(v1.o_orderkey, v2.o_orderkey)
+        |          AS o_orderkey,
+        |        v1.o_totalprice AS old_o_totalprice,
+        |        v2.o_totalprice AS new_o_totalprice,
+        |        v1.o_orderstatus AS old_o_orderstatus,
+        |        v2.o_orderstatus AS new_o_orderstatus,
+        |        v1.o_orderkey IS NOT NULL AS ino,
+        |        v2.o_orderkey IS NOT NULL AS inn
+        |      FROM v1 FULL OUTER JOIN v2
+        |        ON v1.o_orderkey = v2.o_orderkey)
+        |SELECT o_orderkey,
+        |  CASE WHEN NOT ino THEN 'added'
+        |       WHEN NOT inn THEN 'removed'
+        |       WHEN old_o_totalprice IS DISTINCT FROM new_o_totalprice
+        |         OR old_o_orderstatus IS DISTINCT FROM new_o_orderstatus
+        |       THEN 'changed' END AS action,
+        |  old_o_totalprice, new_o_totalprice,
+        |  old_o_orderstatus, new_o_orderstatus
+        |FROM j
+        |WHERE (NOT ino) OR (NOT inn)
+        |  OR old_o_totalprice IS DISTINCT FROM new_o_totalprice
+        |  OR old_o_orderstatus IS DISTINCT FROM new_o_orderstatus""".stripMargin,
+
 
     "merge_upsert" ->
       """WITH last AS (

@@ -198,4 +198,33 @@ class OpsSpec extends SparkSpec {
       .as[(Long, Double, String)].collect().toSet
     assert(ok === Set((1L, 11.0, "updated")))
   }
+
+  test("snapshotDiff: added/removed/changed, null-safe per-column " +
+    "compare, unchanged rows dropped") {
+    val v1 = Seq[(Long, Option[Double], String)](
+      (1L, Some(10.0), "A"), // unchanged
+      (2L, Some(20.0), "B"), // price changes
+      (3L, None, "C"),       // NULL -> value = changed
+      (4L, None, "D"),       // NULL -> NULL = unchanged
+      (5L, Some(50.0), "E")  // removed
+    ).toDF("k", "price", "st")
+    val v2 = Seq[(Long, Option[Double], String)](
+      (1L, Some(10.0), "A"),
+      (2L, Some(21.0), "B"),
+      (3L, Some(30.0), "C"),
+      (4L, None, "D"),
+      (6L, Some(60.0), "F")  // added
+    ).toDF("k", "price", "st")
+    val got = Relational.snapshotDiff(v1, v2, Seq("k"),
+      Seq("price", "st"))
+      .select($"k", $"action").as[(Long, String)].collect().toMap
+    assert(got === Map(2L -> "changed", 3L -> "changed",
+      5L -> "removed", 6L -> "added"))
+    // old/new columns carry both sides for the changed row
+    val row2 = Relational.snapshotDiff(v1, v2, Seq("k"),
+      Seq("price", "st")).filter($"k" === 2L)
+      .select($"old_price", $"new_price").as[(Double, Double)]
+      .collect().head
+    assert(row2 === ((20.0, 21.0)))
+  }
 }
