@@ -114,8 +114,10 @@ object Sf1Smoke {
       "merge_upsert", "sim_mips_topk", "agg_mode", "feat_equidepth_bins",
       "graph_communities", "graph_khop",
       // round-9 additions: RRF fusion over the shared bm25 stage,
-      // double histogram-fold median/MAD, JSONL staging round-trip
-      "sim_hybrid_rrf", "ts_anomaly", "src_jsonl_roundtrip")
+      // double histogram-fold median/MAD, JSONL staging round-trip,
+      // single-scan constraint suite, full-outer snapshot diff
+      "sim_hybrid_rrf", "ts_anomaly", "src_jsonl_roundtrip",
+      "quality_constraints", "rel_snapshot_diff")
 
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     def audit(df: DataFrame): Seq[String] = {

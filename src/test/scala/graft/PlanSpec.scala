@@ -564,6 +564,28 @@ class PlanSpec extends SparkSpec {
       s"bm25 consumer replans the ranking:\n$p")
   }
 
+  test("rel_snapshot_diff: both snapshot sides prune to key + " +
+      "compare columns before the full-outer exchange") {
+    val p = plan("rel_snapshot_diff")
+    assert(p.contains(
+      "ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string," +
+        "o_totalprice:double>"),
+      s"diff should never shuffle unread columns:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("quality_constraints: the row-level suite is ONE scan (all " +
+      "conditional sums in a single aggregate), every lineitem scan " +
+      "pruned to the checked columns") {
+    val p = plan("quality_constraints")
+    // scans: row suite, uniqueness groupBy, FK distinct (lineitem ×3)
+    // + orders ×1 — a 4th lineitem scan means a check re-reads
+    assert("Scan parquet".r.findAllIn(p).size === 4,
+      s"row checks split into extra scans:\n$p")
+    assert(!p.contains("l_extendedprice"),
+      s"unchecked columns must not reach any scan:\n$p")
+  }
+
   test("src_jsonl_roundtrip: the JSONL scan runs the DECLARED schema " +
       "(no inference) and no shuffle beyond the census agg") {
     val p = plan("src_jsonl_roundtrip")
