@@ -15,6 +15,16 @@ object TextAnalysis {
   def normalize(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")
 
+  /** Unicode NFC canonical composition (UAX #15) via the native
+    * codegen expression — run BEFORE any hash-keyed operation:
+    * decomposed "e"+U+0301 and composed U+00E9 are byte-different,
+    * so unnormalized multi-source text silently defeats exact dedup,
+    * MinHash shingles, and URL keys. Map-only; already-NFC rows take
+    * a scan-only fast path (no allocation).
+    */
+  def nfcNormalize(c: Column): Column =
+    org.apache.spark.sql.graft.UnicodeColumns.nfc_normalize(c)
+
   /** Whitespace tokens. */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{HilbertColumns, HilbertIndex, VecDot, VecL2Sq, VecNorm, VectorColumns}
+import org.apache.spark.sql.graft.{HilbertColumns, HilbertIndex, NfcNormalize, VecDot, VecL2Sq, VecNorm, VectorColumns}
 
 /** Column-level entry points for the native vector kernels. */
 object VectorFunctions {
@@ -41,5 +41,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hilbert_index"),
       new ExpressionInfo(classOf[HilbertIndex].getName, "hilbert_index"),
       (children: Seq[Expression]) => HilbertColumns.fromChildren(children)))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => NfcNormalize(children.head)))
   }
 }

@@ -36,6 +36,24 @@ private[queries] object TextQueries {
     },
 
 
+    // Unicode NFC canonicalization (native codegen expression). The
+    // fixture corpus is ASCII (already NFC), so the query SYNTHESIZES
+    // decomposed text deterministically — every 'a' gains a combining
+    // grave (U+0300) — and normalization must recompose each pair to
+    // one codepoint; the md5-prefix checksum pins the exact bytes.
+    "text_normalize_nfc" -> { (s, dir) =>
+      val synth = regexp_replace(col("text"), "a", "a\u0300")
+      docs(s, dir).select(col("doc_id"), synth.as("__s"))
+        .select(col("doc_id"),
+          length(col("__s")).cast("long").as("len_raw"),
+          length(TextAnalysis.nfcNormalize(col("__s"))).cast("long")
+            .as("len_nfc"),
+          PortableHash.md5PrefixLong(
+            TextAnalysis.nfcNormalize(col("__s")), 14)
+            .as("text_checksum"))
+    },
+
+
     // URL canonicalization — the web-corpus dedup key. The fixture
     // has no URL column, so messy URLs (mixed-case scheme/host,
     // default and explicit ports, tracking params, unsorted params,
@@ -555,6 +573,21 @@ private[queries] object TextQueries {
     // the same synthesis and the same canonicalization algorithm,
     // step for step, in DuckDB (regexp_extract groups, list filter/
     // sort, strpos-based query split)
+    // DuckDB's nfc_normalize implements the same UAX #15 tables as
+    // java.text.Normalizer; chr(768) = U+0300; both length()s count
+    // codepoints; md5 runs over the composed UTF-8 bytes
+    "text_normalize_nfc" ->
+      """WITH s AS (SELECT doc_id,
+        |             replace(text, 'a', 'a' || chr(768)) AS s
+        |           FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(s) AS BIGINT) AS len_raw,
+        |  CAST(length(nfc_normalize(s)) AS BIGINT) AS len_nfc,
+        |  CAST('0x' || substr(md5(nfc_normalize(s)), 1, 14) AS BIGINT)
+        |    AS text_checksum
+        |FROM s""".stripMargin,
+
+
     "text_url_canonical" ->
       """WITH u AS (SELECT doc_id,
         |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'HTTPS' END) ||

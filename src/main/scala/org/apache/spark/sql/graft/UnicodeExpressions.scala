@@ -1,0 +1,60 @@
+// In the org.apache.spark.sql package tree: custom Expressions need
+// sql-private API surface (ExpressionUtils for Column construction)
+// that has no public equivalent in Spark 4.
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** NFC kernel behind [[NfcNormalize]]; called from generated code.
+  * Fast path: `Normalizer.isNormalized` is a cheap scan (most
+  * real-world text IS already NFC), so the common row pays no
+  * String materialization or re-encode — only rows carrying
+  * decomposed sequences allocate.
+  */
+object GraftUnicodeUtil {
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str,
+        java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
+/** Unicode NFC normalization (UAX #15 canonical composition) as a
+  * codegen'd unary expression — the canonicalization step a corpus
+  * pipeline runs BEFORE any hash-keyed operation (exact dedup,
+  * MinHash shingles, URL keys): "é" as U+0065 U+0301 and as U+00E9
+  * are byte-different, so unnormalized text silently defeats
+  * hash-based dedup on any corpus that mixes sources. The JDK
+  * Normalizer implements the Unicode canonical-composition tables —
+  * public, deterministic, engine-portable (DuckDB's nfc_normalize
+  * mirrors it for the oracle).
+  */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(s: Any): Any =
+    GraftUnicodeUtil.nfcNormalize(s.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.GraftUnicodeUtil.nfcNormalize($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NfcNormalize = copy(child = newChild)
+}
+
+object UnicodeColumns {
+  def nfc_normalize(c: Column): Column =
+    ExpressionUtils.column(NfcNormalize(ExpressionUtils.expression(c)))
+}

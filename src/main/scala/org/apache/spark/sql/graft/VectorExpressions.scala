@@ -246,5 +246,9 @@ object VectorColumns {
       FunctionIdentifier("hilbert_index"),
       new ExpressionInfo(classOf[HilbertIndex].getName, "hilbert_index"),
       (children: Seq[Expression]) => HilbertColumns.fromChildren(children))
+    reg.registerFunction(
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => NfcNormalize(children.head))
   }
 }

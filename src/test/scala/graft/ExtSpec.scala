@@ -2084,6 +2084,32 @@ class ExtSpec extends SparkSpec {
     assert(got === Seq((4L, 1), (9L, 2)))
   }
 
+  test("nfcNormalize composes decomposed sequences, passes NFC text " +
+    "through, keeps nulls, and registers for SQL") {
+    val df = Seq(
+      (1L, "éclair"),          // decomposed e + U+0301
+      (2L, "éclair"),           // already composed
+      (3L, "plain ascii"),
+      (4L, null.asInstanceOf[String]),
+      (5L, "à et ô"))    // two decomposed pairs
+      .toDF("id", "t")
+    val got = df.select($"id",
+      TextAnalysis.nfcNormalize($"t").as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === "éclair")
+    assert(got(2L) === "éclair")
+    assert(got(3L) === "plain ascii")
+    assert(got(4L) === null)
+    assert(got(5L) === "à et ô")
+    // SQL surface via the imperative registry
+    graft.functions.VectorFunctions.register(spark)
+    df.createOrReplaceTempView("nfc_in")
+    val viaSql = spark.sql(
+      "SELECT id, nfc_normalize(t) FROM nfc_in WHERE id = 1")
+      .as[(Long, String)].collect().head
+    assert(viaSql === ((1L, "éclair")))
+  }
+
   test("rrfFuse raises on a null or non-positive rank instead of " +
     "silently mis-scoring the fusion") {
     val a = Seq((1L, Some(1)), (2L, None)).toDF("doc_id", "rnk")
