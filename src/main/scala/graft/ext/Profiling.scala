@@ -121,13 +121,16 @@ object Profiling {
     * the value DOMAIN, not the row count, so a hot key folds a small
     * sorted array no matter how many events it carries.
     */
-  private def discMedian(df: DataFrame, out: String): DataFrame =
-    // SQL aggregate null semantics (PERCENTILE_DISC ignores NULLs): a
-    // null v must not enter the histogram — an unfiltered null struct
-    // sorts FIRST and corrupts the fold's running count
-    df.filter(col("v").isNotNull)
-      .groupBy(col("key"), col("v")).agg(count(lit(1)).as("__c"))
-      .groupBy("key")
+  /** PERCENTILE_DISC(0.5) per key from a pre-counted (key, v, __c)
+    * histogram — med = the largest value whose strictly-below count
+    * is < n/2 (the PERCENTILE_DISC element; verified vs DuckDB on
+    * even, odd, and two-element groups). Fed a histogram rather than
+    * rows so a SECOND median (MAD's) can fold from the first
+    * histogram's transform instead of re-scanning the table.
+    */
+  private def discMedianFromHist(hist: DataFrame,
+                                 out: String): DataFrame =
+    hist.groupBy("key")
       .agg(sort_array(collect_list(struct(col("v"), col("__c"))))
           .as("__h"),
         sum("__c").as("__n"))
@@ -163,20 +166,34 @@ object Profiling {
     require(mult >= 1 && mult <= 1000, "mult must be in [1, 1000]")
     val base = df.select(key.as("key"), id.as("id"),
       value.cast("long").as("v"))
-    // null-safe key equality (<=>), same first-class-NULL contract as
-    // equidepthBins/keySkewProfile above: a NULL-key series computes
-    // its own median like any other and must match it back — a plain
-    // equi-join's three-valued NULL = NULL would silently exempt
-    // null-key rows from monitoring. Null Vs never flag (dev stays
-    // NULL, the > predicate is not-true), matching the oracle's WHERE.
-    val med = discMedian(base, "med").withColumnRenamed("key", "__mk")
-    val withMed = base.join(med, col("key") <=> col("__mk"))
-      .drop("__mk")
-      .withColumn("dev", abs(col("v") - col("med")))
-    val mad = discMedian(
-      withMed.select(col("key"), col("dev").as("v")), "mad")
+    // SQL aggregate null semantics (PERCENTILE_DISC ignores NULLs): a
+    // null v must not enter the histogram — an unfiltered null struct
+    // sorts FIRST and corrupts the fold's running count. Null Vs also
+    // never flag below (dev stays NULL, the > predicate is not-true),
+    // matching the oracle's WHERE.
+    val hist = base.filter(col("v").isNotNull)
+      .groupBy(col("key"), col("v")).agg(count(lit(1)).as("__c"))
+    // null-safe key equality (<=>) throughout, same first-class-NULL
+    // contract as equidepthBins/keySkewProfile above: a NULL-key
+    // series computes its own median like any other and must match it
+    // back — a plain equi-join's three-valued NULL = NULL would
+    // silently exempt null-key rows from monitoring.
+    val med = discMedianFromHist(hist, "med")
       .withColumnRenamed("key", "__mk")
-    withMed.join(mad, col("key") <=> col("__mk")).drop("__mk")
+    // MAD's median folds from the VALUE histogram, not the rows: dev
+    // counts are sums of value counts mapping to the same |v − med|,
+    // so the table is scanned once for the histogram and once for the
+    // final flags — never a third time.
+    val devHist = hist.join(med, col("key") <=> col("__mk"))
+      .select(col("key"), abs(col("v") - col("med")).as("v"),
+        col("__c"))
+      .groupBy("key", "v").agg(sum("__c").as("__c"))
+    val stats = med.join(
+      discMedianFromHist(devHist, "mad")
+        .withColumnRenamed("key", "__mk2"),
+      col("__mk") <=> col("__mk2")).drop("__mk2")
+    base.join(stats, col("key") <=> col("__mk")).drop("__mk")
+      .withColumn("dev", abs(col("v") - col("med")))
       .filter(col("dev") > lit(mult.toLong) * col("mad"))
       .select("id", "key", "v", "med", "dev", "mad")
   }

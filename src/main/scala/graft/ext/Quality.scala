@@ -63,6 +63,11 @@ object Quality {
       "a suite is 1..64 checks (each row check adds one agg column)")
     require(checks.map(_.name).distinct.size == checks.size,
       "check names must be unique (they key the report)")
+    // names are interpolated into internal column identifiers — a
+    // constrained charset keeps a caller-supplied name from ever
+    // reading as expression syntax
+    require(checks.forall(_.name.matches("[A-Za-z0-9_.-]+")),
+      "check names must match [A-Za-z0-9_.-]+")
     val rowChecks = checks.collect {
       case c: Complete => (c.name, col(c.col).isNotNull, c.minPpm)
       case c: InRange =>

@@ -185,6 +185,10 @@ object Relational {
                    compareCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty && compareCols.nonEmpty,
       "need key and compare columns")
+    require(keyCols.intersect(compareCols).isEmpty,
+      "key and compare columns must be disjoint")
+    require(!keyCols.contains("action"),
+      "'action' is the diff's own output column")
     val o = oldDf.select(
       keyCols.map(col) ++
         compareCols.map(c => col(c).as(s"old_$c")) :+
