@@ -45,5 +45,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (children: Seq[Expression]) => NfcNormalize(children.head)))
+    // optimizer rule: nfc_normalize is idempotent — collapse nests
+    ext.injectOptimizerRule(_ =>
+      org.apache.spark.sql.graft.CollapseNfcNormalize)
   }
 }

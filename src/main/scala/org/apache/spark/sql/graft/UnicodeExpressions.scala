@@ -58,3 +58,26 @@ object UnicodeColumns {
   def nfc_normalize(c: Column): Column =
     ExpressionUtils.column(NfcNormalize(ExpressionUtils.expression(c)))
 }
+
+/** Optimizer rule: collapse `nfc_normalize(nfc_normalize(x))` to one
+  * application — NFC is idempotent by construction (UAX #15), and
+  * composed pipelines double-normalize routinely (a library operator
+  * defensively normalizes input that a caller already normalized).
+  * Each collapsed application saves a full isNormalized scan per row,
+  * which at corpus scale is a whole pass over the text bytes.
+  *
+  * The graft engine's third Catalyst extension point, next to the
+  * injected functions and the as-of join SparkStrategy: registered
+  * through `SparkSessionExtensions.injectOptimizerRule` (see
+  * graft.functions.GraftExtensions).
+  */
+object CollapseNfcNormalize
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  override def apply(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    plan.transformAllExpressions {
+      case NfcNormalize(inner @ NfcNormalize(_)) => inner
+    }
+}

@@ -586,6 +586,46 @@ class PlanSpec extends SparkSpec {
       s"unchecked columns must not reach any scan:\n$p")
   }
 
+  test("CollapseNfcNormalize: the optimizer rule folds nested " +
+      "idempotent normalizations, and an extensions-built session " +
+      "applies it end-to-end") {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.graft.{CollapseNfcNormalize, NfcNormalize}
+    import graft.ext.TextAnalysis
+    def countNfc(p: org.apache.spark.sql.catalyst.plans.logical
+        .LogicalPlan): Int = {
+      var n = 0
+      p.transformAllExpressions { case e: NfcNormalize => n += 1; e }
+      n
+    }
+    val df = spark.range(1).select(TextAnalysis.nfcNormalize(
+      TextAnalysis.nfcNormalize(lit("éx"))).as("n"))
+    assert(countNfc(df.queryExecution.analyzed) === 2)
+    assert(countNfc(
+      CollapseNfcNormalize(df.queryExecution.analyzed)) === 1)
+    // end-to-end: a session built WITH the extensions optimizes the
+    // nest away and still composes the text (same shared context)
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().master("local[4]")
+        .withExtensions(new graft.functions.GraftExtensions()(_))
+        .getOrCreate()
+      // non-foldable input (an attribute), else ConstantFolding
+      // evaluates the whole nest to a literal before the count
+      val q = s2.sql("SELECT nfc_normalize(nfc_normalize(" +
+        "concat('e', id))) AS n FROM range(1)")
+      assert(countNfc(q.queryExecution.optimizedPlan) === 1,
+        s"nest survived optimization:\n${q.queryExecution.optimizedPlan}")
+      assert(q.collect().head.getString(0) === "e0")
+    } finally {
+      prevActive.foreach(SparkSession.setActiveSession)
+      prevDefault.foreach(SparkSession.setDefaultSession)
+    }
+  }
+
   test("src_jsonl_roundtrip: the JSONL scan runs the DECLARED schema " +
       "(no inference) and no shuffle beyond the census agg") {
     val p = plan("src_jsonl_roundtrip")
