@@ -161,6 +161,48 @@ object Relational {
   def antiJoin(df: DataFrame, other: DataFrame, cond: Column): DataFrame =
     df.join(other, cond, "left_anti")
 
+  /** Per-group Pearson correlation with DETERMINISTIC results — the
+    * built-in `corr` folds doubles, so its last bits depend on
+    * partition order and can never hash-match an oracle or reproduce
+    * run-to-run on a cluster. Here every accumulated quantity is
+    * EXACT: inputs scale to centi-unit longs (floor(x·100)), each
+    * per-row product fits a long (|centi| < 2³¹ each side), and the
+    * six sums accumulate in decimal(38,0) (map-side combinable,
+    * associative, exact). The finishing math — two correctly-rounded
+    * IEEE sqrts and one divide over identical exact values — is then
+    * ONE fixed float sequence, bit-identical on any engine and any
+    * partitioning. Output ppm (⌊corr·10⁶⌋), NULL when either
+    * variance is 0.
+    *
+    * Returns (groupCols…, n, corr_ppm). Scale shape: a single hash
+    * aggregation — the same cost as any groupBy.agg, no second pass,
+    * no window.
+    */
+  def corrPpm(df: DataFrame, groupCols: Seq[String], x: Column,
+              y: Column): DataFrame = {
+    val cx = floor(x * 100).cast("long")
+    val cy = floor(y * 100).cast("long")
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    val agged = df
+      .select(groupCols.map(col) :+ cx.as("__x") :+ cy.as("__y"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(d(col("__x"))).as("__sx"),
+        sum(d(col("__y"))).as("__sy"),
+        sum(d(col("__x") * col("__y"))).as("__sxy"),
+        sum(d(col("__x") * col("__x"))).as("__sxx"),
+        sum(d(col("__y") * col("__y"))).as("__syy"))
+    val nD = d(col("n"))
+    val num = nD * col("__sxy") - col("__sx") * col("__sy")
+    val vx = nD * col("__sxx") - col("__sx") * col("__sx")
+    val vy = nD * col("__syy") - col("__sy") * col("__sy")
+    val den = sqrt(vx.cast("double")) * sqrt(vy.cast("double"))
+    agged.select(groupCols.map(col) :+ col("n") :+
+      when(vx > 0 && vy > 0,
+        floor(num.cast("double") / den * 1000000.0).cast("long"))
+        .as("corr_ppm"): _*)
+  }
+
   /** Snapshot diff between two versions of a keyed table — the
     * lakehouse table-diff / pipeline-regression probe: which rows did
     * this run ADD, REMOVE, or CHANGE relative to the last one? Rows

