@@ -1004,4 +1004,47 @@ object TextAnalysis {
           .otherwise(col("__t")))
       .select("doc_id", "n_chunks", "n_kept", "text_kept")
   }
+
+  /** CCNet-style line-level boilerplate removal (Wenzek et al., LREC
+    * 2020 §3.1): a line occurring in ≥ `maxDf` DISTINCT documents is
+    * boilerplate (headers, cookie banners, nav menus) and is removed
+    * from EVERY document, preserving the order of surviving lines.
+    * Unlike [[spanDedup]] (which keeps one owner copy per duplicate
+    * span) this drops ALL copies — the corpus-hygiene semantics:
+    * boilerplate carries no training signal even once.
+    *
+    * `delim` picks the granularity — "\n" in production; any
+    * delimiter runs the identical plan.
+    *
+    * Shape at 100 TB: one explode; the document-frequency count is a
+    * map-side-dedupable distinct on (line, doc) then a partial-agg
+    * count on line; one hash join back on the line key; one
+    * positional-reassembly groupBy per doc. The line string is the
+    * shuffle key — a production run would prehash to 64 bits
+    * (carrying the string only to the df stage), which thins the
+    * exchanges and changes nothing modulo hash collisions. Per-doc
+    * memory is the doc's own line list, the same bound as reading it.
+    */
+  def lineDedup(docs: DataFrame, id: Column, text: Column,
+                delim: String = "\n", maxDf: Long = 2): DataFrame = {
+    require(maxDf >= 2, s"maxDf ($maxDf) must be >= 2 (1 drops everything)")
+    val sep = java.util.regex.Pattern.quote(delim)
+    val base = docs.select(id.as("doc_id"), text.as("__text"))
+    val lines = base.select(col("doc_id"),
+      posexplode(split(col("__text"), sep)).as(Seq("__pos", "__line")))
+    val df = lines.select("__line", "doc_id").distinct()
+      .groupBy("__line").agg(count(lit(1)).as("__df"))
+    val kept = lines.join(df, "__line").filter(col("__df") < maxDf)
+    val agg = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+            struct(col("__pos"), col("__line")))),
+          e => e("__line")), delim).as("__clean"))
+    base.select(col("doc_id"),
+        size(split(col("__text"), sep)).cast("long").as("n_total"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__clean"), lit("")).as("clean_text"),
+        col("n_total"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
 }

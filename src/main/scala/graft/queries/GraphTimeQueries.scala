@@ -139,6 +139,18 @@ private[queries] object GraphTimeQueries {
     },
 
 
+    // Common-neighbor / Jaccard link prediction over the SAME shared
+    // co-purchase graph (fourth consumer of the copurchase_edges
+    // stage): wedge-generated candidates only — pairs with no shared
+    // neighbor never exist — hub centers degree-capped before the
+    // deg² pair blow-up, scores in exact integer micro-units.
+    "graph_common_neighbors" -> { (s, dir) =>
+      Graph.commonNeighborScores(
+        copurchaseEdges(s, dir).select(col("u"), col("v")),
+        minCommon = 2, maxDeg = 200)
+    },
+
+
     // -- Distribution profiling / layout planning --------------------
     // The skew probe you run before a 100 TB join: exact top-20
     // heavy-hitter keys with ppm shares. TakeOrderedAndProject cap,
@@ -187,6 +199,23 @@ private[queries] object GraphTimeQueries {
         tie = col("event_id"))
         .select(col("key").as("user_id"), col("n_events"),
           col("ewma_micros"))
+    },
+
+
+    // Hourly OHLC bars per event type — the metrics-rollup
+    // compaction in ONE partial-agg-friendly aggregation: min_by /
+    // max_by over (ts, event_id) pick open/close deterministically
+    // under timestamp ties, micro-unit longs keep every column
+    // bit-exact.
+    "ts_ohlc" -> { (s, dir) =>
+      TimeSeries.ohlcBars(
+        t(s, dir, "events")
+          .select(col("event_type").as("key"), col("ts"),
+            col("value"), col("event_id")),
+        bucketSeconds = 3600, tie = col("event_id"))
+        .select(col("key").as("event_type"), col("bucket"),
+          col("open_micros"), col("high_micros"), col("low_micros"),
+          col("close_micros"), col("volume_micros"), col("n"))
     },
 
 
@@ -402,6 +431,27 @@ private[queries] object GraphTimeQueries {
         |FROM reach GROUP BY src""".stripMargin),
 
 
+    // wedge-generated candidate pairs (never all-pairs), hub centers
+    // capped at degree 200, floor division exact on the nonnegative
+    // operands — mirrors Graph.commonNeighborScores step for step
+    "graph_common_neighbors" ->
+      (s"""WITH $copurchaseCtes,
+        |adj AS (SELECT u AS node, v AS nbr FROM edges
+        |        UNION ALL SELECT v, u FROM edges),
+        |deg AS (SELECT node, count(*) AS d FROM adj GROUP BY 1),
+        |ctr AS (SELECT node FROM deg WHERE d BETWEEN 2 AND 200),
+        |a2 AS (SELECT a.node, a.nbr FROM adj a JOIN ctr USING (node)),
+        |w AS (SELECT a.nbr AS u, b.nbr AS v, count(*) AS common
+        |      FROM a2 a JOIN a2 b ON a.node = b.node AND a.nbr < b.nbr
+        |      GROUP BY 1, 2
+        |      HAVING count(*) >= 2)
+        |SELECT w.u, w.v, w.common,
+        |  CAST(w.common * 1000000 // (du.d + dv.d - w.common) AS BIGINT)
+        |    AS jaccard_micro
+        |FROM w JOIN deg du ON du.node = w.u
+        |       JOIN deg dv ON dv.node = w.v""".stripMargin),
+
+
     // threshold_i = max score whose strictly-below count is < n·i/q
     // (the same monotone-prefix rule the Spark fold applies); bin =
     // number of thresholds strictly below the row's score. The
@@ -502,6 +552,31 @@ private[queries] object GraphTimeQueries {
         |SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
         |  list_reduce(vs, (acc, x) -> (acc + x) // 2) AS ewma_micros
         |FROM l""".stripMargin),
+
+
+    // bucket floor written with the same CASE-corrected `//` as
+    // ts_resample_locf (fixture epochs nonnegative, where floor ==
+    // truncation); open/close via the (ts, event_id) total-order
+    // window, every value column in exact micro-unit BIGINTs
+    "ts_ohlc" ->
+      (s"""WITH $evtCte,
+        |e AS (SELECT event_type, event_id, ts,
+        |    make_timestamp((epoch_us(ts) // 3600000000
+        |        - CASE WHEN epoch_us(ts) % 3600000000 < 0
+        |               THEN 1 ELSE 0 END) * 3600000000) AS bucket,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS v
+        |  FROM evts),
+        |w AS (SELECT event_type, bucket, v,
+        |    first_value(v) OVER (PARTITION BY event_type, bucket
+        |      ORDER BY ts, event_id) AS o,
+        |    first_value(v) OVER (PARTITION BY event_type, bucket
+        |      ORDER BY ts DESC, event_id DESC) AS c
+        |  FROM e)
+        |SELECT event_type, bucket, min(o) AS open_micros,
+        |  max(v) AS high_micros, min(v) AS low_micros,
+        |  min(c) AS close_micros,
+        |  CAST(sum(v) AS BIGINT) AS volume_micros, count(*) AS n
+        |FROM w GROUP BY 1, 2""".stripMargin),
 
 
     // one aggregate CTE mirrors the single-scan row suite; `//` on

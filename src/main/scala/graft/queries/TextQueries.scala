@@ -143,6 +143,18 @@ private[queries] object TextQueries {
     },
 
 
+    // CCNet-style line-level boilerplate removal: drop every line
+    // occurring in ≥ maxDf distinct docs, preserve the rest in
+    // order. Fixture docs are single-line, so the registered query
+    // runs at token granularity (delim = " ") — identical plan, and
+    // the 390-doc threshold genuinely drops about half the fixture
+    // vocabulary while keeping the rest.
+    "text_line_dedup" -> { (s, dir) =>
+      TextAnalysis.lineDedup(docs(s, dir), col("doc_id"), col("text"),
+        delim = " ", maxDf = 390)
+    },
+
+
     // quality-classifier curation stage: label with the Gopher rule
     // gate, fit one-pass integer-bit Naive Bayes, score every doc —
     // the rule-labeled-classifier shape of GPT-3/DCLM pipelines
@@ -539,6 +551,27 @@ private[queries] object TextQueries {
          |  string_agg(CASE WHEN keep THEN chunk_text END, ' '
          |    ORDER BY chunk_idx) AS text_kept
          |FROM k GROUP BY doc_id""".stripMargin,
+
+
+    // document frequency on exact line strings, zipped parallel
+    // unnests carry the 1-based position, string_agg ORDER BY pos
+    // mirrors the Spark positional reassembly
+    "text_line_dedup" ->
+      """WITH l AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS line,
+        |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        |  FROM documents),
+        |df AS (SELECT line, count(DISTINCT doc_id) AS d
+        |       FROM l GROUP BY 1),
+        |k AS (SELECT l.doc_id, l.pos, l.line
+        |      FROM l JOIN df USING (line) WHERE df.d < 390),
+        |a AS (SELECT doc_id, count(*) AS n_kept,
+        |        string_agg(line, ' ' ORDER BY pos) AS clean_text
+        |      FROM k GROUP BY 1)
+        |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+        |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_total,
+        |  coalesce(a.n_kept, 0) AS n_kept
+        |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
 
 
     "text_stats" ->

@@ -414,6 +414,29 @@ class ExtSpec extends SparkSpec {
     assert(got(4L) === ((1L, 1L, Some("x"))))
   }
 
+  test("lineDedup drops EVERY copy of a line in >= maxDf docs " +
+      "(unlike spanDedup's keep-one-owner), preserves order, and a " +
+      "fully-boilerplate doc survives as an empty row") {
+    val docs = Seq(
+      (1L, "hdr\nbody one\nftr"),   // hdr+ftr boilerplate → "body one"
+      (2L, "hdr\nbody two\nftr"),
+      (3L, "hdr\nftr"),             // all boilerplate → empty, kept
+      (4L, "hdr\nunique a\nunique b"), // order of survivors preserved
+      (5L, "solo\nsolo")            // same line TWICE in ONE doc:
+                                    // df counts distinct docs (1), kept
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lineDedup(docs, $"doc_id", $"text",
+        delim = "\n", maxDf = 3)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // df: hdr=4, ftr=3 (dropped at maxDf=3); everything else < 3
+    assert(got(1L) === (("body one", 3L, 1L)))
+    assert(got(2L) === (("body two", 3L, 1L)))
+    assert(got(3L) === (("", 2L, 0L)))
+    assert(got(4L) === (("unique a\nunique b", 3L, 2L)))
+    assert(got(5L) === (("solo\nsolo", 2L, 2L)))
+  }
+
   test("qlog8 is exact at powers of two and tracks 8*log2 within an " +
       "eighth-bit everywhere") {
     val xs = (1L to 4096L) ++ Seq(1L << 40, (1L << 40) + 12345L,

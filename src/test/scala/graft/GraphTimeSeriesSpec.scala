@@ -97,6 +97,30 @@ class GraphTimeSeriesSpec extends SparkSpec {
     assert(got === Set(("a", "b", 3L)))
   }
 
+  test("commonNeighborScores: wedge-generated candidates with exact " +
+      "micro jaccard; a hub center over maxDeg generates no pairs") {
+    // square a,b × c,d plus chord a–b, and a disjoint 5-spoke hub
+    val edges = (Seq(("a", "b"), ("a", "c"), ("a", "d"),
+      ("b", "c"), ("b", "d")) ++
+      (1 to 5).map(i => ("h", s"x$i"))).toDF("u", "v")
+    // common(a,b) = {c,d} = 2, deg 3+3 → 2e6 div 4 = 500000
+    // common(c,d) = {a,b} = 2, deg 2+2 → 2e6 div 2 = 1000000
+    val got = Graph.commonNeighborScores(edges, minCommon = 2,
+        maxDeg = 4)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got === Map(("a", "b") -> ((2L, 500000L)),
+      ("c", "d") -> ((2L, 1000000L))))
+    // at minCommon = 1 the hub component still contributes nothing:
+    // h (deg 5 > maxDeg 4) is dropped as a CENTER, the x_i (deg 1)
+    // are never centers — so no x-pair is ever materialized
+    val all = Graph.commonNeighborScores(edges, minCommon = 1,
+        maxDeg = 4)
+      .as[(String, String, Long, Long)].collect()
+    assert(all.nonEmpty && all.forall { case (u, v, _, _) =>
+      !u.startsWith("x") && !v.startsWith("x") })
+  }
+
   // -- Similarity (MIPS) ----------------------------------------------
 
   test("mipsTopK matches a plain-Scala mirror of the augmented-space " +
@@ -308,6 +332,34 @@ class GraphTimeSeriesSpec extends SparkSpec {
     val got = TimeSeries.ewmaFixed(events, tie = col("event_id"))
       .as[(Long, Long, Long)].collect().head
     assert(got === ((5L, 5L, expect)))
+  }
+
+  test("ohlcBars: one bar per (key, bucket); open/close follow the " +
+      "(ts, tie) total order even on tied timestamps; micro sums " +
+      "exact; negative values FLOOR to micros") {
+    val events = Seq(
+      ("m", ts("2024-01-01 10:00:05"), 2.5, 1L),
+      ("m", ts("2024-01-01 10:20:00"), 9.0, 2L),
+      ("m", ts("2024-01-01 10:59:59"), 1.25, 3L),
+      // tied timestamps: event_id orders open=4.0, close=3.0
+      ("m", ts("2024-01-01 11:30:00"), 4.0, 4L),
+      ("m", ts("2024-01-01 11:30:00"), 3.0, 5L),
+      ("n", ts("2024-01-01 10:10:00"), -1.0000005, 6L)
+    ).toDF("key", "ts", "value", "event_id")
+    val got = TimeSeries.ohlcBars(events, bucketSeconds = 3600,
+        tie = col("event_id"))
+      .as[(String, Timestamp, Long, Long, Long, Long, Long, Long)]
+      .collect()
+      .map(r => (r._1, r._2) ->
+        ((r._3, r._4, r._5, r._6, r._7, r._8))).toMap
+    assert(got(("m", ts("2024-01-01 10:00:00"))) ===
+      ((2500000L, 9000000L, 1250000L, 1250000L, 12750000L, 3L)))
+    assert(got(("m", ts("2024-01-01 11:00:00"))) ===
+      ((4000000L, 4000000L, 3000000L, 3000000L, 7000000L, 2L)))
+    // floor(-1.0000005e6) = -1000001: floor, never truncation
+    assert(got(("n", ts("2024-01-01 10:00:00"))) ===
+      ((-1000001L, -1000001L, -1000001L, -1000001L, -1000001L, 1L)))
+    assert(got.size === 3)
   }
 
   test("madOutliers flags only |v - med| > mult*mad with the " +

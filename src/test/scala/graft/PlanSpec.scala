@@ -525,6 +525,40 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"))
   }
 
+  test("ts_ohlc: ONE exchange — min_by/max_by/min/max/sum all " +
+      "partial-aggregate map-side into the single (key, bucket) " +
+      "shuffle; no window, no sort, no join") {
+    val p = plan("ts_ohlc")
+    assert("Exchange".r.findAllIn(p).size === 1,
+      s"OHLC bars should cost exactly one exchange:\n$p")
+    assert(p.contains("partial_min_by") || p.contains("partial_"),
+      s"open/close must combine map-side (partial agg):\n$p")
+    assert(!p.contains("Window") && !p.contains("Sort") &&
+      !p.contains("Join"),
+      s"OHLC must be pure aggregation — no window/sort/join:\n$p")
+  }
+
+  test("graph_common_neighbors: wedge joins stay equi-joins (never " +
+      "cartesian) and the degree tables broadcast at test scale") {
+    val p = finalPlan("graph_common_neighbors")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation degraded to all-pairs:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"degree joins should broadcast at test scale:\n$p")
+  }
+
+  test("text_line_dedup: the line df join is a hash equi-join on the " +
+      "line key — no cartesian, no window; reassembly is one doc " +
+      "groupBy") {
+    val p = finalPlan("text_line_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"line df join degraded:\n$p")
+    assert(!p.contains("Window"),
+      s"positional reassembly must be array_sort, not a window:\n$p")
+  }
+
   test("ts_resample_locf / layout_compaction: every window is keyed " +
       "(covered by the global sweep) and the grid build is per-key " +
       "generate — no calendar cross-join") {
