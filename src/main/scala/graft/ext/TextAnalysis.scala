@@ -1005,6 +1005,38 @@ object TextAnalysis {
       .select("doc_id", "n_chunks", "n_kept", "text_kept")
   }
 
+  /** Per-document token-distribution Shannon entropy in integer
+    * eighth-bits — the low-entropy detector (keyword-stuffing spam,
+    * template boilerplate, generated gibberish all score far below
+    * natural prose, which sits near log2 of its vocabulary size).
+    * Complements [[repetitionMetrics]]: n-gram fractions see exact
+    * repeats, entropy sees skewed-but-not-identical distributions.
+    *
+    *   H_q8 = qlog8(N) − (Σ_t c_t·qlog8(c_t)) div N
+    *
+    * the plug-in estimator −Σ p·log2 p rearranged to stay in
+    * integers ([[qlog8]] — no libm log, bit-exact on any engine);
+    * qlog8(1) = 0 so hapax tokens contribute nothing to the sum, and
+    * an all-distinct doc scores exactly qlog8(N).
+    *
+    * Scale shape: one explode, the (doc, token) count exchange, one
+    * per-doc partial agg — the same token-exchange plan as
+    * [[tfIdfTopTerms]]. Per-doc state is its distinct-token census,
+    * never the token list.
+    */
+  def tokenEntropy(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val cnt = docs
+      .select(id.as("doc_id"), explode(tokens(text)).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    cnt.groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * qlog8(col("c"))).as("__s"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (qlog8(col("n_tokens")) - expr("__s div n_tokens"))
+          .as("entropy_q8"))
+  }
+
   /** CCNet-style line-level boilerplate removal (Wenzek et al., LREC
     * 2020 §3.1): a line occurring in ≥ `maxDf` DISTINCT documents is
     * boilerplate (headers, cookie banners, nav menus) and is removed

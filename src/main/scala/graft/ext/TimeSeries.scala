@@ -142,34 +142,49 @@ object TimeSeries {
     // TRUNCATE sub-second negatives toward zero before the bucket
     // floor even runs.
     val bucketMicros = bucketSeconds * 1000000L
-    // The (ts, tie) total order packed into ONE Decimal(38,0):
-    // micros·10¹⁹ + (tie + 2⁶³). A struct ordering would force the
-    // whole aggregation to SortAggregate (struct buffers aren't
-    // hash-agg mutable), adding a per-partition sort on both sides
-    // of the exchange; the fixed-width decimal keeps min_by/max_by
-    // in HashAggregate. Exact: |micros| ≤ 3.3·10¹⁷ (Spark's
-    // timestamp range) so the product ≤ 3.3·10³⁶ < 10³⁸, and the
-    // shifted tie lies in [0, 2⁶⁴) < 10¹⁹ — the encoding is strictly
-    // monotone in (micros, tie) for ANY long tie.
-    val ord = expr(
-      """cast(unix_micros(ts) as decimal(38,0))
-        |  * cast(10000000000000000000 as decimal(38,0))
-        |  + (cast(__tie as decimal(38,0))
-        |     + cast(9223372036854775808 as decimal(38,0)))""".stripMargin)
     events
       .withColumn("__tie", tie)
       .select(col("key"),
         timestamp_micros(
           expr(fdiv("unix_micros(ts)", bucketMicros))
             * bucketMicros).as("bucket"),
-        expr("cast(floor(value * 1000000) as bigint)").as("__v"),
-        ord.as("__o"))
+        microValue.as("__v"),
+        packedTsTieOrder.as("__o"))
       .groupBy("key", "bucket")
-      .agg(min_by(col("__v"), col("__o")).as("open_micros"),
-        max(col("__v")).as("high_micros"),
-        min(col("__v")).as("low_micros"),
-        max_by(col("__v"), col("__o")).as("close_micros"),
-        sum(col("__v")).as("volume_micros"),
-        count(lit(1)).as("n"))
+      .agg(ohlcAggs.head, ohlcAggs.tail: _*)
   }
+
+  /** floor(value·10⁶) as a long — the house double→fixed-point form. */
+  private[graft] def microValue: Column =
+    expr("cast(floor(value * 1000000) as bigint)")
+
+  /** The (`ts`, `__tie`) total order packed into ONE Decimal(38,0):
+    * micros·10¹⁹ + (tie + 2⁶³). A struct ordering would force the
+    * whole aggregation to SortAggregate (struct buffers aren't
+    * hash-agg mutable), adding a per-partition sort on both sides
+    * of the exchange; the fixed-width decimal keeps min_by/max_by
+    * in HashAggregate (and in the streaming state store). Exact:
+    * |micros| ≤ 3.3·10¹⁷ (Spark's timestamp range) so the product
+    * ≤ 3.3·10³⁶ < 10³⁸, and the shifted tie lies in [0, 2⁶⁴) < 10¹⁹
+    * — the encoding is strictly monotone in (micros, tie) for ANY
+    * long tie. Shared by [[ohlcBars]] and its streaming twin
+    * ([[graft.streaming.StreamOps.ohlcStream]]): one ordering
+    * definition, two runtimes.
+    */
+  private[graft] def packedTsTieOrder: Column = expr(
+    """cast(unix_micros(ts) as decimal(38,0))
+      |  * cast(10000000000000000000 as decimal(38,0))
+      |  + (cast(__tie as decimal(38,0))
+      |     + cast(9223372036854775808 as decimal(38,0)))""".stripMargin)
+
+  /** The six OHLC aggregates over (`__v`, `__o`) — the shared
+    * batch/streaming aggregation list.
+    */
+  private[graft] def ohlcAggs: Seq[Column] = Seq(
+    min_by(col("__v"), col("__o")).as("open_micros"),
+    max(col("__v")).as("high_micros"),
+    min(col("__v")).as("low_micros"),
+    max_by(col("__v"), col("__o")).as("close_micros"),
+    sum(col("__v")).as("volume_micros"),
+    count(lit(1)).as("n"))
 }

@@ -155,6 +155,16 @@ private[queries] object TextQueries {
     },
 
 
+    // per-doc token-distribution Shannon entropy in integer
+    // eighth-bits (qlog8, no libm log) — the low-entropy spam /
+    // template detector that complements text_repetition's exact
+    // n-gram fractions
+    "text_entropy" -> { (s, dir) =>
+      TextAnalysis.tokenEntropy(docs(s, dir), col("doc_id"),
+        col("text"))
+    },
+
+
     // quality-classifier curation stage: label with the Gopher rule
     // gate, fit one-pass integer-bit Naive Bayes, score every doc —
     // the rule-labeled-classifier shape of GPT-3/DCLM pipelines
@@ -551,6 +561,22 @@ private[queries] object TextQueries {
          |  string_agg(CASE WHEN keep THEN chunk_text END, ' '
          |    ORDER BY chunk_idx) AS text_kept
          |FROM k GROUP BY doc_id""".stripMargin,
+
+
+    // H_q8 = qlog8(N) − (Σ c·qlog8(c)) // N; `//` on nonnegative
+    // bigints = Spark div, qlog8Sql is the shared integer-log mirror
+    "text_entropy" ->
+      (s"""WITH tk AS (SELECT doc_id, unnest($tokensSql) AS tok
+        |        FROM documents),
+        |c AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |        count(*) AS n_distinct,
+        |        CAST(sum(c * ${qlog8Sql("c")}) AS BIGINT) AS s
+        |      FROM c GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |  CAST(${qlog8Sql("n_tokens")} - s // n_tokens AS BIGINT)
+        |    AS entropy_q8
+        |FROM a""".stripMargin),
 
 
     // document frequency on exact line strings, zipped parallel

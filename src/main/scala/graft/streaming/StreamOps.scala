@@ -449,6 +449,36 @@ object StreamOps {
       }
   }
 
+  /** Streaming twin of [[graft.ext.TimeSeries.ohlcBars]]: watermarked
+    * tumbling OHLC bars as a NATIVE windowed aggregation — no custom
+    * state function. The six aggregates (min_by/max_by over the
+    * shared packed (ts, tie) Decimal(38,0) order, min/max/sum/count
+    * over micro-unit longs) are declarative, so the state store
+    * holds one fixed-width buffer per live (key, bucket) and merges
+    * partial buffers exactly like the batch HashAggregate — the
+    * same ordering definition and aggregation list as the batch op
+    * (one implementation, two runtimes), hence bar-for-bar batch
+    * equivalence for events inside the watermark, which StreamSpec
+    * pins under shuffled micro-batch delivery.
+    *
+    * Append-mode ready: a bar finalizes (and its state evicts) when
+    * the watermark passes its window end — the archival-rollup
+    * lifecycle. Input columns: `key`, `ts`, `value`, `tie`.
+    */
+  def ohlcStream(events: DataFrame, watermark: String,
+                 bucket: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .withColumn("__tie", col("tie"))
+      .select(col("key"), window(col("ts"), bucket).as("__w"),
+        graft.ext.TimeSeries.microValue.as("__v"),
+        graft.ext.TimeSeries.packedTsTieOrder.as("__o"))
+      .groupBy(col("key"), col("__w"))
+      .agg(graft.ext.TimeSeries.ohlcAggs.head,
+        graft.ext.TimeSeries.ohlcAggs.tail: _*)
+      .select(col("key"), col("__w.start").as("bucket"),
+        col("open_micros"), col("high_micros"), col("low_micros"),
+        col("close_micros"), col("volume_micros"), col("n"))
+
   case class FreqItem(shard: Int, item: String)
   case class FreqSummary(shard: Int, item: String, est: Long,
                          shard_n: Long)

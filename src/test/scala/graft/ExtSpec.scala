@@ -437,6 +437,24 @@ class ExtSpec extends SparkSpec {
     assert(got(5L) === (("solo\nsolo", 2L, 2L)))
   }
 
+  test("tokenEntropy: zero for a constant doc, exactly qlog8(N) for " +
+      "an all-distinct doc, and the integer plug-in estimator " +
+      "between") {
+    val docs = Seq(
+      (1L, "a a a a"),      // one token: entropy 0
+      (2L, "a b c d"),      // uniform distinct: qlog8(4) = 16 (2 bits)
+      (3L, "a a b b b x")   // (1/3, 1/2, 1/6): true H = 11.67 q8
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(docs, $"doc_id", $"text")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((4L, 1L, 0L)))
+    assert(got(2L) === ((4L, 4L, 16L)))
+    // qlog8(6)=20, sum = 2·qlog8(2) + 3·qlog8(3) = 16+36 = 52,
+    // 52 div 6 = 8 → 20 − 8 = 12
+    assert(got(3L) === ((6L, 3L, 12L)))
+  }
+
   test("qlog8 is exact at powers of two and tracks 8*log2 within an " +
       "eighth-bit everywhere") {
     val xs = (1L to 4096L) ++ Seq(1L << 40, (1L << 40) + 12345L,

@@ -121,6 +121,36 @@ class GraphTimeSeriesSpec extends SparkSpec {
       !u.startsWith("x") && !v.startsWith("x") })
   }
 
+  test("commonNeighborScores matches a brute-force neighborhood " +
+      "jaccard on a random graph when no center is capped, and is " +
+      "partitioning-invariant") {
+    val rnd = new scala.util.Random(29)
+    val edgeSet = (for (_ <- 1 to 60) yield {
+      val u = rnd.nextInt(12); val v = rnd.nextInt(12)
+      if (u < v) Some((u.toLong, v.toLong))
+      else if (v < u) Some((v.toLong, u.toLong)) else None
+    }).flatten.distinct
+    val edges = edgeSet.toDF("u", "v")
+    val adj = edgeSet.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    val want = (for {
+      u <- adj.keys; v <- adj.keys if u < v
+      common = (adj(u) & adj(v)).size if common >= 2
+    } yield (u, v) -> ((common.toLong,
+      common.toLong * 1000000L / (adj(u).size + adj(v).size - common))))
+      .toMap
+    val got = Graph.commonNeighborScores(edges, minCommon = 2,
+        maxDeg = 100)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got === want)
+    val got2 = Graph.commonNeighborScores(edges.repartition(7),
+        minCommon = 2, maxDeg = 100)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got2 === want)
+  }
+
   // -- Similarity (MIPS) ----------------------------------------------
 
   test("mipsTopK matches a plain-Scala mirror of the augmented-space " +

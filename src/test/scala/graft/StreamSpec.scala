@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.StreamOps
 import graft.streaming.StreamOps.{UserAgg, UserEvent}
@@ -34,6 +34,41 @@ class StreamSpec extends SparkSpec {
       assert(got === Set(
         (ts("2024-01-01 10:00:00"), "click", 2L, 4.0),
         (ts("2024-01-01 11:00:00"), "view", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("ohlcStream matches the batch ohlcBars bar-for-bar under " +
+      "shuffled multi-batch delivery, including tied timestamps") {
+    implicit val sq = spark.sqlContext
+    val rows = Seq(
+      ("m", ts("2024-01-01 10:00:05"), 2.5, 1L),
+      ("m", ts("2024-01-01 10:20:00"), 9.0, 2L),
+      ("m", ts("2024-01-01 10:59:59"), 1.25, 3L),
+      ("m", ts("2024-01-01 11:30:00"), 4.0, 4L),
+      ("m", ts("2024-01-01 11:30:00"), 3.0, 5L), // tie: id orders it
+      ("n", ts("2024-01-01 10:10:00"), -1.0000005, 6L))
+    val in = MemoryStream[(String, Timestamp, Double, Long)]
+    val q = StreamOps.ohlcStream(
+        in.toDF().toDF("key", "ts", "value", "tie"),
+        watermark = "10 minutes", bucket = "1 hour")
+      .writeStream.format("memory").queryName("ohlc_out")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      // adversarial delivery: reversed order, split mid-bucket
+      val shuffled = rows.reverse
+      in.addData(shuffled.take(2)); q.processAllAvailable()
+      in.addData(shuffled.slice(2, 5)); q.processAllAvailable()
+      in.addData(shuffled.drop(5)); q.processAllAvailable()
+      val got = spark.table("ohlc_out")
+        .as[(String, Timestamp, Long, Long, Long, Long, Long, Long)]
+        .collect().toSet
+      val want = graft.ext.TimeSeries.ohlcBars(
+          rows.toDF("key", "ts", "value", "event_id"),
+          bucketSeconds = 3600, tie = col("event_id"))
+        .as[(String, Timestamp, Long, Long, Long, Long, Long, Long)]
+        .collect().toSet
+      assert(got === want)
+      assert(want.size === 3)
     } finally q.stop()
   }
 
