@@ -191,4 +191,17 @@ object Bpe {
           length(call_function("replace", col("bpe"), lit("|"), lit(""))))
           / 2).cast("long"))
   }
+
+  /** The inverse of [[encode]]: strip every symbol delimiter. Because
+    * merges only ever concatenate adjacent in-word symbols and never
+    * touch the space joining words, deleting the `|` sentinels
+    * recovers exactly the whitespace-normalized input
+    * (`trim` + single-space joins) — for ANY merge table, including
+    * an empty one. A pure map (no shuffle), and the roundtrip
+    * decode(encode(t)) = normalize(t) is the lossless-tokenizer
+    * property the `text_decode_roundtrip` query proves corpus-wide
+    * against an oracle that never runs BPE at all.
+    */
+  def decode(encoded: Column): Column =
+    call_function("replace", encoded, lit("|"), lit(""))
 }

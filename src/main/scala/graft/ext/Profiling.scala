@@ -59,6 +59,64 @@ object Profiling {
       .drop("__th", "__key")
   }
 
+  /** Per-key winsorization — clamp `value` to its own group's
+    * [loBp, hiBp] basis-point PERCENTILE_DISC band, the robust
+    * feature-scaling step that tames heavy-tailed metrics before
+    * they feed a model (a p99 cap a single sensor spike can't move
+    * past the tail's own mass). Both thresholds fold from ONE
+    * (value, count) histogram aggregation per key — bounded by the
+    * value DOMAIN, not the row count (the [[equidepthBins]] /
+    * [[madOutliers]] histogram contract) — and the tiny per-key
+    * threshold row broadcasts back map-side; no per-row ranking
+    * window ever runs. threshold_p = the largest v whose
+    * strictly-below count · 10⁴ < n · bp, which IS
+    * PERCENTILE_DISC(bp/10⁴) (smallest v with cume_dist ≥ p — same
+    * prefix argument as the median fold, verified against DuckDB).
+    *
+    * All arithmetic exact integer; NULL keys are first-class (`<=>`);
+    * NULL values pass through unclamped as NULL (PERCENTILE_DISC
+    * ignores them, and Spark/DuckDB `least`/`greatest` disagree on
+    * NULL propagation, so the clamp is explicitly guarded).
+    *
+    * Returns (id, key, v, lo, hi, v_wins).
+    *
+    * @param value integral column (pre-scale doubles to centi-units)
+    */
+  def winsorize(df: DataFrame, key: Column, id: Column, value: Column,
+                loBp: Int, hiBp: Int): DataFrame = {
+    require(loBp >= 1 && hiBp <= 9999 && loBp < hiBp,
+      s"basis points ($loBp, $hiBp) must satisfy 1 <= lo < hi <= 9999")
+    val base = df.select(key.as("key"), id.as("id"),
+      value.cast("long").as("v"))
+    // the histogram keeps NULL-v rows as a (key, NULL) row so a key
+    // whose values are ALL null still emits a (NULL, NULL) threshold
+    // row and its rows survive the join (PERCENTILE_DISC-over-nothing
+    // is NULL, not row-loss); collect_list then skips the null struct,
+    // so null vs never enter the fold — the madOutliers contract
+    val hist = base.groupBy(col("key"), col("v"))
+      .agg(count(lit(1)).as("__c"))
+    val thr = hist.groupBy("key")
+      .agg(sort_array(collect_list(when(col("v").isNotNull,
+          struct(col("v"), col("__c"))))).as("__h"),
+        sum(when(col("v").isNotNull, col("__c")).otherwise(0L))
+          .as("__n"))
+      .select(col("key").as("__k"), expr(
+        s"""aggregate(__h,
+           |  named_struct('run', 0L,
+           |    'lo', cast(null as bigint), 'hi', cast(null as bigint)),
+           |  (acc, x) -> named_struct(
+           |    'run', acc.run + x.__c,
+           |    'lo', if(acc.run * 10000 < __n * ${loBp}L, x.v, acc.lo),
+           |    'hi', if(acc.run * 10000 < __n * ${hiBp}L, x.v, acc.hi)))
+           |""".stripMargin).as("__t"))
+      .select(col("__k"), col("__t.lo").as("lo"), col("__t.hi").as("hi"))
+    base.join(broadcast(thr), col("key") <=> col("__k"))
+      .select(col("id"), col("key"), col("v"), col("lo"), col("hi"),
+        when(col("v").isNotNull,
+          least(greatest(col("v"), col("lo")), col("hi")))
+          .as("v_wins"))
+  }
+
   /** Top-`k` heaviest keys of `key` with exact counts and integer
     * parts-per-million shares (ppm avoids a float fold whose last ulp
     * depends on fold order).

@@ -154,6 +154,63 @@ object TimeSeries {
       .agg(ohlcAggs.head, ohlcAggs.tail: _*)
   }
 
+  /** Per-key ordinary-least-squares trend of `value` over time — the
+    * drift detector every metrics pipeline runs (is this series
+    * rising, and how fast?). slope = (nΣxy − ΣxΣy)/(nΣxx − Σx²) in
+    * centi-units per second, emitted as micro-slope
+    * ⌊slope·10⁶⌋ — DETERMINISTIC by the [[graft.ops.Relational
+    * .corrPpm]] contract: every accumulated quantity is exact (x in
+    * seconds re-based to the key's own min, y in centi-unit longs,
+    * the five sums in decimal(38,0) — associative, map-side
+    * combinable, never a float fold), and the finish is ONE fixed
+    * IEEE divide over identical exact values, bit-identical on any
+    * engine and any partitioning. Re-basing x (slope is shift-
+    * invariant) keeps nΣxx small enough that the decimal→double
+    * finishing casts are exact for any realistic span, where raw
+    * epoch seconds squared would shed low bits.
+    *
+    * Scale shape: TWO hash aggregations on the SAME key (the min-x
+    * probe, then the moment fold) plus one equi-join between them —
+    * co-partitioned, so one logical exchange; no window, no collect,
+    * a hot key costs one combined moment row per map task. NULL keys
+    * are first-class (`<=>`, the [[Profiling]] contract).
+    *
+    * Returns (key, n, slope_micro, mean_centi); slope_micro is NULL
+    * when the key has no x-variance (single instant), mean_centi is
+    * Σy div n (truncation toward zero — the shared Spark `div` /
+    * DuckDB 1.0 `//` semantics, verified on negatives).
+    *
+    * @param events columns `key`, `ts` (timestamp), `value` (double)
+    */
+  def linearTrendMicro(events: DataFrame): DataFrame = {
+    val base = events.select(col("key"),
+      unix_micros(col("ts")).as("__xm"),
+      expr("cast(floor(value * 100) as bigint)").as("__y"))
+    val xmin = base.groupBy("key").agg(min("__xm").as("__x0"))
+      .withColumnRenamed("key", "__k")
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    val agged = base.join(xmin, col("key") <=> col("__k"))
+      // seconds, floored from micros relative to the key's own min —
+      // nonnegative by construction, so plain div IS floor here
+      .select(col("key"),
+        expr("(__xm - __x0) div 1000000L").as("__x"), col("__y"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"),
+        sum(d(col("__x"))).as("__sx"),
+        sum(d(col("__y"))).as("__sy"),
+        sum(d(col("__x")) * d(col("__y"))).as("__sxy"),
+        sum(d(col("__x")) * d(col("__x"))).as("__sxx"))
+    val nD = d(col("n"))
+    val num = nD * col("__sxy") - col("__sx") * col("__sy")
+    val den = nD * col("__sxx") - col("__sx") * col("__sx")
+    agged.select(col("key"), col("n"),
+      when(den > 0,
+        floor(num.cast("double") / den.cast("double") * 1000000.0)
+          .cast("long")).as("slope_micro"),
+      expr("__sy div cast(n as decimal(38,0))").cast("long")
+        .as("mean_centi"))
+  }
+
   /** floor(value·10⁶) as a long — the house double→fixed-point form. */
   private[graft] def microValue: Column =
     expr("cast(floor(value * 1000000) as bigint)")

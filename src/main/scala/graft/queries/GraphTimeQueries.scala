@@ -120,6 +120,20 @@ private[queries] object GraphTimeQueries {
     },
 
 
+    // Per-type winsorization of the metric stream: clamp each event's
+    // centi-value into its type's exact [p05, p95] PERCENTILE_DISC
+    // band — heavy-tail feature scaling from ONE bounded histogram
+    // fold per key, thresholds broadcast back map-side, no ranking
+    // window.
+    "feat_winsorize" -> { (s, dir) =>
+      Profiling.winsorize(t(s, dir, "events"), key = col("event_type"),
+        id = col("event_id"), value = floor(col("value") * 100),
+        loBp = 500, hiBp = 9500)
+        .select(col("id").as("event_id"), col("key").as("event_type"),
+          col("v"), col("lo"), col("hi"), col("v_wins"))
+    },
+
+
     // Bounded-hop BFS from the ten highest-degree items over the SAME
     // shared co-purchase graph — "what's within 3 hops of the hubs",
     // the frontier-expansion pattern (recommendation neighborhoods,
@@ -251,6 +265,19 @@ private[queries] object GraphTimeQueries {
         mult = 3)
         .select(col("id").as("event_id"), col("key").as("user_id"),
           col("v"), col("med"), col("dev"), col("mad"))
+    },
+
+
+    // Per-user OLS drift of the metric stream — exact integer moment
+    // sums (x re-based to each user's first event, y in centi-units),
+    // one fixed IEEE divide at the finish; two co-partitioned hash
+    // aggs, no window. slope_micro = ⌊10⁶ · centi-units/second⌋.
+    "ts_trend" -> { (s, dir) =>
+      TimeSeries.linearTrendMicro(
+        t(s, dir, "events").select(col("user_id").as("key"),
+          col("ts"), col("value")))
+        .select(col("key").as("user_id"), col("n"),
+          col("slope_micro"), col("mean_centi"))
     },
 
 
@@ -474,6 +501,50 @@ private[queries] object GraphTimeQueries {
         |  CAST(count(CASE WHEN d.n_chars > th.t THEN 1 END) AS INT) AS bin
         |FROM documents d JOIN th ON d.lang IS NOT DISTINCT FROM th.lang
         |GROUP BY 1, 2, 3""".stripMargin,
+
+
+    // PERCENTILE_DISC thresholds are exactly the histogram fold's
+    // rule (largest v with 10⁴·below(v) < n·bp — same monotone-prefix
+    // argument as the median fold); clamp guarded on NULL v because
+    // Spark/DuckDB least/greatest NULL handling differs
+    "feat_winsorize" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |        CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+        |q AS (SELECT event_type,
+        |        PERCENTILE_DISC(0.05) WITHIN GROUP (ORDER BY v) AS lo,
+        |        PERCENTILE_DISC(0.95) WITHIN GROUP (ORDER BY v) AS hi
+        |      FROM e GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.v, q.lo, q.hi,
+        |  CASE WHEN e.v IS NULL THEN NULL
+        |       ELSE least(greatest(e.v, q.lo), q.hi) END AS v_wins
+        |FROM e JOIN q
+        |  ON e.event_type IS NOT DISTINCT FROM q.event_type"""
+        .stripMargin,
+
+
+    // exact HUGEINT moment sums over (seconds since the user's first
+    // event, centi-value); the finish is the same one-divide double
+    // sequence the Spark side runs, so slope_micro is bit-identical;
+    // // truncates toward zero in DuckDB 1.0 = Spark div
+    "ts_trend" ->
+      """WITH e AS (SELECT user_id,
+        |        (epoch_us(ts)
+        |         - min(epoch_us(ts)) OVER (PARTITION BY user_id))
+        |          // 1000000 AS x,
+        |        CAST(floor(value * 100) AS BIGINT) AS y FROM events),
+        |m AS (SELECT user_id, count(*) AS n,
+        |        sum(CAST(x AS HUGEINT)) AS sx,
+        |        sum(CAST(y AS HUGEINT)) AS sy,
+        |        sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+        |        sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+        |      FROM e GROUP BY 1)
+        |SELECT user_id, n,
+        |  CASE WHEN n * sxx - sx * sx > 0 THEN
+        |    CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+        |               / CAST(n * sxx - sx * sx AS DOUBLE)
+        |               * 1000000) AS BIGINT) END AS slope_micro,
+        |  CAST(sy // CAST(n AS HUGEINT) AS BIGINT) AS mean_centi
+        |FROM m""".stripMargin,
 
 
     // NULLS FIRST pins DuckDB (default NULLS LAST on ASC) to the

@@ -235,6 +235,25 @@ private[queries] object TextQueries {
     },
 
 
+    // The lossless-tokenizer proof, corpus-wide: decode(encode(t))
+    // must equal whitespace-normalized t for EVERY document. The
+    // Spark side runs the full encode→decode chain and reports the
+    // equality plus the decoded length; the oracle never runs BPE at
+    // all — any drift in symbolize/merge/decode breaks the hash.
+    "text_decode_roundtrip" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val enc = Bpe.encode(d, col("doc_id"), col("text"),
+        bpeMerges(s, dir))
+      d.select(col("doc_id"),
+          regexp_replace(trim(col("text")), "\\s+", " ").as("__norm"))
+        .join(enc, col("doc_id") === col("id"))
+        .select(col("doc_id"),
+          (Bpe.decode(col("bpe")) === col("__norm")).cast("int")
+            .as("roundtrip_ok"),
+          length(Bpe.decode(col("bpe"))).cast("long").as("decoded_len"))
+    },
+
+
     // Corpus encoding against that vocab: id 0 = UNK; the id
     // sequence is a position-ordered string so the check is bit-exact.
     "text_encode" -> { (s, dir) =>
@@ -455,6 +474,18 @@ private[queries] object TextQueries {
           |  CAST((length(bpe) - length(replace(bpe, '|', ''))) / 2
           |       AS BIGINT) AS n_pieces
           |FROM enc""".stripMargin),
+
+
+    // the oracle side of the inverse proof is BPE-free by design:
+    // the expected decode of ANY merge table is the whitespace-
+    // normalized input, so the oracle just normalizes (trim +
+    // collapse \s+ to one space — 'g' because DuckDB replaces first
+    // match only by default where Spark replaces all)
+    "text_decode_roundtrip" ->
+      raw"""SELECT doc_id, CAST(1 AS INT) AS roundtrip_ok,
+        |  CAST(length(regexp_replace(trim(text), '\s+', ' ', 'g'))
+        |       AS BIGINT) AS decoded_len
+        |FROM documents""".stripMargin,
 
 
     "text_encode" ->

@@ -562,6 +562,24 @@ class ExtSpec extends SparkSpec {
       enc._2.count(_ == '|').toLong / 2)
   }
 
+  test("Bpe.decode inverts encode to the whitespace-normalized input " +
+      "for any merge table, including an empty one") {
+    import graft.ext.Bpe
+    val docs = Seq(
+      (1L, "  low\t lower \n newest  "), // messy whitespace
+      (2L, ""), // empty survives symbolize's w = '' guard
+      (3L, "widest")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, $"text", k = 3, maxWords = 512)
+    for (m <- Seq(merges, merges.limit(0))) {
+      val got = Bpe.encode(docs, $"doc_id", $"text", m)
+        .select($"id", Bpe.decode($"bpe")).as[(Long, String)]
+        .collect().toMap
+      assert(got(1L) === "low lower newest")
+      assert(got(2L) === "")
+      assert(got(3L) === "widest")
+    }
+  }
+
   test("punctRatio and qualityScore survive an empty document") {
     val got = Seq((1L, ""), (2L, "hi!")).toDF("doc_id", "text")
       .select($"doc_id", TextAnalysis.punctRatio($"text").as("p"),

@@ -470,4 +470,65 @@ class GraphTimeSeriesSpec extends SparkSpec {
         Quality.Unique("x", Seq("k"))))
     }
   }
+
+  test("linearTrendMicro: exact OLS slope in micro centi-units/sec, " +
+      "NULL on zero x-variance, mean truncates toward zero") {
+    val base = ts("2024-01-01 10:00:00").getTime
+    def at(s: Long) = new Timestamp(base + s * 1000L)
+    val df = Seq(
+      // a: perfect +1.00/10s line → slope 10 centi/s = 10000000 micro
+      ("a", at(0L), 1.00), ("a", at(10L), 2.00), ("a", at(20L), 3.00),
+      // b: -2.00 over 10s → -20 centi/s
+      ("b", at(0L), 3.00), ("b", at(10L), 1.00),
+      // c: single instant → no x-variance → NULL slope
+      ("c", at(5L), 7.00),
+      // d: two readings at ONE instant → den = 0 → NULL slope
+      ("d", at(0L), 1.00), ("d", at(0L), 9.00),
+      // e: negative values; Σy = -3 centi, mean -3 div 2 = -1
+      //    (truncation toward zero, NOT floor -2)
+      ("e", at(0L), -0.01), ("e", at(10L), -0.02))
+      .toDF("key", "ts", "value")
+    val got = TimeSeries.linearTrendMicro(df)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)), r.getLong(3)))).toMap
+    assert(got("a") === ((3L, Some(10000000L), 200L)))
+    assert(got("b") === ((2L, Some(-20000000L), 200L)))
+    assert(got("c") === ((1L, None, 700L)))
+    assert(got("d") === ((2L, None, 500L)))
+    // num = 2·(-20) − 10·(-3) = -10, den = 100 → floor(-0.1·10⁶)
+    assert(got("e") === ((2L, Some(-100000L), -1L)))
+  }
+
+  test("winsorize clamps to exact PERCENTILE_DISC band; NULL keys " +
+      "and NULL values are first-class") {
+    // key 1: 10..100 by 10 (n=10); p25 → cume ≥ 0.25 first at 30,
+    // p75 → first at 80; clamp 10,20→30 and 90,100→80
+    val k1 = (1 to 10).map(i => (Option(1L), i.toLong, Option(i * 10L)))
+    val rest = Seq[(Option[Long], Long, Option[Long])](
+      (None, 90L, Some(5L)), (None, 91L, Some(6L)),
+      (None, 92L, Some(7L)), (None, 93L, Some(8L)),
+      (Some(2L), 94L, None), (Some(2L), 95L, Some(4L)),
+      (Some(3L), 96L, None)) // key 3: ALL values null → null band
+    val df = (k1 ++ rest).toDF("k", "id", "v")
+    val got = Profiling.winsorize(df, $"k", $"id", $"v",
+        loBp = 2500, hiBp = 7500)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+          Option(r.get(4)), Option(r.get(5))))).toMap
+    assert(got(1L)._5 === Some(30L)) // v=10 pulled up to lo
+    assert(got(2L)._5 === Some(30L))
+    assert(got(5L)._5 === Some(50L)) // interior untouched
+    assert(got(9L)._5 === Some(80L)) // v=90 pulled down to hi
+    assert(got(10L)._5 === Some(80L))
+    // NULL key group: band over its own 4 values — cume_dist(5) =
+    // 0.25 ≥ 0.25 so p25 → 5, cume_dist(7) = 0.75 → p75 → 7
+    assert(got(90L) === ((None, Some(5L), Some(5L), Some(7L), Some(5L))))
+    // NULL v passes through as NULL even with a real band
+    assert(got(94L)._5 === None)
+    assert(got(95L) ===
+      ((Some(2L), Some(4L), Some(4L), Some(4L), Some(4L))))
+    // all-null key survives with a NULL band, not row-loss
+    assert(got(96L) === ((Some(3L), None, None, None, None)))
+    assert(got.size === 17)
+  }
 }

@@ -578,6 +578,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("feat_winsorize: window-free histogram band, thresholds " +
+      "broadcast back; ts_trend: window-free exact moments, no " +
+      "cartesian") {
+    val pw = finalPlan("feat_winsorize")
+    assert(!pw.contains("Window"),
+      s"percentile band must be a histogram fold, not a window:\n$pw")
+    assert(pw.contains("BroadcastHashJoin"),
+      s"per-key threshold rows should broadcast at test scale:\n$pw")
+    val pt = plan("ts_trend")
+    assert(!pt.contains("Window"),
+      s"OLS moments must be one hash agg, never a ranking window:\n$pt")
+    assert(!pt.contains("CartesianProduct") &&
+      !pt.contains("BroadcastNestedLoopJoin"),
+      s"the min-x probe degraded to all-pairs:\n$pt")
+  }
+
   test("sim_hybrid_rrf: the lexical list comes from the shared " +
       "bm25_top20 stage (never re-scored), and the fused top-k is a " +
       "bounded TakeOrdered heap") {
