@@ -215,7 +215,45 @@ object DedupOps {
     */
   def jaccardPairs(df: DataFrame, blockKeys: Seq[String], id: Column,
                    shingles: Column, threshold: Double,
-                   maxDf: Int = 64): DataFrame = {
+                   maxDf: Int = 64): DataFrame =
+    pairIntersections(df, blockKeys, id, shingles, maxDf)
+      .withColumn("jac", col("__i").cast("double") /
+        (col("__na") + col("__nb") - col("__i")).cast("double"))
+      .filter(col("jac") >= threshold)
+      .select("id_a", "id_b", "jac")
+
+  /** Asymmetric containment pairs over the SAME inverted-index plan
+    * as [[jaccardPairs]]: C(A→B) = |A∩B| / |A| — the quote /
+    * subset-document detector. A short doc fully quoted inside a long
+    * one has tiny Jaccard (the union is dominated by the long doc)
+    * but containment ≈ 1 from the short side, which is why
+    * decontamination and license-text removal filter on containment,
+    * not Jaccard. Emits both directions per candidate pair; a pair
+    * survives when EITHER direction reaches `threshold`. Same df-cap
+    * scale guard, same single shingle exchange — only the finishing
+    * ratio differs.
+    */
+  def containmentPairs(df: DataFrame, blockKeys: Seq[String],
+                       id: Column, shingles: Column, threshold: Double,
+                       maxDf: Int = 64): DataFrame =
+    pairIntersections(df, blockKeys, id, shingles, maxDf)
+      .withColumn("cont_a_in_b",
+        col("__i").cast("double") / col("__na").cast("double"))
+      .withColumn("cont_b_in_a",
+        col("__i").cast("double") / col("__nb").cast("double"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a"))
+        >= threshold)
+      .select("id_a", "id_b", "cont_a_in_b", "cont_b_in_a")
+
+  /** The shared candidate-pair engine behind [[jaccardPairs]] and
+    * [[containmentPairs]]: inverted shingle index → df-capped
+    * postings → in-posting ordered pairs → intersection counts joined
+    * with both per-doc set sizes. Returns
+    * (id_a, id_b, __i, __na, __nb).
+    */
+  private def pairIntersections(df: DataFrame, blockKeys: Seq[String],
+                                id: Column, shingles: Column,
+                                maxDf: Int): DataFrame = {
     // A LONG-array shingle column is consumed as ALREADY-HASHED
     // distinct shingle ids in the md5PrefixLong(·, 15) domain (build
     // it with TextAnalysis.shingleHashes(c, k) — the fused one-pass
@@ -269,10 +307,6 @@ object DedupOps {
         "id_a")
       .join(sizes.select(col("__id").as("id_b"), col("__n").as("__nb")),
         "id_b")
-      .withColumn("jac", col("__i").cast("double") /
-        (col("__na") + col("__nb") - col("__i")).cast("double"))
-      .filter(col("jac") >= threshold)
-      .select("id_a", "id_b", "jac")
   }
 
   /** One star-contraction step of the alternating connected-components

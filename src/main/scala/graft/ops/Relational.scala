@@ -252,4 +252,41 @@ object Relational {
         compareCols.flatMap(c =>
           Seq(col(s"old_$c"), col(s"new_$c"))): _*)
   }
+
+  /** One grain of a mergeable rollup: per-`keyCols` partial
+    * aggregates (n, sum, min, max) of integral `value` — every
+    * component an ALGEBRAIC aggregate, so two rollups merge into one
+    * by re-aggregation ([[mergeRollups]]) without ever touching raw
+    * rows again. This is the incremental-view-maintenance primitive:
+    * at 100 TB the materialized base rollup is petabytes cheaper to
+    * keep than re-scanning history per refresh, and each refresh
+    * costs only the DELTA's scan plus a partials-sized merge.
+    * (avg/stddev come free downstream from sum/n — never materialize
+    * a non-mergeable mean.)
+    */
+  def rollupPartials(df: DataFrame, keyCols: Seq[String],
+                     value: Column): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    df.select(keyCols.map(col) :+ value.cast("long").as("__v"): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(col("__v")).as("n"), sum("__v").as("sum_v"),
+        min("__v").as("min_v"), max("__v").as("max_v"))
+  }
+
+  /** Merge rollups of the same grain into one — sum the counts and
+    * sums, min the mins, max the maxes. By algebraic-aggregate
+    * associativity the result is BIT-IDENTICAL to rolling up the
+    * concatenated raw inputs (the `rel_incremental_rollup` oracle
+    * proves it corpus-wide against a full rescan). One union + one
+    * hash aggregation over partials-sized inputs; grains must match
+    * (same keyCols) and key sets may overlap arbitrarily.
+    */
+  def mergeRollups(rollups: Seq[DataFrame],
+                   keyCols: Seq[String]): DataFrame = {
+    require(rollups.nonEmpty, "need at least one rollup")
+    rollups.reduce(_ unionByName _)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum("n").as("n"), sum("sum_v").as("sum_v"),
+        min("min_v").as("min_v"), max("max_v").as("max_v"))
+  }
 }

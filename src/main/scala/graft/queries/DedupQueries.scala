@@ -95,6 +95,18 @@ private[queries] object DedupQueries {
     },
 
 
+    // Asymmetric containment |A∩B|/|A| over the same inverted index —
+    // the quote/subset detector: a short doc fully embedded in a long
+    // one scores ~1 from its own side while its Jaccard stays tiny.
+    // Decontamination and boilerplate-license removal filter on THIS,
+    // not Jaccard.
+    "dedup_containment" -> { (s, dir) =>
+      DedupOps.containmentPairs(docs(s, dir), Seq("lang", "source"),
+        col("doc_id"), TextAnalysis.shingleHashes(col("text"), 2),
+        threshold = 0.5, maxDf = 64)
+    },
+
+
     // Substring-level exact dedup: winnowing fingerprints guarantee
     // any shared span ≥ window + k − 1 = 23 chars produces a shared
     // fingerprint — the copied-passage family doc-level MinHash
@@ -290,6 +302,31 @@ private[queries] object DedupQueries {
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.1""".stripMargin),
+
+
+    // same index CTEs as dedup_ngram_jaccard; only the finishing
+    // ratio differs (per-side division instead of union division)
+    "dedup_containment" ->
+      (s"""WITH $shingleCte,
+        |e0 AS (SELECT lang, source, doc_id,
+        |         CAST('0x' || substr(md5(unnest(list_distinct(s))), 1, 15) AS BIGINT) AS sh
+        |       FROM sh),
+        |keep AS (SELECT lang, source, sh FROM e0
+        |         GROUP BY 1, 2, 3 HAVING count(*) <= 64),
+        |e AS (SELECT e0.* FROM e0 JOIN keep USING (lang, source, sh)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |          FROM e a JOIN e b ON a.lang = b.lang AND a.source = b.source
+        |            AND a.sh = b.sh AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE) AS cont_a_in_b,
+        |  CAST(i AS DOUBLE) / CAST(sb.n AS DOUBLE) AS cont_b_in_a
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE greatest(CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE),
+        |               CAST(i AS DOUBLE) / CAST(sb.n AS DOUBLE)) >= 0.5""".stripMargin),
 
 
     // same winnowing CTEs as dedup_substring; benchmark = doc_id%5==0,

@@ -279,6 +279,25 @@ object RelationalQueries {
         Seq("o_totalprice", "o_orderstatus"))
     },
 
+    // Incremental view maintenance: the (user, day) rollup is
+    // materialized once over history (here: days before the cut),
+    // each refresh rolls up ONLY the delta and merges partials —
+    // algebraic aggregates (n, sum, min, max) make the merge
+    // bit-identical to a full rescan, which is exactly what the
+    // oracle runs. At 100 TB the refresh cost is the delta scan plus
+    // a partials-sized exchange, never the history scan.
+    "rel_incremental_rollup" -> { (s, dir) =>
+      val e = t(s, dir, "events").select(col("user_id"),
+        to_date(col("ts")).as("day"),
+        floor(col("value") * 100).as("v"))
+      val cut = lit("2024-01-20").cast("date")
+      val keys = Seq("user_id", "day")
+      mergeRollups(Seq(
+        rollupPartials(e.filter(col("day") < cut), keys, col("v")),
+        rollupPartials(e.filter(col("day") >= cut), keys, col("v"))),
+        keys)
+    },
+
     "topk_per_group" -> { (s, dir) =>
       topKPerGroup(t(s, dir, "orders"), Seq("o_custkey"),
         Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
@@ -734,6 +753,18 @@ object RelationalQueries {
         |FROM ch WHERE prev IS NULL OR prev <> o_orderstatus
         |WINDOW w AS (PARTITION BY o_custkey
         |  ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    // the oracle IS the full rescan the merge must reproduce — one
+    // aggregation over all raw rows, never split at the cut; proves
+    // the partial-merge is exact, not approximately refreshed
+    "rel_incremental_rollup" ->
+      """SELECT user_id, CAST(ts AS DATE) AS day,
+        |  count(CAST(floor(value * 100) AS BIGINT)) AS n,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_v,
+        |  min(CAST(floor(value * 100) AS BIGINT)) AS min_v,
+        |  max(CAST(floor(value * 100) AS BIGINT)) AS max_v
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     // same mutation literals; IS DISTINCT FROM mirrors the null-safe
     // per-column change test; +1.0 on a double is IEEE-identical

@@ -449,6 +449,93 @@ object StreamOps {
       }
   }
 
+  case class TrendPoint(key: Long, ts: java.sql.Timestamp, tie: Long,
+                        n: Long, slope_micro: Option[Long],
+                        mean_centi: Long)
+  /** O(1) per-key OLS state: five integer moments over (x seconds
+    * re-based to the key's FIRST event, y centi-units) plus the
+    * (ts, tie) high-water mark and the re-base origin. */
+  case class TrendState(x0Micros: Long, n: Long, sx: Long, sy: Long,
+                        sxy: Long, sxx: Long, hwTs: Long, hwTie: Long)
+
+  /** Streaming twin of [[graft.ext.TimeSeries.linearTrendMicro]]: the
+    * per-key OLS drift updated as events arrive — the live "is this
+    * metric rising" signal, with O(1) longs of state per key where a
+    * naive approach would retain the key's whole history.
+    *
+    * Exactness across re-base origins: the batch op re-bases x to the
+    * key's global MIN timestamp, this twin to the FIRST event it
+    * folds — but num = nΣxy − ΣxΣy and den = nΣxx − (Σx)² are exactly
+    * shift-invariant in integer arithmetic (the c-terms cancel
+    * algebraically, not approximately), so for in-order delivery the
+    * final num/den — and hence slope_micro and mean_centi — are
+    * bit-identical to the batch row. The same (ts, tie) high-water
+    * rule as [[ewmaStream]] buys at-least-once replay idempotency;
+    * late events are dropped, not retro-folded.
+    *
+    * Numeric contract: moments live in LONGS, so n·span² must stay
+    * below 2⁶³ (span in seconds from the key's first event) — years
+    * of per-key span at millions of events. The batch op's
+    * decimal(38,0) sums are the unbounded-exact form; use it for
+    * offline backfills.
+    */
+  def trendStream(events: DataFrame,
+                  idleKeyTtl: Option[String] = None): Dataset[TrendPoint] = {
+    import events.sparkSession.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    val timeout = if (idleKeyTtl.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout
+    else GroupStateTimeout.NoTimeout
+    events
+      .select(col("key").cast("long").as("key"), col("ts"),
+        col("tie").cast("long").as("tie"),
+        col("value").cast("double").as("value"))
+      .as[SeriesEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[TrendState, TrendPoint](
+        OutputMode.Append, timeout) {
+        (key, rows, state) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(
+              TrendState(0L, 0L, 0L, 0L, 0L, 0L,
+                Long.MinValue, Long.MinValue))
+            val out = List.newBuilder[TrendPoint]
+            rows.toSeq.sortBy(e => (micros(e.ts), e.tie)).foreach { e =>
+              val t = micros(e.ts)
+              if (t > st.hwTs || (t == st.hwTs && e.tie > st.hwTie)) {
+                val x0 = if (st.n == 0L) t else st.x0Micros
+                // seconds since the key's first event — nonnegative
+                // for in-order delivery, so / IS floor, matching the
+                // batch op's div-of-nonnegative
+                val x = (t - x0) / 1000000L
+                val y = math.floor(e.value * 100).toLong
+                st = TrendState(x0, st.n + 1, st.sx + x, st.sy + y,
+                  st.sxy + x * y, st.sxx + x * x, t, e.tie)
+                // the same finish as the batch op: exact integer
+                // num/den, one IEEE divide (BigInt keeps the products
+                // exact; toDouble is correctly rounded like Spark's
+                // decimal→double cast)
+                val num = BigInt(st.n) * st.sxy - BigInt(st.sx) * st.sy
+                val den = BigInt(st.n) * st.sxx - BigInt(st.sx) * st.sx
+                val slope = if (den > 0)
+                  Some(math.floor(
+                    num.toDouble / den.toDouble * 1000000.0).toLong)
+                else None
+                out += TrendPoint(key, e.ts, e.tie, st.n, slope,
+                  st.sy / st.n)
+              }
+            }
+            state.update(st)
+            idleKeyTtl.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Streaming twin of [[graft.ext.TimeSeries.ohlcBars]]: watermarked
     * tumbling OHLC bars as a NATIVE windowed aggregation — no custom
     * state function. The six aggregates (min_by/max_by over the

@@ -33,6 +33,31 @@ class ExtSpec extends SparkSpec {
     assert(empty === 1.0)
   }
 
+  test("containmentPairs catches a full quote that Jaccard misses, " +
+    "in both directions, blocked") {
+    // doc 2 is a verbatim quote of doc 1's opening: its whole bigram
+    // set sits inside doc 1's, so cont(2→1) = 1.0 while the Jaccard
+    // is 3/12 = 0.25; doc 3 is unrelated; doc 4 is doc 2 in another
+    // block (never pairs across blocks)
+    val long = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu"
+    val docs = Seq(
+      (1L, "en", long), (2L, "en", "alpha beta gamma delta"),
+      (3L, "en", "zzz yyy xxx www"), (4L, "fr", "alpha beta gamma delta"))
+      .toDF("doc_id", "lang", "text")
+    val got = DedupOps.containmentPairs(docs, Seq("lang"),
+        $"doc_id", TextAnalysis.shingleHashes($"text", 2),
+        threshold = 0.5, maxDf = 64)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got === Seq((1L, 2L, 3.0 / 12.0, 1.0)))
+    // the same pair is invisible to jaccardPairs at the same bar
+    val jac = DedupOps.jaccardPairs(docs, Seq("lang"),
+        $"doc_id", TextAnalysis.shingleHashes($"text", 2),
+        threshold = 0.5, maxDf = 64)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(jac.isEmpty)
+  }
+
   test("connectedComponents handles string ids through the local " +
     "endgame") {
     val nodes = Seq("a", "b", "c", "z").toDF("id")

@@ -248,4 +248,32 @@ class OpsSpec extends SparkSpec {
       .collect().head
     assert(row2 === ((20.0, 21.0)))
   }
+
+  test("rollupPartials + mergeRollups reproduce the full rescan " +
+    "exactly: overlapping keys, null values, delta-only keys") {
+    // key 1 and 2 straddle the cut (the merge must combine), key 3 is
+    // base-only, key 4 delta-only with only a NULL value
+    val baseRows = Seq[(Long, Option[Long])](
+      (1L, Some(5L)), (1L, None), // nulls don't count
+      (2L, Some(-4L)), (3L, Some(7L)))
+    val deltaRows = Seq[(Long, Option[Long])](
+      (1L, Some(9L)), (2L, Some(6L)), (4L, None))
+    val all = (baseRows ++ deltaRows).toDF("k", "v")
+    val base = baseRows.toDF("k", "v")
+    val delta = deltaRows.toDF("k", "v")
+    def roll(df: org.apache.spark.sql.DataFrame) =
+      Relational.rollupPartials(df, Seq("k"), $"v")
+    val merged = Relational.mergeRollups(
+        Seq(roll(base), roll(delta)), Seq("k"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3)),
+          Option(r.get(4))))).toMap
+    val full = roll(all)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3)),
+          Option(r.get(4))))).toMap
+    assert(merged === full)
+    assert(merged(1L) === ((2L, Some(14L), Some(5L), Some(9L))))
+    assert(merged(4L) === ((0L, None, None, None)))
+  }
 }

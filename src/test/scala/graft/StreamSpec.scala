@@ -670,6 +670,51 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming OLS trend: shuffled within-batch delivery matches " +
+    "the batch moments bit-for-bit despite the different re-base " +
+    "origin, and replay re-folds nothing") {
+    implicit val sq = spark.sqlContext
+    // key 2 rises, key 1 falls; negative values exercise the
+    // truncation-toward-zero mean
+    val evs = for {
+      k <- Seq(1L, 2L)
+      (v, i) <- Seq(3.5, -1.25, 10.0, -0.01, 7.75).zipWithIndex
+    } yield (k, ts(f"2024-01-01 00:0$i:00"), i.toLong,
+      if (k == 1L) -v else v)
+    val batch = graft.ext.TimeSeries.linearTrendMicro(
+        evs.toDF("key", "ts", "tie", "value").drop("tie"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)), r.getLong(3)))).toMap
+    val in = MemoryStream[(Long, Timestamp, Long, Double)]
+    val q = StreamOps.trendStream(
+        in.toDF().toDF("key", "ts", "tie", "value"))
+      .writeStream.format("memory").queryName("trend_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val rnd = new scala.util.Random(17)
+      val byTime = evs.sortBy(_._2.getTime)
+      val (b1, b2) = byTime.splitAt(4)
+      Seq(b1, b2).foreach { b =>
+        in.addData(rnd.shuffle(b)); q.processAllAvailable()
+      }
+      val points = spark.table("trend_out").as[StreamOps.TrendPoint]
+        .collect()
+      assert(points.length === evs.size)
+      val finalByKey = points.groupBy(_.key)
+        .map { case (k, ps) => k -> ps.maxBy(_.n) }
+      for ((k, (n, s, m)) <- batch) {
+        assert(finalByKey(k).n === n)
+        assert(finalByKey(k).slope_micro.map(Long.box) === s)
+        assert(finalByKey(k).mean_centi === m)
+      }
+      // a single mid-stream point has no x-variance yet → NULL slope
+      assert(points.filter(_.n == 1).forall(_.slope_micro.isEmpty))
+      // at-least-once replay: the high-water mark drops everything
+      in.addData(rnd.shuffle(byTime)); q.processAllAvailable()
+      assert(spark.table("trend_out").count() === evs.size.toLong)
+    } finally q.stop()
+  }
+
   test("streaming Misra-Gries: single-shard stream reproduces the " +
     "sequential batch fold; theorem bounds hold across batches") {
     implicit val sq = spark.sqlContext
