@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-distribution diagnostics — the profile you run BEFORE a 100 TB
@@ -168,6 +169,56 @@ object Profiling {
       .select(col("key"), col("n"), col("rank"),
         expr("n * 1000000 div __tot").as("share_ppm"),
         expr("__cum * 1000000 div __tot").as("cum_ppm"))
+  }
+
+  /** Per-key two-sample Kolmogorov–Smirnov distance between two
+    * snapshots of an integral metric — the distribution-drift monitor
+    * every serving pipeline runs between training data and live
+    * traffic. KS = max over values of |F_a(v) − F_b(v)|, computed
+    * EXACTLY as integer cross-products: at each distinct value,
+    * diff = |cumA·nB − cumB·nA|, and ks_ppm = ⌊10⁶·max(diff)⌋ div
+    * (nA·nB) in decimal(38,0) — no float CDF anywhere, bit-identical
+    * on any engine.
+    *
+    * Scale shape: both sides fold into ONE (key, value) histogram
+    * (map-side combinable counts; per-task state is the distinct-
+    * value census, never row lists), the running CDFs are a window
+    * partitioned BY KEY over that bounded histogram (never over raw
+    * rows — the global no-unpartitioned-window ban stays intact),
+    * and one final per-key max. A key that lives on only one side
+    * reports NULL ks_ppm (a one-sample KS is undefined), not a crash.
+    *
+    * Returns (key, n_a, n_b, ks_ppm). NULL keys are first-class;
+    * NULL values are ignored on both sides (they are not a point on
+    * either CDF).
+    */
+  def ksDrift(a: DataFrame, b: DataFrame, key: Column,
+              value: Column): DataFrame = {
+    def side(df: DataFrame, ca: Int, cb: Int): DataFrame =
+      df.select(key.as("key"), value.cast("long").as("v"))
+        .filter(col("v").isNotNull)
+        .select(col("key"), col("v"), lit(ca).as("__a"),
+          lit(cb).as("__b"))
+    val hist = side(a, 1, 0).unionAll(side(b, 0, 1))
+      .groupBy("key", "v")
+      .agg(sum("__a").as("__ca"), sum("__b").as("__cb"))
+    val w = Window.partitionBy("key").orderBy("v")
+    val wAll = Window.partitionBy("key")
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    val cdf = hist
+      .withColumn("__cuma", sum("__ca").over(w))
+      .withColumn("__cumb", sum("__cb").over(w))
+      .withColumn("__na", sum("__ca").over(wAll))
+      .withColumn("__nb", sum("__cb").over(wAll))
+    cdf.groupBy("key")
+      .agg(max("__na").as("n_a"), max("__nb").as("n_b"),
+        max(abs(d(col("__cuma")) * d(col("__nb")) -
+          d(col("__cumb")) * d(col("__na")))).as("__md"))
+      .select(col("key"), col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          expr("(__md * 1000000) div (cast(n_a as decimal(38,0)) " +
+            "* cast(n_b as decimal(38,0)))").cast("long"))
+          .as("ks_ppm"))
   }
 
   /** Exact per-`key` PERCENTILE_DISC(0.5) of long column `v` via the

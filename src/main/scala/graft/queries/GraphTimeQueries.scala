@@ -268,6 +268,23 @@ private[queries] object GraphTimeQueries {
     },
 
 
+    // Distribution drift between the month's two halves, per event
+    // type: exact integer two-sample KS (cross-product CDF compare
+    // over one merged value histogram, keyed window — the global
+    // unpartitioned-window ban holds). The train-vs-serve drift
+    // monitor.
+    "stats_drift_ks" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+      val cut = lit("2024-01-15").cast("date")
+      Profiling.ksDrift(
+        e.filter(to_date(col("ts")) < cut),
+        e.filter(to_date(col("ts")) >= cut),
+        key = col("event_type"), value = floor(col("value") * 100))
+        .select(col("key").as("event_type"), col("n_a"), col("n_b"),
+          col("ks_ppm"))
+    },
+
+
     // Per-user OLS drift of the metric stream — exact integer moment
     // sums (x re-based to each user's first event, y in centi-units),
     // one fixed IEEE divide at the finish; two co-partitioned hash
@@ -520,6 +537,37 @@ private[queries] object GraphTimeQueries {
         |FROM e JOIN q
         |  ON e.event_type IS NOT DISTINCT FROM q.event_type"""
         .stripMargin,
+
+
+    // the same merged-histogram keyed-window CDF build; HUGEINT
+    // cross-products keep the CDF compare exact, // = Spark div on
+    // the nonnegative operands
+    "stats_drift_ks" ->
+      """WITH e AS (SELECT event_type,
+        |        CAST(floor(value * 100) AS BIGINT) AS v,
+        |        CASE WHEN CAST(ts AS DATE) < DATE '2024-01-15'
+        |             THEN 1 ELSE 0 END AS a,
+        |        CASE WHEN CAST(ts AS DATE) < DATE '2024-01-15'
+        |             THEN 0 ELSE 1 END AS b
+        |      FROM events WHERE value IS NOT NULL),
+        |h AS (SELECT event_type, v, sum(a) AS ca, sum(b) AS cb
+        |      FROM e GROUP BY 1, 2),
+        |c AS (SELECT event_type,
+        |        sum(ca) OVER (PARTITION BY event_type ORDER BY v)
+        |          AS cuma,
+        |        sum(cb) OVER (PARTITION BY event_type ORDER BY v)
+        |          AS cumb,
+        |        sum(ca) OVER (PARTITION BY event_type) AS na,
+        |        sum(cb) OVER (PARTITION BY event_type) AS nb
+        |      FROM h)
+        |SELECT event_type, CAST(max(na) AS BIGINT) AS n_a,
+        |  CAST(max(nb) AS BIGINT) AS n_b,
+        |  CASE WHEN max(na) > 0 AND max(nb) > 0 THEN
+        |    CAST((max(abs(CAST(cuma AS HUGEINT) * nb
+        |                  - CAST(cumb AS HUGEINT) * na)) * 1000000)
+        |         // (CAST(max(na) AS HUGEINT) * max(nb)) AS BIGINT)
+        |  END AS ks_ppm
+        |FROM c GROUP BY 1""".stripMargin,
 
 
     // exact HUGEINT moment sums over (seconds since the user's first

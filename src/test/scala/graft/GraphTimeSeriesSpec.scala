@@ -499,6 +499,27 @@ class GraphTimeSeriesSpec extends SparkSpec {
     assert(got("e") === ((2L, Some(-100000L), -1L)))
   }
 
+  test("ksDrift: exact integer KS per key, 0 on identical " +
+      "distributions, NULL when a key lives on one side only") {
+    val a = Seq[(String, Option[Long])](
+      ("x", Some(1L)), ("x", Some(2L)),
+      ("y", Some(1L)), ("y", Some(1L)), ("y", Some(2L)),
+      ("z", Some(9L)), ("y", None)) // null v ignored
+      .toDF("k", "v")
+    val b = Seq[(String, Option[Long])](
+      ("x", Some(1L)), ("x", Some(2L)),
+      ("y", Some(2L)), ("y", Some(3L)))
+      .toDF("k", "v")
+    val got = Profiling.ksDrift(a, b, $"k", $"v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3))))).toMap
+    assert(got("x") === ((2L, 2L, Some(0L))))
+    // y: cum cross-diffs |2·2−0·3|=4, |3·2−1·3|=3, |3·2−2·3|=0 →
+    // max 4 → 4000000 div 6 (KS = 2/3)
+    assert(got("y") === ((3L, 2L, Some(666666L))))
+    assert(got("z") === ((1L, 0L, None)))
+  }
+
   test("winsorize clamps to exact PERCENTILE_DISC band; NULL keys " +
       "and NULL values are first-class") {
     // key 1: 10..100 by 10 (n=10); p25 → cume ≥ 0.25 first at 30,
