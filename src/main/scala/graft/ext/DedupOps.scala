@@ -216,7 +216,17 @@ object DedupOps {
   def jaccardPairs(df: DataFrame, blockKeys: Seq[String], id: Column,
                    shingles: Column, threshold: Double,
                    maxDf: Int = 64): DataFrame =
-    pairIntersections(df, blockKeys, id, shingles, maxDf)
+    jaccardFromIntersections(
+      pairIntersections(df, blockKeys, id, shingles, maxDf), threshold)
+
+  /** [[jaccardPairs]]' finishing ratio over a prebuilt
+    * [[pairIntersections]] frame — split out so a SHARED intersection
+    * stage (one shingle exchange) can serve both the Jaccard and the
+    * containment measure instead of each rebuilding the index.
+    */
+  def jaccardFromIntersections(pairs: DataFrame,
+                               threshold: Double): DataFrame =
+    pairs
       .withColumn("jac", col("__i").cast("double") /
         (col("__na") + col("__nb") - col("__i")).cast("double"))
       .filter(col("jac") >= threshold)
@@ -236,7 +246,15 @@ object DedupOps {
   def containmentPairs(df: DataFrame, blockKeys: Seq[String],
                        id: Column, shingles: Column, threshold: Double,
                        maxDf: Int = 64): DataFrame =
-    pairIntersections(df, blockKeys, id, shingles, maxDf)
+    containmentFromIntersections(
+      pairIntersections(df, blockKeys, id, shingles, maxDf), threshold)
+
+  /** [[containmentPairs]]' finishing ratios over a prebuilt
+    * [[pairIntersections]] frame (see [[jaccardFromIntersections]]).
+    */
+  def containmentFromIntersections(pairs: DataFrame,
+                                   threshold: Double): DataFrame =
+    pairs
       .withColumn("cont_a_in_b",
         col("__i").cast("double") / col("__na").cast("double"))
       .withColumn("cont_b_in_a",
@@ -249,11 +267,13 @@ object DedupOps {
     * [[containmentPairs]]: inverted shingle index → df-capped
     * postings → in-posting ordered pairs → intersection counts joined
     * with both per-doc set sizes. Returns
-    * (id_a, id_b, __i, __na, __nb).
+    * (id_a, id_b, __i, __na, __nb) — unthresholded, so one stage can
+    * serve every finishing measure.
     */
-  private def pairIntersections(df: DataFrame, blockKeys: Seq[String],
-                                id: Column, shingles: Column,
-                                maxDf: Int): DataFrame = {
+  private[graft] def pairIntersections(df: DataFrame,
+                                       blockKeys: Seq[String],
+                                       id: Column, shingles: Column,
+                                       maxDf: Int): DataFrame = {
     // A LONG-array shingle column is consumed as ALREADY-HASHED
     // distinct shingle ids in the md5PrefixLong(·, 15) domain (build
     // it with TextAnalysis.shingleHashes(c, k) — the fused one-pass

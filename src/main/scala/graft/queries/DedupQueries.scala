@@ -88,10 +88,13 @@ private[queries] object DedupQueries {
     },
 
 
+    // Both shingle-set measures finish from the SHARED shingle_pairs
+    // stage (one inverted-index build, two consumers) — the
+    // build-once/fan-out lifecycle; the index plan itself stays
+    // auditable via the stage build and DedupOpsSpec.
     "dedup_ngram_jaccard" -> { (s, dir) =>
-      DedupOps.jaccardPairs(docs(s, dir), Seq("lang", "source"),
-        col("doc_id"), TextAnalysis.shingleHashes(col("text"), 2),
-        threshold = 0.1, maxDf = 64)
+      DedupOps.jaccardFromIntersections(shinglePairs(s, dir),
+        threshold = 0.1)
     },
 
 
@@ -101,9 +104,8 @@ private[queries] object DedupQueries {
     // Decontamination and boilerplate-license removal filter on THIS,
     // not Jaccard.
     "dedup_containment" -> { (s, dir) =>
-      DedupOps.containmentPairs(docs(s, dir), Seq("lang", "source"),
-        col("doc_id"), TextAnalysis.shingleHashes(col("text"), 2),
-        threshold = 0.5, maxDf = 64)
+      DedupOps.containmentFromIntersections(shinglePairs(s, dir),
+        threshold = 0.5)
     },
 
 

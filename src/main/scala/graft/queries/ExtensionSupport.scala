@@ -194,6 +194,7 @@ private[queries] object ExtensionSupport {
       timed("bm25_top20") { bm25Top20(s, dir).count() },
       timed("pr_graph") { prGraph(s, dir).count() },
       timed("copurchase_edges") { copurchaseEdges(s, dir).count() },
+      timed("shingle_pairs") { shinglePairs(s, dir).count() },
       timed("bucketed_layout") { bucketedLayout(s, dir) })
   }
 
@@ -206,11 +207,25 @@ private[queries] object ExtensionSupport {
     */
   private[graft] def evictStages(s: SparkSession, dir: String): Unit = {
     Seq("cc_labels", "pq_codebook", "pq_codes", "bpe_merges",
-      "bm25_top20", "pr_graph", "copurchase_edges")
+      "bm25_top20", "pr_graph", "copurchase_edges", "shingle_pairs")
       .foreach(stage => Stages.evict(s, s"$dir|$stage"))
     // next bucketedLayout call re-writes the tables (rebuild timing)
     bucketedWritten.remove(s"${s.sparkContext.applicationId}|$dir|bucketed")
   }
+
+  /** Unthresholded shingle-pair intersections over documents — the
+    * df-capped inverted-index candidate engine, built once and
+    * finished two ways (Jaccard for `dedup_ngram_jaccard`,
+    * containment for `dedup_containment`). The shingle explode is
+    * the dominant cost of both; sharing it halves it.
+    */
+  private[queries] def shinglePairs(s: SparkSession, dir: String): DataFrame =
+    Stages.stage(s, s"$dir|shingle_pairs",
+      Tables.fingerprint(s"$dir/documents.parquet")) {
+      DedupOps.pairIntersections(docs(s, dir), Seq("lang", "source"),
+        col("doc_id"), TextAnalysis.shingleHashes(col("text"), 2),
+        maxDf = 64)
+    }
 
   /** Support-≥2 co-purchase edges (canonical u < v) — like
     * [[prGraph]], a graph artifact built once and consumed by several
