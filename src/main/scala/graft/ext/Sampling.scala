@@ -177,4 +177,58 @@ object Sampling {
         .when(bucket < testPerMille + valPerMille, lit("val"))
         .otherwise(lit("train")))
   }
+
+  /** Deterministic contrastive negative sampling: each anchor id gets
+    * up to `k` negatives — the ids at hash-ring offsets 1..k within
+    * its salted hash bucket (wrap-around) — the in-batch-negatives
+    * construction of contrastive/embedding training, made REPRODUCIBLE
+    * (the portable md5 hash fixes both bucketing and ring order, so
+    * any engine — or a later re-run — draws the identical negatives;
+    * a random sampler can never be audited or hash-checked).
+    *
+    * Unbiased in the only sense that matters for negatives: the hash
+    * ring is independent of content, so ring neighbors are a uniform
+    * draw. An anchor never samples itself (offsets stop at bucket
+    * size − 1) and never crosses buckets.
+    *
+    * Scale shape: ONE exchange on the bucket key (the ring windows),
+    * then an equi-join back on (bucket, position) — co-partitioned,
+    * no second logical shuffle. Windows are per-bucket; choose
+    * `buckets` so corpus/buckets rows fit a task (the caller-owned
+    * knob, same contract as every blocked op here). Returns
+    * (anchor_id, j, neg_id), j in [1, min(k, bucketSize−1)].
+    */
+  def contrastiveNegatives(df: DataFrame, id: Column, k: Int,
+                           buckets: Int, salt: String): DataFrame = {
+    require(k >= 1 && k <= 64, "k must be in [1, 64]")
+    require(buckets >= 1 && buckets <= (1 << 20),
+      "buckets must be in [1, 2^20]")
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .select(id.as("anchor_id"))
+      .withColumn("__h", hashRank(col("anchor_id"), salt))
+      .withColumn("__b",
+        PortableHash.md5PrefixLong(
+          concat(lit(salt), lit("bkt:"), col("anchor_id").cast("string")),
+          7) % buckets)
+    val w = Window.partitionBy("__b").orderBy("__h", "anchor_id")
+    val ring = base
+      .withColumn("__pos", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("__b")))
+    val peers = ring.select(col("__b").as("__pb"),
+      col("__pos").as("__ppos"), col("anchor_id").as("neg_id"))
+    ring
+      // singleton buckets emit nothing — and must be filtered BEFORE
+      // the explode: Spark's sequence(1, 0) flips to a DESCENDING
+      // [1, 0], not an empty array
+      .filter(col("__n") >= 2)
+      .select(col("anchor_id"), col("__b"), col("__pos"), col("__n"),
+        explode(sequence(lit(1L),
+          least(lit(k.toLong), col("__n") - 1))).as("j"))
+      .withColumn("__npos",
+        (col("__pos") - 1 + col("j")) % col("__n") + 1)
+      .join(peers, col("__b") === col("__pb") &&
+        col("__npos") === col("__ppos"))
+      .select("anchor_id", "j", "neg_id")
+  }
 }

@@ -40,6 +40,17 @@ private[queries] object CurateQueries {
     },
 
 
+    // Reproducible contrastive negatives: each anchor draws its k=3
+    // hash-ring neighbors within its salted bucket — any engine (and
+    // the oracle) re-derives the identical draw, unlike a random
+    // sampler. One bucket-keyed exchange + a co-partitioned
+    // position join.
+    "sample_negatives" -> { (s, dir) =>
+      Sampling.contrastiveNegatives(docs(s, dir), col("doc_id"),
+        k = 3, buckets = 16, salt = "graft-neg:")
+    },
+
+
     // Temperature flattening (α = 1/2, budget c = 0.1) over the
     // skewed lang column: surviving counts ∝ sqrt(n_lang), the
     // mT5-style head-flattening mix, fully bit-portable (no
@@ -446,6 +457,27 @@ private[queries] object CurateQueries {
         |FROM documents
         |WHERE CAST('0x' || substr(md5('graft-sample:' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 100
         |  < CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 25 WHEN 'fr' THEN 40 ELSE 60 END""".stripMargin,
+
+
+    // identical ring construction: same salted 60-bit rank, same
+    // 7-hex-digit bucket hash, row_number over (h, id)
+    "sample_negatives" ->
+      """WITH base AS (SELECT doc_id,
+        |    CAST('0x' || substr(md5('graft-neg:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h,
+        |    CAST('0x' || substr(md5('graft-neg:bkt:' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 16 AS b
+        |  FROM documents),
+        |ring AS (SELECT doc_id, b,
+        |    row_number() OVER (PARTITION BY b ORDER BY h, doc_id) AS pos,
+        |    count(*) OVER (PARTITION BY b) AS n
+        |  FROM base),
+        |a AS (SELECT ring.*, u.j FROM ring,
+        |      LATERAL (SELECT unnest(range(1, least(3, n - 1) + 1)) AS j) u
+        |      WHERE n >= 2)
+        |SELECT a.doc_id AS anchor_id, a.j,
+        |  p.doc_id AS neg_id
+        |FROM a JOIN ring p
+        |  ON p.b = a.b AND p.pos = (a.pos - 1 + a.j) % a.n + 1"""
+        .stripMargin,
 
 
     "curate_corpus" -> {

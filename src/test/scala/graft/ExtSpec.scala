@@ -1241,6 +1241,38 @@ class ExtSpec extends SparkSpec {
     assert(packed.groupBy(_._1).values.forall(_.map(_._4).distinct.size == 1))
   }
 
+  test("contrastiveNegatives: k ring neighbors per anchor, no self, " +
+    "no cross-bucket, singleton buckets empty, deterministic") {
+    val ids = (1L to 40L).toDF("id")
+    val got = Sampling.contrastiveNegatives(ids, $"id", k = 3,
+        buckets = 4, salt = "t-neg:")
+      .as[(Long, Long, Long)].collect().toSeq
+    // every anchor with >= 1 bucket peer gets min(k, n-1) negatives
+    val byAnchor = got.groupBy(_._1)
+    byAnchor.values.foreach { ns =>
+      assert(ns.map(_._2).sorted === (1L to ns.size.toLong))
+      assert(ns.forall(n => n._3 != n._1)) // never itself
+      assert(ns.map(_._3).distinct.size === ns.size) // distinct negs
+    }
+    // deterministic: a second run draws the identical set
+    val again = Sampling.contrastiveNegatives(ids, $"id", k = 3,
+        buckets = 4, salt = "t-neg:")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.toSet === again.toSet)
+    // a singleton bucket contributes nothing rather than [1, 0]
+    // descending-sequence garbage: force one with buckets >> rows
+    val lone = Sampling.contrastiveNegatives(
+        Seq(7L).toDF("id"), $"id", k = 3, buckets = 4, salt = "t-neg:")
+      .count()
+    assert(lone === 0L)
+    // negatives stay within the anchor's bucket
+    val bkt = ids
+      .withColumn("b", graft.ext.PortableHash.md5PrefixLong(
+        concat(lit("t-neg:bkt:"), $"id".cast("string")), 7) % 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got.forall(r => bkt(r._1) === bkt(r._3)))
+  }
+
   test("splitAssign keeps a leakage key in one split and covers all rows") {
     val df = (0L until 400L).map(i => (i, s"dom${i % 40}"))
       .toDF("doc_id", "source")
