@@ -235,6 +235,32 @@ private[queries] object CurateQueries {
     },
 
 
+    // WARC ingestion round-trip: stage the corpus as per-record-gzip
+    // WARC response archives once (fingerprint-keyed, distributed
+    // part-per-task write), read it back through the distributed
+    // record parser + HTTP-head strip, and prove content survives
+    // with an id/byte/checksum census. The oracle censuses the
+    // parquet directly — a mangled header, a broken gzip member, or
+    // a lost record breaks a sum.
+    "src_warc_roundtrip" -> { (s, dir) =>
+      import graft.sources.WarcSource
+      val d = docs(s, dir)
+      val path = WarcSource.stageResponses(
+        d.select(concat(lit("urn:doc:"), col("doc_id")).as("uri"),
+          lit("2024-01-02T03:04:05Z").as("date"), col("text")),
+        "target/warc", s"${dir.split('/').last}_documents",
+        Tables.fingerprint(s"$dir/documents.parquet"))
+      WarcSource.warcResponses(s, path)
+        .select(substring(col("target_uri"), 9, 30).cast("long")
+          .as("doc_id"), col("text"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_ids"),
+          sum(octet_length(col("text")).cast("long")).as("sum_bytes"),
+          bit_xor(PortableHash.md5PrefixLong(col("text"), 14))
+            .as("text_checksum"))
+    },
+
+
     // Value-distribution histogram: fixed-width buckets over the
     // events value column (floor math, exact in both engines).
     "agg_histogram" -> { (s, dir) =>
@@ -247,6 +273,18 @@ private[queries] object CurateQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // parquet-side census (never sees the WARC); DuckDB strlen =
+    // UTF-8 bytes = Spark octet_length; the checksum folds with XOR
+    // (order-free, overflow-free where a 56-bit sum would wrap)
+    "src_warc_roundtrip" ->
+      """SELECT count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes,
+        |  bit_xor(CAST('0x' || substr(md5(text), 1, 14) AS BIGINT))
+        |    AS text_checksum
+        |FROM documents""".stripMargin,
+
 
     // the oracle never sees the JSONL — it censuses the parquet
     // directly, so any loss in the write/read cycle (a mangled

@@ -393,4 +393,58 @@ class LoadSpec extends SparkSpec {
       JsonlSource.read(spark, bad.toString, df.schema).collect()
     }
   }
+
+  test("WarcSource: plain and per-record-gzip archives parse to the " +
+    "same records; responses strip HTTP heads; truncation is loud") {
+    import graft.sources.WarcSource
+    def rec(typ: String, uri: String, payload: String): Array[Byte] = {
+      val p = payload.getBytes("UTF-8")
+      (s"WARC/1.0\r\nWARC-Type: $typ\r\n" +
+        (if (uri.nonEmpty) s"WARC-Target-URI: $uri\r\n" else "") +
+        "WARC-Date: 2024-01-02T03:04:05Z\r\n" +
+        "Content-Type: application/http\r\n" +
+        s"Content-Length: ${p.length}\r\n\r\n").getBytes("UTF-8") ++
+        p ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+    val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+      "<html>corps é中</html>"
+    val recs = rec("warcinfo", "", "software: test") ++
+      rec("response", "https://a.example/x", http) ++
+      rec("request", "https://a.example/x", "GET /x HTTP/1.1")
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc")
+    java.nio.file.Files.write(dir.resolve("plain.warc"), recs)
+    // per-record gzip members, concatenated — the Common Crawl layout
+    val gz = new java.io.ByteArrayOutputStream()
+    for (r <- Seq(rec("warcinfo", "", "software: test"),
+      rec("response", "https://a.example/x", http),
+      rec("request", "https://a.example/x", "GET /x HTTP/1.1"))) {
+      val g = new java.util.zip.GZIPOutputStream(gz)
+      g.write(r); g.finish()
+    }
+    java.nio.file.Files.write(dir.resolve("cc.warc.gz"), gz.toByteArray)
+    for (f <- Seq("plain.warc", "cc.warc.gz")) {
+      val got = WarcSource.warcRecords(spark, dir.resolve(f).toString)
+        .orderBy("record_no")
+        .select("record_no", "warc_type", "target_uri", "content_length")
+        .as[(Int, String, String, Long)].collect().toSeq
+      assert(got === Seq(
+        (1, "warcinfo", "", 14L),
+        (2, "response", "https://a.example/x", http.getBytes("UTF-8")
+          .length.toLong),
+        (3, "request", "https://a.example/x", 15L)), f)
+      val resp = WarcSource.warcResponses(spark, dir.resolve(f).toString)
+        .as[(String, String, String)].collect().toSeq
+      assert(resp === Seq(("https://a.example/x",
+        "2024-01-02T03:04:05Z", "<html>corps é中</html>")), f)
+    }
+    // a payload truncated mid-record fails with the record number,
+    // never a silently short corpus
+    java.nio.file.Files.write(dir.resolve("trunc.warc"),
+      recs.dropRight(30))
+    val e = intercept[org.apache.spark.SparkException] {
+      WarcSource.warcRecords(spark,
+        dir.resolve("trunc.warc").toString).collect()
+    }
+    assert(e.getCause.getMessage.contains("record 3"))
+  }
 }
