@@ -178,6 +178,58 @@ object Sampling {
         .otherwise(lit("train")))
   }
 
+  /** Token-budget mixture planning — the pretraining-mix step that
+    * turns "30% web, 50% code, 20% books inside a 1T-token budget"
+    * into per-document REPEAT COUNTS (epochs): a source whose share
+    * exceeds its corpus repeats whole (epochs = target div available,
+    * the LLaMA/Gopher up-sampling), and the fractional remainder is a
+    * salted-hash per-doc lottery at exactly remainder/available ppm —
+    * deterministic, so the drawn mix is reproducible and auditable on
+    * any engine (an RNG mix plan cannot be hash-checked).
+    *
+    * All arithmetic exact integer (ppm shares, div truncation);
+    * expected drawn tokens per source = the ppm target to within the
+    * hash lottery's sampling noise. Sources missing from `weights`
+    * get zero budget and drop out. Map-only per doc after ONE
+    * source-level aggregation broadcast back — no shuffle touches
+    * the corpus itself.
+    *
+    * Returns (id, source, n_tokens, n_repeat) with n_repeat ≥ 1.
+    */
+  def tokenBudgetMix(df: DataFrame, id: Column, source: Column,
+                     nTokens: Column, weightsPpm: Seq[(String, Long)],
+                     budgetTokens: Long, salt: String): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    require(weightsPpm.nonEmpty && weightsPpm.map(_._2).forall(_ >= 0) &&
+      weightsPpm.map(_._2).sum <= 1000000L,
+      "weights are nonnegative ppm summing to at most 10^6")
+    val spark = df.sparkSession
+    val base = df.select(id.as("id"), source.as("source"),
+      nTokens.cast("long").as("n_tokens"))
+    val w = spark.createDataFrame(weightsPpm).toDF("source", "__wppm")
+    val avail = base.groupBy("source")
+      .agg(sum("n_tokens").as("__avail"))
+      .join(broadcast(w), Seq("source")) // zero-weight sources drop
+      .select(col("source"),
+        expr(s"cast($budgetTokens as decimal(38,0)) * __wppm div 1000000")
+          .as("__target"), col("__avail"))
+      .select(col("source"),
+        expr("__target div __avail").cast("long").as("__epochs"),
+        // remainder·10⁶ in decimal: at 10¹³ available tokens per
+        // source the long product would overflow
+        expr("((cast(__target as decimal(38,0)) % __avail) " +
+          "* cast(1000000 as decimal(38,0))) div __avail")
+          .cast("long").as("__frac_ppm"))
+    base.join(broadcast(avail), Seq("source"))
+      .withColumn("__lot", PortableHash.md5PrefixLong(
+        concat(lit(salt), col("id").cast("string")), 7) % 1000000L)
+      .withColumn("n_repeat",
+        col("__epochs") +
+          when(col("__lot") < col("__frac_ppm"), 1L).otherwise(0L))
+      .filter(col("n_repeat") >= 1)
+      .select("id", "source", "n_tokens", "n_repeat")
+  }
+
   /** Deterministic contrastive negative sampling: each anchor id gets
     * up to `k` negatives — the ids at hash-ring offsets 1..k within
     * its salted hash bucket (wrap-around) — the in-batch-negatives

@@ -51,6 +51,20 @@ private[queries] object CurateQueries {
     },
 
 
+    // Token-budget mixture plan: 50/30/15% of a 100k-token budget
+    // across the three named sources as per-doc repeat counts —
+    // whole epochs where the share exceeds the corpus, a salted-hash
+    // lottery for the fractional remainder; reproducible on any
+    // engine, unlike an RNG mix.
+    "sample_token_budget" -> { (s, dir) =>
+      Sampling.tokenBudgetMix(docs(s, dir), col("doc_id"),
+        col("source"), TextAnalysis.tokenCount(col("text")),
+        weightsPpm = Seq("src0" -> 500000L, "src1" -> 300000L,
+          "src2" -> 150000L),
+        budgetTokens = 100000L, salt = "graft-budget:")
+    },
+
+
     // Temperature flattening (α = 1/2, budget c = 0.1) over the
     // skewed lang column: surviving counts ∝ sqrt(n_lang), the
     // mT5-style head-flattening mix, fully bit-portable (no
@@ -495,6 +509,32 @@ private[queries] object CurateQueries {
         |FROM documents
         |WHERE CAST('0x' || substr(md5('graft-sample:' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 100
         |  < CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 25 WHEN 'fr' THEN 40 ELSE 60 END""".stripMargin,
+
+
+    // identical integer plan arithmetic (ppm shares, truncating //,
+    // remainder scaled in HUGEINT) and the same salted 28-bit lottery
+    "sample_token_budget" ->
+      (s"""WITH d AS (SELECT doc_id, source,
+         |        CAST(len($tokensSql) AS BIGINT) AS n_tokens
+         |      FROM documents),
+         |a AS (SELECT source, sum(n_tokens) AS avail FROM d GROUP BY 1),
+         |w(source, wppm) AS (VALUES ('src0', 500000), ('src1', 300000),
+         |                           ('src2', 150000)),
+         |e AS (SELECT a.source,
+         |        ((CAST(100000 AS HUGEINT) * wppm) // 1000000)
+         |          // avail AS epochs,
+         |        ((((CAST(100000 AS HUGEINT) * wppm) // 1000000)
+         |          % avail) * 1000000) // avail AS frac_ppm
+         |      FROM a JOIN w USING (source)),
+         |r AS (SELECT d.doc_id AS id, d.source, d.n_tokens,
+         |        CAST(epochs + CASE WHEN
+         |          CAST('0x' || substr(md5('graft-budget:' ||
+         |            CAST(d.doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+         |            % 1000000 < frac_ppm THEN 1 ELSE 0 END AS BIGINT)
+         |          AS n_repeat
+         |      FROM d JOIN e USING (source))
+         |SELECT id, source, n_tokens, n_repeat FROM r
+         |WHERE n_repeat >= 1""".stripMargin),
 
 
     // identical ring construction: same salted 60-bit rank, same

@@ -1241,6 +1241,31 @@ class ExtSpec extends SparkSpec {
     assert(packed.groupBy(_._1).values.forall(_.map(_._4).distinct.size == 1))
   }
 
+  test("tokenBudgetMix: whole epochs when the share exceeds the " +
+    "corpus, hash lottery for the remainder, unlisted sources drop") {
+    // web: 100 tokens available, target 50% of 1000 = 500 →
+    //   epochs 5, remainder 0 → every web doc repeats exactly 5
+    // code: 400 available, target 30% = 300 → epochs 0,
+    //   frac = 750000 ppm → docs kept by lottery with n_repeat 1
+    // junk: unlisted → dropped entirely
+    val df = (Seq.tabulate(4)(i => (i.toLong, "web", 25L)) ++
+      Seq.tabulate(8)(i => (10L + i, "code", 50L)) ++
+      Seq((99L, "junk", 10L))).toDF("doc_id", "src", "toks")
+    val got = Sampling.tokenBudgetMix(df, $"doc_id", $"src", $"toks",
+        weightsPpm = Seq("web" -> 500000L, "code" -> 300000L),
+        budgetTokens = 1000L, salt = "t-budget:")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val web = got.filter(_._2 == "web")
+    assert(web.map(_._1).sorted === (0L to 3L) &&
+      web.forall(_._4 === 5L))
+    val code = got.filter(_._2 == "code")
+    assert(code.forall(_._4 === 1L) && code.nonEmpty && code.size <= 8)
+    assert(!got.exists(_._2 == "junk"))
+    // drawn code tokens land within lottery noise of the 300 target
+    val drawn = code.map(_._3).sum
+    assert(drawn % 50 === 0L && drawn >= 100L && drawn <= 400L)
+  }
+
   test("contrastiveNegatives: k ring neighbors per anchor, no self, " +
     "no cross-bucket, singleton buckets empty, deterministic") {
     val ids = (1L to 40L).toDF("id")
