@@ -117,7 +117,15 @@ object Sf1Smoke {
       // double histogram-fold median/MAD, JSONL staging round-trip,
       // single-scan constraint suite, full-outer snapshot diff
       "sim_hybrid_rrf", "ts_anomaly", "src_jsonl_roundtrip",
-      "quality_constraints", "rel_snapshot_diff")
+      "quality_constraints", "rel_snapshot_diff",
+      // round-9 late additions: shared-stage containment finish,
+      // exact OLS moments, percentile-band clamp, merged-histogram
+      // KS windows, partials merge, hash-ring negatives, budget mix,
+      // WARC write+read round-trip, BPE decode inverse
+      "dedup_containment", "ts_trend", "feat_winsorize",
+      "stats_drift_ks", "rel_incremental_rollup", "sample_negatives",
+      "sample_token_budget", "src_warc_roundtrip",
+      "text_decode_roundtrip")
 
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     def audit(df: DataFrame): Seq[String] = {

@@ -34,7 +34,12 @@ object WarcSource {
     */
   def warcRecords(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(path)
+    // pathGlobFilter instead of a glob IN the path: a glob path makes
+    // every load log a spurious FileStreamSink metadata-probe WARN
+    // with a FileNotFoundException stack, and the filter also skips
+    // _SUCCESS markers when pointed at a staged directory
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc*").load(path)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (p, bytes) => parseAll(p, bytes) }
@@ -126,7 +131,7 @@ object WarcSource {
         done.createNewFile(): Unit
       }
     }
-    dir.toString + "/part-*.warc.gz"
+    dir.toString
   }
 
   /** One WARC/1.0 response record (headers + HTTP head + UTF-8 body
