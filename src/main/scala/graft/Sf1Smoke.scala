@@ -125,7 +125,7 @@ object Sf1Smoke {
       "dedup_containment", "ts_trend", "feat_winsorize",
       "stats_drift_ks", "rel_incremental_rollup", "sample_negatives",
       "sample_token_budget", "src_warc_roundtrip",
-      "text_decode_roundtrip")
+      "text_decode_roundtrip", "graph_lpa")
 
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     def audit(df: DataFrame): Seq[String] = {

@@ -237,6 +237,48 @@ object Graph {
     labelled.reduce(_ unionAll _)
   }
 
+  /** Synchronous label propagation (Raghavan et al., Phys. Rev. E'07)
+    * over canonical undirected edges — community detection by local
+    * majority, the cheap modularity-style alternative to
+    * connected components when a graph is one giant component and
+    * "connectivity" tells you nothing. Every node starts as its own
+    * label; each round it adopts the most frequent label among its
+    * neighbors, ties broken to the SMALLEST label — the
+    * deterministic tie rule that replaces the paper's random pick, so
+    * the result is bit-identical on any engine and any partitioning
+    * (and the oracle can replay it). Fixed `iters` rounds; nodes are
+    * the edge endpoints, so every node has a neighborhood to vote.
+    *
+    * Scale shape per round: one equi-join of the label table onto the
+    * symmetric edges, one (node, label) count with map-side partials,
+    * one max_by argmax per node — all keyed on node, no window, no
+    * collect. Each round's labels are checkpointed so lineage stays
+    * linear in rounds ([[kHopDistances]]' discipline).
+    */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 20, "iters must be in [1, 20]")
+    val sym = edges.select(col("u").as("node"), col("v").as("nbr"))
+      .unionAll(edges.select(col("v").as("node"), col("u").as("nbr")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("node").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val adopted = sym
+        .join(labels.withColumnRenamed("id", "nbr"), Seq("nbr"))
+        .groupBy("node", "label").agg(count(lit(1)).as("__n"))
+        .groupBy("node")
+        // argmax (count desc, label asc): max over the (n, -label)
+        // struct — labels here are nonnegative item ids, so the
+        // negation cannot overflow
+        .agg(max_by(col("label"), struct(col("__n"), -col("label")))
+          .as("label"))
+        .select(col("node").as("id"), col("label"))
+      labels = adopted.localCheckpoint(true)
+    }
+    labels
+  }
+
   /** Co-occurrence edges from an (item, group) incidence: items
     * sharing a group get an edge, kept when they co-occur in at least
     * `minSupport` groups. The support floor is the scale guard — on a

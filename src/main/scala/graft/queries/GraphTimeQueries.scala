@@ -92,6 +92,17 @@ private[queries] object GraphTimeQueries {
     },
 
 
+    // Label-propagation communities of the same co-purchase graph —
+    // local-majority voting (3 synchronous rounds, ties to the
+    // smallest label), the community structure connectivity can't
+    // see when the graph is one giant component. Fourth consumer of
+    // the shared copurchase_edges stage.
+    "graph_lpa" -> { (s, dir) =>
+      Graph.labelPropagation(copurchaseEdges(s, dir), iters = 3)
+        .select(col("id").as("item_id"), col("label"))
+    },
+
+
     // Communities of the same co-purchase graph: connectivity over
     // the SHARED copurchase_edges stage (build the graph once, run
     // every analysis on it) via the alternating star-contraction
@@ -456,6 +467,25 @@ private[queries] object GraphTimeQueries {
                 |  GROUP BY id)""".stripMargin
            }.mkString(",\n")}
         |SELECT id AS item_id, dist FROM d3""".stripMargin),
+
+
+    // the same three synchronous voting rounds unrolled (argmax =
+    // row_number over (n DESC, label ASC) — the deterministic
+    // min-label tie rule the Spark max_by struct encodes)
+    "graph_lpa" ->
+      (s"""WITH $copurchaseCtes,
+         |sym AS (SELECT u AS node, v AS nbr FROM edges
+         |        UNION ALL SELECT v AS node, u AS nbr FROM edges),
+         |l0 AS (SELECT DISTINCT node AS id, node AS label FROM sym),""" +
+        (1 to 3).map { r =>
+          s"""
+         |c$r AS (SELECT s.node, l.label, count(*) AS n FROM sym s
+         |        JOIN l${r - 1} l ON l.id = s.nbr GROUP BY 1, 2),
+         |l$r AS (SELECT node AS id, label FROM c$r
+         |        QUALIFY row_number() OVER (PARTITION BY node
+         |          ORDER BY n DESC, label) = 1)"""
+        }.mkString(",") + """
+         |SELECT id AS item_id, label FROM l3""").stripMargin,
 
 
     // transitive closure over the shared co-purchase edge CTEs —

@@ -471,6 +471,25 @@ class GraphTimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("labelPropagation: two triangles over a bridge settle into " +
+      "two communities by the hand-traced synchronous schedule") {
+    // triangles 1-2-3 and 4-5-6, bridge 3-4; rounds traced by hand
+    // with the (count desc, label asc) vote:
+    // l1 = {1→2, 2→1, 3→1, 4→3, 5→4, 6→4}
+    // l2 = {1→1, 2→1, 3→1, 4→4, 5→3, 6→3}
+    // l3 = {1→1, 2→1, 3→1, 4→3, 5→3, 6→3}
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("u", "v")
+    val got3 = Graph.labelPropagation(edges, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got3 === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+    val got1 = Graph.labelPropagation(edges, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got1 === Map(1L -> 2L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 4L, 6L -> 4L))
+  }
+
   test("linearTrendMicro: exact OLS slope in micro centi-units/sec, " +
       "NULL on zero x-variance, mean truncates toward zero") {
     val base = ts("2024-01-01 10:00:00").getTime
