@@ -211,4 +211,32 @@ object Multimodal {
     */
   def frameSampleIndices(nFrames: Column, step: Int): Column =
     sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(step))
+
+  /** 60-bit average-hash of a binary payload — the perceptual-hash
+    * near-dup signature for image corpora (aHash: threshold each cell
+    * of a grayscale grid at the grid mean; near-dup images differ in
+    * few bits, so the SAME banded blocking as text simhash finds
+    * candidates sub-quadratically). The pixel-decode step is the
+    * documented STUB (a 60-cell grid derived deterministically from
+    * the payload's md5 — a real libjpeg resize+grayscale would sit
+    * exactly there); everything around it is the production shape:
+    * pure codegen'd column math (no UDF), map-only signatures,
+    * integer mean compare (cell·60 > Σcells — no float), then
+    * [[DedupOps.simhashBandPairs]] for the banded candidate join.
+    *
+    * Returns (id, ahash). One pass, no shuffle.
+    */
+  def aHash60(df: DataFrame, id: Column, blob: Column): DataFrame =
+    df.select(id.as("id"), blob.as("__blob"))
+      .withColumn("__hex", md5(col("__blob")))
+      .withColumn("__pix", transform(sequence(lit(0), lit(59)),
+        i => PortableHash.md5PrefixLong(
+          concat(col("__hex"), lit("#"), i.cast("string")), 7)))
+      .withColumn("__tot",
+        aggregate(col("__pix"), lit(0L), (a, x) => a + x))
+      .withColumn("ahash", expr(
+        """aggregate(sequence(0, 59), 0L, (acc, i) ->
+          |  acc + if(element_at(__pix, i + 1) * 60 > __tot,
+          |           shiftleft(1L, i), 0L))""".stripMargin))
+      .select("id", "ahash")
 }

@@ -138,9 +138,50 @@ private[queries] object MultimodalQueries {
           size(Multimodal.frameSampleIndices(col("n_frames"), 5))
             .as("n_sampled"))
     },
+
+
+    // Perceptual-hash near-dup over the image corpus: aHash
+    // signatures (stubbed 60-cell decode, real banded blocking) fed
+    // through the SAME simhash band join as text near-dup. Blobs are
+    // synthesized so every run of five doc ids shares one payload —
+    // the exact-duplicate-image clusters the detector must find.
+    "mm_ahash_pairs" -> { (s, dir) =>
+      val blobs = docs(s, dir).select(col("doc_id"),
+        concat(lit("img:"), expr("doc_id div 5").cast("string"))
+          .cast("binary").as("blob"))
+      val sigs = Multimodal.aHash60(blobs, col("doc_id"), col("blob"))
+      DedupOps.simhashBandPairs(sigs, col("id"), col("ahash"),
+        bands = 4, bitsPerBand = 15, maxHamming = 3, bits = 60)
+    },
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // same stub grid (md5-chained 28-bit cells), same integer mean
+    // compare, same 4x15-bit band join as the simhash oracle
+    "mm_ahash_pairs" ->
+      """WITH b AS (SELECT doc_id,
+        |    md5('img:' || CAST(doc_id // 5 AS VARCHAR)) AS hex
+        |  FROM documents),
+        |pix AS (SELECT doc_id, i,
+        |    CAST('0x' || substr(md5(hex || '#' || CAST(i AS VARCHAR)),
+        |      1, 7) AS BIGINT) AS p
+        |  FROM b, unnest(range(0, 60)) AS u(i)),
+        |tot AS (SELECT doc_id, sum(p) AS t FROM pix GROUP BY 1),
+        |sig AS (SELECT pix.doc_id,
+        |    CAST(sum(CASE WHEN p * 60 > t
+        |             THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+        |      AS BIGINT) AS ahash
+        |  FROM pix JOIN tot USING (doc_id) GROUP BY 1),
+        |banded AS (SELECT doc_id, ahash, bb,
+        |    (ahash >> (bb * 15)) & 32767 AS bkey
+        |  FROM sig, unnest(range(0, 4)) AS u(bb))
+        |SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.ahash, c.ahash)) AS INT) AS hamming
+        |FROM banded a JOIN banded c
+        |  ON a.bb = c.bb AND a.bkey = c.bkey
+        |WHERE a.doc_id < c.doc_id
+        |  AND bit_count(xor(a.ahash, c.ahash)) <= 3""".stripMargin,
 
     "mm_thumbnail" ->
       """WITH f AS (SELECT doc_id,

@@ -1241,6 +1241,24 @@ class ExtSpec extends SparkSpec {
     assert(packed.groupBy(_._1).values.forall(_.map(_._4).distinct.size == 1))
   }
 
+  test("aHash60: identical payloads share a signature and band-join " +
+    "into complete duplicate clusters; distinct payloads never " +
+    "collide at hamming <= 3 here") {
+    val blobs = Seq((1L, "imgA"), (2L, "imgA"), (3L, "imgA"),
+      (4L, "imgB"), (5L, "imgB"), (6L, "imgC"))
+      .toDF("doc_id", "s")
+      .select($"doc_id", $"s".cast("binary").as("blob"))
+    val sigs = Multimodal.aHash60(blobs, $"doc_id", $"blob")
+    val byId = sigs.as[(Long, Long)].collect().toMap
+    assert(byId(1L) === byId(2L) && byId(2L) === byId(3L))
+    assert(byId(4L) === byId(5L))
+    assert(Set(byId(1L), byId(4L), byId(6L)).size === 3)
+    val pairs = DedupOps.simhashBandPairs(sigs, $"id", $"ahash",
+        bands = 4, bitsPerBand = 15, maxHamming = 3, bits = 60)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)))
+  }
+
   test("tokenBudgetMix: whole epochs when the share exceeds the " +
     "corpus, hash lottery for the remainder, unlisted sources drop") {
     // web: 100 tokens available, target 50% of 1000 = 500 →
