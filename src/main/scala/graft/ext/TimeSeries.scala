@@ -211,6 +211,33 @@ object TimeSeries {
         .as("mean_centi"))
   }
 
+  /** Exponentially-decayed per-key event score as of `asOf` — the
+    * trending/recency ranking primitive (feeds "hot items",
+    * recency-weighted user activity, freshness-aware retrieval).
+    * Each event contributes 10⁶ >> age_days (half-life = one day),
+    * EXACT integer weights: a float exp() decay is engine- and
+    * fold-order-dependent, a right shift is not. Ages cap at 62
+    * explicitly because a JVM long shift takes the count mod 64
+    * (10⁶ >> 64 would silently be 10⁶ again — the resurrection bug —
+    * while other engines return 0); events after `asOf` are excluded
+    * (negative shifts are the same trap mirrored).
+    *
+    * ONE hash aggregation, map-side combinable — the same 100 TB
+    * shape as any groupBy sum; no window, no sort.
+    *
+    * @param events columns `key`, `ts` (timestamp)
+    */
+  def decayScore(events: DataFrame, asOf: String): DataFrame =
+    events
+      .filter(to_date(col("ts")) <= lit(asOf).cast("date"))
+      .select(col("key"),
+        expr(s"shiftright(1000000L, cast(least(" +
+          s"datediff(date'$asOf', to_date(ts)), 62) as int))")
+          .as("__w"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_events"),
+        sum("__w").as("decay_score"))
+
   /** floor(value·10⁶) as a long — the house double→fixed-point form. */
   private[graft] def microValue: Column =
     expr("cast(floor(value * 1000000) as bigint)")

@@ -279,6 +279,19 @@ private[queries] object GraphTimeQueries {
     },
 
 
+    // Recency-weighted activity score per user as of mid-month —
+    // exact integer half-life-per-day decay (10⁶ >> age_days), one
+    // map-side-combinable aggregation; the trending primitive with
+    // no float exp() anywhere.
+    "ts_decay_score" -> { (s, dir) =>
+      TimeSeries.decayScore(
+        t(s, dir, "events").select(col("user_id").as("key"), col("ts")),
+        asOf = "2024-01-15")
+        .select(col("key").as("user_id"), col("n_events"),
+          col("decay_score"))
+    },
+
+
     // Distribution drift between the month's two halves, per event
     // type: exact integer two-sample KS (cross-product CDF compare
     // over one merged value histogram, keyed window — the global
@@ -567,6 +580,20 @@ private[queries] object GraphTimeQueries {
         |FROM e JOIN q
         |  ON e.event_type IS NOT DISTINCT FROM q.event_type"""
         .stripMargin,
+
+
+    // same shift-decay; DuckDB >> on BIGINT with the same explicit
+    // 62 cap (JVM shifts wrap at 64, DuckDB's do not — the cap pins
+    // one shared semantics)
+    "ts_decay_score" ->
+      """SELECT user_id,
+        |  count(*) AS n_events,
+        |  CAST(sum(1000000 >> least(
+        |    date_diff('day', CAST(ts AS DATE), DATE '2024-01-15'),
+        |    62)) AS BIGINT) AS decay_score
+        |FROM events
+        |WHERE CAST(ts AS DATE) <= DATE '2024-01-15'
+        |GROUP BY 1""".stripMargin,
 
 
     // the same merged-histogram keyed-window CDF build; HUGEINT

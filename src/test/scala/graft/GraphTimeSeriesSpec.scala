@@ -518,6 +518,24 @@ class GraphTimeSeriesSpec extends SparkSpec {
     assert(got("e") === ((2L, Some(-100000L), -1L)))
   }
 
+  test("decayScore: exact shift weights, 62-day cap stops the JVM " +
+      "shift-wrap resurrection, post-asOf events excluded") {
+    val df = Seq(
+      ("a", ts("2024-01-15 08:00:00")), // age 0  → 1000000
+      ("a", ts("2024-01-14 23:00:00")), // age 1  → 500000
+      ("a", ts("2024-01-05 00:00:00")), // age 10 → 976
+      ("a", ts("2024-01-16 00:00:00")), // after asOf → excluded
+      ("b", ts("2023-01-01 00:00:00"))) // age 379, capped 62 → 0
+      .toDF("key", "ts")
+    val got = TimeSeries.decayScore(df, asOf = "2024-01-15")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("a") === ((3L, 1000000L + 500000L + 976L)))
+    // without the cap a JVM shift by 379 % 64 = 59 would resurrect
+    // weight; the capped shift is exactly 0
+    assert(got("b") === ((1L, 0L)))
+  }
+
   test("ksDrift: exact integer KS per key, 0 on identical " +
       "distributions, NULL when a key lives on one side only") {
     val a = Seq[(String, Option[Long])](
