@@ -171,6 +171,50 @@ object Profiling {
         expr("__cum * 1000000 div __tot").as("cum_ppm"))
   }
 
+  /** Target encoding of a categorical key — the classic tabular-ML
+    * featurization (replace a category by its target mean) in EXACT
+    * integer micro-units, two leakage disciplines at once:
+    *
+    *   - `enc_loo_micro`: leave-one-out — the category mean WITHOUT
+    *     the row's own target, the standard train-time form (using
+    *     the plain mean leaks each row's own label into its feature);
+    *     NULL for singleton categories (nothing left out).
+    *   - `enc_smooth_micro`: m-estimate smoothing toward the global
+    *     mean, (Σ_cat + m·ḡ) / (n_cat + m) — the serve-time form
+    *     that tames rare categories.
+    *
+    * Both finish with `div` truncation on decimal(38,0) sums, so the
+    * features are bit-identical on any engine — a float mean fold is
+    * not. Scale shape: one category aggregation + one global
+    * aggregate broadcast back, then map-only per row; no window,
+    * NULL keys first-class (`<=>`), NULL targets excluded from every
+    * sum and encoded NULL.
+    *
+    * @param value integral target (pre-scale doubles to centi-units)
+    */
+  def targetEncode(df: DataFrame, key: Column, id: Column,
+                   value: Column, m: Int = 10): DataFrame = {
+    require(m >= 1 && m <= 1000000, "m must be in [1, 10^6]")
+    val base = df.select(key.as("key"), id.as("id"),
+      value.cast("long").as("v"))
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    val cat = base.groupBy("key")
+      .agg(sum(d(col("v"))).as("__s"), count(col("v")).as("__n"))
+      .withColumnRenamed("key", "__k")
+    val glob = base.agg(sum(d(col("v"))).as("__gs"),
+      count(col("v")).as("__gn"))
+    base.join(broadcast(cat), col("key") <=> col("__k"))
+      .crossJoin(broadcast(glob))
+      .select(col("id"), col("key"), col("v"),
+        when(col("v").isNotNull && col("__n") > 1,
+          expr("((__s - v) * 1000000) div (__n - 1)").cast("long"))
+          .as("enc_loo_micro"),
+        when(col("v").isNotNull,
+          expr(s"((__s + $m * (__gs div __gn)) * 1000000) " +
+            s"div (__n + $m)").cast("long"))
+          .as("enc_smooth_micro"))
+  }
+
   /** Per-key two-sample Kolmogorov–Smirnov distance between two
     * snapshots of an integral metric — the distribution-drift monitor
     * every serving pipeline runs between training data and live

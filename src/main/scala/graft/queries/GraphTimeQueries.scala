@@ -279,6 +279,19 @@ private[queries] object GraphTimeQueries {
     },
 
 
+    // Exact-integer target encoding of event_type against the metric:
+    // leave-one-out micro-mean (train-time, no self-label leak) and
+    // m=10-smoothed mean (serve-time); one category agg + one global
+    // row broadcast back, map-only per row.
+    "feat_target_encode" -> { (s, dir) =>
+      Profiling.targetEncode(t(s, dir, "events"),
+        key = col("event_type"), id = col("event_id"),
+        value = floor(col("value") * 100), m = 10)
+        .select(col("id").as("event_id"), col("key").as("event_type"),
+          col("v"), col("enc_loo_micro"), col("enc_smooth_micro"))
+    },
+
+
     // Recency-weighted activity score per user as of mid-month —
     // exact integer half-life-per-day decay (10⁶ >> age_days), one
     // map-side-combinable aggregation; the trending primitive with
@@ -579,6 +592,26 @@ private[queries] object GraphTimeQueries {
         |       ELSE least(greatest(e.v, q.lo), q.hi) END AS v_wins
         |FROM e JOIN q
         |  ON e.event_type IS NOT DISTINCT FROM q.event_type"""
+        .stripMargin,
+
+
+    // same exact sums and truncating division; HUGEINT keeps the
+    // micro-scaled products exact, // = Spark div on these operands
+    "feat_target_encode" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |        CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+        |c AS (SELECT event_type, CAST(sum(v) AS HUGEINT) AS s,
+        |        count(v) AS n FROM e GROUP BY 1),
+        |g AS (SELECT CAST(sum(v) AS HUGEINT) // count(v) AS gm FROM e)
+        |SELECT e.event_id, e.event_type, e.v,
+        |  CASE WHEN e.v IS NOT NULL AND c.n > 1 THEN
+        |    CAST(((s - e.v) * 1000000) // (n - 1) AS BIGINT)
+        |  END AS enc_loo_micro,
+        |  CASE WHEN e.v IS NOT NULL THEN
+        |    CAST(((s + 10 * gm) * 1000000) // (n + 10) AS BIGINT)
+        |  END AS enc_smooth_micro
+        |FROM e
+        |JOIN c ON e.event_type IS NOT DISTINCT FROM c.event_type, g"""
         .stripMargin,
 
 

@@ -518,6 +518,28 @@ class GraphTimeSeriesSpec extends SparkSpec {
     assert(got("e") === ((2L, Some(-100000L), -1L)))
   }
 
+  test("targetEncode: hand-checked LOO and m-smoothed micro means; " +
+      "singletons, NULL keys, and NULL targets are first-class") {
+    // global mean over non-null targets: (10+20+30+100+5+7) div 6 = 28
+    val df = Seq[(Option[String], Long, Option[Long])](
+      (Some("a"), 1L, Some(10L)), (Some("a"), 2L, Some(20L)),
+      (Some("a"), 3L, Some(30L)),
+      (Some("b"), 4L, Some(100L)), // singleton → LOO NULL
+      (Some("c"), 5L, None),       // null target → both NULL
+      (None, 6L, Some(5L)), (None, 7L, Some(7L)))
+      .toDF("k", "id", "v")
+    val got = Profiling.targetEncode(df, $"k", $"id", $"v", m = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(3)), Option(r.get(4))))).toMap
+    assert(got(1L) === ((Some(25000000L), Some(23200000L))))
+    assert(got(2L) === ((Some(20000000L), Some(23200000L))))
+    assert(got(3L) === ((Some(15000000L), Some(23200000L))))
+    assert(got(4L) === ((None, Some(52000000L)))) // (100+56)·10⁶ div 3
+    assert(got(5L) === ((None, None)))
+    assert(got(6L) === ((Some(7000000L), Some(17000000L))))
+    assert(got(7L) === ((Some(5000000L), Some(17000000L))))
+  }
+
   test("decayScore: exact shift weights, 62-day cap stops the JVM " +
       "shift-wrap resurrection, post-asOf events excluded") {
     val df = Seq(
