@@ -125,7 +125,8 @@ object Sf1Smoke {
       "dedup_containment", "ts_trend", "feat_winsorize",
       "stats_drift_ks", "rel_incremental_rollup", "sample_negatives",
       "sample_token_budget", "src_warc_roundtrip",
-      "text_decode_roundtrip", "graph_lpa")
+      "text_decode_roundtrip", "graph_lpa", "ts_decay_score",
+      "feat_target_encode", "mm_ahash_pairs")
 
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     def audit(df: DataFrame): Seq[String] = {
