@@ -119,6 +119,47 @@ object RelationalQueries {
             .as("union_within_tol"))))
     },
 
+    // Sketch set-operations: audience overlap between event types
+    // from the SAME mergeable per-group HLL sketches a 1000-executor
+    // fleet would ship to a coordinator — |A∩B| by inclusion–
+    // exclusion (est A + est B − est A∪B), never re-scanning raw
+    // rows. The tiny per-type sketch table self-joins broadcast
+    // (n_types², kilobytes); the exact intersection it is audited
+    // against shuffles once on user_id with partial aggs. The
+    // tolerance is union-relative (5% of |A∪B| + 2): inclusion–
+    // exclusion error scales with the union cardinality, so an
+    // intersection-relative bound would be statistically wrong for
+    // small overlaps.
+    "agg_hll_intersect" -> { (s, dir) =>
+      val du = t(s, dir, "events")
+        .select(col("event_type").as("et"), col("user_id")).distinct()
+      val sk = du.groupBy("et")
+        .agg(hll_sketch_agg(col("user_id"), lit(14)).as("__sk"),
+          countDistinct(col("user_id")).as("__exact"))
+      val pairs = sk.as("a")
+        .join(broadcast(sk.as("b")), col("a.et") < col("b.et"))
+        .select(col("a.et").as("et_a"), col("b.et").as("et_b"),
+          col("a.__exact").as("exact_a"), col("b.__exact").as("exact_b"),
+          (hll_sketch_estimate(col("a.__sk"))
+            + hll_sketch_estimate(col("b.__sk"))
+            - hll_sketch_estimate(hll_union(col("a.__sk"), col("b.__sk"))))
+            .as("__est_inter"),
+          hll_sketch_estimate(hll_union(col("a.__sk"), col("b.__sk")))
+            .as("__est_union"))
+      val exactInter = du.as("x")
+        .join(du.as("y"), col("x.user_id") === col("y.user_id")
+          && col("x.et") < col("y.et"))
+        .groupBy(col("x.et").as("et_a"), col("y.et").as("et_b"))
+        .agg(count(lit(1)).as("exact_inter"))
+      pairs.join(exactInter, Seq("et_a", "et_b"), "left")
+        .select(col("et_a"), col("et_b"), col("exact_a"), col("exact_b"),
+          coalesce(col("exact_inter"), lit(0L)).as("exact_inter"),
+          (abs(col("__est_inter") - coalesce(col("exact_inter"), lit(0L)))
+            .cast("double")
+            <= col("__est_union").cast("double") * 0.05 + 2.0)
+            .as("inter_within_tol"))
+    },
+
     "agg_stats" -> { (s, dir) =>
       t(s, dir, "lineitem").groupBy("l_returnflag").agg(
         count(lit(1)).as("n"),
@@ -623,6 +664,26 @@ object RelationalQueries {
         |  COUNT(DISTINCT l_partkey) AS exact_parts,
         |  TRUE AS group_within_tol, TRUE AS union_within_tol
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // exact per-type and pairwise-intersection distincts + the
+    // union-relative accuracy claim the inclusion–exclusion estimate
+    // must meet; a drifting estimate flips the boolean
+    "agg_hll_intersect" ->
+      """WITH du AS (SELECT DISTINCT event_type AS et, user_id
+        |  FROM events),
+        |ex AS (SELECT et, count(*) AS exact_users FROM du GROUP BY 1),
+        |inter AS (SELECT x.et AS et_a, y.et AS et_b,
+        |    count(*) AS exact_inter
+        |  FROM du x JOIN du y
+        |    ON x.user_id = y.user_id AND x.et < y.et
+        |  GROUP BY 1, 2)
+        |SELECT a.et AS et_a, b.et AS et_b,
+        |  a.exact_users AS exact_a, b.exact_users AS exact_b,
+        |  COALESCE(i.exact_inter, 0) AS exact_inter,
+        |  TRUE AS inter_within_tol
+        |FROM ex a
+        |JOIN ex b ON a.et < b.et
+        |LEFT JOIN inter i ON i.et_a = a.et AND i.et_b = b.et""".stripMargin,
 
     // HUGEINT sums are int128-exact like Spark's decimal(38,0); the
     // finishing sqrt/divide sequence is written identically
