@@ -126,7 +126,10 @@ object Sf1Smoke {
       "stats_drift_ks", "rel_incremental_rollup", "sample_negatives",
       "sample_token_budget", "src_warc_roundtrip",
       "text_decode_roundtrip", "graph_lpa", "ts_decay_score",
-      "feat_target_encode", "mm_ahash_pairs")
+      "feat_target_encode", "mm_ahash_pairs",
+      // round-9 final addition: non-equi broadcast self-join +
+      // exact-intersection shuffle (the 169th bench query)
+      "agg_hll_intersect")
 
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     def audit(df: DataFrame): Seq[String] = {

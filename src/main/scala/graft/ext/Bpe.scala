@@ -26,9 +26,10 @@ import org.apache.spark.sql.functions._
   *   - Spark's `replace` and DuckDB's `replace` share these exact
   *     semantics, so the oracle replays the identical induction.
   *
-  * Symbols never contain `|` (words come from whitespace
-  * tokenization of text that is pipe-free in the fixtures; a corpus
-  * with literal pipes would need a rarer sentinel).
+  * Symbols never contain `|` — ENFORCED in [[encode]] (a pipe-bearing
+  * document raises with its id rather than silently losing its pipes
+  * in [[decode]]); a corpus with literal pipes needs escaping or a
+  * rarer sentinel before training.
   *
   * The per-round top pair is the (count, pair-bytes) maximum —
   * deterministic on any engine, both orders bytewise. The merge
@@ -177,8 +178,19 @@ object Bpe {
           .as("pat"),
         concat(lit("|"), col("left"), col("right"), lit("|"))
           .as("rep")))).as("__m"))
+    // the '|' sentinel precondition is ENFORCED, not assumed: a
+    // document carrying a literal pipe would collide with the symbol
+    // delimiters and decode() would silently delete its pipes — fail
+    // loudly at encode time instead (the corpus needs escaping or a
+    // rarer sentinel first)
+    val guarded = when(text.contains("|"),
+      raise_error(concat(
+        lit("Bpe.encode: input contains the '|' sentinel (id="),
+        id.cast("string"),
+        lit("); escape pipes or re-train with a rarer sentinel"))))
+      .otherwise(text)
     val sym = concat_ws(" ",
-      transform(split(trim(text), "\\s+"),
+      transform(split(trim(guarded), "\\s+"),
         w => when(w === "", w).otherwise(symbolize(w))))
     docs.select(id.as("id"), sym.as("__s"))
       .crossJoin(broadcast(packed))

@@ -268,10 +268,13 @@ object Graph {
         .join(labels.withColumnRenamed("id", "nbr"), Seq("nbr"))
         .groupBy("node", "label").agg(count(lit(1)).as("__n"))
         .groupBy("node")
-        // argmax (count desc, label asc): max over the (n, -label)
-        // struct — labels here are nonnegative item ids, so the
-        // negation cannot overflow
-        .agg(max_by(col("label"), struct(col("__n"), -col("label")))
+        // argmax (count desc, label asc): min over the (-n, label)
+        // struct. Negating the COUNT (a nonnegative long) is always
+        // safe, and the label rides un-negated — so string-id graphs
+        // (first-class in connectedComponents) keep the deterministic
+        // smallest-label tie rule instead of a silent cast-to-double
+        // NULL degrading it
+        .agg(min_by(col("label"), struct(-col("__n"), col("label")))
           .as("label"))
         .select(col("node").as("id"), col("label"))
       labels = adopted.localCheckpoint(true)

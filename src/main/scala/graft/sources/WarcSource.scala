@@ -2,7 +2,6 @@ package graft.sources
 
 import java.io.{ByteArrayInputStream, InputStream}
 import java.nio.charset.StandardCharsets
-import java.util.zip.GZIPInputStream
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -21,10 +20,14 @@ import org.apache.spark.sql.functions._
   * mandatory two CRLFs before the next record. Gzip archives are
   * detected by MAGIC BYTES (1f 8b), not filename — crawl mirrors
   * rename files — and per-record gzip members (the Common Crawl
-  * layout) read transparently: `GZIPInputStream` concatenates
-  * members. Malformed records fail LOUDLY with the record number and
-  * what was seen (the ZipSource error contract): a silently-skipped
-  * record is corpus loss no downstream check can catch.
+  * layout) are decompressed member by member ([[GzipMembers]]), each
+  * trailer CRC-verified and every compressed byte accounted for.
+  * Malformed records fail LOUDLY with the record number and what was
+  * seen (the ZipSource error contract): a silently-skipped record is
+  * corpus loss no downstream check can catch — which is also why the
+  * JDK's `GZIPInputStream` is NOT used here (it treats a corrupt
+  * next-member header as clean EOF, silently shortening the record
+  * iterator).
   */
 object WarcSource {
 
@@ -116,10 +119,21 @@ object WarcSource {
           val pid = org.apache.spark.TaskContext.getPartitionId()
           val f = new java.io.File(tmpPath, f"part-$pid%05d.warc.gz")
           val fos = new java.io.FileOutputStream(f) // truncate = retry-safe
+          // close() each member's GZIPOutputStream through a
+          // close-shield: finish() alone leaks the Deflater's native
+          // (off-heap) buffers until GC finalization — a partition
+          // with millions of records would exhaust native memory —
+          // while a bare close() would close the shared file stream
+          // after the first record
+          val shield = new java.io.FilterOutputStream(fos) {
+            override def write(b: Array[Byte], off: Int, len: Int): Unit =
+              fos.write(b, off, len)
+            override def close(): Unit = fos.flush()
+          }
           try for ((uri, date, text) <- it) {
-            val g = new java.util.zip.GZIPOutputStream(fos)
+            val g = new java.util.zip.GZIPOutputStream(shield)
             g.write(responseRecord(uri, date, text))
-            g.finish()
+            g.close() // ends the member AND frees its Deflater
           } finally fos.close()
         }
       if (!tmp.renameTo(dir)) {
@@ -154,14 +168,13 @@ object WarcSource {
 
   // -- per-file record parser (executor-side) -------------------------
 
-  private[sources] def parseAll(path: String, bytes: Array[Byte])
+  private[graft] def parseAll(path: String, bytes: Array[Byte])
       : Iterator[(String, Int, String, String, String, String, Long,
         Array[Byte])] = {
-    val raw = new ByteArrayInputStream(bytes)
     val in: InputStream =
       if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f &&
-        (bytes(1) & 0xff) == 0x8b) new GZIPInputStream(raw)
-      else raw
+        (bytes(1) & 0xff) == 0x8b) new GzipMembers(bytes)
+      else new ByteArrayInputStream(bytes)
     var no = 0
     new Iterator[(String, Int, String, String, String, String, Long,
         Array[Byte])] {
@@ -217,6 +230,125 @@ object WarcSource {
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"WARC parse: $msg")
+
+  /** Explicit multi-member gzip decompression over an in-memory
+    * archive — one `Inflater` per member with CRC32/ISIZE trailer
+    * verification, tracking exactly how many compressed bytes each
+    * member consumed. Replaces `GZIPInputStream`, whose JDK
+    * implementation treats a CORRUPT next-member header (or any
+    * inter-member garbage) as a clean EOF (`readTrailer` catches the
+    * IOException and "ignores the garbage") — which would silently
+    * truncate a damaged multi-member archive to however many members
+    * preceded the damage, exactly the silent corpus loss this
+    * module's loud-failure contract exists to prevent. Here, any
+    * byte after a verified member trailer that is not the start of a
+    * well-formed next member fails loudly with the member count and
+    * offset. RFC 1952 header layout (magic, CM=8, FLG with
+    * FEXTRA/FNAME/FCOMMENT/FHCRC, MTIME/XFL/OS) parsed field by
+    * field.
+    */
+  private[graft] final class GzipMembers(bytes: Array[Byte])
+      extends InputStream {
+    private var off = 0            // next unconsumed compressed byte
+    private var member = 0         // members fully decoded so far
+    private var inf: java.util.zip.Inflater = _
+    private val crc = new java.util.zip.CRC32
+    private var memberOut = 0L     // decompressed bytes this member
+    private var eof = false
+    private val one = new Array[Byte](1)
+
+    private def gzFail(msg: String): Nothing = fail(
+      s"gzip member ${member + 1} (offset $off, after $member " +
+        s"complete member(s)): $msg")
+
+    private def u8(i: Int): Int = bytes(i) & 0xff
+    private def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    private def le32(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) |
+        (u8(i + 3).toLong << 24)) & 0xffffffffL
+
+    /** Parse one member header at `off`, positioning `off` at the
+      * deflate stream and arming a fresh Inflater.
+      */
+    private def startMember(): Unit = {
+      if (off + 10 > bytes.length) gzFail("truncated header")
+      if (u8(off) != 0x1f || u8(off + 1) != 0x8b)
+        gzFail(f"bad magic ${u8(off)}%02x${u8(off + 1)}%02x")
+      if (u8(off + 2) != 8) gzFail(s"unsupported CM ${u8(off + 2)}")
+      val flg = u8(off + 3)
+      if ((flg & 0xe0) != 0) gzFail(f"reserved FLG bits set ($flg%02x)")
+      var i = off + 10 // magic(2) CM(1) FLG(1) MTIME(4) XFL(1) OS(1)
+      if ((flg & 4) != 0) { // FEXTRA
+        if (i + 2 > bytes.length) gzFail("truncated FEXTRA")
+        i += 2 + le16(i)
+      }
+      def skipZeroTerminated(what: String): Unit = {
+        while (i < bytes.length && bytes(i) != 0) i += 1
+        if (i >= bytes.length) gzFail(s"unterminated $what")
+        i += 1
+      }
+      if ((flg & 8) != 0) skipZeroTerminated("FNAME")
+      if ((flg & 16) != 0) skipZeroTerminated("FCOMMENT")
+      if ((flg & 2) != 0) i += 2 // FHCRC
+      if (i > bytes.length) gzFail("truncated header fields")
+      off = i
+      if (inf != null) inf.end()
+      inf = new java.util.zip.Inflater(true)
+      inf.setInput(bytes, off, bytes.length - off)
+      crc.reset()
+      memberOut = 0L
+    }
+
+    /** Verify the finished member's trailer, advance past it, and
+      * either arm the next member or mark clean EOF — failing loudly
+      * on anything that is not a well-formed continuation.
+      */
+    private def finishMember(): Unit = {
+      off = bytes.length - inf.getRemaining
+      inf.end(); inf = null
+      if (off + 8 > bytes.length) gzFail("truncated trailer")
+      val wantCrc = le32(off)
+      val wantIsize = le32(off + 4)
+      if (crc.getValue != wantCrc)
+        gzFail(f"CRC32 mismatch (got ${crc.getValue}%08x, " +
+          f"trailer says $wantCrc%08x)")
+      if ((memberOut & 0xffffffffL) != wantIsize)
+        gzFail(s"ISIZE mismatch (got $memberOut, trailer says $wantIsize)")
+      off += 8
+      member += 1
+      if (off >= bytes.length) eof = true // whole input consumed: clean
+      else startMember() // anything else MUST be a next member
+    }
+
+    private def ensureMember(): Unit =
+      if (inf == null && !eof) startMember()
+
+    override def read(): Int =
+      if (read(one, 0, 1) < 0) -1 else one(0) & 0xff
+
+    override def read(b: Array[Byte], o: Int, len: Int): Int = {
+      if (len == 0) return 0
+      ensureMember()
+      while (!eof) {
+        val n =
+          try inf.inflate(b, o, len)
+          catch {
+            case e: java.util.zip.DataFormatException =>
+              gzFail(s"corrupt deflate data (${e.getMessage})")
+          }
+        if (n > 0) {
+          crc.update(b, o, n); memberOut += n; return n
+        }
+        if (inf.finished()) finishMember()
+        else if (inf.needsInput())
+          gzFail("deflate stream ran off the end of the archive")
+        // else dictionary/zero-progress: loop (cannot happen nowrap)
+      }
+      -1
+    }
+
+    override def close(): Unit = { if (inf != null) inf.end(); eof = true }
+  }
 
   /** CRLF- (or bare-LF-) terminated line as ISO-8859-1 (header bytes
     * are ASCII by spec); null at EOF before any byte.

@@ -605,6 +605,21 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("Bpe.encode enforces the pipe-free precondition loudly: a " +
+      "document carrying the '|' sentinel raises with its id instead " +
+      "of decoding with its pipes silently deleted") {
+    import graft.ext.Bpe
+    val docs = Seq((1L, "clean text"), (2L, "a|b pipes"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(Seq((1L, "clean text")).toDF("doc_id", "text"),
+      $"text", k = 1, maxWords = 512)
+    val e = intercept[Exception] {
+      Bpe.encode(docs, $"doc_id", $"text", merges).collect()
+    }
+    assert(e.getMessage.contains("sentinel"))
+    assert(e.getMessage.contains("id=2"))
+  }
+
   test("punctRatio and qualityScore survive an empty document") {
     val got = Seq((1L, ""), (2L, "hi!")).toDF("doc_id", "text")
       .select($"doc_id", TextAnalysis.punctRatio($"text").as("p"),

@@ -490,6 +490,20 @@ class GraphTimeSeriesSpec extends SparkSpec {
       4L -> 3L, 5L -> 4L, 6L -> 4L))
   }
 
+  test("labelPropagation: string-id graphs keep the deterministic " +
+      "smallest-label tie rule (no numeric-negation cast)") {
+    // same two-triangles-and-a-bridge shape with string ids; the
+    // hand-traced schedule maps straight over because string order
+    // on "n1".."n6" matches the numeric order
+    val edges = Seq(("n1", "n2"), ("n1", "n3"), ("n2", "n3"),
+      ("n4", "n5"), ("n4", "n6"), ("n5", "n6"), ("n3", "n4"))
+      .toDF("u", "v")
+    val got = Graph.labelPropagation(edges, iters = 3)
+      .as[(String, String)].collect().toMap
+    assert(got === Map("n1" -> "n1", "n2" -> "n1", "n3" -> "n1",
+      "n4" -> "n3", "n5" -> "n3", "n6" -> "n3"))
+  }
+
   test("linearTrendMicro: exact OLS slope in micro centi-units/sec, " +
       "NULL on zero x-variance, mean truncates toward zero") {
     val base = ts("2024-01-01 10:00:00").getTime

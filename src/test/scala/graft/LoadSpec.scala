@@ -447,4 +447,45 @@ class LoadSpec extends SparkSpec {
     }
     assert(e.getCause.getMessage.contains("record 3"))
   }
+
+  test("WarcSource: a damaged multi-member gzip archive fails loudly " +
+    "instead of silently truncating the record iterator") {
+    import graft.sources.WarcSource
+    def member(payload: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(payload); g.close()
+      bos.toByteArray
+    }
+    def rec(no: Int): Array[Byte] =
+      (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Target-URI: https://ex/$no\r\n" +
+        "WARC-Date: 2024-01-02T03:04:05Z\r\n" +
+        "Content-Type: application/http\r\n" +
+        "Content-Length: 2\r\n\r\nok\r\n\r\n").getBytes("UTF-8")
+    val m1 = member(rec(1))
+    val m2 = member(rec(2))
+    def mutated(src: Array[Byte])(f: Array[Byte] => Unit): Array[Byte] = {
+      val b = src.clone(); f(b); b
+    }
+    // JDK GZIPInputStream yields ONE record then clean EOF on each of
+    // these; the explicit member walk must fail loudly instead
+    val corruptMagic = m1 ++ mutated(m2)(b => b(1) = 0x00)
+    val interGarbage = m1 ++ Array[Byte](1, 2, 3) ++ m2
+    val trailingGarbage = m1 ++ m2 ++ Array[Byte](0x42, 0x42)
+    val corruptCrc = m1 ++ mutated(m2)(b =>
+      b(b.length - 5) = (b(b.length - 5) ^ 0xff).toByte)
+    for ((bytes, mno, what) <- Seq(
+      (corruptMagic, 2, "bad magic"), (interGarbage, 2, "bad magic"),
+      (trailingGarbage, 3, "truncated header"),
+      (corruptCrc, 2, "CRC32 mismatch"))) {
+      val e = intercept[IllegalArgumentException] {
+        WarcSource.parseAll("p", bytes).toList
+      }
+      assert(e.getMessage.contains(s"gzip member $mno"), what)
+      assert(e.getMessage.contains(what), e.getMessage)
+    }
+    // and a CLEAN multi-member archive still parses whole
+    assert(WarcSource.parseAll("p", m1 ++ m2).size === 2)
+  }
 }
