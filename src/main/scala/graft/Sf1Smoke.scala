@@ -129,7 +129,10 @@ object Sf1Smoke {
       "feat_target_encode", "mm_ahash_pairs",
       // round-9 final addition: non-equi broadcast self-join +
       // exact-intersection shuffle (the 169th bench query)
-      "agg_hll_intersect")
+      "agg_hll_intersect",
+      // round-10 additions: real PNG/BMP pixel decode + real PCM
+      // fingerprinting (mapPartitions decode stages + band joins)
+      "mm_decode_pixels", "mm_audio_fingerprint")
 
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     def audit(df: DataFrame): Seq[String] = {

@@ -185,4 +185,48 @@ object AudioHeader {
       if blockAlign > 0 && rate > 0
     } yield Wav(channels, rate, bits, ds / blockAlign)
   }
+
+  /** FIRST-CHANNEL 16-bit PCM samples of a RIFF/WAVE payload whose
+    * data chunk is actually present — the real sample decode behind
+    * [[Multimodal.audioFingerprints]] (where [[parseWav]] reads only
+    * the declared sizes, this walks the bytes). None for non-WAV or
+    * non-16-bit payloads; LOUD failure when the declared data chunk
+    * overruns the payload (a truncated corpus member must not yield
+    * a silently short fingerprint).
+    */
+  def pcm16(b: Array[Byte]): Option[Array[Int]] = {
+    if (b.length < 12 || !ascii(b, 0, "RIFF") || !ascii(b, 8, "WAVE"))
+      return None
+    var i = 12L
+    var fmt: Option[(Int, Int, Int, Int)] = None
+    var data: Option[(Int, Long)] = None // (offset, size)
+    while (i + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+      val at = i.toInt
+      val size = le32(b, at + 4)
+      if (ascii(b, at, "fmt ") && size >= 16 && i + 24 <= b.length)
+        fmt = Some((le16(b, at + 10), le32(b, at + 12).toInt,
+          le16(b, at + 22), le16(b, at + 20)))
+      if (ascii(b, at, "data")) data = Some((at + 8, size))
+      i += 8 + size + (size & 1)
+    }
+    for {
+      (_, rate, bits, blockAlign) <- fmt
+      (off, size) <- data
+      if bits == 16 && blockAlign >= 2 && rate > 0
+    } yield {
+      if (off + size > b.length)
+        throw new IllegalArgumentException(
+          s"WAV pcm16: data chunk declares $size bytes at offset " +
+            s"$off but the payload holds ${b.length}")
+      val n = (size / blockAlign).toInt
+      val out = new Array[Int](n)
+      var k = 0
+      while (k < n) {
+        val o = off + k * blockAlign
+        out(k) = (le16(b, o) << 16) >> 16 // sign-extend
+        k += 1
+      }
+      out
+    }
+  }
 }

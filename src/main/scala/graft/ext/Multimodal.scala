@@ -212,45 +212,183 @@ object Multimodal {
   def frameSampleIndices(nFrames: Column, step: Int): Column =
     sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(step))
 
-  /** 60-bit average-hash of a binary payload — the perceptual-hash
-    * near-dup signature for image corpora (aHash: threshold each cell
-    * of a grayscale grid at the grid mean; near-dup images differ in
-    * few bits, so the SAME banded blocking as text simhash finds
-    * candidates sub-quadratically). The pixel-decode step is the
-    * documented STUB (a 60-cell grid derived deterministically from
-    * the payload's md5 — a real libjpeg resize+grayscale would sit
-    * exactly there); everything around it is the production shape:
-    * pure codegen'd column math (no UDF), map-only cell hashing,
-    * integer mean compare (cell·60 > Σcells — no float), then
-    * [[DedupOps.simhashBandPairs]] for the banded candidate join.
-    *
-    * Shape: explode to one row per grid cell (a bounded 60×), window
-    * the per-image total over the id partition, fold the bits back
-    * with one groupBy on the SAME key (window and agg share one
-    * exchange). Deliberately NOT the higher-order-function form
-    * (`transform` + nested `aggregate` over a per-row array): HOFs
-    * are interpreted, and Catalyst's project-collapse inlines the
-    * array and its total into every consumer — measured 28 s for 5k
-    * images once the band join's pushed-down key filter re-derived
-    * the whole 60-md5 chain per reference. The exploded form is
-    * whole-stage-codegen end to end, the aggregation is a hard
-    * barrier no filter rewrites through, and it benched 40× faster.
-    *
-    * Returns (id, ahash). One shuffle, on id.
+  /** 60-bit average-hash of a REAL decoded raster — the perceptual
+    * near-dup signature for image corpora (aHash: pool the grayscale
+    * image to a 10×6 grid, threshold each cell at the grid mean;
+    * near-dup images differ in few bits, so the SAME banded blocking
+    * as text simhash finds candidates sub-quadratically). All integer
+    * arithmetic: cell value = ⌊Σgray/npix⌋ over the cell's pixel
+    * block (block x-range [cx·w/10, (cx+1)·w/10), same floor split
+    * vertically), bit (cy·10 + cx) set iff cell·60 > Σcells — no
+    * float anywhere, so the signature is bit-identical on any engine
+    * and the DuckDB oracle replays it in closed form.
     */
-  def aHash60(df: DataFrame, id: Column, blob: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val pix = df.select(id.as("id"), md5(blob).as("__hex"))
-      .select(col("id"), col("__hex"),
-        explode(sequence(lit(0), lit(59))).as("__i"))
-      .select(col("id"), col("__i"),
-        PortableHash.md5PrefixLong(
-          concat(col("__hex"), lit("#"), col("__i").cast("string")), 7)
-          .as("__p"))
-    pix
-      .withColumn("__tot", sum(col("__p")).over(Window.partitionBy("id")))
-      .groupBy(col("id"))
-      .agg(sum(when(col("__p") * 60 > col("__tot"),
-        expr("shiftleft(1L, __i)")).otherwise(0L)).as("ahash"))
+  def aHashFromGray(p: Pixels): Long = {
+    require(p.width >= 10 && p.height >= 6,
+      s"aHash needs a raster of at least 10x6, got ${p.width}x${p.height}")
+    val cells = new Array[Long](60)
+    var cy = 0
+    while (cy < 6) {
+      val y0 = cy * p.height / 6
+      val y1 = (cy + 1) * p.height / 6
+      var cx = 0
+      while (cx < 10) {
+        val x0 = cx * p.width / 10
+        val x1 = (cx + 1) * p.width / 10
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += p.gray(y * p.width + x); x += 1 }
+          y += 1
+        }
+        cells(cy * 10 + cx) = s / ((y1 - y0).toLong * (x1 - x0))
+        cx += 1
+      }
+      cy += 1
+    }
+    var tot = 0L
+    var i = 0
+    while (i < 60) { tot += cells(i); i += 1 }
+    var hash = 0L
+    i = 0
+    while (i < 60) {
+      if (cells(i) * 60 > tot) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
+  /** Per-partition real-decode aHash over (doc_id, blob) image rows:
+    * [[PixelDecoder.decode]] (real PNG inflate + filter
+    * reconstruction, real BMP rows) feeds [[aHashFromGray]] in the
+    * same map pass — once the raster must be materialized anyway,
+    * the 60-cell pool is a free tail, so the former stub's separate
+    * column-math hashing stage has no reason to exist. A payload the
+    * decoder does not own fails LOUDLY with its id (an image-corpus
+    * operator silently skipping images is corpus loss): callers with
+    * mixed corpora filter on format upstream. Map-only — the single
+    * shuffle in an end-to-end near-dup run is the band join's.
+    *
+    * Returns (id, ahash).
+    */
+  def aHashImages(df: DataFrame, id: Column, blob: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.as("id"), blob.as("blob")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (i, bytes) =>
+          val p = PixelDecoder.decode(bytes).getOrElse(
+            throw new IllegalArgumentException(
+              s"aHashImages: id $i is not a decodable PNG/BMP " +
+                s"(${bytes.length} bytes)"))
+          (i, aHashFromGray(p))
+        }
+      }.toDF("id", "ahash")
+  }
+
+  /** Real pixel-decode features per (doc_id, blob) image row — the
+    * proof surface for [[PixelDecoder]]: integer raster statistics a
+    * closed-form oracle can recompute pixel by pixel. Loud on
+    * undecodable payloads (same contract as [[aHashImages]]).
+    */
+  def decodePixels(df: DataFrame): Dataset[PixelFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val fmt = ImageHeader.parse(bytes).map(_._1).getOrElse("raw")
+          val p = PixelDecoder.decode(bytes).getOrElse(
+            throw new IllegalArgumentException(
+              s"decodePixels: doc $id is not a decodable PNG/BMP " +
+                s"(container format: $fmt)"))
+          var sum = 0L
+          var mn = 255
+          var mx = 0
+          var i = 0
+          while (i < p.gray.length) {
+            val g = p.gray(i)
+            sum += g
+            if (g < mn) mn = g
+            if (g > mx) mx = g
+            i += 1
+          }
+          PixelFeatures(id, fmt, p.width, p.height,
+            p.gray.length.toLong, sum, mn, mx,
+            p.gray(0), p.gray(p.gray.length - 1))
+        }
+      }
+  }
+
+  /** 60-bit audio energy fingerprint over REAL decoded PCM samples —
+    * the perceptual near-dup signature for audio corpora, the twin of
+    * [[aHashFromGray]]: split the first channel's samples into 60
+    * equal windows ([w·n/60, (w+1)·n/60) — same floor split as the
+    * image grid), window energy = Σ|sample|, bit w set iff
+    * energy·60 > Σenergies. Integer-only, so the DuckDB oracle
+    * replays it in closed form. Requires n ≥ 60 samples.
+    */
+  def audioFingerprint(samples: Array[Int]): Long = {
+    require(samples.length >= 60,
+      s"audioFingerprint needs >= 60 samples, got ${samples.length}")
+    val n = samples.length
+    val e = new Array[Long](60)
+    var w = 0
+    while (w < 60) {
+      val s0 = w * n / 60
+      val s1 = (w + 1) * n / 60
+      var s = 0L
+      var i = s0
+      while (i < s1) { s += math.abs(samples(i).toLong); i += 1 }
+      e(w) = s
+      w += 1
+    }
+    var tot = 0L
+    var i = 0
+    while (i < 60) { tot += e(i); i += 1 }
+    var fp = 0L
+    i = 0
+    while (i < 60) {
+      if (e(i) * 60 > tot) fp |= 1L << i
+      i += 1
+    }
+    fp
+  }
+
+  /** Per-partition PCM decode + fingerprint over (doc_id, blob) WAV
+    * rows ([[AudioHeader.pcm16]] — real RIFF walk, real 16-bit LE
+    * samples). Loud on non-WAV payloads, same contract as
+    * [[aHashImages]]. Returns (id, afp); map-only.
+    */
+  def audioFingerprints(df: DataFrame, id: Column,
+                        blob: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.as("id"), blob.as("blob")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (i, bytes) =>
+          val samples = AudioHeader.pcm16(bytes).getOrElse(
+            throw new IllegalArgumentException(
+              s"audioFingerprints: id $i is not a decodable 16-bit " +
+                s"PCM WAV (${bytes.length} bytes)"))
+          (i, audioFingerprint(samples))
+        }
+      }.toDF("id", "afp")
   }
 }
+
+/** Real pixel-decode statistics (see [[Multimodal.decodePixels]]):
+  * all integer, each recomputable by the closed-form oracle.
+  */
+case class PixelFeatures(
+    doc_id: Long,
+    format: String,
+    width: Int,
+    height: Int,
+    n_pixels: Long,
+    gray_sum: Long,
+    gray_min: Int,
+    gray_max: Int,
+    gray_tl: Int,
+    gray_br: Int)

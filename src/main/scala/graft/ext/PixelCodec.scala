@@ -1,0 +1,414 @@
+package graft.ext
+
+/** Decoded raster: 8-bit grayscale, row-major (`gray(y * width + x)`,
+  * values 0–255). Gray is the ONE channel every perceptual pass here
+  * consumes (aHash, thumbnail stats); color inputs reduce through the
+  * integer luma in [[PixelDecoder.luma]].
+  */
+final case class Pixels(width: Int, height: Int, gray: Array[Int])
+
+/** Pure-JVM PIXEL decoding for the public PNG and BMP formats — the
+  * real decode stage behind perceptual hashing, replacing the former
+  * md5-grid stand-in for payloads that really are images. No codec
+  * dependency: PNG is `java.util.zip.Inflater` (the IDAT zlib
+  * stream) plus the five-filter scanline reconstruction of RFC 2083
+  * §6, and BMP rows are raw bytes at a 4-byte-aligned stride.
+  *
+  * Coverage is the uncompressed/deflate subset a fixture- and
+  * thumbnail-scale pipeline needs, decoded COMPLETELY correctly:
+  *   - PNG: bit depth 8, color types 0 (grayscale), 2 (truecolor)
+  *     and 6 (truecolor+alpha, alpha ignored for gray), non-
+  *     interlaced, any mix of filters 0–4, multi-IDAT, chunk CRCs
+  *     verified.
+  *   - BMP: BITMAPINFOHEADER-family, 24-bit, BI_RGB (uncompressed),
+  *     bottom-up and top-down row orders.
+  *
+  * Error contract (the [[graft.sources.WarcSource]] loud-failure
+  * discipline): [[PixelDecoder.decode]] returns None only for "not a
+  * format this decoder owns" (wrong magic, or a PNG/BMP variant
+  * outside the subset above — interlaced, paletted, 16-bit, RLE);
+  * a payload that CLAIMS to be a supported image but is structurally
+  * broken (bad chunk CRC, short IDAT, truncated rows, bad zlib data)
+  * throws with what was wrong — a silently-skipped image is corpus
+  * loss, and a silently-wrong pixel is worse.
+  *
+  * Scale shape: decode runs per row inside `mapPartitions` (see
+  * [[Multimodal]]) — embarrassingly parallel, no shuffle, memory
+  * bounded by one image's raster per task at a time.
+  */
+object PixelDecoder {
+
+  /** Integer ITU-R-601-flavored luma, exact and engine-portable:
+    * (77·r + 150·g + 29·b) >> 8 — coefficients sum to 256 so white
+    * maps to 255, and the SQL mirror is a plain `// 256`.
+    */
+  def luma(r: Int, g: Int, b: Int): Int = (77 * r + 150 * g + 29 * b) >> 8
+
+  /** Decode a PNG or BMP payload to grayscale; None for payloads
+    * outside this decoder's subset, loud failure for corrupt members
+    * of it (see object scaladoc).
+    */
+  def decode(bytes: Array[Byte]): Option[Pixels] =
+    if (isPng(bytes)) decodePng(bytes)
+    else if (isBmp(bytes)) decodeBmp(bytes)
+    else None
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) |
+      (u8(b, i + 2) << 8) | u8(b, i + 3)) & 0xffffffffL
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8)
+
+  private def le32(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) |
+      (u8(b, i + 3) << 24)
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"pixel decode: $msg")
+
+  private def isPng(b: Array[Byte]): Boolean =
+    b.length >= 8 && b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' &&
+      b(3) == 'G' && b(4) == 0x0d && b(5) == 0x0a && b(6) == 0x1a &&
+      b(7) == 0x0a
+
+  private def isBmp(b: Array[Byte]): Boolean =
+    b.length >= 2 && b(0) == 'B' && b(1) == 'M'
+
+  // -- PNG ------------------------------------------------------------
+
+  /** Max raster this decoder will materialize (width·height), the
+    * decompression-bomb guard: a 100-byte PNG can declare a 2^31
+    * raster. Perceptual-hash inputs are thumbnails; anything larger
+    * should be size-capped upstream.
+    */
+  val MaxPixels: Long = 64L * 1024 * 1024
+
+  private def decodePng(b: Array[Byte]): Option[Pixels] = {
+    // chunk walk: IHDR first, IDATs concatenated in order, IEND last;
+    // every chunk CRC-verified (CRC covers type + data, RFC 2083 §3.1)
+    var i = 8
+    var w, h, bitDepth, colorType, interlace = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    while (!sawEnd) {
+      if (i + 8 > b.length) fail("PNG: truncated chunk header")
+      val len = be32(b, i)
+      if (len > Int.MaxValue - 12 || i + 12 + len.toInt > b.length)
+        fail(s"PNG: chunk length $len overruns the payload")
+      val n = len.toInt
+      val typ = new String(b, i + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(b, i + 4, 4 + n)
+      if (crc.getValue != be32(b, i + 8 + n))
+        fail(s"PNG: CRC mismatch on $typ chunk")
+      typ match {
+        case "IHDR" =>
+          if (n != 13) fail(s"PNG: IHDR length $n")
+          w = be32(b, i + 8).toInt; h = be32(b, i + 12).toInt
+          bitDepth = u8(b, i + 16); colorType = u8(b, i + 17)
+          if (u8(b, i + 18) != 0) fail("PNG: unknown compression method")
+          if (u8(b, i + 19) != 0) fail("PNG: unknown filter method")
+          interlace = u8(b, i + 20)
+        case "IDAT" => idat.write(b, i + 8, n)
+        case "IEND" => sawEnd = true
+        case _ => () // ancillary chunks skipped
+      }
+      i += 12 + n
+    }
+    if (w <= 0 || h <= 0) fail(s"PNG: bad dimensions ${w}x$h")
+    // subset boundary: None, not an error (see the object contract)
+    if (bitDepth != 8 || interlace != 0 ||
+      (colorType != 0 && colorType != 2 && colorType != 6)) return None
+    if (w.toLong * h > MaxPixels)
+      fail(s"PNG: ${w}x$h exceeds the $MaxPixels-pixel decode cap")
+    val bpp = colorType match { case 0 => 1; case 2 => 3; case _ => 4 }
+    val stride = w * bpp
+    val raw = inflateZlib(idat.toByteArray, (stride + 1) * h)
+    if (raw.length != (stride + 1) * h)
+      fail(s"PNG: inflated ${raw.length} bytes, " +
+        s"expected ${(stride + 1) * h}")
+    // scanline reconstruction (RFC 2083 §6.2-6.6): each row leads
+    // with its filter byte; Sub/Up/Average/Paeth reference the
+    // reconstructed bytes at distance bpp (left), stride (up), both
+    val out = new Array[Int](w * h)
+    val prev = new Array[Int](stride) // reconstructed previous row
+    val cur = new Array[Int](stride)
+    var y = 0
+    while (y < h) {
+      val base = y * (stride + 1)
+      val filter = raw(base) & 0xff
+      var x = 0
+      while (x < stride) {
+        val v = raw(base + 1 + x) & 0xff
+        val left = if (x >= bpp) cur(x - bpp) else 0
+        val up = prev(x)
+        val ul = if (x >= bpp) prev(x - bpp) else 0
+        cur(x) = filter match {
+          case 0 => v
+          case 1 => (v + left) & 0xff
+          case 2 => (v + up) & 0xff
+          case 3 => (v + (left + up) / 2) & 0xff
+          case 4 => (v + paeth(left, up, ul)) & 0xff
+          case f => fail(s"PNG: unknown filter $f on row $y")
+        }
+        x += 1
+      }
+      var px = 0
+      while (px < w) {
+        val o = px * bpp
+        out(y * w + px) =
+          if (bpp == 1) cur(o)
+          else luma(cur(o), cur(o + 1), cur(o + 2))
+        px += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    Some(Pixels(w, h, out))
+  }
+
+  /** Paeth predictor (RFC 2083 §6.6): the neighbor closest to
+    * left + up − upleft, ties broken left, up, upleft.
+    */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Inflate a zlib stream (2-byte header + deflate + Adler-32), loud
+    * on corruption or wrong size; `expected` bounds the output.
+    */
+  private def inflateZlib(z: Array[Byte], expected: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater() // zlib wrapper mode
+    try {
+      inf.setInput(z)
+      val out = new Array[Byte](expected)
+      var off = 0
+      while (off < expected && !inf.finished()) {
+        val n =
+          try inf.inflate(out, off, expected - off)
+          catch {
+            case e: java.util.zip.DataFormatException =>
+              fail(s"PNG: corrupt zlib stream (${e.getMessage})")
+          }
+        if (n == 0 && inf.needsInput())
+          fail("PNG: zlib stream ended before the raster was complete")
+        off += n
+      }
+      // drain to confirm the stream ends exactly at the raster edge
+      val probe = new Array[Byte](1)
+      if (!inf.finished() && inf.inflate(probe) > 0)
+        fail("PNG: zlib stream continues past the declared raster")
+      if (off < expected) java.util.Arrays.copyOf(out, off) else out
+    } finally inf.end()
+  }
+
+  // -- BMP ------------------------------------------------------------
+
+  private def decodeBmp(b: Array[Byte]): Option[Pixels] = {
+    if (b.length < 54) fail("BMP: truncated header")
+    val dataOff = le32(b, 10)
+    val dibSize = le32(b, 14)
+    // subset boundary: CORE/V4/V5 oddities and non-24bpp fall to None
+    if (dibSize < 40) return None
+    val w = le32(b, 18)
+    val hRaw = le32(b, 22)
+    val bpp = le16(b, 28)
+    val compression = le32(b, 30)
+    if (bpp != 24 || compression != 0) return None
+    val h = math.abs(hRaw)
+    val topDown = hRaw < 0
+    if (w <= 0 || h == 0) fail(s"BMP: bad dimensions ${w}x$hRaw")
+    if (w.toLong * h > MaxPixels)
+      fail(s"BMP: ${w}x$h exceeds the $MaxPixels-pixel decode cap")
+    val stride = (w * 3 + 3) & ~3 // rows pad to 4 bytes
+    if (dataOff < 0 || dataOff.toLong + stride.toLong * h > b.length)
+      fail(s"BMP: pixel array (${stride}x$h at $dataOff) overruns " +
+        s"the ${b.length}-byte payload")
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (topDown) y else h - 1 - y
+      val base = dataOff + srcRow * stride
+      var x = 0
+      while (x < w) {
+        val o = base + x * 3 // BGR order
+        out(y * w + x) = luma(u8(b, o + 2), u8(b, o + 1), u8(b, o))
+        x += 1
+      }
+      y += 1
+    }
+    Some(Pixels(w, h, out))
+  }
+}
+
+/** Real PNG/BMP ENCODERS — the fixture-synthesis and thumbnail-write
+  * halves of [[PixelDecoder]]. The PNG writer emits a genuine
+  * deflate-compressed, CRC-chunked stream (`java.util.zip.Deflater`),
+  * with the scanline filter chosen per row — so a round-trip through
+  * the decoder exercises every filter path, not just Filter 0.
+  */
+object PixelEncoder {
+
+  /** Encode an RGB (or grayscale, `colorType` 0) PNG. `rgb(x, y)`
+    * returns packed 0xRRGGBB; for color type 0 the low byte is the
+    * gray sample. `filterFor(y)` picks the scanline filter (0–4) —
+    * the default cycles through all five.
+    */
+  def png(w: Int, h: Int, rgb: (Int, Int) => Int, colorType: Int = 2,
+          filterFor: Int => Int = _ % 5): Array[Byte] = {
+    require(w > 0 && h > 0, s"png: bad dimensions ${w}x$h")
+    require(colorType == 0 || colorType == 2, s"png: colorType $colorType")
+    val bpp = if (colorType == 0) 1 else 3
+    val stride = w * bpp
+    // raw scanlines, filtered exactly as the spec defines the
+    // inverse of the decoder's reconstruction
+    val raw = new Array[Byte]((stride + 1) * h)
+    val cur = new Array[Int](stride)
+    val prev = new Array[Int](stride)
+    for (y <- 0 until h) {
+      for (x <- 0 until w) {
+        val p = rgb(x, y)
+        if (bpp == 1) cur(x) = p & 0xff
+        else {
+          cur(x * 3) = (p >> 16) & 0xff
+          cur(x * 3 + 1) = (p >> 8) & 0xff
+          cur(x * 3 + 2) = p & 0xff
+        }
+      }
+      val f = filterFor(y)
+      raw(y * (stride + 1)) = f.toByte
+      for (x <- 0 until stride) {
+        val left = if (x >= bpp) cur(x - bpp) else 0
+        val up = prev(x)
+        val ul = if (x >= bpp) prev(x - bpp) else 0
+        val filtered = f match {
+          case 0 => cur(x)
+          case 1 => cur(x) - left
+          case 2 => cur(x) - up
+          case 3 => cur(x) - (left + up) / 2
+          case 4 => cur(x) - paethRef(left, up, ul)
+          case other => throw new IllegalArgumentException(
+            s"png: filter $other")
+        }
+        raw(y * (stride + 1) + 1 + x) = (filtered & 0xff).toByte
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte), 0, 8)
+    val ihdr = new Array[Byte](13)
+    putBe32(ihdr, 0, w); putBe32(ihdr, 4, h)
+    ihdr(8) = 8; ihdr(9) = colorType.toByte // depth 8
+    chunk(out, "IHDR", ihdr)
+    val defl = new java.util.zip.Deflater()
+    try {
+      defl.setInput(raw); defl.finish()
+      val zout = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!defl.finished()) zout.write(buf, 0, defl.deflate(buf))
+      chunk(out, "IDAT", zout.toByteArray)
+    } finally defl.end()
+    chunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Encode a 24-bit uncompressed bottom-up BMP; `rgb(x, y)` returns
+    * packed 0xRRGGBB.
+    */
+  def bmp(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"bmp: bad dimensions ${w}x$h")
+    val stride = (w * 3 + 3) & ~3
+    val size = 54 + stride * h
+    val b = new Array[Byte](size)
+    b(0) = 'B'; b(1) = 'M'
+    putLe32(b, 2, size); putLe32(b, 10, 54)
+    putLe32(b, 14, 40) // BITMAPINFOHEADER
+    putLe32(b, 18, w); putLe32(b, 22, h) // positive = bottom-up
+    b(26) = 1 // planes
+    b(28) = 24 // bpp; compression stays 0 = BI_RGB
+    putLe32(b, 34, stride * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = rgb(x, y)
+      val o = 54 + (h - 1 - y) * stride + x * 3
+      b(o) = (p & 0xff).toByte // BGR order
+      b(o + 1) = ((p >> 8) & 0xff).toByte
+      b(o + 2) = ((p >> 16) & 0xff).toByte
+    }
+    b
+  }
+
+  private def paethRef(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def putBe32(b: Array[Byte], i: Int, v: Int): Unit = {
+    b(i) = (v >>> 24).toByte; b(i + 1) = (v >>> 16).toByte
+    b(i + 2) = (v >>> 8).toByte; b(i + 3) = v.toByte
+  }
+
+  private def putLe32(b: Array[Byte], i: Int, v: Int): Unit = {
+    b(i) = v.toByte; b(i + 1) = (v >>> 8).toByte
+    b(i + 2) = (v >>> 16).toByte; b(i + 3) = (v >>> 24).toByte
+  }
+
+  private def chunk(out: java.io.ByteArrayOutputStream, typ: String,
+                    data: Array[Byte]): Unit = {
+    val len = new Array[Byte](4)
+    putBe32(len, 0, data.length)
+    out.write(len, 0, 4)
+    val t = typ.getBytes("US-ASCII")
+    out.write(t, 0, 4)
+    out.write(data, 0, data.length)
+    val crc = new java.util.zip.CRC32
+    crc.update(t); crc.update(data)
+    val c = new Array[Byte](4)
+    putBe32(c, 0, crc.getValue.toInt)
+    out.write(c, 0, 4)
+  }
+}
+
+/** Real RIFF/WAVE writer for 16-bit PCM — the audio fixture/export
+  * twin of [[PixelEncoder]], inverting [[AudioHeader.pcm16]].
+  */
+object WavEncoder {
+
+  /** Mono-interleave-free encode: `samples` are written one 16-bit LE
+    * value per frame per channel, each channel carrying the same
+    * sample (fixture shape; a real exporter would interleave
+    * per-channel arrays).
+    */
+  def pcm16(samples: Array[Int], channels: Int = 1,
+            rate: Int = 8000): Array[Byte] = {
+    require(channels >= 1 && rate > 0, s"wav: $channels ch @ $rate Hz")
+    val blockAlign = channels * 2
+    val dataSize = samples.length * blockAlign
+    val b = new Array[Byte](44 + dataSize)
+    def putLe16(i: Int, v: Int): Unit = {
+      b(i) = v.toByte; b(i + 1) = (v >>> 8).toByte
+    }
+    def putLe32(i: Int, v: Int): Unit = {
+      putLe16(i, v & 0xffff); putLe16(i + 2, v >>> 16)
+    }
+    def putAscii(i: Int, s: String): Unit =
+      s.indices.foreach(j => b(i + j) = s.charAt(j).toByte)
+    putAscii(0, "RIFF"); putLe32(4, 36 + dataSize); putAscii(8, "WAVE")
+    putAscii(12, "fmt "); putLe32(16, 16); putLe16(20, 1) // PCM
+    putLe16(22, channels); putLe32(24, rate)
+    putLe32(28, rate * blockAlign); putLe16(32, blockAlign)
+    putLe16(34, 16)
+    putAscii(36, "data"); putLe32(40, dataSize)
+    for (k <- samples.indices; c <- 0 until channels)
+      putLe16(44 + k * blockAlign + c * 2, samples(k) & 0xffff)
+    b
+  }
+}

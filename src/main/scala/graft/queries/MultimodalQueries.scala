@@ -140,37 +140,140 @@ private[queries] object MultimodalQueries {
     },
 
 
-    // Perceptual-hash near-dup over the image corpus: aHash
-    // signatures (stubbed 60-cell decode, real banded blocking) fed
-    // through the SAME simhash band join as text near-dup. Blobs are
-    // synthesized so every run of five doc ids shares one payload —
-    // the exact-duplicate-image clusters the detector must find.
+    // REAL pixel decode, verified end-to-end: synthesize genuine
+    // deflate-compressed PNGs (truecolor AND grayscale, scanline
+    // filters cycling 0-4 so Sub/Up/Average/Paeth reconstruction is
+    // all exercised) and 24-bit BMPs whose every pixel is a closed
+    // form of (doc_id, x, y), decode them through the real
+    // Inflater + filter-reconstruction path, and let the oracle
+    // recompute the integer raster statistics pixel by pixel — any
+    // wrong byte anywhere in the codec chain hash-mismatches
+    "mm_decode_pixels" -> { (s, dir) =>
+      import s.implicits._
+      val blobs = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val w = (id % 12 + 4).toInt
+            val h = (id % 9 + 3).toInt
+            val m = (id % 256).toInt
+            val rgb = (x: Int, y: Int) =>
+              (((m + 3 * x + 7 * y) % 256) << 16) |
+                (((2 * m + 5 * x + y) % 256) << 8) |
+                ((3 * m + x + 11 * y) % 256)
+            val bytes = (id % 3) match {
+              case 0 => PixelEncoder.png(w, h, rgb)
+              case 1 => PixelEncoder.png(w, h,
+                (x, y) => (m + 3 * x + 7 * y) % 256, colorType = 0)
+              case _ => PixelEncoder.bmp(w, h, rgb)
+            }
+            (id, bytes)
+          }
+        }.toDF("doc_id", "blob")
+      Multimodal.decodePixels(blobs).toDF()
+    },
+
+
+    // Perceptual-hash near-dup over the image corpus with the REAL
+    // decoder (the former md5-grid stub is retired for image
+    // payloads): every run of five doc ids renders ONE 10x6 image —
+    // r=g=b=v so integer luma returns v exactly — even groups as
+    // filter-cycled truecolor PNG, odd groups as 24-bit BMP, so the
+    // exact-duplicate clusters span BOTH container formats. aHash
+    // signatures feed the SAME banded blocking as text simhash.
     "mm_ahash_pairs" -> { (s, dir) =>
-      val blobs = docs(s, dir).select(col("doc_id"),
-        concat(lit("img:"), expr("doc_id div 5").cast("string"))
-          .cast("binary").as("blob"))
-      val sigs = Multimodal.aHash60(blobs, col("doc_id"), col("blob"))
+      import s.implicits._
+      val blobs = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val grp = id / 5
+            val v = (x: Int, y: Int) => {
+              val g = ((grp * 37 + x * 17 + y * 29) % 256).toInt
+              (g << 16) | (g << 8) | g
+            }
+            val bytes =
+              if (grp % 2 == 0) PixelEncoder.png(10, 6, v)
+              else PixelEncoder.bmp(10, 6, v)
+            (id, bytes)
+          }
+        }.toDF("doc_id", "blob")
+      val sigs = Multimodal.aHashImages(blobs, col("doc_id"), col("blob"))
       DedupOps.simhashBandPairs(sigs, col("id"), col("ahash"),
+        bands = 4, bitsPerBand = 15, maxHamming = 3, bits = 60)
+    },
+
+
+    // Audio near-dup over REAL decoded PCM: every run of five doc
+    // ids shares one 120-sample 16-bit mono WAV (samples a closed
+    // form of the group), decoded back through the RIFF walk +
+    // sign-extended sample read, energy-fingerprinted in 60 windows,
+    // then the same banded candidate join as the image pass.
+    "mm_audio_fingerprint" -> { (s, dir) =>
+      import s.implicits._
+      val blobs = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val grp = id / 5
+            val samples = Array.tabulate(120)(t =>
+              ((grp * 31 + t * 7) % 512).toInt - 256)
+            (id, WavEncoder.pcm16(samples))
+          }
+        }.toDF("doc_id", "blob")
+      val sigs = Multimodal.audioFingerprints(blobs, col("doc_id"),
+        col("blob"))
+      DedupOps.simhashBandPairs(sigs, col("id"), col("afp"),
         bands = 4, bitsPerBand = 15, maxHamming = 3, bits = 60)
     },
   )
 
   val oracleSql: Map[String, String] = Map(
 
-    // same stub grid (md5-chained 28-bit cells), same integer mean
-    // compare, same 4x15-bit band join as the simhash oracle
-    "mm_ahash_pairs" ->
-      """WITH b AS (SELECT doc_id,
-        |    md5('img:' || CAST(doc_id // 5 AS VARCHAR)) AS hex
+    // closed-form pixel math: the oracle renders every pixel from
+    // (doc_id, x, y) and aggregates — the Spark side must DECODE its
+    // own real PNG/BMP bytes back to the identical raster
+    "mm_decode_pixels" ->
+      """WITH p AS (SELECT doc_id,
+        |    CAST(doc_id % 12 + 4 AS INT) AS w,
+        |    CAST(doc_id % 9 + 3 AS INT) AS h,
+        |    doc_id % 256 AS m, doc_id % 3 AS v
         |  FROM documents),
-        |pix AS (SELECT doc_id, i,
-        |    CAST('0x' || substr(md5(hex || '#' || CAST(i AS VARCHAR)),
-        |      1, 7) AS BIGINT) AS p
-        |  FROM b, unnest(range(0, 60)) AS u(i)),
+        |pix AS (SELECT doc_id, w, h, v, x.x AS x, y.y AS y,
+        |    CASE WHEN v = 1 THEN (m + 3 * x.x + 7 * y.y) % 256
+        |         ELSE (77 * ((m + 3 * x.x + 7 * y.y) % 256)
+        |             + 150 * ((2 * m + 5 * x.x + y.y) % 256)
+        |             + 29 * ((3 * m + x.x + 11 * y.y) % 256)) // 256
+        |    END AS g
+        |  FROM p,
+        |    LATERAL (SELECT unnest(range(0, w)) AS x) x,
+        |    LATERAL (SELECT unnest(range(0, h)) AS y) y)
+        |SELECT doc_id,
+        |  CASE WHEN v = 2 THEN 'bmp' ELSE 'png' END AS format,
+        |  w AS width, h AS height,
+        |  CAST(w AS BIGINT) * h AS n_pixels,
+        |  CAST(sum(g) AS BIGINT) AS gray_sum,
+        |  CAST(min(g) AS INT) AS gray_min,
+        |  CAST(max(g) AS INT) AS gray_max,
+        |  CAST(max(CASE WHEN x = 0 AND y = 0 THEN g END) AS INT)
+        |    AS gray_tl,
+        |  CAST(max(CASE WHEN x = w - 1 AND y = h - 1 THEN g END) AS INT)
+        |    AS gray_br
+        |FROM pix GROUP BY doc_id, v, w, h""".stripMargin,
+
+
+    // the REAL 10x6 raster recomputed pixel by pixel (r=g=b=v makes
+    // luma the identity), same integer mean compare, same 4x15-bit
+    // band join as the simhash oracle
+    "mm_ahash_pairs" ->
+      """WITH g AS (SELECT doc_id, doc_id // 5 AS grp FROM documents),
+        |pix AS (SELECT doc_id, y.y * 10 + x.x AS i,
+        |    (grp * 37 + x.x * 17 + y.y * 29) % 256 AS p
+        |  FROM g,
+        |    LATERAL (SELECT unnest(range(0, 10)) AS x) x,
+        |    LATERAL (SELECT unnest(range(0, 6)) AS y) y),
         |tot AS (SELECT doc_id, sum(p) AS t FROM pix GROUP BY 1),
         |sig AS (SELECT pix.doc_id,
         |    CAST(sum(CASE WHEN p * 60 > t
-        |             THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+        |             THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+        |             ELSE 0 END)
         |      AS BIGINT) AS ahash
         |  FROM pix JOIN tot USING (doc_id) GROUP BY 1),
         |banded AS (SELECT doc_id, ahash, bb,
@@ -182,6 +285,33 @@ private[queries] object MultimodalQueries {
         |  ON a.bb = c.bb AND a.bkey = c.bkey
         |WHERE a.doc_id < c.doc_id
         |  AND bit_count(xor(a.ahash, c.ahash)) <= 3""".stripMargin,
+
+
+    // the REAL 120-sample PCM stream recomputed in closed form:
+    // |sample| energies in 60 two-sample windows, integer mean
+    // compare, same band join
+    "mm_audio_fingerprint" ->
+      """WITH g AS (SELECT doc_id, doc_id // 5 AS grp FROM documents),
+        |s AS (SELECT doc_id, t.t AS t,
+        |    abs((grp * 31 + t.t * 7) % 512 - 256) AS a
+        |  FROM g, LATERAL (SELECT unnest(range(0, 120)) AS t) t),
+        |w AS (SELECT doc_id, CAST(t // 2 AS INT) AS wi, sum(a) AS e
+        |  FROM s GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(e) AS t FROM w GROUP BY 1),
+        |sig AS (SELECT w.doc_id,
+        |    CAST(sum(CASE WHEN e * 60 > t
+        |             THEN (CAST(1 AS BIGINT) << wi) ELSE 0 END)
+        |      AS BIGINT) AS afp
+        |  FROM w JOIN tot USING (doc_id) GROUP BY 1),
+        |banded AS (SELECT doc_id, afp, bb,
+        |    (afp >> (bb * 15)) & 32767 AS bkey
+        |  FROM sig, unnest(range(0, 4)) AS u(bb))
+        |SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.afp, c.afp)) AS INT) AS hamming
+        |FROM banded a JOIN banded c
+        |  ON a.bb = c.bb AND a.bkey = c.bkey
+        |WHERE a.doc_id < c.doc_id
+        |  AND bit_count(xor(a.afp, c.afp)) <= 3""".stripMargin,
 
     "mm_thumbnail" ->
       """WITH f AS (SELECT doc_id,

@@ -1256,22 +1256,106 @@ class ExtSpec extends SparkSpec {
     assert(packed.groupBy(_._1).values.forall(_.map(_._4).distinct.size == 1))
   }
 
-  test("aHash60: identical payloads share a signature and band-join " +
-    "into complete duplicate clusters; distinct payloads never " +
-    "collide at hamming <= 3 here") {
-    val blobs = Seq((1L, "imgA"), (2L, "imgA"), (3L, "imgA"),
-      (4L, "imgB"), (5L, "imgB"), (6L, "imgC"))
-      .toDF("doc_id", "s")
-      .select($"doc_id", $"s".cast("binary").as("blob"))
-    val sigs = Multimodal.aHash60(blobs, $"doc_id", $"blob")
+  test("PixelDecoder round-trips PixelEncoder: truecolor PNG through " +
+    "every scanline filter, grayscale PNG, and 24-bit BMP all decode " +
+    "to the exact integer raster; corruption fails loudly") {
+    import graft.ext.{PixelDecoder, PixelEncoder}
+    val w = 23; val h = 11 // odd sizes exercise BMP row padding
+    def r(x: Int, y: Int) = (x * 7 + y * 13 + 5) % 256
+    def g(x: Int, y: Int) = (x * 3 + y * 31) % 256
+    def b(x: Int, y: Int) = (x * 17 + y + 200) % 256
+    val rgb = (x: Int, y: Int) => (r(x, y) << 16) | (g(x, y) << 8) | b(x, y)
+    val want = Array.tabulate(h, w)((y, x) =>
+      PixelDecoder.luma(r(x, y), g(x, y), b(x, y))).flatten
+    // each fixed filter alone, then the cycling default
+    for (f <- 0 to 4) {
+      val p = PixelDecoder.decode(
+        PixelEncoder.png(w, h, rgb, filterFor = _ => f)).get
+      assert((p.width, p.height) === (w, h), s"filter $f")
+      assert(p.gray === want, s"filter $f")
+    }
+    assert(PixelDecoder.decode(PixelEncoder.png(w, h, rgb)).get
+      .gray === want)
+    // grayscale PNG: sample passes through untouched by luma
+    val wantG = Array.tabulate(h, w)((y, x) => g(x, y)).flatten
+    assert(PixelDecoder.decode(
+      PixelEncoder.png(w, h, (x, y) => g(x, y), colorType = 0)).get
+      .gray === wantG)
+    // BMP bottom-up rows land right-side-up
+    assert(PixelDecoder.decode(PixelEncoder.bmp(w, h, rgb)).get
+      .gray === want)
+    // a flipped bit in the IDAT body fails the chunk CRC loudly
+    val png = PixelEncoder.png(w, h, rgb)
+    png(60) = (png(60) ^ 0x40).toByte
+    val e = intercept[IllegalArgumentException] {
+      PixelDecoder.decode(png)
+    }
+    assert(e.getMessage.contains("CRC"))
+    // non-image payloads are None, not an error
+    assert(PixelDecoder.decode("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("aHashFromGray pools to the 10x6 grid with integer means and " +
+    "real-decode signatures band-join into cross-format duplicate " +
+    "clusters") {
+    import graft.ext.{PixelDecoder, PixelEncoder}
+    // constant image below the mean everywhere -> no bit can exceed
+    // the mean: hash 0; one bright cell -> exactly that bit set
+    val flat = Pixels(20, 12, Array.fill(240)(100))
+    assert(Multimodal.aHashFromGray(flat) === 0L)
+    val oneHot = Pixels(20, 12, Array.tabulate(240) { i =>
+      val x = i % 20; val y = i / 20
+      if (x < 2 && y < 2) 255 else 10 // cell (0,0) bright
+    })
+    assert(Multimodal.aHashFromGray(oneHot) === 1L)
+    // the same pixels through PNG and BMP produce the SAME signature
+    // (closed form: two bright cells -> exactly those two bits), so
+    // duplicate images cluster across container formats; an image
+    // bright in two OTHER cells is hamming 4 away — a band-join
+    // candidate via its shared all-zero bands, killed by the verify
+    def bright(cells: Set[(Int, Int)])(x: Int, y: Int) = {
+      val p = if (cells((x, y))) 255 else 10
+      (p << 16) | (p << 8) | p
+    }
+    val a = bright(Set((0, 0), (1, 0))) _ // bits 0, 1
+    val c = bright(Set((8, 5), (9, 5))) _ // bits 58, 59
+    val blobs = Seq(
+      (1L, PixelEncoder.png(10, 6, a)),
+      (2L, PixelEncoder.bmp(10, 6, a)),
+      (3L, PixelEncoder.png(10, 6, c)))
+      .toDF("doc_id", "blob")
+    val sigs = Multimodal.aHashImages(blobs, $"doc_id", $"blob")
     val byId = sigs.as[(Long, Long)].collect().toMap
-    assert(byId(1L) === byId(2L) && byId(2L) === byId(3L))
-    assert(byId(4L) === byId(5L))
-    assert(Set(byId(1L), byId(4L), byId(6L)).size === 3)
+    assert(byId(1L) === 3L && byId(2L) === 3L)
+    assert(byId(3L) === (3L << 58))
     val pairs = DedupOps.simhashBandPairs(sigs, $"id", $"ahash",
         bands = 4, bitsPerBand = 15, maxHamming = 3, bits = 60)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
-    assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)))
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("AudioHeader.pcm16 round-trips WavEncoder with sign-extended " +
+    "samples and audioFingerprint windows them deterministically") {
+    import graft.ext.{AudioHeader, WavEncoder}
+    val samples = Array.tabulate(120)(t => ((t * 37) % 512) - 256)
+    val got = AudioHeader.pcm16(WavEncoder.pcm16(samples)).get
+    assert(got === samples)
+    // stereo: both channels carry the sample; first channel read back
+    assert(AudioHeader.pcm16(
+      WavEncoder.pcm16(samples, channels = 2)).get === samples)
+    // a truncated data chunk fails loudly, never a short fingerprint
+    val whole = WavEncoder.pcm16(samples)
+    val e = intercept[IllegalArgumentException] {
+      AudioHeader.pcm16(whole.dropRight(10))
+    }
+    assert(e.getMessage.contains("data chunk"))
+    // closed-form windows: constant energy sets no bit (nothing is
+    // strictly above the mean); an impulse sets exactly its window's
+    val imp0 = Array.fill(120)(0); imp0(0) = 100
+    val imp59 = Array.fill(120)(0); imp59(119) = 100
+    assert(Multimodal.audioFingerprint(Array.fill(120)(7)) === 0L)
+    assert(Multimodal.audioFingerprint(imp0) === 1L)
+    assert(Multimodal.audioFingerprint(imp59) === (1L << 59))
   }
 
   test("tokenBudgetMix: whole epochs when the share exceeds the " +
