@@ -85,8 +85,6 @@ object Profiling {
     */
   def winsorize(df: DataFrame, key: Column, id: Column, value: Column,
                 loBp: Int, hiBp: Int): DataFrame = {
-    require(loBp >= 1 && hiBp <= 9999 && loBp < hiBp,
-      s"basis points ($loBp, $hiBp) must satisfy 1 <= lo < hi <= 9999")
     val base = df.select(key.as("key"), id.as("id"),
       value.cast("long").as("v"))
     // the histogram keeps NULL-v rows as a (key, NULL) row so a key
@@ -96,6 +94,21 @@ object Profiling {
     // so null vs never enter the fold — the madOutliers contract
     val hist = base.groupBy(col("key"), col("v"))
       .agg(count(lit(1)).as("__c"))
+    winsorizeFromHist(base, hist, loBp, hiBp)
+  }
+
+  /** [[winsorize]] with the (key, v, __c) value histogram supplied by
+    * the caller — the shared-census entry point: several histogram-
+    * fold operators over one table can derive their per-key
+    * histograms from ONE materialized census stage instead of each
+    * re-scanning and re-exchanging the table (the `shingle_pairs`
+    * discipline). `hist` must cover exactly `base`'s rows, NULL-v
+    * rows included as (key, NULL) groups.
+    */
+  def winsorizeFromHist(base: DataFrame, hist: DataFrame,
+                        loBp: Int, hiBp: Int): DataFrame = {
+    require(loBp >= 1 && hiBp <= 9999 && loBp < hiBp,
+      s"basis points ($loBp, $hiBp) must satisfy 1 <= lo < hi <= 9999")
     val thr = hist.groupBy("key")
       .agg(sort_array(collect_list(when(col("v").isNotNull,
           struct(col("v"), col("__c"))))).as("__h"),
@@ -246,6 +259,23 @@ object Profiling {
     val hist = side(a, 1, 0).unionAll(side(b, 0, 1))
       .groupBy("key", "v")
       .agg(sum("__a").as("__ca"), sum("__b").as("__cb"))
+    ksDriftFromHist(hist)
+  }
+
+  /** [[ksDrift]] from a caller-supplied merged (key, v, __ca, __cb)
+    * histogram (counts of each distinct value on side a / side b) —
+    * the shared-census entry point (see [[winsorizeFromHist]]).
+    * Absent sides must be 0, not NULL; NULL-v rows are rejected here
+    * (they are not a point on either CDF and would corrupt the
+    * running-CDF window's ordering silently).
+    */
+  def ksDriftFromHist(hist0: DataFrame): DataFrame = {
+    val hist = hist0.select(col("key"),
+      when(col("v").isNull, raise_error(lit(
+        "ksDriftFromHist: NULL value row in the histogram — filter " +
+          "NULL vs out of the census projection first")))
+        .otherwise(col("v")).as("v"),
+      col("__ca"), col("__cb"))
     val w = Window.partitionBy("key").orderBy("v")
     val wAll = Window.partitionBy("key")
     def d(c: Column): Column = c.cast("decimal(38,0)")
@@ -316,7 +346,6 @@ object Profiling {
     */
   def madOutliers(df: DataFrame, key: Column, id: Column, value: Column,
                   mult: Int = 3): DataFrame = {
-    require(mult >= 1 && mult <= 1000, "mult must be in [1, 1000]")
     val base = df.select(key.as("key"), id.as("id"),
       value.cast("long").as("v"))
     // SQL aggregate null semantics (PERCENTILE_DISC ignores NULLs): a
@@ -326,6 +355,19 @@ object Profiling {
     // matching the oracle's WHERE.
     val hist = base.filter(col("v").isNotNull)
       .groupBy(col("key"), col("v")).agg(count(lit(1)).as("__c"))
+    madOutliersFromHist(base, hist, mult)
+  }
+
+  /** [[madOutliers]] with the (key, v, __c) value histogram supplied
+    * by the caller — the shared-census entry point (see
+    * [[winsorizeFromHist]]). NULL-v rows in `hist` are tolerated and
+    * dropped here (a census shared with [[winsorizeFromHist]]
+    * legitimately carries them).
+    */
+  def madOutliersFromHist(base: DataFrame, hist0: DataFrame,
+                          mult: Int = 3): DataFrame = {
+    require(mult >= 1 && mult <= 1000, "mult must be in [1, 1000]")
+    val hist = hist0.filter(col("v").isNotNull)
     // null-safe key equality (<=>) throughout, same first-class-NULL
     // contract as equidepthBins/keySkewProfile above: a NULL-key
     // series computes its own median like any other and must match it

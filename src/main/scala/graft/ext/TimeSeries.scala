@@ -12,10 +12,10 @@ import org.apache.spark.sql.functions._
   * Scale shape: everything partitions on the series key. The grid is
   * generated per key from its own [min, max] span (never a global
   * calendar cross-join), the gap-fill is one keyed window, and the
-  * EWMA folds a per-key sorted array — per-key event counts are the
-  * only bound that matters, and a key whose history can't sit in one
-  * task's memory needs chunked pre-aggregation first (the same
-  * contract as any collect_list).
+  * EWMA folds a per-key sorted array behind an ENFORCED per-key
+  * event cap (see [[ewmaFixed]]) — the one sequential recursion in
+  * the library fails loudly on a key too hot for its buffer instead
+  * of OOMing a task.
   */
 object TimeSeries {
 
@@ -91,24 +91,53 @@ object TimeSeries {
     * `//` (verified: -3 // 2 = -1), so negative values keep all three
     * engines bit-identical; α = 1/2 keeps it a single
     * add-shift per step. Sequential recursions have no closed window
-    * form, so the fold runs over the key's SORTED value array — one
-    * shuffle (the groupBy), per-key memory O(events); `tie` must make
-    * (ts, tie) a total order per key or the collect order is
-    * nondeterministic.
+    * form AND no merge-safe partial state (truncation at every step
+    * means even the tail influence never provably vanishes — a ±1
+    * accumulator difference can persist forever — so a windowed or
+    * mergeable rewrite would change results), leaving the sorted
+    * per-key array fold as the exact form; `tie` must make (ts, tie)
+    * a total order per key or the collect order is nondeterministic.
+    *
+    * The per-key buffer is therefore BOUNDED EXPLICITLY:
+    * `maxEventsPerKey` (default 2²²) is enforced by a count probe
+    * joined BEFORE the collect, so a hot key fails loudly on its
+    * first row — in the scan-join stage, before any row-list buffer
+    * accumulates — instead of OOMing a task at 100× scale. The probe
+    * is one map-side-combinable count on the same key (the
+    * [[linearTrendMicro]] min-probe shape): its exchange
+    * co-partitions with the fold's groupBy, and its state is one
+    * long per key. Keys whose history exceeds the cap need chunked
+    * pre-aggregation or the streaming twin's O(1) incremental state
+    * — semantics the batch fold cannot reproduce exactly, so it
+    * refuses rather than approximates.
     *
     * Returns (key, n_events, ewma_micros).
     */
-  def ewmaFixed(events: DataFrame, tie: Column): DataFrame =
-    events
+  def ewmaFixed(events: DataFrame, tie: Column,
+                maxEventsPerKey: Int = 1 << 22): DataFrame = {
+    require(maxEventsPerKey >= 1, "maxEventsPerKey must be positive")
+    val base = events
       .select(col("key"),
         struct(unix_micros(col("ts")).as("t"), tie.as("tb"),
           expr("cast(floor(value * 1000000) as bigint)").as("v")).as("e"))
+    val counts = base.groupBy("key").agg(count(lit(1)).as("__n"))
+      .withColumnRenamed("key", "__ck")
+    base.join(counts, col("key") <=> col("__ck"))
+      .select(col("key"),
+        when(col("__n") > maxEventsPerKey,
+          raise_error(concat(
+            lit("TimeSeries.ewmaFixed: key "), col("key").cast("string"),
+            lit(s" has "), col("__n").cast("string"),
+            lit(s" events, over the $maxEventsPerKey-event per-key " +
+              "buffer cap; pre-aggregate or use the streaming twin"))))
+          .otherwise(col("e")).as("e"))
       .groupBy("key")
       .agg(sort_array(collect_list(col("e"))).as("es"))
       .select(col("key"), size(col("es")).cast("long").as("n_events"),
         expr("""aggregate(slice(transform(es, e -> e.v), 2, size(es) - 1),
                           es[0].v, (acc, x) -> (acc + x) div 2)""")
           .as("ewma_micros"))
+  }
 
   /** OHLC downsampling: per-(key, bucket) open/high/low/close bars in
     * integer micro-units — the classic time-series compaction

@@ -63,6 +63,41 @@ object I2b2Pipeline {
     "IMPORT_DATE", "SOURCESYSTEM_CD", "VALUETYPE_CD", "M_EXCLUSION_CD",
     "C_PATH", "C_SYMBOL")
 
+  /** R2: last row in file order wins for CODE → (CODE_TEXT, PATH) —
+    * the deduped hierarchy dimension, exposed separately because the
+    * spec-correct F2 mode resolves ancestor names against it and a
+    * caller sharing [[spine]] across both F2 modes wants THIS staged
+    * too (it is the only other input [[fromSpine]] reads).
+    */
+  def hierLastWins(hierarchy: DataFrame): DataFrame =
+    Dedup.lastWins(
+      hierarchy, Seq("CODE"), col("seq"), Seq("CODE_TEXT", "PATH_TO_ROOT"))
+
+  /** The read → last-wins dedup (R2) → left join (R1) → parent-count
+    * join (R3) PREFIX of the pipeline — identical in both F2 modes,
+    * so a caller running spec-correct AND bug-compat outputs (the
+    * migration-audit shape: old and new semantics side by side)
+    * should build this ONCE, stage it, and derive both tables via
+    * [[fromSpine]] instead of paying the joins twice.
+    */
+  def spine(loinc: DataFrame, hierarchy: DataFrame,
+            hierLast: DataFrame): DataFrame = {
+    // R3: parent fan-out counts over ALL hierarchy rows (value_counts
+    // at Angelo_ETL_Task.py:173 runs before any dedup).
+    val parentCounts = hierarchy
+      .filter(col("IMMEDIATE_PARENT").isNotNull)
+      .groupBy(col("IMMEDIATE_PARENT").as("PARENT_CODE"))
+      .agg(count(lit(1)).as("child_count"))
+
+    // R1 (+R2 folded in): the spine is loinc itself — LOINC_NUM is
+    // unique per row, so merged.unique() == loinc (:179).
+    loinc
+      .join(hierLast, loinc("LOINC_NUM") === hierLast("CODE"), "left")
+      .join(parentCounts,
+        loinc("LOINC_NUM") === parentCounts("PARENT_CODE"), "left")
+      .drop("CODE", "PARENT_CODE")
+  }
+
   /** Build the 25-column i2b2 ontology table.
     *
     * @param loinc     LOINC_NUM, COMPONENT, PROPERTY, TIME_ASPCT,
@@ -73,25 +108,16 @@ object I2b2Pipeline {
     */
   def build(loinc: DataFrame, hierarchy: DataFrame,
             cfg: I2b2Config): DataFrame = {
-    // R2: last row in file order wins for CODE -> (CODE_TEXT, PATH).
-    val hierLast = Dedup.lastWins(
-      hierarchy, Seq("CODE"), col("seq"), Seq("CODE_TEXT", "PATH_TO_ROOT"))
+    val hierLast = hierLastWins(hierarchy)
+    fromSpine(spine(loinc, hierarchy, hierLast), hierLast, cfg)
+  }
 
-    // R3: parent fan-out counts over ALL hierarchy rows (value_counts
-    // at Angelo_ETL_Task.py:173 runs before any dedup).
-    val parentCounts = hierarchy
-      .filter(col("IMMEDIATE_PARENT").isNotNull)
-      .groupBy(col("IMMEDIATE_PARENT").as("PARENT_CODE"))
-      .agg(count(lit(1)).as("child_count"))
-
-    // R1 (+R2 folded in): the spine is loinc itself — LOINC_NUM is
-    // unique per row, so merged.unique() == loinc (:179).
-    val joined = loinc
-      .join(hierLast, loinc("LOINC_NUM") === hierLast("CODE"), "left")
-      .join(parentCounts,
-        loinc("LOINC_NUM") === parentCounts("PARENT_CODE"), "left")
-      .drop("CODE", "PARENT_CODE")
-
+  /** The F2-mode-dependent TAIL of the pipeline over a prebuilt
+    * [[spine]] (and the [[hierLastWins]] dimension the spec-correct
+    * name resolution reads) — projection, guards, truncation.
+    */
+  def fromSpine(joined: DataFrame, hierLast: DataFrame,
+                cfg: I2b2Config): DataFrame = {
     val fullname = if (cfg.bugCompatFullname) {
       // Bug-compat: pure higher-order expression, zero extra shuffles.
       Hierarchy.renderPathBugCompat(

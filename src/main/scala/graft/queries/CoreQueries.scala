@@ -151,20 +151,22 @@ object CoreQueries {
     },
 
     // Flagship: the reference's whole transform() as one Spark plan,
-    // spec-correct C_FULLNAME (per-ancestor names).
+    // spec-correct C_FULLNAME (per-ancestor names). The read → dedup
+    // → join prefix is STAGED and shared with the bug-compat twin
+    // below (the two modes differ only in the F2 branch, so paying
+    // the spine twice was the bench's single largest avoidable cost).
     "i2b2_pipeline" -> { (s, dir) =>
-      val part = t(s, dir, "part")
-      I2b2Pipeline.build(
-        LoincShim.loinc(part), LoincShim.hierarchy(part),
+      I2b2Pipeline.fromSpine(ExtensionSupport.i2b2Spine(s, dir),
+        ExtensionSupport.i2b2HierLast(s, dir),
         I2b2Config(runTimestamp = RunTs))
     },
 
     // Reference-bug parity (Angelo_ETL_Task.py:40): leaf name repeated
-    // in every C_FULLNAME segment — zero extra shuffles in this mode.
+    // in every C_FULLNAME segment — zero extra shuffles in this mode;
+    // second consumer of the shared spine stage.
     "i2b2_pipeline_bugcompat" -> { (s, dir) =>
-      val part = t(s, dir, "part")
-      I2b2Pipeline.build(
-        LoincShim.loinc(part), LoincShim.hierarchy(part),
+      I2b2Pipeline.fromSpine(ExtensionSupport.i2b2Spine(s, dir),
+        ExtensionSupport.i2b2HierLast(s, dir),
         I2b2Config(runTimestamp = RunTs, bugCompatFullname = true))
     })
 

@@ -195,6 +195,8 @@ private[queries] object ExtensionSupport {
       timed("pr_graph") { prGraph(s, dir).count() },
       timed("copurchase_edges") { copurchaseEdges(s, dir).count() },
       timed("shingle_pairs") { shinglePairs(s, dir).count() },
+      timed("events_census") { eventsCensus(s, dir).count() },
+      timed("i2b2_spine") { i2b2Spine(s, dir).count() },
       timed("bucketed_layout") { bucketedLayout(s, dir) })
   }
 
@@ -207,7 +209,8 @@ private[queries] object ExtensionSupport {
     */
   private[graft] def evictStages(s: SparkSession, dir: String): Unit = {
     Seq("cc_labels", "pq_codebook", "pq_codes", "bpe_merges",
-      "bm25_top20", "pr_graph", "copurchase_edges", "shingle_pairs")
+      "bm25_top20", "pr_graph", "copurchase_edges", "shingle_pairs",
+      "events_census", "i2b2_spine", "i2b2_hier_last")
       .foreach(stage => Stages.evict(s, s"$dir|$stage"))
     // next bucketedLayout call re-writes the tables (rebuild timing)
     bucketedWritten.remove(s"${s.sparkContext.applicationId}|$dir|bucketed")
@@ -225,6 +228,54 @@ private[queries] object ExtensionSupport {
       DedupOps.pairIntersections(docs(s, dir), Seq("lang", "source"),
         col("doc_id"), TextAnalysis.shingleHashes(col("text"), 2),
         maxDf = 64)
+    }
+
+  /** The i2b2 read → last-wins dedup → join prefix, staged once and
+    * consumed by BOTH F2 modes (`i2b2_pipeline` and its bug-compat
+    * twin differ only in the fullname branch — the spine is
+    * byte-identical, so each query paying its own dedup + two joins
+    * was pure duplicated work).
+    */
+  private[queries] def i2b2Spine(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "i2b2_spine", fpFile = "part.parquet") {
+      val part = t(s, dir, "part")
+      graft.pipeline.I2b2Pipeline.spine(
+        LoincShim.loinc(part), LoincShim.hierarchy(part),
+        i2b2HierLast(s, dir))
+    }
+
+  /** The last-wins-deduped hierarchy dimension (spec-correct F2
+    * resolves ancestor names against it) — staged alongside
+    * [[i2b2Spine]].
+    */
+  private[queries] def i2b2HierLast(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "i2b2_hier_last", fpFile = "part.parquet") {
+      graft.pipeline.I2b2Pipeline.hierLastWins(
+        LoincShim.hierarchy(t(s, dir, "part")))
+    }
+
+  /** The drift-split date shared by the census and the KS query. */
+  private[queries] val CensusCut = "2024-01-15"
+
+  /** The (user_id, event_type, late, centi-value) → count CENSUS of
+    * the events table — ONE scan + one exchange feeding the whole
+    * histogram-fold family: `ts_anomaly` (median/MAD per user),
+    * `feat_winsorize` (percentile bands per type) and
+    * `stats_drift_ks` (per-type split CDFs) each derive their own
+    * per-key histogram from this stage with a cheap re-aggregation
+    * of the ALREADY-COUNTED census instead of re-scanning and
+    * re-exchanging the raw events. `late` carries the drift split
+    * ([[CensusCut]]); NULL values stay as (key, NULL) rows (the
+    * winsorize contract — consumers that must not see them filter).
+    */
+  private[queries] def eventsCensus(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "events_census", fpFile = "events.parquet") {
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          (to_date(col("ts")) >= lit(CensusCut).cast("date")).as("late"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .groupBy("user_id", "event_type", "late", "v")
+        .agg(count(lit(1)).as("c"))
     }
 
   /** Support-≥2 co-purchase edges (canonical u < v) — like

@@ -133,13 +133,18 @@ private[queries] object GraphTimeQueries {
 
     // Per-type winsorization of the metric stream: clamp each event's
     // centi-value into its type's exact [p05, p95] PERCENTILE_DISC
-    // band — heavy-tail feature scaling from ONE bounded histogram
-    // fold per key, thresholds broadcast back map-side, no ranking
-    // window.
+    // band — heavy-tail feature scaling with the per-key histogram
+    // derived from the SHARED events_census stage (one counted
+    // census, three consumers), thresholds broadcast back map-side,
+    // no ranking window.
     "feat_winsorize" -> { (s, dir) =>
-      Profiling.winsorize(t(s, dir, "events"), key = col("event_type"),
-        id = col("event_id"), value = floor(col("value") * 100),
-        loBp = 500, hiBp = 9500)
+      val base = t(s, dir, "events").select(
+        col("event_type").as("key"), col("event_id").as("id"),
+        floor(col("value") * 100).cast("long").as("v"))
+      val hist = eventsCensus(s, dir)
+        .groupBy(col("event_type").as("key"), col("v"))
+        .agg(sum("c").as("__c"))
+      Profiling.winsorizeFromHist(base, hist, loBp = 500, hiBp = 9500)
         .select(col("id").as("event_id"), col("key").as("event_type"),
           col("v"), col("lo"), col("hi"), col("v_wins"))
     },
@@ -270,10 +275,13 @@ private[queries] object GraphTimeQueries {
     // window, a hot user costs its distinct-value census not its row
     // list.
     "ts_anomaly" -> { (s, dir) =>
-      Profiling.madOutliers(
-        t(s, dir, "events"), key = col("user_id"),
-        id = col("event_id"), value = floor(col("value") * 100),
-        mult = 3)
+      val base = t(s, dir, "events").select(
+        col("user_id").as("key"), col("event_id").as("id"),
+        floor(col("value") * 100).cast("long").as("v"))
+      val hist = eventsCensus(s, dir)
+        .groupBy(col("user_id").as("key"), col("v"))
+        .agg(sum("c").as("__c"))
+      Profiling.madOutliersFromHist(base, hist, mult = 3)
         .select(col("id").as("event_id"), col("key").as("user_id"),
           col("v"), col("med"), col("dev"), col("mad"))
     },
@@ -311,12 +319,12 @@ private[queries] object GraphTimeQueries {
     // unpartitioned-window ban holds). The train-vs-serve drift
     // monitor.
     "stats_drift_ks" -> { (s, dir) =>
-      val e = t(s, dir, "events")
-      val cut = lit("2024-01-15").cast("date")
-      Profiling.ksDrift(
-        e.filter(to_date(col("ts")) < cut),
-        e.filter(to_date(col("ts")) >= cut),
-        key = col("event_type"), value = floor(col("value") * 100))
+      val hist = eventsCensus(s, dir)
+        .filter(col("v").isNotNull)
+        .groupBy(col("event_type").as("key"), col("v"))
+        .agg(sum(when(!col("late"), col("c")).otherwise(0L)).as("__ca"),
+          sum(when(col("late"), col("c")).otherwise(0L)).as("__cb"))
+      Profiling.ksDriftFromHist(hist)
         .select(col("key").as("event_type"), col("n_a"), col("n_b"),
           col("ks_ppm"))
     },

@@ -364,6 +364,34 @@ class GraphTimeSeriesSpec extends SparkSpec {
     assert(got === ((5L, 5L, expect)))
   }
 
+  test("ewmaFixed enforces the per-key buffer cap loudly: a hot key " +
+      "raises with its key and count before any row-list accumulates; " +
+      "keys at the cap still fold exactly") {
+    val base = ts("2024-01-01 00:00:00").getTime
+    // key 1 is hot (8 events), key 2 is cool (3) — cap at 4
+    val rows = (0 until 8).map(i =>
+      (1L, new Timestamp(base + i * 1000L), i.toDouble, i.toLong)) ++
+      (0 until 3).map(i =>
+        (2L, new Timestamp(base + i * 1000L), i.toDouble, i.toLong))
+    val events = rows.toDF("key", "ts", "value", "event_id")
+    val e = intercept[Exception] {
+      TimeSeries.ewmaFixed(events, tie = col("event_id"),
+        maxEventsPerKey = 4).collect()
+    }
+    assert(e.getMessage.contains("ewmaFixed: key 1 has 8 events"))
+    // at exactly the cap everything still folds, bit-identically to
+    // the uncapped default
+    val cool = events.filter(col("key") === 2L ||
+      (col("key") === 1L && col("event_id") < 4))
+    val capped = TimeSeries.ewmaFixed(cool, tie = col("event_id"),
+        maxEventsPerKey = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    val default = TimeSeries.ewmaFixed(cool, tie = col("event_id"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped === default)
+    assert(capped.map(_._1) === Set(1L, 2L))
+  }
+
   test("ohlcBars: one bar per (key, bucket); open/close follow the " +
       "(ts, tie) total order even on tied timestamps; micro sums " +
       "exact; negative values FLOOR to micros") {
