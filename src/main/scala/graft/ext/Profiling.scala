@@ -295,35 +295,23 @@ object Profiling {
           .as("ks_ppm"))
   }
 
-  /** Exact per-`key` PERCENTILE_DISC(0.5) of long column `v` via the
-    * same bounded (value, count) histogram fold [[equidepthBins]]
-    * runs — med = the largest value whose strictly-below count is
-    * < n/2, which IS the PERCENTILE_DISC(0.5) element (smallest value
-    * with cume_dist ≥ 0.5; verified equivalent against DuckDB on
-    * even, odd, and two-element groups). The histogram is bounded by
-    * the value DOMAIN, not the row count, so a hot key folds a small
-    * sorted array no matter how many events it carries.
+  /** Exact PERCENTILE_DISC(0.5) over a SORTED (v, __c) histogram
+    * array column — med = the largest value whose strictly-below
+    * count is < n/2, which IS the PERCENTILE_DISC(0.5) element
+    * (smallest value with cume_dist ≥ 0.5; verified equivalent
+    * against DuckDB on even, odd, and two-element groups). Duplicate
+    * adjacent values fold identically to a merged entry (the running
+    * count passes the n/2 threshold at the same element), which is
+    * what lets MAD's deviation histogram reuse this WITHOUT
+    * re-grouping equal deviations first. Expects `__n` (Σ __c) in
+    * scope.
     */
-  /** PERCENTILE_DISC(0.5) per key from a pre-counted (key, v, __c)
-    * histogram — med = the largest value whose strictly-below count
-    * is < n/2 (the PERCENTILE_DISC element; verified vs DuckDB on
-    * even, odd, and two-element groups). Fed a histogram rather than
-    * rows so a SECOND median (MAD's) can fold from the first
-    * histogram's transform instead of re-scanning the table.
-    */
-  private def discMedianFromHist(hist: DataFrame,
-                                 out: String): DataFrame =
-    hist.groupBy("key")
-      .agg(sort_array(collect_list(struct(col("v"), col("__c"))))
-          .as("__h"),
-        sum("__c").as("__n"))
-      .select(col("key"), expr(
-        """aggregate(__h,
-          |  named_struct('run', 0L, 'th', cast(null as bigint)),
-          |  (acc, x) -> named_struct(
-          |    'run', acc.run + x.__c,
-          |    'th', if(acc.run * 2 < __n, x.v, acc.th))).th"""
-          .stripMargin).as(out))
+  private def medianOfSortedHist(arr: String): String =
+    s"""aggregate($arr,
+       |  named_struct('run', 0L, 'th', cast(null as bigint)),
+       |  (acc, x) -> named_struct(
+       |    'run', acc.run + x.__c,
+       |    'th', if(acc.run * 2 < __n, x.v, acc.th))).th""".stripMargin
 
   /** Robust per-key outlier detection — median/MAD (median absolute
     * deviation), the estimator monitoring pipelines use instead of
@@ -333,11 +321,12 @@ object Profiling {
     * (`value` must already be integer-scaled, e.g. centi-units), so
     * the flag set is bit-identical on any engine.
     *
-    * Scale shape: two bounded histogram aggregations per key (the
-    * [[discMedian]] fold — per-task state is the key's distinct-value
-    * census, never its row list) and two equi-joins, everything keyed
-    * on `key` so the exchanges are plain hash partitions; no window,
-    * no driver collect. MAD = 0 (over half the key's mass on one
+    * Scale shape: ONE bounded histogram aggregation per key (per-task
+    * state is the key's distinct-value census, never its row list) —
+    * MAD's median folds from an in-row array transform of the value
+    * histogram — plus one equi-join of the tiny stats row back onto
+    * the rows; no window, no driver collect. MAD = 0 (over half the
+    * key's mass on one
     * value) degenerates to "flag anything off the median", the
     * standard MAD caveat — callers on near-constant streams should
     * pre-filter or raise `mult`.
@@ -368,25 +357,28 @@ object Profiling {
                           mult: Int = 3): DataFrame = {
     require(mult >= 1 && mult <= 1000, "mult must be in [1, 1000]")
     val hist = hist0.filter(col("v").isNotNull)
-    // null-safe key equality (<=>) throughout, same first-class-NULL
-    // contract as equidepthBins/keySkewProfile above: a NULL-key
-    // series computes its own median like any other and must match it
-    // back — a plain equi-join's three-valued NULL = NULL would
-    // silently exempt null-key rows from monitoring.
-    val med = discMedianFromHist(hist, "med")
-      .withColumnRenamed("key", "__mk")
-    // MAD's median folds from the VALUE histogram, not the rows: dev
-    // counts are sums of value counts mapping to the same |v − med|,
-    // so the table is scanned once for the histogram and once for the
-    // final flags — never a third time.
-    val devHist = hist.join(med, col("key") <=> col("__mk"))
-      .select(col("key"), abs(col("v") - col("med")).as("v"),
-        col("__c"))
-      .groupBy("key", "v").agg(sum("__c").as("__c"))
-    val stats = med.join(
-      discMedianFromHist(devHist, "mad")
-        .withColumnRenamed("key", "__mk2"),
-      col("__mk") <=> col("__mk2")).drop("__mk2")
+    // ONE aggregation computes BOTH medians: the deviation histogram
+    // is a pure array transform of the value histogram (|v − med|
+    // per entry, counts carried), re-sorted in place — adjacent
+    // duplicate deviations fold correctly (see medianOfSortedHist) —
+    // so MAD never pays a second shuffle or a histogram-to-histogram
+    // join. Per-key state stays the distinct-value census.
+    val stats = hist.groupBy("key")
+      .agg(sort_array(collect_list(struct(col("v"), col("__c"))))
+          .as("__h"),
+        sum("__c").as("__n"))
+      .withColumn("med", expr(medianOfSortedHist("__h")))
+      .withColumn("__hd", expr(
+        """array_sort(transform(__h,
+          |  x -> named_struct('v', abs(x.v - med), '__c', x.__c)))"""
+          .stripMargin))
+      .withColumn("mad", expr(medianOfSortedHist("__hd")))
+      .select(col("key").as("__mk"), col("med"), col("mad"))
+    // null-safe key equality (<=>), same first-class-NULL contract as
+    // equidepthBins/keySkewProfile above: a NULL-key series computes
+    // its own median like any other and must match it back — a plain
+    // equi-join's three-valued NULL = NULL would silently exempt
+    // null-key rows from monitoring.
     base.join(stats, col("key") <=> col("__mk")).drop("__mk")
       .withColumn("dev", abs(col("v") - col("med")))
       .filter(col("dev") > lit(mult.toLong) * col("mad"))

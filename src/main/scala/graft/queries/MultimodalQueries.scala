@@ -186,8 +186,20 @@ private[queries] object MultimodalQueries {
         .mapPartitions { ids =>
           ids.map { id =>
             val grp = id / 5
+            // multiplied-then-middle-bits mixing, not a linear ramp:
+            // a gradient raster makes EVERY group a near-dup of its
+            // neighbors (723k pairs at sf0.1 — a detector fixture
+            // where 14% of images collide proves nothing); mid-bit
+            // extraction decorrelates groups so clusters stay
+            // group-local, while remaining a DuckDB closed form
+            // (products stay under 2^63)
+            // h reduces mod 2^16 BEFORE the Knuth multiply so the
+            // product stays far under 2^63 for ANY doc id — Scala
+            // wraps silently where DuckDB BIGINT errors, so the
+            // closed form must never rely on overflow
             val v = (x: Int, y: Int) => {
-              val g = ((grp * 37 + x * 17 + y * 29) % 256).toInt
+              val h = (grp * 7919 + x * 151 + y * 211) % 65536
+              val g = ((h * 2654435761L / 1024) % 256).toInt
               (g << 16) | (g << 8) | g
             }
             val bytes =
@@ -213,8 +225,12 @@ private[queries] object MultimodalQueries {
         .mapPartitions { ids =>
           ids.map { id =>
             val grp = id / 5
-            val samples = Array.tabulate(120)(t =>
-              ((grp * 31 + t * 7) % 512).toInt - 256)
+            // same mid-bit mixing as the image fixture: periodic
+            // ramps make every group a near-dup of every other
+            val samples = Array.tabulate(120) { t =>
+              val h = (grp * 7919 + t * 101) % 65536
+              ((h * 2654435761L / 1024) % 512).toInt - 256
+            }
             (id, WavEncoder.pcm16(samples))
           }
         }.toDF("doc_id", "blob")
@@ -265,7 +281,8 @@ private[queries] object MultimodalQueries {
     "mm_ahash_pairs" ->
       """WITH g AS (SELECT doc_id, doc_id // 5 AS grp FROM documents),
         |pix AS (SELECT doc_id, y.y * 10 + x.x AS i,
-        |    (grp * 37 + x.x * 17 + y.y * 29) % 256 AS p
+        |    (((grp * 7919 + x.x * 151 + y.y * 211) % 65536)
+        |     * 2654435761 // 1024) % 256 AS p
         |  FROM g,
         |    LATERAL (SELECT unnest(range(0, 10)) AS x) x,
         |    LATERAL (SELECT unnest(range(0, 6)) AS y) y),
@@ -293,7 +310,8 @@ private[queries] object MultimodalQueries {
     "mm_audio_fingerprint" ->
       """WITH g AS (SELECT doc_id, doc_id // 5 AS grp FROM documents),
         |s AS (SELECT doc_id, t.t AS t,
-        |    abs((grp * 31 + t.t * 7) % 512 - 256) AS a
+        |    abs((((grp * 7919 + t.t * 101) % 65536)
+        |         * 2654435761 // 1024) % 512 - 256) AS a
         |  FROM g, LATERAL (SELECT unnest(range(0, 120)) AS t) t),
         |w AS (SELECT doc_id, CAST(t // 2 AS INT) AS wi, sum(a) AS e
         |  FROM s GROUP BY 1, 2),
