@@ -198,21 +198,27 @@ object AudioHeader {
     if (b.length < 12 || !ascii(b, 0, "RIFF") || !ascii(b, 8, "WAVE"))
       return None
     var i = 12L
-    var fmt: Option[(Int, Int, Int, Int)] = None
+    var fmt: Option[(Int, Int, Int, Int, Int)] = None
     var data: Option[(Int, Long)] = None // (offset, size)
     while (i + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
       val at = i.toInt
       val size = le32(b, at + 4)
       if (ascii(b, at, "fmt ") && size >= 16 && i + 24 <= b.length)
-        fmt = Some((le16(b, at + 10), le32(b, at + 12).toInt,
-          le16(b, at + 22), le16(b, at + 20)))
+        fmt = Some((le16(b, at + 8), le16(b, at + 10),
+          le32(b, at + 12).toInt, le16(b, at + 22), le16(b, at + 20)))
       if (ascii(b, at, "data")) data = Some((at + 8, size))
       i += 8 + size + (size & 1)
     }
+    // the audioFormat TAG gates the yield, not just bits==16: a
+    // compressed coding declaring 16 bits per sample (e.g. ADPCM
+    // variants) must return None, not be fingerprinted as if its
+    // bytes were linear PCM. 1 = PCM; 0xFFFE = WAVE_FORMAT_EXTENSIBLE,
+    // whose integer-PCM subformat is the common >2-channel container.
     for {
-      (_, rate, bits, blockAlign) <- fmt
+      (tag, _, rate, bits, blockAlign) <- fmt
       (off, size) <- data
-      if bits == 16 && blockAlign >= 2 && rate > 0
+      if (tag == 1 || tag == 0xFFFE) &&
+        bits == 16 && blockAlign >= 2 && rate > 0
     } yield {
       if (off + size > b.length)
         throw new IllegalArgumentException(

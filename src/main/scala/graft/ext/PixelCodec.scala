@@ -96,7 +96,11 @@ object PixelDecoder {
     while (!sawEnd) {
       if (i + 8 > b.length) fail("PNG: truncated chunk header")
       val len = be32(b, i)
-      if (len > Int.MaxValue - 12 || i + 12 + len.toInt > b.length)
+      // bounds compare in Long: a len near Int.MaxValue-12 passes the
+      // first guard, and Int addition with a nonzero i would wrap
+      // negative and sneak past — surfacing as an AIOOBE from
+      // CRC32.update instead of this contractual message
+      if (len > Int.MaxValue - 12 || i.toLong + 12 + len > b.length)
         fail(s"PNG: chunk length $len overruns the payload")
       val n = len.toInt
       val typ = new String(b, i + 4, 4, "US-ASCII")
@@ -198,6 +202,14 @@ object PixelDecoder {
           }
         if (n == 0 && inf.needsInput())
           fail("PNG: zlib stream ended before the raster was complete")
+        // no-progress guard: a zlib header with FDICT set makes
+        // inflate() return 0 with needsDictionary()=true and
+        // needsInput()=false forever — without this branch a crafted
+        // PNG HANGS the executor task instead of failing loudly
+        // (PNG forbids preset dictionaries, RFC 2083 §2.3)
+        if (n == 0 && !inf.finished())
+          fail("PNG: zlib stream stalled (preset dictionary or " +
+            "zero-progress inflate) — not a valid PNG datastream")
         off += n
       }
       // drain to confirm the stream ends exactly at the raster edge

@@ -363,25 +363,53 @@ object Profiling {
     // duplicate deviations fold correctly (see medianOfSortedHist) —
     // so MAD never pays a second shuffle or a histogram-to-histogram
     // join. Per-key state stays the distinct-value census.
+    //
+    // INLINING TRAP (r10 regression, do not reintroduce): binding the
+    // first median with `withColumn("med", <fold>)` and referencing
+    // `med` inside the deviation-histogram transform lets
+    // CollapseProject inline the O(d) interpreted fold INTO the
+    // lambda body, re-executing it PER ARRAY ELEMENT — O(d²) per key
+    // (measured 0.89 s → 2.46 s at sf0.1; ruinous at a 10⁴-distinct
+    // value domain). The `transform(array(<med fold>), med -> …)[0]`
+    // shape below is a let-binding: Catalyst has no rule that peels a
+    // single-element transform, so the median fold is evaluated
+    // exactly once per row and `med` is a true lambda variable in the
+    // MAD fold. Same idiom as the aHash signature pass (commit
+    // dbf0167); PlanSpec pins this row's runtime-shape.
+    val madFold = medianOfSortedHist(
+      """array_sort(transform(__h,
+        |      x -> named_struct('v', abs(x.v - med), '__c', x.__c)))"""
+        .stripMargin)
     val stats = hist.groupBy("key")
       .agg(sort_array(collect_list(struct(col("v"), col("__c"))))
           .as("__h"),
         sum("__c").as("__n"))
-      .withColumn("med", expr(medianOfSortedHist("__h")))
-      .withColumn("__hd", expr(
-        """array_sort(transform(__h,
-          |  x -> named_struct('v', abs(x.v - med), '__c', x.__c)))"""
-          .stripMargin))
-      .withColumn("mad", expr(medianOfSortedHist("__hd")))
-      .select(col("key").as("__mk"), col("med"), col("mad"))
+      .select(col("key").as("__mk"), expr(
+        s"""transform(array(${medianOfSortedHist("__h")}),
+           |  med -> named_struct('med', med, 'mad', $madFold))[0]"""
+          .stripMargin).as("__s"))
+      .select(col("__mk"), col("__s.med").as("med"),
+        col("__s.mad").as("mad"))
     // null-safe key equality (<=>), same first-class-NULL contract as
     // equidepthBins/keySkewProfile above: a NULL-key series computes
     // its own median like any other and must match it back — a plain
     // equi-join's three-valued NULL = NULL would silently exempt
-    // null-key rows from monitoring.
-    base.join(stats, col("key") <=> col("__mk")).drop("__mk")
+    // null-key rows from monitoring. stats is one tiny row per key —
+    // broadcast explicitly (the winsorizeFromHist:127 discipline) so
+    // the join can never degrade to a sort-merge shuffle of the full
+    // event table when size estimates go opaque behind the aggregate.
+    base.join(broadcast(stats), col("key") <=> col("__mk")).drop("__mk")
       .withColumn("dev", abs(col("v") - col("med")))
-      .filter(col("dev") > lit(mult.toLong) * col("mad"))
+      // coalesce(…, false) is semantically identical for this filter
+      // (NULL dev/mad must not flag) but BLOCKS constraint
+      // propagation from inferring isnotnull(med)/isnotnull(mad) —
+      // without it, InferFiltersFromConstraints pushes those below
+      // the stats projection re-expressed as the FULL double-fold
+      // transform, evaluating the interpreted folds 3× per key
+      // (one per isnotnull + the projection itself; measured
+      // 0.28 s → 0.84 s at sf0.1)
+      .filter(coalesce(col("dev") > lit(mult.toLong) * col("mad"),
+        lit(false)))
       .select("id", "key", "v", "med", "dev", "mad")
   }
 }

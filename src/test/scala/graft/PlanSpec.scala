@@ -85,6 +85,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("l_shipdate") && !p.contains("l_comment"))
   }
 
+  test("ts_anomaly: the interpreted median/MAD folds evaluate exactly " +
+      "once per key — no CollapseProject inlining into the deviation " +
+      "lambda (O(d²), the r10 regression) and no " +
+      "InferFiltersFromConstraints re-evaluation in a pushed filter") {
+    val p = plan("ts_anomaly")
+    // the two folds (median + MAD) print one `aggregate(` HOF each in
+    // the single stats projection; the r10 O(d²) shape nested the med
+    // fold INSIDE the transform lambda (still 2 occurrences — guarded
+    // by the let-binding assertion below), and the inferred-isnotnull
+    // shape re-printed both folds per isnotnull (6+ occurrences)
+    val folds = "aggregate\\(__h".r.findAllIn(p).size +
+      "aggregate\\(array_sort".r.findAllIn(p).size
+    assert(folds <= 2, s"median/MAD folds appear $folds times in the " +
+      s"physical plan — a fold is being re-evaluated (inlining or " +
+      s"inferred-filter pushdown regression)")
+    // let-binding shape: med must be a lambda variable of a
+    // single-element transform, never a projected alias the optimizer
+    // can inline into the deviation lambda
+    assert(p.contains("transform(array(aggregate(__h"),
+      "median not let-bound via transform(array(<fold>), med -> …)")
+    // stats joins back broadcast — never a sort-merge shuffle of the
+    // full event table (winsorizeFromHist:127 discipline)
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
+  }
+
   test("r1_left_join runs inside WholeStageCodegen") {
     // '*(n)' prefixes mark codegen stages in the final plan rendering
     assert(finalPlan("r1_left_join").contains("*("))
