@@ -301,7 +301,7 @@ object Multimodal {
           val fmt = ImageHeader.parse(bytes).map(_._1).getOrElse("raw")
           val p = PixelDecoder.decode(bytes).getOrElse(
             throw new IllegalArgumentException(
-              s"decodePixels: doc $id is not a decodable PNG/BMP " +
+              s"decodePixels: doc $id is not a decodable PNG/BMP/GIF " +
                 s"(container format: $fmt)"))
           var sum = 0L
           var mn = 255

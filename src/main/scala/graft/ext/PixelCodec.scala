@@ -7,30 +7,40 @@ package graft.ext
   */
 final case class Pixels(width: Int, height: Int, gray: Array[Int])
 
-/** Pure-JVM PIXEL decoding for the public PNG and BMP formats — the
-  * real decode stage behind perceptual hashing, replacing the former
-  * md5-grid stand-in for payloads that really are images. No codec
-  * dependency: PNG is `java.util.zip.Inflater` (the IDAT zlib
+/** Pure-JVM PIXEL decoding for the public PNG, BMP and GIF formats —
+  * the real decode stage behind perceptual hashing, replacing the
+  * former md5-grid stand-in for payloads that really are images. No
+  * codec dependency: PNG is `java.util.zip.Inflater` (the IDAT zlib
   * stream) plus the five-filter scanline reconstruction of RFC 2083
-  * §6, and BMP rows are raw bytes at a 4-byte-aligned stride.
+  * §6, BMP rows are raw bytes at a 4-byte-aligned stride, and GIF is
+  * a from-scratch variable-width LZW decoder (GIF89a spec §22 /
+  * Welch 1984) over the palette.
   *
-  * Coverage is the uncompressed/deflate subset a fixture- and
-  * thumbnail-scale pipeline needs, decoded COMPLETELY correctly:
+  * Coverage is the subset a fixture- and thumbnail-scale pipeline
+  * needs, decoded COMPLETELY correctly:
   *   - PNG: bit depth 8, color types 0 (grayscale), 2 (truecolor)
   *     and 6 (truecolor+alpha, alpha ignored for gray), non-
   *     interlaced, any mix of filters 0–4, multi-IDAT, chunk CRCs
   *     verified.
   *   - BMP: BITMAPINFOHEADER-family, 24-bit, BI_RGB (uncompressed),
   *     bottom-up and top-down row orders.
+  *   - GIF: 87a/89a, FIRST image frame, non-interlaced, global or
+  *     local color table, any LZW code size, extensions skipped;
+  *     palette RGB reduces through the same integer luma. (First
+  *     frame only: an animation's later frames can be partial
+  *     deltas whose composition needs disposal-method state — out
+  *     of perceptual-hash scope; frame COUNT comes from the header
+  *     walk in [[ImageHeader]].)
   *
   * Error contract (the [[graft.sources.WarcSource]] loud-failure
   * discipline): [[PixelDecoder.decode]] returns None only for "not a
-  * format this decoder owns" (wrong magic, or a PNG/BMP variant
-  * outside the subset above — interlaced, paletted, 16-bit, RLE);
+  * format this decoder owns" (wrong magic, or a variant outside the
+  * subset above — interlaced, paletted PNG, 16-bit, RLE);
   * a payload that CLAIMS to be a supported image but is structurally
-  * broken (bad chunk CRC, short IDAT, truncated rows, bad zlib data)
-  * throws with what was wrong — a silently-skipped image is corpus
-  * loss, and a silently-wrong pixel is worse.
+  * broken (bad chunk CRC, short IDAT, truncated rows, bad zlib data,
+  * an LZW code beyond the table, missing trailer) throws with what
+  * was wrong — a silently-skipped image is corpus loss, and a
+  * silently-wrong pixel is worse.
   *
   * Scale shape: decode runs per row inside `mapPartitions` (see
   * [[Multimodal]]) — embarrassingly parallel, no shuffle, memory
@@ -51,6 +61,7 @@ object PixelDecoder {
   def decode(bytes: Array[Byte]): Option[Pixels] =
     if (isPng(bytes)) decodePng(bytes)
     else if (isBmp(bytes)) decodeBmp(bytes)
+    else if (isGif(bytes)) decodeGif(bytes)
     else None
 
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
@@ -76,6 +87,10 @@ object PixelDecoder {
 
   private def isBmp(b: Array[Byte]): Boolean =
     b.length >= 2 && b(0) == 'B' && b(1) == 'M'
+
+  private def isGif(b: Array[Byte]): Boolean =
+    b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a'
 
   // -- PNG ------------------------------------------------------------
 
@@ -257,6 +272,167 @@ object PixelDecoder {
     }
     Some(Pixels(w, h, out))
   }
+
+  // -- GIF ------------------------------------------------------------
+
+  private def decodeGif(b: Array[Byte]): Option[Pixels] = {
+    // logical screen descriptor (GIF89a spec §18)
+    if (b.length < 13) fail("GIF: truncated screen descriptor")
+    var i = 6
+    val packed0 = u8(b, i + 4)
+    i += 7
+    var gct: Array[Int] = null // packed 0xRRGGBB palette
+    if ((packed0 & 0x80) != 0) {
+      val n = 1 << ((packed0 & 7) + 1)
+      if (i + 3 * n > b.length) fail("GIF: truncated global color table")
+      gct = Array.tabulate(n)(k =>
+        (u8(b, i + 3 * k) << 16) | (u8(b, i + 3 * k + 1) << 8) |
+          u8(b, i + 3 * k + 2))
+      i += 3 * n
+    }
+    // block walk to the FIRST image descriptor (§20); extensions are
+    // label + data sub-blocks, skipped whole
+    while (true) {
+      if (i >= b.length) fail("GIF: no image descriptor before EOF")
+      u8(b, i) match {
+        case 0x3b => return None // trailer before any image: no raster
+        case 0x21 =>
+          i += 2 // introducer + label
+          while ({
+            if (i >= b.length) fail("GIF: truncated extension block")
+            val n = u8(b, i); i += 1 + n; n != 0
+          }) ()
+        case 0x2c =>
+          if (i + 10 > b.length) fail("GIF: truncated image descriptor")
+          val w = le16(b, i + 5)
+          val h = le16(b, i + 7)
+          val packed = u8(b, i + 9)
+          i += 10
+          if ((packed & 0x40) != 0) return None // interlaced: subset edge
+          var pal = gct
+          if ((packed & 0x80) != 0) {
+            val n = 1 << ((packed & 7) + 1)
+            if (i + 3 * n > b.length) fail("GIF: truncated local color table")
+            pal = Array.tabulate(n)(k =>
+              (u8(b, i + 3 * k) << 16) | (u8(b, i + 3 * k + 1) << 8) |
+                u8(b, i + 3 * k + 2))
+            i += 3 * n
+          }
+          if (pal == null) fail("GIF: image has neither global nor " +
+            "local color table")
+          if (w <= 0 || h <= 0) fail(s"GIF: bad frame dimensions ${w}x$h")
+          if (w.toLong * h > MaxPixels)
+            fail(s"GIF: ${w}x$h exceeds the $MaxPixels-pixel decode cap")
+          val idx = lzwDecode(b, i, w * h)
+          val out = new Array[Int](w * h)
+          var k = 0
+          while (k < out.length) {
+            val e = idx(k)
+            if (e >= pal.length)
+              fail(s"GIF: pixel index $e beyond the ${pal.length}-entry " +
+                "color table")
+            val p = pal(e)
+            out(k) = luma((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+            k += 1
+          }
+          return Some(Pixels(w, h, out))
+        case other => fail(f"GIF: unknown block introducer 0x$other%02x")
+      }
+    }
+    None // unreachable
+  }
+
+  /** Variable-width GIF LZW (§22, Welch 1984): codes LSB-first across
+    * the concatenated data sub-blocks; CLEAR resets the table, the
+    * KwKwK case (code == next unassigned) emits prev + prev.head.
+    * Decodes EXACTLY `nPixels` indices, then requires the stream to
+    * end (EOI or clean sub-block terminator) — excess pixel data on a
+    * declared raster is corruption, not padding.
+    */
+  private def lzwDecode(b: Array[Byte], start: Int,
+                        nPixels: Int): Array[Int] = {
+    if (start >= b.length) fail("GIF: missing LZW minimum code size")
+    val minCode = u8(b, start)
+    if (minCode < 2 || minCode > 8) fail(s"GIF: LZW code size $minCode")
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    // table as parent-pointer forest; suffix(c) is the code's last
+    // byte, prefix(c) its parent (|chain| ≤ 4096, spec table cap)
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Int](4096)
+    var next = eoi + 1
+    var width = minCode + 1
+    var i = start + 1 // byte cursor
+    var sub = 0 // bytes left in the current data sub-block
+    var acc = 0L // LSB-first bit accumulator
+    var nBits = 0
+    var prev = -1
+    val out = new Array[Int](nPixels)
+    var produced = 0
+    val stack = new Array[Int](4096)
+    def readCode(): Int = {
+      while (nBits < width) {
+        if (sub == 0) {
+          if (i >= b.length) fail("GIF: LZW stream truncated")
+          sub = u8(b, i); i += 1
+          if (sub == 0) fail("GIF: LZW stream ended before the raster " +
+            "was complete")
+        }
+        if (i >= b.length) fail("GIF: LZW sub-block overruns the payload")
+        acc |= u8(b, i).toLong << nBits
+        nBits += 8; i += 1; sub -= 1
+      }
+      val c = (acc & ((1 << width) - 1)).toInt
+      acc >>>= width; nBits -= width
+      c
+    }
+    while (produced < nPixels) {
+      val code = readCode()
+      if (code == clear) {
+        next = eoi + 1; width = minCode + 1; prev = -1
+      } else if (code == eoi) {
+        fail(s"GIF: EOI after $produced of $nPixels pixels")
+      } else {
+        if (code > next || (code == next && prev < 0))
+          fail(s"GIF: LZW code $code beyond the $next-entry table")
+        var sp = 0
+        var c = code
+        val kwkwk = code == next
+        if (kwkwk) { // string(prev) + first(string(prev))
+          stack(sp) = -1; sp += 1 // placeholder, patched to root below
+          c = prev
+        }
+        while (c >= clear + 2) { // walk the chain down to a root
+          stack(sp) = suffix(c); sp += 1; c = prefix(c)
+        }
+        val root = c // literal < clear
+        if (kwkwk) stack(0) = root
+        out(produced) = root; produced += 1
+        var j = sp - 1
+        while (j >= 0) {
+          if (produced >= nPixels)
+            fail("GIF: LZW output overruns the declared raster")
+          out(produced) = stack(j); produced += 1
+          j -= 1
+        }
+        if (prev >= 0 && next < 4096) {
+          prefix(next) = prev; suffix(next) = root
+          next += 1
+          if (next == (1 << width) && width < 12) width += 1
+        }
+        prev = code
+      }
+    }
+    // the raster is complete: the stream must close with EOI (after
+    // which the sub-block terminator follows) — anything else is a
+    // truncated or oversized stream
+    val fin = readCode()
+    if (fin != eoi && fin != clear)
+      fail(s"GIF: expected EOI after the raster, read code $fin")
+    if (fin == clear && readCode() != eoi)
+      fail("GIF: expected EOI after the raster")
+    out
+  }
 }
 
 /** Real PNG/BMP ENCODERS — the fixture-synthesis and thumbnail-write
@@ -354,6 +530,63 @@ object PixelEncoder {
       b(o + 2) = ((p >> 16) & 0xff).toByte
     }
     b
+  }
+
+  /** Encode a grayscale GIF89a: a 256-entry grayscale global color
+    * table (palette index == gray value) and one non-interlaced
+    * frame. The LZW stream uses the spec's "uncompressed GIF"
+    * technique — 8-bit literals at a fixed 9-bit code width, with a
+    * CLEAR every 128 literals so the table never grows past the
+    * 9-bit boundary — which is a fully conformant stream any decoder
+    * (including [[PixelDecoder.decodeGif]]'s variable-width path)
+    * must accept; the decoder's chain/KwKwK machinery is exercised
+    * by real compressed GIFs in the spec tests.
+    */
+  def gif(w: Int, h: Int, gray: (Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w < 65536 && h < 65536,
+      s"gif: bad dimensions ${w}x$h")
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le16(w); le16(h)
+    out.write(0xf7) // GCT present, 8-bit color resolution, 256 entries
+    out.write(0) // background index
+    out.write(0) // aspect
+    for (k <- 0 until 256) { out.write(k); out.write(k); out.write(k) }
+    out.write(0x2c) // image descriptor
+    le16(0); le16(0); le16(w); le16(h)
+    out.write(0) // no LCT, not interlaced
+    out.write(8) // LZW minimum code size
+    // bit-pack 9-bit codes LSB-first: CLEAR, ≤128 literals, …, EOI
+    val bits = new java.io.ByteArrayOutputStream()
+    var acc = 0L
+    var nBits = 0
+    def putCode(c: Int): Unit = {
+      acc |= c.toLong << nBits; nBits += 9
+      while (nBits >= 8) {
+        bits.write((acc & 0xff).toInt); acc >>>= 8; nBits -= 8
+      }
+    }
+    putCode(256) // CLEAR
+    var emitted = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = gray(x, y)
+      require(g >= 0 && g <= 255, s"gif: gray $g out of range at ($x,$y)")
+      putCode(g)
+      emitted += 1
+      if (emitted == 128) { putCode(256); emitted = 0 }
+    }
+    putCode(257) // EOI
+    if (nBits > 0) bits.write((acc & 0xff).toInt)
+    val z = bits.toByteArray
+    var off = 0
+    while (off < z.length) { // ≤255-byte data sub-blocks
+      val n = math.min(255, z.length - off)
+      out.write(n); out.write(z, off, n); off += n
+    }
+    out.write(0) // sub-block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
   }
 
   private def paethRef(a: Int, b: Int, c: Int): Int = {

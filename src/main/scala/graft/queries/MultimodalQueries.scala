@@ -36,11 +36,12 @@ private[queries] object MultimodalQueries {
               (((m + 3 * x + 7 * y) % 256) << 16) |
                 (((2 * m + 5 * x + y) % 256) << 8) |
                 ((3 * m + x + 11 * y) % 256)
-            val bytes = (id % 3) match {
+            val gray = (x: Int, y: Int) => (m + 3 * x + 7 * y) % 256
+            val bytes = (id % 4) match {
               case 0 => PixelEncoder.png(w, h, rgb)
-              case 1 => PixelEncoder.png(w, h,
-                (x, y) => (m + 3 * x + 7 * y) % 256, colorType = 0)
-              case _ => PixelEncoder.bmp(w, h, rgb)
+              case 1 => PixelEncoder.png(w, h, gray, colorType = 0)
+              case 2 => PixelEncoder.bmp(w, h, rgb)
+              case _ => PixelEncoder.gif(w, h, gray) // LZW round-trip
             }
             (id, bytes)
           }
@@ -71,9 +72,15 @@ private[queries] object MultimodalQueries {
               val g = ((h * 2654435761L / 1024) % 256).toInt
               (g << 16) | (g << 8) | g
             }
-            val bytes =
-              if (grp % 2 == 0) PixelEncoder.png(10, 6, v)
-              else PixelEncoder.bmp(10, 6, v)
+            // r=g=b in the PNG/BMP rasters and palette-index gray in
+            // the GIF all reduce to the same integer luma, so the
+            // oracle's closed form is format-blind
+            val bytes = (grp % 3) match {
+              case 0 => PixelEncoder.png(10, 6, v)
+              case 1 => PixelEncoder.bmp(10, 6, v)
+              case _ => PixelEncoder.gif(10, 6,
+                (x, y) => v(x, y) & 0xff)
+            }
             (id, bytes)
           }
         }.toDF("doc_id", "blob")
@@ -225,11 +232,12 @@ private[queries] object MultimodalQueries {
     // REAL pixel decode, verified end-to-end: synthesize genuine
     // deflate-compressed PNGs (truecolor AND grayscale, scanline
     // filters cycling 0-4 so Sub/Up/Average/Paeth reconstruction is
-    // all exercised) and 24-bit BMPs whose every pixel is a closed
-    // form of (doc_id, x, y), decode them through the real
-    // Inflater + filter-reconstruction path, and let the oracle
-    // recompute the integer raster statistics pixel by pixel — any
-    // wrong byte anywhere in the codec chain hash-mismatches
+    // all exercised), 24-bit BMPs, and LZW-compressed GIF89a frames
+    // whose every pixel is a closed form of (doc_id, x, y), decode
+    // them through the real Inflater / filter-reconstruction / LZW
+    // paths, and let the oracle recompute the integer raster
+    // statistics pixel by pixel — any wrong byte anywhere in the
+    // codec chain hash-mismatches
     "mm_decode_pixels" -> { (s, dir) =>
       Multimodal.decodePixels(pixelBlobs(s, dir)).toDF()
     },
@@ -276,10 +284,10 @@ private[queries] object MultimodalQueries {
       """WITH p AS (SELECT doc_id,
         |    CAST(doc_id % 12 + 4 AS INT) AS w,
         |    CAST(doc_id % 9 + 3 AS INT) AS h,
-        |    doc_id % 256 AS m, doc_id % 3 AS v
+        |    doc_id % 256 AS m, doc_id % 4 AS v
         |  FROM documents),
         |pix AS (SELECT doc_id, w, h, v, x.x AS x, y.y AS y,
-        |    CASE WHEN v = 1 THEN (m + 3 * x.x + 7 * y.y) % 256
+        |    CASE WHEN v IN (1, 3) THEN (m + 3 * x.x + 7 * y.y) % 256
         |         ELSE (77 * ((m + 3 * x.x + 7 * y.y) % 256)
         |             + 150 * ((2 * m + 5 * x.x + y.y) % 256)
         |             + 29 * ((3 * m + x.x + 11 * y.y) % 256)) // 256
@@ -288,7 +296,8 @@ private[queries] object MultimodalQueries {
         |    LATERAL (SELECT unnest(range(0, w)) AS x) x,
         |    LATERAL (SELECT unnest(range(0, h)) AS y) y)
         |SELECT doc_id,
-        |  CASE WHEN v = 2 THEN 'bmp' ELSE 'png' END AS format,
+        |  CASE WHEN v = 2 THEN 'bmp' WHEN v = 3 THEN 'gif'
+        |       ELSE 'png' END AS format,
         |  w AS width, h AS height,
         |  CAST(w AS BIGINT) * h AS n_pixels,
         |  CAST(sum(g) AS BIGINT) AS gray_sum,

@@ -1295,6 +1295,94 @@ class ExtSpec extends SparkSpec {
     assert(PixelDecoder.decode("not an image".getBytes("UTF-8")).isEmpty)
   }
 
+  test("PixelDecoder GIF: round-trips the uncompressed-technique " +
+    "encoder, decodes a genuinely COMPRESSED variable-width LZW " +
+    "stream (chain growth, width bumps, KwKwK), and fails loudly on " +
+    "truncation and early EOI") {
+    import graft.ext.{PixelDecoder, PixelEncoder}
+    val w = 23; val h = 11
+    def g(x: Int, y: Int) = (x * 3 + y * 31) % 256
+    val wantG = Array.tabulate(h, w)((y, x) => g(x, y)).flatten
+    // 1) encoder round-trip (fixed-width literals + periodic CLEAR)
+    val gif = PixelEncoder.gif(w, h, g)
+    val p = PixelDecoder.decode(gif).get
+    assert((p.width, p.height) === (w, h))
+    assert(p.gray === wantG)
+    // 2) genuinely compressed stream: a reference LZW compressor
+    //    (dictionary of strings, growing code width) over a raster
+    //    with long runs — forces multi-byte chains, width growth
+    //    past 9 bits, and the KwKwK corner (run of repeats straight
+    //    after a fresh dictionary entry)
+    val w2 = 64; val h2 = 48
+    def g2(x: Int, y: Int) = if ((x / 8 + y / 8) % 2 == 0) 17 else 203
+    val want2 = Array.tabulate(h2, w2)((y, x) => g2(x, y)).flatten
+    val compressed = {
+      val minCode = 8; val clear = 256; val eoi = 257
+      val bits = new java.io.ByteArrayOutputStream()
+      var acc = 0L; var nBits = 0; var width = 9
+      def put(c: Int): Unit = {
+        acc |= c.toLong << nBits; nBits += width
+        while (nBits >= 8) { bits.write((acc & 0xff).toInt); acc >>>= 8; nBits -= 8 }
+      }
+      val dict = scala.collection.mutable.HashMap[List[Int], Int]()
+      var next = eoi + 1
+      put(clear)
+      var cur: List[Int] = Nil // reversed current string
+      for (px <- want2) {
+        val cand = px :: cur
+        if (cur.isEmpty || dict.contains(cand)) cur = cand
+        else {
+          put(if (cur.tail.isEmpty) cur.head else dict(cur))
+          if (next < 4096) {
+            dict(cand) = next; next += 1
+            // encoder bumps width when the NEXT code to assign no
+            // longer fits (matching the decoder's next==2^width bump)
+            if (next == (1 << width) + 1 && width < 12) width += 1
+          }
+          cur = List(px)
+        }
+      }
+      put(if (cur.tail.isEmpty) cur.head else dict(cur))
+      put(eoi)
+      if (nBits > 0) bits.write((acc & 0xff).toInt)
+      val z = bits.toByteArray
+      val out = new java.io.ByteArrayOutputStream()
+      def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      out.write("GIF89a".getBytes("US-ASCII")); le16(w2); le16(h2)
+      out.write(0xf7); out.write(0); out.write(0)
+      for (k <- 0 until 256) { out.write(k); out.write(k); out.write(k) }
+      // a 89a graphic-control extension in front, to exercise the skip
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write(0); le16(0); out.write(0); out.write(0)
+      out.write(0x2c); le16(0); le16(0); le16(w2); le16(h2); out.write(0)
+      out.write(minCode)
+      var off = 0
+      while (off < z.length) {
+        val n = math.min(255, z.length - off)
+        out.write(n); out.write(z, off, n); off += n
+      }
+      out.write(0); out.write(0x3b)
+      out.toByteArray
+    }
+    val p2 = PixelDecoder.decode(compressed).get
+    assert((p2.width, p2.height) === (w2, h2))
+    assert(p2.gray === want2)
+    // 3) truncation inside the LZW stream fails loudly
+    val cut = java.util.Arrays.copyOf(gif, gif.length - 20)
+    val e1 = intercept[IllegalArgumentException] {
+      PixelDecoder.decode(cut)
+    }
+    assert(e1.getMessage.toLowerCase.contains("lzw") ||
+      e1.getMessage.toLowerCase.contains("truncat"))
+    // 4) interlaced flag is a subset edge: None, not an error
+    val inter = gif.clone()
+    // image descriptor follows the 13-byte header + 768-byte GCT
+    val descAt = 13 + 768
+    assert(inter(descAt) == 0x2c.toByte)
+    inter(descAt + 9) = (inter(descAt + 9) | 0x40).toByte
+    assert(PixelDecoder.decode(inter).isEmpty)
+  }
+
   test("aHashFromGray pools to the 10x6 grid with integer means and " +
     "real-decode signatures band-join into cross-format duplicate " +
     "clusters") {
