@@ -1,0 +1,475 @@
+package graft.ext
+
+/** Baseline-sequential JPEG (ITU-T T.81) PIXEL decoding — the
+  * dominant web image format, completing [[PixelDecoder]]'s
+  * PNG/BMP/GIF subset. From scratch on public spec only: marker
+  * segment walk, DQT/DHT table parsing, the canonical Huffman decode
+  * of T.81 §F.2.2.3, run-length AC reconstruction, dequantization,
+  * and a fixed-point integer IDCT.
+  *
+  * Subset (None outside it, loud failure for corrupt members):
+  *   - SOF0/SOF1 (baseline / extended sequential, Huffman), 8-bit
+  *     precision, 1-component grayscale or 3-component 4:4:4 (all
+  *     sampling factors 1×1). Progressive (SOF2), arithmetic coding,
+  *     12-bit, and subsampled (4:2:0/4:2:2) streams return None —
+  *     honest subset edges, same contract as interlaced PNG/GIF.
+  *   - Restart markers (DRI/RSTn) are handled.
+  *
+  * Determinism contract (what the oracle can rely on):
+  *   - A block whose 63 AC coefficients are all zero decodes to the
+  *     EXACT flat value `clamp(((dc·q + 4) >> 3) + 128)` — the
+  *     standard DC-only IDCT shortcut, closed-form in SQL
+  *     (`(dc*q + 4) // 8 + 128`). [[JpegEncoder]] emits exactly such
+  *     streams, so fixture JPEGs oracle bit-exactly.
+  *   - General blocks go through the fixed-point separable IDCT
+  *     below (13-bit cosine constants, round-half-up descales) —
+  *     deterministic on any JVM, accurate to ±1 of the real-valued
+  *     IDCT (spec-tested against a double-precision reference), but
+  *     NOT a SQL closed form; perceptual hashing is insensitive to
+  *     ±1.
+  *   - 3-component scans convert YCbCr→RGB with the JFIF fixed-point
+  *     coefficients (16-bit fractions, round-half-up), then reduce
+  *     through [[PixelDecoder.luma]].
+  */
+object JpegDecoder {
+
+  import PixelDecoder.{MaxPixels, luma}
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"pixel decode: JPEG: $msg")
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    (u8(b, i) << 8) | u8(b, i + 1)
+
+  /** Zig-zag order: index in the entropy stream → raster index. */
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** 13-bit fixed-point 1D IDCT kernel: K(u, x) =
+    * round(8192 · C(u)/2 · cos((2x+1)uπ/16)), C(0)=1/√2 else 1.
+    */
+  private val Kq: Array[Array[Int]] = Array.tabulate(8, 8) { (u, x) =>
+    val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    math.round(8192.0 * cu / 2.0 *
+      math.cos((2 * x + 1) * u * math.Pi / 16.0)).toInt
+  }
+
+  /** Canonical JPEG Huffman table (T.81 §C.2): codes assigned in
+    * symbol order within ascending code length.
+    */
+  private final class Huff(counts: Array[Int], symbols: Array[Int]) {
+    // mincode/maxcode/valptr per length, F.2.2.3 DECODE procedure
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += counts(l - 1)
+        k += counts(l - 1)
+        maxCode(l) = if (counts(l - 1) > 0) code - 1 else -1
+        code <<= 1
+        l += 1
+      }
+      if (k != symbols.length) fail("DHT symbol count mismatch")
+    }
+    def decode(r: BitReader): Int = {
+      var l = 1
+      var code = r.bit()
+      while (l <= 16 && (maxCode(l) < 0 || code > maxCode(l))) {
+        code = (code << 1) | r.bit()
+        l += 1
+      }
+      if (l > 16) fail("Huffman code longer than 16 bits")
+      symbols(valPtr(l) + code - minCode(l))
+    }
+  }
+
+  /** MSB-first entropy-segment bit reader with 0xFF00 byte
+    * unstuffing; a bare marker inside the segment stops the stream
+    * ([[atMarker]]) — reading past it is corruption.
+    */
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nBits = 0
+    def bit(): Int = {
+      if (nBits == 0) {
+        if (pos >= b.length) fail("entropy stream truncated")
+        var v = u8(b, pos)
+        if (v == 0xff) {
+          if (pos + 1 >= b.length) fail("entropy stream truncated at 0xFF")
+          val m = u8(b, pos + 1)
+          if (m == 0x00) { pos += 2; v = 0xff }
+          else fail(f"marker 0x$m%02x inside an entropy run " +
+            "(expected more MCU data)")
+        } else pos += 1
+        acc = v; nBits = 8
+      }
+      nBits -= 1
+      (acc >> nBits) & 1
+    }
+    /** RECEIVE + EXTEND (F.2.2.1): an s-bit magnitude to its signed
+      * coefficient value.
+      */
+    def receiveExtend(s: Int): Int = {
+      if (s == 0) return 0
+      var v = 0
+      var i = 0
+      while (i < s) { v = (v << 1) | bit(); i += 1 }
+      if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+    }
+    /** True when the next bytes are a marker (for RST handling). */
+    def atMarker: Boolean =
+      nBits == 0 && pos + 1 < b.length && u8(b, pos) == 0xff &&
+        u8(b, pos + 1) != 0x00
+    def marker: Int = u8(b, pos + 1)
+    def skipMarker(): Unit = { pos += 2 }
+    def byteAlign(): Unit = { nBits = 0 }
+  }
+
+  private final case class Component(id: Int, h: Int, v: Int, tq: Int)
+
+  def isJpeg(b: Array[Byte]): Boolean =
+    b.length >= 3 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8 &&
+      u8(b, 2) == 0xff
+
+  /** Decode a baseline JPEG to grayscale; None outside the subset,
+    * loud failure for corrupt members of it (object scaladoc).
+    */
+  def decode(b: Array[Byte]): Option[Pixels] = {
+    if (!isJpeg(b)) return None
+    var i = 2
+    val qt = new Array[Array[Int]](4) // dequant tables, RASTER order
+    val dcTabs = new Array[Huff](4)
+    val acTabs = new Array[Huff](4)
+    var w = -1
+    var h = -1
+    var comps: Array[Component] = null
+    var restartInterval = 0
+    while (true) {
+      // segment walk: optional fill bytes, then a marker
+      if (i + 1 >= b.length) fail("truncated before SOS")
+      if (u8(b, i) != 0xff) fail(f"expected marker, got 0x${u8(b, i)}%02x")
+      while (i < b.length && u8(b, i) == 0xff && i + 1 < b.length &&
+        u8(b, i + 1) == 0xff) i += 1
+      val m = u8(b, i + 1)
+      i += 2
+      m match {
+        case 0xd8 => () // SOI (again) — tolerate
+        case 0xd9 => fail("EOI before any scan")
+        case 0xc0 | 0xc1 => // baseline / extended sequential, Huffman
+          val len = be16(b, i)
+          if (u8(b, i + 2) != 8) return None // 12-bit: subset edge
+          h = be16(b, i + 3); w = be16(b, i + 5)
+          val n = u8(b, i + 7)
+          if (n != 1 && n != 3) return None
+          if (w <= 0 || h <= 0) fail(s"bad dimensions ${w}x$h")
+          if (w.toLong * h > MaxPixels)
+            fail(s"${w}x$h exceeds the $MaxPixels-pixel decode cap")
+          comps = Array.tabulate(n) { c =>
+            val o = i + 8 + 3 * c
+            Component(u8(b, o), u8(b, o + 1) >> 4, u8(b, o + 1) & 15,
+              u8(b, o + 2))
+          }
+          if (comps.exists(c => c.h != 1 || c.v != 1)) return None // subsampled
+          i += len
+        case 0xc2 => return None // progressive: subset edge
+        case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd |
+             0xce | 0xcf => return None // lossless/arithmetic/differential
+        case 0xc4 => // DHT
+          val len = be16(b, i)
+          var o = i + 2
+          while (o < i + len) {
+            val tc = u8(b, o) >> 4
+            val th = u8(b, o) & 15
+            if (tc > 1 || th > 3) fail(s"DHT class $tc id $th")
+            val counts = Array.tabulate(16)(k => u8(b, o + 1 + k))
+            val total = counts.sum
+            if (o + 17 + total > i + len) fail("DHT overruns its segment")
+            val syms = Array.tabulate(total)(k => u8(b, o + 17 + k))
+            val t = new Huff(counts, syms)
+            if (tc == 0) dcTabs(th) = t else acTabs(th) = t
+            o += 17 + total
+          }
+          i += len
+        case 0xdb => // DQT
+          val len = be16(b, i)
+          var o = i + 2
+          while (o < i + len) {
+            val pq = u8(b, o) >> 4
+            val tq = u8(b, o) & 15
+            if (pq > 1 || tq > 3) fail(s"DQT precision $pq id $tq")
+            val t = new Array[Int](64)
+            var k = 0
+            while (k < 64) {
+              t(Zigzag(k)) =
+                if (pq == 0) u8(b, o + 1 + k) else be16(b, o + 1 + 2 * k)
+              k += 1
+            }
+            qt(tq) = t
+            o += 1 + (if (pq == 0) 64 else 128)
+          }
+          i += len
+        case 0xdd => // DRI
+          restartInterval = be16(b, i + 2)
+          i += be16(b, i)
+        case 0xda => // SOS — decode the scan and return
+          if (comps == null) fail("SOS before SOF")
+          val len = be16(b, i)
+          val ns = u8(b, i + 2)
+          if (ns != comps.length) fail(s"scan has $ns of ${comps.length} " +
+            "components (multi-scan is not baseline)")
+          val scanDc = new Array[Huff](ns)
+          val scanAc = new Array[Huff](ns)
+          val scanComp = new Array[Component](ns)
+          var c = 0
+          while (c < ns) {
+            val o = i + 3 + 2 * c
+            val sel = u8(b, o)
+            val comp = comps.find(_.id == sel).getOrElse(
+              fail(s"scan selects unknown component $sel"))
+            scanComp(c) = comp
+            val td = u8(b, o + 1) >> 4
+            val ta = u8(b, o + 1) & 15
+            if (dcTabs(td) == null || acTabs(ta) == null)
+              fail(s"scan references undefined Huffman table dc=$td ac=$ta")
+            scanDc(c) = dcTabs(td); scanAc(c) = acTabs(ta)
+            if (qt(comp.tq) == null)
+              fail(s"component uses undefined quant table ${comp.tq}")
+            c += 1
+          }
+          return Some(decodeScan(b, i + len, w, h, scanComp, scanDc,
+            scanAc, qt, restartInterval))
+        case x if x >= 0xe0 && x <= 0xef => i += be16(b, i) // APPn
+        case 0xfe => i += be16(b, i) // COM
+        case 0x01 => () // TEM, parameterless
+        case other => fail(f"unexpected marker 0xff$other%02x before SOS")
+      }
+    }
+    None // unreachable
+  }
+
+  private def decodeScan(b: Array[Byte], start: Int, w: Int, h: Int,
+                         comps: Array[Component], dcT: Array[Huff],
+                         acT: Array[Huff], qt: Array[Array[Int]],
+                         restartInterval: Int): Pixels = {
+    val n = comps.length
+    val bw = (w + 7) / 8
+    val bh = (h + 7) / 8
+    val planes = Array.fill(n)(new Array[Int](bw * 8 * bh * 8))
+    val pred = new Array[Int](n)
+    val coef = new Array[Int](64)
+    val block = new Array[Int](64)
+    val r = new BitReader(b, start)
+    var mcu = 0
+    val nMcu = bw * bh
+    var rstExpect = 0xd0
+    while (mcu < nMcu) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        r.byteAlign()
+        if (!r.atMarker || r.marker < 0xd0 || r.marker > 0xd7)
+          fail(s"expected restart marker at MCU $mcu")
+        if (r.marker != rstExpect)
+          fail(f"restart marker 0x${r.marker}%02x out of order at MCU $mcu")
+        r.skipMarker()
+        rstExpect = if (rstExpect == 0xd7) 0xd0 else rstExpect + 1
+        java.util.Arrays.fill(pred, 0)
+      }
+      val bx = mcu % bw
+      val by = mcu / bw
+      var c = 0
+      while (c < n) {
+        java.util.Arrays.fill(coef, 0)
+        // DC (F.2.2.1)
+        val t = dcT(c).decode(r)
+        if (t > 11) fail(s"DC category $t")
+        pred(c) += r.receiveExtend(t)
+        coef(0) = pred(c)
+        // AC (F.2.2.2)
+        var k = 1
+        var eob = false
+        while (k < 64 && !eob) {
+          val rs = acT(c).decode(r)
+          val run = rs >> 4
+          val s = rs & 15
+          if (s == 0) {
+            if (run == 15) k += 16 // ZRL
+            else eob = true
+          } else {
+            k += run
+            if (k > 63) fail("AC run past coefficient 63")
+            coef(Zigzag(k)) = r.receiveExtend(s)
+            k += 1
+          }
+        }
+        idctDequant(coef, qt(comps(c).tq), block)
+        // place the 8×8 into the padded plane
+        val plane = planes(c)
+        var y = 0
+        while (y < 8) {
+          System.arraycopy(block, y * 8, plane,
+            (by * 8 + y) * bw * 8 + bx * 8, 8)
+          y += 1
+        }
+        c += 1
+      }
+      mcu += 1
+    }
+    // crop + gray reduce
+    val out = new Array[Int](w * h)
+    val stride = bw * 8
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = y * stride + x
+        out(y * w + x) =
+          if (n == 1) planes(0)(o)
+          else { // JFIF YCbCr→RGB, 16-bit fixed point, round-half-up
+            val yy = planes(0)(o) << 16
+            val cb = planes(1)(o) - 128
+            val cr = planes(2)(o) - 128
+            def cl(v: Int): Int = {
+              val s = (v + 32768) >> 16
+              if (s < 0) 0 else if (s > 255) 255 else s
+            }
+            luma(cl(yy + 91881 * cr), cl(yy - 22554 * cb - 46802 * cr),
+              cl(yy + 116130 * cb))
+          }
+        x += 1
+      }
+      y += 1
+    }
+    Pixels(w, h, out)
+  }
+
+  /** Dequantize + IDCT one block into 0–255 samples. DC-only blocks
+    * take the exact shortcut `((dc·q + 4) >> 3) + 128` (the closed
+    * form [[JpegEncoder]] fixtures oracle against); general blocks
+    * run the two-pass fixed-point kernel.
+    */
+  private def idctDequant(coef: Array[Int], q: Array[Int],
+                          out: Array[Int]): Unit = {
+    var allZero = true
+    var k = 1
+    while (k < 64 && allZero) { if (coef(k) != 0) allZero = false; k += 1 }
+    def clamp(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+    if (allZero) {
+      val v = clamp(((coef(0) * q(0) + 4) >> 3) + 128)
+      java.util.Arrays.fill(out, v)
+      return
+    }
+    val dq = new Array[Int](64)
+    k = 0
+    while (k < 64) { dq(k) = coef(k) * q(k); k += 1 }
+    // pass 1 (rows of the coefficient block, over u): keep 2
+    // fractional bits; pass 2 (columns, over v) descales the rest
+    val tmp = new Array[Int](64)
+    var x = 0
+    while (x < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0L
+        var u = 0
+        while (u < 8) { s += Kq(u)(x).toLong * dq(u * 8 + v); u += 1 }
+        tmp(x * 8 + v) = ((s + 1024) >> 11).toInt
+        v += 1
+      }
+      x += 1
+    }
+    x = 0
+    while (x < 8) {
+      var y = 0
+      while (y < 8) {
+        var s = 0L
+        var v = 0
+        while (v < 8) { s += Kq(v)(y).toLong * tmp(x * 8 + v); v += 1 }
+        out(x * 8 + y) = clamp((((s + 16384) >> 15) + 128).toInt)
+        y += 1
+      }
+      x += 1
+    }
+  }
+}
+
+/** Baseline-JPEG ENCODER for fixture synthesis — DC-only grayscale
+  * streams whose decode is the exact closed form
+  * `clamp(((dc + 4) >> 3) + 128)` per 8×8 block (quant table all
+  * ones), so a DuckDB oracle recomputes every pixel. Uses custom
+  * (spec-legal) Huffman tables: 12 DC categories at 4 bits each and
+  * a 2-bit AC end-of-block code; emits one DC diff + EOB per block
+  * with 0xFF byte stuffing.
+  */
+object JpegEncoder {
+
+  /** Encode a grayscale DC-only baseline JPEG. `blockDc(bx, by)` is
+    * the dequantized DC coefficient of each 8×8 block, in
+    * [-1024, 1016]; the decoded block is the flat value
+    * `clamp(((dc + 4) >> 3) + 128)`.
+    */
+  def grayDcOnly(w: Int, h: Int, blockDc: (Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w < 65536 && h < 65536,
+      s"jpeg: bad dimensions ${w}x$h")
+    val out = new java.io.ByteArrayOutputStream()
+    def u8w(v: Int): Unit = out.write(v & 0xff)
+    def be16w(v: Int): Unit = { u8w(v >> 8); u8w(v) }
+    def marker(m: Int): Unit = { u8w(0xff); u8w(m) }
+    marker(0xd8) // SOI
+    marker(0xdb); be16w(2 + 65); u8w(0x00) // DQT id 0, 8-bit
+    for (_ <- 0 until 64) u8w(1)
+    marker(0xc0); be16w(8 + 3) // SOF0: 1 component
+    u8w(8); be16w(h); be16w(w); u8w(1)
+    u8w(1); u8w(0x11); u8w(0) // id 1, 1×1, qtab 0
+    // DHT DC 0: 12 categories, all 4-bit codes (0000…1011 — the
+    // all-ones code stays unassigned, as §C.2 requires)
+    marker(0xc4); be16w(2 + 17 + 12); u8w(0x00)
+    for (l <- 1 to 16) u8w(if (l == 4) 12 else 0)
+    for (s <- 0 until 12) u8w(s)
+    // DHT AC 0: single symbol 0x00 (EOB) at 2 bits (code 00)
+    marker(0xc4); be16w(2 + 17 + 1); u8w(0x10)
+    for (l <- 1 to 16) u8w(if (l == 2) 1 else 0)
+    u8w(0x00)
+    marker(0xda); be16w(6 + 2) // SOS
+    u8w(1); u8w(1); u8w(0x00) // component 1, dc 0 / ac 0
+    u8w(0); u8w(63); u8w(0)
+    // entropy segment: DC-category code (4 bits) + magnitude bits +
+    // EOB (2 bits) per block, raster MCU order, with byte stuffing
+    var acc = 0L
+    var nBits = 0
+    def putBits(v: Int, n: Int): Unit = {
+      acc = (acc << n) | (v & ((1L << n) - 1)); nBits += n
+      while (nBits >= 8) {
+        val byte = ((acc >> (nBits - 8)) & 0xff).toInt
+        u8w(byte)
+        if (byte == 0xff) u8w(0x00) // stuffing
+        nBits -= 8
+      }
+    }
+    val bw = (w + 7) / 8
+    val bh = (h + 7) / 8
+    var predDc = 0
+    for (by <- 0 until bh; bx <- 0 until bw) {
+      val dc = blockDc(bx, by)
+      require(dc >= -1024 && dc <= 1016, s"jpeg: DC $dc out of range")
+      val diff = dc - predDc
+      predDc = dc
+      val s = 32 - Integer.numberOfLeadingZeros(math.abs(diff)) // category
+      putBits(s, 4)
+      if (s > 0) // EXTEND-inverse: negatives offset by (1<<s)-1
+        putBits(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      putBits(0, 2) // EOB
+    }
+    if (nBits > 0) putBits((1 << (8 - nBits)) - 1, 8 - nBits) // pad 1s
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+}

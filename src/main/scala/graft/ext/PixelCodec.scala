@@ -31,6 +31,9 @@ final case class Pixels(width: Int, height: Int, gray: Array[Int])
   *     deltas whose composition needs disposal-method state — out
   *     of perceptual-hash scope; frame COUNT comes from the header
   *     walk in [[ImageHeader]].)
+  *   - JPEG: baseline/extended sequential Huffman, 8-bit, grayscale
+  *     or 4:4:4 — dispatched to [[JpegDecoder]], see its scaladoc
+  *     for the subset and determinism contract.
   *
   * Error contract (the [[graft.sources.WarcSource]] loud-failure
   * discipline): [[PixelDecoder.decode]] returns None only for "not a
@@ -62,6 +65,7 @@ object PixelDecoder {
     if (isPng(bytes)) decodePng(bytes)
     else if (isBmp(bytes)) decodeBmp(bytes)
     else if (isGif(bytes)) decodeGif(bytes)
+    else if (JpegDecoder.isJpeg(bytes)) JpegDecoder.decode(bytes)
     else None
 
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff

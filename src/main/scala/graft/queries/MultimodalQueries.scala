@@ -37,11 +37,15 @@ private[queries] object MultimodalQueries {
                 (((2 * m + 5 * x + y) % 256) << 8) |
                 ((3 * m + x + 11 * y) % 256)
             val gray = (x: Int, y: Int) => (m + 3 * x + 7 * y) % 256
-            val bytes = (id % 4) match {
+            val bytes = (id % 5) match {
               case 0 => PixelEncoder.png(w, h, rgb)
               case 1 => PixelEncoder.png(w, h, gray, colorType = 0)
               case 2 => PixelEncoder.bmp(w, h, rgb)
-              case _ => PixelEncoder.gif(w, h, gray) // LZW round-trip
+              case 3 => PixelEncoder.gif(w, h, gray) // LZW round-trip
+              case _ => // baseline JPEG, DC-only: block-flat raster
+                // whose decode is the exact closed form g per block
+                JpegEncoder.grayDcOnly(w, h, (bx, by) =>
+                  ((m + 13 * bx + 29 * by) % 256) * 8 - 1024)
             }
             (id, bytes)
           }
@@ -74,12 +78,17 @@ private[queries] object MultimodalQueries {
             }
             // r=g=b in the PNG/BMP rasters and palette-index gray in
             // the GIF all reduce to the same integer luma, so the
-            // oracle's closed form is format-blind
-            val bytes = (grp % 3) match {
+            // oracle's closed form is format-blind; the JPEG variant
+            // is DC-only (block-flat — the one shape the integer
+            // IDCT decodes to an exact closed form), so its oracle
+            // branch samples the mixing function at the block origin
+            val bytes = (grp % 4) match {
               case 0 => PixelEncoder.png(10, 6, v)
               case 1 => PixelEncoder.bmp(10, 6, v)
-              case _ => PixelEncoder.gif(10, 6,
+              case 2 => PixelEncoder.gif(10, 6,
                 (x, y) => v(x, y) & 0xff)
+              case _ => JpegEncoder.grayDcOnly(10, 6, (bx, by) =>
+                (v(bx * 8, by * 8) & 0xff) * 8 - 1024)
             }
             (id, bytes)
           }
@@ -232,12 +241,13 @@ private[queries] object MultimodalQueries {
     // REAL pixel decode, verified end-to-end: synthesize genuine
     // deflate-compressed PNGs (truecolor AND grayscale, scanline
     // filters cycling 0-4 so Sub/Up/Average/Paeth reconstruction is
-    // all exercised), 24-bit BMPs, and LZW-compressed GIF89a frames
-    // whose every pixel is a closed form of (doc_id, x, y), decode
-    // them through the real Inflater / filter-reconstruction / LZW
-    // paths, and let the oracle recompute the integer raster
-    // statistics pixel by pixel — any wrong byte anywhere in the
-    // codec chain hash-mismatches
+    // all exercised), 24-bit BMPs, LZW-compressed GIF89a frames, and
+    // DC-only baseline JPEGs whose every pixel is a closed form of
+    // (doc_id, x, y), decode them through the real Inflater /
+    // filter-reconstruction / LZW / Huffman+IDCT paths, and let the
+    // oracle recompute the integer raster statistics pixel by
+    // pixel — any wrong byte anywhere in the codec chain
+    // hash-mismatches
     "mm_decode_pixels" -> { (s, dir) =>
       Multimodal.decodePixels(pixelBlobs(s, dir)).toDF()
     },
@@ -284,10 +294,12 @@ private[queries] object MultimodalQueries {
       """WITH p AS (SELECT doc_id,
         |    CAST(doc_id % 12 + 4 AS INT) AS w,
         |    CAST(doc_id % 9 + 3 AS INT) AS h,
-        |    doc_id % 256 AS m, doc_id % 4 AS v
+        |    doc_id % 256 AS m, doc_id % 5 AS v
         |  FROM documents),
         |pix AS (SELECT doc_id, w, h, v, x.x AS x, y.y AS y,
         |    CASE WHEN v IN (1, 3) THEN (m + 3 * x.x + 7 * y.y) % 256
+        |         WHEN v = 4 THEN
+        |           (m + 13 * (x.x // 8) + 29 * (y.y // 8)) % 256
         |         ELSE (77 * ((m + 3 * x.x + 7 * y.y) % 256)
         |             + 150 * ((2 * m + 5 * x.x + y.y) % 256)
         |             + 29 * ((3 * m + x.x + 11 * y.y) % 256)) // 256
@@ -297,7 +309,7 @@ private[queries] object MultimodalQueries {
         |    LATERAL (SELECT unnest(range(0, h)) AS y) y)
         |SELECT doc_id,
         |  CASE WHEN v = 2 THEN 'bmp' WHEN v = 3 THEN 'gif'
-        |       ELSE 'png' END AS format,
+        |       WHEN v = 4 THEN 'jpeg' ELSE 'png' END AS format,
         |  w AS width, h AS height,
         |  CAST(w AS BIGINT) * h AS n_pixels,
         |  CAST(sum(g) AS BIGINT) AS gray_sum,
@@ -316,7 +328,11 @@ private[queries] object MultimodalQueries {
     "mm_ahash_pairs" ->
       """WITH g AS (SELECT doc_id, doc_id // 5 AS grp FROM documents),
         |pix AS (SELECT doc_id, y.y * 10 + x.x AS i,
-        |    (((grp * 7919 + x.x * 151 + y.y * 211) % 65536)
+        |    (((grp * 7919
+        |        + CASE WHEN grp % 4 = 3 THEN (x.x // 8) * 8
+        |               ELSE x.x END * 151
+        |        + CASE WHEN grp % 4 = 3 THEN (y.y // 8) * 8
+        |               ELSE y.y END * 211) % 65536)
         |     * 2654435761 // 1024) % 256 AS p
         |  FROM g,
         |    LATERAL (SELECT unnest(range(0, 10)) AS x) x,

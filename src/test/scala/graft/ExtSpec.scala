@@ -1383,6 +1383,156 @@ class ExtSpec extends SparkSpec {
     assert(PixelDecoder.decode(inter).isEmpty)
   }
 
+  test("JpegDecoder: DC-only fixtures decode to the EXACT closed form; " +
+    "a genuine AC stream matches a double-precision IDCT within ±1; " +
+    "4:4:4 color plumbing and subset edges behave") {
+    import graft.ext.{JpegDecoder, JpegEncoder, PixelDecoder}
+    // 1) DC-only grayscale: exact closed form, edge-cropped dims
+    val w = 21; val h = 13 // 3×2 blocks, cropped
+    def dc(bx: Int, by: Int) = ((bx * 37 + by * 101) % 256) * 8 - 1024
+    val jp = JpegEncoder.grayDcOnly(w, h, dc)
+    val p = PixelDecoder.decode(jp).get
+    assert((p.width, p.height) === (w, h))
+    for (y <- 0 until h; x <- 0 until w) {
+      val want = math.min(255, math.max(0,
+        ((dc(x / 8, y / 8) + 4) >> 3) + 128))
+      assert(p.gray(y * w + x) === want, s"($x,$y)")
+    }
+    // 2) general path: hand-build an 8×8 single-block stream with AC
+    //    coefficients and check against an independent double IDCT
+    def buildAc(coefZz: Seq[(Int, Int)]): Array[Byte] = {
+      // coefZz: (zigzag index, value), index 0 = DC, ascending
+      val out = new java.io.ByteArrayOutputStream()
+      def u8w(v: Int): Unit = out.write(v & 0xff)
+      def be16w(v: Int): Unit = { u8w(v >> 8); u8w(v) }
+      def mk(m: Int): Unit = { u8w(0xff); u8w(m) }
+      mk(0xd8)
+      mk(0xdb); be16w(67); u8w(0); for (_ <- 0 until 64) u8w(1)
+      mk(0xc0); be16w(11); u8w(8); be16w(8); be16w(8); u8w(1)
+      u8w(1); u8w(0x11); u8w(0)
+      // DC: 12 categories at 4 bits; AC: 16 symbols at 5 bits —
+      // (0, size) for size 1..15 plus EOB, codes 00000..01111
+      mk(0xc4); be16w(2 + 17 + 12); u8w(0x00)
+      for (l <- 1 to 16) u8w(if (l == 4) 12 else 0)
+      for (s <- 0 until 12) u8w(s)
+      mk(0xc4); be16w(2 + 17 + 16); u8w(0x10)
+      for (l <- 1 to 16) u8w(if (l == 5) 16 else 0)
+      u8w(0x00); for (s <- 1 to 15) u8w(s) // symbol order: EOB, sizes
+      mk(0xda); be16w(8); u8w(1); u8w(1); u8w(0x00)
+      u8w(0); u8w(63); u8w(0)
+      var acc = 0L; var nB = 0
+      def put(v: Int, n: Int): Unit = {
+        acc = (acc << n) | (v & ((1L << n) - 1)); nB += n
+        while (nB >= 8) {
+          val byte = ((acc >> (nB - 8)) & 0xff).toInt
+          u8w(byte); if (byte == 0xff) u8w(0)
+          nB -= 8
+        }
+      }
+      def cat(v: Int) = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+      def ext(v: Int, s: Int) = if (v < 0) v + (1 << s) - 1 else v
+      val dcV = coefZz.find(_._1 == 0).map(_._2).getOrElse(0)
+      put(cat(dcV), 4)
+      if (cat(dcV) > 0) put(ext(dcV, cat(dcV)), cat(dcV))
+      var k = 1
+      for ((zz, v) <- coefZz.filter(_._1 > 0).sortBy(_._1)) {
+        assert(zz == k, "test stream uses run-0 symbols only") // run 0
+        val s = cat(v)
+        put(s, 5) // AC symbol (0<<4 | s), canonical code = symbol rank
+        put(ext(v, s), s)
+        k = zz + 1
+      }
+      if (k <= 63) put(0, 5) // EOB (code 00000)
+      if (nB > 0) put((1 << (8 - nB)) - 1, 8 - nB)
+      mk(0xd9)
+      out.toByteArray
+    }
+    val coefs = Seq((0, 240), (1, -30), (2, 17), (3, 9), (4, -5))
+    val p2 = PixelDecoder.decode(buildAc(coefs)).get
+    // independent reference: real-valued 2D IDCT + the same clamp
+    val zig = Array(0, 1, 8, 16, 9, 2, 3, 10) // first 8 zigzag entries
+    val f = new Array[Double](64)
+    for ((zz, v) <- coefs) f(zig(zz)) = v.toDouble
+    def cC(u: Int) = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    for (x <- 0 until 8; y <- 0 until 8) {
+      var s = 0.0
+      for (u <- 0 until 8; v <- 0 until 8)
+        s += cC(u) * cC(v) / 4.0 * f(u * 8 + v) *
+          math.cos((2 * x + 1) * u * math.Pi / 16.0) *
+          math.cos((2 * y + 1) * v * math.Pi / 16.0)
+      val want = math.min(255, math.max(0, math.round(s + 128).toInt))
+      val got = p2.gray(x * 8 + y)
+      assert(math.abs(got - want) <= 1, s"IDCT ($x,$y): got $got want $want")
+    }
+    // 3) 4:4:4 color: flat neutral chroma (Cb=Cr=128 ⇒ dc 0) makes
+    //    R=G=B=Y, so luma returns the Y closed form exactly
+    val color = {
+      val out = new java.io.ByteArrayOutputStream()
+      def u8w(v: Int): Unit = out.write(v & 0xff)
+      def be16w(v: Int): Unit = { u8w(v >> 8); u8w(v) }
+      def mk(m: Int): Unit = { u8w(0xff); u8w(m) }
+      mk(0xd8)
+      mk(0xdb); be16w(67); u8w(0); for (_ <- 0 until 64) u8w(1)
+      mk(0xc0); be16w(8 + 9); u8w(8); be16w(16); be16w(16); u8w(3)
+      for (c <- 1 to 3) { u8w(c); u8w(0x11); u8w(0) }
+      mk(0xc4); be16w(2 + 17 + 12); u8w(0x00)
+      for (l <- 1 to 16) u8w(if (l == 4) 12 else 0)
+      for (s <- 0 until 12) u8w(s)
+      mk(0xc4); be16w(2 + 17 + 1); u8w(0x10)
+      for (l <- 1 to 16) u8w(if (l == 2) 1 else 0)
+      u8w(0x00)
+      mk(0xda); be16w(6 + 6); u8w(3)
+      for (c <- 1 to 3) { u8w(c); u8w(0x00) }
+      u8w(0); u8w(63); u8w(0)
+      var acc = 0L; var nB = 0
+      def put(v: Int, n: Int): Unit = {
+        acc = (acc << n) | (v & ((1L << n) - 1)); nB += n
+        while (nB >= 8) {
+          val byte = ((acc >> (nB - 8)) & 0xff).toInt
+          u8w(byte); if (byte == 0xff) u8w(0)
+          nB -= 8
+        }
+      }
+      def cat(v: Int) = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+      def ext(v: Int, s: Int) = if (v < 0) v + (1 << s) - 1 else v
+      val preds = new Array[Int](3)
+      def yDc(bx: Int, by: Int) = (bx * 320 + by * 168) - 512
+      for (by <- 0 until 2; bx <- 0 until 2; c <- 0 until 3) {
+        val dcV = if (c == 0) yDc(bx, by) else 0
+        val diff = dcV - preds(c); preds(c) = dcV
+        val s = cat(diff)
+        put(s, 4); if (s > 0) put(ext(diff, s), s)
+        put(0, 2) // EOB
+      }
+      if (nB > 0) put((1 << (8 - nB)) - 1, 8 - nB)
+      mk(0xd9)
+      out.toByteArray
+    }
+    val pc = PixelDecoder.decode(color).get
+    assert((pc.width, pc.height) === (16, 16))
+    for (y <- 0 until 16; x <- 0 until 16) {
+      def yDc(bx: Int, by: Int) = (bx * 320 + by * 168) - 512
+      val want = math.min(255, math.max(0,
+        ((yDc(x / 8, y / 8) + 4) >> 3) + 128))
+      assert(pc.gray(y * 16 + x) === want, s"color ($x,$y)")
+    }
+    // the header walk agrees on the container format
+    assert(graft.ext.ImageHeader.parse(jp).map(_._1) === Some("jpeg"))
+    // 4) truncating the entropy stream fails loudly
+    val cut = java.util.Arrays.copyOf(jp, jp.length - 3)
+    val e = intercept[IllegalArgumentException] {
+      PixelDecoder.decode(cut)
+    }
+    assert(e.getMessage.contains("JPEG"))
+    // 5) progressive SOF2 is a subset edge: None, not an error
+    val prog = jp.clone()
+    // find the SOF0 marker and rewrite it to SOF2
+    val sofAt = (0 until prog.length - 1).find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    assert(JpegDecoder.decode(prog).isEmpty)
+  }
+
   test("aHashFromGray pools to the 10x6 grid with integer means and " +
     "real-decode signatures band-join into cross-format duplicate " +
     "clusters") {
