@@ -130,14 +130,29 @@ object LoadOrchestrator {
 
   /** Run the full load bracket.
     *
-    * @param df      25-column transform output (string run timestamps)
-    * @param runTs   the run's shared timestamp string (F11)
-    * @param csvOut  optional L5 export path (written with header,
-    *                mirroring the reference's COPY ... WITH CSV HEADER)
+    * @param df        25-column transform output (string run timestamps)
+    * @param runTs     the run's shared timestamp string (F11)
+    * @param csvOut    optional L5 export path (written with header,
+    *                  mirroring the reference's COPY ... WITH CSV HEADER)
+    * @param strictTxn opt-in EXACT twin of the reference's global
+    *                  transaction (Angelo_ETL_Task.py:366-374): ONE
+    *                  driver-side connection with autocommit off runs
+    *                  DDL + every insert + the L4 verify, commits once
+    *                  at the end, and `rollback()`s on ANY failure —
+    *                  a killed run observes ZERO rows, with no
+    *                  compensating-delete window. The price is the
+    *                  reference's own shape: rows collect to the
+    *                  driver and write through one connection, so it
+    *                  is for dimension-table-scale loads
+    *                  ([[StrictMaxRows]] guard) — the default
+    *                  distributed path with its compensating delete
+    *                  is the at-scale mode.
     */
   def load(df: DataFrame, url: String, table: String, props: Properties,
            runTs: String, csvOut: Option[String] = None,
-           batchSize: Int = 1000): LoadReport = {
+           batchSize: Int = 1000, strictTxn: Boolean = false): LoadReport = {
+    if (strictTxn)
+      return loadStrict(df, url, table, props, runTs, csvOut, batchSize)
     val (created, importDate) = withConnection(url, props) { conn =>
       if (!tableExists(conn, table)) {
         val st = conn.createStatement()
@@ -158,19 +173,7 @@ object LoadOrchestrator {
     writeProps.putAll(props)
     writeProps.setProperty("batchsize", batchSize.toString)
 
-    // to_timestamp parsed runTs in the SESSION timezone; binding
-    // Timestamp.valueOf (JVM-default wall clock) would shift the probe
-    // whenever the two zones differ — convert through the session zone
-    // to the same instant Spark wrote. Used by both the L4 verify and
-    // the L6 compensating delete.
-    val sessionZone = java.time.ZoneId.of(
-      df.sparkSession.conf.get("spark.sql.session.timeZone",
-        java.util.TimeZone.getDefault.getID))
-    val runInstant = Timestamp.from(
-      java.time.LocalDateTime.parse(runTs,
-        java.time.format.DateTimeFormatter
-          .ofPattern("dd-MM-yyyy HH:mm:ss"))
-        .atZone(sessionZone).toInstant)
+    val runInstant = runInstantOf(df, runTs)
 
     // runTs uniquely keys the run — a hard caller contract, because
     // both L4's verify and L6's compensating delete select on it. The
@@ -225,5 +228,122 @@ object LoadOrchestrator {
         finally toWrite.unpersist()
         throw e
     }
+  }
+
+  /** Driver-side row cap for [[load]]'s strict mode: collecting more
+    * than this refuses loudly. The i2b2 metadata dimension the
+    * reference loads is ~10⁵ rows; a fact-table-sized frame through
+    * one connection is a misuse of the mode, not a tuning problem.
+    */
+  val StrictMaxRows: Int = 1000000
+
+  /** to_timestamp parsed runTs in the SESSION timezone; binding
+    * Timestamp.valueOf (JVM-default wall clock) would shift the probe
+    * whenever the two zones differ — convert through the session zone
+    * to the same instant Spark wrote. Used by the L4 verify, the L6
+    * compensating delete, and strict mode's probes.
+    */
+  private def runInstantOf(df: DataFrame, runTs: String): Timestamp = {
+    val sessionZone = java.time.ZoneId.of(
+      df.sparkSession.conf.get("spark.sql.session.timeZone",
+        java.util.TimeZone.getDefault.getID))
+    Timestamp.from(
+      java.time.LocalDateTime.parse(runTs,
+        java.time.format.DateTimeFormatter
+          .ofPattern("dd-MM-yyyy HH:mm:ss"))
+        .atZone(sessionZone).toInstant)
+  }
+
+  /** Strict global-transaction load (see [[load]]'s `strictTxn`):
+    * the reference's single-connection all-or-nothing bracket,
+    * byte-for-byte in effect — autocommit off, DDL + batched inserts
+    * + L4 verify + L5 export inside ONE transaction, `commit()` only
+    * after everything succeeded, `rollback()` on any failure
+    * (Angelo_ETL_Task.py:366-374). The L4 verify runs on the SAME
+    * connection, so it counts the uncommitted rows of this
+    * transaction — exactly what the reference's cursor sees.
+    */
+  private def loadStrict(df: DataFrame, url: String, table: String,
+                         props: Properties, runTs: String,
+                         csvOut: Option[String],
+                         batchSize: Int): LoadReport = {
+    val runInstant = runInstantOf(df, runTs)
+    val typed = castRunTimestamps(df)
+    val conn = DriverManager.getConnection(url, props)
+    try {
+      conn.setAutoCommit(false)
+      val (created, importDate) =
+        if (!tableExists(conn, table)) {
+          val st = conn.createStatement()
+          try st.executeUpdate(i2b2Ddl(table)) finally st.close()
+          (true, None)
+        } else (false, firstImportDate(conn, table))
+      if (!created && countRowsAt(conn, table, runInstant) > 0)
+        throw new IllegalStateException(
+          s"run timestamp collision: rows with UPDATE_DATE = $runTs " +
+            s"already exist in $table — refusing to write")
+      val stamped = importDate match {
+        case Some(ts) => typed.withColumn("IMPORT_DATE", lit(ts))
+        case None => typed
+      }
+      // reference shape: the frame comes to the driver and writes
+      // through this one connection (pandas does the same); the cap
+      // keeps the mode honest about what it is for
+      val toWrite = stamped.cache()
+      try {
+        val rows = toWrite.count()
+        if (rows > StrictMaxRows)
+          throw new IllegalStateException(
+            s"strictTxn collects to the driver: $rows rows exceeds the " +
+              s"$StrictMaxRows-row cap — use the default distributed " +
+              "load for fact-table-scale frames")
+        val cols = I2b2Pipeline.outputCols
+        val schema = toWrite.schema
+        val colIdx = cols.map(schema.fieldIndex)
+        val intCols = Set("C_HLEVEL", "C_TOTALNUM")
+        val tsCols = Set("UPDATE_DATE", "DOWNLOAD_DATE", "IMPORT_DATE")
+        val ps = conn.prepareStatement(
+          s"INSERT INTO $table (${cols.mkString(", ")}) " +
+            s"VALUES (${cols.map(_ => "?").mkString(", ")})")
+        try {
+          var inBatch = 0
+          toWrite.toLocalIterator().forEachRemaining { row =>
+            var j = 0
+            while (j < cols.length) {
+              val c = cols(j)
+              val i = colIdx(j)
+              if (row.isNullAt(i)) {
+                val t =
+                  if (intCols(c)) java.sql.Types.INTEGER
+                  else if (tsCols(c)) java.sql.Types.TIMESTAMP
+                  else java.sql.Types.VARCHAR
+                ps.setNull(j + 1, t)
+              } else if (intCols(c)) ps.setInt(j + 1, row.getInt(i))
+              else if (tsCols(c)) ps.setTimestamp(j + 1, row.getTimestamp(i))
+              else ps.setString(j + 1, row.getString(i))
+              j += 1
+            }
+            ps.addBatch()
+            inBatch += 1
+            if (inBatch == batchSize) { ps.executeBatch(); inBatch = 0 }
+          }
+          if (inBatch > 0) ps.executeBatch()
+        } finally ps.close()
+        // L4 on the SAME connection: counts this txn's rows pre-commit
+        val verified = countRowsAt(conn, table, runInstant)
+        // L5 inside the bracket: a run whose CSV could not be written
+        // is a failed run — rollback, same as the reference
+        csvOut.foreach(p =>
+          toWrite.coalesce(1).write.option("header", "true")
+            .mode(SaveMode.Overwrite).csv(p))
+        conn.commit()
+        LoadReport(created, importDate, rows, verified)
+      } finally toWrite.unpersist()
+    } catch {
+      case e: Throwable =>
+        try conn.rollback()
+        catch { case c: Throwable => e.addSuppressed(c) }
+        throw e
+    } finally conn.close()
   }
 }
