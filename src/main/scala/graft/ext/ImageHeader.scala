@@ -203,22 +203,35 @@ object AudioHeader {
     while (i + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
       val at = i.toInt
       val size = le32(b, at + 4)
-      if (ascii(b, at, "fmt ") && size >= 16 && i + 24 <= b.length)
-        fmt = Some((le16(b, at + 8), le16(b, at + 10),
+      if (ascii(b, at, "fmt ") && size >= 16 && i + 24 <= b.length) {
+        val tag0 = le16(b, at + 8)
+        // WAVE_FORMAT_EXTENSIBLE: the true coding lives in the
+        // SubFormat GUID (fmt payload offset 24); its first two bytes
+        // are the classic tag code (0x0001 = integer PCM). Resolve it
+        // here so the yield's tag gate sees the real coding — a
+        // 16-bit extensible container wrapping ADPCM/float must not
+        // be fingerprinted as linear PCM. Extensible without its
+        // mandatory 22-byte extension is malformed → not PCM.
+        val tag =
+          if (tag0 != 0xFFFE) tag0
+          else if (size >= 40 && at + 34 <= b.length) le16(b, at + 32)
+          else -1
+        fmt = Some((tag, le16(b, at + 10),
           le32(b, at + 12).toInt, le16(b, at + 22), le16(b, at + 20)))
+      }
       if (ascii(b, at, "data")) data = Some((at + 8, size))
       i += 8 + size + (size & 1)
     }
     // the audioFormat TAG gates the yield, not just bits==16: a
     // compressed coding declaring 16 bits per sample (e.g. ADPCM
     // variants) must return None, not be fingerprinted as if its
-    // bytes were linear PCM. 1 = PCM; 0xFFFE = WAVE_FORMAT_EXTENSIBLE,
-    // whose integer-PCM subformat is the common >2-channel container.
+    // bytes were linear PCM. tag here is already GUID-resolved
+    // (WAVE_FORMAT_EXTENSIBLE above), so 1 means integer PCM whether
+    // declared classically or through the extensible SubFormat.
     for {
       (tag, _, rate, bits, blockAlign) <- fmt
       (off, size) <- data
-      if (tag == 1 || tag == 0xFFFE) &&
-        bits == 16 && blockAlign >= 2 && rate > 0
+      if tag == 1 && bits == 16 && blockAlign >= 2 && rate > 0
     } yield {
       if (off + size > b.length)
         throw new IllegalArgumentException(

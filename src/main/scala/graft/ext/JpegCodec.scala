@@ -155,6 +155,18 @@ object JpegDecoder {
     var h = -1
     var comps: Array[Component] = null
     var restartInterval = 0
+    // Every variable-length segment declares its byte length; validate
+    // it against the file ONCE per segment so a JPEG truncated
+    // mid-header fails with the contractual message, not
+    // ArrayIndexOutOfBoundsException (same hardening as the PNG chunk
+    // walk's Long-compare bound).
+    def segLen(at: Int): Int = {
+      if (at + 2 > b.length) fail("truncated segment length")
+      val len = be16(b, at)
+      if (len < 2 || at + len > b.length)
+        fail(s"segment (len=$len) overruns the file")
+      len
+    }
     while (true) {
       // segment walk: optional fill bytes, then a marker
       if (i + 1 >= b.length) fail("truncated before SOS")
@@ -167,11 +179,13 @@ object JpegDecoder {
         case 0xd8 => () // SOI (again) — tolerate
         case 0xd9 => fail("EOI before any scan")
         case 0xc0 | 0xc1 => // baseline / extended sequential, Huffman
-          val len = be16(b, i)
+          val len = segLen(i)
+          if (len < 8) fail("SOF segment too short")
           if (u8(b, i + 2) != 8) return None // 12-bit: subset edge
           h = be16(b, i + 3); w = be16(b, i + 5)
           val n = u8(b, i + 7)
           if (n != 1 && n != 3) return None
+          if (len < 8 + 3 * n) fail("SOF overruns its segment")
           if (w <= 0 || h <= 0) fail(s"bad dimensions ${w}x$h")
           if (w.toLong * h > MaxPixels)
             fail(s"${w}x$h exceeds the $MaxPixels-pixel decode cap")
@@ -186,7 +200,7 @@ object JpegDecoder {
         case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd |
              0xce | 0xcf => return None // lossless/arithmetic/differential
         case 0xc4 => // DHT
-          val len = be16(b, i)
+          val len = segLen(i)
           var o = i + 2
           while (o < i + len) {
             val tc = u8(b, o) >> 4
@@ -202,7 +216,8 @@ object JpegDecoder {
           }
           i += len
         case 0xdb => // DQT
-          val len = be16(b, i)
+          val len = segLen(i)
+          if (len < 2 + 1 + 64) fail("DQT segment too short")
           var o = i + 2
           while (o < i + len) {
             val pq = u8(b, o) >> 4
@@ -220,14 +235,18 @@ object JpegDecoder {
           }
           i += len
         case 0xdd => // DRI
+          val len = segLen(i)
+          if (len < 4) fail("DRI segment too short")
           restartInterval = be16(b, i + 2)
-          i += be16(b, i)
+          i += len
         case 0xda => // SOS — decode the scan and return
           if (comps == null) fail("SOS before SOF")
-          val len = be16(b, i)
+          val len = segLen(i)
+          if (len < 3) fail("SOS segment too short")
           val ns = u8(b, i + 2)
           if (ns != comps.length) fail(s"scan has $ns of ${comps.length} " +
             "components (multi-scan is not baseline)")
+          if (len < 6 + 2 * ns) fail("SOS overruns its segment")
           val scanDc = new Array[Huff](ns)
           val scanAc = new Array[Huff](ns)
           val scanComp = new Array[Component](ns)
@@ -249,8 +268,8 @@ object JpegDecoder {
           }
           return Some(decodeScan(b, i + len, w, h, scanComp, scanDc,
             scanAc, qt, restartInterval))
-        case x if x >= 0xe0 && x <= 0xef => i += be16(b, i) // APPn
-        case 0xfe => i += be16(b, i) // COM
+        case x if x >= 0xe0 && x <= 0xef => i += segLen(i) // APPn
+        case 0xfe => i += segLen(i) // COM
         case 0x01 => () // TEM, parameterless
         case other => fail(f"unexpected marker 0xff$other%02x before SOS")
       }
@@ -302,8 +321,11 @@ object JpegDecoder {
           val run = rs >> 4
           val s = rs & 15
           if (s == 0) {
-            if (run == 15) k += 16 // ZRL
-            else eob = true
+            if (run == 15) { // ZRL: 16 zeros, must leave room for the
+              k += 16        // nonzero coefficient that follows (T.81
+              if (k > 63)    // forbids ZRL running past the block)
+                fail("AC run past coefficient 63")
+            } else eob = true
           } else {
             k += run
             if (k > 63) fail("AC run past coefficient 63")

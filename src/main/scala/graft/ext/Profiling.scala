@@ -331,6 +331,17 @@ object Profiling {
     * standard MAD caveat — callers on near-constant streams should
     * pre-filter or raise `mult`.
     *
+    * Key-cardinality assumption: the per-key stats frame (one
+    * med/MAD row per key) is broadcast back onto the rows, so the
+    * MONITORED KEY DOMAIN must fit in a broadcast — fine for the
+    * intended metric/entity monitoring shape (10³–10⁷ keys, a few
+    * tens of bytes each), NOT for a key domain proportional to the
+    * row count (e.g. key = the row id). Callers with an unbounded
+    * key domain should pre-aggregate keys or shard the monitoring;
+    * the explicit broadcast is deliberate (it pins the plan against
+    * a sort-merge degrade when size estimates go opaque behind the
+    * aggregate — see the in-body note).
+    *
     * Returns ONLY the anomalous rows: (id, key, v, med, dev, mad).
     */
   def madOutliers(df: DataFrame, key: Column, id: Column, value: Column,

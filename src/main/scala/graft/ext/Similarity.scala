@@ -60,15 +60,33 @@ object Similarity {
 
   /** Exact top-k neighbors for each row of `queries` against `corpus`
     * by brute-force cosine. The cross join is intentional — this is
-    * the correctness baseline; use `lshTopK` when |queries|·|corpus|
-    * is large. `queries`/`corpus` need (id, vec) columns.
+    * the correctness baseline, and `queries` is expected to be a
+    * SMALL probe set (the bench fixture passes ≤50 rows; the
+    * `maxQueries` guard defaults to 10_000, beyond which the
+    * |queries|·|corpus| pair count stops being a baseline and starts
+    * being the workload). For corpus-vs-corpus or large probe sets
+    * use [[lshTopK]] / [[ivfFlatTopK]] / [[ivfPqTopK]] — the bucketed
+    * ladders beside this method that bound the candidate set.
+    * `queries`/`corpus` need (id, vec) columns.
     *
     * Norms are hoisted into the per-row projections below the join, so
     * each pair pays ONE fold (the dot product) instead of three; the
     * arithmetic sequence per value is unchanged (dot/(na*nb)).
+    *
+    * The guard counts `queries` (one cheap job on what should be a
+    * tiny frame) rather than trusting the caller's estimate: failing
+    * loudly here beats a silent week-long cartesian on a cluster.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
-                     k: Int): DataFrame = {
+                     k: Int, maxQueries: Int = 10000): DataFrame = {
+    // limit(max+1) short-circuits the scan: the guard job reads just
+    // past the cap, never the whole query frame
+    val nq = queries.limit(maxQueries + 1).count()
+    require(nq <= maxQueries,
+      s"bruteForceTopK: >$maxQueries query rows — " +
+        "this is the exact baseline for small probe sets; use " +
+        "lshTopK/ivfFlatTopK/ivfPqTopK for large query sets, or raise " +
+        "maxQueries explicitly if the cartesian is intended")
     val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
       norm(col("vec")).as("__qn")).filter(col("__qn") > 0)
     val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"),

@@ -1531,6 +1531,13 @@ class ExtSpec extends SparkSpec {
       (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
     prog(sofAt + 1) = 0xc2.toByte
     assert(JpegDecoder.decode(prog).isEmpty)
+    // 6) truncation MID-HEADER (inside the SOF segment) fails with
+    // the contractual message, not ArrayIndexOutOfBoundsException
+    val midHdr = intercept[IllegalArgumentException] {
+      JpegDecoder.decode(java.util.Arrays.copyOf(jp, sofAt + 6))
+    }
+    assert(midHdr.getMessage.contains("JPEG") &&
+      midHdr.getMessage.contains("overruns"))
   }
 
   test("aHashFromGray pools to the 10x6 grid with integer means and " +
@@ -1594,6 +1601,38 @@ class ExtSpec extends SparkSpec {
     assert(Multimodal.audioFingerprint(Array.fill(120)(7)) === 0L)
     assert(Multimodal.audioFingerprint(imp0) === 1L)
     assert(Multimodal.audioFingerprint(imp59) === (1L << 59))
+  }
+
+  test("AudioHeader.pcm16 resolves WAVE_FORMAT_EXTENSIBLE through the " +
+    "SubFormat GUID: integer-PCM decodes, float/absent extension do not") {
+    import graft.ext.AudioHeader
+    val samples = Array.tabulate(16)(t => t * 100 - 800)
+    // hand-built extensible container: 40-byte fmt chunk with
+    // cbSize=22 and the SubFormat GUID's leading code selectable
+    def extensible(subCode: Int, fmtSize: Int = 40): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def s(str: String): Unit = out.write(str.getBytes("US-ASCII"))
+      def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      def le32(v: Int): Unit = { le16(v & 0xffff); le16(v >>> 16) }
+      s("RIFF"); le32(4 + 8 + fmtSize + 8 + samples.length * 2); s("WAVE")
+      s("fmt "); le32(fmtSize)
+      le16(0xFFFE); le16(1); le32(8000); le32(16000); le16(2); le16(16)
+      if (fmtSize >= 40) {
+        le16(22); le16(16); le32(4)
+        le16(subCode) // GUID bytes 0-1: the classic tag code
+        // remainder of the KSDATAFORMAT GUID tail (fixed)
+        Array(0x00, 0x00, 0x00, 0x00, 0x10, 0x00, 0x80, 0x00,
+          0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71).foreach(out.write)
+      }
+      s("data"); le32(samples.length * 2)
+      samples.foreach(le16)
+      out.toByteArray
+    }
+    assert(AudioHeader.pcm16(extensible(subCode = 1)).get === samples)
+    // IEEE-float subformat (3) declares 16-bit but is not integer PCM
+    assert(AudioHeader.pcm16(extensible(subCode = 3)).isEmpty)
+    // extensible WITHOUT its mandatory 22-byte extension: malformed
+    assert(AudioHeader.pcm16(extensible(subCode = 1, fmtSize = 16)).isEmpty)
   }
 
   test("tokenBudgetMix: whole epochs when the share exceeds the " +
