@@ -150,9 +150,11 @@ object LoadOrchestrator {
     */
   def load(df: DataFrame, url: String, table: String, props: Properties,
            runTs: String, csvOut: Option[String] = None,
-           batchSize: Int = 1000, strictTxn: Boolean = false): LoadReport = {
+           batchSize: Int = 1000, strictTxn: Boolean = false,
+           strictMaxRows: Int = StrictMaxRows): LoadReport = {
     if (strictTxn)
-      return loadStrict(df, url, table, props, runTs, csvOut, batchSize)
+      return loadStrict(df, url, table, props, runTs, csvOut, batchSize,
+        strictMaxRows)
     val (created, importDate) = withConnection(url, props) { conn =>
       if (!tableExists(conn, table)) {
         val st = conn.createStatement()
@@ -265,8 +267,8 @@ object LoadOrchestrator {
     */
   private def loadStrict(df: DataFrame, url: String, table: String,
                          props: Properties, runTs: String,
-                         csvOut: Option[String],
-                         batchSize: Int): LoadReport = {
+                         csvOut: Option[String], batchSize: Int,
+                         strictMaxRows: Int = StrictMaxRows): LoadReport = {
     val runInstant = runInstantOf(df, runTs)
     val typed = castRunTimestamps(df)
     val conn = DriverManager.getConnection(url, props)
@@ -292,10 +294,10 @@ object LoadOrchestrator {
       val toWrite = stamped.cache()
       try {
         val rows = toWrite.count()
-        if (rows > StrictMaxRows)
+        if (rows > strictMaxRows)
           throw new IllegalStateException(
             s"strictTxn collects to the driver: $rows rows exceeds the " +
-              s"$StrictMaxRows-row cap — use the default distributed " +
+              s"$strictMaxRows-row cap — use the default distributed " +
               "load for fact-table-scale frames")
         val cols = I2b2Pipeline.outputCols
         val schema = toWrite.schema
