@@ -9,10 +9,14 @@ package graft.ext
   *
   * Subset (None outside it, loud failure for corrupt members):
   *   - SOF0/SOF1 (baseline / extended sequential, Huffman), 8-bit
-  *     precision, 1-component grayscale or 3-component 4:4:4 (all
-  *     sampling factors 1×1). Progressive (SOF2), arithmetic coding,
-  *     12-bit, and subsampled (4:2:0/4:2:2) streams return None —
-  *     honest subset edges, same contract as interlaced PNG/GIF.
+  *     precision, 1-component grayscale (1×1) or 3-component with
+  *     per-axis sampling factors 1–2 — 4:4:4, 4:2:2, 4:2:0 and the
+  *     legal odd combos, via the general T.81 §A.2.3 MCU
+  *     interleave; chroma upsampled by pixel replication
+  *     (deterministic — see [[decodeScan]]). Progressive (SOF2),
+  *     arithmetic coding, 12-bit, and sampling factors 3–4 return
+  *     None — honest subset edges, same contract as interlaced
+  *     PNG/GIF.
   *   - Restart markers (DRI/RSTn) are handled.
   *
   * Determinism contract (what the oracle can rely on):
@@ -194,7 +198,18 @@ object JpegDecoder {
             Component(u8(b, o), u8(b, o + 1) >> 4, u8(b, o + 1) & 15,
               u8(b, o + 2))
           }
-          if (comps.exists(c => c.h != 1 || c.v != 1)) return None // subsampled
+          // Sampling subset: 3-component scans accept factors 1–2 in
+          // each axis (covers 4:4:4, 4:2:2, 4:2:0 and the legal
+          // odd combos — the MCU interleave below is general);
+          // single-component scans are 1×1 only (T.81 §A.2.2: a
+          // one-component scan is NON-interleaved, MCU = one block —
+          // sampling factors >1 would change nothing but the padded
+          // plane, and such streams are pathological).
+          if (n == 1 && (comps(0).h != 1 || comps(0).v != 1))
+            return None
+          if (comps.exists(c => c.h < 1 || c.h > 2 || c.v < 1 ||
+              c.v > 2))
+            return None
           i += len
         case 0xc2 => return None // progressive: subset edge
         case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd |
@@ -277,20 +292,35 @@ object JpegDecoder {
     None // unreachable
   }
 
+  /** Decode the (single, interleaved) scan. General MCU interleave
+    * per T.81 §A.2.3: an MCU spans 8·Hmax × 8·Vmax pixels and
+    * carries h_c × v_c blocks of each component in component order,
+    * blocks raster-ordered within the MCU. Each component decodes
+    * into its own SUBSAMPLED plane; the crop/convert pass below
+    * samples chroma by pixel replication (cx = x·h_c/Hmax — integer
+    * truncation, the deterministic nearest-neighbor upsample; JFIF
+    * leaves the upsample filter to the decoder, and replication
+    * keeps the ±1 determinism contract where bilinear would add a
+    * second rounding convention).
+    */
   private def decodeScan(b: Array[Byte], start: Int, w: Int, h: Int,
                          comps: Array[Component], dcT: Array[Huff],
                          acT: Array[Huff], qt: Array[Array[Int]],
                          restartInterval: Int): Pixels = {
     val n = comps.length
-    val bw = (w + 7) / 8
-    val bh = (h + 7) / 8
-    val planes = Array.fill(n)(new Array[Int](bw * 8 * bh * 8))
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
+    val nMcuX = (w + 8 * hMax - 1) / (8 * hMax)
+    val nMcuY = (h + 8 * vMax - 1) / (8 * vMax)
+    val planeW = Array.tabulate(n)(c => nMcuX * comps(c).h * 8)
+    val planes = Array.tabulate(n)(c =>
+      new Array[Int](planeW(c) * nMcuY * comps(c).v * 8))
     val pred = new Array[Int](n)
     val coef = new Array[Int](64)
     val block = new Array[Int](64)
     val r = new BitReader(b, start)
     var mcu = 0
-    val nMcu = bw * bh
+    val nMcu = nMcuX * nMcuY
     var rstExpect = 0xd0
     while (mcu < nMcu) {
       if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
@@ -303,63 +333,71 @@ object JpegDecoder {
         rstExpect = if (rstExpect == 0xd7) 0xd0 else rstExpect + 1
         java.util.Arrays.fill(pred, 0)
       }
-      val bx = mcu % bw
-      val by = mcu / bw
+      val mx = mcu % nMcuX
+      val my = mcu / nMcuX
       var c = 0
       while (c < n) {
-        java.util.Arrays.fill(coef, 0)
-        // DC (F.2.2.1)
-        val t = dcT(c).decode(r)
-        if (t > 11) fail(s"DC category $t")
-        pred(c) += r.receiveExtend(t)
-        coef(0) = pred(c)
-        // AC (F.2.2.2)
-        var k = 1
-        var eob = false
-        while (k < 64 && !eob) {
-          val rs = acT(c).decode(r)
-          val run = rs >> 4
-          val s = rs & 15
-          if (s == 0) {
-            if (run == 15) { // ZRL: 16 zeros, must leave room for the
-              k += 16        // nonzero coefficient that follows (T.81
-              if (k > 63)    // forbids ZRL running past the block)
-                fail("AC run past coefficient 63")
-            } else eob = true
-          } else {
-            k += run
-            if (k > 63) fail("AC run past coefficient 63")
-            coef(Zigzag(k)) = r.receiveExtend(s)
-            k += 1
+        var sub = 0
+        val nSub = comps(c).h * comps(c).v
+        while (sub < nSub) {
+          val bx = mx * comps(c).h + sub % comps(c).h
+          val by = my * comps(c).v + sub / comps(c).h
+          java.util.Arrays.fill(coef, 0)
+          // DC (F.2.2.1)
+          val t = dcT(c).decode(r)
+          if (t > 11) fail(s"DC category $t")
+          pred(c) += r.receiveExtend(t)
+          coef(0) = pred(c)
+          // AC (F.2.2.2)
+          var k = 1
+          var eob = false
+          while (k < 64 && !eob) {
+            val rs = acT(c).decode(r)
+            val run = rs >> 4
+            val s = rs & 15
+            if (s == 0) {
+              if (run == 15) { // ZRL: 16 zeros, must leave room for
+                k += 16        // the nonzero coefficient that follows
+                if (k > 63)    // (T.81 forbids ZRL past the block)
+                  fail("AC run past coefficient 63")
+              } else eob = true
+            } else {
+              k += run
+              if (k > 63) fail("AC run past coefficient 63")
+              coef(Zigzag(k)) = r.receiveExtend(s)
+              k += 1
+            }
           }
-        }
-        idctDequant(coef, qt(comps(c).tq), block)
-        // place the 8×8 into the padded plane
-        val plane = planes(c)
-        var y = 0
-        while (y < 8) {
-          System.arraycopy(block, y * 8, plane,
-            (by * 8 + y) * bw * 8 + bx * 8, 8)
-          y += 1
+          idctDequant(coef, qt(comps(c).tq), block)
+          // place the 8×8 into the component's subsampled plane
+          val plane = planes(c)
+          var y = 0
+          while (y < 8) {
+            System.arraycopy(block, y * 8, plane,
+              (by * 8 + y) * planeW(c) + bx * 8, 8)
+            y += 1
+          }
+          sub += 1
         }
         c += 1
       }
       mcu += 1
     }
-    // crop + gray reduce
+    // crop + chroma-replicate + gray reduce
     val out = new Array[Int](w * h)
-    val stride = bw * 8
+    def sample(c: Int, x: Int, y: Int): Int =
+      planes(c)((y * comps(c).v / vMax) * planeW(c) +
+        x * comps(c).h / hMax)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val o = y * stride + x
         out(y * w + x) =
-          if (n == 1) planes(0)(o)
+          if (n == 1) planes(0)(y * planeW(0) + x)
           else { // JFIF YCbCr→RGB, 16-bit fixed point, round-half-up
-            val yy = planes(0)(o) << 16
-            val cb = planes(1)(o) - 128
-            val cr = planes(2)(o) - 128
+            val yy = sample(0, x, y) << 16
+            val cb = sample(1, x, y) - 128
+            val cr = sample(2, x, y) - 128
             def cl(v: Int): Int = {
               val s = (v + 32768) >> 16
               if (s < 0) 0 else if (s > 255) 255 else s
@@ -489,6 +527,96 @@ object JpegEncoder {
       if (s > 0) // EXTEND-inverse: negatives offset by (1<<s)-1
         putBits(if (diff < 0) diff + (1 << s) - 1 else diff, s)
       putBits(0, 2) // EOB
+    }
+    if (nBits > 0) putBits((1 << (8 - nBits)) - 1, 8 - nBits) // pad 1s
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Encode a SUBSAMPLED (4:2:0 when hs=vs=2, 4:2:2 when hs=2,vs=1)
+    * 3-component DC-only baseline JPEG with NEUTRAL chroma: luma
+    * carries `blockDc` per 8×8 Y block, both chroma components are
+    * flat 128 (DC 0). The decoded gray is the same exact closed form
+    * as [[grayDcOnly]] — Cb=Cr=128 makes R=G=B=Y and luma(y,y,y)=y
+    * (the 77+150+29=256 weights) — so subsampled fixture members
+    * oracle bit-exactly per Y block while exercising the decoder's
+    * MCU interleave and chroma-replication paths.
+    *
+    * `w`/`h` must be multiples of 8·hs / 8·vs (no padding blocks, so
+    * every `blockDc` value is pixel-visible). `blockDc(bx, by)` is
+    * indexed over the Y-block grid: bx < w/8, by < h/8.
+    */
+  def yccDcOnly(w: Int, h: Int, blockDc: (Int, Int) => Int,
+                hs: Int = 2, vs: Int = 2,
+                chromaDc: (Int, Int) => (Int, Int) =
+                  (_, _) => (0, 0)): Array[Byte] = {
+    require(hs >= 1 && hs <= 2 && vs >= 1 && vs <= 2 && hs + vs > 2,
+      s"jpeg: sampling ${hs}x$vs not in the subsampled set")
+    require(w > 0 && h > 0 && w < 65536 && h < 65536 &&
+      w % (8 * hs) == 0 && h % (8 * vs) == 0,
+      s"jpeg: ${w}x$h not a multiple of the ${8 * hs}x${8 * vs} MCU")
+    val out = new java.io.ByteArrayOutputStream()
+    def u8w(v: Int): Unit = out.write(v & 0xff)
+    def be16w(v: Int): Unit = { u8w(v >> 8); u8w(v) }
+    def marker(m: Int): Unit = { u8w(0xff); u8w(m) }
+    marker(0xd8) // SOI
+    marker(0xdb); be16w(2 + 65); u8w(0x00) // DQT id 0, 8-bit, all 1s
+    for (_ <- 0 until 64) u8w(1)
+    marker(0xc0); be16w(8 + 9) // SOF0: 3 components
+    u8w(8); be16w(h); be16w(w); u8w(3)
+    u8w(1); u8w((hs << 4) | vs); u8w(0) // Y: hs×vs, qtab 0
+    u8w(2); u8w(0x11); u8w(0) // Cb: 1×1
+    u8w(3); u8w(0x11); u8w(0) // Cr: 1×1
+    // same two Huffman tables as grayDcOnly, shared by all comps
+    marker(0xc4); be16w(2 + 17 + 12); u8w(0x00)
+    for (l <- 1 to 16) u8w(if (l == 4) 12 else 0)
+    for (s <- 0 until 12) u8w(s)
+    marker(0xc4); be16w(2 + 17 + 1); u8w(0x10)
+    for (l <- 1 to 16) u8w(if (l == 2) 1 else 0)
+    u8w(0x00)
+    marker(0xda); be16w(6 + 6) // SOS, 3 components
+    u8w(3)
+    u8w(1); u8w(0x00)
+    u8w(2); u8w(0x00)
+    u8w(3); u8w(0x00)
+    u8w(0); u8w(63); u8w(0)
+    var acc = 0L
+    var nBits = 0
+    def putBits(v: Int, n: Int): Unit = {
+      acc = (acc << n) | (v & ((1L << n) - 1)); nBits += n
+      while (nBits >= 8) {
+        val byte = ((acc >> (nBits - 8)) & 0xff).toInt
+        u8w(byte)
+        if (byte == 0xff) u8w(0x00) // stuffing
+        nBits -= 8
+      }
+    }
+    def putDcDiff(diff: Int): Unit = {
+      val s = 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      putBits(s, 4)
+      if (s > 0)
+        putBits(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      putBits(0, 2) // EOB
+    }
+    val nMcuX = w / (8 * hs)
+    val nMcuY = h / (8 * vs)
+    var predY = 0
+    var predCb = 0
+    var predCr = 0
+    for (my <- 0 until nMcuY; mx <- 0 until nMcuX) {
+      for (by2 <- 0 until vs; bx2 <- 0 until hs) {
+        val dc = blockDc(mx * hs + bx2, my * vs + by2)
+        require(dc >= -1024 && dc <= 1016, s"jpeg: DC $dc out of range")
+        putDcDiff(dc - predY)
+        predY = dc
+      }
+      // chroma blocks cover the whole MCU (1×1 at the chroma grid);
+      // default (0, 0) keeps both flat 128 = neutral
+      val (cb, cr) = chromaDc(mx, my)
+      require(cb >= -1024 && cb <= 1016 && cr >= -1024 && cr <= 1016,
+        s"jpeg: chroma DC ($cb, $cr) out of range")
+      putDcDiff(cb - predCb); predCb = cb
+      putDcDiff(cr - predCr); predCr = cr
     }
     if (nBits > 0) putBits((1 << (8 - nBits)) - 1, 8 - nBits) // pad 1s
     marker(0xd9) // EOI

@@ -19,8 +19,10 @@ final case class Pixels(width: Int, height: Int, gray: Array[Int])
   * Coverage is the subset a fixture- and thumbnail-scale pipeline
   * needs, decoded COMPLETELY correctly:
   *   - PNG: bit depth 8, color types 0 (grayscale), 2 (truecolor)
-  *     and 6 (truecolor+alpha, alpha ignored for gray), non-
-  *     interlaced, any mix of filters 0–4, multi-IDAT, chunk CRCs
+  *     and 6 (truecolor+alpha, alpha ignored for gray), both
+  *     non-interlaced and Adam7-interlaced (RFC 2083 §2.6 — seven
+  *     independently filtered sub-images, empty passes contribute
+  *     no bytes), any mix of filters 0–4, multi-IDAT, chunk CRCs
   *     verified.
   *   - BMP: BITMAPINFOHEADER-family, 24-bit, BI_RGB (uncompressed),
   *     bottom-up and top-down row orders.
@@ -32,13 +34,14 @@ final case class Pixels(width: Int, height: Int, gray: Array[Int])
   *     of perceptual-hash scope; frame COUNT comes from the header
   *     walk in [[ImageHeader]].)
   *   - JPEG: baseline/extended sequential Huffman, 8-bit, grayscale
-  *     or 4:4:4 — dispatched to [[JpegDecoder]], see its scaladoc
-  *     for the subset and determinism contract.
+  *     or 3-component with sampling factors 1–2 (4:4:4/4:2:2/4:2:0)
+  *     — dispatched to [[JpegDecoder]], see its scaladoc for the
+  *     subset and determinism contract.
   *
   * Error contract (the [[graft.sources.WarcSource]] loud-failure
   * discipline): [[PixelDecoder.decode]] returns None only for "not a
   * format this decoder owns" (wrong magic, or a variant outside the
-  * subset above — interlaced, paletted PNG, 16-bit, RLE);
+  * subset above — interlaced GIF, paletted PNG, 16-bit, RLE);
   * a payload that CLAIMS to be a supported image but is structurally
   * broken (bad chunk CRC, short IDAT, truncated rows, bad zlib data,
   * an LZW code beyond the table, missing trailer) throws with what
@@ -143,52 +146,77 @@ object PixelDecoder {
     }
     if (w <= 0 || h <= 0) fail(s"PNG: bad dimensions ${w}x$h")
     // subset boundary: None, not an error (see the object contract)
-    if (bitDepth != 8 || interlace != 0 ||
+    if (bitDepth != 8 ||
       (colorType != 0 && colorType != 2 && colorType != 6)) return None
+    if (interlace > 1) fail(s"PNG: unknown interlace method $interlace")
     if (w.toLong * h > MaxPixels)
       fail(s"PNG: ${w}x$h exceeds the $MaxPixels-pixel decode cap")
     val bpp = colorType match { case 0 => 1; case 2 => 3; case _ => 4 }
-    val stride = w * bpp
-    val raw = inflateZlib(idat.toByteArray, (stride + 1) * h)
-    if (raw.length != (stride + 1) * h)
-      fail(s"PNG: inflated ${raw.length} bytes, " +
-        s"expected ${(stride + 1) * h}")
-    // scanline reconstruction (RFC 2083 §6.2-6.6): each row leads
-    // with its filter byte; Sub/Up/Average/Paeth reference the
-    // reconstructed bytes at distance bpp (left), stride (up), both
+    // Adam7 (RFC 2083 §2.6): seven sub-images, pass p covering the
+    // pixel lattice (x0 + i·dx, y0 + j·dy); each pass carries its OWN
+    // scanline set — filter byte per row, filters referencing only
+    // neighbors WITHIN the pass — and an empty pass (zero width or
+    // height) contributes no bytes at all, not even filter bytes.
+    // The non-interlaced image is the same machinery with the single
+    // full-lattice "pass", so one reconstruction loop serves both.
+    val passes: Seq[(Int, Int, Int, Int)] =
+      if (interlace == 0) Seq((0, 0, 1, 1))
+      else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val dims = passes.map { case (x0, y0, dx, dy) =>
+      (if (w > x0) (w - x0 + dx - 1) / dx else 0,
+        if (h > y0) (h - y0 + dy - 1) / dy else 0)
+    }
+    val expected = dims.map { case (pw, ph) =>
+      if (pw == 0 || ph == 0) 0 else ph * (1 + pw * bpp)
+    }.sum
+    val raw = inflateZlib(idat.toByteArray, expected)
+    if (raw.length != expected)
+      fail(s"PNG: inflated ${raw.length} bytes, expected $expected")
     val out = new Array[Int](w * h)
-    val prev = new Array[Int](stride) // reconstructed previous row
-    val cur = new Array[Int](stride)
-    var y = 0
-    while (y < h) {
-      val base = y * (stride + 1)
-      val filter = raw(base) & 0xff
-      var x = 0
-      while (x < stride) {
-        val v = raw(base + 1 + x) & 0xff
-        val left = if (x >= bpp) cur(x - bpp) else 0
-        val up = prev(x)
-        val ul = if (x >= bpp) prev(x - bpp) else 0
-        cur(x) = filter match {
-          case 0 => v
-          case 1 => (v + left) & 0xff
-          case 2 => (v + up) & 0xff
-          case 3 => (v + (left + up) / 2) & 0xff
-          case 4 => (v + paeth(left, up, ul)) & 0xff
-          case f => fail(s"PNG: unknown filter $f on row $y")
+    var off = 0
+    for ((((x0, y0, dx, dy), (pw, ph)), p) <- passes.zip(dims).zipWithIndex
+         if pw > 0 && ph > 0) {
+      // scanline reconstruction (RFC 2083 §6.2-6.6): each row leads
+      // with its filter byte; Sub/Up/Average/Paeth reference the
+      // reconstructed bytes at distance bpp (left), stride (up), both
+      val stride = pw * bpp
+      val prev = new Array[Int](stride) // reconstructed previous row
+      val cur = new Array[Int](stride)
+      java.util.Arrays.fill(prev, 0)
+      var y = 0
+      while (y < ph) {
+        val base = off + y * (stride + 1)
+        val filter = raw(base) & 0xff
+        var x = 0
+        while (x < stride) {
+          val v = raw(base + 1 + x) & 0xff
+          val left = if (x >= bpp) cur(x - bpp) else 0
+          val up = prev(x)
+          val ul = if (x >= bpp) prev(x - bpp) else 0
+          cur(x) = filter match {
+            case 0 => v
+            case 1 => (v + left) & 0xff
+            case 2 => (v + up) & 0xff
+            case 3 => (v + (left + up) / 2) & 0xff
+            case 4 => (v + paeth(left, up, ul)) & 0xff
+            case f => fail(s"PNG: unknown filter $f on row $y " +
+              s"of pass ${p + 1}")
+          }
+          x += 1
         }
-        x += 1
+        var px = 0
+        while (px < pw) {
+          val o = px * bpp
+          out((y0 + y * dy) * w + (x0 + px * dx)) =
+            if (bpp == 1) cur(o)
+            else luma(cur(o), cur(o + 1), cur(o + 2))
+          px += 1
+        }
+        System.arraycopy(cur, 0, prev, 0, stride)
+        y += 1
       }
-      var px = 0
-      while (px < w) {
-        val o = px * bpp
-        out(y * w + px) =
-          if (bpp == 1) cur(o)
-          else luma(cur(o), cur(o + 1), cur(o + 2))
-        px += 1
-      }
-      System.arraycopy(cur, 0, prev, 0, stride)
-      y += 1
+      off += ph * (1 + stride)
     }
     Some(Pixels(w, h, out))
   }
@@ -450,54 +478,71 @@ object PixelEncoder {
   /** Encode an RGB (or grayscale, `colorType` 0) PNG. `rgb(x, y)`
     * returns packed 0xRRGGBB; for color type 0 the low byte is the
     * gray sample. `filterFor(y)` picks the scanline filter (0–4) —
-    * the default cycles through all five.
+    * the default cycles through all five. `interlace` emits the
+    * Adam7 layout (RFC 2083 §2.6): seven per-pass sub-images, each
+    * filtered independently (`filterFor` sees the pass-local row
+    * index), empty passes contributing no bytes; the non-interlaced
+    * layout is unchanged byte for byte.
     */
   def png(w: Int, h: Int, rgb: (Int, Int) => Int, colorType: Int = 2,
-          filterFor: Int => Int = _ % 5): Array[Byte] = {
+          filterFor: Int => Int = _ % 5,
+          interlace: Boolean = false): Array[Byte] = {
     require(w > 0 && h > 0, s"png: bad dimensions ${w}x$h")
     require(colorType == 0 || colorType == 2, s"png: colorType $colorType")
     val bpp = if (colorType == 0) 1 else 3
-    val stride = w * bpp
-    // raw scanlines, filtered exactly as the spec defines the
-    // inverse of the decoder's reconstruction
-    val raw = new Array[Byte]((stride + 1) * h)
-    val cur = new Array[Int](stride)
-    val prev = new Array[Int](stride)
-    for (y <- 0 until h) {
-      for (x <- 0 until w) {
-        val p = rgb(x, y)
-        if (bpp == 1) cur(x) = p & 0xff
-        else {
-          cur(x * 3) = (p >> 16) & 0xff
-          cur(x * 3 + 1) = (p >> 8) & 0xff
-          cur(x * 3 + 2) = p & 0xff
+    val passes: Seq[(Int, Int, Int, Int)] =
+      if (!interlace) Seq((0, 0, 1, 1))
+      else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    // raw scanlines per pass, filtered exactly as the spec defines
+    // the inverse of the decoder's reconstruction
+    val rawOut = new java.io.ByteArrayOutputStream()
+    for ((x0, y0, dx, dy) <- passes) {
+      val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+      val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+      if (pw > 0 && ph > 0) {
+        val stride = pw * bpp
+        val cur = new Array[Int](stride)
+        val prev = new Array[Int](stride)
+        for (y <- 0 until ph) {
+          for (px <- 0 until pw) {
+            val p = rgb(x0 + px * dx, y0 + y * dy)
+            if (bpp == 1) cur(px) = p & 0xff
+            else {
+              cur(px * 3) = (p >> 16) & 0xff
+              cur(px * 3 + 1) = (p >> 8) & 0xff
+              cur(px * 3 + 2) = p & 0xff
+            }
+          }
+          val f = filterFor(y)
+          rawOut.write(f)
+          for (x <- 0 until stride) {
+            val left = if (x >= bpp) cur(x - bpp) else 0
+            val up = prev(x)
+            val ul = if (x >= bpp) prev(x - bpp) else 0
+            val filtered = f match {
+              case 0 => cur(x)
+              case 1 => cur(x) - left
+              case 2 => cur(x) - up
+              case 3 => cur(x) - (left + up) / 2
+              case 4 => cur(x) - paethRef(left, up, ul)
+              case other => throw new IllegalArgumentException(
+                s"png: filter $other")
+            }
+            rawOut.write(filtered & 0xff)
+          }
+          System.arraycopy(cur, 0, prev, 0, stride)
         }
       }
-      val f = filterFor(y)
-      raw(y * (stride + 1)) = f.toByte
-      for (x <- 0 until stride) {
-        val left = if (x >= bpp) cur(x - bpp) else 0
-        val up = prev(x)
-        val ul = if (x >= bpp) prev(x - bpp) else 0
-        val filtered = f match {
-          case 0 => cur(x)
-          case 1 => cur(x) - left
-          case 2 => cur(x) - up
-          case 3 => cur(x) - (left + up) / 2
-          case 4 => cur(x) - paethRef(left, up, ul)
-          case other => throw new IllegalArgumentException(
-            s"png: filter $other")
-        }
-        raw(y * (stride + 1) + 1 + x) = (filtered & 0xff).toByte
-      }
-      System.arraycopy(cur, 0, prev, 0, stride)
     }
+    val raw = rawOut.toByteArray
     val out = new java.io.ByteArrayOutputStream()
     out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
       .map(_.toByte), 0, 8)
     val ihdr = new Array[Byte](13)
     putBe32(ihdr, 0, w); putBe32(ihdr, 4, h)
     ihdr(8) = 8; ihdr(9) = colorType.toByte // depth 8
+    ihdr(12) = if (interlace) 1 else 0 // Adam7 flag
     chunk(out, "IHDR", ihdr)
     val defl = new java.util.zip.Deflater()
     try {

@@ -37,15 +37,31 @@ private[queries] object MultimodalQueries {
                 (((2 * m + 5 * x + y) % 256) << 8) |
                 ((3 * m + x + 11 * y) % 256)
             val gray = (x: Int, y: Int) => (m + 3 * x + 7 * y) % 256
-            val bytes = (id % 5) match {
-              case 0 => PixelEncoder.png(w, h, rgb)
+            // block-flat mixing shared by all three JPEG variants:
+            // DC g·8−1024 decodes to EXACTLY g (the closed form), so
+            // the oracle renders v ∈ {4,5,6} identically and only
+            // the dims differ
+            val blockG = (bx: Int, by: Int) =>
+              ((m + 13 * bx + 29 * by) % 256) * 8 - 1024
+            val bytes = (id % 7) match {
+              case 0 => // half the truecolor PNGs are Adam7: the
+                // decoded raster is IDENTICAL (interlace is a layout,
+                // not a pixel transform), so the oracle is blind to
+                // the split while the decoder's pass machinery runs
+                PixelEncoder.png(w, h, rgb,
+                  interlace = (id / 7) % 2 == 0)
               case 1 => PixelEncoder.png(w, h, gray, colorType = 0)
               case 2 => PixelEncoder.bmp(w, h, rgb)
               case 3 => PixelEncoder.gif(w, h, gray) // LZW round-trip
-              case _ => // baseline JPEG, DC-only: block-flat raster
-                // whose decode is the exact closed form g per block
-                JpegEncoder.grayDcOnly(w, h, (bx, by) =>
-                  ((m + 13 * bx + 29 * by) % 256) * 8 - 1024)
+              case 4 => // baseline JPEG, DC-only grayscale
+                JpegEncoder.grayDcOnly(w, h, blockG)
+              case 5 => // 4:2:0 — 16×16 MCUs, neutral chroma; dims
+                // snap to the MCU grid (no padding blocks)
+                JpegEncoder.yccDcOnly(16 + (id % 2).toInt * 16, 16,
+                  blockG, hs = 2, vs = 2)
+              case _ => // 4:2:2 — 16×8 MCUs
+                JpegEncoder.yccDcOnly(16 + (id % 2).toInt * 16,
+                  8 + (id % 3).toInt * 8, blockG, hs = 2, vs = 1)
             }
             (id, bytes)
           }
@@ -292,13 +308,17 @@ private[queries] object MultimodalQueries {
     // own real PNG/BMP bytes back to the identical raster
     "mm_decode_pixels" ->
       """WITH p AS (SELECT doc_id,
-        |    CAST(doc_id % 12 + 4 AS INT) AS w,
-        |    CAST(doc_id % 9 + 3 AS INT) AS h,
-        |    doc_id % 256 AS m, doc_id % 5 AS v
+        |    CAST(CASE WHEN doc_id % 7 IN (5, 6)
+        |              THEN 16 + (doc_id % 2) * 16
+        |              ELSE doc_id % 12 + 4 END AS INT) AS w,
+        |    CAST(CASE WHEN doc_id % 7 = 5 THEN 16
+        |              WHEN doc_id % 7 = 6 THEN 8 + (doc_id % 3) * 8
+        |              ELSE doc_id % 9 + 3 END AS INT) AS h,
+        |    doc_id % 256 AS m, doc_id % 7 AS v
         |  FROM documents),
         |pix AS (SELECT doc_id, w, h, v, x.x AS x, y.y AS y,
         |    CASE WHEN v IN (1, 3) THEN (m + 3 * x.x + 7 * y.y) % 256
-        |         WHEN v = 4 THEN
+        |         WHEN v IN (4, 5, 6) THEN
         |           (m + 13 * (x.x // 8) + 29 * (y.y // 8)) % 256
         |         ELSE (77 * ((m + 3 * x.x + 7 * y.y) % 256)
         |             + 150 * ((2 * m + 5 * x.x + y.y) % 256)
@@ -309,7 +329,7 @@ private[queries] object MultimodalQueries {
         |    LATERAL (SELECT unnest(range(0, h)) AS y) y)
         |SELECT doc_id,
         |  CASE WHEN v = 2 THEN 'bmp' WHEN v = 3 THEN 'gif'
-        |       WHEN v = 4 THEN 'jpeg' ELSE 'png' END AS format,
+        |       WHEN v IN (4, 5, 6) THEN 'jpeg' ELSE 'png' END AS format,
         |  w AS width, h AS height,
         |  CAST(w AS BIGINT) * h AS n_pixels,
         |  CAST(sum(g) AS BIGINT) AS gray_sum,

@@ -1295,6 +1295,48 @@ class ExtSpec extends SparkSpec {
     assert(PixelDecoder.decode("not an image".getBytes("UTF-8")).isEmpty)
   }
 
+  test("PixelDecoder Adam7: interlaced PNGs decode to the identical " +
+    "raster across sizes that exercise partial and empty passes") {
+    import graft.ext.{PixelDecoder, PixelEncoder}
+    def r(x: Int, y: Int) = (x * 7 + y * 13 + 5) % 256
+    def g(x: Int, y: Int) = (x * 3 + y * 31) % 256
+    def b(x: Int, y: Int) = (x * 17 + y + 200) % 256
+    val rgb = (x: Int, y: Int) =>
+      (r(x, y) << 16) | (g(x, y) << 8) | b(x, y)
+    // 1×1 → only pass 1 non-empty; 3×2 → passes 1,4,6,7 partial,
+    // 2,3,5 EMPTY (no bytes, not even filter bytes); 8×8 → one full
+    // MCU of every pass; 23×11 / 16×16 — general odd/aligned
+    for ((w, h) <- Seq((1, 1), (3, 2), (8, 8), (23, 11), (16, 16))) {
+      val plain = PixelDecoder.decode(PixelEncoder.png(w, h, rgb)).get
+      val adam = PixelDecoder.decode(
+        PixelEncoder.png(w, h, rgb, interlace = true)).get
+      assert((adam.width, adam.height) === (w, h), s"${w}x$h")
+      assert(adam.gray === plain.gray, s"${w}x$h")
+      // grayscale variant, fixed filter 4 (Paeth within each pass)
+      val plainG = PixelDecoder.decode(PixelEncoder.png(w, h,
+        (x, y) => g(x, y), colorType = 0, filterFor = _ => 4)).get
+      val adamG = PixelDecoder.decode(PixelEncoder.png(w, h,
+        (x, y) => g(x, y), colorType = 0, filterFor = _ => 4,
+        interlace = true)).get
+      assert(adamG.gray === plainG.gray, s"gray ${w}x$h")
+    }
+    // the interlace byte is covered by the subset gate, not silently
+    // misread: method 2 is corrupt, not a None edge
+    val bad = PixelEncoder.png(4, 4, rgb)
+    // IHDR data starts at offset 16; interlace byte is its 13th
+    bad(16 + 12) = 2
+    // fix the CRC so ONLY the interlace method is wrong
+    val crc = new java.util.zip.CRC32
+    crc.update(bad, 12, 4 + 13)
+    val cv = crc.getValue
+    for (k <- 0 until 4)
+      bad(29 + k) = ((cv >> (24 - 8 * k)) & 0xff).toByte
+    val e = intercept[IllegalArgumentException] {
+      PixelDecoder.decode(bad)
+    }
+    assert(e.getMessage.contains("interlace"))
+  }
+
   test("PixelDecoder GIF: round-trips the uncompressed-technique " +
     "encoder, decodes a genuinely COMPRESSED variable-width LZW " +
     "stream (chain growth, width bumps, KwKwK), and fails loudly on " +
@@ -1538,6 +1580,59 @@ class ExtSpec extends SparkSpec {
     }
     assert(midHdr.getMessage.contains("JPEG") &&
       midHdr.getMessage.contains("overruns"))
+  }
+
+  test("JpegDecoder: 4:2:0 and 4:2:2 MCU interleave decode to the " +
+    "per-Y-block closed form; non-neutral chroma replicates across " +
+    "the MCU") {
+    import graft.ext.{JpegDecoder, JpegEncoder}
+    def flat(dc: Int) = math.min(255, math.max(0, ((dc + 4) >> 3) + 128))
+    // 4:2:0 (2×2): 32×16 = 2×1 MCUs of 4 Y blocks each; distinct DC
+    // per Y block pins the T.81 block order WITHIN the MCU
+    // (left-to-right, top-to-bottom) and across MCUs
+    def yDc(bx: Int, by: Int) = (bx * 160 + by * 88) - 456
+    val j420 = JpegEncoder.yccDcOnly(32, 16, yDc, hs = 2, vs = 2)
+    val p420 = JpegDecoder.decode(j420).get
+    assert((p420.width, p420.height) === (32, 16))
+    for (y <- 0 until 16; x <- 0 until 32)
+      assert(p420.gray(y * 32 + x) === flat(yDc(x / 8, y / 8)),
+        s"4:2:0 ($x,$y)")
+    // 4:2:2 (2×1): 32×16 = 2×2 MCUs of 2 Y blocks each — same
+    // pixel-level closed form, different interleave
+    val j422 = JpegEncoder.yccDcOnly(32, 16, yDc, hs = 2, vs = 1)
+    val p422 = JpegDecoder.decode(j422).get
+    for (y <- 0 until 16; x <- 0 until 32)
+      assert(p422.gray(y * 32 + x) === flat(yDc(x / 8, y / 8)),
+        s"4:2:2 ($x,$y)")
+    // non-neutral chroma: MCU (1, 0) carries cr=+256 (flat 160 after
+    // +128 bias) — every pixel of that 16×16 region shifts through
+    // the JFIF matrix identically (chroma REPLICATION), pixels of
+    // MCU (0, 0) stay y. Expected value recomputed through the same
+    // fixed-point math the decoder documents.
+    val jChroma = JpegEncoder.yccDcOnly(32, 16, (_, _) => 0,
+      hs = 2, vs = 2,
+      chromaDc = (mx, _) => if (mx == 1) (0, 256) else (0, 0))
+    val pc = JpegDecoder.decode(jChroma).get
+    def cl(v: Int) = { val s = (v + 32768) >> 16
+      math.min(255, math.max(0, s)) }
+    val yFlat = flat(0)
+    val crOff = flat(256) - 128 // decoded chroma plane value − bias
+    val wantShift = {
+      val r = cl((yFlat << 16) + 91881 * crOff)
+      val g = cl((yFlat << 16) - 46802 * crOff)
+      val b = cl(yFlat << 16)
+      (77 * r + 150 * g + 29 * b) >> 8
+    }
+    for (y <- 0 until 16; x <- 0 until 32) {
+      val want = if (x < 16) yFlat else wantShift
+      assert(pc.gray(y * 32 + x) === want, s"chroma ($x,$y)")
+    }
+    // sampling factors outside 1–2 stay a None subset edge
+    val j3 = j420.clone()
+    val sofAt = (0 until j3.length - 1).find(i =>
+      (j3(i) & 0xff) == 0xff && (j3(i + 1) & 0xff) == 0xc0).get
+    j3(sofAt + 11) = 0x31.toByte // Y sampling 3×1
+    assert(JpegDecoder.decode(j3).isEmpty)
   }
 
   test("aHashFromGray pools to the 10x6 grid with integer means and " +
