@@ -174,6 +174,48 @@ object StreamOps {
       }
   }
 
+  /** Streaming twin of the MULTIMODAL image near-dup pass
+    * (`mm_ahash_pairs`): decode each arriving (doc_id, blob) image
+    * payload to its 60-bit aHash MAP-SIDE — the per-row byte codecs
+    * are stateless, so [[graft.ext.Multimodal.aHashImages]] runs
+    * unchanged on a streaming frame — then feed the SAME banded
+    * keyed-state candidate machinery as the text simhash twin: one
+    * operator family, three signature sources (text simhash, image
+    * aHash, audio fingerprint). Defaults mirror the batch band join
+    * (4 bands × 15 bits over the 60-bit signature, Hamming ≤ 3);
+    * state shape, replay idempotency, TTL and ordering caveats are
+    * [[simhashNearDupCandidates]]'s verbatim, since this IS that
+    * operator behind a decode projection.
+    */
+  def aHashNearDupCandidates(blobs: DataFrame, bands: Int = 4,
+                             bitsPerBand: Int = 15,
+                             maxHamming: Int = 3,
+                             maxPerBucket: Int = 1024,
+                             idleBucketTtl: Option[String] = None)
+      : Dataset[NearDup] =
+    simhashNearDupCandidates(
+      graft.ext.Multimodal.aHashImages(blobs, col("doc_id"),
+          col("blob"))
+        .select(col("id").as("doc_id"), col("ahash").as("simhash")),
+      bands, bitsPerBand, maxHamming, maxPerBucket, idleBucketTtl)
+
+  /** Streaming twin of the audio near-dup pass
+    * (`mm_audio_fingerprint`): RIFF-walk + 60-window energy
+    * fingerprint per arriving (doc_id, blob) WAV, then the shared
+    * banded machinery. See [[aHashNearDupCandidates]].
+    */
+  def audioNearDupCandidates(blobs: DataFrame, bands: Int = 4,
+                             bitsPerBand: Int = 15,
+                             maxHamming: Int = 3,
+                             maxPerBucket: Int = 1024,
+                             idleBucketTtl: Option[String] = None)
+      : Dataset[NearDup] =
+    simhashNearDupCandidates(
+      graft.ext.Multimodal.audioFingerprints(blobs, col("doc_id"),
+          col("blob"))
+        .select(col("id").as("doc_id"), col("afp").as("simhash")),
+      bands, bitsPerBand, maxHamming, maxPerBucket, idleBucketTtl)
+
   case class FunnelEvent(key: Long, ts: java.sql.Timestamp, tie: Long,
                          etype: String)
   case class FunnelHit(key: Long, tie: Long, ts: java.sql.Timestamp,

@@ -137,6 +137,84 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("aHash/audio streaming twins: banded near-dup over binary " +
+    "signatures matches the batch pass, across micro-batches") {
+    implicit val sq = spark.sqlContext
+    import graft.ext.{DedupOps, Multimodal, PixelEncoder, WavEncoder}
+    def bright(cells: Set[(Int, Int)])(x: Int, y: Int) = {
+      val p = if (cells((x, y))) 255 else 10
+      (p << 16) | (p << 8) | p
+    }
+    // ids 1/2: one raster through TWO container formats (exact dups);
+    // id 4 (later batch): hamming-1 neighbor; id 3: far signature
+    // sharing only all-zero bands (candidate killed by the verify)
+    val a = bright(Set((0, 0), (1, 0))) _
+    val near = bright(Set((0, 0), (1, 0), (2, 0))) _
+    val far = bright(Set((8, 5), (9, 5))) _
+    val firstBatch = Seq(
+      (1L, PixelEncoder.png(10, 6, a)),
+      (2L, PixelEncoder.bmp(10, 6, a)),
+      (3L, PixelEncoder.png(10, 6, far)))
+    val lateBatch = Seq((4L, PixelEncoder.png(10, 6, near)))
+    def norm(p: (Long, Long)) =
+      (math.min(p._1, p._2), math.max(p._1, p._2))
+    // batch reference: the SAME blobs through the batch pass
+    val batchPairs = DedupOps.simhashBandPairs(
+        Multimodal.aHashImages((firstBatch ++ lateBatch)
+          .toDF("doc_id", "blob"), $"doc_id", $"blob"),
+        $"id", $"ahash", bands = 4, bitsPerBand = 15, maxHamming = 3,
+        bits = 60)
+      .select($"id_a", $"id_b", $"hamming")
+      .as[(Long, Long, Int)].collect()
+      .map(r => (norm((r._1, r._2)), r._3)).toSet
+    assert(batchPairs.map(_._1) === Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = StreamOps.aHashNearDupCandidates(
+      in.toDF().toDF("doc_id", "blob"))
+      .writeStream.format("memory").queryName("mm_neardup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(firstBatch: _*)
+      q.processAllAvailable()
+      in.addData(lateBatch: _*)
+      q.processAllAvailable()
+      val got = spark.table("mm_neardup_out")
+        .as[StreamOps.NearDup].collect()
+        .map(d => (norm((d.doc_id, d.dup_of)), d.hamming)).toSet
+      assert(got === batchPairs) // pair set AND hamming agree
+    } finally q.stop()
+    // audio: same machinery over WAV payloads — exact-dup impulse
+    // pair plus a hamming-2 cross pair, batch equivalence again
+    val impA = Array.fill(120)(0); impA(0) = 100
+    val impB = Array.fill(120)(0); impB(119) = 100
+    val wavs = Seq((10L, WavEncoder.pcm16(impA)),
+      (11L, WavEncoder.pcm16(impA)), (12L, WavEncoder.pcm16(impB)))
+    val batchAudio = DedupOps.simhashBandPairs(
+        Multimodal.audioFingerprints(wavs.toDF("doc_id", "blob"),
+          $"doc_id", $"blob"),
+        $"id", $"afp", bands = 4, bitsPerBand = 15, maxHamming = 3,
+        bits = 60)
+      .select($"id_a", $"id_b", $"hamming")
+      .as[(Long, Long, Int)].collect()
+      .map(r => (norm((r._1, r._2)), r._3)).toSet
+    val in2 = MemoryStream[(Long, Array[Byte])]
+    val q2 = StreamOps.audioNearDupCandidates(
+      in2.toDF().toDF("doc_id", "blob"))
+      .writeStream.format("memory").queryName("mm_audiodup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in2.addData(wavs.take(2): _*)
+      q2.processAllAvailable()
+      in2.addData(wavs.drop(2): _*)
+      q2.processAllAvailable()
+      val got2 = spark.table("mm_audiodup_out")
+        .as[StreamOps.NearDup].collect()
+        .map(d => (norm((d.doc_id, d.dup_of)), d.hamming)).toSet
+      assert(got2 === batchAudio)
+      assert(got2.map(_._1).contains((10L, 11L))) // the exact dup
+    } finally q2.stop()
+  }
+
   test("intervalJoin pairs rows in the time range, across batches") {
     implicit val sq = spark.sqlContext
     val imps = MemoryStream[(Timestamp, Long, String)]
