@@ -31,72 +31,8 @@ object Sf1Smoke {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def gen(): Unit = {
-      val reps = spark.range(factor).select(col("id").as("__k"))
-      val docs = graft.sources.Tables.load(spark, srcDir, "documents")
-      docs.crossJoin(reps)
-        .select(
-          (col("doc_id") + col("__k") * 10000000L).as("doc_id"),
-          when(col("__k") === 0, col("text"))
-            .otherwise(concat(lit("r"), col("__k").cast("string"),
-              lit("salt "), col("text"))).as("text"),
-          col("lang"), col("source"),
-          (col("n_chars") + when(col("__k") === 0, 0).otherwise(7))
-            .as("n_chars"))
-        .repartition(32)
-        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-      val emb = graft.sources.Tables.load(spark, srcDir, "embeddings")
-      emb.crossJoin(reps)
-        .select((col("vec_id") + col("__k") * 10000000L).as("vec_id"),
-          col("embedding"), col("label"))
-        .repartition(32)
-        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-    }
-    // Relational/event tables, 10× by disjoint key-offset replicas:
-    // every id space (orders, customers, suppliers, parts, users,
-    // events) shifts by k·offset, so each replica is a disjoint
-    // subgraph — the graph and time-series operators see 10× nodes,
-    // edges and series, with per-key density unchanged (the scaling a
-    // real corpus-growth exhibits; a key-collapsing scale-up would
-    // instead densify hot keys 10×).
-    def genRel(): Unit = {
-      val reps = spark.range(factor).select(col("id").as("__k"))
-      def scaled(name: String, idCols: Map[String, Long]): Unit = {
-        val src = graft.sources.Tables.load(spark, srcDir, name)
-        src.crossJoin(reps)
-          .select(src.columns.map { c =>
-            idCols.get(c)
-              .map(off => (col(c) + col("__k") * off).as(c))
-              .getOrElse(col(c))
-          }.toSeq: _*)
-          .repartition(32)
-          .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
-      }
-      scaled("orders", Map("o_orderkey" -> 100000000L,
-        "o_custkey" -> 10000000L))
-      scaled("lineitem", Map("l_orderkey" -> 100000000L,
-        "l_partkey" -> 10000000L, "l_suppkey" -> 10000000L))
-      scaled("customer", Map("c_custkey" -> 10000000L))
-      scaled("supplier", Map("s_suppkey" -> 10000000L))
-      scaled("events", Map("event_id" -> 100000000L,
-        "user_id" -> 10000000L))
-    }
-    // Sentinel = the _SUCCESS marker of the LAST table each generator
-    // writes. Spark creates the output DIRECTORY at write start, so a
-    // bare exists() on the path is true even for a crashed, never-
-    // committed write; _SUCCESS lands only at job commit, making the
-    // skip decision transactional — a crash anywhere mid-generation
-    // regenerates instead of serving a half-written fixture set.
-    def committed(table: String): Boolean =
-      new java.io.File(s"$outDir/$table.parquet/_SUCCESS").exists()
-    if (!committed("embeddings")) {
-      println("[sf1] generating scaled fixtures...")
-      gen()
-    }
-    if (!committed("events")) {
-      println("[sf1] generating scaled relational fixtures...")
-      genRel()
-    }
+    // fixture generation shared with ScaleExponents (100× tier)
+    ScaleFixtures.ensure(spark, srcDir, outDir, factor)
 
     val names = Seq(
       "sim_pq_adc_topk", "sim_pq_refine_topk", "sim_ivfpq_topk",

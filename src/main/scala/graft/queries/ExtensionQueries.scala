@@ -34,4 +34,9 @@ object ExtensionQueries {
   /** See [[ExtensionSupport.evictStages]]. */
   private[graft] def evictStages(s: SparkSession, dir: String): Unit =
     ExtensionSupport.evictStages(s, dir)
+
+  /** See [[ExtensionSupport.scaleTargetStages]]. */
+  private[graft] def scaleTargetStages(s: SparkSession, dir: String)
+      : Seq[(String, () => org.apache.spark.sql.DataFrame)] =
+    ExtensionSupport.scaleTargetStages(s, dir)
 }

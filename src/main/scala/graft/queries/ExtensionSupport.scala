@@ -206,6 +206,17 @@ private[queries] object ExtensionSupport {
       timed("bucketed_layout") { bucketedLayout(s, dir) })
   }
 
+  /** The scale-exponent targets ([[graft.ScaleExponents]]): the three
+    * heavy shared stages, each as a NAMED thunk so the tool can time
+    * a fresh build per rep (evict → build → count). Kept here because
+    * the builders are private[queries].
+    */
+  private[graft] def scaleTargetStages(s: SparkSession, dir: String)
+      : Seq[(String, () => DataFrame)] = Seq(
+    "cc_labels" -> (() => componentLabels(s, dir)),
+    "pr_graph" -> (() => prGraph(s, dir)),
+    "shingle_pairs" -> (() => shinglePairs(s, dir)))
+
   /** Bench-only: drop this (session, dir)'s memoized stages so
     * [[prebuildStages]] can time a REBUILD — one-shot stage costs
     * carry ±0.3 s of scheduling jitter that min-of-k strips for
