@@ -8,16 +8,17 @@ package graft.ext
   * and a fixed-point integer IDCT.
   *
   * Subset (None outside it, loud failure for corrupt members):
-  *   - SOF0/SOF1 (baseline / extended sequential, Huffman), 8-bit
-  *     precision, 1-component grayscale (1×1) or 3-component with
-  *     per-axis sampling factors 1–2 — 4:4:4, 4:2:2, 4:2:0 and the
-  *     legal odd combos, via the general T.81 §A.2.3 MCU
-  *     interleave; chroma upsampled by pixel replication
-  *     (deterministic — see [[decodeScan]]). Progressive (SOF2),
-  *     arithmetic coding, 12-bit, and sampling factors 3–4 return
-  *     None — honest subset edges, same contract as interlaced
-  *     PNG/GIF.
-  *   - Restart markers (DRI/RSTn) are handled.
+  *   - SOF0/SOF1 (baseline / extended sequential, Huffman) and SOF2
+  *     (progressive, Huffman — spectral selection AND successive
+  *     approximation, §G.2), 8-bit precision, 1-component grayscale
+  *     (1×1) or 3-component with per-axis sampling factors 1–2 —
+  *     4:4:4, 4:2:2, 4:2:0 and the legal odd combos, via the
+  *     general T.81 §A.2.3 MCU interleave; chroma upsampled by
+  *     pixel replication (deterministic — see [[decodeScan]]).
+  *     Arithmetic coding, lossless/hierarchical, 12-bit, and
+  *     sampling factors 3–4 return None — honest subset edges.
+  *   - Restart markers (DRI/RSTn) are handled, in both sequential
+  *     and progressive scans.
   *
   * Determinism contract (what the oracle can rely on):
   *   - A block whose 63 AC coefficients are all zero decodes to the
@@ -121,14 +122,19 @@ object JpegDecoder {
       nBits -= 1
       (acc >> nBits) & 1
     }
+    /** RECEIVE (F.2.2.4): an n-bit unsigned field, MSB first. */
+    def receive(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
     /** RECEIVE + EXTEND (F.2.2.1): an s-bit magnitude to its signed
       * coefficient value.
       */
     def receiveExtend(s: Int): Int = {
       if (s == 0) return 0
-      var v = 0
-      var i = 0
-      while (i < s) { v = (v << 1) | bit(); i += 1 }
+      val v = receive(s)
       if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
     }
     /** True when the next bytes are a marker (for RST handling). */
@@ -159,6 +165,17 @@ object JpegDecoder {
     var h = -1
     var comps: Array[Component] = null
     var restartInterval = 0
+    var progressive = false
+    // progressive state: per-component FRAME-lifetime coefficient
+    // buffers (64 ints per block, padded to the frame MCU grid) that
+    // successive scans accumulate into; IDCT happens once, at EOI
+    var coefBufs: Array[Array[Int]] = null
+    var padBX: Array[Int] = null
+    var actBX: Array[Int] = null
+    var actBY: Array[Int] = null
+    var nMcuX = 0
+    var nMcuY = 0
+    var scanCount = 0
     // Every variable-length segment declares its byte length; validate
     // it against the file ONCE per segment so a JPEG truncated
     // mid-header fails with the contractual message, not
@@ -181,8 +198,15 @@ object JpegDecoder {
       i += 2
       m match {
         case 0xd8 => () // SOI (again) — tolerate
-        case 0xd9 => fail("EOI before any scan")
-        case 0xc0 | 0xc1 => // baseline / extended sequential, Huffman
+        case 0xd9 => // EOI: for progressive, scans are done — IDCT now
+          if (!progressive || scanCount == 0) fail("EOI before any scan")
+          comps.foreach { c =>
+            if (qt(c.tq) == null)
+              fail(s"component uses undefined quant table ${c.tq}")
+          }
+          return Some(reconstructProgressive(w, h, comps, coefBufs,
+            padBX, qt, nMcuX, nMcuY))
+        case 0xc0 | 0xc1 | 0xc2 => // sequential or progressive, Huffman
           val len = segLen(i)
           if (len < 8) fail("SOF segment too short")
           if (u8(b, i + 2) != 8) return None // 12-bit: subset edge
@@ -210,8 +234,26 @@ object JpegDecoder {
           if (comps.exists(c => c.h < 1 || c.h > 2 || c.v < 1 ||
               c.v > 2))
             return None
+          if (m == 0xc2) { // progressive: allocate the scan-spanning
+            progressive = true // coefficient buffers up front
+            val hMax = comps.map(_.h).max
+            val vMax = comps.map(_.v).max
+            nMcuX = (w + 8 * hMax - 1) / (8 * hMax)
+            nMcuY = (h + 8 * vMax - 1) / (8 * vMax)
+            padBX = Array.tabulate(n)(c => nMcuX * comps(c).h)
+            // non-interleaved scans cover the component's ACTUAL
+            // block grid (T.81 §A.2.2: ceil(ceil(dim·f/fmax)/8)),
+            // which can be smaller than the MCU-padded grid
+            actBX = Array.tabulate(n) { c =>
+              ((w * comps(c).h + hMax - 1) / hMax + 7) / 8
+            }
+            actBY = Array.tabulate(n) { c =>
+              ((h * comps(c).v + vMax - 1) / vMax + 7) / 8
+            }
+            coefBufs = Array.tabulate(n)(c =>
+              new Array[Int](padBX(c) * nMcuY * comps(c).v * 64))
+          }
           i += len
-        case 0xc2 => return None // progressive: subset edge
         case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd |
              0xce | 0xcf => return None // lossless/arithmetic/differential
         case 0xc4 => // DHT
@@ -254,35 +296,79 @@ object JpegDecoder {
           if (len < 4) fail("DRI segment too short")
           restartInterval = be16(b, i + 2)
           i += len
-        case 0xda => // SOS — decode the scan and return
+        case 0xda => // SOS — sequential: decode the scan and return;
+          // progressive: accumulate into the coefficient buffers
           if (comps == null) fail("SOS before SOF")
           val len = segLen(i)
           if (len < 3) fail("SOS segment too short")
           val ns = u8(b, i + 2)
-          if (ns != comps.length) fail(s"scan has $ns of ${comps.length} " +
-            "components (multi-scan is not baseline)")
           if (len < 6 + 2 * ns) fail("SOS overruns its segment")
-          val scanDc = new Array[Huff](ns)
-          val scanAc = new Array[Huff](ns)
-          val scanComp = new Array[Component](ns)
-          var c = 0
-          while (c < ns) {
-            val o = i + 3 + 2 * c
-            val sel = u8(b, o)
-            val comp = comps.find(_.id == sel).getOrElse(
-              fail(s"scan selects unknown component $sel"))
-            scanComp(c) = comp
-            val td = u8(b, o + 1) >> 4
-            val ta = u8(b, o + 1) & 15
-            if (dcTabs(td) == null || acTabs(ta) == null)
-              fail(s"scan references undefined Huffman table dc=$td ac=$ta")
-            scanDc(c) = dcTabs(td); scanAc(c) = acTabs(ta)
-            if (qt(comp.tq) == null)
-              fail(s"component uses undefined quant table ${comp.tq}")
-            c += 1
+          if (!progressive) {
+            if (ns != comps.length) fail(s"scan has $ns of " +
+              s"${comps.length} components (multi-scan is not baseline)")
+            val scanDc = new Array[Huff](ns)
+            val scanAc = new Array[Huff](ns)
+            val scanComp = new Array[Component](ns)
+            var c = 0
+            while (c < ns) {
+              val o = i + 3 + 2 * c
+              val sel = u8(b, o)
+              val comp = comps.find(_.id == sel).getOrElse(
+                fail(s"scan selects unknown component $sel"))
+              scanComp(c) = comp
+              val td = u8(b, o + 1) >> 4
+              val ta = u8(b, o + 1) & 15
+              if (dcTabs(td) == null || acTabs(ta) == null)
+                fail(s"scan references undefined Huffman table dc=$td ac=$ta")
+              scanDc(c) = dcTabs(td); scanAc(c) = acTabs(ta)
+              if (qt(comp.tq) == null)
+                fail(s"component uses undefined quant table ${comp.tq}")
+              c += 1
+            }
+            return Some(decodeScan(b, i + len, w, h, scanComp, scanDc,
+              scanAc, qt, restartInterval))
+          } else {
+            if (ns < 1 || ns > comps.length) fail(s"scan has $ns components")
+            val scanIdx = new Array[Int](ns)
+            val scanDc = new Array[Huff](ns)
+            val scanAc = new Array[Huff](ns)
+            val ss = u8(b, i + 3 + 2 * ns)
+            val se = u8(b, i + 4 + 2 * ns)
+            val ahal = u8(b, i + 5 + 2 * ns)
+            val ah = ahal >> 4
+            val al = ahal & 15
+            // band/approximation validity (T.81 §B.2.3): DC scans
+            // are exactly (0, 0); AC scans 1 ≤ Ss ≤ Se ≤ 63 and
+            // single-component; Al ≤ 13; refinements step one bit
+            if (ss == 0 && se != 0) fail(s"DC scan with Se=$se")
+            if (ss > 0 && (se < ss || se > 63))
+              fail(s"bad spectral band $ss..$se")
+            if (ss > 0 && ns != 1) fail("AC scan with multiple components")
+            if (al > 13 || (ah != 0 && ah != al + 1))
+              fail(s"bad successive approximation Ah=$ah Al=$al")
+            var c = 0
+            while (c < ns) {
+              val o = i + 3 + 2 * c
+              val sel = u8(b, o)
+              val ci = comps.indexWhere(_.id == sel)
+              if (ci < 0) fail(s"scan selects unknown component $sel")
+              scanIdx(c) = ci
+              val td = u8(b, o + 1) >> 4
+              val ta = u8(b, o + 1) & 15
+              // only the tables this scan USES must be defined: a DC
+              // refinement is raw bits, an AC scan never touches DC
+              if (ss == 0 && ah == 0 && dcTabs(td) == null)
+                fail(s"scan references undefined Huffman table dc=$td")
+              if (ss > 0 && acTabs(ta) == null)
+                fail(s"scan references undefined Huffman table ac=$ta")
+              scanDc(c) = dcTabs(td); scanAc(c) = acTabs(ta)
+              c += 1
+            }
+            i = decodeProgScan(b, i + len, comps, scanIdx, scanDc,
+              scanAc, ss, se, ah, al, coefBufs, padBX, actBX, actBY,
+              nMcuX, nMcuY, restartInterval)
+            scanCount += 1
           }
-          return Some(decodeScan(b, i + len, w, h, scanComp, scanDc,
-            scanAc, qt, restartInterval))
         case x if x >= 0xe0 && x <= 0xef => i += segLen(i) // APPn
         case 0xfe => i += segLen(i) // COM
         case 0x01 => () // TEM, parameterless
@@ -383,7 +469,18 @@ object JpegDecoder {
       }
       mcu += 1
     }
-    // crop + chroma-replicate + gray reduce
+    planesToPixels(w, h, comps, planes, planeW, hMax, vMax)
+  }
+
+  /** Crop + chroma-replicate + gray reduce the decoded component
+    * planes (shared by the sequential and progressive paths; see
+    * [[decodeScan]] for the replication/determinism rationale).
+    */
+  private def planesToPixels(w: Int, h: Int, comps: Array[Component],
+                             planes: Array[Array[Int]],
+                             planeW: Array[Int], hMax: Int,
+                             vMax: Int): Pixels = {
+    val n = comps.length
     val out = new Array[Int](w * h)
     def sample(c: Int, x: Int, y: Int): Int =
       planes(c)((y * comps(c).v / vMax) * planeW(c) +
@@ -410,6 +507,223 @@ object JpegDecoder {
       y += 1
     }
     Pixels(w, h, out)
+  }
+
+  /** Decode ONE progressive scan (T.81 §G.2) into the frame's
+    * coefficient buffers, returning the byte position just past the
+    * scan's entropy segment. DC scans (Ss=0) may interleave several
+    * components over the frame MCU grid; AC scans are always
+    * single-component over that component's ACTUAL block grid.
+    * First passes (Ah=0) Huffman-decode coefficients at precision
+    * Al (AC magnitudes divide by 2^Al toward zero per §A.4.1, so
+    * they enter sign-magnitude and refinements add low bits toward
+    * zero-away); refinement passes (Ah=Al+1) read one bit per
+    * already-nonzero coefficient plus newly-significant ±2^Al
+    * insertions, with EOB-run block skips (§G.1.2.2-3).
+    */
+  private def decodeProgScan(b: Array[Byte], start: Int,
+                             comps: Array[Component],
+                             scanIdx: Array[Int], dcT: Array[Huff],
+                             acT: Array[Huff], ss: Int, se: Int,
+                             ah: Int, al: Int,
+                             coefBufs: Array[Array[Int]],
+                             padBX: Array[Int], actBX: Array[Int],
+                             actBY: Array[Int], nMcuX: Int,
+                             nMcuY: Int, restartInterval: Int): Int = {
+    val ns = scanIdx.length
+    val r = new BitReader(b, start)
+    val pred = new Array[Int](ns)
+    var eobRun = 0
+    var rstExpect = 0xd0
+    def restart(unit: Int): Unit =
+      if (restartInterval > 0 && unit > 0 &&
+        unit % restartInterval == 0) {
+        r.byteAlign()
+        if (!r.atMarker || r.marker < 0xd0 || r.marker > 0xd7)
+          fail(s"expected restart marker at MCU $unit")
+        if (r.marker != rstExpect)
+          fail(f"restart marker 0x${r.marker}%02x out of order at " +
+            s"MCU $unit")
+        r.skipMarker()
+        rstExpect = if (rstExpect == 0xd7) 0xd0 else rstExpect + 1
+        java.util.Arrays.fill(pred, 0)
+        eobRun = 0
+      }
+    if (ss == 0) { // DC scan
+      def dcBlock(ci: Int, off: Int): Unit = {
+        val buf = coefBufs(scanIdx(ci))
+        if (ah == 0) {
+          val t = dcT(ci).decode(r)
+          if (t > 11) fail(s"DC category $t")
+          pred(ci) += r.receiveExtend(t)
+          buf(off) = pred(ci) << al
+        } else if (r.bit() == 1) buf(off) |= 1 << al
+      }
+      if (ns > 1) { // interleaved over the frame MCU grid
+        var mcu = 0
+        val nMcu = nMcuX * nMcuY
+        while (mcu < nMcu) {
+          restart(mcu)
+          val mx = mcu % nMcuX
+          val my = mcu / nMcuX
+          var ci = 0
+          while (ci < ns) {
+            val comp = comps(scanIdx(ci))
+            var sub = 0
+            val nSub = comp.h * comp.v
+            while (sub < nSub) {
+              val bx = mx * comp.h + sub % comp.h
+              val by = my * comp.v + sub / comp.h
+              dcBlock(ci, (by * padBX(scanIdx(ci)) + bx) * 64)
+              sub += 1
+            }
+            ci += 1
+          }
+          mcu += 1
+        }
+      } else { // single component: its actual grid, MCU = one block
+        val c = scanIdx(0)
+        var blk = 0
+        val nBlk = actBX(c) * actBY(c)
+        while (blk < nBlk) {
+          restart(blk)
+          dcBlock(0,
+            ((blk / actBX(c)) * padBX(c) + blk % actBX(c)) * 64)
+          blk += 1
+        }
+      }
+    } else { // AC scan: ns == 1 (validated at SOS)
+      val c = scanIdx(0)
+      val buf = coefBufs(c)
+      val ac = acT(0)
+      val p1 = 1 << al
+      val m1 = -(1 << al)
+      var blk = 0
+      val nBlk = actBX(c) * actBY(c)
+      while (blk < nBlk) {
+        restart(blk)
+        val off = ((blk / actBX(c)) * padBX(c) + blk % actBX(c)) * 64
+        if (ah == 0) { // first pass (G.1.2.2)
+          if (eobRun > 0) eobRun -= 1
+          else {
+            var k = ss
+            var done = false
+            while (k <= se && !done) {
+              val rs = ac.decode(r)
+              val run = rs >> 4
+              val s = rs & 15
+              if (s == 0) {
+                if (run == 15) { // ZRL: 16 zeros within the band
+                  k += 16
+                  if (k > se + 1) fail("ZRL past the spectral band")
+                } else { // EOBn: this block + 2^n-1+bits more
+                  eobRun = (1 << run) - 1
+                  if (run > 0) eobRun += r.receive(run)
+                  done = true
+                }
+              } else {
+                k += run
+                if (k > se) fail("AC run past the spectral band")
+                buf(off + Zigzag(k)) = r.receiveExtend(s) << al
+                k += 1
+              }
+            }
+          }
+        } else { // refinement (G.1.2.3): correction bits weave
+          // through the symbol stream as the band is traversed
+          var k = ss
+          def refine(z: Int): Unit =
+            if (r.bit() == 1 && (buf(z) & p1) == 0)
+              buf(z) += (if (buf(z) >= 0) p1 else m1)
+          if (eobRun > 0) {
+            eobRun -= 1
+            while (k <= se) { // whole block is correction-only
+              val z = off + Zigzag(k)
+              if (buf(z) != 0) refine(z)
+              k += 1
+            }
+          } else {
+            while (k <= se) {
+              val rs = ac.decode(r)
+              var run = rs >> 4
+              val s = rs & 15
+              var newVal = 0
+              if (s == 0) {
+                if (run < 15) { // EOB: refine the rest of this block,
+                  eobRun = (1 << run) - 1 // then skip eobRun blocks
+                  if (run > 0) eobRun += r.receive(run)
+                  run = 64 // sentinel: never place, never exhaust
+                } // run == 15: skip 16 zero-HISTORY coefficients
+              } else {
+                if (s != 1) fail(s"AC refinement magnitude $s (must be 1)")
+                newVal = if (r.bit() == 1) p1 else m1
+              }
+              var placed = false
+              while (k <= se && !placed) {
+                val z = off + Zigzag(k)
+                if (buf(z) != 0) refine(z)
+                else if (run == 0) {
+                  if (newVal != 0) buf(z) = newVal
+                  placed = true
+                } else run -= 1
+                k += 1
+              }
+              if (!placed && newVal != 0)
+                fail("AC refinement coefficient past the spectral band")
+            }
+          }
+        }
+        blk += 1
+      }
+      if (eobRun > 0) fail("EOB run past the last block of the scan")
+    }
+    r.byteAlign()
+    r.pos
+  }
+
+  /** EOI for a progressive frame: dequantize + IDCT every block of
+    * every component from the accumulated coefficient buffers, then
+    * the shared crop/upsample/convert. Blocks no scan touched decode
+    * as DC-0 flat — the spec's behavior for coefficients never sent.
+    */
+  private def reconstructProgressive(w: Int, h: Int,
+                                     comps: Array[Component],
+                                     coefBufs: Array[Array[Int]],
+                                     padBX: Array[Int],
+                                     qt: Array[Array[Int]],
+                                     nMcuX: Int, nMcuY: Int): Pixels = {
+    val n = comps.length
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
+    val planeW = Array.tabulate(n)(c => padBX(c) * 8)
+    val planes = Array.tabulate(n)(c =>
+      new Array[Int](planeW(c) * nMcuY * comps(c).v * 8))
+    val coef = new Array[Int](64)
+    val block = new Array[Int](64)
+    var c = 0
+    while (c < n) {
+      val q = qt(comps(c).tq)
+      val bh = nMcuY * comps(c).v
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < padBX(c)) {
+          System.arraycopy(coefBufs(c), (by * padBX(c) + bx) * 64,
+            coef, 0, 64)
+          idctDequant(coef, q, block)
+          var y = 0
+          while (y < 8) {
+            System.arraycopy(block, y * 8, planes(c),
+              (by * 8 + y) * planeW(c) + bx * 8, 8)
+            y += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      c += 1
+    }
+    planesToPixels(w, h, comps, planes, planeW, hMax, vMax)
   }
 
   /** Dequantize + IDCT one block into 0–255 samples. DC-only blocks
@@ -530,6 +844,98 @@ object JpegEncoder {
     }
     if (nBits > 0) putBits((1 << (8 - nBits)) - 1, 8 - nBits) // pad 1s
     marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Encode the [[grayDcOnly]] raster as a PROGRESSIVE (SOF2) JPEG
+    * in three scans — DC first at Al=1, DC refinement to Al=0, and
+    * an AC first scan (Ss=1..Se=63) that is one EOB-run chain over
+    * every block — so the decoder's successive-approximation DC
+    * path, raw-bit refinement path and EOBn block-skip machinery
+    * all execute while the decoded raster stays the EXACT
+    * [[grayDcOnly]] closed form (`clamp(((dc + 4) >> 3) + 128)`
+    * flat per block): the two DC scans reassemble dc bit-exactly
+    * ((dc >> 1) << 1 | (dc & 1), T.81's arithmetic-shift DC point
+    * transform), and the AC scan codes 63 zeros per block.
+    */
+  def grayDcOnlyProgressive(w: Int, h: Int,
+                            blockDc: (Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w < 65536 && h < 65536,
+      s"jpeg: bad dimensions ${w}x$h")
+    val out = new java.io.ByteArrayOutputStream()
+    def u8w(v: Int): Unit = out.write(v & 0xff)
+    def be16w(v: Int): Unit = { u8w(v >> 8); u8w(v) }
+    def marker(m: Int): Unit = { u8w(0xff); u8w(m) }
+    marker(0xd8) // SOI
+    marker(0xdb); be16w(2 + 65); u8w(0x00) // DQT id 0, all ones
+    for (_ <- 0 until 64) u8w(1)
+    marker(0xc0 + 2); be16w(8 + 3) // SOF2: 1 component
+    u8w(8); be16w(h); be16w(w); u8w(1)
+    u8w(1); u8w(0x11); u8w(0)
+    // DC table: 12 categories at 4 bits (as grayDcOnly); AC table:
+    // EOBn symbols n=0..14 at 4 bits (15 of the 16 codes — §C.2
+    // keeps the all-ones code unassigned)
+    marker(0xc4); be16w(2 + 17 + 12); u8w(0x00)
+    for (l <- 1 to 16) u8w(if (l == 4) 12 else 0)
+    for (s <- 0 until 12) u8w(s)
+    marker(0xc4); be16w(2 + 17 + 15); u8w(0x10)
+    for (l <- 1 to 16) u8w(if (l == 4) 15 else 0)
+    for (n <- 0 until 15) u8w(n << 4)
+    var acc = 0L
+    var nBits = 0
+    def putBits(v: Int, n: Int): Unit = {
+      acc = (acc << n) | (v & ((1L << n) - 1)); nBits += n
+      while (nBits >= 8) {
+        val byte = ((acc >> (nBits - 8)) & 0xff).toInt
+        u8w(byte)
+        if (byte == 0xff) u8w(0x00)
+        nBits -= 8
+      }
+    }
+    def flushScan(): Unit =
+      if (nBits > 0) putBits((1 << (8 - nBits)) - 1, 8 - nBits)
+    def sos(ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      marker(0xda); be16w(6 + 2)
+      u8w(1); u8w(1); u8w(0x00)
+      u8w(ss); u8w(se); u8w((ah << 4) | al)
+    }
+    val bw = (w + 7) / 8
+    val bh = (h + 7) / 8
+    def dcAt(blk: Int): Int = {
+      val dc = blockDc(blk % bw, blk / bw)
+      require(dc >= -1024 && dc <= 1016, s"jpeg: DC $dc out of range")
+      dc
+    }
+    // scan 1: DC first, Al=1 — diffs of (dc >> 1)
+    sos(0, 0, 0, 1)
+    var pred = 0
+    for (blk <- 0 until bw * bh) {
+      val v = dcAt(blk) >> 1
+      val diff = v - pred
+      pred = v
+      val s = 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      putBits(s, 4)
+      if (s > 0)
+        putBits(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+    }
+    flushScan()
+    // scan 2: DC refinement to Al=0 — the raw low bit per block
+    sos(0, 0, 1, 0)
+    for (blk <- 0 until bw * bh) putBits(dcAt(blk) & 1, 1)
+    flushScan()
+    // scan 3: AC first 1..63 — EOBn chain covering every block
+    sos(1, 63, 0, 0)
+    var remaining = bw * bh
+    while (remaining > 0) {
+      var n = 0
+      while (n < 14 && (2 << n) <= remaining) n += 1
+      val count = math.min(remaining, (2 << n) - 1)
+      putBits(n, 4) // EOBn: canonical code == symbol rank == n
+      if (n > 0) putBits(count - (1 << n), n)
+      remaining -= count
+    }
+    flushScan()
+    marker(0xd9)
     out.toByteArray
   }
 

@@ -301,8 +301,8 @@ object Multimodal {
           val fmt = ImageHeader.parse(bytes).map(_._1).getOrElse("raw")
           val p = PixelDecoder.decode(bytes).getOrElse(
             throw new IllegalArgumentException(
-              s"decodePixels: doc $id is not a decodable PNG/BMP/GIF " +
-                s"(container format: $fmt)"))
+              s"decodePixels: doc $id is not a decodable " +
+                s"PNG/BMP/GIF/JPEG (container format: $fmt)"))
           var sum = 0L
           var mn = 255
           var mx = 0
@@ -317,6 +317,70 @@ object Multimodal {
           PixelFeatures(id, fmt, p.width, p.height,
             p.gray.length.toLong, sum, mn, mx,
             p.gray(0), p.gray(p.gray.length - 1))
+        }
+      }
+  }
+
+  /** Integer box-downsample by (fx, fy): output pixel (X, Y) is the
+    * FLOOR mean of the source block x ∈ [X·fx, min((X+1)·fx, w)) ×
+    * y ∈ [Y·fy, min((Y+1)·fy, h)) — edge blocks shrink, nothing is
+    * padded or interpolated. Floor-of-mean keeps every output
+    * sample a DuckDB closed form (`sum(g) // count(*)` per cell),
+    * so resize joins decode in the oracle-verified surface; it is
+    * also the standard area-average thumbnail filter.
+    */
+  def boxDownsample(p: Pixels, fx: Int, fy: Int): Pixels = {
+    require(fx >= 1 && fy >= 1, s"boxDownsample: factors ${fx}x$fy")
+    val ow = (p.width + fx - 1) / fx
+    val oh = (p.height + fy - 1) / fy
+    val out = new Array[Int](ow * oh)
+    var yy = 0
+    while (yy < oh) {
+      var xx = 0
+      while (xx < ow) {
+        var sum = 0L
+        var cnt = 0
+        var y = yy * fy
+        val yEnd = math.min((yy + 1) * fy, p.height)
+        while (y < yEnd) {
+          var x = xx * fx
+          val xEnd = math.min((xx + 1) * fx, p.width)
+          while (x < xEnd) {
+            sum += p.gray(y * p.width + x)
+            cnt += 1
+            x += 1
+          }
+          y += 1
+        }
+        out(yy * ow + xx) = (sum / cnt).toInt
+        xx += 1
+      }
+      yy += 1
+    }
+    Pixels(ow, oh, out)
+  }
+
+  /** Real decode + [[boxDownsample]] features per (doc_id, blob)
+    * image row — the thumbnail-RESIZE proof surface (map-only like
+    * [[decodePixels]]; the byte codec and the box filter both run
+    * per row, no shuffle).
+    */
+  def resizePixels(df: DataFrame, fx: Int, fy: Int)
+      : Dataset[ResizeFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val p = PixelDecoder.decode(bytes).getOrElse(
+            throw new IllegalArgumentException(
+              s"resizePixels: doc $id is not a decodable image"))
+          val t = boxDownsample(p, fx, fy)
+          var sum = 0L
+          var i = 0
+          while (i < t.gray.length) { sum += t.gray(i); i += 1 }
+          ResizeFeatures(id, t.width, t.height, sum,
+            t.gray(0), t.gray(t.gray.length - 1))
         }
       }
   }
@@ -390,5 +454,17 @@ case class PixelFeatures(
     gray_sum: Long,
     gray_min: Int,
     gray_max: Int,
+    gray_tl: Int,
+    gray_br: Int)
+
+/** Box-downsampled raster statistics (see
+  * [[Multimodal.resizePixels]]): all integer, closed-form
+  * oracle-recomputable cell by cell.
+  */
+case class ResizeFeatures(
+    doc_id: Long,
+    out_w: Int,
+    out_h: Int,
+    gray_sum: Long,
     gray_tl: Int,
     gray_br: Int)

@@ -18,16 +18,19 @@ final case class Pixels(width: Int, height: Int, gray: Array[Int])
   *
   * Coverage is the subset a fixture- and thumbnail-scale pipeline
   * needs, decoded COMPLETELY correctly:
-  *   - PNG: bit depth 8, color types 0 (grayscale), 2 (truecolor)
-  *     and 6 (truecolor+alpha, alpha ignored for gray), both
-  *     non-interlaced and Adam7-interlaced (RFC 2083 §2.6 — seven
-  *     independently filtered sub-images, empty passes contribute
-  *     no bytes), any mix of filters 0–4, multi-IDAT, chunk CRCs
-  *     verified.
+  *   - PNG: color types 0 (grayscale), 2 (truecolor) and 6
+  *     (truecolor+alpha, alpha ignored for gray) at bit depth 8,
+  *     plus 3 (paletted, PLTE reduced through the same luma) at the
+  *     spec's palette depths 1/2/4/8; both non-interlaced and
+  *     Adam7-interlaced (RFC 2083 §2.6 — seven independently
+  *     filtered sub-images, empty passes contribute no bytes), any
+  *     mix of filters 0–4, multi-IDAT, chunk CRCs verified.
   *   - BMP: BITMAPINFOHEADER-family, 24-bit, BI_RGB (uncompressed),
   *     bottom-up and top-down row orders.
-  *   - GIF: 87a/89a, FIRST image frame, non-interlaced, global or
-  *     local color table, any LZW code size, extensions skipped;
+  *   - GIF: 87a/89a, FIRST image frame, non-interlaced or
+  *     interlaced (§20 Appendix E four-pass row order — the LZW
+  *     stream is unchanged, only row destinations permute), global
+  *     or local color table, any LZW code size, extensions skipped;
   *     palette RGB reduces through the same integer luma. (First
   *     frame only: an animation's later frames can be partial
   *     deltas whose composition needs disposal-method state — out
@@ -41,7 +44,7 @@ final case class Pixels(width: Int, height: Int, gray: Array[Int])
   * Error contract (the [[graft.sources.WarcSource]] loud-failure
   * discipline): [[PixelDecoder.decode]] returns None only for "not a
   * format this decoder owns" (wrong magic, or a variant outside the
-  * subset above — interlaced GIF, paletted PNG, 16-bit, RLE);
+  * subset above — 16-bit samples, RLE BMP);
   * a payload that CLAIMS to be a supported image but is structurally
   * broken (bad chunk CRC, short IDAT, truncated rows, bad zlib data,
   * an LZW code beyond the table, missing trailer) throws with what
@@ -114,6 +117,7 @@ object PixelDecoder {
     var i = 8
     var w, h, bitDepth, colorType, interlace = -1
     val idat = new java.io.ByteArrayOutputStream()
+    var palette: Array[Int] = null // PLTE entries reduced to luma
     var sawEnd = false
     while (!sawEnd) {
       if (i + 8 > b.length) fail("PNG: truncated chunk header")
@@ -138,6 +142,11 @@ object PixelDecoder {
           if (u8(b, i + 18) != 0) fail("PNG: unknown compression method")
           if (u8(b, i + 19) != 0) fail("PNG: unknown filter method")
           interlace = u8(b, i + 20)
+        case "PLTE" =>
+          if (n % 3 != 0 || n == 0 || n > 768)
+            fail(s"PNG: PLTE length $n")
+          palette = Array.tabulate(n / 3)(k => luma(u8(b, i + 8 + 3 * k),
+            u8(b, i + 9 + 3 * k), u8(b, i + 10 + 3 * k)))
         case "IDAT" => idat.write(b, i + 8, n)
         case "IEND" => sawEnd = true
         case _ => () // ancillary chunks skipped
@@ -145,13 +154,24 @@ object PixelDecoder {
       i += 12 + n
     }
     if (w <= 0 || h <= 0) fail(s"PNG: bad dimensions ${w}x$h")
-    // subset boundary: None, not an error (see the object contract)
-    if (bitDepth != 8 ||
+    // subset boundary: None, not an error (see the object contract).
+    // Paletted (color type 3) accepts the sub-byte depths the spec
+    // allows for it (1/2/4/8 — web palettes are commonly 4-bit);
+    // the sample types stay 8-bit only.
+    if (colorType == 3) {
+      if (bitDepth != 1 && bitDepth != 2 && bitDepth != 4 &&
+        bitDepth != 8) return None
+      if (palette == null) fail("PNG: paletted image without PLTE")
+    } else if (bitDepth != 8 ||
       (colorType != 0 && colorType != 2 && colorType != 6)) return None
     if (interlace > 1) fail(s"PNG: unknown interlace method $interlace")
     if (w.toLong * h > MaxPixels)
       fail(s"PNG: ${w}x$h exceeds the $MaxPixels-pixel decode cap")
-    val bpp = colorType match { case 0 => 1; case 2 => 3; case _ => 4 }
+    // bytes per pixel for the sample types; palette scanlines pack
+    // bitDepth-bit indices and filter at byte distance 1 (§6.2)
+    val bpp = colorType match {
+      case 0 | 3 => 1; case 2 => 3; case _ => 4
+    }
     // Adam7 (RFC 2083 §2.6): seven sub-images, pass p covering the
     // pixel lattice (x0 + i·dx, y0 + j·dy); each pass carries its OWN
     // scanline set — filter byte per row, filters referencing only
@@ -167,8 +187,10 @@ object PixelDecoder {
       (if (w > x0) (w - x0 + dx - 1) / dx else 0,
         if (h > y0) (h - y0 + dy - 1) / dy else 0)
     }
+    def strideOf(pw: Int): Int =
+      if (colorType == 3) (pw * bitDepth + 7) / 8 else pw * bpp
     val expected = dims.map { case (pw, ph) =>
-      if (pw == 0 || ph == 0) 0 else ph * (1 + pw * bpp)
+      if (pw == 0 || ph == 0) 0 else ph * (1 + strideOf(pw))
     }.sum
     val raw = inflateZlib(idat.toByteArray, expected)
     if (raw.length != expected)
@@ -180,7 +202,7 @@ object PixelDecoder {
       // scanline reconstruction (RFC 2083 §6.2-6.6): each row leads
       // with its filter byte; Sub/Up/Average/Paeth reference the
       // reconstructed bytes at distance bpp (left), stride (up), both
-      val stride = pw * bpp
+      val stride = strideOf(pw)
       val prev = new Array[Int](stride) // reconstructed previous row
       val cur = new Array[Int](stride)
       java.util.Arrays.fill(prev, 0)
@@ -207,10 +229,21 @@ object PixelDecoder {
         }
         var px = 0
         while (px < pw) {
-          val o = px * bpp
-          out((y0 + y * dy) * w + (x0 + px * dx)) =
-            if (bpp == 1) cur(o)
-            else luma(cur(o), cur(o + 1), cur(o + 2))
+          val g =
+            if (colorType == 3) { // MSB-first packed palette index
+              val bit = px * bitDepth
+              val idx = (cur(bit / 8) >> (8 - bitDepth - bit % 8)) &
+                ((1 << bitDepth) - 1)
+              if (idx >= palette.length)
+                fail(s"PNG: palette index $idx beyond the " +
+                  s"${palette.length}-entry PLTE")
+              palette(idx)
+            } else {
+              val o = px * bpp
+              if (bpp == 1) cur(o)
+              else luma(cur(o), cur(o + 1), cur(o + 2))
+            }
+          out((y0 + y * dy) * w + (x0 + px * dx)) = g
           px += 1
         }
         System.arraycopy(cur, 0, prev, 0, stride)
@@ -340,7 +373,7 @@ object PixelDecoder {
           val h = le16(b, i + 7)
           val packed = u8(b, i + 9)
           i += 10
-          if ((packed & 0x40) != 0) return None // interlaced: subset edge
+          val interlaced = (packed & 0x40) != 0
           var pal = gct
           if ((packed & 0x80) != 0) {
             val n = 1 << ((packed & 7) + 1)
@@ -356,6 +389,19 @@ object PixelDecoder {
           if (w.toLong * h > MaxPixels)
             fail(s"GIF: ${w}x$h exceeds the $MaxPixels-pixel decode cap")
           val idx = lzwDecode(b, i, w * h)
+          // Interlace (§20 Appendix E): the stream carries the SAME
+          // w·h indices; stored row j maps to display row rowOf(j)
+          // through the four passes (0 step 8, 4 step 8, 2 step 4,
+          // 1 step 2). Non-interlaced is the identity map.
+          val rowOf: Int => Int =
+            if (!interlaced) identity
+            else {
+              val order = new Array[Int](h)
+              var j = 0
+              for ((y0, dy) <- Seq((0, 8), (4, 8), (2, 4), (1, 2));
+                   y <- y0 until h by dy) { order(j) = y; j += 1 }
+              order(_)
+            }
           val out = new Array[Int](w * h)
           var k = 0
           while (k < out.length) {
@@ -364,7 +410,8 @@ object PixelDecoder {
               fail(s"GIF: pixel index $e beyond the ${pal.length}-entry " +
                 "color table")
             val p = pal(e)
-            out(k) = luma((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+            out(rowOf(k / w) * w + k % w) =
+              luma((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
             k += 1
           }
           return Some(Pixels(w, h, out))
@@ -556,6 +603,88 @@ object PixelEncoder {
     out.toByteArray
   }
 
+  /** Encode a PALETTED PNG (color type 3) at `bitDepth` 1/2/4/8:
+    * `idx(x, y)` yields the palette index (must fit the depth),
+    * `palette` the 0xRRGGBB entries. Scanlines pack indices
+    * MSB-first and filter byte-wise (distance 1); `interlace` emits
+    * Adam7 exactly as [[png]]. Filters are restricted to 0–2 — the
+    * byte-distance Average/Paeth filters are decoder-exercised via
+    * the truecolor path, and on packed indices they produce the
+    * same bytes either way.
+    */
+  def pngPaletted(w: Int, h: Int, idx: (Int, Int) => Int,
+                  palette: Array[Int], bitDepth: Int,
+                  filterFor: Int => Int = _ % 3,
+                  interlace: Boolean = false): Array[Byte] = {
+    require(w > 0 && h > 0, s"png: bad dimensions ${w}x$h")
+    require(Set(1, 2, 4, 8)(bitDepth), s"png: palette depth $bitDepth")
+    require(palette.nonEmpty && palette.length <= 256 &&
+      palette.length <= (1 << bitDepth),
+      s"png: ${palette.length} palette entries at depth $bitDepth")
+    val passes: Seq[(Int, Int, Int, Int)] =
+      if (!interlace) Seq((0, 0, 1, 1))
+      else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val rawOut = new java.io.ByteArrayOutputStream()
+    for ((x0, y0, dx, dy) <- passes) {
+      val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+      val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+      if (pw > 0 && ph > 0) {
+        val stride = (pw * bitDepth + 7) / 8
+        val cur = new Array[Int](stride)
+        val prev = new Array[Int](stride)
+        for (y <- 0 until ph) {
+          java.util.Arrays.fill(cur, 0)
+          for (px <- 0 until pw) {
+            val v = idx(x0 + px * dx, y0 + y * dy)
+            require(v >= 0 && v < palette.length,
+              s"png: palette index $v out of range")
+            val bit = px * bitDepth
+            cur(bit / 8) |= v << (8 - bitDepth - bit % 8)
+          }
+          val f = filterFor(y) % 3
+          rawOut.write(f)
+          for (x <- 0 until stride) {
+            val left = if (x >= 1) cur(x - 1) else 0
+            val filtered = f match {
+              case 0 => cur(x)
+              case 1 => cur(x) - left
+              case _ => cur(x) - prev(x)
+            }
+            rawOut.write(filtered & 0xff)
+          }
+          System.arraycopy(cur, 0, prev, 0, stride)
+        }
+      }
+    }
+    val raw = rawOut.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte), 0, 8)
+    val ihdr = new Array[Byte](13)
+    putBe32(ihdr, 0, w); putBe32(ihdr, 4, h)
+    ihdr(8) = bitDepth.toByte; ihdr(9) = 3
+    ihdr(12) = if (interlace) 1 else 0
+    chunk(out, "IHDR", ihdr)
+    val plte = new Array[Byte](palette.length * 3)
+    for (k <- palette.indices) {
+      plte(3 * k) = ((palette(k) >> 16) & 0xff).toByte
+      plte(3 * k + 1) = ((palette(k) >> 8) & 0xff).toByte
+      plte(3 * k + 2) = (palette(k) & 0xff).toByte
+    }
+    chunk(out, "PLTE", plte)
+    val defl = new java.util.zip.Deflater()
+    try {
+      defl.setInput(raw); defl.finish()
+      val zout = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!defl.finished()) zout.write(buf, 0, defl.deflate(buf))
+      chunk(out, "IDAT", zout.toByteArray)
+    } finally defl.end()
+    chunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
   /** Encode a 24-bit uncompressed bottom-up BMP; `rgb(x, y)` returns
     * packed 0xRRGGBB.
     */
@@ -582,8 +711,10 @@ object PixelEncoder {
   }
 
   /** Encode a grayscale GIF89a: a 256-entry grayscale global color
-    * table (palette index == gray value) and one non-interlaced
-    * frame. The LZW stream uses the spec's "uncompressed GIF"
+    * table (palette index == gray value) and one frame —
+    * `interlace` stores rows in the §20 Appendix E four-pass order
+    * and sets the flag; the decoded raster is identical. The LZW
+    * stream uses the spec's "uncompressed GIF"
     * technique — 8-bit literals at a fixed 9-bit code width, with a
     * CLEAR every 128 literals so the table never grows past the
     * 9-bit boundary — which is a fully conformant stream any decoder
@@ -591,9 +722,14 @@ object PixelEncoder {
     * must accept; the decoder's chain/KwKwK machinery is exercised
     * by real compressed GIFs in the spec tests.
     */
-  def gif(w: Int, h: Int, gray: (Int, Int) => Int): Array[Byte] = {
+  def gif(w: Int, h: Int, gray: (Int, Int) => Int,
+          interlace: Boolean = false): Array[Byte] = {
     require(w > 0 && h > 0 && w < 65536 && h < 65536,
       s"gif: bad dimensions ${w}x$h")
+    val rowOrder: Seq[Int] =
+      if (!interlace) 0 until h
+      else for ((y0, dy) <- Seq((0, 8), (4, 8), (2, 4), (1, 2));
+                y <- y0 until h by dy) yield y
     val out = new java.io.ByteArrayOutputStream()
     def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
     out.write("GIF89a".getBytes("US-ASCII"))
@@ -604,7 +740,7 @@ object PixelEncoder {
     for (k <- 0 until 256) { out.write(k); out.write(k); out.write(k) }
     out.write(0x2c) // image descriptor
     le16(0); le16(0); le16(w); le16(h)
-    out.write(0) // no LCT, not interlaced
+    out.write(if (interlace) 0x40 else 0) // no LCT; interlace flag
     out.write(8) // LZW minimum code size
     // bit-pack 9-bit codes LSB-first: CLEAR, ≤128 literals, …, EOI
     val bits = new java.io.ByteArrayOutputStream()
@@ -618,7 +754,7 @@ object PixelEncoder {
     }
     putCode(256) // CLEAR
     var emitted = 0
-    for (y <- 0 until h; x <- 0 until w) {
+    for (y <- rowOrder; x <- 0 until w) {
       val g = gray(x, y)
       require(g >= 0 && g <= 255, s"gif: gray $g out of range at ($x,$y)")
       putCode(g)

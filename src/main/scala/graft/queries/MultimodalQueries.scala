@@ -37,31 +37,45 @@ private[queries] object MultimodalQueries {
                 (((2 * m + 5 * x + y) % 256) << 8) |
                 ((3 * m + x + 11 * y) % 256)
             val gray = (x: Int, y: Int) => (m + 3 * x + 7 * y) % 256
-            // block-flat mixing shared by all three JPEG variants:
+            // block-flat mixing shared by all four JPEG variants:
             // DC g·8−1024 decodes to EXACTLY g (the closed form), so
-            // the oracle renders v ∈ {4,5,6} identically and only
+            // the oracle renders v ∈ {4,5,6,7} identically and only
             // the dims differ
             val blockG = (bx: Int, by: Int) =>
               ((m + 13 * bx + 29 * by) % 256) * 8 - 1024
-            val bytes = (id % 7) match {
+            val bytes = (id % 8) match {
               case 0 => // half the truecolor PNGs are Adam7: the
                 // decoded raster is IDENTICAL (interlace is a layout,
                 // not a pixel transform), so the oracle is blind to
                 // the split while the decoder's pass machinery runs
                 PixelEncoder.png(w, h, rgb,
-                  interlace = (id / 7) % 2 == 0)
-              case 1 => PixelEncoder.png(w, h, gray, colorType = 0)
+                  interlace = (id / 8) % 2 == 0)
+              case 1 => // grayscale; half via an identity-gray PLTE
+                // (palette index == gray value — decoded raster
+                // identical, so the oracle is blind while the
+                // paletted path runs)
+                if ((id / 8) % 2 == 0)
+                  PixelEncoder.pngPaletted(w, h, gray,
+                    Array.tabulate(256)(g => (g << 16) | (g << 8) | g),
+                    bitDepth = 8)
+                else PixelEncoder.png(w, h, gray, colorType = 0)
               case 2 => PixelEncoder.bmp(w, h, rgb)
-              case 3 => PixelEncoder.gif(w, h, gray) // LZW round-trip
+              case 3 => // LZW round-trip; half interlaced (layout-
+                // only, like the Adam7 PNGs — oracle-invisible)
+                PixelEncoder.gif(w, h, gray,
+                  interlace = (id / 8) % 2 == 1)
               case 4 => // baseline JPEG, DC-only grayscale
                 JpegEncoder.grayDcOnly(w, h, blockG)
               case 5 => // 4:2:0 — 16×16 MCUs, neutral chroma; dims
                 // snap to the MCU grid (no padding blocks)
                 JpegEncoder.yccDcOnly(16 + (id % 2).toInt * 16, 16,
                   blockG, hs = 2, vs = 2)
-              case _ => // 4:2:2 — 16×8 MCUs
+              case 6 => // 4:2:2 — 16×8 MCUs
                 JpegEncoder.yccDcOnly(16 + (id % 2).toInt * 16,
                   8 + (id % 3).toInt * 8, blockG, hs = 2, vs = 1)
+              case _ => // progressive (SOF2), three scans, same
+                // closed form as the baseline DC-only variant
+                JpegEncoder.grayDcOnlyProgressive(w, h, blockG)
             }
             (id, bytes)
           }
@@ -268,6 +282,15 @@ private[queries] object MultimodalQueries {
       Multimodal.decodePixels(pixelBlobs(s, dir)).toDF()
     },
 
+    // REAL thumbnail resize: decode the same blobs, 2×2 integer
+    // box-downsample (floor of the block mean — edge blocks shrink),
+    // then raster statistics the oracle recomputes CELL by cell from
+    // the closed-form source pixels. Map-only: codec + filter run
+    // per row, no shuffle before the final compare.
+    "mm_resize_pixels" -> { (s, dir) =>
+      Multimodal.resizePixels(pixelBlobs(s, dir), 2, 2).toDF()
+    },
+
 
     // Perceptual-hash near-dup over the image corpus with the REAL
     // decoder (the former md5-grid stub is retired for image
@@ -308,17 +331,17 @@ private[queries] object MultimodalQueries {
     // own real PNG/BMP bytes back to the identical raster
     "mm_decode_pixels" ->
       """WITH p AS (SELECT doc_id,
-        |    CAST(CASE WHEN doc_id % 7 IN (5, 6)
+        |    CAST(CASE WHEN doc_id % 8 IN (5, 6)
         |              THEN 16 + (doc_id % 2) * 16
         |              ELSE doc_id % 12 + 4 END AS INT) AS w,
-        |    CAST(CASE WHEN doc_id % 7 = 5 THEN 16
-        |              WHEN doc_id % 7 = 6 THEN 8 + (doc_id % 3) * 8
+        |    CAST(CASE WHEN doc_id % 8 = 5 THEN 16
+        |              WHEN doc_id % 8 = 6 THEN 8 + (doc_id % 3) * 8
         |              ELSE doc_id % 9 + 3 END AS INT) AS h,
-        |    doc_id % 256 AS m, doc_id % 7 AS v
+        |    doc_id % 256 AS m, doc_id % 8 AS v
         |  FROM documents),
         |pix AS (SELECT doc_id, w, h, v, x.x AS x, y.y AS y,
         |    CASE WHEN v IN (1, 3) THEN (m + 3 * x.x + 7 * y.y) % 256
-        |         WHEN v IN (4, 5, 6) THEN
+        |         WHEN v IN (4, 5, 6, 7) THEN
         |           (m + 13 * (x.x // 8) + 29 * (y.y // 8)) % 256
         |         ELSE (77 * ((m + 3 * x.x + 7 * y.y) % 256)
         |             + 150 * ((2 * m + 5 * x.x + y.y) % 256)
@@ -329,7 +352,7 @@ private[queries] object MultimodalQueries {
         |    LATERAL (SELECT unnest(range(0, h)) AS y) y)
         |SELECT doc_id,
         |  CASE WHEN v = 2 THEN 'bmp' WHEN v = 3 THEN 'gif'
-        |       WHEN v IN (4, 5, 6) THEN 'jpeg' ELSE 'png' END AS format,
+        |       WHEN v IN (4, 5, 6, 7) THEN 'jpeg' ELSE 'png' END AS format,
         |  w AS width, h AS height,
         |  CAST(w AS BIGINT) * h AS n_pixels,
         |  CAST(sum(g) AS BIGINT) AS gray_sum,
@@ -340,6 +363,44 @@ private[queries] object MultimodalQueries {
         |  CAST(max(CASE WHEN x = w - 1 AND y = h - 1 THEN g END) AS INT)
         |    AS gray_br
         |FROM pix GROUP BY doc_id, v, w, h""".stripMargin,
+
+    // same closed-form source raster; each 2×2 cell is floor of the
+    // block mean (edge blocks shrink with the dims), then the same
+    // statistics over the DOWNSAMPLED raster
+    "mm_resize_pixels" ->
+      """WITH p AS (SELECT doc_id,
+        |    CAST(CASE WHEN doc_id % 8 IN (5, 6)
+        |              THEN 16 + (doc_id % 2) * 16
+        |              ELSE doc_id % 12 + 4 END AS INT) AS w,
+        |    CAST(CASE WHEN doc_id % 8 = 5 THEN 16
+        |              WHEN doc_id % 8 = 6 THEN 8 + (doc_id % 3) * 8
+        |              ELSE doc_id % 9 + 3 END AS INT) AS h,
+        |    doc_id % 256 AS m, doc_id % 8 AS v
+        |  FROM documents),
+        |pix AS (SELECT doc_id, w, h, x.x AS x, y.y AS y,
+        |    CASE WHEN v IN (1, 3) THEN (m + 3 * x.x + 7 * y.y) % 256
+        |         WHEN v IN (4, 5, 6, 7) THEN
+        |           (m + 13 * (x.x // 8) + 29 * (y.y // 8)) % 256
+        |         ELSE (77 * ((m + 3 * x.x + 7 * y.y) % 256)
+        |             + 150 * ((2 * m + 5 * x.x + y.y) % 256)
+        |             + 29 * ((3 * m + x.x + 11 * y.y) % 256)) // 256
+        |    END AS g
+        |  FROM p,
+        |    LATERAL (SELECT unnest(range(0, w)) AS x) x,
+        |    LATERAL (SELECT unnest(range(0, h)) AS y) y),
+        |cell AS (SELECT doc_id, w, h, x // 2 AS cx, y // 2 AS cy,
+        |    sum(g) // count(*) AS cg
+        |  FROM pix GROUP BY doc_id, w, h, x // 2, y // 2)
+        |SELECT doc_id,
+        |  CAST((w + 1) // 2 AS INT) AS out_w,
+        |  CAST((h + 1) // 2 AS INT) AS out_h,
+        |  CAST(sum(cg) AS BIGINT) AS gray_sum,
+        |  CAST(max(CASE WHEN cx = 0 AND cy = 0 THEN cg END) AS INT)
+        |    AS gray_tl,
+        |  CAST(max(CASE WHEN cx = (w + 1) // 2 - 1
+        |                 AND cy = (h + 1) // 2 - 1 THEN cg END) AS INT)
+        |    AS gray_br
+        |FROM cell GROUP BY doc_id, w, h""".stripMargin,
 
 
     // the REAL 10x6 raster recomputed pixel by pixel (r=g=b=v makes

@@ -1337,6 +1337,71 @@ class ExtSpec extends SparkSpec {
     assert(e.getMessage.contains("interlace"))
   }
 
+  test("PixelDecoder paletted PNG: depths 1/2/4/8 round-trip through " +
+    "the PLTE luma reduction, interlaced included; a stream index " +
+    "beyond the palette fails loudly") {
+    import graft.ext.{PixelDecoder, PixelEncoder}
+    // 4-entry palette with distinct lumas; idx pattern hits every
+    // entry; sizes force partial trailing bytes at sub-byte depths
+    val pal = Array(0x000000, 0xff0000, 0x00ff00, 0x0000ff)
+    def lum(p: Int) =
+      (77 * ((p >> 16) & 0xff) + 150 * ((p >> 8) & 0xff) +
+        29 * (p & 0xff)) >> 8
+    for (depth <- Seq(2, 4, 8); (w, h) <- Seq((1, 1), (7, 3), (23, 11));
+         inter <- Seq(false, true)) {
+      def idx(x: Int, y: Int) = (x * 5 + y * 3) % 4
+      val png = PixelEncoder.pngPaletted(w, h, idx, pal, depth,
+        interlace = inter)
+      val p = PixelDecoder.decode(png).get
+      assert((p.width, p.height) === (w, h), s"d$depth ${w}x$h i$inter")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(p.gray(y * w + x) === lum(pal(idx(x, y))),
+          s"d$depth ${w}x$h i$inter ($x,$y)")
+    }
+    // depth 1: two entries, stripes
+    val p1 = PixelDecoder.decode(PixelEncoder.pngPaletted(9, 4,
+      (x, y) => (x + y) % 2, Array(0x102030, 0xffffff), 1)).get
+    for (y <- 0 until 4; x <- 0 until 9)
+      assert(p1.gray(y * 9 + x) ===
+        lum(Array(0x102030, 0xffffff)((x + y) % 2)), s"d1 ($x,$y)")
+    // an index beyond the PLTE is corruption, not a silent pixel:
+    // encode with a 6-entry palette emitting index 5, then rebuild
+    // the stream with its PLTE truncated to 2 entries (CRC refreshed
+    // so ONLY the palette size is wrong)
+    val poisoned = {
+      val full = PixelEncoder.pngPaletted(3, 2, (x, _) => if (x == 1) 5 else 0,
+        Array.tabulate(6)(g => g * 0x111111), 4)
+      // shrink PLTE from 6 to 2 entries: rebuild chunk by chunk
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(full, 0, 8)
+      var i = 8
+      while (i < full.length) {
+        val len = ((full(i) & 0xff) << 24) | ((full(i + 1) & 0xff) << 16) |
+          ((full(i + 2) & 0xff) << 8) | (full(i + 3) & 0xff)
+        val typ = new String(full, i + 4, 4, "US-ASCII")
+        if (typ == "PLTE") {
+          val data = java.util.Arrays.copyOfRange(full, i + 8, i + 8 + 6)
+          val hdr = Array[Byte](0, 0, 0, 6)
+          out.write(hdr, 0, 4)
+          out.write("PLTE".getBytes("US-ASCII"), 0, 4)
+          out.write(data, 0, 6)
+          val crc = new java.util.zip.CRC32
+          crc.update("PLTE".getBytes("US-ASCII"))
+          crc.update(data)
+          val cv = crc.getValue
+          for (k <- 0 until 4)
+            out.write(((cv >> (24 - 8 * k)) & 0xff).toInt)
+        } else out.write(full, i, 12 + len)
+        i += 12 + len
+      }
+      out.toByteArray
+    }
+    val e = intercept[IllegalArgumentException] {
+      PixelDecoder.decode(poisoned)
+    }
+    assert(e.getMessage.contains("palette index"))
+  }
+
   test("PixelDecoder GIF: round-trips the uncompressed-technique " +
     "encoder, decodes a genuinely COMPRESSED variable-width LZW " +
     "stream (chain growth, width bumps, KwKwK), and fails loudly on " +
@@ -1416,13 +1481,32 @@ class ExtSpec extends SparkSpec {
     }
     assert(e1.getMessage.toLowerCase.contains("lzw") ||
       e1.getMessage.toLowerCase.contains("truncat"))
-    // 4) interlaced flag is a subset edge: None, not an error
+    // 4) interlace: encoder stores the Appendix E four-pass row
+    //    order, decoder permutes it back — identical raster across
+    //    sizes hitting empty/partial passes (h=1: only pass 1;
+    //    h=5: passes 1,3,4; h=11/16: all four, odd and aligned)
+    for ((wi, hi) <- Seq((7, 1), (5, 5), (23, 11), (16, 16))) {
+      val pi = PixelDecoder.decode(
+        PixelEncoder.gif(wi, hi, g, interlace = true)).get
+      assert((pi.width, pi.height) === (wi, hi), s"${wi}x$hi")
+      assert(pi.gray ===
+        Array.tabulate(hi, wi)((y, x) => g(x, y)).flatten, s"${wi}x$hi")
+    }
+    // 5) the flag is honored, not ignored: flipping it on a
+    //    sequentially-stored GIF must yield exactly the Appendix E
+    //    row permutation (stored row j displays at order(j))
     val inter = gif.clone()
     // image descriptor follows the 13-byte header + 768-byte GCT
     val descAt = 13 + 768
     assert(inter(descAt) == 0x2c.toByte)
     inter(descAt + 9) = (inter(descAt + 9) | 0x40).toByte
-    assert(PixelDecoder.decode(inter).isEmpty)
+    val pp = PixelDecoder.decode(inter).get
+    val order = (for ((y0, dy) <- Seq((0, 8), (4, 8), (2, 4), (1, 2));
+                      y <- y0 until h by dy) yield y).toArray
+    val permuted = new Array[Int](w * h)
+    for (j <- 0 until h; x <- 0 until w)
+      permuted(order(j) * w + x) = g(x, j)
+    assert(pp.gray === permuted)
   }
 
   test("JpegDecoder: DC-only fixtures decode to the EXACT closed form; " +
@@ -1566,13 +1650,17 @@ class ExtSpec extends SparkSpec {
       PixelDecoder.decode(cut)
     }
     assert(e.getMessage.contains("JPEG"))
-    // 5) progressive SOF2 is a subset edge: None, not an error
+    // 5) rewriting SOF0→SOF2 makes the sequential scan header an
+    //    ILLEGAL progressive one (a DC scan must have Se=0): loud
+    //    failure, not a silent misparse
     val prog = jp.clone()
-    // find the SOF0 marker and rewrite it to SOF2
     val sofAt = (0 until prog.length - 1).find(i =>
       (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
     prog(sofAt + 1) = 0xc2.toByte
-    assert(JpegDecoder.decode(prog).isEmpty)
+    val eProg = intercept[IllegalArgumentException] {
+      JpegDecoder.decode(prog)
+    }
+    assert(eProg.getMessage.contains("DC scan"))
     // 6) truncation MID-HEADER (inside the SOF segment) fails with
     // the contractual message, not ArrayIndexOutOfBoundsException
     val midHdr = intercept[IllegalArgumentException] {
@@ -1633,6 +1721,168 @@ class ExtSpec extends SparkSpec {
       (j3(i) & 0xff) == 0xff && (j3(i + 1) & 0xff) == 0xc0).get
     j3(sofAt + 11) = 0x31.toByte // Y sampling 3×1
     assert(JpegDecoder.decode(j3).isEmpty)
+  }
+
+  test("JpegDecoder progressive: the three-scan DC fixture matches " +
+    "the baseline closed form; hand-built spectral-selection + " +
+    "successive-approximation AC scans decode IDENTICALLY to the " +
+    "sequential stream carrying the same coefficients") {
+    import graft.ext.{JpegDecoder, JpegEncoder}
+    // 1) DC-only progressive == DC-only sequential, pixel for pixel.
+    //    Odd DCs exercise 1-bits in the DC refinement scan; 64×40 =
+    //    40 blocks forces an EOBn with appended bits (EOB5 + 8)
+    def dc(bx: Int, by: Int) =
+      ((bx * 37 + by * 101) % 255) * 8 - 1024 + (bx + by) % 2
+    for ((w, h) <- Seq((8, 8), (21, 13), (64, 40))) {
+      val seqD = JpegDecoder.decode(JpegEncoder.grayDcOnly(w, h, dc)).get
+      val prog = JpegDecoder.decode(
+        JpegEncoder.grayDcOnlyProgressive(w, h, dc)).get
+      assert((prog.width, prog.height) === (w, h), s"${w}x$h")
+      assert(prog.gray === seqD.gray, s"${w}x$h")
+    }
+    // 2) real AC machinery: one 8×8 block, coefficients
+    //    dc=240, zz1=-30, zz2=17, zz3=9, zz4=-5, zz6=+1, decoded
+    //    from (a) a sequential stream and (b) a five-scan
+    //    progressive stream — spectral split 1..3 / 4..63 at Al=1,
+    //    then DC + AC refinement to Al=0 (correction bits, a
+    //    newly-significant coefficient behind a zero-run, an EOB
+    //    refinement tail, and a between-scans DHT redefinition).
+    //    Equal coefficients ⇒ the SAME integer IDCT ⇒ exact equality.
+    class BitSink(val out: java.io.ByteArrayOutputStream) {
+      var acc = 0L; var nB = 0
+      def put(v: Int, n: Int): Unit = {
+        acc = (acc << n) | (v & ((1L << n) - 1)); nB += n
+        while (nB >= 8) {
+          val byte = ((acc >> (nB - 8)) & 0xff).toInt
+          out.write(byte); if (byte == 0xff) out.write(0)
+          nB -= 8
+        }
+      }
+      def flush(): Unit = if (nB > 0) put((1 << (8 - nB)) - 1, 8 - nB)
+    }
+    def cat(v: Int) = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    def ext(v: Int, s: Int) = if (v < 0) v + (1 << s) - 1 else v
+    def headerTo(out: java.io.ByteArrayOutputStream, sof: Int): Unit = {
+      def u8w(v: Int): Unit = out.write(v & 0xff)
+      def be16w(v: Int): Unit = { u8w(v >> 8); u8w(v) }
+      def mk(m: Int): Unit = { u8w(0xff); u8w(m) }
+      mk(0xd8)
+      mk(0xdb); be16w(67); u8w(0); for (_ <- 0 until 64) u8w(1)
+      mk(sof); be16w(11); u8w(8); be16w(8); be16w(8); u8w(1)
+      u8w(1); u8w(0x11); u8w(0)
+      mk(0xc4); be16w(2 + 17 + 12); u8w(0x00) // DC: 12 cats @ 4 bits
+      for (l <- 1 to 16) u8w(if (l == 4) 12 else 0)
+      for (s <- 0 until 12) u8w(s)
+    }
+    def acDht(out: java.io.ByteArrayOutputStream, len: Int,
+              syms: Seq[Int]): Unit = {
+      def u8w(v: Int): Unit = out.write(v & 0xff)
+      u8w(0xff); u8w(0xc4)
+      u8w(0); u8w(2 + 17 + syms.length) // be16 length, < 256
+      u8w(0x10)
+      for (l <- 1 to 16) u8w(if (l == len) syms.length else 0)
+      syms.foreach(u8w)
+    }
+    def sos(out: java.io.ByteArrayOutputStream, ss: Int, se: Int,
+            ah: Int, al: Int): Unit = {
+      def u8w(v: Int): Unit = out.write(v & 0xff)
+      u8w(0xff); u8w(0xda); u8w(0); u8w(8); u8w(1); u8w(1); u8w(0x00)
+      u8w(ss); u8w(se); u8w((ah << 4) | al)
+    }
+    val sequential = {
+      val out = new java.io.ByteArrayOutputStream()
+      headerTo(out, 0xc0)
+      // AC symbols in use: (0,5)×2, (0,4), (0,3), (1,1), then EOB —
+      // table = distinct symbols @6 bits, canonical code = rank
+      val syms = Seq(0x05, 0x04, 0x03, 0x11, 0x00)
+      acDht(out, 6, syms)
+      sos(out, 0, 63, 0, 0)
+      val b = new BitSink(out)
+      b.put(cat(240), 4); b.put(ext(240, cat(240)), cat(240))
+      def acSym(run: Int, v: Int): Unit = {
+        val s = cat(v)
+        b.put(syms.indexOf((run << 4) | s), 6)
+        b.put(ext(v, s), s)
+      }
+      acSym(0, -30); acSym(0, 17); acSym(0, 9); acSym(0, -5)
+      acSym(1, 1) // zz5 is zero → run 1, then +1 at zz6
+      b.put(syms.indexOf(0x00), 6) // EOB
+      b.flush()
+      out.write(0xff); out.write(0xd9)
+      out.toByteArray
+    }
+    val progressive = {
+      val out = new java.io.ByteArrayOutputStream()
+      headerTo(out, 0xc2)
+      // first-pass AC table: EOB + run-0 sizes 1..15 @ 5 bits
+      acDht(out, 5, 0x00 +: (1 to 15))
+      // scan 1: DC first, Al=1 → 240>>1 = 120
+      sos(out, 0, 0, 0, 1)
+      val b = new BitSink(out)
+      b.put(cat(120), 4); b.put(ext(120, cat(120)), cat(120))
+      b.flush()
+      // scan 2: AC 1..3 first at Al=1 → -15, 8, 4 (divide toward 0);
+      // the band ends at Se so no EOB is needed
+      sos(out, 1, 3, 0, 1)
+      for (v <- Seq(-15, 8, 4)) {
+        b.put(cat(v), 5) // run-0 size symbol: rank == size
+        b.put(ext(v, cat(v)), cat(v))
+      }
+      b.flush()
+      // scan 3: AC 4..63 first at Al=1 → -2 at zz4 (−5 → −2 toward
+      // zero), zz6's +1 vanishes at this precision, then EOB0
+      sos(out, 4, 63, 0, 1)
+      b.put(cat(-2), 5); b.put(ext(-2, cat(-2)), cat(-2))
+      b.put(0, 5) // EOB0
+      b.flush()
+      // scan 4: DC refinement → low bit of 240
+      sos(out, 0, 0, 1, 0)
+      b.put(240 & 1, 1)
+      b.flush()
+      // scan 5: AC refinement 1..63 to Al=0. History is
+      // -30, 16, 8, -4 (the Al=1 values ×2); targets -30, 17, 9, -5
+      // ⇒ correction bits 0,1,1,1; zz6 becomes newly significant
+      // (+1) behind one zero-history coefficient (zz5) ⇒ symbol
+      // (1<<4)|1 + sign bit, with the correction bits woven in
+      // DECODE order; then EOB0 covers the zero tail. The table is
+      // REDEFINED between scans — {0x11, 0x00} @ 2 bits
+      acDht(out, 2, Seq(0x11, 0x00))
+      sos(out, 1, 63, 1, 0)
+      b.put(0, 2) // symbol 0x11 (rank 0)
+      b.put(1, 1) // sign: +1<<0
+      b.put(0, 1) // zz1: |−30| bit0
+      b.put(1, 1) // zz2: |17| bit0
+      b.put(1, 1) // zz3: |9| bit0
+      b.put(1, 1) // zz4: |−5| bit0 — then zz5 skips, zz6 places
+      b.put(1, 2) // EOB0 (rank 1): refine-to-end of the zero tail
+      b.flush()
+      out.write(0xff); out.write(0xd9)
+      out.toByteArray
+    }
+    val ps = JpegDecoder.decode(sequential).get
+    val pp = JpegDecoder.decode(progressive).get
+    assert((pp.width, pp.height) === (8, 8))
+    assert(pp.gray === ps.gray)
+    // the AC coefficients actually landed (not a flat block): the
+    // sequential reference itself must vary within the block
+    assert(ps.gray.distinct.length > 1)
+  }
+
+  test("boxDownsample: floor-of-mean cells, shrinking edge blocks, " +
+    "factor 1 is identity") {
+    // 5×3 by 2×2: cells (0,0)=(0,1,5,6)→3, (2,0)=col4 rows0-1=(4,9)→6,
+    // (0,1)=row2 (10,11)→10, (2,1)=pixel 14→14
+    val src = Pixels(5, 3, Array.tabulate(15)(identity))
+    val t = Multimodal.boxDownsample(src, 2, 2)
+    assert((t.width, t.height) === (3, 2))
+    assert(t.gray === Array((0 + 1 + 5 + 6) / 4, (2 + 3 + 7 + 8) / 4,
+      (4 + 9) / 2, (10 + 11) / 2, (12 + 13) / 2, 14))
+    // floor, not round: (1 + 2) / 2 = 1
+    val f = Multimodal.boxDownsample(Pixels(2, 1, Array(1, 2)), 2, 1)
+    assert(f.gray === Array(1))
+    // factor 1 = identity
+    val id1 = Multimodal.boxDownsample(src, 1, 1)
+    assert(id1.gray === src.gray && id1.width === 5 && id1.height === 3)
   }
 
   test("aHashFromGray pools to the 10x6 grid with integer means and " +
