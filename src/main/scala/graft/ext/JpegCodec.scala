@@ -939,6 +939,133 @@ object JpegEncoder {
     out.toByteArray
   }
 
+  /** PROGRESSIVE + SUBSAMPLED DC-only encoder: SOF2, components
+    * Y (hs×vs) / Cb / Cr (1×1, neutral), five scans — interleaved
+    * DC first at Al=1 over the frame MCU grid, interleaved DC
+    * refinement to Al=0, then one all-EOB AC first scan per
+    * component. Unlike [[yccDcOnly]], dims need NOT be MCU
+    * multiples: the interleaved DC scans cover the PADDED grid
+    * (invisible pad blocks repeat the predictor, diff 0) while each
+    * AC scan covers the component's ACTUAL block grid (T.81
+    * §A.2.2) — at non-aligned dims the luma actual grid is smaller
+    * than the padded one, the exact asymmetry the progressive
+    * decoder's per-scan grids must honor. Visible pixels stay the
+    * [[grayDcOnly]] closed form per Y block.
+    */
+  def yccDcOnlyProgressive(w: Int, h: Int, blockDc: (Int, Int) => Int,
+                           hs: Int = 2, vs: Int = 2): Array[Byte] = {
+    require(hs >= 1 && hs <= 2 && vs >= 1 && vs <= 2 && hs + vs > 2,
+      s"jpeg: sampling ${hs}x$vs not in the subsampled set")
+    require(w > 0 && h > 0 && w < 65536 && h < 65536,
+      s"jpeg: bad dimensions ${w}x$h")
+    val out = new java.io.ByteArrayOutputStream()
+    def u8w(v: Int): Unit = out.write(v & 0xff)
+    def be16w(v: Int): Unit = { u8w(v >> 8); u8w(v) }
+    def marker(m: Int): Unit = { u8w(0xff); u8w(m) }
+    marker(0xd8)
+    marker(0xdb); be16w(2 + 65); u8w(0x00)
+    for (_ <- 0 until 64) u8w(1)
+    marker(0xc2); be16w(8 + 9) // SOF2: 3 components
+    u8w(8); be16w(h); be16w(w); u8w(3)
+    u8w(1); u8w((hs << 4) | vs); u8w(0)
+    u8w(2); u8w(0x11); u8w(0)
+    u8w(3); u8w(0x11); u8w(0)
+    marker(0xc4); be16w(2 + 17 + 12); u8w(0x00) // DC cats @ 4 bits
+    for (l <- 1 to 16) u8w(if (l == 4) 12 else 0)
+    for (s <- 0 until 12) u8w(s)
+    marker(0xc4); be16w(2 + 17 + 15); u8w(0x10) // EOBn @ 4 bits
+    for (l <- 1 to 16) u8w(if (l == 4) 15 else 0)
+    for (n <- 0 until 15) u8w(n << 4)
+    var acc = 0L
+    var nBits = 0
+    def putBits(v: Int, n: Int): Unit = {
+      acc = (acc << n) | (v & ((1L << n) - 1)); nBits += n
+      while (nBits >= 8) {
+        val byte = ((acc >> (nBits - 8)) & 0xff).toInt
+        u8w(byte)
+        if (byte == 0xff) u8w(0x00)
+        nBits -= 8
+      }
+    }
+    def flushScan(): Unit =
+      if (nBits > 0) putBits((1 << (8 - nBits)) - 1, 8 - nBits)
+    def sosH(comps: Seq[Int], ss: Int, se: Int, ah: Int,
+             al: Int): Unit = {
+      marker(0xda); be16w(6 + 2 * comps.length)
+      u8w(comps.length)
+      comps.foreach { c => u8w(c); u8w(0x00) }
+      u8w(ss); u8w(se); u8w((ah << 4) | al)
+    }
+    val nMcuX = (w + 8 * hs - 1) / (8 * hs)
+    val nMcuY = (h + 8 * vs - 1) / (8 * vs)
+    val padBX = nMcuX * hs
+    val padBY = nMcuY * vs
+    val actBX = (w + 7) / 8
+    val actBY = (h + 7) / 8
+    // padded Y DC grid: visible blocks carry blockDc, pad blocks
+    // repeat their left/up neighbor (diff-0 friendly, invisible)
+    val dcGrid = Array.tabulate(padBY, padBX) { (by, bx) =>
+      val vx = math.min(bx, actBX - 1)
+      val vy = math.min(by, actBY - 1)
+      val dc = blockDc(vx, vy)
+      require(dc >= -1024 && dc <= 1016, s"jpeg: DC $dc out of range")
+      dc
+    }
+    // MCU-interleaved Y block order (raster within each MCU)
+    val yOrder = for {
+      my <- 0 until nMcuY; mx <- 0 until nMcuX
+      sy <- 0 until vs; sx <- 0 until hs
+    } yield (mx * hs + sx, my * vs + sy)
+    // scan 1: DC first, interleaved, Al=1
+    sosH(Seq(1, 2, 3), 0, 0, 0, 1)
+    var predY = 0
+    for (my <- 0 until nMcuY; mx <- 0 until nMcuX) {
+      for (sy <- 0 until vs; sx <- 0 until hs) {
+        val v = dcGrid(my * vs + sy)(mx * hs + sx) >> 1
+        val diff = v - predY
+        predY = v
+        val s = 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+        putBits(s, 4)
+        if (s > 0)
+          putBits(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      }
+      putBits(0, 4) // Cb diff 0 (neutral, category 0)
+      putBits(0, 4) // Cr diff 0
+    }
+    flushScan()
+    // scan 2: DC refinement, interleaved, one raw bit per block
+    sosH(Seq(1, 2, 3), 0, 0, 1, 0)
+    for ((bx, by) <- yOrder) {
+      putBits(dcGrid(by)(bx) & 1, 1)
+      if ((bx % hs == hs - 1) && (by % vs == vs - 1)) {
+        putBits(0, 1) // Cb low bit (0)
+        putBits(0, 1) // Cr low bit (0)
+      }
+    }
+    flushScan()
+    // scans 3–5: AC first per component over its ACTUAL grid
+    def eobScan(comp: Int, nBlk: Int): Unit = {
+      sosH(Seq(comp), 1, 63, 0, 0)
+      var remaining = nBlk
+      while (remaining > 0) {
+        var n = 0
+        while (n < 14 && (2 << n) <= remaining) n += 1
+        val count = math.min(remaining, (2 << n) - 1)
+        putBits(n, 4)
+        if (n > 0) putBits(count - (1 << n), n)
+        remaining -= count
+      }
+      flushScan()
+    }
+    eobScan(1, actBX * actBY)
+    val cbx = ((w * 1 + hs - 1) / hs + 7) / 8
+    val cby = ((h * 1 + vs - 1) / vs + 7) / 8
+    eobScan(2, cbx * cby)
+    eobScan(3, cbx * cby)
+    marker(0xd9)
+    out.toByteArray
+  }
+
   /** Encode a SUBSAMPLED (4:2:0 when hs=vs=2, 4:2:2 when hs=2,vs=1)
     * 3-component DC-only baseline JPEG with NEUTRAL chroma: luma
     * carries `blockDc` per 8×8 Y block, both chroma components are

@@ -385,6 +385,38 @@ object Multimodal {
       }
   }
 
+  /** ONE decode pass yielding both the raster statistics and the
+    * 60-bit aHash signature per (doc_id, blob) — the curation chain
+    * ([[graft.queries.MultimodalQueries]] `curate_images`) needs
+    * both, and at corpus scale the byte-codec decode dominates the
+    * map cost, so running [[decodePixels]] and [[aHashImages]]
+    * separately would pay it twice.
+    */
+  def curationFeatures(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val p = PixelDecoder.decode(bytes).getOrElse(
+            throw new IllegalArgumentException(
+              s"curationFeatures: doc $id is not a decodable image"))
+          var sum = 0L
+          var mn = 255
+          var mx = 0
+          var i = 0
+          while (i < p.gray.length) {
+            val g = p.gray(i)
+            sum += g
+            if (g < mn) mn = g
+            if (g > mx) mx = g
+            i += 1
+          }
+          (id, sum, mn, mx, aHashFromGray(p))
+        }
+      }.toDF("doc_id", "gray_sum", "gray_min", "gray_max", "ahash")
+  }
+
   /** 60-bit audio energy fingerprint over REAL decoded PCM samples —
     * the perceptual near-dup signature for audio corpora, the twin of
     * [[aHashFromGray]]: split the first channel's samples into 60

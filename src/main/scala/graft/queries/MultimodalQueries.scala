@@ -322,6 +322,36 @@ private[queries] object MultimodalQueries {
       DedupOps.simhashBandPairs(sigs, col("id"), col("afp"),
         bands = 4, bitsPerBand = 15, maxHamming = 3, bits = 60)
     },
+
+    // End-to-end IMAGE-corpus curation — the multimodal twin of
+    // curate_pretrain: ONE real decode pass (stats + aHash
+    // signature together, the codec cost paid once), a
+    // brightness-window quality gate doing real work on the fixture
+    // (integer compare on gray_sum, no float mean), banded near-dup
+    // candidates over the survivors, connected components, keep the
+    // min-id doc per cluster with its cluster size and raster
+    // stats. Decode/signature map-only; the pair join is the shared
+    // 4×15-bit band machinery; the component loop is the bounded-
+    // endgame star contraction.
+    "curate_images" -> { (s, dir) =>
+      val feats = Multimodal.curationFeatures(ahashBlobs(s, dir))
+      val kept = feats.filter(col("gray_sum") >= 7000 &&
+        col("gray_sum") < 8400)
+      val pairs = DedupOps.simhashBandPairs(
+        kept.select(col("doc_id").as("id"), col("ahash")),
+        col("id"), col("ahash"),
+        bands = 4, bitsPerBand = 15, maxHamming = 3, bits = 60)
+      val comps = DedupOps.connectedComponents(
+        kept.select(col("doc_id").as("id")), pairs)
+      val sizes = comps.groupBy(col("component_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+      comps.filter(col("id") === col("component_id"))
+        .join(sizes, Seq("component_id"))
+        .select(col("id").as("doc_id"), col("cluster_size"))
+        .join(kept.drop("ahash"), Seq("doc_id"))
+        .select(col("doc_id"), col("cluster_size"), col("gray_sum"),
+          col("gray_min"), col("gray_max"))
+    },
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -462,6 +492,59 @@ private[queries] object MultimodalQueries {
         |  ON a.bb = c.bb AND a.bkey = c.bkey
         |WHERE a.doc_id < c.doc_id
         |  AND bit_count(xor(a.afp, c.afp)) <= 3""".stripMargin,
+
+
+    // the full curation chain replayed: same closed-form rasters →
+    // brightness gate → ahash band pairs over survivors → recursive
+    // closure → min-id survivor with cluster size + stats
+    "curate_images" ->
+      """WITH RECURSIVE g AS (SELECT doc_id, doc_id // 5 AS grp
+        |  FROM documents),
+        |pix AS (SELECT doc_id, y.y * 10 + x.x AS i,
+        |    (((grp * 7919
+        |        + CASE WHEN grp % 4 = 3 THEN (x.x // 8) * 8
+        |               ELSE x.x END * 151
+        |        + CASE WHEN grp % 4 = 3 THEN (y.y // 8) * 8
+        |               ELSE y.y END * 211) % 65536)
+        |     * 2654435761 // 1024) % 256 AS p
+        |  FROM g,
+        |    LATERAL (SELECT unnest(range(0, 10)) AS x) x,
+        |    LATERAL (SELECT unnest(range(0, 6)) AS y) y),
+        |stats AS (SELECT doc_id, sum(p) AS t, min(p) AS mn,
+        |    max(p) AS mx
+        |  FROM pix GROUP BY 1),
+        |kept AS (SELECT * FROM stats WHERE t >= 7000 AND t < 8400),
+        |sig AS (SELECT pix.doc_id,
+        |    CAST(sum(CASE WHEN p * 60 > t
+        |             THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+        |             ELSE 0 END)
+        |      AS BIGINT) AS ahash
+        |  FROM pix JOIN kept USING (doc_id) GROUP BY 1),
+        |banded AS (SELECT doc_id, ahash, bb,
+        |    (ahash >> (bb * 15)) & 32767 AS bkey
+        |  FROM sig, unnest(range(0, 4)) AS u(bb)),
+        |pairs AS (SELECT DISTINCT a.doc_id AS pa, c.doc_id AS pb
+        |  FROM banded a JOIN banded c
+        |    ON a.bb = c.bb AND a.bkey = c.bkey
+        |  WHERE a.doc_id < c.doc_id
+        |    AND bit_count(xor(a.ahash, c.ahash)) <= 3),
+        |edges AS (SELECT pa AS ea, pb AS eb FROM pairs
+        |          UNION ALL SELECT pb, pa FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM kept
+        |  UNION
+        |  SELECT r.src, e.eb FROM reach r JOIN edges e ON r.dst = e.ea),
+        |comp AS (SELECT src AS doc_id, min(dst) AS component_id
+        |  FROM reach GROUP BY 1),
+        |sizes AS (SELECT component_id, count(*) AS cluster_size
+        |  FROM comp GROUP BY 1)
+        |SELECT c.doc_id, s.cluster_size,
+        |  CAST(k.t AS BIGINT) AS gray_sum,
+        |  CAST(k.mn AS INT) AS gray_min,
+        |  CAST(k.mx AS INT) AS gray_max
+        |FROM comp c JOIN sizes s USING (component_id)
+        |  JOIN kept k ON k.doc_id = c.doc_id
+        |WHERE c.doc_id = c.component_id""".stripMargin,
 
     "mm_thumbnail" ->
       """WITH f AS (SELECT doc_id,

@@ -1866,6 +1866,24 @@ class ExtSpec extends SparkSpec {
     // the AC coefficients actually landed (not a flat block): the
     // sequential reference itself must vary within the block
     assert(ps.gray.distinct.length > 1)
+    // 3) progressive + 4:2:0 at NON-MCU-aligned dims: 17×17 makes
+    //    the luma ACTUAL grid (3×3 blocks) smaller than the padded
+    //    one (4×4) — the interleaved DC scans walk the padded grid
+    //    while each per-component AC scan walks the actual grid
+    //    (T.81 §A.2.2), the asymmetry this decode pins. Neutral
+    //    chroma keeps the closed form per visible Y block.
+    def flat(v: Int) = math.min(255, math.max(0, ((v + 4) >> 3) + 128))
+    for ((w2, h2, hs, vs) <- Seq((17, 17, 2, 2), (32, 16, 2, 2),
+      (23, 9, 2, 1))) {
+      def dc2(bx: Int, by: Int) =
+        ((bx * 61 + by * 149) % 255) * 8 - 1024 + (bx + by) % 2
+      val p = JpegDecoder.decode(
+        JpegEncoder.yccDcOnlyProgressive(w2, h2, dc2, hs, vs)).get
+      assert((p.width, p.height) === (w2, h2), s"${w2}x$h2")
+      for (y <- 0 until h2; x <- 0 until w2)
+        assert(p.gray(y * w2 + x) === flat(dc2(x / 8, y / 8)),
+          s"${w2}x$h2 ${hs}x$vs ($x,$y)")
+    }
   }
 
   test("boxDownsample: floor-of-mean cells, shrinking edge blocks, " +
