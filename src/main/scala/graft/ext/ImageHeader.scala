@@ -194,7 +194,98 @@ object AudioHeader {
     * overruns the payload (a truncated corpus member must not yield
     * a silently short fingerprint).
     */
-  def pcm16(b: Array[Byte]): Option[Array[Int]] = {
+  def pcm16(b: Array[Byte]): Option[Array[Int]] =
+    fmtAndData(b).collect {
+      case (1, 16, blockAlign, rate, off, size)
+        if blockAlign >= 2 && rate > 0 =>
+        read16(b, off, size, blockAlign)
+    }
+
+  /** FIRST-CHANNEL 16-bit-LINEAR samples of a RIFF/WAVE payload:
+    * integer PCM (tag 1, 16-bit) read as [[pcm16]]; ITU-T G.711
+    * μ-law (tag 7) and A-law (tag 6, both 8 bits/sample, the
+    * telephony/speech-corpus codings) expanded to linear through
+    * the spec's segment formulas (G.711 Tables 1a/2a — closed-form
+    * integer expressions, so a SQL oracle replays the decode
+    * exactly). None for other codings; same loud-overrun contract.
+    */
+  def linearSamples(b: Array[Byte]): Option[Array[Int]] =
+    fmtAndData(b).collect {
+      case (1, 16, blockAlign, rate, off, size)
+        if blockAlign >= 2 && rate > 0 =>
+        read16(b, off, size, blockAlign)
+      case (tag, 8, blockAlign, rate, off, size)
+        if (tag == 6 || tag == 7) && blockAlign >= 1 && rate > 0 =>
+        val table = if (tag == 7) UlawTable else AlawTable
+        if (off + size > b.length)
+          throw new IllegalArgumentException(
+            s"WAV samples: data chunk declares $size bytes at " +
+              s"offset $off but the payload holds ${b.length}")
+        val n = (size / blockAlign).toInt
+        val out = new Array[Int](n)
+        var k = 0
+        while (k < n) {
+          out(k) = table(b(off + k * blockAlign) & 0xff)
+          k += 1
+        }
+        out
+    }
+
+  /** ITU-T G.711 μ-law expansion (the Sun/CCITT reference form):
+    * complement, then ((mant·8 + 132) << seg) − 132 with the sign
+    * from bit 7. 0xFF → 0, 0x00 → −32124.
+    */
+  private val UlawTable: Array[Int] = Array.tabulate(256) { u =>
+    val c = ~u & 0xff
+    val t = (((c & 0x0f) << 3) + 0x84) << ((c >> 4) & 7)
+    if ((c & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** ITU-T G.711 A-law expansion: XOR 0x55, segment 0 is
+    * mant·16 + 8, segment s ≥ 1 is (mant·16 + 264) << (s−1); bit 7
+    * SET means positive (opposite of μ-law). 0x55 → −8, 0xD5 → 8.
+    */
+  private val AlawTable: Array[Int] = Array.tabulate(256) { a0 =>
+    val a = a0 ^ 0x55
+    val mant = (a & 0x0f) << 4
+    val t = ((a >> 4) & 7) match {
+      case 0 => mant + 8
+      case 1 => mant + 0x108
+      case s => (mant + 0x108) << (s - 1)
+    }
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  private def read16(b: Array[Byte], off: Int, size: Long,
+                     blockAlign: Int): Array[Int] = {
+    if (off + size > b.length)
+      throw new IllegalArgumentException(
+        s"WAV pcm16: data chunk declares $size bytes at offset " +
+          s"$off but the payload holds ${b.length}")
+    val n = (size / blockAlign).toInt
+    val out = new Array[Int](n)
+    var k = 0
+    while (k < n) {
+      val o = off + k * blockAlign
+      out(k) = (le16(b, o) << 16) >> 16 // sign-extend
+      k += 1
+    }
+    out
+  }
+
+  /** The shared fmt/data chunk walk behind [[pcm16]] and
+    * [[linearSamples]]: (tag, bits, blockAlign, rate, dataOff,
+    * dataSize), with the audioFormat TAG resolved through
+    * WAVE_FORMAT_EXTENSIBLE's SubFormat GUID (fmt payload offset
+    * 24, first two GUID bytes = the classic code) so the callers'
+    * gates see the real coding — a 16-bit extensible container
+    * wrapping ADPCM/float must not be read as linear PCM, and a
+    * compressed coding declaring 16 bits per sample must not be
+    * fingerprinted as if its bytes were samples. Extensible without
+    * its mandatory 22-byte extension is malformed → tag −1.
+    */
+  private def fmtAndData(b: Array[Byte])
+      : Option[(Int, Int, Int, Int, Int, Long)] = {
     if (b.length < 12 || !ascii(b, 0, "RIFF") || !ascii(b, 8, "WAVE"))
       return None
     var i = 12L
@@ -205,13 +296,6 @@ object AudioHeader {
       val size = le32(b, at + 4)
       if (ascii(b, at, "fmt ") && size >= 16 && i + 24 <= b.length) {
         val tag0 = le16(b, at + 8)
-        // WAVE_FORMAT_EXTENSIBLE: the true coding lives in the
-        // SubFormat GUID (fmt payload offset 24); its first two bytes
-        // are the classic tag code (0x0001 = integer PCM). Resolve it
-        // here so the yield's tag gate sees the real coding — a
-        // 16-bit extensible container wrapping ADPCM/float must not
-        // be fingerprinted as linear PCM. Extensible without its
-        // mandatory 22-byte extension is malformed → not PCM.
         val tag =
           if (tag0 != 0xFFFE) tag0
           else if (size >= 40 && at + 34 <= b.length) le16(b, at + 32)
@@ -222,30 +306,9 @@ object AudioHeader {
       if (ascii(b, at, "data")) data = Some((at + 8, size))
       i += 8 + size + (size & 1)
     }
-    // the audioFormat TAG gates the yield, not just bits==16: a
-    // compressed coding declaring 16 bits per sample (e.g. ADPCM
-    // variants) must return None, not be fingerprinted as if its
-    // bytes were linear PCM. tag here is already GUID-resolved
-    // (WAVE_FORMAT_EXTENSIBLE above), so 1 means integer PCM whether
-    // declared classically or through the extensible SubFormat.
     for {
       (tag, _, rate, bits, blockAlign) <- fmt
       (off, size) <- data
-      if tag == 1 && bits == 16 && blockAlign >= 2 && rate > 0
-    } yield {
-      if (off + size > b.length)
-        throw new IllegalArgumentException(
-          s"WAV pcm16: data chunk declares $size bytes at offset " +
-            s"$off but the payload holds ${b.length}")
-      val n = (size / blockAlign).toInt
-      val out = new Array[Int](n)
-      var k = 0
-      while (k < n) {
-        val o = off + k * blockAlign
-        out(k) = (le16(b, o) << 16) >> 16 // sign-extend
-        k += 1
-      }
-      out
-    }
+    } yield (tag, bits, blockAlign, rate, off, size)
   }
 }

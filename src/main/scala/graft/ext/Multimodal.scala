@@ -452,10 +452,11 @@ object Multimodal {
     fp
   }
 
-  /** Per-partition PCM decode + fingerprint over (doc_id, blob) WAV
-    * rows ([[AudioHeader.pcm16]] — real RIFF walk, real 16-bit LE
-    * samples). Loud on non-WAV payloads, same contract as
-    * [[aHashImages]]. Returns (id, afp); map-only.
+  /** Per-partition sample decode + fingerprint over (doc_id, blob)
+    * WAV rows ([[AudioHeader.linearSamples]] — real RIFF walk;
+    * 16-bit integer PCM read directly, G.711 μ-law/A-law expanded
+    * through the spec tables). Loud on non-WAV payloads, same
+    * contract as [[aHashImages]]. Returns (id, afp); map-only.
     */
   def audioFingerprints(df: DataFrame, id: Column,
                         blob: Column): DataFrame = {
@@ -464,10 +465,10 @@ object Multimodal {
     df.select(id.as("id"), blob.as("blob")).as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (i, bytes) =>
-          val samples = AudioHeader.pcm16(bytes).getOrElse(
+          val samples = AudioHeader.linearSamples(bytes).getOrElse(
             throw new IllegalArgumentException(
               s"audioFingerprints: id $i is not a decodable 16-bit " +
-                s"PCM WAV (${bytes.length} bytes)"))
+                s"PCM or G.711 WAV (${bytes.length} bytes)"))
           (i, audioFingerprint(samples))
         }
       }.toDF("id", "afp")

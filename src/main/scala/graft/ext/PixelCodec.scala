@@ -841,4 +841,39 @@ object WavEncoder {
       putLe16(44 + k * blockAlign + c * 2, samples(k) & 0xffff)
     b
   }
+
+  /** ITU-T G.711 companded WAV: `codes` are the RAW 8-bit μ-law
+    * (`tag = 7`) or A-law (`tag = 6`) bytes, one per frame per
+    * channel — the fixture supplies the companded domain directly
+    * so the decoder's expansion ([[AudioHeader.linearSamples]]) is
+    * what gets verified, byte for byte, against the oracle's
+    * closed-form G.711 tables.
+    */
+  def g711(codes: Array[Int], tag: Int, channels: Int = 1,
+           rate: Int = 8000): Array[Byte] = {
+    require(tag == 6 || tag == 7, s"wav: G.711 tag $tag")
+    require(channels >= 1 && rate > 0, s"wav: $channels ch @ $rate Hz")
+    val blockAlign = channels
+    val dataSize = codes.length * blockAlign
+    val b = new Array[Byte](44 + dataSize)
+    def putLe16(i: Int, v: Int): Unit = {
+      b(i) = v.toByte; b(i + 1) = (v >>> 8).toByte
+    }
+    def putLe32(i: Int, v: Int): Unit = {
+      putLe16(i, v & 0xffff); putLe16(i + 2, v >>> 16)
+    }
+    def putAscii(i: Int, s: String): Unit =
+      s.indices.foreach(j => b(i + j) = s.charAt(j).toByte)
+    putAscii(0, "RIFF"); putLe32(4, 36 + dataSize); putAscii(8, "WAVE")
+    putAscii(12, "fmt "); putLe32(16, 16); putLe16(20, tag)
+    putLe16(22, channels); putLe32(24, rate)
+    putLe32(28, rate * blockAlign); putLe16(32, blockAlign)
+    putLe16(34, 8)
+    putAscii(36, "data"); putLe32(40, dataSize)
+    for (k <- codes.indices; c <- 0 until channels) {
+      require(codes(k) >= 0 && codes(k) <= 255, s"wav: code ${codes(k)}")
+      b(44 + k * blockAlign + c) = codes(k).toByte
+    }
+    b
+  }
 }

@@ -135,11 +135,27 @@ private[queries] object MultimodalQueries {
         .mapPartitions { ids =>
           ids.map { id =>
             val grp = id / 5
-            val samples = Array.tabulate(120) { t =>
-              val h = (grp * 7919 + t * 101) % 65536
-              ((h * 2654435761L / 1024) % 512).toInt - 256
+            // grp % 3 picks the coding — whole groups share one blob
+            // so the every-5-share near-dup design is preserved:
+            // 0 = 16-bit linear PCM; 1 = G.711 μ-law; 2 = A-law.
+            // The companded members carry the closed form as RAW
+            // code bytes, so the DECODER's table expansion is what
+            // the oracle's G.711 closed form verifies.
+            val bytes = (grp % 3) match {
+              case 0 =>
+                val samples = Array.tabulate(120) { t =>
+                  val h = (grp * 7919 + t * 101) % 65536
+                  ((h * 2654435761L / 1024) % 512).toInt - 256
+                }
+                WavEncoder.pcm16(samples)
+              case r =>
+                val codes = Array.tabulate(120) { t =>
+                  val h = (grp * 7919 + t * 101) % 65536
+                  ((h * 2654435761L / 1024) % 256).toInt
+                }
+                WavEncoder.g711(codes, tag = if (r == 1) 7 else 6)
             }
-            (id, WavEncoder.pcm16(samples))
+            (id, bytes)
           }
         }.toDF("doc_id", "blob")
     }
@@ -466,15 +482,33 @@ private[queries] object MultimodalQueries {
         |  AND bit_count(xor(a.ahash, c.ahash)) <= 3""".stripMargin,
 
 
-    // the REAL 120-sample PCM stream recomputed in closed form:
+    // the REAL 120-sample stream recomputed in closed form —
+    // 16-bit PCM directly, G.711 μ-law/A-law members through the
+    // spec's segment expansion (|linear| drops the sign term, so
+    // μ-law is t0−132 and A-law the segment value outright):
     // |sample| energies in 60 two-sample windows, integer mean
     // compare, same band join
     "mm_audio_fingerprint" ->
       """WITH g AS (SELECT doc_id, doc_id // 5 AS grp FROM documents),
-        |s AS (SELECT doc_id, t.t AS t,
-        |    abs((((grp * 7919 + t.t * 101) % 65536)
-        |         * 2654435761 // 1024) % 512 - 256) AS a
+        |raw AS (SELECT doc_id, grp, t.t AS t,
+        |    (((grp * 7919 + t.t * 101) % 65536)
+        |     * 2654435761 // 1024) AS m
         |  FROM g, LATERAL (SELECT unnest(range(0, 120)) AS t) t),
+        |s AS (SELECT doc_id, t,
+        |    CASE WHEN grp % 3 = 0 THEN abs(m % 512 - 256)
+        |         WHEN grp % 3 = 1 THEN
+        |           (((255 - m % 256) % 16) * 8 + 132)
+        |             * (CAST(1 AS BIGINT) << CAST(
+        |                 ((255 - m % 256) // 16) % 8 AS INT)) - 132
+        |         ELSE CASE ((xor(m % 256, 85)) // 16) % 8
+        |           WHEN 0 THEN (xor(m % 256, 85) % 16) * 16 + 8
+        |           WHEN 1 THEN (xor(m % 256, 85) % 16) * 16 + 264
+        |           ELSE ((xor(m % 256, 85) % 16) * 16 + 264)
+        |             * (CAST(1 AS BIGINT) << CAST(
+        |                 ((xor(m % 256, 85)) // 16) % 8 - 1 AS INT))
+        |         END
+        |    END AS a
+        |  FROM raw),
         |w AS (SELECT doc_id, CAST(t // 2 AS INT) AS wi, sum(a) AS e
         |  FROM s GROUP BY 1, 2),
         |tot AS (SELECT doc_id, sum(e) AS t FROM w GROUP BY 1),

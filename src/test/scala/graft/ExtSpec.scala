@@ -1966,6 +1966,47 @@ class ExtSpec extends SparkSpec {
     assert(Multimodal.audioFingerprint(imp59) === (1L << 59))
   }
 
+  test("AudioHeader.linearSamples expands G.711 mu-law and A-law " +
+    "through the spec tables (known anchor codes), first channel of " +
+    "stereo, loud overrun; pcm16 still rejects companded codings") {
+    import graft.ext.{AudioHeader, WavEncoder}
+    // ITU-T G.711 anchor values (Sun/CCITT reference decoder):
+    // mu-law: 0xFF -> 0, 0x7F -> 0 (negative zero), 0x00 -> -32124,
+    // 0x80 -> +32124; A-law: 0x55 -> -8, 0xD5 -> +8, 0x2A -> -32256,
+    // 0xAA -> +32256
+    val mu = AudioHeader.linearSamples(
+      WavEncoder.g711(Array(0xFF, 0x7F, 0x00, 0x80), tag = 7)).get
+    assert(mu === Array(0, 0, -32124, 32124))
+    val al = AudioHeader.linearSamples(
+      WavEncoder.g711(Array(0x55, 0xD5, 0x2A, 0xAA), tag = 6)).get
+    assert(al === Array(-8, 8, -32256, 32256))
+    // monotone within a segment: mu-law codes 0xE0..0xEF complement
+    // to c = 0x1F..0x10 (positive, seg 1, mantissa decreasing), so
+    // the decoded values are strictly DECREASING positives
+    val seg = AudioHeader.linearSamples(
+      WavEncoder.g711((0xE0 to 0xEF).toArray, tag = 7)).get
+    assert(seg.forall(_ > 0))
+    assert(seg.zip(seg.tail).forall { case (a, b) => a > b })
+    // stereo: first channel only (both channels carry the code here)
+    val st = AudioHeader.linearSamples(
+      WavEncoder.g711(Array(0x00, 0xFF), tag = 7, channels = 2)).get
+    assert(st === Array(-32124, 0))
+    // 16-bit PCM passes through linearSamples identically to pcm16
+    val pcm = Array(-5, 17, 32767, -32768)
+    assert(AudioHeader.linearSamples(WavEncoder.pcm16(pcm)).get === pcm)
+    // pcm16's contract is UNCHANGED: companded codings are None
+    assert(AudioHeader.pcm16(
+      WavEncoder.g711(Array(0xFF), tag = 7)).isEmpty)
+    assert(AudioHeader.pcm16(
+      WavEncoder.g711(Array(0x55), tag = 6)).isEmpty)
+    // truncated data chunk fails loudly, same contract as pcm16
+    val whole = WavEncoder.g711(Array.fill(50)(0x41), tag = 6)
+    val e = intercept[IllegalArgumentException] {
+      AudioHeader.linearSamples(whole.dropRight(10))
+    }
+    assert(e.getMessage.contains("declares"))
+  }
+
   test("AudioHeader.pcm16 resolves WAVE_FORMAT_EXTENSIBLE through the " +
     "SubFormat GUID: integer-PCM decodes, float/absent extension do not") {
     import graft.ext.AudioHeader
