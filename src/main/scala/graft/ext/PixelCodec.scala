@@ -19,9 +19,11 @@ final case class Pixels(width: Int, height: Int, gray: Array[Int])
   * Coverage is the subset a fixture- and thumbnail-scale pipeline
   * needs, decoded COMPLETELY correctly:
   *   - PNG: color types 0 (grayscale), 2 (truecolor) and 6
-  *     (truecolor+alpha, alpha ignored for gray) at bit depth 8,
-  *     plus 3 (paletted, PLTE reduced through the same luma) at the
-  *     spec's palette depths 1/2/4/8; both non-interlaced and
+  *     (truecolor+alpha, alpha ignored for gray) at bit depths 8
+  *     and 16 (16-bit samples reduce through their high byte — the
+  *     standard downconversion), plus 3 (paletted, PLTE reduced
+  *     through the same luma) at the spec's palette depths 1/2/4/8;
+  *     both non-interlaced and
   *     Adam7-interlaced (RFC 2083 §2.6 — seven independently
   *     filtered sub-images, empty passes contribute no bytes), any
   *     mix of filters 0–4, multi-IDAT, chunk CRCs verified.
@@ -44,7 +46,7 @@ final case class Pixels(width: Int, height: Int, gray: Array[Int])
   * Error contract (the [[graft.sources.WarcSource]] loud-failure
   * discipline): [[PixelDecoder.decode]] returns None only for "not a
   * format this decoder owns" (wrong magic, or a variant outside the
-  * subset above — 16-bit samples, RLE BMP);
+  * subset above — e.g. RLE or 16-bit BMP);
   * a payload that CLAIMS to be a supported image but is structurally
   * broken (bad chunk CRC, short IDAT, truncated rows, bad zlib data,
   * an LZW code beyond the table, missing trailer) throws with what
@@ -162,16 +164,20 @@ object PixelDecoder {
       if (bitDepth != 1 && bitDepth != 2 && bitDepth != 4 &&
         bitDepth != 8) return None
       if (palette == null) fail("PNG: paletted image without PLTE")
-    } else if (bitDepth != 8 ||
+    } else if ((bitDepth != 8 && bitDepth != 16) ||
       (colorType != 0 && colorType != 2 && colorType != 6)) return None
     if (interlace > 1) fail(s"PNG: unknown interlace method $interlace")
     if (w.toLong * h > MaxPixels)
       fail(s"PNG: ${w}x$h exceeds the $MaxPixels-pixel decode cap")
-    // bytes per pixel for the sample types; palette scanlines pack
-    // bitDepth-bit indices and filter at byte distance 1 (§6.2)
-    val bpp = colorType match {
+    // bytes per pixel for the sample types (16-bit samples are two
+    // bytes, big-endian, and filter at the full byte distance —
+    // §6.2); palette scanlines pack bitDepth-bit indices and filter
+    // at byte distance 1
+    val channels = colorType match {
       case 0 | 3 => 1; case 2 => 3; case _ => 4
     }
+    val bps = if (colorType != 3 && bitDepth == 16) 2 else 1
+    val bpp = channels * bps
     // Adam7 (RFC 2083 §2.6): seven sub-images, pass p covering the
     // pixel lattice (x0 + i·dx, y0 + j·dy); each pass carries its OWN
     // scanline set — filter byte per row, filters referencing only
@@ -239,9 +245,11 @@ object PixelDecoder {
                   s"${palette.length}-entry PLTE")
               palette(idx)
             } else {
+              // 16-bit samples reduce through their HIGH byte (the
+              // standard 16→8 downconversion; samples are BE)
               val o = px * bpp
-              if (bpp == 1) cur(o)
-              else luma(cur(o), cur(o + 1), cur(o + 2))
+              if (channels == 1) cur(o)
+              else luma(cur(o), cur(o + bps), cur(o + 2 * bps))
             }
           out((y0 + y * dy) * w + (x0 + px * dx)) = g
           px += 1
@@ -533,10 +541,16 @@ object PixelEncoder {
     */
   def png(w: Int, h: Int, rgb: (Int, Int) => Int, colorType: Int = 2,
           filterFor: Int => Int = _ % 5,
-          interlace: Boolean = false): Array[Byte] = {
+          interlace: Boolean = false, bitDepth: Int = 8): Array[Byte] = {
     require(w > 0 && h > 0, s"png: bad dimensions ${w}x$h")
     require(colorType == 0 || colorType == 2, s"png: colorType $colorType")
-    val bpp = if (colorType == 0) 1 else 3
+    require(bitDepth == 8 || bitDepth == 16, s"png: depth $bitDepth")
+    // 16-bit samples expand each 8-bit value v to (v << 8) | v — the
+    // standard bit-replication upconversion, whose high-byte
+    // reduction recovers v exactly
+    val channels = if (colorType == 0) 1 else 3
+    val bps = bitDepth / 8
+    val bpp = channels * bps
     val passes: Seq[(Int, Int, Int, Int)] =
       if (!interlace) Seq((0, 0, 1, 1))
       else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
@@ -554,11 +568,12 @@ object PixelEncoder {
         for (y <- 0 until ph) {
           for (px <- 0 until pw) {
             val p = rgb(x0 + px * dx, y0 + y * dy)
-            if (bpp == 1) cur(px) = p & 0xff
-            else {
-              cur(px * 3) = (p >> 16) & 0xff
-              cur(px * 3 + 1) = (p >> 8) & 0xff
-              cur(px * 3 + 2) = p & 0xff
+            for (c <- 0 until channels) {
+              val v =
+                if (channels == 1) p & 0xff
+                else (p >> (16 - 8 * c)) & 0xff
+              cur(px * bpp + c * bps) = v
+              if (bps == 2) cur(px * bpp + c * bps + 1) = v
             }
           }
           val f = filterFor(y)
@@ -588,7 +603,7 @@ object PixelEncoder {
       .map(_.toByte), 0, 8)
     val ihdr = new Array[Byte](13)
     putBe32(ihdr, 0, w); putBe32(ihdr, 4, h)
-    ihdr(8) = 8; ihdr(9) = colorType.toByte // depth 8
+    ihdr(8) = bitDepth.toByte; ihdr(9) = colorType.toByte
     ihdr(12) = if (interlace) 1 else 0 // Adam7 flag
     chunk(out, "IHDR", ihdr)
     val defl = new java.util.zip.Deflater()

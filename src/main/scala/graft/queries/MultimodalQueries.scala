@@ -44,12 +44,14 @@ private[queries] object MultimodalQueries {
             val blockG = (bx: Int, by: Int) =>
               ((m + 13 * bx + 29 * by) % 256) * 8 - 1024
             val bytes = (id % 8) match {
-              case 0 => // half the truecolor PNGs are Adam7: the
-                // decoded raster is IDENTICAL (interlace is a layout,
-                // not a pixel transform), so the oracle is blind to
-                // the split while the decoder's pass machinery runs
+              case 0 => // half the truecolor PNGs are Adam7 and half
+                // are 16-bit (bit-replicated samples): both are
+                // layout/precision choices whose decoded raster is
+                // IDENTICAL, so the oracle is blind to the splits
+                // while the pass machinery and wide-sample filters run
                 PixelEncoder.png(w, h, rgb,
-                  interlace = (id / 8) % 2 == 0)
+                  interlace = (id / 8) % 2 == 0,
+                  bitDepth = if ((id / 16) % 2 == 0) 16 else 8)
               case 1 => // grayscale; half via an identity-gray PLTE
                 // (palette index == gray value — decoded raster
                 // identical, so the oracle is blind while the

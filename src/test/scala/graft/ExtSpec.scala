@@ -1337,6 +1337,59 @@ class ExtSpec extends SparkSpec {
     assert(e.getMessage.contains("interlace"))
   }
 
+  test("PixelDecoder 16-bit PNG: bit-replicated samples reduce " +
+    "through the high byte to the identical 8-bit raster — gray and " +
+    "truecolor, all filters, Adam7 included") {
+    import graft.ext.{PixelDecoder, PixelEncoder}
+    def r(x: Int, y: Int) = (x * 7 + y * 13 + 5) % 256
+    def rgb(x: Int, y: Int) =
+      (r(x, y) << 16) | (((x * 3 + y * 31) % 256) << 8) |
+        ((x * 17 + y + 200) % 256)
+    for ((w, h) <- Seq((1, 1), (7, 3), (23, 11)); inter <- Seq(false, true)) {
+      val want = PixelDecoder.decode(PixelEncoder.png(w, h, rgb)).get
+      val p16 = PixelDecoder.decode(PixelEncoder.png(w, h, rgb,
+        interlace = inter, bitDepth = 16)).get
+      assert(p16.gray === want.gray, s"rgb16 ${w}x$h i$inter")
+      // 16-bit samples filter at byte distance 2/6 — Paeth-only
+      // encodes exercise the wide left/upleft references
+      val g16 = PixelDecoder.decode(PixelEncoder.png(w, h,
+        (x, y) => r(x, y), colorType = 0, filterFor = _ => 4,
+        interlace = inter, bitDepth = 16)).get
+      val g8 = PixelDecoder.decode(PixelEncoder.png(w, h,
+        (x, y) => r(x, y), colorType = 0)).get
+      assert(g16.gray === g8.gray, s"gray16 ${w}x$h i$inter")
+    }
+    // a genuinely 16-bit sample (hi != lo) reduces via the HIGH
+    // byte: hand-build a 1×1 gray16 whose sample is 0xABCD
+    val crafted = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte), 0, 8)
+      def chunk(typ: String, data: Array[Byte]): Unit = {
+        val len = Array[Byte](0, 0, 0, data.length.toByte)
+        out.write(len, 0, 4)
+        out.write(typ.getBytes("US-ASCII"), 0, 4)
+        out.write(data, 0, data.length)
+        val crc = new java.util.zip.CRC32
+        crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+        val cv = crc.getValue
+        for (k <- 0 until 4)
+          out.write(((cv >> (24 - 8 * k)) & 0xff).toInt)
+      }
+      chunk("IHDR", Array[Byte](0, 0, 0, 1, 0, 0, 0, 1, 16, 0, 0, 0, 0))
+      val raw = Array[Byte](0, 0xAB.toByte, 0xCD.toByte) // filter 0
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(raw); defl.finish()
+      val zbuf = new Array[Byte](64)
+      val zn = defl.deflate(zbuf)
+      defl.end()
+      chunk("IDAT", java.util.Arrays.copyOf(zbuf, zn))
+      chunk("IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+    assert(PixelDecoder.decode(crafted).get.gray === Array(0xAB))
+  }
+
   test("PixelDecoder paletted PNG: depths 1/2/4/8 round-trip through " +
     "the PLTE luma reduction, interlaced included; a stream index " +
     "beyond the palette fails loudly") {
