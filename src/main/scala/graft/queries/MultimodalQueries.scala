@@ -86,15 +86,24 @@ private[queries] object MultimodalQueries {
 
   /** Synthesized 10×6 near-dup image blobs for `mm_ahash_pairs` —
     * staged for the same reason as [[pixelBlobs]]. Every run of five
-    * doc ids shares one raster; multiplied-then-middle-bits mixing,
-    * not a linear ramp: a gradient raster makes EVERY group a
-    * near-dup of its neighbors (723k pairs at sf0.1 — a detector
-    * fixture where 14% of images collide proves nothing); mid-bit
-    * extraction decorrelates groups so clusters stay group-local,
-    * while remaining a DuckDB closed form. h reduces mod 2^16 BEFORE
-    * the Knuth multiply so the product stays far under 2^63 for ANY
-    * doc id — Scala wraps silently where DuckDB BIGINT errors, so
-    * the closed form must never rely on overflow.
+    * doc ids shares one raster, rotated through png/bmp/gif so the
+    * exact-duplicate clusters span container formats (JPEG is
+    * excluded HERE because a DC-only 10×6 raster is two flat
+    * columns — every such group hashes alike; JPEG decode is
+    * oracle-proven in `mm_decode_pixels`/`mm_resize_pixels`).
+    *
+    * The mixing multiplies the POSITION term by (grp + 1): any
+    * affine h = f(grp) + pos·c has a group-independent per-position
+    * difference, so all groups' rasters are shifts of one sequence
+    * and the mean-threshold hashes alias catastrophically — the
+    * r9–r11 form measured 97 distinct hashes over 1 000 groups and
+    * 828k "pairs" at sf0.1, a detector fixture that proved nothing.
+    * The group-dependent slope decorrelates: 999 distinct / 1 000
+    * groups, 10 350 pairs ≈ the 10 000 true within-group pairs plus
+    * ~3% band noise. h reduces mod 2^16 BEFORE the Knuth multiply
+    * so the product stays far under 2^63 for ANY doc id — Scala
+    * wraps silently where DuckDB BIGINT errors, so the closed form
+    * must never rely on overflow.
     */
   private[queries] def ahashBlobs(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "mm_ahash_blobs") {
@@ -104,23 +113,19 @@ private[queries] object MultimodalQueries {
           ids.map { id =>
             val grp = id / 5
             val v = (x: Int, y: Int) => {
-              val h = (grp * 7919 + x * 151 + y * 211) % 65536
+              val h = ((grp % 65536 + 1) * (x * 151 + y * 211 + 1)
+                + grp * 7919) % 65536
               val g = ((h * 2654435761L / 1024) % 256).toInt
               (g << 16) | (g << 8) | g
             }
             // r=g=b in the PNG/BMP rasters and palette-index gray in
             // the GIF all reduce to the same integer luma, so the
-            // oracle's closed form is format-blind; the JPEG variant
-            // is DC-only (block-flat — the one shape the integer
-            // IDCT decodes to an exact closed form), so its oracle
-            // branch samples the mixing function at the block origin
-            val bytes = (grp % 4) match {
+            // oracle's closed form is format-blind
+            val bytes = (grp % 3) match {
               case 0 => PixelEncoder.png(10, 6, v)
               case 1 => PixelEncoder.bmp(10, 6, v)
-              case 2 => PixelEncoder.gif(10, 6,
+              case _ => PixelEncoder.gif(10, 6,
                 (x, y) => v(x, y) & 0xff)
-              case _ => JpegEncoder.grayDcOnly(10, 6, (bx, by) =>
-                (v(bx * 8, by * 8) & 0xff) * 8 - 1024)
             }
             (id, bytes)
           }
@@ -142,18 +147,29 @@ private[queries] object MultimodalQueries {
             // 0 = 16-bit linear PCM; 1 = G.711 μ-law; 2 = A-law.
             // The companded members carry the closed form as RAW
             // code bytes, so the DECODER's table expansion is what
-            // the oracle's G.711 closed form verifies.
+            // the oracle's G.711 closed form verifies. The mixing
+            // multiplies the time term by (grp + 1) — the
+            // group-dependent slope that keeps fingerprints
+            // group-local (see [[ahashBlobs]]) — and the G.711
+            // codes stay within two positive segments (μ-law
+            // u ∈ [0xD0, 0xF0), A-law pre-XOR a' ∈ [0x20, 0x40)):
+            // uniform bytes over the FULL code space expand to
+            // exponentially heavy-tailed magnitudes, making every
+            // fingerprint a sparse indicator of its extreme windows.
+            def mix(t: Int): Long = {
+              val h = ((grp % 65536 + 1) * (t * 101 + 1)
+                + grp * 7919) % 65536
+              h * 2654435761L / 1024
+            }
             val bytes = (grp % 3) match {
               case 0 =>
-                val samples = Array.tabulate(120) { t =>
-                  val h = (grp * 7919 + t * 101) % 65536
-                  ((h * 2654435761L / 1024) % 512).toInt - 256
-                }
+                val samples = Array.tabulate(120)(t =>
+                  (mix(t) % 512).toInt - 256)
                 WavEncoder.pcm16(samples)
               case r =>
                 val codes = Array.tabulate(120) { t =>
-                  val h = (grp * 7919 + t * 101) % 65536
-                  ((h * 2654435761L / 1024) % 256).toInt
+                  val m = (mix(t) % 32).toInt
+                  if (r == 1) 0xd0 + m else (0x20 + m) ^ 0x55
                 }
                 WavEncoder.g711(codes, tag = if (r == 1) 7 else 6)
             }
@@ -313,13 +329,14 @@ private[queries] object MultimodalQueries {
     // Perceptual-hash near-dup over the image corpus with the REAL
     // decoder (the former md5-grid stub is retired for image
     // payloads): every run of five doc ids renders ONE 10x6 image —
-    // r=g=b=v so integer luma returns v exactly — even groups as
-    // filter-cycled truecolor PNG, odd groups as 24-bit BMP, so the
-    // exact-duplicate clusters span BOTH container formats. aHash
-    // signatures feed the SAME banded blocking as text simhash.
+    // r=g=b=v so integer luma returns v exactly — rotated through
+    // PNG / BMP / GIF so the exact-duplicate clusters span container
+    // formats. aHash signatures feed the SAME banded blocking as
+    // text simhash.
     "mm_ahash_pairs" -> { (s, dir) =>
-      // fixture notes (multiplied-then-middle-bits mixing, why a
-      // linear ramp is a useless detector fixture, the mod-2^16
+      // fixture notes (the group-dependent-slope mixing that keeps
+      // clusters group-local — the affine form aliased to 97
+      // distinct hashes over 1 000 groups — and the mod-2^16
       // pre-reduction that keeps the DuckDB closed form off the
       // overflow path) live on [[ahashBlobs]]
       val sigs = Multimodal.aHashImages(ahashBlobs(s, dir),
@@ -355,10 +372,15 @@ private[queries] object MultimodalQueries {
       val feats = Multimodal.curationFeatures(ahashBlobs(s, dir))
       val kept = feats.filter(col("gray_sum") >= 7000 &&
         col("gray_sum") < 8400)
+      // maxHamming 1, not the detector's 3: curation MERGES
+      // transitively, and at 10k+ groups the hamming-3 graph over
+      // mean-threshold hashes percolates (measured: 19 survivors
+      // from 50k docs). ≤1 keeps the exact-raster groups (hamming 0)
+      // plus single-bit perturbations without the percolation cliff.
       val pairs = DedupOps.simhashBandPairs(
         kept.select(col("doc_id").as("id"), col("ahash")),
         col("id"), col("ahash"),
-        bands = 4, bitsPerBand = 15, maxHamming = 3, bits = 60)
+        bands = 4, bitsPerBand = 15, maxHamming = 1, bits = 60)
       val comps = DedupOps.connectedComponents(
         kept.select(col("doc_id").as("id")), pairs)
       val sizes = comps.groupBy(col("component_id"))
@@ -457,11 +479,8 @@ private[queries] object MultimodalQueries {
     "mm_ahash_pairs" ->
       """WITH g AS (SELECT doc_id, doc_id // 5 AS grp FROM documents),
         |pix AS (SELECT doc_id, y.y * 10 + x.x AS i,
-        |    (((grp * 7919
-        |        + CASE WHEN grp % 4 = 3 THEN (x.x // 8) * 8
-        |               ELSE x.x END * 151
-        |        + CASE WHEN grp % 4 = 3 THEN (y.y // 8) * 8
-        |               ELSE y.y END * 211) % 65536)
+        |    ((((grp % 65536 + 1) * (x.x * 151 + y.y * 211 + 1)
+        |       + grp * 7919) % 65536)
         |     * 2654435761 // 1024) % 256 AS p
         |  FROM g,
         |    LATERAL (SELECT unnest(range(0, 10)) AS x) x,
@@ -493,21 +512,23 @@ private[queries] object MultimodalQueries {
     "mm_audio_fingerprint" ->
       """WITH g AS (SELECT doc_id, doc_id // 5 AS grp FROM documents),
         |raw AS (SELECT doc_id, grp, t.t AS t,
-        |    (((grp * 7919 + t.t * 101) % 65536)
+        |    ((((grp % 65536 + 1) * (t.t * 101 + 1)
+        |       + grp * 7919) % 65536)
         |     * 2654435761 // 1024) AS m
         |  FROM g, LATERAL (SELECT unnest(range(0, 120)) AS t) t),
         |s AS (SELECT doc_id, t,
         |    CASE WHEN grp % 3 = 0 THEN abs(m % 512 - 256)
         |         WHEN grp % 3 = 1 THEN
-        |           (((255 - m % 256) % 16) * 8 + 132)
+        |           (((255 - (208 + m % 32)) % 16) * 8 + 132)
         |             * (CAST(1 AS BIGINT) << CAST(
-        |                 ((255 - m % 256) // 16) % 8 AS INT)) - 132
-        |         ELSE CASE ((xor(m % 256, 85)) // 16) % 8
-        |           WHEN 0 THEN (xor(m % 256, 85) % 16) * 16 + 8
-        |           WHEN 1 THEN (xor(m % 256, 85) % 16) * 16 + 264
-        |           ELSE ((xor(m % 256, 85) % 16) * 16 + 264)
+        |                 ((255 - (208 + m % 32)) // 16) % 8 AS INT))
+        |             - 132
+        |         ELSE CASE ((32 + m % 32) // 16) % 8
+        |           WHEN 0 THEN ((32 + m % 32) % 16) * 16 + 8
+        |           WHEN 1 THEN ((32 + m % 32) % 16) * 16 + 264
+        |           ELSE (((32 + m % 32) % 16) * 16 + 264)
         |             * (CAST(1 AS BIGINT) << CAST(
-        |                 ((xor(m % 256, 85)) // 16) % 8 - 1 AS INT))
+        |                 ((32 + m % 32) // 16) % 8 - 1 AS INT))
         |         END
         |    END AS a
         |  FROM raw),
@@ -537,11 +558,8 @@ private[queries] object MultimodalQueries {
       """WITH RECURSIVE g AS (SELECT doc_id, doc_id // 5 AS grp
         |  FROM documents),
         |pix AS (SELECT doc_id, y.y * 10 + x.x AS i,
-        |    (((grp * 7919
-        |        + CASE WHEN grp % 4 = 3 THEN (x.x // 8) * 8
-        |               ELSE x.x END * 151
-        |        + CASE WHEN grp % 4 = 3 THEN (y.y // 8) * 8
-        |               ELSE y.y END * 211) % 65536)
+        |    ((((grp % 65536 + 1) * (x.x * 151 + y.y * 211 + 1)
+        |       + grp * 7919) % 65536)
         |     * 2654435761 // 1024) % 256 AS p
         |  FROM g,
         |    LATERAL (SELECT unnest(range(0, 10)) AS x) x,
@@ -563,7 +581,7 @@ private[queries] object MultimodalQueries {
         |  FROM banded a JOIN banded c
         |    ON a.bb = c.bb AND a.bkey = c.bkey
         |  WHERE a.doc_id < c.doc_id
-        |    AND bit_count(xor(a.ahash, c.ahash)) <= 3),
+        |    AND bit_count(xor(a.ahash, c.ahash)) <= 1),
         |edges AS (SELECT pa AS ea, pb AS eb FROM pairs
         |          UNION ALL SELECT pb, pa FROM pairs),
         |reach(src, dst) AS (
