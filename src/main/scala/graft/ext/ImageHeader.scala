@@ -196,7 +196,7 @@ object AudioHeader {
     */
   def pcm16(b: Array[Byte]): Option[Array[Int]] =
     fmtAndData(b).collect {
-      case (1, 16, blockAlign, rate, off, size)
+      case (1, _, 16, blockAlign, rate, off, size)
         if blockAlign >= 2 && rate > 0 =>
         read16(b, off, size, blockAlign)
     }
@@ -207,14 +207,20 @@ object AudioHeader {
     * telephony/speech-corpus codings) expanded to linear through
     * the spec's segment formulas (G.711 Tables 1a/2a — closed-form
     * integer expressions, so a SQL oracle replays the decode
-    * exactly). None for other codings; same loud-overrun contract.
+    * exactly); MONO IMA/DVI ADPCM (tag 0x11, 4-bit, the classic
+    * compressed-WAV coding) decoded block by block with the
+    * standard step/index tables ([[imaAdpcmBlockDecode]] — a
+    * stateful recursion, so spec-tested rather than
+    * oracle-replayed). None for other codings (including stereo
+    * ADPCM, whose nibble groups interleave per channel); same
+    * loud-overrun contract.
     */
   def linearSamples(b: Array[Byte]): Option[Array[Int]] =
     fmtAndData(b).collect {
-      case (1, 16, blockAlign, rate, off, size)
+      case (1, _, 16, blockAlign, rate, off, size)
         if blockAlign >= 2 && rate > 0 =>
         read16(b, off, size, blockAlign)
-      case (tag, 8, blockAlign, rate, off, size)
+      case (tag, _, 8, blockAlign, rate, off, size)
         if (tag == 6 || tag == 7) && blockAlign >= 1 && rate > 0 =>
         val table = if (tag == 7) UlawTable else AlawTable
         if (off + size > b.length)
@@ -229,7 +235,87 @@ object AudioHeader {
           k += 1
         }
         out
+      case (0x11, 1, 4, blockAlign, rate, off, size)
+        if blockAlign >= 4 && rate > 0 =>
+        if (off + size > b.length)
+          throw new IllegalArgumentException(
+            s"WAV samples: data chunk declares $size bytes at " +
+              s"offset $off but the payload holds ${b.length}")
+        if (size % blockAlign != 0)
+          throw new IllegalArgumentException(
+            s"WAV IMA ADPCM: data size $size is not a multiple of " +
+              s"the $blockAlign-byte block")
+        val nBlocks = (size / blockAlign).toInt
+        val perBlock = 1 + (blockAlign - 4) * 2
+        val out = new Array[Int](nBlocks * perBlock)
+        var blk = 0
+        while (blk < nBlocks) {
+          imaAdpcmBlockDecode(b, off + blk * blockAlign, blockAlign,
+            out, blk * perBlock)
+          blk += 1
+        }
+        out
     }
+
+  /** IMA step-size table (IMA ADPCM reference, 89 entries). */
+  private[ext] val ImaStep: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+    4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767)
+
+  /** Index adjustment per nibble magnitude (low 3 bits). */
+  private[ext] val ImaIndexAdj: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** Decode one mono IMA ADPCM block: 2-byte LE predictor seed,
+    * 1-byte step index, 1 reserved byte, then 4-bit codes packed
+    * LOW nibble first. Emits 1 + 2·(blockAlign − 4) samples into
+    * `out` at `at`. The reconstruction is the reference multiplier-
+    * free form: diff = step/8 + (bit2)·step + (bit1)·step/2 +
+    * (bit0)·step/4, sign from bit 3, predictor clamped to int16,
+    * index stepped by the magnitude table and clamped to [0, 88].
+    */
+  private def imaAdpcmBlockDecode(b: Array[Byte], off: Int,
+                                  blockAlign: Int, out: Array[Int],
+                                  at: Int): Unit = {
+    var pred = (le16(b, off) << 16) >> 16 // sign-extend seed
+    var index = u8(b, off + 2)
+    if (index > 88)
+      throw new IllegalArgumentException(
+        s"WAV IMA ADPCM: step index $index beyond table end 88")
+    var o = at
+    out(o) = pred
+    o += 1
+    var i = off + 4
+    val end = off + blockAlign
+    while (i < end) {
+      val byte = u8(b, i)
+      var half = 0
+      while (half < 2) {
+        val n = if (half == 0) byte & 0x0f else byte >> 4
+        val step = ImaStep(index)
+        var diff = step >> 3
+        if ((n & 4) != 0) diff += step
+        if ((n & 2) != 0) diff += step >> 1
+        if ((n & 1) != 0) diff += step >> 2
+        pred = if ((n & 8) != 0) pred - diff else pred + diff
+        if (pred > 32767) pred = 32767
+        if (pred < -32768) pred = -32768
+        index += ImaIndexAdj(n & 7)
+        if (index < 0) index = 0
+        if (index > 88) index = 88
+        out(o) = pred
+        o += 1
+        half += 1
+      }
+      i += 1
+    }
+  }
 
   /** ITU-T G.711 μ-law expansion (the Sun/CCITT reference form):
     * complement, then ((mant·8 + 132) << seg) − 132 with the sign
@@ -274,8 +360,8 @@ object AudioHeader {
   }
 
   /** The shared fmt/data chunk walk behind [[pcm16]] and
-    * [[linearSamples]]: (tag, bits, blockAlign, rate, dataOff,
-    * dataSize), with the audioFormat TAG resolved through
+    * [[linearSamples]]: (tag, channels, bits, blockAlign, rate,
+    * dataOff, dataSize), with the audioFormat TAG resolved through
     * WAVE_FORMAT_EXTENSIBLE's SubFormat GUID (fmt payload offset
     * 24, first two GUID bytes = the classic code) so the callers'
     * gates see the real coding — a 16-bit extensible container
@@ -285,7 +371,7 @@ object AudioHeader {
     * its mandatory 22-byte extension is malformed → tag −1.
     */
   private def fmtAndData(b: Array[Byte])
-      : Option[(Int, Int, Int, Int, Int, Long)] = {
+      : Option[(Int, Int, Int, Int, Int, Int, Long)] = {
     if (b.length < 12 || !ascii(b, 0, "RIFF") || !ascii(b, 8, "WAVE"))
       return None
     var i = 12L
@@ -307,8 +393,8 @@ object AudioHeader {
       i += 8 + size + (size & 1)
     }
     for {
-      (tag, _, rate, bits, blockAlign) <- fmt
+      (tag, channels, rate, bits, blockAlign) <- fmt
       (off, size) <- data
-    } yield (tag, bits, blockAlign, rate, off, size)
+    } yield (tag, channels, bits, blockAlign, rate, off, size)
   }
 }

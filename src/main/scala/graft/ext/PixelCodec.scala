@@ -891,4 +891,82 @@ object WavEncoder {
     }
     b
   }
+
+  /** MONO IMA/DVI ADPCM WAV (format tag 0x11): the reference
+    * quantizer — nibble bits set greedily against step, step/2,
+    * step/4, predictor/index advanced by the DECODER's own
+    * reconstruction so encoder state never drifts from what the
+    * decoder rebuilds. Blocks carry `blockSamples` samples (odd:
+    * seed + 2 per data byte); the final block pads by repeating the
+    * last sample, and the fmt chunk declares samplesPerBlock via
+    * the 2-byte extension the spec requires for tag 0x11.
+    */
+  def imaAdpcm(samples: Array[Int], blockSamples: Int = 505,
+               rate: Int = 8000): Array[Byte] = {
+    require(samples.nonEmpty, "wav: no samples")
+    require(blockSamples >= 3 && blockSamples % 2 == 1,
+      s"wav: blockSamples $blockSamples (odd, >= 3)")
+    require(rate > 0, s"wav: rate $rate")
+    val blockAlign = 4 + (blockSamples - 1) / 2
+    val nBlocks = (samples.length + blockSamples - 1) / blockSamples
+    val dataSize = nBlocks * blockAlign
+    val b = new Array[Byte](48 + dataSize)
+    def putLe16(i: Int, v: Int): Unit = {
+      b(i) = v.toByte; b(i + 1) = (v >>> 8).toByte
+    }
+    def putLe32(i: Int, v: Int): Unit = {
+      putLe16(i, v & 0xffff); putLe16(i + 2, v >>> 16)
+    }
+    def putAscii(i: Int, s: String): Unit =
+      s.indices.foreach(j => b(i + j) = s.charAt(j).toByte)
+    putAscii(0, "RIFF"); putLe32(4, 40 + dataSize); putAscii(8, "WAVE")
+    putAscii(12, "fmt "); putLe32(16, 20); putLe16(20, 0x11)
+    putLe16(22, 1); putLe32(24, rate)
+    putLe32(28, rate * blockAlign / blockSamples); putLe16(32, blockAlign)
+    putLe16(34, 4); putLe16(36, 2); putLe16(38, blockSamples)
+    putAscii(40, "data"); putLe32(44, dataSize)
+    var pred = 0
+    var index = 0
+    var at = 48
+    var k = 0
+    def sampleAt(i: Int): Int =
+      math.max(-32768, math.min(32767,
+        samples(math.min(i, samples.length - 1))))
+    while (k < nBlocks * blockSamples) {
+      // block header: current predictor seed + step index
+      pred = sampleAt(k)
+      putLe16(at, pred & 0xffff); b(at + 2) = index.toByte; b(at + 3) = 0
+      at += 4
+      k += 1
+      var half = 0
+      var acc = 0
+      var j = 1
+      while (j < blockSamples) {
+        val x = sampleAt(k)
+        val step = AudioHeader.ImaStep(index)
+        var d = x - pred
+        var n = 0
+        if (d < 0) { n = 8; d = -d }
+        if (d >= step) { n |= 4; d -= step }
+        if (d >= (step >> 1)) { n |= 2; d -= step >> 1 }
+        if (d >= (step >> 2)) n |= 1
+        // advance by the decoder's reconstruction
+        var diff = step >> 3
+        if ((n & 4) != 0) diff += step
+        if ((n & 2) != 0) diff += step >> 1
+        if ((n & 1) != 0) diff += step >> 2
+        pred = if ((n & 8) != 0) pred - diff else pred + diff
+        if (pred > 32767) pred = 32767
+        if (pred < -32768) pred = -32768
+        index += AudioHeader.ImaIndexAdj(n & 7)
+        if (index < 0) index = 0
+        if (index > 88) index = 88
+        if (half == 0) { acc = n; half = 1 }
+        else { b(at) = (acc | (n << 4)).toByte; at += 1; half = 0 }
+        j += 1
+        k += 1
+      }
+    }
+    b
+  }
 }
