@@ -184,11 +184,21 @@ class StreamSpec extends SparkSpec {
       assert(got === batchPairs) // pair set AND hamming agree
     } finally q.stop()
     // audio: same machinery over WAV payloads — exact-dup impulse
-    // pair plus a hamming-2 cross pair, batch equivalence again
+    // pair plus a hamming-2 cross pair, batch equivalence again.
+    // Doc 13 is the SAME impulse in G.711 μ-law (code 0xF3 ≈ 96,
+    // silence 0xFF = 0): the energy fingerprint is magnitude-scale-
+    // free, so the μ-law member is an exact cross-CODING dup of the
+    // PCM impulse. Doc 14 routes an IMA ADPCM payload through the
+    // same streaming decode (its quantizer tail smears the impulse
+    // across early windows, so it pairs with nothing — what matters
+    // is that stream and batch agree on that too).
     val impA = Array.fill(120)(0); impA(0) = 100
     val impB = Array.fill(120)(0); impB(119) = 100
+    val muA = Array.fill(120)(0xFF); muA(0) = 0xF3
     val wavs = Seq((10L, WavEncoder.pcm16(impA)),
-      (11L, WavEncoder.pcm16(impA)), (12L, WavEncoder.pcm16(impB)))
+      (11L, WavEncoder.pcm16(impA)), (12L, WavEncoder.pcm16(impB)),
+      (13L, WavEncoder.g711(muA, tag = 7)),
+      (14L, WavEncoder.imaAdpcm(impA, blockSamples = 121)))
     val batchAudio = DedupOps.simhashBandPairs(
         Multimodal.audioFingerprints(wavs.toDF("doc_id", "blob"),
           $"doc_id", $"blob"),
@@ -212,6 +222,8 @@ class StreamSpec extends SparkSpec {
         .map(d => (norm((d.doc_id, d.dup_of)), d.hamming)).toSet
       assert(got2 === batchAudio)
       assert(got2.map(_._1).contains((10L, 11L))) // the exact dup
+      // the μ-law member IS a cross-coding dup of the PCM impulse
+      assert(got2.map(_._1).contains((10L, 13L)))
     } finally q2.stop()
   }
 
