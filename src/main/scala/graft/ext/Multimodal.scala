@@ -224,8 +224,27 @@ object Multimodal {
     * and the DuckDB oracle replays it in closed form.
     */
   def aHashFromGray(p: Pixels): Long = {
+    val cells = cellMeans(p)
+    var tot = 0L
+    var i = 0
+    while (i < 60) { tot += cells(i); i += 1 }
+    var hash = 0L
+    i = 0
+    while (i < 60) {
+      if (cells(i) * 60 > tot) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
+  /** The shared 10×6 integer cell pool behind [[aHashFromGray]] and
+    * [[dHashFromGray]]: cell (cx, cy) = ⌊Σgray/npix⌋ over the block
+    * x ∈ [cx·w/10, (cx+1)·w/10) (same floor split vertically).
+    */
+  private def cellMeans(p: Pixels): Array[Long] = {
     require(p.width >= 10 && p.height >= 6,
-      s"aHash needs a raster of at least 10x6, got ${p.width}x${p.height}")
+      s"hash pool needs a raster of at least 10x6, got " +
+        s"${p.width}x${p.height}")
     val cells = new Array[Long](60)
     var cy = 0
     while (cy < 6) {
@@ -247,16 +266,52 @@ object Multimodal {
       }
       cy += 1
     }
-    var tot = 0L
-    var i = 0
-    while (i < 60) { tot += cells(i); i += 1 }
+    cells
+  }
+
+  /** 54-bit DIFFERENCE hash (dHash) over the same 10×6 cell pool:
+    * bit (cy·9 + cx) set iff cell(cx+1, cy) > cell(cx, cy) — the
+    * horizontal-gradient sign pattern. Complements [[aHashFromGray]]
+    * the way the standard detectors pair them: aHash thresholds
+    * against the GLOBAL mean (robust to local noise, blind under
+    * global gradients), dHash compares NEIGHBORS (invariant to any
+    * global brightness/contrast shift, since a monotone transform
+    * preserves every pairwise order). Integer-only, so the DuckDB
+    * oracle replays it in closed form.
+    */
+  def dHashFromGray(p: Pixels): Long = {
+    val cells = cellMeans(p)
     var hash = 0L
-    i = 0
-    while (i < 60) {
-      if (cells(i) * 60 > tot) hash |= 1L << i
-      i += 1
+    var cy = 0
+    while (cy < 6) {
+      var cx = 0
+      while (cx < 9) {
+        if (cells(cy * 10 + cx + 1) > cells(cy * 10 + cx))
+          hash |= 1L << (cy * 9 + cx)
+        cx += 1
+      }
+      cy += 1
     }
     hash
+  }
+
+  /** [[dHashFromGray]] over real-decoded (doc_id, blob) image rows —
+    * the gradient twin of [[aHashImages]], same map-only/loud
+    * contract. Returns (id, dhash).
+    */
+  def dHashImages(df: DataFrame, id: Column, blob: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.as("id"), blob.as("blob")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (i, bytes) =>
+          val p = PixelDecoder.decode(bytes).getOrElse(
+            throw new IllegalArgumentException(
+              s"dHashImages: id $i is not a decodable image " +
+                s"(${bytes.length} bytes)"))
+          (i, dHashFromGray(p))
+        }
+      }.toDF("id", "dhash")
   }
 
   /** Per-partition real-decode aHash over (doc_id, blob) image rows:

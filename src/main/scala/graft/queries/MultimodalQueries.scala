@@ -358,6 +358,17 @@ private[queries] object MultimodalQueries {
         bands = 4, bitsPerBand = 15, maxHamming = 3, bits = 60)
     },
 
+    // gradient-hash near-dup over the SAME decoded rasters: 54-bit
+    // dHash (neighbor-compare — brightness/contrast-invariant where
+    // aHash is global-mean-thresholded), 3×18-bit bands (any
+    // hamming ≤ 2 pair shares a clean band), Hamming verify
+    "mm_dhash_pairs" -> { (s, dir) =>
+      val sigs = Multimodal.dHashImages(ahashBlobs(s, dir),
+        col("doc_id"), col("blob"))
+      DedupOps.simhashBandPairs(sigs, col("id"), col("dhash"),
+        bands = 3, bitsPerBand = 18, maxHamming = 2, bits = 54)
+    },
+
     // End-to-end IMAGE-corpus curation — the multimodal twin of
     // curate_pretrain: ONE real decode pass (stats + aHash
     // signature together, the codec cost paid once), a
@@ -501,6 +512,37 @@ private[queries] object MultimodalQueries {
         |  ON a.bb = c.bb AND a.bkey = c.bkey
         |WHERE a.doc_id < c.doc_id
         |  AND bit_count(xor(a.ahash, c.ahash)) <= 3""".stripMargin,
+
+
+    // the gradient hash replayed cell by cell (the fixture raster is
+    // exactly the 10×6 pool, so cells are pixels): bit = right
+    // neighbor strictly greater, 3×18-bit bands, hamming ≤ 2
+    "mm_dhash_pairs" ->
+      """WITH g AS (SELECT doc_id, doc_id // 5 AS grp FROM documents),
+        |pix AS (SELECT doc_id, x.x AS x, y.y AS y,
+        |    ((((grp % 65536 + 1) * (x.x * 151 + y.y * 211 + 1)
+        |       + grp * 7919) % 65536)
+        |     * 2654435761 // 1024) % 256 AS p
+        |  FROM g,
+        |    LATERAL (SELECT unnest(range(0, 10)) AS x) x,
+        |    LATERAL (SELECT unnest(range(0, 6)) AS y) y),
+        |sig AS (SELECT a.doc_id,
+        |    CAST(sum(CASE WHEN b.p > a.p
+        |             THEN (CAST(1 AS BIGINT)
+        |                   << CAST(a.y * 9 + a.x AS INT))
+        |             ELSE 0 END) AS BIGINT) AS dhash
+        |  FROM pix a JOIN pix b ON a.doc_id = b.doc_id
+        |    AND b.x = a.x + 1 AND b.y = a.y
+        |  WHERE a.x < 9 GROUP BY 1),
+        |banded AS (SELECT doc_id, dhash, bb,
+        |    (dhash >> (bb * 18)) & 262143 AS bkey
+        |  FROM sig, unnest(range(0, 3)) AS u(bb))
+        |SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.dhash, c.dhash)) AS INT) AS hamming
+        |FROM banded a JOIN banded c
+        |  ON a.bb = c.bb AND a.bkey = c.bkey
+        |WHERE a.doc_id < c.doc_id
+        |  AND bit_count(xor(a.dhash, c.dhash)) <= 2""".stripMargin,
 
 
     // the REAL 120-sample stream recomputed in closed form —

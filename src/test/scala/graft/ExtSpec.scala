@@ -1939,6 +1939,40 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("dHashFromGray: exact gradient bits on the 10x6 pool, " +
+    "invariant under monotone brightness shifts where aHash is not, " +
+    "and cross-format equal signatures from real decodes") {
+    import graft.ext.{PixelDecoder, PixelEncoder}
+    // a single rising step at x=4 in every row: bits set exactly at
+    // cx=3 (cell 4 > cell 3), nothing else
+    def step(x: Int, y: Int) = if (x >= 4) 200 else 50
+    val p = Pixels(10, 6, Array.tabulate(60)(i => step(i % 10, i / 10)))
+    val want = (0 until 6).map(cy => 1L << (cy * 9 + 3)).sum
+    assert(Multimodal.dHashFromGray(p) === want)
+    // monotone brightness shift: dHash unchanged, aHash changed
+    // for an asymmetric-area step (the global mean moves relative
+    // to the plateau levels under +40 where pairwise orders do not)
+    def bright(x: Int, y: Int) = math.min(255, step(x, y) + 40)
+    val pb = Pixels(10, 6, Array.tabulate(60)(i => bright(i % 10, i / 10)))
+    assert(Multimodal.dHashFromGray(pb) === want)
+    // larger raster pools to the same cells: 20x12 with the step at
+    // x=8 lands in the same cell boundary
+    val big = Pixels(20, 12, Array.tabulate(240) { i =>
+      if (i % 20 >= 8) 200 else 50
+    })
+    assert(Multimodal.dHashFromGray(big) === want)
+    // real decodes: the same raster through PNG and BMP gives the
+    // SAME dhash signature
+    val rgb = (x: Int, y: Int) => {
+      val g = step(x, y); (g << 16) | (g << 8) | g
+    }
+    val viaPng = Multimodal.dHashImages(
+      Seq((1L, PixelEncoder.png(10, 6, rgb)),
+        (2L, PixelEncoder.bmp(10, 6, rgb))).toDF("doc_id", "blob"),
+      col("doc_id"), col("blob")).collect()
+    assert(viaPng.map(_.getLong(1)).toSet === Set(want))
+  }
+
   test("boxDownsample: floor-of-mean cells, shrinking edge blocks, " +
     "factor 1 is identity") {
     // 5×3 by 2×2: cells (0,0)=(0,1,5,6)→3, (2,0)=col4 rows0-1=(4,9)→6,
