@@ -199,6 +199,25 @@ object StreamOps {
         .select(col("id").as("doc_id"), col("ahash").as("simhash")),
       bands, bitsPerBand, maxHamming, maxPerBucket, idleBucketTtl)
 
+  /** Streaming twin of the GRADIENT-hash image near-dup pass
+    * (`mm_dhash_pairs`): map-side decode to the 54-bit dHash, then
+    * the shared banded machinery at the batch row's geometry
+    * (3 bands × 18 bits, Hamming ≤ 2). See
+    * [[aHashNearDupCandidates]] — same operator, the
+    * brightness-invariant signature.
+    */
+  def dHashNearDupCandidates(blobs: DataFrame, bands: Int = 3,
+                             bitsPerBand: Int = 18,
+                             maxHamming: Int = 2,
+                             maxPerBucket: Int = 1024,
+                             idleBucketTtl: Option[String] = None)
+      : Dataset[NearDup] =
+    simhashNearDupCandidates(
+      graft.ext.Multimodal.dHashImages(blobs, col("doc_id"),
+          col("blob"))
+        .select(col("id").as("doc_id"), col("dhash").as("simhash")),
+      bands, bitsPerBand, maxHamming, maxPerBucket, idleBucketTtl)
+
   /** Streaming twin of the audio near-dup pass
     * (`mm_audio_fingerprint`): RIFF-walk + 60-window energy
     * fingerprint per arriving (doc_id, blob) WAV, then the shared

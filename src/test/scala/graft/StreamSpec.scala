@@ -183,6 +183,32 @@ class StreamSpec extends SparkSpec {
         .map(d => (norm((d.doc_id, d.dup_of)), d.hamming)).toSet
       assert(got === batchPairs) // pair set AND hamming agree
     } finally q.stop()
+    // dHash twin: same blobs through the gradient signature — the
+    // exact-dup pair (1, 2) must survive, batch equivalence pinned
+    val batchD = DedupOps.simhashBandPairs(
+        Multimodal.dHashImages((firstBatch ++ lateBatch)
+          .toDF("doc_id", "blob"), $"doc_id", $"blob"),
+        $"id", $"dhash", bands = 3, bitsPerBand = 18, maxHamming = 2,
+        bits = 54)
+      .select($"id_a", $"id_b", $"hamming")
+      .as[(Long, Long, Int)].collect()
+      .map(r => (norm((r._1, r._2)), r._3)).toSet
+    assert(batchD.map(_._1).contains((1L, 2L)))
+    val inD = MemoryStream[(Long, Array[Byte])]
+    val qD = StreamOps.dHashNearDupCandidates(
+      inD.toDF().toDF("doc_id", "blob"))
+      .writeStream.format("memory").queryName("mm_dhashdup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      inD.addData(firstBatch: _*)
+      qD.processAllAvailable()
+      inD.addData(lateBatch: _*)
+      qD.processAllAvailable()
+      val gotD = spark.table("mm_dhashdup_out")
+        .as[StreamOps.NearDup].collect()
+        .map(d => (norm((d.doc_id, d.dup_of)), d.hamming)).toSet
+      assert(gotD === batchD)
+    } finally qD.stop()
     // audio: same machinery over WAV payloads — exact-dup impulse
     // pair plus a hamming-2 cross pair, batch equivalence again.
     // Doc 13 is the SAME impulse in G.711 μ-law (code 0xF3 ≈ 96,
