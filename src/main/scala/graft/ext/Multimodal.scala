@@ -237,23 +237,25 @@ object Multimodal {
     hash
   }
 
-  /** The shared 10×6 integer cell pool behind [[aHashFromGray]] and
-    * [[dHashFromGray]]: cell (cx, cy) = ⌊Σgray/npix⌋ over the block
-    * x ∈ [cx·w/10, (cx+1)·w/10) (same floor split vertically).
+  /** Floor-split integer mean pool to a gw×gh grid (the shared
+    * front end of every perceptual hash here): cell (cx, cy) =
+    * ⌊Σgray/npix⌋ over the block x ∈ [cx·w/gw, (cx+1)·w/gw) (same
+    * floor split vertically). Requires w ≥ gw and h ≥ gh so every
+    * cell is non-empty.
     */
-  private def cellMeans(p: Pixels): Array[Long] = {
-    require(p.width >= 10 && p.height >= 6,
-      s"hash pool needs a raster of at least 10x6, got " +
+  private def poolGrid(p: Pixels, gw: Int, gh: Int): Array[Long] = {
+    require(p.width >= gw && p.height >= gh,
+      s"hash pool needs a raster of at least ${gw}x$gh, got " +
         s"${p.width}x${p.height}")
-    val cells = new Array[Long](60)
+    val cells = new Array[Long](gw * gh)
     var cy = 0
-    while (cy < 6) {
-      val y0 = cy * p.height / 6
-      val y1 = (cy + 1) * p.height / 6
+    while (cy < gh) {
+      val y0 = cy * p.height / gh
+      val y1 = (cy + 1) * p.height / gh
       var cx = 0
-      while (cx < 10) {
-        val x0 = cx * p.width / 10
-        val x1 = (cx + 1) * p.width / 10
+      while (cx < gw) {
+        val x0 = cx * p.width / gw
+        val x1 = (cx + 1) * p.width / gw
         var s = 0L
         var y = y0
         while (y < y1) {
@@ -261,13 +263,16 @@ object Multimodal {
           while (x < x1) { s += p.gray(y * p.width + x); x += 1 }
           y += 1
         }
-        cells(cy * 10 + cx) = s / ((y1 - y0).toLong * (x1 - x0))
+        cells(cy * gw + cx) = s / ((y1 - y0).toLong * (x1 - x0))
         cx += 1
       }
       cy += 1
     }
     cells
   }
+
+  /** The 10×6 pool behind [[aHashFromGray]] / [[dHashFromGray]]. */
+  private def cellMeans(p: Pixels): Array[Long] = poolGrid(p, 10, 6)
 
   /** 54-bit DIFFERENCE hash (dHash) over the same 10×6 cell pool:
     * bit (cy·9 + cx) set iff cell(cx+1, cy) > cell(cx, cy) — the
@@ -293,6 +298,93 @@ object Multimodal {
       cy += 1
     }
     hash
+  }
+
+  /** The pHash DCT basis: K(u, x) = round(1024·cos((2x+1)uπ/64)) for
+    * u < 8, x < 32 — the 8 lowest of the 32-point DCT-II basis rows
+    * at a FIXED integer scale. Exposed to the query layer so the
+    * DuckDB oracle interpolates the IDENTICAL 256 integers into its
+    * SQL: both engines then run exact integer arithmetic end to end,
+    * and the hash is bit-identical by construction rather than
+    * within-epsilon.
+    */
+  private[graft] val PhK: Array[Array[Int]] = Array.tabulate(8, 32) {
+    (u, x) =>
+      math.round(1024.0 *
+        math.cos((2 * x + 1) * u * math.Pi / 64.0)).toInt
+  }
+
+  /** 63-bit DCT perceptual hash (pHash): pool to 32×32, separable
+    * integer DCT against [[PhK]] keeping the 8×8 low-frequency
+    * block, then threshold each of the 63 AC coefficients against
+    * their exact median (sorted index 31 of 63 — odd count, so
+    * every median convention agrees). Bit (u·8 + v − 1) set iff
+    * coef(u, v) > median. Positive contrast scaling multiplies
+    * every coefficient AND the median by the same factor, so the
+    * hash is exactly invariant to it; spatial structure lands in
+    * few low-frequency coefficients, making pHash the most
+    * transform-robust of the three hashes here (aHash: global mean;
+    * dHash: neighbor gradients).
+    */
+  def pHashFromGray(p: Pixels): Long = {
+    val cells = poolGrid(p, 32, 32)
+    // row pass: r(u)(y) = Σ_x cell(x, y) · K(u, x)
+    val r = Array.ofDim[Long](8, 32)
+    var u = 0
+    while (u < 8) {
+      var y = 0
+      while (y < 32) {
+        var s = 0L
+        var x = 0
+        while (x < 32) { s += cells(y * 32 + x) * PhK(u)(x); x += 1 }
+        r(u)(y) = s
+        y += 1
+      }
+      u += 1
+    }
+    // column pass: coef(u, v) = Σ_y r(u)(y) · K(v, y)
+    val coef = new Array[Long](64)
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0L
+        var y = 0
+        while (y < 32) { s += r(u)(y) * PhK(v)(y); y += 1 }
+        coef(u * 8 + v) = s
+        v += 1
+      }
+      u += 1
+    }
+    val ac = java.util.Arrays.copyOfRange(coef, 1, 64)
+    java.util.Arrays.sort(ac)
+    val med = ac(31)
+    var hash = 0L
+    var i = 1
+    while (i < 64) {
+      if (coef(i) > med) hash |= 1L << (i - 1)
+      i += 1
+    }
+    hash
+  }
+
+  /** [[pHashFromGray]] over real-decoded (doc_id, blob) image rows —
+    * same map-only/loud contract as [[aHashImages]]. Returns
+    * (id, phash).
+    */
+  def pHashImages(df: DataFrame, id: Column, blob: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.as("id"), blob.as("blob")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (i, bytes) =>
+          val p = PixelDecoder.decode(bytes).getOrElse(
+            throw new IllegalArgumentException(
+              s"pHashImages: id $i is not a decodable image " +
+                s"(${bytes.length} bytes)"))
+          (i, pHashFromGray(p))
+        }
+      }.toDF("id", "phash")
   }
 
   /** [[dHashFromGray]] over real-decoded (doc_id, blob) image rows —

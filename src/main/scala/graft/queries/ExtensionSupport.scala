@@ -203,6 +203,8 @@ private[queries] object ExtensionSupport {
         MultimodalQueries.ahashBlobs(s, dir).count() },
       timed("mm_audio_blobs") {
         MultimodalQueries.audioBlobs(s, dir).count() },
+      timed("mm_phash_blobs") {
+        MultimodalQueries.phashBlobs(s, dir).count() },
       timed("bucketed_layout") { bucketedLayout(s, dir) })
   }
 
@@ -228,7 +230,8 @@ private[queries] object ExtensionSupport {
     Seq("cc_labels", "pq_codebook", "pq_codes", "bpe_merges",
       "bm25_top20", "pr_graph", "copurchase_edges", "shingle_pairs",
       "events_census", "i2b2_spine", "i2b2_hier_last",
-      "mm_pixel_blobs", "mm_ahash_blobs", "mm_audio_blobs")
+      "mm_pixel_blobs", "mm_ahash_blobs", "mm_audio_blobs",
+      "mm_phash_blobs")
       .foreach(stage => Stages.evict(s, s"$dir|$stage"))
     // next bucketedLayout call re-writes the tables (rebuild timing)
     bucketedWritten.remove(s"${s.sparkContext.applicationId}|$dir|bucketed")

@@ -132,6 +132,35 @@ private[queries] object MultimodalQueries {
         }.toDF("doc_id", "blob")
     }
 
+  /** Synthesized 32×32 blobs for `mm_phash_pairs` — the pHash DCT
+    * needs at least its 32×32 pool, so this stage renders full-pool
+    * rasters with the same group-dependent-slope mixing and
+    * png/bmp/gif rotation as [[ahashBlobs]].
+    */
+  private[queries] def phashBlobs(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "mm_phash_blobs") {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val grp = id / 5
+            val v = (x: Int, y: Int) => {
+              val h = ((grp % 65536 + 1) * (x * 151 + y * 211 + 1)
+                + grp * 7919) % 65536
+              val g = ((h * 2654435761L / 1024) % 256).toInt
+              (g << 16) | (g << 8) | g
+            }
+            val bytes = (grp % 3) match {
+              case 0 => PixelEncoder.png(32, 32, v)
+              case 1 => PixelEncoder.bmp(32, 32, v)
+              case _ => PixelEncoder.gif(32, 32,
+                (x, y) => v(x, y) & 0xff)
+            }
+            (id, bytes)
+          }
+        }.toDF("doc_id", "blob")
+    }
+
   /** Synthesized 120-sample WAV blobs for `mm_audio_fingerprint` —
     * staged for the same reason as [[pixelBlobs]].
     */
@@ -369,6 +398,19 @@ private[queries] object MultimodalQueries {
         bands = 3, bitsPerBand = 18, maxHamming = 2, bits = 54)
     },
 
+    // DCT perceptual hash (pHash) near-dup — the industry-standard
+    // transform-robust signature: real decode → 32×32 pool →
+    // separable integer DCT against the shared rounded basis →
+    // median-threshold 63-bit hash, 3×21-bit bands, Hamming verify.
+    // Bit-identical to the oracle BY CONSTRUCTION: the SQL
+    // interpolates the very same 256 basis integers.
+    "mm_phash_pairs" -> { (s, dir) =>
+      val sigs = Multimodal.pHashImages(phashBlobs(s, dir),
+        col("doc_id"), col("blob"))
+      DedupOps.simhashBandPairs(sigs, col("id"), col("phash"),
+        bands = 3, bitsPerBand = 21, maxHamming = 2, bits = 63)
+    },
+
     // End-to-end IMAGE-corpus curation — the multimodal twin of
     // curate_pretrain: ONE real decode pass (stats + aHash
     // signature together, the codec cost paid once), a
@@ -544,6 +586,49 @@ private[queries] object MultimodalQueries {
         |WHERE a.doc_id < c.doc_id
         |  AND bit_count(xor(a.dhash, c.dhash)) <= 2""".stripMargin,
 
+
+    // the full DCT hash replayed: the basis CTE carries the SAME 256
+    // rounded integers the Scala transform uses (interpolated from
+    // Multimodal.PhK), the separable row/column passes are exact
+    // integer sums, and quantile_disc(0.5) over 63 values is sorted
+    // index 31 — the same element Scala takes
+    "mm_phash_pairs" -> {
+      val ktab = (for (u <- 0 until 8; x <- 0 until 32)
+        yield s"($u, $x, ${Multimodal.PhK(u)(x)})").mkString(", ")
+      s"""WITH g AS (SELECT doc_id, doc_id // 5 AS grp FROM documents),
+        |k(u, x, kv) AS (VALUES $ktab),
+        |pix AS (SELECT doc_id, x.x AS x, y.y AS y,
+        |    ((((grp % 65536 + 1) * (x.x * 151 + y.y * 211 + 1)
+        |       + grp * 7919) % 65536)
+        |     * 2654435761 // 1024) % 256 AS p
+        |  FROM g,
+        |    LATERAL (SELECT unnest(range(0, 32)) AS x) x,
+        |    LATERAL (SELECT unnest(range(0, 32)) AS y) y),
+        |rowp AS (SELECT pix.doc_id, k.u AS u, pix.y AS y,
+        |    sum(p * k.kv) AS r
+        |  FROM pix JOIN k ON k.x = pix.x GROUP BY 1, 2, 3),
+        |coef AS (SELECT rowp.doc_id, rowp.u AS u, k.u AS v,
+        |    sum(r * k.kv) AS c
+        |  FROM rowp JOIN k ON k.x = rowp.y GROUP BY 1, 2, 3),
+        |med AS (SELECT doc_id, quantile_disc(c, 0.5) AS m
+        |  FROM coef WHERE NOT (u = 0 AND v = 0) GROUP BY 1),
+        |sig AS (SELECT coef.doc_id,
+        |    CAST(sum(CASE WHEN c > m
+        |             THEN (CAST(1 AS BIGINT)
+        |                   << CAST(u * 8 + v - 1 AS INT))
+        |             ELSE 0 END) AS BIGINT) AS phash
+        |  FROM coef JOIN med USING (doc_id)
+        |  WHERE NOT (u = 0 AND v = 0) GROUP BY 1),
+        |banded AS (SELECT doc_id, phash, bb,
+        |    (phash >> (bb * 21)) & 2097151 AS bkey
+        |  FROM sig, unnest(range(0, 3)) AS u2(bb))
+        |SELECT DISTINCT a.doc_id AS id_a, c2.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.phash, c2.phash)) AS INT) AS hamming
+        |FROM banded a JOIN banded c2
+        |  ON a.bb = c2.bb AND a.bkey = c2.bkey
+        |WHERE a.doc_id < c2.doc_id
+        |  AND bit_count(xor(a.phash, c2.phash)) <= 2""".stripMargin
+    },
 
     // the REAL 120-sample stream recomputed in closed form —
     // 16-bit PCM directly, G.711 μ-law/A-law members through the

@@ -1973,6 +1973,56 @@ class ExtSpec extends SparkSpec {
     assert(viaPng.map(_.getLong(1)).toSet === Set(want))
   }
 
+  test("pHashFromGray: matches an independent direct-form integer " +
+    "DCT, is exactly invariant to positive contrast scaling, and " +
+    "decodes cross-format to equal signatures") {
+    import graft.ext.{PixelDecoder, PixelEncoder}
+    def g(x: Int, y: Int) = (x * 13 + y * 29 + (x * y) % 7) % 200
+    val p = Pixels(32, 32, Array.tabulate(1024)(i => g(i % 32, i / 32)))
+    // 1) independent reference: the direct (non-separable) O(n^4)
+    //    sum over the same rounded basis + sorted-median threshold
+    val K = Multimodal.PhK
+    val coef = Array.tabulate(8, 8) { (u, v) =>
+      var s = BigInt(0)
+      for (y <- 0 until 32; x <- 0 until 32)
+        s += BigInt(g(x, y)) * K(u)(x) * K(v)(y)
+      s
+    }
+    val ac = (for (u <- 0 until 8; v <- 0 until 8
+                   if u != 0 || v != 0) yield coef(u)(v)).sorted
+    val med = ac(31)
+    var want = 0L
+    for (u <- 0 until 8; v <- 0 until 8; if u != 0 || v != 0)
+      if (coef(u)(v) > med) want |= 1L << (u * 8 + v - 1)
+    assert(Multimodal.pHashFromGray(p) === want)
+    assert(want !== 0L)
+    // 2) contrast scaling: every coefficient and the median scale by
+    //    the same positive factor, hash unchanged EXACTLY (raster
+    //    kept < 128 so the doubling stays in 8-bit range)
+    def gs(x: Int, y: Int) = g(x, y) % 120
+    val base = Pixels(32, 32, Array.tabulate(1024)(i => gs(i % 32, i / 32)))
+    val doubled = Pixels(32, 32, base.gray.map(_ * 2))
+    assert(Multimodal.pHashFromGray(doubled) ===
+      Multimodal.pHashFromGray(base))
+    // 3) the same raster through PNG / BMP / GIF decodes to one
+    //    signature
+    val rgb = (x: Int, y: Int) => {
+      val v = g(x, y); (v << 16) | (v << 8) | v
+    }
+    val sigs = Multimodal.pHashImages(
+      Seq((1L, PixelEncoder.png(32, 32, rgb)),
+        (2L, PixelEncoder.bmp(32, 32, rgb)),
+        (3L, PixelEncoder.gif(32, 32, (x, y) => g(x, y)))).toDF("doc_id", "blob"),
+      col("doc_id"), col("blob")).collect()
+    assert(sigs.map(_.getLong(1)).toSet === Set(want))
+    // 4) pooling: a 64x64 pixel-doubled raster pools back to the
+    //    same 32x32 cells, so the signature is scale-invariant here
+    val big = Pixels(64, 64, Array.tabulate(4096) { i =>
+      g((i % 64) / 2, (i / 64) / 2)
+    })
+    assert(Multimodal.pHashFromGray(big) === want)
+  }
+
   test("boxDownsample: floor-of-mean cells, shrinking edge blocks, " +
     "factor 1 is identity") {
     // 5×3 by 2×2: cells (0,0)=(0,1,5,6)→3, (2,0)=col4 rows0-1=(4,9)→6,
