@@ -218,6 +218,24 @@ object StreamOps {
         .select(col("id").as("doc_id"), col("dhash").as("simhash")),
       bands, bitsPerBand, maxHamming, maxPerBucket, idleBucketTtl)
 
+  /** Streaming twin of the DCT perceptual-hash near-dup pass
+    * (`mm_phash_pairs`): map-side decode to the 63-bit pHash, then
+    * the shared banded machinery at the batch row's geometry
+    * (3 bands × 21 bits, Hamming ≤ 2). See
+    * [[aHashNearDupCandidates]].
+    */
+  def pHashNearDupCandidates(blobs: DataFrame, bands: Int = 3,
+                             bitsPerBand: Int = 21,
+                             maxHamming: Int = 2,
+                             maxPerBucket: Int = 1024,
+                             idleBucketTtl: Option[String] = None)
+      : Dataset[NearDup] =
+    simhashNearDupCandidates(
+      graft.ext.Multimodal.pHashImages(blobs, col("doc_id"),
+          col("blob"))
+        .select(col("id").as("doc_id"), col("phash").as("simhash")),
+      bands, bitsPerBand, maxHamming, maxPerBucket, idleBucketTtl)
+
   /** Streaming twin of the audio near-dup pass
     * (`mm_audio_fingerprint`): RIFF-walk + 60-window energy
     * fingerprint per arriving (doc_id, blob) WAV, then the shared

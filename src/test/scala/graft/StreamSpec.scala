@@ -209,6 +209,42 @@ class StreamSpec extends SparkSpec {
         .map(d => (norm((d.doc_id, d.dup_of)), d.hamming)).toSet
       assert(gotD === batchD)
     } finally qD.stop()
+    // pHash twin: 32×32 payloads through the DCT signature, batch
+    // equivalence with the cross-format exact dup
+    def big(cells: Set[(Int, Int)])(x: Int, y: Int) = {
+      val p = if (cells((x / 8, y / 8))) 220 else 30
+      (p << 16) | (p << 8) | p
+    }
+    val pa = big(Set((0, 0), (1, 1))) _
+    val pfar = big(Set((2, 3), (3, 2))) _
+    val pBlobs = Seq(
+      (21L, PixelEncoder.png(32, 32, pa)),
+      (22L, PixelEncoder.bmp(32, 32, pa)),
+      (23L, PixelEncoder.png(32, 32, pfar)))
+    val batchP = DedupOps.simhashBandPairs(
+        Multimodal.pHashImages(pBlobs.toDF("doc_id", "blob"),
+          $"doc_id", $"blob"),
+        $"id", $"phash", bands = 3, bitsPerBand = 21, maxHamming = 2,
+        bits = 63)
+      .select($"id_a", $"id_b", $"hamming")
+      .as[(Long, Long, Int)].collect()
+      .map(r => (norm((r._1, r._2)), r._3)).toSet
+    assert(batchP.map(_._1).contains((21L, 22L)))
+    val inP = MemoryStream[(Long, Array[Byte])]
+    val qP = StreamOps.pHashNearDupCandidates(
+      inP.toDF().toDF("doc_id", "blob"))
+      .writeStream.format("memory").queryName("mm_phashdup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      inP.addData(pBlobs.take(2): _*)
+      qP.processAllAvailable()
+      inP.addData(pBlobs.drop(2): _*)
+      qP.processAllAvailable()
+      val gotP = spark.table("mm_phashdup_out")
+        .as[StreamOps.NearDup].collect()
+        .map(d => (norm((d.doc_id, d.dup_of)), d.hamming)).toSet
+      assert(gotP === batchP)
+    } finally qP.stop()
     // audio: same machinery over WAV payloads — exact-dup impulse
     // pair plus a hamming-2 cross pair, batch equivalence again.
     // Doc 13 is the SAME impulse in G.711 μ-law (code 0xF3 ≈ 96,
