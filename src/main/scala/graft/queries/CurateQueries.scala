@@ -248,6 +248,24 @@ private[queries] object CurateQueries {
             .as("text_checksum"))
     },
 
+    // ORC round-trip: the columnar sibling of the JSONL one — write
+    // the corpus as ORC once (fingerprint-keyed), read it back
+    // through the schema-drift-guarded reader, same census vs the
+    // parquet ground truth
+    "src_orc_roundtrip" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val path = graft.sources.OrcSource.stage(d, "target/orc",
+        s"${dir.split('/').last}_documents",
+        Tables.fingerprint(s"$dir/documents.parquet"))
+      graft.sources.OrcSource.read(s, path, d.schema)
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          sum(length(col("text")).cast("long")).as("sum_len"),
+          sum(PortableHash.md5PrefixLong(col("text"), 14))
+            .as("text_checksum"))
+    },
+
 
     // WARC ingestion round-trip: stage the corpus as per-record-gzip
     // WARC response archives once (fingerprint-keyed, distributed
@@ -305,6 +323,17 @@ private[queries] object CurateQueries {
     // escape, a truncated line, a mistyped field) breaks the
     // checksum or counts
     "src_jsonl_roundtrip" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_len,
+        |  CAST(sum(CAST('0x' || substr(md5(text), 1, 14) AS BIGINT))
+        |    AS BIGINT) AS text_checksum
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+
+
+    // identical census: the round-trip must be lossless, so the
+    // oracle never reads the ORC at all
+    "src_orc_roundtrip" ->
       """SELECT source, lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(sum(length(text)) AS BIGINT) AS sum_len,

@@ -2023,6 +2023,28 @@ class ExtSpec extends SparkSpec {
     assert(Multimodal.pHashFromGray(big) === want)
   }
 
+  test("OrcSource: stages once, round-trips rows, and fails loudly " +
+    "on footer-vs-declared schema drift") {
+    import graft.sources.OrcSource
+    val d = Seq((1L, "a", 5), (2L, "b", 7)).toDF("id", "s", "n")
+    val path = OrcSource.stage(d, "target/test_orc", "t", 42L)
+    // idempotent: a second stage call returns the published dir
+    assert(OrcSource.stage(d, "target/test_orc", "t", 42L) === path)
+    val back = OrcSource.read(spark, path, d.schema)
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getInt(2))).sortBy(_._1).toSeq === Seq((1L, "a", 5), (2L, "b", 7)))
+    // a drifted declaration (n widened to long) is corruption, not
+    // a silent cast
+    val drifted = org.apache.spark.sql.types.StructType(
+      d.schema.fields.map(f =>
+        if (f.name == "n") f.copy(dataType =
+          org.apache.spark.sql.types.LongType) else f))
+    val e = intercept[IllegalArgumentException] {
+      OrcSource.read(spark, path, drifted)
+    }
+    assert(e.getMessage.contains("schema drift"))
+  }
+
   test("boxDownsample: floor-of-mean cells, shrinking edge blocks, " +
     "factor 1 is identity") {
     // 5×3 by 2×2: cells (0,0)=(0,1,5,6)→3, (2,0)=col4 rows0-1=(4,9)→6,
