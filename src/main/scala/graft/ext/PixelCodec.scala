@@ -27,8 +27,11 @@ final case class Pixels(width: Int, height: Int, gray: Array[Int])
   *     Adam7-interlaced (RFC 2083 §2.6 — seven independently
   *     filtered sub-images, empty passes contribute no bytes), any
   *     mix of filters 0–4, multi-IDAT, chunk CRCs verified.
-  *   - BMP: BITMAPINFOHEADER-family, 24-bit, BI_RGB (uncompressed),
-  *     bottom-up and top-down row orders.
+  *   - BMP: BITMAPINFOHEADER-family; 24-bit BI_RGB (bottom-up and
+  *     top-down row orders) and 8-bit paletted — BI_RGB or BI_RLE8
+  *     (encoded/absolute/EOL/EOB/delta escapes, bottom-up as the
+  *     spec requires), BGRX color table reduced through the same
+  *     integer luma.
   *   - GIF: 87a/89a, FIRST image frame, non-interlaced or
   *     interlaced (§20 Appendix E four-pass row order — the LZW
   *     stream is unchanged, only row destinations permute), global
@@ -320,25 +323,96 @@ object PixelDecoder {
     val hRaw = le32(b, 22)
     val bpp = le16(b, 28)
     val compression = le32(b, 30)
-    if (bpp != 24 || compression != 0) return None
+    // subset: 24-bit BI_RGB, 8-bit paletted BI_RGB, 8-bit BI_RLE8
+    if (!(bpp == 24 && compression == 0) &&
+      !(bpp == 8 && (compression == 0 || compression == 1)))
+      return None
     val h = math.abs(hRaw)
     val topDown = hRaw < 0
     if (w <= 0 || h == 0) fail(s"BMP: bad dimensions ${w}x$hRaw")
+    if (topDown && compression == 1)
+      fail("BMP: RLE8 with top-down rows (spec forbids negative height)")
     if (w.toLong * h > MaxPixels)
       fail(s"BMP: ${w}x$h exceeds the $MaxPixels-pixel decode cap")
-    val stride = (w * 3 + 3) & ~3 // rows pad to 4 bytes
+    // 8-bit paths read through the BGRX color table after the DIB
+    // header (biClrUsed entries; 0 means the full 256)
+    val palette: Array[Int] =
+      if (bpp != 8) null
+      else {
+        val used0 = le32(b, 46)
+        val used = if (used0 == 0) 256 else used0
+        if (used < 1 || used > 256) fail(s"BMP: biClrUsed $used")
+        val at = 14 + dibSize
+        if (at + 4 * used > b.length)
+          fail("BMP: color table overruns the payload")
+        Array.tabulate(used)(k =>
+          luma(u8(b, at + 4 * k + 2), u8(b, at + 4 * k + 1),
+            u8(b, at + 4 * k)))
+      }
+    def pal(idx: Int): Int = {
+      if (idx >= palette.length)
+        fail(s"BMP: pixel index $idx beyond the ${palette.length}-" +
+          "entry color table")
+      palette(idx)
+    }
+    val out = new Array[Int](w * h)
+    if (compression == 1) {
+      // BI_RLE8 (public BITMAPINFOHEADER spec): encoded runs
+      // [n>0, idx]; escapes [0,0]=end of line, [0,1]=end of bitmap,
+      // [0,2,dx,dy]=delta (skipped pixels stay palette index 0),
+      // [0,n>=3, n indices, pad to even]=absolute. Bottom-up only.
+      java.util.Arrays.fill(out, pal(0))
+      var i = dataOff
+      var x = 0
+      var row = 0 // bottom-up row counter
+      def put(idx: Int): Unit = {
+        if (x >= w || row >= h)
+          fail(s"BMP: RLE8 run past ${w}x$h at ($x, $row)")
+        out((h - 1 - row) * w + x) = pal(idx)
+        x += 1
+      }
+      var done = false
+      while (!done) {
+        if (i + 2 > b.length) fail("BMP: truncated RLE8 stream")
+        val n = u8(b, i)
+        val c = u8(b, i + 1)
+        i += 2
+        if (n > 0) { // encoded run
+          var k = 0
+          while (k < n) { put(c); k += 1 }
+        } else c match {
+          case 0 => x = 0; row += 1 // end of line
+          case 1 => done = true // end of bitmap
+          case 2 => // delta
+            if (i + 2 > b.length) fail("BMP: truncated RLE8 delta")
+            x += u8(b, i); row += u8(b, i + 1); i += 2
+            if (x > w || row > h) fail("BMP: RLE8 delta out of bounds")
+          case count => // absolute mode, padded to even
+            if (i + count > b.length)
+              fail("BMP: truncated RLE8 absolute run")
+            var k = 0
+            while (k < count) { put(u8(b, i + k)); k += 1 }
+            i += count + (count & 1)
+        }
+      }
+      return Some(Pixels(w, h, out))
+    }
+    val bytesPerPx = if (bpp == 24) 3 else 1
+    val stride = (w * bytesPerPx + 3) & ~3 // rows pad to 4 bytes
     if (dataOff < 0 || dataOff.toLong + stride.toLong * h > b.length)
       fail(s"BMP: pixel array (${stride}x$h at $dataOff) overruns " +
         s"the ${b.length}-byte payload")
-    val out = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       val srcRow = if (topDown) y else h - 1 - y
       val base = dataOff + srcRow * stride
       var x = 0
       while (x < w) {
-        val o = base + x * 3 // BGR order
-        out(y * w + x) = luma(u8(b, o + 2), u8(b, o + 1), u8(b, o))
+        out(y * w + x) =
+          if (bpp == 24) {
+            val o = base + x * 3 // BGR order
+            luma(u8(b, o + 2), u8(b, o + 1), u8(b, o))
+          } else pal(u8(b, base + x))
         x += 1
       }
       y += 1
@@ -616,6 +690,97 @@ object PixelEncoder {
     } finally defl.end()
     chunk(out, "IEND", Array.emptyByteArray)
     out.toByteArray
+  }
+
+  /** Encode an 8-bit PALETTED BMP — uncompressed BI_RGB, or BI_RLE8
+    * when `rle` (a greedy encoder that uses BOTH run modes: pixel
+    * runs ≥ 3 as encoded pairs, literal stretches ≥ 3 as absolute
+    * runs with their even-byte pad, shorter leftovers as unit
+    * encoded pairs; EOL after every row, EOB last — so a round-trip
+    * drives each decoder branch except delta, which is hand-built
+    * in the spec). `idx(x, y)` is the palette index; `palette`
+    * holds 0xRRGGBB entries written as BGRX quads.
+    */
+  def bmpPaletted(w: Int, h: Int, idx: (Int, Int) => Int,
+                  palette: Array[Int],
+                  rle: Boolean = false): Array[Byte] = {
+    require(w > 0 && h > 0, s"bmp: bad dimensions ${w}x$h")
+    require(!rle || w <= 254,
+      s"bmp: RLE8 encoder caps rows at 254 px, got $w")
+    require(palette.nonEmpty && palette.length <= 256,
+      s"bmp: ${palette.length} palette entries")
+    def px(x: Int, y: Int): Int = {
+      val v = idx(x, y)
+      require(v >= 0 && v < palette.length,
+        s"bmp: palette index $v out of range")
+      v
+    }
+    val data = new java.io.ByteArrayOutputStream()
+    if (!rle) {
+      val stride = (w + 3) & ~3
+      for (y <- (h - 1) to 0 by -1) {
+        for (x <- 0 until w) data.write(px(x, y))
+        for (_ <- w until stride) data.write(0)
+      }
+    } else {
+      for (row <- 0 until h) {
+        val y = h - 1 - row // bottom-up
+        var x = 0
+        while (x < w) {
+          var r = 1
+          while (x + r < w && px(x + r, y) == px(x, y) && r < 255) r += 1
+          if (r >= 3) {
+            data.write(r); data.write(px(x, y)); x += r
+          } else {
+            // literal stretch: until a ≥3 run starts or row ends
+            val start = x
+            var e = x
+            var run = 1
+            while (e < w && run < 3) {
+              run = 1
+              while (e + run < w && px(e + run, y) == px(e, y) &&
+                run < 3) run += 1
+              if (run < 3) e += run
+            }
+            val n = e - start
+            if (n >= 3) { // absolute mode, pad to even
+              data.write(0); data.write(n)
+              for (k <- start until e) data.write(px(k, y))
+              if ((n & 1) == 1) data.write(0)
+            } else { // 1–2 leftovers as unit encoded pairs
+              for (k <- start until e) { data.write(1); data.write(px(k, y)) }
+            }
+            x = e
+          }
+        }
+        data.write(0); data.write(if (row == h - 1) 1 else 0)
+      }
+    }
+    val bits = data.toByteArray
+    val dataOff = 14 + 40 + 4 * palette.length
+    val out = new Array[Byte](dataOff + bits.length)
+    def pLe16(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >>> 8).toByte
+    }
+    def pLe32(i: Int, v: Int): Unit = {
+      pLe16(i, v & 0xffff); pLe16(i + 2, v >>> 16)
+    }
+    out(0) = 'B'; out(1) = 'M'
+    pLe32(2, out.length); pLe32(6, 0); pLe32(10, dataOff)
+    pLe32(14, 40); pLe32(18, w); pLe32(22, h)
+    pLe16(26, 1); pLe16(28, 8)
+    pLe32(30, if (rle) 1 else 0)
+    pLe32(34, bits.length); pLe32(38, 2835); pLe32(42, 2835)
+    pLe32(46, palette.length); pLe32(50, palette.length)
+    for (k <- palette.indices) {
+      val at = 54 + 4 * k
+      out(at) = (palette(k) & 0xff).toByte
+      out(at + 1) = ((palette(k) >> 8) & 0xff).toByte
+      out(at + 2) = ((palette(k) >> 16) & 0xff).toByte
+      out(at + 3) = 0
+    }
+    System.arraycopy(bits, 0, out, dataOff, bits.length)
+    out
   }
 
   /** Encode a PALETTED PNG (color type 3) at `bitDepth` 1/2/4/8:

@@ -86,8 +86,9 @@ private[queries] object MultimodalQueries {
 
   /** Synthesized 10×6 near-dup image blobs for `mm_ahash_pairs` —
     * staged for the same reason as [[pixelBlobs]]. Every run of five
-    * doc ids shares one raster, rotated through png/bmp/gif so the
-    * exact-duplicate clusters span container formats (JPEG is
+    * doc ids shares one raster, rotated through truecolor PNG,
+    * truecolor BMP, GIF and RLE8 paletted BMP so the
+    * exact-duplicate clusters span container codings (JPEG is
     * excluded HERE because a DC-only 10×6 raster is two flat
     * columns — every such group hashes alike; JPEG decode is
     * oracle-proven in `mm_decode_pixels`/`mm_resize_pixels`).
@@ -118,14 +119,20 @@ private[queries] object MultimodalQueries {
               val g = ((h * 2654435761L / 1024) % 256).toInt
               (g << 16) | (g << 8) | g
             }
-            // r=g=b in the PNG/BMP rasters and palette-index gray in
-            // the GIF all reduce to the same integer luma, so the
-            // oracle's closed form is format-blind
-            val bytes = (grp % 3) match {
+            // r=g=b in the PNG/BMP rasters, palette-index gray in
+            // the GIF, and the identity-gray PLTE of the RLE8 BMP
+            // all reduce to the same integer luma — four container
+            // codings, ONE decoded raster, so the oracle's closed
+            // form is format-blind
+            val bytes = (grp % 4) match {
               case 0 => PixelEncoder.png(10, 6, v)
               case 1 => PixelEncoder.bmp(10, 6, v)
-              case _ => PixelEncoder.gif(10, 6,
+              case 2 => PixelEncoder.gif(10, 6,
                 (x, y) => v(x, y) & 0xff)
+              case _ => PixelEncoder.bmpPaletted(10, 6,
+                (x, y) => v(x, y) & 0xff,
+                Array.tabulate(256)(g => (g << 16) | (g << 8) | g),
+                rle = true)
             }
             (id, bytes)
           }
@@ -359,9 +366,9 @@ private[queries] object MultimodalQueries {
     // decoder (the former md5-grid stub is retired for image
     // payloads): every run of five doc ids renders ONE 10x6 image —
     // r=g=b=v so integer luma returns v exactly — rotated through
-    // PNG / BMP / GIF so the exact-duplicate clusters span container
-    // formats. aHash signatures feed the SAME banded blocking as
-    // text simhash.
+    // truecolor PNG/BMP, GIF and RLE8 paletted BMP so the
+    // exact-duplicate clusters span container codings. aHash
+    // signatures feed the SAME banded blocking as text simhash.
     "mm_ahash_pairs" -> { (s, dir) =>
       // fixture notes (the group-dependent-slope mixing that keeps
       // clusters group-local — the affine form aliased to 97

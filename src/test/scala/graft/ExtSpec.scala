@@ -1455,6 +1455,63 @@ class ExtSpec extends SparkSpec {
     assert(e.getMessage.contains("palette index"))
   }
 
+  test("PixelDecoder paletted BMP: 8-bit BI_RGB and BI_RLE8 " +
+    "round-trip through the BGRX table; a hand-built delta/absolute " +
+    "stream decodes exactly; bad indices fail loudly") {
+    import graft.ext.{PixelDecoder, PixelEncoder}
+    val pal = Array.tabulate(64)(k => (k << 18) | (k << 10) | (k << 2))
+    def lum(p: Int) =
+      (77 * ((p >> 16) & 0xff) + 150 * ((p >> 8) & 0xff) +
+        29 * (p & 0xff)) >> 8
+    // runs of 5, isolated literals, row remainders — drives encoded,
+    // absolute AND unit-pair emission in the RLE encoder
+    def idx(x: Int, y: Int) = if ((x / 5 + y) % 2 == 0) y % 64
+      else (x * 7 + y * 3) % 64
+    for ((w, h) <- Seq((13, 4), (23, 11), (254, 3)); rle <- Seq(false, true)) {
+      val p = PixelDecoder.decode(
+        PixelEncoder.bmpPaletted(w, h, idx, pal, rle)).get
+      assert((p.width, p.height) === (w, h), s"${w}x$h rle=$rle")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(p.gray(y * w + x) === lum(pal(idx(x, y))),
+          s"${w}x$h rle=$rle ($x,$y)")
+    }
+    // hand-built RLE8 with a DELTA escape (the encoder never emits
+    // one): 6x2, bottom row [1,1,1,_,_,_], delta (2,1) skips to the
+    // top row, one pixel of 2 at x=5; skipped cells stay index 0
+    val g20 = Array.tabulate(3)(k => {
+      val v = k * 20; (v << 16) | (v << 8) | v
+    })
+    val hand = {
+      val out = new java.io.ByteArrayOutputStream()
+      def le16w(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      def le32w(v: Int): Unit = { le16w(v & 0xffff); le16w(v >>> 16) }
+      out.write('B'); out.write('M')
+      le32w(14 + 40 + 12 + 10); le32w(0); le32w(14 + 40 + 12)
+      le32w(40); le32w(6); le32w(2); le16w(1); le16w(8)
+      le32w(1); le32w(10); le32w(0); le32w(0); le32w(3); le32w(3)
+      for (k <- 0 until 3) {
+        out.write(k * 20); out.write(k * 20); out.write(k * 20); out.write(0)
+      }
+      out.write(3); out.write(1) // run: 3 × idx1 (bottom row)
+      out.write(0); out.write(2); out.write(2); out.write(1) // delta
+      out.write(1); out.write(2) // one px idx2 at (5, top)
+      out.write(0); out.write(1) // EOB
+      out.toByteArray
+    }
+    val hp = PixelDecoder.decode(hand).get
+    assert((hp.width, hp.height) === (6, 2))
+    assert(hp.gray === Array(0, 0, 0, 0, 0, 40, 20, 20, 20, 0, 0, 0))
+    // index beyond the color table is corruption, not a silent pixel
+    val bad = PixelEncoder.bmpPaletted(4, 2, (_, _) => 2,
+      Array.tabulate(8)(k => k * 0x111111))
+    // biClrUsed is at offset 46; shrink the declared table to 2
+    bad(46) = 2
+    val e = intercept[IllegalArgumentException] {
+      PixelDecoder.decode(bad)
+    }
+    assert(e.getMessage.contains("pixel index"))
+  }
+
   test("PixelDecoder GIF: round-trips the uncompressed-technique " +
     "encoder, decodes a genuinely COMPRESSED variable-width LZW " +
     "stream (chain growth, width bumps, KwKwK), and fails loudly on " +
