@@ -267,6 +267,25 @@ private[queries] object CurateQueries {
     },
 
 
+    // Avro round-trip: the ROW-oriented interchange sibling (Kafka /
+    // schema-registry pipelines) — write the corpus as from-scratch
+    // Avro object container files once (fingerprint-keyed), read it
+    // back through the per-file drift-guarded decoder, same census
+    // vs the parquet ground truth
+    "src_avro_roundtrip" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val path = graft.sources.AvroSource.stage(d, "target/avro",
+        s"${dir.split('/').last}_documents",
+        Tables.fingerprint(s"$dir/documents.parquet"))
+      graft.sources.AvroSource.read(s, path, d.schema)
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          sum(length(col("text")).cast("long")).as("sum_len"),
+          sum(PortableHash.md5PrefixLong(col("text"), 14))
+            .as("text_checksum"))
+    },
+
     // WARC ingestion round-trip: stage the corpus as per-record-gzip
     // WARC response archives once (fingerprint-keyed, distributed
     // part-per-task write), read it back through the distributed
@@ -341,6 +360,16 @@ private[queries] object CurateQueries {
         |    AS BIGINT) AS text_checksum
         |FROM documents GROUP BY 1, 2""".stripMargin,
 
+
+    // identical census again: the Avro round-trip must be lossless,
+    // so the oracle never reads the Avro at all
+    "src_avro_roundtrip" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_len,
+        |  CAST(sum(CAST('0x' || substr(md5(text), 1, 14) AS BIGINT))
+        |    AS BIGINT) AS text_checksum
+        |FROM documents GROUP BY 1, 2""".stripMargin,
 
     // same chunk arithmetic as text_chunk; shard = 7-hex salted hash
     // % 8, cumulative token count per shard in (doc_id, chunk_idx)

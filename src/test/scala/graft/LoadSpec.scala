@@ -608,4 +608,150 @@ class LoadSpec extends SparkSpec {
     // and a CLEAN multi-member archive still parses whole
     assert(WarcSource.parseAll("p", m1 ++ m2).size === 2)
   }
+
+  test("AvroSource: lossless round-trip over every subset type incl. " +
+    "varint/double edge values; fingerprint-once staging; schema " +
+    "drift and a corrupted sync marker fail loudly") {
+    import graft.sources.AvroSource
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-avro").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("n", IntegerType, nullable = true),
+      StructField("x", DoubleType, nullable = true),
+      StructField("ok", BooleanType, nullable = false),
+      StructField("text", StringType, nullable = true),
+      StructField("blob", BinaryType, nullable = true)))
+    val rows = Seq(
+      Row(Long.MinValue, Int.MinValue, -0.0d, false, "", Array[Byte]()),
+      Row(Long.MaxValue, Int.MaxValue, Double.NaN, true,
+        "unicode é中\nline2", Array[Byte](0, -1, 127)),
+      Row(-1L, null, Double.PositiveInfinity, true, null, null),
+      Row(0L, 0, null, false, "\"quotes\" and \\backslash",
+        Array[Byte](1, 2, 3, 4, 5)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val p1 = AvroSource.stage(df, root, "t", fingerprint = 11L)
+    val back = AvroSource.read(spark, p1, schema).collect()
+    assert(back.length === 4)
+    val byId = back.map(r => r.getLong(0) -> r).toMap
+    assert(byId(Long.MaxValue).getInt(1) === Int.MaxValue)
+    assert(byId(Long.MaxValue).getDouble(2).isNaN)
+    assert(byId(Long.MaxValue).getString(4) === "unicode é中\nline2")
+    assert(byId(Long.MinValue).getDouble(2) === -0.0d &&
+      (1.0 / byId(Long.MinValue).getDouble(2)).isNegInfinity)
+    assert(byId(Long.MinValue).getAs[Array[Byte]](5).length === 0)
+    assert(byId(-1L).isNullAt(1) && byId(-1L).isNullAt(4) &&
+      byId(-1L).isNullAt(5))
+    assert(byId(-1L).getDouble(2).isPosInfinity)
+    assert(byId(0L).getAs[Array[Byte]](5).toSeq === Seq[Byte](1, 2, 3, 4, 5))
+    // fingerprint-once: same fp reuses, new fp deletes the sibling
+    val mtime = new java.io.File(p1, "_SUCCESS").lastModified()
+    assert(AvroSource.stage(df, root, "t", 11L) === p1)
+    assert(new java.io.File(p1, "_SUCCESS").lastModified() === mtime)
+    val p2 = AvroSource.stage(df.limit(1), root, "t", 12L)
+    assert(p2 !== p1)
+    assert(!new java.io.File(p1).exists())
+    // schema drift: a reader declaring n:long (writer wrote int) and
+    // one declaring text non-nullable must both fail with BOTH shapes
+    for (drifted <- Seq(
+      StructType(schema.fields.updated(1,
+        StructField("n", LongType, nullable = true))),
+      StructType(schema.fields.updated(4,
+        StructField("text", StringType, nullable = false))))) {
+      val e = intercept[org.apache.spark.SparkException] {
+        AvroSource.read(spark, p2, drifted).collect()
+      }
+      assert(e.getMessage.contains("schema drift") ||
+        e.getCause.getMessage.contains("schema drift"))
+    }
+    // a flipped byte inside the first block's sync marker fails
+    // loudly, never yields a short result
+    val part = new java.io.File(p2).listFiles()
+      .filter(_.getName.endsWith(".avro")).head
+    val bytes = java.nio.file.Files.readAllBytes(part.toPath)
+    val mangled = bytes.clone()
+    mangled(mangled.length - 1) = (mangled(mangled.length - 1) ^ 0x7f).toByte
+    val e2 = intercept[IllegalArgumentException] {
+      AvroSource.decodeFile("p", mangled,
+        schema.fields.map(f => (f.name,
+          f.dataType match {
+            case LongType => "long"; case IntegerType => "int"
+            case DoubleType => "double"; case BooleanType => "boolean"
+            case StringType => "string"; case _ => "bytes"
+          }, f.nullable)), schema).toList
+    }
+    assert(e2.getMessage.contains("sync marker mismatch"))
+  }
+
+  test("AvroSource interop: the reference Avro library reads our " +
+    "container files byte-for-byte, and our reader decodes files the " +
+    "reference library wrote (null and deflate codecs)") {
+    import graft.sources.AvroSource
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord, GenericData}
+    import org.apache.avro.file.{DataFileReader, DataFileWriter, SeekableByteArrayInput, CodecFactory}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-avro-iop").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("text", StringType, nullable = true),
+      StructField("score", DoubleType, nullable = false)))
+    val rows = (0 until 500).map(i =>
+      Row(i.toLong * 7919L - 100000L,
+        if (i % 11 == 0) null else s"doc $i é中 ${"x" * (i % 40)}",
+        i * 0.125 - 3.0))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 3), schema)
+    // our writer -> reference reader
+    val p = AvroSource.stage(df, root, "t", 99L)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Double)]
+    for (f <- new java.io.File(p).listFiles().sortBy(_.getName)
+        if f.getName.endsWith(".avro")) {
+      val in = new SeekableByteArrayInput(
+        java.nio.file.Files.readAllBytes(f.toPath))
+      val r = new DataFileReader[GenericRecord](in,
+        new GenericDatumReader[GenericRecord]())
+      while (r.hasNext) {
+        val rec = r.next()
+        seen += ((rec.get("id").asInstanceOf[Long],
+          Option(rec.get("text")).map(_.toString).orNull,
+          rec.get("score").asInstanceOf[Double]))
+      }
+      r.close()
+    }
+    val want = rows.map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(seen.toSet === want && seen.size === 500)
+    // reference writer (both codecs) -> our reader
+    for (codec <- Seq(null, CodecFactory.deflateCodec(6))) {
+      val avroSchema = new org.apache.avro.Schema.Parser().parse(
+        """{"type": "record", "name": "t", "fields": [
+          |  {"name": "id", "type": "long"},
+          |  {"name": "text", "type": ["null", "string"], "default": null},
+          |  {"name": "score", "type": "double"}]}""".stripMargin)
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](avroSchema))
+      if (codec != null) w.setCodec(codec)
+      val dir = new java.io.File(root, s"ref-${codec == null}")
+      dir.mkdirs()
+      val out = new java.io.File(dir, "part-00000.avro")
+      w.create(avroSchema, out)
+      for (r <- rows) {
+        val rec = new GenericData.Record(avroSchema)
+        rec.put("id", r.getLong(0))
+        rec.put("text", r.getString(1))
+        rec.put("score", r.getDouble(2))
+        w.append(rec)
+      }
+      w.close()
+      val got = AvroSource.read(spark, dir.toString, schema)
+        .collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(got === want, s"codec=$codec")
+    }
+  }
 }
