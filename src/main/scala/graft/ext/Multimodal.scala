@@ -600,10 +600,13 @@ object Multimodal {
   }
 
   /** Per-partition sample decode + fingerprint over (doc_id, blob)
-    * WAV rows ([[AudioHeader.linearSamples]] — real RIFF walk;
-    * 16-bit integer PCM read directly, G.711 μ-law/A-law expanded
-    * through the spec tables). Loud on non-WAV payloads, same
-    * contract as [[aHashImages]]. Returns (id, afp); map-only.
+    * audio rows, dispatched by container magic: RIFF/WAVE through
+    * [[AudioHeader.linearSamples]] (16-bit integer PCM read directly,
+    * G.711 μ-law/A-law expanded through the spec tables, mono IMA
+    * ADPCM), `fLaC` through [[FlacDecoder.firstChannel]] (lossless,
+    * so decoded samples are bit-identical to the source PCM and the
+    * fingerprint is coding-blind). Loud on undecodable payloads,
+    * same contract as [[aHashImages]]. Returns (id, afp); map-only.
     */
   def audioFingerprints(df: DataFrame, id: Column,
                         blob: Column): DataFrame = {
@@ -612,10 +615,11 @@ object Multimodal {
     df.select(id.as("id"), blob.as("blob")).as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (i, bytes) =>
-          val samples = AudioHeader.linearSamples(bytes).getOrElse(
-            throw new IllegalArgumentException(
-              s"audioFingerprints: id $i is not a decodable 16-bit " +
-                s"PCM or G.711 WAV (${bytes.length} bytes)"))
+          val samples = FlacDecoder.firstChannel(bytes)
+            .orElse(AudioHeader.linearSamples(bytes)).getOrElse(
+              throw new IllegalArgumentException(
+                s"audioFingerprints: id $i is not a decodable 16-bit " +
+                  s"PCM/G.711/ADPCM WAV or FLAC (${bytes.length} bytes)"))
           (i, audioFingerprint(samples))
         }
       }.toDF("id", "afp")

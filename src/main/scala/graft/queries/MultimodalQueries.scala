@@ -178,9 +178,12 @@ private[queries] object MultimodalQueries {
         .mapPartitions { ids =>
           ids.map { id =>
             val grp = id / 5
-            // grp % 3 picks the coding — whole groups share one blob
+            // grp % 4 picks the coding — whole groups share one blob
             // so the every-5-share near-dup design is preserved:
-            // 0 = 16-bit linear PCM; 1 = G.711 μ-law; 2 = A-law.
+            // 0 = 16-bit linear PCM WAV; 1 = G.711 μ-law; 2 = A-law;
+            // 3 = FLAC of the SAME linear samples (lossless, so the
+            // oracle's linear closed form holds through the rice/
+            // fixed-predictor decode unchanged).
             // The companded members carry the closed form as RAW
             // code bytes, so the DECODER's table expansion is what
             // the oracle's G.711 closed form verifies. The mixing
@@ -197,11 +200,16 @@ private[queries] object MultimodalQueries {
                 + grp * 7919) % 65536
               h * 2654435761L / 1024
             }
-            val bytes = (grp % 3) match {
+            val bytes = (grp % 4) match {
               case 0 =>
                 val samples = Array.tabulate(120)(t =>
                   (mix(t) % 512).toInt - 256)
                 WavEncoder.pcm16(samples)
+              case 3 =>
+                val samples = Array.tabulate(120)(t =>
+                  (mix(t) % 512).toInt - 256)
+                FlacEncoder.encode(Array(samples), 16000,
+                  mode = "fixed2")
               case r =>
                 val codes = Array.tabulate(120) { t =>
                   val m = (mix(t) % 32).toInt
@@ -651,8 +659,8 @@ private[queries] object MultimodalQueries {
         |     * 2654435761 // 1024) AS m
         |  FROM g, LATERAL (SELECT unnest(range(0, 120)) AS t) t),
         |s AS (SELECT doc_id, t,
-        |    CASE WHEN grp % 3 = 0 THEN abs(m % 512 - 256)
-        |         WHEN grp % 3 = 1 THEN
+        |    CASE WHEN grp % 4 IN (0, 3) THEN abs(m % 512 - 256)
+        |         WHEN grp % 4 = 1 THEN
         |           (((255 - (208 + m % 32)) % 16) * 8 + 132)
         |             * (CAST(1 AS BIGINT) << CAST(
         |                 ((255 - (208 + m % 32)) // 16) % 8 AS INT))

@@ -1512,6 +1512,70 @@ class ExtSpec extends SparkSpec {
     assert(e.getMessage.contains("pixel index"))
   }
 
+  test("FlacDecoder: bit-exact round-trip through every subframe " +
+    "strategy, stereo decorrelation mode, and multi-frame split; " +
+    "non-FLAC is None; CRC corruption fails loudly") {
+    import graft.ext.{FlacDecoder, FlacEncoder}
+    // deterministic pseudo-audio exercising rice across magnitudes
+    def sig(n: Int, seed: Int): Array[Int] = Array.tabulate(n) { t =>
+      val h = (seed + 1) * (t * 101 + 1) + seed * 7919
+      ((h * 2654435761L / 1024) % 512).toInt - 256
+    }
+    val mono = sig(300, 3)
+    for (mode <- Seq("constant", "verbatim", "fixed0", "fixed1",
+      "fixed2", "fixed3", "fixed4", "lpc")) {
+      val in = if (mode == "constant") Array.fill(300)(-77) else mono
+      val f = FlacDecoder.decode(
+        FlacEncoder.encode(Array(in), 16000, mode = mode)).get
+      assert(f.sampleRate === 16000 && f.channels === 1 && f.bps === 16)
+      assert(f.samples(0) === in, mode)
+    }
+    // stereo: all four assignments reconstruct both channels exactly,
+    // including odd l+r (the mid floor + side parity-bit path)
+    val l = sig(257, 5)
+    val r = sig(257, 9).map(v => v + 1) // force odd sums to occur
+    for (asgn <- Seq("independent", "leftside", "rightside", "midside")) {
+      val f = FlacDecoder.decode(FlacEncoder.encode(Array(l, r),
+        44100, mode = "fixed2", assignment = asgn)).get
+      assert(f.channels === 2)
+      assert(f.samples(0) === l, asgn)
+      assert(f.samples(1) === r, asgn)
+      assert(FlacDecoder.firstChannel(FlacEncoder.encode(Array(l, r),
+        44100, mode = "fixed2", assignment = asgn)).get === l)
+    }
+    // multi-frame: blockSize smaller than the signal splits frames;
+    // the UTF-8 frame numbers and per-frame CRCs all verify
+    val long = sig(1000, 11)
+    val enc = FlacEncoder.encode(Array(long), 8000, mode = "fixed2",
+      blockSize = 192)
+    assert(FlacDecoder.decode(enc).get.samples(0) === long)
+    // 8-bit and 24-bit sample sizes survive too
+    val small = sig(100, 2).map(v => v / 4)
+    assert(FlacDecoder.decode(FlacEncoder.encode(Array(small), 8000,
+      bps = 8, mode = "fixed1")).get.samples(0) === small)
+    val wide = sig(100, 2).map(v => v * 30000)
+    assert(FlacDecoder.decode(FlacEncoder.encode(Array(wide), 8000,
+      bps = 24, mode = "fixed2")).get.samples(0) === wide)
+    // not FLAC -> None (the dispatch contract)
+    assert(FlacDecoder.decode("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+    // a flipped bit in frame data fails the CRC-16 loudly, never
+    // yields silently-wrong samples (headers end ~byte 50; flip late)
+    val bad = enc.clone()
+    bad(bad.length - 40) = (bad(bad.length - 40) ^ 0x10).toByte
+    val e = intercept[IllegalArgumentException] {
+      FlacDecoder.decode(bad)
+    }
+    assert(e.getMessage.contains("CRC"), e.getMessage)
+    // truncation mid-stream is loud, not a short decode
+    val cut = java.util.Arrays.copyOf(enc, enc.length - 30)
+    val e2 = intercept[IllegalArgumentException] {
+      FlacDecoder.decode(cut)
+    }
+    assert(e2.getMessage.contains("truncated") ||
+      e2.getMessage.contains("samples") ||
+      e2.getMessage.contains("CRC"), e2.getMessage)
+  }
+
   test("PixelDecoder GIF: round-trips the uncompressed-technique " +
     "encoder, decodes a genuinely COMPRESSED variable-width LZW " +
     "stream (chain growth, width bumps, KwKwK), and fails loudly on " +
