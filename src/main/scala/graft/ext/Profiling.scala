@@ -406,6 +406,11 @@ object Profiling {
     // its own median like any other and must match it back — a plain
     // equi-join's three-valued NULL = NULL would silently exempt
     // null-key rows from monitoring. stats is one tiny row per key —
+    // the broadcast therefore ASSUMES the monitored key domain is
+    // broadcast-sized (metrics/series names: thousands, not
+    // millions); a caller monitoring a high-cardinality key (e.g.
+    // per-user) should aggregate to a coarser key first, or the
+    // collected stats table itself becomes the memory hazard —
     // broadcast explicitly (the winsorizeFromHist:127 discipline) so
     // the join can never degrade to a sort-merge shuffle of the full
     // event table when size estimates go opaque behind the aggregate.

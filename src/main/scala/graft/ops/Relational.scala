@@ -153,6 +153,44 @@ object Relational {
           .otherwise("updated").as("action"))
   }
 
+  /** Column-wise LAST-WRITER-WINS patch apply — the sparse-update CDC
+    * shape [[mergeUpsert]]'s full-row images don't cover (DynamoDB
+    * streams, Debezium partial updates, CRDT LWW-register maps):
+    * each patch row carries `key`, a totally-ordered `seq` (the log's
+    * LSN), and the patched columns, with NULL meaning "this patch
+    * does not touch this column". The result overlays, PER COLUMN,
+    * the latest non-null patch value onto `target`; keys present only
+    * in the changelog insert (untouched columns stay NULL), and the
+    * `action` column reports changelog presence (kept / patched /
+    * inserted — "patched" means a patch row existed for the key, even
+    * one that touched no column).
+    *
+    * Two shuffles, both keyed and partial-aggregable: the changelog
+    * folds in ONE hash aggregate (`max_by(c, seq when c set)` per
+    * column — map-side combinable, so a 100 TB changelog reduces
+    * before it moves), then one full-outer join against the target on
+    * the key. No window over the log (the per-key-ordered-scan
+    * formulation would sort the whole changelog); ties on `seq` are
+    * the CALLER's contract to exclude (a real LSN is unique — equal
+    * seqs make the winner engine-dependent).
+    */
+  def patchApply(target: DataFrame, patches: DataFrame, key: String,
+                 seq: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "patchApply: no patch columns")
+    val aggs = cols.map(c =>
+      max_by(col(c), when(col(c).isNotNull, col(seq))).as(s"__p_$c"))
+    val folded = patches.groupBy(col(key))
+      .agg(aggs.head, aggs.tail :+ lit(true).as("__pin"): _*)
+    val t = target.select(
+      col(key) +: cols.map(col) :+ lit(true).as("__tin"): _*)
+    t.join(folded, Seq(key), "full_outer")
+      .select(col(key) +:
+        cols.map(c => coalesce(col(s"__p_$c"), col(c)).as(c)) :+
+        when(col("__pin").isNull, "kept")
+          .when(col("__tin").isNull, "inserted")
+          .otherwise("patched").as("action"): _*)
+  }
+
   /** EXISTS — rows of `df` with a match in `other`. */
   def semiJoin(df: DataFrame, other: DataFrame, cond: Column): DataFrame =
     df.join(other, cond, "left_semi")

@@ -302,6 +302,28 @@ object RelationalQueries {
       mergeUpsert(target, changes)
     },
 
+    // Column-wise LWW patch apply — the SPARSE-update CDC shape
+    // (Debezium partial updates / DynamoDB streams): event_id is the
+    // LSN, clicks/purchases patch the balance, views patch the
+    // segment, signup/error rows patch nothing (all-NULL patches
+    // still mark the key "patched"); user_id*11 pushes a tail of
+    // keys past the customer range to exercise inserts.
+    "cdc_patch_apply" -> { (s, dir) =>
+      val target = t(s, dir, "customer").select(
+        col("c_custkey").as("key"),
+        floor(col("c_acctbal") * 100).cast("long").as("bal"),
+        col("c_mktsegment").as("seg"))
+      val patches = t(s, dir, "events").select(
+        (col("user_id") * 11).as("key"),
+        col("event_id").as("seq"),
+        when(col("event_type").isin("click", "purchase"),
+          floor(col("value") * 100).cast("long")).as("bal"),
+        when(col("event_type") === "view",
+          concat(lit("SEG_"), pmod(col("event_id"), lit(5))))
+          .as("seg"))
+      patchApply(target, patches, "key", "seq", Seq("bal", "seg"))
+    },
+
     // Snapshot diff between table versions — the lakehouse
     // regression probe. v2 is a deterministic mutation of orders
     // (drop %97 keys, bump %101 totalprices, add offset copies of
@@ -886,6 +908,35 @@ object RelationalQueries {
         |       WHEN tin IS NULL THEN 'inserted'
         |       ELSE 'updated' END AS action
         |FROM m WHERE op IS NULL OR op <> 'delete'""".stripMargin,
+
+    // per-column arg_max over non-null seqs = the LWW fold; both
+    // engines skip NULL ordering keys, so an untouched column never
+    // competes
+    "cdc_patch_apply" ->
+      """WITH p AS (
+        |  SELECT user_id * 11 AS key, event_id AS seq,
+        |    CASE WHEN event_type IN ('click', 'purchase')
+        |         THEN CAST(floor(value * 100) AS BIGINT) END AS bal,
+        |    CASE WHEN event_type = 'view'
+        |         THEN 'SEG_' || CAST(event_id % 5 AS VARCHAR) END AS seg
+        |  FROM events),
+        |f AS (
+        |  SELECT key,
+        |    arg_max(bal, CASE WHEN bal IS NOT NULL THEN seq END) AS pbal,
+        |    arg_max(seg, CASE WHEN seg IS NOT NULL THEN seq END) AS pseg,
+        |    TRUE AS pin
+        |  FROM p GROUP BY 1),
+        |t AS (SELECT c_custkey AS key,
+        |        CAST(floor(c_acctbal * 100) AS BIGINT) AS bal,
+        |        c_mktsegment AS seg, TRUE AS tin
+        |      FROM customer)
+        |SELECT coalesce(t.key, f.key) AS key,
+        |  coalesce(f.pbal, t.bal) AS bal,
+        |  coalesce(f.pseg, t.seg) AS seg,
+        |  CASE WHEN f.pin IS NULL THEN 'kept'
+        |       WHEN t.tin IS NULL THEN 'inserted'
+        |       ELSE 'patched' END AS action
+        |FROM t FULL OUTER JOIN f ON t.key = f.key""".stripMargin,
 
     "topk_per_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM orders

@@ -161,6 +161,34 @@ class OpsSpec extends SparkSpec {
       (4L, 44.0, "inserted")))
   }
 
+  test("patchApply: per-column LWW — different columns won by " +
+      "different patches, all-null patches mark but don't change, " +
+      "inserts keep untouched columns null, untouched rows keep") {
+    val target = Seq((1L, Some(10L), Some("a")),
+      (2L, Some(20L), Some("b")), (3L, Some(30L), Some("c")))
+      .toDF("key", "bal", "seg")
+    val patches = Seq(
+      // key 1: bal set by seq 5, seg by seq 3 — DIFFERENT winners;
+      // the later seq-9 patch touches nothing and must change nothing
+      (1L, 3L, None, Some("x")),
+      (1L, 5L, Some(111L), None),
+      (1L, 9L, None, None),
+      // key 2: only an all-null patch — values kept, action patched
+      (2L, 1L, None, None),
+      // key 7: insert; seg never patched stays null
+      (7L, 2L, Some(777L), None),
+      (7L, 4L, Some(778L), None)) // later seq wins within the column
+      .toDF("key", "seq", "bal", "seg")
+    val got = Relational.patchApply(target, patches, "key", "seq",
+      Seq("bal", "seg"))
+      .as[(Long, Option[Long], Option[String], String)].collect().toSet
+    assert(got === Set(
+      (1L, Some(111L), Some("x"), "patched"),
+      (2L, Some(20L), Some("b"), "patched"),
+      (3L, Some(30L), Some("c"), "kept"),
+      (7L, Some(778L), None, "inserted")))
+  }
+
   test("mergeUpsert tracks presence, not payload nullability: a NULL-" +
       "payload upsert SETS null, and a null-payload target row still " +
       "reconciles as updated") {
