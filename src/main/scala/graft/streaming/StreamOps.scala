@@ -710,6 +710,74 @@ object StreamOps {
       }
   }
 
+  case class PatchEvent(key: Long, seq: Long,
+                        patch: Map[String, String])
+  case class PatchRow(key: Long, values: Map[String, String],
+                      max_seq: Long)
+  /** Per-column (winning seq, value) plus the key's seq high mark —
+    * O(columns) per key.
+    */
+  case class PatchState(seqs: Map[String, Long],
+                        vals: Map[String, String], maxSeq: Long)
+
+  /** Streaming twin of [[graft.ops.Relational.patchApply]]'s LWW
+    * fold: per key, each column keeps the value of the HIGHEST-seq
+    * patch that set it (`patch` map absence = column untouched),
+    * re-emitting the key's materialized row after every micro-batch
+    * that touches it — the live serving-table view of a sparse CDC
+    * changelog.
+    *
+    * Unlike [[ewmaStream]]'s order-sensitive recursion, per-column
+    * LWW is a CRDT (the max-by-seq merge is commutative, associative
+    * AND idempotent), so this twin needs NO high-water-mark drop
+    * rule: out-of-order delivery, duplicate redelivery, and any
+    * micro-batch partitioning all converge to the same state — late
+    * events retro-apply correctly instead of being dropped, and an
+    * at-least-once source costs nothing. StreamSpec pins exactly
+    * that: shuffled + redelivered changelogs match the batch
+    * `patchApply` fold row for row.
+    *
+    * State is O(columns) per live key, partitioned on the same key
+    * the batch groupBy shuffles on; `idleKeyTtl` evicts idle keys
+    * for unbounded key spaces (a re-appearing key then restarts
+    * empty — size the TTL to the key's update horizon).
+    */
+  def patchApplyStream(patches: Dataset[PatchEvent],
+                       idleKeyTtl: Option[String] = None)
+      : Dataset[PatchRow] = {
+    import patches.sparkSession.implicits._
+    val timeout = if (idleKeyTtl.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout
+    else GroupStateTimeout.NoTimeout
+    patches
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[PatchState, PatchRow](
+        OutputMode.Update, timeout) {
+        (key, rows, state) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption
+              .getOrElse(PatchState(Map.empty, Map.empty, Long.MinValue))
+            rows.foreach { r =>
+              var seqs = st.seqs
+              var vals = st.vals
+              r.patch.foreach { case (c, v) =>
+                if (v != null && seqs.get(c).forall(_ < r.seq)) {
+                  seqs += (c -> r.seq)
+                  vals += (c -> v)
+                }
+              }
+              st = PatchState(seqs, vals, math.max(st.maxSeq, r.seq))
+            }
+            state.update(st)
+            idleKeyTtl.foreach(state.setTimeoutDuration)
+            Iterator.single(PatchRow(key, st.vals, st.maxSeq))
+          }
+      }
+  }
+
   /** Idempotent write of one micro-batch under `path/batch_id=<id>` —
     * the unit the exactly-once sink replays safely:
     *   - a batch id whose partition already COMMITTED (_SUCCESS

@@ -973,4 +973,52 @@ class StreamSpec extends SparkSpec {
       assert(est === Seq.tabulate(5)(i => s"w$i" -> 6L).toMap)
     } finally q.stop()
   }
+
+  test("patchApplyStream: per-column LWW converges under out-of-order " +
+      "delivery and at-least-once replay, and matches the batch " +
+      "patchApply fold") {
+    import graft.streaming.StreamOps.{PatchEvent, PatchRow}
+    implicit val sq = spark.sqlContext
+    val events = Seq(
+      PatchEvent(1L, 5L, Map("bal" -> "111")),
+      PatchEvent(1L, 3L, Map("seg" -> "x")),
+      PatchEvent(1L, 9L, Map.empty), // touches nothing, raises max_seq
+      PatchEvent(2L, 1L, Map("bal" -> "20", "seg" -> "b")),
+      PatchEvent(2L, 4L, Map("seg" -> "c")),
+      PatchEvent(7L, 2L, Map("bal" -> "777")),
+      PatchEvent(7L, 4L, Map("bal" -> "778")))
+    val in = MemoryStream[PatchEvent]
+    val q = StreamOps.patchApplyStream(in.toDS())
+      .writeStream.format("memory").queryName("patch_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // adversarial delivery: HIGHEST seqs first (late stragglers
+      // must retro-apply, not drop), then a full duplicate replay
+      val desc = events.sortBy(-_.seq)
+      in.addData(desc.take(3)); q.processAllAvailable()
+      in.addData(desc.drop(3)); q.processAllAvailable()
+      in.addData(events); q.processAllAvailable() // at-least-once
+      val all = spark.table("patch_out").as[PatchRow].collect()
+      // final state emission per key: max (max_seq, columns won)
+      val got = all.groupBy(_.key).values
+        .map(_.maxBy(r => (r.max_seq, r.values.size))).toSet
+      assert(got === Set(
+        PatchRow(1L, Map("bal" -> "111", "seg" -> "x"), 9L),
+        PatchRow(2L, Map("bal" -> "20", "seg" -> "c"), 4L),
+        PatchRow(7L, Map("bal" -> "778"), 4L)))
+      // batch equivalence: the same changelog through
+      // Relational.patchApply folds to the same overlay
+      val patches = events.map(e => (e.key, e.seq,
+        e.patch.get("bal").orNull, e.patch.get("seg").orNull))
+        .toDF("key", "seq", "bal", "seg")
+      val target = Seq.empty[(Long, String, String)]
+        .toDF("key", "bal", "seg")
+      val batch = graft.ops.Relational
+        .patchApply(target, patches, "key", "seq", Seq("bal", "seg"))
+        .as[(Long, Option[String], Option[String], String)]
+        .collect().toSet
+      assert(batch === got.map(r => (r.key,
+        r.values.get("bal"), r.values.get("seg"), "inserted")))
+    } finally q.stop()
+  }
 }
