@@ -115,19 +115,32 @@ object FlacDecoder {
   def firstChannel(b: Array[Byte]): Option[Array[Int]] =
     decode(b).map(_.samples(0))
 
-  /** Full decode: None unless the payload starts with `fLaC`. */
-  def decode(b: Array[Byte]): Option[Flac] = {
-    if (b.length < 4 || b(0) != 'f' || b(1) != 'L' || b(2) != 'a' ||
-      b(3) != 'C') return None
-    val r = new BitReader(b)
-    r.pos = 32
-    // metadata blocks: STREAMINFO is mandatory and first
+  final case class StreamInfo(sampleRate: Int, channels: Int, bps: Int,
+                              totalSamples: Long)
+
+  private def isFlac(b: Array[Byte]): Boolean =
+    b.length >= 4 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' &&
+      b(3) == 'C'
+
+  /** Header-only STREAMINFO parse — the cheap metadata scan a corpus
+    * census runs without touching frame data. None for non-FLAC
+    * magic; loud on malformed metadata like [[decode]].
+    */
+  def streamInfo(b: Array[Byte]): Option[StreamInfo] =
+    if (!isFlac(b)) None
+    else {
+      val r = new BitReader(b)
+      r.pos = 32
+      Some(readStreamInfo(r))
+    }
+
+  /** Walk the metadata section (cursor at bit 32), returning the
+    * mandatory STREAMINFO and leaving the cursor at the first frame.
+    */
+  private def readStreamInfo(r: BitReader): StreamInfo = {
+    val b = r.b
     var last = false
-    var sampleRate = 0
-    var channels = 0
-    var bps = 0
-    var total = 0L
-    var sawStreamInfo = false
+    var info: StreamInfo = null
     while (!last) {
       last = r.bits(1) == 1
       val btype = r.bits(7)
@@ -136,12 +149,12 @@ object FlacDecoder {
         if (len != 34) fail(s"STREAMINFO length $len != 34")
         r.bits(16); r.bits(16) // min/max block size
         r.bits(24); r.bits(24) // min/max frame size
-        sampleRate = r.bits(20)
-        channels = r.bits(3) + 1
-        bps = r.bits(5) + 1
-        total = r.bitsLong(36)
+        val sampleRate = r.bits(20)
+        val channels = r.bits(3) + 1
+        val bps = r.bits(5) + 1
+        val total = r.bitsLong(36)
         r.pos += 128 // md5
-        sawStreamInfo = true
+        info = StreamInfo(sampleRate, channels, bps, total)
       } else if (btype == 127) {
         fail("invalid metadata block type 127")
       } else {
@@ -151,7 +164,20 @@ object FlacDecoder {
         r.pos += len.toLong * 8
       }
     }
-    if (!sawStreamInfo) fail("no STREAMINFO block")
+    if (info == null) fail("no STREAMINFO block")
+    info
+  }
+
+  /** Full decode: None unless the payload starts with `fLaC`. */
+  def decode(b: Array[Byte]): Option[Flac] = {
+    if (!isFlac(b)) return None
+    val r = new BitReader(b)
+    r.pos = 32
+    val si = readStreamInfo(r)
+    val sampleRate = si.sampleRate
+    val channels = si.channels
+    val bps = si.bps
+    val total = si.totalSamples
     if (bps > 24) fail(s"$bps-bit samples outside the supported 8-24 subset")
     val out = Array.fill(channels)(
       new scala.collection.mutable.ArrayBuffer[Int](

@@ -128,12 +128,16 @@ object Multimodal {
     df.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
-          AudioHeader.parseWav(bytes) match {
-            case Some(w) =>
-              AudioFeatures(id, bytes.length.toLong, "wav", w.channels,
-                w.sampleRate, w.bitsPerSample, w.nSamples,
-                w.nSamples * 1000L / w.sampleRate)
-            case None =>
+          AudioHeader.parseWav(bytes).map(w =>
+            AudioFeatures(id, bytes.length.toLong, "wav", w.channels,
+              w.sampleRate, w.bitsPerSample, w.nSamples,
+              w.nSamples * 1000L / w.sampleRate))
+          .orElse(FlacDecoder.streamInfo(bytes).map(si =>
+            // header-only STREAMINFO census — no frame decode
+            AudioFeatures(id, bytes.length.toLong, "flac", si.channels,
+              si.sampleRate, si.bps, si.totalSamples,
+              si.totalSamples * 1000L / si.sampleRate)))
+          .getOrElse {
               val hex = md5Hex(bytes)
               val rate = 8000 * ((java.lang.Long
                 .parseLong(hex.substring(0, 7), 16) % 3).toInt + 1)

@@ -277,11 +277,14 @@ private[queries] object MultimodalQueries {
     },
 
 
-    // real RIFF/WAVE header parsing, verified the same way: synthesize
-    // valid WAV headers (channels / sample rate / sample count a
-    // closed form of doc_id; the data payload itself stays absent —
-    // only its declared size matters, the shape of a metadata scan
-    // over huge audio files) and decode through decodeAudio
+    // real RIFF/WAVE + FLAC STREAMINFO header parsing, verified the
+    // same way: synthesize valid WAV headers (channels / sample rate /
+    // sample count a closed form of doc_id; the data payload itself
+    // stays absent — only its declared size matters, the shape of a
+    // metadata scan over huge audio files) for 3 of 4 ids and a FLAC
+    // fLaC+STREAMINFO header (the same closed-form fields bit-packed
+    // per RFC 9639 §streaminfo) for the fourth, and decode both
+    // through decodeAudio's magic dispatch
     "mm_decode_audio" -> { (s, dir) =>
       val ch = (pmod(col("doc_id"), lit(2)) + 1).cast("int")
       val rate = ((pmod(col("doc_id"), lit(3)) + 1) * 8000).cast("int")
@@ -294,9 +297,23 @@ private[queries] object MultimodalQueries {
         hexLe16(ch), hexLe32(rate), hexLe32(rate * blockAlign),
         hexLe16(blockAlign), lit("1000"), // 16 bits/sample
         lit("64617461"), hexLe32(dataSize)) // data chunk header
+      // fLaC, last-metadata STREAMINFO(34), 4096 block bounds, then
+      // the rate(20)/ch-1(3)/bps-1(5)/total(36) bit-pack: byte2 holds
+      // rate's low nibble + ch-1 + bps-1's top bit (0 for 16-bit),
+      // byte3 is (bps-1)&0xF << 4 = F0, total fits its low byte
+      val flac = concat(
+        lit("664C6143" + "80000022" + "10001000" + "000000000000"),
+        hex2((rate / 4096).cast("int")),
+        hex2(pmod((rate / 16).cast("int"), lit(256))),
+        hex2(pmod(rate, lit(16)) * 16 + (ch - 1) * 2),
+        lit("F0000000"),
+        hex2(nSamples),
+        lit("0" * 32)) // md5 unset
+      val hexBlob =
+        when(pmod(col("doc_id"), lit(4)) === 3, flac).otherwise(wav)
       Multimodal.decodeAudio(
           docs(s, dir).select(col("doc_id"))
-            .withColumn("blob", to_binary(wav, lit("hex"))))
+            .withColumn("blob", to_binary(hexBlob, lit("hex"))))
         .toDF()
         .select("doc_id", "format", "channels", "sample_rate",
           "bits_per_sample", "n_samples", "duration_ms")
@@ -785,7 +802,8 @@ private[queries] object MultimodalQueries {
 
 
     "mm_decode_audio" ->
-      """SELECT doc_id, 'wav' AS format,
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 3 THEN 'flac' ELSE 'wav' END AS format,
         |  CAST(doc_id % 2 + 1 AS INT) AS channels,
         |  CAST((doc_id % 3 + 1) * 8000 AS INT) AS sample_rate,
         |  CAST(16 AS INT) AS bits_per_sample,

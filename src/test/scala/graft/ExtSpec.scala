@@ -1556,8 +1556,12 @@ class ExtSpec extends SparkSpec {
     val wide = sig(100, 2).map(v => v * 30000)
     assert(FlacDecoder.decode(FlacEncoder.encode(Array(wide), 8000,
       bps = 24, mode = "fixed2")).get.samples(0) === wide)
+    // header-only STREAMINFO census agrees with the full decode
+    assert(FlacDecoder.streamInfo(enc).get ===
+      FlacDecoder.StreamInfo(8000, 1, 16, 1000L))
     // not FLAC -> None (the dispatch contract)
     assert(FlacDecoder.decode("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+    assert(FlacDecoder.streamInfo("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
     // a flipped bit in frame data fails the CRC-16 loudly, never
     // yields silently-wrong samples (headers end ~byte 50; flip late)
     val bad = enc.clone()
