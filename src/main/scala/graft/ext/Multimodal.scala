@@ -49,6 +49,20 @@ case class VideoFeatures(
     duration_ms: Long,
     n_sampled_1hz: Long)
 
+/** Per-sampled-frame pixel statistics (see
+  * [[Multimodal.videoFrameStats]]): all integer, closed-form
+  * recomputable when frames are DC-only JPEGs.
+  */
+case class VideoFrameStats(
+    doc_id: Long,
+    frame_no: Int,
+    n_frames: Int,
+    width: Int,
+    height: Int,
+    gray_sum: Long,
+    gray_min: Int,
+    gray_max: Int)
+
 /** Multimodal-column handling: media as opaque `binary` columns with
   * typed metadata, decoded per-partition.
   *
@@ -183,6 +197,45 @@ object Multimodal {
                 (java.lang.Long.parseLong(hex.substring(7, 14), 16) % 3)
                   .toInt + 1,
                 ts, dur, ms, ms / 1000L + 1L)
+          }
+        }
+      }
+  }
+
+  /** REAL video frame sampling + pixel decode over (doc_id, blob)
+    * MJPEG-AVI rows: [[MjpegAvi.frameIndex]] walks the container
+    * WITHOUT reading frame payloads, every `stride`-th frame decodes
+    * through the from-scratch [[JpegDecoder]], and each sampled frame
+    * yields integer raster statistics — the frame-extraction pass a
+    * video training pipeline runs (decode cost scales with SAMPLED
+    * frames, not stored ones). Map-only, per-row memory one clip;
+    * loud on non-AVI payloads or undecodable sampled frames, the
+    * [[aHashImages]] contract.
+    */
+  def videoFrameStats(df: DataFrame, stride: Int): Dataset[VideoFrameStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          if (MjpegAvi.parse(bytes).isEmpty)
+            throw new IllegalArgumentException(
+              s"videoFrameStats: id $id is not an AVI payload " +
+                s"(${bytes.length} bytes)")
+          val n = MjpegAvi.frameIndex(bytes).size
+          MjpegAvi.sampleFrames(bytes, stride).map { case (no, px) =>
+            var sum = 0L
+            var mn = 255
+            var mx = 0
+            var i = 0
+            while (i < px.gray.length) {
+              val g = px.gray(i)
+              sum += g
+              if (g < mn) mn = g
+              if (g > mx) mx = g
+              i += 1
+            }
+            VideoFrameStats(id, no, n, px.width, px.height, sum, mn, mx)
           }
         }
       }

@@ -222,6 +222,28 @@ private[queries] object MultimodalQueries {
         }.toDF("doc_id", "blob")
     }
 
+  /** Synthesized MJPEG-AVI clips for `mm_video_frames` — staged for
+    * the same reason as [[pixelBlobs]]. Each doc is a 2/4/6-frame
+    * clip of 16×8 DC-only gray JPEGs (two 8×8 blocks per frame), the
+    * block DC a closed form of (doc_id, frame_no, block) so every
+    * sampled pixel is `(dc + 4) // 8 + 128` in the oracle.
+    */
+  private[queries] def videoBlobs(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "mm_video_blobs") {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val n = ((id % 3) * 2 + 2).toInt
+            val frames = (0 until n).map { f =>
+              JpegEncoder.grayDcOnly(16, 8, (bx, _) =>
+                ((id * 31 + f * 97 + bx * 53) % 256).toInt - 128)
+            }
+            (id, MjpegAvi.encode(frames, 16, 8, usPerFrame = 33333))
+          }
+        }.toDF("doc_id", "blob")
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // -- Multimodal binary columns -----------------------------------
@@ -350,6 +372,16 @@ private[queries] object MultimodalQueries {
           "duration_ticks", "duration_ms", "n_sampled_1hz")
     },
 
+
+    // REAL video frame extraction: MJPEG-AVI container walk indexes
+    // the movi chunks without reading payloads, every 2nd frame
+    // decodes through the from-scratch JPEG decoder (decode cost
+    // scales with SAMPLED frames — the at-scale contract), per-frame
+    // integer raster stats; the oracle replays the DC-only closed
+    // form frame by frame
+    "mm_video_frames" -> { (s, dir) =>
+      Multimodal.videoFrameStats(videoBlobs(s, dir), stride = 2).toDF()
+    },
 
     // resize + frame-sample plumbing over the decoded features
     "mm_thumbnail" -> { (s, dir) =>
@@ -828,5 +860,27 @@ private[queries] object MultimodalQueries {
         |       // ((doc_id % 3 + 1) * 600)) // 1000 + 1
         |       AS BIGINT) AS n_sampled_1hz
         |FROM documents""".stripMargin,
+
+    // the sampled frames' DC-only closed form, block by block: every
+    // 2nd frame of the (doc_id % 3)*2+2-frame clip, two 8x8 blocks
+    // per 16x8 frame, flat value floor((dc + 4) / 8) + 128 — written
+    // with a +1024 offset so the // numerator stays NON-NEGATIVE
+    // (DuckDB's // truncates toward zero, the decoder's >> floors;
+    // they only agree above zero)
+    "mm_video_frames" ->
+      """WITH f AS (SELECT doc_id, (doc_id % 3) * 2 + 2 AS n
+        |  FROM documents),
+        |fr AS (SELECT doc_id, n, CAST(i.i * 2 AS INT) AS frame_no
+        |  FROM f, LATERAL (SELECT unnest(range(0, (n + 1) // 2)) AS i) i),
+        |blk AS (SELECT doc_id, n, frame_no,
+        |    ((doc_id * 31 + frame_no * 97 + bx.bx * 53) % 256 + 900)
+        |      // 8 AS flat
+        |  FROM fr, LATERAL (SELECT unnest(range(0, 2)) AS bx) bx)
+        |SELECT doc_id, frame_no, CAST(n AS INT) AS n_frames,
+        |  CAST(16 AS INT) AS width, CAST(8 AS INT) AS height,
+        |  CAST(sum(flat) * 64 AS BIGINT) AS gray_sum,
+        |  CAST(min(flat) AS INT) AS gray_min,
+        |  CAST(max(flat) AS INT) AS gray_max
+        |FROM blk GROUP BY 1, 2, 3""".stripMargin,
   )
 }

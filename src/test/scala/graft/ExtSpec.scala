@@ -1580,6 +1580,62 @@ class ExtSpec extends SparkSpec {
       e2.getMessage.contains("CRC"), e2.getMessage)
   }
 
+  test("MjpegAvi: container round-trip (headers, frame index, strided " +
+    "decode through the JPEG decoder), odd-length frame padding, " +
+    "non-AVI is None, corruption and non-MJPG streams fail loudly") {
+    import graft.ext.{JpegEncoder, MjpegAvi, PixelDecoder}
+    // 5 frames, 16x8, block DCs chosen so frames differ and one
+    // frame's JPEG has ODD byte length (exercises chunk padding)
+    def frame(f: Int): Array[Byte] =
+      JpegEncoder.grayDcOnly(16, 8, (bx, _) => (f * 97 + bx * 53) % 256 - 128)
+    val frames = (0 until 5).map(frame)
+    assert(frames.map(_.length % 2).distinct.size >= 1) // sanity
+    val avi = MjpegAvi.encode(frames, 16, 8, usPerFrame = 40000)
+    val info = MjpegAvi.parse(avi).get
+    assert((info.width, info.height, info.usPerFrame, info.totalFrames)
+      === ((16, 8, 40000, 5)))
+    val idx = MjpegAvi.frameIndex(avi)
+    assert(idx.map(_._1) === Seq(0, 1, 2, 3, 4))
+    // each indexed payload is exactly the original frame bytes
+    for (((no, at, len), orig) <- idx.zip(frames))
+      assert(java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(avi, at, at + len), orig), s"frame $no")
+    // strided sampling decodes frames 0, 2, 4 only, matching a
+    // direct decode of the same payloads
+    val sampled = MjpegAvi.sampleFrames(avi, stride = 2)
+    assert(sampled.map(_._1) === Seq(0, 2, 4))
+    for ((no, px) <- sampled) {
+      val direct = PixelDecoder.decode(frame(no)).get
+      assert(px.gray === direct.gray, s"frame $no")
+      assert((px.width, px.height) === ((16, 8)))
+    }
+    // non-AVI payloads are None (dispatch), including a WAV RIFF
+    assert(MjpegAvi.parse("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+    assert(MjpegAvi.parse(frame(0)).isEmpty)
+    // a corrupted chunk length overruns its parent -> loud
+    val bad = avi.clone()
+    // find the first 00dc chunk and inflate its length field
+    val at0 = idx.head._2
+    bad(at0 - 4) = 0xff.toByte; bad(at0 - 3) = 0xff.toByte
+    val e = intercept[IllegalArgumentException] {
+      MjpegAvi.frameIndex(bad)
+    }
+    assert(e.getMessage.contains("overruns"), e.getMessage)
+    // a non-MJPG vids stream is outside the subset -> loud
+    val notMjpg = avi.clone()
+    val strhAt = {
+      var i = 0
+      while (!(notMjpg(i) == 'v' && notMjpg(i + 1) == 'i' &&
+        notMjpg(i + 2) == 'd' && notMjpg(i + 3) == 's')) i += 1
+      i
+    }
+    notMjpg(strhAt + 4) = 'H'
+    val e2 = intercept[IllegalArgumentException] {
+      MjpegAvi.parse(notMjpg)
+    }
+    assert(e2.getMessage.contains("MJPG"), e2.getMessage)
+  }
+
   test("PixelDecoder GIF: round-trips the uncompressed-technique " +
     "encoder, decodes a genuinely COMPRESSED variable-width LZW " +
     "stream (chain growth, width bumps, KwKwK), and fails loudly on " +
