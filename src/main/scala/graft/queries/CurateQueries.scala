@@ -267,6 +267,24 @@ private[queries] object CurateQueries {
     },
 
 
+    // Compressed-shard JSONL round-trip: the corpus DISTRIBUTION
+    // format (Dolma/RedPajama-v2 ship .json.zst, The Pile .jsonl.zst)
+    // — stage zstd shards once, read back through the magic-dispatch
+    // decompress + declared-schema FAILFAST parse, same census
+    "src_jsonl_zst_roundtrip" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val path = graft.sources.JsonlSource.stageZst(d, "target/jsonl_zst",
+        s"${dir.split('/').last}_documents",
+        Tables.fingerprint(s"$dir/documents.parquet"))
+      graft.sources.JsonlSource.readCompressed(s, path, d.schema)
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          sum(length(col("text")).cast("long")).as("sum_len"),
+          sum(PortableHash.md5PrefixLong(col("text"), 14))
+            .as("text_checksum"))
+    },
+
     // Avro round-trip: the ROW-oriented interchange sibling (Kafka /
     // schema-registry pipelines) — write the corpus as from-scratch
     // Avro object container files once (fingerprint-keyed), read it
@@ -360,6 +378,15 @@ private[queries] object CurateQueries {
         |    AS BIGINT) AS text_checksum
         |FROM documents GROUP BY 1, 2""".stripMargin,
 
+
+    // identical census: the zstd shards must be lossless too
+    "src_jsonl_zst_roundtrip" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_len,
+        |  CAST(sum(CAST('0x' || substr(md5(text), 1, 14) AS BIGINT))
+        |    AS BIGINT) AS text_checksum
+        |FROM documents GROUP BY 1, 2""".stripMargin,
 
     // identical census again: the Avro round-trip must be lossless,
     // so the oracle never reads the Avro at all

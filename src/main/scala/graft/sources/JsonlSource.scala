@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 /** JSON-Lines ingestion — the interchange format LLM training corpora
@@ -75,4 +76,109 @@ object JsonlSource {
   def read(spark: SparkSession, path: String,
            schema: StructType): DataFrame =
     spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+
+  // -- compressed shards (.jsonl.zst / .jsonl.gz) ---------------------
+
+  /** Stage `df` as ZSTD-compressed JSONL shards (`part-NNNNN.jsonl
+    * .zst`) under `root/name__fp<hex>` — the format large corpora
+    * actually distribute (Dolma and RedPajama-v2 ship .json.zst, The
+    * Pile .jsonl.zst/gz). Same fingerprint-once publish protocol as
+    * [[stage]]; rows serialize through Spark's own JSON writer
+    * (`toJSON`) so the line format matches what [[read]] parses. The
+    * write is distributed, one shard per partition, zstd level 3 (the
+    * distribution default).
+    */
+  def stageZst(df: DataFrame, root: String, name: String,
+               fingerprint: Long): String = {
+    val safe = name.map(c =>
+      if (c.isLetterOrDigit || c == '.' || c == '-') c else '_')
+    val dirName = s"${safe}__fp${java.lang.Long.toHexString(fingerprint)}"
+    val dir = new java.io.File(root, dirName)
+    val done = new java.io.File(dir, "_SUCCESS")
+    if (!done.isFile) {
+      def deleteTree(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteTree)
+        f.delete(): Unit
+      }
+      Option(new java.io.File(root).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith(s"${safe}__fp") &&
+          f.getName != dirName)
+        .foreach(deleteTree)
+      val tmp = new java.io.File(root, s".$dirName.tmp")
+      deleteTree(tmp)
+      tmp.mkdirs()
+      val tmpPath = tmp.getAbsolutePath
+      df.toJSON.foreachPartition { it: Iterator[String] =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val f = new java.io.File(tmpPath, f"part-$pid%05d.jsonl.zst")
+        val out = new com.github.luben.zstd.ZstdOutputStream(
+          new java.io.FileOutputStream(f), 3) // truncate = retry-safe
+        try for (line <- it) {
+          out.write(line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          out.write('\n')
+        } finally out.close()
+      }
+      if (!tmp.renameTo(dir)) {
+        deleteTree(tmp)
+        if (!done.isFile)
+          throw new java.io.IOException(
+            s"JsonlSource: could not publish $dir")
+      } else {
+        done.createNewFile(): Unit
+      }
+    }
+    dir.toString
+  }
+
+  /** Read compressed JSONL shards with the declared `schema`,
+    * dispatching per file on MAGIC BYTES (zstd `28 B5 2F FD`, gzip
+    * `1f 8b` — corpus mirrors rename files, the [[WarcSource]]
+    * lesson): zstd frames stream through zstd-jni, gzip through the
+    * CRC-verifying member walk (never `GZIPInputStream`, which
+    * treats a corrupt next-member header as clean EOF — silent
+    * corpus loss). Lines parse via `from_json` in FAILFAST spirit: a
+    * corrupt line raises, never nulls. The grain is FILE-per-task
+    * (neither codec is splittable without an external seek table);
+    * distributed corpora ship thousands of ~100-500 MB shards, so
+    * the fan-out matches the cluster the way [[ZipSource]] documents.
+    */
+  def readCompressed(spark: SparkSession, path: String,
+                     schema: StructType): DataFrame = {
+    import spark.implicits._
+    val lines = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.jsonl.*").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        val in: java.io.InputStream =
+          if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x28 &&
+            (bytes(1) & 0xff) == 0xb5 && (bytes(2) & 0xff) == 0x2f &&
+            (bytes(3) & 0xff) == 0xfd)
+            new com.github.luben.zstd.ZstdInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+          else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f &&
+            (bytes(1) & 0xff) == 0x8b)
+            new WarcSource.GzipMembers(bytes)
+          else throw new IllegalArgumentException(
+            s"JsonlSource: $p is neither zstd nor gzip " +
+              "(magic bytes unrecognized)")
+        val r = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in,
+            java.nio.charset.StandardCharsets.UTF_8))
+        Iterator.continually(r.readLine()).takeWhile(_ != null)
+      }
+    // declared-schema parse; a corrupt line must raise (FAILFAST
+    // contract), never null-fill — from_json alone yields null rows,
+    // so guard explicitly
+    lines.toDF("__line")
+      .select(from_json(col("__line"), schema,
+        Map("mode" -> "FAILFAST")).as("__row"), col("__line"))
+      .select(when(col("__row").isNull, raise_error(concat(
+          lit("JsonlSource: corrupt JSON line: "),
+          substring(col("__line"), 1, 120))))
+          .otherwise(col("__row")).as("__row"))
+      .select(col("__row.*"))
+  }
 }

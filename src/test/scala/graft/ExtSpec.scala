@@ -1061,13 +1061,15 @@ class ExtSpec extends SparkSpec {
       hexBytes("474946383961" + "01000100" + "F70000")).isEmpty)
   }
 
-  test("mm_decode_audio query decodes synthesized WAV headers closed-form") {
+  test("mm_decode_audio query decodes synthesized WAV and FLAC " +
+    "headers closed-form (every 4th member is a fLaC STREAMINFO)") {
     val df = SparkEntry.queries("mm_decode_audio")(
       spark, "/root/testdata/sf0.001")
     val rows = df.as[(Long, String, Int, Int, Int, Long, Long)].collect()
     assert(rows.nonEmpty)
+    assert(rows.count(_._2 == "flac") > 0)
     rows.foreach { case (id, fmt, ch, rate, bits, n, ms) =>
-      assert(fmt === "wav")
+      assert(fmt === (if (id % 4 == 3) "flac" else "wav"))
       assert(ch === (id % 2 + 1).toInt)
       assert(rate === ((id % 3 + 1) * 8000).toInt)
       assert(bits === 16)

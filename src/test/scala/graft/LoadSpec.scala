@@ -609,6 +609,62 @@ class LoadSpec extends SparkSpec {
     assert(WarcSource.parseAll("p", m1 ++ m2).size === 2)
   }
 
+  test("JsonlSource compressed shards: zstd round-trip, gzip by magic " +
+    "dispatch, corrupt JSON raises, unknown magic raises") {
+    import graft.sources.JsonlSource
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-jsonl-zst").toString
+    val df = Seq(
+      (1L, "plain text", "en"),
+      (2L, "newline\\n \"quotes\" é中", "fr"),
+      (3L, null.asInstanceOf[String], "de")).toDF("id", "text", "lang")
+    val p = JsonlSource.stageZst(df, root, "t", 5L)
+    assert(new java.io.File(p).listFiles()
+      .exists(_.getName.endsWith(".jsonl.zst")))
+    val back = JsonlSource.readCompressed(spark, p, df.schema)
+      .as[(Long, String, String)].collect().toSet
+    assert(back === Set((1L, "plain text", "en"),
+      (2L, "newline\\n \"quotes\" é中", "fr"), (3L, null, "de")))
+    // a GZIP shard in the same dir dispatches by magic, not name
+    val gz = new java.io.File(p, "part-gz.jsonl.gz")
+    val go = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(gz))
+    go.write("{\"id\":9,\"text\":\"gz member\",\"lang\":\"xx\"}\n"
+      .getBytes("UTF-8"))
+    go.close()
+    val withGz = JsonlSource.readCompressed(spark, p, df.schema)
+      .as[(Long, String, String)].collect().toSet
+    assert(withGz === back + ((9L, "gz member", "xx")))
+    gz.delete()
+    // a corrupt line RAISES (never a silent null row)
+    val badDir = new java.io.File(root, "bad"); badDir.mkdirs()
+    val bz = new com.github.luben.zstd.ZstdOutputStream(
+      new java.io.FileOutputStream(
+        new java.io.File(badDir, "part-0.jsonl.zst")), 3)
+    bz.write("{\"id\":1,\"text\":\"ok\",\"lang\":\"en\"}\n{not json\n"
+      .getBytes("UTF-8"))
+    bz.close()
+    val e = intercept[Exception] {
+      JsonlSource.readCompressed(spark, badDir.toString, df.schema)
+        .collect()
+    }
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString("|")
+    assert(chain(e).toLowerCase.contains("malformed") ||
+      chain(e).contains("corrupt JSON line"), chain(e).take(300))
+    // unrecognized magic is loud, not skipped
+    val junkDir = new java.io.File(root, "junk"); junkDir.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(junkDir, "part-0.jsonl.xz").toPath,
+      Array[Byte](1, 2, 3, 4, 5))
+    val e2 = intercept[Exception] {
+      JsonlSource.readCompressed(spark, junkDir.toString, df.schema)
+        .collect()
+    }
+    assert(chain(e2).contains("magic bytes unrecognized"), chain(e2).take(300))
+  }
+
   test("AvroSource: lossless round-trip over every subset type incl. " +
     "varint/double edge values; fingerprint-once staging; schema " +
     "drift and a corrupted sync marker fail loudly") {
