@@ -974,6 +974,35 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("videoFrameStats runs unchanged under readStream: the map-only " +
+      "frame sampling decodes each micro-batch exactly like batch") {
+    import graft.ext.{JpegEncoder, MjpegAvi, Multimodal}
+    implicit val sq = spark.sqlContext
+    def clip(id: Long): Array[Byte] = {
+      val n = ((id % 3) * 2 + 2).toInt
+      MjpegAvi.encode((0 until n).map(f =>
+        JpegEncoder.grayDcOnly(16, 8, (bx, _) =>
+          ((id * 31 + f * 97 + bx * 53) % 256).toInt - 128)), 16, 8, 33333)
+    }
+    val blobs = (0L until 9L).map(id => (id, clip(id)))
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = Multimodal.videoFrameStats(
+        in.toDF().toDF("doc_id", "blob"), stride = 2)
+      .writeStream.format("memory").queryName("vframes_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(blobs.take(4)); q.processAllAvailable()
+      in.addData(blobs.drop(4)); q.processAllAvailable()
+      val got = spark.table("vframes_out")
+        .as[(Long, Int, Int, Int, Int, Long, Int, Int)].collect().toSet
+      val want = Multimodal.videoFrameStats(
+          blobs.toDF("doc_id", "blob"), stride = 2)
+        .as[(Long, Int, Int, Int, Int, Long, Int, Int)].collect().toSet
+      assert(got === want)
+      assert(want.map(_._1).size === 9)
+    } finally q.stop()
+  }
+
   test("patchApplyStream: per-column LWW converges under out-of-order " +
       "delivery and at-least-once replay, and matches the batch " +
       "patchApply fold") {
