@@ -491,6 +491,30 @@ object Multimodal {
       }.toDF("id", "ahash")
   }
 
+  /** KEYFRAME perceptual hash per (doc_id, blob) MJPEG-AVI row — the
+    * video near-dup signature every clip-dedup pipeline starts from:
+    * the first sampled frame ([[MjpegAvi.sampleFrames]], so only ONE
+    * frame per clip is ever decoded) pools through the same 10×6
+    * [[aHashFromGray]] grid as the image pass, making the signature
+    * directly joinable with image hashes in the shared banded
+    * machinery. Loud on non-AVI payloads or empty clips.
+    */
+  def videoKeyframeAHash(df: DataFrame, id: Column, blob: Column,
+                         stride: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.as("id"), blob.as("blob")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (i, bytes) =>
+          val frames = MjpegAvi.sampleFrames(bytes, stride)
+          if (frames.isEmpty)
+            throw new IllegalArgumentException(
+              s"videoKeyframeAHash: id $i has no sampled frames")
+          (i, aHashFromGray(frames.head._2))
+        }
+      }.toDF("id", "vhash")
+  }
+
   /** Real pixel-decode features per (doc_id, blob) image row — the
     * proof surface for [[PixelDecoder]]: integer raster statistics a
     * closed-form oracle can recompute pixel by pixel. Loud on

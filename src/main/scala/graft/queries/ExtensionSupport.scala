@@ -207,6 +207,8 @@ private[queries] object ExtensionSupport {
         MultimodalQueries.phashBlobs(s, dir).count() },
       timed("mm_video_blobs") {
         MultimodalQueries.videoBlobs(s, dir).count() },
+      timed("mm_vdup_blobs") {
+        MultimodalQueries.vdupBlobs(s, dir).count() },
       timed("bucketed_layout") { bucketedLayout(s, dir) })
   }
 
@@ -233,7 +235,7 @@ private[queries] object ExtensionSupport {
       "bm25_top20", "pr_graph", "copurchase_edges", "shingle_pairs",
       "events_census", "i2b2_spine", "i2b2_hier_last",
       "mm_pixel_blobs", "mm_ahash_blobs", "mm_audio_blobs",
-      "mm_phash_blobs", "mm_video_blobs")
+      "mm_phash_blobs", "mm_video_blobs", "mm_vdup_blobs")
       .foreach(stage => Stages.evict(s, s"$dir|$stage"))
     // next bucketedLayout call re-writes the tables (rebuild timing)
     bucketedWritten.remove(s"${s.sparkContext.applicationId}|$dir|bucketed")

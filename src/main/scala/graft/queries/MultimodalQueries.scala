@@ -244,6 +244,36 @@ private[queries] object MultimodalQueries {
         }.toDF("doc_id", "blob")
     }
 
+  /** Near-dup video clips for `mm_video_dup_pairs` — every run of
+    * five doc ids shares one 3-frame 80×48 MJPEG clip. Frame 0 is
+    * the [[ahashBlobs]] group-slope raster rendered as DC-only 8×8
+    * blocks (g·8−1024 decodes to EXACTLY g, so the 10×6 pool equals
+    * the closed-form grid); frames 1–2 are decoys the stride-4
+    * sampler never decodes — pinning the decode-on-demand contract
+    * inside an oracle-checked row.
+    */
+  private[queries] def vdupBlobs(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "mm_vdup_blobs") {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val grp = id / 5
+            def g(bx: Int, by: Int, f: Int): Int = {
+              val h = ((grp % 65536 + 1) *
+                (bx * 151 + by * 211 + 1 + f * 631)
+                + grp * 7919) % 65536
+              ((h * 2654435761L / 1024) % 256).toInt
+            }
+            val frames = (0 until 3).map { f =>
+              JpegEncoder.grayDcOnly(80, 48,
+                (bx, by) => g(bx, by, f) * 8 - 1024)
+            }
+            (id, MjpegAvi.encode(frames, 80, 48, usPerFrame = 33333))
+          }
+        }.toDF("doc_id", "blob")
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // -- Multimodal binary columns -----------------------------------
@@ -381,6 +411,19 @@ private[queries] object MultimodalQueries {
     // form frame by frame
     "mm_video_frames" -> { (s, dir) =>
       Multimodal.videoFrameStats(videoBlobs(s, dir), stride = 2).toDF()
+    },
+
+    // video near-dup by KEYFRAME perceptual hash — the clip-dedup
+    // pass: one frame decoded per clip (stride 4 over 3-frame clips
+    // samples frame 0 only), 10x6 aHash over the pooled blocks, same
+    // 4x15-bit banded join; the oracle replays the block closed form
+    // (frame-0 mixing matches the image pass, so the expected pairs
+    // are the ahash fixture's — two decode paths, one ground truth)
+    "mm_video_dup_pairs" -> { (s, dir) =>
+      val sigs = Multimodal.videoKeyframeAHash(vdupBlobs(s, dir),
+        col("doc_id"), col("blob"), stride = 4)
+      DedupOps.simhashBandPairs(sigs, col("id"), col("vhash"),
+        bands = 4, bitsPerBand = 15, maxHamming = 3, bits = 60)
     },
 
     // resize + frame-sample plumbing over the decoded features
@@ -619,6 +662,35 @@ private[queries] object MultimodalQueries {
         |WHERE a.doc_id < c.doc_id
         |  AND bit_count(xor(a.ahash, c.ahash)) <= 3""".stripMargin,
 
+
+    // the keyframe closed form IS the ahash fixture's grid (frame-0
+    // mixing matches the image pass by design — two decode paths,
+    // one ground truth), so the video pairs replay the same SQL
+    "mm_video_dup_pairs" ->
+      """WITH g AS (SELECT doc_id, doc_id // 5 AS grp FROM documents),
+        |pix AS (SELECT doc_id, y.y * 10 + x.x AS i,
+        |    ((((grp % 65536 + 1) * (x.x * 151 + y.y * 211 + 1)
+        |       + grp * 7919) % 65536)
+        |     * 2654435761 // 1024) % 256 AS p
+        |  FROM g,
+        |    LATERAL (SELECT unnest(range(0, 10)) AS x) x,
+        |    LATERAL (SELECT unnest(range(0, 6)) AS y) y),
+        |tot AS (SELECT doc_id, sum(p) AS t FROM pix GROUP BY 1),
+        |sig AS (SELECT pix.doc_id,
+        |    CAST(sum(CASE WHEN p * 60 > t
+        |             THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+        |             ELSE 0 END)
+        |      AS BIGINT) AS vhash
+        |  FROM pix JOIN tot USING (doc_id) GROUP BY 1),
+        |banded AS (SELECT doc_id, vhash, bb,
+        |    (vhash >> (bb * 15)) & 32767 AS bkey
+        |  FROM sig, unnest(range(0, 4)) AS u(bb))
+        |SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.vhash, c.vhash)) AS INT) AS hamming
+        |FROM banded a JOIN banded c
+        |  ON a.bb = c.bb AND a.bkey = c.bkey
+        |WHERE a.doc_id < c.doc_id
+        |  AND bit_count(xor(a.vhash, c.vhash)) <= 3""".stripMargin,
 
     // the gradient hash replayed cell by cell (the fixture raster is
     // exactly the 10×6 pool, so cells are pixels): bit = right

@@ -253,6 +253,26 @@ object StreamOps {
         .select(col("id").as("doc_id"), col("afp").as("simhash")),
       bands, bitsPerBand, maxHamming, maxPerBucket, idleBucketTtl)
 
+  /** Streaming twin of the VIDEO keyframe near-dup pass
+    * (`mm_video_dup_pairs`): per arriving (doc_id, blob) MJPEG-AVI
+    * clip, decode ONLY the first sampled frame into the 10×6 aHash
+    * ([[graft.ext.Multimodal.videoKeyframeAHash]]), then the shared
+    * banded machinery at the batch geometry. Completes the near-dup
+    * family's stream coverage: text, image (3 hashes), audio, video.
+    */
+  def videoNearDupCandidates(blobs: DataFrame, stride: Int = 4,
+                             bands: Int = 4,
+                             bitsPerBand: Int = 15,
+                             maxHamming: Int = 3,
+                             maxPerBucket: Int = 1024,
+                             idleBucketTtl: Option[String] = None)
+      : Dataset[NearDup] =
+    simhashNearDupCandidates(
+      graft.ext.Multimodal.videoKeyframeAHash(blobs, col("doc_id"),
+          col("blob"), stride)
+        .select(col("id").as("doc_id"), col("vhash").as("simhash")),
+      bands, bitsPerBand, maxHamming, maxPerBucket, idleBucketTtl)
+
   case class FunnelEvent(key: Long, ts: java.sql.Timestamp, tie: Long,
                          etype: String)
   case class FunnelHit(key: Long, tie: Long, ts: java.sql.Timestamp,

@@ -974,6 +974,50 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("videoNearDupCandidates: keyframe-hash banded near-dup over " +
+      "MJPEG clips matches the batch pass across micro-batches") {
+    implicit val sq = spark.sqlContext
+    import graft.ext.{DedupOps, JpegEncoder, MjpegAvi, Multimodal}
+    // 80x48 DC-only keyframes pool to the exact 10x6 block grid;
+    // frame 1 is a decoy the stride-4 sampler never decodes
+    def clip(cells: Set[(Int, Int)]): Array[Byte] = {
+      def kf(bx: Int, by: Int) =
+        (if (cells((bx, by))) 255 else 10) * 8 - 1024
+      MjpegAvi.encode(Seq(
+        JpegEncoder.grayDcOnly(80, 48, kf),
+        JpegEncoder.grayDcOnly(80, 48, (_, _) => 0)), 80, 48, 33333)
+    }
+    val a = Set((0, 0), (1, 0))
+    val blobs = Seq(
+      (1L, clip(a)), (2L, clip(a)), // exact dup keyframes
+      (3L, clip(Set((8, 5), (9, 5)))), // far
+      (4L, clip(a + ((2, 0))))) // hamming-1 neighbor
+    def norm(p: (Long, Long)) =
+      (math.min(p._1, p._2), math.max(p._1, p._2))
+    val batch = DedupOps.simhashBandPairs(
+        Multimodal.videoKeyframeAHash(blobs.toDF("doc_id", "blob"),
+          $"doc_id", $"blob", stride = 4),
+        $"id", $"vhash", bands = 4, bitsPerBand = 15, maxHamming = 3,
+        bits = 60)
+      .select($"id_a", $"id_b", $"hamming")
+      .as[(Long, Long, Int)].collect()
+      .map(r => (norm((r._1, r._2)), r._3)).toSet
+    assert(batch.map(_._1) === Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = StreamOps.videoNearDupCandidates(
+        in.toDF().toDF("doc_id", "blob"))
+      .writeStream.format("memory").queryName("mm_videodup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(blobs.take(3): _*); q.processAllAvailable()
+      in.addData(blobs.drop(3): _*); q.processAllAvailable()
+      val got = spark.table("mm_videodup_out")
+        .as[StreamOps.NearDup].collect()
+        .map(d => (norm((d.doc_id, d.dup_of)), d.hamming)).toSet
+      assert(got === batch)
+    } finally q.stop()
+  }
+
   test("videoFrameStats runs unchanged under readStream: the map-only " +
       "frame sampling decodes each micro-batch exactly like batch") {
     import graft.ext.{JpegEncoder, MjpegAvi, Multimodal}
