@@ -612,6 +612,73 @@ object RelationalQueries {
     // order-date year. The reference data starts 1995-01-01, so the
     // year window is 1996 rather than the spec's 1994 — same shape
     // (range prune on the fact table, broadcast-size region filter).
+    // TPC-H Q7 volume shipping — the two-nation bidirectional join:
+    // lineitem joins BOTH nation ends (supplier's and customer's),
+    // the pair filter keeps the two directions, revenue rolls up per
+    // (supp_nation, cust_nation, year). The nation dims broadcast;
+    // the only big exchanges are the l-o and o-c key joins.
+    "tpch_q7" -> { (s, dir) =>
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val su = t(s, dir, "supplier")
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("n1_key"),
+          col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("n2_key"),
+          col("n_name").as("cust_nation"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(n1), su("s_nationkey") === col("n1_key"))
+        .join(broadcast(n2), c("c_nationkey") === col("n2_key"))
+        .filter((col("supp_nation") === "NATION_1" &&
+          col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum((l("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") -
+            l("l_discount").cast("decimal(18,2)"))))
+          .cast("double").as("revenue"))
+    },
+
+    // TPC-H Q18 large-volume customers — the group-having semi-join:
+    // the qualifying-order set is ONE hash aggregate over lineitem
+    // (map-side combinable), then a semi-join prunes orders BEFORE
+    // the customer join; top-100 by a bounded TakeOrdered, never a
+    // global sort
+    "tpch_q18" -> { (s, dir) =>
+      val l = t(s, dir, "lineitem")
+      // projected copy for the qualifying set: distinct lineage, so
+      // the later l join is not an ambiguous self-join
+      val big = l.select(col("l_orderkey").as("__lk"),
+          col("l_quantity").as("__lq"))
+        .groupBy(col("__lk"))
+        .agg(sum(col("__lq").cast("decimal(18,2)")).as("__q"))
+        .filter(col("__q") > 200)
+        .select(col("__lk").as("__bk"))
+      val o = t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("__bk"), "left_semi")
+      val c = t(s, dir, "customer")
+      // unqualified col() refs: the semi-join's right side carries no
+      // output attributes, so each name resolves uniquely even though
+      // lineitem's subtree appears twice in the plan
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(l.select(col("l_orderkey").as("__jk"), col("l_quantity")),
+          col("o_orderkey") === col("__jk"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)"))
+          .cast("double").as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+
     "tpch_q5" -> { (s, dir) =>
       val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
       val n = t(s, dir, "nation")
@@ -1053,6 +1120,36 @@ object RelationalQueries {
         |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "tpch_q7" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  CAST(SUM($rev) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        |  o_totalprice,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY 1
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 200)
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
 
     "tpch_q5" ->
       s"""SELECT n_name,
