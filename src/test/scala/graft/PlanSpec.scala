@@ -704,6 +704,36 @@ class PlanSpec extends SparkSpec {
       s"unchecked columns must not reach any scan:\n$p")
   }
 
+  test("cdc_patch_apply: the LWW fold is ONE hash aggregate over the " +
+      "changelog (no per-key window sort) plus the keyed full-outer " +
+      "apply — no window, no cartesian, max_by partial-aggregates") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = SparkEntry.queries("cdc_patch_apply")(spark, dir)
+    assert(df.queryExecution.optimizedPlan.collect {
+      case w: LWindow => w
+    }.isEmpty, "the changelog fold must never sort per key")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    // partial max_by before the exchange = map-side combine: the
+    // changelog reduces before it moves
+    assert(p.contains("partial_max_by") || p.contains("partial_max"),
+      s"LWW fold should partial-aggregate map-side:\n${p.take(3000)}")
+  }
+
+  test("tpch_q7 / tpch_q18: the nation dims broadcast; the top-100 is " +
+      "a bounded TakeOrdered, never a global sort; no cartesian") {
+    val p7 = plan("tpch_q7")
+    assert("BroadcastHashJoin".r.findAllIn(p7).size >= 2,
+      s"both nation ends should broadcast:\n${p7.take(3000)}")
+    assert(!p7.contains("CartesianProduct"))
+    val p18 = plan("tpch_q18")
+    assert(p18.contains("TakeOrderedAndProject"),
+      s"top-100 must be a bounded heap:\n${p18.take(3000)}")
+    assert(p18.contains("LeftSemi"),
+      s"the qualifying set must prune orders via a semi-join:\n${
+        p18.take(3000)}")
+  }
+
   test("CollapseNfcNormalize: the optimizer rule folds nested " +
       "idempotent normalizations, and an extensions-built session " +
       "applies it end-to-end") {
