@@ -491,6 +491,51 @@ object Multimodal {
       }.toDF("id", "ahash")
   }
 
+  /** VAD-style energy SEGMENTATION per (doc_id, blob) audio row — the
+    * voice-activity chunking an ASR training pipeline runs before
+    * transcription: decode (same magic dispatch as
+    * [[audioFingerprints]]), mark samples with |s| > `threshold`
+    * voiced, and emit each MAXIMAL voiced run as
+    * (id, seg_no, t_start, n_samples, energy). Map-only — the run
+    * detection is a linear pass over each member's samples, no
+    * shuffle at any scale; the SQL oracle replays it as an
+    * islands-and-gaps window over the closed-form samples.
+    */
+  def audioSegments(df: DataFrame, id: Column, blob: Column,
+                    threshold: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.as("id"), blob.as("blob")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (i, bytes) =>
+          val samples = FlacDecoder.firstChannel(bytes)
+            .orElse(AudioHeader.linearSamples(bytes)).getOrElse(
+              throw new IllegalArgumentException(
+                s"audioSegments: id $i is not a decodable audio " +
+                  s"payload (${bytes.length} bytes)"))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Int, Int, Int, Long)]
+          var t = 0
+          var segNo = 0
+          while (t < samples.length) {
+            val a = math.abs(samples(t))
+            if (a > threshold) {
+              val start = t
+              var energy = 0L
+              while (t < samples.length &&
+                math.abs(samples(t)) > threshold) {
+                energy += math.abs(samples(t))
+                t += 1
+              }
+              out += ((i, segNo, start, t - start, energy))
+              segNo += 1
+            } else t += 1
+          }
+          out
+        }
+      }.toDF("id", "seg_no", "t_start", "n_samples", "energy")
+  }
+
   /** KEYFRAME perceptual hash per (doc_id, blob) MJPEG-AVI row — the
     * video near-dup signature every clip-dedup pipeline starts from:
     * the first sampled frame ([[MjpegAvi.sampleFrames]], so only ONE

@@ -494,6 +494,16 @@ private[queries] object MultimodalQueries {
         bands = 4, bitsPerBand = 15, maxHamming = 3, bits = 60)
     },
 
+    // VAD-style energy segmentation over the SAME decoded samples —
+    // the ASR chunking pass: |s| > 128 marks voiced, maximal runs
+    // become (seg_no, t_start, n_samples, energy) rows; map-only,
+    // the oracle replays it as islands-and-gaps
+    "mm_audio_segments" -> { (s, dir) =>
+      Multimodal.audioSegments(audioBlobs(s, dir),
+        col("doc_id"), col("blob"), threshold = 128)
+        .withColumnRenamed("id", "doc_id")
+    },
+
     // gradient-hash near-dup over the SAME decoded rasters: 54-bit
     // dHash (neighbor-compare — brightness/contrast-invariant where
     // aHash is global-mean-thresholded), 3×18-bit bands (any
@@ -813,6 +823,48 @@ private[queries] object MultimodalQueries {
         |WHERE a.doc_id < c.doc_id
         |  AND bit_count(xor(a.afp, c.afp)) <= 3""".stripMargin,
 
+
+    // the same closed-form |sample| stream, segmented by islands-and-
+    // gaps: voiced rows keyed by t - row_number() collapse into
+    // maximal runs
+    "mm_audio_segments" ->
+      """WITH g AS (SELECT doc_id, doc_id // 5 AS grp FROM documents),
+        |raw AS (SELECT doc_id, grp, t.t AS t,
+        |    ((((grp % 65536 + 1) * (t.t * 101 + 1)
+        |       + grp * 7919) % 65536)
+        |     * 2654435761 // 1024) AS m
+        |  FROM g, LATERAL (SELECT unnest(range(0, 120)) AS t) t),
+        |s AS (SELECT doc_id, t,
+        |    CASE WHEN grp % 4 IN (0, 3) THEN abs(m % 512 - 256)
+        |         WHEN grp % 4 = 1 THEN
+        |           (((255 - (208 + m % 32)) % 16) * 8 + 132)
+        |             * (CAST(1 AS BIGINT) << CAST(
+        |                 ((255 - (208 + m % 32)) // 16) % 8 AS INT))
+        |             - 132
+        |         ELSE CASE ((32 + m % 32) // 16) % 8
+        |           WHEN 0 THEN ((32 + m % 32) % 16) * 16 + 8
+        |           WHEN 1 THEN ((32 + m % 32) % 16) * 16 + 264
+        |           ELSE (((32 + m % 32) % 16) * 16 + 264)
+        |             * (CAST(1 AS BIGINT) << CAST(
+        |                 ((32 + m % 32) // 16) % 8 - 1 AS INT))
+        |         END
+        |    END AS a
+        |  FROM raw),
+        |v AS (SELECT doc_id, t, a FROM s WHERE a > 128),
+        |isl AS (SELECT doc_id, t, a,
+        |    t - row_number() OVER (PARTITION BY doc_id ORDER BY t)
+        |      AS grp_key
+        |  FROM v),
+        |seg AS (SELECT doc_id, min(t) AS t_start,
+        |    count(*) AS n_samples, sum(a) AS energy
+        |  FROM isl GROUP BY doc_id, grp_key)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY t_start) - 1 AS INT) AS seg_no,
+        |  CAST(t_start AS INT) AS t_start,
+        |  CAST(n_samples AS INT) AS n_samples,
+        |  CAST(energy AS BIGINT) AS energy
+        |FROM seg""".stripMargin,
 
     // the full curation chain replayed: same closed-form rasters →
     // brightness gate → ahash band pairs over survivors → recursive
