@@ -536,6 +536,55 @@ object Multimodal {
       }.toDF("id", "seg_no", "t_start", "n_samples", "energy")
   }
 
+  /** SHOT-BOUNDARY detection per (doc_id, blob) MJPEG-AVI row — the
+    * scene segmentation a video curation pipeline runs before
+    * clip-level sampling: consecutive frames decode (stride 1 — this
+    * op inherently reads every frame, unlike [[videoFrameStats]]'s
+    * sampler), the mean-absolute-pixel-difference against the
+    * previous frame scores each transition, and a score >
+    * `cutThreshold` opens a new scene. Emits one row per scene:
+    * (id, scene_no, f_start, n_frames). Map-only, per-row memory two
+    * frames; same loud-failure contract as [[videoFrameStats]].
+    */
+  def videoScenes(df: DataFrame, cutThreshold: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val frames = MjpegAvi.sampleFrames(bytes, stride = 1)
+          if (frames.isEmpty)
+            throw new IllegalArgumentException(
+              s"videoScenes: id $id has no frames")
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Int, Int, Int)]
+          var prev: Pixels = null
+          var sceneStart = 0
+          var sceneNo = 0
+          for ((no, px) <- frames) {
+            if (prev != null) {
+              require(px.gray.length == prev.gray.length,
+                s"videoScenes: id $id frame $no changes dimensions")
+              var diff = 0L
+              var k = 0
+              while (k < px.gray.length) {
+                diff += math.abs(px.gray(k) - prev.gray(k))
+                k += 1
+              }
+              if (diff / px.gray.length > cutThreshold) {
+                out += ((id, sceneNo, sceneStart, no - sceneStart))
+                sceneNo += 1
+                sceneStart = no
+              }
+            }
+            prev = px
+          }
+          out += ((id, sceneNo, sceneStart, frames.size - sceneStart))
+          out
+        }
+      }.toDF("doc_id", "scene_no", "f_start", "n_frames")
+  }
+
   /** KEYFRAME perceptual hash per (doc_id, blob) MJPEG-AVI row — the
     * video near-dup signature every clip-dedup pipeline starts from:
     * the first sampled frame ([[MjpegAvi.sampleFrames]], so only ONE

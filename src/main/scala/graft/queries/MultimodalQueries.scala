@@ -426,6 +426,14 @@ private[queries] object MultimodalQueries {
         bands = 4, bitsPerBand = 15, maxHamming = 3, bits = 60)
     },
 
+    // SHOT-BOUNDARY detection over the same clips: every consecutive
+    // frame pair scores mean-absolute-pixel-difference, score > 15
+    // opens a scene; the oracle replays the closed-form flats through
+    // a lag window + running cut count
+    "mm_video_scenes" -> { (s, dir) =>
+      Multimodal.videoScenes(videoBlobs(s, dir), cutThreshold = 15)
+    },
+
     // resize + frame-sample plumbing over the decoded features
     "mm_thumbnail" -> { (s, dir) =>
       val feats = Multimodal.decodeFeatures(
@@ -672,6 +680,36 @@ private[queries] object MultimodalQueries {
         |WHERE a.doc_id < c.doc_id
         |  AND bit_count(xor(a.ahash, c.ahash)) <= 3""".stripMargin,
 
+
+    // the scene boundaries replayed: per-frame block flats → lag
+    // window MAD score → running cut count → per-scene rollup.
+    // score = (|d0| + |d1|) // 2 because each block is 64 of the 128
+    // pixels (both engines floor the non-negative quotient)
+    "mm_video_scenes" ->
+      """WITH f AS (SELECT doc_id, (doc_id % 3) * 2 + 2 AS n
+        |  FROM documents),
+        |fr AS (SELECT doc_id, n, CAST(i.i AS INT) AS fno
+        |  FROM f, LATERAL (SELECT unnest(range(0, n)) AS i) i),
+        |blk AS (SELECT doc_id, n, fno, bx.bx AS bx,
+        |    ((doc_id * 31 + fno * 97 + bx.bx * 53) % 256 + 900)
+        |      // 8 AS flat
+        |  FROM fr, LATERAL (SELECT unnest(range(0, 2)) AS bx) bx),
+        |fl AS (SELECT doc_id, n, fno,
+        |    max(CASE WHEN bx = 0 THEN flat END) AS f0,
+        |    max(CASE WHEN bx = 1 THEN flat END) AS f1
+        |  FROM blk GROUP BY 1, 2, 3),
+        |d AS (SELECT doc_id, n, fno,
+        |    (abs(f0 - lag(f0) OVER w) + abs(f1 - lag(f1) OVER w))
+        |      // 2 AS score
+        |  FROM fl WINDOW w AS (PARTITION BY doc_id ORDER BY fno)),
+        |sc AS (SELECT doc_id, fno,
+        |    sum(CASE WHEN fno > 0 AND score > 15 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY fno) AS scene_no
+        |  FROM d)
+        |SELECT doc_id, CAST(scene_no AS INT) AS scene_no,
+        |  CAST(min(fno) AS INT) AS f_start,
+        |  CAST(count(*) AS INT) AS n_frames
+        |FROM sc GROUP BY doc_id, scene_no""".stripMargin,
 
     // the keyframe closed form IS the ahash fixture's grid (frame-0
     // mixing matches the image pass by design — two decode paths,
