@@ -546,6 +546,42 @@ private[queries] object MultimodalQueries {
     // stats. Decode/signature map-only; the pair join is the shared
     // 4×15-bit band machinery; the component loop is the bounded-
     // endgame star contraction.
+    // the AUDIO curation flagship, mirroring curate_images: VAD
+    // census (voiced samples + segment count per member) → activity
+    // gate (drops the all-voiced μ-law groups and near-silent
+    // members) → energy-fingerprint near-dup over survivors at the
+    // curation merge discipline (hamming ≤ 1) → star-contraction
+    // components → min-id survivor with cluster size + census
+    "curate_audio" -> { (s, dir) =>
+      val blobs = audioBlobs(s, dir)
+      val segs = Multimodal.audioSegments(blobs,
+        col("doc_id"), col("blob"), threshold = 128)
+      val census = blobs.select(col("doc_id"))
+        .join(segs.groupBy(col("id").as("doc_id"))
+          .agg(sum(col("n_samples")).as("voiced"),
+            count(lit(1)).as("n_segments")),
+          Seq("doc_id"), "left")
+        .na.fill(0L, Seq("voiced", "n_segments"))
+      val kept = census.filter(col("voiced") >= 40 &&
+        col("voiced") < 110)
+      val sigs = Multimodal.audioFingerprints(
+        blobs.join(kept.select("doc_id"), Seq("doc_id"), "left_semi"),
+        col("doc_id"), col("blob"))
+      val pairs = DedupOps.simhashBandPairs(sigs, col("id"),
+        col("afp"), bands = 4, bitsPerBand = 15, maxHamming = 1,
+        bits = 60)
+      val comps = DedupOps.connectedComponents(
+        kept.select(col("doc_id").as("id")), pairs)
+      val sizes = comps.groupBy(col("component_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+      comps.filter(col("id") === col("component_id"))
+        .join(sizes, Seq("component_id"))
+        .select(col("id").as("doc_id"), col("cluster_size"))
+        .join(kept, Seq("doc_id"))
+        .select(col("doc_id"), col("cluster_size"), col("voiced"),
+          col("n_segments"))
+    },
+
     "curate_images" -> { (s, dir) =>
       val feats = Multimodal.curationFeatures(ahashBlobs(s, dir))
       val kept = feats.filter(col("gray_sum") >= 7000 &&
@@ -907,6 +943,77 @@ private[queries] object MultimodalQueries {
     // the full curation chain replayed: same closed-form rasters →
     // brightness gate → ahash band pairs over survivors → recursive
     // closure → min-id survivor with cluster size + stats
+    // the audio chain replayed: closed-form |samples| → VAD census
+    // (lag marks run starts) → activity gate → windowed energy
+    // fingerprint over survivors → banded pairs at hamming ≤ 1 →
+    // recursive closure → min-id survivor
+    "curate_audio" ->
+      """WITH RECURSIVE g AS (SELECT doc_id, doc_id // 5 AS grp
+        |  FROM documents),
+        |raw AS (SELECT doc_id, grp, t.t AS t,
+        |    ((((grp % 65536 + 1) * (t.t * 101 + 1)
+        |       + grp * 7919) % 65536)
+        |     * 2654435761 // 1024) AS m
+        |  FROM g, LATERAL (SELECT unnest(range(0, 120)) AS t) t),
+        |s AS (SELECT doc_id, t,
+        |    CASE WHEN grp % 4 IN (0, 3) THEN abs(m % 512 - 256)
+        |         WHEN grp % 4 = 1 THEN
+        |           (((255 - (208 + m % 32)) % 16) * 8 + 132)
+        |             * (CAST(1 AS BIGINT) << CAST(
+        |                 ((255 - (208 + m % 32)) // 16) % 8 AS INT))
+        |             - 132
+        |         ELSE CASE ((32 + m % 32) // 16) % 8
+        |           WHEN 0 THEN ((32 + m % 32) % 16) * 16 + 8
+        |           WHEN 1 THEN ((32 + m % 32) % 16) * 16 + 264
+        |           ELSE (((32 + m % 32) % 16) * 16 + 264)
+        |             * (CAST(1 AS BIGINT) << CAST(
+        |                 ((32 + m % 32) // 16) % 8 - 1 AS INT))
+        |         END
+        |    END AS a
+        |  FROM raw),
+        |cen AS (SELECT doc_id,
+        |    sum(CASE WHEN a > 128 THEN 1 ELSE 0 END) AS voiced,
+        |    sum(CASE WHEN a > 128 AND coalesce(pa, 0) <= 128
+        |        THEN 1 ELSE 0 END) AS n_segments
+        |  FROM (SELECT doc_id, t, a,
+        |      lag(a) OVER (PARTITION BY doc_id ORDER BY t) AS pa
+        |    FROM s) GROUP BY 1),
+        |kept AS (SELECT * FROM cen
+        |  WHERE voiced >= 40 AND voiced < 110),
+        |w AS (SELECT s.doc_id, CAST(t // 2 AS INT) AS wi,
+        |    sum(a) AS e
+        |  FROM s JOIN kept USING (doc_id) GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(e) AS t FROM w GROUP BY 1),
+        |sig AS (SELECT w.doc_id,
+        |    CAST(sum(CASE WHEN e * 60 > t
+        |             THEN (CAST(1 AS BIGINT) << wi) ELSE 0 END)
+        |      AS BIGINT) AS afp
+        |  FROM w JOIN tot USING (doc_id) GROUP BY 1),
+        |banded AS (SELECT doc_id, afp, bb,
+        |    (afp >> (bb * 15)) & 32767 AS bkey
+        |  FROM sig, unnest(range(0, 4)) AS u(bb)),
+        |pairs AS (SELECT DISTINCT a.doc_id AS pa, c.doc_id AS pb
+        |  FROM banded a JOIN banded c
+        |    ON a.bb = c.bb AND a.bkey = c.bkey
+        |  WHERE a.doc_id < c.doc_id
+        |    AND bit_count(xor(a.afp, c.afp)) <= 1),
+        |edges AS (SELECT pa AS ea, pb AS eb FROM pairs
+        |          UNION ALL SELECT pb, pa FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM kept
+        |  UNION
+        |  SELECT r.src, e.eb FROM reach r JOIN edges e ON r.dst = e.ea),
+        |comp AS (SELECT src AS doc_id, min(dst) AS component_id
+        |  FROM reach GROUP BY 1),
+        |sizes AS (SELECT component_id, count(*) AS cluster_size
+        |  FROM comp GROUP BY 1)
+        |SELECT c.doc_id, z.cluster_size,
+        |  CAST(k.voiced AS BIGINT) AS voiced,
+        |  CAST(k.n_segments AS BIGINT) AS n_segments
+        |FROM comp c JOIN sizes z USING (component_id)
+        |  JOIN kept k ON k.doc_id = c.doc_id
+        |WHERE c.doc_id = c.component_id""".stripMargin,
+
     "curate_images" ->
       """WITH RECURSIVE g AS (SELECT doc_id, doc_id // 5 AS grp
         |  FROM documents),
