@@ -582,6 +582,41 @@ private[queries] object MultimodalQueries {
           col("n_segments"))
     },
 
+    // the VIDEO curation flagship, completing the triad: shot census
+    // (scene count per clip) + keyframe brightness gate → keyframe-
+    // aHash near-dup over survivors at the hamming ≤ 1 merge
+    // discipline → components → min-id survivor with cluster size,
+    // keyframe brightness and scene count. Every stage runs through
+    // the REAL AVI walk + JPEG decode.
+    "curate_videos" -> { (s, dir) =>
+      val blobs = vdupBlobs(s, dir)
+      val nScenes = Multimodal.videoScenes(blobs, cutThreshold = 15)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_scenes"))
+      val census = Multimodal.videoFrameStats(blobs, stride = 4)
+        .toDF().select(col("doc_id"), col("gray_sum"))
+        .join(nScenes, Seq("doc_id"))
+      // 64× the image chain's [7000, 8400) band: the keyframe is the
+      // image fixture's 10×6 grid rendered as 8×8 blocks
+      val kept = census.filter(col("gray_sum") >= 448000L &&
+        col("gray_sum") < 537600L)
+      val sigs = Multimodal.videoKeyframeAHash(
+        blobs.join(kept.select("doc_id"), Seq("doc_id"), "left_semi"),
+        col("doc_id"), col("blob"), stride = 4)
+      val pairs = DedupOps.simhashBandPairs(sigs, col("id"),
+        col("vhash"), bands = 4, bitsPerBand = 15, maxHamming = 1,
+        bits = 60)
+      val comps = DedupOps.connectedComponents(
+        kept.select(col("doc_id").as("id")), pairs)
+      val sizes = comps.groupBy(col("component_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+      comps.filter(col("id") === col("component_id"))
+        .join(sizes, Seq("component_id"))
+        .select(col("id").as("doc_id"), col("cluster_size"))
+        .join(kept, Seq("doc_id"))
+        .select(col("doc_id"), col("cluster_size"), col("gray_sum"),
+          col("n_scenes"))
+    },
+
     "curate_images" -> { (s, dir) =>
       val feats = Multimodal.curationFeatures(ahashBlobs(s, dir))
       val kept = feats.filter(col("gray_sum") >= 7000 &&
@@ -943,6 +978,66 @@ private[queries] object MultimodalQueries {
     // the full curation chain replayed: same closed-form rasters →
     // brightness gate → ahash band pairs over survivors → recursive
     // closure → min-id survivor with cluster size + stats
+    // the video chain replayed: frame-0 cells are the image chain's
+    // grid (same mixing), so the gate/sig/closure mirror
+    // curate_images at 64× brightness units; scene counts come from
+    // the 3-frame lag diffs ((64·Σ|d|)/3840 = Σ|d|//60 exactly)
+    "curate_videos" ->
+      """WITH RECURSIVE g AS (SELECT doc_id, doc_id // 5 AS grp
+        |  FROM documents),
+        |blk AS (SELECT doc_id, f.f AS fno, y.y * 10 + x.x AS i,
+        |    ((((grp % 65536 + 1)
+        |       * (x.x * 151 + y.y * 211 + 1 + f.f * 631)
+        |       + grp * 7919) % 65536)
+        |     * 2654435761 // 1024) % 256 AS p
+        |  FROM g,
+        |    LATERAL (SELECT unnest(range(0, 3)) AS f) f,
+        |    LATERAL (SELECT unnest(range(0, 10)) AS x) x,
+        |    LATERAL (SELECT unnest(range(0, 6)) AS y) y),
+        |fd AS (SELECT doc_id, fno, sum(abs(p - pp)) // 60 AS score
+        |  FROM (SELECT doc_id, fno, i, p,
+        |      lag(p) OVER (PARTITION BY doc_id, i ORDER BY fno) AS pp
+        |    FROM blk) WHERE pp IS NOT NULL GROUP BY 1, 2),
+        |ns AS (SELECT doc_id,
+        |    1 + sum(CASE WHEN score > 15 THEN 1 ELSE 0 END)
+        |      AS n_scenes
+        |  FROM fd GROUP BY 1),
+        |pix AS (SELECT doc_id, i, p FROM blk WHERE fno = 0),
+        |stats AS (SELECT doc_id, sum(p) AS t FROM pix GROUP BY 1),
+        |kept AS (SELECT doc_id, t FROM stats
+        |  WHERE t >= 7000 AND t < 8400),
+        |sig AS (SELECT pix.doc_id,
+        |    CAST(sum(CASE WHEN p * 60 > t
+        |             THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+        |             ELSE 0 END)
+        |      AS BIGINT) AS vhash
+        |  FROM pix JOIN kept USING (doc_id) GROUP BY 1),
+        |banded AS (SELECT doc_id, vhash, bb,
+        |    (vhash >> (bb * 15)) & 32767 AS bkey
+        |  FROM sig, unnest(range(0, 4)) AS u(bb)),
+        |pairs AS (SELECT DISTINCT a.doc_id AS pa, c.doc_id AS pb
+        |  FROM banded a JOIN banded c
+        |    ON a.bb = c.bb AND a.bkey = c.bkey
+        |  WHERE a.doc_id < c.doc_id
+        |    AND bit_count(xor(a.vhash, c.vhash)) <= 1),
+        |edges AS (SELECT pa AS ea, pb AS eb FROM pairs
+        |          UNION ALL SELECT pb, pa FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM kept
+        |  UNION
+        |  SELECT r.src, e.eb FROM reach r JOIN edges e ON r.dst = e.ea),
+        |comp AS (SELECT src AS doc_id, min(dst) AS component_id
+        |  FROM reach GROUP BY 1),
+        |sizes AS (SELECT component_id, count(*) AS cluster_size
+        |  FROM comp GROUP BY 1)
+        |SELECT c.doc_id, z.cluster_size,
+        |  CAST(k.t * 64 AS BIGINT) AS gray_sum,
+        |  CAST(n.n_scenes AS BIGINT) AS n_scenes
+        |FROM comp c JOIN sizes z USING (component_id)
+        |  JOIN kept k ON k.doc_id = c.doc_id
+        |  JOIN ns n ON n.doc_id = c.doc_id
+        |WHERE c.doc_id = c.component_id""".stripMargin,
+
     // the audio chain replayed: closed-form |samples| → VAD census
     // (lag marks run starts) → activity gate → windowed energy
     // fingerprint over survivors → banded pairs at hamming ≤ 1 →
