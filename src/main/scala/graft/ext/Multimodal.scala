@@ -739,6 +739,47 @@ object Multimodal {
       }.toDF("doc_id", "gray_sum", "gray_min", "gray_max", "ahash")
   }
 
+  /** ONE-decode-pass video curation features ([[curationFeatures]]'
+    * discipline for clips): per (doc_id, blob) MJPEG-AVI row, every
+    * frame decodes ONCE and yields the keyframe brightness sum, the
+    * shot count at `cutThreshold`, and the keyframe's 10×6 aHash —
+    * so a curation chain gates, censuses and near-dups from a single
+    * pass instead of three decodes. Map-only, two-frame memory.
+    */
+  def videoCurationFeatures(df: DataFrame,
+                            cutThreshold: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val frames = MjpegAvi.sampleFrames(bytes, stride = 1)
+          if (frames.isEmpty)
+            throw new IllegalArgumentException(
+              s"videoCurationFeatures: id $id has no frames")
+          val key = frames.head._2
+          var sum = 0L
+          var i = 0
+          while (i < key.gray.length) { sum += key.gray(i); i += 1 }
+          var scenes = 1
+          var prev = key
+          for ((no, px) <- frames.drop(1)) {
+            require(px.gray.length == prev.gray.length,
+              s"videoCurationFeatures: id $id frame $no changes dims")
+            var diff = 0L
+            var k = 0
+            while (k < px.gray.length) {
+              diff += math.abs(px.gray(k) - prev.gray(k))
+              k += 1
+            }
+            if (diff / px.gray.length > cutThreshold) scenes += 1
+            prev = px
+          }
+          (id, sum, scenes.toLong, aHashFromGray(key))
+        }
+      }.toDF("doc_id", "gray_sum", "n_scenes", "vhash")
+  }
+
   /** 60-bit audio energy fingerprint over REAL decoded PCM samples —
     * the perceptual near-dup signature for audio corpora, the twin of
     * [[aHashFromGray]]: split the first channel's samples into 60

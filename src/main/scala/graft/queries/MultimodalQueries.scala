@@ -590,21 +590,18 @@ private[queries] object MultimodalQueries {
     // the REAL AVI walk + JPEG decode.
     "curate_videos" -> { (s, dir) =>
       val blobs = vdupBlobs(s, dir)
-      val nScenes = Multimodal.videoScenes(blobs, cutThreshold = 15)
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_scenes"))
-      val census = Multimodal.videoFrameStats(blobs, stride = 4)
-        .toDF().select(col("doc_id"), col("gray_sum"))
-        .join(nScenes, Seq("doc_id"))
+      // ONE decode pass yields gate + census + signature (the
+      // curate_images single-pass discipline for clips)
+      val feats = Multimodal.videoCurationFeatures(blobs,
+        cutThreshold = 15)
       // 64× the image chain's [7000, 8400) band: the keyframe is the
       // image fixture's 10×6 grid rendered as 8×8 blocks
-      val kept = census.filter(col("gray_sum") >= 448000L &&
+      val kept = feats.filter(col("gray_sum") >= 448000L &&
         col("gray_sum") < 537600L)
-      val sigs = Multimodal.videoKeyframeAHash(
-        blobs.join(kept.select("doc_id"), Seq("doc_id"), "left_semi"),
-        col("doc_id"), col("blob"), stride = 4)
-      val pairs = DedupOps.simhashBandPairs(sigs, col("id"),
-        col("vhash"), bands = 4, bitsPerBand = 15, maxHamming = 1,
-        bits = 60)
+      val pairs = DedupOps.simhashBandPairs(
+        kept.select(col("doc_id").as("id"), col("vhash")),
+        col("id"), col("vhash"), bands = 4, bitsPerBand = 15,
+        maxHamming = 1, bits = 60)
       val comps = DedupOps.connectedComponents(
         kept.select(col("doc_id").as("id")), pairs)
       val sizes = comps.groupBy(col("component_id"))
@@ -612,7 +609,7 @@ private[queries] object MultimodalQueries {
       comps.filter(col("id") === col("component_id"))
         .join(sizes, Seq("component_id"))
         .select(col("id").as("doc_id"), col("cluster_size"))
-        .join(kept, Seq("doc_id"))
+        .join(kept.drop("vhash"), Seq("doc_id"))
         .select(col("doc_id"), col("cluster_size"), col("gray_sum"),
           col("n_scenes"))
     },
