@@ -1638,6 +1638,55 @@ class ExtSpec extends SparkSpec {
     assert(e2.getMessage.contains("MJPG"), e2.getMessage)
   }
 
+  test("audioSegments / videoScenes / videoCurationFeatures: exact " +
+    "runs and boundaries on hand-built members; loud contracts " +
+    "(undecodable audio, dimension-changing clip)") {
+    import graft.ext.{JpegEncoder, MjpegAvi, Multimodal, WavEncoder}
+    // segments: threshold is STRICT (>): a run of exactly-threshold
+    // samples is silence; runs at both ends are kept
+    val samples = Array(200, 150, 128, 128, -300, 0, 0, 129, 5, 131)
+    val segs = Multimodal.audioSegments(
+      Seq((7L, WavEncoder.pcm16(samples))).toDF("doc_id", "blob"),
+      $"doc_id", $"blob", threshold = 128)
+      .as[(Long, Int, Int, Int, Long)].collect().toSet
+    assert(segs === Set(
+      (7L, 0, 0, 2, 350L),   // 200, 150
+      (7L, 1, 4, 1, 300L),   // |-300|
+      (7L, 2, 7, 1, 129L),
+      (7L, 3, 9, 1, 131L)))
+    val eAudio = intercept[org.apache.spark.SparkException] {
+      Multimodal.audioSegments(
+        Seq((1L, Array[Byte](1, 2, 3))).toDF("doc_id", "blob"),
+        $"doc_id", $"blob", 128).collect()
+    }
+    assert(eAudio.getCause.getMessage.contains("not a decodable"))
+    // scenes: flat(dc)=((dc+4)>>3)+128; dc jump of 256 = flat jump 32
+    def frame(dc: Int) = JpegEncoder.grayDcOnly(16, 8, (_, _) => dc)
+    val clip = MjpegAvi.encode(
+      Seq(frame(0), frame(0), frame(256), frame(260)), 16, 8, 40000)
+    val scenes = Multimodal.videoScenes(
+      Seq((3L, clip)).toDF("doc_id", "blob"), cutThreshold = 15)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    // cut only at frame 2 (diff 32 > 15); frame 3 differs by 0-1
+    assert(scenes === Set((3L, 0, 0, 2), (3L, 1, 2, 2)))
+    // one-pass features agree with the separate ops
+    val feats = Multimodal.videoCurationFeatures(
+      Seq((3L, clip)).toDF("doc_id", "blob"), cutThreshold = 15)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(feats._2 === 128L * 128) // keyframe gray_sum (dc 0 -> 128)
+    assert(feats._3 === 2L)        // n_scenes
+    // a clip whose frames change dimensions is corruption, not a
+    // silently-wrong diff
+    val badClip = MjpegAvi.encode(
+      Seq(frame(0), JpegEncoder.grayDcOnly(24, 8, (_, _) => 0)),
+      16, 8, 40000)
+    val eDims = intercept[org.apache.spark.SparkException] {
+      Multimodal.videoScenes(
+        Seq((4L, badClip)).toDF("doc_id", "blob"), 15).collect()
+    }
+    assert(eDims.getCause.getMessage.contains("changes dimensions"))
+  }
+
   test("PixelDecoder GIF: round-trips the uncompressed-technique " +
     "encoder, decodes a genuinely COMPRESSED variable-width LZW " +
     "stream (chain growth, width bumps, KwKwK), and fails loudly on " +
