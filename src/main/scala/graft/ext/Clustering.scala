@@ -81,4 +81,56 @@ object Clustering {
       assigned = assignNearest(pts, updateCentroids(assigned))
     assigned.select(col("__id").as("id"), col("__cid").as("cid"))
   }
+
+  /** SIMPLIFIED (centroid-based) silhouette — the linear-time cluster
+    * quality metric (per point: a = cosine distance to its own
+    * centroid, b = to the nearest OTHER centroid, s = (b−a)/max(a,b)),
+    * the eval leg of the train (Lloyd) / use (IVF) / eval lifecycle.
+    * The full silhouette's all-pairs pass is O(n²) and never runs at
+    * corpus scale; against centroids it is one broadcast loop join.
+    *
+    * Returns one row per cluster: (cid, n_members, sum_s_micro) —
+    * the s values floor-quantized to micro-units and SUMMED as longs
+    * (never float-averaged: a double sum is partition-order-dependent
+    * and could not hash-match an oracle; callers divide). Per point
+    * the k cosines collect into ONE sorted struct array, so own and
+    * best-other fall out of elements 0 and 1 with the argmax
+    * tie-break toward the smaller centroid id — one corpus-sized
+    * exchange, no self-join. Degenerate guards (single cluster, or a
+    * point equidistant-at-zero) score 0 by convention.
+    */
+  def silhouetteSimplified(df: DataFrame, id: Column, vec: Column,
+                           k: Int, iters: Int = 2): DataFrame = {
+    require(iters >= 1, "silhouette needs at least one iteration")
+    val pts = df.select(id.as("__id"), vec.as("__v"))
+    var cent = pts.orderBy(col("__id")).limit(k)
+      .select(col("__id").as("__cid"), col("__v").as("__cv"))
+    var assigned = assignNearest(pts, cent)
+    for (_ <- 2 to iters) {
+      cent = updateCentroids(assigned)
+      assigned = assignNearest(pts, cent)
+    }
+    val ranked = pts.crossJoin(broadcast(
+        cent.select(col("__cid"), col("__cv"))))
+      .withColumn("__cos", Similarity.cosine(col("__v"), col("__cv")))
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(struct(col("__cos"),
+        (-col("__cid")).as("__nc"), col("__cid"))), asc = false)
+        .as("__l"))
+      .select(col("__l")(0)("__cid").as("cid"),
+        col("__l")(0)("__cos").as("__own"),
+        when(size(col("__l")) >= 2, col("__l")(1)("__cos"))
+          .as("__oth"))
+    val a = lit(1.0) - col("__own")
+    val b = lit(1.0) - col("__oth")
+    ranked
+      .withColumn("__sm",
+        floor(when(col("__oth").isNull ||
+          greatest(a, b) <= 1e-12, lit(0.0))
+          .otherwise((col("__own") - col("__oth")) / greatest(a, b))
+          * 1000000.0).cast("long"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("__sm")).as("sum_s_micro"))
+  }
 }

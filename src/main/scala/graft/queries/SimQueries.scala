@@ -105,6 +105,15 @@ private[queries] object SimQueries {
     },
 
 
+    // cluster-quality EVAL over the same trained model: simplified
+    // (centroid-based) silhouette per cluster, linear-time where the
+    // textbook all-pairs form is O(n²); s floor-quantized to
+    // micro-units and integer-summed (never float-averaged)
+    "emb_silhouette" -> { (s, dir) =>
+      Clustering.silhouetteSimplified(emb(s, dir), col("id"),
+        col("vec"), k = 8, iters = 2)
+    },
+
     // Signed-random-projection (Johnson–Lindenstrauss, ±1 matrix)
     // dimensionality reduction 64 → 8 before ANN indexing — map-only,
     // bit-reproducible (±1 products are exact in double).
@@ -326,6 +335,51 @@ private[queries] object SimQueries {
         |SELECT cid, count(*) AS n_members, CAST(sum(vec_id) AS BIGINT) AS id_checksum
         |FROM a2 GROUP BY cid""".stripMargin),
 
+
+    // the same 2 unrolled Lloyd iterations, then per-point own/other
+    // cosines against the FINAL centroids: own = the argmax pick's
+    // cosine, other = the best remaining (both from the same ranked
+    // pass), s floor-quantized to micro-units
+    "emb_silhouette" ->
+      (s"""WITH cent0 AS (SELECT vec_id AS cid, embedding AS cv
+        |              FROM embeddings ORDER BY vec_id LIMIT 8),
+        |a1 AS (
+        |  SELECT e.vec_id, e.embedding AS ev, c.cid
+        |  FROM embeddings e CROSS JOIN cent0 c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.cid) = 1),
+        |dims AS (
+        |  SELECT cid, generate_subscripts(ev, 1) AS i,
+        |    unnest(list_transform(ev,
+        |      v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT))) AS qv
+        |  FROM a1),
+        |sums AS (SELECT cid, i, sum(qv) AS s, count(*) AS n FROM dims GROUP BY 1, 2),
+        |cent1 AS (
+        |  SELECT cid, list((CAST(s AS DOUBLE) / n) / 1000000.0 ORDER BY i) AS cv
+        |  FROM sums GROUP BY cid),
+        |ax AS (
+        |  SELECT e.vec_id, c.cid,
+        |    ${cosSql("e.embedding", "c.cv")} AS cos
+        |  FROM embeddings e CROSS JOIN cent1 c),
+        |ranked AS (
+        |  SELECT vec_id, cid, cos,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, cid) AS rk
+        |  FROM ax),
+        |sc AS (SELECT vec_id,
+        |    max(CASE WHEN rk = 1 THEN cid END) AS cid,
+        |    max(CASE WHEN rk = 1 THEN cos END) AS own,
+        |    max(CASE WHEN rk = 2 THEN cos END) AS oth
+        |  FROM ranked WHERE rk <= 2 GROUP BY 1),
+        |sil AS (SELECT cid,
+        |    CAST(floor(CASE WHEN oth IS NULL
+        |        OR greatest(1.0 - own, 1.0 - oth) <= 1e-12 THEN 0.0
+        |        ELSE (own - oth) / greatest(1.0 - own, 1.0 - oth)
+        |      END * 1000000.0) AS BIGINT) AS sm
+        |  FROM sc)
+        |SELECT cid, count(*) AS n_members,
+        |  CAST(sum(sm) AS BIGINT) AS sum_s_micro
+        |FROM sil GROUP BY 1""".stripMargin),
 
     "sim_sql_cosine" ->
       (s"""SELECT vec_id,
