@@ -788,6 +788,55 @@ object Multimodal {
     * energy·60 > Σenergies. Integer-only, so the DuckDB oracle
     * replays it in closed form. Requires n ≥ 60 samples.
     */
+  /** Integer DECIMATION resample per (doc_id, blob) audio row — the
+    * sample-rate normalization an ASR pipeline runs before batching
+    * (48 kHz field recordings → the model's 16 kHz): each block of
+    * `factor` consecutive samples reduces to its floor-mean, a
+    * trailing partial block to the floor-mean of what remains. The
+    * floor is computed as `floor(sum / factor.toDouble)` — exact for
+    * any |sum| < 2⁵², identical in SQL, and NOT integer division
+    * (which truncates toward zero on negative sums, the
+    * engine-divergence trap BENCH notes document). Emits compact
+    * per-member stats (n_in, n_out, sum/min/max of the resampled
+    * signal) rather than the waveform — the census shape an oracle
+    * can hash. Map-only; same decode dispatch and loud contract as
+    * [[audioFingerprints]].
+    */
+  def audioResample(df: DataFrame, id: Column, blob: Column,
+                    factor: Int): DataFrame = {
+    require(factor >= 2, s"decimation factor $factor")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.as("id"), blob.as("blob")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (i, bytes) =>
+          val s = FlacDecoder.firstChannel(bytes)
+            .orElse(AudioHeader.linearSamples(bytes)).getOrElse(
+              throw new IllegalArgumentException(
+                s"audioResample: id $i is not a decodable audio " +
+                  s"payload (${bytes.length} bytes)"))
+          var sum = 0L
+          var mn = Int.MaxValue
+          var mx = Int.MinValue
+          var nOut = 0
+          var at = 0
+          while (at < s.length) {
+            val end = math.min(at + factor, s.length)
+            var bs = 0L
+            var k = at
+            while (k < end) { bs += s(k); k += 1 }
+            val v = math.floor(bs / (end - at).toDouble).toInt
+            sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            nOut += 1
+            at = end
+          }
+          (i, s.length, nOut, sum, mn, mx)
+        }
+      }.toDF("id", "n_in", "n_out", "sum_out", "min_out", "max_out")
+  }
+
   def audioFingerprint(samples: Array[Int]): Long = {
     require(samples.length >= 60,
       s"audioFingerprint needs >= 60 samples, got ${samples.length}")

@@ -502,6 +502,15 @@ private[queries] object MultimodalQueries {
         bands = 4, bitsPerBand = 15, maxHamming = 3, bits = 60)
     },
 
+    // integer 2:1 decimation over the SAME decoded samples — the
+    // sample-rate normalization pass; SIGNED samples this time (the
+    // fingerprint/segment rows use magnitudes), floor-mean per block
+    "mm_audio_resample" -> { (s, dir) =>
+      Multimodal.audioResample(audioBlobs(s, dir),
+        col("doc_id"), col("blob"), factor = 2)
+        .withColumnRenamed("id", "doc_id")
+    },
+
     // VAD-style energy segmentation over the SAME decoded samples —
     // the ASR chunking pass: |s| > 128 marks voiced, maximal runs
     // become (seg_no, t_start, n_samples, energy) rows; map-only,
@@ -929,6 +938,48 @@ private[queries] object MultimodalQueries {
         |WHERE a.doc_id < c.doc_id
         |  AND bit_count(xor(a.afp, c.afp)) <= 3""".stripMargin,
 
+
+    // the SIGNED closed-form samples — PCM carries sign; this
+    // fixture's μ-law codes expand positive (~code bit 7 clear) but
+    // its A-law codes expand NEGATIVE (a^0x55 bit 7 clear means
+    // negative in G.711's A-law convention — the fingerprint oracle
+    // never sees this because it sums magnitudes). Floor-mean per
+    // t//2 block via double division + floor — exact below 2^52 and
+    // identical in both engines, unlike integer division's
+    // truncate-toward-zero on negative sums
+    "mm_audio_resample" ->
+      """WITH g AS (SELECT doc_id, doc_id // 5 AS grp FROM documents),
+        |raw AS (SELECT doc_id, grp, t.t AS t,
+        |    ((((grp % 65536 + 1) * (t.t * 101 + 1)
+        |       + grp * 7919) % 65536)
+        |     * 2654435761 // 1024) AS m
+        |  FROM g, LATERAL (SELECT unnest(range(0, 120)) AS t) t),
+        |sv AS (SELECT doc_id, t,
+        |    CASE WHEN grp % 4 IN (0, 3) THEN m % 512 - 256
+        |         WHEN grp % 4 = 1 THEN
+        |           (((255 - (208 + m % 32)) % 16) * 8 + 132)
+        |             * (CAST(1 AS BIGINT) << CAST(
+        |                 ((255 - (208 + m % 32)) // 16) % 8 AS INT))
+        |             - 132
+        |         ELSE -(CASE ((32 + m % 32) // 16) % 8
+        |           WHEN 0 THEN ((32 + m % 32) % 16) * 16 + 8
+        |           WHEN 1 THEN ((32 + m % 32) % 16) * 16 + 264
+        |           ELSE (((32 + m % 32) % 16) * 16 + 264)
+        |             * (CAST(1 AS BIGINT) << CAST(
+        |                 ((32 + m % 32) // 16) % 8 - 1 AS INT))
+        |         END)
+        |    END AS s
+        |  FROM raw),
+        |r AS (SELECT doc_id, t // 2 AS b,
+        |    CAST(floor(sum(s) / CAST(count(*) AS DOUBLE)) AS BIGINT)
+        |      AS v
+        |  FROM sv GROUP BY 1, 2)
+        |SELECT doc_id, CAST(120 AS INT) AS n_in,
+        |  CAST(count(*) AS INT) AS n_out,
+        |  CAST(sum(v) AS BIGINT) AS sum_out,
+        |  CAST(min(v) AS INT) AS min_out,
+        |  CAST(max(v) AS INT) AS max_out
+        |FROM r GROUP BY 1""".stripMargin,
 
     // the same closed-form |sample| stream, segmented by islands-and-
     // gaps: voiced rows keyed by t - row_number() collapse into
