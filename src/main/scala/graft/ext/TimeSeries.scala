@@ -290,6 +290,44 @@ object TimeSeries {
       |  + (cast(__tie as decimal(38,0))
       |     + cast(9223372036854775808 as decimal(38,0)))""".stripMargin)
 
+  /** CUSUM CHANGEPOINT detection per key — the single-changepoint
+    * monitoring primitive (Page 1954's cumulative-sum shape): the
+    * split k maximizing |Σ_{i≤k}(v_i − mean)| locates the largest
+    * level shift in the key's series. Computed EXACTLY with no mean
+    * division: the scaled statistic S_k = n·prefix_k − k·total equals
+    * n·Σ_{i≤k}(v_i − mean), so the argmax is identical and every
+    * quantity is integer (values in micro-unit longs, sums in
+    * decimal(38,0) — bit-identical cross-engine, the ts_trend
+    * discipline). One keyed window pass (ordered by (ts, tie), both
+    * frames partitioned — never an unpartitioned window) + one hash
+    * aggregate. Returns (key, n_events, cp_k, max_abs_scaled): the
+    * 1-based split index (ties toward the EARLIEST k) and |S| at it;
+    * single-event keys have no split and emit nothing.
+    * max_abs_scaled is returned as BIGINT — |S| ≤ n²·max|v_micro|,
+    * within long range for any per-key series below ~300M rows at
+    * the fixture's value scale.
+    */
+  def cusumChangepoint(events: DataFrame, tie: Column): DataFrame = {
+    val base = events.select(col("key"), col("ts"), tie.as("__tie"),
+      expr("cast(floor(value * 1000000) as bigint)")
+        .cast("decimal(38,0)").as("__v"))
+    val ordered = Window.partitionBy("key")
+      .orderBy(col("ts"), col("__tie"))
+    val whole = Window.partitionBy("key")
+    base
+      .withColumn("__k", row_number().over(ordered))
+      .withColumn("__prefix", sum(col("__v")).over(ordered))
+      .withColumn("__n", count(lit(1)).over(whole))
+      .withColumn("__total", sum(col("__v")).over(whole))
+      .filter(col("__k") < col("__n")) // splits leave both sides non-empty
+      .withColumn("__s",
+        abs(col("__prefix") * col("__n") - col("__total") * col("__k")))
+      .groupBy(col("key"))
+      .agg(max(col("__n")).as("n_events"),
+        max_by(col("__k"), struct(col("__s"), -col("__k"))).as("cp_k"),
+        max(col("__s")).cast("long").as("max_abs_scaled"))
+  }
+
   /** The six OHLC aggregates over (`__v`, `__o`) — the shared
     * batch/streaming aggregation list.
     */

@@ -221,6 +221,19 @@ private[queries] object GraphTimeQueries {
     // Per-user EWMA (α = 1/2) in integer micro-units over the sorted
     // event history — the sequential-recursion-as-sorted-array-fold
     // pattern, bit-exact on any engine.
+    // CUSUM changepoint per user: the split maximizing the exact
+    // scaled statistic |n·prefix − k·total| — one keyed window pass,
+    // no mean division anywhere
+    "ts_changepoint" -> { (s, dir) =>
+      TimeSeries.cusumChangepoint(
+        t(s, dir, "events")
+          .select(col("user_id").as("key"), col("ts"), col("value"),
+            col("event_id")),
+        tie = col("event_id"))
+        .select(col("key").as("user_id"), col("n_events"),
+          col("cp_k"), col("max_abs_scaled"))
+    },
+
     "ts_ewma" -> { (s, dir) =>
       TimeSeries.ewmaFixed(
         t(s, dir, "events")
@@ -760,6 +773,29 @@ private[queries] object GraphTimeQueries {
     // truncation semantics for any sign, so the bit-exact claim holds
     // on negative accumulators too (GraphTimeSeriesSpec pins the
     // Spark/Scala pair on a negative-value fixture).
+    // the scaled CUSUM replayed: HUGEINT prefix/total sums, argmax
+    // with the earliest-k tie-break
+    "ts_changepoint" ->
+      (s"""WITH $evtCte,
+        |b AS (SELECT user_id, ts, event_id,
+        |    CAST(floor(value * 1000000) AS HUGEINT) AS v
+        |  FROM evts),
+        |w AS (SELECT user_id, ts, event_id,
+        |    row_number() OVER win AS k,
+        |    sum(v) OVER win AS prefix,
+        |    count(*) OVER (PARTITION BY user_id) AS n,
+        |    sum(v) OVER (PARTITION BY user_id) AS total
+        |  FROM b
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, k, n,
+        |    abs(prefix * n - total * k) AS sa
+        |  FROM w WHERE k < n)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_events,
+        |  CAST(k AS INT) AS cp_k,
+        |  CAST(sa AS BIGINT) AS max_abs_scaled
+        |FROM s QUALIFY row_number() OVER (PARTITION BY user_id
+        |  ORDER BY sa DESC, k) = 1""".stripMargin),
+
     "ts_ewma" ->
       (s"""WITH $evtCte,
         |l AS (SELECT user_id,
