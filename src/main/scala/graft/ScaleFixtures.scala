@@ -87,5 +87,27 @@ object ScaleFixtures {
       scaled("events", Map("event_id" -> 100000000L,
         "user_id" -> 10000000L))
     }
+
+    // round-12 consumers (i2b2 spine, TPC-H nation joins) read the
+    // remaining tables: part replicates with offset keys; nation and
+    // region are FIXED-cardinality dims (25 / 5 rows at every TPC-H
+    // scale factor) and copy verbatim. Keyed on its own _SUCCESS so
+    // tiers generated before this block upgrade in place.
+    if (!committed("part")) {
+      println(s"[scale] generating ${factor}x part + dims into " +
+        s"$outDir ...")
+      val part = graft.sources.Tables.load(spark, srcDir, "part")
+      part.crossJoin(reps)
+        .select(part.columns.map { c =>
+          if (c == "p_partkey")
+            (col(c).cast("long") + col("__k") * 10000000L).as(c)
+          else col(c)
+        }.toSeq: _*)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/part.parquet")
+      for (dim <- Seq("nation", "region"))
+        graft.sources.Tables.load(spark, srcDir, dim)
+          .write.mode("overwrite").parquet(s"$outDir/$dim.parquet")
+    }
   }
 }

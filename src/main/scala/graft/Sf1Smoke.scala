@@ -68,7 +68,16 @@ object Sf1Smoke {
       "agg_hll_intersect",
       // round-10 additions: real PNG/BMP pixel decode + real PCM
       // fingerprinting (mapPartitions decode stages + band joins)
-      "mm_decode_pixels", "mm_audio_fingerprint")
+      "mm_decode_pixels", "mm_audio_fingerprint",
+      // round-12 additions: container round-trips (Avro/zstd shards),
+      // LWW CDC fold, TPC-H pair join + semi-join top-k, video frame
+      // decode + keyframe near-dup, the audio/video curation chains,
+      // silhouette eval, scaled-CUSUM changepoint
+      "src_avro_roundtrip", "src_jsonl_zst_roundtrip",
+      "cdc_patch_apply", "tpch_q7", "tpch_q18", "mm_video_frames",
+      "mm_video_dup_pairs", "mm_audio_segments", "mm_audio_resample",
+      "curate_audio", "curate_videos", "emb_silhouette",
+      "ts_changepoint")
 
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     def audit(df: DataFrame): Seq[String] = {

@@ -536,6 +536,7 @@ object FlacEncoder {
     var len = 2
     while (len <= 7 && v >= (1L << (if (len == 7) 36 else 6 * len - len + 1)))
       len += 1
+    require(len <= 7, s"coded number $v exceeds the 7-byte/36-bit form")
     // capacity for len bytes: (7 - len) + 6 * (len - 1) bits
     val capBits = (7 - len) + 6 * (len - 1)
     require(v < (1L << capBits), s"coded number $v too large")
