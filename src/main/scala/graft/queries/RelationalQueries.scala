@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.ops.Relational._
+import graft.ext.BitmapDistinct
 
 /** Relational surface beyond the reference (SURVEY §2.5): grouped /
   * rolled-up aggregation, window functions, top-k, set ops, semi/anti
@@ -322,6 +323,26 @@ object RelationalQueries {
           concat(lit("SEG_"), pmod(col("event_id"), lit(5))))
           .as("seg"))
       patchApply(target, patches, "key", "seq", Seq("bal", "seg"))
+    },
+
+    // Incremental EXACT-distinct maintenance — the aggregate the
+    // algebraic partials (n/sum/min/max) can't carry: per-day user
+    // sets as roaring-style bitmap partials built per slice, a
+    // refresh unions artifact-sized bitmaps (never rescanning
+    // history), counts exact by set-union associativity; the oracle
+    // IS the full count(DISTINCT) rescan
+    "rel_incremental_distinct" -> { (s, dir) =>
+      val e = t(s, dir, "events").select(col("user_id"),
+        to_date(col("ts")).as("day"))
+      val cut = lit("2024-01-20").cast("date")
+      val keys = Seq("day")
+      BitmapDistinct.mergeDistinctPartials(Seq(
+        BitmapDistinct.distinctPartials(
+          e.filter(col("day") < cut), keys, col("user_id")),
+        BitmapDistinct.distinctPartials(
+          e.filter(col("day") >= cut), keys, col("user_id"))),
+        keys)
+        .select(col("day"), col("n_distinct").as("n_users"))
     },
 
     // Snapshot diff between table versions — the lakehouse
@@ -915,6 +936,11 @@ object RelationalQueries {
         |  min(CAST(floor(value * 100) AS BIGINT)) AS min_v,
         |  max(CAST(floor(value * 100) AS BIGINT)) AS max_v
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "rel_incremental_distinct" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1""".stripMargin,
 
     // same mutation literals; IS DISTINCT FROM mirrors the null-safe
     // per-column change test; +1.0 on a double is IEEE-identical

@@ -1582,6 +1582,40 @@ class ExtSpec extends SparkSpec {
       e2.getMessage.contains("CRC"), e2.getMessage)
   }
 
+  test("BitmapDistinct: build/union/cardinality agree with Set across " +
+    "the array->bitmap promotion boundary, cross-form unions, and " +
+    "multi-container values; out-of-range is loud") {
+    import graft.ext.BitmapDistinct._
+    def rnd(seed: Int, n: Int, span: Long): Seq[Long] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(n)((r.nextLong().abs % span))
+    }
+    // spans chosen to hit: single sparse container (array form),
+    // dense container past 4096 (bitmap form), values across many
+    // containers including >2^31 (unsigned range)
+    val cases = Seq(
+      rnd(1, 100, 65536L),           // one array container
+      rnd(2, 9000, 6000L),           // dense: promotes to bitmap
+      rnd(3, 5000, 1L << 20),        // several containers, mixed forms
+      rnd(4, 3000, 0xffffffffL),     // full unsigned span
+      (0L until 4096L) ++ Seq(4096L), // exactly past the boundary
+      Seq.empty[Long])
+    for ((vs, i) <- cases.zipWithIndex) {
+      val b = build(vs)
+      assert(cardinality(b) === vs.toSet.size.toLong, s"case $i")
+    }
+    for (Seq(x, y) <- cases.combinations(2)) {
+      val u = union(build(x), build(y))
+      assert(cardinality(u) === (x.toSet ++ y.toSet).size.toLong)
+      // union is idempotent and commutative on the serialized form
+      assert(java.util.Arrays.equals(union(build(y), build(x)), u))
+      assert(java.util.Arrays.equals(union(u, build(x)), u))
+    }
+    val e = intercept[IllegalArgumentException] { build(Seq(-1L)) }
+    assert(e.getMessage.contains("unsigned 32-bit"))
+    assert(cardinality(Array.emptyByteArray) === 0L)
+  }
+
   test("MjpegAvi: container round-trip (headers, frame index, strided " +
     "decode through the JPEG decoder), odd-length frame padding, " +
     "non-AVI is None, corruption and non-MJPG streams fail loudly") {
