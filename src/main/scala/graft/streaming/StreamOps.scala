@@ -798,6 +798,48 @@ object StreamOps {
       }
   }
 
+  case class DistinctEvent(key: Long, value: Long)
+  case class DistinctCount(key: Long, n_distinct: Long)
+
+  /** Streaming twin of [[graft.ext.BitmapDistinct]]: per key, the
+    * roaring-style compressed set unions in values as they arrive,
+    * re-emitting the key's EXACT distinct count per micro-batch — the
+    * live unique-users counter where approximate (HLL) is not
+    * acceptable. Set union is a CRDT like [[patchApplyStream]]'s LWW
+    * merge (idempotent, commutative), so duplicates, replays and any
+    * delivery order converge with no high-water-mark rule. State is
+    * the compressed set per key — O(distinct) but at the bitmap's
+    * ≤2 B/value (8 KiB/64Ki-value container ceiling), the standard
+    * cost of exact streaming distinct; `idleKeyTtl` evicts idle keys.
+    */
+  def bitmapDistinctStream(events: Dataset[DistinctEvent],
+                           idleKeyTtl: Option[String] = None)
+      : Dataset[DistinctCount] = {
+    import events.sparkSession.implicits._
+    val timeout = if (idleKeyTtl.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout
+    else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Array[Byte], DistinctCount](
+        OutputMode.Update, timeout) {
+        (key, rows, state) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = graft.ext.BitmapDistinct.build(
+              rows.map(_.value).toSeq)
+            val merged = graft.ext.BitmapDistinct.union(
+              state.getOption.getOrElse(Array.emptyByteArray), batch)
+            state.update(merged)
+            idleKeyTtl.foreach(state.setTimeoutDuration)
+            Iterator.single(DistinctCount(key,
+              graft.ext.BitmapDistinct.cardinality(merged)))
+          }
+      }
+  }
+
   /** Idempotent write of one micro-batch under `path/batch_id=<id>` —
     * the unit the exactly-once sink replays safely:
     *   - a batch id whose partition already COMMITTED (_SUCCESS

@@ -974,6 +974,34 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bitmapDistinctStream: exact per-key distinct counts converge " +
+      "under shuffled delivery and duplicate replay") {
+    import graft.streaming.StreamOps.{DistinctEvent, DistinctCount}
+    implicit val sq = spark.sqlContext
+    val r = new scala.util.Random(42)
+    // key 1 crosses the 4096 array->bitmap promotion inside the
+    // state; key 2 stays sparse; values repeat heavily
+    val events = (1 to 12000).map(_ =>
+      DistinctEvent(1L, r.nextInt(9000).toLong)) ++
+      (1 to 50).map(_ => DistinctEvent(2L, r.nextInt(20).toLong))
+    val want = events.groupBy(_.key).view
+      .mapValues(_.map(_.value).toSet.size.toLong).toMap
+    val in = MemoryStream[DistinctEvent]
+    val q = StreamOps.bitmapDistinctStream(in.toDS())
+      .writeStream.format("memory").queryName("bdist_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val shuffled = r.shuffle(events)
+      in.addData(shuffled.take(5000)); q.processAllAvailable()
+      in.addData(shuffled.drop(5000)); q.processAllAvailable()
+      in.addData(shuffled.take(3000)); q.processAllAvailable() // replay
+      val got = spark.table("bdist_out").as[DistinctCount].collect()
+        .groupBy(_.key).view
+        .mapValues(_.map(_.n_distinct).max).toMap
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("videoNearDupCandidates: keyframe-hash banded near-dup over " +
       "MJPEG clips matches the batch pass across micro-batches") {
     implicit val sq = spark.sqlContext
