@@ -165,6 +165,45 @@ object BitmapDistinct {
     out.toByteArray
   }
 
+  /** Exact intersection cardinality of two serialized bitmaps — the
+    * audience-overlap measure ("users who did BOTH"), the exact twin
+    * of `agg_hll_intersect`'s sketch estimate: one merge walk over
+    * the key-ordered container lists, AND-ing only the containers
+    * both sides hold.
+    */
+  def intersectCardinality(a: Array[Byte], b: Array[Byte]): Long = {
+    if (a.isEmpty || b.isEmpty) return 0L
+    val ca = readContainers(a)
+    val cb = readContainers(b)
+    def words(c: Cont): Array[Long] =
+      if (c.form == 1) c.words
+      else {
+        val w = new Array[Long](1024)
+        c.arr.foreach(lo => w(lo >>> 6) |= 1L << (lo & 63))
+        w
+      }
+    var i = 0
+    var j = 0
+    var total = 0L
+    while (i < ca.length && j < cb.length) {
+      if (ca(i).key < cb(j).key) i += 1
+      else if (cb(j).key < ca(i).key) j += 1
+      else {
+        val wa = words(ca(i)); val wb = words(cb(j))
+        var k = 0
+        while (k < 1024) {
+          total += java.lang.Long.bitCount(wa(k) & wb(k))
+          k += 1
+        }
+        i += 1; j += 1
+      }
+    }
+    total
+  }
+
+  private[graft] val intersectUdf =
+    udf((a: Array[Byte], b: Array[Byte]) => intersectCardinality(a, b))
+
   /** Binary-union Aggregator over serialized bitmaps — the refresh
     * merge. Inputs per group are PARTIALS (a handful per key), so the
     * per-row deserialize-union is a container walk over

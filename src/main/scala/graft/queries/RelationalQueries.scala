@@ -345,6 +345,25 @@ object RelationalQueries {
         .select(col("day"), col("n_distinct").as("n_users"))
     },
 
+    // Exact audience overlap per day — the exact twin of the HLL
+    // intersect sketch row: per-day viewer and clicker bitmaps
+    // intersect container-by-container; only days with a non-empty
+    // overlap emit (matching SQL INTERSECT's empty-set absence)
+    "rel_distinct_intersect" -> { (s, dir) =>
+      val e = t(s, dir, "events").select(col("user_id"),
+        col("event_type"), to_date(col("ts")).as("day"))
+      val keys = Seq("day")
+      def side(et: String) = BitmapDistinct.distinctPartials(
+        e.filter(col("event_type") === et), keys, col("user_id"))
+        .select(col("day"), col("bitmap"))
+      side("view").withColumnRenamed("bitmap", "__bv")
+        .join(side("click").withColumnRenamed("bitmap", "__bc"),
+          Seq("day"))
+        .select(col("day"), BitmapDistinct.intersectUdf(
+          col("__bv"), col("__bc")).as("n_both"))
+        .filter(col("n_both") > 0)
+    },
+
     // Snapshot diff between table versions — the lakehouse
     // regression probe. v2 is a deterministic mutation of orders
     // (drop %97 keys, bump %101 totalprices, add offset copies of
@@ -941,6 +960,15 @@ object RelationalQueries {
       """SELECT CAST(ts AS DATE) AS day,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY 1""".stripMargin,
+
+    "rel_distinct_intersect" ->
+      """WITH v AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |           FROM events WHERE event_type = 'view'),
+        |c AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |      FROM events WHERE event_type = 'click')
+        |SELECT day, CAST(count(*) AS BIGINT) AS n_both
+        |FROM (SELECT * FROM v INTERSECT SELECT * FROM c)
+        |GROUP BY 1""".stripMargin,
 
     // same mutation literals; IS DISTINCT FROM mirrors the null-safe
     // per-column change test; +1.0 on a double is IEEE-identical
