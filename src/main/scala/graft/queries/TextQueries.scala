@@ -240,6 +240,30 @@ private[queries] object TextQueries {
     // Spark side runs the full encode→decode chain and reports the
     // equality plus the decoded length; the oracle never runs BPE at
     // all — any drift in symbolize/merge/decode breaks the hash.
+    // HTML boilerplate strip through the from-scratch tokenizer: the
+    // corpus wraps into real markup (title/style head, a comment
+    // containing tags, escaped body text, a script whose string
+    // literal QUOTES a close tag, an attribute holding '>'), and the
+    // extractor must recover exactly title + collapsed body + tail —
+    // the oracle rebuilds that expectation from the raw text
+    "text_html_extract" -> { (s, dir) =>
+      val esc = expr("replace(replace(replace(text, '&', '&amp;'), " +
+        "'<', '&lt;'), '>', '&gt;')")
+      val html = concat(
+        lit("<html><head><title>t</title><style>p{color:red}</style>" +
+          "</head><body><!-- note: <p>commented</p> -->" +
+          "<p class=\"x\" title=\"a > b\">"),
+        esc,
+        lit("</p><script>if (a < b && c > d) { s = \"</p>\"; }" +
+          "</script><p>tail "),
+        col("doc_id"),
+        lit("</p></body></html>"))
+      docs(s, dir).select(col("doc_id"),
+          HtmlText.extract(html).as("__x"))
+        .select(col("doc_id"), md5(col("__x")).as("extract_md5"),
+          length(col("__x")).cast("long").as("n_chars"))
+    },
+
     "text_decode_roundtrip" -> { (s, dir) =>
       val d = docs(s, dir)
       val enc = Bpe.encode(d, col("doc_id"), col("text"),
@@ -320,6 +344,24 @@ private[queries] object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // the expected extraction rebuilt from the raw text: line "t"
+    // (title), the whitespace-collapsed body if non-blank, then
+    // "tail <id>" — the entity escape/decode round-trip cancels
+    "text_html_extract" ->
+      """WITH x AS (SELECT doc_id,
+        |    trim(regexp_replace(text, '[ \t\n\r\x0B\f]+', ' ', 'g'))
+        |      AS body
+        |  FROM documents),
+        |e AS (SELECT doc_id,
+        |    't' || chr(10)
+        |      || CASE WHEN body = '' THEN ''
+        |              ELSE body || chr(10) END
+        |      || 'tail ' || CAST(doc_id AS VARCHAR) AS expected
+        |  FROM x)
+        |SELECT doc_id, md5(expected) AS extract_md5,
+        |  CAST(length(expected) AS BIGINT) AS n_chars
+        |FROM e""".stripMargin,
 
     "text_bm25_topk" -> bm25OracleSql(Bm25Terms, k = 20),
 

@@ -1582,6 +1582,35 @@ class ExtSpec extends SparkSpec {
       e2.getMessage.contains("CRC"), e2.getMessage)
   }
 
+  test("HtmlText.extractText: rawtext containment, quoted attributes, " +
+    "comments with tags, entities, block-vs-inline lines, whitespace " +
+    "collapse, and best-effort on truncation") {
+    import graft.ext.HtmlText.extractText
+    // a script QUOTING a close tag must not leak; attribute '>' must
+    // not end the tag early; the comment's tags must vanish
+    val page = """<html><head><title> My  Title </title>
+      |<style>p { color: red }</style></head>
+      |<body><!-- <p>hidden</p> -->
+      |<p class="x" title="a > b">Hello <b>bold</b> world &amp;
+      |  more</p>
+      |<script>if (a < b) { s = "</p>fake"; }</script>
+      |<ul><li>one</li><li>two &lt;tag&gt; &#65;&#x42;</li></ul>
+      |</body></html>""".stripMargin
+    assert(extractText(page) ===
+      "My Title\nHello bold world & more\none\ntwo <tag> AB")
+    // inline tags continue the line; block tags split it
+    assert(extractText("a<b>c</b>d<p>e") === "acd\ne")
+    // unknown entity stays literal; nbsp becomes a plain space
+    assert(extractText("x &unknown; y&nbsp;z") === "x &unknown; y z")
+    // bare '<' not opening a tag is text
+    assert(extractText("1 < 2 and 3 > 2") === "1 < 2 and 3 > 2")
+    // truncation: open comment / tag / rawtext at EOF drop silently
+    assert(extractText("ok<!-- never closed") === "ok")
+    assert(extractText("ok<p unfinished") === "ok")
+    assert(extractText("ok<script>var x = 1;") === "ok")
+    assert(extractText("") === "")
+  }
+
   test("BitmapDistinct: build/union/cardinality agree with Set across " +
     "the array->bitmap promotion boundary, cross-form unions, and " +
     "multi-container values; out-of-range is loud") {
