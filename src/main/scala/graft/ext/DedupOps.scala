@@ -723,6 +723,38 @@ object DedupOps {
       .distinct()
   }
 
+  /** CROSS-set banded Hamming pairs — [[simhashBandPairs]] between
+    * two DIFFERENT signature sets sharing one hash space (the
+    * cross-modal shape: image aHashes vs video keyframe hashes).
+    * Every (left id, right id) ORDERED pair within `maxHamming`
+    * emits, including equal ids (a doc's image duplicating its own
+    * clip's keyframe IS the match being hunted); no self-join, so no
+    * `id <` halving. Same banded blocking: candidates share a band
+    * key, Hamming verifies in codegen.
+    */
+  def simhashBandPairsAcross(left: DataFrame, right: DataFrame,
+                             id: Column, simhash: Column,
+                             bands: Int, bitsPerBand: Int,
+                             maxHamming: Int, bits: Int): DataFrame = {
+    require(bands * bitsPerBand == bits,
+      s"bands ($bands) * bitsPerBand ($bitsPerBand) must equal the " +
+        s"simhash width ($bits)")
+    val mask = (1L << bitsPerBand) - 1
+    def banded(df: DataFrame, side: String) = {
+      val keys = array((0 until bands).map(b =>
+        shiftright(simhash, b * bitsPerBand).bitwiseAND(lit(mask))): _*)
+      df.select(id.as(s"id_$side"), simhash.as(s"__s$side"),
+        posexplode(keys).as(Seq("__band", "__key")))
+    }
+    banded(left, "a")
+      .join(banded(right, "b"), Seq("__band", "__key"))
+      .withColumn("hamming",
+        bit_count(col("__sa").bitwiseXOR(col("__sb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .distinct()
+  }
+
   /** Word-mask Bloom filter of the `fp` values: one (word, mask) row
     * per non-zero 64-bit word of an `mBits`-bit filter, `k` universal
     * hashes per value ([[CountMin.bucket]]'s Carter–Wegman family —

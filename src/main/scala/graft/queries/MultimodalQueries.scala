@@ -434,6 +434,25 @@ private[queries] object MultimodalQueries {
       Multimodal.videoScenes(videoBlobs(s, dir), cutThreshold = 15)
     },
 
+    // CROSS-MODAL near-dup: which video clips' keyframes duplicate
+    // which IMAGES — image aHashes and video keyframe hashes share
+    // the 10x6 hash space by construction, so one cross-set banded
+    // join finds slideshow-style reuse; ordered (img, vid) pairs
+    // including a doc's own image-vs-clip exact dup
+    "mm_cross_modal_dup" -> { (s, dir) =>
+      val imgs = Multimodal.aHashImages(ahashBlobs(s, dir),
+        col("doc_id"), col("blob"))
+        .select(col("id"), col("ahash").as("sig"))
+      val vids = Multimodal.videoKeyframeAHash(vdupBlobs(s, dir),
+        col("doc_id"), col("blob"), stride = 4)
+        .select(col("id"), col("vhash").as("sig"))
+      DedupOps.simhashBandPairsAcross(imgs, vids, col("id"),
+        col("sig"), bands = 4, bitsPerBand = 15, maxHamming = 3,
+        bits = 60)
+        .select(col("id_a").as("img_id"), col("id_b").as("vid_id"),
+          col("hamming"))
+    },
+
     // resize + frame-sample plumbing over the decoded features
     "mm_thumbnail" -> { (s, dir) =>
       val feats = Multimodal.decodeFeatures(
@@ -816,6 +835,34 @@ private[queries] object MultimodalQueries {
         |  ON a.bb = c.bb AND a.bkey = c.bkey
         |WHERE a.doc_id < c.doc_id
         |  AND bit_count(xor(a.vhash, c.vhash)) <= 3""".stripMargin,
+
+    // the image raster and the video keyframe carry the SAME grid by
+    // construction, so one sig CTE serves both sides; ordered pairs,
+    // no a<b halving, self-pairs included
+    "mm_cross_modal_dup" ->
+      """WITH g AS (SELECT doc_id, doc_id // 5 AS grp FROM documents),
+        |pix AS (SELECT doc_id, y.y * 10 + x.x AS i,
+        |    ((((grp % 65536 + 1) * (x.x * 151 + y.y * 211 + 1)
+        |       + grp * 7919) % 65536)
+        |     * 2654435761 // 1024) % 256 AS p
+        |  FROM g,
+        |    LATERAL (SELECT unnest(range(0, 10)) AS x) x,
+        |    LATERAL (SELECT unnest(range(0, 6)) AS y) y),
+        |tot AS (SELECT doc_id, sum(p) AS t FROM pix GROUP BY 1),
+        |sig AS (SELECT pix.doc_id,
+        |    CAST(sum(CASE WHEN p * 60 > t
+        |             THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+        |             ELSE 0 END)
+        |      AS BIGINT) AS h
+        |  FROM pix JOIN tot USING (doc_id) GROUP BY 1),
+        |banded AS (SELECT doc_id, h, bb,
+        |    (h >> (bb * 15)) & 32767 AS bkey
+        |  FROM sig, unnest(range(0, 4)) AS u(bb))
+        |SELECT DISTINCT a.doc_id AS img_id, c.doc_id AS vid_id,
+        |  CAST(bit_count(xor(a.h, c.h)) AS INT) AS hamming
+        |FROM banded a JOIN banded c
+        |  ON a.bb = c.bb AND a.bkey = c.bkey
+        |WHERE bit_count(xor(a.h, c.h)) <= 3""".stripMargin,
 
     // the gradient hash replayed cell by cell (the fixture raster is
     // exactly the 10×6 pool, so cells are pixels): bit = right
