@@ -101,6 +101,54 @@ private[queries] object CurateQueries {
     },
 
 
+    // the WEB curation flagship — the Common-Crawl WET pipeline end
+    // to end through REAL machinery: the corpus wraps into HTML and
+    // stages as per-record-gzip WARC once, reads back through the
+    // distributed record parser, strips boilerplate via the
+    // from-scratch tokenizer, gates on extracted length, and removes
+    // exact duplicates (min-id survivor with the dup census). The
+    // oracle rebuilds the expected extraction from raw text and
+    // replays gate + dedup.
+    "curate_web" -> { (s, dir) =>
+      import graft.sources.WarcSource
+      val esc = expr("replace(replace(replace(text, '&', '&amp;'), " +
+        "'<', '&lt;'), '>', '&gt;')")
+      // constant boilerplate around the payload — per-doc markup
+      // would make every extraction unique and neuter the dedup leg
+      val html = concat(
+        lit("<html><head><title>t</title><style>p{color:red}</style>" +
+          "</head><body><!-- <p>x</p> --><p>"),
+        esc,
+        lit("</p><script>s = \"</p>\";</script><p>tail x</p>" +
+          "</body></html>"))
+      // every run of three docs publishes the SAME source text (the
+      // mirror/repost shape), so the dedup leg has real work: groups
+      // of up to 3 collapse to their min-id survivor
+      val d = docs(s, dir)
+      val tripled = d.select(col("doc_id"),
+          (col("doc_id") - pmod(col("doc_id"), lit(3))).as("__src"))
+        .join(d.select(col("doc_id").as("__sid"), col("text")),
+          col("__src") === col("__sid"))
+        .select(col("doc_id"), col("text"))
+      val path = WarcSource.stageResponses(
+        tripled.select(
+          concat(lit("urn:doc:"), col("doc_id")).as("uri"),
+          lit("2024-01-02T03:04:05Z").as("date"), html.as("text")),
+        "target/warc_web", s"${dir.split('/').last}_web3",
+        Tables.fingerprint(s"$dir/documents.parquet"))
+      val extracted = WarcSource.warcResponses(s, path)
+        .select(substring(col("target_uri"), 9, 30).cast("long")
+          .as("doc_id"),
+          HtmlText.extract(col("text")).as("__x"))
+        .filter(length(col("__x")) >= 40) // boilerplate-only drops
+      extracted
+        .groupBy(md5(col("__x")).as("__fp"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          count(lit(1)).as("n_dups"),
+          min(length(col("__x"))).cast("long").as("n_chars"))
+        .select(col("doc_id"), col("n_dups"), col("n_chars"))
+    },
+
     // Quality-weighted deterministic sampling: a doc's retention
     // probability IS its quality score (hash bucket < quality·100) —
     // the curation policy "keep good text more often", reproducible
@@ -378,6 +426,28 @@ private[queries] object CurateQueries {
         |    AS BIGINT) AS text_checksum
         |FROM documents GROUP BY 1, 2""".stripMargin,
 
+
+    // the WET pipeline replayed from raw text: expected extraction,
+    // length gate, exact-dup group with min-id survivor + census
+    "curate_web" ->
+      """WITH t3 AS (SELECT a.doc_id, b.text
+        |  FROM documents a JOIN documents b
+        |    ON b.doc_id = a.doc_id - a.doc_id % 3),
+        |x AS (SELECT doc_id,
+        |    trim(regexp_replace(text, '[ \t\n\r\x0B\f]+', ' ', 'g'))
+        |      AS body
+        |  FROM t3),
+        |e AS (SELECT doc_id,
+        |    't' || chr(10)
+        |      || CASE WHEN body = '' THEN ''
+        |              ELSE body || chr(10) END
+        |      || 'tail x' AS expected
+        |  FROM x),
+        |k AS (SELECT * FROM e WHERE length(expected) >= 40)
+        |SELECT min(doc_id) AS doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_dups,
+        |  CAST(min(length(expected)) AS BIGINT) AS n_chars
+        |FROM k GROUP BY md5(expected)""".stripMargin,
 
     // identical census: the zstd shards must be lossless too
     "src_jsonl_zst_roundtrip" ->
