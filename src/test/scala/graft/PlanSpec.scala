@@ -734,6 +734,27 @@ class PlanSpec extends SparkSpec {
         p18.take(3000)}")
   }
 
+  test("mm_cross_modal_dup / rel_incremental_distinct / curate_web: " +
+      "the cross-set band join is keyed (no cartesian), the bitmap " +
+      "merge is windowless, and the WET chain plans no cartesian") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (q <- Seq("mm_cross_modal_dup", "rel_incremental_distinct",
+      "rel_distinct_intersect", "curate_web")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      assert(!df.queryExecution.executedPlan.toString
+        .contains("CartesianProduct"), s"$q plans a cartesian")
+      assert(df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }.isEmpty, s"$q plans an unpartitioned window")
+    }
+    // the cross-modal candidates join on (band, key) — a hash join,
+    // with the Hamming verify a codegen filter above it
+    val p = plan("mm_cross_modal_dup")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      s"cross-set band join is not an equi-join:\n${p.take(2000)}")
+  }
+
   test("CollapseNfcNormalize: the optimizer rule folds nested " +
       "idempotent normalizations, and an extensions-built session " +
       "applies it end-to-end") {
