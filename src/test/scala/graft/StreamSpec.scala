@@ -974,6 +974,44 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("audioSegments and HtmlText.extract run unchanged under " +
+      "readStream: stateless decode/extract per micro-batch matches " +
+      "batch") {
+    import graft.ext.{HtmlText, Multimodal, WavEncoder}
+    implicit val sq = spark.sqlContext
+    val wavs = (0L until 6L).map(id => (id,
+      WavEncoder.pcm16(Array.tabulate(40)(t =>
+        ((id + 1) * (t * 37 + 11) % 512).toInt - 256))))
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = Multimodal.audioSegments(
+        in.toDF().toDF("doc_id", "blob"), $"doc_id", $"blob", 128)
+      .writeStream.format("memory").queryName("aseg_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(wavs.take(3)); q.processAllAvailable()
+      in.addData(wavs.drop(3)); q.processAllAvailable()
+      val got = spark.table("aseg_out")
+        .as[(Long, Int, Int, Int, Long)].collect().toSet
+      val want = Multimodal.audioSegments(wavs.toDF("doc_id", "blob"),
+        $"doc_id", $"blob", 128)
+        .as[(Long, Int, Int, Int, Long)].collect().toSet
+      assert(got === want && want.nonEmpty)
+    } finally q.stop()
+    val pages = (0L until 4L).map(id =>
+      (id, s"<p>doc $id <b>body</b> &amp; tail</p><script>x</script>"))
+    val inH = MemoryStream[(Long, String)]
+    val qH = inH.toDF().toDF("doc_id", "html")
+      .select($"doc_id", HtmlText.extract($"html").as("x"))
+      .writeStream.format("memory").queryName("hx_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(); inH.addData(pages: _*); qH.processAllAvailable()
+      val got = spark.table("hx_out").as[(Long, String)].collect().toSet
+      assert(got === pages.map { case (id, _) =>
+        (id, s"doc $id body & tail") }.toSet)
+    } finally qH.stop()
+  }
+
   test("bitmapDistinctStream: exact per-key distinct counts converge " +
       "under shuffled delivery and duplicate replay") {
     import graft.streaming.StreamOps.{DistinctEvent, DistinctCount}
