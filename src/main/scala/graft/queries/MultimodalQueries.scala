@@ -453,6 +453,27 @@ private[queries] object MultimodalQueries {
           col("hamming"))
     },
 
+    // SubRip subtitle parsing — the caption alignment input of AV
+    // training data: per-doc SRT files (closed-form cue grid) parse
+    // through the from-scratch reader into one row per cue; a
+    // malformed cue fails loudly with its number
+    "mm_subtitles" -> { (s, dir) =>
+      import s.implicits._
+      val srts = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val n = (id % 4 + 1).toInt
+            val cues = (1 to n).map { i =>
+              val start = id % 1000 + (i - 1) * 2000L
+              (i, start, start + 1500L, s"cue $i of doc $id")
+            }
+            (id, Subtitles.buildSrt(cues))
+          }
+        }.toDF("doc_id", "srt")
+      Subtitles.cues(srts, col("doc_id"), col("srt"))
+        .withColumnRenamed("id", "doc_id")
+    },
+
     // resize + frame-sample plumbing over the decoded features
     "mm_thumbnail" -> { (s, dir) =>
       val feats = Multimodal.decodeFeatures(
@@ -835,6 +856,19 @@ private[queries] object MultimodalQueries {
         |  ON a.bb = c.bb AND a.bkey = c.bkey
         |WHERE a.doc_id < c.doc_id
         |  AND bit_count(xor(a.vhash, c.vhash)) <= 3""".stripMargin,
+
+    // the cue grid recomputed: i-th cue of doc d starts at
+    // d%1000 + (i-1)*2000 and runs 1500 ms
+    "mm_subtitles" ->
+      """SELECT doc_id, CAST(i.i AS INT) AS cue_no,
+        |  CAST(doc_id % 1000 + (i.i - 1) * 2000 AS BIGINT) AS start_ms,
+        |  CAST(doc_id % 1000 + (i.i - 1) * 2000 + 1500 AS BIGINT)
+        |    AS end_ms,
+        |  'cue ' || CAST(i.i AS VARCHAR) || ' of doc '
+        |    || CAST(doc_id AS VARCHAR) AS text,
+        |  CAST(1500 AS BIGINT) AS duration_ms
+        |FROM documents,
+        |  LATERAL (SELECT unnest(range(1, doc_id % 4 + 2)) AS i) i""".stripMargin,
 
     // the image raster and the video keyframe carry the SAME grid by
     // construction, so one sig CTE serves both sides; ordered pairs,

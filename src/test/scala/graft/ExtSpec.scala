@@ -1582,6 +1582,32 @@ class ExtSpec extends SparkSpec {
       e2.getMessage.contains("CRC"), e2.getMessage)
   }
 
+  test("Subtitles.parseSrt: builder round-trip, BOM/LF/dot variants, " +
+    "multi-line cues, and loud malformed-cue failures") {
+    import graft.ext.Subtitles.{buildSrt, parseSrt}
+    val cues = Seq(
+      (1, 0L, 1500L, "hello"),
+      (2, 61234L, 3600000L + 2005L, "two\nlines"),
+      (7, 359999999L, 360000000L, "sparse index"))
+    assert(parseSrt(buildSrt(cues)) === cues)
+    // LF-only, dot separator, BOM, extra blank lines — the wild
+    val messy = "﻿1\n00:00:01.500 --> 00:00:02.000\nfirst\n\n\n" +
+      "2\n00:01:00,000 --> 00:01:01,250\nsecond a\nsecond b\n\n"
+    assert(parseSrt(messy) === Seq(
+      (1, 1500L, 2000L, "first"),
+      (2, 60000L, 61250L, "second a\nsecond b")))
+    // malformed cues are loud, with the cue number
+    for ((bad, what) <- Seq(
+      ("1\n00:00:xx,000 --> 00:00:01,000\nt\n", "bad timestamp"),
+      ("1\n00:00:02,000 --> 00:00:01,000\nt\n", "precedes"),
+      ("1\n00:00:01,000 00:00:02,000\nt\n", "no arrow"),
+      ("x\n00:00:01,000 --> 00:00:02,000\nt\n", "not a number"),
+      ("1\n00:00:01,000 --> 00:00:02,000\n\n", "no text"))) {
+      val e = intercept[IllegalArgumentException] { parseSrt(bad) }
+      assert(e.getMessage.contains(what), s"$what: ${e.getMessage}")
+    }
+  }
+
   test("HtmlText.extractText: rawtext containment, quoted attributes, " +
     "comments with tags, entities, block-vs-inline lines, whitespace " +
     "collapse, and best-effort on truncation") {
