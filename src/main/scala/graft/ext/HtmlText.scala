@@ -152,4 +152,70 @@ object HtmlText {
   def extract(html: Column): Column = extractUdf(html)
 
   private val extractUdf = udf((s: String) => extractText(s))
+
+  /** `href` targets of anchor tags, in document order — the crawl
+    * frontier extraction that link-graph construction starts from.
+    * The same tag scan as [[extractText]] (quoted attribute values,
+    * case-insensitive names), entity-decoding each value (`&amp;` in
+    * query strings is the classic trap); unquoted href values read
+    * to the next whitespace or `>`. Best-effort like the text path.
+    */
+  def extractLinkTargets(html: String): Seq[String] = {
+    if (html == null) return null
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val n = html.length
+    var i = 0
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0 || lt + 1 >= n) i = n
+      else if (!html.charAt(lt + 1).isLetter) i = lt + 1
+      else {
+        var j = lt + 1
+        val nameStart = j
+        while (j < n && html.charAt(j).isLetterOrDigit) j += 1
+        val isAnchor =
+          html.substring(nameStart, j).equalsIgnoreCase("a")
+        // walk attributes to '>' honoring quotes; capture href
+        var quote = 0.toChar
+        var href: String = null
+        while (j < n && (quote != 0 || html.charAt(j) != '>')) {
+          val c = html.charAt(j)
+          if (quote != 0) { if (c == quote) quote = 0; j += 1 }
+          else if (c == '"' || c == '\'') { quote = c; j += 1 }
+          else if (isAnchor && href == null &&
+            html.regionMatches(true, j, "href", 0, 4) &&
+            (j == lt + 2 || isWs(html.charAt(j - 1)))) {
+            var k = j + 4
+            while (k < n && isWs(html.charAt(k))) k += 1
+            if (k < n && html.charAt(k) == '=') {
+              k += 1
+              while (k < n && isWs(html.charAt(k))) k += 1
+              if (k < n && (html.charAt(k) == '"' || html.charAt(k) == '\'')) {
+                val q = html.charAt(k)
+                val end = html.indexOf(q, k + 1)
+                if (end > 0) { href = html.substring(k + 1, end); k = end + 1 }
+                else k = n
+              } else {
+                val vs = k
+                while (k < n && !isWs(html.charAt(k)) &&
+                  html.charAt(k) != '>') k += 1
+                href = html.substring(vs, k)
+              }
+              j = k
+            } else j += 4
+          } else j += 1
+        }
+        if (href != null)
+          out += extractText(href) // entity decode, no tags inside
+        i = if (j < n) j + 1 else n
+      }
+    }
+    out.toSeq
+  }
+
+  /** Column form of [[extractLinkTargets]]. */
+  def extractLinks(html: Column): Column = extractLinksUdf(html)
+
+  private val extractLinksUdf =
+    udf((s: String) => extractLinkTargets(s))
 }

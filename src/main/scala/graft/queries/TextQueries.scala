@@ -264,6 +264,23 @@ private[queries] object TextQueries {
           length(col("__x")).cast("long").as("n_chars"))
     },
 
+    // crawl-frontier link extraction: anchor hrefs (quoted, unquoted,
+    // entity-encoded query strings — the &amp; trap) pulled from the
+    // same from-scratch tag scan, one row per link in document order
+    "text_extract_links" -> { (s, dir) =>
+      val html = concat(
+        lit("<html><body><a href=\"http://h"),
+        pmod(col("doc_id"), lit(7)),
+        lit(".example.com/p/"), col("doc_id"),
+        lit("?a=1&amp;b=2\">l1</a><p>text</p>" +
+          "<a class=\"x\" href='/rel/"),
+        col("doc_id"),
+        lit("'>l2</a><a name=\"no-href\">skip</a></body></html>"))
+      docs(s, dir).select(col("doc_id"),
+          posexplode(HtmlText.extractLinks(html))
+            .as(Seq("link_no", "href")))
+    },
+
     "text_decode_roundtrip" -> { (s, dir) =>
       val d = docs(s, dir)
       val enc = Bpe.encode(d, col("doc_id"), col("text"),
@@ -344,6 +361,18 @@ private[queries] object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // both links rebuilt closed-form; &amp; decodes to & in the query
+    // string, the anchor without href contributes nothing
+    "text_extract_links" ->
+      """SELECT doc_id, CAST(u.i AS INT) AS link_no,
+        |  CASE WHEN u.i = 0
+        |    THEN 'http://h' || CAST(doc_id % 7 AS VARCHAR)
+        |      || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+        |      || '?a=1&b=2'
+        |    ELSE '/rel/' || CAST(doc_id AS VARCHAR) END AS href
+        |FROM documents,
+        |  LATERAL (SELECT unnest(range(0, 2)) AS i) u""".stripMargin,
 
     // the expected extraction rebuilt from the raw text: line "t"
     // (title), the whitespace-collapsed body if non-blank, then

@@ -1630,6 +1630,15 @@ class ExtSpec extends SparkSpec {
     assert(extractText("x &unknown; y&nbsp;z") === "x &unknown; y z")
     // bare '<' not opening a tag is text
     assert(extractText("1 < 2 and 3 > 2") === "1 < 2 and 3 > 2")
+    // link extraction: quoted/unquoted/entity hrefs in order; href
+    // inside a quoted OTHER attribute or on a non-anchor tag skips
+    import graft.ext.HtmlText.extractLinkTargets
+    assert(extractLinkTargets(
+      """<a href="http://x/?a=1&amp;b=2">t</a>
+        |<a title="href=decoy" href='/y'>u</a>
+        |<a href=/bare>v</a><link href="/css"><a name=z>w</a>"""
+        .stripMargin) === Seq("http://x/?a=1&b=2", "/y", "/bare"))
+    assert(extractLinkTargets("no links <p>here</p>") === Seq.empty)
     // truncation: open comment / tag / rawtext at EOF drop silently
     assert(extractText("ok<!-- never closed") === "ok")
     assert(extractText("ok<p unfinished") === "ok")
