@@ -71,18 +71,103 @@ object Subtitles {
     out.toSeq
   }
 
+  /** WebVTT (.vtt) cues — the OTHER caption format (YouTube's native
+    * export, the W3C spec): a `WEBVTT` header line (with optional
+    * trailing metadata up to the first blank line), `NOTE`/`STYLE`/
+    * `REGION` blocks that drop whole, cues whose identifier line is
+    * OPTIONAL, `.` millisecond separators, optional cue SETTINGS
+    * after the end timestamp (`align:start line:0%` — dropped), the
+    * short `MM:SS.mmm` timestamp form, and inline styling tags
+    * (`<b>`, `<c.loud>`, `<00:00:01.000>`) stripped from cue text
+    * via the HTML tag scan. Cue numbers are assigned 1-based in file
+    * order (VTT identifiers are free text, not ordinals). Same loud
+    * contract as [[parseSrt]] for malformed timing lines.
+    */
+  def parseVtt(vtt: String): Seq[(Int, Long, Long, String)] = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"VTT: $msg")
+    val body =
+      if (vtt.startsWith("\uFEFF")) vtt.substring(1) else vtt
+    val lines = body.split("\r\n|\n", -1)
+    if (lines.isEmpty || !lines(0).startsWith("WEBVTT"))
+      fail("missing WEBVTT header")
+    var i = 1
+    while (i < lines.length && lines(i).trim.nonEmpty) i += 1 // header meta
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Long, String)]
+    def ts(s: String, cue: Int): Long = {
+      val t = s.trim
+      val m = "(?:(\\d{1,6}):)?(\\d{2}):(\\d{2})[.,](\\d{3})".r
+        .findPrefixMatchOf(t).getOrElse(
+          fail(s"cue $cue: bad timestamp '${t.take(24)}'"))
+      val h = Option(m.group(1)).map(_.toLong).getOrElse(0L)
+      ((h * 60 + m.group(2).toLong) * 60 + m.group(3).toLong) * 1000 +
+        m.group(4).toLong
+    }
+    while (i < lines.length) {
+      while (i < lines.length && lines(i).trim.isEmpty) i += 1
+      if (i < lines.length) {
+        val first = lines(i).trim
+        if (first.startsWith("NOTE") || first == "STYLE" ||
+          first.startsWith("REGION")) {
+          while (i < lines.length && lines(i).trim.nonEmpty) i += 1
+        } else {
+          val cueNo = out.size + 1
+          // the identifier line is optional: a line without an arrow
+          // is the id, the arrow line follows
+          var timingLine = first
+          if (!timingLine.contains("-->")) {
+            i += 1
+            if (i >= lines.length)
+              fail(s"cue $cueNo: identifier without a timing line")
+            timingLine = lines(i).trim
+          }
+          val arrow = timingLine.indexOf("-->")
+          if (arrow < 0)
+            fail(s"cue $cueNo: timing line '${timingLine.take(40)}' " +
+              "has no arrow")
+          val start = ts(timingLine.substring(0, arrow), cueNo)
+          // settings after the end timestamp drop (ts reads a prefix)
+          val end = ts(timingLine.substring(arrow + 3), cueNo)
+          if (end < start)
+            fail(s"cue $cueNo: end $end ms precedes start $start ms")
+          i += 1
+          val text = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (i < lines.length && lines(i).trim.nonEmpty) {
+            // karaoke timestamp tags (<00:00:01.000>) start with a
+            // digit — outside the HTML tag grammar — so drop them
+            // first, then strip styling tags via the HTML tag scan
+            val noKaraoke = lines(i).replaceAll("<\\d[^>]*>", "")
+            text += HtmlText.extractText(noKaraoke)
+            i += 1
+          }
+          if (text.isEmpty) fail(s"cue $cueNo: no text lines")
+          out += ((cueNo, start, end, text.mkString("\n")))
+        }
+      }
+    }
+    out.toSeq
+  }
+
   /** Explode (id, srt) rows into one row per cue:
     * (id, cue_no, start_ms, end_ms, text, duration_ms). Map-only.
     */
-  def cues(df: DataFrame, id: Column, srt: Column): DataFrame = {
-    val parse = udf((s: String) => parseSrt(s))
+  def cues(df: DataFrame, id: Column, srt: Column): DataFrame =
+    explodeCues(df, id, srt, udf((s: String) => parseSrt(s)))
+
+  /** [[cues]] for WebVTT payloads. */
+  def cuesVtt(df: DataFrame, id: Column, vtt: Column): DataFrame =
+    explodeCues(df, id, vtt, udf((s: String) => parseVtt(s)))
+
+  private def explodeCues(df: DataFrame, id: Column, payload: Column,
+      parse: org.apache.spark.sql.expressions.UserDefinedFunction)
+      : DataFrame =
     df.select(id.as("id"),
-        explode(parse(srt)).as("__c"))
+        explode(parse(payload)).as("__c"))
       .select(col("id"), col("__c._1").as("cue_no"),
         col("__c._2").as("start_ms"), col("__c._3").as("end_ms"),
         col("__c._4").as("text"),
         (col("__c._3") - col("__c._2")).as("duration_ms"))
-  }
 
   /** Fixture/test SRT writer — cues exactly as [[parseSrt]] reads
     * them back, CRLF line ends (the format's native convention).

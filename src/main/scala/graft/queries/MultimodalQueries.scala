@@ -474,6 +474,36 @@ private[queries] object MultimodalQueries {
         .withColumnRenamed("id", "doc_id")
     },
 
+    // WebVTT parsing — YouTube's native caption export: headers,
+    // NOTE blocks, optional cue identifiers, cue settings, karaoke
+    // timestamp tags and styling tags all navigate correctly; same
+    // cue grid as the SRT row so the two parsers share one oracle
+    // shape
+    "mm_subtitles_vtt" -> { (s, dir) =>
+      import s.implicits._
+      val vtts = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val n = (id % 4 + 1).toInt
+            def ts(ms: Long) =
+              f"${ms / 3600000}%02d:${ms / 60000 % 60}%02d:" +
+                f"${ms / 1000 % 60}%02d.${ms % 1000}%03d"
+            val cues = (1 to n).map { i =>
+              val start = id % 1000 + (i - 1) * 2000L
+              val ident = if (i % 2 == 0) s"cue-id-$i\n" else ""
+              s"$ident${ts(start)} --> ${ts(start + 1500)}" +
+                s" align:start line:0%\n" +
+                s"<v Speaker><00:00:01.000>cue <b>$i</b> of doc $id</v>"
+            }
+            (id, "WEBVTT - fixture\nKind: captions\n\n" +
+              "NOTE synthesized for the oracle\n\n" +
+              cues.mkString("\n\n") + "\n")
+          }
+        }.toDF("doc_id", "vtt")
+      Subtitles.cuesVtt(vtts, col("doc_id"), col("vtt"))
+        .withColumnRenamed("id", "doc_id")
+    },
+
     // resize + frame-sample plumbing over the decoded features
     "mm_thumbnail" -> { (s, dir) =>
       val feats = Multimodal.decodeFeatures(
@@ -860,6 +890,18 @@ private[queries] object MultimodalQueries {
     // the cue grid recomputed: i-th cue of doc d starts at
     // d%1000 + (i-1)*2000 and runs 1500 ms
     "mm_subtitles" ->
+      """SELECT doc_id, CAST(i.i AS INT) AS cue_no,
+        |  CAST(doc_id % 1000 + (i.i - 1) * 2000 AS BIGINT) AS start_ms,
+        |  CAST(doc_id % 1000 + (i.i - 1) * 2000 + 1500 AS BIGINT)
+        |    AS end_ms,
+        |  'cue ' || CAST(i.i AS VARCHAR) || ' of doc '
+        |    || CAST(doc_id AS VARCHAR) AS text,
+        |  CAST(1500 AS BIGINT) AS duration_ms
+        |FROM documents,
+        |  LATERAL (SELECT unnest(range(1, doc_id % 4 + 2)) AS i) i""".stripMargin,
+
+    // the same cue grid; the styling/karaoke markup must vanish
+    "mm_subtitles_vtt" ->
       """SELECT doc_id, CAST(i.i AS INT) AS cue_no,
         |  CAST(doc_id % 1000 + (i.i - 1) * 2000 AS BIGINT) AS start_ms,
         |  CAST(doc_id % 1000 + (i.i - 1) * 2000 + 1500 AS BIGINT)

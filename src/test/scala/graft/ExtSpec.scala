@@ -1596,6 +1596,23 @@ class ExtSpec extends SparkSpec {
     assert(parseSrt(messy) === Seq(
       (1, 1500L, 2000L, "first"),
       (2, 60000L, 61250L, "second a\nsecond b")))
+    // WebVTT: header metadata, NOTE block, optional identifier, cue
+    // settings, short MM:SS.mmm timestamps, styling + karaoke tags
+    import graft.ext.Subtitles.parseVtt
+    val vtt = "WEBVTT - demo\nKind: captions\n\n" +
+      "NOTE a comment\nwith a second line\n\n" +
+      "00:05.000 --> 00:06.500 align:start\n" +
+      "<v Ann><00:00:05.200>plain <b>bold</b></v>\n\n" +
+      "my-id-2\n01:00:00.000 --> 01:00:01,000\nline a\n<c.loud>line b</c>\n"
+    assert(parseVtt(vtt) === Seq(
+      (1, 5000L, 6500L, "plain bold"),
+      (2, 3600000L, 3600000L + 1000L, "line a\nline b")))
+    val eh = intercept[IllegalArgumentException] { parseVtt("1\n") }
+    assert(eh.getMessage.contains("WEBVTT header"))
+    val et = intercept[IllegalArgumentException] {
+      parseVtt("WEBVTT\n\n00:xx.000 --> 00:06.000\nt\n")
+    }
+    assert(et.getMessage.contains("bad timestamp"))
     // malformed cues are loud, with the cue number
     for ((bad, what) <- Seq(
       ("1\n00:00:xx,000 --> 00:00:01,000\nt\n", "bad timestamp"),
