@@ -178,6 +178,25 @@ object Sampling {
         .otherwise(lit("train")))
   }
 
+  /** TEMPORAL split with an EMBARGO gap — the leakage-correct split
+    * for time-ordered data (López de Prado's purged/embargoed
+    * evaluation): hash splits leak future information into training
+    * whenever rows correlate across time, so the eval set must be
+    * strictly LATER than training, with a buffer zone between them
+    * absorbing look-ahead bleed (features computed over windows that
+    * straddle the cut). Rows before `cut − embargo` → "train", rows
+    * in [cut − embargo, cut) → "embargo" (discarded from both
+    * sides), rows at/after `cut` → "test"; a NULL timestamp falls to
+    * "embargo" — the safe side, never trained on, never evaluated.
+    * Map-only, no shuffle.
+    */
+  def splitTemporal(df: DataFrame, ts: Column, cut: Column,
+                    embargo: Column): DataFrame =
+    df.withColumn("split",
+      when(ts < cut - embargo, lit("train"))
+        .when(ts >= cut, lit("test"))
+        .otherwise(lit("embargo")))
+
   /** Token-budget mixture planning — the pretraining-mix step that
     * turns "30% web, 50% code, 20% books inside a 1T-token budget"
     * into per-document REPEAT COUNTS (epochs): a source whose share

@@ -205,6 +205,19 @@ private[queries] object CurateQueries {
     },
 
 
+    // Temporal split with an embargo gap — the leakage-correct split
+    // for time-ordered data: test strictly AFTER train with a 2-day
+    // buffer discarded between them (features over windows straddling
+    // the cut bleed the future into training otherwise)
+    "split_temporal" -> { (s, dir) =>
+      Sampling.splitTemporal(t(s, dir, "events"),
+          col("ts"), lit("2024-01-20").cast("timestamp"),
+          expr("INTERVAL 2 DAYS"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("event_id")).as("id_checksum"))
+    },
+
     // The DSIR use-case end-to-end: keep the top-third most
     // target-domain-like docs per language — BIGRAM-feature
     // importance weights (the paper's hashed-bigram models; unigram
@@ -490,6 +503,17 @@ private[queries] object CurateQueries {
          |  CAST(cumb % 256 AS BIGINT) AS seq_offset
          |FROM cum""".stripMargin,
 
+
+    "split_temporal" ->
+      """WITH e AS (SELECT event_id, make_timestamp(epoch_us(ts)) AS ts
+        |  FROM events)
+        |SELECT CASE
+        |    WHEN ts < TIMESTAMP '2024-01-18 00:00:00' THEN 'train'
+        |    WHEN ts >= TIMESTAMP '2024-01-20 00:00:00' THEN 'test'
+        |    ELSE 'embargo' END AS split,
+        |  count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS id_checksum
+        |FROM e GROUP BY 1""".stripMargin,
 
     "split_assign" ->
       """SELECT doc_id, source,
