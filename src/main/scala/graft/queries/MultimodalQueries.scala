@@ -504,6 +504,39 @@ private[queries] object MultimodalQueries {
         .withColumnRenamed("id", "doc_id")
     },
 
+    // caption boilerplate removal — AV transcript curation: cues
+    // whose text appears across MANY documents ("[Music]",
+    // "[Applause]") are non-speech markers, not transcript; a
+    // document-frequency census drops them (df > 3), and each doc
+    // reports its retained speech cues + duration. The fixture
+    // interleaves one "[Music]" cue per doc among the unique cues.
+    "curate_captions" -> { (s, dir) =>
+      import s.implicits._
+      val srts = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val n = (id % 4 + 1).toInt
+            val speech = (1 to n).map { i =>
+              val start = id % 1000 + (i - 1) * 2000L
+              (i, start, start + 1500L, s"cue $i of doc $id")
+            }
+            val music = (n + 1, id % 1000 + n * 2000L,
+              id % 1000 + n * 2000L + 800L, "[Music]")
+            (id, Subtitles.buildSrt(speech :+ music))
+          }
+        }.toDF("doc_id", "srt")
+      val cues = Subtitles.cues(srts, col("doc_id"), col("srt"))
+        .withColumnRenamed("id", "doc_id")
+      val df_ = cues.groupBy(col("text"))
+        .agg(countDistinct(col("doc_id")).as("__df"))
+        .filter(col("__df") > 3)
+        .select(col("text").as("__boiler"))
+      cues.join(df_, cues("text") === col("__boiler"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_speech_cues"),
+          sum(col("duration_ms")).as("speech_ms"))
+    },
+
     // resize + frame-sample plumbing over the decoded features
     "mm_thumbnail" -> { (s, dir) =>
       val feats = Multimodal.decodeFeatures(
@@ -899,6 +932,14 @@ private[queries] object MultimodalQueries {
         |  CAST(1500 AS BIGINT) AS duration_ms
         |FROM documents,
         |  LATERAL (SELECT unnest(range(1, doc_id % 4 + 2)) AS i) i""".stripMargin,
+
+    // every doc keeps exactly its unique speech cues (1500 ms each);
+    // the shared "[Music]" cue crosses the df threshold and drops
+    "curate_captions" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 4 + 1 AS BIGINT) AS n_speech_cues,
+        |  CAST((doc_id % 4 + 1) * 1500 AS BIGINT) AS speech_ms
+        |FROM documents""".stripMargin,
 
     // the same cue grid; the styling/karaoke markup must vanish
     "mm_subtitles_vtt" ->
