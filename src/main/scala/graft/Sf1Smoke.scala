@@ -77,7 +77,15 @@ object Sf1Smoke {
       "cdc_patch_apply", "tpch_q7", "tpch_q18", "mm_video_frames",
       "mm_video_dup_pairs", "mm_audio_segments", "mm_audio_resample",
       "curate_audio", "curate_videos", "emb_silhouette",
-      "ts_changepoint")
+      "ts_changepoint",
+      // round-12 late additions: bitmap exact-distinct partials +
+      // intersect, boilerplate strip + link extraction, the WET
+      // chain, caption parsing/curation, embargoed temporal split,
+      // cross-modal keyframe join
+      "rel_incremental_distinct", "rel_distinct_intersect",
+      "text_html_extract", "text_extract_links", "curate_web",
+      "mm_subtitles", "mm_subtitles_vtt", "curate_captions",
+      "split_temporal", "mm_cross_modal_dup")
 
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     def audit(df: DataFrame): Seq[String] = {
