@@ -328,6 +328,49 @@ object TimeSeries {
         max(col("__s")).cast("long").as("max_abs_scaled"))
   }
 
+  /** LAG-1 AUTOCORRELATION per key — the seasonality/persistence
+    * diagnostic (is this series noise or does it remember itself?).
+    * Exact-moments discipline like the OLS trend: with values in
+    * micro-unit longs and S = Σx, the mean never materializes —
+    * multiplying the centered sums by n² gives
+    *   num = n²·Σ x_t·x_{t+1} − n·S·(2S − x_0 − x_{n−1}) + (n−1)·S²
+    *   den = n²·Σ x² − n·S²
+    * both exact decimal(38,0), and r1_ppm = floor(10⁶·num/den) costs
+    * ONE IEEE divide — bit-identical cross-engine. One keyed window
+    * pass (lag over the (ts, tie) order) + one hash aggregate; keys
+    * with n < 2 or zero variance emit NULL r1_ppm (undefined, not 0 —
+    * a constant series has no correlation to report).
+    */
+  def acf1(events: DataFrame, tie: Column): DataFrame = {
+    val base = events.select(col("key"), col("ts"), tie.as("__tie"),
+      expr("cast(floor(value * 1000000) as bigint)")
+        .cast("decimal(38,0)").as("__v"))
+    val ordered = Window.partitionBy("key")
+      .orderBy(col("ts"), col("__tie"))
+    base
+      .withColumn("__prev", lag(col("__v"), 1).over(ordered))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__v")).as("__s"),
+        sum(col("__v") * col("__v")).as("__s2"),
+        sum(col("__v") * col("__prev")).as("__sxy"),
+        min_by(col("__v"), struct(col("ts"), col("__tie"))).as("__x0"),
+        max_by(col("__v"), struct(col("ts"), col("__tie"))).as("__xn"))
+      .withColumn("__den",
+        col("__n") * col("__n") * col("__s2")
+          - col("__n") * col("__s") * col("__s"))
+      .select(col("key"), col("__n").as("n_events"),
+        when(col("__den") === 0, lit(null)).otherwise(
+          floor(
+            (col("__n") * col("__n") * col("__sxy")
+              - col("__n") * col("__s") *
+                (col("__s") * 2 - col("__x0") - col("__xn"))
+              + (col("__n") - 1) * col("__s") * col("__s"))
+              .cast("double") /
+            col("__den").cast("double")
+            * 1000000.0).cast("long")).as("r1_ppm"))
+  }
+
   /** The six OHLC aggregates over (`__v`, `__o`) — the shared
     * batch/streaming aggregation list.
     */

@@ -234,6 +234,18 @@ private[queries] object GraphTimeQueries {
           col("cp_k"), col("max_abs_scaled"))
     },
 
+    // lag-1 autocorrelation per user — exact scaled moments, no mean
+    // ever materialized, one IEEE divide at the end
+    "ts_acf1" -> { (s, dir) =>
+      TimeSeries.acf1(
+        t(s, dir, "events")
+          .select(col("user_id").as("key"), col("ts"), col("value"),
+            col("event_id")),
+        tie = col("event_id"))
+        .select(col("key").as("user_id"), col("n_events"),
+          col("r1_ppm"))
+    },
+
     "ts_ewma" -> { (s, dir) =>
       TimeSeries.ewmaFixed(
         t(s, dir, "events")
@@ -773,6 +785,32 @@ private[queries] object GraphTimeQueries {
     // truncation semantics for any sign, so the bit-exact claim holds
     // on negative accumulators too (GraphTimeSeriesSpec pins the
     // Spark/Scala pair on a negative-value fixture).
+    // the scaled-moments autocorrelation replayed in HUGEINT
+    "ts_acf1" ->
+      (s"""WITH $evtCte,
+        |b AS (SELECT user_id, ts, event_id,
+        |    CAST(floor(value * 1000000) AS HUGEINT) AS v
+        |  FROM evts),
+        |w AS (SELECT user_id, v,
+        |    lag(v) OVER win AS pv,
+        |    first_value(v) OVER win AS x0,
+        |    first_value(v) OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS xn
+        |  FROM b
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |a AS (SELECT user_id, count(*) AS n, sum(v) AS s,
+        |    sum(v * v) AS s2, sum(v * pv) AS sxy,
+        |    max(x0) AS x0, max(xn) AS xn
+        |  FROM w GROUP BY 1)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_events,
+        |  CAST(CASE WHEN n * n * s2 - n * s * s = 0 THEN NULL
+        |    ELSE floor(
+        |      CAST(n * n * sxy - n * s * (2 * s - x0 - xn)
+        |           + (n - 1) * s * s AS DOUBLE)
+        |      / CAST(n * n * s2 - n * s * s AS DOUBLE)
+        |      * 1000000.0) END AS BIGINT) AS r1_ppm
+        |FROM a""".stripMargin),
+
     // the scaled CUSUM replayed: HUGEINT prefix/total sums, argmax
     // with the earliest-k tie-break
     "ts_changepoint" ->
