@@ -153,6 +153,45 @@ object Profiling {
     * NULL as the smallest key instead of letting three-valued logic
     * drop the null row from its own rank join.
     */
+  /** BENFORD first-digit profile — the classic fabricated-data
+    * screen (naturally-occurring positive measurements follow
+    * P(d) = log₁₀(1 + 1/d); synthetic or tampered columns usually
+    * don't). Values quantize to positive micro-unit longs and the
+    * leading digit comes off the DECIMAL STRING — never via
+    * floating log10, whose libm rounding differs across engines.
+    * One row per digit 1–9: observed count, observed ppm
+    * (truncating integer division, both engines agree on
+    * non-negative operands), the Benford expectation in ppm
+    * (floor(log₁₀(1+1/d)·10⁶) constants), and the absolute
+    * deviation — all exact integers. One hash aggregate; zero and
+    * negative values are out of Benford's domain and drop.
+    */
+  def benfordProfile(df: DataFrame, value: Column): DataFrame = {
+    val benfordPpm = Map(1 -> 301029L, 2 -> 176091L, 3 -> 124938L,
+      4 -> 96910L, 5 -> 79181L, 6 -> 66946L, 7 -> 57991L,
+      8 -> 51152L, 9 -> 45757L)
+    val expected = benfordPpm.toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("long")) { case (acc, (d, ppm)) =>
+        when(col("digit") === d, lit(ppm)).otherwise(acc)
+      }
+    df.select(floor(value * 1000000).cast("long").as("__m"))
+      .filter(col("__m") > 0)
+      .select(substring(col("__m").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+      // ≤9-row frame after the aggregate: the constant-key window is
+      // a bounded total, never a data-sized global sort
+      .withColumn("__total", sum(col("n_obs"))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))))
+      .select(col("digit"), col("n_obs"),
+        (col("n_obs") * 1000000L / col("__total")).cast("long")
+          .as("obs_ppm"),
+        expected.as("benford_ppm"))
+      .withColumn("dev_ppm", abs(col("obs_ppm") - col("benford_ppm")))
+  }
+
   def keySkewProfile(df: DataFrame, key: Column, k: Int): DataFrame = {
     // upper bound mirrors the [1, 20] caps on pageRank/kHop iterations:
     // the rank/cumshare step is a deliberate k² broadcast self-join

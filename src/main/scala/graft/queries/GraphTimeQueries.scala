@@ -185,6 +185,12 @@ private[queries] object GraphTimeQueries {
     // The skew probe you run before a 100 TB join: exact top-20
     // heavy-hitter keys with ppm shares. TakeOrderedAndProject cap,
     // cumulative window only over the capped 20 rows.
+    // Benford first-digit screen over the events value column —
+    // string-based leading digit (never libm log10), exact ppm math
+    "stats_benford" -> { (s, dir) =>
+      Profiling.benfordProfile(t(s, dir, "events"), col("value"))
+    },
+
     "stats_key_skew" -> { (s, dir) =>
       Profiling.keySkewProfile(t(s, dir, "lineitem"), col("l_partkey"),
         k = 20)
@@ -723,6 +729,23 @@ private[queries] object GraphTimeQueries {
     // (Spark's default ASC placement). l_partkey is non-null in the
     // fixtures, but the oracle must encode the contract, not the
     // fixture.
+    "stats_benford" ->
+      """WITH m AS (SELECT CAST(floor(value * 1000000) AS BIGINT) AS m
+        |  FROM events WHERE floor(value * 1000000) > 0),
+        |d AS (SELECT CAST(substr(CAST(m AS VARCHAR), 1, 1) AS INT)
+        |    AS digit FROM m),
+        |c AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY 1),
+        |t AS (SELECT sum(n_obs) AS total FROM c),
+        |e(digit, benford_ppm) AS (VALUES (1, 301029), (2, 176091),
+        |  (3, 124938), (4, 96910), (5, 79181), (6, 66946),
+        |  (7, 57991), (8, 51152), (9, 45757))
+        |SELECT c.digit, c.n_obs,
+        |  CAST(c.n_obs * 1000000 // t.total AS BIGINT) AS obs_ppm,
+        |  CAST(e.benford_ppm AS BIGINT) AS benford_ppm,
+        |  CAST(abs(c.n_obs * 1000000 // t.total - e.benford_ppm)
+        |    AS BIGINT) AS dev_ppm
+        |FROM c, t JOIN e ON e.digit = c.digit""".stripMargin,
+
     "stats_key_skew" ->
       """WITH counts AS (SELECT l_partkey AS key, count(*) AS n
         |                FROM lineitem GROUP BY 1),
