@@ -85,7 +85,8 @@ object Sf1Smoke {
       "rel_incremental_distinct", "rel_distinct_intersect",
       "text_html_extract", "text_extract_links", "curate_web",
       "mm_subtitles", "mm_subtitles_vtt", "curate_captions",
-      "split_temporal", "mm_cross_modal_dup")
+      "split_temporal", "mm_cross_modal_dup", "ts_acf1",
+      "stats_benford")
 
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     def audit(df: DataFrame): Seq[String] = {
