@@ -174,17 +174,18 @@ object Profiling {
       .foldLeft(lit(null).cast("long")) { case (acc, (d, ppm)) =>
         when(col("digit") === d, lit(ppm)).otherwise(acc)
       }
-    df.select(floor(value * 1000000).cast("long").as("__m"))
+    val counts = df
+      .select(floor(value * 1000000).cast("long").as("__m"))
       .filter(col("__m") > 0)
       .select(substring(col("__m").cast("string"), 1, 1)
         .cast("int").as("digit"))
       .groupBy(col("digit"))
       .agg(count(lit(1)).as("n_obs"))
-      // ≤9-row frame after the aggregate: the constant-key window is
-      // a bounded total, never a data-sized global sort
-      .withColumn("__total", sum(col("n_obs"))
-        .over(org.apache.spark.sql.expressions.Window
-          .partitionBy(lit(1))))
+    // the grand total joins back as a broadcast of ONE row — never a
+    // window (a constant-key window constant-folds into the banned
+    // unpartitioned form)
+    counts.crossJoin(broadcast(
+        counts.agg(sum(col("n_obs")).as("__total"))))
       .select(col("digit"), col("n_obs"),
         (col("n_obs") * 1000000L / col("__total")).cast("long")
           .as("obs_ppm"),
