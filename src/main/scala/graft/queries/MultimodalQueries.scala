@@ -614,6 +614,30 @@ private[queries] object MultimodalQueries {
         .withColumnRenamed("id", "doc_id")
     },
 
+    // speech-quality gate metric: the voiced share of each member's
+    // total |sample| energy in exact ppm (integer division on
+    // non-negative operands agrees across engines) — the "mostly
+    // speech or mostly noise floor?" census an ASR corpus filters on
+    "mm_audio_snr" -> { (s, dir) =>
+      val segs = Multimodal.audioSegments(audioBlobs(s, dir),
+        col("doc_id"), col("blob"), threshold = 128)
+        .groupBy(col("id").as("doc_id"))
+        .agg(sum(col("energy")).as("__voiced"))
+      // total energy via audioSegments at threshold -1 (every sample
+      // is one voiced run, energy = Σ|s|) — both censuses share one
+      // decoder implementation
+      val total = Multimodal.audioSegments(audioBlobs(s, dir),
+        col("doc_id"), col("blob"), threshold = -1)
+        .groupBy(col("id").as("doc_id"))
+        .agg(sum(col("energy")).as("__total"))
+      total.join(segs, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("__voiced"))
+        .select(col("doc_id"), col("__voiced").as("voiced_energy"),
+          col("__total").as("total_energy"),
+          (col("__voiced") * 1000000L / col("__total")).cast("long")
+            .as("voiced_ppm"))
+    },
+
     // VAD-style energy segmentation over the SAME decoded samples —
     // the ASR chunking pass: |s| > 128 marks voiced, maximal runs
     // become (seg_no, t_start, n_samples, energy) rows; map-only,
@@ -1144,6 +1168,38 @@ private[queries] object MultimodalQueries {
         |  CAST(min(v) AS INT) AS min_out,
         |  CAST(max(v) AS INT) AS max_out
         |FROM r GROUP BY 1""".stripMargin,
+
+    // voiced vs total energy straight off the closed-form |samples|
+    "mm_audio_snr" ->
+      """WITH g AS (SELECT doc_id, doc_id // 5 AS grp FROM documents),
+        |raw AS (SELECT doc_id, grp, t.t AS t,
+        |    ((((grp % 65536 + 1) * (t.t * 101 + 1)
+        |       + grp * 7919) % 65536)
+        |     * 2654435761 // 1024) AS m
+        |  FROM g, LATERAL (SELECT unnest(range(0, 120)) AS t) t),
+        |s AS (SELECT doc_id, t,
+        |    CASE WHEN grp % 4 IN (0, 3) THEN abs(m % 512 - 256)
+        |         WHEN grp % 4 = 1 THEN
+        |           (((255 - (208 + m % 32)) % 16) * 8 + 132)
+        |             * (CAST(1 AS BIGINT) << CAST(
+        |                 ((255 - (208 + m % 32)) // 16) % 8 AS INT))
+        |             - 132
+        |         ELSE CASE ((32 + m % 32) // 16) % 8
+        |           WHEN 0 THEN ((32 + m % 32) % 16) * 16 + 8
+        |           WHEN 1 THEN ((32 + m % 32) % 16) * 16 + 264
+        |           ELSE (((32 + m % 32) % 16) * 16 + 264)
+        |             * (CAST(1 AS BIGINT) << CAST(
+        |                 ((32 + m % 32) // 16) % 8 - 1 AS INT))
+        |         END
+        |    END AS a
+        |  FROM raw)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN a > 128 THEN a ELSE 0 END) AS BIGINT)
+        |    AS voiced_energy,
+        |  CAST(sum(a) AS BIGINT) AS total_energy,
+        |  CAST(sum(CASE WHEN a > 128 THEN a ELSE 0 END) * 1000000
+        |    // sum(a) AS BIGINT) AS voiced_ppm
+        |FROM s GROUP BY 1""".stripMargin,
 
     // the same closed-form |sample| stream, segmented by islands-and-
     // gaps: voiced rows keyed by t - row_number() collapse into
