@@ -185,6 +185,28 @@ private[queries] object GraphTimeQueries {
     // The skew probe you run before a 100 TB join: exact top-20
     // heavy-hitter keys with ppm shares. TakeOrderedAndProject cap,
     // cumulative window only over the capped 20 rows.
+    // per-column completeness census — the profiling staple run
+    // before any pipeline trusts a new table: null and exact-distinct
+    // counts for every column in ONE scan (all aggregates in a single
+    // HashAggregate, then a constant-width unpivot of the 1-row
+    // result — no per-column passes)
+    "stats_completeness" -> { (s, dir) =>
+      val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      val aggs = cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+        countDistinct(col(c)).as(s"__dist_$c"))) :+
+        count(lit(1)).as("__n")
+      val one = t(s, dir, "customer").agg(aggs.head, aggs.tail: _*)
+      val pairs = cols.flatMap(c => Seq(lit(c),
+        struct(col(s"__null_$c").as("n_null"),
+          col(s"__dist_$c").as("n_distinct"), col("__n").as("n_rows"))))
+      one.select(explode(map(pairs: _*)).as(Seq("col_name", "__s")))
+        .select(col("col_name"), col("__s.n_rows").as("n_rows"),
+          col("__s.n_null").as("n_null"),
+          col("__s.n_distinct").as("n_distinct"))
+    },
+
     // Benford first-digit screen over the events value column —
     // string-based leading digit (never libm log10), exact ppm math
     "stats_benford" -> { (s, dir) =>
@@ -729,6 +751,29 @@ private[queries] object GraphTimeQueries {
     // (Spark's default ASC placement). l_partkey is non-null in the
     // fixtures, but the oracle must encode the contract, not the
     // fixture.
+    "stats_completeness" ->
+      """SELECT u.col_name, CAST(t.n AS BIGINT) AS n_rows,
+        |  CAST(u.n_null AS BIGINT) AS n_null,
+        |  CAST(u.n_distinct AS BIGINT) AS n_distinct
+        |FROM (SELECT count(*) AS n,
+        |    sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS k_n,
+        |    count(DISTINCT c_custkey) AS k_d,
+        |    sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS nm_n,
+        |    count(DISTINCT c_name) AS nm_d,
+        |    sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS na_n,
+        |    count(DISTINCT c_nationkey) AS na_d,
+        |    sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS ab_n,
+        |    count(DISTINCT c_acctbal) AS ab_d,
+        |    sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS ms_n,
+        |    count(DISTINCT c_mktsegment) AS ms_d
+        |  FROM customer) t,
+        |  LATERAL (VALUES ('c_custkey', t.k_n, t.k_d),
+        |    ('c_name', t.nm_n, t.nm_d),
+        |    ('c_nationkey', t.na_n, t.na_d),
+        |    ('c_acctbal', t.ab_n, t.ab_d),
+        |    ('c_mktsegment', t.ms_n, t.ms_d))
+        |    AS u(col_name, n_null, n_distinct)""".stripMargin,
+
     "stats_benford" ->
       """WITH m AS (SELECT CAST(floor(value * 1000000) AS BIGINT) AS m
         |  FROM events WHERE floor(value * 1000000) > 0),
