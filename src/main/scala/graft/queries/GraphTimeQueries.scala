@@ -353,6 +353,30 @@ private[queries] object GraphTimeQueries {
     },
 
 
+    // Exact-moment z-score standardization per event type: z =
+    // (n·x − S)/√(n·Σx² − S²) — the mean and σ never materialize,
+    // the sums stay exact decimal(38,0), and the finish is one
+    // correctly-rounded IEEE sqrt + one divide (both bit-identical
+    // cross-engine), so z_ppm hash-matches; zero variance → NULL
+    "feat_standardize" -> { (s, dir) =>
+      val base = t(s, dir, "events").select(
+        col("event_type").as("key"), col("event_id"),
+        floor(col("value") * 1000000).cast("long").as("v"))
+      val stats = base.groupBy(col("key").as("__sk"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("__n"),
+          sum(col("v").cast("decimal(38,0)")).as("__s"),
+          sum(col("v").cast("decimal(38,0)") * col("v")).as("__s2"))
+      base.join(broadcast(stats), col("key") === col("__sk"))
+        .withColumn("__den",
+          col("__n") * col("__s2") - col("__s") * col("__s"))
+        .select(col("event_id"), col("key").as("event_type"), col("v"),
+          when(col("__den") <= 0, lit(null)).otherwise(
+            floor((col("__n") * col("v") - col("__s")).cast("double")
+              / sqrt(col("__den").cast("double")) * 1000000.0)
+              .cast("long")).as("z_ppm"))
+    },
+
+
     // Recency-weighted activity score per user as of mid-month —
     // exact integer half-life-per-day decay (10⁶ >> age_days), one
     // map-side-combinable aggregation; the trending primitive with
@@ -751,6 +775,21 @@ private[queries] object GraphTimeQueries {
     // (Spark's default ASC placement). l_partkey is non-null in the
     // fixtures, but the oracle must encode the contract, not the
     // fixture.
+    "feat_standardize" ->
+      (s"""WITH $evtCte,
+        |b AS (SELECT event_type, event_id,
+        |    CAST(floor(value * 1000000) AS HUGEINT) AS v
+        |  FROM evts),
+        |st AS (SELECT event_type, count(*) AS n, sum(v) AS s,
+        |    sum(v * v) AS s2
+        |  FROM b GROUP BY 1)
+        |SELECT b.event_id, b.event_type, CAST(b.v AS BIGINT) AS v,
+        |  CAST(CASE WHEN n * s2 - s * s <= 0 THEN NULL
+        |    ELSE floor(CAST(n * b.v - s AS DOUBLE)
+        |      / sqrt(CAST(n * s2 - s * s AS DOUBLE)) * 1000000.0)
+        |  END AS BIGINT) AS z_ppm
+        |FROM b JOIN st USING (event_type)""".stripMargin),
+
     "stats_completeness" ->
       """SELECT u.col_name, CAST(t.n AS BIGINT) AS n_rows,
         |  CAST(u.n_null AS BIGINT) AS n_null,
