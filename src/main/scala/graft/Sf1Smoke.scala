@@ -86,7 +86,8 @@ object Sf1Smoke {
       "text_html_extract", "text_extract_links", "curate_web",
       "mm_subtitles", "mm_subtitles_vtt", "curate_captions",
       "split_temporal", "mm_cross_modal_dup", "ts_acf1",
-      "stats_benford")
+      "stats_benford", "mm_audio_snr", "stats_completeness",
+      "feat_standardize")
 
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     def audit(df: DataFrame): Seq[String] = {
