@@ -169,6 +169,30 @@ private[queries] object GraphTimeQueries {
     },
 
 
+    // Degree assortativity of the shared co-purchase graph — does the
+    // graph wire hubs to hubs (assortative, > 0) or hubs to leaves
+    // (disassortative, < 0)? Pearson over edge-endpoint degrees via
+    // the SAME exact-moment corrPpm kernel agg_corr uses — decimal
+    // sums, two correctly-rounded sqrts, one divide, hash-matching
+    // ppm. Both edge orientations included so the measure is
+    // symmetric.
+    "graph_assortativity" -> { (s, dir) =>
+      val e = copurchaseEdges(s, dir).select(col("u"), col("v"))
+      val und = e.unionAll(
+        e.select(col("v").as("u"), col("u").as("v")))
+      val deg = und.groupBy(col("u").as("__node"))
+        .agg(count(lit(1)).as("__d"))
+      val paired = und
+        .join(deg.select(col("__node").as("__nu"),
+          col("__d").as("__du")), col("u") === col("__nu"))
+        .join(deg.select(col("__node").as("__nv"),
+          col("__d").as("__dv")), col("v") === col("__nv"))
+        .withColumn("graph", lit("copurchase"))
+      graft.ops.Relational.corrPpm(paired, Seq("graph"),
+        col("__du"), col("__dv"))
+    },
+
+
     // Common-neighbor / Jaccard link prediction over the SAME shared
     // co-purchase graph (fourth consumer of the copurchase_edges
     // stage): wedge-generated candidates only — pairs with no shared
@@ -535,6 +559,29 @@ private[queries] object GraphTimeQueries {
       s"""WITH ${pageRankCtes(3)}
          |SELECT node_id, r AS rank_micros FROM r3""".stripMargin,
 
+
+    "graph_assortativity" ->
+      (s"""WITH $copurchaseCtes,
+        |und AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+        |deg AS (SELECT u AS node, count(*) AS d FROM und GROUP BY 1),
+        |c AS (SELECT CAST(du.d * 100 AS BIGINT) AS x,
+        |    CAST(dv.d * 100 AS BIGINT) AS y
+        |  FROM und e JOIN deg du ON du.node = e.u
+        |             JOIN deg dv ON dv.node = e.v),
+        |a AS (SELECT count(*) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM c)
+        |SELECT 'copurchase' AS graph, n,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |  THEN CAST(floor(
+        |    CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |         * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+        |    * 1000000.0) AS BIGINT) END AS corr_ppm
+        |FROM a""".stripMargin),
 
     "graph_triangles" ->
       (s"""WITH $copurchaseCtes,
