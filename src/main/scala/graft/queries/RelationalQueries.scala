@@ -364,6 +364,39 @@ object RelationalQueries {
         .filter(col("n_both") > 0)
     },
 
+    // Foreign-key DISCOVERY by containment ratio — the schema-
+    // profiling pass that proposes join keys on an undocumented
+    // lake: for each candidate (child, parent) column pair, the
+    // share of child distinct values present in the parent, exact
+    // integer ppm; both sides distinct BEFORE the join so the
+    // shuffle carries key cardinalities, never row counts
+    "rel_fk_discovery" -> { (s, dir) =>
+      def containment(name: String, child: DataFrame, ccol: String,
+                      parent: DataFrame, pcol: String): DataFrame = {
+        val cd = child.select(col(ccol).as("__k")).distinct()
+        val pd = parent.select(col(pcol).as("__pk")).distinct()
+        cd.join(pd, col("__k") === col("__pk"), "left")
+          .agg(count(lit(1)).as("n_child_keys"),
+            sum(when(col("__pk").isNotNull, 1L).otherwise(0L))
+              .as("n_contained"))
+          .select(lit(name).as("candidate"), col("n_child_keys"),
+            col("n_contained"),
+            (col("n_contained") * 1000000L / col("n_child_keys"))
+              .cast("long").as("containment_ppm"))
+      }
+      containment("orders.o_custkey->customer.c_custkey",
+          t(s, dir, "orders"), "o_custkey",
+          t(s, dir, "customer"), "c_custkey")
+        .unionByName(containment(
+          "lineitem.l_orderkey->orders.o_orderkey",
+          t(s, dir, "lineitem"), "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey"))
+        .unionByName(containment(
+          "events.user_id->customer.c_custkey",
+          t(s, dir, "events"), "user_id",
+          t(s, dir, "customer"), "c_custkey"))
+    },
+
     // Snapshot diff between table versions — the lakehouse
     // regression probe. v2 is a deterministic mutation of orders
     // (drop %97 keys, bump %101 totalprices, add offset copies of
@@ -955,6 +988,31 @@ object RelationalQueries {
         |  min(CAST(floor(value * 100) AS BIGINT)) AS min_v,
         |  max(CAST(floor(value * 100) AS BIGINT)) AS max_v
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "rel_fk_discovery" ->
+      """WITH c1 AS (SELECT DISTINCT o_custkey AS k FROM orders),
+        |p1 AS (SELECT DISTINCT c_custkey AS k FROM customer),
+        |c2 AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+        |p2 AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+        |c3 AS (SELECT DISTINCT user_id AS k FROM events),
+        |p3 AS (SELECT DISTINCT c_custkey AS k FROM customer),
+        |r AS (
+        |  SELECT 'orders.o_custkey->customer.c_custkey' AS candidate,
+        |    (SELECT count(*) FROM c1) AS n_child_keys,
+        |    (SELECT count(*) FROM c1 JOIN p1 USING (k)) AS n_contained
+        |  UNION ALL
+        |  SELECT 'lineitem.l_orderkey->orders.o_orderkey',
+        |    (SELECT count(*) FROM c2),
+        |    (SELECT count(*) FROM c2 JOIN p2 USING (k))
+        |  UNION ALL
+        |  SELECT 'events.user_id->customer.c_custkey',
+        |    (SELECT count(*) FROM c3),
+        |    (SELECT count(*) FROM c3 JOIN p3 USING (k)))
+        |SELECT candidate, CAST(n_child_keys AS BIGINT) AS n_child_keys,
+        |  CAST(n_contained AS BIGINT) AS n_contained,
+        |  CAST(n_contained * 1000000 // n_child_keys AS BIGINT)
+        |    AS containment_ppm
+        |FROM r""".stripMargin,
 
     "rel_incremental_distinct" ->
       """SELECT CAST(ts AS DATE) AS day,
