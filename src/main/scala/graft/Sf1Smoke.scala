@@ -87,7 +87,7 @@ object Sf1Smoke {
       "mm_subtitles", "mm_subtitles_vtt", "curate_captions",
       "split_temporal", "mm_cross_modal_dup", "ts_acf1",
       "stats_benford", "mm_audio_snr", "stats_completeness",
-      "feat_standardize")
+      "feat_standardize", "graph_assortativity", "rel_fk_discovery")
 
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     def audit(df: DataFrame): Seq[String] = {
