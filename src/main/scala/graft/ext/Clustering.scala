@@ -82,6 +82,36 @@ object Clustering {
     assigned.select(col("__id").as("id"), col("__cid").as("cid"))
   }
 
+  /** The trained MODEL of [[kmeansAssign]]: the centroid set the
+    * final assignment is computed against (for iters = i, that is
+    * (update ∘ assign)^(i−1) of the seed). Materializing this ≤k-row
+    * table once is the train-once/fan-out lifecycle — every consumer
+    * (assignment, silhouette eval, semantic dedup) then pays ONE
+    * broadcast corpus pass instead of replaying the whole Lloyd chain
+    * per DataFrame reference. Output: (cid, cv).
+    */
+  def kmeansCentroids(df: DataFrame, id: Column, vec: Column, k: Int,
+                      iters: Int = 2): DataFrame = {
+    require(iters >= 1, "kmeansCentroids needs at least one iteration")
+    val pts = df.select(id.as("__id"), vec.as("__v"))
+    var cent = pts.orderBy(col("__id")).limit(k)
+      .select(col("__id").as("__cid"), col("__v").as("__cv"))
+    for (_ <- 2 to iters)
+      cent = updateCentroids(assignNearest(pts, cent))
+    cent.select(col("__cid").as("cid"), col("__cv").as("cv"))
+  }
+
+  /** Nearest-centroid assignment against an ALREADY-TRAINED centroid
+    * table (cid, cv) from [[kmeansCentroids]] — one broadcast corpus
+    * pass; bit-identical to [[kmeansAssign]] with the same (k, iters)
+    * because the final Lloyd step IS this assignment.
+    */
+  def kmeansAssignWith(df: DataFrame, id: Column, vec: Column,
+                       cent: DataFrame): DataFrame =
+    assignNearest(df.select(id.as("__id"), vec.as("__v")),
+      cent.select(col("cid").as("__cid"), col("cv").as("__cv")))
+      .select(col("__id").as("id"), col("__cid").as("cid"))
+
   /** SIMPLIFIED (centroid-based) silhouette — the linear-time cluster
     * quality metric (per point: a = cosine distance to its own
     * centroid, b = to the nearest OTHER centroid, s = (b−a)/max(a,b)),
@@ -102,14 +132,17 @@ object Clustering {
   def silhouetteSimplified(df: DataFrame, id: Column, vec: Column,
                            k: Int, iters: Int = 2): DataFrame = {
     require(iters >= 1, "silhouette needs at least one iteration")
+    silhouetteWith(df, id, vec, kmeansCentroids(df, id, vec, k, iters))
+  }
+
+  /** [[silhouetteSimplified]] against an already-trained centroid
+    * table (cid, cv) — the eval leg when the model is a materialized
+    * stage: one broadcast corpus pass, no Lloyd replay.
+    */
+  def silhouetteWith(df: DataFrame, id: Column, vec: Column,
+                     centIn: DataFrame): DataFrame = {
     val pts = df.select(id.as("__id"), vec.as("__v"))
-    var cent = pts.orderBy(col("__id")).limit(k)
-      .select(col("__id").as("__cid"), col("__v").as("__cv"))
-    var assigned = assignNearest(pts, cent)
-    for (_ <- 2 to iters) {
-      cent = updateCentroids(assigned)
-      assigned = assignNearest(pts, cent)
-    }
+    val cent = centIn.select(col("cid").as("__cid"), col("cv").as("__cv"))
     val ranked = pts.crossJoin(broadcast(
         cent.select(col("__cid"), col("__cv"))))
       .withColumn("__cos", Similarity.cosine(col("__v"), col("__cv")))

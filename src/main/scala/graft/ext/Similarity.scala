@@ -794,10 +794,23 @@ object Similarity {
     * n — only in the bounded cluster size.
     */
   def semanticDedup(df: DataFrame, id: Column, vec: Column, k: Int,
-                    iters: Int = 2, threshold: Double = 0.25): DataFrame = {
+                    iters: Int = 2, threshold: Double = 0.25): DataFrame =
+    semanticDedupWith(Clustering.kmeansAssign(df, id, vec, k, iters),
+      df, id, vec, threshold)
+
+  /** [[semanticDedup]] against ALREADY-COMPUTED cluster labels
+    * (id, cid) — the shape when the k-means model is a materialized
+    * stage: the labels table is consumed three times (both sides of
+    * the within-cluster pair join + the survivor anti join), so
+    * feeding it from a stage turns three Lloyd replays into three
+    * cheap label scans.
+    */
+  def semanticDedupWith(labelsIn: DataFrame, df: DataFrame, id: Column,
+                        vec: Column,
+                        threshold: Double = 0.25): DataFrame = {
     val v = df.select(id.as("__id"), vec.as("__v"),
       norm(vec).as("__n"))
-    val labels = Clustering.kmeansAssign(df, id, vec, k, iters)
+    val labels = labelsIn.select(col("id"), col("cid"))
     val withVec = labels.join(
       v.select(col("__id").as("id"), col("__v"), col("__n")), "id")
     val dropped = withVec.as("a")

@@ -190,29 +190,30 @@ object TextAnalysis {
   def repetitionMetrics(docs: DataFrame, id: Column, text: Column,
                         maxDup2: Double = 0.2, maxDup3: Double = 0.18,
                         maxTopShare: Double = 0.2): DataFrame = {
-    val g2 = docs
-      .select(id.as("doc_id"), explode(shingles(text, 2)).as("__g"))
-      .groupBy("doc_id", "__g").agg(count(lit(1)).as("__c"))
-      .groupBy("doc_id")
-      .agg(sum("__c").as("n2"), count(lit(1)).as("d2"),
-        max("__c").as("__top2"))
-    val g3 = docs
-      .select(id.as("doc_id"), explode(shingles(text, 3)).as("__g"))
-      .groupBy("doc_id", "__g").agg(count(lit(1)).as("__c"))
-      .groupBy("doc_id")
-      .agg(sum("__c").as("n3"), count(lit(1)).as("d3"))
+    // MAP-ONLY since round 13: the k-gram census is a per-document
+    // fold, so it runs as one codegen'd scalar per row
+    // (ngram_repetition_stats) instead of the old explode →
+    // groupBy(doc, gram) → groupBy(doc) → join-back-to-spine shape,
+    // which paid two corpus-sized exchanges for per-row arithmetic.
+    // Docs below k tokens surface n/d as NULL (the old left-join
+    // contract) and zero fractions with keep=true.
+    val stats = docs.select(id.as("doc_id"),
+      org.apache.spark.sql.graft.TextStatsColumns
+        .ngram_repetition_stats(text, 2).as("__s2"),
+      org.apache.spark.sql.graft.TextStatsColumns
+        .ngram_repetition_stats(text, 3).as("__s3"))
+      .select(col("doc_id"),
+        when(col("__s2.n") > 0, col("__s2.n")).as("n2"),
+        when(col("__s2.n") > 0, col("__s2.d")).as("d2"),
+        when(col("__s3.n") > 0, col("__s3.n")).as("n3"),
+        when(col("__s3.n") > 0, col("__s3.d")).as("d3"),
+        when(col("__s2.n") > 0, col("__s2.top")).as("__top2"))
     val dup2 = (col("n2") - col("d2")).cast("double") /
       col("n2").cast("double")
     val dup3 = (col("n3") - col("d3")).cast("double") /
       col("n3").cast("double")
     val topShare = col("__top2").cast("double") / col("n2").cast("double")
-    // left-join from the FULL doc spine: a doc too short for bigrams
-    // (n2/n3 null) still gets a row with zero fractions and keep=true
-    // — a consumer inner-joining on keep must not silently drop short
-    // docs just because the explode produced nothing for them
-    docs.select(id.as("doc_id"))
-      .join(g2, Seq("doc_id"), "left")
-      .join(g3, Seq("doc_id"), "left")
+    stats
       .select(col("doc_id"), col("n2"), col("d2"), col("n3"), col("d3"),
         coalesce(dup2, lit(0.0)).as("dup2_frac"),
         coalesce(dup3, lit(0.0)).as("dup3_frac"),
@@ -225,6 +226,18 @@ object TextAnalysis {
           (coalesce(col("n2"), lit(0L)) < 20 ||
             coalesce(topShare, lit(0.0)) <= maxTopShare)).as("keep"))
   }
+
+  /** The [[repetitionMetrics]] keep flag as a single scalar Column —
+    * for pipelines that only gate on it (curate_pretrain), so the
+    * repetition filter fuses into the surrounding codegen stage with
+    * no join against a metrics table. Identical decision rule
+    * (ExtSpec pins the parity against the metrics table's flag).
+    */
+  def repetitionKeep(text: Column, maxDup2: Double = 0.2,
+                     maxDup3: Double = 0.18,
+                     maxTopShare: Double = 0.2): Column =
+    org.apache.spark.sql.graft.TextStatsColumns
+      .repetition_keep(text, maxDup2, maxDup3, maxTopShare)
 
   /** Overlapping token-window chunking — the context-length-fitting
     * stage of a training-data pipeline: each document becomes

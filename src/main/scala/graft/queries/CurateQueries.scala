@@ -247,16 +247,15 @@ private[queries] object CurateQueries {
     // exchanges are the repetition aggregation and the pack window.
     "curate_pretrain" -> { (s, dir) =>
       val capped = TextAnalysis.capDocLength(docs(s, dir), "text", 2000)
-      // repetition keep over ALL capped docs, not the langid subset:
-      // the final set is keep ∩ en either way, but this keeps the
-      // expensive langid tokenization out of the two explode branches
-      // (g2/g3 would otherwise each recompute it — measured 2x the
-      // whole query)
-      val keep = TextAnalysis
-        .repetitionMetrics(capped, col("doc_id"), col("text"))
-        .filter(col("keep")).select("doc_id")
-      val en = capped.filter(TextAnalysis.langId(col("text")) === "en")
-      val train = Sampling.splitAssign(en.join(keep, "doc_id"),
+      // the repetition gate is ONE map-side boolean scalar (both
+      // k-gram censuses fold per row inside codegen) — no metrics
+      // table, no join back to the doc spine; keep ∩ en is just two
+      // fused filters, so the whole prefix up to chunking is one
+      // narrow stage
+      val en = capped
+        .filter(TextAnalysis.repetitionKeep(col("text")) &&
+          TextAnalysis.langId(col("text")) === "en")
+      val train = Sampling.splitAssign(en,
           col("source"), "graft-split:",
           valPerMille = 100, testPerMille = 100)
         .filter(col("split") === "train")

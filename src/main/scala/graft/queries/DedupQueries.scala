@@ -165,8 +165,8 @@ private[queries] object DedupQueries {
     // the kept corpus — the pipeline stage shape (dedup_cosine_ivf
     // returns the PAIRS; this returns the surviving rows).
     "dedup_semantic" -> { (s, dir) =>
-      Similarity.semanticDedup(emb(s, dir), col("id"), col("vec"),
-        k = 8, iters = 2, threshold = 0.25)
+      Similarity.semanticDedupWith(kmeans8Labels(s, dir), emb(s, dir),
+        col("id"), col("vec"), threshold = 0.25)
     },
 
 

@@ -729,24 +729,35 @@ object RelationalQueries {
       val l = t(s, dir, "lineitem")
       // projected copy for the qualifying set: distinct lineage, so
       // the later l join is not an ambiguous self-join
+      // quantities are integer-valued (TPC-H: 1..50), so LONG sums
+      // are exact and engine-identical — no decimal aggregation on
+      // the hottest aggregate of the query
       val big = l.select(col("l_orderkey").as("__lk"),
-          col("l_quantity").as("__lq"))
+          col("l_quantity").cast("long").as("__lq"))
         .groupBy(col("__lk"))
-        .agg(sum(col("__lq").cast("decimal(18,2)")).as("__q"))
+        .agg(sum(col("__lq")).as("__q"))
         .filter(col("__q") > 200)
         .select(col("__lk").as("__bk"))
+      // broadcast the qualifying set: the >200-quantity HAVING keeps
+      // ≤~8% of orders (BENCH_DRIFT_r12 scoping), so the semi-join is
+      // a map-side probe instead of shuffling the full orders table;
+      // the qualified orders⋈customer side is the same size class, so
+      // it broadcasts into the lineitem join too — the only shuffles
+      // left are the qualifying aggregate and the final group-by over
+      // qualified rows only
       val o = t(s, dir, "orders")
-        .join(big, col("o_orderkey") === col("__bk"), "left_semi")
+        .join(broadcast(big), col("o_orderkey") === col("__bk"),
+          "left_semi")
       val c = t(s, dir, "customer")
       // unqualified col() refs: the semi-join's right side carries no
       // output attributes, so each name resolves uniquely even though
       // lineitem's subtree appears twice in the plan
-      o.join(c, col("o_custkey") === col("c_custkey"))
-        .join(l.select(col("l_orderkey").as("__jk"), col("l_quantity")),
+      l.select(col("l_orderkey").as("__jk"), col("l_quantity"))
+        .join(broadcast(o.join(c, col("o_custkey") === col("c_custkey"))),
           col("o_orderkey") === col("__jk"))
         .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
           col("o_orderdate"), col("o_totalprice"))
-        .agg(sum(col("l_quantity").cast("decimal(18,2)"))
+        .agg(sum(col("l_quantity").cast("long"))
           .cast("double").as("sum_qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(100)
@@ -1252,14 +1263,14 @@ object RelationalQueries {
     "tpch_q18" ->
       """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
         |  o_totalprice,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
         |    AS sum_qty
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE o_orderkey IN (
         |  SELECT l_orderkey FROM lineitem GROUP BY 1
-        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 200)
+        |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 200)
         |GROUP BY 1, 2, 3, 4, 5
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
 

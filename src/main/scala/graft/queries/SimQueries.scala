@@ -98,8 +98,9 @@ private[queries] object SimQueries {
     // 2 Lloyd iterations, fixed-point centroid update, k=8. Output is
     // the exact per-cluster membership census.
     "emb_kmeans" -> { (s, dir) =>
-      Clustering.kmeansAssign(emb(s, dir), col("id"), col("vec"),
-        k = 8, iters = 2)
+      // assignment census off the shared trained model stage — the
+      // stage pays the Lloyd loop once for all three consumers
+      kmeans8Labels(s, dir)
         .groupBy("cid")
         .agg(count(lit(1)).as("n_members"), sum("id").as("id_checksum"))
     },
@@ -110,8 +111,8 @@ private[queries] object SimQueries {
     // textbook all-pairs form is O(n²); s floor-quantized to
     // micro-units and integer-summed (never float-averaged)
     "emb_silhouette" -> { (s, dir) =>
-      Clustering.silhouetteSimplified(emb(s, dir), col("id"),
-        col("vec"), k = 8, iters = 2)
+      Clustering.silhouetteWith(emb(s, dir), col("id"), col("vec"),
+        kmeans8Cent(s, dir))
     },
 
     // Signed-random-projection (Johnson–Lindenstrauss, ±1 matrix)

@@ -1,0 +1,168 @@
+// In the org.apache.spark.sql package tree: custom Expressions need
+// sql-private API surface (ExpressionUtils for Column construction)
+// that has no public equivalent in Spark 4.
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Kernel behind [[NgramRepetitionStats]]: the per-document k-gram
+  * census (total windows, distinct k-grams, modal k-gram count) in
+  * ONE pass over the UTF-8 bytes — the map-only form of
+  * `explode(shingles) → groupBy(doc, gram) → groupBy(doc)`, which
+  * pays two corpus-sized shuffles for what is a per-row fold.
+  * Tokenization replicates `split(trim(c), "\\s+")` exactly (same
+  * contract as [[GraftHashUtil.shingleHashes]]: ASCII \s set, leading/
+  * trailing empty tokens, [""] for the empty string), and
+  * distinctness is on the EXACT '_'-joined shingle string — the same
+  * string the declarative form groups on, so counts are identical,
+  * not hash-approximate.
+  */
+object GraftTextStats {
+  /** (n, d, top) of the k-token shingles of `s`: n = window count,
+    * d = distinct shingle strings, top = highest per-shingle count.
+    * All zero when the text has fewer than k tokens.
+    */
+  def ngramStats(s: UTF8String, k: Int): InternalRow = {
+    val b = s.trim().getBytes
+    def isWs(x: Byte): Boolean = x == ' ' || x == '\t' || x == '\n' ||
+      x == 0x0b || x == '\f' || x == '\r'
+    // token byte ranges, replicating split(trim, "\s+") with its
+    // leading/trailing-empty-token semantics (limit = -1)
+    val starts = new java.util.ArrayList[Integer]
+    val ends = new java.util.ArrayList[Integer]
+    if (b.length == 0) { starts.add(0); ends.add(0) }
+    else {
+      if (isWs(b(0))) { starts.add(0); ends.add(0) }
+      var i = 0
+      while (i < b.length) {
+        while (i < b.length && isWs(b(i))) i += 1
+        if (i < b.length) {
+          starts.add(i)
+          while (i < b.length && !isWs(b(i))) i += 1
+          ends.add(i)
+        }
+      }
+      if (isWs(b(b.length - 1))) { starts.add(b.length); ends.add(b.length) }
+    }
+    val nTok = starts.size()
+    val n = math.max(nTok - (k - 1), 0)
+    if (n == 0)
+      return InternalRow(0L, 0L, 0L)
+    val counts = new java.util.HashMap[String, Long](n * 2)
+    val sb = new java.lang.StringBuilder
+    var w = 0
+    var top = 0L
+    while (w < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append('_')
+        sb.append(new String(b, starts.get(w + j),
+          ends.get(w + j) - starts.get(w + j),
+          java.nio.charset.StandardCharsets.UTF_8))
+        j += 1
+      }
+      val key = sb.toString
+      val c = counts.merge(key, 1L, (a, x) => a + x)
+      if (c > top) top = c
+      w += 1
+    }
+    InternalRow(n.toLong, counts.size().toLong, top)
+  }
+
+  /** The Gopher repetition keep decision as one boolean: dup-bigram
+    * fraction ≤ maxDup2, dup-trigram fraction ≤ maxDup3, and (past
+    * the 20-bigram length floor) modal-bigram share ≤ maxTopShare.
+    * Arithmetic replicates the Column form exactly (long-to-double
+    * division; zero fractions below k tokens).
+    */
+  def repetitionKeep(s: UTF8String, maxDup2: Double, maxDup3: Double,
+                     maxTopShare: Double): Boolean = {
+    val s2 = ngramStats(s, 2)
+    val s3 = ngramStats(s, 3)
+    val n2 = s2.getLong(0); val d2 = s2.getLong(1); val top2 = s2.getLong(2)
+    val n3 = s3.getLong(0); val d3 = s3.getLong(1)
+    val dup2 = if (n2 > 0) (n2 - d2).toDouble / n2.toDouble else 0.0
+    val dup3 = if (n3 > 0) (n3 - d3).toDouble / n3.toDouble else 0.0
+    val topShare = if (n2 > 0) top2.toDouble / n2.toDouble else 0.0
+    dup2 <= maxDup2 && dup3 <= maxDup3 &&
+      (n2 < 20 || topShare <= maxTopShare)
+  }
+}
+
+/** `ngram_repetition_stats(text, k)` → struct(n, d, top): the fused
+  * native form of the Gopher repetition census (see
+  * [[graft.ext.TextAnalysis.repetitionMetrics]]) — per-document
+  * k-gram total / distinct / modal counts as a single codegen'd
+  * scalar, so the repetition filter is a MAP-ONLY stage: no explode,
+  * no (doc, gram) exchange, no per-doc re-aggregation, no join back
+  * to the doc spine. Values are bit-identical to the declarative
+  * `explode(shingles(text, k)) → groupBy → agg` composition (counts
+  * of exact shingle strings; ExtSpec pins the parity), so the DuckDB
+  * oracle rendering is unchanged.
+  */
+case class NgramRepetitionStats(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1 && k <= 16, "k must be in [1, 16]")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("d", LongType, nullable = false),
+    StructField("top", LongType, nullable = false)))
+  override def prettyName: String = "ngram_repetition_stats"
+
+  override def nullSafeEval(s: Any): Any =
+    GraftTextStats.ngramStats(s.asInstanceOf[UTF8String], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.GraftTextStats.ngramStats($c, $k)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NgramRepetitionStats = copy(child = newChild)
+}
+
+/** `repetition_keep(text)` — the whole Gopher gate as ONE boolean
+  * scalar (both k-gram censuses in one kernel call), for pipelines
+  * that filter on it without consuming the metrics. A plain Column
+  * composition of struct fields would be re-expanded per reference by
+  * predicate pushdown through projections; a single expression keeps
+  * the filter one kernel call per row inside WholeStageCodegen.
+  */
+case class RepetitionKeep(child: Expression, maxDup2: Double,
+                          maxDup3: Double, maxTopShare: Double)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "repetition_keep"
+
+  override def nullSafeEval(s: Any): Any =
+    GraftTextStats.repetitionKeep(s.asInstanceOf[UTF8String],
+      maxDup2, maxDup3, maxTopShare)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.GraftTextStats.repetitionKeep(" +
+        s"$c, $maxDup2, $maxDup3, $maxTopShare)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): RepetitionKeep = copy(child = newChild)
+}
+
+object TextStatsColumns {
+  def ngram_repetition_stats(c: Column, k: Int): Column =
+    ExpressionUtils.column(
+      NgramRepetitionStats(ExpressionUtils.expression(c), k))
+
+  def repetition_keep(c: Column, maxDup2: Double, maxDup3: Double,
+                      maxTopShare: Double): Column =
+    ExpressionUtils.column(RepetitionKeep(ExpressionUtils.expression(c),
+      maxDup2, maxDup3, maxTopShare))
+}

@@ -407,13 +407,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("emb_kmeans: centroid joins broadcast, never cartesian") {
-    // both Lloyd iterations cross-join the corpus against ≤k centroid
-    // rows; the bounded side must broadcast — a CartesianProduct would
-    // shuffle the full corpus against itself at scale
-    val p = plan("emb_kmeans")
-    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size === 2)
-    assert(!p.contains("CartesianProduct"))
+  test("kmeans model train + assign: centroid joins broadcast, " +
+      "never cartesian") {
+    // every Lloyd iteration cross-joins the corpus against ≤k
+    // centroid rows; the bounded side must broadcast — a
+    // CartesianProduct would shuffle the full corpus against itself
+    // at scale. Since round 13 the model is a shared stage, so the
+    // pins sit on the stage-build plans (train = 1 assignment inside
+    // the iters=2 centroid chain, assign = 1 more), and the consumer
+    // query must NOT replay any Lloyd join.
+    import org.apache.spark.sql.functions.col
+    val e = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cent = graft.ext.Clustering.kmeansCentroids(
+      e, col("id"), col("vec"), k = 8, iters = 2)
+    val pTrain = cent.queryExecution.executedPlan.toString
+    assert("BroadcastNestedLoopJoin".r.findAllIn(pTrain).size === 1)
+    assert(!pTrain.contains("CartesianProduct"))
+    val pAssign = graft.ext.Clustering.kmeansAssignWith(
+      e, col("id"), col("vec"), cent)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastNestedLoopJoin".r.findAllIn(pAssign).size === 2)
+    assert(!pAssign.contains("CartesianProduct"))
+    val pQuery = plan("emb_kmeans")
+    assert(!pQuery.contains("CartesianProduct"))
   }
 
   test("graph_pagerank: every rank round is an equi-join + partial " +
