@@ -634,6 +634,16 @@ object DedupOps {
   def simhashTokenHash(t: Column): Column =
     PortableHash.md5PrefixLong(t, 15)
 
+  /** Whole-document SimHash as ONE map-only scalar — bit-identical to
+    * `explode(tokens) → simhashTokenHash → groupBy(doc) →
+    * simhashAgg(bits)` (ExtSpec pins the parity) without the explode
+    * or the per-doc exchange: at corpus scale the signature stage
+    * becomes a pure narrow pass and the FIRST shuffle of a simhash
+    * dedup is the banded candidate join itself.
+    */
+  def simhashDoc(text: Column, bits: Int = 60): Column =
+    org.apache.spark.sql.graft.TextStatsColumns.simhash(text, bits, 15)
+
   /** SimHash over exploded tokens: callers explode tokens, group by
     * doc, and agg `simhashAgg(bits)` — the explode/conditional-sum
     * shape keeps partial aggregation (map-side combine) at scale.

@@ -707,12 +707,15 @@ object Multimodal {
       }
   }
 
-  /** ONE decode pass yielding both the raster statistics and the
-    * 60-bit aHash signature per (doc_id, blob) — the curation chain
-    * ([[graft.queries.MultimodalQueries]] `curate_images`) needs
-    * both, and at corpus scale the byte-codec decode dominates the
-    * map cost, so running [[decodePixels]] and [[aHashImages]]
-    * separately would pay it twice.
+  /** ONE decode pass yielding the raster statistics and BOTH
+    * perceptual signatures (60-bit aHash + 54-bit dHash) per
+    * (doc_id, blob) — the curation chain
+    * ([[graft.queries.MultimodalQueries]] `curate_images`) needs the
+    * stats + aHash, the near-dup rows need one signature each, and at
+    * corpus scale the byte-codec decode dominates the map cost, so
+    * separate [[decodePixels]]/[[aHashImages]]/[[dHashImages]] passes
+    * would pay it three times. Materialized once as the
+    * `mm_img_feats` stage and fanned out.
     */
   def curationFeatures(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
@@ -734,9 +737,10 @@ object Multimodal {
             if (g > mx) mx = g
             i += 1
           }
-          (id, sum, mn, mx, aHashFromGray(p))
+          (id, sum, mn, mx, aHashFromGray(p), dHashFromGray(p))
         }
-      }.toDF("doc_id", "gray_sum", "gray_min", "gray_max", "ahash")
+      }.toDF("doc_id", "gray_sum", "gray_min", "gray_max", "ahash",
+        "dhash")
   }
 
   /** ONE-decode-pass video curation features ([[curationFeatures]]'

@@ -67,22 +67,14 @@ private[queries] object DedupQueries {
     "dedup_simhash" -> { (s, dir) =>
       docs(s, dir)
         .select(col("doc_id"),
-          explode(TextAnalysis.tokens(col("text"))).as("tok"))
-        .select(col("doc_id"),
-          DedupOps.simhashTokenHash(col("tok")).as("h"))
-        .groupBy("doc_id")
-        .agg(DedupOps.simhashAgg(col("h"), 60).as("simhash"))
+          DedupOps.simhashDoc(col("text"), 60).as("simhash"))
     },
 
 
     "dedup_simhash_pairs" -> { (s, dir) =>
       val sims = docs(s, dir)
         .select(col("doc_id"),
-          explode(TextAnalysis.tokens(col("text"))).as("tok"))
-        .select(col("doc_id"),
-          DedupOps.simhashTokenHash(col("tok")).as("h"))
-        .groupBy("doc_id")
-        .agg(DedupOps.simhashAgg(col("h"), 60).as("simhash"))
+          DedupOps.simhashDoc(col("text"), 60).as("simhash"))
       DedupOps.simhashBandPairs(sims, col("doc_id"), col("simhash"),
         bands = 4, bitsPerBand = 15, maxHamming = 3, bits = 60)
     },

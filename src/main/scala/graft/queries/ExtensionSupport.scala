@@ -233,6 +233,10 @@ private[queries] object ExtensionSupport {
         MultimodalQueries.videoBlobs(s, dir).count() },
       timed("mm_vdup_blobs") {
         MultimodalQueries.vdupBlobs(s, dir).count() },
+      timed("mm_img_feats") {
+        MultimodalQueries.imgFeats(s, dir).count() },
+      timed("mm_video_feats") {
+        MultimodalQueries.videoFeats(s, dir).count() },
       timed("bucketed_layout") { bucketedLayout(s, dir) })
   }
 
@@ -260,7 +264,8 @@ private[queries] object ExtensionSupport {
       "bm25_top20", "pr_graph", "copurchase_edges", "shingle_pairs",
       "events_census", "i2b2_spine", "i2b2_hier_last",
       "mm_pixel_blobs", "mm_ahash_blobs", "mm_audio_blobs",
-      "mm_phash_blobs", "mm_video_blobs", "mm_vdup_blobs")
+      "mm_phash_blobs", "mm_video_blobs", "mm_vdup_blobs",
+      "mm_img_feats", "mm_video_feats")
       .foreach(stage => Stages.evict(s, s"$dir|$stage"))
     // next bucketedLayout call re-writes the tables (rebuild timing)
     bucketedWritten.remove(s"${s.sparkContext.applicationId}|$dir|bucketed")

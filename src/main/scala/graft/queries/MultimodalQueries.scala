@@ -274,6 +274,32 @@ private[queries] object MultimodalQueries {
         }.toDF("doc_id", "blob")
     }
 
+  /** Decode-once image features over [[ahashBlobs]] (stats + aHash +
+    * dHash from ONE raster decode), memoized: curate_images references
+    * its feature table three times and the aHash/dHash/cross-modal
+    * near-dup rows each need one signature — without the stage every
+    * DataFrame reference re-runs the full pixel decode of the corpus.
+    */
+  private[queries] def imgFeats(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "mm_img_feats") {
+      Multimodal.curationFeatures(ahashBlobs(s, dir))
+    }
+
+  /** Decode-once video clip features over [[vdupBlobs]] (keyframe
+    * brightness + shot count + keyframe aHash), memoized for the same
+    * fan-out reason as [[imgFeats]]. The keyframe hash is
+    * bit-identical to [[Multimodal.videoKeyframeAHash]]'s (both hash
+    * frame 0), so the cross-modal join reads it from here;
+    * mm_video_dup_pairs deliberately keeps its own stride-4
+    * one-frame-decode pass — that row pins the decode-on-demand
+    * contract (decoy frames never decoded).
+    */
+  private[queries] def videoFeats(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "mm_video_feats") {
+      Multimodal.videoCurationFeatures(vdupBlobs(s, dir),
+        cutThreshold = 15)
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // -- Multimodal binary columns -----------------------------------
@@ -440,12 +466,10 @@ private[queries] object MultimodalQueries {
     // join finds slideshow-style reuse; ordered (img, vid) pairs
     // including a doc's own image-vs-clip exact dup
     "mm_cross_modal_dup" -> { (s, dir) =>
-      val imgs = Multimodal.aHashImages(ahashBlobs(s, dir),
-        col("doc_id"), col("blob"))
-        .select(col("id"), col("ahash").as("sig"))
-      val vids = Multimodal.videoKeyframeAHash(vdupBlobs(s, dir),
-        col("doc_id"), col("blob"), stride = 4)
-        .select(col("id"), col("vhash").as("sig"))
+      val imgs = imgFeats(s, dir)
+        .select(col("doc_id").as("id"), col("ahash").as("sig"))
+      val vids = videoFeats(s, dir)
+        .select(col("doc_id").as("id"), col("vhash").as("sig"))
       DedupOps.simhashBandPairsAcross(imgs, vids, col("id"),
         col("sig"), bands = 4, bitsPerBand = 15, maxHamming = 3,
         bits = 60)
@@ -585,9 +609,10 @@ private[queries] object MultimodalQueries {
       // clusters group-local — the affine form aliased to 97
       // distinct hashes over 1 000 groups — and the mod-2^16
       // pre-reduction that keeps the DuckDB closed form off the
-      // overflow path) live on [[ahashBlobs]]
-      val sigs = Multimodal.aHashImages(ahashBlobs(s, dir),
-        col("doc_id"), col("blob"))
+      // overflow path) live on [[ahashBlobs]]; the signature comes
+      // from the decode-once mm_img_feats stage
+      val sigs = imgFeats(s, dir)
+        .select(col("doc_id").as("id"), col("ahash"))
       DedupOps.simhashBandPairs(sigs, col("id"), col("ahash"),
         bands = 4, bitsPerBand = 15, maxHamming = 3, bits = 60)
     },
@@ -653,8 +678,8 @@ private[queries] object MultimodalQueries {
     // aHash is global-mean-thresholded), 3×18-bit bands (any
     // hamming ≤ 2 pair shares a clean band), Hamming verify
     "mm_dhash_pairs" -> { (s, dir) =>
-      val sigs = Multimodal.dHashImages(ahashBlobs(s, dir),
-        col("doc_id"), col("blob"))
+      val sigs = imgFeats(s, dir)
+        .select(col("doc_id").as("id"), col("dhash"))
       DedupOps.simhashBandPairs(sigs, col("id"), col("dhash"),
         bands = 3, bitsPerBand = 18, maxHamming = 2, bits = 54)
     },
@@ -725,11 +750,10 @@ private[queries] object MultimodalQueries {
     // keyframe brightness and scene count. Every stage runs through
     // the REAL AVI walk + JPEG decode.
     "curate_videos" -> { (s, dir) =>
-      val blobs = vdupBlobs(s, dir)
-      // ONE decode pass yields gate + census + signature (the
-      // curate_images single-pass discipline for clips)
-      val feats = Multimodal.videoCurationFeatures(blobs,
-        cutThreshold = 15)
+      // ONE decode pass (the memoized mm_video_feats stage) yields
+      // gate + census + signature; the chain below references it
+      // three times, each a stage read instead of a decode replay
+      val feats = videoFeats(s, dir)
       // 64× the image chain's [7000, 8400) band: the keyframe is the
       // image fixture's 10×6 grid rendered as 8×8 blocks
       val kept = feats.filter(col("gray_sum") >= 448000L &&
@@ -751,7 +775,7 @@ private[queries] object MultimodalQueries {
     },
 
     "curate_images" -> { (s, dir) =>
-      val feats = Multimodal.curationFeatures(ahashBlobs(s, dir))
+      val feats = imgFeats(s, dir)
       val kept = feats.filter(col("gray_sum") >= 7000 &&
         col("gray_sum") < 8400)
       // maxHamming 1, not the detector's 3: curation MERGES

@@ -76,6 +76,67 @@ object GraftTextStats {
     InternalRow(n.toLong, counts.size().toLong, top)
   }
 
+  /** Per-document SimHash (Charikar STOC'02 / Manku WWW'07) as a
+    * per-row fold: tokenize (same `split(trim, "\\s+")` contract as
+    * [[ngramStats]]), hash each token to its 60-bit md5 prefix
+    * (bit-identical to [[md5PrefixLong]](token, hexLen)), vote ±1 per
+    * bit position over ALL token occurrences, set bit j iff its vote
+    * sum is > 0. Identical to the declarative
+    * `explode(tokens) → md5_prefix_long → groupBy(doc) → simhashAgg`
+    * composition — which pays a corpus-sized explode + exchange for
+    * what is per-document arithmetic.
+    */
+  def simhash(s: UTF8String, bits: Int, hexLen: Int): Long = {
+    val b = s.trim().getBytes
+    def isWs(x: Byte): Boolean = x == ' ' || x == '\t' || x == '\n' ||
+      x == 0x0b || x == '\f' || x == '\r'
+    val votes = new Array[Long](bits)
+    val m = md.get()
+    def vote(start: Int, end: Int): Unit = {
+      m.reset()
+      m.update(b, start, end - start)
+      val d = m.digest()
+      var h = 0L
+      var t = 0
+      while (t < hexLen) {
+        val by = d(t >> 1) & 0xff
+        h = (h << 4) | (if ((t & 1) == 0) by >>> 4 else by & 0xf)
+        t += 1
+      }
+      var j = 0
+      while (j < bits) {
+        votes(j) += ((h >>> j) & 1L) * 2 - 1
+        j += 1
+      }
+    }
+    if (b.length == 0) vote(0, 0)
+    else {
+      if (isWs(b(0))) vote(0, 0)
+      var i = 0
+      while (i < b.length) {
+        while (i < b.length && isWs(b(i))) i += 1
+        if (i < b.length) {
+          val s0 = i
+          while (i < b.length && !isWs(b(i))) i += 1
+          vote(s0, i)
+        }
+      }
+      if (isWs(b(b.length - 1))) vote(b.length, b.length)
+    }
+    var out = 0L
+    var j = 0
+    while (j < bits) {
+      if (votes(j) > 0) out |= 1L << j
+      j += 1
+    }
+    out
+  }
+
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** The Gopher repetition keep decision as one boolean: dup-bigram
     * fraction ≤ maxDup2, dup-trigram fraction ≤ maxDup3, and (past
     * the 20-bigram length floor) modal-bigram share ≤ maxTopShare.
@@ -156,10 +217,38 @@ case class RepetitionKeep(child: Expression, maxDup2: Double,
       newChild: Expression): RepetitionKeep = copy(child = newChild)
 }
 
+/** `simhash(text, bits, hexLen)` — the fused map-only document
+  * SimHash (see [[GraftTextStats.simhash]]); stays inside
+  * WholeStageCodegen, no explode, no exchange.
+  */
+case class SimHashDoc(child: Expression, bits: Int, hexLen: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(bits >= 1 && bits <= 60, "bits must be in [1, 60]")
+  require(hexLen >= 1 && hexLen <= 15, "1..15 hex chars fit a long")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash"
+
+  override def nullSafeEval(s: Any): Any =
+    GraftTextStats.simhash(s.asInstanceOf[UTF8String], bits, hexLen)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.GraftTextStats.simhash($c, $bits, $hexLen)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SimHashDoc = copy(child = newChild)
+}
+
 object TextStatsColumns {
   def ngram_repetition_stats(c: Column, k: Int): Column =
     ExpressionUtils.column(
       NgramRepetitionStats(ExpressionUtils.expression(c), k))
+
+  def simhash(c: Column, bits: Int, hexLen: Int): Column =
+    ExpressionUtils.column(
+      SimHashDoc(ExpressionUtils.expression(c), bits, hexLen))
 
   def repetition_keep(c: Column, maxDup2: Double, maxDup3: Double,
                       maxTopShare: Double): Column =
