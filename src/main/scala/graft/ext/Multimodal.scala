@@ -877,6 +877,45 @@ object Multimodal {
     * fingerprint is coding-blind). Loud on undecodable payloads,
     * same contract as [[aHashImages]]. Returns (id, afp); map-only.
     */
+  /** ONE decode pass yielding the VAD census (voiced-sample count +
+    * voiced-segment count at `threshold`, the aggregate of
+    * [[audioSegments]]) AND the 60-bit energy fingerprint per
+    * (doc_id, blob) — [[curationFeatures]]' decode-once discipline
+    * for audio: the curation chain gates on the census and near-dups
+    * on the fingerprint, and PCM decode dominates both. Members with
+    * no voiced run report (0, 0) — the left-join+fill contract of the
+    * census form. Materialized once as the `mm_audio_feats` stage.
+    */
+  def audioCurationFeatures(df: DataFrame,
+                            threshold: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (i, bytes) =>
+          val samples = FlacDecoder.firstChannel(bytes)
+            .orElse(AudioHeader.linearSamples(bytes)).getOrElse(
+              throw new IllegalArgumentException(
+                s"audioCurationFeatures: id $i is not a decodable " +
+                  s"audio payload (${bytes.length} bytes)"))
+          var t = 0
+          var voiced = 0L
+          var segs = 0L
+          while (t < samples.length) {
+            if (math.abs(samples(t)) > threshold) {
+              segs += 1
+              while (t < samples.length &&
+                math.abs(samples(t)) > threshold) {
+                voiced += 1
+                t += 1
+              }
+            } else t += 1
+          }
+          (i, voiced, segs, audioFingerprint(samples))
+        }
+      }.toDF("doc_id", "voiced", "n_segments", "afp")
+  }
+
   def audioFingerprints(df: DataFrame, id: Column,
                         blob: Column): DataFrame = {
     val spark = df.sparkSession

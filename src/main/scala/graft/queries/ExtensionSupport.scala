@@ -235,6 +235,10 @@ private[queries] object ExtensionSupport {
         MultimodalQueries.vdupBlobs(s, dir).count() },
       timed("mm_img_feats") {
         MultimodalQueries.imgFeats(s, dir).count() },
+      timed("mm_audio_feats") {
+        MultimodalQueries.audioFeats(s, dir).count() },
+      timed("mm_caption_cues") {
+        MultimodalQueries.captionCues(s, dir).count() },
       timed("mm_video_feats") {
         MultimodalQueries.videoFeats(s, dir).count() },
       timed("bucketed_layout") { bucketedLayout(s, dir) })
@@ -265,7 +269,8 @@ private[queries] object ExtensionSupport {
       "events_census", "i2b2_spine", "i2b2_hier_last",
       "mm_pixel_blobs", "mm_ahash_blobs", "mm_audio_blobs",
       "mm_phash_blobs", "mm_video_blobs", "mm_vdup_blobs",
-      "mm_img_feats", "mm_video_feats")
+      "mm_img_feats", "mm_video_feats", "mm_audio_feats",
+      "mm_caption_cues")
       .foreach(stage => Stages.evict(s, s"$dir|$stage"))
     // next bucketedLayout call re-writes the tables (rebuild timing)
     bucketedWritten.remove(s"${s.sparkContext.applicationId}|$dir|bucketed")

@@ -300,6 +300,43 @@ private[queries] object MultimodalQueries {
         cutThreshold = 15)
     }
 
+  /** The curate_captions cue table (per-doc SRT fixture — one
+    * "[Music]" boilerplate cue interleaved among the unique speech
+    * cues — parsed through the from-scratch SubRip reader), memoized:
+    * boilerplate removal consumes it twice (document-frequency census
+    * + anti-join probe).
+    */
+  private[queries] def captionCues(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "mm_caption_cues") {
+      import s.implicits._
+      val srts = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val n = (id % 4 + 1).toInt
+            val speech = (1 to n).map { i =>
+              val start = id % 1000 + (i - 1) * 2000L
+              (i, start, start + 1500L, s"cue $i of doc $id")
+            }
+            val music = (n + 1, id % 1000 + n * 2000L,
+              id % 1000 + n * 2000L + 800L, "[Music]")
+            (id, Subtitles.buildSrt(speech :+ music))
+          }
+        }.toDF("doc_id", "srt")
+      Subtitles.cues(srts, col("doc_id"), col("srt"))
+        .withColumnRenamed("id", "doc_id")
+    }
+
+  /** Decode-once audio features over [[audioBlobs]] (VAD census +
+    * energy fingerprint), memoized for the same fan-out reason as
+    * [[imgFeats]]: curate_audio references its census three times and
+    * mm_audio_fingerprint needs the signature.
+    */
+  private[queries] def audioFeats(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "mm_audio_feats") {
+      Multimodal.audioCurationFeatures(audioBlobs(s, dir),
+        threshold = 128)
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // -- Multimodal binary columns -----------------------------------
@@ -535,22 +572,11 @@ private[queries] object MultimodalQueries {
     // reports its retained speech cues + duration. The fixture
     // interleaves one "[Music]" cue per doc among the unique cues.
     "curate_captions" -> { (s, dir) =>
-      import s.implicits._
-      val srts = docs(s, dir).select(col("doc_id")).as[Long]
-        .mapPartitions { ids =>
-          ids.map { id =>
-            val n = (id % 4 + 1).toInt
-            val speech = (1 to n).map { i =>
-              val start = id % 1000 + (i - 1) * 2000L
-              (i, start, start + 1500L, s"cue $i of doc $id")
-            }
-            val music = (n + 1, id % 1000 + n * 2000L,
-              id % 1000 + n * 2000L + 800L, "[Music]")
-            (id, Subtitles.buildSrt(speech :+ music))
-          }
-        }.toDF("doc_id", "srt")
-      val cues = Subtitles.cues(srts, col("doc_id"), col("srt"))
-        .withColumnRenamed("id", "doc_id")
+      // the cue table is consumed twice (df census + anti-join
+      // probe) — inherent to boilerplate removal — so the fixture
+      // synthesis + SRT parse is a memoized stage read, not replayed
+      // per reference
+      val cues = captionCues(s, dir)
       val df_ = cues.groupBy(col("text"))
         .agg(countDistinct(col("doc_id")).as("__df"))
         .filter(col("__df") > 3)
@@ -624,8 +650,8 @@ private[queries] object MultimodalQueries {
     // sign-extended sample read, energy-fingerprinted in 60 windows,
     // then the same banded candidate join as the image pass.
     "mm_audio_fingerprint" -> { (s, dir) =>
-      val sigs = Multimodal.audioFingerprints(audioBlobs(s, dir),
-        col("doc_id"), col("blob"))
+      val sigs = audioFeats(s, dir)
+        .select(col("doc_id").as("id"), col("afp"))
       DedupOps.simhashBandPairs(sigs, col("id"), col("afp"),
         bands = 4, bitsPerBand = 15, maxHamming = 3, bits = 60)
     },
@@ -714,20 +740,16 @@ private[queries] object MultimodalQueries {
     // curation merge discipline (hamming ≤ 1) → star-contraction
     // components → min-id survivor with cluster size + census
     "curate_audio" -> { (s, dir) =>
-      val blobs = audioBlobs(s, dir)
-      val segs = Multimodal.audioSegments(blobs,
-        col("doc_id"), col("blob"), threshold = 128)
-      val census = blobs.select(col("doc_id"))
-        .join(segs.groupBy(col("id").as("doc_id"))
-          .agg(sum(col("n_samples")).as("voiced"),
-            count(lit(1)).as("n_segments")),
-          Seq("doc_id"), "left")
-        .na.fill(0L, Seq("voiced", "n_segments"))
+      // census + fingerprint from the decode-once mm_audio_feats
+      // stage: the chain references the census three times and the
+      // signature once — each a stage read, not a PCM decode replay
+      val feats = audioFeats(s, dir)
+      val census = feats.select("doc_id", "voiced", "n_segments")
       val kept = census.filter(col("voiced") >= 40 &&
         col("voiced") < 110)
-      val sigs = Multimodal.audioFingerprints(
-        blobs.join(kept.select("doc_id"), Seq("doc_id"), "left_semi"),
-        col("doc_id"), col("blob"))
+      val sigs = feats.filter(col("voiced") >= 40 &&
+          col("voiced") < 110)
+        .select(col("doc_id").as("id"), col("afp"))
       val pairs = DedupOps.simhashBandPairs(sigs, col("id"),
         col("afp"), bands = 4, bitsPerBand = 15, maxHamming = 1,
         bits = 60)
