@@ -370,6 +370,14 @@ object AudioHeader {
     * fingerprinted as if its bytes were samples. Extensible without
     * its mandatory 22-byte extension is malformed → tag −1.
     */
+  /** Bytes 2..15 of the WAVE_FORMAT_EXTENSIBLE media-subtype GUID in
+    * file (little-endian) order: rest of Data1 (00 00), Data2 0x0000,
+    * Data3 0x0010, Data4 80 00 00 AA 00 38 9B 71.
+    */
+  private val GuidTail: Array[Int] = Array(
+    0x00, 0x00, 0x00, 0x00, 0x10, 0x00,
+    0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71)
+
   private def fmtAndData(b: Array[Byte])
       : Option[(Int, Int, Int, Int, Int, Int, Long)] = {
     if (b.length < 12 || !ascii(b, 0, "RIFF") || !ascii(b, 8, "WAVE"))
@@ -384,7 +392,16 @@ object AudioHeader {
         val tag0 = le16(b, at + 8)
         val tag =
           if (tag0 != 0xFFFE) tag0
-          else if (size >= 40 && at + 34 <= b.length) le16(b, at + 32)
+          else if (size >= 40 && at + 48 <= b.length &&
+              // the code is only valid inside the fixed media-subtype
+              // GUID {code}-0000-0010-8000-00AA00389B71 (RFC 2361 /
+              // KSDATAFORMAT_SUBTYPE): bytes 2..15 of the little-
+              // endian GUID must match the base exactly — a foreign
+              // GUID whose first two bytes merely collide with a PCM
+              // code must NOT be read as PCM
+              GuidTail.indices.forall(k =>
+                (b(at + 34 + k) & 0xff) == GuidTail(k)))
+            le16(b, at + 32)
           else -1
         fmt = Some((tag, le16(b, at + 10),
           le32(b, at + 12).toInt, le16(b, at + 22), le16(b, at + 20)))

@@ -371,21 +371,21 @@ object Profiling {
     * standard MAD caveat — callers on near-constant streams should
     * pre-filter or raise `mult`.
     *
-    * Key-cardinality assumption: the per-key stats frame (one
-    * med/MAD row per key) is broadcast back onto the rows, so the
-    * MONITORED KEY DOMAIN must fit in a broadcast — fine for the
-    * intended metric/entity monitoring shape (10³–10⁷ keys, a few
-    * tens of bytes each), NOT for a key domain proportional to the
-    * row count (e.g. key = the row id). Callers with an unbounded
-    * key domain should pre-aggregate keys or shard the monitoring;
-    * the explicit broadcast is deliberate (it pins the plan against
-    * a sort-merge degrade when size estimates go opaque behind the
-    * aggregate — see the in-body note).
+    * Key cardinality: the per-key stats frame (one med/MAD row per
+    * key) joins back onto the rows UNHINTED by default, so AQE picks
+    * broadcast when the domain is actually broadcast-sized (the
+    * metric/entity monitoring shape) and degrades gracefully to a
+    * shuffle join at an unbounded key domain (key = user/row id)
+    * instead of OOMing the driver — a size gate measured on the real
+    * stats stage. `pinBroadcastStats = true` restores the hard
+    * broadcast pin for callers that know their domain and need the
+    * map-side shape even with AQE off.
     *
     * Returns ONLY the anomalous rows: (id, key, v, med, dev, mad).
     */
   def madOutliers(df: DataFrame, key: Column, id: Column, value: Column,
-                  mult: Int = 3): DataFrame = {
+                  mult: Int = 3,
+                  pinBroadcastStats: Boolean = false): DataFrame = {
     val base = df.select(key.as("key"), id.as("id"),
       value.cast("long").as("v"))
     // SQL aggregate null semantics (PERCENTILE_DISC ignores NULLs): a
@@ -395,7 +395,7 @@ object Profiling {
     // matching the oracle's WHERE.
     val hist = base.filter(col("v").isNotNull)
       .groupBy(col("key"), col("v")).agg(count(lit(1)).as("__c"))
-    madOutliersFromHist(base, hist, mult)
+    madOutliersFromHist(base, hist, mult, pinBroadcastStats)
   }
 
   /** [[madOutliers]] with the (key, v, __c) value histogram supplied
@@ -405,9 +405,25 @@ object Profiling {
     * legitimately carries them).
     */
   def madOutliersFromHist(base: DataFrame, hist0: DataFrame,
-                          mult: Int = 3): DataFrame = {
+                          mult: Int = 3,
+                          pinBroadcastStats: Boolean = false): DataFrame = {
     require(mult >= 1 && mult <= 1000, "mult must be in [1, 1000]")
     val hist = hist0.filter(col("v").isNotNull)
+    // GUARDED broadcast (round-13 ADVICE item): the stats frame is
+    // one med/MAD row per key, so an unconditional broadcast pin was
+    // a driver/executor OOM cliff at a 100×-scale key domain (key =
+    // user id, say). Default (maxBroadcastKeys > 0): leave the join
+    // UNHINTED and let AQE pick the strategy from the stats stage's
+    // ACTUAL runtime size — a broadcast-sized key domain still gets
+    // the broadcast join (verified in GraphTimeSeriesSpec: AQE
+    // converts it at runtime), an oversized one degrades gracefully
+    // to a shuffle join instead of crashing; this is a size gate
+    // measured on the real data, cheaper and safer than any
+    // key-count probe (which would re-run the census aggregation).
+    // pinBroadcastStats = true keeps the old always-broadcast plan for
+    // callers that KNOW their domain and must hold the map-side shape
+    // even with AQE off.
+    val broadcastStats = pinBroadcastStats
     // ONE aggregation computes BOTH medians: the deviation histogram
     // is a pure array transform of the value histogram (|v − med|
     // per entry, counts carried), re-sorted in place — adjacent
@@ -445,16 +461,12 @@ object Profiling {
     // equidepthBins/keySkewProfile above: a NULL-key series computes
     // its own median like any other and must match it back — a plain
     // equi-join's three-valued NULL = NULL would silently exempt
-    // null-key rows from monitoring. stats is one tiny row per key —
-    // the broadcast therefore ASSUMES the monitored key domain is
-    // broadcast-sized (metrics/series names: thousands, not
-    // millions); a caller monitoring a high-cardinality key (e.g.
-    // per-user) should aggregate to a coarser key first, or the
-    // collected stats table itself becomes the memory hazard —
-    // broadcast explicitly (the winsorizeFromHist:127 discipline) so
-    // the join can never degrade to a sort-merge shuffle of the full
-    // event table when size estimates go opaque behind the aggregate.
-    base.join(broadcast(stats), col("key") <=> col("__mk")).drop("__mk")
+    // null-key rows from monitoring. stats is one tiny row per key;
+    // see the guarded-broadcast note above for why the join is
+    // unhinted by default (AQE runtime-size gate) and what
+    // pinBroadcastStats = true restores.
+    val statsSide = if (broadcastStats) broadcast(stats) else stats
+    base.join(statsSide, col("key") <=> col("__mk")).drop("__mk")
       .withColumn("dev", abs(col("v") - col("med")))
       // coalesce(…, false) is semantically identical for this filter
       // (NULL dev/mad must not flag) but BLOCKS constraint

@@ -310,6 +310,77 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
               k: Int, nprobe: Int): DataFrame = {
     requireNumericCentroidIds(centroids)
+    // The centroid table is bounded by the NLIST PARAMETER, never by
+    // data (a production IVF holds it in memory on every searcher) —
+    // so for the common small-nlist case it collects once and both
+    // ASSIGN and PROBE become MAP-ONLY folds over literal vectors:
+    // no corpus-wide max_by exchange, no per-query probe window.
+    // Centroid norms stay engine-computed (vec_norm over the literal,
+    // constant-folded by Catalyst), so every cosine is the SAME
+    // arithmetic as the join form below — bit-identical results
+    // (ExtSpec pins recall/exactness either way).
+    val centRows = centroids.select(col("id").cast("long").as("__cid"),
+        col("vec").as("__cvec"))
+      .filter(norm(col("vec")) > 0)
+      .orderBy(col("__cid"))
+      .limit(4097).collect()
+    if (centRows.length <= 64) {
+      require(centRows.nonEmpty, "ivfTopK: no non-degenerate centroids")
+      val elemIsFloat = centroids.schema("vec").dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, _) => true
+        case _ => false
+      }
+      val cents = centRows.map { r =>
+        val s = r.getSeq[Any](1)
+        val cv =
+          if (elemIsFloat)
+            typedLit(s.map(_.asInstanceOf[Float]).toArray)
+          else
+            typedLit(s.map(_.asInstanceOf[Number].doubleValue()).toArray)
+        (r.getLong(0), cv)
+      }
+      def cos(v: Column, cv: Column, vn: Column): Column =
+        dot(v, cv) / (vn * norm(cv))
+      // ASSIGN: argmax over the literal centroids — a greatest-fold
+      // over (cos, -cid) structs, ties to the smaller cid (the same
+      // order max_by(struct(cos, -cid)) resolves)
+      def argmaxList(v: Column, vn: Column): Column = {
+        val packed = cents.map { case (cid, cv) =>
+          struct(cos(v, cv, vn).as("c"), lit(-cid).as("n")) }
+        packed.reduce((a, b) => greatest(a, b))("n") * -1
+      }
+      val assigned = corpus
+        .select(col("id").as("neighbor_id"), col("vec").as("cv"),
+          norm(col("vec")).as("__cn"))
+        .filter(col("__cn") > 0)
+        .withColumn("__list", argmaxList(col("cv"), col("__cn")))
+      // PROBE: top-nprobe lists per query from an in-row sort of the
+      // ≤nlist (cos, -cid) structs — descending struct order is
+      // (cos DESC, cid ASC), the row_number tie-break
+      val probes = queries
+        .select(col("id").as("query_id"), col("vec").as("qv"),
+          norm(col("vec")).as("__qn"))
+        .filter(col("__qn") > 0)
+        .withColumn("__probe", explode(slice(sort_array(
+          array(cents.map { case (cid, cv) =>
+            struct(cos(col("qv"), cv, col("__qn")).as("c"),
+              lit(-cid).as("n")) }: _*), asc = false),
+          1, nprobe)))
+        .select(col("query_id"), col("qv"), col("__qn"),
+          (col("__probe")("n") * -1).as("__list"))
+      val scored = probes.join(assigned, "__list")
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos",
+          dot(col("qv"), col("cv")) / (col("__qn") * col("__cn")))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      return scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= k)
+        .select("query_id", "neighbor_id", "cos")
+    }
+    // large-nlist path: broadcast centroid join (the literal fold
+    // above would bloat generated code past JIT limits)
     val cent = centroids.select(col("id").as("__cid"),
       col("vec").as("__cvec"), norm(col("vec")).as("__ctn"))
       .filter(col("__ctn") > 0)

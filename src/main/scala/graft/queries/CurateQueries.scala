@@ -228,10 +228,10 @@ private[queries] object CurateQueries {
     // never splits a tie group, so the guarantee is "at least a
     // third", generous in the keep direction.
     "curate_domain" -> { (s, dir) =>
-      val d = docs(s, dir)
-      val wts = TextAnalysis.dsirWeights(d, col("doc_id"),
-          col("text"), col("source") === "src0", ngram = 2)
-        .join(d.select(col("doc_id"), col("lang")), "doc_id")
+      // the score table is the memoized dsir_domain_scores stage: the
+      // exact tercile cut consumes it twice (histogram + probe), and
+      // a stage read per consumption replaces a bigram-DSIR replay
+      val wts = dsirDomainScores(s, dir)
         .withColumn("__negw", -col("mean_millibits"))
       TextAnalysis.scoreTerciles(wts, "lang", "__negw")
         .filter(col("bucket") === "head")

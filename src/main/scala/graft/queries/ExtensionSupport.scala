@@ -180,6 +180,24 @@ private[queries] object ExtensionSupport {
         Bm25Terms, k = 20)
     }
 
+  /** The curate_domain SCORE TABLE — hashed-bigram DSIR importance
+    * weights against the src0 target slice, lang-joined — memoized
+    * because an exact per-lang tercile cut inherently consumes its
+    * input twice (threshold histogram + probe), and each DataFrame
+    * reference to the unmaterialized chain replays the bigram explode
+    * and both count joins. Materializing the per-doc score table
+    * before a percentile cut is exactly what a production curation
+    * pipeline does.
+    */
+  private[queries] def dsirDomainScores(s: SparkSession,
+                                        dir: String): DataFrame =
+    memo(s, dir, "dsir_domain_scores") {
+      val d = docs(s, dir)
+      TextAnalysis.dsirWeights(d, col("doc_id"), col("text"),
+          col("source") === "src0", ngram = 2)
+        .join(d.select(col("doc_id"), col("lang")), "doc_id")
+    }
+
   /** The k = 8 / iters = 2 Lloyd model over the embeddings table —
     * the train-once stage shared by emb_kmeans (assignment census),
     * emb_silhouette (eval), and dedup_semantic (SemDeDup): each
@@ -210,6 +228,7 @@ private[queries] object ExtensionSupport {
     }
     Seq(
       timed("cc_labels") { componentLabels(s, dir).count() },
+      timed("dsir_domain_scores") { dsirDomainScores(s, dir).count() },
       timed("kmeans8_cent") { kmeans8Cent(s, dir).count() },
       timed("kmeans8_labels") { kmeans8Labels(s, dir).count() },
       timed("pq_codebook") { pqCodebook(s, dir).count() },
@@ -263,7 +282,8 @@ private[queries] object ExtensionSupport {
     * fixture regeneration above).
     */
   private[graft] def evictStages(s: SparkSession, dir: String): Unit = {
-    Seq("cc_labels", "kmeans8_cent", "kmeans8_labels",
+    Seq("cc_labels", "dsir_domain_scores", "kmeans8_cent",
+      "kmeans8_labels",
       "pq_codebook", "pq_codes", "bpe_merges",
       "bm25_top20", "pr_graph", "copurchase_edges", "shingle_pairs",
       "events_census", "i2b2_spine", "i2b2_hier_last",

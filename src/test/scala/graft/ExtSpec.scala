@@ -2070,6 +2070,59 @@ class ExtSpec extends SparkSpec {
       midHdr.getMessage.contains("overruns"))
   }
 
+  test("JpegDecoder: a ZRL run past coefficient 63 fails with the " +
+    "contractual message; in-band ZRLs decode (round-13 ADVICE item)") {
+    import graft.ext.JpegDecoder
+    // hand-built 8×8 single-component baseline JPEG whose AC Huffman
+    // table carries EOB (code 00) and ZRL (code 01), so the entropy
+    // stream can emit arbitrary ZRL runs: 3 ZRLs (k = 49) then EOB is
+    // a legal all-zero-AC block; a 4th ZRL (k = 65) overruns T.81's
+    // 63-coefficient block and must fail loudly, never desynchronize
+    def jpeg(nZrl: Int, eob: Boolean): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def u8w(v: Int): Unit = out.write(v & 0xff)
+      def be16w(v: Int): Unit = { u8w(v >> 8); u8w(v) }
+      def marker(m: Int): Unit = { u8w(0xff); u8w(m) }
+      marker(0xd8)
+      marker(0xdb); be16w(2 + 65); u8w(0x00)
+      for (_ <- 0 until 64) u8w(1)
+      marker(0xc0); be16w(8 + 3)
+      u8w(8); be16w(8); be16w(8); u8w(1)
+      u8w(1); u8w(0x11); u8w(0)
+      marker(0xc4); be16w(2 + 17 + 12); u8w(0x00) // DC table
+      for (l <- 1 to 16) u8w(if (l == 4) 12 else 0)
+      for (s <- 0 until 12) u8w(s)
+      marker(0xc4); be16w(2 + 17 + 2); u8w(0x10) // AC: EOB=00, ZRL=01
+      for (l <- 1 to 16) u8w(if (l == 2) 2 else 0)
+      u8w(0x00); u8w(0xf0)
+      marker(0xda); be16w(6 + 2)
+      u8w(1); u8w(1); u8w(0x00)
+      u8w(0); u8w(63); u8w(0)
+      var acc = 0L; var nBits = 0
+      def putBits(v: Int, n: Int): Unit = {
+        acc = (acc << n) | (v & ((1L << n) - 1)); nBits += n
+        while (nBits >= 8) {
+          val byte = ((acc >> (nBits - 8)) & 0xff).toInt
+          u8w(byte); if (byte == 0xff) u8w(0x00); nBits -= 8
+        }
+      }
+      putBits(0, 4) // DC category 0 (diff 0)
+      for (_ <- 0 until nZrl) putBits(1, 2) // ZRL
+      if (eob) putBits(0, 2)
+      if (nBits > 0) putBits((1 << (8 - nBits)) - 1, 8 - nBits)
+      marker(0xd9)
+      out.toByteArray
+    }
+    val ok = JpegDecoder.decode(jpeg(nZrl = 3, eob = true)).get
+    assert(ok.width === 8 && ok.height === 8)
+    assert(ok.gray.forall(_ === 128)) // DC 0 → mid-gray, ACs all zero
+    val e = intercept[IllegalArgumentException] {
+      JpegDecoder.decode(jpeg(nZrl = 4, eob = false))
+    }
+    assert(e.getMessage.contains("pixel decode: JPEG") &&
+      e.getMessage.contains("AC run past coefficient 63"))
+  }
+
   test("JpegDecoder: 4:2:0 and 4:2:2 MCU interleave decode to the " +
     "per-Y-block closed form; non-neutral chroma replicates across " +
     "the MCU") {
@@ -2576,7 +2629,8 @@ class ExtSpec extends SparkSpec {
     val samples = Array.tabulate(16)(t => t * 100 - 800)
     // hand-built extensible container: 40-byte fmt chunk with
     // cbSize=22 and the SubFormat GUID's leading code selectable
-    def extensible(subCode: Int, fmtSize: Int = 40): Array[Byte] = {
+    def extensible(subCode: Int, fmtSize: Int = 40,
+                   guidTailByte: Int = 0x71): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream()
       def s(str: String): Unit = out.write(str.getBytes("US-ASCII"))
       def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
@@ -2589,7 +2643,7 @@ class ExtSpec extends SparkSpec {
         le16(subCode) // GUID bytes 0-1: the classic tag code
         // remainder of the KSDATAFORMAT GUID tail (fixed)
         Array(0x00, 0x00, 0x00, 0x00, 0x10, 0x00, 0x80, 0x00,
-          0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71).foreach(out.write)
+          0x00, 0xAA, 0x00, 0x38, 0x9B, guidTailByte).foreach(out.write)
       }
       s("data"); le32(samples.length * 2)
       samples.foreach(le16)
@@ -2600,6 +2654,13 @@ class ExtSpec extends SparkSpec {
     assert(AudioHeader.pcm16(extensible(subCode = 3)).isEmpty)
     // extensible WITHOUT its mandatory 22-byte extension: malformed
     assert(AudioHeader.pcm16(extensible(subCode = 1, fmtSize = 16)).isEmpty)
+    // a FOREIGN SubFormat GUID whose first two bytes merely collide
+    // with the PCM code (last GUID byte off the KSDATAFORMAT base):
+    // must be rejected, not read as linear PCM (round-13 ADVICE item)
+    assert(AudioHeader.pcm16(
+      extensible(subCode = 1, guidTailByte = 0x72)).isEmpty)
+    assert(AudioHeader.linearSamples(
+      extensible(subCode = 1, guidTailByte = 0x72)).isEmpty)
   }
 
   test("tokenBudgetMix: whole epochs when the share exceeds the " +

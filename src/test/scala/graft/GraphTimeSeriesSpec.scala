@@ -448,6 +448,38 @@ class GraphTimeSeriesSpec extends SparkSpec {
     assert(got === Seq((3L, 9L, 7L, 5L, 2L, 0L)))
   }
 
+  test("madOutliers: the stats join is UNHINTED by default (AQE " +
+      "runtime-size gate, no OOM cliff at scale) yet still " +
+      "broadcasts at runtime when the key domain is small; the " +
+      "pinned mode keeps the static broadcast") {
+    // same fixture as the flag test: the default (guarded) mode must
+    // carry NO static broadcast hint — at a 100×-scale key domain
+    // that hint was the driver-OOM cliff — while AQE, seeing the
+    // actual 2-row stats stage, still converts the join to broadcast
+    // at runtime; flags identical in both modes
+    val df = (Seq(10L, 12L, 14L, 16L, 100L).zipWithIndex.map {
+      case (v, i) => (1L, i.toLong, v)
+    } ++ Seq(1L, 2L, 3L, 4L).zipWithIndex.map {
+      case (v, i) => (2L, 10L + i, v)
+    }).toDF("k", "id", "v")
+    val guarded = Profiling.madOutliers(df, $"k", $"id", $"v", mult = 3)
+    val got = guarded.as[(Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got === Seq((4L, 1L, 100L, 14L, 86L, 2L)))
+    assert(!guarded.queryExecution.optimizedPlan.toString
+      .contains("strategy=broadcast"),
+      "guarded mode must not carry a static broadcast hint")
+    assert(guarded.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      "AQE should still broadcast the 2-row stats stage at runtime")
+    val pinned = Profiling.madOutliers(df, $"k", $"id", $"v",
+      mult = 3, pinBroadcastStats = true)
+    assert(pinned.queryExecution.optimizedPlan.toString
+      .contains("strategy=broadcast"))
+    assert(pinned.as[(Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq === got)
+  }
+
   test("madOutliers: NULL keys are a first-class monitored series, " +
       "and NULL values neither enter the median nor flag") {
     // null-key series: 1,1,1,50 → med=1, devs 0,0,0,49 → mad=0,

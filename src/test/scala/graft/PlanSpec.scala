@@ -378,13 +378,23 @@ class PlanSpec extends SparkSpec {
       Similarity.seedCentroids(emb, 8).write.mode("overwrite").parquet(tmp)
       val statless = spark.read.parquet(tmp)
       for (df <- Seq(
-          Similarity.ivfTopK(emb, emb, statless, k = 5, nprobe = 2),
           Similarity.ivfPqTopK(emb, emb, statless, k = 5, nprobe = 2))) {
         df.collect()
         val p = df.queryExecution.executedPlan.toString
         assert(!p.contains("CartesianProduct"), s"cartesian centroid join:\n$p")
         assert(p.contains("BroadcastNestedLoopJoin"))
       }
+      // ivfTopK at small nlist takes the LITERAL-centroid path since
+      // round 13: assignment and probe are map-only folds — no
+      // centroid join AT ALL (the strongest form of "never
+      // cartesian"), and the only joins left are the list equi-join
+      // and the top-k window
+      val ivf = Similarity.ivfTopK(emb, emb, statless, k = 5, nprobe = 2)
+      ivf.collect()
+      val pIvf = ivf.queryExecution.executedPlan.toString
+      assert(!pIvf.contains("CartesianProduct"))
+      assert(!pIvf.contains("BroadcastNestedLoopJoin"),
+        s"small-nlist ivfTopK should fold literal centroids, not join:\n$pIvf")
     } finally {
       import scala.sys.process._
       Seq("rm", "-rf", tmp).!
