@@ -892,7 +892,22 @@ object DedupOps {
     */
   def winnowingFingerprints(df: DataFrame, id: Column, text: Column,
                             k: Int = 16, window: Int = 8,
-                            chunkChars: Int = 4096): DataFrame = {
+                            chunkChars: Int = 4096): DataFrame =
+    winnowingFingerprintsRaw(df, id, text, k, window, chunkChars)
+      .distinct()
+
+  /** [[winnowingFingerprints]] WITHOUT the global per-(doc, fp)
+    * distinct exchange: the kernel already dedups within each chunk,
+    * so the only residual duplicates are the same fingerprint selected
+    * in two different 4096-start chunks of one long document. A
+    * consumer whose next step is set-semantic anyway (the postings
+    * `bounded_collect_set` in [[substringDupPairs]]) reads THIS and
+    * saves a full corpus exchange; a consumer that counts (doc, fp)
+    * rows ([[decontaminate]]) must take the distinct form.
+    */
+  def winnowingFingerprintsRaw(df: DataFrame, id: Column, text: Column,
+                               k: Int = 16, window: Int = 8,
+                               chunkChars: Int = 4096): DataFrame = {
     require(chunkChars >= 1, "chunkChars must be positive")
     val overlap = window + k - 2
     df.filter(length(text) >= k) // no gram fits a shorter doc
@@ -910,7 +925,6 @@ object DedupOps {
       .select(col("doc_id"),
         explode(org.apache.spark.sql.graft.WinnowColumns
           .winnow_mins(col("__chunk"), col("__ns"), k, window)).as("fp"))
-      .distinct()
   }
 
   /** Substring-level duplicate pairs: documents sharing ≥ `minShared`
@@ -932,10 +946,14 @@ object DedupOps {
     // self-join formulation instead recomputes the md5 + windowed-min
     // pass once per join branch — broadcast self-joins don't reuse the
     // fingerprint exchange.
-    val fps = winnowingFingerprints(df, id, text, k, window, chunkChars)
+    // RAW fingerprints: the postings aggregation below is a SET, so
+    // the rare cross-chunk duplicate collapses there and the global
+    // per-(doc, fp) distinct exchange never needs to run
+    val fps = winnowingFingerprintsRaw(df, id, text, k, window, chunkChars)
     val postings = fps.groupBy("fp")
-      // fps is already distinct per (doc, fp), so the bounded SET is
-      // the same list — and the df cap holds INSIDE the aggregation
+      // the bounded SET dedups any residual (doc, fp) duplicate —
+      // same lists as the distinct form — and the df cap holds
+      // INSIDE the aggregation
       // buffer (O(maxDf) task memory even for a boilerplate
       // fingerprint present in millions of docs; the size filter then
       // drops exactly the same lists a full collect would, see

@@ -509,17 +509,22 @@ object TextAnalysis {
                     k: Int): DataFrame = {
     require(k >= 1, "k must be positive")
     import org.apache.spark.sql.expressions.Window
-    // ONE explicit token exchange on term (the join key): the tf
-    // aggregate, the df aggregate and the join all sit above it, so
-    // the corpus is scanned and tokenized ONCE (ReusedExchange,
-    // pinned in PlanSpec) — term partitioning also satisfies the
-    // (doc_id, term) clustering, so neither aggregate adds a shuffle.
-    // Same construction as [[unigramSurprisal]].
-    val toks = docs
-      .select(id.as("doc_id"), explode(tokens(text)).as("term"))
-      .filter(col("term") =!= "")
-      .repartition(col("term"))
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // the per-doc TF table folds map-side (token_tf: one kernel pass
+    // per row), so NO corpus-occurrence rows ever exist and no
+    // occurrence exchange ever runs — the round-12 shape shuffled
+    // every token occurrence through an explicit term repartition.
+    // The tf subtree is referenced by both the df aggregate and the
+    // join probe; each reference re-runs the cheap map-side kernel
+    // (nested-column pruning specializes the two copies, so exchange
+    // sharing is structurally impossible here), and what shuffles is
+    // only the distinct (doc, term, tf) table: once partially
+    // aggregated into df, once into the term join.
+    val tf = docs
+      .select(id.as("doc_id"),
+        explode(org.apache.spark.sql.graft.TextStatsColumns
+          .token_tf(text)).as("__p"))
+      .select(col("doc_id"), col("__p.term").as("term"),
+        col("__p.tf").as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("__n"))
     val w = Window.partitionBy("doc_id")

@@ -137,6 +137,40 @@ object GraftTextStats {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** Per-document term-frequency table as ONE pass: distinct
+    * non-empty tokens (same `split(trim, "\\s+")` contract, empty
+    * tokens skipped) with occurrence counts, in first-occurrence
+    * order. The map-only form of
+    * `explode(tokens) → filter('' ≠) → groupBy(doc, term) → count`,
+    * which pays a corpus-occurrence exchange for per-row counting.
+    */
+  def tokenTf(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val b = s.trim().getBytes
+    def isWs(x: Byte): Boolean = x == ' ' || x == '\t' || x == '\n' ||
+      x == 0x0b || x == '\f' || x == '\r'
+    val counts = new java.util.LinkedHashMap[String, Long](64)
+    var i = 0
+    while (i < b.length) {
+      while (i < b.length && isWs(b(i))) i += 1
+      if (i < b.length) {
+        val s0 = i
+        while (i < b.length && !isWs(b(i))) i += 1
+        val tok = new String(b, s0, i - s0,
+          java.nio.charset.StandardCharsets.UTF_8)
+        counts.merge(tok, 1L, (a, x) => a + x)
+      }
+    }
+    val out = new Array[Any](counts.size())
+    val it = counts.entrySet().iterator()
+    var n = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(n) = InternalRow(UTF8String.fromString(e.getKey), e.getValue)
+      n += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** The Gopher repetition keep decision as one boolean: dup-bigram
     * fraction ≤ maxDup2, dup-trigram fraction ≤ maxDup3, and (past
     * the 20-bigram length floor) modal-bigram share ≤ maxTopShare.
@@ -241,7 +275,33 @@ case class SimHashDoc(child: Expression, bits: Int, hexLen: Int)
       newChild: Expression): SimHashDoc = copy(child = newChild)
 }
 
+/** `token_tf(text)` → array<struct<term, tf>> — the fused map-only
+  * per-document term-frequency table (see [[GraftTextStats.tokenTf]]).
+  */
+case class TokenTf(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "token_tf"
+
+  override def nullSafeEval(s: Any): Any =
+    GraftTextStats.tokenTf(s.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.GraftTextStats.tokenTf($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): TokenTf = copy(child = newChild)
+}
+
 object TextStatsColumns {
+  def token_tf(c: Column): Column =
+    ExpressionUtils.column(TokenTf(ExpressionUtils.expression(c)))
+
   def ngram_repetition_stats(c: Column, k: Int): Column =
     ExpressionUtils.column(
       NgramRepetitionStats(ExpressionUtils.expression(c), k))

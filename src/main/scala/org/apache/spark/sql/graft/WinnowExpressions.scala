@@ -53,9 +53,11 @@ object WinnowKernel {
     * longer document pass `nStarts` so truncation only ever happens at
     * the true end of the document, and give each chunk `w + k − 2`
     * characters of lookahead overlap. One O(len) pass: rolling gram
-    * hashes into a monotonic-deque sliding minimum. Consecutive equal
-    * fingerprints are collapsed (winnowing emits long runs of the same
-    * min); callers still `distinct` globally.
+    * hashes into a monotonic-deque sliding minimum. The output is the
+    * chunk's DISTINCT fingerprints in first-selection order (winnowing
+    * emits long runs of the same min, and repetitive text re-selects
+    * it from distant windows too); callers needing per-DOCUMENT
+    * distinctness across chunks still `distinct` globally.
     */
   def fps(t: UTF8String, nStarts: Int, k: Int, w: Int): ArrayData = {
     val s = t.toString
@@ -84,6 +86,7 @@ object WinnowKernel {
     val qi = new Array[Int](g)
     var qh = 0; var qt = 0
     val buf = new Array[Long](m)
+    val seen = new java.util.HashSet[java.lang.Long](64)
     var n = 0
     var end = -1
     var st = 0
@@ -96,7 +99,15 @@ object WinnowKernel {
       }
       while (qi(qh) < st) qh += 1
       val v = h(qi(qh))
-      if (n == 0 || buf(n - 1) != v) { buf(n) = v; n += 1 }
+      // full per-chunk dedup (first occurrence), not just the
+      // consecutive-run collapse: winnowing re-selects the same min
+      // from non-adjacent windows of repetitive text, and every
+      // consumer (global distinct, postings SET) treats the chunk's
+      // fingerprints as a set anyway — deduping here shrinks the
+      // exploded row count before any exchange exists
+      if (n == 0 || buf(n - 1) != v) {
+        if (seen.add(v)) { buf(n) = v; n += 1 }
+      }
       st += 1
     }
     UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(buf, n))

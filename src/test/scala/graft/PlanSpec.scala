@@ -291,15 +291,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("text_tfidf: the (doc, term) count subtree is built once — " +
-    "df aggregates from the reused tf exchange (at-scale plan)") {
-    // at tiny SF the tf⋈df join broadcasts, which rebuilds the tf
-    // subtree on the broadcast side; force the shuffle-join plan the
-    // operator runs at scale, where the term exchange must be shared
+  test("text_tfidf: no occurrence explode anywhere — the per-doc TF " +
+    "table folds map-side (token_tf) and only (doc, term, tf) rows " +
+    "ever shuffle (at-scale plan)") {
+    // the round-12 shape shuffled every token occurrence through an
+    // explicit term repartition; the kernel form must plan the
+    // tokenization as Generate(token_tf(...)) with NO repartition
+    // exchange below it — what shuffles is the aggregated TF table
     withBroadcastDisabled {
       val p = finalPlan("text_tfidf")
-      assert(p.contains("ReusedExchange"),
-        s"tf pass recomputed for the df branch:\n$p")
+      assert(p.contains("token_tf"), s"kernel TF pass missing:\n$p")
+      assert(!p.contains("REPARTITION_BY_COL"),
+        s"occurrence repartition resurrected:\n$p")
     }
   }
 
