@@ -290,6 +290,68 @@ object Similarity {
   def seedCentroids(corpus: DataFrame, nlist: Int): DataFrame =
     corpus.orderBy(col("id")).limit(nlist)
 
+  /** The ≤64-centroid table as driver-side literals — the shared
+    * entry of the IVF family's literal-fold fast path: a production
+    * IVF keeps its (parameter-bounded, data-independent-size)
+    * centroid table in memory on every searcher, so assignment and
+    * probing are per-row folds, not joins. None when the table
+    * exceeds 64 rows (the literal fold would bloat generated code);
+    * callers fall back to the broadcast-join path. Norms are NOT
+    * computed driver-side — [[litCos]] runs `vec_norm` over the
+    * literal and Catalyst constant-folds it, so the arithmetic is
+    * bit-identical to the join form.
+    */
+  private def collectLitCents(
+      centroids: DataFrame): Option[Array[(Long, Column)]] = {
+    val rows = centroids.select(col("id").cast("long").as("__cid"),
+        col("vec").as("__cvec"))
+      .filter(norm(col("vec")) > 0)
+      .orderBy(col("__cid"))
+      .limit(65).collect()
+    if (rows.length > 64) return None
+    val elemIsFloat = centroids.schema("vec").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
+    Some(rows.map { r =>
+      val s = r.getSeq[Any](1)
+      val cv =
+        if (elemIsFloat)
+          typedLit(s.map(_.asInstanceOf[Float]).toArray)
+        else
+          typedLit(s.map(_.asInstanceOf[Number].doubleValue()).toArray)
+      (r.getLong(0), cv)
+    })
+  }
+
+  private def litCos(v: Column, cv: Column, vn: Column): Column =
+    dot(v, cv) / (vn * norm(cv))
+
+  /** ASSIGN against literal centroids: argmax via a greatest-fold
+    * over (cos, -cid) structs — ties to the smaller cid, the same
+    * order `max_by(cid, struct(cos, -cid))` resolves.
+    */
+  private def litArgmaxList(cents: Array[(Long, Column)], v: Column,
+                            vn: Column): Column = {
+    val packed = cents.map { case (cid, cv) =>
+      struct(litCos(v, cv, vn).as("c"), lit(-cid).as("n")) }
+    packed.reduce((a, b) => greatest(a, b))("n") * -1
+  }
+
+  /** PROBE against literal centroids: the top-nprobe (cos, -cid)
+    * structs from an in-row sort of the ≤nlist candidates —
+    * descending struct order is (cos DESC, cid ASC), the row_number
+    * tie-break. Callers explode the array and read `(field "n") * -1`
+    * as the list id (a generator cannot nest inside expressions).
+    */
+  private def litProbeArray(cents: Array[(Long, Column)], v: Column,
+                            vn: Column, nprobe: Int): Column =
+    slice(sort_array(
+      array(cents.map { case (cid, cv) =>
+        struct(litCos(v, cv, vn).as("c"), lit(-cid).as("n")) }: _*),
+      asc = false), 1, nprobe)
+
   /** IVF-flat approximate top-k — the inverted-file scale path
     * (Sivic/Zisserman Video-Google '03, FAISS IVF-flat):
     *
@@ -319,54 +381,21 @@ object Similarity {
     // constant-folded by Catalyst), so every cosine is the SAME
     // arithmetic as the join form below — bit-identical results
     // (ExtSpec pins recall/exactness either way).
-    val centRows = centroids.select(col("id").cast("long").as("__cid"),
-        col("vec").as("__cvec"))
-      .filter(norm(col("vec")) > 0)
-      .orderBy(col("__cid"))
-      .limit(4097).collect()
-    if (centRows.length <= 64) {
-      require(centRows.nonEmpty, "ivfTopK: no non-degenerate centroids")
-      val elemIsFloat = centroids.schema("vec").dataType match {
-        case org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.FloatType, _) => true
-        case _ => false
-      }
-      val cents = centRows.map { r =>
-        val s = r.getSeq[Any](1)
-        val cv =
-          if (elemIsFloat)
-            typedLit(s.map(_.asInstanceOf[Float]).toArray)
-          else
-            typedLit(s.map(_.asInstanceOf[Number].doubleValue()).toArray)
-        (r.getLong(0), cv)
-      }
-      def cos(v: Column, cv: Column, vn: Column): Column =
-        dot(v, cv) / (vn * norm(cv))
-      // ASSIGN: argmax over the literal centroids — a greatest-fold
-      // over (cos, -cid) structs, ties to the smaller cid (the same
-      // order max_by(struct(cos, -cid)) resolves)
-      def argmaxList(v: Column, vn: Column): Column = {
-        val packed = cents.map { case (cid, cv) =>
-          struct(cos(v, cv, vn).as("c"), lit(-cid).as("n")) }
-        packed.reduce((a, b) => greatest(a, b))("n") * -1
-      }
+    val litCents = collectLitCents(centroids)
+    if (litCents.isDefined) {
+      val cents = litCents.get
+      require(cents.nonEmpty, "ivfTopK: no non-degenerate centroids")
       val assigned = corpus
         .select(col("id").as("neighbor_id"), col("vec").as("cv"),
           norm(col("vec")).as("__cn"))
         .filter(col("__cn") > 0)
-        .withColumn("__list", argmaxList(col("cv"), col("__cn")))
-      // PROBE: top-nprobe lists per query from an in-row sort of the
-      // ≤nlist (cos, -cid) structs — descending struct order is
-      // (cos DESC, cid ASC), the row_number tie-break
+        .withColumn("__list", litArgmaxList(cents, col("cv"), col("__cn")))
       val probes = queries
         .select(col("id").as("query_id"), col("vec").as("qv"),
           norm(col("vec")).as("__qn"))
         .filter(col("__qn") > 0)
-        .withColumn("__probe", explode(slice(sort_array(
-          array(cents.map { case (cid, cv) =>
-            struct(cos(col("qv"), cv, col("__qn")).as("c"),
-              lit(-cid).as("n")) }: _*), asc = false),
-          1, nprobe)))
+        .withColumn("__probe",
+          explode(litProbeArray(cents, col("qv"), col("__qn"), nprobe)))
         .select(col("query_id"), col("qv"), col("__qn"),
           (col("__probe")("n") * -1).as("__list"))
       val scored = probes.join(assigned, "__list")
@@ -538,32 +567,56 @@ object Similarity {
                 codes: Option[DataFrame] = None): DataFrame = {
     // coarse quantizer: same cosine assign/probe as ivfTopK (the
     // vectors themselves are NOT carried past this point — scoring
-    // happens on codes)
+    // happens on codes). Small nlist takes the literal-centroid fold
+    // (assignment and probe map-only, no corpus max_by exchange, no
+    // probe window); large nlist keeps the broadcast join.
     requireNumericCentroidIds(centroids)
-    val cent = centroids.select(col("id").as("__ccid"),
-      col("vec").as("__cvec"), norm(col("vec")).as("__ctn"))
-      .filter(col("__ctn") > 0)
-    val assigned = corpus
-      .select(col("id").as("neighbor_id"), col("vec").as("cv"),
-        norm(col("vec")).as("__cn"))
-      .filter(col("__cn") > 0)
-      .crossJoin(broadcast(cent))
-      .withColumn("__ccos",
-        dot(col("cv"), col("__cvec")) / (col("__cn") * col("__ctn")))
-      .groupBy(col("neighbor_id"))
-      .agg(max_by(col("__ccid"), struct(col("__ccos"), -col("__ccid")))
-        .as("__list"))
-    val probes = queries
-      .select(col("id").as("query_id"), col("vec").as("qv"),
-        norm(col("vec")).as("__qn"))
-      .filter(col("__qn") > 0)
-      .crossJoin(broadcast(cent))
-      .withColumn("__ccos",
-        dot(col("qv"), col("__cvec")) / (col("__qn") * col("__ctn")))
-      .withColumn("__rn", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("__ccos").desc, col("__ccid"))))
-      .filter(col("__rn") <= nprobe)
-      .select(col("query_id"), col("__ccid").as("__list"))
+    val litCents = collectLitCents(centroids)
+    val (assigned, probes) =
+      if (litCents.isDefined && litCents.get.nonEmpty) {
+        val cents = litCents.get
+        val a = corpus
+          .select(col("id").as("neighbor_id"), col("vec").as("cv"),
+            norm(col("vec")).as("__cn"))
+          .filter(col("__cn") > 0)
+          .select(col("neighbor_id"),
+            litArgmaxList(cents, col("cv"), col("__cn")).as("__list"))
+        val p = queries
+          .select(col("id").as("query_id"), col("vec").as("qv"),
+            norm(col("vec")).as("__qn"))
+          .filter(col("__qn") > 0)
+          .withColumn("__probe",
+            explode(litProbeArray(cents, col("qv"), col("__qn"), nprobe)))
+          .select(col("query_id"), (col("__probe")("n") * -1).as("__list"))
+        (a, p)
+      } else {
+        val cent = centroids.select(col("id").as("__ccid"),
+          col("vec").as("__cvec"), norm(col("vec")).as("__ctn"))
+          .filter(col("__ctn") > 0)
+        val a = corpus
+          .select(col("id").as("neighbor_id"), col("vec").as("cv"),
+            norm(col("vec")).as("__cn"))
+          .filter(col("__cn") > 0)
+          .crossJoin(broadcast(cent))
+          .withColumn("__ccos",
+            dot(col("cv"), col("__cvec")) / (col("__cn") * col("__ctn")))
+          .groupBy(col("neighbor_id"))
+          .agg(max_by(col("__ccid"), struct(col("__ccos"), -col("__ccid")))
+            .as("__list"))
+        val p = queries
+          .select(col("id").as("query_id"), col("vec").as("qv"),
+            norm(col("vec")).as("__qn"))
+          .filter(col("__qn") > 0)
+          .crossJoin(broadcast(cent))
+          .withColumn("__ccos",
+            dot(col("qv"), col("__cvec")) / (col("__qn") * col("__ctn")))
+          .withColumn("__rn",
+            row_number().over(Window.partitionBy("query_id")
+              .orderBy(col("__ccos").desc, col("__ccid"))))
+          .filter(col("__rn") <= nprobe)
+          .select(col("query_id"), col("__ccid").as("__list"))
+        (a, p)
+      }
     val allowed = probes.join(assigned, "__list")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")

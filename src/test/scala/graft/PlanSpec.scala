@@ -380,24 +380,42 @@ class PlanSpec extends SparkSpec {
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       Similarity.seedCentroids(emb, 8).write.mode("overwrite").parquet(tmp)
       val statless = spark.read.parquet(tmp)
+      // small nlist takes the LITERAL-centroid path since round 13:
+      // assignment and probe are map-only folds — no centroid join AT
+      // ALL (the strongest form of "never cartesian"); the only joins
+      // left are the list equi-join and the top-k window
       for (df <- Seq(
+          Similarity.ivfTopK(emb, emb, statless, k = 5, nprobe = 2),
           Similarity.ivfPqTopK(emb, emb, statless, k = 5, nprobe = 2))) {
         df.collect()
         val p = df.queryExecution.executedPlan.toString
-        assert(!p.contains("CartesianProduct"), s"cartesian centroid join:\n$p")
-        assert(p.contains("BroadcastNestedLoopJoin"))
+        assert(!p.contains("CartesianProduct"))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"small-nlist IVF should fold literal centroids, not join:\n$p")
       }
-      // ivfTopK at small nlist takes the LITERAL-centroid path since
-      // round 13: assignment and probe are map-only folds — no
-      // centroid join AT ALL (the strongest form of "never
-      // cartesian"), and the only joins left are the list equi-join
-      // and the top-k window
-      val ivf = Similarity.ivfTopK(emb, emb, statless, k = 5, nprobe = 2)
-      ivf.collect()
-      val pIvf = ivf.queryExecution.executedPlan.toString
-      assert(!pIvf.contains("CartesianProduct"))
-      assert(!pIvf.contains("BroadcastNestedLoopJoin"),
-        s"small-nlist ivfTopK should fold literal centroids, not join:\n$pIvf")
+      // past the 64-centroid literal cap the coarse quantizer falls
+      // back to the broadcast join — which must STAY a broadcast even
+      // from this stats-less parquet frame, never a cartesian
+      val bigTmp = java.nio.file.Files.createTempDirectory("centbig")
+        .toString
+      try {
+        Similarity.seedCentroids(emb, 80).write.mode("overwrite")
+          .parquet(bigTmp)
+        val statless80 = spark.read.parquet(bigTmp)
+        for (df <- Seq(
+            Similarity.ivfTopK(emb, emb, statless80, k = 5, nprobe = 2),
+            Similarity.ivfPqTopK(emb, emb, statless80, k = 5,
+              nprobe = 2))) {
+          df.collect()
+          val p = df.queryExecution.executedPlan.toString
+          assert(!p.contains("CartesianProduct"),
+            s"cartesian centroid join:\n$p")
+          assert(p.contains("BroadcastNestedLoopJoin"))
+        }
+      } finally {
+        import scala.sys.process._
+        Seq("rm", "-rf", bigTmp).!
+      }
     } finally {
       import scala.sys.process._
       Seq("rm", "-rf", tmp).!
