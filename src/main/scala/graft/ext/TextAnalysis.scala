@@ -84,6 +84,12 @@ object TextAnalysis {
     * low punctuation noise, and enough-but-bounded length.
     */
   def qualityScore(c: Column): Column =
+    org.apache.spark.sql.graft.TextStatsColumns.quality_score(c)
+
+  /** The declarative composition [[qualityScore]] fuses — kept as the
+    * executable spec of the native kernel (ExtSpec pins bit parity).
+    */
+  def qualityScoreColumns(c: Column): Column =
     stopwordRatio(c) * lit(0.5) +
       (lit(1.0) - punctRatio(c)) * lit(0.3) +
       least(tokenCount(c).cast("double") / lit(100.0), lit(1.0)) * lit(0.2)
@@ -105,7 +111,14 @@ object TextAnalysis {
   /** Predicted language = argmax marker count with the fixed
     * tie-break order above.
     */
-  def langId(c: Column): Column = {
+  def langId(c: Column): Column =
+    org.apache.spark.sql.graft.TextStatsColumns.lang_id(c)
+
+  /** The declarative composition [[langId]] fuses (four interpreted
+    * marker scans) — kept as the executable spec of the native kernel
+    * (ExtSpec pins parity, including the tie chain).
+    */
+  def langIdColumns(c: Column): Column = {
     val scores = LangMarkers.map { case (l, m) => l -> langScore(c, m) }.toMap
     when(scores("en") >= scores("de") && scores("en") >= scores("fr") &&
       scores("en") >= scores("es"), "en")

@@ -137,6 +137,102 @@ object GraftTextStats {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** Marker-word counts for the four-language n-gram heuristic —
+    * the kernel behind [[LangIdNative]]. Token membership tests run
+    * on the byte ranges; the marker lists are the same literals
+    * `graft.ext.TextAnalysis.LangMarkers` carries (pinned equal in
+    * ExtSpec), and the tie chain en > de > fr > es replicates the
+    * Column form's when-cascade exactly.
+    */
+  def langId(s: UTF8String): UTF8String = {
+    val b = s.trim().getBytes
+    def isWs(x: Byte): Boolean = x == ' ' || x == '\t' || x == '\n' ||
+      x == 0x0b || x == '\f' || x == '\r'
+    var en = 0L; var de = 0L; var fr = 0L; var es = 0L
+    var i = 0
+    while (i < b.length) {
+      while (i < b.length && isWs(b(i))) i += 1
+      if (i < b.length) {
+        val s0 = i
+        while (i < b.length && !isWs(b(i))) i += 1
+        val tok = new String(b, s0, i - s0,
+          java.nio.charset.StandardCharsets.UTF_8)
+        tok match {
+          case "the" | "and" | "of" | "is" => en += 1
+          case "der" | "die" | "und" | "ist" => de += 1
+          case "le" | "la" | "et" | "est" => fr += 1
+          case "el" | "los" | "y" | "es" => es += 1
+          case _ => ()
+        }
+      }
+    }
+    val out =
+      if (en >= de && en >= fr && en >= es) "en"
+      else if (de >= fr && de >= es) "de"
+      else if (fr >= es) "fr"
+      else "es"
+    UTF8String.fromString(out)
+  }
+
+  /** Composite quality score — the kernel behind
+    * [[QualityScoreNative]]: stopword ratio · 0.5 + (1 − punct
+    * ratio) · 0.3 + min(tokens/100, 1) · 0.2, with EXACTLY the
+    * Column form's arithmetic (same IEEE operations in the same
+    * order, token counts per the split(trim, "\\s+") contract
+    * including leading/trailing empty tokens, punct ratio over the
+    * UNtrimmed text's codepoints outside [A-Za-z0-9 ]).
+    */
+  def qualityScore(s: UTF8String): Double = {
+    val bAll = s.getBytes
+    // punct ratio: codepoint count and non-[A-Za-z0-9 ] count over
+    // the ORIGINAL string (regexp_replace strips matches; length is
+    // in codepoints — multi-byte UTF-8 sequences count once)
+    var nChars = 0L
+    var keep = 0L
+    var i = 0
+    while (i < bAll.length) {
+      val x = bAll(i) & 0xff
+      if ((x & 0xc0) != 0x80) { // not a continuation byte
+        nChars += 1
+        if ((x >= 'A' && x <= 'Z') || (x >= 'a' && x <= 'z') ||
+          (x >= '0' && x <= '9') || x == ' ') keep += 1
+      }
+      i += 1
+    }
+    val punctRatio =
+      if (nChars == 0L) 0.0 else (nChars - keep).toDouble / nChars.toDouble
+    // token pass on the trimmed bytes (split(trim, "\s+") contract)
+    val b = s.trim().getBytes
+    def isWs(x: Byte): Boolean = x == ' ' || x == '\t' || x == '\n' ||
+      x == 0x0b || x == '\f' || x == '\r'
+    var nTok = 0L
+    var stop = 0L
+    if (b.length == 0) nTok = 1 // [""]
+    else {
+      if (isWs(b(0))) nTok += 1
+      i = 0
+      while (i < b.length) {
+        while (i < b.length && isWs(b(i))) i += 1
+        if (i < b.length) {
+          val s0 = i
+          while (i < b.length && !isWs(b(i))) i += 1
+          nTok += 1
+          val tok = new String(b, s0, i - s0,
+            java.nio.charset.StandardCharsets.UTF_8)
+          tok match {
+            case "the" | "a" | "an" | "and" | "or" | "of" | "to" |
+                 "in" | "is" | "it" => stop += 1
+            case _ => ()
+          }
+        }
+      }
+      if (isWs(b(b.length - 1))) nTok += 1
+    }
+    val stopRatio = stop.toDouble / nTok.toDouble
+    stopRatio * 0.5 + (1.0 - punctRatio) * 0.3 +
+      math.min(nTok.toDouble / 100.0, 1.0) * 0.2
+  }
+
   /** Per-document term-frequency table as ONE pass: distinct
     * non-empty tokens (same `split(trim, "\\s+")` contract, empty
     * tokens skipped) with occurrence counts, in first-occurrence
@@ -298,9 +394,59 @@ case class TokenTf(child: Expression)
       newChild: Expression): TokenTf = copy(child = newChild)
 }
 
+/** `lang_id(text)` — the fused map-only four-language marker
+  * heuristic (see [[GraftTextStats.langId]]): one tokenization pass
+  * replaces four interpreted `filter`/`array_contains` lambda scans.
+  */
+case class LangIdNative(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lang_id"
+
+  override def nullSafeEval(s: Any): Any =
+    GraftTextStats.langId(s.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.GraftTextStats.langId($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): LangIdNative = copy(child = newChild)
+}
+
+/** `quality_score(text)` — the fused map-only composite quality
+  * score (see [[GraftTextStats.qualityScore]]); bit-identical to the
+  * stopwordRatio/punctRatio/tokenCount Column composition (ExtSpec
+  * pins the parity).
+  */
+case class QualityScoreNative(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "quality_score"
+
+  override def nullSafeEval(s: Any): Any =
+    GraftTextStats.qualityScore(s.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.GraftTextStats.qualityScore($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): QualityScoreNative = copy(child = newChild)
+}
+
 object TextStatsColumns {
   def token_tf(c: Column): Column =
     ExpressionUtils.column(TokenTf(ExpressionUtils.expression(c)))
+
+  def lang_id(c: Column): Column =
+    ExpressionUtils.column(LangIdNative(ExpressionUtils.expression(c)))
+
+  def quality_score(c: Column): Column =
+    ExpressionUtils.column(
+      QualityScoreNative(ExpressionUtils.expression(c)))
 
   def ngram_repetition_stats(c: Column, k: Int): Column =
     ExpressionUtils.column(

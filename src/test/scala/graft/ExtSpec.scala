@@ -855,6 +855,26 @@ class ExtSpec extends SparkSpec {
     assert(got(1) === Seq.empty)
   }
 
+  test("native langId / qualityScore are bit-identical to their " +
+      "declarative Column compositions on docs and edge strings") {
+    val edge = Seq("", "   ", "the", "  the and of is  ", "él ñ es",
+      "a\tb\nc", "@@@@ 123 abc", "le la et est le la",
+      "der und der und ist die", "el y los es es",
+      "été café es y")
+    val d = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+      .select($"text").as[String].collect().toSeq ++ edge
+    val df = d.toDF("t")
+    val mismatch = df.select(
+        TextAnalysis.langId($"t").as("n"),
+        TextAnalysis.langIdColumns($"t").as("c"),
+        TextAnalysis.qualityScore($"t").as("qn"),
+        TextAnalysis.qualityScoreColumns($"t").as("qc"))
+      .filter($"n" =!= $"c" || $"qn" =!= $"qc")
+      .count()
+    assert(mismatch === 0L)
+  }
+
   test("langId picks the marker-richest language with fixed tie-break") {
     val got = Seq(
       "the cat and the dog is big",
