@@ -856,11 +856,27 @@ class ExtSpec extends SparkSpec {
   }
 
   test("native langId / qualityScore are bit-identical to their " +
-      "declarative Column compositions on docs and edge strings") {
+      "declarative Column compositions on docs, edge, and random " +
+      "unicode strings") {
     val edge = Seq("", "   ", "the", "  the and of is  ", "él ñ es",
       "a\tb\nc", "@@@@ 123 abc", "le la et est le la",
       "der und der und ist die", "el y los es es",
-      "été café es y")
+      "été café es y") ++ {
+      // 300 adversarial random strings: marker/stopword tokens mixed
+      // with multi-byte unicode, digits, punctuation, and every
+      // whitespace byte the \s class matches — the token-boundary and
+      // codepoint-counting edges a fixed list can miss
+      import org.scalacheck.Gen
+      val token = Gen.oneOf("the", "and", "of", "is", "der", "die",
+        "und", "ist", "le", "la", "et", "est", "el", "los", "y", "es",
+        "a", "an", "or", "to", "in", "it", "x", "日本語", "héllo",
+        "naïve", "42", "a.b", "@@", " ", "__", "ß", "€9")
+      val ws = Gen.oneOf(" ", "\t", "\n", "\u000B", "\f", "\r", "  ")
+      val piece = Gen.frequency(4 -> token, 3 -> ws)
+      val str = Gen.chooseNum(0, 24)
+        .flatMap(n => Gen.listOfN(n, piece).map(_.mkString))
+      Gen.listOfN(300, str).sample.get
+    }
     val d = graft.sources.Tables
       .load(spark, "/root/testdata/sf0.001", "documents")
       .select($"text").as[String].collect().toSeq ++ edge

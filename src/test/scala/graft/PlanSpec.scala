@@ -843,6 +843,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("text_langid / text_stats run the FUSED native kernels " +
+      "(lang_id / quality_score) as shuffle-free map-only plans") {
+    // the declarative Column compositions (four interpreted marker
+    // scans; three separate stat passes) stay as executable parity
+    // specs — but the BENCH paths must plan the single-pass codegen
+    // kernels, and a silent fallback to the Column forms would
+    // re-introduce the interpreted lambda scans with results
+    // unchanged. Pin the kernel names AND the map-only shape.
+    for ((q, kernel) <- Seq("text_langid" -> "lang_id(",
+        "text_stats" -> "quality_score(")) {
+      val p = plan(q)
+      assert(p.contains(kernel), s"$q lost the native kernel:\n$p")
+      assert(!p.contains("Exchange"), s"$q should be map-only:\n$p")
+      assert(p.contains("*("), s"$q fell out of codegen:\n$p")
+    }
+  }
+
   test("src_jsonl_roundtrip: the JSONL scan runs the DECLARED schema " +
       "(no inference) and no shuffle beyond the census agg") {
     val p = plan("src_jsonl_roundtrip")
