@@ -359,6 +359,14 @@ object AudioHeader {
     out
   }
 
+  /** Bytes 2..15 of the WAVE_FORMAT_EXTENSIBLE media-subtype GUID in
+    * file (little-endian) order: rest of Data1 (00 00), Data2 0x0000,
+    * Data3 0x0010, Data4 80 00 00 AA 00 38 9B 71.
+    */
+  private val GuidTail: Array[Int] = Array(
+    0x00, 0x00, 0x00, 0x00, 0x10, 0x00,
+    0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71)
+
   /** The shared fmt/data chunk walk behind [[pcm16]] and
     * [[linearSamples]]: (tag, channels, bits, blockAlign, rate,
     * dataOff, dataSize), with the audioFormat TAG resolved through
@@ -370,14 +378,6 @@ object AudioHeader {
     * fingerprinted as if its bytes were samples. Extensible without
     * its mandatory 22-byte extension is malformed → tag −1.
     */
-  /** Bytes 2..15 of the WAVE_FORMAT_EXTENSIBLE media-subtype GUID in
-    * file (little-endian) order: rest of Data1 (00 00), Data2 0x0000,
-    * Data3 0x0010, Data4 80 00 00 AA 00 38 9B 71.
-    */
-  private val GuidTail: Array[Int] = Array(
-    0x00, 0x00, 0x00, 0x00, 0x10, 0x00,
-    0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71)
-
   private def fmtAndData(b: Array[Byte])
       : Option[(Int, Int, Int, Int, Int, Int, Long)] = {
     if (b.length < 12 || !ascii(b, 0, "RIFF") || !ascii(b, 8, "WAVE"))

@@ -868,15 +868,6 @@ object Multimodal {
     fp
   }
 
-  /** Per-partition sample decode + fingerprint over (doc_id, blob)
-    * audio rows, dispatched by container magic: RIFF/WAVE through
-    * [[AudioHeader.linearSamples]] (16-bit integer PCM read directly,
-    * G.711 μ-law/A-law expanded through the spec tables, mono IMA
-    * ADPCM), `fLaC` through [[FlacDecoder.firstChannel]] (lossless,
-    * so decoded samples are bit-identical to the source PCM and the
-    * fingerprint is coding-blind). Loud on undecodable payloads,
-    * same contract as [[aHashImages]]. Returns (id, afp); map-only.
-    */
   /** ONE decode pass yielding the VAD census (voiced-sample count +
     * voiced-segment count at `threshold`, the aggregate of
     * [[audioSegments]]) AND the 60-bit energy fingerprint per
@@ -916,6 +907,15 @@ object Multimodal {
       }.toDF("doc_id", "voiced", "n_segments", "afp")
   }
 
+  /** Per-partition sample decode + fingerprint over (doc_id, blob)
+    * audio rows, dispatched by container magic: RIFF/WAVE through
+    * [[AudioHeader.linearSamples]] (16-bit integer PCM read directly,
+    * G.711 μ-law/A-law expanded through the spec tables, mono IMA
+    * ADPCM), `fLaC` through [[FlacDecoder.firstChannel]] (lossless,
+    * so decoded samples are bit-identical to the source PCM and the
+    * fingerprint is coding-blind). Loud on undecodable payloads,
+    * same contract as [[aHashImages]]. Returns (id, afp); map-only.
+    */
   def audioFingerprints(df: DataFrame, id: Column,
                         blob: Column): DataFrame = {
     val spark = df.sparkSession

@@ -423,7 +423,6 @@ object Profiling {
     // pinBroadcastStats = true keeps the old always-broadcast plan for
     // callers that KNOW their domain and must hold the map-side shape
     // even with AQE off.
-    val broadcastStats = pinBroadcastStats
     // ONE aggregation computes BOTH medians: the deviation histogram
     // is a pure array transform of the value histogram (|v − med|
     // per entry, counts carried), re-sorted in place — adjacent
@@ -465,7 +464,7 @@ object Profiling {
     // see the guarded-broadcast note above for why the join is
     // unhinted by default (AQE runtime-size gate) and what
     // pinBroadcastStats = true restores.
-    val statsSide = if (broadcastStats) broadcast(stats) else stats
+    val statsSide = if (pinBroadcastStats) broadcast(stats) else stats
     base.join(statsSide, col("key") <=> col("__mk")).drop("__mk")
       .withColumn("dev", abs(col("v") - col("med")))
       // coalesce(…, false) is semantically identical for this filter

@@ -296,7 +296,15 @@ object Similarity {
     * centroid table in memory on every searcher, so assignment and
     * probing are per-row folds, not joins. None when the table
     * exceeds 64 rows (the literal fold would bloat generated code);
-    * callers fall back to the broadcast-join path. Norms are NOT
+    * callers fall back to the broadcast-join path.
+    *
+    * CONTRACT: this runs a driver-bounded job (limit 65) at
+    * DataFrame-CONSTRUCTION time — the IVF builders are eager in
+    * their centroid argument. Pass a materialized/staged centroid
+    * table (every in-repo caller does: seed tables, staged k-means
+    * output); an expensive unmaterialized chain would be evaluated
+    * here and then again per join branch on the fallback path.
+    * Norms are NOT
     * computed driver-side — [[litCos]] runs `vec_norm` over the
     * literal and Catalyst constant-folds it, so the arithmetic is
     * bit-identical to the join form.
@@ -382,9 +390,11 @@ object Similarity {
     // arithmetic as the join form below — bit-identical results
     // (ExtSpec pins recall/exactness either way).
     val litCents = collectLitCents(centroids)
-    if (litCents.isDefined) {
+    // empty table (no non-degenerate centroid) falls through to the
+    // join path, which yields the empty result — the same graceful
+    // contract as ivfPqTopK, not a construction-time throw
+    if (litCents.isDefined && litCents.get.nonEmpty) {
       val cents = litCents.get
-      require(cents.nonEmpty, "ivfTopK: no non-degenerate centroids")
       val assigned = corpus
         .select(col("id").as("neighbor_id"), col("vec").as("cv"),
           norm(col("vec")).as("__cn"))

@@ -109,10 +109,14 @@ object TextAnalysis {
   }
 
   /** Predicted language = argmax marker count with the fixed
-    * tie-break order above.
+    * tie-break order above. NULL text predicts "es": the when-cascade
+    * spec falls through every NULL comparison to its otherwise()
+    * branch (and the DuckDB oracle's CASE does the same), so the
+    * null-propagating native kernel takes a coalesce to match.
     */
   def langId(c: Column): Column =
-    org.apache.spark.sql.graft.TextStatsColumns.lang_id(c)
+    coalesce(org.apache.spark.sql.graft.TextStatsColumns.lang_id(c),
+      lit("es"))
 
   /** The declarative composition [[langId]] fuses (four interpreted
     * marker scans) — kept as the executable spec of the native kernel
@@ -510,11 +514,13 @@ object TextAnalysis {
     *
     * where N is the corpus document count. Per-doc top-k by
     * (score_bits desc, term asc) — a total order, so ranks are
-    * deterministic. Shape at scale: one explode → (doc, term) count
-    * (map-side combine); df aggregates FROM the tf frame (one row per
-    * (doc, term) already), so the expensive tokenize+count subtree is
-    * built once and reused by both consumers (exchange reuse, pinned
-    * in PlanSpec); N is one broadcast row; the final window shuffles
+    * deterministic. Shape at scale: the per-doc TF table comes from
+    * ONE map-side kernel pass per row (`token_tf`), so no
+    * corpus-occurrence rows ever exist and no occurrence exchange
+    * ever runs; what shuffles is only the distinct (doc, term, tf)
+    * table — once partially aggregated into df, once into the term
+    * join (the body explains why the two references cannot share an
+    * exchange). N is one broadcast row; the final window shuffles
     * k-bounded input per doc. Docs with zero tokens emit no rows (a
     * top-k over nothing is empty, matching the oracle).
     */

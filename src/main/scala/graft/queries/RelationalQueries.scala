@@ -738,22 +738,27 @@ object RelationalQueries {
         .agg(sum(col("__lq")).as("__q"))
         .filter(col("__q") > 200)
         .select(col("__lk").as("__bk"))
-      // broadcast the qualifying set: the >200-quantity HAVING keeps
-      // ≤~8% of orders (BENCH_DRIFT_r12 scoping), so the semi-join is
-      // a map-side probe instead of shuffling the full orders table;
-      // the qualified orders⋈customer side is the same size class, so
-      // it broadcasts into the lineitem join too — the only shuffles
-      // left are the qualifying aggregate and the final group-by over
-      // qualified rows only
+      // UNHINTED joins, AQE runtime-size gate (same discipline as
+      // Profiling.madOutliersFromHist): the >200-quantity HAVING
+      // keeps ≤~8% of orders (BENCH_DRIFT_r12 scoping) — broadcast-
+      // sized at bench scale, but DATA-PROPORTIONAL, so a pinned
+      // broadcast() here is a driver OOM cliff at a 100×-scale run.
+      // AQE reads the qualifying aggregate's ACTUAL runtime size and
+      // converts both joins to broadcast when they fit (PlanSpec pins
+      // the converted shape at bench scale: a map-side semi-probe on
+      // orders, the qualified orders⋈customer side broadcast into the
+      // lineitem join — the only shuffles are the qualifying
+      // aggregate and the final group-by over qualified rows only),
+      // and degrades to shuffle joins instead of crashing when the
+      // qualifying set outgrows the broadcast budget.
       val o = t(s, dir, "orders")
-        .join(broadcast(big), col("o_orderkey") === col("__bk"),
-          "left_semi")
+        .join(big, col("o_orderkey") === col("__bk"), "left_semi")
       val c = t(s, dir, "customer")
       // unqualified col() refs: the semi-join's right side carries no
       // output attributes, so each name resolves uniquely even though
       // lineitem's subtree appears twice in the plan
       l.select(col("l_orderkey").as("__jk"), col("l_quantity"))
-        .join(broadcast(o.join(c, col("o_custkey") === col("c_custkey"))),
+        .join(o.join(c, col("o_custkey") === col("c_custkey")),
           col("o_orderkey") === col("__jk"))
         .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
           col("o_orderdate"), col("o_totalprice"))

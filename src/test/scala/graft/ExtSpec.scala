@@ -855,6 +855,74 @@ class ExtSpec extends SparkSpec {
     assert(got(1) === Seq.empty)
   }
 
+  test("native simhash / token_tf / ngram_repetition_stats / " +
+      "repetition_keep match their declarative compositions " +
+      "(the scaladoc'd parity contracts) on docs and edge strings") {
+    import org.apache.spark.sql.graft.TextStatsColumns
+    val edge = Seq("", "   ", "a", " a  b ", "x x x x", "a_b a_b",
+      "日本 語 日本 語", "the the the and", "a\tbc\fd\re",
+      "one two one two one")
+    val d = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+      .select($"text").as[String].collect().toSeq ++ edge
+    val df = d.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "t")
+
+    // simhashDoc vs the r12 explode → md5-prefix → vote composition
+    val simNat = df.select($"doc_id",
+        DedupOps.simhashDoc($"t", 60).as("s"))
+      .as[(Long, Long)].collect().toMap
+    val simDec = df.select($"doc_id",
+        explode(TextAnalysis.tokens($"t")).as("tok"))
+      .select($"doc_id", DedupOps.simhashTokenHash($"tok").as("h"))
+      .groupBy("doc_id").agg(DedupOps.simhashAgg($"h", 60).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(simNat === simDec)
+
+    // token_tf vs explode(tokens) → non-empty filter → count
+    val tfNat = df.select($"doc_id",
+        explode(TextStatsColumns.token_tf($"t")).as("p"))
+      .select($"doc_id", $"p.term", $"p.tf")
+      .as[(Long, String, Long)].collect().toSet
+    val tfDec = df.select($"doc_id",
+        explode(TextAnalysis.tokens($"t")).as("tok"))
+      .filter($"tok" =!= "")
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(tfNat === tfDec)
+
+    // ngram_repetition_stats vs explode(shingles) → per-gram count →
+    // per-doc census; docs with < k tokens emit no shingle rows in
+    // the declarative form and must census as (0, 0, 0) natively
+    for (k <- Seq(2, 3)) {
+      val natNg = df.select($"doc_id",
+          TextStatsColumns.ngram_repetition_stats($"t", k).as("s"))
+        .select($"doc_id", $"s.n", $"s.d", $"s.top")
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val decNg = df.select($"doc_id",
+          explode(TextAnalysis.shingles($"t", k)).as("g"))
+        .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id").agg(sum($"c").as("n"),
+          count(lit(1)).as("d"), max($"c").as("top"))
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      for ((id, nat) <- natNg)
+        assert(nat === decNg.getOrElse(id, (0L, 0L, 0L)),
+          s"k=$k doc $id: native $nat vs declarative " +
+            s"${decNg.get(id)}")
+    }
+
+    // repetitionKeep (fused scalar) vs repetitionMetrics' keep flag
+    val keepNat = df.select($"doc_id",
+        TextAnalysis.repetitionKeep($"t").as("keep"))
+      .as[(Long, Boolean)].collect().toMap
+    val keepDec = TextAnalysis
+      .repetitionMetrics(df, $"doc_id", $"t")
+      .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toMap
+    assert(keepNat === keepDec)
+  }
+
   test("native langId / qualityScore are bit-identical to their " +
       "declarative Column compositions on docs, edge, and random " +
       "unicode strings") {
@@ -879,14 +947,20 @@ class ExtSpec extends SparkSpec {
     }
     val d = graft.sources.Tables
       .load(spark, "/root/testdata/sf0.001", "documents")
-      .select($"text").as[String].collect().toSeq ++ edge
+      .select($"text").as[String].collect().toSeq ++ edge :+
+      (null: String) // NULL text: langId must predict "es" (the
+    // when-cascade's otherwise branch, which the oracle's CASE ELSE
+    // mirrors), qualityScore must stay NULL on both forms
     val df = d.toDF("t")
+    // null-safe compare: a plain =!= evaluates to NULL (filtered
+    // away) whenever either side is NULL — exactly the rows where a
+    // null-semantics divergence would hide
     val mismatch = df.select(
         TextAnalysis.langId($"t").as("n"),
         TextAnalysis.langIdColumns($"t").as("c"),
         TextAnalysis.qualityScore($"t").as("qn"),
         TextAnalysis.qualityScoreColumns($"t").as("qc"))
-      .filter($"n" =!= $"c" || $"qn" =!= $"qc")
+      .filter(!($"n" <=> $"c") || !($"qn" <=> $"qc"))
       .count()
     assert(mismatch === 0L)
   }

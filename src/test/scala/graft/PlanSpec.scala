@@ -780,6 +780,16 @@ class PlanSpec extends SparkSpec {
     assert(p18.contains("LeftSemi"),
       s"the qualifying set must prune orders via a semi-join:\n${
         p18.take(3000)}")
+    // the joins are UNHINTED (a pinned broadcast of the
+    // data-proportional qualifying set would be an OOM cliff at a
+    // 100×-scale run) — but at bench scale AQE's runtime-size gate
+    // must still converge to the map-side shape: the semi-probe on
+    // orders and the qualified orders⋈customer build side both
+    // convert to broadcast in the FINAL adaptive plan
+    val f18 = finalPlan("tpch_q18")
+    assert("BroadcastHashJoin".r.findAllIn(f18).size >= 2,
+      s"AQE did not convert q18's joins to broadcast:\n${
+        f18.take(3000)}")
   }
 
   test("mm_cross_modal_dup / rel_incremental_distinct / curate_web: " +
