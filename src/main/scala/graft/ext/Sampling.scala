@@ -38,11 +38,19 @@ object Sampling {
     * per stratum — and phase 2 re-ranks only the ≤ 32·n shard
     * winners. Top-n is distributive over any partition of the input,
     * so the result is row-identical to the single-window form.
+    *
+    * NULL-id rows are dropped (the same contract as every salted-hash
+    * operator here): a NULL id hashes to a NULL rank, which sorts
+    * FIRST under ascending ranking — so without the filter, NULL-id
+    * rows would preferentially fill the n sample slots, chosen
+    * arbitrarily among themselves (all their order keys tie at NULL),
+    * i.e. a partitioning-dependent "sample".
     */
   def fixedSizeStratifiedSample(df: DataFrame, id: Column, stratum: Column,
                                 n: Int, salt: String): DataFrame =
     Ranking.twoPhaseTopN(
-        df.withColumn("__st", stratum)
+        df.filter(id.isNotNull)
+          .withColumn("__st", stratum)
           .withColumn("__sid", id)
           .withColumn("__hr", hashRank(id, salt)),
         keys = Seq(col("__st")),
@@ -92,7 +100,13 @@ object Sampling {
     * bias is ~4e-13. Rows with a NULL id hash to null and are
     * dropped — deterministic sampling needs a stable id; scrub or
     * synthesize ids upstream (the same contract as every salted-hash
-    * operator here).
+    * operator here). A NULL STRATUM is a first-class stratum: the
+    * count groupBy puts NULL-stratum rows in their own group, and the
+    * null-safe (<=>) join matches them back, so they are counted in
+    * the total AND thinned at their own rate like any other stratum —
+    * a plain equi-join would drop them from the output while still
+    * counting them in __total, silently inflating every other
+    * stratum's realized rate.
     *
     * COMPATIBILITY NOTE: widening the hash from 7 to 15 hex chars
     * (the 28→60-bit change above) altered which (salt, id) rows each
@@ -103,19 +117,20 @@ object Sampling {
     */
   private def rateThinned(df: DataFrame, id: Column, stratum: Column,
                           salt: String)(rate: Column): DataFrame = {
-    require(!df.columns.exists(Set("__st", "__n", "__total")),
-      "input must not carry __st/__n/__total columns (reserved by " +
-        "the stratum-count join)")
+    require(!df.columns.exists(Set("__st", "__ck", "__n", "__total")),
+      "input must not carry __st/__ck/__n/__total columns (reserved " +
+        "by the stratum-count join)")
     val counts = df.groupBy(stratum.as("__st"))
       .agg(count(lit(1)).as("__n"))
     val total = counts.agg(sum("__n").as("__total"))
     val thresh = floor(rate * lit(1000000.0)).cast("long")
     df.withColumn("__st", stratum)
-      .join(broadcast(counts), "__st")
+      .join(broadcast(counts.withColumnRenamed("__st", "__ck")),
+        col("__st") <=> col("__ck"))
       .crossJoin(broadcast(total))
       .filter(PortableHash.md5PrefixLong(
         concat(lit(salt), id.cast("string")), 15) % 1000000 < thresh)
-      .drop("__st", "__n", "__total")
+      .drop("__st", "__ck", "__n", "__total")
   }
 
   def domainMixSample(df: DataFrame, id: Column, stratum: Column,
@@ -240,8 +255,16 @@ object Sampling {
           "* cast(1000000 as decimal(38,0))) div __avail")
           .cast("long").as("__frac_ppm"))
     base.join(broadcast(avail), Seq("source"))
+      // 60-bit lottery hash (15 hex chars), NOT 28: 2^28 mod 10^6 ≠ 0,
+      // so a 28-bit lottery carries the same ~0.4% modulo bias
+      // rateThinned documents — a systematic over-draw for sources
+      // whose __frac_ppm lands in the over-represented residue range,
+      // breaking the expected-tokens-per-source guarantee. Same
+      // COMPATIBILITY note as rateThinned: widening the hash changed
+      // which ids win the fractional epoch; re-materialize pinned
+      // samples rather than expect the old (biased) membership.
       .withColumn("__lot", PortableHash.md5PrefixLong(
-        concat(lit(salt), col("id").cast("string")), 7) % 1000000L)
+        concat(lit(salt), col("id").cast("string")), 15) % 1000000L)
       .withColumn("n_repeat",
         col("__epochs") +
           when(col("__lot") < col("__frac_ppm"), 1L).otherwise(0L))

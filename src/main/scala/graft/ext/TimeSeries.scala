@@ -45,8 +45,16 @@ object TimeSeries {
     // chunk boundary. fdiv(a, d) = floor(a / d) for d > 0.
     def fdiv(a: String, d: Long): String =
       s"(($a) div $d - (case when ($a) % $d < 0 then 1 else 0 end))"
+    // floor from MICROS, not unix_timestamp(ts): the seconds
+    // intermediate itself TRUNCATES sub-second negatives toward zero
+    // (1969-12-31T23:59:59.4 → 0) before fdiv ever runs, bucketing a
+    // pre-1970 event into the slot AFTER it — the same trap ohlcBars
+    // documents; the oracle floors from epoch_us, so this is also the
+    // only form both engines agree on
+    require(slotSeconds <= Long.MaxValue / 1000000L,
+      "slotSeconds overflows the micros slot width")
     val slot = timestamp_seconds(
-      expr(fdiv("unix_timestamp(ts)", slotSeconds)) * slotSeconds)
+      expr(fdiv("unix_micros(ts)", slotSeconds * 1000000L)) * slotSeconds)
     val slotted = events
       .select(col("key"), slot.as("slot"), col("value"))
       .groupBy("key", "slot").agg(max("value").as("v"))
@@ -325,7 +333,20 @@ object TimeSeries {
       .groupBy(col("key"))
       .agg(max(col("__n")).as("n_events"),
         max_by(col("__k"), struct(col("__s"), -col("__k"))).as("cp_k"),
-        max(col("__s")).cast("long").as("max_abs_scaled"))
+        max(col("__s")).as("__smax"))
+      // fail LOUD past the long range (ewmaFixed's discipline): under
+      // non-ANSI semantics the decimal→long cast of an overflowing
+      // |S| returns NULL, so the row would arrive with a confident
+      // cp_k and a silently missing magnitude — downstream
+      // thresholds would treat the LARGEST shifts as absent
+      .select(col("key"), col("n_events"), col("cp_k"),
+        when(col("__smax") > lit(Long.MaxValue).cast("decimal(38,0)"),
+          raise_error(concat(
+            lit("TimeSeries.cusumChangepoint: key "),
+            col("key").cast("string"),
+            lit(" has |S| past the long range (~3e8 micro-unit "),
+            lit("events per key); pre-aggregate or rescale"))))
+          .otherwise(col("__smax").cast("long")).as("max_abs_scaled"))
   }
 
   /** LAG-1 AUTOCORRELATION per key — the seasonality/persistence

@@ -170,15 +170,21 @@ object Relational {
     * column — map-side combinable, so a 100 TB changelog reduces
     * before it moves), then one full-outer join against the target on
     * the key. No window over the log (the per-key-ordered-scan
-    * formulation would sort the whole changelog); ties on `seq` are
-    * the CALLER's contract to exclude (a real LSN is unique — equal
-    * seqs make the winner engine-dependent).
+    * formulation would sort the whole changelog). Ties on `seq` (two
+    * writers emitting the same LSN for one column) break to the
+    * GREATER VALUE under the column's ordering — the LWW-register
+    * tie rule: max over the (seq, value) pair is a total order, so
+    * the fold stays commutative, associative and idempotent (i.e.
+    * partition-order invariant and engine-reproducible) even on
+    * duplicate seqs, where a bare max-by-seq would keep whichever
+    * row a partial aggregate met first.
     */
   def patchApply(target: DataFrame, patches: DataFrame, key: String,
                  seq: String, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "patchApply: no patch columns")
     val aggs = cols.map(c =>
-      max_by(col(c), when(col(c).isNotNull, col(seq))).as(s"__p_$c"))
+      max_by(col(c), when(col(c).isNotNull, struct(col(seq), col(c))))
+        .as(s"__p_$c"))
     val folded = patches.groupBy(col(key))
       .agg(aggs.head, aggs.tail :+ lit(true).as("__pin"): _*)
     val t = target.select(

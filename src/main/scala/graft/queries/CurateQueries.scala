@@ -664,7 +664,7 @@ private[queries] object CurateQueries {
       """WITH c AS (SELECT lang AS st, count(*) AS n FROM documents GROUP BY 1),
         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
         |SELECT d.doc_id, d.lang
-        |FROM documents d JOIN c ON c.st = d.lang CROSS JOIN tot
+        |FROM documents d JOIN c ON c.st IS NOT DISTINCT FROM d.lang CROSS JOIN tot
         |WHERE CAST('0x' || substr(md5('graft-temp:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000
         |  < CAST(floor(least(1.0,
         |      0.1 * sqrt(CAST(total AS DOUBLE) / CAST(n AS DOUBLE))) * 1000000.0) AS BIGINT)""".stripMargin,
@@ -674,7 +674,7 @@ private[queries] object CurateQueries {
       """WITH c AS (SELECT source AS st, count(*) AS n FROM documents GROUP BY 1),
         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
         |SELECT d.doc_id, d.source
-        |FROM documents d JOIN c ON c.st = d.source CROSS JOIN tot
+        |FROM documents d JOIN c ON c.st IS NOT DISTINCT FROM d.source CROSS JOIN tot
         |WHERE CAST('0x' || substr(md5('graft-mix:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000
         |  < CAST(floor(least(1.0,
         |      CASE d.source WHEN 'src0' THEN 0.2 WHEN 'src1' THEN 0.1
@@ -690,7 +690,7 @@ private[queries] object CurateQueries {
 
 
     // identical integer plan arithmetic (ppm shares, truncating //,
-    // remainder scaled in HUGEINT) and the same salted 28-bit lottery
+    // remainder scaled in HUGEINT) and the same salted 60-bit lottery
     "sample_token_budget" ->
       (s"""WITH d AS (SELECT doc_id, source,
          |        CAST(len($tokensSql) AS BIGINT) AS n_tokens
@@ -707,7 +707,7 @@ private[queries] object CurateQueries {
          |r AS (SELECT d.doc_id AS id, d.source, d.n_tokens,
          |        CAST(epochs + CASE WHEN
          |          CAST('0x' || substr(md5('graft-budget:' ||
-         |            CAST(d.doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+         |            CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
          |            % 1000000 < frac_ppm THEN 1 ELSE 0 END AS BIGINT)
          |          AS n_repeat
          |      FROM d JOIN e USING (source))
@@ -774,8 +774,11 @@ private[queries] object CurateQueries {
         |  < CAST(floor(quality * 100) AS BIGINT)""".stripMargin),
 
 
+    // WHERE doc_id IS NOT NULL mirrors the Spark side's NULL-id drop
+    // (a NULL id has no deterministic hash rank)
     "sample_fixed_stratified" ->
       """SELECT doc_id, lang FROM documents
+        |WHERE doc_id IS NOT NULL
         |QUALIFY row_number() OVER (PARTITION BY lang
         |  ORDER BY CAST('0x' || substr(md5('graft-fix:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
         |           doc_id) <= 20""".stripMargin,

@@ -1104,9 +1104,11 @@ object RelationalQueries {
         |       ELSE 'updated' END AS action
         |FROM m WHERE op IS NULL OR op <> 'delete'""".stripMargin,
 
-    // per-column arg_max over non-null seqs = the LWW fold; both
-    // engines skip NULL ordering keys, so an untouched column never
-    // competes
+    // per-column max over the non-null (seq, value) struct = the LWW
+    // fold with the same tie rule as the Spark max_by(value,
+    // struct(seq, value)): DuckDB struct comparison is lexicographic
+    // and max skips NULLs, so an untouched column never competes and
+    // duplicate seqs break to the greater value in both engines
     "cdc_patch_apply" ->
       """WITH p AS (
         |  SELECT user_id * 11 AS key, event_id AS seq,
@@ -1117,8 +1119,8 @@ object RelationalQueries {
         |  FROM events),
         |f AS (
         |  SELECT key,
-        |    arg_max(bal, CASE WHEN bal IS NOT NULL THEN seq END) AS pbal,
-        |    arg_max(seg, CASE WHEN seg IS NOT NULL THEN seq END) AS pseg,
+        |    max(CASE WHEN bal IS NOT NULL THEN struct_pack(s := seq, v := bal) END).v AS pbal,
+        |    max(CASE WHEN seg IS NOT NULL THEN struct_pack(s := seq, v := seg) END).v AS pseg,
         |    TRUE AS pin
         |  FROM p GROUP BY 1),
         |t AS (SELECT c_custkey AS key,

@@ -456,18 +456,37 @@ object StreamOps {
     * KeyValueGroupedDataset shape is the Spark-native replacement for
     * hand-rolled per-key accumulators: state lives in the state store,
     * partitioned by key, checkpointed, and recoverable.
+    *
+    * COUNTING CONTRACT: n_events counts DELIVERIES — an
+    * at-least-once source that redelivers a micro-batch counts it
+    * again (there is no per-event identity here to dedup on, and the
+    * order-safe siblings' (ts, tie) high-water guard cannot apply:
+    * distinct events may legitimately share a timestamp). For
+    * exactly-once distinct counting, key events by id and use
+    * [[bitmapDistinctStream]], whose set union is replay-idempotent.
     */
   def runningUserCounts(events: Dataset[UserEvent]): Dataset[UserAgg] = {
     import events.sparkSession.implicits._
+    // full-resolution order key: maxBy(getTime) alone ties at the
+    // MILLISECOND, keeping whichever event the iterator yields first
+    // — a partition-dependent last_ts for same-ms events
+    def tsKey(t: java.sql.Timestamp): (Long, Int) = (t.getTime, t.getNanos)
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[UserAgg, UserAgg](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[UserEvent], state: GroupState[UserAgg]) =>
           val evs = rows.toSeq
-          val prev = state.getOption
-            .getOrElse(UserAgg(user, 0L, new java.sql.Timestamp(0L)))
-          val lastTs = (prev.last_ts +: evs.map(_.ts)).maxBy(_.getTime)
-          val next = UserAgg(user, prev.n_events + evs.size, lastTs)
+          // no epoch-0 sentinel: a key whose events are all pre-1970
+          // must report its true max, not 1970-01-01
+          val batchMax = evs.map(_.ts).maxBy(tsKey)
+          val lastTs = state.getOption match {
+            case Some(p) if Ordering[(Long, Int)]
+              .gt(tsKey(p.last_ts), tsKey(batchMax)) => p.last_ts
+            case _ => batchMax
+          }
+          val next = UserAgg(user,
+            state.getOption.map(_.n_events).getOrElse(0L) + evs.size,
+            lastTs)
           state.update(next)
           Iterator.single(next)
       }
@@ -612,8 +631,27 @@ object StreamOps {
                 // batch op's div-of-nonnegative
                 val x = (t - x0) / 1000000L
                 val y = math.floor(e.value * 100).toLong
-                st = TrendState(x0, st.n + 1, st.sx + x, st.sy + y,
-                  st.sxy + x * y, st.sxx + x * x, t, e.tie)
+                // exact-or-loud: the batch twin accumulates these
+                // moments in decimal(38,0); Scala Long arithmetic
+                // would silently WRAP instead (sxx ~ x² per event — a
+                // multi-year span at second resolution wraps within a
+                // few hundred events) and emit confidently wrong
+                // slopes, so every accumulation is the checked form
+                st = try {
+                  import java.lang.Math.{addExact, multiplyExact}
+                  TrendState(x0, st.n + 1, addExact(st.sx, x),
+                    addExact(st.sy, y),
+                    addExact(st.sxy, multiplyExact(x, y)),
+                    addExact(st.sxx, multiplyExact(x, x)), t, e.tie)
+                } catch {
+                  case _: ArithmeticException =>
+                    throw new IllegalArgumentException(
+                      s"StreamOps.trendStream: key $key moment sums " +
+                        s"exceed the long range at n=${st.n + 1}, " +
+                        s"x=${x}s since the key's first event — " +
+                        "window the series or rescale; the batch " +
+                        "twin's decimal(38,0) sums have no such bound")
+                }
                 // the same finish as the batch op: exact integer
                 // num/den, one IEEE divide (BigInt keeps the products
                 // exact; toDouble is correctly rounded like Spark's
@@ -748,8 +786,11 @@ object StreamOps {
     * changelog.
     *
     * Unlike [[ewmaStream]]'s order-sensitive recursion, per-column
-    * LWW is a CRDT (the max-by-seq merge is commutative, associative
-    * AND idempotent), so this twin needs NO high-water-mark drop
+    * LWW is a CRDT — max over the (seq, value) PAIR, ties on seq
+    * breaking to the greater value, the same LWW-register rule as
+    * the batch fold (commutative, associative AND idempotent, which
+    * a bare max-by-seq is NOT under duplicate seqs) — so this twin
+    * needs NO high-water-mark drop
     * rule: out-of-order delivery, duplicate redelivery, and any
     * micro-batch partitioning all converge to the same state — late
     * events retro-apply correctly instead of being dropped, and an
@@ -784,7 +825,17 @@ object StreamOps {
               var seqs = st.seqs
               var vals = st.vals
               r.patch.foreach { case (c, v) =>
-                if (v != null && seqs.get(c).forall(_ < r.seq)) {
+                // LWW-register merge on the (seq, value) PAIR — the
+                // same tie rule as the batch fold: a bare
+                // seq-strictly-greater test would make tied-seq
+                // writes from two producers land in iterator
+                // (= partitioning) order, breaking the CRDT claim
+                val wins = v != null && (seqs.get(c) match {
+                  case None => true
+                  case Some(s) => s < r.seq ||
+                    (s == r.seq && vals.get(c).forall(_ < v))
+                })
+                if (wins) {
                   seqs += (c -> r.seq)
                   vals += (c -> v)
                 }
@@ -811,6 +862,17 @@ object StreamOps {
     * the compressed set per key — O(distinct) but at the bitmap's
     * ≤2 B/value (8 KiB/64Ki-value container ceiling), the standard
     * cost of exact streaming distinct; `idleKeyTtl` evicts idle keys.
+    *
+    * RANGE CONTRACT (from [[graft.ext.BitmapDistinct]], restated here
+    * because in a STREAM the failure mode is worse): values must be
+    * in [0, 2^32). An out-of-range value fails the state function —
+    * and since restart replays the same checkpointed offset range, a
+    * single bad event is a poison pill that wedges the query until
+    * the input is fixed. Map 64-bit/negative ids into range UPSTREAM
+    * (e.g. a 32-bit hash, accepting collision-approximate counts, or
+    * a dictionary) — the guard here names the key and value so the
+    * pill is findable, but it cannot be skipped silently: dropping
+    * events would corrupt the "exact distinct" contract.
     */
   def bitmapDistinctStream(events: Dataset[DistinctEvent],
                            idleKeyTtl: Option[String] = None)
@@ -828,8 +890,14 @@ object StreamOps {
             state.remove()
             Iterator.empty
           } else {
-            val batch = graft.ext.BitmapDistinct.build(
-              rows.map(_.value).toSeq)
+            val vs = rows.map(_.value).toSeq
+            vs.find(v => v < 0L || v > 0xffffffffL).foreach(v =>
+              throw new IllegalArgumentException(
+                s"StreamOps.bitmapDistinctStream: key $key value $v " +
+                  "is outside [0, 2^32) — map ids into range upstream " +
+                  "(see the RANGE CONTRACT scaladoc); this event will " +
+                  "poison-pill the query on every replay until fixed"))
+            val batch = graft.ext.BitmapDistinct.build(vs)
             val merged = graft.ext.BitmapDistinct.union(
               state.getOption.getOrElse(Array.emptyByteArray), batch)
             state.update(merged)
@@ -852,8 +920,17 @@ object StreamOps {
     */
   def writeBatchIdempotent(batch: DataFrame, path: String,
                            batchId: Long): Boolean = {
-    val dir = new java.io.File(path, s"batch_id=$batchId")
-    if (new java.io.File(dir, "_SUCCESS").isFile) false
+    // Hadoop Path/FileSystem, NOT java.io.File: the sink must work on
+    // the filesystems a streaming cluster actually writes (hdfs://,
+    // s3a://, …) — java.io.File would normalize "s3a://bucket" to
+    // "s3a:/bucket" (authority lost) and its _SUCCESS probe always
+    // answers false on a remote FS, so the skip-committed-batch leg
+    // of the idempotency contract would never engage exactly where
+    // replays happen
+    val dir = new org.apache.hadoop.fs.Path(path, s"batch_id=$batchId")
+    val fs = dir.getFileSystem(
+      batch.sparkSession.sessionState.newHadoopConf())
+    if (fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) false
     else {
       batch.write.mode("overwrite").parquet(dir.toString)
       true
