@@ -3686,6 +3686,46 @@ class ExtSpec extends SparkSpec {
     assert(tiny.length === 10)
   }
 
+  test("fixedSizeStratifiedSample drops NULL-id rows instead of " +
+      "letting their NULL hash ranks fill the sample slots") {
+    val withNulls = ((0L until 100L).map(i => (Some(i), "g")) ++
+      (0 until 40).map(_ => (Option.empty[Long], "g")))
+      .toDF("id", "g")
+    val got = Sampling.fixedSizeStratifiedSample(
+        withNulls, $"id", $"g", n = 25, salt = "n:")
+      .as[(Option[Long], String)].collect()
+    assert(got.length === 25 && got.forall(_._1.isDefined))
+    // identical winners to the NULL-free input: NULLs never competed
+    val clean = Sampling.fixedSizeStratifiedSample(
+        withNulls.filter($"id".isNotNull), $"id", $"g", n = 25,
+        salt = "n:").as[(Option[Long], String)].collect()
+    assert(got.toSet === clean.toSet)
+  }
+
+  test("rate-thinned sampling treats a NULL stratum as first-class: " +
+      "counted in the total, matched back by the null-safe join, " +
+      "thinned at its own rate") {
+    val df = ((1 to 300).map(i => (i.toLong, Some("big"))) ++
+      (1001 to 1060).map(i => (i.toLong, Option.empty[String])))
+      .toDF("doc_id", "lang")
+    // budget high enough that every stratum's rate clamps to 1.0:
+    // the output must be the WHOLE input — a plain equi-join on the
+    // stratum would silently drop the 60 NULL-stratum rows here
+    val all = Sampling.temperatureSample(df, $"doc_id", $"lang",
+      budget = 3.0, salt = "ns:")
+    assert(all.count() === 360L)
+    // at a thinning budget the NULL stratum keeps ~rate·n of its OWN
+    // rows, with the rate computed over the true 360-row total
+    val kept = Sampling.temperatureSample(df, $"doc_id", $"lang",
+        budget = 0.3, salt = "ns:")
+      .groupBy($"lang").count().as[(Option[String], Long)]
+      .collect().toMap
+    val expNull = 0.3 * math.sqrt(360.0 / 60) * 60
+    assert(kept.contains(None), "NULL stratum missing from output")
+    assert(math.abs(kept(None) - expNull) < expNull * 0.5,
+      s"null-stratum kept=${kept(None)} expected≈$expNull")
+  }
+
   // -- K-means ---------------------------------------------------------
 
   test("kmeans, count-min, and sampling are partitioning-invariant") {

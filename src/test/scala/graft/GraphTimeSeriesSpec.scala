@@ -330,6 +330,35 @@ class GraphTimeSeriesSpec extends SparkSpec {
     assert(k2.min === -300000L * 1000 && k2.max === 60L * 1000)
   }
 
+  test("resampleLocf pre-1970 SUB-SECOND events floor to the slot " +
+      "at-or-before: a seconds intermediate would truncate -0.6s to " +
+      "0 and bucket the event one slot late") {
+    // 1969-12-31 23:59:59.4 = epoch -600 ms → slot -60 s, not 0
+    val events = Seq((1L, new Timestamp(-600L), 5.0))
+      .toDF("key", "ts", "value")
+    val got = TimeSeries.resampleLocf(events, slotSeconds = 60)
+      .select(col("slot")).as[Timestamp].collect()
+    assert(got.toSeq === Seq(new Timestamp(-60000L)))
+  }
+
+  test("cusumChangepoint fails LOUD when |S| exceeds the long range " +
+      "instead of returning a silently-NULL magnitude") {
+    // ±5e11 scales to ±5e17 micro-units; 20 alternating events put
+    // max |S| = |prefix|·n ≈ 1e19 past 2^63 ≈ 9.2e18
+    val events = (0 until 20).map(i =>
+      (1L, ts(f"2024-01-01 00:$i%02d:00"),
+        if (i % 2 == 0) 5e11 else -5e11, i.toLong))
+      .toDF("key", "ts", "value", "event_id")
+    val ex = intercept[Exception] {
+      TimeSeries.cusumChangepoint(events, tie = col("event_id"))
+        .collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(ex).exists(t => t.getMessage != null &&
+      t.getMessage.contains("cusumChangepoint")), s"got: $ex")
+  }
+
   test("ewmaFixed on NEGATIVE values truncates toward zero exactly " +
       "like the Scala fold of the streaming twin — the shared " +
       "tri-engine division semantics (DuckDB 1.0 // also truncates: " +

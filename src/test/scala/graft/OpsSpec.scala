@@ -189,6 +189,26 @@ class OpsSpec extends SparkSpec {
       (7L, Some(778L), None, "inserted")))
   }
 
+  test("patchApply: duplicate seqs break to the GREATER value — the " +
+      "LWW-register tie rule, invariant under repartitioning") {
+    val target = Seq((1L, Option.empty[Long]), (2L, Option.empty[Long]))
+      .toDF("key", "bal")
+    // each key carries a tied pair in opposite input orders: a bare
+    // max-by-seq would keep whichever row a partial aggregate met
+    // first, so the winner would flip with the partitioning
+    val patches = Seq(
+      (1L, 5L, Some(200L)), (1L, 5L, Some(100L)),
+      (2L, 3L, Some(7L)), (2L, 3L, Some(9L)))
+      .toDF("key", "seq", "bal")
+    for (parts <- Seq(1, 7)) {
+      val got = Relational.patchApply(
+          target, patches.repartition(parts), "key", "seq", Seq("bal"))
+        .select("key", "bal").as[(Long, Option[Long])].collect().toSet
+      assert(got === Set((1L, Some(200L)), (2L, Some(9L))),
+        s"parts=$parts")
+    }
+  }
+
   test("mergeUpsert tracks presence, not payload nullability: a NULL-" +
       "payload upsert SETS null, and a null-payload target row still " +
       "reconciles as updated") {

@@ -1160,4 +1160,108 @@ class StreamSpec extends SparkSpec {
         r.values.get("bal"), r.values.get("seg"), "inserted")))
     } finally q.stop()
   }
+
+  test("patchApplyStream: duplicate seqs break to the GREATER value " +
+      "in either delivery order — the LWW-register tie rule shared " +
+      "with the batch fold") {
+    import graft.streaming.StreamOps.{PatchEvent, PatchRow}
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[PatchEvent]
+    val q = StreamOps.patchApplyStream(in.toDS())
+      .writeStream.format("memory").queryName("patch_tie_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // key 1 sees the smaller value first, key 2 the greater first;
+      // a bare seq-strictly-greater merge would keep arrival order
+      in.addData(PatchEvent(1L, 5L, Map("bal" -> "111")),
+        PatchEvent(2L, 5L, Map("bal" -> "222")))
+      q.processAllAvailable()
+      in.addData(PatchEvent(1L, 5L, Map("bal" -> "222")),
+        PatchEvent(2L, 5L, Map("bal" -> "111")))
+      q.processAllAvailable()
+      val got = spark.table("patch_tie_out").as[PatchRow].collect()
+        .groupBy(_.key).map { case (k, rows) =>
+          k -> rows.maxBy(r => (r.max_seq, r.values("bal"))) }
+      assert(got(1L).values("bal") === "222")
+      assert(got(2L).values("bal") === "222")
+      // the batch fold lands on the same winner (shared tie rule,
+      // not a coincidence of delivery)
+      val patches = Seq((1L, 5L, "111"), (1L, 5L, "222"),
+        (2L, 5L, "222"), (2L, 5L, "111")).toDF("key", "seq", "bal")
+      val target = Seq.empty[(Long, String)].toDF("key", "bal")
+      val batch = graft.ops.Relational
+        .patchApply(target, patches, "key", "seq", Seq("bal"))
+        .select("key", "bal").as[(Long, String)].collect().toSet
+      assert(batch === Set((1L, "222"), (2L, "222")))
+    } finally q.stop()
+  }
+
+  test("runningUserCounts: same-millisecond events order by micros, " +
+      "a lower straggler never regresses last_ts, and all-pre-1970 " +
+      "keys report their true max (no epoch-0 sentinel)") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[UserEvent]
+    val q = StreamOps.runningUserCounts(in.toDS())
+      .writeStream.format("memory").queryName("state_ts_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // same millisecond, higher micros delivered FIRST: the max is
+      // the .000002 event, not whichever the iterator yields last
+      in.addData(
+        UserEvent(1L, ts("2024-01-01 10:00:00.000002"), "click"),
+        UserEvent(1L, ts("2024-01-01 10:00:00.000001"), "view"))
+      q.processAllAvailable()
+      in.addData(UserEvent(1L, ts("2024-01-01 10:00:00.000001"), "view"))
+      q.processAllAvailable()
+      in.addData(UserEvent(2L, ts("1969-06-01 00:00:00"), "click"))
+      q.processAllAvailable()
+      val last = spark.table("state_ts_out").as[UserAgg].collect()
+        .groupBy(_.user_id).map { case (u, rows) =>
+          u -> rows.maxBy(_.n_events) }
+      assert(last(1L).n_events === 3L)
+      assert(last(1L).last_ts === ts("2024-01-01 10:00:00.000002"))
+      assert(last(2L).last_ts === ts("1969-06-01 00:00:00"))
+    } finally q.stop()
+  }
+
+  test("trendStream fails LOUD when the moment sums exceed the long " +
+      "range instead of silently wrapping to a wrong slope") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long, Double)]
+    val q = StreamOps.trendStream(
+        in.toDF().toDF("key", "ts", "tie", "value"))
+      .writeStream.format("memory").queryName("trend_ovf_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // 250 years between events: x ≈ 7.9e9 s, x² ≈ 6e19 > 2^63
+      in.addData((1L, ts("1970-01-01 00:00:00"), 0L, 1.0),
+        (1L, ts("2220-01-01 00:00:00"), 1L, 2.0))
+      val ex = intercept[Exception](q.processAllAvailable())
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(ex).exists(t => t.getMessage != null &&
+        t.getMessage.contains("trendStream") &&
+        t.getMessage.contains("long range")), s"got: $ex")
+    } finally q.stop()
+  }
+
+  test("bitmapDistinctStream rejects out-of-range values loudly, " +
+      "naming the key and value of the poison pill") {
+    import graft.streaming.StreamOps.DistinctEvent
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[DistinctEvent]
+    val q = StreamOps.bitmapDistinctStream(in.toDS())
+      .writeStream.format("memory").queryName("bdist_range_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(DistinctEvent(7L, -1L))
+      val ex = intercept[Exception](q.processAllAvailable())
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(ex).exists(t => t.getMessage != null &&
+        t.getMessage.contains("outside [0, 2^32)") &&
+        t.getMessage.contains("key 7") &&
+        t.getMessage.contains("-1")), s"got: $ex")
+    } finally q.stop()
+  }
 }
