@@ -881,4 +881,22 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size === 1,
       s"census should cost exactly the one groupBy exchange:\n$p")
   }
+
+  test("rate-thinned sampling: the null-safe stratum-count join stays " +
+      "a broadcast HASH join (EqualNullSafe is an equi-join key, not " +
+      "a nested-loop predicate), and only the intended single-row " +
+      "total cross-join is a BNLJ") {
+    for (q <- Seq("sample_temperature", "sample_domain_mix")) {
+      // AdaptiveSparkPlan.toString appends an "== Initial Plan ==" twin
+      // of every operator — scope the counts to the final section
+      val p = finalPlan(q).split("== Initial Plan ==").head
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: stratum-count join lost its broadcast hash shape:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian:\n$p")
+      // exactly ONE nested-loop site: crossJoin(broadcast(total)), a
+      // 1-row frame — a second would mean the count join degraded
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+        s"$q: more than the single-row total cross-join is BNLJ:\n$p")
+    }
+  }
 }
