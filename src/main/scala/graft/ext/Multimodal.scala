@@ -907,6 +907,39 @@ object Multimodal {
       }.toDF("doc_id", "voiced", "n_segments", "afp")
   }
 
+  /** ONE decode pass yielding both energy sums the SNR census rates:
+    * voiced (Σ|s| over samples with |s| > `threshold` — run grouping
+    * never changes the sum, so this equals the [[audioSegments]]
+    * energy total) and total (Σ|s| over every sample). Fused so the
+    * dominant PCM decode runs once instead of twice (the
+    * decode-once discipline of [[audioCurationFeatures]]); map-only.
+    */
+  def audioEnergy(df: DataFrame, id: Column, blob: Column,
+                  threshold: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.as("id"), blob.as("blob")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (i, bytes) =>
+          val samples = FlacDecoder.firstChannel(bytes)
+            .orElse(AudioHeader.linearSamples(bytes)).getOrElse(
+              throw new IllegalArgumentException(
+                s"audioEnergy: id $i is not a decodable audio " +
+                  s"payload (${bytes.length} bytes)"))
+          var voiced = 0L
+          var total = 0L
+          var t = 0
+          while (t < samples.length) {
+            val a = math.abs(samples(t)).toLong
+            total += a
+            if (a > threshold) voiced += a
+            t += 1
+          }
+          (i, voiced, total)
+        }
+      }.toDF("id", "voiced_energy", "total_energy")
+  }
+
   /** Per-partition sample decode + fingerprint over (doc_id, blob)
     * audio rows, dispatched by container magic: RIFF/WAVE through
     * [[AudioHeader.linearSamples]] (16-bit integer PCM read directly,

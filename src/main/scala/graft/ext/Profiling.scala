@@ -187,7 +187,10 @@ object Profiling {
     counts.crossJoin(broadcast(
         counts.agg(sum(col("n_obs")).as("__total"))))
       .select(col("digit"), col("n_obs"),
-        (col("n_obs") * 1000000L / col("__total")).cast("long")
+        // decimal multiply + integral div — the truncating integer
+        // division the doc promises: a long product wraps past 2^63
+        // and a double divide can round up across the oracle's floor
+        expr("cast(n_obs as decimal(38,0)) * 1000000 div __total")
           .as("obs_ppm"),
         expected.as("benford_ppm"))
       .withColumn("dev_ppm", abs(col("obs_ppm") - col("benford_ppm")))

@@ -47,7 +47,10 @@ object Sampling {
     * i.e. a partitioning-dependent "sample".
     */
   def fixedSizeStratifiedSample(df: DataFrame, id: Column, stratum: Column,
-                                n: Int, salt: String): DataFrame =
+                                n: Int, salt: String): DataFrame = {
+    require(!df.columns.exists(Set("__st", "__sid", "__hr", "__rn")),
+      "input must not carry __st/__sid/__hr/__rn columns (reserved " +
+        "by the stratified ranking)")
     Ranking.twoPhaseTopN(
         df.filter(id.isNotNull)
           .withColumn("__st", stratum)
@@ -60,6 +63,7 @@ object Sampling {
         shardOf = PortableHash.md5PrefixLong(
           concat(lit(salt), lit("shard:"), id.cast("string")), 7))
       .drop("__st", "__sid", "__hr", "__rn")
+  }
 
   /** Keep rows whose hash bucket falls under their stratum's
     * percentage rate; strata not in `rates` use `defaultRate`.

@@ -127,7 +127,7 @@ object TimeSeries {
     val base = events
       .select(col("key"),
         struct(unix_micros(col("ts")).as("t"), tie.as("tb"),
-          expr("cast(floor(value * 1000000) as bigint)").as("v")).as("e"))
+          microValue.as("v")).as("e"))
     val counts = base.groupBy("key").agg(count(lit(1)).as("__n"))
       .withColumnRenamed("key", "__ck")
     base.join(counts, col("key") <=> col("__ck"))
@@ -317,8 +317,7 @@ object TimeSeries {
     */
   def cusumChangepoint(events: DataFrame, tie: Column): DataFrame = {
     val base = events.select(col("key"), col("ts"), tie.as("__tie"),
-      expr("cast(floor(value * 1000000) as bigint)")
-        .cast("decimal(38,0)").as("__v"))
+      microValue.cast("decimal(38,0)").as("__v"))
     val ordered = Window.partitionBy("key")
       .orderBy(col("ts"), col("__tie"))
     val whole = Window.partitionBy("key")
@@ -364,8 +363,7 @@ object TimeSeries {
     */
   def acf1(events: DataFrame, tie: Column): DataFrame = {
     val base = events.select(col("key"), col("ts"), tie.as("__tie"),
-      expr("cast(floor(value * 1000000) as bigint)")
-        .cast("decimal(38,0)").as("__v"))
+      microValue.cast("decimal(38,0)").as("__v"))
     val ordered = Window.partitionBy("key")
       .orderBy(col("ts"), col("__tie"))
     base

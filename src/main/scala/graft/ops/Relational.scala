@@ -210,9 +210,10 @@ object Relational {
     * partition order and can never hash-match an oracle or reproduce
     * run-to-run on a cluster. Here every accumulated quantity is
     * EXACT: inputs scale to centi-unit longs (floor(x·100)), each
-    * per-row product fits a long (|centi| < 2³¹ each side), and the
-    * six sums accumulate in decimal(38,0) (map-side combinable,
-    * associative, exact). The finishing math — two correctly-rounded
+    * per-row product is taken in decimal(38,0) — NOT long, where
+    * |centi| past 2³¹ would silently wrap — and the six sums
+    * accumulate in decimal(38,0) (map-side combinable, associative,
+    * exact; products stay within 38 digits for any long input). The finishing math — two correctly-rounded
     * IEEE sqrts and one divide over identical exact values — is then
     * ONE fixed float sequence, bit-identical on any engine and any
     * partitioning. Output ppm (⌊corr·10⁶⌋), NULL when either
@@ -233,9 +234,9 @@ object Relational {
       .agg(count(lit(1)).as("n"),
         sum(d(col("__x"))).as("__sx"),
         sum(d(col("__y"))).as("__sy"),
-        sum(d(col("__x") * col("__y"))).as("__sxy"),
-        sum(d(col("__x") * col("__x"))).as("__sxx"),
-        sum(d(col("__y") * col("__y"))).as("__syy"))
+        sum(d(col("__x")) * d(col("__y"))).as("__sxy"),
+        sum(d(col("__x")) * d(col("__x"))).as("__sxx"),
+        sum(d(col("__y")) * d(col("__y"))).as("__syy"))
     val nD = d(col("n"))
     val num = nD * col("__sxy") - col("__sx") * col("__sy")
     val vx = nD * col("__sxx") - col("__sx") * col("__sx")

@@ -670,23 +670,20 @@ private[queries] object MultimodalQueries {
     // non-negative operands agrees across engines) — the "mostly
     // speech or mostly noise floor?" census an ASR corpus filters on
     "mm_audio_snr" -> { (s, dir) =>
-      val segs = Multimodal.audioSegments(audioBlobs(s, dir),
-        col("doc_id"), col("blob"), threshold = 128)
-        .groupBy(col("id").as("doc_id"))
-        .agg(sum(col("energy")).as("__voiced"))
-      // total energy via audioSegments at threshold -1 (every sample
-      // is one voiced run, energy = Σ|s|) — both censuses share one
-      // decoder implementation
-      val total = Multimodal.audioSegments(audioBlobs(s, dir),
-        col("doc_id"), col("blob"), threshold = -1)
-        .groupBy(col("id").as("doc_id"))
-        .agg(sum(col("energy")).as("__total"))
-      total.join(segs, Seq("doc_id"), "left")
-        .na.fill(0L, Seq("__voiced"))
-        .select(col("doc_id"), col("__voiced").as("voiced_energy"),
-          col("__total").as("total_energy"),
-          (col("__voiced") * 1000000L / col("__total")).cast("long")
-            .as("voiced_ppm"))
+      // ONE fused decode pass (audioEnergy) instead of two
+      // audioSegments censuses — PCM decode dominates, and the
+      // per-sample sums are identical to the run-grouped ones; no
+      // join, no shuffle, map-only like the oracle's per-sample form
+      Multimodal.audioEnergy(audioBlobs(s, dir),
+          col("doc_id"), col("blob"), threshold = 128)
+        .select(col("id").as("doc_id"),
+          col("voiced_energy"), col("total_energy"),
+          // decimal multiply + integral div: the long product wraps
+          // past 2^63 (hour-scale clips) and a double divide rounds
+          // where the oracle's // floors — both operands non-negative,
+          // so div's truncation IS the floor
+          expr("cast(voiced_energy as decimal(38,0)) * 1000000" +
+            " div total_energy").as("voiced_ppm"))
     },
 
     // VAD-style energy segmentation over the SAME decoded samples —

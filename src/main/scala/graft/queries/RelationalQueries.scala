@@ -381,8 +381,11 @@ object RelationalQueries {
               .as("n_contained"))
           .select(lit(name).as("candidate"), col("n_child_keys"),
             col("n_contained"),
-            (col("n_contained") * 1000000L / col("n_child_keys"))
-              .cast("long").as("containment_ppm"))
+            // decimal multiply + integral div keeps the promised
+            // exact ppm: the long product wraps past ~9.2e12 keys
+            // and a double divide rounds where the oracle // floors
+            expr("cast(n_contained as decimal(38,0)) * 1000000" +
+              " div n_child_keys").as("containment_ppm"))
       }
       containment("orders.o_custkey->customer.c_custkey",
           t(s, dir, "orders"), "o_custkey",

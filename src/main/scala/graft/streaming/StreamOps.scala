@@ -156,16 +156,22 @@ object StreamOps {
             var seen = state.getOption.getOrElse(Nil)
             val out = List.newBuilder[NearDup]
             rows.toSeq.sortBy(_.doc_id).foreach { d =>
-              // at-least-once sources replay rows: a doc must not
-              // pair with its own remembered signature, nor burn a
-              // second state slot per redelivery
-              seen.foreach { case (id0, sig0) =>
-                val h = java.lang.Long.bitCount(sig0 ^ d.simhash)
-                if (h <= maxHamming && id0 != d.doc_id)
-                  out += NearDup(d.doc_id, id0, d.band, h)
-              }
-              if (!seen.exists(_._1 == d.doc_id))
+              // at-least-once sources replay rows: a doc already
+              // remembered in this bucket emitted its pairs on first
+              // delivery, and every doc that arrived since paired
+              // against it on THEIR arrival — re-pairing a replayed
+              // doc would re-emit its NearDup rows (plus reversed-
+              // orientation duplicates against the docs in between),
+              // so known docs are skipped whole, making pair output
+              // replay-idempotent like the ewma/funnel twins
+              if (!seen.exists(_._1 == d.doc_id)) {
+                seen.foreach { case (id0, sig0) =>
+                  val h = java.lang.Long.bitCount(sig0 ^ d.simhash)
+                  if (h <= maxHamming)
+                    out += NearDup(d.doc_id, id0, d.band, h)
+                }
                 seen = ((d.doc_id, d.simhash) :: seen).take(maxPerBucket)
+              }
             }
             state.update(seen)
             idleBucketTtl.foreach(state.setTimeoutDuration)
@@ -829,11 +835,21 @@ object StreamOps {
                 // same tie rule as the batch fold: a bare
                 // seq-strictly-greater test would make tied-seq
                 // writes from two producers land in iterator
-                // (= partitioning) order, breaking the CRDT claim
+                // (= partitioning) order, breaking the CRDT claim.
+                // Value ties compare UTF-8 BYTES (Spark's UTF8String
+                // / DuckDB VARCHAR order), not String.compareTo's
+                // UTF-16 units — the two disagree when supplementary-
+                // plane chars mix with U+E000–U+FFFF, and a UTF-16
+                // tie-break here would diverge from the batch max_by
                 val wins = v != null && (seqs.get(c) match {
                   case None => true
                   case Some(s) => s < r.seq ||
-                    (s == r.seq && vals.get(c).forall(_ < v))
+                    (s == r.seq && vals.get(c).forall(prev =>
+                      java.util.Arrays.compareUnsigned(
+                        prev.getBytes(
+                          java.nio.charset.StandardCharsets.UTF_8),
+                        v.getBytes(
+                          java.nio.charset.StandardCharsets.UTF_8)) < 0))
                 })
                 if (wins) {
                   seqs += (c -> r.seq)

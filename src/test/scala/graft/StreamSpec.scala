@@ -134,6 +134,13 @@ class StreamSpec extends SparkSpec {
       assert(got.forall(d => d.doc_id == 2L && d.dup_of == 1L
         && d.hamming == 1))
       assert(got.map(_.band).toSet === Set(1, 2, 3)) // band 0 key differs
+      // at-least-once replay: redelivering every doc must emit ZERO
+      // new pairs — a replayed doc's pairs already went out on its
+      // first delivery
+      in.addData((1L, sig), (2L, sig ^ 1L),
+        (3L, ~sig & ((1L << 60) - 1)))
+      q.processAllAvailable()
+      assert(spark.table("neardup_out").count() === got.length.toLong)
     } finally q.stop()
   }
 
@@ -1193,6 +1200,47 @@ class StreamSpec extends SparkSpec {
         .patchApply(target, patches, "key", "seq", Seq("bal"))
         .select("key", "bal").as[(Long, String)].collect().toSet
       assert(batch === Set((1L, "222"), (2L, "222")))
+    } finally q.stop()
+  }
+
+  test("patchApplyStream: tied-seq value ties compare UTF-8 BYTES " +
+      "like the batch max_by and DuckDB, not UTF-16 code units") {
+    import graft.streaming.StreamOps.{PatchEvent, PatchRow}
+    implicit val sq = spark.sqlContext
+    // U+10000 sorts BELOW U+E000 in UTF-16 (its surrogate lead is
+    // 0xD800 < 0xE000) but ABOVE it in UTF-8 (F0 90 80 80 > EE 80 80)
+    // — the one regime where the two orders disagree
+    val lo = ""
+    val hi = "𐀀"
+    val in = MemoryStream[PatchEvent]
+    val q = StreamOps.patchApplyStream(in.toDS())
+      .writeStream.format("memory").queryName("patch_utf8_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // each key sees the pair in the opposite order
+      in.addData(PatchEvent(1L, 5L, Map("bal" -> lo)),
+        PatchEvent(2L, 5L, Map("bal" -> hi)))
+      q.processAllAvailable()
+      in.addData(PatchEvent(1L, 5L, Map("bal" -> hi)),
+        PatchEvent(2L, 5L, Map("bal" -> lo)))
+      q.processAllAvailable()
+      // a touch-nothing seq-6 event marks each key's FINAL state row
+      in.addData(PatchEvent(1L, 6L, Map.empty),
+        PatchEvent(2L, 6L, Map.empty))
+      q.processAllAvailable()
+      val got = spark.table("patch_utf8_out").as[PatchRow].collect()
+        .groupBy(_.key).map { case (k, rows) =>
+          k -> rows.maxBy(_.max_seq) }
+      assert(got(1L).values("bal") === hi)
+      assert(got(2L).values("bal") === hi)
+      // the batch fold picks the same winner
+      val patches = Seq((1L, 5L, lo), (1L, 5L, hi),
+        (2L, 5L, hi), (2L, 5L, lo)).toDF("key", "seq", "bal")
+      val target = Seq.empty[(Long, String)].toDF("key", "bal")
+      val batch = graft.ops.Relational
+        .patchApply(target, patches, "key", "seq", Seq("bal"))
+        .select("key", "bal").as[(Long, String)].collect().toSet
+      assert(batch === Set((1L, hi), (2L, hi)))
     } finally q.stop()
   }
 
