@@ -280,6 +280,12 @@ object JpegDecoder {
             val pq = u8(b, o) >> 4
             val tq = u8(b, o) & 15
             if (pq > 1 || tq > 3) fail(s"DQT precision $pq id $tq")
+            // per-table bound against the SEGMENT end (the DHT
+            // discipline): without it a short len with pq=1 reads the
+            // next marker's bytes as quant values — a garbage table
+            // and silently wrong pixels, not the contractual loud stop
+            if (o + 1 + (if (pq == 0) 64 else 128) > i + len)
+              fail("DQT table overruns its segment")
             val t = new Array[Int](64)
             var k = 0
             while (k < 64) {
@@ -304,8 +310,13 @@ object JpegDecoder {
           val ns = u8(b, i + 2)
           if (len < 6 + 2 * ns) fail("SOS overruns its segment")
           if (!progressive) {
-            if (ns != comps.length) fail(s"scan has $ns of " +
-              s"${comps.length} components (multi-scan is not baseline)")
+            // T.81 baseline LEGALLY allows several non-interleaved
+            // scans per frame (one per component); this decoder's
+            // subset is the ubiquitous single-interleaved-scan form,
+            // so the spec-legal variant classifies as
+            // outside-the-subset (None), NOT corrupt (loud) — the
+            // same contract as the lossless/arithmetic SOF markers
+            if (ns != comps.length) return None
             val scanDc = new Array[Huff](ns)
             val scanAc = new Array[Huff](ns)
             val scanComp = new Array[Component](ns)
@@ -785,40 +796,21 @@ object JpegDecoder {
   */
 object JpegEncoder {
 
-  /** Encode a grayscale DC-only baseline JPEG. `blockDc(bx, by)` is
-    * the dequantized DC coefficient of each 8×8 block, in
-    * [-1024, 1016]; the decoded block is the flat value
-    * `clamp(((dc + 4) >> 3) + 128)`.
+  /** Shared byte/bit emitter for the fixture encoders: marker and
+    * big-endian segment writers, the 0xFF-stuffed bit packer with
+    * its 1-bit scan padding, §C.2 DC category-diff emission, and the
+    * two house segments every encoder writes (the all-ones DQT and
+    * the 12-category DC Huffman table). ONE copy, so a fix to the
+    * stuffing or padding logic cannot silently miss an encoder —
+    * the FlacEncoder BitWriter discipline.
     */
-  def grayDcOnly(w: Int, h: Int, blockDc: (Int, Int) => Int): Array[Byte] = {
-    require(w > 0 && h > 0 && w < 65536 && h < 65536,
-      s"jpeg: bad dimensions ${w}x$h")
-    val out = new java.io.ByteArrayOutputStream()
+  private final class JpegWriter {
+    private val out = new java.io.ByteArrayOutputStream()
     def u8w(v: Int): Unit = out.write(v & 0xff)
     def be16w(v: Int): Unit = { u8w(v >> 8); u8w(v) }
     def marker(m: Int): Unit = { u8w(0xff); u8w(m) }
-    marker(0xd8) // SOI
-    marker(0xdb); be16w(2 + 65); u8w(0x00) // DQT id 0, 8-bit
-    for (_ <- 0 until 64) u8w(1)
-    marker(0xc0); be16w(8 + 3) // SOF0: 1 component
-    u8w(8); be16w(h); be16w(w); u8w(1)
-    u8w(1); u8w(0x11); u8w(0) // id 1, 1×1, qtab 0
-    // DHT DC 0: 12 categories, all 4-bit codes (0000…1011 — the
-    // all-ones code stays unassigned, as §C.2 requires)
-    marker(0xc4); be16w(2 + 17 + 12); u8w(0x00)
-    for (l <- 1 to 16) u8w(if (l == 4) 12 else 0)
-    for (s <- 0 until 12) u8w(s)
-    // DHT AC 0: single symbol 0x00 (EOB) at 2 bits (code 00)
-    marker(0xc4); be16w(2 + 17 + 1); u8w(0x10)
-    for (l <- 1 to 16) u8w(if (l == 2) 1 else 0)
-    u8w(0x00)
-    marker(0xda); be16w(6 + 2) // SOS
-    u8w(1); u8w(1); u8w(0x00) // component 1, dc 0 / ac 0
-    u8w(0); u8w(63); u8w(0)
-    // entropy segment: DC-category code (4 bits) + magnitude bits +
-    // EOB (2 bits) per block, raster MCU order, with byte stuffing
-    var acc = 0L
-    var nBits = 0
+    private var acc = 0L
+    private var nBits = 0
     def putBits(v: Int, n: Int): Unit = {
       acc = (acc << n) | (v & ((1L << n) - 1)); nBits += n
       while (nBits >= 8) {
@@ -828,23 +820,73 @@ object JpegEncoder {
         nBits -= 8
       }
     }
+    /** Pad the current scan to a byte boundary with 1-bits. */
+    def flushScan(): Unit =
+      if (nBits > 0) putBits((1 << (8 - nBits)) - 1, 8 - nBits)
+    /** DC category (4 bits, canonical code == category at the house
+      * 12-cat table) + EXTEND-inverse magnitude bits: negatives
+      * offset by (1<<s)-1.
+      */
+    def putDcDiff(diff: Int): Unit = {
+      val s = 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      putBits(s, 4)
+      if (s > 0)
+        putBits(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+    }
+    /** DQT id 0, 8-bit precision, all-ones table. */
+    def dqtAllOnes(): Unit = {
+      marker(0xdb); be16w(2 + 65); u8w(0x00)
+      for (_ <- 0 until 64) u8w(1)
+    }
+    /** DHT DC 0: 12 categories, all 4-bit codes (0000…1011 — the
+      * all-ones code stays unassigned, as §C.2 requires).
+      */
+    def dhtDc12(): Unit = {
+      marker(0xc4); be16w(2 + 17 + 12); u8w(0x00)
+      for (l <- 1 to 16) u8w(if (l == 4) 12 else 0)
+      for (s <- 0 until 12) u8w(s)
+    }
+    def bytes: Array[Byte] = out.toByteArray
+  }
+
+  /** Encode a grayscale DC-only baseline JPEG. `blockDc(bx, by)` is
+    * the dequantized DC coefficient of each 8×8 block, in
+    * [-1024, 1016]; the decoded block is the flat value
+    * `clamp(((dc + 4) >> 3) + 128)`.
+    */
+  def grayDcOnly(w: Int, h: Int, blockDc: (Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w < 65536 && h < 65536,
+      s"jpeg: bad dimensions ${w}x$h")
+    val jw = new JpegWriter
+    import jw._
+    marker(0xd8) // SOI
+    dqtAllOnes()
+    marker(0xc0); be16w(8 + 3) // SOF0: 1 component
+    u8w(8); be16w(h); be16w(w); u8w(1)
+    u8w(1); u8w(0x11); u8w(0) // id 1, 1×1, qtab 0
+    dhtDc12()
+    // DHT AC 0: single symbol 0x00 (EOB) at 2 bits (code 00)
+    marker(0xc4); be16w(2 + 17 + 1); u8w(0x10)
+    for (l <- 1 to 16) u8w(if (l == 2) 1 else 0)
+    u8w(0x00)
+    marker(0xda); be16w(6 + 2) // SOS
+    u8w(1); u8w(1); u8w(0x00) // component 1, dc 0 / ac 0
+    u8w(0); u8w(63); u8w(0)
+    // entropy segment: DC-category code (4 bits) + magnitude bits +
+    // EOB (2 bits) per block, raster MCU order, with byte stuffing
     val bw = (w + 7) / 8
     val bh = (h + 7) / 8
     var predDc = 0
     for (by <- 0 until bh; bx <- 0 until bw) {
       val dc = blockDc(bx, by)
       require(dc >= -1024 && dc <= 1016, s"jpeg: DC $dc out of range")
-      val diff = dc - predDc
+      putDcDiff(dc - predDc)
       predDc = dc
-      val s = 32 - Integer.numberOfLeadingZeros(math.abs(diff)) // category
-      putBits(s, 4)
-      if (s > 0) // EXTEND-inverse: negatives offset by (1<<s)-1
-        putBits(if (diff < 0) diff + (1 << s) - 1 else diff, s)
       putBits(0, 2) // EOB
     }
-    if (nBits > 0) putBits((1 << (8 - nBits)) - 1, 8 - nBits) // pad 1s
+    flushScan()
     marker(0xd9) // EOI
-    out.toByteArray
+    jw.bytes
   }
 
   /** Encode the [[grayDcOnly]] raster as a PROGRESSIVE (SOF2) JPEG
@@ -862,38 +904,20 @@ object JpegEncoder {
                             blockDc: (Int, Int) => Int): Array[Byte] = {
     require(w > 0 && h > 0 && w < 65536 && h < 65536,
       s"jpeg: bad dimensions ${w}x$h")
-    val out = new java.io.ByteArrayOutputStream()
-    def u8w(v: Int): Unit = out.write(v & 0xff)
-    def be16w(v: Int): Unit = { u8w(v >> 8); u8w(v) }
-    def marker(m: Int): Unit = { u8w(0xff); u8w(m) }
+    val jw = new JpegWriter
+    import jw._
     marker(0xd8) // SOI
-    marker(0xdb); be16w(2 + 65); u8w(0x00) // DQT id 0, all ones
-    for (_ <- 0 until 64) u8w(1)
+    dqtAllOnes()
     marker(0xc0 + 2); be16w(8 + 3) // SOF2: 1 component
     u8w(8); be16w(h); be16w(w); u8w(1)
     u8w(1); u8w(0x11); u8w(0)
     // DC table: 12 categories at 4 bits (as grayDcOnly); AC table:
     // EOBn symbols n=0..14 at 4 bits (15 of the 16 codes — §C.2
     // keeps the all-ones code unassigned)
-    marker(0xc4); be16w(2 + 17 + 12); u8w(0x00)
-    for (l <- 1 to 16) u8w(if (l == 4) 12 else 0)
-    for (s <- 0 until 12) u8w(s)
+    dhtDc12()
     marker(0xc4); be16w(2 + 17 + 15); u8w(0x10)
     for (l <- 1 to 16) u8w(if (l == 4) 15 else 0)
     for (n <- 0 until 15) u8w(n << 4)
-    var acc = 0L
-    var nBits = 0
-    def putBits(v: Int, n: Int): Unit = {
-      acc = (acc << n) | (v & ((1L << n) - 1)); nBits += n
-      while (nBits >= 8) {
-        val byte = ((acc >> (nBits - 8)) & 0xff).toInt
-        u8w(byte)
-        if (byte == 0xff) u8w(0x00)
-        nBits -= 8
-      }
-    }
-    def flushScan(): Unit =
-      if (nBits > 0) putBits((1 << (8 - nBits)) - 1, 8 - nBits)
     def sos(ss: Int, se: Int, ah: Int, al: Int): Unit = {
       marker(0xda); be16w(6 + 2)
       u8w(1); u8w(1); u8w(0x00)
@@ -911,12 +935,8 @@ object JpegEncoder {
     var pred = 0
     for (blk <- 0 until bw * bh) {
       val v = dcAt(blk) >> 1
-      val diff = v - pred
+      putDcDiff(v - pred)
       pred = v
-      val s = 32 - Integer.numberOfLeadingZeros(math.abs(diff))
-      putBits(s, 4)
-      if (s > 0)
-        putBits(if (diff < 0) diff + (1 << s) - 1 else diff, s)
     }
     flushScan()
     // scan 2: DC refinement to Al=0 — the raw low bit per block
@@ -936,7 +956,7 @@ object JpegEncoder {
     }
     flushScan()
     marker(0xd9)
-    out.toByteArray
+    jw.bytes
   }
 
   /** PROGRESSIVE + SUBSAMPLED DC-only encoder: SOF2, components
@@ -958,37 +978,19 @@ object JpegEncoder {
       s"jpeg: sampling ${hs}x$vs not in the subsampled set")
     require(w > 0 && h > 0 && w < 65536 && h < 65536,
       s"jpeg: bad dimensions ${w}x$h")
-    val out = new java.io.ByteArrayOutputStream()
-    def u8w(v: Int): Unit = out.write(v & 0xff)
-    def be16w(v: Int): Unit = { u8w(v >> 8); u8w(v) }
-    def marker(m: Int): Unit = { u8w(0xff); u8w(m) }
+    val jw = new JpegWriter
+    import jw._
     marker(0xd8)
-    marker(0xdb); be16w(2 + 65); u8w(0x00)
-    for (_ <- 0 until 64) u8w(1)
+    dqtAllOnes()
     marker(0xc2); be16w(8 + 9) // SOF2: 3 components
     u8w(8); be16w(h); be16w(w); u8w(3)
     u8w(1); u8w((hs << 4) | vs); u8w(0)
     u8w(2); u8w(0x11); u8w(0)
     u8w(3); u8w(0x11); u8w(0)
-    marker(0xc4); be16w(2 + 17 + 12); u8w(0x00) // DC cats @ 4 bits
-    for (l <- 1 to 16) u8w(if (l == 4) 12 else 0)
-    for (s <- 0 until 12) u8w(s)
+    dhtDc12()
     marker(0xc4); be16w(2 + 17 + 15); u8w(0x10) // EOBn @ 4 bits
     for (l <- 1 to 16) u8w(if (l == 4) 15 else 0)
     for (n <- 0 until 15) u8w(n << 4)
-    var acc = 0L
-    var nBits = 0
-    def putBits(v: Int, n: Int): Unit = {
-      acc = (acc << n) | (v & ((1L << n) - 1)); nBits += n
-      while (nBits >= 8) {
-        val byte = ((acc >> (nBits - 8)) & 0xff).toInt
-        u8w(byte)
-        if (byte == 0xff) u8w(0x00)
-        nBits -= 8
-      }
-    }
-    def flushScan(): Unit =
-      if (nBits > 0) putBits((1 << (8 - nBits)) - 1, 8 - nBits)
     def sosH(comps: Seq[Int], ss: Int, se: Int, ah: Int,
              al: Int): Unit = {
       marker(0xda); be16w(6 + 2 * comps.length)
@@ -1022,12 +1024,8 @@ object JpegEncoder {
     for (my <- 0 until nMcuY; mx <- 0 until nMcuX) {
       for (sy <- 0 until vs; sx <- 0 until hs) {
         val v = dcGrid(my * vs + sy)(mx * hs + sx) >> 1
-        val diff = v - predY
+        putDcDiff(v - predY)
         predY = v
-        val s = 32 - Integer.numberOfLeadingZeros(math.abs(diff))
-        putBits(s, 4)
-        if (s > 0)
-          putBits(if (diff < 0) diff + (1 << s) - 1 else diff, s)
       }
       putBits(0, 4) // Cb diff 0 (neutral, category 0)
       putBits(0, 4) // Cr diff 0
@@ -1063,7 +1061,7 @@ object JpegEncoder {
     eobScan(2, cbx * cby)
     eobScan(3, cbx * cby)
     marker(0xd9)
-    out.toByteArray
+    jw.bytes
   }
 
   /** Encode a SUBSAMPLED (4:2:0 when hs=vs=2, 4:2:2 when hs=2,vs=1)
@@ -1088,22 +1086,17 @@ object JpegEncoder {
     require(w > 0 && h > 0 && w < 65536 && h < 65536 &&
       w % (8 * hs) == 0 && h % (8 * vs) == 0,
       s"jpeg: ${w}x$h not a multiple of the ${8 * hs}x${8 * vs} MCU")
-    val out = new java.io.ByteArrayOutputStream()
-    def u8w(v: Int): Unit = out.write(v & 0xff)
-    def be16w(v: Int): Unit = { u8w(v >> 8); u8w(v) }
-    def marker(m: Int): Unit = { u8w(0xff); u8w(m) }
+    val jw = new JpegWriter
+    import jw._
     marker(0xd8) // SOI
-    marker(0xdb); be16w(2 + 65); u8w(0x00) // DQT id 0, 8-bit, all 1s
-    for (_ <- 0 until 64) u8w(1)
+    dqtAllOnes()
     marker(0xc0); be16w(8 + 9) // SOF0: 3 components
     u8w(8); be16w(h); be16w(w); u8w(3)
     u8w(1); u8w((hs << 4) | vs); u8w(0) // Y: hs×vs, qtab 0
     u8w(2); u8w(0x11); u8w(0) // Cb: 1×1
     u8w(3); u8w(0x11); u8w(0) // Cr: 1×1
     // same two Huffman tables as grayDcOnly, shared by all comps
-    marker(0xc4); be16w(2 + 17 + 12); u8w(0x00)
-    for (l <- 1 to 16) u8w(if (l == 4) 12 else 0)
-    for (s <- 0 until 12) u8w(s)
+    dhtDc12()
     marker(0xc4); be16w(2 + 17 + 1); u8w(0x10)
     for (l <- 1 to 16) u8w(if (l == 2) 1 else 0)
     u8w(0x00)
@@ -1113,24 +1106,8 @@ object JpegEncoder {
     u8w(2); u8w(0x00)
     u8w(3); u8w(0x00)
     u8w(0); u8w(63); u8w(0)
-    var acc = 0L
-    var nBits = 0
-    def putBits(v: Int, n: Int): Unit = {
-      acc = (acc << n) | (v & ((1L << n) - 1)); nBits += n
-      while (nBits >= 8) {
-        val byte = ((acc >> (nBits - 8)) & 0xff).toInt
-        u8w(byte)
-        if (byte == 0xff) u8w(0x00) // stuffing
-        nBits -= 8
-      }
-    }
-    def putDcDiff(diff: Int): Unit = {
-      val s = 32 - Integer.numberOfLeadingZeros(math.abs(diff))
-      putBits(s, 4)
-      if (s > 0)
-        putBits(if (diff < 0) diff + (1 << s) - 1 else diff, s)
-      putBits(0, 2) // EOB
-    }
+    // baseline: each DC diff is followed by the 2-bit EOB
+    def putDcBlock(diff: Int): Unit = { putDcDiff(diff); putBits(0, 2) }
     val nMcuX = w / (8 * hs)
     val nMcuY = h / (8 * vs)
     var predY = 0
@@ -1140,7 +1117,7 @@ object JpegEncoder {
       for (by2 <- 0 until vs; bx2 <- 0 until hs) {
         val dc = blockDc(mx * hs + bx2, my * vs + by2)
         require(dc >= -1024 && dc <= 1016, s"jpeg: DC $dc out of range")
-        putDcDiff(dc - predY)
+        putDcBlock(dc - predY)
         predY = dc
       }
       // chroma blocks cover the whole MCU (1×1 at the chroma grid);
@@ -1148,11 +1125,11 @@ object JpegEncoder {
       val (cb, cr) = chromaDc(mx, my)
       require(cb >= -1024 && cb <= 1016 && cr >= -1024 && cr <= 1016,
         s"jpeg: chroma DC ($cb, $cr) out of range")
-      putDcDiff(cb - predCb); predCb = cb
-      putDcDiff(cr - predCr); predCr = cr
+      putDcBlock(cb - predCb); predCb = cb
+      putDcBlock(cr - predCr); predCr = cr
     }
-    if (nBits > 0) putBits((1 << (8 - nBits)) - 1, 8 - nBits) // pad 1s
+    flushScan()
     marker(0xd9) // EOI
-    out.toByteArray
+    jw.bytes
   }
 }

@@ -82,18 +82,24 @@ object MjpegAvi {
   def frameIndex(b: Array[Byte]): Seq[(Int, Int, Int)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
     var no = 0
-    walkChunks(b, 12, b.length) { (id, at, len) =>
-      if (id == "LIST" && fourcc(b, at, "movi")) {
-        walkChunks(b, at + 4, at + len) { (cid, cat, clen) =>
-          // ##dc (compressed) / ##db (uncompressed-name, still JPEG
-          // under MJPG) video chunks of ANY stream number digit pair
-          if (cid.length == 4 && cid(0).isDigit && cid(1).isDigit &&
-            (cid.endsWith("dc") || cid.endsWith("db"))) {
-            out += ((no, cat, clen))
-            no += 1
-          }
-        }
+    // interleaved writers wrap frame chunks in 'LIST rec ' groups
+    // (the AVI RIFF reference's record grouping) — one recursion
+    // level unwraps them; anything else inside movi (audio ##wb,
+    // idx1 padding) is skipped by name, never silently dropped frames
+    def scan(from: Int, until: Int): Unit =
+      walkChunks(b, from, until) { (cid, cat, clen) =>
+        // ##dc (compressed) / ##db (uncompressed-name, still JPEG
+        // under MJPG) video chunks of ANY stream number digit pair
+        if (cid.length == 4 && cid(0).isDigit && cid(1).isDigit &&
+          (cid.endsWith("dc") || cid.endsWith("db"))) {
+          out += ((no, cat, clen))
+          no += 1
+        } else if (cid == "LIST" && fourcc(b, cat, "rec "))
+          scan(cat + 4, cat + clen)
       }
+    walkChunks(b, 12, b.length) { (id, at, len) =>
+      if (id == "LIST" && fourcc(b, at, "movi"))
+        scan(at + 4, at + len)
     }
     out.toSeq
   }
@@ -140,9 +146,13 @@ object MjpegAvi {
   /** Minimal MJPEG AVI writer for fixtures and specs: one 'vids'
     * MJPG stream, `frames` as '00dc' chunks with even padding —
     * exactly the subset [[parse]]/[[frameIndex]] read back.
+    * `recGrouped` wraps each frame chunk in a 'LIST rec ' record the
+    * way interleaved muxers do (AVI RIFF reference), exercising
+    * [[frameIndex]]'s record-unwrapping path; bytes are unchanged
+    * when false.
     */
   def encode(frames: Seq[Array[Byte]], w: Int, h: Int,
-             usPerFrame: Int): Array[Byte] = {
+             usPerFrame: Int, recGrouped: Boolean = false): Array[Byte] = {
     require(frames.nonEmpty, "AVI encode: no frames")
     val out = new java.io.ByteArrayOutputStream()
     def s4(s: String): Unit =
@@ -196,6 +206,11 @@ object MjpegAvi {
     val movi = buildBytes { o =>
       sub4(o, "movi")
       for (f <- frames) {
+        val padded = (f.length + 1) & ~1
+        if (recGrouped) {
+          // LIST(rec ) body = 'rec ' + the frame chunk (+ its pad)
+          sub4(o, "LIST"); sub32(o, 4 + 8 + padded); sub4(o, "rec ")
+        }
         sub4(o, "00dc"); sub32(o, f.length); o.write(f)
         if ((f.length & 1) == 1) o.write(0)
       }

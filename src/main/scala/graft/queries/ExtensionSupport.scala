@@ -677,14 +677,24 @@ private[queries] object ExtensionSupport {
     s"len(list_filter($arr, t -> list_contains($stops, t)))"
   }
 
+  /** punctRatio in SQL, with the Spark side's empty-text guard:
+    * Spark's punctRatio returns 0.0 on length-0 text while an
+    * unguarded DuckDB divide gives IEEE 0/0 = NaN — the one empty-doc
+    * divergence in the stats family (split('') is [''] on BOTH
+    * engines, so the token-denominator terms never hit 0/0).
+    */
+  private[queries] lazy val punctRatioSql: String =
+    "CASE WHEN length(text) = 0 THEN 0.0 ELSE " +
+      "CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / " +
+      "CAST(length(text) AS DOUBLE) END"
+
   /** TextAnalysis.qualityScore in SQL — expects `text` and `toks`
     * columns in scope. ONE definition spliced into every oracle that
     * scores quality, so the three-term formula cannot drift per query.
     */
   private[queries] lazy val qualitySql: String =
     s"CAST(${stopContains("toks")} AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.5 + " +
-      "(1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / " +
-      "CAST(length(text) AS DOUBLE)) * 0.3 + " +
+      s"(1.0 - $punctRatioSql) * 0.3 + " +
       "least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.2"
 
   private[queries] def langScoreSql(markers: Seq[String]): String = {

@@ -707,8 +707,7 @@ private[queries] object TextQueries {
         |SELECT doc_id,
         |  CAST(len(toks) AS INT) AS n_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INT) AS n_bpeish,
-        |  CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) /
-        |    CAST(length(text) AS DOUBLE) AS punct_ratio,
+        |  $punctRatioSql AS punct_ratio,
         |  CAST(${stopContains("toks")} AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
         |  CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) /
         |    CAST(len(toks) AS DOUBLE) AS mean_word_len,

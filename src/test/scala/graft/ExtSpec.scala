@@ -1836,6 +1836,17 @@ class ExtSpec extends SparkSpec {
       assert(px.gray === direct.gray, s"frame $no")
       assert((px.width, px.height) === ((16, 8)))
     }
+    // interleaved muxers wrap each frame in a 'LIST rec ' record —
+    // the index must unwrap them to the SAME payloads, not silently
+    // return zero frames
+    val aviRec = MjpegAvi.encode(frames, 16, 8, usPerFrame = 40000,
+      recGrouped = true)
+    val idxRec = MjpegAvi.frameIndex(aviRec)
+    assert(idxRec.map(_._1) === Seq(0, 1, 2, 3, 4))
+    for (((no, at, len), orig) <- idxRec.zip(frames))
+      assert(java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(aviRec, at, at + len), orig),
+        s"rec-grouped frame $no")
     // non-AVI payloads are None (dispatch), including a WAV RIFF
     assert(MjpegAvi.parse("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
     assert(MjpegAvi.parse(frame(0)).isEmpty)
@@ -2178,6 +2189,43 @@ class ExtSpec extends SparkSpec {
     }
     assert(midHdr.getMessage.contains("JPEG") &&
       midHdr.getMessage.contains("overruns"))
+  }
+
+  test("JpegDecoder: a DQT table overrunning its segment fails " +
+      "loudly instead of silently reading the next marker's bytes " +
+      "as quant values; spec-legal multi-scan baseline classifies " +
+      "as None (outside the subset), not corrupt") {
+    import graft.ext.{JpegEncoder, JpegDecoder}
+    // flip the gray fixture's DQT table byte to pq=1 (16-bit
+    // entries): the table now needs 1+128 bytes but the segment
+    // still declares len=67 — reading on would take the SOF bytes
+    // as quant values and decode silently wrong pixels
+    val gray = JpegEncoder.grayDcOnly(8, 8, (_, _) => 0)
+    val dqtAt = {
+      var i = 0
+      while (!((gray(i) & 0xff) == 0xff &&
+        (gray(i + 1) & 0xff) == 0xdb)) i += 1
+      i
+    }
+    val badDqt = gray.clone()
+    badDqt(dqtAt + 4) = 0x10.toByte // pq=1, tq=0
+    val e = intercept[IllegalArgumentException] {
+      JpegDecoder.decode(badDqt)
+    }
+    assert(e.getMessage.contains("DQT table overruns"), e.getMessage)
+    // rewrite the 3-component fixture's SOS to select ONE component
+    // — the first scan of a T.81-legal non-interleaved multi-scan
+    // file: outside this decoder's subset, so None, never a throw
+    val ycc = JpegEncoder.yccDcOnly(16, 16, (_, _) => 0)
+    val sosAt = {
+      var i = 0
+      while (!((ycc(i) & 0xff) == 0xff &&
+        (ycc(i + 1) & 0xff) == 0xda)) i += 1
+      i
+    }
+    val multiScan = ycc.clone()
+    multiScan(sosAt + 4) = 1 // ns: 3 -> 1
+    assert(JpegDecoder.decode(multiScan).isEmpty)
   }
 
   test("JpegDecoder: a ZRL run past coefficient 63 fails with the " +
