@@ -43,6 +43,16 @@ object Verify {
         // oracle, so the compare runs and records the mismatch.
         failed ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Delete any STALE prior dump FIRST: if the marker write
+        // below also fails (plausibly the same disk/permission root
+        // cause), a leftover dump from an earlier run would make the
+        // compare pass this failing query against old output — the
+        // same regression-as-clean-pass trap, one level deeper.
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        try rm(new java.io.File(s"$outDir/$name"))
+        catch { case _: Throwable => () }
         try {
           import spark.implicits._
           Seq(s"${e.getClass.getSimpleName}: ${Option(e.getMessage)

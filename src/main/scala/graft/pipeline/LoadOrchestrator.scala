@@ -226,6 +226,15 @@ object LoadOrchestrator {
             s"DELETE FROM $table WHERE UPDATE_DATE = ?")
           try { ps.setTimestamp(1, runInstant); ps.executeUpdate() }
           finally ps.close()
+          // a table THIS run created is also this run's effect: the
+          // reference's single-transaction rollback undoes its
+          // CREATE TABLE too (transactional DDL), so a failed first
+          // load must leave zero trace — not an empty table that a
+          // retry or an existence-probing monitor then misreads
+          if (created) {
+            val st = conn.createStatement()
+            try st.executeUpdate(s"DROP TABLE $table") finally st.close()
+          }
         } catch { case c: Throwable => e.addSuppressed(c) }
         finally toWrite.unpersist()
         throw e

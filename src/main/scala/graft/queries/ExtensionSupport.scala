@@ -144,6 +144,23 @@ private[queries] object ExtensionSupport {
     bucketedWritten.compute(key, (_, prev) => {
       if (prev == null || prev.longValue() != fp) {
         import graft.sources.BucketedTables
+        val root = new java.io.File(System.getProperty("java.io.tmpdir"))
+        // stale-sibling cleanup (the stage-tier discipline): every
+        // session gets a fresh applicationId suffix, so without this
+        // each bench/verify run leaks a corpus-sized bucketed copy in
+        // /tmp forever. Directories older than a day are dead runs —
+        // live concurrent sessions (minutes old) are never touched.
+        val dayMs = 24L * 3600 * 1000
+        Option(root.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("graft_bucketed_") &&
+            f.getName != s"graft_bucketed_$sfx" &&
+            f.lastModified() < System.currentTimeMillis() - dayMs)
+          .foreach { f =>
+            def rm(x: java.io.File): Unit = {
+              Option(x.listFiles()).foreach(_.foreach(rm)); x.delete()
+            }
+            try rm(f) catch { case _: Throwable => () }
+          }
         val tmp = System.getProperty("java.io.tmpdir") +
           s"/graft_bucketed_$sfx"
         BucketedTables.writeBucketed(

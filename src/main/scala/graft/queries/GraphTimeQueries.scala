@@ -763,14 +763,17 @@ private[queries] object GraphTimeQueries {
 
     // the same merged-histogram keyed-window CDF build; HUGEINT
     // cross-products keep the CDF compare exact, // = Spark div on
-    // the nonnegative operands
+    // the nonnegative operands. Each side tests its OWN predicate
+    // (< and >=) so a NULL ts lands in NEITHER CDF — the Spark
+    // census's when(late)/when(!late) both fall to otherwise(0) on
+    // NULL; an ELSE-1 'b' leg would count NULL-ts events as late
     "stats_drift_ks" ->
       """WITH e AS (SELECT event_type,
         |        CAST(floor(value * 100) AS BIGINT) AS v,
         |        CASE WHEN CAST(ts AS DATE) < DATE '2024-01-15'
         |             THEN 1 ELSE 0 END AS a,
-        |        CASE WHEN CAST(ts AS DATE) < DATE '2024-01-15'
-        |             THEN 0 ELSE 1 END AS b
+        |        CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-15'
+        |             THEN 1 ELSE 0 END AS b
         |      FROM events WHERE value IS NOT NULL),
         |h AS (SELECT event_type, v, sum(a) AS ca, sum(b) AS cb
         |      FROM e GROUP BY 1, 2),

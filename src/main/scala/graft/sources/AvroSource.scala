@@ -118,27 +118,33 @@ object AvroSource {
       s""""fields": [${fields.mkString(", ")}]}"""
   }
 
-  /** Parse a writer schema into (name, avro type name, nullable)
-    * triples, normalizing the three JSON spellings a type can take —
-    * a bare string, `{"type": "..."}`, or the nullable union
-    * `["null", T]` in either member order.
+  /** Parse a writer schema into (name, avro type name, nullable,
+    * nullFirst) tuples, normalizing the three JSON spellings a type
+    * can take — a bare string, `{"type": "..."}`, or the nullable
+    * union `["null", T]` in either member order (nullFirst records
+    * which, for the decoder's branch-index test).
     */
   private[sources] def parseFields(json: String, path: String)
-      : Array[(String, String, Boolean)] = {
+      : Array[(String, String, Boolean, Boolean)] = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     def bad(msg: String): Nothing =
       throw new IllegalArgumentException(s"AvroSource: $path: $msg")
-    def typeName(v: JValue): (String, Boolean) = v match {
-      case JString(s) => (s, false)
+    // (type name, nullable, nullFirst): BOTH union orders are valid
+    // Avro and normalize to the same nullable field, but the DECODER
+    // must know which branch index means null — a reversed union read
+    // with the null-first assumption emits values as NULLs and
+    // desyncs the block bytes
+    def typeName(v: JValue): (String, Boolean, Boolean) = v match {
+      case JString(s) => (s, false, true)
       case JObject(attrs) =>
-        attrs.collectFirst { case ("type", JString(s)) => (s, false) }
+        attrs.collectFirst { case ("type", JString(s)) => (s, false, true) }
           .getOrElse(bad(s"unsupported type object $v"))
       case JArray(members) =>
         val names = members.map(m => typeName(m)._1)
         names match {
-          case List("null", t) => (t, true)
-          case List(t, "null") => (t, true)
+          case List("null", t) => (t, true, true)
+          case List(t, "null") => (t, true, false)
           case other => bad(s"unsupported union [${other.mkString(", ")}] " +
             "— only the nullable two-branch union is in the subset")
         }
@@ -157,9 +163,9 @@ object AvroSource {
                 case Some(JString(n)) => n
                 case _ => bad("record field without a name")
               }
-              val (t, nullable) =
+              val (t, nullable, nullFirst) =
                 typeName(fm.getOrElse("type", bad(s"field $name has no type")))
-              (name, t, nullable)
+              (name, t, nullable, nullFirst)
             case other => bad(s"malformed field $other")
           }.toArray
           case _ => bad("record schema without a fields array")
@@ -189,25 +195,7 @@ object AvroSource {
     schema.fields.foreach(f => avroType(f.dataType)) // validate early
     val json = schemaJson(name.map(c =>
       if (c.isLetterOrDigit || c == '_') c else '_'), schema)
-    val safe = name.map(c =>
-      if (c.isLetterOrDigit || c == '.' || c == '-') c else '_')
-    val dirName = s"${safe}__fp${java.lang.Long.toHexString(fingerprint)}"
-    val dir = new java.io.File(root, dirName)
-    val done = new java.io.File(dir, "_SUCCESS")
-    if (!done.isFile) {
-      def deleteTree(f: java.io.File): Unit = {
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteTree)
-        f.delete(): Unit
-      }
-      Option(new java.io.File(root).listFiles())
-        .getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith(s"${safe}__fp") &&
-          f.getName != dirName)
-        .foreach(deleteTree)
-      val tmp = new java.io.File(root, s".$dirName.tmp")
-      deleteTree(tmp)
-      tmp.mkdirs()
+    Staging.publishOnce(root, name, fingerprint, "AvroSource") { tmp =>
       val tmpPath = tmp.getAbsolutePath
       val fields = schema.fields
       df.foreachPartition { it: Iterator[Row] =>
@@ -269,16 +257,7 @@ object AvroSource {
           flush()
         } finally fos.close()
       }
-      if (!tmp.renameTo(dir)) {
-        deleteTree(tmp)
-        if (!done.isFile)
-          throw new java.io.IOException(
-            s"AvroSource: could not publish $dir")
-      } else {
-        done.createNewFile(): Unit
-      }
     }
-    dir.toString
   }
 
   private def writeString(out: ByteArrayOutputStream, s: String): Unit = {
@@ -357,13 +336,19 @@ object AvroSource {
     if (codec != "null" && codec != "deflate")
       cur.fail(s"unsupported codec '$codec' (subset: null, deflate)")
     val got = parseFields(schemaJson, path)
-    if (!got.sameElements(want))
+    // drift compares the NORMALIZED (name, type, nullable) triple —
+    // union member order is the writer's choice, not drift; the
+    // decoder honors it via valueBranch below
+    if (!got.map(t => (t._1, t._2, t._3)).sameElements(want))
       cur.fail("schema drift — writer " +
         got.map(t => s"${t._1}:${t._2}${if (t._3) "?" else ""}")
           .mkString("(", ", ", ")") +
         " vs declared " +
         want.map(t => s"${t._1}:${t._2}${if (t._3) "?" else ""}")
           .mkString("(", ", ", ")"))
+    // the union branch index that carries the VALUE in this file:
+    // ["null", T] -> 1, [T, "null"] -> 0
+    val valueBranch = got.map(t => if (t._4) 1L else 0L)
     val sync = cur.readBytes(16)
     val fields = schema.fields
 
@@ -409,7 +394,13 @@ object AvroSource {
         var c = 0
         while (c < fields.length) {
           val f = fields(c)
-          val present = !f.nullable || block.readLong() == 1
+          val present = !f.nullable || {
+            val idx = block.readLong()
+            if (idx != 0L && idx != 1L)
+              block.fail(s"union branch $idx for ${f.name} " +
+                "(two-branch union has only 0 and 1)")
+            idx == valueBranch(c)
+          }
           vals(c) =
             if (!present) null
             else f.dataType match {

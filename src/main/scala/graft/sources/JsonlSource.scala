@@ -35,40 +35,10 @@ object JsonlSource {
     * known.
     */
   def stage(df: DataFrame, root: String, name: String,
-            fingerprint: Long): String = {
-    val safe = name.map(c =>
-      if (c.isLetterOrDigit || c == '.' || c == '-') c else '_')
-    val dirName = s"${safe}__fp${java.lang.Long.toHexString(fingerprint)}"
-    val dir = new java.io.File(root, dirName)
-    val done = new java.io.File(dir, "_SUCCESS")
-    if (!done.isFile) {
-      def deleteTree(f: java.io.File): Unit = {
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteTree)
-        f.delete(): Unit
-      }
-      Option(new java.io.File(root).listFiles())
-        .getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith(s"${safe}__fp") &&
-          f.getName != dirName)
-        .foreach(deleteTree)
-      // tmp write + atomic rename (the stage disk tier's publish
-      // protocol): a concurrent or crashed process never observes a
-      // half-written corpus under the published name
-      val tmp = new java.io.File(root, s".$dirName.tmp")
-      deleteTree(tmp)
+            fingerprint: Long): String =
+    Staging.publishOnce(root, name, fingerprint, "JsonlSource") { tmp =>
       df.write.mode("overwrite").json(tmp.toString)
-      if (!tmp.renameTo(dir)) {
-        // lost a publish race (or stale dir): keep whichever full
-        // write landed, drop ours
-        deleteTree(tmp)
-        if (!done.isFile)
-          throw new java.io.IOException(
-            s"JsonlSource: could not publish $dir")
-      }
     }
-    dir.toString
-  }
 
   /** Read JSONL at `path` with the declared `schema` — no inference
     * pass, corrupt lines fail the load (see object doc).
@@ -89,26 +59,8 @@ object JsonlSource {
     * distribution default).
     */
   def stageZst(df: DataFrame, root: String, name: String,
-               fingerprint: Long): String = {
-    val safe = name.map(c =>
-      if (c.isLetterOrDigit || c == '.' || c == '-') c else '_')
-    val dirName = s"${safe}__fp${java.lang.Long.toHexString(fingerprint)}"
-    val dir = new java.io.File(root, dirName)
-    val done = new java.io.File(dir, "_SUCCESS")
-    if (!done.isFile) {
-      def deleteTree(f: java.io.File): Unit = {
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteTree)
-        f.delete(): Unit
-      }
-      Option(new java.io.File(root).listFiles())
-        .getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith(s"${safe}__fp") &&
-          f.getName != dirName)
-        .foreach(deleteTree)
-      val tmp = new java.io.File(root, s".$dirName.tmp")
-      deleteTree(tmp)
-      tmp.mkdirs()
+               fingerprint: Long): String =
+    Staging.publishOnce(root, name, fingerprint, "JsonlSource") { tmp =>
       val tmpPath = tmp.getAbsolutePath
       df.toJSON.foreachPartition { it: Iterator[String] =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -120,17 +72,7 @@ object JsonlSource {
           out.write('\n')
         } finally out.close()
       }
-      if (!tmp.renameTo(dir)) {
-        deleteTree(tmp)
-        if (!done.isFile)
-          throw new java.io.IOException(
-            s"JsonlSource: could not publish $dir")
-      } else {
-        done.createNewFile(): Unit
-      }
     }
-    dir.toString
-  }
 
   /** Read compressed JSONL shards with the declared `schema`,
     * dispatching per file on MAGIC BYTES (zstd `28 B5 2F FD`, gzip
@@ -167,7 +109,20 @@ object JsonlSource {
         val r = new java.io.BufferedReader(
           new java.io.InputStreamReader(in,
             java.nio.charset.StandardCharsets.UTF_8))
-        Iterator.continually(r.readLine()).takeWhile(_ != null)
+        // close at exhaustion AND at task end: the zstd stream holds
+        // a NATIVE decompression context that otherwise waits for GC
+        // finalization (the WarcSource/Deflater lesson) — thousands
+        // of shards per executor accumulate off-heap until OOM-kill;
+        // the task listener also covers early-stopped iterators
+        // (limit/take), which never reach exhaustion
+        var closed = false
+        def closeOnce(): Unit = if (!closed) { closed = true; r.close() }
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
+        Iterator.continually(r.readLine()).takeWhile { l =>
+          if (l == null) closeOnce()
+          l != null
+        }
       }
     // declared-schema parse; a corrupt line must raise (FAILFAST
     // contract), never null-fill — from_json alone yields null rows,

@@ -29,35 +29,10 @@ object OrcSource {
     * rename, _SUCCESS sentinel).
     */
   def stage(df: DataFrame, root: String, name: String,
-            fingerprint: Long): String = {
-    val safe = name.map(c =>
-      if (c.isLetterOrDigit || c == '.' || c == '-') c else '_')
-    val dirName = s"${safe}__fp${java.lang.Long.toHexString(fingerprint)}"
-    val dir = new java.io.File(root, dirName)
-    val done = new java.io.File(dir, "_SUCCESS")
-    if (!done.isFile) {
-      def deleteTree(f: java.io.File): Unit = {
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteTree)
-        f.delete(): Unit
-      }
-      Option(new java.io.File(root).listFiles())
-        .getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith(s"${safe}__fp") &&
-          f.getName != dirName)
-        .foreach(deleteTree)
-      val tmp = new java.io.File(root, s".$dirName.tmp")
-      deleteTree(tmp)
+            fingerprint: Long): String =
+    Staging.publishOnce(root, name, fingerprint, "OrcSource") { tmp =>
       df.write.mode("overwrite").orc(tmp.toString)
-      if (!tmp.renameTo(dir)) {
-        deleteTree(tmp)
-        if (!done.isFile)
-          throw new java.io.IOException(
-            s"OrcSource: could not publish $dir")
-      }
     }
-    dir.toString
-  }
 
   /** Read ORC at `path`, failing LOUDLY if the footer schema drifts
     * from the declared one (names or types, in order — nullability

@@ -92,25 +92,7 @@ object WarcSource {
   def stageResponses(df: DataFrame, root: String, name: String,
                      fingerprint: Long): String = {
     import df.sparkSession.implicits._
-    val safe = name.map(c =>
-      if (c.isLetterOrDigit || c == '.' || c == '-') c else '_')
-    val dirName = s"${safe}__fp${java.lang.Long.toHexString(fingerprint)}"
-    val dir = new java.io.File(root, dirName)
-    val done = new java.io.File(dir, "_SUCCESS")
-    if (!done.isFile) {
-      def deleteTree(f: java.io.File): Unit = {
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteTree)
-        f.delete(): Unit
-      }
-      Option(new java.io.File(root).listFiles())
-        .getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith(s"${safe}__fp") &&
-          f.getName != dirName)
-        .foreach(deleteTree)
-      val tmp = new java.io.File(root, s".$dirName.tmp")
-      deleteTree(tmp)
-      tmp.mkdirs()
+    Staging.publishOnce(root, name, fingerprint, "WarcSource") { tmp =>
       val tmpPath = tmp.getAbsolutePath
       df.select(col("uri").cast("string"), col("date").cast("string"),
           col("text").cast("string"))
@@ -136,16 +118,7 @@ object WarcSource {
             g.close() // ends the member AND frees its Deflater
           } finally fos.close()
         }
-      if (!tmp.renameTo(dir)) {
-        deleteTree(tmp)
-        if (!done.isFile)
-          throw new java.io.IOException(
-            s"WarcSource: could not publish $dir")
-      } else {
-        done.createNewFile(): Unit
-      }
     }
-    dir.toString
   }
 
   /** One WARC/1.0 response record (headers + HTTP head + UTF-8 body

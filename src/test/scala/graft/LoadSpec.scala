@@ -117,6 +117,21 @@ class LoadSpec extends SparkSpec {
       "dd-MM-yyyy HH:mm:ss")).count() === 0)
   }
 
+  test("load failure on a FRESH database drops the table this run " +
+      "created — matching the reference's transactional-DDL rollback " +
+      "(zero trace), not an empty table a retry would misread (L6)") {
+    val url = "jdbc:derby:memory:graftdb6b;create=true"
+    val bad = i2b2Rows.limit(4).withColumn("C_NAME",
+      when(monotonically_increasing_id() === 0, lit(null).cast("string"))
+        .otherwise($"C_NAME"))
+    intercept[Exception] {
+      LoadOrchestrator.load(bad, url, "I2B2", new Properties(), runTs)
+    }
+    val conn = java.sql.DriverManager.getConnection(url, new Properties())
+    try assert(!LoadOrchestrator.tableExists(conn, "I2B2"))
+    finally conn.close()
+  }
+
   test("loadStrict: happy-path commit — report counts, row contents, " +
     "and the L5 export all land through the one transaction") {
     val url = "jdbc:derby:memory:graftdb_s1;create=true"
@@ -740,6 +755,35 @@ class LoadSpec extends SparkSpec {
           }, f.nullable)), schema).toList
     }
     assert(e2.getMessage.contains("sync marker mismatch"))
+  }
+
+  test("AvroSource: the REVERSED nullable union [T, 'null'] decodes " +
+      "correctly — branch 0 carries the value in that member order, " +
+      "so a null-first assumption would null the values and desync") {
+    import graft.sources.AvroSource
+    import org.apache.spark.sql.types._
+    import org.apache.avro.generic.{GenericDatumWriter, GenericData}
+    import org.apache.avro.file.DataFileWriter
+    val avroSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"t","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"v","type":["long","null"]}]}""".stripMargin)
+    val dir = java.nio.file.Files.createTempDirectory("graft-avro-rev")
+    val f = new java.io.File(dir.toFile, "part-00000.avro")
+    val w = new DataFileWriter[GenericData.Record](
+      new GenericDatumWriter[GenericData.Record](avroSchema))
+    w.create(avroSchema, f)
+    val r1 = new GenericData.Record(avroSchema)
+    r1.put("id", 1L); r1.put("v", 7L)
+    val r2 = new GenericData.Record(avroSchema)
+    r2.put("id", 2L); r2.put("v", null)
+    w.append(r1); w.append(r2); w.close()
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", LongType, nullable = true)))
+    val got = AvroSource.read(spark, dir.toString, schema)
+      .as[(Long, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, Some(7L)), (2L, None)))
   }
 
   test("AvroSource interop: the reference Avro library reads our " +
