@@ -168,13 +168,23 @@ object HtmlText {
     while (i < n) {
       val lt = html.indexOf('<', i)
       if (lt < 0 || lt + 1 >= n) i = n
-      else if (!html.charAt(lt + 1).isLetter) i = lt + 1
+      else if (html.charAt(lt + 1) == '!' || html.charAt(lt + 1) == '?') {
+        // comments and declarations skip WHOLE, as in extractText: a
+        // commented-out anchor is not a live link in the document
+        if (html.startsWith("<!--", lt)) {
+          val end = html.indexOf("-->", lt + 4)
+          i = if (end < 0) n else end + 3
+        } else {
+          val end = html.indexOf('>', lt + 1)
+          i = if (end < 0) n else end + 1
+        }
+      } else if (!html.charAt(lt + 1).isLetter) i = lt + 1
       else {
         var j = lt + 1
         val nameStart = j
         while (j < n && html.charAt(j).isLetterOrDigit) j += 1
-        val isAnchor =
-          html.substring(nameStart, j).equalsIgnoreCase("a")
+        val tagName = html.substring(nameStart, j).toLowerCase
+        val isAnchor = tagName == "a"
         // walk attributes to '>' honoring quotes; capture href
         var quote = 0.toChar
         var href: String = null
@@ -208,6 +218,23 @@ object HtmlText {
         if (href != null)
           out += extractText(href) // entity decode, no tags inside
         i = if (j < n) j + 1 else n
+        if (RawTextTags(tagName)) {
+          // RAWTEXT skips whole, as in extractText: markup inside a
+          // script string ('<a href=…>') is data, not a live link
+          val close = s"</$tagName"
+          var k = i
+          var found = -1
+          while (found < 0 && k + close.length <= n) {
+            if (html.regionMatches(true, k, close, 0, close.length))
+              found = k
+            k += 1
+          }
+          if (found < 0) i = n
+          else {
+            val end = html.indexOf('>', found)
+            i = if (end < 0) n else end + 1
+          }
+        }
       }
     }
     out.toSeq

@@ -68,6 +68,8 @@ object Quality {
     // reading as expression syntax
     require(checks.forall(_.name.matches("[A-Za-z0-9_.-]+")),
       "check names must match [A-Za-z0-9_.-]+")
+    val ord: Map[String, Int] =
+      checks.map(_.name).zipWithIndex.toMap
     val rowChecks = checks.collect {
       case c: Complete => (c.name, col(c.col).isNotNull, c.minPpm)
       case c: InRange =>
@@ -85,7 +87,8 @@ object Quality {
           val ppm = coalesce(
             expr(s"`__ok_$nm` * 1000000 div __n"), lit(1000000L))
           struct(lit(nm).as("check_name"), ppm.as("metric"),
-            lit(minPpm).as("threshold"), (ppm >= minPpm).as("pass"))
+            lit(minPpm).as("threshold"), (ppm >= minPpm).as("pass"),
+            lit(ord(nm)).as("__ord"))
         }
         Some(one.select(explode(array(entries: _*)).as("__r"))
           .select(col("__r.*")))
@@ -97,7 +100,8 @@ object Quality {
           .agg(coalesce(sum(when(col("__n") > 1, col("__n"))), lit(0L))
             .as("metric"))
         dups.select(lit(c.name).as("check_name"), col("metric"),
-          lit(0L).as("threshold"), (col("metric") === 0L).as("pass"))
+          lit(0L).as("threshold"), (col("metric") === 0L).as("pass"),
+          lit(ord(c.name)).as("__ord"))
       case c: SubsetOf =>
         val orphans = df.select(col(c.col).as("__v"))
           .filter(col("__v").isNotNull).distinct()
@@ -105,8 +109,14 @@ object Quality {
             Seq("__v"), "left_anti")
           .agg(count(lit(1)).as("metric"))
         orphans.select(lit(c.name).as("check_name"), col("metric"),
-          lit(0L).as("threshold"), (col("metric") === 0L).as("pass"))
+          lit(0L).as("threshold"), (col("metric") === 0L).as("pass"),
+          lit(ord(c.name)).as("__ord"))
     }
+    // SUITE order, as documented — without the sort key, row-level
+    // rows all land before set-level ones and a consumer zipping the
+    // report positionally against its check list gates on the wrong
+    // numbers (the union is grouped by check KIND, not suite order)
     (rowReport.toSeq ++ setReports).reduce(_ unionByName _)
+      .orderBy(col("__ord")).drop("__ord")
   }
 }

@@ -30,6 +30,13 @@ object Ranking {
                    shards: Int = 32): DataFrame = {
     require(n >= 1, "n must be positive")
     require(shards >= 1, "shards must be positive")
+    // the reserved-column guard every salted-hash sibling enforces:
+    // withColumn would silently OVERWRITE a caller's column of the
+    // same name and the final drop would remove it — data loss, not
+    // an error
+    require(!df.columns.exists(Set("__tp_shard", "__tp_rn1", rankCol)),
+      s"input must not carry __tp_shard/__tp_rn1/$rankCol columns " +
+        "(reserved by twoPhaseTopN)")
     val w1 = Window.partitionBy(keys :+ col("__tp_shard"): _*)
       .orderBy(order: _*)
     val w2 = Window.partitionBy(keys: _*).orderBy(order: _*)

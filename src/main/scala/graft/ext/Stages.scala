@@ -145,17 +145,27 @@ object Stages {
               .foreach(deleteTree)
             val tmp = new java.io.File(root,
               s"$dirName.tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
-            graft.sources.ParquetSink.write(built, tmp.getPath,
-              Seq.empty, built(built.columns.head), buckets = 4)
-            try
-              java.nio.file.Files.move(tmp.toPath, dir.toPath,
-                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-            catch {
-              // lost a publish race to another process: its artifact
-              // is equivalent (same fingerprint) — keep it, drop ours
-              case _: java.nio.file.FileSystemException
-                  if new java.io.File(dir, "_SUCCESS").isFile =>
-                deleteTree(tmp)
+            // any failure between here and the move must not leak the
+            // tmp dir: the stale-fingerprint sweep above only matches
+            // published names, so an orphaned .tmp-* would otherwise
+            // accumulate a partial corpus-sized copy per failed run
+            try {
+              graft.sources.ParquetSink.write(built, tmp.getPath,
+                Seq.empty, built(built.columns.head), buckets = 4)
+              try
+                java.nio.file.Files.move(tmp.toPath, dir.toPath,
+                  java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              catch {
+                // lost a publish race to another process: its artifact
+                // is equivalent (same fingerprint) — keep it, drop ours
+                case _: java.nio.file.FileSystemException
+                    if new java.io.File(dir, "_SUCCESS").isFile =>
+                  deleteTree(tmp)
+              }
+            } catch {
+              case e: Throwable =>
+                try deleteTree(tmp) catch { case _: Throwable => () }
+                throw e
             }
           }
           s.read.parquet(dir.getPath)

@@ -25,18 +25,34 @@ object VectorFunctions {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // arity checks BEFORE indexing children: a wrong-arity SQL call
+    // must surface as an analysis-time error naming the function,
+    // not an IndexOutOfBoundsException from children(1)
+    def arity(name: String, n: Int)(children: Seq[Expression])
+        : Seq[Expression] = {
+      if (children.size != n)
+        throw new IllegalArgumentException(
+          s"$name expects $n argument${if (n == 1) "" else "s"}, " +
+            s"got ${children.size}")
+      children
+    }
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      (children: Seq[Expression]) => VecDot(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        val c = arity("vec_dot", 2)(children); VecDot(c(0), c(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("vec_norm"),
       new ExpressionInfo(classOf[VecNorm].getName, "vec_norm"),
-      (children: Seq[Expression]) => VecNorm(children.head)))
+      (children: Seq[Expression]) =>
+        VecNorm(arity("vec_norm", 1)(children).head)))
     ext.injectFunction((
       FunctionIdentifier("vec_l2sq"),
       new ExpressionInfo(classOf[VecL2Sq].getName, "vec_l2sq"),
-      (children: Seq[Expression]) => VecL2Sq(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        val c = arity("vec_l2sq", 2)(children); VecL2Sq(c(0), c(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("hilbert_index"),
       new ExpressionInfo(classOf[HilbertIndex].getName, "hilbert_index"),
@@ -44,7 +60,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
-      (children: Seq[Expression]) => NfcNormalize(children.head)))
+      (children: Seq[Expression]) =>
+        NfcNormalize(arity("nfc_normalize", 1)(children).head)))
     // optimizer rule: nfc_normalize is idempotent — collapse nests
     ext.injectOptimizerRule(_ =>
       org.apache.spark.sql.graft.CollapseNfcNormalize)

@@ -172,8 +172,9 @@ object CoreQueries {
 
   // ---------------------------------------------------------------- //
 
-  private val esc =
-    (x: String) => s"replace(replace(replace($x, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+  // the shared ElementTree-order XML escape — ONE definition (in
+  // I2b2Oracle) so an escape-order fix cannot drift between oracles
+  private def esc(x: String): String = I2b2Oracle.esc(x)
 
   val oracleSql: Map[String, String] = Map(
     "r1_left_join" ->

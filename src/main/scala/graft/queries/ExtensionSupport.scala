@@ -466,17 +466,25 @@ private[queries] object ExtensionSupport {
       if (trainSample == 1) "" else s" WHERE vec_id % $trainSample = 0"
     // coarse quantizer CTEs (mirrors sim_ivf_topk's cosine
     // assign/probe) + the allowed (query, neighbor) pair set
+    // zero-norm guards mirror the Spark side's failed-embedding
+    // policy: centroids filter AFTER the seed limit (collectLitCents'
+    // order), and assigned/probed vectors filter before the cosine —
+    // an unguarded NaN cosine would rank FIRST on both engines
     val ivfCtes = ivf.map { case (nlist, nprobe) =>
-      s"""cent AS (SELECT vec_id AS ccid, embedding AS cvec
-         |         FROM embeddings ORDER BY vec_id LIMIT $nlist),
+      s"""cent AS (SELECT ccid, cvec FROM (
+         |           SELECT vec_id AS ccid, embedding AS cvec
+         |           FROM embeddings ORDER BY vec_id LIMIT $nlist)
+         |         WHERE (${normSql("cvec")}) > 0),
          |assigned AS (
          |  SELECT c.vec_id AS neighbor_id, ct.ccid AS list
          |  FROM embeddings c CROSS JOIN cent ct
+         |  WHERE (${normSql("c.embedding")}) > 0
          |  QUALIFY row_number() OVER (PARTITION BY c.vec_id
          |    ORDER BY ${cosSql("c.embedding", "ct.cvec")} DESC, ct.ccid) = 1),
          |probes AS (
          |  SELECT q.vec_id AS query_id, ct.ccid AS list
          |  FROM embeddings q CROSS JOIN cent ct WHERE q.vec_id < 50
+         |    AND (${normSql("q.embedding")}) > 0
          |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
          |    ORDER BY ${cosSql("q.embedding", "ct.cvec")} DESC, ct.ccid) <= $nprobe),
          |allowed AS (SELECT p.query_id, a.neighbor_id

@@ -8,7 +8,12 @@ package graft.queries
   */
 object I2b2Oracle {
 
-  private def esc(x: String): String =
+  /** ElementTree-order XML escape in SQL (& FIRST, then < and >) —
+    * the escape order is load-bearing for oracle parity with
+    * XmlRender.xmlEscape; ONE definition shared by every oracle
+    * that renders C_METADATAXML.
+    */
+  private[queries] def esc(x: String): String =
     s"replace(replace(replace($x, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
 
   /** Spec-correct rendering (per-ancestor names). */

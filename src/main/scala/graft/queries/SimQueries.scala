@@ -3,8 +3,6 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ext._
-import graft.ops.Dedup
-import graft.sources.Tables
 import graft.queries.ExtensionSupport._
 
 /** Similarity-search query surface: brute-force / LSH / MIPS /
@@ -137,10 +135,16 @@ private[queries] object SimQueries {
     // sessions built with spark.sql.extensions get them for free).
     "sim_sql_cosine" -> { (s, dir) =>
       graft.functions.VectorFunctions.register(s)
-      t(s, dir, "embeddings").createOrReplaceTempView("emb_sql")
-      s.sql("""SELECT vec_id, vec_dot(embedding, embedding) AS dot_self,
+      // view name scoped by the fixture dir: temp views are
+      // session-GLOBAL, so a bare "emb_sql" would race when two
+      // threads run the query map for different dirs in one session
+      // (the hazard bucketedSuffix exists for) — one thread's result
+      // would silently read the other's embeddings
+      val view = s"emb_sql_${bucketedSuffix(s, dir)}"
+      t(s, dir, "embeddings").createOrReplaceTempView(view)
+      s.sql(s"""SELECT vec_id, vec_dot(embedding, embedding) AS dot_self,
               |       vec_norm(embedding) AS nrm
-              |FROM emb_sql""".stripMargin)
+              |FROM $view""".stripMargin)
     },
 
 
@@ -179,6 +183,8 @@ private[queries] object SimQueries {
         |      AS INT) AS rnk
         |  FROM embeddings q CROSS JOIN embeddings c
         |  WHERE q.vec_id = 0 AND c.vec_id <> 0
+        |    AND (${normSql("q.embedding")}) > 0
+        |    AND (${normSql("c.embedding")}) > 0
         |  QUALIFY rnk <= 20),
         |u AS (SELECT doc_id, 0 AS l, rnk FROM lex
         |      UNION ALL SELECT doc_id, 1 AS l, rnk FROM vec),
@@ -194,11 +200,16 @@ private[queries] object SimQueries {
         |QUALIFY rnk <= 10""".stripMargin),
 
 
+    // zero-norm guards mirror Similarity's failed-embedding policy
+    // (bruteForceTopK filters both sides): an unguarded NaN cosine
+    // would rank FIRST and evict every real neighbor
     "sim_bruteforce_topk" ->
       (s"""SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |  ${cosSql("q.embedding", "c.embedding")} AS cos
         |FROM embeddings q CROSS JOIN embeddings c
         |WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id
+        |  AND (${normSql("q.embedding")}) > 0
+        |  AND (${normSql("c.embedding")}) > 0
         |QUALIFY row_number() OVER (PARTITION BY q.vec_id
         |  ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id) <= 5""".stripMargin),
 
@@ -206,10 +217,11 @@ private[queries] object SimQueries {
     "sim_lsh_topk" ->
       (s"""WITH q AS (SELECT vec_id, embedding,
         |             ${lshBucketSql("embedding", 4, 64)} AS bucket
-        |           FROM embeddings WHERE vec_id < 50),
+        |           FROM embeddings WHERE vec_id < 50
+        |             AND (${normSql("embedding")}) > 0),
         |c AS (SELECT vec_id, embedding,
         |        ${lshBucketSql("embedding", 4, 64)} AS bucket
-        |      FROM embeddings)
+        |      FROM embeddings WHERE (${normSql("embedding")}) > 0)
         |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |  ${cosSql("q.embedding", "c.embedding")} AS cos
         |FROM q JOIN c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
@@ -241,17 +253,20 @@ private[queries] object SimQueries {
     // max_by(cid, struct(cos, -cid)); floats are bit-identical on
     // both sides so the argmax resolves identically
     "sim_ivf_topk" ->
-      (s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
-        |             FROM embeddings ORDER BY vec_id LIMIT 8),
+      (s"""WITH cent AS (SELECT cid, cvec FROM (
+        |             SELECT vec_id AS cid, embedding AS cvec
+        |             FROM embeddings ORDER BY vec_id LIMIT 8)
+        |           WHERE (${normSql("cvec")}) > 0),
         |assigned AS (
         |  SELECT c.vec_id AS neighbor_id, c.embedding AS cv, ct.cid AS list
         |  FROM embeddings c CROSS JOIN cent ct
+        |  WHERE (${normSql("c.embedding")}) > 0
         |  QUALIFY row_number() OVER (PARTITION BY c.vec_id
         |    ORDER BY ${cosSql("c.embedding", "ct.cvec")} DESC, ct.cid) = 1),
         |probes AS (
         |  SELECT q.vec_id AS query_id, q.embedding AS qv, ct.cid AS list
         |  FROM embeddings q CROSS JOIN cent ct
-        |  WHERE q.vec_id < 50
+        |  WHERE q.vec_id < 50 AND (${normSql("q.embedding")}) > 0
         |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
         |    ORDER BY ${cosSql("q.embedding", "ct.cvec")} DESC, ct.cid) <= 2)
         |SELECT query_id, neighbor_id, ${cosSql("p.qv", "a.cv")} AS cos

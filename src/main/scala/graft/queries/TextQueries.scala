@@ -3,8 +3,6 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ext._
-import graft.ops.Dedup
-import graft.sources.Tables
 import graft.queries.ExtensionSupport._
 
 /** Text-analysis and tokenization query surface: quality

@@ -1766,6 +1766,13 @@ class ExtSpec extends SparkSpec {
         |<a href=/bare>v</a><link href="/css"><a name=z>w</a>"""
         .stripMargin) === Seq("http://x/?a=1&b=2", "/y", "/bare"))
     assert(extractLinkTargets("no links <p>here</p>") === Seq.empty)
+    // comments and script/style RAWTEXT skip whole — a commented-out
+    // or script-quoted anchor is data, not a live crawl-frontier link
+    // (the same regions extractText drops)
+    assert(extractLinkTargets(
+      """<body><!-- <a href="/retired">x</a> -->
+        |<script>var s = '<a href="/phantom">';</script>
+        |<a href="/live">ok</a></body>""".stripMargin) === Seq("/live"))
     // truncation: open comment / tag / rawtext at EOF drop silently
     assert(extractText("ok<!-- never closed") === "ok")
     assert(extractText("ok<p unfinished") === "ok")
