@@ -249,12 +249,17 @@ object TextAnalysis {
     * repetition filter fuses into the surrounding codegen stage with
     * no join against a metrics table. Identical decision rule
     * (ExtSpec pins the parity against the metrics table's flag).
+    * NULL text KEEPS (coalesce, the [[langId]] discipline): the
+    * metrics table's gate passes NULL text (every dup-fraction
+    * comparison coalesces to the passing side), so the
+    * null-propagating native kernel alone would silently DROP
+    * NULL-text docs when used in a Filter (NULL reads as false).
     */
   def repetitionKeep(text: Column, maxDup2: Double = 0.2,
                      maxDup3: Double = 0.18,
                      maxTopShare: Double = 0.2): Column =
-    org.apache.spark.sql.graft.TextStatsColumns
-      .repetition_keep(text, maxDup2, maxDup3, maxTopShare)
+    coalesce(org.apache.spark.sql.graft.TextStatsColumns
+      .repetition_keep(text, maxDup2, maxDup3, maxTopShare), lit(true))
 
   /** Overlapping token-window chunking — the context-length-fitting
     * stage of a training-data pipeline: each document becomes

@@ -206,6 +206,27 @@ object AsofJoin {
     val spark = left.sparkSession.asInstanceOf[SparkSession]
     install(spark)
     val rightPlan = right.queryExecution.analyzed
+    // key/ts presence and type agreement validate HERE, with the
+    // column named — the physical operator's .find(...).get would
+    // otherwise throw a bare NoSuchElementException at plan time (or
+    // a ClassCastException mid-task on a key-type mismatch, since the
+    // merge ordering is built from the left side's type alone).
+    // Matching is case-SENSITIVE (the node resolves by exact name).
+    val leftPlan = left.queryExecution.analyzed
+    def col(side: String, plan: LogicalPlan, c: String) =
+      plan.output.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"asofJoinNative: $side side lacks column $c " +
+            s"(have: ${plan.output.map(_.name).mkString(", ")}; " +
+            "matching is case-sensitive)"))
+    for (c <- Seq(key, ts)) {
+      val l = col("left", leftPlan, c)
+      val r = col("right", rightPlan, c)
+      if (l.dataType != r.dataType)
+        throw new IllegalArgumentException(
+          s"asofJoinNative: column $c is ${l.dataType.simpleString} " +
+            s"on the left but ${r.dataType.simpleString} on the right")
+    }
     val asofAttrs = (ts +: payloadCols).map { c =>
       val a = rightPlan.output.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(s"right side lacks column $c"))

@@ -21,15 +21,19 @@ object GraftHashUtil {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  /** The first `hexLen` hex chars of md5(s), as an unsigned long —
-    * bit-identical to `conv(substring(md5(s), 1, hexLen), 16, 10)`:
-    * hex char i is the high (even i) or low (odd i) nibble of digest
-    * byte i/2, folded big-endian.
+  /** The thread's reusable MD5 instance (reset before use). Shared
+    * with GraftTextStats so the per-thread digest lives ONCE.
     */
-  def md5PrefixLong(s: UTF8String, hexLen: Int): Long = {
-    val m = md.get()
-    m.reset()
-    val d = m.digest(s.getBytes)
+  private[graft] def digest(): java.security.MessageDigest = {
+    val m = md.get(); m.reset(); m
+  }
+
+  /** Fold the first `hexLen` hex chars of a finished digest into an
+    * unsigned long — hex char i is the high (even i) or low (odd i)
+    * nibble of digest byte i/2, big-endian. ONE definition of the
+    * prefix fold for every hashing kernel.
+    */
+  private[graft] def hexPrefix(d: Array[Byte], hexLen: Int): Long = {
     var v = 0L
     var i = 0
     while (i < hexLen) {
@@ -40,24 +44,23 @@ object GraftHashUtil {
     v
   }
 
-  /** Kernel behind [[ShingleHashes]]: distinct `md5PrefixLong` hashes
-    * of the k-token '_'-joined shingles, one byte pass. Tokenization
-    * replicates `split(trim(c), "\\s+")` exactly — Java's `\s` is the
-    * ASCII set [ \t\n\x0B\f\r] (each single-byte in UTF-8, so the
-    * byte scan cannot split a multi-byte char), a string starting
-    * with a separator yields a leading EMPTY token, one ENDING with a
-    * separator yields a trailing empty token (Spark's split runs at
-    * limit = -1, which KEEPS trailing empties — unlike Java's
-    * String.split default), and an empty trimmed string yields [""].
-    * Digests run straight off the token byte ranges (no shingle
-    * string is ever built), so a hash is bit-identical to
-    * `md5PrefixLong(tok_i ++ "_" ++ ... ++ tok_{i+k-1}, hexLen)`.
+  /** ASCII `\s` membership — the Java regex set [ \t\n\x0B\f\r],
+    * every member single-byte in UTF-8 so a byte scan cannot split a
+    * multi-byte char. ONE definition of the tokenizer charset.
     */
-  def shingleHashes(s: UTF8String, k: Int,
-                    hexLen: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
-    val b = s.trim().getBytes
-    def isWs(x: Byte): Boolean = x == ' ' || x == '\t' || x == '\n' ||
-      x == 0x0b || x == '\f' || x == '\r'
+  private[graft] def isWs(x: Byte): Boolean = x == ' ' || x == '\t' ||
+    x == '\n' || x == 0x0b || x == '\f' || x == '\r'
+
+  /** Token byte ranges over (already trimmed) UTF-8 bytes,
+    * replicating `split(trim(c), "\\s+")` at limit = -1 EXACTLY:
+    * [""] for the empty string, a leading empty token when the bytes
+    * begin with `\s` (UTF8String.trim strips only 0x20, so tabs and
+    * newlines survive), a trailing empty token when they end with
+    * one. ONE definition carrying the tokenizer contract for every
+    * kernel in this package — an edge-case fix here cannot silently
+    * miss a kernel.
+    */
+  private[graft] def tokenRanges(b: Array[Byte]): (Array[Int], Array[Int]) = {
     val starts = new java.util.ArrayList[Integer]
     val ends = new java.util.ArrayList[Integer]
     if (b.length == 0) { starts.add(0); ends.add(0) }
@@ -75,27 +78,50 @@ object GraftHashUtil {
       if (isWs(b(b.length - 1))) { starts.add(b.length); ends.add(b.length) }
     }
     val n = starts.size()
-    val m = md.get()
+    val sa = new Array[Int](n)
+    val ea = new Array[Int](n)
+    var j = 0
+    while (j < n) { sa(j) = starts.get(j); ea(j) = ends.get(j); j += 1 }
+    (sa, ea)
+  }
+
+  /** The first `hexLen` hex chars of md5(s), as an unsigned long —
+    * bit-identical to `conv(substring(md5(s), 1, hexLen), 16, 10)`.
+    */
+  def md5PrefixLong(s: UTF8String, hexLen: Int): Long =
+    hexPrefix(digest().digest(s.getBytes), hexLen)
+
+  /** Kernel behind [[ShingleHashes]]: distinct `md5PrefixLong` hashes
+    * of the k-token '_'-joined shingles, one byte pass. Tokenization
+    * replicates `split(trim(c), "\\s+")` exactly — Java's `\s` is the
+    * ASCII set [ \t\n\x0B\f\r] (each single-byte in UTF-8, so the
+    * byte scan cannot split a multi-byte char), a string starting
+    * with a separator yields a leading EMPTY token, one ENDING with a
+    * separator yields a trailing empty token (Spark's split runs at
+    * limit = -1, which KEEPS trailing empties — unlike Java's
+    * String.split default), and an empty trimmed string yields [""].
+    * Digests run straight off the token byte ranges (no shingle
+    * string is ever built), so a hash is bit-identical to
+    * `md5PrefixLong(tok_i ++ "_" ++ ... ++ tok_{i+k-1}, hexLen)`.
+    */
+  def shingleHashes(s: UTF8String, k: Int,
+                    hexLen: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val b = s.trim().getBytes
+    val (starts, ends) = tokenRanges(b)
+    val n = starts.length
     val seen = new java.util.HashSet[java.lang.Long]
     val out = new java.util.ArrayList[java.lang.Long]
     val sep = Array('_'.toByte)
     var w = 0
     while (w + k <= n) {
-      m.reset()
+      val m = digest()
       var j = 0
       while (j < k) {
-        m.update(b, starts.get(w + j), ends.get(w + j) - starts.get(w + j))
+        m.update(b, starts(w + j), ends(w + j) - starts(w + j))
         if (j < k - 1) m.update(sep, 0, 1)
         j += 1
       }
-      val d = m.digest()
-      var v = 0L
-      var t = 0
-      while (t < hexLen) {
-        val by = d(t >> 1) & 0xff
-        v = (v << 4) | (if ((t & 1) == 0) by >>> 4 else by & 0xf)
-        t += 1
-      }
+      val v = hexPrefix(m.digest(), hexLen)
       if (seen.add(v)) out.add(v)
       w += 1
     }

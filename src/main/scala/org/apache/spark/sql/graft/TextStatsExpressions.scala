@@ -30,27 +30,16 @@ object GraftTextStats {
     */
   def ngramStats(s: UTF8String, k: Int): InternalRow = {
     val b = s.trim().getBytes
-    def isWs(x: Byte): Boolean = x == ' ' || x == '\t' || x == '\n' ||
-      x == 0x0b || x == '\f' || x == '\r'
-    // token byte ranges, replicating split(trim, "\s+") with its
-    // leading/trailing-empty-token semantics (limit = -1)
-    val starts = new java.util.ArrayList[Integer]
-    val ends = new java.util.ArrayList[Integer]
-    if (b.length == 0) { starts.add(0); ends.add(0) }
-    else {
-      if (isWs(b(0))) { starts.add(0); ends.add(0) }
-      var i = 0
-      while (i < b.length) {
-        while (i < b.length && isWs(b(i))) i += 1
-        if (i < b.length) {
-          starts.add(i)
-          while (i < b.length && !isWs(b(i))) i += 1
-          ends.add(i)
-        }
-      }
-      if (isWs(b(b.length - 1))) { starts.add(b.length); ends.add(b.length) }
-    }
-    val nTok = starts.size()
+    val (starts, ends) = GraftHashUtil.tokenRanges(b)
+    ngramStatsRanges(b, starts, ends, k)
+  }
+
+  /** [[ngramStats]] over PRE-tokenized ranges — so a caller needing
+    * several k values (repetitionKeep: k = 2 and 3) tokenizes once.
+    */
+  private def ngramStatsRanges(b: Array[Byte], starts: Array[Int],
+                               ends: Array[Int], k: Int): InternalRow = {
+    val nTok = starts.length
     val n = math.max(nTok - (k - 1), 0)
     if (n == 0)
       return InternalRow(0L, 0L, 0L)
@@ -63,8 +52,7 @@ object GraftTextStats {
       var j = 0
       while (j < k) {
         if (j > 0) sb.append('_')
-        sb.append(new String(b, starts.get(w + j),
-          ends.get(w + j) - starts.get(w + j),
+        sb.append(new String(b, starts(w + j), ends(w + j) - starts(w + j),
           java.nio.charset.StandardCharsets.UTF_8))
         j += 1
       }
@@ -88,40 +76,19 @@ object GraftTextStats {
     */
   def simhash(s: UTF8String, bits: Int, hexLen: Int): Long = {
     val b = s.trim().getBytes
-    def isWs(x: Byte): Boolean = x == ' ' || x == '\t' || x == '\n' ||
-      x == 0x0b || x == '\f' || x == '\r'
+    val (starts, ends) = GraftHashUtil.tokenRanges(b)
     val votes = new Array[Long](bits)
-    val m = md.get()
-    def vote(start: Int, end: Int): Unit = {
-      m.reset()
-      m.update(b, start, end - start)
-      val d = m.digest()
-      var h = 0L
-      var t = 0
-      while (t < hexLen) {
-        val by = d(t >> 1) & 0xff
-        h = (h << 4) | (if ((t & 1) == 0) by >>> 4 else by & 0xf)
-        t += 1
-      }
+    var w = 0
+    while (w < starts.length) {
+      val m = GraftHashUtil.digest()
+      m.update(b, starts(w), ends(w) - starts(w))
+      val h = GraftHashUtil.hexPrefix(m.digest(), hexLen)
       var j = 0
       while (j < bits) {
         votes(j) += ((h >>> j) & 1L) * 2 - 1
         j += 1
       }
-    }
-    if (b.length == 0) vote(0, 0)
-    else {
-      if (isWs(b(0))) vote(0, 0)
-      var i = 0
-      while (i < b.length) {
-        while (i < b.length && isWs(b(i))) i += 1
-        if (i < b.length) {
-          val s0 = i
-          while (i < b.length && !isWs(b(i))) i += 1
-          vote(s0, i)
-        }
-      }
-      if (isWs(b(b.length - 1))) vote(b.length, b.length)
+      w += 1
     }
     var out = 0L
     var j = 0
@@ -130,11 +97,6 @@ object GraftTextStats {
       j += 1
     }
     out
-  }
-
-  private val md = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
   }
 
   /** Marker-word counts for the four-language n-gram heuristic —
@@ -146,16 +108,13 @@ object GraftTextStats {
     */
   def langId(s: UTF8String): UTF8String = {
     val b = s.trim().getBytes
-    def isWs(x: Byte): Boolean = x == ' ' || x == '\t' || x == '\n' ||
-      x == 0x0b || x == '\f' || x == '\r'
+    val (starts, ends) = GraftHashUtil.tokenRanges(b)
     var en = 0L; var de = 0L; var fr = 0L; var es = 0L
-    var i = 0
-    while (i < b.length) {
-      while (i < b.length && isWs(b(i))) i += 1
-      if (i < b.length) {
-        val s0 = i
-        while (i < b.length && !isWs(b(i))) i += 1
-        val tok = new String(b, s0, i - s0,
+    var w = 0
+    while (w < starts.length) {
+      // empty tokens match no marker — the ranges' empties are inert
+      if (ends(w) > starts(w)) {
+        val tok = new String(b, starts(w), ends(w) - starts(w),
           java.nio.charset.StandardCharsets.UTF_8)
         tok match {
           case "the" | "and" | "of" | "is" => en += 1
@@ -165,6 +124,7 @@ object GraftTextStats {
           case _ => ()
         }
       }
+      w += 1
     }
     val out =
       if (en >= de && en >= fr && en >= es) "en"
@@ -203,30 +163,21 @@ object GraftTextStats {
       if (nChars == 0L) 0.0 else (nChars - keep).toDouble / nChars.toDouble
     // token pass on the trimmed bytes (split(trim, "\s+") contract)
     val b = s.trim().getBytes
-    def isWs(x: Byte): Boolean = x == ' ' || x == '\t' || x == '\n' ||
-      x == 0x0b || x == '\f' || x == '\r'
-    var nTok = 0L
+    val (starts, ends) = GraftHashUtil.tokenRanges(b)
+    val nTok = starts.length.toLong
     var stop = 0L
-    if (b.length == 0) nTok = 1 // [""]
-    else {
-      if (isWs(b(0))) nTok += 1
-      i = 0
-      while (i < b.length) {
-        while (i < b.length && isWs(b(i))) i += 1
-        if (i < b.length) {
-          val s0 = i
-          while (i < b.length && !isWs(b(i))) i += 1
-          nTok += 1
-          val tok = new String(b, s0, i - s0,
-            java.nio.charset.StandardCharsets.UTF_8)
-          tok match {
-            case "the" | "a" | "an" | "and" | "or" | "of" | "to" |
-                 "in" | "is" | "it" => stop += 1
-            case _ => ()
-          }
+    var w = 0
+    while (w < starts.length) {
+      if (ends(w) > starts(w)) { // empty tokens are never stopwords
+        val tok = new String(b, starts(w), ends(w) - starts(w),
+          java.nio.charset.StandardCharsets.UTF_8)
+        tok match {
+          case "the" | "a" | "an" | "and" | "or" | "of" | "to" |
+               "in" | "is" | "it" => stop += 1
+          case _ => ()
         }
       }
-      if (isWs(b(b.length - 1))) nTok += 1
+      w += 1
     }
     val stopRatio = stop.toDouble / nTok.toDouble
     stopRatio * 0.5 + (1.0 - punctRatio) * 0.3 +
@@ -242,19 +193,16 @@ object GraftTextStats {
     */
   def tokenTf(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
     val b = s.trim().getBytes
-    def isWs(x: Byte): Boolean = x == ' ' || x == '\t' || x == '\n' ||
-      x == 0x0b || x == '\f' || x == '\r'
+    val (starts, ends) = GraftHashUtil.tokenRanges(b)
     val counts = new java.util.LinkedHashMap[String, Long](64)
-    var i = 0
-    while (i < b.length) {
-      while (i < b.length && isWs(b(i))) i += 1
-      if (i < b.length) {
-        val s0 = i
-        while (i < b.length && !isWs(b(i))) i += 1
-        val tok = new String(b, s0, i - s0,
+    var w = 0
+    while (w < starts.length) {
+      if (ends(w) > starts(w)) { // the declarative form filters '' ≠
+        val tok = new String(b, starts(w), ends(w) - starts(w),
           java.nio.charset.StandardCharsets.UTF_8)
         counts.merge(tok, 1L, (a, x) => a + x)
       }
+      w += 1
     }
     val out = new Array[Any](counts.size())
     val it = counts.entrySet().iterator()
@@ -275,8 +223,12 @@ object GraftTextStats {
     */
   def repetitionKeep(s: UTF8String, maxDup2: Double, maxDup3: Double,
                      maxTopShare: Double): Boolean = {
-    val s2 = ngramStats(s, 2)
-    val s3 = ngramStats(s, 3)
+    // ONE tokenization for both censuses — the hot path of the
+    // curate_* gates runs this per corpus row
+    val b = s.trim().getBytes
+    val (starts, ends) = GraftHashUtil.tokenRanges(b)
+    val s2 = ngramStatsRanges(b, starts, ends, 2)
+    val s3 = ngramStatsRanges(b, starts, ends, 3)
     val n2 = s2.getLong(0); val d2 = s2.getLong(1); val top2 = s2.getLong(2)
     val n3 = s3.getLong(0); val d3 = s3.getLong(1)
     val dup2 = if (n2 > 0) (n2 - d2).toDouble / n2.toDouble else 0.0
@@ -355,6 +307,13 @@ case class SimHashDoc(child: Expression, bits: Int, hexLen: Int)
     extends UnaryExpression with ExpectsInputTypes {
   require(bits >= 1 && bits <= 60, "bits must be in [1, 60]")
   require(hexLen >= 1 && hexLen <= 15, "1..15 hex chars fit a long")
+  // the token hash carries only 4·hexLen meaningful bits: past that,
+  // every signature's high bits are constant 0 and a banded
+  // self-join over them degenerates to ~N²/2 candidates with no
+  // error (the hazard simhashAgg documents) — refuse at construction
+  require(bits <= 4 * hexLen,
+    s"simhash: $bits signature bits exceed the $hexLen-hex-char " +
+      s"token hash's ${4 * hexLen} meaningful bits — raise hexLen")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = LongType

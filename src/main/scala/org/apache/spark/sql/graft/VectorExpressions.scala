@@ -38,8 +38,10 @@ case class VecDot(left: Expression, right: Expression)
       case _ => "getDouble"
     }
 
-  // null on length mismatch — matching the zip_with+aggregate fold
-  // this kernel replaces (zip_with pads with null, the fold poisons)
+  // null on length mismatch OR any NULL element — matching the
+  // zip_with+aggregate fold this kernel replaces (zip_with pads with
+  // null, the fold poisons to NULL; getFloat on a null slot would
+  // silently read 0.0 and produce a confidently wrong score)
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val a = left.eval(input)
     val b = right.eval(input)
@@ -53,6 +55,7 @@ case class VecDot(left: Expression, right: Expression)
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       s += xi * yi
@@ -75,9 +78,12 @@ case class VecDot(left: Expression, right: Expression)
          |  int $n = $a.numElements();
          |  double $s = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true; break;
+         |    }
          |    $s += (double) $a.$ga($i) * (double) $b.$gb($i);
          |  }
-         |  ${ev.value} = $s;
+         |  if (!${ev.isNull}) ${ev.value} = $s;
          |}
        """.stripMargin
     })
@@ -122,6 +128,7 @@ case class VecL2Sq(left: Expression, right: Expression)
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       val d = xi - yi
@@ -146,10 +153,13 @@ case class VecL2Sq(left: Expression, right: Expression)
          |  int $n = $a.numElements();
          |  double $s = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true; break;
+         |    }
          |    double $d = (double) $a.$ga($i) - (double) $b.$gb($i);
          |    $s += $d * $d;
          |  }
-         |  ${ev.value} = $s;
+         |  if (!${ev.isNull}) ${ev.value} = $s;
          |}
        """.stripMargin
     })
@@ -166,6 +176,9 @@ case class VecNorm(child: Expression)
   override def inputTypes: Seq[AbstractDataType] =
     Seq(TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
   override def dataType: DataType = DoubleType
+  // nullable even over a non-null child: a NULL ELEMENT poisons the
+  // result to NULL (the HOF-fold contract), same as VecDot/VecL2Sq
+  override def nullable: Boolean = true
   override def prettyName: String = "vec_norm"
 
   private def isFloat: Boolean =
@@ -178,6 +191,7 @@ case class VecNorm(child: Expression)
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i)) return null
       val v = if (f) x.getFloat(i).toDouble else x.getDouble(i)
       s += v * v
       i += 1
@@ -196,10 +210,11 @@ case class VecNorm(child: Expression)
          |int $n = $a.numElements();
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $v = (double) $a.$g($i);
          |  $s += $v * $v;
          |}
-         |${ev.value} = java.lang.Math.sqrt($s);
+         |if (!${ev.isNull}) ${ev.value} = java.lang.Math.sqrt($s);
        """.stripMargin
     })
 
@@ -222,6 +237,42 @@ object VectorColumns {
     ExpressionUtils.column(VecL2Sq(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  /** Arity-checked SQL builders — ONE list serving both registration
+    * paths (imperative [[register]] and
+    * `graft.functions.GraftExtensions`), so the wrong-arity guards
+    * and the function set cannot drift between them: a wrong-arity
+    * SQL call surfaces as an error naming the function, never an
+    * IndexOutOfBoundsException from children(1).
+    */
+  def sqlBuilders: Seq[(String, String, Seq[Expression] => Expression)] = {
+    def arity(name: String, n: Int)(cs: Seq[Expression])
+        : Seq[Expression] = {
+      if (cs.size != n)
+        throw new IllegalArgumentException(
+          s"$name expects $n argument${if (n == 1) "" else "s"}, " +
+            s"got ${cs.size}")
+      cs
+    }
+    Seq(
+      ("vec_dot", classOf[VecDot].getName,
+        (cs: Seq[Expression]) => {
+          val c = arity("vec_dot", 2)(cs); VecDot(c(0), c(1)): Expression
+        }),
+      ("vec_norm", classOf[VecNorm].getName,
+        (cs: Seq[Expression]) =>
+          VecNorm(arity("vec_norm", 1)(cs).head): Expression),
+      ("vec_l2sq", classOf[VecL2Sq].getName,
+        (cs: Seq[Expression]) => {
+          val c = arity("vec_l2sq", 2)(cs); VecL2Sq(c(0), c(1)): Expression
+        }),
+      ("hilbert_index", classOf[HilbertIndex].getName,
+        // fromChildren carries its own arity require
+        (cs: Seq[Expression]) => HilbertColumns.fromChildren(cs)),
+      ("nfc_normalize", classOf[NfcNormalize].getName,
+        (cs: Seq[Expression]) =>
+          NfcNormalize(arity("nfc_normalize", 1)(cs).head): Expression))
+  }
+
   /** Imperative registration into an existing session's function
     * registry (idempotent) — for sessions built without
     * `spark.sql.extensions=graft.functions.GraftExtensions`.
@@ -230,25 +281,9 @@ object VectorColumns {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
     val reg = spark.sessionState.functionRegistry
-    reg.registerFunction(
-      FunctionIdentifier("vec_dot"),
-      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      (children: Seq[Expression]) => VecDot(children(0), children(1)))
-    reg.registerFunction(
-      FunctionIdentifier("vec_norm"),
-      new ExpressionInfo(classOf[VecNorm].getName, "vec_norm"),
-      (children: Seq[Expression]) => VecNorm(children.head))
-    reg.registerFunction(
-      FunctionIdentifier("vec_l2sq"),
-      new ExpressionInfo(classOf[VecL2Sq].getName, "vec_l2sq"),
-      (children: Seq[Expression]) => VecL2Sq(children(0), children(1)))
-    reg.registerFunction(
-      FunctionIdentifier("hilbert_index"),
-      new ExpressionInfo(classOf[HilbertIndex].getName, "hilbert_index"),
-      (children: Seq[Expression]) => HilbertColumns.fromChildren(children))
-    reg.registerFunction(
-      FunctionIdentifier("nfc_normalize"),
-      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
-      (children: Seq[Expression]) => NfcNormalize(children.head))
+    sqlBuilders.foreach { case (name, cls, build) =>
+      reg.registerFunction(FunctionIdentifier(name),
+        new ExpressionInfo(cls, name), build)
+    }
   }
 }

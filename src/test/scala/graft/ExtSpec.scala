@@ -1253,6 +1253,54 @@ class ExtSpec extends SparkSpec {
     assert(got.isNullAt(0))
   }
 
+  test("VecDot/VecL2Sq/VecNorm poison to NULL on a NULL ELEMENT — " +
+      "the zip_with+aggregate fold's contract, never a silent 0.0") {
+    import graft.functions.VectorFunctions._
+    val df = Seq(
+      (1L, Seq[Option[Float]](Some(1f), None), Seq[Option[Float]](Some(2f), Some(5f))),
+      (2L, Seq[Option[Float]](Some(1f), Some(3f)), Seq[Option[Float]](Some(2f), Some(5f))))
+      .toDF("id", "a", "b")
+    val got = df.select($"id", vec_dot($"a", $"b").as("d"),
+        vec_l2sq($"a", $"b").as("l"), vec_norm($"a").as("n"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.isNullAt(1), r.isNullAt(2), r.isNullAt(3)))).toMap
+    assert(got(1L) === ((true, true, true)))
+    assert(got(2L) === ((false, false, false)))
+    // wrong-arity SQL calls fail with the function named, not an
+    // IndexOutOfBoundsException — both registration paths share the
+    // guarded builders
+    graft.functions.VectorFunctions.register(spark)
+    Seq((1L, Seq(1f, 2f))).toDF("id", "v")
+      .createOrReplaceTempView("vec_arity_t")
+    val e = intercept[Exception] {
+      spark.sql("SELECT vec_dot(v) FROM vec_arity_t").collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(t => t.getMessage != null &&
+      t.getMessage.contains("vec_dot expects 2 arguments")), s"got: $e")
+  }
+
+  test("repetitionKeep KEEPS null text (the metrics-table gate's " +
+      "contract) and SimHashDoc refuses bits past the token hash") {
+    val df = Seq((1L, Some("a a a a")), (2L, None: Option[String]))
+      .toDF("doc_id", "t")
+    val got = df.select($"doc_id",
+        TextAnalysis.repetitionKeep($"t").as("keep"))
+      .as[(Long, Boolean)].collect().toMap
+    val want = TextAnalysis.repetitionMetrics(df, $"doc_id", $"t")
+      .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toMap
+    assert(got === want)
+    assert(got(2L) === true)
+    // 60 signature bits over an 8-hex (32-bit) token hash would zero
+    // the high bands and degrade banded joins to ~N²/2 — loud refusal
+    val e = intercept[IllegalArgumentException] {
+      org.apache.spark.sql.graft.TextStatsColumns
+        .simhash($"t", bits = 60, hexLen = 8)
+    }
+    assert(e.getMessage.contains("meaningful bits"), e.getMessage)
+  }
+
   test("jaccardPairs matches the array-form jaccard on blocked pairs") {
     val df = Seq(
       (1L, "b1", Seq("x_y", "y_z", "z_w")),
