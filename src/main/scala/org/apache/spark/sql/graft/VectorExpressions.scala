@@ -11,6 +11,18 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
 
+/** Shared schema probe for the kernels below. */
+private[graft] object VecKernelUtil {
+  /** Whether the expression's ARRAY ELEMENTS may be null per the
+    * schema — the kernels' per-element null-bit probes compile in
+    * only then (containsNull=false proves them dead).
+    */
+  def mayNull(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
+}
+
+import VecKernelUtil.mayNull
+
 /** Native, codegen'd float-vector kernels. The higher-order-function
   * form (`aggregate(zip_with(...))`) evaluates a lambda per element —
   * per-element virtual calls and boxed closures on the hottest loop of
@@ -51,11 +63,12 @@ case class VecDot(left: Expression, right: Expression)
     if (x.numElements() != y.numElements()) return null
     val lf = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
     val rf = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val nullable = mayNull(left) || mayNull(right)
     val n = x.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
-      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      if (nullable && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       s += xi * yi
@@ -71,6 +84,16 @@ case class VecDot(left: Expression, right: Expression)
       val s = ctx.freshName("s")
       val ga = elemGetter(left)
       val gb = elemGetter(right)
+      // the null-bit probe only compiles in when the SCHEMA says
+      // elements can be null: a branch in this multiply-add loop
+      // costs ~2x on the ANN hot path (it defeats vectorization),
+      // and containsNull=false makes it provably dead code
+      val guard =
+        if (mayNull(left) || mayNull(right))
+          s"""if ($a.isNullAt($i) || $b.isNullAt($i)) {
+             |      ${ev.isNull} = true; break;
+             |    }""".stripMargin
+        else ""
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
@@ -78,9 +101,7 @@ case class VecDot(left: Expression, right: Expression)
          |  int $n = $a.numElements();
          |  double $s = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
-         |      ${ev.isNull} = true; break;
-         |    }
+         |    $guard
          |    $s += (double) $a.$ga($i) * (double) $b.$gb($i);
          |  }
          |  if (!${ev.isNull}) ${ev.value} = $s;
@@ -124,11 +145,12 @@ case class VecL2Sq(left: Expression, right: Expression)
     if (x.numElements() != y.numElements()) return null
     val lf = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
     val rf = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val nullable = mayNull(left) || mayNull(right)
     val n = x.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
-      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      if (nullable && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       val d = xi - yi
@@ -146,6 +168,13 @@ case class VecL2Sq(left: Expression, right: Expression)
       val d = ctx.freshName("d")
       val ga = elemGetter(left)
       val gb = elemGetter(right)
+      // same schema-gated null-bit probe as VecDot
+      val guard =
+        if (mayNull(left) || mayNull(right))
+          s"""if ($a.isNullAt($i) || $b.isNullAt($i)) {
+             |      ${ev.isNull} = true; break;
+             |    }""".stripMargin
+        else ""
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
@@ -153,9 +182,7 @@ case class VecL2Sq(left: Expression, right: Expression)
          |  int $n = $a.numElements();
          |  double $s = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
-         |      ${ev.isNull} = true; break;
-         |    }
+         |    $guard
          |    double $d = (double) $a.$ga($i) - (double) $b.$gb($i);
          |    $s += $d * $d;
          |  }
@@ -187,11 +214,12 @@ case class VecNorm(child: Expression)
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val f = isFloat
+    val nullable = mayNull(child)
     val n = x.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
-      if (x.isNullAt(i)) return null
+      if (nullable && x.isNullAt(i)) return null
       val v = if (f) x.getFloat(i).toDouble else x.getDouble(i)
       s += v * v
       i += 1
@@ -206,11 +234,16 @@ case class VecNorm(child: Expression)
       val s = ctx.freshName("s")
       val v = ctx.freshName("v")
       val g = if (isFloat) "getFloat" else "getDouble"
+      // same schema-gated null-bit probe as VecDot
+      val guard =
+        if (mayNull(child))
+          s"if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = $a.numElements();
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $guard
          |  double $v = (double) $a.$g($i);
          |  $s += $v * $v;
          |}
