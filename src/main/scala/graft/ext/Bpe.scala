@@ -40,9 +40,15 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  /** `low` → `|l||o||w|` — one wrapped symbol per character. */
+  /** `low` → `|l||o||w|` — one wrapped symbol per character. DOTALL
+    * ((?s)): bare `.` skips line terminators (U+2028/U+2029/U+0085),
+    * which are NOT in `\s` and so survive the word split — an
+    * unwrapped character between symbols would parse as a composite
+    * symbol containing pipes, breaking the every-symbol-wrapped
+    * invariant train/encode parse by.
+    */
   def symbolize(word: Column): Column =
-    regexp_replace(word, "(.)", "|$1|")
+    regexp_replace(word, "(?s)(.)", "|$1|")
 
   /** The corpus word table the induction runs on: one row per
     * DISTINCT word with its corpus count and symbolized form, capped

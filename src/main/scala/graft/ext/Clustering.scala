@@ -46,7 +46,13 @@ object Clustering {
     * kernel, not a lambda.
     */
   private def assignNearest(pts: DataFrame, cent: DataFrame): DataFrame =
-    pts.crossJoin(broadcast(cent))
+    // zero-norm centroids are DROPPED before the cosine (the
+    // Similarity discipline): cosine(x, 0-vec) is 0/0 = NaN, and NaN
+    // sorts above every real value in the argmax struct — ONE failed
+    // embedding among the seeds would capture the whole corpus,
+    // collapsing k-means to a single cluster and the within-cluster
+    // self-joins downstream (semanticDedup) to C(n,2)
+    pts.crossJoin(broadcast(cent.filter(Similarity.norm(col("__cv")) > 0)))
       .withColumn("__cos", Similarity.cosine(col("__v"), col("__cv")))
       .groupBy("__id")
       .agg(max_by(struct(col("__cid"), col("__v")),
@@ -73,7 +79,12 @@ object Clustering {
   def kmeansAssign(df: DataFrame, id: Column, vec: Column, k: Int,
                    iters: Int = 2): DataFrame = {
     require(iters >= 1, "kmeansAssign needs at least one iteration")
+    // zero-norm POINTS drop like everywhere in Similarity: a failed
+    // embedding has no angle to cluster by (its cosine is 0/0 — an
+    // ANSI-mode divide error, a NaN otherwise), and as a seed it
+    // would NaN-capture the corpus into one cluster
     val pts = df.select(id.as("__id"), vec.as("__v"))
+      .filter(Similarity.norm(col("__v")) > 0)
     val cent0 = pts.orderBy(col("__id")).limit(k)
       .select(col("__id").as("__cid"), col("__v").as("__cv"))
     var assigned = assignNearest(pts, cent0)
@@ -141,8 +152,12 @@ object Clustering {
     */
   def silhouetteWith(df: DataFrame, id: Column, vec: Column,
                      centIn: DataFrame): DataFrame = {
+    // same zero-norm drops as kmeansAssign (points have no angle; a
+    // degenerate centroid would be every point's NaN "own" cluster)
     val pts = df.select(id.as("__id"), vec.as("__v"))
+      .filter(Similarity.norm(col("__v")) > 0)
     val cent = centIn.select(col("cid").as("__cid"), col("cv").as("__cv"))
+      .filter(Similarity.norm(col("__cv")) > 0)
     val ranked = pts.crossJoin(broadcast(
         cent.select(col("__cid"), col("__cv"))))
       .withColumn("__cos", Similarity.cosine(col("__v"), col("__cv")))

@@ -726,8 +726,12 @@ object DedupOps {
       col("__id").as("id_b"), col("__s").as("__sb"))
     a.join(b, Seq("__band", "__key"))
       .filter(col("id_a") < col("id_b"))
+      // masked to `bits` like hammingDistance — the scaladoc's "same
+      // single expression" claim: set bits ABOVE bits-1 (a 64-bit
+      // signature under 60-bit bands) would inflate the distance and
+      // silently reject true near-dups
       .withColumn("hamming",
-        bit_count(col("__sa").bitwiseXOR(col("__sb"))))
+        hammingDistance(col("__sa"), col("__sb"), bits))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
       .distinct()
@@ -758,8 +762,12 @@ object DedupOps {
     }
     banded(left, "a")
       .join(banded(right, "b"), Seq("__band", "__key"))
+      // masked to `bits` like hammingDistance — the scaladoc's "same
+      // single expression" claim: set bits ABOVE bits-1 (a 64-bit
+      // signature under 60-bit bands) would inflate the distance and
+      // silently reject true near-dups
       .withColumn("hamming",
-        bit_count(col("__sa").bitwiseXOR(col("__sb"))))
+        hammingDistance(col("__sa"), col("__sb"), bits))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
       .distinct()

@@ -32,7 +32,17 @@ object Profiling {
   def equidepthBins(scored: DataFrame, key: String, score: String,
                     q: Int): DataFrame = {
     require(q >= 2 && q <= 1024, "q must be in [2, 1024]")
-    val hist = scored.groupBy(col(key), col(score).cast("long").as("__s"))
+    // NULL scores stay out of BOTH the histogram and __n (the
+    // winsorize/madOutliers PERCENTILE_DISC-ignores-NULLs contract):
+    // an unfiltered (key, NULL) struct sorts FIRST in the fold,
+    // inflating the running count before any real value and shifting
+    // — or with enough NULLs, nulling — every threshold. NULL-score
+    // rows of a key with real scores still pass through below and
+    // bin as 0 (score > t is NULL, the filter keeps nothing); a key
+    // whose scores are ALL NULL has no quantiles to bin against and
+    // drops with its thr row, like PERCENTILE_DISC over zero rows
+    val hist = scored.filter(col(score).isNotNull)
+      .groupBy(col(key), col(score).cast("long").as("__s"))
       .agg(count(lit(1)).as("__c"))
     val thr = hist.groupBy(key)
       .agg(sort_array(collect_list(struct(col("__s"), col("__c"))))
@@ -175,16 +185,28 @@ object Profiling {
         when(col("digit") === d, lit(ppm)).otherwise(acc)
       }
     val counts = df
-      .select(floor(value * 1000000).cast("long").as("__m"))
+      // cast-FIRST like every sibling operator: on an IntegerType
+      // column the int*int product wraps silently at value >= 2148,
+      // reporting a wrong leading digit (or dropping the row via > 0)
+      .select(floor(value.cast("double") * 1000000).cast("long")
+        .as("__m"))
       .filter(col("__m") > 0)
       .select(substring(col("__m").cast("string"), 1, 1)
         .cast("int").as("digit"))
       .groupBy(col("digit"))
       .agg(count(lit(1)).as("n_obs"))
+    // EVERY digit 1-9 gets a row, observed or not: a digit entirely
+    // absent from the data is the strongest fabrication signal and
+    // must surface with dev_ppm = benford_ppm, not silently vanish
+    // from the report
+    val digits = df.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
     // the grand total joins back as a broadcast of ONE row — never a
     // window (a constant-key window constant-folds into the banned
     // unpartitioned form)
-    counts.crossJoin(broadcast(
+    digits.join(counts, Seq("digit"), "left")
+      .na.fill(0L, Seq("n_obs"))
+      .crossJoin(broadcast(
         counts.agg(sum(col("n_obs")).as("__total"))))
       .select(col("digit"), col("n_obs"),
         // decimal multiply + integral div — the truncating integer
@@ -266,8 +288,16 @@ object Profiling {
           expr("((__s - v) * 1000000) div (__n - 1)").cast("long"))
           .as("enc_loo_micro"),
         when(col("v").isNotNull,
-          expr(s"((__s + $m * (__gs div __gn)) * 1000000) " +
-            s"div (__n + $m)").cast("long"))
+          // the EXACT m-estimate (Σ + m·ḡ)/(n + m) in one integer
+          // quotient: a truncated intermediate mean (__gs div __gn)
+          // collapses to whole raw units — for a 0/1 target the
+          // global mean truncates to 0 and rare categories lose
+          // their pull toward it entirely, the exact case smoothing
+          // exists for. Decimal throughout: (__n + m)·__gn wraps a
+          // long at ~1e12-row corpora
+          expr(s"((__s * __gn + $m * __gs) * 1000000) " +
+            s"div (cast(__n + $m as decimal(38,0)) * __gn)")
+            .cast("long"))
           .as("enc_smooth_micro"))
   }
 

@@ -996,10 +996,22 @@ object Similarity {
             "null/non-positive rank for doc_id "), col("doc_id"))))
           .otherwise(col("rnk")).cast("int").as("rnk"))
     }.reduce(_ unionByName _)
+    // a doc_id appearing TWICE in one list is malformed the same way
+    // (it would sum two reciprocal contributions while <name>_rnk
+    // reports only one — a silent boost the rank column can't
+    // explain); the per-(list, doc) pre-aggregate is over ≤ Σk rows
+    val deduped = tagged.groupBy("doc_id", "__l")
+      .agg(count(lit(1)).as("__c"), min("rnk").as("__rnk"))
+      .select(col("doc_id"), col("__l"),
+        when(col("__c") > 1, raise_error(concat(
+          lit("rrfFuse: doc_id "), col("doc_id").cast("string"),
+          lit(" appears more than once in one ranked list — ranked " +
+            "lists are sets; dedup the retriever output upstream"))))
+          .otherwise(col("__rnk")).as("rnk"))
     val rankCols = lists.zipWithIndex.map { case ((nm, _), i) =>
       max(when(col("__l") === i, col("rnk"))).as(s"${nm}_rnk")
     }
-    val fused = tagged.groupBy("doc_id")
+    val fused = deduped.groupBy("doc_id")
       .agg(sum(expr(s"1000000 div ($k0 + rnk)")).as("rrf_ppm"),
         rankCols: _*)
       .orderBy(col("rrf_ppm").desc, col("doc_id"))

@@ -672,7 +672,7 @@ private[queries] object ExtensionSupport {
     */
   private[queries] def bpeCtes(k: Int, maxWords: Int): String = {
     val w0 = raw"""w0 AS (
-      |  SELECT wc, regexp_replace(w, '(.)', '|\1|', 'g') AS str FROM (
+      |  SELECT wc, regexp_replace(w, '(?s)(.)', '|\1|', 'g') AS str FROM (
       |    SELECT t AS w, count(*) AS wc
       |    FROM (SELECT unnest($tokensSql) AS t FROM documents)
       |    WHERE t <> ''

@@ -734,13 +734,13 @@ private[queries] object GraphTimeQueries {
         |        CAST(floor(value * 100) AS BIGINT) AS v FROM events),
         |c AS (SELECT event_type, CAST(sum(v) AS HUGEINT) AS s,
         |        count(v) AS n FROM e GROUP BY 1),
-        |g AS (SELECT CAST(sum(v) AS HUGEINT) // count(v) AS gm FROM e)
+        |g AS (SELECT CAST(sum(v) AS HUGEINT) AS gs, count(v) AS gn FROM e)
         |SELECT e.event_id, e.event_type, e.v,
         |  CASE WHEN e.v IS NOT NULL AND c.n > 1 THEN
         |    CAST(((s - e.v) * 1000000) // (n - 1) AS BIGINT)
         |  END AS enc_loo_micro,
         |  CASE WHEN e.v IS NOT NULL THEN
-        |    CAST(((s + 10 * gm) * 1000000) // (n + 10) AS BIGINT)
+        |    CAST(((s * gn + 10 * gs) * 1000000) // ((n + 10) * gn) AS BIGINT)
         |  END AS enc_smooth_micro
         |FROM e
         |JOIN c ON e.event_type IS NOT DISTINCT FROM c.event_type, g"""
@@ -863,9 +863,13 @@ private[queries] object GraphTimeQueries {
         |    ('c_mktsegment', t.ms_n, t.ms_d))
         |    AS u(col_name, n_null, n_distinct)""".stripMargin,
 
+    // every digit 1-9 emits a row (unobserved digits report n_obs 0
+    // with dev_ppm = benford_ppm — the strongest fabrication signal
+    // must not vanish from the report), mirroring the Spark side's
+    // digit-frame left join
     "stats_benford" ->
-      """WITH m AS (SELECT CAST(floor(value * 1000000) AS BIGINT) AS m
-        |  FROM events WHERE floor(value * 1000000) > 0),
+      """WITH m AS (SELECT CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS m
+        |  FROM events WHERE floor(CAST(value AS DOUBLE) * 1000000) > 0),
         |d AS (SELECT CAST(substr(CAST(m AS VARCHAR), 1, 1) AS INT)
         |    AS digit FROM m),
         |c AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY 1),
@@ -873,12 +877,12 @@ private[queries] object GraphTimeQueries {
         |e(digit, benford_ppm) AS (VALUES (1, 301029), (2, 176091),
         |  (3, 124938), (4, 96910), (5, 79181), (6, 66946),
         |  (7, 57991), (8, 51152), (9, 45757))
-        |SELECT c.digit, c.n_obs,
-        |  CAST(c.n_obs * 1000000 // t.total AS BIGINT) AS obs_ppm,
+        |SELECT e.digit, coalesce(c.n_obs, 0) AS n_obs,
+        |  CAST(coalesce(c.n_obs, 0) * 1000000 // t.total AS BIGINT) AS obs_ppm,
         |  CAST(e.benford_ppm AS BIGINT) AS benford_ppm,
-        |  CAST(abs(c.n_obs * 1000000 // t.total - e.benford_ppm)
+        |  CAST(abs(coalesce(c.n_obs, 0) * 1000000 // t.total - e.benford_ppm)
         |    AS BIGINT) AS dev_ppm
-        |FROM c, t JOIN e ON e.digit = c.digit""".stripMargin,
+        |FROM e LEFT JOIN c ON e.digit = c.digit CROSS JOIN t""".stripMargin,
 
     "stats_key_skew" ->
       """WITH counts AS (SELECT l_partkey AS key, count(*) AS n

@@ -327,11 +327,14 @@ private[queries] object SimQueries {
     // (exact BIGINT sums) is what makes the float-free parts exact and
     // the cosine folds bit-identical to the Spark side
     "emb_kmeans" ->
-      (s"""WITH cent0 AS (SELECT vec_id AS cid, embedding AS cv
-        |              FROM embeddings ORDER BY vec_id LIMIT 8),
+      (s"""WITH cent0 AS (SELECT cid, cv FROM (
+        |                SELECT vec_id AS cid, embedding AS cv
+        |                FROM embeddings ORDER BY vec_id LIMIT 8)
+        |              WHERE (${normSql("cv")}) > 0),
         |a1 AS (
         |  SELECT e.vec_id, e.embedding AS ev, c.cid
         |  FROM embeddings e CROSS JOIN cent0 c
+        |  WHERE (${normSql("e.embedding")}) > 0
         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
         |    ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.cid) = 1),
         |dims AS (
@@ -341,11 +344,14 @@ private[queries] object SimQueries {
         |  FROM a1),
         |sums AS (SELECT cid, i, sum(qv) AS s, count(*) AS n FROM dims GROUP BY 1, 2),
         |cent1 AS (
-        |  SELECT cid, list((CAST(s AS DOUBLE) / n) / 1000000.0 ORDER BY i) AS cv
-        |  FROM sums GROUP BY cid),
+        |  SELECT cid, cv FROM (
+        |    SELECT cid, list((CAST(s AS DOUBLE) / n) / 1000000.0 ORDER BY i) AS cv
+        |    FROM sums GROUP BY cid)
+        |  WHERE (${normSql("cv")}) > 0),
         |a2 AS (
         |  SELECT e.vec_id, c.cid
         |  FROM embeddings e CROSS JOIN cent1 c
+        |  WHERE (${normSql("e.embedding")}) > 0
         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
         |    ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.cid) = 1)
         |SELECT cid, count(*) AS n_members, CAST(sum(vec_id) AS BIGINT) AS id_checksum
@@ -357,11 +363,14 @@ private[queries] object SimQueries {
     // cosine, other = the best remaining (both from the same ranked
     // pass), s floor-quantized to micro-units
     "emb_silhouette" ->
-      (s"""WITH cent0 AS (SELECT vec_id AS cid, embedding AS cv
-        |              FROM embeddings ORDER BY vec_id LIMIT 8),
+      (s"""WITH cent0 AS (SELECT cid, cv FROM (
+        |                SELECT vec_id AS cid, embedding AS cv
+        |                FROM embeddings ORDER BY vec_id LIMIT 8)
+        |              WHERE (${normSql("cv")}) > 0),
         |a1 AS (
         |  SELECT e.vec_id, e.embedding AS ev, c.cid
         |  FROM embeddings e CROSS JOIN cent0 c
+        |  WHERE (${normSql("e.embedding")}) > 0
         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
         |    ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.cid) = 1),
         |dims AS (
@@ -371,12 +380,15 @@ private[queries] object SimQueries {
         |  FROM a1),
         |sums AS (SELECT cid, i, sum(qv) AS s, count(*) AS n FROM dims GROUP BY 1, 2),
         |cent1 AS (
-        |  SELECT cid, list((CAST(s AS DOUBLE) / n) / 1000000.0 ORDER BY i) AS cv
-        |  FROM sums GROUP BY cid),
+        |  SELECT cid, cv FROM (
+        |    SELECT cid, list((CAST(s AS DOUBLE) / n) / 1000000.0 ORDER BY i) AS cv
+        |    FROM sums GROUP BY cid)
+        |  WHERE (${normSql("cv")}) > 0),
         |ax AS (
         |  SELECT e.vec_id, c.cid,
         |    ${cosSql("e.embedding", "c.cv")} AS cos
-        |  FROM embeddings e CROSS JOIN cent1 c),
+        |  FROM embeddings e CROSS JOIN cent1 c
+        |  WHERE (${normSql("e.embedding")}) > 0),
         |ranked AS (
         |  SELECT vec_id, cid, cos,
         |    row_number() OVER (PARTITION BY vec_id

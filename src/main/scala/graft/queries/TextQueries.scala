@@ -531,7 +531,7 @@ private[queries] object TextQueries {
           |  SELECT doc_id, array_to_string(
           |    list_transform($tokensSql,
           |      w -> CASE WHEN w = '' THEN w
-          |           ELSE regexp_replace(w, '(.)', '|\1|', 'g') END),
+          |           ELSE regexp_replace(w, '(?s)(.)', '|\1|', 'g') END),
           |    ' ') AS s
           |  FROM documents),
           |enc AS (SELECT doc_id,""".stripMargin + "\n" +

@@ -3939,5 +3939,49 @@ class ExtSpec extends SparkSpec {
       Similarity.rrfFuse(Seq("a" -> z, "b" -> b), 60, 2).collect()
     }
     assert(e2.getMessage.contains("null/non-positive rank"))
+    // a doc listed TWICE in one list would double-count its
+    // reciprocal contributions while the rank column reports one —
+    // malformed the same way, same loud stance
+    val dup = Seq((1L, 3), (1L, 7), (2L, 1)).toDF("doc_id", "rnk")
+    val e3 = intercept[Exception] {
+      Similarity.rrfFuse(Seq("a" -> dup, "b" -> b), 60, 3).collect()
+    }
+    assert(e3.getMessage.contains("more than once"), e3.getMessage)
+  }
+
+  test("kmeans survives a zero-norm vector among the seeds: the " +
+      "degenerate centroid drops instead of NaN-capturing the corpus") {
+    // id 0 is a failed embedding (all zeros) and lands in the k=2
+    // seed set; without the drop every point's cosine against it is
+    // NaN, which out-sorts every real cosine — one giant cluster
+    val pts = Seq(
+      (0L, Seq(0f, 0f, 0f)),
+      (1L, Seq(1f, 0f, 0f)), (2L, Seq(0.9f, 0.1f, 0f)),
+      (3L, Seq(0f, 1f, 0f)), (4L, Seq(0.1f, 0.9f, 0f)))
+      .toDF("id", "v")
+    val got = Clustering.kmeansAssign(pts, $"id", $"v", k = 2, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    // ids 1,2 and 3,4 must land in DIFFERENT clusters (the x-axis
+    // and y-axis blobs) — a NaN collapse would put all in one
+    assert(got(1L) === got(2L) && got(3L) === got(4L))
+    assert(got(1L) !== got(3L), s"collapsed to one cluster: $got")
+  }
+
+  test("benfordProfile: int columns don't wrap, and absent digits " +
+      "report dev_ppm = benford_ppm instead of vanishing") {
+    import graft.ext.Profiling
+    // IntegerType values ≥ 2148 would wrap int*1000000 and corrupt
+    // the leading digit; all values here start with 5
+    val ints = Seq(5000, 5200, 59999, 512345).toDF("v")
+      .select($"v".cast("int").as("v"))
+    val got = Profiling.benfordProfile(ints, $"v")
+      .select($"digit", $"n_obs", $"dev_ppm")
+      .as[(Int, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got.keySet === (1 to 9).toSet) // every digit reports
+    assert(got(5)._1 === 4L)
+    // digit 9 never observed: its deviation IS the full expectation
+    assert(got(9) === ((0L, 45757L)))
+    assert(got(7)._1 === 0L) // no wrap artifacts
   }
 }

@@ -210,6 +210,24 @@ class GraphTimeSeriesSpec extends SparkSpec {
       3L -> 0, 4L -> 0, 5L -> 1, 6L -> 1))
   }
 
+  test("equidepthBins: NULL scores stay out of the histogram (the " +
+      "PERCENTILE_DISC-ignores-NULLs contract) — they neither shift " +
+      "thresholds nor count toward the depth") {
+    // 100 real scores 1..100 at q=2 must split 50/50 at t=50 even
+    // with 100 NULL-score rows alongside; unfiltered, the NULL
+    // struct sorts first and nulls the threshold, pushing every real
+    // row into bin 0
+    val rows = (1 to 100).map(i => ("k", i.toLong, Some(i.toLong))) ++
+      (1 to 100).map(i => ("k", 1000L + i, Option.empty[Long]))
+    val got = Profiling.equidepthBins(
+        rows.toDF("lang", "doc_id", "n_chars"),
+        key = "lang", score = "n_chars", q = 2)
+      .filter($"n_chars".isNotNull)
+      .select($"doc_id", $"bin").as[(Long, Int)].collect()
+    assert(got.count(_._2 == 0) === 50, s"bin0=${got.count(_._2 == 0)}")
+    assert(got.count(_._2 == 1) === 50)
+  }
+
   test("equidepthBins: exact PERCENTILE_DISC cuts, ties land whole " +
       "in the lower bin, per-key boundaries independent") {
     // key a: 1..10 once each at q=5 → bins 0,0,1,1,2,2,3,3,4,4
@@ -623,7 +641,9 @@ class GraphTimeSeriesSpec extends SparkSpec {
 
   test("targetEncode: hand-checked LOO and m-smoothed micro means; " +
       "singletons, NULL keys, and NULL targets are first-class") {
-    // global mean over non-null targets: (10+20+30+100+5+7) div 6 = 28
+    // EXACT global mean ḡ = 172/6 (never truncated to whole units —
+    // the m-estimate must pull toward the true mean): smooth =
+    // ((Σ·gn + m·gΣ)·10⁶) div ((n+m)·gn)
     val df = Seq[(Option[String], Long, Option[Long])](
       (Some("a"), 1L, Some(10L)), (Some("a"), 2L, Some(20L)),
       (Some("a"), 3L, Some(30L)),
@@ -634,13 +654,16 @@ class GraphTimeSeriesSpec extends SparkSpec {
     val got = Profiling.targetEncode(df, $"k", $"id", $"v", m = 2)
       .collect().map(r => r.getLong(0) ->
         ((Option(r.get(3)), Option(r.get(4))))).toMap
-    assert(got(1L) === ((Some(25000000L), Some(23200000L))))
-    assert(got(2L) === ((Some(20000000L), Some(23200000L))))
-    assert(got(3L) === ((Some(15000000L), Some(23200000L))))
-    assert(got(4L) === ((None, Some(52000000L)))) // (100+56)·10⁶ div 3
+    // key a: (60·6 + 2·172)·10⁶ div (5·6) = 704·10⁶ div 30
+    assert(got(1L) === ((Some(25000000L), Some(23466666L))))
+    assert(got(2L) === ((Some(20000000L), Some(23466666L))))
+    assert(got(3L) === ((Some(15000000L), Some(23466666L))))
+    // key b: (600 + 344)·10⁶ div 18
+    assert(got(4L) === ((None, Some(52444444L))))
     assert(got(5L) === ((None, None)))
-    assert(got(6L) === ((Some(7000000L), Some(17000000L))))
-    assert(got(7L) === ((Some(5000000L), Some(17000000L))))
+    // null key: (72 + 344)·10⁶ div 24
+    assert(got(6L) === ((Some(7000000L), Some(17333333L))))
+    assert(got(7L) === ((Some(5000000L), Some(17333333L))))
   }
 
   test("decayScore: exact shift weights, 62-day cap stops the JVM " +
