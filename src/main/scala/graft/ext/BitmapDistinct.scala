@@ -67,6 +67,19 @@ object BitmapDistinct {
   private final case class Cont(key: Int, count: Int, form: Int,
                                 arr: Array[Int], words: Array[Long])
 
+  /** An array container's 64Ki-bit word image — the shared
+    * converter both [[union]] and [[intersectCardinality]] merge
+    * through (ONE copy, so a bit-packing fix cannot make the two
+    * operations disagree on the same serialized container).
+    */
+  private def words(c: Cont): Array[Long] =
+    if (c.form == 1) c.words
+    else {
+      val w = new Array[Long](1024)
+      c.arr.foreach(lo => w(lo >>> 6) |= 1L << (lo & 63))
+      w
+    }
+
   private def readContainers(b: Array[Byte]): Array[Cont] = {
     val d = new java.io.DataInputStream(
       new java.io.ByteArrayInputStream(b))
@@ -120,13 +133,6 @@ object BitmapDistinct {
     val merged = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Long])]
     var i = 0
     var j = 0
-    def words(c: Cont): Array[Long] =
-      if (c.form == 1) c.words
-      else {
-        val w = new Array[Long](1024)
-        c.arr.foreach(lo => w(lo >>> 6) |= 1L << (lo & 63))
-        w
-      }
     while (i < ca.length || j < cb.length) {
       if (j >= cb.length || (i < ca.length && ca(i).key < cb(j).key)) {
         merged += ((ca(i).key, words(ca(i)))); i += 1
@@ -175,13 +181,6 @@ object BitmapDistinct {
     if (a.isEmpty || b.isEmpty) return 0L
     val ca = readContainers(a)
     val cb = readContainers(b)
-    def words(c: Cont): Array[Long] =
-      if (c.form == 1) c.words
-      else {
-        val w = new Array[Long](1024)
-        c.arr.foreach(lo => w(lo >>> 6) |= 1L << (lo & 63))
-        w
-      }
     var i = 0
     var j = 0
     var total = 0L

@@ -13,12 +13,20 @@ import org.apache.spark.sql.functions._
   * size; estimates never under-count, and over-count by ~2N/width with
   * probability 2^-depth.
   *
-  * Hash rows use the textbook Carter–Wegman universal family
-  * `((a·x + b) mod p) mod width` over the Mersenne prime p = 2^31−1 —
-  * pure integer arithmetic that stays in WholeStageCodegen (no md5,
-  * no string building: hashing 10^12 rows is multiply-add, not a
-  * digest) and is reproducible verbatim in any SQL engine. Operands
-  * stay under 2^62, so ANSI overflow checking never trips.
+  * Hash rows use a Carter–Wegman-style polynomial family over the
+  * Mersenne prime p = 2^31−1, evaluated on the item's BASE-2^31
+  * DIGITS: `((a·d0 + a²·d1 + a³·d2 + b) mod p) mod width` with each
+  * product reduced mod p before summing. Digits, not `x mod p`: a
+  * plain `a·(x mod p)+b` family collides x and x+p in EVERY row —
+  * a deterministic full-row collision for 64-bit id domains that
+  * defeats the 2^-depth bound outright. Two distinct longs differ in
+  * some digit, so a row collides only where its `a` is a root of the
+  * ≤3-degree difference polynomial: ≤ 3/p per row, independent
+  * across rows. Pure integer arithmetic that stays in
+  * WholeStageCodegen (no md5, no string building: hashing 10^12 rows
+  * is multiply-add, not a digest) and is reproducible verbatim in
+  * any SQL engine. Operands stay under 2^62, so ANSI overflow
+  * checking never trips.
   *
   * Per-row (a, b) are splitmix64 draws of the row index, materialized
   * as driver-side literals (`rowConsts`) — NOT an affine function of
@@ -54,9 +62,21 @@ object CountMin {
     */
   def bucket(seed: Column, item: Column, depth: Int, width: Int): Column = {
     val cs = rowConsts(depth)
-    val a = element_at(array(cs.map(c => lit(c._1)): _*), seed.cast("int") + 1)
-    val b = element_at(array(cs.map(c => lit(c._2)): _*), seed.cast("int") + 1)
-    ((a * (item.cast("long") % P) + b) % P) % width
+    def pick(f: ((Long, Long)) => Long): Column =
+      element_at(array(cs.map(c => lit(f(c))): _*), seed.cast("int") + 1)
+    val a = pick(_._1)
+    val a2 = pick(c => c._1 * c._1 % P)           // a² mod p, driver-side
+    val a3 = pick(c => c._1 * c._1 % P * c._1 % P) // a³ mod p
+    val b = pick(_._2)
+    val x = item.cast("long")
+    // base-2^31 digits of the non-negative item (>> and & are the
+    // portable div/mod for non-negative operands on both engines)
+    val d0 = x.bitwiseAND(lit(0x7fffffffL))
+    val d1 = shiftright(x, 31).bitwiseAND(lit(0x7fffffffL))
+    val d2 = shiftright(x, 62)
+    // each product ≤ (2^31)(2^31) = 2^62; reduced mod p before the
+    // ≤ 2^33 sum — nothing approaches the long boundary
+    ((a * d0 % P + a2 * d1 % P + a3 * d2 % P + b) % P) % width
   }
 
   /** The sketch: one (seed, bucket, n) row per non-empty cell. */

@@ -109,16 +109,28 @@ object MjpegAvi {
     * touched; a sampled frame that is not a decodable JPEG fails
     * loudly with its frame number.
     */
-  def sampleFrames(b: Array[Byte], stride: Int): Seq[(Int, Pixels)] = {
+  def sampleFrames(b: Array[Byte], stride: Int): Iterator[(Int, Pixels)] =
+    sampleFramesFrom(b, frameIndex(b), stride)
+
+  /** [[sampleFrames]] over a PRE-built frame index (so a caller that
+    * also needs the frame count walks the container once). Returns a
+    * LAZY iterator: a decode happens only when the consumer pulls the
+    * frame — a keyframe-only consumer decodes ONE frame, a pairwise
+    * scene scan holds TWO rasters, never the whole clip (a strict Seq
+    * here once decoded every sampled frame of a clip up front, which
+    * at one-hour clips is an OOM, not a constant factor).
+    */
+  def sampleFramesFrom(b: Array[Byte], idx: Seq[(Int, Int, Int)],
+                       stride: Int): Iterator[(Int, Pixels)] = {
     require(stride >= 1, s"stride $stride")
-    frameIndex(b).iterator
+    idx.iterator
       .filter { case (no, _, _) => no % stride == 0 }
       .map { case (no, at, len) =>
         val payload = java.util.Arrays.copyOfRange(b, at, at + len)
         val px = PixelDecoder.decode(payload).getOrElse(
           fail(s"frame $no is not a decodable image payload"))
         (no, px)
-      }.toSeq
+      }
   }
 
   /** RIFF chunk walk over [from, until): yields (fourcc, payload

@@ -146,11 +146,19 @@ object Multimodal {
             AudioFeatures(id, bytes.length.toLong, "wav", w.channels,
               w.sampleRate, w.bitsPerSample, w.nSamples,
               w.nSamples * 1000L / w.sampleRate))
-          .orElse(FlacDecoder.streamInfo(bytes).map(si =>
-            // header-only STREAMINFO census — no frame decode
+          .orElse(FlacDecoder.streamInfo(bytes).map { si =>
+            // header-only STREAMINFO census — no frame decode. A
+            // 0-rate STREAMINFO parses (the 20-bit field may be 0)
+            // but has no duration: fail LOUD with the id, never a
+            // bare task-killing ArithmeticException
+            if (si.sampleRate == 0)
+              throw new IllegalArgumentException(
+                s"decodeAudio: id $id FLAC STREAMINFO declares " +
+                  "sample rate 0 — corrupt member")
             AudioFeatures(id, bytes.length.toLong, "flac", si.channels,
               si.sampleRate, si.bps, si.totalSamples,
-              si.totalSamples * 1000L / si.sampleRate)))
+              si.totalSamples * 1000L / si.sampleRate)
+          })
           .getOrElse {
               val hex = md5Hex(bytes)
               val rate = 8000 * ((java.lang.Long
@@ -178,12 +186,15 @@ object Multimodal {
         rows.map { case (id, bytes) =>
           VideoHeader.parseMp4(bytes) match {
             case Some(h) =>
-              // clamp before the ×1000: an adversarial mvhd can carry
-              // durationTicks near 2^63, and the unclamped multiply
-              // wraps negative — duration_ms/n_sampled_1hz must stay
-              // non-negative for any payload that parses as mp4
+              // clamp BOTH sides before the ×1000: an adversarial
+              // mvhd can carry durationTicks near ±2^63 (version-1
+              // all-ones "unknown duration" reads as -1 through the
+              // signed be64), and an unclamped multiply wraps —
+              // duration_ms/n_sampled_1hz must stay non-negative for
+              // any payload that parses as mp4
               val safeTicks =
-                math.min(h.durationTicks, Long.MaxValue / 1000L)
+                math.min(math.max(h.durationTicks, 0L),
+                  Long.MaxValue / 1000L)
               val ms = safeTicks * 1000L / h.timescale
               VideoFeatures(id, bytes.length.toLong, "mp4", h.nTracks,
                 h.timescale, h.durationTicks, ms, ms / 1000L + 1L)
@@ -222,8 +233,11 @@ object Multimodal {
             throw new IllegalArgumentException(
               s"videoFrameStats: id $id is not an AVI payload " +
                 s"(${bytes.length} bytes)")
-          val n = MjpegAvi.frameIndex(bytes).size
-          MjpegAvi.sampleFrames(bytes, stride).map { case (no, px) =>
+          // ONE container walk supplies both the count and the
+          // sampling input (parse above already validated the header)
+          val idx = MjpegAvi.frameIndex(bytes)
+          val n = idx.size
+          MjpegAvi.sampleFramesFrom(bytes, idx, stride).map { case (no, px) =>
             var sum = 0L
             var mn = 255
             var mx = 0
@@ -553,7 +567,7 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
           val frames = MjpegAvi.sampleFrames(bytes, stride = 1)
-          if (frames.isEmpty)
+          if (!frames.hasNext)
             throw new IllegalArgumentException(
               s"videoScenes: id $id has no frames")
           val out = scala.collection.mutable.ArrayBuffer
@@ -561,6 +575,10 @@ object Multimodal {
           var prev: Pixels = null
           var sceneStart = 0
           var sceneNo = 0
+          // count while streaming: the frames iterator is LAZY
+          // (two-raster memory) and is exhausted after the loop —
+          // .size here would read 0 and emit a negative tail length
+          var nFrames = 0
           for ((no, px) <- frames) {
             if (prev != null) {
               require(px.gray.length == prev.gray.length,
@@ -578,8 +596,9 @@ object Multimodal {
               }
             }
             prev = px
+            nFrames = no + 1
           }
-          out += ((id, sceneNo, sceneStart, frames.size - sceneStart))
+          out += ((id, sceneNo, sceneStart, nFrames - sceneStart))
           out
         }
       }.toDF("doc_id", "scene_no", "f_start", "n_frames")
@@ -601,10 +620,11 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { case (i, bytes) =>
           val frames = MjpegAvi.sampleFrames(bytes, stride)
-          if (frames.isEmpty)
+          if (!frames.hasNext)
             throw new IllegalArgumentException(
               s"videoKeyframeAHash: id $i has no sampled frames")
-          (i, aHashFromGray(frames.head._2))
+          // the lazy iterator makes this literally ONE decode
+          (i, aHashFromGray(frames.next()._2))
         }
       }.toDF("id", "vhash")
   }
@@ -758,16 +778,16 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
           val frames = MjpegAvi.sampleFrames(bytes, stride = 1)
-          if (frames.isEmpty)
+          if (!frames.hasNext)
             throw new IllegalArgumentException(
               s"videoCurationFeatures: id $id has no frames")
-          val key = frames.head._2
+          val key = frames.next()._2
           var sum = 0L
           var i = 0
           while (i < key.gray.length) { sum += key.gray(i); i += 1 }
           var scenes = 1
           var prev = key
-          for ((no, px) <- frames.drop(1)) {
+          for ((no, px) <- frames) {
             require(px.gray.length == prev.gray.length,
               s"videoCurationFeatures: id $id frame $no changes dims")
             var diff = 0L
@@ -842,8 +862,14 @@ object Multimodal {
   }
 
   def audioFingerprint(samples: Array[Int]): Long = {
-    require(samples.length >= 60,
-      s"audioFingerprint needs >= 60 samples, got ${samples.length}")
+    // a clip shorter than the 60 energy windows has no stable
+    // signature: fingerprint 0 (the all-below-mean pattern), NOT a
+    // require — a single well-formed 50-sample WAV in a corpus must
+    // not kill the whole feature pass (the short/unvoiced-members-
+    // report-zero contract of audioCurationFeatures). Sub-minimum
+    // clips band together trivially, which is the honest answer for
+    // signatures with no content to differ on.
+    if (samples.length < 60) return 0L
     val n = samples.length
     val e = new Array[Long](60)
     var w = 0

@@ -577,12 +577,9 @@ object TextAnalysis {
   def canonicalizeUrl(u: Column): Column = {
     val scheme = lower(regexp_extract(u,
       "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val hostport = lower(regexp_extract(u,
-      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
-    val host = when(scheme === "http",
-        regexp_replace(hostport, ":80$", ""))
-      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
-      .otherwise(hostport)
+    // ONE host normalization ([[urlHost]]) — two copies would let
+    // the canonical dedup key drift from the domain-stats key
+    val host = urlHost(u)
     // path + query, fragment dropped
     val rest = regexp_extract(u,
       "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
@@ -1067,16 +1064,25 @@ object TextAnalysis {
     * never the token list.
     */
   def tokenEntropy(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    // the sibling discipline (unigramSurprisal, dsirWeights, …):
+    // the empty pseudo-token is filtered — a whitespace-only doc must
+    // not score as a one-token doc — and the doc spine left-joins
+    // back so NULL/empty-text docs report (0, 0, NULL entropy)
+    // instead of silently vanishing from the table
+    val spine = docs.select(id.as("doc_id"))
     val cnt = docs
       .select(id.as("doc_id"), explode(tokens(text)).as("tok"))
+      .filter(col("tok") =!= "")
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-    cnt.groupBy("doc_id")
+    val agg = cnt.groupBy("doc_id")
       .agg(sum("c").as("n_tokens"),
         count(lit(1)).as("n_distinct"),
         sum(col("c") * qlog8(col("c"))).as("__s"))
       .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
         (qlog8(col("n_tokens")) - expr("__s div n_tokens"))
           .as("entropy_q8"))
+    spine.join(agg, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_tokens", "n_distinct"))
   }
 
   /** CCNet-style line-level boilerplate removal (Wenzek et al., LREC

@@ -378,6 +378,20 @@ object TimeSeries {
       .withColumn("__den",
         col("__n") * col("__n") * col("__s2")
           - col("__n") * col("__s") * col("__s"))
+      // exact-or-loud (the cusumChangepoint discipline): past
+      // decimal(38,0) the n²-scaled moment products return NULL
+      // under non-ANSI semantics — indistinguishable from the
+      // documented zero-variance NULL, so a hot autocorrelated key
+      // would silently read as "no correlation". __s is non-null
+      // iff the key has any non-null value, so a NULL __den beside a
+      // non-null __s IS an overflow (of __s2, __sxy, or the products)
+      .withColumn("__den",
+        when(col("__s").isNotNull && col("__den").isNull,
+          raise_error(concat(
+            lit("TimeSeries.acf1: key "), col("key").cast("string"),
+            lit(" has n²-scaled moments past decimal(38,0); " +
+              "pre-aggregate or rescale the series"))))
+          .otherwise(col("__den")))
       .select(col("key"), col("__n").as("n_events"),
         when(col("__den") === 0, lit(null)).otherwise(
           floor(

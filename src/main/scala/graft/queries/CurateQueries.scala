@@ -790,14 +790,21 @@ private[queries] object CurateQueries {
     // (splitmix64 of the row index), interpolated so both engines hash
     // with the same genuinely independent rows.
     "sketch_countmin" -> {
+      val P = graft.ext.CountMin.P
       val consts = graft.ext.CountMin.rowConsts(3)
         .zipWithIndex
-        .map { case ((a, b), j) => s"($j, $a, $b)" }
+        .map { case ((a, b), j) =>
+          s"($j, $a, ${a * a % P}, ${a * a % P * a % P}, $b)" }
         .mkString(", ")
-      s"""WITH consts(seed, a, b) AS (VALUES $consts),
+      // the same base-2^31 digit polynomial as CountMin.bucket —
+      // a plain a*(x%p)+b family would collide x and x+p everywhere
+      s"""WITH consts(seed, a, a2, a3, b) AS (VALUES $consts),
         |cells AS (
         |  SELECT c.seed,
-        |    ((c.a * (l_partkey % 2147483647) + c.b) % 2147483647) % 1024 AS bkt,
+        |    ((c.a * (l_partkey & 2147483647) % 2147483647
+        |      + c.a2 * ((l_partkey >> 31) & 2147483647) % 2147483647
+        |      + c.a3 * (l_partkey >> 62) % 2147483647
+        |      + c.b) % 2147483647) % 1024 AS bkt,
         |    count(*) AS n
         |  FROM lineitem CROSS JOIN consts c
         |  GROUP BY 1, 2),
@@ -809,7 +816,10 @@ private[queries] object CurateQueries {
         |  SELECT e.item, e.exact_n, min(cl.n) AS cms_n
         |  FROM exact e CROSS JOIN consts c
         |  JOIN cells cl ON cl.seed = c.seed
-        |    AND cl.bkt = ((c.a * (e.item % 2147483647) + c.b) % 2147483647) % 1024
+        |    AND cl.bkt = ((c.a * (e.item & 2147483647) % 2147483647
+        |      + c.a2 * ((e.item >> 31) & 2147483647) % 2147483647
+        |      + c.a3 * (e.item >> 62) % 2147483647
+        |      + c.b) % 2147483647) % 1024
         |  GROUP BY 1, 2)
         |SELECT item, exact_n, cms_n, cms_n >= exact_n AS never_under FROM est""".stripMargin
     },

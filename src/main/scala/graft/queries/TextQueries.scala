@@ -665,18 +665,24 @@ private[queries] object TextQueries {
 
     // H_q8 = qlog8(N) − (Σ c·qlog8(c)) // N; `//` on nonnegative
     // bigints = Spark div, qlog8Sql is the shared integer-log mirror
+    // empty pseudo-tokens filtered, doc spine left-joined back —
+    // whitespace-only docs report (0, 0, NULL), never a fake
+    // one-token score, and no doc vanishes (the Spark side's
+    // sibling-discipline contract)
     "text_entropy" ->
       (s"""WITH tk AS (SELECT doc_id, unnest($tokensSql) AS tok
         |        FROM documents),
-        |c AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+        |c AS (SELECT doc_id, tok, count(*) AS c FROM tk
+        |      WHERE tok <> '' GROUP BY 1, 2),
         |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
         |        count(*) AS n_distinct,
         |        CAST(sum(c * ${qlog8Sql("c")}) AS BIGINT) AS s
         |      FROM c GROUP BY 1)
-        |SELECT doc_id, n_tokens, n_distinct,
-        |  CAST(${qlog8Sql("n_tokens")} - s // n_tokens AS BIGINT)
+        |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+        |  coalesce(CAST(a.n_distinct AS BIGINT), 0) AS n_distinct,
+        |  CAST(${qlog8Sql("a.n_tokens")} - a.s // a.n_tokens AS BIGINT)
         |    AS entropy_q8
-        |FROM a""".stripMargin),
+        |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin),
 
 
     // document frequency on exact line strings, zipped parallel

@@ -1884,7 +1884,7 @@ class ExtSpec extends SparkSpec {
         java.util.Arrays.copyOfRange(avi, at, at + len), orig), s"frame $no")
     // strided sampling decodes frames 0, 2, 4 only, matching a
     // direct decode of the same payloads
-    val sampled = MjpegAvi.sampleFrames(avi, stride = 2)
+    val sampled = MjpegAvi.sampleFrames(avi, stride = 2).toSeq
     assert(sampled.map(_._1) === Seq(0, 2, 4))
     for ((no, px) <- sampled) {
       val direct = PixelDecoder.decode(frame(no)).get
