@@ -104,7 +104,11 @@ object Clustering {
   def kmeansCentroids(df: DataFrame, id: Column, vec: Column, k: Int,
                       iters: Int = 2): DataFrame = {
     require(iters >= 1, "kmeansCentroids needs at least one iteration")
+    // zero-norm points drop EXACTLY as in kmeansAssign — the seed cut
+    // (first-k by id) must be taken over the same filtered corpus, or
+    // the two entry points train different models from the same data
     val pts = df.select(id.as("__id"), vec.as("__v"))
+      .filter(Similarity.norm(col("__v")) > 0)
     var cent = pts.orderBy(col("__id")).limit(k)
       .select(col("__id").as("__cid"), col("__v").as("__cv"))
     for (_ <- 2 to iters)
@@ -119,7 +123,11 @@ object Clustering {
     */
   def kmeansAssignWith(df: DataFrame, id: Column, vec: Column,
                        cent: DataFrame): DataFrame =
-    assignNearest(df.select(id.as("__id"), vec.as("__v")),
+    // the same zero-norm point drop as kmeansAssign — without it a
+    // failed embedding scores NaN against every centroid and emits a
+    // tie-dependent label row kmeansAssign would never produce
+    assignNearest(df.select(id.as("__id"), vec.as("__v"))
+        .filter(Similarity.norm(col("__v")) > 0),
       cent.select(col("cid").as("__cid"), col("cv").as("__cv")))
       .select(col("__id").as("id"), col("__cid").as("cid"))
 

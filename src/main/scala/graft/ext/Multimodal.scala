@@ -866,9 +866,13 @@ object Multimodal {
     // signature: fingerprint 0 (the all-below-mean pattern), NOT a
     // require — a single well-formed 50-sample WAV in a corpus must
     // not kill the whole feature pass (the short/unvoiced-members-
-    // report-zero contract of audioCurationFeatures). Sub-minimum
-    // clips band together trivially, which is the honest answer for
-    // signatures with no content to differ on.
+    // report-zero contract of audioCurationFeatures). CONSUMER
+    // CONTRACT: 0 is the no-content sentinel and must be EXCLUDED
+    // from near-dup pair joins (mm_audio_fingerprint / curate_audio
+    // filter afp <> 0) — on a corpus with many short clips the
+    // shared 0 signature would otherwise emit C(n,2) hamming-0
+    // pairs, the quadratic fan-out the df-caps elsewhere prevent.
+    // Census/feature consumers keep the 0 rows.
     if (samples.length < 60) return 0L
     val n = samples.length
     val e = new Array[Long](60)

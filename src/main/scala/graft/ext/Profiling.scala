@@ -445,7 +445,7 @@ object Profiling {
     // GUARDED broadcast (round-13 ADVICE item): the stats frame is
     // one med/MAD row per key, so an unconditional broadcast pin was
     // a driver/executor OOM cliff at a 100×-scale key domain (key =
-    // user id, say). Default (maxBroadcastKeys > 0): leave the join
+    // user id, say). Default (pinBroadcastStats = false): leave the join
     // UNHINTED and let AQE pick the strategy from the stats stage's
     // ACTUAL runtime size — a broadcast-sized key domain still gets
     // the broadcast join (verified in GraphTimeSeriesSpec: AQE

@@ -142,14 +142,23 @@ private[queries] object ExtensionSupport {
     val key = s"${s.sparkContext.applicationId}|$dir|bucketed"
     val fp = Tables.fingerprint(s"$dir/documents.parquet")
     bucketedWritten.compute(key, (_, prev) => {
+      // heartbeat: refresh OUR directory's mtime on every use (reads
+      // don't update mtime), so the stale-sibling sweep below gates on
+      // liveness, not creation age — a sibling session alive for >24h
+      // keeps its layout because each of its uses re-touches the dir
+      val ownDir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft_bucketed_$sfx")
+      if (ownDir.isDirectory)
+        ownDir.setLastModified(System.currentTimeMillis())
       if (prev == null || prev.longValue() != fp) {
         import graft.sources.BucketedTables
         val root = new java.io.File(System.getProperty("java.io.tmpdir"))
         // stale-sibling cleanup (the stage-tier discipline): every
         // session gets a fresh applicationId suffix, so without this
         // each bench/verify run leaks a corpus-sized bucketed copy in
-        // /tmp forever. Directories older than a day are dead runs —
-        // live concurrent sessions (minutes old) are never touched.
+        // /tmp forever. Directories not touched for a day are dead
+        // runs — live sessions refresh their mtime per use (above),
+        // so longevity never reads as staleness.
         val dayMs = 24L * 3600 * 1000
         Option(root.listFiles()).getOrElse(Array.empty)
           .filter(f => f.getName.startsWith("graft_bucketed_") &&

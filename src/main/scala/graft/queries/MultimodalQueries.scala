@@ -650,8 +650,15 @@ private[queries] object MultimodalQueries {
     // sign-extended sample read, energy-fingerprinted in 60 windows,
     // then the same banded candidate join as the image pass.
     "mm_audio_fingerprint" -> { (s, dir) =>
+      // afp = 0 is the no-content sentinel (sub-60-sample clips and
+      // flat-energy signals all share it); pairing it would emit
+      // C(n,2) hamming-0 rows among contentless clips — the exact
+      // quadratic fan-out the df-caps exist to prevent. Contentless
+      // clips are excluded from NEAR-DUP PAIRING (they still appear
+      // in every census row); the oracle carries the same predicate.
       val sigs = audioFeats(s, dir)
         .select(col("doc_id").as("id"), col("afp"))
+        .filter(col("afp") =!= 0L)
       DedupOps.simhashBandPairs(sigs, col("id"), col("afp"),
         bands = 4, bitsPerBand = 15, maxHamming = 3, bits = 60)
     },
@@ -744,8 +751,11 @@ private[queries] object MultimodalQueries {
       val census = feats.select("doc_id", "voiced", "n_segments")
       val kept = census.filter(col("voiced") >= 40 &&
         col("voiced") < 110)
+      // afp = 0 (the no-content sentinel) never pairs — see
+      // mm_audio_fingerprint; such members stay in `kept` and
+      // survive as their own singleton components
       val sigs = feats.filter(col("voiced") >= 40 &&
-          col("voiced") < 110)
+          col("voiced") < 110 && col("afp") =!= 0L)
         .select(col("doc_id").as("id"), col("afp"))
       val pairs = DedupOps.simhashBandPairs(sigs, col("id"),
         col("afp"), bands = 4, bitsPerBand = 15, maxHamming = 1,
@@ -1161,7 +1171,8 @@ private[queries] object MultimodalQueries {
         |  FROM w JOIN tot USING (doc_id) GROUP BY 1),
         |banded AS (SELECT doc_id, afp, bb,
         |    (afp >> (bb * 15)) & 32767 AS bkey
-        |  FROM sig, unnest(range(0, 4)) AS u(bb))
+        |  FROM sig, unnest(range(0, 4)) AS u(bb)
+        |  WHERE afp <> 0)
         |SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
         |  CAST(bit_count(xor(a.afp, c.afp)) AS INT) AS hamming
         |FROM banded a JOIN banded c
@@ -1397,7 +1408,8 @@ private[queries] object MultimodalQueries {
         |  FROM w JOIN tot USING (doc_id) GROUP BY 1),
         |banded AS (SELECT doc_id, afp, bb,
         |    (afp >> (bb * 15)) & 32767 AS bkey
-        |  FROM sig, unnest(range(0, 4)) AS u(bb)),
+        |  FROM sig, unnest(range(0, 4)) AS u(bb)
+        |  WHERE afp <> 0),
         |pairs AS (SELECT DISTINCT a.doc_id AS pa, c.doc_id AS pb
         |  FROM banded a JOIN banded c
         |    ON a.bb = c.bb AND a.bkey = c.bkey

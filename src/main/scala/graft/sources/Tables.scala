@@ -92,18 +92,24 @@ object Tables {
     spark.read.schema(schema).parquet(path)
   }
 
-  /** Declare array ELEMENTS non-null at read. The fixtures' writers
-    * mark list elements optional (the pyarrow default) even though no
-    * vector/array column ever carries a null element; reading with
-    * containsNull=false lets the vector kernels compile their
-    * multiply-add loops WITHOUT per-element null-bit probes (~2x on
-    * the ANN hot path — the probe defeats vectorization). This is a
-    * schema CONTRACT, not an assumption: a file that does carry a
-    * null element fails the scan loudly instead of reading as 0.
+  /** Declare the KNOWN vector column's elements non-null at read.
+    * The fixtures' writer marks list elements optional (the pyarrow
+    * default) even though `embedding` never carries a null element;
+    * reading with containsNull=false lets the vector kernels compile
+    * their multiply-add loops WITHOUT per-element null-bit probes
+    * (~2x on the ANN hot path — the probe defeats vectorization).
+    *
+    * Scoped to `embedding` ONLY, and honestly: Spark's vectorized
+    * parquet reader does NOT enforce a declared non-null element — a
+    * null slot would silently read as 0.0, not fail. So the narrow is
+    * a fixture contract for the one column the driver generates
+    * null-free (TESTDATA.md), not a scan-time check; any other array
+    * column keeps its real nullability so the general-path kernels'
+    * NULL guards stay live.
     */
   private def narrowArrayElements(s: StructType): StructType =
     StructType(s.fields.map {
-      case f @ StructField(_, ArrayType(et, true), _, _) =>
+      case f @ StructField("embedding", ArrayType(et, true), _, _) =>
         f.copy(dataType = ArrayType(et, containsNull = false))
       case f => f
     })

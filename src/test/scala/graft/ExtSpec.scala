@@ -3967,6 +3967,27 @@ class ExtSpec extends SparkSpec {
     assert(got(1L) !== got(3L), s"collapsed to one cluster: $got")
   }
 
+  test("staged kmeans (kmeansCentroids + kmeansAssignWith) is " +
+      "bit-identical to kmeansAssign with a zero-norm point present") {
+    // the zero-norm row must change NEITHER the seed cut (first-k by
+    // id over the FILTERED corpus) NOR the emitted label set in the
+    // staged path — round-14 ADVICE: the two entry points previously
+    // diverged on exactly this input
+    val pts = Seq(
+      (0L, Seq(0f, 0f, 0f)),
+      (1L, Seq(1f, 0f, 0f)), (2L, Seq(0.9f, 0.1f, 0f)),
+      (3L, Seq(0f, 1f, 0f)), (4L, Seq(0.1f, 0.9f, 0f)))
+      .toDF("id", "v")
+    val direct = Clustering.kmeansAssign(pts, $"id", $"v", k = 2,
+      iters = 2).as[(Long, Long)].collect().toMap
+    val cent = Clustering.kmeansCentroids(pts, $"id", $"v", k = 2,
+      iters = 2)
+    val staged = Clustering.kmeansAssignWith(pts, $"id", $"v", cent)
+      .as[(Long, Long)].collect().toMap
+    assert(staged === direct)
+    assert(!staged.contains(0L), "zero-norm point must emit no label")
+  }
+
   test("benfordProfile: int columns don't wrap, and absent digits " +
       "report dev_ppm = benford_ppm instead of vanishing") {
     import graft.ext.Profiling
