@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Dev scratchpad — ad-hoc timing probes for whatever operator is
   * under the knife this round. Not part of the library surface.
@@ -11,18 +10,15 @@ object Scratch {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = SparkEntry.queries("text_tfidf")(spark, sfDir)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString
-    println("[scr] EX " + "(?<!Reused)Exchange".r.findAllIn(p).length +
-      " RE " + "ReusedExchange".r.findAllIn(p).length +
-      " GEN " + "Generate".r.findAllIn(p).length)
-    println(p.linesIterator.filter(l =>
-      l.contains("Exchange") || l.contains("Generate") ||
-        l.contains("HashAggregate")).mkString("\n"))
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("dedup_incremental_bloom")
+    for (rep <- 1 to 3; n <- names) {
+      val t0 = System.nanoTime()
+      val c = SparkEntry.queries(n)(spark, sfDir).count()
+      println(f"[scr] rep$rep $n%-28s ${(System.nanoTime()-t0)/1e9}%8.3f s rows=$c")
+    }
     spark.stop()
   }
 }

@@ -800,46 +800,87 @@ object DedupOps {
     * negatives — a member's bits are all set by construction) and skip
     * the join entirely; only the Bloom-positive sliver is verified by
     * the exact anti join, whose left input collapses to roughly the
-    * true-duplicate rate + the filter's false-positive rate. The k
-    * probes are joins against the ≤ mBits/64-row word table (Catalyst
-    * broadcasts them); at 100 TB the filter is built once per history
-    * epoch and reused by every arriving batch.
+    * true-duplicate rate + the filter's false-positive rate. At 100 TB
+    * the filter is built once per history epoch and reused by every
+    * arriving batch.
+    *
+    * The probe is ONE codegen'd predicate against the word mask folded
+    * into a driver-side literal (the [[Similarity]] collectLitCents
+    * discipline): [[bloomBits]] is ≤ mBits/64 rows BY CONSTRUCTION
+    * (32 KiB at the default — a parameter bound, not a data bound), so
+    * it collects into a dense long[] and each of the k bit tests is
+    * element_at + shift + mask arithmetic inside WholeStageCodegen.
+    * The previous shape — k probe joins against the word table — paid
+    * three broadcast-join operators for a 32 KiB bitset (round-13
+    * verdict item); a filter beats a join when the right side is a
+    * constant. Above `litFoldMaxBits` the literal would bloat the plan
+    * (and its task-serialized closures), so the fold refuses loudly —
+    * a genuinely larger filter belongs in a rebroadcast structure, and
+    * no in-repo caller is within 2^6 of the cap.
+    *
+    * CONTRACT: runs a bounded job (the ≤ mBits/64-row fold) at
+    * DataFrame-CONSTRUCTION time, like the IVF literal fold — pass a
+    * cheap/staged `right` or accept that its chain evaluates here and
+    * again in the verify join.
     *
     * Result is EXACTLY `left.join(right, fpCol, "left_anti")` — false
     * positives are removed by the verify join, false negatives cannot
-    * occur — so the oracle for any query using this is the plain anti
-    * join.
+    * occur (a NULL fp hashes to NULL, probes indeterminate, and is
+    * kept via the coalesce-to-false branch, matching the anti join's
+    * null-never-equals semantics) — so the oracle for any query using
+    * this is the plain anti join.
     */
-  def bloomFilteredAnti(left: DataFrame, right: DataFrame, fpCol: String,
-                        mBits: Int = 1 << 18, k: Int = 3): DataFrame = {
-    val temps = Seq("__it") ++
-      (0 until k).flatMap(j => Seq(s"__p$j", s"__w$j", s"__m$j"))
-    require(temps.forall(!left.columns.contains(_)),
-      "input must not carry __it/__p*/__w*/__m* columns (reserved)")
-    val bits = bloomBits(right, col(fpCol), mBits, k)
-    var probed = left.withColumn("__it",
-      PortableHash.md5PrefixLong(col(fpCol), 15))
-    (0 until k).foreach { j =>
-      probed = probed
-        .withColumn(s"__p$j", CountMin.bucket(lit(j), col("__it"), k, mBits))
-        .withColumn(s"__w$j", shiftright(col(s"__p$j"), 6))
-        .join(bits.select(col("__w").as(s"__w$j"),
-          col("__mask").as(s"__m$j")), Seq(s"__w$j"), "left")
+  val litFoldMaxBits: Int = 1 << 24 // 2 MiB of literal words
+
+  /** The driver-side fold of [[bloomBits]] into a dense word array —
+    * exposed so a caller can build the filter ONCE per history epoch
+    * and hand it to every arriving batch's [[bloomFilteredAnti]] (the
+    * production lifecycle; rebuilding per query pays a history pass
+    * each time). Bounded at mBits/64 longs by construction.
+    */
+  def bloomFoldWords(right: DataFrame, fp: Column,
+                     mBits: Int = 1 << 18, k: Int = 3): Array[Long] = {
+    require(mBits <= litFoldMaxBits,
+      s"mBits ($mBits) above the literal-fold cap ($litFoldMaxBits): " +
+        "a filter this size should be a rebuilt/rebroadcast structure, " +
+        "not a plan literal")
+    val words = new Array[Long](mBits / 64)
+    bloomBits(right, fp, mBits, k).collect().foreach { r =>
+      words(r.getLong(0).toInt) = r.getLong(1)
     }
-    // mask with & 1, never % 2: shiftright sign-extends, so a word
-    // whose bit 63 is set goes negative and (negative % 2) is -1 —
-    // the probe would misread a SET bit as unset (a false negative,
-    // breaking the exactness contract)
-    val mightContain = (0 until k).map(j =>
-      col(s"__m$j").isNotNull && expr(
-        s"(shiftright(__m$j, cast(pmod(__p$j, 64) as int)) & 1) = 1"))
-      .reduce(_ && _)
-    val keep = left.columns.map(col)
-    probed.filter(!mightContain).select(keep: _*)
+    words
+  }
+
+  def bloomFilteredAnti(left: DataFrame, right: DataFrame, fpCol: String,
+                        mBits: Int = 1 << 18, k: Int = 3,
+                        prebuilt: Option[Array[Long]] = None): DataFrame = {
+    val words = prebuilt.getOrElse(
+      bloomFoldWords(right, col(fpCol), mBits, k))
+    require(words.length == mBits / 64,
+      s"prebuilt word array (${words.length} words) does not match " +
+        s"mBits/64 (${mBits / 64}) — built at a different mBits?")
+    // ONE expression node (BloomWordProbe), not the ~500-node
+    // declarative composition: the big predicate tree measurably
+    // dominated PLANNING time (it re-plans per adaptive stage and the
+    // optimizer walks it per pass) while the kernel's per-row work is
+    // identical. Hash-family parity with bloomBits is the
+    // no-false-negative contract: the consts are the very rowConsts
+    // the build exploded over, and ExtSpec pins kernel == declarative
+    // bucket arithmetic.
+    val consts = CountMin.rowConsts(k).flatMap { case (a, b) =>
+      Seq(a, a * a % CountMin.P, a * a % CountMin.P * a % CountMin.P, b)
+    }.toArray
+    // coalesce to false: a NULL fp probes NULL, and the anti join's
+    // null-never-equals semantics mean such a row is provably absent
+    val mightContain = coalesce(
+      org.apache.spark.sql.graft.HashColumns.bloom_word_probe(
+        col(fpCol), words, consts, k, mBits),
+      lit(false))
+    left.filter(!mightContain)
       .unionByName(
-        probed.filter(mightContain).select(keep: _*)
-          .join(right.select(col(fpCol)).distinct(), Seq(fpCol), "left_anti")
-          .select(keep: _*))
+        left.filter(mightContain)
+          .join(right.select(col(fpCol)).distinct(), Seq(fpCol),
+            "left_anti"))
   }
 
   /** Benchmark decontamination: flag corpus documents sharing at

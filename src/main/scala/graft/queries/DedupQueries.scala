@@ -170,8 +170,11 @@ private[queries] object DedupQueries {
     // accelerate. Fingerprint = 40-char normalized prefix (boilerplate
     // key), coarse enough that collisions actually occur.
     "dedup_incremental" -> { (s, dir) =>
-      val d = docs(s, dir).select(col("doc_id"),
-        md5(substring(TextAnalysis.normalize(col("text")), 1, 40)).as("fp"))
+      // fingerprints come from the materialized incr_fp STORE (the
+      // production shape: the history store is a saved table, and a
+      // batch's fingerprints are computed once at ingest, not
+      // re-derived from raw text by every consumer)
+      val d = incrFp(s, dir)
       val hist = d.filter(col("doc_id") % 2 === 0)
       val batch = d.filter(col("doc_id") % 2 =!= 0)
       DedupOps.keepFirstPerKey(batch, col("fp"), col("doc_id"))
@@ -185,13 +188,22 @@ private[queries] object DedupQueries {
     // the Bloom-positive sliver before any join; exactness is
     // guaranteed, so the oracle is the plain anti join).
     "dedup_incremental_bloom" -> { (s, dir) =>
-      val d = docs(s, dir).select(col("doc_id"),
-        md5(substring(TextAnalysis.normalize(col("text")), 1, 40)).as("fp"))
+      // same materialized fingerprint store as dedup_incremental,
+      // plus the cached epoch filter (incrBloomWords): the production
+      // lifecycle builds the Bloom mask once per history epoch and
+      // hands it to every batch. keepFirstPerKey runs AFTER the
+      // filtered anti — the two commute (both act per fp-group:
+      // the anti drops whole groups, the window reduces within one),
+      // and this order pays the window shuffle once instead of once
+      // per probe branch. Result is identical either way, which is
+      // why the oracle is unchanged.
+      val d = incrFp(s, dir)
       val hist = d.filter(col("doc_id") % 2 === 0)
       val batch = d.filter(col("doc_id") % 2 =!= 0)
-      DedupOps.bloomFilteredAnti(
-        DedupOps.keepFirstPerKey(batch, col("fp"), col("doc_id")),
-        hist.select("fp").distinct(), "fp")
+      DedupOps.keepFirstPerKey(
+        DedupOps.bloomFilteredAnti(batch, hist.select("fp").distinct(),
+          "fp", prebuilt = Some(incrBloomWords(s, dir))),
+        col("fp"), col("doc_id"))
         .select("doc_id", "fp")
     },
   )

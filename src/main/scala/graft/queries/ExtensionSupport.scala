@@ -246,6 +246,43 @@ private[queries] object ExtensionSupport {
         kmeans8Cent(s, dir))
     }
 
+  /** The incremental-dedup fingerprint STORE — (doc_id, fp), fp = md5
+    * of the 40-char normalized prefix — memoized because a production
+    * incremental dedup MATERIALIZES its fingerprint store: the
+    * history side is a stored table keyed by fingerprint, never
+    * re-derived from raw text per arriving batch (the normalize regex
+    * over full documents is the dominant cost of both incremental
+    * queries). Shared by dedup_incremental and
+    * dedup_incremental_bloom — history and batch sides of each.
+    */
+  private[queries] def incrFp(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "incr_fp") {
+      docs(s, dir).select(col("doc_id"),
+        md5(substring(TextAnalysis.normalize(col("text")), 1, 40))
+          .as("fp"))
+    }
+
+  /** The folded Bloom word mask of the incremental-dedup HISTORY side
+    * — built once per (session, dir, fixture) like the stages (a
+    * production filter is built once per history epoch and reused by
+    * every batch), cached driver-side because it is a 32 KiB long[]
+    * rather than a DataFrame. Feeds dedup_incremental_bloom.
+    */
+  private val bloomWordsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Array[Long])]()
+
+  private[queries] def incrBloomWords(s: SparkSession,
+                                      dir: String): Array[Long] = {
+    val fp = Tables.fingerprint(s"$dir/documents.parquet")
+    val key = s"${s.sparkContext.applicationId}|$dir|incr_bloom"
+    bloomWordsCache.compute(key, (_, cur) =>
+      if (cur != null && cur._1 == fp) cur
+      else (fp, DedupOps.bloomFoldWords(
+        incrFp(s, dir).filter(col("doc_id") % 2 === 0)
+          .select("fp").distinct(), col("fp")))
+    )._2
+  }
+
   def prebuildStages(s: SparkSession, dir: String): Seq[(String, Double)] = {
     def timed(name: String)(f: => Unit): (String, Double) = {
       val t0 = System.nanoTime()
@@ -266,6 +303,8 @@ private[queries] object ExtensionSupport {
       timed("shingle_pairs") { shinglePairs(s, dir).count() },
       timed("events_census") { eventsCensus(s, dir).count() },
       timed("i2b2_spine") { i2b2Spine(s, dir).count() },
+      timed("incr_fp") { incrFp(s, dir).count() },
+      timed("incr_bloom") { incrBloomWords(s, dir).length },
       timed("mm_pixel_blobs") {
         MultimodalQueries.pixelBlobs(s, dir).count() },
       timed("mm_ahash_blobs") {
@@ -312,7 +351,7 @@ private[queries] object ExtensionSupport {
       "kmeans8_labels",
       "pq_codebook", "pq_codes", "bpe_merges",
       "bm25_top20", "pr_graph", "copurchase_edges", "shingle_pairs",
-      "events_census", "i2b2_spine", "i2b2_hier_last",
+      "events_census", "i2b2_spine", "i2b2_hier_last", "incr_fp",
       "mm_pixel_blobs", "mm_ahash_blobs", "mm_audio_blobs",
       "mm_phash_blobs", "mm_video_blobs", "mm_vdup_blobs",
       "mm_img_feats", "mm_video_feats", "mm_audio_feats",
@@ -320,6 +359,7 @@ private[queries] object ExtensionSupport {
       .foreach(stage => Stages.evict(s, s"$dir|$stage"))
     // next bucketedLayout call re-writes the tables (rebuild timing)
     bucketedWritten.remove(s"${s.sparkContext.applicationId}|$dir|bucketed")
+    bloomWordsCache.remove(s"${s.sparkContext.applicationId}|$dir|incr_bloom")
   }
 
   /** Unthresholded shingle-pair intersections over documents — the

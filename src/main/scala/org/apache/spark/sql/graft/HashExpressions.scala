@@ -130,6 +130,35 @@ object GraftHashUtil {
     while (z < arr.length) { arr(z) = out.get(z); z += 1 }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
   }
+
+  /** Kernel behind [[BloomWordProbe]]: ALL k Carter–Wegman probe bits
+    * of the fingerprint set in the folded word mask? `consts` carries
+    * (a, a² mod p, a³ mod p, b) per hash row — supplied by the caller
+    * from the SAME family the filter was built with
+    * (graft.ext.CountMin.rowConsts), which is what makes the
+    * no-false-negative contract hold. Arithmetic mirrors
+    * CountMin.bucket verbatim: base-2^31 digits of the (non-negative,
+    * < 2^60) md5-prefix item, each product reduced mod p = 2^31−1
+    * before summing; bit reads use unsigned shifts, matching the
+    * declarative form's sign-safe `& 1`.
+    */
+  def bloomProbe(s: UTF8String, words: Array[Long], consts: Array[Long],
+                 k: Int, mBits: Int): Boolean = {
+    val P = 2147483647L
+    val it = md5PrefixLong(s, 15)
+    val d0 = it & 0x7fffffffL
+    val d1 = (it >>> 31) & 0x7fffffffL
+    val d2 = it >>> 62
+    var j = 0
+    while (j < k) {
+      val pos = ((consts(4 * j) * d0 % P + consts(4 * j + 1) * d1 % P +
+        consts(4 * j + 2) * d2 % P + consts(4 * j + 3)) % P) % mBits
+      if (((words((pos >>> 6).toInt) >>> (pos & 63).toInt) & 1L) == 0L)
+        return false
+      j += 1
+    }
+    true
+  }
 }
 
 /** Native form of the engine's portable-hash idiom (see
@@ -201,6 +230,50 @@ case class Md5PrefixLong(child: Expression, hexLen: Int)
       newChild: Expression): Md5PrefixLong = copy(child = newChild)
 }
 
+/** The ENTIRE Bloom membership probe as one expression node: hash the
+  * string fingerprint (md5-prefix long), compute the k Carter–Wegman
+  * bucket positions, and test the bits against the folded word mask —
+  * TRUE only if all k are set. The equivalent declarative composition
+  * is ~500 expression nodes referencing a 4096-long array literal
+  * three times; measured, the Catalyst optimizer + AQE re-optimization
+  * spent ~0.07 s PER PLANNING PASS walking it (and the big predicate
+  * re-plans once per adaptive stage), dominating the whole
+  * bloom-filtered anti join at bench scale. One opaque node restores
+  * flat planning cost; the generated code is a tight loop over k.
+  *
+  * NULL-intolerant like the hash it wraps: a NULL fingerprint probes
+  * NULL (callers coalesce to the semantics they need — the anti-join
+  * path coalesces to false, "provably absent").
+  */
+case class BloomWordProbe(child: Expression, words: Array[Long],
+                          consts: Array[Long], k: Int, mBits: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1 && consts.length == 4 * k,
+    s"consts must carry (a, a2, a3, b) per hash row: " +
+      s"${consts.length} != 4*$k")
+  require(words.length.toLong * 64 == mBits,
+    s"words (${words.length}) must pack exactly mBits ($mBits) bits")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_word_probe"
+
+  override def nullSafeEval(s: Any): Any =
+    GraftHashUtil.bloomProbe(s.asInstanceOf[UTF8String], words, consts,
+      k, mBits)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("bloomWords", words, "long[]")
+    val cs = ctx.addReferenceObj("bloomConsts", consts, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.GraftHashUtil.bloomProbe" +
+        s"($c, $w, $cs, $k, $mBits)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BloomWordProbe = copy(child = newChild)
+}
+
 object HashColumns {
   def md5_prefix_long(c: Column, hexLen: Int): Column =
     ExpressionUtils.column(Md5PrefixLong(ExpressionUtils.expression(c), hexLen))
@@ -208,6 +281,11 @@ object HashColumns {
   def shingle_hashes(c: Column, k: Int, hexLen: Int): Column =
     ExpressionUtils.column(
       ShingleHashes(ExpressionUtils.expression(c), k, hexLen))
+
+  def bloom_word_probe(c: Column, words: Array[Long],
+                       consts: Array[Long], k: Int, mBits: Int): Column =
+    ExpressionUtils.column(BloomWordProbe(
+      ExpressionUtils.expression(c), words, consts, k, mBits))
 }
 
 /** `Observation.getOrEmpty` is private[sql]; this bridge exposes the

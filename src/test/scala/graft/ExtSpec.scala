@@ -3465,6 +3465,54 @@ class ExtSpec extends SparkSpec {
         .select("id", "fp").as[(Long, String)].collect().toSet
       assert(got === expected, s"mismatch at mBits=$mBits")
     }
+    // a NULL fp never equals anything, so the plain anti join KEEPS
+    // it — the literal-fold probe must too (its predicate is
+    // indeterminate on NULL and coalesces to not-contained)
+    val withNull = overlapping.unionByName(
+      Seq((777L, Option.empty[String])).toDF("id", "fp"))
+    val gotNull = DedupOps.bloomFilteredAnti(withNull, hist, "fp", k = 2)
+      .select("id").as[Long].collect().toSet
+    assert(gotNull.contains(777L), "NULL-fp row must survive the anti")
+  }
+
+  test("BloomWordProbe kernel matches the declarative bucket " +
+      "arithmetic and never false-negatives on members") {
+    import graft.ext.{CountMin, PortableHash}
+    import org.apache.spark.sql.graft.HashColumns
+    // the no-false-negative contract is hash-family PARITY between
+    // the dataflow build (bloomBits: CountMin.bucket over exploded
+    // seeds) and the one-node probe kernel — pin them bit-for-bit
+    val mBits = 1 << 10
+    val k = 3
+    val rnd = new scala.util.Random(7)
+    val vals = (0 until 300).map(i => s"v$i-${rnd.nextLong()}")
+    val members = vals.take(150).toDF("fp")
+    val words = DedupOps.bloomFoldWords(members, col("fp"), mBits, k)
+    val consts = CountMin.rowConsts(k).flatMap { case (a, b) =>
+      Seq(a, a * a % CountMin.P, a * a % CountMin.P * a % CountMin.P, b)
+    }.toArray
+    val probe = HashColumns.bloom_word_probe(col("fp"), words, consts,
+      k, mBits)
+    // declarative replica of the probe over the same literal words
+    val litWords = typedLit(words)
+    val it = PortableHash.md5PrefixLong(col("fp"), 15)
+    val declarative = (0 until k).map { j =>
+      val pj = CountMin.bucket(lit(j), it, k, mBits)
+      call_function("shiftright",
+        element_at(litWords, shiftright(pj, 6).cast("int") + 1),
+        pmod(pj, lit(64)).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+    val rows = vals.toDF("fp")
+      .select(col("fp"), probe.as("kern"), declarative.as("decl"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getBoolean(1) === r.getBoolean(2),
+        s"kernel/declarative diverge on ${r.getString(0)}")
+    }
+    // every member must probe TRUE (false negatives are impossible)
+    val memberHits = vals.take(150).toDF("fp").select(probe).collect()
+    assert(memberHits.forall(_.getBoolean(0)), "false negative found")
   }
 
   test("decontaminate flags a doc copying a benchmark span, keeps " +

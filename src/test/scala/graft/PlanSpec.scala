@@ -609,6 +609,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dedup_incremental_bloom: the literal-fold probe is join-free — " +
+      "the ONLY join in the plan is the exact verify anti join") {
+    // round-13 verdict item: the probe used to pay k=3 broadcast
+    // joins against the ≤4096-row word table; the fold collects the
+    // 32 KiB mask once and probes it as plan-literal arithmetic, so
+    // a join operator count above 1 means the fold regressed
+    // count in the FINAL plan only — AQE's toString echoes the
+    // initial plan below it, which would double-count the anti join
+    val p = finalPlan("dedup_incremental_bloom")
+      .split("== Initial Plan ==")(0)
+    val joins = ("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|" +
+      "BroadcastNestedLoopJoin|CartesianProduct)").r
+      .findAllIn(p).length
+    assert(joins === 1,
+      s"expected exactly the verify anti join, found $joins joins:\n$p")
+    assert(p.contains("LeftAnti"), s"verify anti join missing:\n$p")
+  }
+
   test("agg_mode / feat_equidepth_bins: no ranking window anywhere — " +
       "mode is two hash aggs, binning is a histogram fold + broadcast " +
       "probe") {
