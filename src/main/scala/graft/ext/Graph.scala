@@ -3,6 +3,39 @@ package graft.ext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+/** Round-state materializer shared by the iterative graph loops
+  * (pagerank, k-hop BFS, label propagation) — the same reliable-vs-
+  * local checkpoint choice [[DedupOps.connectedComponents]] threads:
+  * `localCheckpoint` pins round state in executor block storage
+  * (fast, but blocks DIE with their executor — mid-iteration loss is
+  * unrecoverable because the lineage was truncated), while a
+  * checkpoint DIR writes each round to reliable storage so a
+  * 1000-executor run survives preemption. Superseded rounds must be
+  * `release`d: the context cleaner never deletes reliable checkpoint
+  * files under default config, so a 20-round loop would otherwise
+  * leave 20 round-state copies in the dir. FINAL round files are the
+  * caller's to consume — never release the frame you return.
+  */
+private[ext] final class RoundState(spark: org.apache.spark.sql.SparkSession,
+                                    checkpointDir: Option[String]) {
+  checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+
+  /** Materialize one round's state, truncating lineage. */
+  def apply(df: DataFrame): DataFrame =
+    if (checkpointDir.isDefined) df.checkpoint(eager = true)
+    else df.localCheckpoint(true)
+
+  /** Drop a SUPERSEDED round: its blocks, and (reliable mode) its
+    * checkpoint files — callers guarantee the successor round is
+    * already materialized, so nothing re-reads what this deletes.
+    */
+  def release(df: DataFrame): Unit = {
+    df.unpersist()
+    if (checkpointDir.isDefined)
+      org.apache.spark.sql.graft.CheckpointFiles.delete(df)
+  }
+}
+
 /** Distributed graph analytics over edge-list DataFrames — the two
   * algorithms a web-scale corpus pipeline actually runs: PageRank as a
   * document/host quality prior (the Common-Crawl-style link-graph
@@ -29,8 +62,10 @@ object Graph {
     * Similarity.scala).
     *
     * Scale shape: the degree-annotated edge list is materialized ONCE
-    * (localCheckpoint — on a real cluster pass a reliable checkpoint
-    * dir exactly as [[DedupOps.connectedComponents]] documents) and
+    * (via [[RoundState]]: `checkpointDir = Some(dir)` gives reliable
+    * checkpoints that survive executor death mid-iteration — pass it
+    * on a real cluster, exactly as [[DedupOps.connectedComponents]];
+    * the default localCheckpoint is the single-JVM fast path) and
     * re-joined each round; one shuffle per iteration on `dst` with
     * map-side partial sums, so a hot page (in-degree millions) costs a
     * combiner tree, not a single reducer. Rank state stays a
@@ -43,9 +78,11 @@ object Graph {
     * @param iters rounds (unrolled; callers keep this small — quality
     *              priors converge in single digits)
     */
-  def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int): DataFrame =
-    pageRankPrepared(prepareEdges(edges).localCheckpoint(true), nodes,
-      iters)
+  def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int,
+               checkpointDir: Option[String] = None): DataFrame = {
+    val rs = new RoundState(edges.sparkSession, checkpointDir)
+    pageRankPrepared(rs(prepareEdges(edges)), nodes, iters, checkpointDir)
+  }
 
   /** Degree-annotate an edge list — the build-once half of the
     * PageRank lifecycle (a link graph is constructed once and ranked
@@ -81,16 +118,19 @@ object Graph {
     * missed observe poll merely runs one redundant probe, never a
     * false stop.
     */
-  def pageRankPrepared(e: DataFrame, nodes: DataFrame,
-                       iters: Int): DataFrame =
-    pageRankRounds(e, nodes, iters)._1
+  def pageRankPrepared(e: DataFrame, nodes: DataFrame, iters: Int,
+                       checkpointDir: Option[String] = None): DataFrame =
+    pageRankRounds(e, nodes, iters, checkpointDir)._1
 
   /** [[pageRankPrepared]] plus the number of rank rounds actually
     * executed (≤ `iters`; tests pin the early exit with it).
     */
   private[graft] def pageRankRounds(e: DataFrame, nodes: DataFrame,
-                                    iters: Int): (DataFrame, Int) = {
+                                    iters: Int,
+                                    checkpointDir: Option[String] = None)
+      : (DataFrame, Int) = {
     require(iters >= 1 && iters <= 20, "iters must be in [1, 20]")
+    val rs = new RoundState(e.sparkSession, checkpointDir)
     val n = nodes.select(col("node_id"))
     def round(r: DataFrame): DataFrame = {
       val contrib = e.join(r, e("src") === r("node_id"))
@@ -113,9 +153,9 @@ object Graph {
       return ((1 to iters).foldLeft(seed)((r, _) => round(r)), iters)
     def checksummed(df: DataFrame): (DataFrame, Option[Long]) = {
       val obs = org.apache.spark.sql.Observation()
-      val out = df.observe(obs,
+      val out = rs(df.observe(obs,
         coalesce(bit_xor(xxhash64(col("node_id"), col("rank_micros"))),
-          lit(0L)).as("x")).localCheckpoint(true)
+          lit(0L)).as("x")))
       (out, org.apache.spark.sql.graft.ObservationAccess.await(obs, 2000)
         .map(_("x").asInstanceOf[Long]))
     }
@@ -133,8 +173,9 @@ object Graph {
         next.join(ranks, Seq("node_id", "rank_micros"), "left_anti")
           .isEmpty
       // superseded round state: `next` is already materialized, so
-      // nothing re-reads the previous checkpoint's blocks
-      ranks.unpersist()
+      // nothing re-reads the previous checkpoint's blocks (or, in
+      // reliable mode, its files)
+      rs.release(ranks)
       ranks = next
       prevX = x
       iter += 1
@@ -216,11 +257,11 @@ object Graph {
     *              directions for an undirected graph
     * @param seeds one `id` column, distance-0 nodes
     */
-  def kHopDistances(edges: DataFrame, seeds: DataFrame,
-                    hops: Int): DataFrame = {
+  def kHopDistances(edges: DataFrame, seeds: DataFrame, hops: Int,
+                    checkpointDir: Option[String] = None): DataFrame = {
     require(hops >= 1 && hops <= 20, "hops must be in [1, 20]")
-    var frontier = seeds.select(col("id"), lit(0).as("dist"))
-      .localCheckpoint(true)
+    val rs = new RoundState(edges.sparkSession, checkpointDir)
+    var frontier = rs(seeds.select(col("id"), lit(0).as("dist")))
     val labelled = scala.collection.mutable.ArrayBuffer(frontier)
     for (h <- 1 to hops) {
       if (!frontier.isEmpty) {
@@ -228,12 +269,14 @@ object Graph {
           .join(frontier, edges("src") === frontier("id"))
           .select(col("dst").as("id")).distinct()
         val dist = labelled.reduce(_ unionAll _)
-        frontier = reached.join(dist, Seq("id"), "left_anti")
-          .select(col("id"), lit(h).as("dist"))
-          .localCheckpoint(true)
+        frontier = rs(reached.join(dist, Seq("id"), "left_anti")
+          .select(col("id"), lit(h).as("dist")))
         labelled += frontier
       }
     }
+    // every hop's frontier is PART of the result (the union below),
+    // so no round is ever superseded — nothing to release here; the
+    // per-hop checkpoint files are the returned table's backing store
     labelled.reduce(_ unionAll _)
   }
 
@@ -255,14 +298,14 @@ object Graph {
     * collect. Each round's labels are checkpointed so lineage stays
     * linear in rounds ([[kHopDistances]]' discipline).
     */
-  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+  def labelPropagation(edges: DataFrame, iters: Int,
+                       checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1 && iters <= 20, "iters must be in [1, 20]")
-    val sym = edges.select(col("u").as("node"), col("v").as("nbr"))
-      .unionAll(edges.select(col("v").as("node"), col("u").as("nbr")))
-      .localCheckpoint(true)
-    var labels = sym.select(col("node").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
+    val rs = new RoundState(edges.sparkSession, checkpointDir)
+    val sym = rs(edges.select(col("u").as("node"), col("v").as("nbr"))
+      .unionAll(edges.select(col("v").as("node"), col("u").as("nbr"))))
+    var labels = rs(sym.select(col("node").as("id")).distinct()
+      .select(col("id"), col("id").as("label")))
     for (_ <- 1 to iters) {
       val adopted = sym
         .join(labels.withColumnRenamed("id", "nbr"), Seq("nbr"))
@@ -277,8 +320,15 @@ object Graph {
         .agg(min_by(col("label"), struct(-col("__n"), col("label")))
           .as("label"))
         .select(col("node").as("id"), col("label"))
-      labels = adopted.localCheckpoint(true)
+      val next = rs(adopted)
+      // the superseded round's label table (and its reliable files)
+      // can go — `next` is already materialized
+      rs.release(labels)
+      labels = next
     }
+    // the symmetric edge copy is superseded once the FINAL labels are
+    // materialized; the final label files are the caller's
+    rs.release(sym)
     labels
   }
 

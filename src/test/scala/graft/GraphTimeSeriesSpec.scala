@@ -597,6 +597,71 @@ class GraphTimeSeriesSpec extends SparkSpec {
       4L -> 3L, 5L -> 4L, 6L -> 4L))
   }
 
+  test("reliable-checkpoint mode: LPA / pagerank / kHop match the " +
+      "localCheckpoint results, clean up superseded rounds, and the " +
+      "final tables survive total block loss (re-read from files)") {
+    // the executor-death scenario a 1000-executor run hits
+    // mid-iteration: localCheckpoint state dies with its executor,
+    // reliable checkpoints re-read from the dir. Simulated here as
+    // total block eviction AFTER the run — the returned tables must
+    // recompute from their checkpoint FILES alone.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ckpt-spec").toString
+    try {
+      val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+        (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("u", "v")
+      val directed = edges.select($"u".as("src"), $"v".as("dst"))
+        .unionAll(edges.select($"v".as("src"), $"u".as("dst")))
+      val nodes = (1L to 6L).toDF("node_id")
+
+      val lpaLocal = Graph.labelPropagation(edges, iters = 3)
+        .as[(Long, Long)].collect().toMap
+      val lpaRel = Graph.labelPropagation(edges, iters = 3,
+        checkpointDir = Some(dir))
+      // 8 rounds ran (sym + seed + 3 label rounds, some released):
+      // superseded round files must be GONE — only the final labels'
+      // checkpoint may remain, or a 20-round production loop leaves
+      // 20 corpus-sized copies in the dir
+      def rddDirs() = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory)
+            f +: Option(f.listFiles()).getOrElse(Array.empty).toSeq
+              .flatMap(walk)
+          else Seq(f)
+        walk(new java.io.File(dir))
+          .filter(_.getName.startsWith("rdd-"))
+      }
+      val afterLpa = rddDirs().length
+      assert(afterLpa <= 1,
+        s"superseded LPA rounds left $afterLpa checkpoint dirs")
+
+      val prLocal = Graph.pageRank(directed, nodes, iters = 6)
+        .as[(Long, Long)].collect().toMap
+      val prRel = Graph.pageRank(directed, nodes, iters = 6,
+        checkpointDir = Some(dir))
+      val khLocal = Graph.kHopDistances(directed, Seq(1L).toDF("id"),
+        hops = 2).as[(Long, Int)].collect().toMap
+      val khRel = Graph.kHopDistances(directed, Seq(1L).toDF("id"),
+        hops = 2, checkpointDir = Some(dir))
+
+      // drop EVERY cached/localCheckpoint block — after this, only
+      // reliable checkpoint files can serve the three tables
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      assert(lpaRel.as[(Long, Long)].collect().toMap === lpaLocal,
+        "LPA diverged or failed after block loss")
+      assert(prRel.as[(Long, Long)].collect().toMap === prLocal,
+        "pagerank diverged or failed after block loss")
+      assert(khRel.as[(Long, Int)].collect().toMap === khLocal,
+        "kHop diverged or failed after block loss")
+    } finally {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("labelPropagation: string-id graphs keep the deterministic " +
       "smallest-label tie rule (no numeric-negation cast)") {
     // same two-triangles-and-a-bridge shape with string ids; the
