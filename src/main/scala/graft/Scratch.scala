@@ -13,10 +13,10 @@ object Scratch {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.length > 1) args.drop(1).toSeq
-      else Seq("dedup_incremental_bloom")
+      else Seq("dedup_substring", "dedup_editdist")
     for (rep <- 1 to 3; n <- names) {
       val t0 = System.nanoTime()
-      val c = SparkEntry.queries(n)(spark, sfDir).count()
+      val c = SparkEntry.queries(n)(spark, sfDir).queryExecution.toRdd.count()
       println(f"[scr] rep$rep $n%-28s ${(System.nanoTime()-t0)/1e9}%8.3f s rows=$c")
     }
     spark.stop()

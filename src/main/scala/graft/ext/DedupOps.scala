@@ -171,15 +171,25 @@ object DedupOps {
   }
 
   /** Ordered (a < b) pair expansion inside one SORTED distinct
-    * postings list: slice-per-element is output-proportional work
-    * (not the lambda-recompute trap), and sortedness makes i < j
-    * imply first < second. The 1-based slice offset `i + 2` starts
-    * each element's partners strictly after it. Shared by the
-    * inverted-index pair generators so the off-by-one invariants
-    * live in exactly one place.
+    * postings list — sortedness makes i < j imply first < second.
+    * Shared by the inverted-index pair generators so the pairing
+    * invariants live in exactly one place. Backed by the native
+    * [[org.apache.spark.sql.graft.OrderedPairs]] kernel: the previous
+    * transform/slice/flatten lambda composition was interpreted
+    * (higher-order functions are CodegenFallback) and copied the
+    * list's tail once PER ELEMENT — O(n²) transient arrays per
+    * posting list. Output parity is pinned in ExtSpec.
     */
   private[ext] def orderedPairs(ids: Column, aName: String,
                            bName: String): Column =
+    explode(org.apache.spark.sql.graft.PairColumns
+      .ordered_pairs(ids, aName, bName))
+
+  /** The lambda composition [[orderedPairs]] replaced — kept as the
+    * executable parity reference for the kernel spec.
+    */
+  private[graft] def orderedPairsDeclarative(ids: Column, aName: String,
+                                             bName: String): Column =
     explode(flatten(transform(ids, (x, i) =>
       transform(slice(ids, i + lit(2), size(ids)),
         y => struct(x.as(aName), y.as(bName))))))
@@ -611,8 +621,13 @@ object DedupOps {
     */
   def editDistancePairs(df: DataFrame, blockKeys: Seq[String], id: Column,
                         text: Column, maxDist: Int): DataFrame = {
-    val a = df.select(blockKeys.map(col) ++
-      Seq(id.as("id_a"), text.as("__ta")): _*)
+    // probe side spread on the BLOCK key when the scan is
+    // unsplittable-narrow (see spreadNarrow): under a broadcast build
+    // the O(block²) distance loop otherwise runs inside the scan's
+    // single task; keyed spread is the same exchange a non-broadcast
+    // plan needs anyway, so nothing is wasted at scale
+    val a = spreadNarrow(df.select(blockKeys.map(col) ++
+      Seq(id.as("id_a"), text.as("__ta")): _*), blockKeys.map(col))
     val b = df.select(blockKeys.map(col) ++
       Seq(id.as("id_b"), text.as("__tb")): _*)
     // two semantics-preserving cuts before/inside the O(len·len) core:
@@ -954,13 +969,35 @@ object DedupOps {
     * saves a full corpus exchange; a consumer that counts (doc, fp)
     * rows ([[decontaminate]]) must take the distinct form.
     */
+  /** Floor a compute-heavy NARROW stage at cluster parallelism:
+    * repartition ONLY when the input's planned partition count is
+    * below the session's default parallelism. This is the
+    * unsplittable-input guard — a single-row-group parquet file or a
+    * gzip member plans as ONE split, which serializes the whole
+    * kernel pass (winnowing, per-pair edit distance) through one
+    * task no matter how many cores the cluster has. At corpus scale
+    * a scan already carries thousands of splits and this is the
+    * identity — no exchange is added. Wide keyed variant: pass the
+    * keys so the spread doubles as the join-side partitioning.
+    */
+  private def spreadNarrow(df: DataFrame, keys: Seq[Column] = Nil)
+      : DataFrame = {
+    val have = df.rdd.getNumPartitions
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    // within 2x of full parallelism: leave the scan alone (an
+    // exchange costs more than the imbalance it fixes)
+    if (have * 2 >= want) df
+    else if (keys.isEmpty) df.repartition(want)
+    else df.repartition(want, keys: _*)
+  }
+
   def winnowingFingerprintsRaw(df: DataFrame, id: Column, text: Column,
                                k: Int = 16, window: Int = 8,
                                chunkChars: Int = 4096): DataFrame = {
     require(chunkChars >= 1, "chunkChars must be positive")
     val overlap = window + k - 2
-    df.filter(length(text) >= k) // no gram fits a shorter doc
-      .select(id.as("doc_id"), text.as("__t"))
+    spreadNarrow(df.filter(length(text) >= k) // no gram fits a shorter doc
+      .select(id.as("doc_id"), text.as("__t")))
       // chunk i owns window starts i*chunkChars+1 .. min((i+1)*chunkChars, G)
       // where G = length - k + 1; last chunk index = (G-1) div chunkChars
       .select(col("doc_id"), col("__t"),

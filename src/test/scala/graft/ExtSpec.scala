@@ -3475,6 +3475,33 @@ class ExtSpec extends SparkSpec {
     assert(gotNull.contains(777L), "NULL-fp row must survive the anti")
   }
 
+  test("OrderedPairs kernel matches the transform/slice lambda form " +
+      "on long and string lists, including empties and singletons") {
+    import org.apache.spark.sql.graft.PairColumns
+    val longs = Seq(
+      (1L, Seq(1L, 3L, 7L, 9L)),
+      (2L, Seq(5L)),
+      (3L, Seq.empty[Long]),
+      (4L, Seq(2L, 4L))).toDF("k", "ids")
+    val kern = longs.select(col("k"),
+      explode(PairColumns.ordered_pairs(col("ids"), "a", "b")).as("p"))
+      .select(col("k"), col("p.a"), col("p.b"))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val decl = longs.select(col("k"),
+      graft.ext.DedupOps.orderedPairsDeclarative(col("ids"), "a", "b")
+        .as("p"))
+      .select(col("k"), col("p.a"), col("p.b"))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(kern === decl)
+    assert(kern.count(_._1 == 1L) === 6) // C(4,2)
+    val strs = Seq((1L, Seq("aa", "bb", "cc"))).toDF("k", "ids")
+    val ks = strs.select(
+      explode(PairColumns.ordered_pairs(col("ids"), "a", "b")).as("p"))
+      .select(col("p.a"), col("p.b"))
+      .as[(String, String)].collect().sorted.toSeq
+    assert(ks === Seq("aa" -> "bb", "aa" -> "cc", "bb" -> "cc"))
+  }
+
   test("BloomWordProbe kernel matches the declarative bucket " +
       "arithmetic and never false-negatives on members") {
     import graft.ext.{CountMin, PortableHash}
