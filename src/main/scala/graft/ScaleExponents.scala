@@ -80,7 +80,12 @@ object ScaleExponents {
     val tiers = Seq(("1x", srcDir), ("10x", "target/sf1"),
       ("100x", "target/sf10"))
     val queries = Seq("dedup_substring", "curate_pretrain",
-      "dedup_ngram_jaccard", "graph_pagerank")
+      "dedup_ngram_jaccard", "graph_pagerank",
+      // round-14 touched operators: the Bloom literal fold + staged
+      // fingerprint store, the block-key spread (identity on these
+      // multi-split fixtures — the row pins that), and the fused
+      // small-budget LPA regime
+      "dedup_incremental_bloom", "dedup_editdist", "graph_lpa")
 
     // results(name)(tier) = (repTimes, rows)
     val results =

@@ -979,6 +979,11 @@ object DedupOps {
     * a scan already carries thousands of splits and this is the
     * identity — no exchange is added. Wide keyed variant: pass the
     * keys so the spread doubles as the join-side partitioning.
+    *
+    * CONTRACT: call on SCAN-ROOTED inputs only (both in-repo call
+    * sites are). The partition probe goes through `df.rdd`, and on an
+    * exchange-bearing adaptive plan that finalizes — i.e. EXECUTES —
+    * the upstream query stages at construction time.
     */
   private def spreadNarrow(df: DataFrame, keys: Seq[Column] = Nil)
       : DataFrame = {
@@ -994,10 +999,15 @@ object DedupOps {
   def winnowingFingerprintsRaw(df: DataFrame, id: Column, text: Column,
                                k: Int = 16, window: Int = 8,
                                chunkChars: Int = 4096): DataFrame = {
+    // NOT spread (unlike editDistancePairs): the rolling-hash kernel
+    // is O(len) with ~10 integer ops per char — measured, a spread
+    // exchange here cost more than the single-task map it parallelized
+    // (dedup_decontaminate 0.17 → 0.41 s) while dedup_substring's
+    // aggregation-bound chain gained ~nothing
     require(chunkChars >= 1, "chunkChars must be positive")
     val overlap = window + k - 2
-    spreadNarrow(df.filter(length(text) >= k) // no gram fits a shorter doc
-      .select(id.as("doc_id"), text.as("__t")))
+    df.filter(length(text) >= k) // no gram fits a shorter doc
+      .select(id.as("doc_id"), text.as("__t"))
       // chunk i owns window starts i*chunkChars+1 .. min((i+1)*chunkChars, G)
       // where G = length - k + 1; last chunk index = (G-1) div chunkChars
       .select(col("doc_id"), col("__t"),

@@ -260,6 +260,13 @@ object Graph {
   def kHopDistances(edges: DataFrame, seeds: DataFrame, hops: Int,
                     checkpointDir: Option[String] = None): DataFrame = {
     require(hops >= 1 && hops <= 20, "hops must be in [1, 20]")
+    // NO fused small-budget regime here, unlike labelPropagation /
+    // pageRankRounds — measured WORSE (1.08 s vs 0.50 s on the bench
+    // query): hop h's frontier is consumed by EVERY later hop's
+    // anti-join target AND the final union, so an unmaterialized
+    // frontier re-derives once per consumer and the recompute
+    // outgrows the scheduling overhead the fusion saves. Frontier
+    // state is genuinely multi-consumer; label/rank state is a chain.
     val rs = new RoundState(edges.sparkSession, checkpointDir)
     var frontier = rs(seeds.select(col("id"), lit(0).as("dist")))
     val labelled = scala.collection.mutable.ArrayBuffer(frontier)
@@ -301,26 +308,40 @@ object Graph {
   def labelPropagation(edges: DataFrame, iters: Int,
                        checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1 && iters <= 20, "iters must be in [1, 20]")
+    // one vote round: labels ← argmax over neighbors' labels
+    def round(sym: DataFrame, labels: DataFrame): DataFrame = sym
+      .join(labels.withColumnRenamed("id", "nbr"), Seq("nbr"))
+      .groupBy("node", "label").agg(count(lit(1)).as("__n"))
+      .groupBy("node")
+      // argmax (count desc, label asc): min over the (-n, label)
+      // struct. Negating the COUNT (a nonnegative long) is always
+      // safe, and the label rides un-negated — so string-id graphs
+      // (first-class in connectedComponents) keep the deterministic
+      // smallest-label tie rule instead of a silent cast-to-double
+      // NULL degrading it
+      .agg(min_by(col("label"), struct(-col("__n"), col("label")))
+        .as("label"))
+      .select(col("node").as("id"), col("label"))
+    val symPlan = edges.select(col("u").as("node"), col("v").as("nbr"))
+      .unionAll(edges.select(col("v").as("node"), col("u").as("nbr")))
+    // Small budgets fuse into ONE lazy plan (the pageRankRounds
+    // regime): label lineage is a single chain (each round reads the
+    // previous once), so a ≤4-round DAG needs no checkpointing, and
+    // the per-round eager materializations were costing more
+    // scheduled jobs than the votes themselves. A checkpointDir
+    // forces the eager regime — reliable round state only exists
+    // there.
+    if (iters <= 4 && checkpointDir.isEmpty) {
+      val seed = symPlan.select(col("node").as("id")).distinct()
+        .select(col("id"), col("id").as("label"))
+      return (1 to iters).foldLeft(seed)((l, _) => round(symPlan, l))
+    }
     val rs = new RoundState(edges.sparkSession, checkpointDir)
-    val sym = rs(edges.select(col("u").as("node"), col("v").as("nbr"))
-      .unionAll(edges.select(col("v").as("node"), col("u").as("nbr"))))
+    val sym = rs(symPlan)
     var labels = rs(sym.select(col("node").as("id")).distinct()
       .select(col("id"), col("id").as("label")))
     for (_ <- 1 to iters) {
-      val adopted = sym
-        .join(labels.withColumnRenamed("id", "nbr"), Seq("nbr"))
-        .groupBy("node", "label").agg(count(lit(1)).as("__n"))
-        .groupBy("node")
-        // argmax (count desc, label asc): min over the (-n, label)
-        // struct. Negating the COUNT (a nonnegative long) is always
-        // safe, and the label rides un-negated — so string-id graphs
-        // (first-class in connectedComponents) keep the deterministic
-        // smallest-label tie rule instead of a silent cast-to-double
-        // NULL degrading it
-        .agg(min_by(col("label"), struct(-col("__n"), col("label")))
-          .as("label"))
-        .select(col("node").as("id"), col("label"))
-      val next = rs(adopted)
+      val next = rs(round(sym, labels))
       // the superseded round's label table (and its reliable files)
       // can go — `next` is already materialized
       rs.release(labels)
