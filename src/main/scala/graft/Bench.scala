@@ -154,6 +154,14 @@ object Bench {
     // (or with no file at all) falls back to the spread rule: a
     // worst/best ratio ≥ 3 across reps is interference by definition
     // (the plan and data did not change between reps).
+    //
+    // The threshold is 1.4x + 0.12 s (round 14; was 3x + 0.15 s): in
+    // the round-13 driver record 16 rows sat between the two rules —
+    // ambient inflation the min-of-5 window never escaped, worth
+    // ~4 s of the 44-vs-36.6 s driver-vs-clean gap — and a genuinely
+    // regressed query costs only retryReps extra samples (its slower
+    // figure still stands, and the same-code expectation is refolded
+    // every round so the rule tracks the current code).
     val expectPath = sys.env.getOrElse("SPARK_GRAFT_EXPECT",
       "bench_expect.json")
     val expect: Map[String, Double] =
@@ -165,10 +173,10 @@ object Bench {
       } catch { case _: Throwable => Map.empty }
     val retryReps = sys.env.get("SPARK_GRAFT_RETRY_REPS")
       .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
-      .getOrElse(2).max(1)
+      .getOrElse(3).max(1)
     val results = firstPass.map { case (name, fn, best, worst, err) =>
       val suspicious = err.isEmpty && (expect.get(name) match {
-        case Some(e) => best > 3.0 * e && best - e > 0.15
+        case Some(e) => best > 1.4 * e && best - e > 0.12
         case None => worst >= 3.0 * best && best >= 0.05
       })
       if (!suspicious) (name, best, err)
