@@ -618,9 +618,31 @@ object DedupOps {
     * `levenshtein` is a codegen'd built-in on both Spark and DuckDB
     * with the identical classic definition, so the oracle reproduces
     * it verbatim.
+    *
+    * Blocks larger than `maxBlock` are dropped WHOLE before the join
+    * — the [[pairIntersections]] df-cap / [[Graph.coOccurrenceEdges]]
+    * maxGroupSize governor, because blocking keys have FIXED
+    * cardinality (brand × type is ~10³ values no matter how large the
+    * catalog), so block size grows linearly with the corpus and the
+    * pair count quadratically: the 100× scale smoke measured the
+    * uncapped blow-up at 466M pair rows / 292 s from a fixture only
+    * 100× the bench (SF10_SMOKE.md). A block the cap rejects means
+    * the key is not discriminating there — those members are
+    * boilerplate to an EDIT-DISTANCE dedup exactly as a df > 64
+    * shingle is to the inverted index. 256²/2 ≈ 33 k banded-DP
+    * verifies is one task's compute budget. The hot-key table is
+    * ≤ n/maxBlock rows by construction and the exclusion is a
+    * one-sided anti join (excluding a block's `a` side kills all its
+    * pairs), so the governor costs one partial-agg count, not a
+    * second quadratic pass.
     */
   def editDistancePairs(df: DataFrame, blockKeys: Seq[String], id: Column,
-                        text: Column, maxDist: Int): DataFrame = {
+                        text: Column, maxDist: Int,
+                        maxBlock: Long = 256L): DataFrame = {
+    require(maxBlock >= 2, s"maxBlock ($maxBlock) must be at least 2")
+    val oversized = df.groupBy(blockKeys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBlock)
+      .select(blockKeys.map(col): _*)
     // probe side spread on the BLOCK key when the scan is
     // unsplittable-narrow (see spreadNarrow): under a broadcast build
     // the O(block²) distance loop otherwise runs inside the scan's
@@ -628,6 +650,7 @@ object DedupOps {
     // plan needs anyway, so nothing is wasted at scale
     val a = spreadNarrow(df.select(blockKeys.map(col) ++
       Seq(id.as("id_a"), text.as("__ta")): _*), blockKeys.map(col))
+      .join(oversized, blockKeys, "left_anti")
     val b = df.select(blockKeys.map(col) ++
       Seq(id.as("id_b"), text.as("__tb")): _*)
     // two semantics-preserving cuts before/inside the O(len·len) core:
@@ -847,6 +870,21 @@ object DedupOps {
     */
   val litFoldMaxBits: Int = 1 << 24 // 2 MiB of literal words
 
+  /** A folded Bloom filter TOGETHER with the parameters it was built
+    * at: the probe's hash family must be the build's (the
+    * no-false-negative contract), and a bare long[] cannot say what
+    * mBits/k produced it — a caller folding at k = 2 and probing at
+    * the default k = 3 would pass a length check and then silently
+    * drop true members of `right` from the verify join. Carrying the
+    * parameters with the words makes that mismatch unrepresentable:
+    * [[bloomFilteredAnti]] probes with THESE values, always.
+    */
+  final case class BloomWords(words: Array[Long], mBits: Int, k: Int) {
+    require(words.length == mBits / 64,
+      s"word array (${words.length} words) does not match mBits/64 " +
+        s"(${mBits / 64})")
+  }
+
   /** The driver-side fold of [[bloomBits]] into a dense word array —
     * exposed so a caller can build the filter ONCE per history epoch
     * and hand it to every arriving batch's [[bloomFilteredAnti]] (the
@@ -854,7 +892,7 @@ object DedupOps {
     * each time). Bounded at mBits/64 longs by construction.
     */
   def bloomFoldWords(right: DataFrame, fp: Column,
-                     mBits: Int = 1 << 18, k: Int = 3): Array[Long] = {
+                     mBits: Int = 1 << 18, k: Int = 3): BloomWords = {
     require(mBits <= litFoldMaxBits,
       s"mBits ($mBits) above the literal-fold cap ($litFoldMaxBits): " +
         "a filter this size should be a rebuilt/rebroadcast structure, " +
@@ -863,17 +901,26 @@ object DedupOps {
     bloomBits(right, fp, mBits, k).collect().foreach { r =>
       words(r.getLong(0).toInt) = r.getLong(1)
     }
-    words
+    BloomWords(words, mBits, k)
   }
 
+  /** See the contract block above. `mBits`/`k` configure the
+    * SELF-BUILT filter only; a `prebuilt` filter probes at its OWN
+    * build parameters (they travel inside [[BloomWords]]), so the two
+    * can never disagree. NOTE the filter fold is a construction-time
+    * SNAPSHOT of `right`: exactness holds because the verify anti
+    * join reads the same file listing Spark captured when `right` was
+    * constructed — hand a frame whose underlying data then mutates in
+    * place (a re-written table path between construction and a later
+    * re-execution) and BOTH legs are stale together, never split.
+    * The epoch lifecycle refreshes filter and history frame as one
+    * unit.
+    */
   def bloomFilteredAnti(left: DataFrame, right: DataFrame, fpCol: String,
                         mBits: Int = 1 << 18, k: Int = 3,
-                        prebuilt: Option[Array[Long]] = None): DataFrame = {
-    val words = prebuilt.getOrElse(
+                        prebuilt: Option[BloomWords] = None): DataFrame = {
+    val bw = prebuilt.getOrElse(
       bloomFoldWords(right, col(fpCol), mBits, k))
-    require(words.length == mBits / 64,
-      s"prebuilt word array (${words.length} words) does not match " +
-        s"mBits/64 (${mBits / 64}) — built at a different mBits?")
     // ONE expression node (BloomWordProbe), not the ~500-node
     // declarative composition: the big predicate tree measurably
     // dominated PLANNING time (it re-plans per adaptive stage and the
@@ -882,14 +929,14 @@ object DedupOps {
     // no-false-negative contract: the consts are the very rowConsts
     // the build exploded over, and ExtSpec pins kernel == declarative
     // bucket arithmetic.
-    val consts = CountMin.rowConsts(k).flatMap { case (a, b) =>
+    val consts = CountMin.rowConsts(bw.k).flatMap { case (a, b) =>
       Seq(a, a * a % CountMin.P, a * a % CountMin.P * a % CountMin.P, b)
     }.toArray
     // coalesce to false: a NULL fp probes NULL, and the anti join's
     // null-never-equals semantics mean such a row is provably absent
     val mightContain = coalesce(
       org.apache.spark.sql.graft.HashColumns.bloom_word_probe(
-        col(fpCol), words, consts, k, mBits),
+        col(fpCol), bw.words, consts, bw.k, bw.mBits),
       lit(false))
     left.filter(!mightContain)
       .unionByName(
@@ -969,33 +1016,6 @@ object DedupOps {
     * saves a full corpus exchange; a consumer that counts (doc, fp)
     * rows ([[decontaminate]]) must take the distinct form.
     */
-  /** Floor a compute-heavy NARROW stage at cluster parallelism:
-    * repartition ONLY when the input's planned partition count is
-    * below the session's default parallelism. This is the
-    * unsplittable-input guard — a single-row-group parquet file or a
-    * gzip member plans as ONE split, which serializes the whole
-    * kernel pass (winnowing, per-pair edit distance) through one
-    * task no matter how many cores the cluster has. At corpus scale
-    * a scan already carries thousands of splits and this is the
-    * identity — no exchange is added. Wide keyed variant: pass the
-    * keys so the spread doubles as the join-side partitioning.
-    *
-    * CONTRACT: call on SCAN-ROOTED inputs only (both in-repo call
-    * sites are). The partition probe goes through `df.rdd`, and on an
-    * exchange-bearing adaptive plan that finalizes — i.e. EXECUTES —
-    * the upstream query stages at construction time.
-    */
-  private def spreadNarrow(df: DataFrame, keys: Seq[Column] = Nil)
-      : DataFrame = {
-    val have = df.rdd.getNumPartitions
-    val want = df.sparkSession.sparkContext.defaultParallelism
-    // within 2x of full parallelism: leave the scan alone (an
-    // exchange costs more than the imbalance it fixes)
-    if (have * 2 >= want) df
-    else if (keys.isEmpty) df.repartition(want)
-    else df.repartition(want, keys: _*)
-  }
-
   def winnowingFingerprintsRaw(df: DataFrame, id: Column, text: Column,
                                k: Int = 16, window: Int = 8,
                                chunkChars: Int = 4096): DataFrame = {
@@ -1021,6 +1041,43 @@ object DedupOps {
       .select(col("doc_id"),
         explode(org.apache.spark.sql.graft.WinnowColumns
           .winnow_mins(col("__chunk"), col("__ns"), k, window)).as("fp"))
+  }
+
+  /** Floor a compute-heavy NARROW stage at cluster parallelism:
+    * repartition ONLY when the input's planned partition count is
+    * below the session's default parallelism. This is the
+    * unsplittable-input guard — a single-row-group parquet file or a
+    * gzip member plans as ONE split, which serializes the whole
+    * kernel pass (winnowing, per-pair edit distance) through one
+    * task no matter how many cores the cluster has. At corpus scale
+    * a scan already carries thousands of splits and this is the
+    * identity — no exchange is added. Wide keyed variant: pass the
+    * keys so the spread doubles as the join-side partitioning.
+    *
+    * Scan-rooted inputs only, ENFORCED by plan shape: the partition
+    * probe goes through `df.rdd`, which on an exchange-bearing
+    * adaptive plan finalizes — i.e. EXECUTES — the upstream query
+    * stages at construction time. Any logical node that can plan an
+    * exchange (join, aggregate, window, repartition, limit…) makes
+    * this return the input untouched WITHOUT probing, so a caller
+    * handing [[editDistancePairs]] a derived frame gets correct,
+    * merely unspread, behavior — never surprise execution.
+    */
+  private def spreadNarrow(df: DataFrame, keys: Seq[Column] = Nil)
+      : DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val scanRooted = df.queryExecution.logical.collectFirst {
+      case p if !p.isInstanceOf[Project] && !p.isInstanceOf[Filter] &&
+        !p.isInstanceOf[SubqueryAlias] && !p.isInstanceOf[LeafNode] => p
+    }.isEmpty
+    if (!scanRooted) return df
+    val have = df.rdd.getNumPartitions
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    // within 2x of full parallelism: leave the scan alone (an
+    // exchange costs more than the imbalance it fixes)
+    if (have * 2 >= want) df
+    else if (keys.isEmpty) df.repartition(want)
+    else df.repartition(want, keys: _*)
   }
 
   /** Substring-level duplicate pairs: documents sharing ≥ `minShared`

@@ -81,7 +81,17 @@ object Graph {
   def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int,
                checkpointDir: Option[String] = None): DataFrame = {
     val rs = new RoundState(edges.sparkSession, checkpointDir)
-    pageRankPrepared(rs(prepareEdges(edges)), nodes, iters, checkpointDir)
+    val prepared = rs(prepareEdges(edges))
+    val out = pageRankPrepared(prepared, nodes, iters, checkpointDir)
+    // In the eager regime (iters > 4, or any reliable-checkpoint run)
+    // the returned ranks are already materialized, so the prepared
+    // edge table is superseded — release it, or every invocation
+    // leaks an edge-list-sized checkpoint (files, in reliable mode).
+    // The fused small-budget plan (local mode only) still READS
+    // `prepared` when the caller executes it, so there it must live
+    // as long as the returned frame.
+    if (iters > 4 || checkpointDir.isDefined) rs.release(prepared)
+    out
   }
 
   /** Degree-annotate an edge list — the build-once half of the
@@ -148,8 +158,11 @@ object Graph {
     // themselves at this depth (measured 13x on the bench query), and
     // a ≤4-join lineage needs no checkpointing. Fixpoint detection
     // only pays when the budget is large enough to have slack to
-    // save — so it engages, from round 1, for iters > 4.
-    if (iters <= 4)
+    // save — so it engages, from round 1, for iters > 4. An explicit
+    // checkpointDir forces the eager regime regardless of budget
+    // (labelPropagation's gate): reliable round state only exists
+    // there, and a caller asking for it must get it.
+    if (iters <= 4 && checkpointDir.isEmpty)
       return ((1 to iters).foldLeft(seed)((r, _) => round(r)), iters)
     def checksummed(df: DataFrame): (DataFrame, Option[Long]) = {
       val obs = org.apache.spark.sql.Observation()

@@ -126,7 +126,10 @@ private[queries] object DedupQueries {
 
     // Edit-distance fuzzy matching on short strings — the family for
     // names/titles where token hashing is too coarse; blocked on
-    // (brand, type) so candidates stay bounded.
+    // (brand, type), with the default maxBlock governor dropping any
+    // degenerate block whole (never engages on the fixtures — max
+    // block is ~20 parts — but the oracle carries the predicate so
+    // the two engines agree on exactly the input where it would).
     "dedup_editdist" -> { (s, dir) =>
       DedupOps.editDistancePairs(t(s, dir, "part"),
         Seq("p_brand", "p_type"), col("p_partkey"), col("p_name"),
@@ -448,12 +451,16 @@ private[queries] object DedupQueries {
 
 
     "dedup_editdist" ->
-      """SELECT a.p_brand, a.p_type, a.p_partkey AS id_a,
+      """WITH sized AS (
+        |  SELECT p_brand, p_type, p_partkey, p_name,
+        |    count(*) OVER (PARTITION BY p_brand, p_type) AS bsz
+        |  FROM part)
+        |SELECT a.p_brand, a.p_type, a.p_partkey AS id_a,
         |  b.p_partkey AS id_b,
         |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
-        |FROM part a JOIN part b
+        |FROM sized a JOIN sized b
         |  ON a.p_brand = b.p_brand AND a.p_type = b.p_type
         |     AND a.p_partkey < b.p_partkey
-        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
+        |WHERE a.bsz <= 256 AND levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
   )
 }

@@ -269,10 +269,11 @@ private[queries] object ExtensionSupport {
     * rather than a DataFrame. Feeds dedup_incremental_bloom.
     */
   private val bloomWordsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Array[Long])]()
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (Long, DedupOps.BloomWords)]()
 
   private[queries] def incrBloomWords(s: SparkSession,
-                                      dir: String): Array[Long] = {
+                                      dir: String): DedupOps.BloomWords = {
     val fp = Tables.fingerprint(s"$dir/documents.parquet")
     val key = s"${s.sparkContext.applicationId}|$dir|incr_bloom"
     bloomWordsCache.compute(key, (_, cur) =>
@@ -304,7 +305,7 @@ private[queries] object ExtensionSupport {
       timed("events_census") { eventsCensus(s, dir).count() },
       timed("i2b2_spine") { i2b2Spine(s, dir).count() },
       timed("incr_fp") { incrFp(s, dir).count() },
-      timed("incr_bloom") { incrBloomWords(s, dir).length },
+      timed("incr_bloom") { incrBloomWords(s, dir).words.length },
       timed("mm_pixel_blobs") {
         MultimodalQueries.pixelBlobs(s, dir).count() },
       timed("mm_ahash_blobs") {

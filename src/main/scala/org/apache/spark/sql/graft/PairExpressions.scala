@@ -25,6 +25,14 @@ object GraftPairUtil {
     */
   def pairs(ids: ArrayData, et: DataType): ArrayData = {
     val n = ids.numElements()
+    // n(n-1)/2 overflows Int at n = 46342 (to a negative or, worse, a
+    // small positive size) — every in-repo caller df-caps its lists
+    // far below this, so an uncapped list reaching here is a caller
+    // bug that must fail with the bound spelled out, not an
+    // ArrayIndexOutOfBounds three frames deep
+    require(n.toLong * (n - 1) / 2 <= Int.MaxValue,
+      s"ordered_pairs: $n elements expand to ${n.toLong * (n - 1) / 2} " +
+        "pairs (> Int.MaxValue) — cap the postings list before pairing")
     val out = new Array[Any](n * (n - 1) / 2)
     var idx = 0
     var i = 0

@@ -3473,6 +3473,18 @@ class ExtSpec extends SparkSpec {
     val gotNull = DedupOps.bloomFilteredAnti(withNull, hist, "fp", k = 2)
       .select("id").as[Long].collect().toSet
     assert(gotNull.contains(777L), "NULL-fp row must survive the anti")
+    // a prebuilt filter probes at its OWN build parameters — a fold
+    // at non-default (mBits, k) handed to a call that leaves the
+    // arguments at their defaults must stay exact (the BloomWords
+    // holder carries the family; the bare-array API this replaced
+    // silently false-negatived here)
+    val folded = DedupOps.bloomFoldWords(hist, col("fp"),
+      mBits = 1 << 8, k = 2)
+    val gotPre = DedupOps.bloomFilteredAnti(
+      overlapping, hist, "fp", prebuilt = Some(folded))
+      .select("id", "fp").as[(Long, String)].collect().toSet
+    assert(gotPre === expected, "prebuilt filter at non-default " +
+      "(mBits, k) must probe with its build family")
   }
 
   test("OrderedPairs kernel matches the transform/slice lambda form " +
@@ -3502,6 +3514,29 @@ class ExtSpec extends SparkSpec {
     assert(ks === Seq("aa" -> "bb", "aa" -> "cc", "bb" -> "cc"))
   }
 
+  test("editDistancePairs: the maxBlock governor drops oversized " +
+      "blocks whole and leaves bounded blocks exact") {
+    // blocking keys have fixed cardinality, so block size grows with
+    // the corpus — the cap is what keeps the O(block²) verify bounded
+    // (the 100x smoke measured the uncapped blow-up at 466M pairs)
+    val rows =
+      (1 to 5).map(i => ("bA", "t1", i.toLong, s"name $i")) ++
+        (1 to 7).map(i => ("bB", "t1", 100L + i, s"other $i"))
+    val df = rows.toDF("brand", "typ", "id", "name")
+    val capped = DedupOps.editDistancePairs(df, Seq("brand", "typ"),
+      col("id"), col("name"), maxDist = 2, maxBlock = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // block bB (7 members > cap 6) emits NOTHING; block bA (5 ≤ 6)
+    // is complete — identical to running the operator on bA alone
+    val bounded = DedupOps.editDistancePairs(
+      df.filter(col("brand") === "bA"), Seq("brand", "typ"),
+      col("id"), col("name"), maxDist = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped === bounded)
+    assert(capped.size === 10) // C(5,2), every "name i" pair within 2
+    assert(capped.forall { case (a, b) => a < 100 && b < 100 })
+  }
+
   test("BloomWordProbe kernel matches the declarative bucket " +
       "arithmetic and never false-negatives on members") {
     import graft.ext.{CountMin, PortableHash}
@@ -3515,6 +3550,7 @@ class ExtSpec extends SparkSpec {
     val vals = (0 until 300).map(i => s"v$i-${rnd.nextLong()}")
     val members = vals.take(150).toDF("fp")
     val words = DedupOps.bloomFoldWords(members, col("fp"), mBits, k)
+      .words
     val consts = CountMin.rowConsts(k).flatMap { case (a, b) =>
       Seq(a, a * a % CountMin.P, a * a % CountMin.P * a % CountMin.P, b)
     }.toArray
