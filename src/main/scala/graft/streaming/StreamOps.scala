@@ -13,6 +13,31 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamOps {
 
+  /** Timestamp → epoch micros — ONE definition of the sub-millisecond
+    * flooring shared by every (ts, tie)-ordered keyed operator
+    * (funnel, ewma, trend): `getTime` carries millis, `getNanos` the
+    * in-second fraction, so the sub-milli micros are
+    * (nanos/1000) % 1000. Hoisted because a fix applied to one
+    * per-operator copy and not the others would silently desynchronize
+    * their shared ordering contract.
+    */
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000 + (t.getNanos / 1000) % 1000
+
+  private def fromMicros(m: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(m, 1000L))
+    t.setNanos((Math.floorMod(m, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Idle-TTL option → GroupStateTimeout policy (every keyed-state
+    * operator): a TTL needs processing-time timeouts, no TTL must NOT
+    * register them (they make the engine plan timer batches forever).
+    */
+  private def ttlTimeout(ttl: Option[String]): GroupStateTimeout =
+    if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+    else GroupStateTimeout.NoTimeout
+
   /** Watermarked tumbling event-time aggregation (streaming twin of
     * EventWindows.tumbling). Append-mode ready: windows finalize when
     * the watermark passes their end.
@@ -87,9 +112,13 @@ object StreamOps {
     * once the watermark guarantees no more duplicates can arrive.
     */
   def dedupWithinWatermark(events: DataFrame, watermark: String,
-                           keys: Seq[String]): DataFrame =
+                           keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty,
+      "dedupWithinWatermark needs at least one key column — an empty " +
+        "key list has no identity to dedup on")
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+  }
 
   case class BandedDoc(doc_id: Long, simhash: Long, band: Int, key: Long)
   case class NearDup(doc_id: Long, dup_of: Long, band: Int, hamming: Int)
@@ -133,15 +162,24 @@ object StreamOps {
                                bitsPerBand: Int = 15,
                                maxHamming: Int = 3,
                                maxPerBucket: Int = 1024,
-                               idleBucketTtl: Option[String] = None)
-      : Dataset[NearDup] = {
+                               idleBucketTtl: Option[String] = None,
+                               bits: Int = 60): Dataset[NearDup] = {
+    // the batch twin's geometry guard (DedupOps.simhashBandPairs):
+    // bands that don't tile the signature leave its top bits out of
+    // every bucket key, silently losing near-dup recall
+    require(bands * bitsPerBand == bits,
+      s"bands ($bands) x bitsPerBand ($bitsPerBand) must tile the " +
+        s"$bits-bit signature exactly — a partial tiling drops the " +
+        "top bits from blocking and silently loses recall")
+    require(maxPerBucket >= 1,
+      s"maxPerBucket ($maxPerBucket) must be at least 1 — 0 is NOT " +
+        "the batch twin's unlimited sentinel here: it would remember " +
+        "no signatures and emit no pairs while running healthy")
     import docs.sparkSession.implicits._
     val mask = (1L << bitsPerBand) - 1
     val keys = array((0 until bands).map(b =>
       shiftright(col("simhash"), b * bitsPerBand).bitwiseAND(lit(mask))): _*)
-    val timeout = if (idleBucketTtl.isDefined)
-      GroupStateTimeout.ProcessingTimeTimeout
-    else GroupStateTimeout.NoTimeout
+    val timeout = ttlTimeout(idleBucketTtl)
     docs.select(col("doc_id"), col("simhash"),
         posexplode(keys).as(Seq("band", "key")))
       .as[BandedDoc]
@@ -199,6 +237,15 @@ object StreamOps {
                              maxPerBucket: Int = 1024,
                              idleBucketTtl: Option[String] = None)
       : Dataset[NearDup] =
+    // POISON-PILL NOTE (all five decode wrappers): the map-side
+    // decode inherits the batch codecs' throw-on-undecodable-blob
+    // contract, and in a stream that throw is worse than a failed
+    // job — the restarted query replays the same offset range from
+    // the checkpoint, hits the same blob, and wedges until the input
+    // is fixed (the failure mode bitmapDistinctStream's RANGE
+    // CONTRACT spells out). Gate a stream of untrusted blobs with a
+    // validity filter upstream (the curate_* queries' census shape)
+    // rather than feeding raw bytes straight in.
     simhashNearDupCandidates(
       graft.ext.Multimodal.aHashImages(blobs, col("doc_id"),
           col("blob"))
@@ -222,7 +269,8 @@ object StreamOps {
       graft.ext.Multimodal.dHashImages(blobs, col("doc_id"),
           col("blob"))
         .select(col("id").as("doc_id"), col("dhash").as("simhash")),
-      bands, bitsPerBand, maxHamming, maxPerBucket, idleBucketTtl)
+      bands, bitsPerBand, maxHamming, maxPerBucket, idleBucketTtl,
+      bits = 54)
 
   /** Streaming twin of the DCT perceptual-hash near-dup pass
     * (`mm_phash_pairs`): map-side decode to the 63-bit pHash, then
@@ -240,7 +288,8 @@ object StreamOps {
       graft.ext.Multimodal.pHashImages(blobs, col("doc_id"),
           col("blob"))
         .select(col("id").as("doc_id"), col("phash").as("simhash")),
-      bands, bitsPerBand, maxHamming, maxPerBucket, idleBucketTtl)
+      bands, bitsPerBand, maxHamming, maxPerBucket, idleBucketTtl,
+      bits = 63)
 
   /** Streaming twin of the audio near-dup pass
     * (`mm_audio_fingerprint`): RIFF-walk + 60-window energy
@@ -328,16 +377,7 @@ object StreamOps {
     import events.sparkSession.implicits._
     val idx = steps.zipWithIndex.toMap
     val last = steps.size - 1
-    def micros(t: java.sql.Timestamp): Long =
-      t.getTime * 1000 + (t.getNanos / 1000) % 1000
-    def fromMicros(m: Long): java.sql.Timestamp = {
-      val t = new java.sql.Timestamp(Math.floorDiv(m, 1000L))
-      t.setNanos((Math.floorMod(m, 1000000L) * 1000L).toInt)
-      t
-    }
-    val timeout = if (idleKeyTtl.isDefined)
-      GroupStateTimeout.ProcessingTimeTimeout
-    else GroupStateTimeout.NoTimeout
+    val timeout = ttlTimeout(idleKeyTtl)
     events
       .select(col("key").cast("long").as("key"), col("ts"),
         col("tie").cast("long").as("tie"), col("etype"))
@@ -421,6 +461,18 @@ object StreamOps {
     * landing. This is the same tradeoff every streaming packer makes:
     * buffering for reorder would hold unbounded state on a gap that
     * never fills.
+    *
+    * DELIVERY CONTRACT (the [[runningUserCounts]] discipline): chunks
+    * pack once per DELIVERY. Checkpoint-recovery replays are safe —
+    * the running count rolls back atomically with the source offsets,
+    * so a re-executed micro-batch reproduces its original output —
+    * but a SOURCE-level duplicate (a producer retry emitting the same
+    * (doc_id, chunk_idx) in a new batch) packs again and shifts every
+    * later assignment in its shard. State here is deliberately one
+    * Long per shard; a full identity guard would grow with the corpus.
+    * On an at-least-once producer, dedup upstream — chunks carry
+    * exactly the identity [[dedupWithinWatermark]] needs
+    * ((doc_id, chunk_idx)).
     */
   def packSequencesStream(chunks: DataFrame, capacity: Int, shards: Int,
                           salt: String): Dataset[PackOut] = {
@@ -534,11 +586,7 @@ object StreamOps {
   def ewmaStream(events: DataFrame,
                  idleKeyTtl: Option[String] = None): Dataset[EwmaPoint] = {
     import events.sparkSession.implicits._
-    def micros(t: java.sql.Timestamp): Long =
-      t.getTime * 1000 + (t.getNanos / 1000) % 1000
-    val timeout = if (idleKeyTtl.isDefined)
-      GroupStateTimeout.ProcessingTimeTimeout
-    else GroupStateTimeout.NoTimeout
+    val timeout = ttlTimeout(idleKeyTtl)
     events
       .select(col("key").cast("long").as("key"), col("ts"),
         col("tie").cast("long").as("tie"),
@@ -606,11 +654,7 @@ object StreamOps {
   def trendStream(events: DataFrame,
                   idleKeyTtl: Option[String] = None): Dataset[TrendPoint] = {
     import events.sparkSession.implicits._
-    def micros(t: java.sql.Timestamp): Long =
-      t.getTime * 1000 + (t.getNanos / 1000) % 1000
-    val timeout = if (idleKeyTtl.isDefined)
-      GroupStateTimeout.ProcessingTimeTimeout
-    else GroupStateTimeout.NoTimeout
+    val timeout = ttlTimeout(idleKeyTtl)
     events
       .select(col("key").cast("long").as("key"), col("ts"),
         col("tie").cast("long").as("tie"),
@@ -733,10 +777,17 @@ object StreamOps {
     * spaces).
     *
     * The fold step IS the batch aggregator's `reduce` (one
-    * implementation, two runtimes), so a single-shard in-order stream
-    * reproduces the sequential batch fold exactly — StreamSpec pins
-    * both that equivalence and the theorem bounds under multi-batch
-    * delivery.
+    * implementation, two runtimes). Within a micro-batch rows fold in
+    * item-sorted order (the sibling operators' determinism
+    * discipline): Misra–Gries is order-dependent when counters are
+    * full, and the raw group iterator concatenates shuffle-map
+    * outputs in nondeterministic fetch order — unsorted, a task retry
+    * over the identical input could surface a DIFFERENT summary. The
+    * theorem bounds hold under any order; sorting pins WHICH valid
+    * summary is produced. A single-shard stream whose batches arrive
+    * item-sorted (or one item per batch) reproduces the sequential
+    * batch fold exactly — StreamSpec pins that equivalence and the
+    * theorem bounds under multi-batch delivery.
     */
   def freqItemsStream(items: DataFrame, k: Int, shards: Int,
                       idleKeyTtl: Option[String] = None)
@@ -744,24 +795,31 @@ object StreamOps {
     import items.sparkSession.implicits._
     require(k >= 1 && shards >= 1, "k and shards must be positive")
     val mg = new graft.ext.FreqItemsAggregator(k)
-    val timeout = if (idleKeyTtl.isDefined)
-      GroupStateTimeout.ProcessingTimeTimeout
-    else GroupStateTimeout.NoTimeout
+    val timeout = ttlTimeout(idleKeyTtl)
     items
       .select(pmod(hash(col("item")), lit(shards)).cast("int")
           .as("shard"),
         col("item").cast("string").as("item"))
       .as[FreqItem]
       .groupByKey(_.shard)
+      // Update, not Append: each emission REPLACES the shard's prior
+      // summary (the patchApply/bitmapDistinct emit-latest-state
+      // shape) — an append sink would accumulate every generation of
+      // est per (shard, item) and never retract an item that fell
+      // out of the counters; update-capable sinks upsert correctly
+      // and readers of append-only sinks at least see the declared
+      // semantics
       .flatMapGroupsWithState[FreqState, FreqSummary](
-        OutputMode.Append, timeout) {
+        OutputMode.Update, timeout) {
         (shard, rows, state) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
             var st = state.getOption.getOrElse(FreqState(Map.empty, 0L))
-            rows.foreach { r =>
+            // nulls first, then item order — any FIXED order works;
+            // Option ordering avoids the NPE a raw string sort has
+            rows.toSeq.sortBy(r => Option(r.item)).foreach { r =>
               st = FreqState(mg.reduce(st.counters, r.item),
                 if (r.item == null) st.n else st.n + 1)
             }
@@ -813,9 +871,7 @@ object StreamOps {
                        idleKeyTtl: Option[String] = None)
       : Dataset[PatchRow] = {
     import patches.sparkSession.implicits._
-    val timeout = if (idleKeyTtl.isDefined)
-      GroupStateTimeout.ProcessingTimeTimeout
-    else GroupStateTimeout.NoTimeout
+    val timeout = ttlTimeout(idleKeyTtl)
     patches
       .groupByKey(_.key)
       .flatMapGroupsWithState[PatchState, PatchRow](
@@ -894,9 +950,7 @@ object StreamOps {
                            idleKeyTtl: Option[String] = None)
       : Dataset[DistinctCount] = {
     import events.sparkSession.implicits._
-    val timeout = if (idleKeyTtl.isDefined)
-      GroupStateTimeout.ProcessingTimeTimeout
-    else GroupStateTimeout.NoTimeout
+    val timeout = ttlTimeout(idleKeyTtl)
     events
       .groupByKey(_.key)
       .flatMapGroupsWithState[Array[Byte], DistinctCount](

@@ -881,7 +881,7 @@ class StreamSpec extends SparkSpec {
     val q = StreamOps.freqItemsStream(in.toDF().toDF("item"),
       k = 2, shards = 1)
       .writeStream.format("memory").queryName("freq_out")
-      .outputMode(OutputMode.Append).start()
+      .outputMode(OutputMode.Update).start()
     val b1 = Seq("a", "b", "c")
     val b2 = Seq("a", "a", "b")
     try {
@@ -951,6 +951,31 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Misra-Gries: multi-partition batches fold " +
+    "deterministically (item-sorted within each micro-batch)") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[String]
+    // repartition(4) makes the shard group's iterator concatenate
+    // shuffle-map outputs in nondeterministic fetch order — the
+    // in-batch item sort is what pins WHICH valid MG summary comes out
+    val q = StreamOps.freqItemsStream(
+      in.toDF().toDF("item").repartition(4), k = 2, shards = 1)
+      .writeStream.format("memory").queryName("freq_det_out")
+      .outputMode(OutputMode.Update).start()
+    val batch = Seq("d", "c", "b", "a", "c", "a")
+    try {
+      in.addData(batch); q.processAllAvailable()
+      val n = batch.size.toLong
+      val fin = spark.table("freq_det_out").as[StreamOps.FreqSummary]
+        .collect().filter(_.shard_n == n)
+        .map(r => r.item -> r.est).toMap
+      val mg = new graft.ext.FreqItemsAggregator(2)
+      val want = batch.sorted
+        .foldLeft(Map.empty[String, Long])(mg.reduce)
+      assert(fin === want)
+    } finally q.stop()
+  }
+
   test("streaming Misra-Gries: item-hash sharding keeps each item's " +
     "counters in one shard with per-shard stream lengths") {
     implicit val sq = spark.sqlContext
@@ -958,7 +983,7 @@ class StreamSpec extends SparkSpec {
     val q = StreamOps.freqItemsStream(in.toDF().toDF("item"),
       k = 4, shards = 3)
       .writeStream.format("memory").queryName("freq_shard_out")
-      .outputMode(OutputMode.Append).start()
+      .outputMode(OutputMode.Update).start()
     val items = Seq.tabulate(30)(i => s"w${i % 5}")
     try {
       in.addData(items.take(15)); q.processAllAvailable()
