@@ -20,9 +20,6 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Elementwise double view of a float vector column. */
-  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
-
   /** Fail-fast width check: a vector whose length disagrees with the
     * operator's `dims` raises, instead of VecDot's null silently
     * collapsing every LSH bucket to 0 (which would turn the bucket
@@ -33,16 +30,53 @@ object Similarity {
       lit(s"expected a $dims-dim vector, got length "),
       size(vec).cast("string"))))
 
+  /** [[dimsGuard]] against a REFERENCE vector whose width is only
+    * known per row (the IVF join paths, where the centroid table is
+    * data): raises on the first (vector, centroid) pair whose widths
+    * disagree, instead of a null cosine silently resolving the argmax
+    * on the tie-break alone and mis-assigning the vector to the
+    * smallest-id list.
+    */
+  private def sameDimsGuard(vec: Column, ref: Column): Column =
+    when(size(vec) === size(ref), vec).otherwise(raise_error(concat(
+      lit("vector length "), size(vec).cast("string"),
+      lit(" does not match the centroid dimension "),
+      size(ref).cast("string"))))
+
   /** The IVF assignment tie-break (`max_by` over struct(cos, −id))
     * negates the centroid id, which is only total-ordered for
     * numeric ids — a string id would ANSI-error or null out into
-    * nondeterministic ties.
+    * nondeterministic ties. INTEGRAL only (not merely numeric): the
+    * literal fast path folds ids through `cast("long")`, where
+    * fractional ids 1.2 and 1.7 would collide into one list,
+    * duplicating probe rows and silently diverging from the
+    * broadcast-join path's raw-id behavior.
     */
-  private def requireNumericCentroidIds(centroids: DataFrame): Unit =
-    require(centroids.schema("id").dataType
-        .isInstanceOf[org.apache.spark.sql.types.NumericType],
-      "centroid ids must be numeric: the assignment tie-break " +
-        "negates the id inside max_by")
+  private def requireNumericCentroidIds(centroids: DataFrame): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = centroids.schema("id").dataType
+    require(dt == ByteType || dt == ShortType || dt == IntegerType ||
+        dt == LongType,
+      s"centroid ids must be an integral type, got $dt: the " +
+        "assignment tie-break negates the id and the literal fold " +
+        "addresses lists by exact long id")
+  }
+
+  /** The family's shared top-k tail: rank per query by
+    * (score DESC, neighbor_id ASC), keep k, project
+    * (query_id, neighbor_id, score). ONE definition so the tie-break
+    * cannot fork between the seven scorers ([[exactRefine]]'s
+    * rationale applied family-wide — a tie-break fix must not need
+    * re-applying in six more places to keep oracle parity).
+    */
+  private def topKPerQuery(scored: DataFrame, score: String,
+                           k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col(score).desc, col("neighbor_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select("query_id", "neighbor_id", score)
+  }
 
   /** Dot product of two float vectors: native codegen'd kernel
     * (graft.functions.VecDot) — a tight primitive loop instead of a
@@ -95,11 +129,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",
         dot(col("qv"), col("cv")) / (col("__qn") * col("__cn")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .select("query_id", "neighbor_id", "cos")
+    topKPerQuery(scored, "cos", k)
   }
 
   /** Deterministic ±1 hyperplane matrix: planes × dims, sign p,i
@@ -108,6 +138,13 @@ object Similarity {
     * reproduce the planes.
     */
   def hyperplanes(planes: Int, dims: Int): Array[Array[Int]] = {
+    // 63, not 64: lshBucket packs sign bits as 1L << p, and p = 63
+    // is the last distinct bit (p = 64 would wrap to 1L << 0,
+    // silently aliasing plane 64 with plane 0 — merged buckets and
+    // corrupted recall with no error)
+    require(planes >= 1 && planes <= 63,
+      s"planes ($planes) must be in [1, 63] (bucket bits of one long)")
+    require(dims >= 1, s"dims ($dims) must be positive")
     val mdf = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(planes, dims) { (p, i) =>
       val h = mdf.digest(s"$p:$i".getBytes("UTF-8"))
@@ -182,19 +219,30 @@ object Similarity {
         floor((x - lo) * lit(255.0) / (hi - lo)).cast("int"))))
     emb.select(id.as("id"), dimsGuard(vec, dims).as("__v"))
       .crossJoin(broadcast(packed))
-      .select(col("id"), transform(col("__v"),
+      .select(col("id"), col("__v"), transform(col("__v"),
         (x, i) => codeAt(x.cast("double"),
           element_at(col("__lo"), i + 1),
           element_at(col("__hi"), i + 1))).as("__cs"))
+      // NULL-element rows poison to NULL outputs (the vector kernels'
+      // discipline): greatest/least SKIP nulls, so an unguarded null
+      // element would flow to a confident code 0 — fabricated data in
+      // a quantized index. The oracle carries the same row predicate.
       .select(col("id"),
-        array_join(transform(col("__cs"), c => c.cast("string")), " ")
+        when(exists(col("__v"), x => x.isNull), lit(null))
+          .otherwise(array_join(
+            transform(col("__cs"), c => c.cast("string")), " "))
           .as("codes"),
-        array_min(col("__cs")).as("code_min"),
-        array_max(col("__cs")).as("code_max"))
+        when(exists(col("__v"), x => x.isNull), lit(null))
+          .otherwise(array_min(col("__cs"))).as("code_min"),
+        when(exists(col("__v"), x => x.isNull), lit(null))
+          .otherwise(array_max(col("__cs"))).as("code_max"))
   }
 
   /** LSH bucket id: `planes` sign bits of hyperplane projections. */
   def lshBucket(vec: Column, planes: Array[Array[Int]]): Column = {
+    require(planes.nonEmpty && planes.length <= 63,
+      s"need 1..63 hyperplanes, got ${planes.length} " +
+        "(bucket bits of one long — see hyperplanes)")
     val v = dimsGuard(vec, planes(0).length)
     val bits = planes.zipWithIndex.map { case (w, p) =>
       // ±1 is exact in float, so the float-vector kernel applies
@@ -222,11 +270,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",
         dot(col("qv"), col("cv")) / (col("__qn") * col("__cn")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .select("query_id", "neighbor_id", "cos")
+    topKPerQuery(scored, "cos", k)
   }
 
   /** Exact-score MIPS (maximum inner product) top-k with
@@ -274,11 +318,7 @@ object Similarity {
     val scored = q.join(c, Seq("__bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("ip", dot(col("qv"), col("cv")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("ip").desc, col("neighbor_id"))
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .select("query_id", "neighbor_id", "ip")
+    topKPerQuery(scored, "ip", k)
   }
 
   /** First `nlist` corpus vectors (by id) as deterministic IVF seed
@@ -309,20 +349,32 @@ object Similarity {
     * literal and Catalyst constant-folds it, so the arithmetic is
     * bit-identical to the join form.
     */
+  /** The literal centroid fold plus the (single) centroid dimension —
+    * callers wrap their vector columns in `dimsGuard(_, dims)` so a
+    * width-mismatched corpus/query vector RAISES instead of null-cos
+    * structs resolving the argmax on the tie-break alone (silent
+    * mis-assignment to the smallest-cid list).
+    */
+  private final case class LitCents(dims: Int,
+                                    cents: Array[(Long, Column)])
+
   private def collectLitCents(
-      centroids: DataFrame): Option[Array[(Long, Column)]] = {
+      centroids: DataFrame): Option[LitCents] = {
     val rows = centroids.select(col("id").cast("long").as("__cid"),
         col("vec").as("__cvec"))
       .filter(norm(col("vec")) > 0)
       .orderBy(col("__cid"))
       .limit(65).collect()
     if (rows.length > 64) return None
+    val dims = rows.map(_.getSeq[Any](1).length).distinct
+    require(dims.length <= 1,
+      s"ragged centroid table: vector lengths ${dims.sorted.mkString(",")}")
     val elemIsFloat = centroids.schema("vec").dataType match {
       case org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.FloatType, _) => true
       case _ => false
     }
-    Some(rows.map { r =>
+    Some(LitCents(dims.headOption.getOrElse(0), rows.map { r =>
       val s = r.getSeq[Any](1)
       val cv =
         if (elemIsFloat)
@@ -330,7 +382,7 @@ object Similarity {
         else
           typedLit(s.map(_.asInstanceOf[Number].doubleValue()).toArray)
       (r.getLong(0), cv)
-    })
+    }))
   }
 
   private def litCos(v: Column, cv: Column, vn: Column): Column =
@@ -393,15 +445,17 @@ object Similarity {
     // empty table (no non-degenerate centroid) falls through to the
     // join path, which yields the empty result — the same graceful
     // contract as ivfPqTopK, not a construction-time throw
-    if (litCents.isDefined && litCents.get.nonEmpty) {
-      val cents = litCents.get
+    if (litCents.isDefined && litCents.get.cents.nonEmpty) {
+      val LitCents(cdims, cents) = litCents.get
       val assigned = corpus
-        .select(col("id").as("neighbor_id"), col("vec").as("cv"),
+        .select(col("id").as("neighbor_id"),
+          dimsGuard(col("vec"), cdims).as("cv"),
           norm(col("vec")).as("__cn"))
         .filter(col("__cn") > 0)
         .withColumn("__list", litArgmaxList(cents, col("cv"), col("__cn")))
       val probes = queries
-        .select(col("id").as("query_id"), col("vec").as("qv"),
+        .select(col("id").as("query_id"),
+          dimsGuard(col("vec"), cdims).as("qv"),
           norm(col("vec")).as("__qn"))
         .filter(col("__qn") > 0)
         .withColumn("__probe",
@@ -412,11 +466,7 @@ object Similarity {
         .filter(col("query_id") =!= col("neighbor_id"))
         .withColumn("cos",
           dot(col("qv"), col("cv")) / (col("__qn") * col("__cn")))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("cos").desc, col("neighbor_id"))
-      return scored.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= k)
-        .select("query_id", "neighbor_id", "cos")
+      return topKPerQuery(scored, "cos", k)
     }
     // large-nlist path: broadcast centroid join (the literal fold
     // above would bloat generated code past JIT limits)
@@ -429,7 +479,8 @@ object Similarity {
       .filter(col("__cn") > 0)
       .crossJoin(broadcast(cent))
       .withColumn("__ccos",
-        dot(col("cv"), col("__cvec")) / (col("__cn") * col("__ctn")))
+        dot(sameDimsGuard(col("cv"), col("__cvec")), col("__cvec")) /
+          (col("__cn") * col("__ctn")))
       .groupBy(col("neighbor_id"))
       .agg(
         max_by(col("__cid"), struct(col("__ccos"), -col("__cid")))
@@ -441,7 +492,8 @@ object Similarity {
       .filter(col("__qn") > 0)
       .crossJoin(broadcast(cent))
       .withColumn("__ccos",
-        dot(col("qv"), col("__cvec")) / (col("__qn") * col("__ctn")))
+        dot(sameDimsGuard(col("qv"), col("__cvec")), col("__cvec")) /
+          (col("__qn") * col("__ctn")))
       .withColumn("__rn", row_number().over(Window.partitionBy("query_id")
         .orderBy(col("__ccos").desc, col("__cid"))))
       .filter(col("__rn") <= nprobe)
@@ -451,11 +503,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",
         dot(col("qv"), col("cv")) / (col("__qn") * col("__cn")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .select("query_id", "neighbor_id", "cos")
+    topKPerQuery(scored, "cos", k)
   }
 
   /** Embedding near-dup pairs with NO natural blocking key — the IVF
@@ -488,7 +536,8 @@ object Similarity {
       .filter(col("__n") > 0)
       .crossJoin(broadcast(cent))
       .withColumn("__ccos",
-        dot(col("__v"), col("__cvec")) / (col("__n") * col("__ctn")))
+        dot(sameDimsGuard(col("__v"), col("__cvec")), col("__cvec")) /
+          (col("__n") * col("__ctn")))
       .withColumn("__rn", row_number().over(Window.partitionBy("__id")
         .orderBy(col("__ccos").desc, col("__cid"))))
       .filter(col("__rn") <= nassign)
@@ -548,18 +597,15 @@ object Similarity {
              codes: Option[DataFrame] = None): DataFrame = {
     val (codesDf, tables) = pqCodesAndTables(queries, corpus, m, dims,
       codebookK, codebook, codes)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("adc_q").desc, col("neighbor_id"))
     // one row per (query, neighbor) — the m-entry sum is a single
     // map-lookup fold over the packed code array, not an m-way row
     // expansion + re-shuffle
-    codesDf.crossJoin(broadcast(tables))
-      .filter(col("query_id") =!= col("__id"))
-      .select(col("query_id"), col("__id").as("neighbor_id"),
-        adcSum(col("__ck"), col("__tm")).as("adc_q"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .select("query_id", "neighbor_id", "adc_q")
+    topKPerQuery(
+      codesDf.crossJoin(broadcast(tables))
+        .filter(col("query_id") =!= col("__id"))
+        .select(col("query_id"), col("__id").as("neighbor_id"),
+          adcSum(col("__ck"), col("__tm")).as("adc_q")),
+      "adc_q", k)
   }
 
   /** IVF-PQ: [[ivfTopK]]'s coarse list pruning composed with
@@ -583,16 +629,18 @@ object Similarity {
     requireNumericCentroidIds(centroids)
     val litCents = collectLitCents(centroids)
     val (assigned, probes) =
-      if (litCents.isDefined && litCents.get.nonEmpty) {
-        val cents = litCents.get
+      if (litCents.isDefined && litCents.get.cents.nonEmpty) {
+        val LitCents(cdims, cents) = litCents.get
         val a = corpus
-          .select(col("id").as("neighbor_id"), col("vec").as("cv"),
+          .select(col("id").as("neighbor_id"),
+            dimsGuard(col("vec"), cdims).as("cv"),
             norm(col("vec")).as("__cn"))
           .filter(col("__cn") > 0)
           .select(col("neighbor_id"),
             litArgmaxList(cents, col("cv"), col("__cn")).as("__list"))
         val p = queries
-          .select(col("id").as("query_id"), col("vec").as("qv"),
+          .select(col("id").as("query_id"),
+            dimsGuard(col("vec"), cdims).as("qv"),
             norm(col("vec")).as("__qn"))
           .filter(col("__qn") > 0)
           .withColumn("__probe",
@@ -609,7 +657,8 @@ object Similarity {
           .filter(col("__cn") > 0)
           .crossJoin(broadcast(cent))
           .withColumn("__ccos",
-            dot(col("cv"), col("__cvec")) / (col("__cn") * col("__ctn")))
+            dot(sameDimsGuard(col("cv"), col("__cvec")), col("__cvec")) /
+              (col("__cn") * col("__ctn")))
           .groupBy(col("neighbor_id"))
           .agg(max_by(col("__ccid"), struct(col("__ccos"), -col("__ccid")))
             .as("__list"))
@@ -619,7 +668,8 @@ object Similarity {
           .filter(col("__qn") > 0)
           .crossJoin(broadcast(cent))
           .withColumn("__ccos",
-            dot(col("qv"), col("__cvec")) / (col("__qn") * col("__ctn")))
+            dot(sameDimsGuard(col("qv"), col("__cvec")), col("__cvec")) /
+              (col("__qn") * col("__ctn")))
           .withColumn("__rn",
             row_number().over(Window.partitionBy("query_id")
               .orderBy(col("__ccos").desc, col("__ccid"))))
@@ -632,21 +682,18 @@ object Similarity {
       .select("query_id", "neighbor_id")
     val (codesDf, tables) = pqCodesAndTables(queries, corpus, m, dims,
       codebookK, codebook, codes)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("adc_q").desc, col("neighbor_id"))
     // one code-array row per candidate — the old shape expanded every
     // (query, neighbor) pair m× before a groupBy re-collapsed it; the
     // packed form joins each candidate ONCE and folds the m lookups
     // against the broadcast per-query table map
-    allowed
-      .join(codesDf.select(col("__id").as("neighbor_id"), col("__ck")),
-        Seq("neighbor_id"))
-      .join(broadcast(tables), Seq("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        adcSum(col("__ck"), col("__tm")).as("adc_q"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .select("query_id", "neighbor_id", "adc_q")
+    topKPerQuery(
+      allowed
+        .join(codesDf.select(col("__id").as("neighbor_id"), col("__ck")),
+          Seq("neighbor_id"))
+        .join(broadcast(tables), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          adcSum(col("__ck"), col("__tm")).as("adc_q")),
+      "adc_q", k)
   }
 
   /** Shared PQ machinery: the per-subspace codebook (first-ids init +
@@ -658,12 +705,19 @@ object Similarity {
     * (query, neighbor) candidate instead of m.
     */
   // one row per (vector, subspace): subspace index as DATA, so the
-  // m codebooks train/encode/score in ONE plan, not m plan copies
+  // m codebooks train/encode/score in ONE plan, not m plan copies.
+  // dimsGuard here covers the whole PQ family (train/encode/tables):
+  // an unguarded short vector would slice into truncated subvectors,
+  // l2sq them to NULL, drop subspaces from the code array, and
+  // adcSum's coalesce(0) would then score the absence as 0 — a
+  // deflated but valid-looking rank instead of the family's
+  // documented fail-fast
   private def pqSubs(df: DataFrame, idName: String, m: Int,
                      d: Int): DataFrame =
     df.select(col("id").as(idName),
       posexplode(array((0 until m).map(j =>
-        slice(col("vec"), j * d + 1, d)): _*)).as(Seq("__j", "__sv")))
+        slice(dimsGuard(col("vec"), m * d), j * d + 1, d)): _*))
+        .as(Seq("__j", "__sv")))
 
   // argmin_{codeword} l2sq, ties to the smaller cid; keeps __sv for
   // the centroid update (same shape as Clustering.assignNearest —
@@ -820,6 +874,18 @@ object Similarity {
     * Cosine op order matches the exact-search operators (dot(q, c) /
     * (‖q‖·‖c‖), left-fold sums) so scores are bit-reproducible in the
     * oracle.
+    *
+    * METRIC CONTRACT: stage 1 ranks candidates by approximate INNER
+    * PRODUCT (that is what ADC tables hold), stage 2 re-ranks by
+    * cosine. On L2-NORMALIZED embeddings the two metrics induce the
+    * same order and the composition is exactly FAISS's
+    * `IndexRefineFlat` — normalizing upstream is the standard
+    * practice for cosine ANN and the intended deployment here. On
+    * unnormalized corpora with a wide norm spread, stage 1's
+    * candidate set is biased toward large-norm vectors and a
+    * high-cosine/small-norm neighbor can miss the k·refine cut no
+    * matter the refine factor — normalize first, or use [[mipsTopK]]
+    * when magnitude is MEANT to matter.
     */
   def pqRefineTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                    refine: Int = 4, m: Int = 16, dims: Int = 64,
@@ -847,14 +913,11 @@ object Similarity {
     val c = corpus.select(col("id").as("neighbor_id"),
       col("vec").as("cv"), norm(col("vec")).as("__cn"))
       .filter(col("__cn") > 0)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    cand.join(c, "neighbor_id").join(q, "query_id")
-      .withColumn("cos",
-        dot(col("qv"), col("cv")) / (col("__qn") * col("__cn")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .select("query_id", "neighbor_id", "cos")
+    topKPerQuery(
+      cand.join(c, "neighbor_id").join(q, "query_id")
+        .withColumn("cos",
+          dot(col("qv"), col("cv")) / (col("__qn") * col("__cn"))),
+      "cos", k)
   }
 
   /** The full production ladder in one call: IVF coarse pruning →

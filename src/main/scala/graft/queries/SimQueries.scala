@@ -305,21 +305,28 @@ private[queries] object SimQueries {
 
     // identical floor-quotient arithmetic: per-dim global min/max,
     // code = floor((x-lo)*255/(hi-lo)) clamped — both engines compute
-    // the same doubles, and floor (unlike round) ties identically
+    // the same doubles, and floor (unlike round) ties identically.
+    // A row with any NULL element poisons to NULL outputs on BOTH
+    // sides (greatest/least skip NULLs in both engines, so unmirrored
+    // the null would flow to a confident code 0 — fabricated data).
     "emb_quantize_int8" ->
       """WITH x AS (SELECT vec_id AS id, i.i AS i,
         |    CAST(embedding[i.i] AS DOUBLE) AS x
         |  FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i) i),
         |st AS (SELECT i, min(x) AS lo, max(x) AS hi FROM x GROUP BY 1),
-        |c AS (SELECT id, x.i,
+        |c AS (SELECT id, x.i, x,
         |  CASE WHEN hi = lo THEN 0
         |       ELSE least(255, greatest(0,
         |         CAST(floor((x - lo) * 255.0 / (hi - lo)) AS INT))) END AS c
         |  FROM x JOIN st USING (i))
         |SELECT id,
-        |  string_agg(CAST(c AS VARCHAR), ' ' ORDER BY i) AS codes,
-        |  CAST(min(c) AS INT) AS code_min,
-        |  CAST(max(c) AS INT) AS code_max
+        |  CASE WHEN bool_or(x IS NULL) THEN NULL
+        |       ELSE string_agg(CAST(c AS VARCHAR), ' ' ORDER BY i) END
+        |    AS codes,
+        |  CASE WHEN bool_or(x IS NULL) THEN NULL
+        |       ELSE CAST(min(c) AS INT) END AS code_min,
+        |  CASE WHEN bool_or(x IS NULL) THEN NULL
+        |       ELSE CAST(max(c) AS INT) END AS code_max
         |FROM c GROUP BY id""".stripMargin,
 
 

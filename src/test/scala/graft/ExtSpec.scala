@@ -3514,6 +3514,61 @@ class ExtSpec extends SparkSpec {
     assert(ks === Seq("aa" -> "bb", "aa" -> "cc", "bb" -> "cc"))
   }
 
+  test("similarity guards: PQ dims fail-fast, IVF literal-path " +
+      "mismatch raise, quantizeInt8 NULL-row poison, integral " +
+      "centroid ids, hyperplane bounds") {
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      val sb = new StringBuilder
+      while (c != null) { sb ++= Option(c.getMessage).getOrElse("")
+        sb += '\n'; c = c.getCause }
+      sb.toString
+    }
+    val ok = Seq((1L, Array.fill(8)(1.0f)), (2L, Array.fill(8)(2.0f)),
+      (3L, Array.fill(8)(0.5f))).toDF("id", "vec")
+    val bad = ok.unionByName(
+      Seq((9L, Array.fill(4)(1.0f))).toDF("id", "vec"))
+    // PQ: a width-mismatched vector raises with the expected width,
+    // instead of truncated subvectors scoring a deflated-but-valid
+    // rank through adcSum's coalesce(0)
+    val ePq = intercept[Throwable] {
+      Similarity.pqTopK(ok.limit(1), bad, k = 2, m = 2, dims = 8,
+        codebookK = 2).collect()
+    }
+    assert(rootMsg(ePq).contains("expected a 8-dim vector"))
+    // IVF literal path: the corpus-side mismatch raises (previously
+    // every-cos-null structs resolved the argmax on the tie-break and
+    // silently assigned the vector to the smallest-cid list)
+    val eIvf = intercept[Throwable] {
+      Similarity.ivfTopK(ok.limit(1), bad,
+        Similarity.seedCentroids(ok, 2), k = 2, nprobe = 1).collect()
+    }
+    assert(rootMsg(eIvf).contains("expected a 8-dim vector"))
+    // quantizeInt8: a NULL element poisons the ROW's outputs to NULL
+    // (greatest/least skip nulls, so unguarded it coded null as 0)
+    val withNullElem = Seq(
+      (1L, Seq[java.lang.Float](1.0f, null, 2.0f)),
+      (2L, Seq[java.lang.Float](1.0f, 2.0f, 3.0f)))
+      .toDF("id", "vec")
+    val qz = Similarity.quantizeInt8(withNullElem, $"id", $"vec",
+        dims = 3)
+      .orderBy("id").collect()
+    assert(qz(0).isNullAt(1) && qz(0).isNullAt(2) && qz(0).isNullAt(3),
+      "null-element row must poison codes/min/max to NULL")
+    assert(!qz(1).isNullAt(1) && qz(1).getString(1).nonEmpty)
+    // fractional centroid ids are rejected loudly — the literal fold
+    // addresses lists by exact long id, so 1.2 and 1.7 would collide
+    val eIds = intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(ok, ok,
+        Seq((1.2, Array.fill(8)(1.0f))).toDF("id", "vec"),
+        k = 1, nprobe = 1)
+    }
+    assert(eIds.getMessage.contains("integral"))
+    // hyperplane count is bounded to one long's worth of bucket bits
+    intercept[IllegalArgumentException] { Similarity.hyperplanes(0, 4) }
+    intercept[IllegalArgumentException] { Similarity.hyperplanes(64, 4) }
+  }
+
   test("editDistancePairs: the maxBlock governor drops oversized " +
       "blocks whole and leaves bounded blocks exact") {
     // blocking keys have fixed cardinality, so block size grows with
