@@ -479,10 +479,18 @@ object DedupOps {
                           maxIter: Int = 50,
                           checkpointDir: Option[String] = None,
                           localThreshold: Long = 200000L): DataFrame = {
-    checkpointDir.foreach(nodes.sparkSession.sparkContext.setCheckpointDir)
-    def ckpt(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(eager = true)
-      else df.localCheckpoint(true)
+    // RoundState owns the global-checkpoint-dir save/restore and the
+    // persist-before-checkpoint write discipline (see its scaladoc in
+    // Graph.scala) — one mechanism across every iterative loop
+    val rs = new RoundState(nodes.sparkSession, checkpointDir)
+    try ccLoop(nodes, pairs, maxIter, checkpointDir, localThreshold, rs)
+    finally rs.done()
+  }
+
+  private def ccLoop(nodes: DataFrame, pairs: DataFrame, maxIter: Int,
+                     checkpointDir: Option[String],
+                     localThreshold: Long, rs: RoundState): DataFrame = {
+    def ckpt(df: DataFrame): DataFrame = rs(df)
     // Count AND an order-independent set checksum (bit_xor of a 64-bit
     // row hash), both piggybacked on the checkpoint's materialization
     // job via `observe` — no second count() job per round. The

@@ -15,15 +15,36 @@ import org.apache.spark.sql.functions._
   * files under default config, so a 20-round loop would otherwise
   * leave 20 round-state copies in the dir. FINAL round files are the
   * caller's to consume — never release the frame you return.
+  *
+  * The checkpoint dir is SPARK-CONTEXT-GLOBAL state: the constructor
+  * remembers the caller's dir and [[done]] restores it, so a loop
+  * does not permanently redirect an application's own `checkpoint()`
+  * calls into a directory this library's cleanup later deletes. Two
+  * CONCURRENT reliable-mode loops with DIFFERENT dirs still race on
+  * the global (last constructor wins) — run concurrent loops with one
+  * shared dir, or serialize them.
   */
 private[ext] final class RoundState(spark: org.apache.spark.sql.SparkSession,
                                     checkpointDir: Option[String]) {
+  private val savedDir: Option[String] =
+    if (checkpointDir.isDefined) spark.sparkContext.getCheckpointDir
+    else None
   checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
 
   /** Materialize one round's state, truncating lineage. */
   def apply(df: DataFrame): DataFrame =
-    if (checkpointDir.isDefined) df.checkpoint(eager = true)
-    else df.localCheckpoint(true)
+    if (checkpointDir.isDefined) {
+      // persist-then-checkpoint: an unpersisted eager checkpoint runs
+      // the round's plan TWICE — once for the eager count job and
+      // again in ReliableCheckpointRDD's write job (Spark only reuses
+      // computed partitions when they are persisted). The transient
+      // persist makes the write job a cache read; the returned frame
+      // scans the checkpoint FILES, so downstream plan shapes (and
+      // the exchange-reuse behavior the callers tuned) are unchanged.
+      df.persist()
+      try df.checkpoint(eager = true)
+      finally { df.unpersist(); () }
+    } else df.localCheckpoint(true)
 
   /** Drop a SUPERSEDED round: its blocks, and (reliable mode) its
     * checkpoint files — callers guarantee the successor round is
@@ -34,6 +55,14 @@ private[ext] final class RoundState(spark: org.apache.spark.sql.SparkSession,
     if (checkpointDir.isDefined)
       org.apache.spark.sql.graft.CheckpointFiles.delete(df)
   }
+
+  /** Restore the caller's checkpoint dir (call when the loop is done,
+    * in a finally). No-op in local mode or when the caller had no dir
+    * of their own (Spark offers no public unset).
+    */
+  def done(): Unit =
+    if (checkpointDir.isDefined)
+      savedDir.foreach(spark.sparkContext.setCheckpointDir)
 }
 
 /** Distributed graph analytics over edge-list DataFrames — the two
@@ -78,20 +107,37 @@ object Graph {
     * @param iters rounds (unrolled; callers keep this small — quality
     *              priors converge in single digits)
     */
+  /** ONE definition of the small-budget fusion gate shared by
+    * [[pageRankRounds]], [[labelPropagation]] and [[pageRank]]'s
+    * release decision: ≤4 rounds run as one fused LAZY plan (no round
+    * state exists to release — the plan still reads its inputs at
+    * caller-execution time), unless an explicit checkpointDir forces
+    * the eager reliable regime. A retuned threshold edited in one
+    * copy but not the others would release a frame the fused plan
+    * still reads — keep it here, only here.
+    */
+  private def fusedRegime(iters: Int,
+                          checkpointDir: Option[String]): Boolean =
+    iters <= 4 && checkpointDir.isEmpty
+
   def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int,
                checkpointDir: Option[String] = None): DataFrame = {
+    // validate BEFORE the prepared-edges materialization: an invalid
+    // budget must not first pay (and in reliable mode, leak) an
+    // edge-list-sized checkpoint job
+    require(iters >= 1 && iters <= 20, "iters must be in [1, 20]")
     val rs = new RoundState(edges.sparkSession, checkpointDir)
-    val prepared = rs(prepareEdges(edges))
-    val out = pageRankPrepared(prepared, nodes, iters, checkpointDir)
-    // In the eager regime (iters > 4, or any reliable-checkpoint run)
-    // the returned ranks are already materialized, so the prepared
-    // edge table is superseded — release it, or every invocation
-    // leaks an edge-list-sized checkpoint (files, in reliable mode).
-    // The fused small-budget plan (local mode only) still READS
-    // `prepared` when the caller executes it, so there it must live
-    // as long as the returned frame.
-    if (iters > 4 || checkpointDir.isDefined) rs.release(prepared)
-    out
+    try {
+      val prepared = rs(prepareEdges(edges))
+      // In the eager regime the returned ranks are already
+      // materialized, so the prepared edge table is superseded —
+      // release it (in a finally: a mid-loop failure must not leak
+      // it either), or every invocation leaks an edge-list-sized
+      // checkpoint. The fused lazy plan still READS `prepared` when
+      // the caller executes it, so there it must live on.
+      try pageRankPrepared(prepared, nodes, iters, checkpointDir)
+      finally if (!fusedRegime(iters, checkpointDir)) rs.release(prepared)
+    } finally rs.done()
   }
 
   /** Degree-annotate an edge list — the build-once half of the
@@ -160,9 +206,9 @@ object Graph {
     // only pays when the budget is large enough to have slack to
     // save — so it engages, from round 1, for iters > 4. An explicit
     // checkpointDir forces the eager regime regardless of budget
-    // (labelPropagation's gate): reliable round state only exists
-    // there, and a caller asking for it must get it.
-    if (iters <= 4 && checkpointDir.isEmpty)
+    // ([[fusedRegime]], the one shared gate): reliable round state
+    // only exists there, and a caller asking for it must get it.
+    if (fusedRegime(iters, checkpointDir))
       return ((1 to iters).foldLeft(seed)((r, _) => round(r)), iters)
     def checksummed(df: DataFrame): (DataFrame, Option[Long]) = {
       val obs = org.apache.spark.sql.Observation()
@@ -172,28 +218,31 @@ object Graph {
       (out, org.apache.spark.sql.graft.ObservationAccess.await(obs, 2000)
         .map(_("x").asInstanceOf[Long]))
     }
-    var (ranks, prevX) = checksummed(seed)
-    var iter = 0
-    var converged = false
-    while (iter < iters && !converged) {
-      val (next, x) = checksummed(round(ranks))
-      // node set is constant, so set equality == elementwise equality;
-      // an unknown checksum (missed poll) falls through to the probe,
-      // which alone decides — it can cost a round, never correctness
-      val differ = (for (a <- x; b <- prevX) yield a != b)
-        .getOrElse(false)
-      converged = !differ &&
-        next.join(ranks, Seq("node_id", "rank_micros"), "left_anti")
-          .isEmpty
-      // superseded round state: `next` is already materialized, so
-      // nothing re-reads the previous checkpoint's blocks (or, in
-      // reliable mode, its files)
-      rs.release(ranks)
-      ranks = next
-      prevX = x
-      iter += 1
-    }
-    (ranks, iter)
+    try {
+      var (ranks, prevX) = checksummed(seed)
+      var iter = 0
+      var converged = false
+      while (iter < iters && !converged) {
+        val (next, x) = checksummed(round(ranks))
+        // node set is constant, so set equality == elementwise
+        // equality; an unknown checksum (missed poll) falls through to
+        // the probe, which alone decides — it can cost a round, never
+        // correctness
+        val differ = (for (a <- x; b <- prevX) yield a != b)
+          .getOrElse(false)
+        converged = !differ &&
+          next.join(ranks, Seq("node_id", "rank_micros"), "left_anti")
+            .isEmpty
+        // superseded round state: `next` is already materialized, so
+        // nothing re-reads the previous checkpoint's blocks (or, in
+        // reliable mode, its files)
+        rs.release(ranks)
+        ranks = next
+        prevX = x
+        iter += 1
+      }
+      (ranks, iter)
+    } finally rs.done()
   }
 
   /** Exact triangle count via degree-ordered edge orientation — the
@@ -281,23 +330,30 @@ object Graph {
     // outgrows the scheduling overhead the fusion saves. Frontier
     // state is genuinely multi-consumer; label/rank state is a chain.
     val rs = new RoundState(edges.sparkSession, checkpointDir)
-    var frontier = rs(seeds.select(col("id"), lit(0).as("dist")))
-    val labelled = scala.collection.mutable.ArrayBuffer(frontier)
-    for (h <- 1 to hops) {
-      if (!frontier.isEmpty) {
-        val reached = edges
-          .join(frontier, edges("src") === frontier("id"))
-          .select(col("dst").as("id")).distinct()
-        val dist = labelled.reduce(_ unionAll _)
-        frontier = rs(reached.join(dist, Seq("id"), "left_anti")
-          .select(col("id"), lit(h).as("dist")))
-        labelled += frontier
+    try {
+      // distinct: a duplicated seed id would emit duplicate (id, 0)
+      // rows while every LATER hop is distinct() — inflating only the
+      // seeds in downstream per-dist counts; the tiny seed frame pays
+      // one small exchange for the same set semantics as the hops
+      var frontier = rs(seeds.select(col("id")).distinct()
+        .select(col("id"), lit(0).as("dist")))
+      val labelled = scala.collection.mutable.ArrayBuffer(frontier)
+      for (h <- 1 to hops) {
+        if (!frontier.isEmpty) {
+          val reached = edges
+            .join(frontier, edges("src") === frontier("id"))
+            .select(col("dst").as("id")).distinct()
+          val dist = labelled.reduce(_ unionAll _)
+          frontier = rs(reached.join(dist, Seq("id"), "left_anti")
+            .select(col("id"), lit(h).as("dist")))
+          labelled += frontier
+        }
       }
-    }
-    // every hop's frontier is PART of the result (the union below),
-    // so no round is ever superseded — nothing to release here; the
-    // per-hop checkpoint files are the returned table's backing store
-    labelled.reduce(_ unionAll _)
+      // every hop's frontier is PART of the result (the union below),
+      // so no round is ever superseded — nothing to release here; the
+      // per-hop checkpoint files are the returned table's backing store
+      labelled.reduce(_ unionAll _)
+    } finally rs.done()
   }
 
   /** Synchronous label propagation (Raghavan et al., Phys. Rev. E'07)
@@ -344,26 +400,28 @@ object Graph {
     // scheduled jobs than the votes themselves. A checkpointDir
     // forces the eager regime — reliable round state only exists
     // there.
-    if (iters <= 4 && checkpointDir.isEmpty) {
+    if (fusedRegime(iters, checkpointDir)) {
       val seed = symPlan.select(col("node").as("id")).distinct()
         .select(col("id"), col("id").as("label"))
       return (1 to iters).foldLeft(seed)((l, _) => round(symPlan, l))
     }
     val rs = new RoundState(edges.sparkSession, checkpointDir)
-    val sym = rs(symPlan)
-    var labels = rs(sym.select(col("node").as("id")).distinct()
-      .select(col("id"), col("id").as("label")))
-    for (_ <- 1 to iters) {
-      val next = rs(round(sym, labels))
-      // the superseded round's label table (and its reliable files)
-      // can go — `next` is already materialized
-      rs.release(labels)
-      labels = next
-    }
-    // the symmetric edge copy is superseded once the FINAL labels are
-    // materialized; the final label files are the caller's
-    rs.release(sym)
-    labels
+    try {
+      val sym = rs(symPlan)
+      var labels = rs(sym.select(col("node").as("id")).distinct()
+        .select(col("id"), col("id").as("label")))
+      for (_ <- 1 to iters) {
+        val next = rs(round(sym, labels))
+        // the superseded round's label table (and its reliable files)
+        // can go — `next` is already materialized
+        rs.release(labels)
+        labels = next
+      }
+      // the symmetric edge copy is superseded once the FINAL labels
+      // are materialized; the final label files are the caller's
+      rs.release(sym)
+      labels
+    } finally rs.done()
   }
 
   /** Co-occurrence edges from an (item, group) incidence: items

@@ -654,6 +654,33 @@ class GraphTimeSeriesSpec extends SparkSpec {
         "pagerank diverged or failed after block loss")
       assert(khRel.as[(Long, Int)].collect().toMap === khLocal,
         "kHop diverged or failed after block loss")
+
+      // checkpoint-dir restore: a loop must not permanently redirect
+      // an application's OWN checkpoint() calls into a dir this
+      // library's cleanup deletes — the caller's dir comes back
+      val ownDir = java.nio.file.Files
+        .createTempDirectory("graft-caller-ckpt").toString
+      try {
+        spark.sparkContext.setCheckpointDir(ownDir)
+        Graph.labelPropagation(edges, iters = 3,
+          checkpointDir = Some(dir)).count()
+        val restored = spark.sparkContext.getCheckpointDir
+        assert(restored.exists(_.contains("graft-caller-ckpt")),
+          s"caller's checkpoint dir not restored (got $restored)")
+        // an explicit-dir run with an INVALID budget fails before any
+        // materialization and still restores the caller's dir
+        intercept[IllegalArgumentException] {
+          Graph.pageRank(directed, nodes, iters = 0,
+            checkpointDir = Some(dir))
+        }
+        assert(spark.sparkContext.getCheckpointDir
+          .exists(_.contains("graft-caller-ckpt")))
+      } finally {
+        def rm2(x: java.io.File): Unit = {
+          Option(x.listFiles()).foreach(_.foreach(rm2)); x.delete()
+        }
+        rm2(new java.io.File(ownDir))
+      }
     } finally {
       def rm(x: java.io.File): Unit = {
         Option(x.listFiles()).foreach(_.foreach(rm)); x.delete()
