@@ -282,7 +282,13 @@ object TextAnalysis {
     docs.select(id.as("doc_id"), tokens(text).as("__toks"))
       .select(col("doc_id"), col("__toks"),
         size(col("__toks")).cast("long").as("__n"))
-      .filter(col("__n") >= 1)
+      // the empty pseudo-token guard (tokenEntropy's discipline): an
+      // empty/whitespace-only doc tokenizes to [""], which must not
+      // chunk as a one-token doc — it would consume a slot of a
+      // training sequence and own the "" span in spanDedup. NULL text
+      // sizes to NULL and is dropped by the same predicate.
+      .filter(col("__n") >= 1 &&
+        !(col("__n") === 1 && element_at(col("__toks"), 1) === ""))
       .select(col("doc_id"), col("__toks"), col("__n"),
         explode(sequence(lit(0L),
           floor(greatest(col("__n") - overlap - 1, lit(0L))
@@ -364,9 +370,15 @@ object TextAnalysis {
         (col(s"tf$i").cast("double") +
           lit(1.2) * (lit(0.25) + lit(0.75) * dlNorm))
     }.reduce(_ + _)
-    // distributed top-k: per-partition k-row heaps + one k-row merge
+    // distributed top-k: per-partition k-row heaps + one k-row merge.
+    // NULL scores (a NULL-text doc's dl is NULL and na.fill covers
+    // only the tf columns) are EXCLUDED before ranking: desc-orderBy
+    // puts them last but the packed (−score, …) re-rank below sorts a
+    // NULL struct field FIRST — an un-filtered no-text doc would take
+    // rnk = 1 whenever the limit admitted it
     val top = tf.crossJoin(broadcast(stats))
       .withColumn("__score", score)
+      .filter(col("__score").isNotNull)
       .orderBy(col("__score").desc, col("doc_id"))
       .limit(k)
     // scores are ≥ 0 (idf = ln(x+1) with x > 0, tf ≥ 0), so negation
@@ -491,8 +503,14 @@ object TextAnalysis {
           .as("__nt"),
         fingerprint(col("__text")).as("__fp"))
       .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"), sum("__nt").as("n_tokens"),
-        (count(lit(1)) - countDistinct(col("__fp"))).as("n_dup_docs"))
+      // dup count over NON-NULL fingerprints only: count(*) minus
+      // countDistinct would count every NULL-text doc as a duplicate
+      // (countDistinct ignores NULLs), overstating contamination on
+      // the shipped data card
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("__nt"), lit(0L)).as("n_tokens"),
+        (count(col("__fp")) - countDistinct(col("__fp")))
+          .as("n_dup_docs"))
     val vocab = base
       .select(col("source"), explode(tokens(col("__text"))).as("__t"))
       .filter(col("__t") =!= "")
@@ -593,9 +611,17 @@ object TextAnalysis {
     val queryNorm = array_join(array_sort(params), "&")
     val p1 = regexp_replace(path0, "/+$", "")
     val pathNorm = when(p1 === "", lit("/")).otherwise(p1)
-    concat(scheme, lit("://"), host, pathNorm,
-      when(queryNorm =!= "", concat(lit("?"), queryNorm))
-        .otherwise(lit("")))
+    // identity fallback for anything that does not parse as
+    // scheme://… : regexp_extract returns "" (not NULL) on no match,
+    // so without the guard every scheme-less or malformed input
+    // collapsed to the single key ":///" — and URL-keyed exact dedup
+    // then kept ONE arbitrary survivor of all malformed records.
+    // Canonicalize what parses; pass the rest through unchanged
+    // (NULL in, NULL out). The oracle carries the same CASE.
+    when(scheme === "", u).otherwise(
+      concat(scheme, lit("://"), host, pathNorm,
+        when(queryNorm =!= "", concat(lit("?"), queryNorm))
+          .otherwise(lit(""))))
   }
 
   /** The lowercased host (default port stripped) of a URL — the
@@ -637,17 +663,27 @@ object TextAnalysis {
   def gopherRules(docs: DataFrame, id: Column, text: Column,
                   minWords: Long = 50, maxWords: Long = 100000)
       : DataFrame = {
+    // every metric coalesces to its empty-document value: on NULL
+    // text each rule condition would otherwise evaluate NULL, every
+    // when(f, bit).otherwise(0) would contribute 0, and a doc with no
+    // text AT ALL would pass the 50-word-minimum gate with
+    // fail_mask = 0 — a silent keep where zeroed metrics fail rule 0
+    // loudly (the oracle carries the same coalesce)
     val toks = tokens(text)
-    val nWords = size(toks).cast("long")
-    val sumLen = aggregate(transform(toks, t => length(t).cast("long")),
-      lit(0L), (a, x) => a + x)
-    val nAlpha = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
-    val nHash = (length(text) - length(regexp_replace(text, "#", "")))
-      .cast("long")
-    val nEllipsis = ((length(text) -
-      length(regexp_replace(text, "\\.\\.\\.", ""))) / 3).cast("long")
-    val nStop = size(filter(toks,
-      t => lower(t).isin(Stopwords: _*))).cast("long")
+    val nWords = coalesce(size(toks).cast("long"), lit(0L))
+    val sumLen = coalesce(
+      aggregate(transform(toks, t => length(t).cast("long")),
+        lit(0L), (a, x) => a + x), lit(0L))
+    val nAlpha = coalesce(
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long"), lit(0L))
+    val nHash = coalesce(
+      (length(text) - length(regexp_replace(text, "#", "")))
+        .cast("long"), lit(0L))
+    val nEllipsis = coalesce(((length(text) -
+      length(regexp_replace(text, "\\.\\.\\.", ""))) / 3).cast("long"),
+      lit(0L))
+    val nStop = coalesce(size(filter(toks,
+      t => lower(t).isin(Stopwords: _*))).cast("long"), lit(0L))
     val fails = Seq(
       nWords < minWords || nWords > maxWords,
       sumLen < lit(3L) * nWords || sumLen > lit(10L) * nWords,
@@ -896,30 +932,21 @@ object TextAnalysis {
     * into head).
     */
   def scoreTerciles(scored: DataFrame, key: String,
-                    score: String): DataFrame = {
-    val hist = scored.groupBy(key, score).agg(count(lit(1)).as("__c"))
-    val thr = hist.groupBy(key)
-      .agg(sort_array(collect_list(struct(
-          col(score).as("s"), col("__c").as("c")))).as("__h"),
-        sum("__c").as("__n"))
-      .select(col(key), aggregate(col("__h"),
-          struct(lit(0L).as("run"), lit(Long.MinValue).as("h"),
-            lit(Long.MinValue).as("m")),
-          (acc, x) => struct(
-            (acc("run") + x("c")).as("run"),
-            when(acc("run") * 3 < col("__n"), x("s")).otherwise(acc("h"))
-              .as("h"),
-            when(acc("run") * 3 < col("__n") * 2, x("s"))
-              .otherwise(acc("m")).as("m"))).as("__t"))
-      .select(col(key), col("__t.h").as("__head_max"),
-        col("__t.m").as("__mid_max"))
-    scored.join(broadcast(thr), key)
-      .withColumn("bucket",
-        when(col(score) <= col("__head_max"), "head")
-          .when(col(score) <= col("__mid_max"), "middle")
-          .otherwise("tail"))
-      .drop("__head_max", "__mid_max")
-  }
+                    score: String): DataFrame =
+    // ONE histogram-fold quantile implementation: equidepthBins is
+    // the documented any-q generalization of this operator, and the
+    // two copies had already diverged on NULL handling (equidepthBins
+    // filters NULL scores out of the fold and keeps NULL-key groups
+    // first-class through its null-safe join; the old inline copy
+    // dropped NULL-key rows and let a NULL struct shift every
+    // threshold). Identical thresholds by construction: bin i's cut
+    // is the largest score whose strictly-below count · 3 < n · i —
+    // the same fold rule, q = 3.
+    Profiling.equidepthBins(scored, key, score, 3)
+      .withColumn("bucket", element_at(
+        array(lit("head"), lit("middle"), lit("tail")),
+        col("bin") + 1))
+      .drop("bin")
 
   /** log2 in EIGHTHS of a bit, as a pure integer function of a
     * positive integer: 8·⌊log2 x⌋ + (top 4 bits of x) − 8. The top-4-
@@ -973,14 +1000,24 @@ object TextAnalysis {
         explode(tokens(col("__text"))).as("__t"))
       .filter(col("__t") =!= "")
       .repartition(col("__t"))
-    val cnt = toks.groupBy("__t").agg(
+    // TRAIN on labeled docs only: when(__y, …).otherwise(…) routes a
+    // NULL label into the otherwise branch, so unlabeled docs would
+    // silently train the FAIL class (and shift every doc's score).
+    // They are still SCORED below — emitted with label_pass = NULL
+    // and the model's prediction, the standard semi-supervised shape.
+    val cnt = toks.filter(col("__y").isNotNull).groupBy("__t").agg(
       sum(when(col("__y"), 1L).otherwise(0L)).as("__cp"),
       sum(when(col("__y"), 0L).otherwise(1L)).as("__cf"))
     val totals = cnt.agg(sum("__cp").as("__tp"), sum("__cf").as("__tf"),
       count(lit(1)).as("__v"))
-    val priors = base.agg(
-      sum(when(col("__y"), 1L).otherwise(0L)).as("__np"),
-      sum(when(col("__y"), 0L).otherwise(1L)).as("__nf"))
+    // coalesce: with ZERO labeled docs the sums aggregate over no
+    // rows to NULL — the degenerate model must still score (prior 0),
+    // not null out every nb_q8
+    val priors = base.filter(col("__y").isNotNull).agg(
+      coalesce(sum(when(col("__y"), 1L).otherwise(0L)), lit(0L))
+        .as("__np"),
+      coalesce(sum(when(col("__y"), 0L).otherwise(1L)), lit(0L))
+        .as("__nf"))
     val scored = toks.join(cnt, "__t")
       .crossJoin(broadcast(totals))
       .groupBy("doc_id")
@@ -1120,8 +1157,14 @@ object TextAnalysis {
         array_join(transform(array_sort(collect_list(
             struct(col("__pos"), col("__line")))),
           e => e("__line")), delim).as("__clean"))
+    // n_total coalesces like its siblings: size(split(NULL)) is NULL,
+    // and a NULL-text doc reporting clean_text = "" / n_kept = 0 but
+    // n_total = NULL breaks the every-column-coalesced contract (a
+    // kept-fraction consumer would get NULL for exactly the rows the
+    // spine join protects)
     base.select(col("doc_id"),
-        size(split(col("__text"), sep)).cast("long").as("n_total"))
+        coalesce(size(split(col("__text"), sep)).cast("long"), lit(0L))
+          .as("n_total"))
       .join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("__clean"), lit("")).as("clean_text"),

@@ -490,7 +490,8 @@ private[queries] object CurateQueries {
          |        least(CAST(32 AS BIGINT), len(toks) - i.i*24) AS n_tokens
          |      FROM d, LATERAL (SELECT unnest(range(0,
          |        CAST(floor(CAST(greatest(len(toks) - 8 - 1, 0) AS DOUBLE) / 24.0) AS BIGINT) + 1)) AS i) i
-         |      WHERE len(toks) >= 1),
+         |      WHERE len(toks) >= 1
+         |        AND NOT (len(toks) = 1 AND toks[1] = '')),
          |s AS (SELECT *, CAST('0x' || substr(md5('graft-pack:' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 8 AS shard
          |      FROM c),
          |cum AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard
@@ -609,7 +610,8 @@ private[queries] object CurateQueries {
          |        least(CAST(32 AS BIGINT), len(toks) - i.i*24) AS n_tokens
          |      FROM tr, LATERAL (SELECT unnest(range(0,
          |        CAST(floor(CAST(greatest(len(toks) - 8 - 1, 0) AS DOUBLE) / 24.0) AS BIGINT) + 1)) AS i) i
-         |      WHERE len(toks) >= 1),
+         |      WHERE len(toks) >= 1
+         |        AND NOT (len(toks) = 1 AND toks[1] = '')),
          |s AS (SELECT *, CAST('0x' || substr(md5('graft-pack:' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 8 AS shard
          |      FROM c),
          |cum AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard
@@ -643,8 +645,9 @@ private[queries] object CurateQueries {
          |             list_filter($tokensSql, t -> t <> '') AS toks
          |           FROM documents),
          |doc AS (SELECT source, count(*) AS n_docs,
-         |          CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
-         |          count(*) - count(DISTINCT md5(regexp_replace(
+         |          coalesce(CAST(sum(len(toks)) AS BIGINT), 0)
+         |            AS n_tokens,
+         |          count(text) - count(DISTINCT md5(regexp_replace(
          |            lower(trim(text)), '\\s+', ' ', 'g'))) AS n_dup_docs
          |        FROM d GROUP BY 1),
          |voc AS (SELECT source, count(DISTINCT t) AS vocab

@@ -631,7 +631,8 @@ private[queries] object TextQueries {
          |c AS (SELECT doc_id, toks, len(toks) AS n, i.i AS i
          |      FROM d, LATERAL (SELECT unnest(range(0,
          |        CAST(floor(CAST(greatest(len(toks) - 8 - 1, 0) AS DOUBLE) / 24.0) AS BIGINT) + 1)) AS i) i
-         |      WHERE len(toks) >= 1)
+         |      WHERE len(toks) >= 1
+         |        AND NOT (len(toks) = 1 AND toks[1] = ''))
          |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
          |  array_to_string(toks[CAST(i*24+1 AS INT) : CAST(i*24+32 AS INT)], ' ') AS chunk_text,
          |  least(CAST(32 AS BIGINT), n - i*24) AS n_tokens
@@ -647,7 +648,8 @@ private[queries] object TextQueries {
          |    array_to_string(toks[CAST(i.i*16+1 AS INT) : CAST(i.i*16+16 AS INT)], ' ') AS chunk_text
          |  FROM d, LATERAL (SELECT unnest(range(0,
          |    CAST(floor(CAST(greatest(len(toks) - 1, 0) AS DOUBLE) / 16.0) AS BIGINT) + 1)) AS i) i
-         |  WHERE len(toks) >= 1),
+         |  WHERE len(toks) >= 1
+         |        AND NOT (len(toks) = 1 AND toks[1] = '')),
          |h AS (SELECT doc_id, chunk_idx, chunk_text,
          |    CAST('0x' || substr(md5(chunk_text), 1, 15) AS BIGINT) AS hh FROM ch),
          |own AS (SELECT hh, doc_id AS od, chunk_idx AS oi FROM h
@@ -791,11 +793,12 @@ private[queries] object TextQueries {
         |    AS qnorm
         |FROM norm)
         |SELECT doc_id, url,
-        |  scheme || '://' || host ||
-        |  (CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
-        |        ELSE regexp_replace(path0, '/+$', '') END) ||
-        |  (CASE WHEN qnorm <> '' THEN '?' || qnorm ELSE '' END)
-        |    AS canonical_url,
+        |  CASE WHEN scheme = '' THEN url ELSE
+        |    scheme || '://' || host ||
+        |    (CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+        |          ELSE regexp_replace(path0, '/+$', '') END) ||
+        |    (CASE WHEN qnorm <> '' THEN '?' || qnorm ELSE '' END)
+        |  END AS canonical_url,
         |  host
         |FROM qn""".stripMargin,
 
@@ -808,16 +811,20 @@ private[queries] object TextQueries {
         .map(w => s"'$w'").mkString("[", ", ", "]")
       s"""WITH d AS (SELECT doc_id, text, $tokensSql AS toks FROM documents),
         |f AS (SELECT doc_id,
-        |  CAST(len(toks) AS BIGINT) AS n_words,
-        |  CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
-        |    AS sum_word_len,
-        |  CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
-        |    AS BIGINT) AS n_alpha_words,
-        |  CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) +
-        |    CAST((length(text) - length(replace(text, '...', ''))) // 3
-        |      AS BIGINT) AS n_symbols,
-        |  CAST(len(list_filter(toks, t -> list_contains($stops, lower(t))))
-        |    AS BIGINT) AS n_stop
+        |  coalesce(CAST(len(toks) AS BIGINT), 0) AS n_words,
+        |  coalesce(CAST(list_sum(list_transform(toks, t -> length(t)))
+        |    AS BIGINT), 0) AS sum_word_len,
+        |  coalesce(CAST(len(list_filter(toks,
+        |    t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT), 0)
+        |    AS n_alpha_words,
+        |  coalesce(CAST(length(text) - length(replace(text, '#', ''))
+        |      AS BIGINT), 0) +
+        |    coalesce(CAST((length(text) -
+        |      length(replace(text, '...', ''))) // 3 AS BIGINT), 0)
+        |    AS n_symbols,
+        |  coalesce(CAST(len(list_filter(toks,
+        |    t -> list_contains($stops, lower(t)))) AS BIGINT), 0)
+        |    AS n_stop
         |FROM d)
         |SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_symbols,
         |  n_stop,
