@@ -45,6 +45,13 @@ object Sampling {
     * rows would preferentially fill the n sample slots, chosen
     * arbitrarily among themselves (all their order keys tie at NULL),
     * i.e. a partitioning-dependent "sample".
+    *
+    * PRECONDITION: ids must be UNIQUE within a stratum. Duplicate ids
+    * tie on the whole (rank, id) order key, and when the cut lands
+    * inside a tie group, WHICH payload row survives is
+    * partitioning-dependent (the twoPhaseTopN total-order contract).
+    * Dedup ids upstream; a sample keyed on non-unique ids is not
+    * auditable anyway.
     */
   def fixedSizeStratifiedSample(df: DataFrame, id: Column, stratum: Column,
                                 n: Int, salt: String): DataFrame = {
@@ -119,21 +126,35 @@ object Sampling {
     * re-materialize their samples rather than expect this version to
     * reproduce the old (biased) selection.
     */
+  /** The 60-bit salted per-million lottery — ONE definition of the
+    * membership expression (and its modulo-bias rationale, see
+    * [[rateThinned]]'s scaladoc) shared with [[tokenBudgetMix]]: the
+    * expression is oracle-parity-critical, and a fix applied to one
+    * inlined copy could silently miss the other.
+    */
+  private def ppmLottery(id: Column, salt: String): Column =
+    PortableHash.md5PrefixLong(
+      concat(lit(salt), id.cast("string")), 15) % 1000000L
+
   private def rateThinned(df: DataFrame, id: Column, stratum: Column,
                           salt: String)(rate: Column): DataFrame = {
     require(!df.columns.exists(Set("__st", "__ck", "__n", "__total")),
       "input must not carry __st/__ck/__n/__total columns (reserved " +
         "by the stratum-count join)")
-    val counts = df.groupBy(stratum.as("__st"))
+    // NULL ids drop BEFORE the stratum counts, not just at the hash
+    // filter: counted-but-never-kept rows would deflate every
+    // realized rate below the recipe (rate = share*total/n computed
+    // over rows the lottery can never select)
+    val eligible = df.filter(id.isNotNull)
+    val counts = eligible.groupBy(stratum.as("__st"))
       .agg(count(lit(1)).as("__n"))
     val total = counts.agg(sum("__n").as("__total"))
     val thresh = floor(rate * lit(1000000.0)).cast("long")
-    df.withColumn("__st", stratum)
+    eligible.withColumn("__st", stratum)
       .join(broadcast(counts.withColumnRenamed("__st", "__ck")),
         col("__st") <=> col("__ck"))
       .crossJoin(broadcast(total))
-      .filter(PortableHash.md5PrefixLong(
-        concat(lit(salt), id.cast("string")), 15) % 1000000 < thresh)
+      .filter(ppmLottery(id, salt) < thresh)
       .drop("__st", "__ck", "__n", "__total")
   }
 
@@ -211,9 +232,16 @@ object Sampling {
     */
   def splitTemporal(df: DataFrame, ts: Column, cut: Column,
                     embargo: Column): DataFrame =
+    // the test branch is deliberately FIRST: with a negative embargo
+    // (sign confusion upstream) the old train-first ordering labeled
+    // rows in [cut, cut - embargo) as "train" — future data training
+    // the model, the exact leakage this split exists to prevent.
+    // Test-first makes every ts >= cut row "test" regardless of the
+    // embargo operand's sign; for embargo >= 0 the assignment is
+    // unchanged. The oracle carries the same CASE order.
     df.withColumn("split",
-      when(ts < cut - embargo, lit("train"))
-        .when(ts >= cut, lit("test"))
+      when(ts >= cut, lit("test"))
+        .when(ts < cut - embargo, lit("train"))
         .otherwise(lit("embargo")))
 
   /** Token-budget mixture planning — the pretraining-mix step that
@@ -241,9 +269,17 @@ object Sampling {
     require(weightsPpm.nonEmpty && weightsPpm.map(_._2).forall(_ >= 0) &&
       weightsPpm.map(_._2).sum <= 1000000L,
       "weights are nonnegative ppm summing to at most 10^6")
+    require(weightsPpm.map(_._1).distinct.length == weightsPpm.length,
+      "duplicate source names in weightsPpm: the broadcast join would " +
+        "emit every such source's docs once per entry")
     val spark = df.sparkSession
-    val base = df.select(id.as("id"), source.as("source"),
-      nTokens.cast("long").as("n_tokens"))
+    // NULL ids drop up front (the salted-hash-operator contract):
+    // a NULL id can never win the fractional lottery but WOULD ride
+    // the whole-epoch term, emitting un-auditable (NULL, …) plan rows
+    // while the lottery under-draws the source's token target
+    val base = df.filter(id.isNotNull)
+      .select(id.as("id"), source.as("source"),
+        nTokens.cast("long").as("n_tokens"))
     val w = spark.createDataFrame(weightsPpm).toDF("source", "__wppm")
     val avail = base.groupBy("source")
       .agg(sum("n_tokens").as("__avail"))
@@ -267,8 +303,7 @@ object Sampling {
       // COMPATIBILITY note as rateThinned: widening the hash changed
       // which ids win the fractional epoch; re-materialize pinned
       // samples rather than expect the old (biased) membership.
-      .withColumn("__lot", PortableHash.md5PrefixLong(
-        concat(lit(salt), col("id").cast("string")), 15) % 1000000L)
+      .withColumn("__lot", ppmLottery(col("id"), salt))
       .withColumn("n_repeat",
         col("__epochs") +
           when(col("__lot") < col("__frac_ppm"), 1L).otherwise(0L))
@@ -327,6 +362,14 @@ object Sampling {
         (col("__pos") - 1 + col("j")) % col("__n") + 1)
       .join(peers, col("__b") === col("__pb") &&
         col("__npos") === col("__ppos"))
+      // the documented never-samples-itself guarantee holds BY
+      // CONSTRUCTION only when ids are unique (offsets stop at bucket
+      // size - 1); duplicated ids occupy adjacent ring positions and
+      // would return an anchor's own id as its negative — fence it
+      // here so contrastive training can never see a self-pair (a
+      // duplicated anchor still draws fewer than k negatives;
+      // dedup ids upstream for the full-k draw)
+      .filter(col("neg_id") =!= col("anchor_id"))
       .select("anchor_id", "j", "neg_id")
   }
 }

@@ -508,8 +508,8 @@ private[queries] object CurateQueries {
       """WITH e AS (SELECT event_id, make_timestamp(epoch_us(ts)) AS ts
         |  FROM events)
         |SELECT CASE
-        |    WHEN ts < TIMESTAMP '2024-01-18 00:00:00' THEN 'train'
         |    WHEN ts >= TIMESTAMP '2024-01-20 00:00:00' THEN 'test'
+        |    WHEN ts < TIMESTAMP '2024-01-18 00:00:00' THEN 'train'
         |    ELSE 'embargo' END AS split,
         |  count(*) AS n,
         |  CAST(sum(event_id) AS BIGINT) AS id_checksum
@@ -664,7 +664,8 @@ private[queries] object CurateQueries {
     // correctly rounded, identical on both engines; 15 hex chars =
     // the 60-bit hash the Spark side thins with (bias ~4e-13)
     "sample_temperature" ->
-      """WITH c AS (SELECT lang AS st, count(*) AS n FROM documents GROUP BY 1),
+      """WITH c AS (SELECT lang AS st, count(*) AS n FROM documents
+        |       WHERE doc_id IS NOT NULL GROUP BY 1),
         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
         |SELECT d.doc_id, d.lang
         |FROM documents d JOIN c ON c.st IS NOT DISTINCT FROM d.lang CROSS JOIN tot
@@ -674,7 +675,8 @@ private[queries] object CurateQueries {
 
 
     "sample_domain_mix" ->
-      """WITH c AS (SELECT source AS st, count(*) AS n FROM documents GROUP BY 1),
+      """WITH c AS (SELECT source AS st, count(*) AS n FROM documents
+        |       WHERE doc_id IS NOT NULL GROUP BY 1),
         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
         |SELECT d.doc_id, d.source
         |FROM documents d JOIN c ON c.st IS NOT DISTINCT FROM d.source CROSS JOIN tot
@@ -697,7 +699,7 @@ private[queries] object CurateQueries {
     "sample_token_budget" ->
       (s"""WITH d AS (SELECT doc_id, source,
          |        CAST(len($tokensSql) AS BIGINT) AS n_tokens
-         |      FROM documents),
+         |      FROM documents WHERE doc_id IS NOT NULL),
          |a AS (SELECT source, sum(n_tokens) AS avail FROM d GROUP BY 1),
          |w(source, wppm) AS (VALUES ('src0', 500000), ('src1', 300000),
          |                           ('src2', 150000)),
@@ -735,7 +737,8 @@ private[queries] object CurateQueries {
         |SELECT a.doc_id AS anchor_id, a.j,
         |  p.doc_id AS neg_id
         |FROM a JOIN ring p
-        |  ON p.b = a.b AND p.pos = (a.pos - 1 + a.j) % a.n + 1"""
+        |  ON p.b = a.b AND p.pos = (a.pos - 1 + a.j) % a.n + 1
+        |WHERE p.doc_id <> a.doc_id"""
         .stripMargin,
 
 
