@@ -12,11 +12,17 @@ import org.apache.spark.sql.functions._
   */
 object EventWindows {
 
-  /** Tumbling event-time windows with exact-decimal value sums. */
+  /** Tumbling event-time windows with exact-decimal value sums.
+    * decimal(38,2), not (18,2): under non-ANSI semantics a value at
+    * or above 1e16 would cast to NULL and silently vanish from
+    * sum_value while `n` still counted it — (38,2) keeps the sum
+    * exact to 1e36, far past any real event value, and the oracle
+    * (and the streaming twin) carry the same width.
+    */
   def tumbling(events: DataFrame, duration: String): DataFrame =
     events.groupBy(window(col("ts"), duration), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        sum(col("value").cast("decimal(38,2)")).cast("double").as("sum_value"))
       .select(col("window.start").as("wstart"), col("event_type"),
         col("n"), col("sum_value"))
 
@@ -30,12 +36,16 @@ object EventWindows {
     * session start/end (end = last event + gap, matching Spark's
     * `session_window` semantics) and event count.
     */
-  def sessions(events: DataFrame, key: Column, gap: String): DataFrame =
-    events.groupBy(session_window(col("ts"), gap), key.as("user_id"))
+  def sessions(events: DataFrame, key: Column, gap: String,
+               keyName: String = "user_id"): DataFrame =
+    // keyName: a caller sessionizing by device/doc id should not get
+    // its key emitted under a misleading "user_id" header; the
+    // default keeps the registered query's schema
+    events.groupBy(session_window(col("ts"), gap), key.as(keyName))
       .agg(count(lit(1)).as("n"))
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
-        col("user_id"), col("n"))
+        col(keyName), col("n"))
 
   /** Weekly cohort retention — the other core product-analytics
     * report next to [[funnel]]: users grouped by first-activity week
@@ -152,6 +162,10 @@ object EventWindows {
                 bucketSeconds: Long): DataFrame = {
     require(!(points.columns ++ intervals.columns).contains("__bucket"),
       "inputs must not carry a __bucket column (reserved)")
+    require(bucketSeconds >= 1 &&
+      bucketSeconds <= Long.MaxValue / 1000000L,
+      s"bucketSeconds ($bucketSeconds) must be in [1, Long.MaxValue/1e6]" +
+        " — the micros bucket width must not overflow")
     val b = lit(bucketSeconds * 1000000L)
     def bucketOf(c: Column): Column = unix_micros(c) - pmod(unix_micros(c), b)
     val p = points.withColumn("__bucket", bucketOf(col(ts)))
@@ -195,9 +209,11 @@ object EventWindows {
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                payloadCols: Seq[String]): DataFrame = {
     require(!left.columns
-        .exists(Set("__ts", "__side", "__payload", "__carried")),
-      "left input must not carry __ts/__side/__payload/__carried " +
-        "columns (reserved by asofJoin's union-and-carry encoding)")
+        .exists(Set("__ts", "__side", "__payload", "__carried",
+          "__within")),
+      "left input must not carry __ts/__side/__payload/__carried/" +
+        "__within columns (reserved by asofJoin's union-and-carry " +
+        "encoding and asofJoinTolerance's bound projection)")
     val lOther = left.columns.filterNot(_ == key).toSeq
     val payload = struct((ts +: payloadCols).map(col): _*)
     val rTagged = right

@@ -43,8 +43,6 @@ object TimeSeries {
     // chunks -1 and 0 onto overlapping slot ranges (sequence(0, -100)
     // even DESCENDS) and silently drops the slots below the lowest
     // chunk boundary. fdiv(a, d) = floor(a / d) for d > 0.
-    def fdiv(a: String, d: Long): String =
-      s"(($a) div $d - (case when ($a) % $d < 0 then 1 else 0 end))"
     // floor from MICROS, not unix_timestamp(ts): the seconds
     // intermediate itself TRUNCATES sub-second negatives toward zero
     // (1969-12-31T23:59:59.4 → 0) before fdiv ever runs, bucketing a
@@ -83,7 +81,16 @@ object TimeSeries {
         timestamp_seconds(col("__n") * slotSeconds).as("slot"))
     val w = Window.partitionBy("key").orderBy("slot")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(slotted, Seq("key", "slot"), "left")
+    // null-safe KEY equality (the ewmaFixed/linearTrendMicro
+    // contract): the grid is DERIVED from slotted, so a NULL-key
+    // series generates grid rows that a plain equi-join could never
+    // match back — every slot would read v_locf = NULL /
+    // observed = false despite real observations. slot stays plain
+    // equality (grid slots are never NULL by construction).
+    grid.join(slotted
+        .withColumnRenamed("key", "__sk")
+        .withColumnRenamed("slot", "__ss"),
+      col("key") <=> col("__sk") && col("slot") === col("__ss"), "left")
       .select(col("key"), col("slot"),
         last(col("v"), ignoreNulls = true).over(w).as("v_locf"),
         col("v").isNotNull.as("observed"))
@@ -172,9 +179,10 @@ object TimeSeries {
     */
   def ohlcBars(events: DataFrame, bucketSeconds: Long,
                tie: Column): DataFrame = {
-    require(bucketSeconds >= 1, "bucketSeconds must be positive")
-    def fdiv(a: String, d: Long): String =
-      s"(($a) div $d - (case when ($a) % $d < 0 then 1 else 0 end))"
+    require(bucketSeconds >= 1 &&
+      bucketSeconds <= Long.MaxValue / 1000000L,
+      s"bucketSeconds ($bucketSeconds) must be in [1, Long.MaxValue/1e6]" +
+        " — the micros bucket width must not overflow")
     // Floor straight from micros — a seconds intermediate would
     // TRUNCATE sub-second negatives toward zero before the bucket
     // floor even runs.
@@ -220,9 +228,15 @@ object TimeSeries {
     * @param events columns `key`, `ts` (timestamp), `value` (double)
     */
   def linearTrendMicro(events: DataFrame): DataFrame = {
+    // rows with a NULL ts or value drop BEFORE the moments: count()
+    // would tally them while the sums skip them, so n and the moments
+    // would describe DIFFERENT row sets — measured on a 3-point
+    // series with one NULL value, the slope SIGN flips. The oracle
+    // carries the same predicate.
     val base = events.select(col("key"),
       unix_micros(col("ts")).as("__xm"),
       expr("cast(floor(value * 100) as bigint)").as("__y"))
+      .filter(col("__xm").isNotNull && col("__y").isNotNull)
     val xmin = base.groupBy("key").agg(min("__xm").as("__x0"))
       .withColumnRenamed("key", "__k")
     def d(c: Column): Column = c.cast("decimal(38,0)")
@@ -316,8 +330,13 @@ object TimeSeries {
     * the fixture's value scale.
     */
   def cusumChangepoint(events: DataFrame, tie: Column): DataFrame = {
+    // NULL-value/NULL-ts rows drop before numbering: row_number would
+    // count them into __k/__n while the prefix sums skip them, so
+    // S_k != n*sum(v - mean) at k and cp_k would point at a SHIFTED
+    // split index. Same predicate in the oracle.
     val base = events.select(col("key"), col("ts"), tie.as("__tie"),
       microValue.cast("decimal(38,0)").as("__v"))
+      .filter(col("ts").isNotNull && col("__v").isNotNull)
     val ordered = Window.partitionBy("key")
       .orderBy(col("ts"), col("__tie"))
     val whole = Window.partitionBy("key")
@@ -362,8 +381,11 @@ object TimeSeries {
     * a constant series has no correlation to report).
     */
   def acf1(events: DataFrame, tie: Column): DataFrame = {
+    // same phantom-row guard as linearTrendMicro/cusumChangepoint:
+    // n must describe the rows the moments actually summed
     val base = events.select(col("key"), col("ts"), tie.as("__tie"),
       microValue.cast("decimal(38,0)").as("__v"))
+      .filter(col("ts").isNotNull && col("__v").isNotNull)
     val ordered = Window.partitionBy("key")
       .orderBy(col("ts"), col("__tie"))
     base
@@ -392,17 +414,39 @@ object TimeSeries {
             lit(" has n²-scaled moments past decimal(38,0); " +
               "pre-aggregate or rescale the series"))))
           .otherwise(col("__den")))
+      // the NUMERATOR gets the same exact-or-loud guard: its middle
+      // term n*S*(2S - x0 - xn) is ~2x the magnitude of den's largest
+      // intermediate, so there is a real band where num overflows
+      // decimal(38,0) to NULL while den survives — without this, the
+      // guarded den would pass and r1_ppm would still emit the silent
+      // "no correlation" NULL the den guard exists to prevent. A
+      // LEGITIMATE NULL num (n = 1: __sxy aggregates no lag pairs)
+      // always comes with den = 0, which the first branch handles.
+      .withColumn("__num",
+        col("__n") * col("__n") * col("__sxy")
+          - col("__n") * col("__s") *
+            (col("__s") * 2 - col("__x0") - col("__xn"))
+          + (col("__n") - 1) * col("__s") * col("__s"))
       .select(col("key"), col("__n").as("n_events"),
-        when(col("__den") === 0, lit(null)).otherwise(
-          floor(
-            (col("__n") * col("__n") * col("__sxy")
-              - col("__n") * col("__s") *
-                (col("__s") * 2 - col("__x0") - col("__xn"))
-              + (col("__n") - 1) * col("__s") * col("__s"))
-              .cast("double") /
-            col("__den").cast("double")
-            * 1000000.0).cast("long")).as("r1_ppm"))
+        when(col("__den") === 0, lit(null))
+          .when(col("__num").isNull && col("__s").isNotNull,
+            raise_error(concat(
+              lit("TimeSeries.acf1: key "), col("key").cast("string"),
+              lit(" has an n²-scaled numerator past decimal(38,0); " +
+                "pre-aggregate or rescale the series"))))
+          .otherwise(
+            floor(col("__num").cast("double") /
+              col("__den").cast("double")
+              * 1000000.0).cast("long")).as("r1_ppm"))
   }
+
+  /** SQL text of floor division `floor(a / d)` for d > 0 — `div`
+    * truncates toward zero, which mis-buckets negative (pre-1970)
+    * operands; ONE definition shared by resampleLocf and ohlcBars so
+    * the floor-vs-truncate subtlety cannot drift between them.
+    */
+  private def fdiv(a: String, d: Long): String =
+    s"(($a) div $d - (case when ($a) % $d < 0 then 1 else 0 end))"
 
   /** The six OHLC aggregates over (`__v`, `__o`) — the shared
     * batch/streaming aggregation list.

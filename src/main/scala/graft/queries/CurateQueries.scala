@@ -396,7 +396,7 @@ private[queries] object CurateQueries {
       t(s, dir, "events")
         .groupBy(floor(col("value") / 50.0).cast("long").as("bucket"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,2)")).cast("double")
+          sum(col("value").cast("decimal(38,2)")).cast("double")
             .as("sum_value"))
     },
   )
@@ -834,7 +834,7 @@ private[queries] object CurateQueries {
     "agg_histogram" ->
       """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
         |  count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  CAST(sum(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
   )
 }

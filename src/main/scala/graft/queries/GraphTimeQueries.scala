@@ -804,7 +804,8 @@ private[queries] object GraphTimeQueries {
         |        (epoch_us(ts)
         |         - min(epoch_us(ts)) OVER (PARTITION BY user_id))
         |          // 1000000 AS x,
-        |        CAST(floor(value * 100) AS BIGINT) AS y FROM events),
+        |        CAST(floor(value * 100) AS BIGINT) AS y FROM events
+        |      WHERE ts IS NOT NULL AND value IS NOT NULL),
         |m AS (SELECT user_id, count(*) AS n,
         |        sum(CAST(x AS HUGEINT)) AS sx,
         |        sum(CAST(y AS HUGEINT)) AS sy,
@@ -951,7 +952,7 @@ private[queries] object GraphTimeQueries {
       (s"""WITH $evtCte,
         |b AS (SELECT user_id, ts, event_id,
         |    CAST(floor(value * 1000000) AS HUGEINT) AS v
-        |  FROM evts),
+        |  FROM evts WHERE ts IS NOT NULL AND value IS NOT NULL),
         |w AS (SELECT user_id, v,
         |    lag(v) OVER win AS pv,
         |    first_value(v) OVER win AS x0,
@@ -978,7 +979,7 @@ private[queries] object GraphTimeQueries {
       (s"""WITH $evtCte,
         |b AS (SELECT user_id, ts, event_id,
         |    CAST(floor(value * 1000000) AS HUGEINT) AS v
-        |  FROM evts),
+        |  FROM evts WHERE ts IS NOT NULL AND value IS NOT NULL),
         |w AS (SELECT user_id, ts, event_id,
         |    row_number() OVER win AS k,
         |    sum(v) OVER win AS prefix,
@@ -1131,7 +1132,7 @@ private[queries] object GraphTimeQueries {
       (s"""WITH $evtCte
         |SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
         |  count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  CAST(sum(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
         |FROM evts GROUP BY 1, 2""".stripMargin),
 
 

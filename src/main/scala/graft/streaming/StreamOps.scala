@@ -47,7 +47,7 @@ object StreamOps {
     events.withWatermark("ts", watermark)
       .groupBy(window(col("ts"), duration), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double")
+        sum(col("value").cast("decimal(38,2)")).cast("double")
           .as("sum_value"))
       .select(col("window.start").as("wstart"), col("event_type"),
         col("n"), col("sum_value"))
