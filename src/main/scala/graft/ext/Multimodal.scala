@@ -280,8 +280,14 @@ object Multimodal {
   /** Frame sampling plumbing: the frame indices a video decoder would
     * be asked to emit — every `step`-th frame, as an array column.
     */
-  def frameSampleIndices(nFrames: Column, step: Int): Column =
-    sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(step))
+  def frameSampleIndices(nFrames: Column, step: Int): Column = {
+    require(step >= 1, s"frame sampling step ($step) must be >= 1")
+    // a 0-frame clip samples NOTHING: the greatest() clamp alone
+    // would emit [0], claiming a frame that does not exist
+    when(nFrames <= 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), greatest(nFrames - 1, lit(0)),
+        lit(step)))
+  }
 
   /** 60-bit average-hash of a REAL decoded raster — the perceptual
     * near-dup signature for image corpora (aHash: pool the grayscale
@@ -498,7 +504,7 @@ object Multimodal {
         rows.map { case (i, bytes) =>
           val p = PixelDecoder.decode(bytes).getOrElse(
             throw new IllegalArgumentException(
-              s"aHashImages: id $i is not a decodable PNG/BMP " +
+              s"aHashImages: id $i is not a decodable PNG/BMP/GIF/JPEG " +
                 s"(${bytes.length} bytes)"))
           (i, aHashFromGray(p))
         }
@@ -566,6 +572,14 @@ object Multimodal {
     df.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
+          // the videoFrameStats pre-check: a non-AVI payload must
+          // fail with the MEMBER ID, not an anonymous container-walk
+          // error three frames deep (at corpus scale the id is the
+          // only way to find the offending blob)
+          if (MjpegAvi.parse(bytes).isEmpty)
+            throw new IllegalArgumentException(
+              s"videoScenes: id $id is not an AVI payload " +
+                s"(${bytes.length} bytes)")
           val frames = MjpegAvi.sampleFrames(bytes, stride = 1)
           if (!frames.hasNext)
             throw new IllegalArgumentException(
@@ -581,7 +595,10 @@ object Multimodal {
           var nFrames = 0
           for ((no, px) <- frames) {
             if (prev != null) {
-              require(px.gray.length == prev.gray.length,
+              // width AND height, not pixel count: a 12x8 -> 8x12
+              // swap has the same gray.length and would diff across
+              // mismatched row strides into garbage scene boundaries
+              require(px.width == prev.width && px.height == prev.height,
                 s"videoScenes: id $id frame $no changes dimensions")
               var diff = 0L
               var k = 0
@@ -619,6 +636,10 @@ object Multimodal {
     df.select(id.as("id"), blob.as("blob")).as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (i, bytes) =>
+          if (MjpegAvi.parse(bytes).isEmpty)
+            throw new IllegalArgumentException(
+              s"videoKeyframeAHash: id $i is not an AVI payload " +
+                s"(${bytes.length} bytes)")
           val frames = MjpegAvi.sampleFrames(bytes, stride)
           if (!frames.hasNext)
             throw new IllegalArgumentException(
@@ -777,6 +798,10 @@ object Multimodal {
     df.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
+          if (MjpegAvi.parse(bytes).isEmpty)
+            throw new IllegalArgumentException(
+              s"videoCurationFeatures: id $id is not an AVI payload " +
+                s"(${bytes.length} bytes)")
           val frames = MjpegAvi.sampleFrames(bytes, stride = 1)
           if (!frames.hasNext)
             throw new IllegalArgumentException(
@@ -788,7 +813,7 @@ object Multimodal {
           var scenes = 1
           var prev = key
           for ((no, px) <- frames) {
-            require(px.gray.length == prev.gray.length,
+            require(px.width == prev.width && px.height == prev.height,
               s"videoCurationFeatures: id $id frame $no changes dims")
             var diff = 0L
             var k = 0
@@ -804,14 +829,6 @@ object Multimodal {
       }.toDF("doc_id", "gray_sum", "n_scenes", "vhash")
   }
 
-  /** 60-bit audio energy fingerprint over REAL decoded PCM samples —
-    * the perceptual near-dup signature for audio corpora, the twin of
-    * [[aHashFromGray]]: split the first channel's samples into 60
-    * equal windows ([w·n/60, (w+1)·n/60) — same floor split as the
-    * image grid), window energy = Σ|sample|, bit w set iff
-    * energy·60 > Σenergies. Integer-only, so the DuckDB oracle
-    * replays it in closed form. Requires n ≥ 60 samples.
-    */
   /** Integer DECIMATION resample per (doc_id, blob) audio row — the
     * sample-rate normalization an ASR pipeline runs before batching
     * (48 kHz field recordings → the model's 16 kHz): each block of
@@ -856,11 +873,27 @@ object Multimodal {
             nOut += 1
             at = end
           }
-          (i, s.length, nOut, sum, mn, mx)
+          // an empty decodable clip (data-chunk size 0, FLAC
+          // totalSamples 0) has no extremes: emit NULLs — the SQL
+          // min/max-over-nothing semantics the oracle replays — not
+          // the Int.MaxValue/MinValue loop sentinels (min_out >
+          // max_out presented as census data)
+          if (nOut == 0) (i, s.length, nOut, sum,
+            Option.empty[Int], Option.empty[Int])
+          else (i, s.length, nOut, sum, Some(mn), Some(mx))
         }
       }.toDF("id", "n_in", "n_out", "sum_out", "min_out", "max_out")
   }
 
+  /** 60-bit audio energy fingerprint over decoded PCM samples — the
+    * perceptual near-dup signature for audio corpora, the twin of
+    * [[aHashFromGray]]: split the samples into 60 equal windows
+    * ([w·n/60, (w+1)·n/60), floor split), window energy = Σ|sample|,
+    * bit w set iff energy·60 > Σenergies. Integer-only, so the DuckDB
+    * oracle replays it in closed form. Clips SHORTER than 60 samples
+    * return the 0 no-content sentinel (NOT a require — see the
+    * consumer contract below).
+    */
   def audioFingerprint(samples: Array[Int]): Long = {
     // a clip shorter than the 60 energy windows has no stable
     // signature: fingerprint 0 (the all-below-mean pattern), NOT a
@@ -878,8 +911,11 @@ object Multimodal {
     val e = new Array[Long](60)
     var w = 0
     while (w < 60) {
-      val s0 = w * n / 60
-      val s1 = (w + 1) * n / 60
+      // Long product: w * n wraps Int negative past ~36.4M samples
+      // (a 12.6-minute 48 kHz clip), which would index the array at a
+      // negative offset and kill the whole feature pass on one clip
+      val s0 = (w.toLong * n / 60).toInt
+      val s1 = ((w + 1).toLong * n / 60).toInt
       var s = 0L
       var i = s0
       while (i < s1) { s += math.abs(samples(i).toLong); i += 1 }
