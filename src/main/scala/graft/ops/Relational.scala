@@ -96,7 +96,10 @@ object Relational {
     */
   def bloomPrunedJoin(fact: DataFrame, dim: DataFrame, key: String,
                       joinType: String = "inner"): DataFrame =
-    fact.hint("SHUFFLE_MERGE").join(dim, Seq(key), joinType)
+    // mechanically IDENTICAL to aqeSkewJoin (the distinct behaviors
+    // live in Spark config + the dim-side predicate, not the plan) —
+    // delegate so a future hint change cannot diverge the two
+    aqeSkewJoin(fact, dim, key, joinType)
 
   /** MERGE INTO semantics as one declarative plan — the CDC apply
     * every warehouse runs: `target` (unique `key`) merged with
@@ -228,8 +231,13 @@ object Relational {
     val cx = floor(x * 100).cast("long")
     val cy = floor(y * 100).cast("long")
     def d(c: Column): Column = c.cast("decimal(38,0)")
+    // COMPLETE pairs only (the built-in corr / oracle semantics): an
+    // incomplete pair would count into n while the moment sums skip
+    // its null side — six moments over DIFFERENT row subsets, a
+    // corr_ppm that can exceed ±10⁶ or flip sign
     val agged = df
       .select(groupCols.map(col) :+ cx.as("__x") :+ cy.as("__y"): _*)
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"),
         sum(d(col("__x"))).as("__sx"),
@@ -242,9 +250,20 @@ object Relational {
     val vx = nD * col("__sxx") - col("__sx") * col("__sx")
     val vy = nD * col("__syy") - col("__sy") * col("__sy")
     val den = sqrt(vx.cast("double")) * sqrt(vy.cast("double"))
+    // exact-or-loud (the TimeSeries.acf1 discipline): the FINISHING
+    // products n·Σxx etc. can overflow decimal(38,0) to NULL on huge
+    // groups of huge values even though every per-row product fits —
+    // and a NULL vx reads through when() as the documented
+    // zero-variance NULL, silently. __sx non-null (the group had
+    // rows) with a NULL vx/vy/num IS an overflow.
+    val overflow = col("__sx").isNotNull &&
+      (vx.isNull || vy.isNull || num.isNull)
     agged.select(groupCols.map(col) :+ col("n") :+
-      when(vx > 0 && vy > 0,
-        floor(num.cast("double") / den * 1000000.0).cast("long"))
+      when(overflow, raise_error(lit(
+          "Relational.corrPpm: n-scaled moment products past " +
+            "decimal(38,0) — pre-aggregate or rescale the inputs")))
+        .when(vx > 0 && vy > 0,
+          floor(num.cast("double") / den * 1000000.0).cast("long"))
         .as("corr_ppm"): _*)
   }
 

@@ -109,11 +109,24 @@ object EtlMain {
     fetcher.post(LoginUrl,
       Map("log" -> cfg.loincUser, "pwd" -> cfg.loincPassword))
     val form = Map("tc_submit" -> "Download", "tc_accepted" -> "1")
+    // A self-minted landing dir is cleaned at JVM EXIT, not in a
+    // finally: the returned DataFrames are LAZY and the distributed
+    // zip scan reads the archives when the caller executes them, so
+    // an eager delete would yank the files out from under the plan.
+    // deleteOnExit runs in reverse registration order — dir first,
+    // then files, so the files go before their directory. A
+    // caller-provided --work-dir is the caller's to manage.
+    val selfMinted = cfg.workDir.isEmpty
     val dir = Paths.get(cfg.workDir.getOrElse(
       Files.createTempDirectory("graft_etl").toString))
     Files.createDirectories(dir)
+    if (selfMinted) dir.toFile.deleteOnExit()
     val loincZip = dir.resolve("loinc.zip")
     val hierZip = dir.resolve("hierarchy.zip")
+    if (selfMinted) {
+      loincZip.toFile.deleteOnExit()
+      hierZip.toFile.deleteOnExit()
+    }
     Files.write(loincZip, fetcher.post(LoincZipUrl, form))
     Files.write(hierZip, fetcher.post(HierarchyZipUrl, form))
 

@@ -118,15 +118,13 @@ object I2b2Pipeline {
     */
   def fromSpine(joined: DataFrame, hierLast: DataFrame,
                 cfg: I2b2Config): DataFrame = {
-    val fullname = if (cfg.bugCompatFullname) {
-      // Bug-compat: pure higher-order expression, zero extra shuffles.
-      Hierarchy.renderPathBugCompat(
-        col("PATH_TO_ROOT"), col("LOINC_NUM"), col("CODE_TEXT"))
-    } else null // spec mode joins per-ancestor names below
-
     val base =
       if (cfg.bugCompatFullname)
-        joined.withColumn("C_FULLNAME", fullname)
+        // Bug-compat: pure higher-order expression, zero extra
+        // shuffles. Spec mode joins per-ancestor names instead.
+        joined.withColumn("C_FULLNAME",
+          Hierarchy.renderPathBugCompat(
+            col("PATH_TO_ROOT"), col("LOINC_NUM"), col("CODE_TEXT")))
       else
         specFullname(joined, hierLast)
 

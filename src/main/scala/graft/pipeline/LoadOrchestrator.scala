@@ -170,33 +170,56 @@ object LoadOrchestrator {
     }
 
     val toWrite = stamped.cache()
-    val rows = toWrite.count()
     val writeProps = new Properties()
     writeProps.putAll(props)
     writeProps.setProperty("batchsize", batchSize.toString)
 
-    val runInstant = runInstantOf(df, runTs)
-
-    // runTs uniquely keys the run — a hard caller contract, because
-    // both L4's verify and L6's compensating delete select on it. The
-    // timestamp has 1-second resolution, so a RETRIED load could
-    // silently share it and a failure would then delete the earlier
-    // run's committed rows — fail fast instead of writing. NOTE this
-    // check-then-act probe only guards sequential retries: two loads
-    // racing the probe both read 0 and both write. Concurrent loads
-    // need an external mutex or a unique-constrained marker row —
-    // out of scope here, matching the reference's single-process
-    // assumption (Angelo_ETL_Task.py runs one load at a time).
-    val preExisting = withConnection(url, props) { conn =>
-      if (created) 0L else countRowsAt(conn, table, runInstant)
-    }
-    if (preExisting > 0) {
-      toWrite.unpersist()
-      throw new IllegalStateException(
-        s"run timestamp collision: $preExisting rows with UPDATE_DATE = " +
-          s"$runTs already exist in $table — refusing to write (a failure " +
-          "rollback could not be scoped to this run)")
-    }
+    // The zero-trace invariant starts AT the CREATE, not at the first
+    // insert: toWrite.count() below executes the whole ETL transform,
+    // and runInstantOf/the collision probe touch the driver and the
+    // DB — a failure in ANY of them previously left the empty table
+    // this run created (plus the cached frame) behind, exactly the
+    // state the compensation bracket's own comment says a retry or an
+    // existence-probing monitor must never see. Nothing is written
+    // yet, so the cleanup here is drop-if-created + unpersist — no
+    // compensating delete.
+    val (rows, runInstant) =
+      try {
+        val n = toWrite.count()
+        val ri = runInstantOf(df, runTs)
+        // runTs uniquely keys the run — a hard caller contract,
+        // because both L4's verify and L6's compensating delete
+        // select on it. The timestamp has 1-second resolution, so a
+        // RETRIED load could silently share it and a failure would
+        // then delete the earlier run's committed rows — fail fast
+        // instead of writing. NOTE this check-then-act probe only
+        // guards sequential retries: two loads racing the probe both
+        // read 0 and both write. Concurrent loads need an external
+        // mutex or a unique-constrained marker row — out of scope
+        // here, matching the reference's single-process assumption
+        // (Angelo_ETL_Task.py runs one load at a time).
+        val preExisting = withConnection(url, props) { conn =>
+          if (created) 0L else countRowsAt(conn, table, ri)
+        }
+        if (preExisting > 0)
+          throw new IllegalStateException(
+            s"run timestamp collision: $preExisting rows with " +
+              s"UPDATE_DATE = $runTs already exist in $table — " +
+              "refusing to write (a failure rollback could not be " +
+              "scoped to this run)")
+        (n, ri)
+      } catch {
+        case e: Throwable =>
+          try {
+            if (created) withConnection(url, props) { conn =>
+              val st = conn.createStatement()
+              try st.executeUpdate(s"DROP TABLE $table")
+              finally st.close()
+            }
+          } catch { case c: Throwable => e.addSuppressed(c) }
+          finally toWrite.unpersist()
+          throw e
+      }
 
     // L3–L6 in ONE compensation bracket: per-partition commits mean a
     // mid-write failure leaves committed partitions behind, and the

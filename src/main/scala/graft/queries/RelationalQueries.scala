@@ -872,7 +872,8 @@ object RelationalQueries {
       """WITH c AS (SELECT l_returnflag,
         |    CAST(floor(l_quantity * 100) AS BIGINT) AS x,
         |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
-        |  FROM lineitem),
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
         |a AS (SELECT l_returnflag, count(*) AS n,
         |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
         |    sum(CAST(x AS HUGEINT) * y) AS sxy,
