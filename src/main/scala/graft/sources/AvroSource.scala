@@ -74,7 +74,11 @@ object AvroSource {
       (z >>> 1) ^ -(z & 1)
     }
     def readBytes(n: Long): Array[Byte] = {
-      if (n < 0 || i + n > b.length)
+      // n > b.length - i, NOT i + n > b.length: a corrupt varint can
+      // carry n near Long.MaxValue, where i + n wraps NEGATIVE and
+      // the guard passes — copying a wrong-length slice (n.toInt)
+      // and desyncing the cursor instead of failing with the offset
+      if (n < 0 || n > b.length - i)
         fail(s"$n-byte item at offset $i overruns the ${b.length}-byte file")
       val r = java.util.Arrays.copyOfRange(b, i, i + n.toInt)
       i += n.toInt; r
@@ -203,7 +207,7 @@ object AvroSource {
         val sync = java.security.MessageDigest.getInstance("MD5")
           .digest(s"graft-avro:$fingerprint:$pid"
             .getBytes(StandardCharsets.UTF_8))
-        val f = new java.io.File(tmpPath, f"part-$pid%05d.avro")
+        val f = Staging.partFile(tmpPath, "avro")
         val fos = new java.io.FileOutputStream(f) // truncate = retry-safe
         try {
           val head = new ByteArrayOutputStream()

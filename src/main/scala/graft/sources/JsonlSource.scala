@@ -63,8 +63,7 @@ object JsonlSource {
     Staging.publishOnce(root, name, fingerprint, "JsonlSource") { tmp =>
       val tmpPath = tmp.getAbsolutePath
       df.toJSON.foreachPartition { it: Iterator[String] =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        val f = new java.io.File(tmpPath, f"part-$pid%05d.jsonl.zst")
+        val f = Staging.partFile(tmpPath, "jsonl.zst")
         val out = new com.github.luben.zstd.ZstdOutputStream(
           new java.io.FileOutputStream(f), 3) // truncate = retry-safe
         try for (line <- it) {

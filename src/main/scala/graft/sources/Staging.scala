@@ -23,6 +23,18 @@ private[sources] object Staging {
     f.delete(): Unit
   }
 
+  /** The per-partition shard file `part-NNNNN.<ext>` of the current
+    * task — ONE definition of the naming/truncate discipline the
+    * hand-rolled writers (zstd-JSONL, Avro, WARC) previously copied
+    * (a pad-width or durability fix must not need re-applying per
+    * writer).
+    */
+  private[sources] def partFile(tmpPath: String,
+                                ext: String): java.io.File = {
+    val pid = org.apache.spark.TaskContext.getPartitionId()
+    new java.io.File(tmpPath, f"part-$pid%05d.$ext")
+  }
+
   /** Run `write` into a fresh tmp dir and publish it as
     * `root/<safe>__fp<hex>`; returns the published path. `write`
     * receives the tmp dir (already created) and may write through
@@ -44,21 +56,39 @@ private[sources] object Staging {
         .filter(f => f.getName.startsWith(s"${safe}__fp") &&
           f.getName != dirName)
         .foreach(deleteTree)
+      // a SAME-NAME dir without _SUCCESS is, by this protocol's own
+      // definition, an incomplete publish (a crash in the
+      // rename→marker window): delete it like a stale sibling — left
+      // in place it fails the rename below on EVERY subsequent run, a
+      // permanent wedge only a manual delete could clear
+      if (dir.exists()) deleteTree(dir)
       // tmp write + atomic rename (the stage disk tier's publish
       // protocol): a concurrent or crashed process never observes a
-      // half-written corpus under the published name
-      val tmp = new java.io.File(root, s".$dirName.tmp")
-      deleteTree(tmp)
+      // half-written corpus under the published name. The tmp name is
+      // PER-ATTEMPT unique (pid + nanos, the Stages disk-tier
+      // discipline): a shared deterministic tmp let two concurrent
+      // same-fingerprint publishers interleave — one deleting and
+      // rewriting the dir the other was about to rename — publishing
+      // a mixed partial corpus under _SUCCESS
+      val tmp = new java.io.File(root,
+        s".$dirName.tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
       tmp.mkdirs()
-      write(tmp)
+      try write(tmp)
+      catch { case e: Throwable => deleteTree(tmp); throw e }
       if (!tmp.renameTo(dir)) {
-        // lost a publish race (or stale dir): keep whichever full
-        // write landed, drop ours
+        // lost a publish race: keep whichever full write landed,
+        // drop ours
         deleteTree(tmp)
         if (!done.isFile)
           throw new java.io.IOException(s"$what: could not publish $dir")
       } else {
-        done.createNewFile(): Unit // no-op if a committer wrote it
+        // a failed marker (e.g. a racer deleted our just-renamed,
+        // not-yet-marked dir as incomplete) must fail LOUD — an
+        // unmarked publish reads as incomplete forever
+        try { done.createNewFile(): Unit } // no-op if a committer wrote it
+        catch { case e: java.io.IOException =>
+          throw new java.io.IOException(
+            s"$what: published $dir but could not mark it complete", e) }
       }
     }
     dir.toString

@@ -38,7 +38,19 @@ object Tables {
     * subdirectories), where a rewrite two levels down is equally
     * invisible to the top-level listing.
     */
-  private[graft] def fingerprint(path: String): Long =
+  private[graft] def fingerprint(path: String): Long = {
+    // a file: URI must be UNWRAPPED before the local walk —
+    // java.io.File cannot resolve a URI STRING, so new File("file:///x")
+    // never exists and every such path would fingerprint to the same
+    // constant (serving stale schemas/staged fixtures forever, the
+    // exact bug this function exists to prevent)
+    val local =
+      if (path.startsWith("file:"))
+        try java.nio.file.Paths.get(java.net.URI.create(path)).toString
+        catch { // a malformed file: form still walks its path part
+          case _: Exception => path.stripPrefix("file:")
+        }
+      else path
     if (path.contains("://") && !path.startsWith("file:")) {
       // remote filesystem (hdfs://, s3a://, …): java.io.File sees
       // nothing there and would return a CONSTANT — every regeneration
@@ -75,11 +87,13 @@ object Tables {
             Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
               .sortBy(_.getName).toSeq.flatMap(walk)
         } else Seq(f)
-      val files = walk(new java.io.File(path))
+      val files = walk(new java.io.File(local))
       files.foldLeft(files.length.toLong) { (acc, p) =>
         31L * (31L * acc + p.lastModified) + p.length
       }
     }
+
+  }
 
   private def readCached(spark: SparkSession, path: String): DataFrame = {
     // a regenerated fixture re-infers instead of silently reading with
@@ -140,12 +154,20 @@ object Tables {
     if (name == "events") {
       val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
       val prior = spark.conf.getOption(nanosKey)
-      spark.conf.set(nanosKey, "true")
-      val raw = readCached(spark, s"$sfDir/events.parquet")
-      if (raw.schema("ts").dataType != LongType) prior match {
+      def restore(): Unit = prior match {
         case Some(v) => spark.conf.set(nanosKey, v)
         case None => spark.conf.unset(nanosKey)
       }
+      spark.conf.set(nanosKey, "true")
+      // restore on the EXCEPTION path too (missing/corrupt file): a
+      // thrown read previously left the session flag set, silently
+      // changing how every later parquet read in the session infers
+      // nanos timestamps — the exact conf-mutation leak the note
+      // below forbids
+      val raw =
+        try readCached(spark, s"$sfDir/events.parquet")
+        catch { case e: Throwable => restore(); throw e }
+      if (raw.schema("ts").dataType != LongType) restore()
       val ts = raw.schema("ts").dataType match {
         case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
         // timestamp[us] with no zone infers as NTZ; cast to the

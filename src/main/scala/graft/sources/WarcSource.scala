@@ -98,8 +98,7 @@ object WarcSource {
           col("text").cast("string"))
         .as[(String, String, String)]
         .foreachPartition { it: Iterator[(String, String, String)] =>
-          val pid = org.apache.spark.TaskContext.getPartitionId()
-          val f = new java.io.File(tmpPath, f"part-$pid%05d.warc.gz")
+          val f = Staging.partFile(tmpPath, "warc.gz")
           val fos = new java.io.FileOutputStream(f) // truncate = retry-safe
           // close() each member's GZIPOutputStream through a
           // close-shield: finish() alone leaks the Deflater's native
@@ -113,6 +112,15 @@ object WarcSource {
             override def close(): Unit = fos.flush()
           }
           try for ((uri, date, text) <- it) {
+            // loud-failure contract: a NULL uri would serialize as
+            // the literal header value "null" (silent corruption the
+            // round-trip census cannot catch); a NULL text would NPE
+            // with no record context
+            if (uri == null || date == null || text == null)
+              throw new IllegalArgumentException(
+                "WarcSource.stageResponses: record with NULL " +
+                  s"uri/date/text (uri=$uri, date=$date) — scrub or " +
+                  "synthesize upstream")
             val g = new java.util.zip.GZIPOutputStream(shield)
             g.write(responseRecord(uri, date, text))
             g.close() // ends the member AND frees its Deflater
@@ -144,9 +152,15 @@ object WarcSource {
   private[graft] def parseAll(path: String, bytes: Array[Byte])
       : Iterator[(String, Int, String, String, String, String, Long,
         Array[Byte])] = {
+    // BufferedInputStream over the gzip member stream: the header
+    // reader below pulls single bytes, and an unbuffered read() costs
+    // one JNI inflate call PER BYTE (~30M round-trips on a 1 GiB
+    // 100k-record archive); the buffer batches them without touching
+    // the bulk payload path
     val in: InputStream =
       if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f &&
-        (bytes(1) & 0xff) == 0x8b) new GzipMembers(bytes)
+        (bytes(1) & 0xff) == 0x8b)
+        new java.io.BufferedInputStream(new GzipMembers(bytes), 1 << 16)
       else new ByteArrayInputStream(bytes)
     var no = 0
     new Iterator[(String, Int, String, String, String, String, Long,
@@ -173,8 +187,11 @@ object WarcSource {
           h = readLine(in)
         }
         if (h == null) fail(s"record $no: EOF inside the header block")
-        val len = headers.getOrElse("content-length",
-          fail(s"record $no: missing Content-Length")).toLong
+        val lenStr = headers.getOrElse("content-length",
+          fail(s"record $no: missing Content-Length"))
+        val len = lenStr.toLongOption.getOrElse(
+          fail(s"record $no: non-numeric Content-Length '${
+            lenStr.take(20)}'"))
         if (len < 0 || len > Int.MaxValue.toLong)
           fail(s"record $no: unreasonable Content-Length $len")
         val payload = new Array[Byte](len.toInt)
