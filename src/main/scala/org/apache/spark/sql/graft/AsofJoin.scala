@@ -203,6 +203,11 @@ object AsofJoin {
     */
   def asofJoinNative(left: DataFrame, right: DataFrame, key: String,
                      ts: String, payloadCols: Seq[String]): DataFrame = {
+    require(payloadCols.distinct.length == payloadCols.length &&
+      !payloadCols.contains(ts),
+      s"payloadCols must be distinct and must not repeat the ts " +
+        s"column '$ts' — the carried projection would mint duplicate " +
+        "asof_ output attributes (ambiguous downstream)")
     val spark = left.sparkSession.asInstanceOf[SparkSession]
     install(spark)
     val rightPlan = right.queryExecution.analyzed

@@ -161,18 +161,6 @@ object GraftHashUtil {
   }
 }
 
-/** Native form of the engine's portable-hash idiom (see
-  * graft.ext.PortableHash): a long from the first `hexLen` hex chars
-  * of md5. The built-in composition `conv(substring(md5(c), 1, n),
-  * 16, 10)` materializes a 32-char hex string, a substring of it, and
-  * a radix-parsed copy per row — three string allocations on the
-  * hottest path of every dedup signature and sampling bucket. This
-  * expression goes digest → long directly and stays inside
-  * WholeStageCodegen. Value parity with the built-in form is asserted
-  * bit-for-bit in ExtSpec ("native md5PrefixLong matches the
-  * conv/substring builtin form"), and the DuckDB oracle rendering
-  * (`CAST('0x' || substr(md5(x), 1, n) AS BIGINT)`) is unchanged.
-  */
 /** `shingle_hashes(text, k, hexLen)` — the fused native form of the
   * dedup front-end `array_distinct → explode → md5_prefix_long` over
   * `TextAnalysis.shingles(text, k)`: ONE pass over the UTF-8 bytes
@@ -211,6 +199,18 @@ case class ShingleHashes(child: Expression, k: Int, hexLen: Int)
       newChild: Expression): ShingleHashes = copy(child = newChild)
 }
 
+/** Native form of the engine's portable-hash idiom (see
+  * graft.ext.PortableHash): a long from the first `hexLen` hex chars
+  * of md5. The built-in composition `conv(substring(md5(c), 1, n),
+  * 16, 10)` materializes a 32-char hex string, a substring of it, and
+  * a radix-parsed copy per row — three string allocations on the
+  * hottest path of every dedup signature and sampling bucket. This
+  * expression goes digest → long directly and stays inside
+  * WholeStageCodegen. Value parity with the built-in form is asserted
+  * bit-for-bit in ExtSpec ("native md5PrefixLong matches the
+  * conv/substring builtin form"), and the DuckDB oracle rendering
+  * (`CAST('0x' || substr(md5(x), 1, n) AS BIGINT)`) is unchanged.
+  */
 case class Md5PrefixLong(child: Expression, hexLen: Int)
     extends UnaryExpression with ExpectsInputTypes {
   require(hexLen >= 1 && hexLen <= 15, "1..15 hex chars fit a long")
@@ -272,6 +272,24 @@ case class BloomWordProbe(child: Expression, words: Array[Long],
 
   override protected def withNewChildInternal(
       newChild: Expression): BloomWordProbe = copy(child = newChild)
+
+  // content-based equality for the array parameters: the case-class
+  // default compares arrays by REFERENCE, so two probes built from
+  // separately-collected (but equal) word masks never compare equal —
+  // defeating semanticEquals-driven common-subexpression elimination
+  // and exchange reuse, and re-running the per-row MD5 once per
+  // occurrence
+  override def equals(other: Any): Boolean = other match {
+    case o: BloomWordProbe =>
+      child == o.child && k == o.k && mBits == o.mBits &&
+        java.util.Arrays.equals(words, o.words) &&
+        java.util.Arrays.equals(consts, o.consts)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Int.box(k), Int.box(mBits),
+      Int.box(java.util.Arrays.hashCode(words)),
+      Int.box(java.util.Arrays.hashCode(consts)))
 }
 
 object HashColumns {
@@ -288,11 +306,6 @@ object HashColumns {
       ExpressionUtils.expression(c), words, consts, k, mBits))
 }
 
-/** `Observation.getOrEmpty` is private[sql]; this bridge exposes the
-  * non-blocking read to the iterative operators (graft.ext.DedupOps)
-  * that poll a checkpoint job's observed metrics with a fallback,
-  * rather than risking an indefinite block on `Observation.get`.
-  */
 /** Reliable-checkpoint files of SUPERSEDED iterative rounds are never
   * cleaned under default config
   * (`spark.cleaner.referenceTracking.cleanCheckpoints` is false), so a
@@ -318,6 +331,11 @@ object CheckpointFiles {
     }
 }
 
+/** `Observation.getOrEmpty` is private[sql]; this bridge exposes the
+  * non-blocking read to the iterative operators (graft.ext.DedupOps)
+  * that poll a checkpoint job's observed metrics with a fallback,
+  * rather than risking an indefinite block on `Observation.get`.
+  */
 object ObservationAccess {
   def getOrEmpty(o: org.apache.spark.sql.Observation): Map[String, Any] =
     o.getOrEmpty

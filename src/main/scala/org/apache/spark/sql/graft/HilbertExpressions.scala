@@ -21,6 +21,15 @@ object GraftHilbertUtil {
     */
   def hilbertD(bits: Int, x0: Long, y0: Long): Long = {
     val n = 1L << bits
+    // fail-fast: an out-of-range coordinate (negative, or >= 2^bits)
+    // would walk the quadrant loop into a garbage-but-in-range index
+    // — rows silently sort to wrong curve positions and distinct
+    // points collide, corrupting exactly the clustering this
+    // expression exists to provide
+    if (x0 < 0 || x0 >= n || y0 < 0 || y0 >= n)
+      throw new IllegalArgumentException(
+        s"hilbert_index: coordinate ($x0, $y0) outside [0, $n) " +
+          s"for bits=$bits — clamp or rescale upstream")
     var x = x0
     var y = y0
     var d = 0L

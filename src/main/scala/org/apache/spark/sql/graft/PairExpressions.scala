@@ -33,7 +33,10 @@ object GraftPairUtil {
     require(n.toLong * (n - 1) / 2 <= Int.MaxValue,
       s"ordered_pairs: $n elements expand to ${n.toLong * (n - 1) / 2} " +
         "pairs (> Int.MaxValue) — cap the postings list before pairing")
-    val out = new Array[Any](n * (n - 1) / 2)
+    // size computed in LONG then narrowed: the Int product n*(n-1)
+    // overflows for n >= 46342 even when the pair count the require
+    // above just admitted fits an Int
+    val out = new Array[Any]((n.toLong * (n - 1) / 2).toInt)
     var idx = 0
     var i = 0
     while (i < n - 1) {
