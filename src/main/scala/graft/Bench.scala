@@ -93,6 +93,18 @@ object Bench {
       } catch { case _: Throwable => Map.empty }
     def overExpect(name: String, best: Double): Boolean =
       expect.get(name).exists(e => best > 1.4 * e && best - e > 0.12)
+    // retry transparency: every expectation- or spread-triggered
+    // re-sample is RECORDED in the emitted JSON (per-query extra-rep
+    // counts + stage pass total), so downstream comparisons can see
+    // which figures had extra samples behind them instead of trusting
+    // a stderr note that no archive keeps. The protocol itself is
+    // deliberately one-sided (re-sample only when slower than the
+    // committed same-code figure, keep the min): min-of-k is the
+    // estimator everywhere because ambient noise on a shared box is
+    // strictly additive — a "lucky fast" run is the plan's true cost,
+    // not an outlier to regress away — so the record, not symmetry,
+    // is what keeps the protocol honest.
+    var stagePasses = 1
     val (stages, stageErrs) =
       try {
         var best = graft.queries.ExtensionQueries
@@ -111,6 +123,7 @@ object Bench {
             .foreach { case (k, v) =>
               best = best.updated(k, math.min(v, best.getOrElse(k, v)))
             }
+          stagePasses = pass
           pass += 1
         }
         (best.toSeq.sortBy(_._1), Seq.empty[(String, String)])
@@ -192,13 +205,13 @@ object Bench {
       val suspicious = err.isEmpty && (if (expect.contains(name))
         overExpect(name, best)
       else worst >= 3.0 * best && best >= 0.05)
-      if (!suspicious) (name, best, err)
+      if (!suspicious) (name, best, err, 0)
       else {
         val (b2, _, e2) = time(fn, retryReps)
         val merged = if (e2.isEmpty) math.min(best, b2) else best
         System.err.println(f"[bench] retried $name: $best%.2f -> " +
           f"$merged%.2f s (expected ${expect.getOrElse(name, -1.0)}%.2f)")
-        (name, merged, err)
+        (name, merged, err, retryReps)
       }
     }
     def jstr(s: String): String =
@@ -225,18 +238,23 @@ object Bench {
     def sec2(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = results.sortBy(_._2)
-      .map { case (k, v, _) => jstr(k) + ":" + sec2(v) }
+      .map { case (k, v, _, _) => jstr(k) + ":" + sec2(v) }
       .mkString("{", ",", "}")
     val errs = (stageErrs.map { case (k, e) => jstr(k) + ":" + jstr(e) } ++
-      results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) })
+      results.collect { case (k, _, Some(e), _) => jstr(k) + ":" + jstr(e) })
       .mkString("{", ",", "}")
+    // queries whose figure had expectation/spread-triggered extra
+    // samples behind it, with the extra-rep count — the JSON record
+    // of the retry protocol (stderr notes don't survive archiving)
+    val retriedJson = results.collect { case (k, _, _, r) if r > 0 =>
+      jstr(k) + ":" + r }.mkString("{", ",", "}")
     val stagesJson = stages
       .map { case (k, v) => jstr(k) + ":" + sec2(v) }
       .mkString("{", ",", "}")
     // Total = per-query mins + the one-time shared-stage builds, so
     // the memoized work is still paid for in the headline number.
     val total = results.map(_._2).sum + stages.map(_._2).sum
-    val line = s"""{"queries":$qs,"errors":$errs,"stages":$stagesJson,"reps":$reps,"sf":"$sfName","n":${results.size},"unit":"sec","metric":"total","value":${sec(total)}}"""
+    val line = s"""{"queries":$qs,"errors":$errs,"stages":$stagesJson,"retried":$retriedJson,"stage_passes":$stagePasses,"reps":$reps,"sf":"$sfName","n":${results.size},"unit":"sec","metric":"total","value":${sec(total)}}"""
     println(line)
     // Durable copy: stdout goes through a harness that keeps only a
     // ~2k-char tail, so the full record is also written to a file —

@@ -85,7 +85,13 @@ object ScaleExponents {
       // fingerprint store, the block-key spread (identity on these
       // multi-split fixtures — the row pins that), and the fused
       // small-budget LPA regime
-      "dedup_incremental_bloom", "dedup_editdist", "graph_lpa")
+      "dedup_incremental_bloom", "dedup_editdist", "graph_lpa",
+      // round-15 touched operators: the join-free segment-explode
+      // LOCF resample (one exchange; grid rows scale with the span
+      // union) and the IVF-PQ twins off the shared ADC candidate
+      // stage (fixed 50-query probe against a growing corpus — the
+      // stage build inside rep 1 is the scan-bounded part)
+      "ts_resample_locf", "sim_ivfpq_topk", "sim_ivfpq_refine_topk")
 
     // results(name)(tier) = (repTimes, rows)
     val results =

@@ -643,6 +643,13 @@ object DedupOps {
     * one-sided anti join (excluding a block's `a` side kills all its
     * pairs), so the governor costs one partial-agg count, not a
     * second quadratic pass.
+    *
+    * The cap is NOT silent (the no-silent-caps discipline of the
+    * df-capped postings): [[editDistanceOversizedBlocks]] returns the
+    * exact hot-key table this governor excludes — same keys, same
+    * default, with member and excluded-pair counts — so a caller can
+    * audit (or alert on) what the default dropped, and the oracle can
+    * mirror the predicate.
     */
   def editDistancePairs(df: DataFrame, blockKeys: Seq[String], id: Column,
                         text: Column, maxDist: Int,
@@ -674,6 +681,25 @@ object DedupOps {
       .filter(col("dist").between(0, maxDist))
       .select((blockKeys.map(col) ++
         Seq(col("id_a"), col("id_b"), col("dist"))): _*)
+  }
+
+  /** The audit twin of [[editDistancePairs]]'s `maxBlock` governor:
+    * the blocks the default output EXCLUDES, with their member count
+    * and the number of candidate pairs that exclusion suppressed
+    * (n·(n−1)/2 — the upper bound before the length prefilter; the
+    * true near-dup loss is ≤ this). ≤ n/maxBlock rows by
+    * construction, one partial-agg count to compute — run it
+    * alongside the pairs (same keys, same `maxBlock`) to alert on a
+    * blocking scheme whose keys stopped discriminating, instead of
+    * discovering the governor's cut by row-count archaeology.
+    */
+  def editDistanceOversizedBlocks(df: DataFrame, blockKeys: Seq[String],
+                                  maxBlock: Long = 256L): DataFrame = {
+    require(maxBlock >= 2, s"maxBlock ($maxBlock) must be at least 2")
+    df.groupBy(blockKeys.map(col): _*)
+      .agg(count(lit(1)).as("n_members")).filter(col("n_members") > maxBlock)
+      .withColumn("n_pairs_excluded",
+        expr("n_members * (n_members - 1) div 2"))
   }
 
   /** SimHash bit-j contribution of one 60-bit token hash: +1/-1. */

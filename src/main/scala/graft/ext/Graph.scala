@@ -20,15 +20,20 @@ import org.apache.spark.sql.functions._
   * remembers the caller's dir and [[done]] restores it, so a loop
   * does not permanently redirect an application's own `checkpoint()`
   * calls into a directory this library's cleanup later deletes. Two
-  * CONCURRENT reliable-mode loops with DIFFERENT dirs still race on
-  * the global (last constructor wins) — run concurrent loops with one
-  * shared dir, or serialize them.
+  * CONCURRENT reliable-mode loops with DIFFERENT dirs would race on
+  * the global (last constructor wins — one loop's rounds silently
+  * land in the other's dir and its `release` cleanup deletes files
+  * the other loop still needs), so the constructor FAILS LOUDLY on
+  * that shape via a per-context registry: run concurrent loops with
+  * one shared dir, or serialize them. Same-dir concurrency refcounts
+  * and is fine.
   */
-private[ext] final class RoundState(spark: org.apache.spark.sql.SparkSession,
-                                    checkpointDir: Option[String]) {
+private[graft] final class RoundState(spark: org.apache.spark.sql.SparkSession,
+                                      checkpointDir: Option[String]) {
   private val savedDir: Option[String] =
     if (checkpointDir.isDefined) spark.sparkContext.getCheckpointDir
     else None
+  checkpointDir.foreach(d => RoundState.register(spark, d))
   checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
 
   /** Materialize one round's state, truncating lineage. */
@@ -61,8 +66,40 @@ private[ext] final class RoundState(spark: org.apache.spark.sql.SparkSession,
     * of their own (Spark offers no public unset).
     */
   def done(): Unit =
-    if (checkpointDir.isDefined)
+    if (checkpointDir.isDefined) {
+      RoundState.unregister(spark, checkpointDir.get)
       savedDir.foreach(spark.sparkContext.setCheckpointDir)
+    }
+}
+
+private[graft] object RoundState {
+  // (contextId, dir, refcount) of the reliable-mode loops currently
+  // live per Spark context — the loud-failure guard for the
+  // different-dir concurrency race documented on the class
+  private val active =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
+
+  private def key(s: org.apache.spark.sql.SparkSession): String =
+    s.sparkContext.applicationId
+
+  private def register(s: org.apache.spark.sql.SparkSession,
+                       dir: String): Unit =
+    active.compute(key(s), (_, cur) =>
+      if (cur == null) (dir, 1)
+      else if (cur._1 == dir) (dir, cur._2 + 1)
+      else throw new IllegalStateException(
+        s"concurrent reliable-checkpoint loops with DIFFERENT dirs " +
+          s"('${cur._1}' is live, '$dir' requested): the checkpoint " +
+          "dir is Spark-context-global, so the loops would write " +
+          "each other's rounds into one dir and delete files the " +
+          "other still needs — share one checkpointDir across " +
+          "concurrent loops, or run them sequentially")): Unit
+
+  private def unregister(s: org.apache.spark.sql.SparkSession,
+                         dir: String): Unit =
+    active.compute(key(s), (_, cur) =>
+      if (cur == null || cur._2 <= 1) null
+      else (cur._1, cur._2 - 1)): Unit
 }
 
 /** Distributed graph analytics over edge-list DataFrames — the two

@@ -69,8 +69,18 @@ object Similarity {
     * rationale applied family-wide — a tie-break fix must not need
     * re-applying in six more places to keep oracle parity).
     */
-  private def topKPerQuery(scored: DataFrame, score: String,
-                           k: Int): DataFrame = {
+  /** Head of an already-scored candidate table: top-k rows per
+    * `query_id` by (`score` DESC, neighbor_id ASC) — the tie-break
+    * every ranking operator in this family uses. Public because a
+    * MATERIALIZED candidate stage composes through it: a candidate
+    * table built once at k′ ≥ k serves every k ≤ k′ consumer with a
+    * window over ≤ k′ rows per query (top-k of a top-k′ ranking
+    * equals top-k of the full ranking under the same ordering), so
+    * e.g. the plain IVF-PQ query and its refine twin share ONE
+    * ADC pipeline run instead of re-deriving it each.
+    */
+  def topKPerQuery(scored: DataFrame, score: String,
+                   k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col(score).desc, col("neighbor_id"))
     scored.withColumn("__rn", row_number().over(w))
@@ -898,14 +908,24 @@ object Similarity {
     exactRefine(cand, queries, corpus, k)
   }
 
-  /** The shared exact re-rank stage of the two refine operators: join
-    * the per-query candidate ids back to full vectors (an equi-join
-    * that shuffles candidates, never the corpus²), score the
-    * documented cosine sequence, keep top-k per query over ≤ the
-    * bounded candidate set. One definition so the zero-norm policy
-    * and (cos desc, neighbor_id) tie-break cannot fork between the
-    * operators while their oracles stay unified.
+  /** The shared exact re-rank stage of the refine operators
+    * (FAISS `IndexRefineFlat` as a standalone composable): join the
+    * per-query candidate ids back to full vectors (an equi-join that
+    * shuffles candidates, never the corpus²), score the documented
+    * cosine sequence, keep top-k per query over ≤ the bounded
+    * candidate set. One definition so the zero-norm policy and
+    * (cos desc, neighbor_id) tie-break cannot fork between the
+    * operators while their oracles stay unified. Public for the same
+    * materialized-candidate-stage composition as [[topKPerQuery]]:
+    * feed it ANY (query_id, neighbor_id) candidate table — an ADC
+    * stage built once at k·refine, an LSH bucket join, a hybrid
+    * union — and it finishes the exact re-rank.
     */
+  def refineTopK(cand: DataFrame, queries: DataFrame,
+                 corpus: DataFrame, k: Int): DataFrame =
+    exactRefine(cand.select("query_id", "neighbor_id"),
+      queries, corpus, k)
+
   private def exactRefine(cand: DataFrame, queries: DataFrame,
                           corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),

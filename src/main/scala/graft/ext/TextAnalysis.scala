@@ -943,9 +943,17 @@ object TextAnalysis {
     // is the largest score whose strictly-below count · 3 < n · i —
     // the same fold rule, q = 3.
     Profiling.equidepthBins(scored, key, score, 3)
-      .withColumn("bucket", element_at(
-        array(lit("head"), lit("middle"), lit("tail")),
-        col("bin") + 1))
+      // NULL scores land in `tail`, NOT head: equidepthBins bins a
+      // NULL score as 0 (`score > t` is NULL, the filter keeps
+      // nothing), but a quality cut that silently KEEPS an unscored
+      // doc in its best bucket inverts the operator's purpose — the
+      // historical when-chain's otherwise("tail") semantics are the
+      // safe direction (curate_domain keeps bucket = head only), so
+      // they are restored explicitly here.
+      .withColumn("bucket", when(col(score).isNull, lit("tail"))
+        .otherwise(element_at(
+          array(lit("head"), lit("middle"), lit("tail")),
+          col("bin") + 1)))
       .drop("bin")
 
   /** log2 in EIGHTHS of a bit, as a pure integer function of a

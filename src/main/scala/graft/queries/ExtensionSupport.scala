@@ -92,6 +92,39 @@ private[queries] object ExtensionSupport {
         codebookK = 16, codebook = Some(pqCodebook(s, dir)))
     }
 
+  /** The flat PQ/ADC candidate list at k′ = 20 — the same
+    * search-once/finish-twice sharing as [[ivfpqAdc20]] for the
+    * UN-pruned PQ twins: `sim_pq_adc_topk` takes its top-5 head,
+    * `sim_pq_refine_topk` exact-re-ranks it.
+    */
+  private[queries] def pqAdc20(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "pq_adc20", fpFile = "embeddings.parquet") {
+      val e = emb(s, dir)
+      Similarity.pqTopK(e.filter(col("id") < 50), e, k = 20,
+        codebook = Some(pqCodebook(s, dir)),
+        codes = Some(pqCodes(s, dir)))
+    }
+
+  /** The IVF-PQ ADC candidate list at k′ = 20 (= k·refine of the
+    * refine query) — the search-once half shared by `sim_ivfpq_topk`
+    * (its head: top-5 of this top-20 equals top-5 of the full ADC
+    * ranking under the identical (adc_q DESC, id) order) and
+    * `sim_ivfpq_refine_topk` (its exact-re-rank input). Without the
+    * memo each query replays the whole coarse-assign → probe →
+    * candidate-join → ADC-fold pipeline — the two most expensive rows
+    * of round 14 were exactly these twins re-deriving one candidate
+    * set. ≤ 50 queries × 20 rows: checkpoint is tiny, the saving is
+    * the pipeline.
+    */
+  private[queries] def ivfpqAdc20(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "ivfpq_adc20", fpFile = "embeddings.parquet") {
+      val e = emb(s, dir)
+      Similarity.ivfPqTopK(e.filter(col("id") < 50), e,
+        Similarity.seedCentroids(e, nlist = 8), k = 20, nprobe = 2,
+        codebook = Some(pqCodebook(s, dir)),
+        codes = Some(pqCodes(s, dir)))
+    }
+
   /** Degree-annotated trade-graph edges — the build-once half of the
     * PageRank lifecycle (a link graph is constructed once, then
     * ranked many times). Fingerprinted over BOTH source tables; the
@@ -297,6 +330,8 @@ private[queries] object ExtensionSupport {
       timed("kmeans8_labels") { kmeans8Labels(s, dir).count() },
       timed("pq_codebook") { pqCodebook(s, dir).count() },
       timed("pq_codes") { pqCodes(s, dir).count() },
+      timed("pq_adc20") { pqAdc20(s, dir).count() },
+      timed("ivfpq_adc20") { ivfpqAdc20(s, dir).count() },
       timed("bpe_merges") { bpeMerges(s, dir).count() },
       timed("bm25_top20") { bm25Top20(s, dir).count() },
       timed("pr_graph") { prGraph(s, dir).count() },
@@ -350,7 +385,7 @@ private[queries] object ExtensionSupport {
   private[graft] def evictStages(s: SparkSession, dir: String): Unit = {
     Seq("cc_labels", "dsir_domain_scores", "kmeans8_cent",
       "kmeans8_labels",
-      "pq_codebook", "pq_codes", "bpe_merges",
+      "pq_codebook", "pq_codes", "pq_adc20", "ivfpq_adc20", "bpe_merges",
       "bm25_top20", "pr_graph", "copurchase_edges", "shingle_pairs",
       "events_census", "i2b2_spine", "i2b2_hier_last", "incr_fp",
       "mm_pixel_blobs", "mm_ahash_blobs", "mm_audio_blobs",

@@ -51,44 +51,45 @@ private[queries] object SimQueries {
     // compression of 64-dim float32 vectors); table entries are 1e-6
     // fixed-point longs, so the m-term score sum is exact integer
     // arithmetic and the ranking is bit-reproducible in the oracle.
+    // served off the shared pq_adc20 candidate stage (top-5 of the
+    // materialized top-20 = top-5 of the full ADC ranking under the
+    // identical order) — one brute ADC pass for this query and its
+    // refine twin
     "sim_pq_adc_topk" -> { (s, dir) =>
-      val e = emb(s, dir)
-      Similarity.pqTopK(e.filter(col("id") < 50), e, k = 5,
-        codebook = Some(pqCodebook(s, dir)),
-        codes = Some(pqCodes(s, dir)))
+      Similarity.topKPerQuery(pqAdc20(s, dir), "adc_q", 5)
     },
 
 
     // two-stage retrieval (FAISS IndexRefineFlat): ADC proposes
     // k·refine candidates from codes alone; only those rows touch
-    // full vectors again for the exact cosine re-rank
+    // full vectors again for the exact cosine re-rank — candidates
+    // from the SAME materialized stage as sim_pq_adc_topk
     "sim_pq_refine_topk" -> { (s, dir) =>
       val e = emb(s, dir)
-      Similarity.pqRefineTopK(e.filter(col("id") < 50), e, k = 5,
-        refine = 4, codebook = Some(pqCodebook(s, dir)),
-        codes = Some(pqCodes(s, dir)))
+      Similarity.refineTopK(pqAdc20(s, dir),
+        e.filter(col("id") < 50), e, k = 5)
     },
 
 
     // the full FAISS IVFx,PQy composition: coarse-list pruning, then
-    // compressed-code ADC scoring of only the probed lists' members
+    // compressed-code ADC scoring of only the probed lists' members.
+    // Served off the shared ivfpq_adc20 candidate stage: top-5 of the
+    // materialized top-20 equals top-5 of the full ADC ranking under
+    // the identical (adc_q DESC, id) order, so the whole coarse+ADC
+    // pipeline runs once for this query AND its refine twin
     "sim_ivfpq_topk" -> { (s, dir) =>
-      val e = emb(s, dir)
-      Similarity.ivfPqTopK(e.filter(col("id") < 50), e,
-        Similarity.seedCentroids(e, nlist = 8), k = 5, nprobe = 2,
-        codebook = Some(pqCodebook(s, dir)),
-        codes = Some(pqCodes(s, dir)))
+      Similarity.topKPerQuery(ivfpqAdc20(s, dir), "adc_q", 5)
     },
 
 
     // the complete production index: IVF pruning + PQ scoring + exact
-    // re-rank of the k·refine survivors
+    // re-rank of the k·refine survivors — the refine stage consumes
+    // the SAME materialized candidate stage (search once, finish two
+    // ways: compressed head vs exact re-rank)
     "sim_ivfpq_refine_topk" -> { (s, dir) =>
       val e = emb(s, dir)
-      Similarity.ivfPqRefineTopK(e.filter(col("id") < 50), e,
-        Similarity.seedCentroids(e, nlist = 8), k = 5, nprobe = 2,
-        refine = 4, codebook = Some(pqCodebook(s, dir)),
-        codes = Some(pqCodes(s, dir)))
+      Similarity.refineTopK(ivfpqAdc20(s, dir),
+        e.filter(col("id") < 50), e, k = 5)
     },
 
 

@@ -35,61 +35,116 @@ private[sources] object Staging {
     new java.io.File(tmpPath, f"part-$pid%05d.$ext")
   }
 
+  /** Crashed-run tmp dirs (`.<safe>__fp*.tmp-<pid>-<nanos>`): a
+    * killed publisher leaks a full corpus copy per attempt, and the
+    * per-attempt-unique names match neither the stale-sibling filter
+    * (which only sees `<safe>__fp` prefixes) nor any rename, so
+    * nothing else ever reclaims them. Swept at the top of every
+    * publish, SKIPPING entries whose embedded pid is still alive —
+    * a live concurrent publisher's in-flight tmp must not be deleted
+    * from under its write.
+    */
+  private def sweepDeadTmp(root: java.io.File, safe: String): Unit = {
+    val TmpName = ("""^\.""" + java.util.regex.Pattern.quote(safe) +
+      """__fp[0-9a-f]+\.tmp-(\d+)-\d+$""").r
+    Option(root.listFiles()).getOrElse(Array.empty).foreach { f =>
+      f.getName match {
+        case TmpName(pid) =>
+          val alive = scala.util.Try(
+            ProcessHandle.of(pid.toLong)
+              .map[Boolean](_.isAlive).orElse(false)
+          ).getOrElse(false)
+          if (!alive) deleteTree(f)
+        case _ => ()
+      }
+    }
+  }
+
   /** Run `write` into a fresh tmp dir and publish it as
     * `root/<safe>__fp<hex>`; returns the published path. `write`
     * receives the tmp dir (already created) and may write through
     * Spark (whose committer adds its own `_SUCCESS`) or by hand —
     * the marker is ensured after the rename either way. `what`
-    * names the caller in the lost-race failure message.
+    * names the caller in the failure messages.
+    *
+    * Publishers are SERIALIZED per fixture name: an intra-process
+    * monitor (JVM-wide, keyed by the interned lock path) plus an OS
+    * `FileLock` on a sibling lockfile. Serialization — not
+    * keep-whichever-landed — is what makes the unmarked-dir cleanup
+    * safe: without it, deleting a same-name dir that lacks
+    * `_SUCCESS` races a concurrent same-fingerprint publisher in its
+    * rename→marker window (the delete destroys a COMPLETE publish
+    * the racer was one `createNewFile` away from marking, and a
+    * caller already holding the returned path can watch the
+    * directory vanish mid-read). Under the lock, an unmarked
+    * same-name dir really is a dead crash remnant — no live writer
+    * can be mid-publish — so deleting it (required: left in place it
+    * wedges the rename on every subsequent run) is sound. The lock
+    * also covers the dead-tmp sweep and the stale-sibling delete,
+    * and write() runs inside it: fixture publishes are one-time
+    * per-fingerprint, so lock hold time is amortized to zero.
     */
   private[sources] def publishOnce(root: String, name: String,
                                    fingerprint: Long, what: String)
                                   (write: java.io.File => Unit): String = {
     val safe = safeName(name)
     val dirName = s"${safe}__fp${java.lang.Long.toHexString(fingerprint)}"
-    val dir = new java.io.File(root, dirName)
+    val rootDir = new java.io.File(root)
+    val dir = new java.io.File(rootDir, dirName)
     val done = new java.io.File(dir, "_SUCCESS")
-    if (!done.isFile) {
-      // stale siblings: same name, older fingerprint — dead fixtures
-      Option(new java.io.File(root).listFiles())
-        .getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith(s"${safe}__fp") &&
-          f.getName != dirName)
-        .foreach(deleteTree)
-      // a SAME-NAME dir without _SUCCESS is, by this protocol's own
-      // definition, an incomplete publish (a crash in the
-      // rename→marker window): delete it like a stale sibling — left
-      // in place it fails the rename below on EVERY subsequent run, a
-      // permanent wedge only a manual delete could clear
-      if (dir.exists()) deleteTree(dir)
-      // tmp write + atomic rename (the stage disk tier's publish
-      // protocol): a concurrent or crashed process never observes a
-      // half-written corpus under the published name. The tmp name is
-      // PER-ATTEMPT unique (pid + nanos, the Stages disk-tier
-      // discipline): a shared deterministic tmp let two concurrent
-      // same-fingerprint publishers interleave — one deleting and
-      // rewriting the dir the other was about to rename — publishing
-      // a mixed partial corpus under _SUCCESS
-      val tmp = new java.io.File(root,
-        s".$dirName.tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
-      tmp.mkdirs()
-      try write(tmp)
-      catch { case e: Throwable => deleteTree(tmp); throw e }
-      if (!tmp.renameTo(dir)) {
-        // lost a publish race: keep whichever full write landed,
-        // drop ours
-        deleteTree(tmp)
-        if (!done.isFile)
-          throw new java.io.IOException(s"$what: could not publish $dir")
-      } else {
-        // a failed marker (e.g. a racer deleted our just-renamed,
-        // not-yet-marked dir as incomplete) must fail LOUD — an
-        // unmarked publish reads as incomplete forever
-        try { done.createNewFile(): Unit } // no-op if a committer wrote it
-        catch { case e: java.io.IOException =>
-          throw new java.io.IOException(
-            s"$what: published $dir but could not mark it complete", e) }
-      }
+    if (done.isFile) return dir.toString // fast path: published, no lock
+    rootDir.mkdirs()
+    val lockFile = new java.io.File(rootDir, s".$safe.lock")
+    // FileLock is per-process (a second lock() in the same JVM throws
+    // OverlappingFileLockException rather than blocking), so in-JVM
+    // callers serialize on the interned canonical lock path first
+    lockFile.getCanonicalPath.intern.synchronized {
+      val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try {
+          if (!done.isFile) {
+            sweepDeadTmp(rootDir, safe)
+            // stale siblings: same name, older fingerprint — dead
+            // fixtures
+            Option(rootDir.listFiles())
+              .getOrElse(Array.empty)
+              .filter(f => f.getName.startsWith(s"${safe}__fp") &&
+                f.getName != dirName)
+              .foreach(deleteTree)
+            // under the lock a SAME-NAME dir without _SUCCESS is a
+            // crash remnant (rename→marker window), not a concurrent
+            // publish: delete it or the rename below wedges forever
+            if (dir.exists()) deleteTree(dir)
+            // tmp write + atomic rename: a crashed process never
+            // leaves a half-written corpus under the published name.
+            // The tmp name stays per-attempt unique (pid + nanos) so
+            // a crash remnant is attributable to its dead pid by the
+            // sweep above.
+            val tmp = new java.io.File(rootDir,
+              s".$dirName.tmp-${ProcessHandle.current().pid()}-${
+                System.nanoTime()}")
+            tmp.mkdirs()
+            try write(tmp)
+            catch { case e: Throwable => deleteTree(tmp); throw e }
+            if (!tmp.renameTo(dir)) {
+              deleteTree(tmp)
+              throw new java.io.IOException(
+                s"$what: could not publish $dir")
+            }
+            // a failed marker must fail LOUD — an unmarked publish
+            // reads as incomplete forever
+            try { done.createNewFile(): Unit } // no-op if a committer
+                                               // wrote it
+            catch { case e: java.io.IOException =>
+              throw new java.io.IOException(
+                s"$what: published $dir but could not mark it complete",
+                e) }
+          }
+        } finally lock.release()
+      } finally ch.close()
     }
     dir.toString
   }

@@ -1,0 +1,43 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc single-query probe: time + explain named queries at a
+  * given sf dir. `runMain graft.tools.QProbe <sfDir> <reps> <q1,q2>`
+  * — prints per-rep wall times and (with GRAFT_PROBE_EXPLAIN=1) the
+  * formatted plan. Dev-loop tool only; the official figures come
+  * from [[graft.Bench]].
+  */
+object QProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val reps = args.lift(1).map(_.toInt).getOrElse(5)
+    val names = args.lift(2).map(_.split(',').toSeq)
+      .getOrElse(Seq("ts_resample_locf"))
+    val sfName = sfDir.split('/').last
+    if (sys.props.get("graft.stage.dir").isEmpty)
+      System.setProperty("graft.stage.dir", s"target/stages/$sfName")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { n =>
+      val fn = graft.SparkEntry.queries(n)
+      if (sys.env.get("GRAFT_PROBE_EXPLAIN").contains("1"))
+        fn(spark, sfDir).explain("formatted")
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val c = fn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        (dt, c)
+      }
+      println(f"[probe] $n rows=${times.head._2} " +
+        times.map(t => f"${t._1}%.3f").mkString(" ") +
+        f" min=${times.map(_._1).min}%.3f")
+    }
+    spark.stop()
+  }
+}

@@ -3013,6 +3013,21 @@ class ExtSpec extends SparkSpec {
     assert(gotB.count(_._2 == "head") * 3 >= gotB.length)
   }
 
+  test("scoreTerciles NULL score lands in tail, never head: an " +
+    "unscored doc must not survive a keep-the-best-bucket cut " +
+    "(equidepthBins alone bins a NULL score as 0)") {
+    val df = Seq((1L, "x", Some(1L)), (2L, "x", Some(2L)),
+      (3L, "x", Some(3L)), (4L, "x", None))
+      .toDF("id", "k", "s")
+    val got = TextAnalysis.scoreTerciles(df, "k", "s")
+      .select("id", "bucket").as[(Long, String)].collect().toMap
+    assert(got(4L) === "tail")
+    // real scores still tercile among themselves (NULLs are out of
+    // the histogram and the count)
+    assert(got(1L) === "head" && got(2L) === "middle" &&
+      got(3L) === "tail")
+  }
+
   test("ccnetBuckets: per-lang terciles, tie-atomic, monotone in " +
     "score, exact cut positions") {
     // Group sizes 1/2/4/8 put token counts 4/8/16/32 on DIFFERENT
@@ -3590,6 +3605,16 @@ class ExtSpec extends SparkSpec {
     assert(capped === bounded)
     assert(capped.size === 10) // C(5,2), every "name i" pair within 2
     assert(capped.forall { case (a, b) => a < 100 && b < 100 })
+    // the audit twin names exactly what the governor excluded — the
+    // no-silent-caps contract: same keys + same cap reproduce the
+    // predicate, with member and suppressed-pair counts
+    val audit = DedupOps.editDistanceOversizedBlocks(
+      df, Seq("brand", "typ"), maxBlock = 6)
+      .as[(String, String, Long, Long)].collect()
+    assert(audit.toSeq === Seq(("bB", "t1", 7L, 21L))) // C(7,2) = 21
+    // nothing over the cap -> empty audit, complete pairs
+    assert(DedupOps.editDistanceOversizedBlocks(
+      df, Seq("brand", "typ"), maxBlock = 7).isEmpty)
   }
 
   test("BloomWordProbe kernel matches the declarative bucket " +

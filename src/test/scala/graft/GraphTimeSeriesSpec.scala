@@ -348,6 +348,42 @@ class GraphTimeSeriesSpec extends SparkSpec {
     assert(k2.min === -300000L * 1000 && k2.max === 60L * 1000)
   }
 
+  test("resampleLocf NULL-key series is first-class: its slots read " +
+      "observed=true and carry LOCF like any other key (a plain " +
+      "equi-join shape would read every slot as unobserved)") {
+    val events = Seq(
+      (Some(1L), ts("2024-01-01 00:00:00"), 1.0),
+      (None, ts("2024-01-01 00:00:00"), 7.0),
+      (None, ts("2024-01-01 02:00:00"), 9.0))
+      .toDF("key", "ts", "value")
+    val got = TimeSeries.resampleLocf(events, slotSeconds = 3600)
+      .select(col("key"), col("slot"), col("v_locf"), col("observed"))
+      .as[(Option[Long], Timestamp, Double, Boolean)].collect().toSet
+    assert(got === Set(
+      (Some(1L), ts("2024-01-01 00:00:00"), 1.0, true),
+      (None, ts("2024-01-01 00:00:00"), 7.0, true),
+      (None, ts("2024-01-01 01:00:00"), 7.0, false),
+      (None, ts("2024-01-01 02:00:00"), 9.0, true)))
+  }
+
+  test("resampleLocf all-NULL-value slot: observed=false at its own " +
+      "slot and the segment carries the PREVIOUS non-null value " +
+      "(carrying the NULL itself would blank the whole gap)") {
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), Some(5.0)),
+      (1L, ts("2024-01-01 01:00:00"), None), // NULL observation
+      (1L, ts("2024-01-01 03:00:00"), Some(2.0)))
+      .toDF("key", "ts", "value")
+    val got = TimeSeries.resampleLocf(events, slotSeconds = 3600)
+      .select(col("slot"), col("v_locf"), col("observed"))
+      .as[(Timestamp, Double, Boolean)].collect().toSet
+    assert(got === Set(
+      (ts("2024-01-01 00:00:00"), 5.0, true),
+      (ts("2024-01-01 01:00:00"), 5.0, false), // NULL obs: not observed
+      (ts("2024-01-01 02:00:00"), 5.0, false),
+      (ts("2024-01-01 03:00:00"), 2.0, true)))
+  }
+
   test("resampleLocf pre-1970 SUB-SECOND events floor to the slot " +
       "at-or-before: a seconds intermediate would truncate -0.6s to " +
       "0 and bucket the event one slot late") {
@@ -686,6 +722,57 @@ class GraphTimeSeriesSpec extends SparkSpec {
         Option(x.listFiles()).foreach(_.foreach(rm)); x.delete()
       }
       rm(new java.io.File(dir))
+    }
+  }
+
+  test("RoundState: concurrent DIFFERENT-dir reliable loops fail " +
+      "LOUDLY naming the global-checkpoint-dir constraint; same-dir " +
+      "concurrency refcounts and the public shared-dir path works") {
+    val d1 = java.nio.file.Files
+      .createTempDirectory("graft-rs-a").toString
+    val d2 = java.nio.file.Files
+      .createTempDirectory("graft-rs-b").toString
+    try {
+      // direct registry pins: a live loop on d1 blocks a d2 loop...
+      val a = new RoundState(spark, Some(d1))
+      val e = intercept[IllegalStateException] {
+        new RoundState(spark, Some(d2))
+      }
+      assert(e.getMessage.contains("context-global") &&
+        e.getMessage.contains(d1) && e.getMessage.contains(d2))
+      // ...same-dir is allowed (refcounted), and the guard holds
+      // until the LAST same-dir loop finishes
+      val b = new RoundState(spark, Some(d1))
+      a.done()
+      intercept[IllegalStateException] { new RoundState(spark, Some(d2)) }
+      b.done()
+      // fully drained: a d2 loop may now start
+      new RoundState(spark, Some(d2)).done()
+
+      // the documented safe path end-to-end: two CONCURRENT reliable
+      // pageRank loops sharing ONE dir both complete and agree with
+      // the local-mode result
+      val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+        .toDF("src", "dst")
+      val nodes = Seq(1L, 2L, 3L).toDF("node_id")
+      val want = Graph.pageRank(edges, nodes, iters = 2)
+        .as[(Long, Long)].collect().toMap
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val runs = (1 to 2).map { _ =>
+        Future {
+          Graph.pageRank(edges, nodes, iters = 2,
+            checkpointDir = Some(d1)).as[(Long, Long)].collect().toMap
+        }
+      }
+      runs.map(Await.result(_, 120.seconds))
+        .foreach(got => assert(got === want))
+    } finally {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete()
+      }
+      rm(new java.io.File(d1)); rm(new java.io.File(d2))
     }
   }
 

@@ -220,11 +220,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
   }
 
-  test("sim_pq_adc_topk: ADC scan broadcasts the packed per-query " +
-      "table maps against one row per candidate — no cartesian, no " +
-      "m-way code expansion") {
+  test("sim_pq_adc_topk: head of the materialized pq_adc20 candidate " +
+      "stage — NO join, no re-run of the ADC scan, a group-limited " +
+      "window over <= 20 rows per query") {
     val p = plan("sim_pq_adc_topk")
-    assert(p.contains("BroadcastNestedLoopJoin"))
+    // the whole ADC pipeline lives in the stage; the query plan is
+    // just the checkpoint read + bounded head
+    assert(p.contains("Scan ExistingRDD"),
+      s"query re-derives the ADC pipeline instead of the stage:\n$p")
+    assert(!p.contains("Join"), s"head-of-stage needs no join:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-5 head should group-limit, not full-sort:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
 
