@@ -33,8 +33,14 @@ private[graft] final class RoundState(spark: org.apache.spark.sql.SparkSession,
   private val savedDir: Option[String] =
     if (checkpointDir.isDefined) spark.sparkContext.getCheckpointDir
     else None
-  checkpointDir.foreach(d => RoundState.register(spark, d))
-  checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+  checkpointDir.foreach { d =>
+    RoundState.register(spark, d)
+    // a failed dir-set (bad path, FS down) must not leave a phantom
+    // registration that blocks every later different-dir loop
+    try spark.sparkContext.setCheckpointDir(d)
+    catch { case e: Throwable =>
+      RoundState.unregister(spark, d); throw e }
+  }
 
   /** Materialize one round's state, truncating lineage. */
   def apply(df: DataFrame): DataFrame =

@@ -82,6 +82,12 @@ object TimeSeries {
       .select(col("key"),
         expr(fdiv("unix_micros(ts)", slotSeconds * 1000000L)).as("__i"),
         col("value"))
+      // NULL-ts events have no slot and are ignored — EXPLICITLY,
+      // before the window: the join-based shape dropped them for
+      // free (a NULL slot matches nothing), but here an unfiltered
+      // (key, NULL) row would sort FIRST in the keyed window and
+      // leak its value into the next real observation's carry
+      .filter(col("__i").isNotNull)
     val slotted = (if (preCombine) indexed
       else indexed.repartition(col("key")))
       .groupBy("key", "__i").agg(max("value").as("v"))

@@ -366,6 +366,23 @@ class GraphTimeSeriesSpec extends SparkSpec {
       (None, ts("2024-01-01 02:00:00"), 9.0, true)))
   }
 
+  test("resampleLocf NULL-ts events are ignored: no slot, no carry " +
+      "leak into the next observation's segment (an unfiltered NULL " +
+      "index would sort first and poison the keyed window's LOCF)") {
+    val events = Seq(
+      (1L, Option.empty[Timestamp], Some(99.0)), // no slot — ignored
+      (1L, Some(ts("2024-01-01 01:00:00")), None), // NULL-v observation
+      (1L, Some(ts("2024-01-01 02:00:00")), Some(3.0)))
+      .toDF("key", "ts", "value")
+    val got = TimeSeries.resampleLocf(events, slotSeconds = 3600)
+      .select(col("slot"), col("v_locf"), col("observed"))
+      .as[(Timestamp, Option[Double], Boolean)].collect().toSet
+    // the NULL-ts 99.0 must NOT become the first slot's carry
+    assert(got === Set(
+      (ts("2024-01-01 01:00:00"), None, false),
+      (ts("2024-01-01 02:00:00"), Some(3.0), true)))
+  }
+
   test("resampleLocf all-NULL-value slot: observed=false at its own " +
       "slot and the segment carries the PREVIOUS non-null value " +
       "(carrying the NULL itself would blank the whole gap)") {
