@@ -210,8 +210,12 @@ object Bench {
         val (b2, _, e2) = time(fn, retryReps)
         val merged = if (e2.isEmpty) math.min(best, b2) else best
         System.err.println(f"[bench] retried $name: $best%.2f -> " +
-          f"$merged%.2f s (expected ${expect.getOrElse(name, -1.0)}%.2f)")
-        (name, merged, err, retryReps)
+          f"$merged%.2f s (expected ${expect.getOrElse(name, -1.0)}%.2f)" +
+          e2.fold("")(e => s" RETRY FAILED: $e"))
+        // an errored retry contributed ZERO samples to the figure —
+        // recording retryReps would claim extra sampling that never
+        // informed it (the field exists to be trusted downstream)
+        (name, merged, err, if (e2.isEmpty) retryReps else 0)
       }
     }
     def jstr(s: String): String =

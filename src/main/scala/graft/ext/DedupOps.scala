@@ -655,8 +655,10 @@ object DedupOps {
                         text: Column, maxDist: Int,
                         maxBlock: Long = 256L): DataFrame = {
     require(maxBlock >= 2, s"maxBlock ($maxBlock) must be at least 2")
-    val oversized = df.groupBy(blockKeys.map(col): _*)
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBlock)
+    // ONE definition of the governor predicate — the audit twin IS
+    // the exclusion list (a drifted copy would break the "returns
+    // exactly what the governor excludes" contract silently)
+    val oversized = editDistanceOversizedBlocks(df, blockKeys, maxBlock)
       .select(blockKeys.map(col): _*)
     // probe side spread on the BLOCK key when the scan is
     // unsplittable-narrow (see spreadNarrow): under a broadcast build
@@ -692,11 +694,20 @@ object DedupOps {
     * alongside the pairs (same keys, same `maxBlock`) to alert on a
     * blocking scheme whose keys stopped discriminating, instead of
     * discovering the governor's cut by row-count archaeology.
+    *
+    * NULL-key rows are NOT the governor's: a row with a NULL in any
+    * block key never equi-joins, so it produces no pairs at ANY
+    * block size — attributing an oversized NULL group to the cap
+    * would blame the governor for an exclusion the join semantics
+    * made (and would alert "keys stopped discriminating" on the
+    * wrong cause). They are excluded here exactly as they are from
+    * the pair join.
     */
   def editDistanceOversizedBlocks(df: DataFrame, blockKeys: Seq[String],
                                   maxBlock: Long = 256L): DataFrame = {
     require(maxBlock >= 2, s"maxBlock ($maxBlock) must be at least 2")
-    df.groupBy(blockKeys.map(col): _*)
+    df.filter(blockKeys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(blockKeys.map(col): _*)
       .agg(count(lit(1)).as("n_members")).filter(col("n_members") > maxBlock)
       .withColumn("n_pairs_excluded",
         expr("n_members * (n_members - 1) div 2"))

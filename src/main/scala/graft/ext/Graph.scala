@@ -16,9 +16,11 @@ import org.apache.spark.sql.functions._
   * leave 20 round-state copies in the dir. FINAL round files are the
   * caller's to consume — never release the frame you return.
   *
-  * The checkpoint dir is SPARK-CONTEXT-GLOBAL state: the constructor
-  * remembers the caller's dir and [[done]] restores it, so a loop
-  * does not permanently redirect an application's own `checkpoint()`
+  * The checkpoint dir is SPARK-CONTEXT-GLOBAL state: the FIRST live
+  * loop's registration captures the caller's dir and the LAST
+  * [[done]] restores it (registry-held, so same-dir concurrent loops
+  * can't restore each other's snapshots mid-flight), and a loop
+  * never permanently redirects an application's own `checkpoint()`
   * calls into a directory this library's cleanup later deletes. Two
   * CONCURRENT reliable-mode loops with DIFFERENT dirs would race on
   * the global (last constructor wins — one loop's rounds silently
@@ -30,16 +32,14 @@ import org.apache.spark.sql.functions._
   */
 private[graft] final class RoundState(spark: org.apache.spark.sql.SparkSession,
                                       checkpointDir: Option[String]) {
-  private val savedDir: Option[String] =
-    if (checkpointDir.isDefined) spark.sparkContext.getCheckpointDir
-    else None
   checkpointDir.foreach { d =>
     RoundState.register(spark, d)
     // a failed dir-set (bad path, FS down) must not leave a phantom
     // registration that blocks every later different-dir loop
     try spark.sparkContext.setCheckpointDir(d)
     catch { case e: Throwable =>
-      RoundState.unregister(spark, d); throw e }
+      RoundState.unregister(spark, d).foreach(_.foreach(
+        spark.sparkContext.setCheckpointDir)); throw e }
   }
 
   /** Materialize one round's state, truncating lineage. */
@@ -68,22 +68,32 @@ private[graft] final class RoundState(spark: org.apache.spark.sql.SparkSession,
   }
 
   /** Restore the caller's checkpoint dir (call when the loop is done,
-    * in a finally). No-op in local mode or when the caller had no dir
-    * of their own (Spark offers no public unset).
+    * in a finally). The restore is REGISTRY-drained, not
+    * per-instance: under same-dir concurrency every loop would
+    * otherwise capture and restore its own snapshot of the global —
+    * the first finisher would yank the dir back to the caller's
+    * while later loops still checkpoint into it, and the last
+    * finisher would "restore" the global to the library's own dir
+    * (its snapshot was taken after the first loop had already set
+    * it). Only the FIRST register saves the caller's dir; only the
+    * LAST unregister restores it. No-op in local mode or when the
+    * caller had no dir of their own (Spark offers no public unset).
     */
   def done(): Unit =
-    if (checkpointDir.isDefined) {
-      RoundState.unregister(spark, checkpointDir.get)
-      savedDir.foreach(spark.sparkContext.setCheckpointDir)
+    checkpointDir.foreach { d =>
+      RoundState.unregister(spark, d)
+        .foreach(_.foreach(spark.sparkContext.setCheckpointDir))
     }
 }
 
 private[graft] object RoundState {
-  // (contextId, dir, refcount) of the reliable-mode loops currently
-  // live per Spark context — the loud-failure guard for the
-  // different-dir concurrency race documented on the class
-  private val active =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
+  // contextId -> (dir, refcount, the caller's dir captured by the
+  // FIRST register) of the reliable-mode loops currently live per
+  // Spark context — the loud-failure guard for the different-dir
+  // concurrency race documented on the class, and the single point
+  // of save/restore for the context-global checkpoint dir
+  private val active = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Int, Option[String])]()
 
   private def key(s: org.apache.spark.sql.SparkSession): String =
     s.sparkContext.applicationId
@@ -91,8 +101,8 @@ private[graft] object RoundState {
   private def register(s: org.apache.spark.sql.SparkSession,
                        dir: String): Unit =
     active.compute(key(s), (_, cur) =>
-      if (cur == null) (dir, 1)
-      else if (cur._1 == dir) (dir, cur._2 + 1)
+      if (cur == null) (dir, 1, s.sparkContext.getCheckpointDir)
+      else if (cur._1 == dir) (dir, cur._2 + 1, cur._3)
       else throw new IllegalStateException(
         s"concurrent reliable-checkpoint loops with DIFFERENT dirs " +
           s"('${cur._1}' is live, '$dir' requested): the checkpoint " +
@@ -101,11 +111,19 @@ private[graft] object RoundState {
           "other still needs — share one checkpointDir across " +
           "concurrent loops, or run them sequentially")): Unit
 
+  /** Returns `Some(callerDir)` when this unregister drained the LAST
+    * registration (the caller must restore), `None` while same-dir
+    * loops remain live.
+    */
   private def unregister(s: org.apache.spark.sql.SparkSession,
-                         dir: String): Unit =
+                         dir: String): Option[Option[String]] = {
+    var restore: Option[Option[String]] = None
     active.compute(key(s), (_, cur) =>
-      if (cur == null || cur._2 <= 1) null
-      else (cur._1, cur._2 - 1)): Unit
+      if (cur == null) null
+      else if (cur._2 <= 1) { restore = Some(cur._3); null }
+      else (cur._1, cur._2 - 1, cur._3)): Unit
+    restore
+  }
 }
 
 /** Distributed graph analytics over edge-list DataFrames — the two

@@ -62,18 +62,15 @@ object Similarity {
         "addresses lists by exact long id")
   }
 
-  /** The family's shared top-k tail: rank per query by
-    * (score DESC, neighbor_id ASC), keep k, project
+  /** The family's shared top-k tail: top-k rows per `query_id` by
+    * (`score` DESC, neighbor_id ASC), projected to
     * (query_id, neighbor_id, score). ONE definition so the tie-break
     * cannot fork between the seven scorers ([[exactRefine]]'s
     * rationale applied family-wide — a tie-break fix must not need
-    * re-applying in six more places to keep oracle parity).
-    */
-  /** Head of an already-scored candidate table: top-k rows per
-    * `query_id` by (`score` DESC, neighbor_id ASC) — the tie-break
-    * every ranking operator in this family uses. Public because a
-    * MATERIALIZED candidate stage composes through it: a candidate
-    * table built once at k′ ≥ k serves every k ≤ k′ consumer with a
+    * re-applying in six more places to keep oracle parity). Public
+    * because a MATERIALIZED candidate stage composes through it: a
+    * candidate table built once at k′ ≥ k serves every k ≤ k′
+    * consumer with a
     * window over ≤ k′ rows per query (top-k of a top-k′ ranking
     * equals top-k of the full ranking under the same ordering), so
     * e.g. the plain IVF-PQ query and its refine twin share ONE

@@ -373,7 +373,13 @@ private[queries] object ExtensionSupport {
       : Seq[(String, () => DataFrame)] = Seq(
     "cc_labels" -> (() => componentLabels(s, dir)),
     "pr_graph" -> (() => prGraph(s, dir)),
-    "shingle_pairs" -> (() => shinglePairs(s, dir)))
+    "shingle_pairs" -> (() => shinglePairs(s, dir)),
+    // the corpus-scaling half of the IVF-PQ twins: the QUERY rows
+    // read the warm candidate checkpoint (flat at any scale — that
+    // is the design), so the scaling evidence must come from this
+    // stage's fresh rebuild (codebook/codes memos stay warm across
+    // reps: the row isolates the coarse-assign -> probe -> ADC part)
+    "ivfpq_adc20" -> (() => ivfpqAdc20(s, dir)))
 
   /** Bench-only: drop this (session, dir)'s memoized stages so
     * [[prebuildStages]] can time a REBUILD — one-shot stage costs

@@ -45,8 +45,11 @@ private[sources] object Staging {
     * from under its write.
     */
   private def sweepDeadTmp(root: java.io.File, safe: String): Unit = {
+    // nanos may be NEGATIVE (System.nanoTime has an arbitrary
+    // origin) — a `\d+` suffix pattern would never match such a
+    // name, hiding exactly the remnants this sweep exists to reclaim
     val TmpName = ("""^\.""" + java.util.regex.Pattern.quote(safe) +
-      """__fp[0-9a-f]+\.tmp-(\d+)-\d+$""").r
+      """__fp[0-9a-f]+\.tmp-(\d+)--?\d+$""").r
     Option(root.listFiles()).getOrElse(Array.empty).foreach { f =>
       f.getName match {
         case TmpName(pid) =>
@@ -92,6 +95,15 @@ private[sources] object Staging {
     val rootDir = new java.io.File(root)
     val dir = new java.io.File(rootDir, dirName)
     val done = new java.io.File(dir, "_SUCCESS")
+    // sweep BEFORE the published fast path, not only on the publish
+    // path: a remnant whose pid was still alive during the one
+    // locked sweep that ran (a concurrent publisher killed mid-write
+    // after this fixture already published) would otherwise never be
+    // revisited — every later call short-circuits on _SUCCESS. The
+    // sweep is one listFiles, skips live pids, and only ever touches
+    // dead processes' uniquely-named tmp dirs, so running it
+    // unlocked here cannot interfere with a live publisher.
+    if (rootDir.isDirectory) sweepDeadTmp(rootDir, safe)
     if (done.isFile) return dir.toString // fast path: published, no lock
     rootDir.mkdirs()
     val lockFile = new java.io.File(rootDir, s".$safe.lock")

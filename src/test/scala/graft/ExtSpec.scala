@@ -3615,6 +3615,16 @@ class ExtSpec extends SparkSpec {
     // nothing over the cap -> empty audit, complete pairs
     assert(DedupOps.editDistanceOversizedBlocks(
       df, Seq("brand", "typ"), maxBlock = 7).isEmpty)
+    // a NULL-key "block" is the JOIN's exclusion, not the governor's
+    // (NULL keys never equi-join at any block size) — the audit must
+    // not blame the cap for it
+    val withNull = df.union(Seq.tabulate(9)(i =>
+      (null.asInstanceOf[String], "t1", 200L + i, s"x $i"))
+      .toDF("brand", "typ", "id", "name"))
+    assert(DedupOps.editDistanceOversizedBlocks(
+      withNull, Seq("brand", "typ"), maxBlock = 6)
+      .as[(String, String, Long, Long)].collect().toSeq ===
+      Seq(("bB", "t1", 7L, 21L)))
   }
 
   test("BloomWordProbe kernel matches the declarative bucket " +

@@ -760,7 +760,13 @@ class GraphTimeSeriesSpec extends SparkSpec {
       // ...same-dir is allowed (refcounted), and the guard holds
       // until the LAST same-dir loop finishes
       val b = new RoundState(spark, Some(d1))
+      // restore is registry-drained: the FIRST finisher must NOT
+      // yank the global back while the second loop still
+      // checkpoints into d1 (a per-instance restore would — and the
+      // last finisher would then "restore" to d1 forever)
       a.done()
+      assert(spark.sparkContext.getCheckpointDir.exists(_.contains(d1)),
+        "first same-dir finisher restored the global too early")
       intercept[IllegalStateException] { new RoundState(spark, Some(d2)) }
       b.done()
       // fully drained: a d2 loop may now start

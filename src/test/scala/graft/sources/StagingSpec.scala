@@ -55,6 +55,19 @@ class StagingSpec extends AnyFunSuite {
     assert(!dead.exists(), "dead-pid tmp should be swept")
     assert(live.exists(), "live-pid tmp must survive the sweep")
     assert(other.exists(), "other fixtures' tmp dirs are not ours to sweep")
+    // the sweep stays reachable AFTER the fixture is published: a
+    // remnant whose pid was alive during the publish-time sweep (a
+    // concurrent publisher killed later) must still be reclaimed by
+    // a fast-path call, not leak behind the _SUCCESS short-circuit.
+    // Negative-nanos names (System.nanoTime has an arbitrary origin)
+    // must match the sweep pattern too.
+    val lateDead = new File(root, ".t__fpbeef.tmp-999999998--42")
+    lateDead.mkdirs()
+    Staging.publishOnce(root.toString, "t", 0xbeefL, "spec") { _ =>
+      fail("published fixture must not re-write")
+    }
+    assert(!lateDead.exists(),
+      "post-publish crash remnant leaked behind the fast path")
   }
 
   test("unmarked same-name dir (crash in the rename->marker window) " +
