@@ -157,12 +157,24 @@ object TimeSeries {
     * — semantics the batch fold cannot reproduce exactly, so it
     * refuses rather than approximates.
     *
+    * NULL-ts and NULL-value events DO NOT PARTICIPATE (filtered
+    * before the fold, like [[resampleLocf]]'s NULL-ts policy and the
+    * PERCENTILE_DISC-ignores-NULLs contract of the profiling
+    * family): an unfiltered NULL value would silently poison the
+    * whole fold to NULL ((acc + NULL) div 2) while n_events still
+    * counted the row — the exact quiet corruption this file's
+    * exact-or-loud discipline forbids — and a NULL ts sorts FIRST in
+    * Spark's struct order but LAST in an engine with NULLS LAST
+    * default, making the fold seed engine-dependent. n_events counts
+    * participating events only.
+    *
     * Returns (key, n_events, ewma_micros).
     */
   def ewmaFixed(events: DataFrame, tie: Column,
                 maxEventsPerKey: Int = 1 << 22): DataFrame = {
     require(maxEventsPerKey >= 1, "maxEventsPerKey must be positive")
     val base = events
+      .filter(col("ts").isNotNull && col("value").isNotNull)
       .select(col("key"),
         struct(unix_micros(col("ts")).as("t"), tie.as("tb"),
           microValue.as("v")).as("e"))
@@ -219,6 +231,13 @@ object TimeSeries {
     // floor even runs.
     val bucketMicros = bucketSeconds * 1000000L
     events
+      // NULL-ts/NULL-value events do not participate (the
+      // ewmaFixed/resampleLocf policy): a NULL ts would emit a
+      // NULL-bucket bar whose open/close read NULL (min_by/max_by
+      // skip the NULL packed order) while high/low/volume stay real
+      // — a half-populated row no engine agrees on — and a NULL
+      // value would poison volume_micros relative to n
+      .filter(col("ts").isNotNull && col("value").isNotNull)
       .withColumn("__tie", tie)
       .select(col("key"),
         timestamp_micros(
@@ -285,10 +304,23 @@ object TimeSeries {
     val nD = d(col("n"))
     val num = nD * col("__sxy") - col("__sx") * col("__sy")
     val den = nD * col("__sxx") - col("__sx") * col("__sx")
+    // exact-or-loud (the acf1/cusumChangepoint discipline): past
+    // decimal(38,0) the n-scaled moment products return NULL under
+    // non-ANSI semantics, and when(den > 0, ...) would quietly emit
+    // the SAME NULL slope the zero-variance case documents — a key
+    // with x·y products near the decimal ceiling would silently read
+    // as "no trend". n ≥ 1 in every group (base is NULL-filtered),
+    // so a NULL den/num IS an overflow, never a legitimate value.
     agged.select(col("key"), col("n"),
-      when(den > 0,
-        floor(num.cast("double") / den.cast("double") * 1000000.0)
-          .cast("long")).as("slope_micro"),
+      when(den.isNull || num.isNull,
+        raise_error(concat(
+          lit("TimeSeries.linearTrendMicro: key "),
+          col("key").cast("string"),
+          lit(" has moment products past decimal(38,0); " +
+            "pre-aggregate or rescale the series"))))
+        .when(den > 0,
+          floor(num.cast("double") / den.cast("double") * 1000000.0)
+            .cast("long")).as("slope_micro"),
       expr("__sy div cast(n as decimal(38,0))").cast("long")
         .as("mean_centi"))
   }
@@ -309,37 +341,55 @@ object TimeSeries {
     *
     * @param events columns `key`, `ts` (timestamp)
     */
-  def decayScore(events: DataFrame, asOf: String): DataFrame =
+  def decayScore(events: DataFrame, asOf: String): DataFrame = {
+    // parse the cutoff ONCE, loudly, driver-side: the previous shape
+    // parsed it twice through two mechanisms (lit().cast("date") in
+    // the filter — silently NULL on a malformed string under
+    // non-ANSI, filtering every row — and a date'...' literal
+    // spliced as raw SQL text, where a quote breaks the generated
+    // statement). One validated literal feeds both uses.
+    val asOfDate = lit(try java.sql.Date.valueOf(asOf)
+      catch { case _: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          s"TimeSeries.decayScore: asOf '$asOf' is not a yyyy-MM-dd date")
+      })
     events
-      .filter(to_date(col("ts")) <= lit(asOf).cast("date"))
+      .filter(to_date(col("ts")) <= asOfDate)
       .select(col("key"),
-        expr(s"shiftright(1000000L, cast(least(" +
-          s"datediff(date'$asOf', to_date(ts)), 62) as int))")
-          .as("__w"))
+        call_function("shiftright", lit(1000000L),
+          least(datediff(asOfDate, to_date(col("ts"))), lit(62))
+            .cast("int")).as("__w"))
       .groupBy("key")
       .agg(count(lit(1)).as("n_events"),
         sum("__w").as("decay_score"))
+  }
 
   /** floor(value·10⁶) as a long — the house double→fixed-point form. */
   private[graft] def microValue: Column =
     expr("cast(floor(value * 1000000) as bigint)")
 
   /** The (`ts`, `__tie`) total order packed into ONE Decimal(38,0):
-    * micros·10¹⁹ + (tie + 2⁶³). A struct ordering would force the
+    * micros·2⁶⁴ + (tie + 2⁶³). A struct ordering would force the
     * whole aggregation to SortAggregate (struct buffers aren't
     * hash-agg mutable), adding a per-partition sort on both sides
     * of the exchange; the fixed-width decimal keeps min_by/max_by
-    * in HashAggregate (and in the streaming state store). Exact:
-    * |micros| ≤ 3.3·10¹⁷ (Spark's timestamp range) so the product
-    * ≤ 3.3·10³⁶ < 10³⁸, and the shifted tie lies in [0, 2⁶⁴) < 10¹⁹
-    * — the encoding is strictly monotone in (micros, tie) for ANY
-    * long tie. Shared by [[ohlcBars]] and its streaming twin
+    * in HashAggregate (and in the streaming state store). The
+    * multiplier must be ≥ the FULL width of the shifted-tie range:
+    * the shifted tie lies in [0, 2⁶⁴), so a 10¹⁹ radix
+    * (10¹⁹ < 2⁶⁴ ≈ 1.845·10¹⁹) would let a same-micros tie above
+    * 10¹⁹ outrank the NEXT microsecond — an earlier event winning
+    * max_by (the close) whenever same-bucket ties differ by more
+    * than 10¹⁹, routine for hash-style 64-bit tie ids. With 2⁶⁴ the
+    * encoding is strictly monotone in (micros, tie) for ANY long
+    * tie, and exact: |micros| ≤ 3.3·10¹⁷ (Spark's timestamp range)
+    * so |product| ≤ 6.2·10³⁶ and the total < 10³⁸. Shared by
+    * [[ohlcBars]] and its streaming twin
     * ([[graft.streaming.StreamOps.ohlcStream]]): one ordering
     * definition, two runtimes.
     */
   private[graft] def packedTsTieOrder: Column = expr(
     """cast(unix_micros(ts) as decimal(38,0))
-      |  * cast(10000000000000000000 as decimal(38,0))
+      |  * cast(18446744073709551616 as decimal(38,0))
       |  + (cast(__tie as decimal(38,0))
       |     + cast(9223372036854775808 as decimal(38,0)))""".stripMargin)
 
@@ -426,8 +476,14 @@ object TimeSeries {
         sum(col("__v")).as("__s"),
         sum(col("__v") * col("__v")).as("__s2"),
         sum(col("__v") * col("__prev")).as("__sxy"),
-        min_by(col("__v"), struct(col("ts"), col("__tie"))).as("__x0"),
-        max_by(col("__v"), struct(col("ts"), col("__tie"))).as("__xn"))
+        // packed (ts, tie) order, NOT struct(ts, __tie): a struct
+        // ordering buffer is not UnsafeRow-mutable, which demotes
+        // this WHOLE aggregate (the four sums included) out of
+        // codegen HashAggregate — the exact trap packedTsTieOrder
+        // was built for in ohlcBars; one ordering definition serves
+        // both
+        min_by(col("__v"), packedTsTieOrder).as("__x0"),
+        max_by(col("__v"), packedTsTieOrder).as("__xn"))
       .withColumn("__den",
         col("__n") * col("__n") * col("__s2")
           - col("__n") * col("__s") * col("__s"))

@@ -1001,7 +1001,9 @@ private[queries] object GraphTimeQueries {
         |l AS (SELECT user_id,
         |        list(CAST(floor(value * 1000000) AS BIGINT)
         |             ORDER BY ts, event_id) AS vs
-        |      FROM evts GROUP BY 1)
+        |      FROM evts
+        |      WHERE ts IS NOT NULL AND value IS NOT NULL
+        |      GROUP BY 1)
         |SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
         |  list_reduce(vs, (acc, x) -> (acc + x) // 2) AS ewma_micros
         |FROM l""".stripMargin),
@@ -1018,7 +1020,8 @@ private[queries] object GraphTimeQueries {
         |        - CASE WHEN epoch_us(ts) % 3600000000 < 0
         |               THEN 1 ELSE 0 END) * 3600000000) AS bucket,
         |    CAST(floor(value * 1000000) AS BIGINT) AS v
-        |  FROM evts),
+        |  FROM evts
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL),
         |w AS (SELECT event_type, bucket, v,
         |    first_value(v) OVER (PARTITION BY event_type, bucket
         |      ORDER BY ts, event_id) AS o,

@@ -448,6 +448,21 @@ class GraphTimeSeriesSpec extends SparkSpec {
     assert(expect === -5249999L) // trunc; floor semantics give -5250000
   }
 
+  test("ewmaFixed: NULL-value and NULL-ts events do not participate " +
+      "— no silent NULL-poisoned fold, no engine-dependent seed, " +
+      "n_events counts participants only") {
+    val events = Seq(
+      (1L, Some(ts("2024-01-01 00:00:00")), Some(4.0), 1L),
+      (1L, Some(ts("2024-01-01 00:01:00")), None, 2L), // NULL value
+      (1L, Option.empty[Timestamp], Some(100.0), 3L),  // NULL ts
+      (1L, Some(ts("2024-01-01 00:02:00")), Some(2.0), 4L))
+      .toDF("key", "ts", "value", "event_id")
+    val got = TimeSeries.ewmaFixed(events, tie = col("event_id"))
+      .as[(Long, Long, Long)].collect().head
+    // fold over [4e6, 2e6] only: (4e6 + 2e6) div 2 = 3e6
+    assert(got === ((1L, 2L, 3000000L)))
+  }
+
   test("ewmaFixed matches the sequential (acc + x) div 2 fold in " +
       "event order, independent of input row order") {
     val vals = Seq(3.5, 1.25, 10.0, 0.000001, 7.75)
@@ -518,6 +533,30 @@ class GraphTimeSeriesSpec extends SparkSpec {
     assert(got(("n", ts("2024-01-01 10:00:00"))) ===
       ((-1000001L, -1000001L, -1000001L, -1000001L, -1000001L, 1L)))
     assert(got.size === 3)
+  }
+
+  test("ohlcBars packed (ts, tie) order is monotone for EXTREME tie " +
+      "ids: a same-bucket tie gap wider than 1e19 must not let an " +
+      "earlier event outrank the next microsecond (radix must be " +
+      "2^64, not 1e19)") {
+    // same bucket: A ONE MICROSECOND earlier with a huge tie, B next
+    // µs with a deeply negative tie. tie span ≈ 1.8e19 > 1e19 —
+    // under a 1e19 radix A's packed order exceeds B's (m·1e19 +
+    // 1.82e19 > (m+1)·1e19 + 0.02e19) and close reads 1.0
+    val t0 = ts("2024-01-01 10:00:00")
+    val tB = new Timestamp(t0.getTime)
+    tB.setNanos(1000) // +1 µs
+    val events = Seq(
+      ("k", t0, 1.0, 9000000000000000000L),
+      ("k", tB, 2.0, -9000000000000000000L))
+      .toDF("key", "ts", "value", "event_id")
+    val got = TimeSeries.ohlcBars(events, bucketSeconds = 3600,
+        tie = col("event_id"))
+      .as[(String, Timestamp, Long, Long, Long, Long, Long, Long)]
+      .collect()
+    assert(got.length === 1)
+    assert(got.head._3 === 1000000L, "open must be the earlier event")
+    assert(got.head._6 === 2000000L, "close must be the later event")
   }
 
   test("madOutliers flags only |v - med| > mult*mad with the " +
