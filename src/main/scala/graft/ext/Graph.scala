@@ -38,8 +38,13 @@ private[graft] final class RoundState(spark: org.apache.spark.sql.SparkSession,
     // registration that blocks every later different-dir loop
     try spark.sparkContext.setCheckpointDir(d)
     catch { case e: Throwable =>
-      RoundState.unregister(spark, d).foreach(_.foreach(
-        spark.sparkContext.setCheckpointDir)); throw e }
+      // unwind must not MASK the original failure: if the restore
+      // itself throws (same downed FS, say), the caller should still
+      // see the bad library dir as the cause, not their own dir
+      try RoundState.unregister(spark, d).foreach(_.foreach(
+        spark.sparkContext.setCheckpointDir))
+      catch { case e2: Throwable => e.addSuppressed(e2) }
+      throw e }
   }
 
   /** Materialize one round's state, truncating lineage. */

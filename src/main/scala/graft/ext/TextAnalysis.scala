@@ -942,19 +942,28 @@ object TextAnalysis {
     // threshold). Identical thresholds by construction: bin i's cut
     // is the largest score whose strictly-below count · 3 < n · i —
     // the same fold rule, q = 3.
-    Profiling.equidepthBins(scored, key, score, 3)
-      // NULL scores land in `tail`, NOT head: equidepthBins bins a
-      // NULL score as 0 (`score > t` is NULL, the filter keeps
-      // nothing), but a quality cut that silently KEEPS an unscored
-      // doc in its best bucket inverts the operator's purpose — the
-      // historical when-chain's otherwise("tail") semantics are the
-      // safe direction (curate_domain keeps bucket = head only), so
-      // they are restored explicitly here.
-      .withColumn("bucket", when(col(score).isNull, lit("tail"))
-        .otherwise(element_at(
+    {
+      // NULL scores land in `tail`, NOT head — and not DROPPED:
+      // equidepthBins bins a NULL score as 0 (`score > t` is NULL,
+      // the filter keeps nothing) and drops every row of a key whose
+      // scores are ALL NULL (no quantile row to join). Both violate
+      // this operator's contract: a quality cut that silently KEEPS
+      // an unscored doc in its best bucket inverts its purpose, and
+      // one that silently LOSES rows breaks one-bucket-per-input-doc
+      // consumers. Splitting up front restores the historical
+      // when-chain's otherwise("tail") semantics exactly: the binned
+      // branch sees only real scores (so no key can lose its
+      // quantile row), the NULL branch is an explicit tail.
+      val nullScored = scored.filter(col(score).isNull)
+        .withColumn("bucket", lit("tail"))
+      Profiling.equidepthBins(
+          scored.filter(col(score).isNotNull), key, score, 3)
+        .withColumn("bucket", element_at(
           array(lit("head"), lit("middle"), lit("tail")),
-          col("bin") + 1)))
-      .drop("bin")
+          col("bin") + 1))
+        .drop("bin")
+        .unionByName(nullScored)
+    }
 
   /** log2 in EIGHTHS of a bit, as a pure integer function of a
     * positive integer: 8·⌊log2 x⌋ + (top 4 bits of x) − 8. The top-4-

@@ -237,8 +237,10 @@ object TimeSeries {
       // skip the NULL packed order) while high/low/volume stay real
       // — a half-populated row no engine agrees on — and a NULL
       // value would poison volume_micros relative to n
-      .filter(col("ts").isNotNull && col("value").isNotNull)
-      .withColumn("__tie", tie)
+    requireIntegralTie(
+      events
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .withColumn("__tie", tie), "TimeSeries.ohlcBars")
       .select(col("key"),
         timestamp_micros(
           expr(fdiv("unix_micros(ts)", bucketMicros))
@@ -387,6 +389,34 @@ object TimeSeries {
     * ([[graft.streaming.StreamOps.ohlcStream]]): one ordering
     * definition, two runtimes.
     */
+  /** Loud type gate for [[packedTsTieOrder]] users: the packed
+    * encoding CASTS `__tie` to decimal, so a non-integral tie (a
+    * string code, say) would either go NULL under non-ANSI casts —
+    * min_by/max_by skipping every row — or order numerically while a
+    * window on the same frame orders lexicographically ('10' < '9'),
+    * silently disagreeing about which event is first. The historical
+    * struct ordering accepted any type, so callers migrating to the
+    * packed form must refuse what it cannot represent.
+    */
+  private[graft] def requireIntegralTie(df: DataFrame,
+                                        what: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema("__tie").dataType
+    require(dt == ByteType || dt == ShortType || dt == IntegerType ||
+        dt == LongType,
+      s"$what: the tie column must be an integral type (it packs " +
+        s"into the (ts, tie) decimal order), got $dt — use an event " +
+        "id, not a string code")
+    df
+  }
+
+  /* STATE-FORMAT NOTE: the radix below is part of the streaming
+   * state encoding ([[graft.streaming.StreamOps.ohlcStream]] stores
+   * packed orders in its min_by/max_by buffers). Changing it
+   * invalidates in-flight streaming checkpoints: old-radix values in
+   * the store are not order-comparable with new-radix values from
+   * fresh events, so restarted queries must start from a fresh
+   * checkpoint dir. */
   private[graft] def packedTsTieOrder: Column = expr(
     """cast(unix_micros(ts) as decimal(38,0))
       |  * cast(18446744073709551616 as decimal(38,0))
@@ -464,9 +494,11 @@ object TimeSeries {
   def acf1(events: DataFrame, tie: Column): DataFrame = {
     // same phantom-row guard as linearTrendMicro/cusumChangepoint:
     // n must describe the rows the moments actually summed
-    val base = events.select(col("key"), col("ts"), tie.as("__tie"),
-      microValue.cast("decimal(38,0)").as("__v"))
-      .filter(col("ts").isNotNull && col("__v").isNotNull)
+    val base = requireIntegralTie(
+      events.select(col("key"), col("ts"), tie.as("__tie"),
+          microValue.cast("decimal(38,0)").as("__v"))
+        .filter(col("ts").isNotNull && col("__v").isNotNull),
+      "TimeSeries.acf1")
     val ordered = Window.partitionBy("key")
       .orderBy(col("ts"), col("__tie"))
     base

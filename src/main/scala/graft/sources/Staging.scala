@@ -43,6 +43,14 @@ private[sources] object Staging {
     * publish, SKIPPING entries whose embedded pid is still alive —
     * a live concurrent publisher's in-flight tmp must not be deleted
     * from under its write.
+    *
+    * SINGLE-HOST assumption (the whole protocol's, lock included):
+    * liveness is a LOCAL ProcessHandle probe and the lock a local
+    * FileLock, so a staging root shared between machines (NFS) could
+    * see host B sweep host A's in-flight tmp because A's pid doesn't
+    * exist on B. The stage tier lives under this repo's local
+    * `target/`; a multi-host stage root would need lease files, not
+    * pid probes.
     */
   private def sweepDeadTmp(root: java.io.File, safe: String): Unit = {
     // nanos may be NEGATIVE (System.nanoTime has an arbitrary

@@ -741,8 +741,9 @@ object StreamOps {
     */
   def ohlcStream(events: DataFrame, watermark: String,
                  bucket: String): DataFrame =
-    events.withWatermark("ts", watermark)
-      .withColumn("__tie", col("tie"))
+    graft.ext.TimeSeries.requireIntegralTie(
+      events.withWatermark("ts", watermark)
+        .withColumn("__tie", col("tie")), "StreamOps.ohlcStream")
       .select(col("key"), window(col("ts"), bucket).as("__w"),
         graft.ext.TimeSeries.microValue.as("__v"),
         graft.ext.TimeSeries.packedTsTieOrder.as("__o"))

@@ -17,6 +17,9 @@ object QProbe {
     val sfName = sfDir.split('/').last
     if (sys.props.get("graft.stage.dir").isEmpty)
       System.setProperty("graft.stage.dir", s"target/stages/$sfName")
+    // MUST mirror graft.Bench's session config — probe timings exist
+    // to approximate the official figures; a drifted partitions
+    // count or timezone silently makes them non-comparable
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -30,7 +33,11 @@ object QProbe {
         fn(spark, sfDir).explain("formatted")
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        val c = fn(spark, sfDir).count()
+        // toRdd, not count(): count() builds a new Aggregate in
+        // which Catalyst eliminates row-preserving joins (the
+        // ScaleExponents measurement trap — pagerank's rank joins
+        // vanish and the probe times a node count)
+        val c = fn(spark, sfDir).queryExecution.toRdd.count()
         val dt = (System.nanoTime() - t0) / 1e9
         (dt, c)
       }

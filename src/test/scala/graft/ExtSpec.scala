@@ -3026,6 +3026,14 @@ class ExtSpec extends SparkSpec {
     // the histogram and the count)
     assert(got(1L) === "head" && got(2L) === "middle" &&
       got(3L) === "tail")
+    // a key whose scores are ALL NULL keeps every row (tail), not
+    // dropped — one bucket row per input doc, always
+    val allNull = Seq((1L, "x", Some(5L)), (2L, "y", Option.empty[Long]),
+      (3L, "y", Option.empty[Long])).toDF("id", "k", "s")
+    val got2 = TextAnalysis.scoreTerciles(allNull, "k", "s")
+      .select("id", "bucket").as[(Long, String)].collect().toMap
+    assert(got2.size === 3)
+    assert(got2(2L) === "tail" && got2(3L) === "tail")
   }
 
   test("ccnetBuckets: per-lang terciles, tie-atomic, monotone in " +

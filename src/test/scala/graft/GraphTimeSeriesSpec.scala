@@ -559,6 +559,22 @@ class GraphTimeSeriesSpec extends SparkSpec {
     assert(got.head._6 === 2000000L, "close must be the later event")
   }
 
+  test("ohlcBars / acf1 refuse a NON-INTEGRAL tie loudly: the packed " +
+      "(ts, tie) order casts the tie to decimal, where a string code " +
+      "would go NULL or order numerically against the window's " +
+      "lexicographic order") {
+    val events = Seq(("k", ts("2024-01-01 00:00:00"), 1.0, "e9"))
+      .toDF("key", "ts", "value", "code")
+    val e1 = intercept[IllegalArgumentException] {
+      TimeSeries.ohlcBars(events, 3600, tie = col("code"))
+    }
+    assert(e1.getMessage.contains("integral"))
+    val e2 = intercept[IllegalArgumentException] {
+      TimeSeries.acf1(events, tie = col("code"))
+    }
+    assert(e2.getMessage.contains("integral"))
+  }
+
   test("madOutliers flags only |v - med| > mult*mad with the " +
       "PERCENTILE_DISC median on even and odd groups") {
     // key 1 (odd n=5): vs 10,12,14,16,100 → med=14 (position 3);
