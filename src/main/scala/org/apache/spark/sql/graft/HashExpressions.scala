@@ -251,6 +251,9 @@ case class BloomWordProbe(child: Expression, words: Array[Long],
   require(k >= 1 && consts.length == 4 * k,
     s"consts must carry (a, a2, a3, b) per hash row: " +
       s"${consts.length} != 4*$k")
+  require(mBits > 0,
+    "mBits must be positive — an empty filter would turn the " +
+      "construction-time guard into a per-row modulo-by-zero")
   require(words.length.toLong * 64 == mBits,
     s"words (${words.length}) must pack exactly mBits ($mBits) bits")
 

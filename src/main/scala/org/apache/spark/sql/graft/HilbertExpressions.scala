@@ -100,9 +100,13 @@ object HilbertColumns {
       "bits must be a literal — it parameterizes the generated kernel")
     val bits = children(2).eval() match {
       case i: Int => i
-      case l: Long => l.toInt
+      // bounds-check BEFORE narrowing: a bigint literal of 2^32+17
+      // would silently wrap to 17 and build a wrong-grid curve —
+      // the silent-corruption mode the coordinate fail-fast exists
+      // to prevent
+      case l: Long if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
       case other => throw new IllegalArgumentException(
-        s"bits must be an integer literal, got $other")
+        s"bits must be an int-range integer literal, got $other")
     }
     HilbertIndex(children(0), children(1), bits)
   }

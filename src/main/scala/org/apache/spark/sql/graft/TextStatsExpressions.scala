@@ -52,8 +52,16 @@ object GraftTextStats {
       var j = 0
       while (j < k) {
         if (j > 0) sb.append('_')
+        // ISO-8859-1, NOT UTF-8: the key exists only for EQUALITY,
+        // and Latin-1 maps bytes to chars bijectively, so distinct
+        // byte sequences stay distinct — UTF-8 decoding collapses
+        // every invalid sequence to U+FFFD, merging byte-different
+        // malformed shingles the declarative groupBy (which compares
+        // raw UTF8String bytes) keeps apart. On valid text the two
+        // decodings induce the same equivalence classes; Latin-1 is
+        // also cheaper (no validation).
         sb.append(new String(b, starts(w + j), ends(w + j) - starts(w + j),
-          java.nio.charset.StandardCharsets.UTF_8))
+          java.nio.charset.StandardCharsets.ISO_8859_1))
         j += 1
       }
       val key = sb.toString
@@ -194,12 +202,16 @@ object GraftTextStats {
   def tokenTf(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
     val b = s.trim().getBytes
     val (starts, ends) = GraftHashUtil.tokenRanges(b)
+    // keys in ISO-8859-1 (byte-bijective — see ngramStatsRanges: a
+    // UTF-8 decode collapses distinct malformed tokens to one U+FFFD
+    // key) and the EMITTED term rebuilt from the key's raw bytes,
+    // never a UTF-8 re-encode that would rewrite invalid sequences
     val counts = new java.util.LinkedHashMap[String, Long](64)
     var w = 0
     while (w < starts.length) {
       if (ends(w) > starts(w)) { // the declarative form filters '' ≠
         val tok = new String(b, starts(w), ends(w) - starts(w),
-          java.nio.charset.StandardCharsets.UTF_8)
+          java.nio.charset.StandardCharsets.ISO_8859_1)
         counts.merge(tok, 1L, (a, x) => a + x)
       }
       w += 1
@@ -209,7 +221,9 @@ object GraftTextStats {
     var n = 0
     while (it.hasNext) {
       val e = it.next()
-      out(n) = InternalRow(UTF8String.fromString(e.getKey), e.getValue)
+      out(n) = InternalRow(UTF8String.fromBytes(
+        e.getKey.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)),
+        e.getValue)
       n += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
@@ -282,6 +296,14 @@ case class NgramRepetitionStats(child: Expression, k: Int)
 case class RepetitionKeep(child: Expression, maxDup2: Double,
                           maxDup3: Double, maxTopShare: Double)
     extends UnaryExpression with ExpectsInputTypes {
+  // doGenCode interpolates these as Java double literals: a
+  // non-finite value renders as `Infinity`/`NaN`, which Janino
+  // rejects — every stage containing the predicate would fail to
+  // compile. Thresholds are fractions anyway; refuse at construction.
+  require(java.lang.Double.isFinite(maxDup2) &&
+      java.lang.Double.isFinite(maxDup3) &&
+      java.lang.Double.isFinite(maxTopShare),
+    "repetition thresholds must be finite (they are codegen literals)")
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = BooleanType
   override def prettyName: String = "repetition_keep"

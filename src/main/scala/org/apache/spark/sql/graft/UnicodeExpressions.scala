@@ -19,8 +19,19 @@ import org.apache.spark.unsafe.types.UTF8String
 object GraftUnicodeUtil {
   def nfcNormalize(s: UTF8String): UTF8String = {
     val str = s.toString
-    if (java.text.Normalizer.isNormalized(str,
-        java.text.Normalizer.Form.NFC)) s
+    // MALFORMED input must not pick its output by fast-path luck:
+    // toString decodes invalid bytes to U+FFFD, so a composed-é +
+    // stray-0xFF string reads isNormalized=true and returns its RAW
+    // bytes, while the decomposed spelling of the same canonical
+    // text re-encodes through the replacement char — byte-DIFFERENT
+    // outputs for canonically-equal inputs, silently defeating the
+    // hash-keyed dedup this kernel exists to enable. Any decoded
+    // U+FFFD forces the re-encode path, so every spelling of a
+    // malformed string canonicalizes to the same bytes (genuine
+    // U+FFFD text pays only the allocation, never wrong bytes).
+    if (str.indexOf('�') < 0 &&
+        java.text.Normalizer.isNormalized(str,
+          java.text.Normalizer.Form.NFC)) s
     else UTF8String.fromString(
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }

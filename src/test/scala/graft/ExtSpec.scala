@@ -855,6 +855,39 @@ class ExtSpec extends SparkSpec {
     assert(got(1) === Seq.empty)
   }
 
+  test("native text kernels on MALFORMED UTF-8: byte-distinct " +
+      "invalid tokens stay distinct (Latin-1 keying, no U+FFFD " +
+      "collapse), token_tf emits the ORIGINAL bytes, and " +
+      "nfc_normalize canonicalizes both spellings of a malformed " +
+      "string to one byte sequence") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.graft.{GraftTextStats, GraftUnicodeUtil}
+    // two byte-distinct INVALID tokens: 0xFF and 0xFE — a UTF-8
+    // decode reads both as U+FFFD and merges them
+    val doc = UTF8String.fromBytes(
+      Array[Byte](0xFF.toByte, ' ', 0xFE.toByte))
+    val st = GraftTextStats.ngramStats(doc, 1)
+    assert((st.getLong(0), st.getLong(1)) === ((2L, 2L)),
+      "distinct malformed tokens must not collapse to one key")
+    val tf = GraftTextStats.tokenTf(doc)
+    assert(tf.numElements() === 2)
+    val termBytes = (0 until 2).map(i =>
+      tf.getStruct(i, 2).getUTF8String(0).getBytes.toSeq)
+    assert(termBytes.toSet ===
+      Set(Seq(0xFF.toByte), Seq(0xFE.toByte)),
+      "emitted terms must carry the ORIGINAL bytes, not U+FFFD")
+    // nfc_normalize: composed é + stray 0xFF vs decomposed e+combining
+    // acute + the same stray byte — canonically equal text, and the
+    // outputs must be byte-identical (the fast path must not return
+    // raw malformed bytes the slow path would rewrite)
+    val composed = UTF8String.fromBytes(
+      "é".getBytes("UTF-8") :+ 0xFF.toByte)
+    val decomposed = UTF8String.fromBytes(
+      "e\u0301".getBytes("UTF-8") :+ 0xFF.toByte)
+    assert(GraftUnicodeUtil.nfcNormalize(composed).getBytes.toSeq ===
+      GraftUnicodeUtil.nfcNormalize(decomposed).getBytes.toSeq)
+  }
+
   test("native simhash / token_tf / ngram_repetition_stats / " +
       "repetition_keep match their declarative compositions " +
       "(the scaladoc'd parity contracts) on docs and edge strings") {
