@@ -177,6 +177,7 @@ object StreamOps {
         "no signatures and emit no pairs while running healthy")
     import docs.sparkSession.implicits._
     val mask = (1L << bitsPerBand) - 1
+    val sigMask = if (bits >= 64) -1L else (1L << bits) - 1
     val keys = array((0 until bands).map(b =>
       shiftright(col("simhash"), b * bitsPerBand).bitwiseAND(lit(mask))): _*)
     val timeout = ttlTimeout(idleBucketTtl)
@@ -201,10 +202,24 @@ object StreamOps {
               // doc would re-emit its NearDup rows (plus reversed-
               // orientation duplicates against the docs in between),
               // so known docs are skipped whole, making pair output
-              // replay-idempotent like the ewma/funnel twins
+              // replay-idempotent like the ewma/funnel twins — WHILE
+              // the doc remains remembered: a doc evicted by the
+              // maxPerBucket cap (or a TTL-removed bucket) is
+              // forgotten, so an at-least-once redelivery after
+              // eviction re-pairs it (duplicate rows, possibly
+              // reversed orientation). Size the cap to the source's
+              // redelivery horizon if exact once-per-pair matters
               if (!seen.exists(_._1 == d.doc_id)) {
                 seen.foreach { case (id0, sig0) =>
-                  val h = java.lang.Long.bitCount(sig0 ^ d.simhash)
+                  // Hamming over the SIGNATURE bits only (the batch
+                  // twin's hammingDistance(a, b, bits) mask): a
+                  // 64-bit value whose low `bits` match a neighbor
+                  // must not be rejected for garbage above the
+                  // signature — the bands only ever read the low
+                  // bits, so unmasked verification silently loses
+                  // exactly the pairs the blocking found
+                  val h = java.lang.Long.bitCount(
+                    (sig0 ^ d.simhash) & sigMask)
                   if (h <= maxHamming)
                     out += NearDup(d.doc_id, id0, d.band, h)
                 }
@@ -379,6 +394,17 @@ object StreamOps {
     val last = steps.size - 1
     val timeout = ttlTimeout(idleKeyTtl)
     events
+      // NULL guard BEFORE the typed encoder (batch parity + poison
+      // pill): the batch funnel lets a NULL-ts row flow through
+      // harmlessly (when(valid, ts) yields NULL, the windows skip
+      // it), but here micros(e.ts) would NPE, fail the micro-batch,
+      // and checkpoint replay re-hits the same row forever. NULL
+      // key/tie would crash the primitive-field encoder the same
+      // way; the batch op's NULL-key group has no streaming
+      // equivalent (state keys are concrete), a documented
+      // divergence.
+      .filter(col("key").isNotNull && col("ts").isNotNull &&
+        col("tie").isNotNull)
       .select(col("key").cast("long").as("key"), col("ts"),
         col("tie").cast("long").as("tie"), col("etype"))
       .as[FunnelEvent]
@@ -588,6 +614,15 @@ object StreamOps {
     import events.sparkSession.implicits._
     val timeout = ttlTimeout(idleKeyTtl)
     events
+      // the batch twin's documented policy (ewmaFixed filters NULL
+      // ts/value before the fold) — and a poison-pill guard: a NULL
+      // in any of these hits SeriesEvent's primitive fields (encoder
+      // error) or micros() (NPE), failing every replay of the same
+      // checkpointed offsets. NULL keys are dropped too (state keys
+      // are concrete — the batch NULL-key group has no streaming
+      // equivalent; documented divergence).
+      .filter(col("key").isNotNull && col("ts").isNotNull &&
+        col("tie").isNotNull && col("value").isNotNull)
       .select(col("key").cast("long").as("key"), col("ts"),
         col("tie").cast("long").as("tie"),
         col("value").cast("double").as("value"))
@@ -656,6 +691,11 @@ object StreamOps {
     import events.sparkSession.implicits._
     val timeout = ttlTimeout(idleKeyTtl)
     events
+      // same NULL policy + poison-pill guard as ewmaStream (the
+      // batch linearTrendMicro filters NULL ts/value so n describes
+      // the rows the moments summed)
+      .filter(col("key").isNotNull && col("ts").isNotNull &&
+        col("tie").isNotNull && col("value").isNotNull)
       .select(col("key").cast("long").as("key"), col("ts"),
         col("tie").cast("long").as("tie"),
         col("value").cast("double").as("value"))
@@ -742,7 +782,13 @@ object StreamOps {
   def ohlcStream(events: DataFrame, watermark: String,
                  bucket: String): DataFrame =
     graft.ext.TimeSeries.requireIntegralTie(
-      events.withWatermark("ts", watermark)
+      events
+        // batch parity (ohlcBars drops NULL ts/value): unfiltered, a
+        // NULL value makes a half-populated bar (open/close NULL via
+        // the skipped packed order, volume real) and a NULL ts makes
+        // a NULL-window group append mode can never finalize
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .withWatermark("ts", watermark)
         .withColumn("__tie", col("tie")), "StreamOps.ohlcStream")
       .select(col("key"), window(col("ts"), bucket).as("__w"),
         graft.ext.TimeSeries.microValue.as("__v"),

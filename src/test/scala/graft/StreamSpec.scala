@@ -144,6 +144,61 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("simhashNearDupCandidates masks Hamming to the SIGNATURE " +
+      "bits: garbage above bit 60 must not reject a pair the bands " +
+      "found (batch hammingDistance(a, b, bits) parity)") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val q = StreamOps.simhashNearDupCandidates(
+      in.toDF().toDF("doc_id", "simhash"))
+      .writeStream.format("memory").queryName("neardup_mask_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val sig = 0x0123456789ABCL & ((1L << 60) - 1)
+      // doc 2 carries the identical low-60 signature with all four
+      // top bits set: unmasked XOR reads hamming 4 > maxHamming 3
+      // and silently drops the strongest possible near-dup
+      in.addData((1L, sig))
+      q.processAllAvailable()
+      in.addData((2L, sig | (0xFL << 60)))
+      q.processAllAvailable()
+      val got = spark.table("neardup_mask_out")
+        .as[StreamOps.NearDup].collect()
+      assert(got.nonEmpty, "identical-signature pair lost to unmasked bits")
+      assert(got.forall(d => d.hamming == 0))
+      assert(got.map(_.band).toSet === Set(0, 1, 2, 3))
+    } finally q.stop()
+  }
+
+  test("ewmaStream drops NULL key/ts/value events (the batch " +
+      "ewmaFixed policy) instead of poison-pilling the query on the " +
+      "typed encoder") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Option[Long], Option[Timestamp],
+      Option[Long], Option[Double])]
+    val q = StreamOps.ewmaStream(
+      in.toDF().toDF("key", "ts", "tie", "value"))
+      .writeStream.format("memory").queryName("ewma_null_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+      val t1 = Timestamp.valueOf("2024-01-01 00:01:00")
+      val t2 = Timestamp.valueOf("2024-01-01 00:02:00")
+      in.addData(
+        (Some(1L), Some(t0), Some(1L), Some(4.0)),
+        (Some(1L), Some(t1), Some(2L), None),        // NULL value
+        (None, Some(t1), Some(3L), Some(9.0)),       // NULL key
+        (Some(1L), None, Some(4L), Some(9.0)),       // NULL ts
+        (Some(1L), Some(t2), Some(5L), Some(2.0)))
+      q.processAllAvailable()
+      val got = spark.table("ewma_null_out")
+        .as[StreamOps.EwmaPoint].collect().sortBy(_.n_events)
+      // fold over [4.0, 2.0] only: 4e6 then (4e6 + 2e6) div 2 = 3e6
+      assert(got.map(p => (p.n_events, p.ewma_micros)).toSeq ===
+        Seq((1L, 4000000L), (2L, 3000000L)))
+    } finally q.stop()
+  }
+
   test("aHash/audio streaming twins: banded near-dup over binary " +
     "signatures matches the batch pass, across micro-batches") {
     implicit val sq = spark.sqlContext
