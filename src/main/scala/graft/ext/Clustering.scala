@@ -45,6 +45,20 @@ object Clustering {
     * the corpus exchange too needs a native argmax-over-centroids
     * kernel, not a lambda.
     */
+  /** The argmax tie-break negates the centroid id, so ids must be
+    * integral — the [[Similarity.requireNumericCentroidIds]] contract
+    * applied at this family's entry points: a string id would cast to
+    * NULL (non-deterministic ties) or throw under ANSI.
+    */
+  private def requireIntegralId(df: DataFrame): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema("__id").dataType
+    require(dt == ByteType || dt == ShortType || dt == IntegerType ||
+        dt == LongType,
+      s"k-means ids must be an integral type (the assignment " +
+        s"tie-break negates the centroid id), got $dt")
+  }
+
   private def assignNearest(pts: DataFrame, cent: DataFrame): DataFrame =
     // zero-norm centroids are DROPPED before the cosine (the
     // Similarity discipline): cosine(x, 0-vec) is 0/0 = NaN, and NaN
@@ -52,8 +66,18 @@ object Clustering {
     // embedding among the seeds would capture the whole corpus,
     // collapsing k-means to a single cluster and the within-cluster
     // self-joins downstream (semanticDedup) to C(n,2)
-    pts.crossJoin(broadcast(cent.filter(Similarity.norm(col("__cv")) > 0)))
-      .withColumn("__cos", Similarity.cosine(col("__v"), col("__cv")))
+    // norms HOISTED below the join (the Similarity.exactTopK idiom):
+    // each is an O(dims) fold, so computing them inside cosine() per
+    // (point, centroid) pair would pay 2·n·k folds where n + k
+    // suffice — the point norm once per row pre-join, the centroid
+    // norm once per row pre-broadcast
+    pts.withColumn("__pn", Similarity.norm(col("__v")))
+      .crossJoin(broadcast(
+        cent.filter(Similarity.norm(col("__cv")) > 0)
+          .withColumn("__cn", Similarity.norm(col("__cv")))))
+      .withColumn("__cos",
+        Similarity.dot(col("__v"), col("__cv")) /
+          (col("__pn") * col("__cn")))
       .groupBy("__id")
       .agg(max_by(struct(col("__cid"), col("__v")),
         struct(col("__cos"), -col("__cid"))).as("__a"))
@@ -75,6 +99,11 @@ object Clustering {
   /** Cluster assignments (id, cid) after `iters` Lloyd iterations.
     * Clusters that lose all members simply stop existing (standard
     * Lloyd-with-drop semantics).
+    *
+    * PRECONDITION (the Sampling id contract): `id` must be unique per
+    * row — the assignment argmax groups by it, so a duplicated id's
+    * rows collapse to ONE (id, vec, cid) row and the duplicate's
+    * vector silently leaves the centroid update. Dedup upstream.
     */
   def kmeansAssign(df: DataFrame, id: Column, vec: Column, k: Int,
                    iters: Int = 2): DataFrame = {
@@ -82,9 +111,16 @@ object Clustering {
     // zero-norm POINTS drop like everywhere in Similarity: a failed
     // embedding has no angle to cluster by (its cosine is 0/0 — an
     // ANSI-mode divide error, a NaN otherwise), and as a seed it
-    // would NaN-capture the corpus into one cluster
-    val pts = df.select(id.as("__id"), vec.as("__v"))
-      .filter(Similarity.norm(col("__v")) > 0)
+    // would NaN-capture the corpus into one cluster. The seed cut is
+    // FILTER-then-limit (the round-14 decision, pinned by the
+    // zero-norm-survival spec): k REAL seeds, never a k reduced by
+    // garbage rows — the emb_kmeans oracle mirrors this order. (The
+    // IVF family's seedCentroids deliberately differs — limit first,
+    // mirroring FAISS's take-the-first-vectors init — each family is
+    // internally consistent with its own oracle.)
+    val all = df.select(id.as("__id"), vec.as("__v"))
+    requireIntegralId(all)
+    val pts = all.filter(Similarity.norm(col("__v")) > 0)
     val cent0 = pts.orderBy(col("__id")).limit(k)
       .select(col("__id").as("__cid"), col("__v").as("__cv"))
     var assigned = assignNearest(pts, cent0)
@@ -104,11 +140,12 @@ object Clustering {
   def kmeansCentroids(df: DataFrame, id: Column, vec: Column, k: Int,
                       iters: Int = 2): DataFrame = {
     require(iters >= 1, "kmeansCentroids needs at least one iteration")
-    // zero-norm points drop EXACTLY as in kmeansAssign — the seed cut
-    // (first-k by id) must be taken over the same filtered corpus, or
-    // the two entry points train different models from the same data
-    val pts = df.select(id.as("__id"), vec.as("__v"))
-      .filter(Similarity.norm(col("__v")) > 0)
+    // seed cut and point filter EXACTLY as in kmeansAssign (the two
+    // entry points must train the same model from the same data):
+    // filter-then-limit seeds over the same filtered corpus
+    val all = df.select(id.as("__id"), vec.as("__v"))
+    requireIntegralId(all)
+    val pts = all.filter(Similarity.norm(col("__v")) > 0)
     var cent = pts.orderBy(col("__id")).limit(k)
       .select(col("__id").as("__cid"), col("__v").as("__cv"))
     for (_ <- 2 to iters)
@@ -126,10 +163,13 @@ object Clustering {
     // the same zero-norm point drop as kmeansAssign — without it a
     // failed embedding scores NaN against every centroid and emits a
     // tie-dependent label row kmeansAssign would never produce
-    assignNearest(df.select(id.as("__id"), vec.as("__v"))
-        .filter(Similarity.norm(col("__v")) > 0),
-      cent.select(col("cid").as("__cid"), col("cv").as("__cv")))
-      .select(col("__id").as("id"), col("__cid").as("cid"))
+    {
+      val all = df.select(id.as("__id"), vec.as("__v"))
+      requireIntegralId(all)
+      assignNearest(all.filter(Similarity.norm(col("__v")) > 0),
+        cent.select(col("cid").as("__cid"), col("cv").as("__cv")))
+        .select(col("__id").as("id"), col("__cid").as("cid"))
+    }
 
   /** SIMPLIFIED (centroid-based) silhouette — the linear-time cluster
     * quality metric (per point: a = cosine distance to its own

@@ -65,6 +65,12 @@ object EventWindows {
     // consumer reuses it (pinned in PlanSpec)
     val act = events
       .select(user.as("user_id"), date_trunc("week", ts).as("w"))
+      // NULL-ts events have no week and NULL-user events no cohort
+      // identity: unfiltered they emit phantom (cohort, NULL) and
+      // (NULL, NULL) matrix buckets no calendar week ever produced,
+      // and the NULL-user rows would cohort unrelated anonymous
+      // events together
+      .filter(col("user_id").isNotNull && col("w").isNotNull)
       .repartition(col("user_id"))
       .distinct()
     val cohort = act.groupBy("user_id").agg(min("w").as("cw"))
@@ -111,6 +117,12 @@ object EventWindows {
       "repeated step names make the greedy chain ambiguous")
     val base = events.select(key.as("key"), ts.as("ts"), tie.as("tie"),
       eventType.as("__etype"))
+      // NULL keys are not ONE entity: Window.partitionBy groups every
+      // null-key row into a single partition, chaining events from
+      // unrelated anonymous users into funnels none of them completed
+      // (the asofJoin null-key fence, applied here). NULL ts has no
+      // event-time position in the chain and drops with it.
+      .filter(col("key").isNotNull && col("ts").isNotNull)
     // strictly-preceding frame: a step cannot match itself, and
     // equal-ts rows resolve by the tie order
     val w = Window.partitionBy("key").orderBy(col("ts"), col("tie"))
@@ -171,10 +183,30 @@ object EventWindows {
     val p = points.withColumn("__bucket", bucketOf(col(ts)))
     // a malformed interval (end < start, e.g. swapped columns) must
     // match nothing — unfiltered it would make sequence() throw
-    // "Illegal sequence boundaries" and kill the whole job on one row
+    // "Illegal sequence boundaries" and kill the whole job on one row.
+    // A legitimate-looking SENTINEL interval (end = 9999-12-31) is the
+    // same hazard one step later: its bucket sequence is ~10^9
+    // elements, which sequence() rejects ("Too long sequence") or a
+    // task OOMs materializing — so an over-long interval fails LOUD,
+    // per row, naming the fix (raise bucketSeconds or clamp the ends)
+    // instead of dying three frames deep in sequence()
+    val maxBuckets = 4 << 20
+    // the guard flows THROUGH the sequence's upper bound so it cannot
+    // be pruned: the end bucket is only produced once the span check
+    // passed
+    val endBucket = when(
+      (unix_micros(col(end)) - unix_micros(col(start))) / b
+        >= maxBuckets,
+      raise_error(concat(
+        lit(s"EventWindows.rangeJoin: an interval spans more than " +
+          s"$maxBuckets buckets at bucketSeconds=$bucketSeconds ("),
+        col(start).cast("string"), lit(" .. "),
+        col(end).cast("string"),
+        lit(") — raise bucketSeconds or clamp sentinel end dates"))))
+      .otherwise(bucketOf(col(end)))
     val i = intervals.filter(col(end) >= col(start))
       .withColumn("__bucket",
-        explode(sequence(bucketOf(col(start)), bucketOf(col(end)), b)))
+        explode(sequence(bucketOf(col(start)), endBucket, b)))
     p.join(i, Seq(key, "__bucket"))
       .filter(col(ts) >= col(start) && col(ts) < col(end))
       .drop("__bucket")
@@ -248,6 +280,14 @@ object EventWindows {
   def asofJoinTolerance(left: DataFrame, right: DataFrame, key: String,
                         ts: String, payloadCols: Seq[String],
                         toleranceSeconds: Long): DataFrame = {
+    // the micros conversion must not overflow (a near-Long.MaxValue
+    // "effectively unbounded" tolerance would wrap NEGATIVE and
+    // silently null every asof column — the opposite intent), and a
+    // negative tolerance is a caller bug, not an empty-match request
+    require(toleranceSeconds >= 0 &&
+      toleranceSeconds <= Long.MaxValue / 1000000L,
+      s"toleranceSeconds ($toleranceSeconds) must be in " +
+        "[0, Long.MaxValue/1e6] — for no bound use asofJoin directly")
     val asofCols = s"asof_$ts" +: payloadCols.map("asof_" + _)
     val within = col(s"asof_$ts").isNotNull &&
       unix_micros(col(ts)) - unix_micros(col(s"asof_$ts")) <=

@@ -160,7 +160,14 @@ object Sampling {
 
   def domainMixSample(df: DataFrame, id: Column, stratum: Column,
                       targetShares: Seq[(String, Double)],
-                      defaultShare: Double, salt: String): DataFrame =
+                      defaultShare: Double, salt: String): DataFrame = {
+    // duplicate stratum names: the when-chain fold makes the LAST
+    // entry win silently, so a copy-pasted recipe line would thin a
+    // stratum at the wrong share with no signal (the tokenBudgetMix
+    // duplicate-source guard, applied to shares)
+    require(targetShares.map(_._1).distinct.length == targetShares.length,
+      "duplicate stratum names in targetShares: the last entry would " +
+        "silently override the first")
     rateThinned(df, id, stratum, salt) {
       val share = targetShares.foldLeft(lit(defaultShare): Column) {
         case (acc, (s, w)) => when(col("__st") === s, lit(w)).otherwise(acc)
@@ -168,6 +175,7 @@ object Sampling {
       least(lit(1.0),
         share * col("__total").cast("double") / col("__n").cast("double"))
     }
+  }
 
   /** Temperature-flattened domain resampling (the multilingual mixing
     * rule of mT5/XLM-R at α = 1/2): keep rate per stratum
@@ -288,7 +296,20 @@ object Sampling {
         expr(s"cast($budgetTokens as decimal(38,0)) * __wppm div 1000000")
           .as("__target"), col("__avail"))
       .select(col("source"),
-        expr("__target div __avail").cast("long").as("__epochs"),
+        // a weighted source with ZERO available tokens cannot meet
+        // any share: silently it would NULL its epochs (every doc
+        // filtered, the source's budget share evaporating from the
+        // recipe with no signal) and under ANSI it is a mid-job
+        // DIVIDE_BY_ZERO — fail loudly naming the source instead
+        when(col("__avail").isNull || col("__avail") <= 0,
+          raise_error(concat(
+            lit("Sampling.tokenBudgetMix: weighted source "),
+            col("source"),
+            lit(" has no available tokens (sum(n_tokens) is 0 or " +
+              "NULL) — drop it from weightsPpm or fix the token " +
+              "counts"))))
+          .otherwise(expr("__target div __avail"))
+          .cast("long").as("__epochs"),
         // remainder·10⁶ in decimal: at 10¹³ available tokens per
         // source the long product would overflow
         expr("((cast(__target as decimal(38,0)) % __avail) " +

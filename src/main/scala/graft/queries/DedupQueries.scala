@@ -394,7 +394,9 @@ private[queries] object DedupQueries {
     // similarity join and the keep-min anti join mirror semanticDedup
     "dedup_semantic" ->
       (s"""WITH cent0 AS (SELECT vec_id AS cid, embedding AS cv
-        |              FROM embeddings ORDER BY vec_id LIMIT 8),
+        |              FROM embeddings
+        |              WHERE (${normSql("embedding")}) > 0
+        |              ORDER BY vec_id LIMIT 8),
         |a1 AS (
         |  SELECT e.vec_id, e.embedding AS ev, c.cid
         |  FROM embeddings e CROSS JOIN cent0 c

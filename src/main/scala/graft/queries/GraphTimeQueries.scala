@@ -1144,7 +1144,8 @@ private[queries] object GraphTimeQueries {
     "ew_retention" ->
       (s"""WITH $evtCte,
         |act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w
-        |        FROM evts),
+        |        FROM evts
+        |        WHERE user_id IS NOT NULL AND ts IS NOT NULL),
         |coh AS (SELECT user_id, min(w) AS cw FROM act GROUP BY 1)
         |SELECT cw AS cohort_week,
         |  date_diff('day', CAST(cw AS DATE), CAST(w AS DATE)) // 7
@@ -1163,7 +1164,8 @@ private[queries] object GraphTimeQueries {
         |         max(CASE WHEN event_type = 'signup' THEN ts END) OVER
         |           (PARTITION BY user_id ORDER BY ts, event_id
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS c0
-        |       FROM evts),
+        |       FROM evts
+        |       WHERE user_id IS NOT NULL AND ts IS NOT NULL),
         |l2 AS (SELECT *,
         |         max(CASE WHEN event_type = 'click' AND c0 IS NOT NULL
         |                   AND ts <= c0 + INTERVAL '1 day' THEN ts END) OVER

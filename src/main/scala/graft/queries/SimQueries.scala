@@ -335,10 +335,10 @@ private[queries] object SimQueries {
     // (exact BIGINT sums) is what makes the float-free parts exact and
     // the cosine folds bit-identical to the Spark side
     "emb_kmeans" ->
-      (s"""WITH cent0 AS (SELECT cid, cv FROM (
-        |                SELECT vec_id AS cid, embedding AS cv
-        |                FROM embeddings ORDER BY vec_id LIMIT 8)
-        |              WHERE (${normSql("cv")}) > 0),
+      (s"""WITH cent0 AS (SELECT vec_id AS cid, embedding AS cv
+        |                FROM embeddings
+        |                WHERE (${normSql("embedding")}) > 0
+        |                ORDER BY vec_id LIMIT 8),
         |a1 AS (
         |  SELECT e.vec_id, e.embedding AS ev, c.cid
         |  FROM embeddings e CROSS JOIN cent0 c
@@ -371,10 +371,10 @@ private[queries] object SimQueries {
     // cosine, other = the best remaining (both from the same ranked
     // pass), s floor-quantized to micro-units
     "emb_silhouette" ->
-      (s"""WITH cent0 AS (SELECT cid, cv FROM (
-        |                SELECT vec_id AS cid, embedding AS cv
-        |                FROM embeddings ORDER BY vec_id LIMIT 8)
-        |              WHERE (${normSql("cv")}) > 0),
+      (s"""WITH cent0 AS (SELECT vec_id AS cid, embedding AS cv
+        |                FROM embeddings
+        |                WHERE (${normSql("embedding")}) > 0
+        |                ORDER BY vec_id LIMIT 8),
         |a1 AS (
         |  SELECT e.vec_id, e.embedding AS ev, c.cid
         |  FROM embeddings e CROSS JOIN cent0 c

@@ -2909,6 +2909,26 @@ class ExtSpec extends SparkSpec {
       extensible(subCode = 1, guidTailByte = 0x72)).isEmpty)
   }
 
+  test("tokenBudgetMix fails LOUD on a weighted source with zero " +
+      "available tokens; domainMixSample refuses duplicate stratum " +
+      "shares (the last-wins silent override)") {
+    val df = Seq((1L, "a", 10L), (2L, "b", 0L))
+      .toDF("doc_id", "src", "toks")
+    val ex = intercept[Exception] {
+      Sampling.tokenBudgetMix(df, $"doc_id", $"src", $"toks",
+        Seq("a" -> 500000L, "b" -> 500000L), budgetTokens = 100L,
+        salt = "t:").collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(ex).exists(t => t.getMessage != null &&
+      t.getMessage.contains("tokenBudgetMix")), s"got: $ex")
+    intercept[IllegalArgumentException] {
+      Sampling.domainMixSample(df, $"doc_id", $"src",
+        Seq("a" -> 0.3, "a" -> 0.1), defaultShare = 1.0, salt = "d:")
+    }
+  }
+
   test("tokenBudgetMix: whole epochs when the share exceeds the " +
     "corpus, hash lottery for the remainder, unlisted sources drop") {
     // web: 100 tokens available, target 50% of 1000 = 500 →
@@ -3240,6 +3260,28 @@ class ExtSpec extends SparkSpec {
     assert(got === Map(
       ("2024-01-01", 0L) -> 2L, ("2024-01-01", 1L) -> 1L,
       ("2024-01-01", 2L) -> 2L, ("2024-01-08", 0L) -> 1L))
+  }
+
+  test("retention/funnel NULL fences: NULL-ts events emit no phantom " +
+      "matrix bucket, and NULL-key events never chain into a false " +
+      "conversion (anonymous rows are not one entity)") {
+    val evs = Seq(
+      (Some(1L), Some(ts("2024-01-01 10:00:00"))),
+      (Some(1L), Option.empty[java.sql.Timestamp]), // NULL ts
+      (Option.empty[Long], Some(ts("2024-01-02 10:00:00")))) // NULL user
+      .toDF("user_id", "ts")
+    val got = EventWindows.retention(evs, $"user_id", $"ts")
+      .as[(java.sql.Timestamp, Long, Long)].collect()
+    assert(got.toSeq === Seq((ts("2024-01-01 00:00:00"), 0L, 1L)))
+    // three ANONYMOUS users' steps must not assemble into a funnel
+    val f = Seq(
+      (Option.empty[Long], ts("2024-01-01 10:00:00"), 1L, "signup"),
+      (Option.empty[Long], ts("2024-01-01 10:05:00"), 2L, "click"),
+      (Option.empty[Long], ts("2024-01-01 10:10:00"), 3L, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    assert(EventWindows.funnel(f, $"user_id", $"ts", $"event_id",
+      $"event_type", Seq("signup", "click", "purchase"), "1 day")
+      .isEmpty)
   }
 
   test("funnel: ordered chain within per-gap windows; wrong order, " +
@@ -3862,6 +3904,31 @@ class ExtSpec extends SparkSpec {
     assert(pairs === Set((0L, 1L)))
   }
 
+  test("rangeJoin fails LOUD on a sentinel-length interval (the " +
+      "bucket sequence would exceed the per-row cap) and " +
+      "asofJoinTolerance refuses negative/overflowing tolerances") {
+    val points = Seq((1L, ts("2024-01-01 00:00:00")))
+      .toDF("k", "ts")
+    val sentinel = Seq((1L, ts("2024-01-01 00:00:00"),
+      ts("9999-12-31 00:00:00"))).toDF("k", "s", "e")
+    val ex = intercept[Exception] {
+      EventWindows.rangeJoin(points, sentinel, "k", "ts", "s", "e",
+        bucketSeconds = 60).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(ex).exists(t => t.getMessage != null &&
+      t.getMessage.contains("rangeJoin")), s"got: $ex")
+    intercept[IllegalArgumentException] {
+      EventWindows.asofJoinTolerance(points, points, "k", "ts",
+        Nil, toleranceSeconds = -1L)
+    }
+    intercept[IllegalArgumentException] {
+      EventWindows.asofJoinTolerance(points, points, "k", "ts",
+        Nil, toleranceSeconds = Long.MaxValue / 1000L)
+    }
+  }
+
   test("rangeJoin matches the range predicate across bucket boundaries") {
     val points = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1L),  // == start -> in
@@ -4072,6 +4139,37 @@ class ExtSpec extends SparkSpec {
   }
 
   // -- K-means ---------------------------------------------------------
+
+  test("kmeans seed cut is FILTER-then-limit (the round-14 decision, " +
+      "mirrored by the emb_kmeans oracle): a zero-norm vector among " +
+      "the k smallest ids yields k REAL seeds from the next ids, " +
+      "never a reduced seed set; non-integral ids refuse loudly") {
+    // ids 0..5; id 1 is a zero-norm failure artifact. The filtered
+    // corpus's first 3 ids are {0,2,3} — k real seeds. (The IVF
+    // family's seedCentroids deliberately cuts limit-first; each
+    // family matches its own oracle.)
+    val pts = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0f, 0f)), (2L, Seq(0f, 1f)),
+      (3L, Seq(1f, 1f)), (4L, Seq(0.9f, 0.1f)), (5L, Seq(0.1f, 0.9f)))
+      .toDF("id", "v")
+    val cents = Clustering.kmeansCentroids(pts, $"id", $"v", k = 3,
+      iters = 1).as[(Long, Seq[Double])].collect().map(_._1).toSet
+    assert(cents === Set(0L, 2L, 3L),
+      s"seed ids should be filter-then-limit {0,2,3}, got $cents")
+    // the assignment entry point trains the same model
+    val labels = Clustering.kmeansAssign(pts, $"id", $"v", k = 3,
+      iters = 1).as[(Long, Long)].collect().toMap
+    assert(labels.values.toSet.subsetOf(Set(0L, 2L, 3L)))
+    // the zero-norm POINT drops from assignments (no angle)
+    assert(!labels.contains(1L))
+    // non-integral ids refuse loudly (the -cid tie-break contract)
+    val e = intercept[IllegalArgumentException] {
+      Clustering.kmeansAssign(
+        pts.select(concat(lit("d"), $"id").as("id"), $"v"),
+        $"id", $"v", k = 2)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
 
   test("kmeans, count-min, and sampling are partitioning-invariant") {
     // the reproducibility claims are about ORDER-independence: results
