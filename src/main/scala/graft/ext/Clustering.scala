@@ -50,12 +50,13 @@ object Clustering {
     * applied at this family's entry points: a string id would cast to
     * NULL (non-deterministic ties) or throw under ANSI.
     */
-  private def requireIntegralId(df: DataFrame): Unit = {
+  private def requireIntegralId(df: DataFrame, colName: String = "__id",
+                                what: String = "point"): Unit = {
     import org.apache.spark.sql.types._
-    val dt = df.schema("__id").dataType
+    val dt = df.schema(colName).dataType
     require(dt == ByteType || dt == ShortType || dt == IntegerType ||
         dt == LongType,
-      s"k-means ids must be an integral type (the assignment " +
+      s"k-means $what ids must be an integral type (the assignment " +
         s"tie-break negates the centroid id), got $dt")
   }
 
@@ -166,8 +167,13 @@ object Clustering {
     {
       val all = df.select(id.as("__id"), vec.as("__v"))
       requireIntegralId(all)
-      assignNearest(all.filter(Similarity.norm(col("__v")) > 0),
-        cent.select(col("cid").as("__cid"), col("cv").as("__cv")))
+      // the CENTROID table is caller-supplied too — a string cid hits
+      // the same negated-tie-break failure the point guard documents
+      // (NULL under non-ANSI → non-deterministic ties, throw under
+      // ANSI), so both sides of the argmax are validated
+      val c = cent.select(col("cid").as("__cid"), col("cv").as("__cv"))
+      requireIntegralId(c, "__cid", "centroid")
+      assignNearest(all.filter(Similarity.norm(col("__v")) > 0), c)
         .select(col("__id").as("id"), col("__cid").as("cid"))
     }
 
@@ -206,6 +212,9 @@ object Clustering {
       .filter(Similarity.norm(col("__v")) > 0)
     val cent = centIn.select(col("cid").as("__cid"), col("cv").as("__cv"))
       .filter(Similarity.norm(col("__cv")) > 0)
+    // the ranked sort-struct negates __cid exactly like assignNearest
+    // — a caller-supplied string cid must fail here, not mid-job
+    requireIntegralId(cent, "__cid", "centroid")
     val ranked = pts.crossJoin(broadcast(
         cent.select(col("__cid"), col("__cv"))))
       .withColumn("__cos", Similarity.cosine(col("__v"), col("__cv")))

@@ -230,13 +230,12 @@ object TimeSeries {
     // TRUNCATE sub-second negatives toward zero before the bucket
     // floor even runs.
     val bucketMicros = bucketSeconds * 1000000L
-    events
-      // NULL-ts/NULL-value events do not participate (the
-      // ewmaFixed/resampleLocf policy): a NULL ts would emit a
-      // NULL-bucket bar whose open/close read NULL (min_by/max_by
-      // skip the NULL packed order) while high/low/volume stay real
-      // — a half-populated row no engine agrees on — and a NULL
-      // value would poison volume_micros relative to n
+    // NULL-ts/NULL-value events do not participate (the
+    // ewmaFixed/resampleLocf policy): a NULL ts would emit a
+    // NULL-bucket bar whose open/close read NULL (min_by/max_by
+    // skip the NULL packed order) while high/low/volume stay real
+    // — a half-populated row no engine agrees on — and a NULL
+    // value would poison volume_micros relative to n
     requireIntegralTie(
       events
         .filter(col("ts").isNotNull && col("value").isNotNull)

@@ -61,10 +61,30 @@ private[sources] object Staging {
     Option(root.listFiles()).getOrElse(Array.empty).foreach { f =>
       f.getName match {
         case TmpName(pid) =>
-          val alive = scala.util.Try(
-            ProcessHandle.of(pid.toLong)
-              .map[Boolean](_.isAlive).orElse(false)
-          ).getOrElse(false)
+          // pid RECYCLING: isAlive matches ANY live process with that
+          // pid, so a remnant whose pid was reused by an unrelated
+          // long-lived process would never be reclaimed. The writer
+          // necessarily STARTED before it created the tmp dir, and a
+          // directory's mtime only moves when entries are added — so
+          // a live writer always has startInstant ≤ dir mtime, and a
+          // process whose start is clearly AFTER the dir's last entry
+          // change is a recycler, not the writer (2 s margin covers
+          // fs timestamp granularity and clock steps). When the
+          // platform exposes no start time, fall back to age: a tmp
+          // dir untouched for 24 h outlives any publish this
+          // single-host protocol runs.
+          val alive = scala.util.Try {
+            ProcessHandle.of(pid.toLong).map[Boolean] { h =>
+              h.isAlive && {
+                val start = h.info().startInstant()
+                if (start.isPresent)
+                  start.get.toEpochMilli <= f.lastModified() + 2000L
+                else
+                  System.currentTimeMillis() - f.lastModified() <
+                    24L * 3600 * 1000
+              }
+            }.orElse(false)
+          }.getOrElse(false)
           if (!alive) deleteTree(f)
         case _ => ()
       }

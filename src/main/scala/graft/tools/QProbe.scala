@@ -19,10 +19,13 @@ object QProbe {
       System.setProperty("graft.stage.dir", s"target/stages/$sfName")
     // MUST mirror graft.Bench's session config — probe timings exist
     // to approximate the official figures; a drifted partitions
-    // count or timezone silently makes them non-comparable
+    // count or timezone silently makes them non-comparable. The
+    // thread count comes from Bench's OWN derivation (not a literal)
+    // so the two can never drift apart.
+    val cpus = graft.Bench.cpus
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

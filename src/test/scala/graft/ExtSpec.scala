@@ -4328,6 +4328,26 @@ class ExtSpec extends SparkSpec {
     assert(!staged.contains(0L), "zero-norm point must emit no label")
   }
 
+  test("kmeansAssignWith / silhouetteWith reject a non-integral " +
+      "centroid id at construction (the negated tie-break would " +
+      "cast it to NULL mid-job)") {
+    // round-15 ADVICE: only the POINTS' id was validated — a string
+    // cid in the caller-supplied centroid table still hit the exact
+    // failure the guard documents (NULL ties under non-ANSI, a
+    // mid-job throw under ANSI)
+    val pts = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f))).toDF("id", "v")
+    val badCent = Seq(("a", Seq(1f, 0f)), ("b", Seq(0f, 1f)))
+      .toDF("cid", "cv")
+    val e1 = intercept[IllegalArgumentException] {
+      Clustering.kmeansAssignWith(pts, $"id", $"v", badCent)
+    }
+    assert(e1.getMessage.contains("centroid"))
+    val e2 = intercept[IllegalArgumentException] {
+      Clustering.silhouetteWith(pts, $"id", $"v", badCent)
+    }
+    assert(e2.getMessage.contains("centroid"))
+  }
+
   test("benfordProfile: int columns don't wrap, and absent digits " +
       "report dev_ppm = benford_ppm instead of vanishing") {
     import graft.ext.Profiling

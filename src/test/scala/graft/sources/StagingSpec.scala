@@ -70,6 +70,29 @@ class StagingSpec extends AnyFunSuite {
       "post-publish crash remnant leaked behind the fast path")
   }
 
+  test("pid-recycled remnant: a tmp dir whose last write predates " +
+      "its pid's process START is reclaimed despite the pid being " +
+      "alive (round-15 ADVICE: isAlive matches ANY process with " +
+      "that pid)") {
+    val root = freshRoot("recycle")
+    val self = ProcessHandle.current()
+    val start = self.info().startInstant()
+    assume(start.isPresent, "platform exposes no process start time")
+    // a remnant attributed to OUR (live) pid, but last modified an
+    // hour before this JVM started — only a dead prior owner of the
+    // recycled pid can have written it
+    val recycled = new File(root, s".t__fpbeef.tmp-${self.pid()}-7")
+    recycled.mkdirs()
+    assert(recycled.setLastModified(
+      start.get.toEpochMilli - 3600L * 1000))
+    Staging.publishOnce(root.toString, "t", 0xbeefL, "spec") { tmp =>
+      java.nio.file.Files.write(new File(tmp, "data").toPath,
+        "x".getBytes("UTF-8")): Unit
+    }
+    assert(!recycled.exists(),
+      "recycled-pid remnant must be reclaimed, not leak forever")
+  }
+
   test("unmarked same-name dir (crash in the rename->marker window) " +
       "is replaced, not a permanent wedge") {
     val root = freshRoot("unmarked")
