@@ -19,12 +19,27 @@ object Layout {
     * 32-term integer expression — pure WholeStageCodegen arithmetic
     * (no higher-order function, which would run interpreted), spelled
     * identically in any SQL engine.
+    *
+    * Out-of-range coordinates FAIL LOUDLY (the [[hilbert]] /
+    * HilbertIndex contract): a negative input's arithmetic `% 2`
+    * yields −1 terms and a >16-bit input silently drops its high
+    * bits — either way the key no longer clusters what the caller
+    * thinks it does, and a wrong LAYOUT key corrupts every scan's
+    * pruning downstream with no error anywhere. Clamp or rescale
+    * upstream (the layout queries pmod into range).
     */
-  def zorder16(x: Column, y: Column): Column =
-    (0 until 16).map { j =>
-      (shiftright(x.cast("long"), j) % 2) * lit(1L << (2 * j)) +
-        (shiftright(y.cast("long"), j) % 2) * lit(1L << (2 * j + 1))
+  def zorder16(x: Column, y: Column): Column = {
+    val (xl, yl) = (x.cast("long"), y.cast("long"))
+    val key = (0 until 16).map { j =>
+      (shiftright(xl, j) % 2) * lit(1L << (2 * j)) +
+        (shiftright(yl, j) % 2) * lit(1L << (2 * j + 1))
     }.reduce(_ + _)
+    when(xl < 0 || xl > 65535 || yl < 0 || yl > 65535,
+      raise_error(concat(lit("zorder16: coordinate ("),
+        xl.cast("string"), lit(", "), yl.cast("string"),
+        lit(") outside [0, 65536) — clamp or rescale upstream"))))
+      .otherwise(key)
+  }
 
   /** The matching SQL text (DuckDB/ANSI) for oracle mirroring. */
   def zorder16Sql(x: String, y: String): String =

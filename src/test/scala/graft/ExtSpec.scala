@@ -3127,6 +3127,27 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("zorder16: bit-exact interleave in range, LOUD failure on " +
+    "negative or >16-bit coordinates (the HilbertIndex contract)") {
+    // in-range: the key is the standard Morton interleave
+    val got = Seq((3L, 5L), (0L, 0L), (65535L, 65535L)).toDF("x", "y")
+      .select(Layout.zorder16($"x", $"y")).as[Long].collect()
+    def morton(x: Long, y: Long): Long =
+      (0 until 16).map(j => (((x >> j) & 1) << (2 * j)) |
+        (((y >> j) & 1) << (2 * j + 1))).sum
+    assert(got.toSeq === Seq(morton(3, 5), 0L, morton(65535, 65535)))
+    // out of range: a negative x would contribute -1 terms and a
+    // 17-bit y would silently drop its top bit — both must raise,
+    // not emit a key that corrupts downstream pruning
+    for ((x, y) <- Seq((-1L, 0L), (0L, 65536L))) {
+      val e = intercept[Exception] {
+        Seq((x, y)).toDF("x", "y")
+          .select(Layout.zorder16($"x", $"y")).collect()
+      }
+      assert(e.getMessage.contains("zorder16"), s"($x,$y): $e")
+    }
+  }
+
   test("hilbertD is a true Hilbert curve: bijective, unit-step, and " +
     "the column kernel matches the driver loop") {
     import org.apache.spark.sql.graft.GraftHilbertUtil
