@@ -106,8 +106,13 @@ object Bench {
     // regressed query still only costs bounded extra samples (its
     // slower figure stands), and expectations are refolded from
     // same-code runs every round so the rule tracks the current code.
+    // The absolute component is 0.08 s (not 0.10): the first r16 run
+    // showed rows like ts_ewma at 0.17 vs 0.07 committed — 2.4×
+    // inflated — sitting exactly ON the old > 0.10 boundary and
+    // never re-sampled. 0.08 is still above the box's ~0.05 s
+    // per-row ambient band, so an on-expectation row cannot flap.
     def overExpect(name: String, best: Double): Boolean =
-      expect.get(name).exists(e => best > 1.3 * e && best - e > 0.10)
+      expect.get(name).exists(e => best > 1.3 * e && best - e > 0.08)
     // retry transparency: every expectation- or spread-triggered
     // re-sample is RECORDED in the emitted JSON (per-query extra-rep
     // counts + stage pass total), so downstream comparisons can see

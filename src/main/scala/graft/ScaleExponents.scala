@@ -91,7 +91,11 @@ object ScaleExponents {
       // union) and the IVF-PQ twins off the shared ADC candidate
       // stage (fixed 50-query probe against a growing corpus — the
       // stage build inside rep 1 is the scan-bounded part)
-      "ts_resample_locf", "sim_ivfpq_topk", "sim_ivfpq_refine_topk")
+      "ts_resample_locf", "sim_ivfpq_topk", "sim_ivfpq_refine_topk",
+      // round-16 touched operator: zorder16 gained the out-of-range
+      // raise_error guard — map-side projection over events, the row
+      // pins that the guard branch stays scan-bounded (no exchange)
+      "layout_zorder")
 
     // results(name)(tier) = (repTimes, rows)
     val results =

@@ -134,6 +134,16 @@ object Stages {
           val dirName = s"${sanitize(name)}__fp${
             java.lang.Long.toHexString(fp * 31L + codeStamp)}"
           val dir = new java.io.File(root, dirName)
+          // reclaim crashed runs' tmp dirs EVEN when the artifact is
+          // already published (the Staging.publishOnce lesson): the
+          // stale-fingerprint sweep below only runs on the build
+          // path, so a remnant behind a published _SUCCESS would
+          // otherwise leak a partial corpus copy forever. Shared
+          // sweep = shared liveness/pid-recycling rules.
+          graft.sources.Staging.sweepDeadTmpMatching(
+            new java.io.File(root),
+            ("^" + java.util.regex.Pattern.quote(sanitize(name)) +
+              """__fp[0-9a-f]+\.tmp-(\d+)--?\d+$""").r)
           if (!new java.io.File(dir, "_SUCCESS").isFile) {
             val built = build()
             // a regenerated fixture must not leak its predecessor's

@@ -12,7 +12,10 @@ package graft.sources
   * hand-rolled writers must create it), so a protocol fix applied to
   * one copy would silently miss the rest.
   */
-private[sources] object Staging {
+// private[graft] (not [sources]): the stage disk tier (graft.ext
+// .Stages) shares the dead-pid tmp sweep — still invisible outside
+// the library.
+private[graft] object Staging {
 
   private[sources] def safeName(name: String): String =
     name.map(c => if (c.isLetterOrDigit || c == '.' || c == '-') c else '_')
@@ -52,12 +55,22 @@ private[sources] object Staging {
     * `target/`; a multi-host stage root would need lease files, not
     * pid probes.
     */
-  private def sweepDeadTmp(root: java.io.File, safe: String): Unit = {
+  private def sweepDeadTmp(root: java.io.File, safe: String): Unit =
     // nanos may be NEGATIVE (System.nanoTime has an arbitrary
     // origin) — a `\d+` suffix pattern would never match such a
     // name, hiding exactly the remnants this sweep exists to reclaim
-    val TmpName = ("""^\.""" + java.util.regex.Pattern.quote(safe) +
-      """__fp[0-9a-f]+\.tmp-(\d+)--?\d+$""").r
+    sweepDeadTmpMatching(root,
+      ("""^\.""" + java.util.regex.Pattern.quote(safe) +
+        """__fp[0-9a-f]+\.tmp-(\d+)--?\d+$""").r)
+
+  /** The dead-pid tmp sweep with a caller-supplied name pattern
+    * (ONE capture group: the embedded pid) — shared with the stage
+    * disk tier ([[graft.ext.Stages]]), whose tmp names differ only
+    * in prefix shape; the liveness/pid-recycling rules must not be
+    * re-derived per writer.
+    */
+  private[graft] def sweepDeadTmpMatching(
+      root: java.io.File, TmpName: scala.util.matching.Regex): Unit = {
     Option(root.listFiles()).getOrElse(Array.empty).foreach { f =>
       f.getName match {
         case TmpName(pid) =>

@@ -313,6 +313,23 @@ class ExtSpec extends SparkSpec {
       assert(e2.count() === 0L)
       assert(e2.columns.toSeq === Seq("id", "t"))
       Stages.evict(spark, name); Stages.evict(spark, en)
+      // crashed-run tmp remnants are reclaimed EVEN behind a
+      // published _SUCCESS (the Staging.publishOnce discipline): a
+      // dead-pid tmp next to the published artifact must vanish on
+      // the next stage() call's fast path, a live-pid one must not
+      val deadTmp = new java.io.File(root,
+        s"${name}__fpdead.tmp-999999999-1")
+      new java.io.File(deadTmp, "part").mkdirs()
+      val liveTmp = new java.io.File(root,
+        s"${name}__fpdead.tmp-${ProcessHandle.current().pid()}-1")
+      liveTmp.mkdirs()
+      Stages.stage(spark, name, fingerprint = 2L)(build("v4"))
+      assert(builds.get() === 2,
+        "published artifact must still serve from disk")
+      assert(!deadTmp.exists(), "dead-pid stage tmp must be swept " +
+        "even when the artifact is already published")
+      assert(liveTmp.exists(), "live-pid stage tmp must survive")
+      Stages.evict(spark, name)
     } finally prev match {
       case Some(v) => System.setProperty("graft.stage.dir", v): Unit
       case None => System.clearProperty("graft.stage.dir"): Unit
