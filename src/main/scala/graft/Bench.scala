@@ -125,7 +125,7 @@ object Bench {
     // not an outlier to regress away — so the record, not symmetry,
     // is what keeps the protocol honest.
     var stagePasses = 1
-    val (stages, stageErrs) =
+    val (stageBest0, stageErrs) =
       try {
         var best = graft.queries.ExtensionQueries
           .prebuildStages(spark, sfDir).toMap
@@ -146,17 +146,18 @@ object Bench {
           stagePasses = pass
           pass += 1
         }
-        (best.toSeq.sortBy(_._1), Seq.empty[(String, String)])
+        (best, Seq.empty[(String, String)])
       } catch {
         // a swallowed prebuild failure would let the stage cost slip
         // out of the total unnoticed (the first consumer rebuilds it,
         // min-of-k strips it) — surface it in the errors map
         case e: Throwable =>
-          (Seq.empty[(String, Double)],
+          (Map.empty[String, Double],
             Seq("_stage_prebuild" -> s"${e.getClass.getSimpleName}: ${
               Option(e.getMessage).getOrElse("").takeWhile(_ != '\n')
                 .take(160)}"))
       }
+    var stageBest = stageBest0
     // A failed query must surface as an error, never masquerade as a
     // (fast!) timing — errors are reported per query in the JSON line,
     // and the process exits NONZERO after printing it (an error round
@@ -262,6 +263,35 @@ object Bench {
       }
     }
     val results = cur.map { case (n, _, b, _, e, r) => (n, b, e, r) }
+    // LATE stage retry: stages build (and exhaust their bounded early
+    // retries) FIRST in the process, so a loud start inflates the
+    // whole stage tier with no later chance to recover — run 4 of the
+    // r16 protocol validation showed 8 stage rows carrying ~1.5 s of
+    // exactly this. After the query sweeps — minutes later, when the
+    // burst has usually passed — give still-over stages up to 2 more
+    // evict+rebuild passes. A late-pass FAILURE only forfeits the
+    // extra samples (the early passes already produced good figures),
+    // so it is noted on stderr, never recorded as a bench error.
+    var latePass = 0
+    while (latePass < 2 && stageErrs.isEmpty &&
+        stageBest.exists { case (k, v) => overExpect(k, v) }) {
+      try {
+        graft.queries.ExtensionQueries.evictStages(spark, sfDir)
+        graft.queries.ExtensionQueries.prebuildStages(spark, sfDir)
+          .foreach { case (k, v) =>
+            stageBest = stageBest.updated(k,
+              math.min(v, stageBest.getOrElse(k, v)))
+          }
+        stagePasses += 1
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] late stage retry failed " +
+            s"(${e.getClass.getSimpleName}); keeping earlier figures")
+          latePass = 2
+      }
+      latePass += 1
+    }
+    val stages = stageBest.toSeq.sortBy(_._1)
     def jstr(s: String): String =
       s.flatMap {
         case '\\' => "\\\\"
