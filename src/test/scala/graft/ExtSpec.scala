@@ -264,6 +264,81 @@ class ExtSpec extends SparkSpec {
     assert(got === Map(1 -> 2, 2 -> 1))
   }
 
+  test("bounded aggregator merge-path properties under random data " +
+      "and partitionings: BoundedCollectSet size = min(distinct, " +
+      "maxSize), TopK = sort-take oracle, MG sketch guarantees") {
+    import org.apache.spark.sql.graft.AggColumns
+    import graft.ext.FreqItems
+    // deterministic pseudo-random stream with heavy duplication —
+    // repartition counts 1/3/7 exercise the MERGE paths (map-side
+    // partials folding in different orders), which the literal-frame
+    // tests never vary
+    val rnd = new scala.util.Random(20260816)
+    val rows = Seq.fill(600)((rnd.nextInt(12), rnd.nextInt(40).toLong))
+    val exact = rows.groupBy(_._1).map { case (k, vs) =>
+      k -> vs.map(_._2).toSet }
+    for (parts <- Seq(1, 3, 7); maxSize <- Seq(1, 5, 64)) {
+      val df = rows.toDF("k", "v").repartition(parts)
+      val got = df.groupBy("k")
+        .agg(AggColumns.bounded_collect_set(col("v"), maxSize).as("s"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Long](1))).toMap
+      exact.foreach { case (k, vs) =>
+        val s = got(k)
+        assert(s.length === math.min(vs.size, maxSize),
+          s"parts=$parts maxSize=$maxSize k=$k")
+        assert(s.toSet.subsetOf(vs), "collected a value never seen")
+        if (vs.size < maxSize)
+          assert(s.toSet === vs,
+            "an under-cap group must carry its COMPLETE distinct set")
+      }
+    }
+    // TopKAggregator: result row-identical to the in-memory
+    // (score DESC, id ASC) sort-take for every partitioning
+    val scored = Seq.fill(400)(
+      (rnd.nextInt(6), rnd.nextInt(50) / 7.0, rnd.nextLong() & 0xffffL))
+    val oracle = scored.groupBy(_._1).map { case (k, vs) =>
+      k -> vs.map(v => (v._2, v._3)).distinct
+        .sortBy { case (s, id) => (-s, id) }.take(3) }
+    for (parts <- Seq(1, 3, 7)) {
+      val df = scored.toDF("k", "score", "id").distinct()
+        .repartition(parts)
+      val got = df.groupBy("k")
+        .agg(graft.ops.TopKAggregator.topK(3)(col("score"), col("id"))
+          .as("top"))
+        .collect().map(r => (r.getInt(0),
+          r.getSeq[org.apache.spark.sql.Row](1)
+            .map(x => (x.getDouble(0), x.getLong(1))))).toMap
+      oracle.foreach { case (k, want) =>
+        assert(got(k) === want, s"parts=$parts k=$k")
+      }
+    }
+    // Misra–Gries: the textbook guarantees must hold on EVERY
+    // execution (est <= exact, undercount <= n/(cap+1), every heavy
+    // hitter present) — random merge orders cannot break theorems
+    val stream = Seq.fill(500)(s"w${(rnd.nextGaussian().abs * 4).toInt}")
+    val exactCounts = stream.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val n = stream.size
+    val cap = 6
+    for (parts <- Seq(1, 3, 7)) {
+      val sk = stream.toDF("item").repartition(parts)
+        .agg(FreqItems.sketch(cap)(col("item")).as("sk"))
+        .collect()(0).getMap[String, Long](0)
+      assert(sk.size <= cap)
+      sk.foreach { case (item, est) =>
+        val ex = exactCounts(item)
+        assert(est <= ex, s"MG must never over-count ($item)")
+        assert((ex - est) * (cap + 1) <= n,
+          s"undercount bound violated ($item: $est vs $ex)")
+      }
+      exactCounts.foreach { case (item, ex) =>
+        if (ex * (cap + 1) > n)
+          assert(sk.contains(item),
+            s"heavy hitter $item (n=$ex) missing at parts=$parts")
+      }
+    }
+  }
+
   test("Stages disk tier: artifact survives eviction (new-process " +
       "warm read), fingerprint change invalidates the disk copy, and " +
       "empty frames round-trip") {
