@@ -247,6 +247,77 @@ class GraphTimeSeriesSpec extends SparkSpec {
     assert(got === expectA ++ expectB)
   }
 
+  test("equidepthBins / winsorize match a brute-force PERCENTILE_DISC " +
+      "oracle on random tie-heavy data under partitionings") {
+    // the histogram folds CLAIM exact PERCENTILE_DISC semantics
+    // (threshold_i = largest value whose strictly-below count is
+    // < n*i/q) — this replays that definition literally over random
+    // data with heavy ties, NULL scores, and a NULL key, at several
+    // partitionings (the fold runs inside collect_list over a sorted
+    // histogram; partition count must be invisible)
+    val rnd = new scala.util.Random(42)
+    val rows: Seq[(Option[String], Long, Option[Long])] =
+      Seq.tabulate(300) { i =>
+        val k = rnd.nextInt(5) match {
+          case 0 => None // NULL key: first-class group
+          case n => Some(s"k$n")
+        }
+        val s = if (rnd.nextInt(10) == 0) None
+          else Some(rnd.nextInt(8).toLong) // 8 distinct values: ties
+        (k, i.toLong, s)
+      }
+    def thresholds(vs: Seq[Long], cuts: Seq[(Long, Long)]): Seq[Long] = {
+      // cut = (num, den): threshold = largest v with below*den < n*num
+      val sorted = vs.sorted
+      val n = vs.size.toLong
+      cuts.map { case (num, den) =>
+        sorted.zipWithIndex
+          .filter { case (v, _) => sorted.count(_ < v) * den < n * num }
+          .map(_._1).max
+      }
+    }
+    for (parts <- Seq(1, 5); q <- Seq(2, 3, 5)) {
+      val df = rows.toDF("k", "id", "s").repartition(parts)
+      val got = Profiling.equidepthBins(df, key = "k", score = "s", q = q)
+        .select($"id", $"bin").as[(Long, Int)].collect().toMap
+      val byKey = rows.groupBy(_._1)
+      byKey.foreach { case (_, krows) =>
+        val scored = krows.flatMap(r => r._3.map(s => (r._2, s)))
+        if (scored.nonEmpty) {
+          val th = thresholds(scored.map(_._2),
+            (1 until q).map(i => (i.toLong, q.toLong)))
+          scored.foreach { case (id, s) =>
+            assert(got(id) === th.count(s > _),
+              s"parts=$parts q=$q id=$id score=$s th=$th")
+          }
+          // NULL-score rows of a scored key bin as 0 (doc contract)
+          krows.filter(_._3.isEmpty)
+            .foreach(r => assert(got(r._2) === 0))
+        } else
+          // all-NULL-score keys drop with their threshold row
+          krows.foreach(r => assert(!got.contains(r._2)))
+      }
+      // winsorize at [10, 90] percent: same brute-force rule
+      val w = Profiling.winsorize(df, $"k", $"id", $"s",
+          loBp = 1000, hiBp = 9000)
+        .select($"id", $"v_wins").as[(Long, Option[Long])]
+        .collect().toMap
+      byKey.foreach { case (_, krows) =>
+        val scored = krows.flatMap(r => r._3.map(s => (r._2, s)))
+        if (scored.nonEmpty) {
+          val Seq(lo, hi) = thresholds(scored.map(_._2),
+            Seq((1000L, 10000L), (9000L, 10000L)))
+          scored.foreach { case (id, s) =>
+            assert(w(id) === Some(math.min(math.max(s, lo), hi)),
+              s"parts=$parts id=$id s=$s lo=$lo hi=$hi")
+          }
+        }
+        // NULL values pass through unclamped as NULL
+        krows.filter(_._3.isEmpty).foreach(r => assert(w(r._2).isEmpty))
+      }
+    }
+  }
+
   test("keySkewProfile: exact ranks, ppm shares, cumulative shares") {
     val df = (Seq.fill(3)("a") ++ Seq.fill(2)("b") ++ Seq("c"))
       .toDF("k")
