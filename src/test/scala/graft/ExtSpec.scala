@@ -1154,6 +1154,73 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin / asofJoinNative / asofJoinTolerance match a " +
+      "brute-force oracle on random data under partitionings") {
+    // the union+window variant and the custom AsofJoinExec physical
+    // operator implement the same contract through entirely different
+    // machinery — random data with equal timestamps, null keys/ts,
+    // and several partitionings cross-validates both against the
+    // definition ("latest right row with ts <= left ts, same key")
+    val rnd = new scala.util.Random(7)
+    def rts(i: Int): Timestamp =
+      new Timestamp(1700000000000L + i * 60000L)
+    val leftRows = Seq.tabulate(120) { i =>
+      val k = if (rnd.nextInt(12) == 0) None else Some(rnd.nextInt(4).toLong)
+      val t = if (rnd.nextInt(12) == 0) None else Some(rts(rnd.nextInt(50)))
+      (k, t, i.toLong)
+    }
+    val rightRows = Seq.tabulate(80) { i =>
+      val k = if (rnd.nextInt(12) == 0) None else Some(rnd.nextInt(4).toLong)
+      val t = if (rnd.nextInt(12) == 0) None else Some(rts(rnd.nextInt(50)))
+      (k, t, i.toDouble)
+    } // contract: at most one right row per (key, ts)
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    def oracle(tolSec: Option[Long]): Map[Long, Option[Double]] =
+      leftRows.map { case (k, t, id) =>
+        id -> (for {
+          kk <- k; tt <- t
+          best <- rightRows
+            .filter(r => r._1.contains(kk) &&
+              r._2.exists(!_.after(tt)) &&
+              tolSec.forall(s => r._2.exists(rt =>
+                (tt.getTime - rt.getTime) / 1000 <= s)))
+            .sortBy(_._2.get.getTime).lastOption
+        } yield best._3)
+      }.toMap
+    for (parts <- Seq(1, 4)) {
+      val left = leftRows.toDF("user_id", "ts", "click_id")
+        .repartition(parts)
+      val right = rightRows.toDF("user_id", "ts", "value")
+        .repartition(parts)
+      val want = oracle(None)
+      for ((name, df) <- Seq(
+          ("union+window",
+            EventWindows.asofJoin(left, right, "user_id", "ts",
+              Seq("value"))),
+          ("native",
+            EventWindows.asofJoinNative(left, right, "user_id", "ts",
+              Seq("value"))))) {
+        val got = df.select($"click_id", $"asof_value")
+          .as[(Long, Option[Double])].collect()
+        assert(got.length === leftRows.size,
+          s"$name parts=$parts: every left row must be preserved")
+        got.foreach { case (id, v) =>
+          assert(v === want(id), s"$name parts=$parts click=$id")
+        }
+      }
+      // tolerance: matches older than the bound null out, the rest
+      // are bit-identical to the unbounded join
+      val wantTol = oracle(Some(600L))
+      val gotTol = EventWindows.asofJoinTolerance(left, right,
+          "user_id", "ts", Seq("value"), toleranceSeconds = 600L)
+        .select($"click_id", $"asof_value")
+        .as[(Long, Option[Double])].collect().toMap
+      wantTol.foreach { case (id, v) =>
+        assert(gotTol(id) === v, s"tolerance parts=$parts click=$id")
+      }
+    }
+  }
+
   test("sessions split on gap >= threshold") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00")),
