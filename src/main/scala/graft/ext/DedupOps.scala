@@ -529,7 +529,14 @@ object DedupOps {
     // of recomputing.
     if (localThreshold > 0) {
       canon.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cap = math.min(localThreshold + 1, Int.MaxValue.toLong).toInt
+      // clamp BEFORE the +1: at localThreshold = Long.MaxValue (an
+      // "always finish locally" caller) the naive `threshold + 1`
+      // wraps to Long.MinValue, the probe cap .toInt's to 0, and
+      // limit(0) collects NO edges — every node silently labels
+      // itself (the r15 bound-arithmetic bug class; caught by the
+      // random-graph union-find property spec)
+      val cap =
+        (math.min(localThreshold, Int.MaxValue.toLong - 1) + 1).toInt
       val probe = canon.limit(cap).collect()
       if (probe.length <= localThreshold) {
         val out = localFinish(nodes,

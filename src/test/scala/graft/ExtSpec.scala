@@ -746,6 +746,52 @@ class ExtSpec extends SparkSpec {
     assert(lone.forall { case (id, c) => id == c })
   }
 
+  test("connectedComponents matches a brute-force union-find on a " +
+      "random graph, distributed and local-endgame paths alike") {
+    // 200 nodes / 230 random edges gives a mix of giant components,
+    // chains, and singletons; the oracle is a plain in-memory
+    // union-find relabeled to min-id-per-component (the documented
+    // label contract). Both execution regimes must agree with it:
+    // localThreshold = 0 forces the star-contraction loop to run to
+    // fixpoint, the default takes the bounded local-completion endgame.
+    val rnd = new scala.util.Random(99)
+    val n = 200
+    val nodeIds = (0 until n).map(_ => rnd.nextLong() & 0xffffffL)
+      .distinct
+    val edges = Seq.fill(230) {
+      val a = nodeIds(rnd.nextInt(nodeIds.size))
+      val b = nodeIds(rnd.nextInt(nodeIds.size))
+      (a, b)
+    }.filter { case (a, b) => a != b }
+    val parent = scala.collection.mutable.Map(
+      nodeIds.map(i => i -> i): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    val minLabel = nodeIds.groupBy(find).flatMap { case (_, members) =>
+      val m = members.min
+      members.map(_ -> m)
+    }
+    val nodes = nodeIds.toDF("id")
+    val pairs = edges.toDF("id_a", "id_b")
+    for (threshold <- Seq(0L, Long.MaxValue)) {
+      val got = DedupOps.connectedComponents(nodes.repartition(5),
+          pairs.repartition(3), localThreshold = threshold)
+        .as[(Long, Long)].collect().toMap
+      assert(got.keySet === nodeIds.toSet,
+        s"threshold=$threshold: every node labels exactly once")
+      minLabel.foreach { case (id, want) =>
+        assert(got(id) === want, s"threshold=$threshold node=$id")
+      }
+    }
+  }
+
   test("connectedComponents reliable-checkpoint path: same labels, " +
     "checkpoint files written") {
     val dir = java.nio.file.Files.createTempDirectory("cc_ckpt")

@@ -606,6 +606,47 @@ class GraphTimeSeriesSpec extends SparkSpec {
     assert(got.size === 3)
   }
 
+  test("ohlcBars matches a brute-force oracle on random tie-heavy " +
+      "data under partitionings (the r15 packed-radix bug class)") {
+    // r15's radix bug (10^19 < the 2^64 tie range) inverted
+    // open/close exactly when ties packed near the radix edge —
+    // random data with heavy ts collisions and wild tie ids replays
+    // the whole bar computation against a plain in-memory fold
+    val rnd = new scala.util.Random(5150)
+    val events = Seq.tabulate(400) { i =>
+      val key = s"k${rnd.nextInt(3)}"
+      val t = ts("2024-01-01 00:00:00").getTime +
+        rnd.nextInt(8) * 3600000L + rnd.nextInt(4) * 60000L // many ties
+      val tie = rnd.nextLong() // full 2^64 range: the radix stressor
+      val v = (rnd.nextInt(4001) - 2000) / 100.0
+      (key, new Timestamp(t), v, tie, i)
+    }
+    val df = events.toDF("key", "ts", "value", "event_id", "i")
+      .repartition(7)
+    val got = TimeSeries.ohlcBars(df, bucketSeconds = 3600,
+        tie = col("event_id"))
+      .as[(String, Timestamp, Long, Long, Long, Long, Long, Long)]
+      .collect()
+      .map(r => (r._1, r._2.getTime) ->
+        ((r._3, r._4, r._5, r._6, r._7, r._8))).toMap
+    def micro(v: Double): Long = math.floor(v * 1e6).toLong
+    val want = events.groupBy { case (k, t, _, _, _) =>
+      (k, t.getTime - Math.floorMod(t.getTime, 3600000L))
+    }.map { case (kb, es) =>
+      // per-bar total order: (ts, tie) with tie compared UNSIGNED?
+      // no — the packed order is (micros, tie) with tie as a signed
+      // long per the spec'd requireIntegralTie contract
+      val ordered = es.sortBy { case (_, t, _, tie, _) => (t.getTime, tie) }
+      val ms = es.map(e => micro(e._3))
+      kb -> ((micro(ordered.head._3), ms.max, ms.min,
+        micro(ordered.last._3), ms.sum, es.size.toLong))
+    }
+    assert(got.keySet === want.keySet)
+    want.foreach { case (kb, w) =>
+      assert(got(kb) === w, s"bar $kb")
+    }
+  }
+
   test("ohlcBars packed (ts, tie) order is monotone for EXTREME tie " +
       "ids: a same-bucket tie gap wider than 1e19 must not let an " +
       "earlier event outrank the next microsecond (radix must be " +
