@@ -1008,6 +1008,85 @@ class GraphTimeSeriesSpec extends SparkSpec {
     assert(got("e") === ((2L, Some(-100000L), -1L)))
   }
 
+  test("ksDrift / targetEncode match brute-force integer oracles on " +
+      "random data under partitionings") {
+    val rnd = new scala.util.Random(314)
+    // --- ksDrift: KS = max |cumA*nB - cumB*nA| over values, ks_ppm
+    // = floor(1e6*maxDiff / (nA*nB)) — replay the definition with
+    // BigInt (overflow-proof reference), random ties and NULLs
+    def side(): Seq[(Option[String], Option[Long])] = Seq.fill(200)((
+      if (rnd.nextInt(10) == 0) None else Some(s"k${rnd.nextInt(4)}"),
+      if (rnd.nextInt(12) == 0) None else Some(rnd.nextInt(9).toLong)))
+    val sa = side(); val sb = side()
+    def ksOracle(k: Option[String]): Option[Long] = {
+      val va = sa.filter(_._1 == k).flatMap(_._2)
+      val vb = sb.filter(_._1 == k).flatMap(_._2)
+      if (va.isEmpty || vb.isEmpty) None
+      else {
+        val vs = (va ++ vb).distinct.sorted
+        val diffs = vs.map { v =>
+          (BigInt(va.count(_ <= v)) * vb.size -
+            BigInt(vb.count(_ <= v)) * va.size).abs
+        }
+        Some(((diffs.max * 1000000) /
+          (BigInt(va.size) * vb.size)).toLong)
+      }
+    }
+    for (parts <- Seq(1, 6)) {
+      val a = sa.toDF("k", "v").repartition(parts)
+      val b = sb.toDF("k", "v").repartition(parts)
+      val got = Profiling.ksDrift(a, b, $"k", $"v")
+        .select($"key", $"ks_ppm").as[(Option[String], Option[Long])]
+        .collect().toMap
+      (sa ++ sb).map(_._1).distinct.foreach { k =>
+        // keys with no non-null values on EITHER side have no row
+        val inHist = (sa ++ sb).exists(r => r._1 == k && r._2.nonEmpty)
+        if (inHist)
+          assert(got(k) === ksOracle(k), s"parts=$parts key=$k")
+      }
+    }
+    // --- targetEncode: LOO = (sum - v)*1e6 div (n-1); smooth =
+    // (sum*gn + m*gs)*1e6 div ((n+m)*gn) — BigInt replay with the
+    // same DIV truncation (floorDiv on non-negative, BigInt / here:
+    // operands can be negative, Spark's div truncates toward zero
+    // for decimals... use BigInt quot which truncates toward zero)
+    val rows = Seq.tabulate(150) { i => (
+      if (rnd.nextInt(8) == 0) None else Some(s"c${rnd.nextInt(5)}"),
+      i.toLong,
+      if (rnd.nextInt(10) == 0) None
+      else Some((rnd.nextInt(401) - 200).toLong))
+    }
+    val m = 7
+    val gs = BigInt(rows.flatMap(_._3).sum)
+    val gn = BigInt(rows.count(_._3.nonEmpty))
+    val byKey = rows.groupBy(_._1)
+    for (parts <- Seq(1, 6)) {
+      val df = rows.toDF("k", "id", "v").repartition(parts)
+      val got = Profiling.targetEncode(df, $"k", $"id", $"v", m = m)
+        .select($"id", $"enc_loo_micro", $"enc_smooth_micro")
+        .as[(Long, Option[Long], Option[Long])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      byKey.foreach { case (k, krows) =>
+        val vs = krows.flatMap(_._3)
+        val (s, n) = (BigInt(vs.sum), BigInt(vs.size))
+        krows.foreach { case (_, id, vOpt) =>
+          val (loo, smooth) = got(id)
+          vOpt match {
+            case None => assert(loo.isEmpty && smooth.isEmpty)
+            case Some(v) =>
+              val wantLoo = if (n > 1)
+                Some((((s - v) * 1000000) / (n - 1)).toLong) else None
+              assert(loo === wantLoo, s"parts=$parts loo id=$id")
+              val wantSmooth =
+                ((s * gn + m * gs) * 1000000) / ((n + m) * gn)
+              assert(smooth === Some(wantSmooth.toLong),
+                s"parts=$parts smooth id=$id")
+          }
+        }
+      }
+    }
+  }
+
   test("targetEncode: hand-checked LOO and m-smoothed micro means; " +
       "singletons, NULL keys, and NULL targets are first-class") {
     // EXACT global mean ḡ = 172/6 (never truncated to whole units —
