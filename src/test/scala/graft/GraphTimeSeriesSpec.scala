@@ -1008,6 +1008,45 @@ class GraphTimeSeriesSpec extends SparkSpec {
     assert(got("e") === ((2L, Some(-100000L), -1L)))
   }
 
+  test("pageRank matches an in-memory replica of the integer " +
+      "schedule on a random graph, fused and eager regimes alike") {
+    // seed 1e6 per node; per round contrib(u->v) = rank(u) div
+    // deg_out(u), new = 150000 + 17*sum div 20 — all truncating
+    // integer division on non-negative operands, so an in-memory
+    // replay is bit-exact. iters=3 runs the FUSED lazy plan, iters=8
+    // the eager checkpoint regime with fixpoint probes; both must
+    // equal the replica (early exit only fires on an exact fixpoint,
+    // where the remaining rounds reproduce the same table).
+    val rnd = new scala.util.Random(1234)
+    val nodeIds = (1L to 100L)
+    val edges = Seq.fill(300)(
+      (nodeIds(rnd.nextInt(100)).toLong, nodeIds(rnd.nextInt(100)).toLong))
+      .filter { case (u, v) => u != v }.distinct
+    val degOut = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    def replica(iters: Int): Map[Long, Long] = {
+      var rank = nodeIds.map(_ -> 1000000L).toMap
+      for (_ <- 1 to iters) {
+        val s = scala.collection.mutable.Map[Long, Long]()
+          .withDefaultValue(0L)
+        edges.foreach { case (u, v) => s(v) += rank(u) / degOut(u) }
+        rank = nodeIds.map(n => n -> (150000L + 17L * s(n) / 20L)).toMap
+      }
+      rank
+    }
+    val e = Graph.prepareEdges(
+      edges.toDF("src", "dst").repartition(5)).localCheckpoint(true)
+    val n = nodeIds.toDF("node_id")
+    for (iters <- Seq(3, 8)) {
+      val got = Graph.pageRankPrepared(e, n, iters)
+        .as[(Long, Long)].collect().toMap
+      val want = replica(iters)
+      assert(got.keySet === nodeIds.toSet, s"iters=$iters")
+      want.foreach { case (id, r) =>
+        assert(got(id) === r, s"iters=$iters node=$id")
+      }
+    }
+  }
+
   test("ksDrift / targetEncode match brute-force integer oracles on " +
       "random data under partitionings") {
     val rnd = new scala.util.Random(314)
