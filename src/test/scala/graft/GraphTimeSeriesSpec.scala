@@ -1008,6 +1008,54 @@ class GraphTimeSeriesSpec extends SparkSpec {
     assert(got("e") === ((2L, Some(-100000L), -1L)))
   }
 
+  test("keySkewProfile / ewmaFixed match brute-force oracles on " +
+      "random data under partitionings") {
+    val rnd = new scala.util.Random(606)
+    // --- keySkewProfile: rank by (n DESC, key NULLS FIRST), exact
+    // ppm + cumulative ppm by truncating division
+    val keys = Seq.fill(300)(
+      if (rnd.nextInt(7) == 0) None else Some(s"k${rnd.nextInt(8)}"))
+    val counts = keys.groupBy(identity).view.mapValues(_.size.toLong)
+      .toMap
+    val tot = keys.size.toLong
+    val ordered = counts.toSeq.sortBy { case (k, n) =>
+      (-n, k.isDefined, k.getOrElse("")) } // NULL smallest on ties
+    val wantRows = ordered.take(5).zipWithIndex.map {
+      case ((k, n), i) =>
+        val cum = ordered.take(i + 1).map(_._2).sum
+        k -> ((n, i + 1, n * 1000000L / tot, cum * 1000000L / tot))
+    }.toMap
+    for (parts <- Seq(1, 6)) {
+      val got = Profiling.keySkewProfile(
+          keys.toDF("k").repartition(parts), col("k"), k = 5)
+        .as[(Option[String], Long, Int, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      assert(got === wantRows, s"parts=$parts")
+    }
+    // --- ewmaFixed: sort per key by (ts, tie), fold
+    // acc = (acc + v_micros) div 2 from the first value
+    val events = Seq.tabulate(240) { i => (
+      s"k${rnd.nextInt(4)}",
+      new Timestamp(1700000000000L + rnd.nextInt(20) * 1000L), // ties
+      (rnd.nextInt(2001) - 1000) / 100.0,
+      rnd.nextLong() & 0xffffffL, i)
+    }
+    def micro(v: Double): Long = math.floor(v * 1e6).toLong
+    val wantE = events.groupBy(_._1).map { case (k, es) =>
+      val vs = es.sortBy(e => (e._2.getTime, e._4)).map(e => micro(e._3))
+      k -> ((vs.size.toLong,
+        vs.tail.foldLeft(vs.head)((acc, x) => (acc + x) / 2)))
+    }
+    for (parts <- Seq(1, 6)) {
+      val df = events.toDF("key", "ts", "value", "tie", "i")
+        .repartition(parts)
+      val got = TimeSeries.ewmaFixed(df, tie = col("tie"))
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got === wantE, s"parts=$parts")
+    }
+  }
+
   test("pageRank matches an in-memory replica of the integer " +
       "schedule on a random graph, fused and eager regimes alike") {
     // seed 1e6 per node; per round contrib(u->v) = rank(u) div
