@@ -61,6 +61,17 @@ object CountMin {
     * codegen like any other literal).
     */
   def bucket(seed: Column, item: Column, depth: Int, width: Int): Column = {
+    // a width of 0 would turn the final `% width` into NULL buckets
+    // under non-ANSI — the table groups them and estimate's equi-join
+    // silently drops them (NULL != NULL), zeroing every estimate with
+    // no error anywhere; depth 0 explodes an empty seed array and the
+    // probe rows simply vanish. Both are loud caller bugs, not
+    // degenerate sketches. depth ≤ 64: each row is a driver-side
+    // literal pair — a runaway depth is a plan-size bomb, and 2^-64
+    // already exceeds any error budget.
+    require(depth >= 1 && depth <= 64,
+      s"count-min depth ($depth) must be in [1, 64]")
+    require(width >= 1, s"count-min width ($width) must be >= 1")
     val cs = rowConsts(depth)
     def pick(f: ((Long, Long)) => Long): Column =
       element_at(array(cs.map(c => lit(f(c))): _*), seed.cast("int") + 1)

@@ -3936,6 +3936,45 @@ class ExtSpec extends SparkSpec {
       Seq(("bB", "t1", 7L, 21L)))
   }
 
+  test("CountMin sketch properties on random data, and loud bounds " +
+      "on degenerate depth/width") {
+    import graft.ext.CountMin
+    // never under-counts, over-counts bounded by the sketch size;
+    // the table + estimate pair replays exactly under partitionings
+    val rnd = new scala.util.Random(77)
+    val items = Seq.fill(500)((rnd.nextGaussian().abs * 30).toLong)
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong)
+      .toMap
+    for (parts <- Seq(1, 6)) {
+      val df = items.toDF("item").repartition(parts)
+      val sk = CountMin.table(df, col("item"), depth = 3, width = 64)
+      val probes = exact.keys.toSeq.toDF("item")
+      val est = CountMin.estimate(sk, probes, col("item"),
+          depth = 3, width = 64)
+        .as[(Long, Long)].collect().toMap
+      exact.foreach { case (item, n) =>
+        assert(est(item) >= n, s"under-count on $item (parts=$parts)")
+        assert(est(item) <= items.size,
+          s"estimate exceeds the stream length on $item")
+      }
+      // an item the stream never carried estimates its collision
+      // mass, never vanishes
+      val missing = CountMin.estimate(sk, Seq(999999L).toDF("item"),
+          col("item"), depth = 3, width = 64)
+        .as[(Long, Long)].collect()
+      assert(missing.length === 1 && missing.head._2 >= 0L)
+    }
+    // width 0 would make `% width` NULL buckets (silently zeroed
+    // estimates); depth 0 would explode an empty seed array (probe
+    // rows vanish) — both must fail at construction
+    for ((d, w) <- Seq((0, 64), (3, 0), (65, 64))) {
+      val e = intercept[IllegalArgumentException] {
+        CountMin.table(items.toDF("item"), col("item"), d, w)
+      }
+      assert(e.getMessage.contains("count-min"), s"($d,$w): $e")
+    }
+  }
+
   test("BloomWordProbe kernel matches the declarative bucket " +
       "arithmetic and never false-negatives on members") {
     import graft.ext.{CountMin, PortableHash}
