@@ -324,4 +324,64 @@ class OpsSpec extends SparkSpec {
     assert(merged(1L) === ((2L, Some(14L), Some(5L), Some(9L))))
     assert(merged(4L) === ((0L, None, None, None)))
   }
+
+  test("rollup merge associativity and patchApply LWW hold on random " +
+    "data under arbitrary slicings and partitionings") {
+    val rnd = new scala.util.Random(2718)
+    // --- mergeRollups: ANY slicing of the rows into partials must
+    // reproduce the full rescan bit-for-bit (the incremental-view
+    // refresh claim, here stressed with random slice boundaries,
+    // negative values, and null-heavy keys)
+    val rows = Seq.fill(400)((rnd.nextInt(20).toLong,
+      if (rnd.nextInt(6) == 0) None
+      else Some((rnd.nextInt(2001) - 1000).toLong)))
+    def roll(rs: Seq[(Long, Option[Long])], parts: Int) =
+      Relational.rollupPartials(
+        rs.toDF("k", "v").repartition(parts), Seq("k"), $"v")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3)),
+          Option(r.get(4))))).toMap
+    val full = snap(roll(rows, 1))
+    for (nSlices <- Seq(2, 5); parts <- Seq(1, 4)) {
+      val slices = rows.zipWithIndex
+        .groupBy(_._2 % nSlices).values.map(_.map(_._1)).toSeq
+      val merged = snap(Relational.mergeRollups(
+        slices.map(s => roll(s, parts)), Seq("k")))
+      assert(merged === full, s"nSlices=$nSlices parts=$parts")
+    }
+    // --- patchApply: per-column LWW vs an in-memory replay —
+    // random sparse patches with unique seqs, keys on both sides
+    val target = Seq.tabulate(30)(i => (i.toLong,
+      Option(rnd.nextInt(100).toLong).filter(_ => rnd.nextInt(8) != 0),
+      Option(s"s${rnd.nextInt(5)}").filter(_ => rnd.nextInt(8) != 0)))
+    val patches = Seq.tabulate(200)(i => (
+      rnd.nextInt(40).toLong, // keys 30..39 are inserts
+      i.toLong,               // unique seq
+      Option(rnd.nextInt(100).toLong).filter(_ => rnd.nextInt(3) != 0),
+      Option(s"p${rnd.nextInt(5)}").filter(_ => rnd.nextInt(3) != 0)))
+    val tMap = target.map(t => t._1 -> ((t._2, t._3))).toMap
+    val pByKey = patches.groupBy(_._1)
+    def lww[A](ps: Seq[(Long, Long, Option[A])]): Option[A] =
+      ps.filter(_._3.nonEmpty).sortBy(_._2).lastOption.flatMap(_._3)
+    for (parts <- Seq(1, 5)) {
+      val got = Relational.patchApply(
+          target.toDF("key", "bal", "seg").repartition(parts),
+          patches.toDF("key", "seq", "bal", "seg").repartition(parts),
+          "key", "seq", Seq("bal", "seg"))
+        .as[(Long, Option[Long], Option[String], String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      (tMap.keySet ++ pByKey.keySet).foreach { k =>
+        val (tb, ts) = tMap.getOrElse(k, (None, None))
+        val want = pByKey.get(k) match {
+          case None => (tb, ts, "kept")
+          case Some(ps) =>
+            val wb = lww(ps.map(p => (p._1, p._2, p._3))).orElse(tb)
+            val ws = lww(ps.map(p => (p._1, p._2, p._4))).orElse(ts)
+            (wb, ws, if (tMap.contains(k)) "patched" else "inserted")
+        }
+        assert(got(k) === want, s"parts=$parts key=$k")
+      }
+    }
+  }
 }
