@@ -2094,6 +2094,10 @@ class ExtSpec extends SparkSpec {
       // union is idempotent and commutative on the serialized form
       assert(java.util.Arrays.equals(union(build(y), build(x)), u))
       assert(java.util.Arrays.equals(union(u, build(x)), u))
+      // intersection cardinality — exact across the same form mix
+      assert(intersectCardinality(build(x), build(y)) ===
+        (x.toSet & y.toSet).size.toLong)
+      assert(intersectCardinality(build(x), u) === x.toSet.size.toLong)
     }
     val e = intercept[IllegalArgumentException] { build(Seq(-1L)) }
     assert(e.getMessage.contains("unsigned 32-bit"))
