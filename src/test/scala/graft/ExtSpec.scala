@@ -3492,6 +3492,62 @@ class ExtSpec extends SparkSpec {
       ("2024-01-01", 2L) -> 2L, ("2024-01-08", 0L) -> 1L))
   }
 
+  test("funnel greedy-latest matching equals a backtracking " +
+      "existential matcher on random event streams (the exactness " +
+      "theorem, tested)") {
+    // the operator claims greedy-latest is EXACT for the existential
+    // pattern: an event completes the funnel iff SOME chain
+    // step0 < step1 < ... < stepK exists (strict (ts, tie) order,
+    // each adjacent gap <= within). The oracle is the O(n^2 * k)
+    // dynamic program over the definition itself — random streams
+    // with heavy timestamp ties stress the tie-order chaining.
+    val rnd = new scala.util.Random(40)
+    val steps = Seq("a", "b", "c")
+    val types = Seq("a", "b", "c", "x")
+    val events = Seq.tabulate(250) { i => (
+      rnd.nextInt(4).toLong,
+      new Timestamp(1700000000000L + rnd.nextInt(30) * 10000L),
+      types(rnd.nextInt(types.size)),
+      i.toLong)
+    }
+    val withinMs = 40000L
+    // oracle per key: valid(0,e)=type==a; valid(i,e)= type==steps(i)
+    // && exists e' strictly before with valid(i-1,e') and
+    // e.ts <= e'.ts + within; prev_ts = max such e'.ts for the final
+    val want = events.groupBy(_._1).flatMap { case (k, es) =>
+      val ord = es.sortBy(e => (e._2.getTime, e._4))
+      val valid = Array.fill(steps.size, ord.size)(false)
+      for (i <- steps.indices; j <- ord.indices) {
+        if (ord(j)._3 == steps(i))
+          valid(i)(j) = i == 0 || (0 until j).exists(p =>
+            valid(i - 1)(p) &&
+              ord(j)._2.getTime <= ord(p)._2.getTime + withinMs)
+      }
+      ord.indices.filter(valid(steps.size - 1)).map { j =>
+        val prev = (0 until j)
+          .filter(p => valid(steps.size - 2)(p) &&
+            ord(j)._2.getTime <= ord(p)._2.getTime + withinMs)
+          .map(p => ord(p)._2.getTime).max
+        (k, ord(j)._4) -> ((ord(j)._2.getTime, prev))
+      }
+    }
+    for (parts <- Seq(1, 5)) {
+      val df = events.toDF("user_id", "ts", "event_type", "event_id")
+        .repartition(parts)
+      val got = EventWindows.funnel(df, $"user_id", $"ts", $"event_id",
+          $"event_type", steps, within = "40 seconds")
+        .as[(Long, Long, Timestamp, Timestamp)].collect()
+        .map(r => (r._1, r._2) -> ((r._3.getTime, r._4.getTime))).toMap
+      assert(got.keySet === want.keySet,
+        s"parts=$parts: completed-event sets differ (" +
+          s"extra=${got.keySet -- want.keySet}, " +
+          s"missing=${want.keySet -- got.keySet})")
+      want.foreach { case (key, w) =>
+        assert(got(key) === w, s"parts=$parts event=$key")
+      }
+    }
+  }
+
   test("retention/funnel NULL fences: NULL-ts events emit no phantom " +
       "matrix bucket, and NULL-key events never chain into a false " +
       "conversion (anonymous rows are not one entity)") {
