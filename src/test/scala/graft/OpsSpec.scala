@@ -325,6 +325,47 @@ class OpsSpec extends SparkSpec {
     assert(merged(4L) === ((0L, None, None, None)))
   }
 
+  test("mergeUpsert replays MERGE INTO semantics on random data " +
+    "under partitionings") {
+    val rnd = new scala.util.Random(11235)
+    val target = (0L until 40L).flatMap(k =>
+      if (rnd.nextInt(4) == 0) None
+      else Some((k, Option(rnd.nextInt(100).toLong)
+        .filter(_ => rnd.nextInt(6) != 0))))
+    val changes = (0L until 60L).flatMap(k =>
+      if (rnd.nextInt(3) == 0) None
+      else Some((k, if (rnd.nextInt(4) == 0) "delete" else "upsert",
+        Option(rnd.nextInt(100).toLong)
+          .filter(_ => rnd.nextInt(6) != 0))))
+    val tMap = target.toMap
+    val cMap = changes.map(c => c._1 -> ((c._2, c._3))).toMap
+    val want = (tMap.keySet ++ cMap.keySet).flatMap { k =>
+      cMap.get(k) match {
+        case Some(("delete", _)) => None // matched or absent: dropped
+        case Some(("upsert", p)) =>
+          Some(k -> ((p, if (tMap.contains(k)) "updated" else "inserted")))
+        case None => Some(k -> ((tMap(k), "kept")))
+        case _ => None
+      }
+    }.toMap
+    for (parts <- Seq(1, 5)) {
+      val got = Relational.mergeUpsert(
+          target.toDF("key", "payload").repartition(parts),
+          changes.toDF("key", "op", "payload").repartition(parts))
+        .as[(Long, Option[Long], String)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got === want, s"parts=$parts")
+    }
+    // malformed op raises at execution, never silently no-ops
+    val e = intercept[Exception] {
+      Relational.mergeUpsert(
+        target.toDF("key", "payload"),
+        Seq((1L, "replace", Option(2L))).toDF("key", "op", "payload"))
+        .collect()
+    }
+    assert(e.getMessage.contains("invalid op"))
+  }
+
   test("rollup merge associativity and patchApply LWW hold on random " +
     "data under arbitrary slicings and partitionings") {
     val rnd = new scala.util.Random(2718)
