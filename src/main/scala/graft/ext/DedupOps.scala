@@ -284,6 +284,14 @@ object DedupOps {
                                        blockKeys: Seq[String],
                                        id: Column, shingles: Column,
                                        maxDf: Int): DataFrame = {
+    // maxDf = 0 is NOT "unlimited" here (that is lshCandidatePairs'
+    // maxBucket convention): it would cap every posting list at one
+    // id and then drop it at the size filter — zero pairs, silently.
+    // A caller crossing the two conventions must fail loudly. The
+    // upper bound keeps maxDf + 1 from wrapping.
+    require(maxDf >= 1 && maxDf < Int.MaxValue,
+      s"maxDf ($maxDf) must be in [1, Int.MaxValue) — 0 is not " +
+        "'unlimited' for df-capped postings (every list would drop)")
     // A LONG-array shingle column is consumed as ALREADY-HASHED
     // distinct shingle ids in the md5PrefixLong(·, 15) domain (build
     // it with TextAnalysis.shingleHashes(c, k) — the fused one-pass

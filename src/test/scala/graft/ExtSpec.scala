@@ -56,6 +56,15 @@ class ExtSpec extends SparkSpec {
         threshold = 0.5, maxDf = 64)
       .as[(Long, Long, Double)].collect().toSeq
     assert(jac.isEmpty)
+    // maxDf = 0 is lshCandidatePairs' "unlimited" convention, NOT
+    // this family's — here it would silently drop every posting list
+    // and emit zero pairs; it must fail at construction instead
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.jaccardPairs(docs, Seq("lang"), $"doc_id",
+        TextAnalysis.shingleHashes($"text", 2),
+        threshold = 0.5, maxDf = 0)
+    }
+    assert(e.getMessage.contains("maxDf"))
   }
 
   test("connectedComponents handles string ids through the local " +
