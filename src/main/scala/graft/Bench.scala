@@ -99,7 +99,7 @@ object Bench {
         "\"([^\"]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
-    // Trigger widened 1.4x+0.12 -> 1.3x+0.10 (round 16): the round-15
+    // Trigger widened 1.4x+0.12 -> 1.3x+0.08 (round 16): the round-15
     // driver record carried 14 s of ambient smear spread across 40+
     // rows that each sat BETWEEN the two thresholds — individually
     // small, collectively the whole driver-vs-clean gap. A genuinely
@@ -213,7 +213,7 @@ object Bench {
     // (the plan and data did not change between reps).
     //
     // Threshold history: 3x+0.15 (r13) -> 1.4x+0.12 (r14, 16 rows sat
-    // between the rules, ~4 s of the 44-vs-36.6 s gap) -> 1.3x+0.10 +
+    // between the rules, ~4 s of the 44-vs-36.6 s gap) -> 1.3x+0.08 +
     // multi-sweep (r16, see overExpect above) — each tightening paid
     // for by the refolded same-code expectations.
     val retryReps = sys.env.get("SPARK_GRAFT_RETRY_REPS")

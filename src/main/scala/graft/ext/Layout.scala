@@ -41,7 +41,17 @@ object Layout {
       .otherwise(key)
   }
 
-  /** The matching SQL text (DuckDB/ANSI) for oracle mirroring. */
+  /** The matching SQL text (DuckDB/ANSI) for oracle mirroring.
+    *
+    * The mirror assumes PRE-WRAPPED IN-RANGE inputs ([0, 65536)):
+    * unlike [[zorder16]] it has no fail-loud guard, so an
+    * out-of-range coordinate silently emits a bit-truncated key on
+    * the oracle side only. Every current caller pmods both
+    * coordinates into range before either side runs
+    * (`layout_zorder` in GraphTimeQueries); a new caller must do
+    * the same or the Spark side will raise while the oracle
+    * doesn't.
+    */
   def zorder16Sql(x: String, y: String): String =
     (0 until 16).map { j =>
       s"((($x >> $j) % 2) * ${1L << (2 * j)} + (($y >> $j) % 2) * ${1L << (2 * j + 1)})"

@@ -2,7 +2,7 @@
 """Refold bench_expect.json from one or more bench record files.
 
 Usage: python3 tools/refold_expect.py RECORD.json [RECORD2.json ...]
-       [--reset q1,q2,...] [--out bench_expect.json]
+       [--reset q1,q2,...] [--out bench_expect.json] [--prune]
 
 Folds the per-query/per-stage MINIMUM across the given records into
 the existing expectations (min with the committed value). Queries
@@ -13,13 +13,21 @@ records only (never the old value).
 The expectation file drives Bench's one-sided outlier retry; keeping
 it a faithful same-code minimum is what makes the retry rule honest
 (see Bench.scala's overExpect note).
+
+Census assert (round 17): the folded expectation-row set must equal
+the row set the records actually ran (queries + stages). A renamed
+query would otherwise leave its old expectation orphaned in the file
+forever (the r16 `ts_ewma` class, caught only by git archaeology) —
+the orphan is dead weight at best and a wrong retry trigger at worst
+if the name is ever reused. Orphans fail the refold; pass --prune to
+drop them instead (the explicit "yes, that row was renamed" ack).
 """
 import json
 import sys
 
 
 def main() -> None:
-    records, reset, out = [], set(), "bench_expect.json"
+    records, reset, out, prune = [], set(), "bench_expect.json", False
     args = sys.argv[1:]
     i = 0
     while i < len(args):
@@ -29,6 +37,8 @@ def main() -> None:
         elif args[i] == "--out":
             i += 1
             out = args[i]
+        elif args[i] == "--prune":
+            prune = True
         else:
             records.append(args[i])
         i += 1
@@ -57,6 +67,22 @@ def main() -> None:
     missing = reset - set(new)
     if missing:
         sys.exit(f"--reset names not present in the records: {missing}")
+
+    # census assert: an expectation for a row no record ran is an
+    # orphan (renamed/removed query) — fail unless --prune drops it
+    orphans = set(folded) - set(new)
+    if orphans:
+        if not prune:
+            sys.exit(
+                f"census mismatch: {len(orphans)} expectation(s) have no "
+                f"row in the given records (renamed or removed query?): "
+                f"{sorted(orphans)}\n"
+                f"re-run with --prune to drop them, or include a record "
+                f"that still runs them")
+        for k in orphans:
+            del folded[k]
+        print(f"pruned {len(orphans)} orphaned expectation(s): "
+              f"{sorted(orphans)}")
 
     with open(out, "w") as fh:
         json.dump(dict(sorted(folded.items())), fh, indent=1)
