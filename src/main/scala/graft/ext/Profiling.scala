@@ -436,6 +436,20 @@ object Profiling {
     * [[winsorizeFromHist]]). NULL-v rows in `hist` are tolerated and
     * dropped here (a census shared with [[winsorizeFromHist]]
     * legitimately carries them).
+    *
+    * MULTI-histogram contract (round 17): duplicate (key, v) rows
+    * are allowed and need no pre-merge — both median folds scan
+    * running counts over the v-sorted array, so split counts for the
+    * same v are exactly equivalent to one merged entry (the
+    * `acc.run * 2 < __n` test is monotone in the prefix count and v
+    * is constant across the duplicates), and `__n` is a plain sum.
+    * Callers whose histogram comes from a FINER shared census (e.g.
+    * ts_anomaly over the (user, type, late, v) events census) should
+    * pass it unmerged when the (key, v) re-agg wouldn't combine —
+    * a near-continuous value domain makes that exchange a pure extra
+    * sequential stage. Re-aggregate first only when it genuinely
+    * shrinks the histogram (small key × value domains, e.g. the
+    * per-type winsorize/KS shapes).
     */
   def madOutliersFromHist(base: DataFrame, hist0: DataFrame,
                           mult: Int = 3,

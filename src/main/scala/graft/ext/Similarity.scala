@@ -1079,21 +1079,31 @@ object Similarity {
     // a doc_id appearing TWICE in one list is malformed the same way
     // (it would sum two reciprocal contributions while <name>_rnk
     // reports only one — a silent boost the rank column can't
-    // explain); the per-(list, doc) pre-aggregate is over ≤ Σk rows
-    val deduped = tagged.groupBy("doc_id", "__l")
-      .agg(count(lit(1)).as("__c"), min("rnk").as("__rnk"))
-      .select(col("doc_id"), col("__l"),
-        when(col("__c") > 1, raise_error(concat(
-          lit("rrfFuse: doc_id "), col("doc_id").cast("string"),
-          lit(" appears more than once in one ranked list — ranked " +
-            "lists are sets; dedup the retriever output upstream"))))
-          .otherwise(col("__rnk")).as("rnk"))
-    val rankCols = lists.zipWithIndex.map { case ((nm, _), i) =>
-      max(when(col("__l") === i, col("rnk"))).as(s"${nm}_rnk")
+    // explain). The dup check FUSES into the per-doc aggregate
+    // (round 17; was a separate per-(list, doc) pre-aggregate — a
+    // whole extra exchange + sequential stage over ≤ Σk rows): the
+    // one groupBy counts each list's contributions alongside the
+    // score sum, and the projection raises on any count > 1 — the
+    // raw sum computed in that branch is unreachable, so it needs no
+    // pre-dedup to be correct in the branch that survives.
+    val perList = lists.zipWithIndex.flatMap { case ((nm, _), i) =>
+      Seq(count(when(col("__l") === i, lit(1))).as(s"__c_$i"),
+        min(when(col("__l") === i, col("rnk"))).as(s"${nm}_rnk"))
     }
-    val fused = deduped.groupBy("doc_id")
-      .agg(sum(expr(s"1000000 div ($k0 + rnk)")).as("rrf_ppm"),
-        rankCols: _*)
+    val dupChecked = lists.zipWithIndex.foldLeft(
+      col("__raw")) { case (acc, ((nm, _), i)) =>
+      when(col(s"__c_$i") > 1, raise_error(concat(
+        lit("rrfFuse: doc_id "), col("doc_id").cast("string"),
+        lit(s" appears more than once in ranked list '$nm' — ranked " +
+          "lists are sets; dedup the retriever output upstream"))))
+        .otherwise(acc)
+    }
+    val fused = tagged.groupBy("doc_id")
+      .agg(sum(expr(s"1000000 div ($k0 + rnk)")).as("__raw"),
+        perList: _*)
+      .select(col("doc_id") +:
+        lists.map { case (nm, _) => col(s"${nm}_rnk") } :+
+        dupChecked.as("rrf_ppm"): _*)
       .orderBy(col("rrf_ppm").desc, col("doc_id"))
       .limit(k)
     // rrf_ppm > 0 always, so negation is exact and order-reversing;

@@ -355,9 +355,16 @@ private[queries] object GraphTimeQueries {
       val base = t(s, dir, "events").select(
         col("user_id").as("key"), col("event_id").as("id"),
         floor(col("value") * 100).cast("long").as("v"))
+      // The census feeds the per-user histogram UNMERGED (duplicate
+      // (key, v) rows across event_type/late cells — the
+      // multi-histogram contract of madOutliersFromHist): a
+      // groupBy(key, v) re-agg here combined 99 958 → 99 627 rows at
+      // sf0.1 (0.3% — v is a near-continuous centi-metric, so the
+      // finer census cells almost never share a (user, v)), i.e. a
+      // full extra exchange + sequential stage for no volume
+      // reduction, at any scale with this value-domain shape.
       val hist = eventsCensus(s, dir)
-        .groupBy(col("user_id").as("key"), col("v"))
-        .agg(sum("c").as("__c"))
+        .select(col("user_id").as("key"), col("v"), col("c").as("__c"))
       Profiling.madOutliersFromHist(base, hist, mult = 3)
         .select(col("id").as("event_id"), col("key").as("user_id"),
           col("v"), col("med"), col("dev"), col("mad"))

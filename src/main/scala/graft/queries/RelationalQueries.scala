@@ -723,50 +723,45 @@ object RelationalQueries {
           .cast("double").as("revenue"))
     },
 
-    // TPC-H Q18 large-volume customers — the group-having semi-join:
-    // the qualifying-order set is ONE hash aggregate over lineitem
-    // (map-side combinable), then a semi-join prunes orders BEFORE
-    // the customer join; top-100 by a bounded TakeOrdered, never a
-    // global sort
+    // TPC-H Q18 large-volume customers — ONE hash aggregate over
+    // lineitem serves BOTH roles (round-17 fusion): the textbook
+    // formulation re-joins lineitem and re-groups to produce
+    // sum_qty, but the final group key contains o_orderkey, which
+    // functionally determines every other key column (orders PK) —
+    // so the per-group sum IS the per-orderkey sum the qualifying
+    // HAVING already computed. Carrying __q through the joins
+    // eliminates the second lineitem scan, the fact-table re-join
+    // AND the final group-by exchange (the aggregate-transposition
+    // rewrite an FD-aware optimizer performs; Catalyst has no PK
+    // metadata here, so it is applied by hand). The oracle stays the
+    // independent textbook double-aggregation shape. Top-100 by a
+    // bounded TakeOrdered, never a global sort.
     "tpch_q18" -> { (s, dir) =>
       val l = t(s, dir, "lineitem")
-      // projected copy for the qualifying set: distinct lineage, so
-      // the later l join is not an ambiguous self-join
       // quantities are integer-valued (TPC-H: 1..50), so LONG sums
       // are exact and engine-identical — no decimal aggregation on
       // the hottest aggregate of the query
-      val big = l.select(col("l_orderkey").as("__lk"),
+      val big = l.select(col("l_orderkey").as("__bk"),
           col("l_quantity").cast("long").as("__lq"))
-        .groupBy(col("__lk"))
+        .groupBy(col("__bk"))
         .agg(sum(col("__lq")).as("__q"))
         .filter(col("__q") > 200)
-        .select(col("__lk").as("__bk"))
       // UNHINTED joins, AQE runtime-size gate (same discipline as
       // Profiling.madOutliersFromHist): the >200-quantity HAVING
       // keeps ≤~8% of orders (BENCH_DRIFT_r12 scoping) — broadcast-
       // sized at bench scale, but DATA-PROPORTIONAL, so a pinned
       // broadcast() here is a driver OOM cliff at a 100×-scale run.
       // AQE reads the qualifying aggregate's ACTUAL runtime size and
-      // converts both joins to broadcast when they fit (PlanSpec pins
-      // the converted shape at bench scale: a map-side semi-probe on
-      // orders, the qualified orders⋈customer side broadcast into the
-      // lineitem join — the only shuffles are the qualifying
-      // aggregate and the final group-by over qualified rows only),
-      // and degrades to shuffle joins instead of crashing when the
-      // qualifying set outgrows the broadcast budget.
-      val o = t(s, dir, "orders")
-        .join(big, col("o_orderkey") === col("__bk"), "left_semi")
-      val c = t(s, dir, "customer")
-      // unqualified col() refs: the semi-join's right side carries no
-      // output attributes, so each name resolves uniquely even though
-      // lineitem's subtree appears twice in the plan
-      l.select(col("l_orderkey").as("__jk"), col("l_quantity"))
-        .join(o.join(c, col("o_custkey") === col("c_custkey")),
-          col("o_orderkey") === col("__jk"))
-        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
-          col("o_orderdate"), col("o_totalprice"))
-        .agg(sum(col("l_quantity").cast("long"))
-          .cast("double").as("sum_qty"))
+      // converts both joins to broadcast when they fit, and degrades
+      // to shuffle joins instead of crashing when the qualifying set
+      // outgrows the broadcast budget.
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("__bk"))
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"),
+          col("__q").cast("double").as("sum_qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(100)
     },

@@ -86,19 +86,35 @@ private[graft] object Staging {
           // platform exposes no start time, fall back to age: a tmp
           // dir untouched for 24 h outlives any publish this
           // single-host protocol runs.
+          // `rule` names which liveness rule justified a reclaim so
+          // a surprising sweep is diagnosable from the log line
+          // alone: "dead-pid" (no live process), "recycled-start"
+          // (live pid but started after the dir's last write), or
+          // "age-fallback" (no start time exposed, dir >24 h stale —
+          // the one rule that can reclaim a stalled-but-alive
+          // writer's tmp; the disk tier then degrades to in-memory
+          // rather than corrupting).
+          var rule = "dead-pid"
           val alive = scala.util.Try {
             ProcessHandle.of(pid.toLong).map[Boolean] { h =>
               h.isAlive && {
                 val start = h.info().startInstant()
-                if (start.isPresent)
+                if (start.isPresent) {
+                  rule = "recycled-start"
                   start.get.toEpochMilli <= f.lastModified() + 2000L
-                else
+                } else {
+                  rule = "age-fallback"
                   System.currentTimeMillis() - f.lastModified() <
                     24L * 3600 * 1000
+                }
               }
             }.orElse(false)
           }.getOrElse(false)
-          if (!alive) deleteTree(f)
+          if (!alive) {
+            System.err.println(
+              s"[staging] reclaiming dead tmp ${f.getName} (rule: $rule)")
+            deleteTree(f)
+          }
         case _ => ()
       }
     }

@@ -801,15 +801,22 @@ class PlanSpec extends SparkSpec {
     val p18 = plan("tpch_q18")
     assert(p18.contains("TakeOrderedAndProject"),
       s"top-100 must be a bounded heap:\n${p18.take(3000)}")
-    assert(p18.contains("LeftSemi"),
-      s"the qualifying set must prune orders via a semi-join:\n${
-        p18.take(3000)}")
+    // round-17 fusion pin: ONE lineitem scan and ONE aggregate — the
+    // qualifying HAVING sum doubles as sum_qty (o_orderkey
+    // functionally determines the whole group key), so the textbook
+    // re-join + re-group of lineitem must never reappear
+    assert("lineitem".r.findAllIn(p18).size <= 2, // scan node + its location line
+      s"q18 must scan lineitem exactly once:\n${p18.take(3000)}")
+    assert(!p18.contains("LeftSemi"),
+      "the semi-join shape is superseded: the qualifying aggregate " +
+        "joins inner, carrying __q as sum_qty")
     // the joins are UNHINTED (a pinned broadcast of the
     // data-proportional qualifying set would be an OOM cliff at a
     // 100×-scale run) — but at bench scale AQE's runtime-size gate
-    // must still converge to the map-side shape: the semi-probe on
-    // orders and the qualified orders⋈customer build side both
-    // convert to broadcast in the FINAL adaptive plan
+    // must still converge to the map-side shape: the qualifying
+    // aggregate's probe into orders and the qualified-orders build
+    // side of the customer join both convert to broadcast in the
+    // FINAL adaptive plan
     val f18 = finalPlan("tpch_q18")
     assert("BroadcastHashJoin".r.findAllIn(f18).size >= 2,
       s"AQE did not convert q18's joins to broadcast:\n${
