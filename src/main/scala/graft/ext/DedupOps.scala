@@ -125,8 +125,21 @@ object DedupOps {
         lit(b.toString) +: (b * rows until (b + 1) * rows)
           .map(j => col(s"__m$j").cast("string")): _*))
     }
-    val banded0 = sig.select(col("__id"),
-      posexplode(array(keyCols: _*)).as(Seq("__band", "__key")))
+    // each banded row carries the doc's FULL band-key array alongside
+    // the exploded key (round 17): a pair matching in several bands
+    // then emits exactly once — at the first band whose keys agree, a
+    // codegen'd when-chain over the two arrays — instead of paying a
+    // trailing pair-distinct exchange. The trade is deliberate:
+    // +((bands−1) × 32-char md5) per banded row through the band
+    // shuffle vs a whole extra sequential exchange over the candidate
+    // PAIRS (≥ the banded rows whenever dedup has real work). Exact:
+    // the emit-once test compares the same md5 key strings the join
+    // matched on. Capped buckets keep the distinct (a cap can drop
+    // the first-matching band's bucket while a later band survives —
+    // the simhashBandPairs rationale).
+    val banded0 = sig.select(col("__id"), array(keyCols: _*).as("__keys"))
+      .select(col("__id"), col("__keys"),
+        posexplode(col("__keys")).as(Seq("__band", "__key")))
       .repartition(col("__band"), col("__key"))
     val banded =
       if (maxBucket <= 0) banded0
@@ -137,12 +150,22 @@ object DedupOps {
           .filter(col("__bs") <= maxBucket)
           .drop("__bs")
       }
-    val a = banded.select(col("__band"), col("__key"), col("__id").as("id_a"))
-    val b = banded.select(col("__band"), col("__key"), col("__id").as("id_b"))
-    a.join(b, Seq("__band", "__key"))
+    val a = banded.select(col("__band"), col("__key"),
+      col("__id").as("id_a"), col("__keys").as("__ka"))
+    val b = banded.select(col("__band"), col("__key"),
+      col("__id").as("id_b"), col("__keys").as("__kb"))
+    val joined = a.join(b, Seq("__band", "__key"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
+    if (maxBucket <= 0) {
+      val firstMatch = (0 until bands).foldRight(lit(bands): Column) {
+        case (bi, acc) => when(
+          element_at(col("__ka"), bi + 1) ===
+            element_at(col("__kb"), bi + 1), lit(bi)).otherwise(acc)
+      }
+      joined.filter(col("__band") === firstMatch)
+        .select("id_a", "id_b")
+    } else
+      joined.select("id_a", "id_b").distinct()
   }
 
   /** Keep one canonical row per key: the first by `order` (ties
@@ -781,9 +804,12 @@ object DedupOps {
     * The default 4 × 15-bit bands over a 60-bit simhash (the width
     * [[simhashTokenHash]] actually carries) gives 32,768 buckets per
     * band — narrow 8-bit bands (256 buckets) are quadratic-at-scale.
-    * Hamming + distinct run AFTER the equi-join on the narrow
-    * (id_a, id_b) pair, so no wide (sig, sig) tuple rides the
-    * deduplicating shuffle.
+    * Hamming verifies AFTER the equi-join, and a multi-band-agreeing
+    * pair emits exactly once via the first-matching-band filter (a
+    * codegen'd when-chain over the two signatures already on the join
+    * row) — no trailing pair-distinct exchange; only the
+    * maxBucket-capped path keeps the distinct (a cap can drop the
+    * first-matching band's bucket while a later band survives).
     *
     * @param bits total simhash width; bands × bitsPerBand must cover
     *             it exactly or trailing bits silently leave the
@@ -822,7 +848,7 @@ object DedupOps {
       col("__id").as("id_a"), col("__s").as("__sa"))
     val b = banded.select(col("__band"), col("__key"),
       col("__id").as("id_b"), col("__s").as("__sb"))
-    a.join(b, Seq("__band", "__key"))
+    val verified = a.join(b, Seq("__band", "__key"))
       .filter(col("id_a") < col("id_b"))
       // masked to `bits` like hammingDistance — the scaladoc's "same
       // single expression" claim: set bits ABOVE bits-1 (a 64-bit
@@ -831,8 +857,35 @@ object DedupOps {
       .withColumn("hamming",
         hammingDistance(col("__sa"), col("__sb"), bits))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
-      .distinct()
+    if (maxBucket <= 0)
+      // emit-once without the trailing pair-distinct exchange
+      // (round 17): a pair agreeing on several bands arrives once
+      // per band, but BOTH full signatures ride the join row, so
+      // "is this the first band the two signatures agree on?" is a
+      // codegen'd when-chain — keep exactly that row. Only sound
+      // uncapped: a maxBucket cut can drop the first-matching band's
+      // bucket while a later band survives, so the capped path keeps
+      // the distinct.
+      verified.filter(col("__band") ===
+          firstMatchingBand(col("__sa"), col("__sb"), bands,
+            bitsPerBand))
+        .select("id_a", "id_b", "hamming")
+    else
+      verified.select("id_a", "id_b", "hamming").distinct()
+  }
+
+  /** The smallest band index two signatures agree on (join rows
+    * always have one) — the emit-once key of the banded self-joins:
+    * a when-chain over the band extracts, pure integer codegen.
+    */
+  private def firstMatchingBand(sa: Column, sb: Column, bands: Int,
+                                bitsPerBand: Int): Column = {
+    val mask = (1L << bitsPerBand) - 1
+    (0 until bands).foldRight(lit(bands): Column) { case (b, acc) =>
+      when(shiftright(sa, b * bitsPerBand).bitwiseAND(lit(mask)) ===
+        shiftright(sb, b * bitsPerBand).bitwiseAND(lit(mask)),
+        lit(b)).otherwise(acc)
+    }
   }
 
   /** CROSS-set banded Hamming pairs — [[simhashBandPairs]] between
@@ -867,8 +920,11 @@ object DedupOps {
       .withColumn("hamming",
         hammingDistance(col("__sa"), col("__sb"), bits))
       .filter(col("hamming") <= maxHamming)
+      // emit-once via the first matching band (no cap parameter on
+      // the cross shape, so always sound) — see simhashBandPairs
+      .filter(col("__band") ===
+        firstMatchingBand(col("__sa"), col("__sb"), bands, bitsPerBand))
       .select("id_a", "id_b", "hamming")
-      .distinct()
   }
 
   /** Word-mask Bloom filter of the `fp` values: one (word, mask) row

@@ -524,8 +524,12 @@ object Similarity {
     *   2. SELF-JOIN within list — sum of per-list C(n,2) candidate
     *      rows, never corpus², streamed through the shuffle where AQE
     *      can skew-split a hot list.
-    *   3. VERIFY with exact cosine ≥ `threshold`; distinct, because a
-    *      pair sharing both lists arrives twice.
+    *   3. VERIFY with exact cosine ≥ `threshold`, emitted once per
+    *      pair — on the literal-centroid path each row carries its
+    *      assigned-list array, so a both-lists-shared pair is kept
+    *      only in its smallest common list (no distinct exchange); on
+    *      the fallback path a trailing distinct dedups the twice-
+    *      arriving pairs.
     *
     * The banded rows are repartitioned on the list id so both
     * self-join branches read ONE exchange (same rationale as
@@ -535,6 +539,70 @@ object Similarity {
   def ivfNearDupPairs(df: DataFrame, id: Column, vec: Column,
                       centroids: DataFrame, threshold: Double,
                       nassign: Int = 2): DataFrame = {
+    // Small-nlist fast path (round 17, the ivfTopK literal fold
+    // applied to the pairs shape): with ≤64 literal centroids the
+    // top-nassign assignment is an IN-ROW sort — no per-__id
+    // row_number window (a corpus-wide exchange), and because each
+    // row CARRIES its full assigned-list array through the band
+    // shuffle, a pair sharing both lists is emitted exactly once
+    // (only from the smallest common list) — no trailing
+    // pair-distinct exchange either. 3 exchanges → 1. Requires
+    // integral centroid ids (the literal fold negates them); any
+    // other id type or a >64-row table falls through to the
+    // window/broadcast path below, contract unchanged.
+    val integralIds = {
+      import org.apache.spark.sql.types._
+      centroids.schema("id").dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }
+    val litCents = if (integralIds) collectLitCents(centroids) else None
+    if (litCents.isDefined && litCents.get.cents.nonEmpty) {
+      val LitCents(cdims, cents) = litCents.get
+      // the ≤nassign assigned list ids ride as SCALAR columns, not an
+      // array: the emit-once test below runs once per CANDIDATE PAIR
+      // row (within-list C(n,2) of them — the query's hottest loop),
+      // where an array_intersect/array_min form would allocate
+      // interpreted collections per row; the scalar when-chain stays
+      // inside WholeStageCodegen. NULL pads lists beyond the table
+      // size (nassign > nlist).
+      val probe = litProbeArray(cents, col("__v"), col("__n"), nassign)
+      val listCols = (0 until nassign).map(j =>
+        (element_at(col("__probe"), j + 1)("n") * -1).as(s"__l$j"))
+      val assigned = df
+        .select(id.as("__id"), dimsGuard(vec, cdims).as("__v"),
+          norm(vec).as("__n"))
+        .filter(col("__n") > 0)
+        .withColumn("__probe", probe)
+        .select(col("__id") +: col("__v") +: col("__n") +: listCols :+
+          explode(transform(col("__probe"), x => x("n") * -1))
+            .as("__list"): _*)
+        .repartition(col("__list"))
+      def side(tag: String) = assigned.select(
+        col("__list") +: col("__id").as(s"id_$tag") +:
+          col("__v").as(s"v$tag") +: col("__n").as(s"__n$tag") +:
+          (0 until nassign).map(j =>
+            col(s"__l$j").as(s"__l${j}$tag")): _*)
+      // smallest COMMON list of the pair: for each of a's lists, its
+      // value if b also holds it (NULL otherwise); least() skips
+      // NULLs, and a joined row always has ≥1 common list
+      val commonMin = {
+        val cands = (0 until nassign).map { i =>
+          val inB = (0 until nassign).map(j =>
+            col(s"__l${i}a") === col(s"__l${j}b"))
+            .reduce(_ || _)
+          when(inB, col(s"__l${i}a"))
+        }
+        if (cands.size == 1) cands.head else least(cands: _*)
+      }
+      return side("a").join(side("b"), Seq("__list"))
+        .filter(col("id_a") < col("id_b") && col("__list") === commonMin)
+        .withColumn("cos",
+          dot(col("va"), col("vb")) / (col("__na") * col("__nb")))
+        .filter(col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    }
     val cent = centroids.select(col("id").as("__cid"),
       col("vec").as("__cvec"), norm(col("vec")).as("__ctn"))
       .filter(col("__ctn") > 0)

@@ -274,6 +274,11 @@ private[queries] object DedupQueries {
         |SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash FROM bits GROUP BY doc_id""".stripMargin,
 
 
+    // signature recomputed from raw text, then BRUTE-FORCE all-pairs
+    // hamming — not the band join (round-17 oracle strengthening):
+    // maxHamming (3) ≤ bands−1 (3), so pigeonhole makes the banded
+    // result EQUAL the blocking-free set; the oracle verifies that
+    // guarantee instead of replaying the blocking
     "dedup_simhash_pairs" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
         |             FROM documents),
@@ -282,14 +287,11 @@ private[queries] object DedupQueries {
         |           CASE WHEN sum(((h >> j) % 2) * 2 - 1) > 0
         |                THEN (CAST(1 AS BIGINT) << j) ELSE 0 END AS bit
         |         FROM h, unnest(range(0, 60)) AS u(j) GROUP BY doc_id, j),
-        |sh AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash FROM bits GROUP BY doc_id),
-        |banded AS (SELECT doc_id, simhash, b, (simhash >> (b * 15)) & 32767 AS bkey
-        |           FROM sh, unnest(range(0, 4)) AS u(b))
-        |SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+        |sh AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
         |       CAST(bit_count(xor(a.simhash, b2.simhash)) AS INT) AS hamming
-        |FROM banded a JOIN banded b2 ON a.b = b2.b AND a.bkey = b2.bkey
-        |WHERE a.doc_id < b2.doc_id
-        |  AND bit_count(xor(a.simhash, b2.simhash)) <= 3""".stripMargin,
+        |FROM sh a JOIN sh b2 ON a.doc_id < b2.doc_id
+        |WHERE bit_count(xor(a.simhash, b2.simhash)) <= 3""".stripMargin,
 
 
     "dedup_ngram_jaccard" ->

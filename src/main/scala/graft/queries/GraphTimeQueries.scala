@@ -590,6 +590,14 @@ private[queries] object GraphTimeQueries {
         |    * 1000000.0) AS BIGINT) END AS corr_ppm
         |FROM a""".stripMargin),
 
+    // round-17 oracle strengthening: n_triangles counts canonical
+    // a<b<c edge triples — INDEPENDENT of the Spark side's
+    // degree-orientation join mechanics (any orientation closes the
+    // same triangles exactly once, so a broken orientation or wedge
+    // join fails parity instead of being mirrored). n_wedges is
+    // orientation-DEFINED output (the operator's spec), but derives
+    // here from the out-degree combinatorics Σ C(d_out, 2) rather
+    // than replaying the wedge self-join.
     "graph_triangles" ->
       (s"""WITH $copurchaseCtes,
         |deg AS (SELECT node, count(*) AS d FROM (
@@ -602,13 +610,14 @@ private[queries] object GraphTimeQueries {
         |         THEN e.v ELSE e.u END AS dst
         |  FROM edges e JOIN deg du ON du.node = e.u
         |               JOIN deg dv ON dv.node = e.v),
-        |wed AS (SELECT a.src, a.dst AS y, b.dst AS z
-        |        FROM ori a JOIN ori b ON a.src = b.src AND a.dst < b.dst),
-        |tri AS (SELECT w.src FROM wed w
-        |        JOIN edges e2 ON w.y = e2.u AND w.z = e2.v)
+        |outd AS (SELECT src, count(*) AS d FROM ori GROUP BY 1),
+        |tri AS (SELECT 1 AS one
+        |        FROM edges e1 JOIN edges e2 ON e2.u = e1.v
+        |          JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v)
         |SELECT (SELECT count(*) FROM deg) AS n_nodes,
         |       (SELECT count(*) FROM edges) AS n_edges,
-        |       (SELECT count(*) FROM wed) AS n_wedges,
+        |       (SELECT CAST(coalesce(sum(d * (d - 1) // 2), 0)
+        |                AS BIGINT) FROM outd) AS n_wedges,
         |       (SELECT count(*) FROM tri) AS n_triangles""".stripMargin),
 
 

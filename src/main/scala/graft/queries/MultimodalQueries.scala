@@ -762,11 +762,16 @@ private[queries] object MultimodalQueries {
         bits = 60)
       val comps = DedupOps.connectedComponents(
         kept.select(col("doc_id").as("id")), pairs)
-      val sizes = comps.groupBy(col("component_id"))
+      // component_id IS the component's min member id (the
+      // connectedComponents canonical-label contract), so the size
+      // groupBy ALONE yields (survivor, cluster_size) — the old
+      // filter(id === component_id) + join(sizes) re-read comps a
+      // second time for a row the aggregate key already carries
+      // (round-17 fusion, one exchange + one join fewer; same shape
+      // in curate_videos/curate_images)
+      comps.groupBy(col("component_id"))
         .agg(count(lit(1)).as("cluster_size"))
-      comps.filter(col("id") === col("component_id"))
-        .join(sizes, Seq("component_id"))
-        .select(col("id").as("doc_id"), col("cluster_size"))
+        .select(col("component_id").as("doc_id"), col("cluster_size"))
         .join(kept, Seq("doc_id"))
         .select(col("doc_id"), col("cluster_size"), col("voiced"),
           col("n_segments"))
@@ -793,11 +798,10 @@ private[queries] object MultimodalQueries {
         maxHamming = 1, bits = 60)
       val comps = DedupOps.connectedComponents(
         kept.select(col("doc_id").as("id")), pairs)
-      val sizes = comps.groupBy(col("component_id"))
+      // min-label fusion — see curate_audio's note
+      comps.groupBy(col("component_id"))
         .agg(count(lit(1)).as("cluster_size"))
-      comps.filter(col("id") === col("component_id"))
-        .join(sizes, Seq("component_id"))
-        .select(col("id").as("doc_id"), col("cluster_size"))
+        .select(col("component_id").as("doc_id"), col("cluster_size"))
         .join(kept.drop("vhash"), Seq("doc_id"))
         .select(col("doc_id"), col("cluster_size"), col("gray_sum"),
           col("n_scenes"))
@@ -818,11 +822,10 @@ private[queries] object MultimodalQueries {
         bands = 4, bitsPerBand = 15, maxHamming = 1, bits = 60)
       val comps = DedupOps.connectedComponents(
         kept.select(col("doc_id").as("id")), pairs)
-      val sizes = comps.groupBy(col("component_id"))
+      // min-label fusion — see curate_audio's note
+      comps.groupBy(col("component_id"))
         .agg(count(lit(1)).as("cluster_size"))
-      comps.filter(col("id") === col("component_id"))
-        .join(sizes, Seq("component_id"))
-        .select(col("id").as("doc_id"), col("cluster_size"))
+        .select(col("component_id").as("doc_id"), col("cluster_size"))
         .join(kept.drop("ahash"), Seq("doc_id"))
         .select(col("doc_id"), col("cluster_size"), col("gray_sum"),
           col("gray_min"), col("gray_max"))
@@ -909,8 +912,14 @@ private[queries] object MultimodalQueries {
 
 
     // the REAL 10x6 raster recomputed pixel by pixel (r=g=b=v makes
-    // luma the identity), same integer mean compare, same 4x15-bit
-    // band join as the simhash oracle
+    // luma the identity), same integer mean compare — then BRUTE-
+    // FORCE all-pairs hamming, NOT the band join (round-17 oracle
+    // strengthening): with maxHamming (3) ≤ bands−1 (3), pigeonhole
+    // proves the banded candidate set contains every ≤3 pair, so the
+    // blocked result EQUALS the blocking-free all-pairs set — the
+    // oracle now verifies that guarantee instead of replaying the
+    // blocking, and a banding bug on the Spark side (dropped band,
+    // wrong mask) fails parity instead of being mirrored
     "mm_ahash_pairs" ->
       """WITH g AS (SELECT doc_id, doc_id // 5 AS grp FROM documents),
         |pix AS (SELECT doc_id, y.y * 10 + x.x AS i,
@@ -926,16 +935,11 @@ private[queries] object MultimodalQueries {
         |             THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
         |             ELSE 0 END)
         |      AS BIGINT) AS ahash
-        |  FROM pix JOIN tot USING (doc_id) GROUP BY 1),
-        |banded AS (SELECT doc_id, ahash, bb,
-        |    (ahash >> (bb * 15)) & 32767 AS bkey
-        |  FROM sig, unnest(range(0, 4)) AS u(bb))
-        |SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+        |  FROM pix JOIN tot USING (doc_id) GROUP BY 1)
+        |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
         |  CAST(bit_count(xor(a.ahash, c.ahash)) AS INT) AS hamming
-        |FROM banded a JOIN banded c
-        |  ON a.bb = c.bb AND a.bkey = c.bkey
-        |WHERE a.doc_id < c.doc_id
-        |  AND bit_count(xor(a.ahash, c.ahash)) <= 3""".stripMargin,
+        |FROM sig a JOIN sig c ON a.doc_id < c.doc_id
+        |WHERE bit_count(xor(a.ahash, c.ahash)) <= 3""".stripMargin,
 
 
     // the scene boundaries replayed: per-frame block flats → lag
@@ -970,7 +974,8 @@ private[queries] object MultimodalQueries {
 
     // the keyframe closed form IS the ahash fixture's grid (frame-0
     // mixing matches the image pass by design — two decode paths,
-    // one ground truth), so the video pairs replay the same SQL
+    // one ground truth); brute-force all-pairs hamming, blocking-
+    // free (maxHamming 3 ≤ bands−1 — mm_ahash_pairs' pigeonhole note)
     "mm_video_dup_pairs" ->
       """WITH g AS (SELECT doc_id, doc_id // 5 AS grp FROM documents),
         |pix AS (SELECT doc_id, y.y * 10 + x.x AS i,
@@ -986,16 +991,11 @@ private[queries] object MultimodalQueries {
         |             THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
         |             ELSE 0 END)
         |      AS BIGINT) AS vhash
-        |  FROM pix JOIN tot USING (doc_id) GROUP BY 1),
-        |banded AS (SELECT doc_id, vhash, bb,
-        |    (vhash >> (bb * 15)) & 32767 AS bkey
-        |  FROM sig, unnest(range(0, 4)) AS u(bb))
-        |SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+        |  FROM pix JOIN tot USING (doc_id) GROUP BY 1)
+        |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
         |  CAST(bit_count(xor(a.vhash, c.vhash)) AS INT) AS hamming
-        |FROM banded a JOIN banded c
-        |  ON a.bb = c.bb AND a.bkey = c.bkey
-        |WHERE a.doc_id < c.doc_id
-        |  AND bit_count(xor(a.vhash, c.vhash)) <= 3""".stripMargin,
+        |FROM sig a JOIN sig c ON a.doc_id < c.doc_id
+        |WHERE bit_count(xor(a.vhash, c.vhash)) <= 3""".stripMargin,
 
     // the cue grid recomputed: i-th cue of doc d starts at
     // d%1000 + (i-1)*2000 and runs 1500 ms
@@ -1032,7 +1032,8 @@ private[queries] object MultimodalQueries {
 
     // the image raster and the video keyframe carry the SAME grid by
     // construction, so one sig CTE serves both sides; ordered pairs,
-    // no a<b halving, self-pairs included
+    // no a<b halving, self-pairs included — brute-force all-pairs,
+    // blocking-free (maxHamming 3 ≤ bands−1 — mm_ahash_pairs' note)
     "mm_cross_modal_dup" ->
       """WITH g AS (SELECT doc_id, doc_id // 5 AS grp FROM documents),
         |pix AS (SELECT doc_id, y.y * 10 + x.x AS i,
@@ -1048,19 +1049,17 @@ private[queries] object MultimodalQueries {
         |             THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
         |             ELSE 0 END)
         |      AS BIGINT) AS h
-        |  FROM pix JOIN tot USING (doc_id) GROUP BY 1),
-        |banded AS (SELECT doc_id, h, bb,
-        |    (h >> (bb * 15)) & 32767 AS bkey
-        |  FROM sig, unnest(range(0, 4)) AS u(bb))
-        |SELECT DISTINCT a.doc_id AS img_id, c.doc_id AS vid_id,
+        |  FROM pix JOIN tot USING (doc_id) GROUP BY 1)
+        |SELECT a.doc_id AS img_id, c.doc_id AS vid_id,
         |  CAST(bit_count(xor(a.h, c.h)) AS INT) AS hamming
-        |FROM banded a JOIN banded c
-        |  ON a.bb = c.bb AND a.bkey = c.bkey
+        |FROM sig a JOIN sig c ON true
         |WHERE bit_count(xor(a.h, c.h)) <= 3""".stripMargin,
 
-    // the gradient hash replayed cell by cell (the fixture raster is
-    // exactly the 10×6 pool, so cells are pixels): bit = right
-    // neighbor strictly greater, 3×18-bit bands, hamming ≤ 2
+    // the gradient hash recomputed cell by cell from the closed-form
+    // raster (the fixture raster is exactly the 10×6 pool, so cells
+    // are pixels): bit = right neighbor strictly greater; brute-force
+    // all-pairs, blocking-free (maxHamming 2 ≤ bands−1 = 2 —
+    // mm_ahash_pairs' pigeonhole note)
     "mm_dhash_pairs" ->
       """WITH g AS (SELECT doc_id, doc_id // 5 AS grp FROM documents),
         |pix AS (SELECT doc_id, x.x AS x, y.y AS y,
@@ -1077,23 +1076,21 @@ private[queries] object MultimodalQueries {
         |             ELSE 0 END) AS BIGINT) AS dhash
         |  FROM pix a JOIN pix b ON a.doc_id = b.doc_id
         |    AND b.x = a.x + 1 AND b.y = a.y
-        |  WHERE a.x < 9 GROUP BY 1),
-        |banded AS (SELECT doc_id, dhash, bb,
-        |    (dhash >> (bb * 18)) & 262143 AS bkey
-        |  FROM sig, unnest(range(0, 3)) AS u(bb))
-        |SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+        |  WHERE a.x < 9 GROUP BY 1)
+        |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
         |  CAST(bit_count(xor(a.dhash, c.dhash)) AS INT) AS hamming
-        |FROM banded a JOIN banded c
-        |  ON a.bb = c.bb AND a.bkey = c.bkey
-        |WHERE a.doc_id < c.doc_id
-        |  AND bit_count(xor(a.dhash, c.dhash)) <= 2""".stripMargin,
+        |FROM sig a JOIN sig c ON a.doc_id < c.doc_id
+        |WHERE bit_count(xor(a.dhash, c.dhash)) <= 2""".stripMargin,
 
 
-    // the full DCT hash replayed: the basis CTE carries the SAME 256
-    // rounded integers the Scala transform uses (interpolated from
-    // Multimodal.PhK), the separable row/column passes are exact
+    // the full DCT hash recomputed: the basis CTE carries the SAME
+    // 256 rounded integers the Scala transform uses (interpolated
+    // from Multimodal.PhK — the hash's DEFINITION, so shared by
+    // construction), the separable row/column passes are exact
     // integer sums, and quantile_disc(0.5) over 63 values is sorted
-    // index 31 — the same element Scala takes
+    // index 31 — the same element Scala takes. Pairs are brute-force
+    // all-pairs, blocking-free (maxHamming 2 ≤ bands−1 —
+    // mm_ahash_pairs' pigeonhole note)
     "mm_phash_pairs" -> {
       val ktab = (for (u <- 0 until 8; x <- 0 until 32)
         yield s"($u, $x, ${Multimodal.PhK(u)(x)})").mkString(", ")
@@ -1120,16 +1117,11 @@ private[queries] object MultimodalQueries {
         |                   << CAST(u * 8 + v - 1 AS INT))
         |             ELSE 0 END) AS BIGINT) AS phash
         |  FROM coef JOIN med USING (doc_id)
-        |  WHERE NOT (u = 0 AND v = 0) GROUP BY 1),
-        |banded AS (SELECT doc_id, phash, bb,
-        |    (phash >> (bb * 21)) & 2097151 AS bkey
-        |  FROM sig, unnest(range(0, 3)) AS u2(bb))
-        |SELECT DISTINCT a.doc_id AS id_a, c2.doc_id AS id_b,
+        |  WHERE NOT (u = 0 AND v = 0) GROUP BY 1)
+        |SELECT a.doc_id AS id_a, c2.doc_id AS id_b,
         |  CAST(bit_count(xor(a.phash, c2.phash)) AS INT) AS hamming
-        |FROM banded a JOIN banded c2
-        |  ON a.bb = c2.bb AND a.bkey = c2.bkey
-        |WHERE a.doc_id < c2.doc_id
-        |  AND bit_count(xor(a.phash, c2.phash)) <= 2""".stripMargin
+        |FROM sig a JOIN sig c2 ON a.doc_id < c2.doc_id
+        |WHERE bit_count(xor(a.phash, c2.phash)) <= 2""".stripMargin
     },
 
     // the REAL 120-sample stream recomputed in closed form —
@@ -1137,7 +1129,8 @@ private[queries] object MultimodalQueries {
     // spec's segment expansion (|linear| drops the sign term, so
     // μ-law is t0−132 and A-law the segment value outright):
     // |sample| energies in 60 two-sample windows, integer mean
-    // compare, same band join
+    // compare; brute-force all-pairs over the non-sentinel sigs,
+    // blocking-free (maxHamming 3 ≤ bands−1 — mm_ahash_pairs' note)
     "mm_audio_fingerprint" ->
       """WITH g AS (SELECT doc_id, doc_id // 5 AS grp FROM documents),
         |raw AS (SELECT doc_id, grp, t.t AS t,
@@ -1168,16 +1161,11 @@ private[queries] object MultimodalQueries {
         |    CAST(sum(CASE WHEN e * 60 > t
         |             THEN (CAST(1 AS BIGINT) << wi) ELSE 0 END)
         |      AS BIGINT) AS afp
-        |  FROM w JOIN tot USING (doc_id) GROUP BY 1),
-        |banded AS (SELECT doc_id, afp, bb,
-        |    (afp >> (bb * 15)) & 32767 AS bkey
-        |  FROM sig, unnest(range(0, 4)) AS u(bb)
-        |  WHERE afp <> 0)
-        |SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+        |  FROM w JOIN tot USING (doc_id) GROUP BY 1)
+        |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
         |  CAST(bit_count(xor(a.afp, c.afp)) AS INT) AS hamming
-        |FROM banded a JOIN banded c
-        |  ON a.bb = c.bb AND a.bkey = c.bkey
-        |WHERE a.doc_id < c.doc_id
+        |FROM sig a JOIN sig c ON a.doc_id < c.doc_id
+        |WHERE a.afp <> 0 AND c.afp <> 0
         |  AND bit_count(xor(a.afp, c.afp)) <= 3""".stripMargin,
 
 
@@ -1334,14 +1322,9 @@ private[queries] object MultimodalQueries {
         |             ELSE 0 END)
         |      AS BIGINT) AS vhash
         |  FROM pix JOIN kept USING (doc_id) GROUP BY 1),
-        |banded AS (SELECT doc_id, vhash, bb,
-        |    (vhash >> (bb * 15)) & 32767 AS bkey
-        |  FROM sig, unnest(range(0, 4)) AS u(bb)),
-        |pairs AS (SELECT DISTINCT a.doc_id AS pa, c.doc_id AS pb
-        |  FROM banded a JOIN banded c
-        |    ON a.bb = c.bb AND a.bkey = c.bkey
-        |  WHERE a.doc_id < c.doc_id
-        |    AND bit_count(xor(a.vhash, c.vhash)) <= 1),
+        |pairs AS (SELECT a.doc_id AS pa, c.doc_id AS pb
+        |  FROM sig a JOIN sig c ON a.doc_id < c.doc_id
+        |  WHERE bit_count(xor(a.vhash, c.vhash)) <= 1),
         |edges AS (SELECT pa AS ea, pb AS eb FROM pairs
         |          UNION ALL SELECT pb, pa FROM pairs),
         |reach(src, dst) AS (
@@ -1362,7 +1345,7 @@ private[queries] object MultimodalQueries {
 
     // the audio chain replayed: closed-form |samples| → VAD census
     // (lag marks run starts) → activity gate → windowed energy
-    // fingerprint over survivors → banded pairs at hamming ≤ 1 →
+    // fingerprint over survivors → all-pairs hamming ≤ 1 →
     // recursive closure → min-id survivor
     "curate_audio" ->
       """WITH RECURSIVE g AS (SELECT doc_id, doc_id // 5 AS grp
@@ -1406,14 +1389,9 @@ private[queries] object MultimodalQueries {
         |             THEN (CAST(1 AS BIGINT) << wi) ELSE 0 END)
         |      AS BIGINT) AS afp
         |  FROM w JOIN tot USING (doc_id) GROUP BY 1),
-        |banded AS (SELECT doc_id, afp, bb,
-        |    (afp >> (bb * 15)) & 32767 AS bkey
-        |  FROM sig, unnest(range(0, 4)) AS u(bb)
-        |  WHERE afp <> 0),
-        |pairs AS (SELECT DISTINCT a.doc_id AS pa, c.doc_id AS pb
-        |  FROM banded a JOIN banded c
-        |    ON a.bb = c.bb AND a.bkey = c.bkey
-        |  WHERE a.doc_id < c.doc_id
+        |pairs AS (SELECT a.doc_id AS pa, c.doc_id AS pb
+        |  FROM sig a JOIN sig c ON a.doc_id < c.doc_id
+        |  WHERE a.afp <> 0 AND c.afp <> 0
         |    AND bit_count(xor(a.afp, c.afp)) <= 1),
         |edges AS (SELECT pa AS ea, pb AS eb FROM pairs
         |          UNION ALL SELECT pb, pa FROM pairs),
@@ -1452,14 +1430,9 @@ private[queries] object MultimodalQueries {
         |             ELSE 0 END)
         |      AS BIGINT) AS ahash
         |  FROM pix JOIN kept USING (doc_id) GROUP BY 1),
-        |banded AS (SELECT doc_id, ahash, bb,
-        |    (ahash >> (bb * 15)) & 32767 AS bkey
-        |  FROM sig, unnest(range(0, 4)) AS u(bb)),
-        |pairs AS (SELECT DISTINCT a.doc_id AS pa, c.doc_id AS pb
-        |  FROM banded a JOIN banded c
-        |    ON a.bb = c.bb AND a.bkey = c.bkey
-        |  WHERE a.doc_id < c.doc_id
-        |    AND bit_count(xor(a.ahash, c.ahash)) <= 1),
+        |pairs AS (SELECT a.doc_id AS pa, c.doc_id AS pb
+        |  FROM sig a JOIN sig c ON a.doc_id < c.doc_id
+        |  WHERE bit_count(xor(a.ahash, c.ahash)) <= 1),
         |edges AS (SELECT pa AS ea, pb AS eb FROM pairs
         |          UNION ALL SELECT pb, pa FROM pairs),
         |reach(src, dst) AS (

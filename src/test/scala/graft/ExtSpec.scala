@@ -928,6 +928,36 @@ class ExtSpec extends SparkSpec {
     assert(multi.count() === pairs.size)
   }
 
+  test("ivfNearDupPairs: the literal-centroid fast path matches the " +
+      "window/broadcast fallback on random vectors (property)") {
+    // deterministic LCG vectors; single-digit ids so the fallback's
+    // string-cid ordering (its tie-break domain) agrees with the
+    // literal path's long ordering
+    var seed = 0x2545F4914F6CDD1DL
+    def nxt(): Float = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      ((seed >>> 40).toInt % 1000) / 500f - 1f
+    }
+    val vecs = (0L until 60L).map(i =>
+      (i, Seq.fill(8)(nxt()))).toDF("id", "vec")
+    val centsL = (0L until 6L).map(i =>
+      (i, Seq.fill(8)(nxt()))).toDF("id", "vec")
+    // a string id table is the documented fallback trigger (the
+    // literal fold needs integral ids); same centroid VECTORS
+    val centsS = centsL.select($"id".cast("string").as("id"), $"vec")
+    for (nassign <- Seq(1, 2, 3)) {
+      val lit = Similarity.ivfNearDupPairs(vecs, $"id", $"vec", centsL,
+        threshold = 0.2, nassign = nassign)
+        .as[(Long, Long, Double)].collect().toSet
+      val fb = Similarity.ivfNearDupPairs(vecs, $"id", $"vec", centsS,
+        threshold = 0.2, nassign = nassign)
+        .select($"id_a", $"id_b", $"cos")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(lit === fb, s"nassign=$nassign literal/fallback diverged")
+      assert(lit.nonEmpty, s"nassign=$nassign degenerate fixture")
+    }
+  }
+
   test("bruteForceTopK returns k best neighbors, self excluded") {
     val vecs = Seq(
       (0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)),
