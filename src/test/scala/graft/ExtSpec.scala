@@ -2017,6 +2017,138 @@ class ExtSpec extends SparkSpec {
       e2.getMessage.contains("CRC"), e2.getMessage)
   }
 
+  test("FlacDecoder multi-partition property: random VALID rice/rice2 " +
+      "bitstreams with partition orders 0-3, mixed per-partition " +
+      "params and raw escapes decode to the exact samples") {
+    // round-17 property campaign: the ENCODER only ever writes
+    // partition order 0, so the decoder's multi-partition walk
+    // (first partition short by the predictor order, per-partition
+    // parameters, the 5-bit rice2 domain, the raw escape) had no
+    // round-trip coverage. This test writes random valid streams
+    // with a local bit-writer + CRC replica (RFC 9639 framing, the
+    // same construction FlacEncoder uses) and requires bit-exact
+    // sample recovery.
+    import graft.ext.FlacDecoder
+    final class W {
+      val out = new java.io.ByteArrayOutputStream()
+      var cur = 0; var nb = 0
+      def bits(v: Long, n: Int): Unit = {
+        var k = n - 1
+        while (k >= 0) {
+          cur = (cur << 1) | ((v >>> k) & 1).toInt; nb += 1
+          if (nb == 8) { out.write(cur); cur = 0; nb = 0 }
+          k -= 1
+        }
+      }
+      def alignByte(): Unit = if (nb > 0) bits(0, 8 - nb)
+      def bytes: Array[Byte] = { assert(nb == 0); out.toByteArray }
+    }
+    def crc8(b: Array[Byte]): Int = {
+      var crc = 0
+      for (x <- b) {
+        crc ^= x & 0xff
+        for (_ <- 0 until 8)
+          crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff
+                else (crc << 1) & 0xff
+      }
+      crc
+    }
+    def crc16(b: Array[Byte]): Int = {
+      var crc = 0
+      for (x <- b) {
+        crc ^= (x & 0xff) << 8
+        for (_ <- 0 until 8)
+          crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff
+                else (crc << 1) & 0xffff
+      }
+      crc
+    }
+    var seed = 0x5851F42D4C957F2DL
+    def nxt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    for (trial <- 0 until 24) {
+      val po = nxt(4)                  // partition order 0..3
+      val order = nxt(5)               // fixed predictor 0..4
+      val method = nxt(2)              // 0 = rice(4-bit), 1 = rice2
+      val blockSize = (1 << po) * (8 + nxt(4) * 8) // divisible by 2^po
+      val samples = Array.tabulate(blockSize)(_ => nxt(4001) - 2000)
+      val res = Array.tabulate(blockSize - order) { k =>
+        val i = k + order
+        val p = order match {
+          case 0 => 0
+          case 1 => samples(i - 1)
+          case 2 => 2 * samples(i - 1) - samples(i - 2)
+          case 3 => 3 * samples(i - 1) - 3 * samples(i - 2) +
+            samples(i - 3)
+          case _ => 4 * samples(i - 1) - 6 * samples(i - 2) +
+            4 * samples(i - 3) - samples(i - 4)
+        }
+        samples(i) - p
+      }
+      val head = new W
+      head.bits(0x664c6143L, 32)
+      head.bits(1, 1); head.bits(0, 7); head.bits(34, 24)
+      head.bits(blockSize.toLong, 16); head.bits(blockSize.toLong, 16)
+      head.bits(0, 24); head.bits(0, 24)
+      head.bits(16000L, 20); head.bits(0, 3); head.bits(15L, 5)
+      head.bits(blockSize.toLong, 36)
+      head.bits(0, 64); head.bits(0, 64)
+      val fw = new W
+      fw.bits(0x3ffe, 14); fw.bits(0, 1); fw.bits(0, 1)
+      fw.bits(7, 4); fw.bits(0, 4); fw.bits(0, 4) // mono
+      fw.bits(4, 3); fw.bits(0, 1)                // 16 bps
+      fw.bits(0, 8)                               // frame number 0
+      fw.bits((blockSize - 1).toLong, 16)
+      val hb = { fw.alignByte(); fw.bytes }
+      val f2 = new W
+      hb.foreach(b => f2.bits(b & 0xffL, 8))
+      f2.bits(crc8(hb).toLong, 8)
+      // fixed-order subframe, multi-partition residual
+      f2.bits(0, 1); f2.bits((8 + order).toLong, 6); f2.bits(0, 1)
+      for (i <- 0 until order)
+        f2.bits(samples(i).toLong & 0xffffL, 16)
+      f2.bits(method.toLong, 2)
+      f2.bits(po.toLong, 4)
+      val paramBits = if (method == 0) 4 else 5
+      val escape = (1 << paramBits) - 1
+      val perPart = blockSize >> po
+      var at = 0
+      for (p <- 0 until (1 << po)) {
+        val n = if (p == 0) perPart - order else perPart
+        val slice = res.slice(at, at + n)
+        if (nxt(4) == 0) {             // raw escape partition
+          f2.bits(escape.toLong, paramBits)
+          f2.bits(17L, 5)              // 17 signed bits covers ±16000
+          slice.foreach(e => f2.bits(e.toLong & 0x1ffff, 17))
+        } else {                       // rice partition, random param
+          val param = nxt(if (method == 0) 15 else 20)
+          f2.bits(param.toLong, paramBits)
+          for (e <- slice) {
+            val u = (e.toLong << 1) ^ (e.toLong >> 63)
+            val q = (u >>> param).toInt
+            for (_ <- 0 until q) f2.bits(0, 1)
+            f2.bits(1, 1)
+            f2.bits(u & ((1L << param) - 1), param)
+          }
+        }
+        at += n
+      }
+      f2.alignByte()
+      val fb = f2.bytes
+      val fin = new W
+      fb.foreach(b => fin.bits(b & 0xffL, 8))
+      fin.bits(crc16(fb).toLong, 16)
+      val stream = head.bytes ++ fin.bytes
+      val got = FlacDecoder.decode(stream)
+      assert(got.isDefined, s"trial $trial did not decode")
+      assert(got.get.samples(0) === samples,
+        s"trial $trial po=$po order=$order method=$method " +
+          s"blockSize=$blockSize")
+    }
+  }
+
   test("Subtitles.parseSrt: builder round-trip, BOM/LF/dot variants, " +
     "multi-line cues, and loud malformed-cue failures") {
     import graft.ext.Subtitles.{buildSrt, parseSrt}
@@ -2833,6 +2965,233 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("JpegDecoder progressive property: random coefficient blocks " +
+      "through random band splits, successive approximation, ZRL, " +
+      "EOB runs and refinement weaves decode IDENTICALLY to the " +
+      "sequential stream carrying the same coefficients") {
+    // round-17 property campaign, the random-valid-bitstream
+    // generalization of the hand-crafted progressive test above: a
+    // full T.81 §G.1.2.2-3 ENCODER lives in the test (first-pass
+    // EOB-run merging across blocks, refinement correction-bit
+    // weaving, ZRL-in-refinement, newly-significant ±1 insertions
+    // behind zero-history runs) and every trial demands pixel-exact
+    // agreement with the sequential twin — equal coefficients, same
+    // integer IDCT.
+    import graft.ext.JpegDecoder
+    var seed = 0x413526A1D7453DEFL
+    def nxt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    class Sink(val out: java.io.ByteArrayOutputStream) {
+      var acc = 0L; var nB = 0
+      def put(v: Int, n: Int): Unit = if (n > 0) {
+        acc = (acc << n) | (v & ((1L << n) - 1)); nB += n
+        while (nB >= 8) {
+          val byte = ((acc >> (nB - 8)) & 0xff).toInt
+          out.write(byte); if (byte == 0xff) out.write(0)
+          nB -= 8
+        }
+      }
+      def flush(): Unit = if (nB > 0) put((1 << (8 - nB)) - 1, 8 - nB)
+    }
+    def cat(v: Int) = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    def ext(v: Int, s: Int) = if (v < 0) v + (1 << s) - 1 else v
+    // ONE AC table for every scan: all (run 0-15, size 1-8), EOBn
+    // n=0..14 and ZRL, canonical 8-bit codes (144 symbols, rank =
+    // code)
+    val acSyms = (for (r <- 0 to 15; s <- 1 to 8) yield (r << 4) | s) ++
+      (0 to 14).map(_ << 4) :+ 0xf0
+    val acRank = acSyms.zipWithIndex.toMap
+    def header(out: java.io.ByteArrayOutputStream, sof: Int, w: Int,
+               h: Int): Unit = {
+      def u8w(v: Int): Unit = out.write(v & 0xff)
+      def be16w(v: Int): Unit = { u8w(v >> 8); u8w(v) }
+      def mk(m: Int): Unit = { u8w(0xff); u8w(m) }
+      mk(0xd8)
+      mk(0xdb); be16w(67); u8w(0); for (_ <- 0 until 64) u8w(1)
+      mk(sof); be16w(11); u8w(8); be16w(h); be16w(w); u8w(1)
+      u8w(1); u8w(0x11); u8w(0)
+      mk(0xc4); be16w(2 + 17 + 12); u8w(0x00)
+      for (l <- 1 to 16) u8w(if (l == 4) 12 else 0)
+      for (s <- 0 until 12) u8w(s)
+      mk(0xc4); be16w(2 + 17 + acSyms.length); u8w(0x10)
+      for (l <- 1 to 16) u8w(if (l == 8) acSyms.length else 0)
+      acSyms.foreach(u8w)
+    }
+    def sos(out: java.io.ByteArrayOutputStream, ss: Int, se: Int,
+            ah: Int, al: Int): Unit = {
+      def u8w(v: Int): Unit = out.write(v & 0xff)
+      u8w(0xff); u8w(0xda); u8w(0); u8w(8); u8w(1); u8w(1); u8w(0x00)
+      u8w(ss); u8w(se); u8w((ah << 4) | al)
+    }
+    for (trial <- 0 until 12) {
+      val (bw, bh) = (1 + nxt(3), 1 + nxt(2))
+      val (w, h) = (bw * 8, bh * 8)
+      val nBlk = bw * bh
+      // random coefficients: blocks alternate dense/sparse/empty;
+      // ±1 values are invisible at Al=1 (newly significant in the
+      // refinement), tail positions force ZRL/EOB machinery
+      val blocks = Array.tabulate(nBlk) { b =>
+        val t = new Array[Int](64)
+        t(0) = nxt(2041) - 1024 // DC in [-1024, 1016]
+        val kind = nxt(4)
+        val nAc = kind match {
+          case 0 => 0; case 1 => 2 + nxt(3); case _ => 6 + nxt(7) }
+        for (_ <- 0 until nAc) {
+          val k = 1 + nxt(63)
+          t(k) = if (nxt(3) == 0) (if (nxt(2) == 0) 1 else -1)
+            else { val v = 1 + nxt(255); if (nxt(2) == 0) v else -v }
+        }
+        t
+      }
+      // ---- sequential twin
+      val sequential = {
+        val out = new java.io.ByteArrayOutputStream()
+        header(out, 0xc0, w, h)
+        sos(out, 0, 63, 0, 0)
+        val bs = new Sink(out)
+        var pred = 0
+        for (t <- blocks) {
+          val s0 = cat(t(0) - pred)
+          bs.put(s0, 4); bs.put(ext(t(0) - pred, s0), s0)
+          pred = t(0)
+          var run = 0
+          var lastNz = 0
+          for (k <- 1 to 63 if t(k) != 0) lastNz = k
+          for (k <- 1 to lastNz) {
+            if (t(k) == 0) {
+              run += 1
+              if (run == 16) { bs.put(acRank(0xf0), 8); run = 0 }
+            } else {
+              val s = cat(t(k))
+              bs.put(acRank((run << 4) | s), 8)
+              bs.put(ext(t(k), s), s)
+              run = 0
+            }
+          }
+          if (lastNz < 63) bs.put(acRank(0x00), 8)
+        }
+        bs.flush()
+        out.write(0xff); out.write(0xd9)
+        out.toByteArray
+      }
+      // ---- progressive twin: DC@1, AC bands @1, DC refine, AC refine
+      val progressive = {
+        val split = 1 + nxt(62) // first AC band = 1..split
+        val out = new java.io.ByteArrayOutputStream()
+        header(out, 0xc2, w, h)
+        // DC first at Al=1
+        sos(out, 0, 0, 0, 1)
+        val bs = new Sink(out)
+        var pred = 0
+        for (t <- blocks) {
+          val v = t(0) >> 1
+          val s0 = cat(v - pred)
+          bs.put(s0, 4); bs.put(ext(v - pred, s0), s0)
+          pred = v
+        }
+        bs.flush()
+        // AC first scans at Al=1 (values truncate toward zero)
+        def acFirst(ss: Int, se: Int): Unit = {
+          sos(out, ss, se, 0, 1)
+          var eob = 0
+          def flushEob(): Unit = if (eob > 0) {
+            val n = 31 - Integer.numberOfLeadingZeros(eob)
+            bs.put(acRank(n << 4), 8)
+            if (n > 0) bs.put(eob - (1 << n), n)
+            eob = 0
+          }
+          for (t <- blocks) {
+            val band = (ss to se).map(k => t(k) / 2)
+            val lastNz = band.lastIndexWhere(_ != 0)
+            if (lastNz < 0) eob += 1
+            else {
+              flushEob()
+              var run = 0
+              for (i <- 0 to lastNz) {
+                if (band(i) == 0) {
+                  run += 1
+                  if (run == 16) { bs.put(acRank(0xf0), 8); run = 0 }
+                } else {
+                  val s = cat(band(i))
+                  bs.put(acRank((run << 4) | s), 8)
+                  bs.put(ext(band(i), s), s)
+                  run = 0
+                }
+              }
+              if (lastNz < se - ss) eob += 1
+            }
+          }
+          flushEob()
+          bs.flush()
+        }
+        acFirst(1, split)
+        if (split < 63) acFirst(split + 1, 63)
+        // DC refinement to Al=0: the raw low bit
+        sos(out, 0, 0, 1, 0)
+        for (t <- blocks) bs.put(t(0) & 1, 1)
+        bs.flush()
+        // AC refinement 1..63 to Al=0: §G.1.2.3 weave
+        sos(out, 1, 63, 1, 0)
+        var eobRun = 0
+        val eobBits = scala.collection.mutable.ArrayBuffer[Int]()
+        def flushEobR(): Unit = if (eobRun > 0) {
+          val n = 31 - Integer.numberOfLeadingZeros(eobRun)
+          bs.put(acRank(n << 4), 8)
+          if (n > 0) bs.put(eobRun - (1 << n), n)
+          eobBits.foreach(bit => bs.put(bit, 1))
+          eobBits.clear(); eobRun = 0
+        }
+        for (t <- blocks) {
+          val hist = (0 until 64).map(k => (t(k) / 2) * 2)
+          val hasNew = (1 to 63).exists(k => hist(k) == 0 && t(k) != 0)
+          if (!hasNew) {
+            eobRun += 1
+            for (k <- 1 to 63 if hist(k) != 0)
+              eobBits += (math.abs(t(k)) & 1)
+          } else {
+            flushEobR()
+            var run = 0
+            val pend = scala.collection.mutable.ArrayBuffer[Int]()
+            var tail = false
+            for (k <- 1 to 63) {
+              if (hist(k) != 0) pend += (math.abs(t(k)) & 1)
+              else if (t(k) == 0) {
+                run += 1
+                if (run == 16) {
+                  bs.put(acRank(0xf0), 8)
+                  pend.foreach(bit => bs.put(bit, 1))
+                  pend.clear(); run = 0
+                }
+              } else { // newly significant ±1
+                bs.put(acRank((run << 4) | 1), 8)
+                bs.put(if (t(k) > 0) 1 else 0, 1)
+                pend.foreach(bit => bs.put(bit, 1))
+                pend.clear(); run = 0
+              }
+            }
+            if (run > 0 || pend.nonEmpty) {
+              eobRun = 1
+              eobBits ++= pend
+            }
+          }
+        }
+        flushEobR()
+        bs.flush()
+        out.write(0xff); out.write(0xd9)
+        out.toByteArray
+      }
+      val ps = JpegDecoder.decode(sequential)
+      val pp = JpegDecoder.decode(progressive)
+      assert(ps.isDefined && pp.isDefined, s"trial $trial decode")
+      assert(pp.get.gray === ps.get.gray,
+        s"trial $trial ${bw}x$bh blocks diverged")
+      assert(ps.get.gray.distinct.length > 1 || blocks.forall(
+        t => (1 to 63).forall(t(_) == 0)), s"trial $trial degenerate")
+    }
+  }
+
   test("dHashFromGray: exact gradient bits on the 10x6 pool, " +
     "invariant under monotone brightness shifts where aHash is not, " +
     "and cross-format equal signatures from real decodes") {
@@ -3312,6 +3671,100 @@ class ExtSpec extends SparkSpec {
     assert(gotB.filter(_._1 >= 2L).forall(_._2 == "tail"))
     // head >= ceil(n/3) always
     assert(gotB.count(_._2 == "head") * 3 >= gotB.length)
+  }
+
+  test("integer-kernel property campaign: qlog8 exact-formula " +
+      "replica, scoreTerciles vs a histogram-fold reference, and " +
+      "dsirWeights vs a plain-Scala model on random inputs") {
+    // round-17 extension of the r16 property method to the
+    // TextAnalysis integer kernels: each is re-derived in Scala with
+    // the documented arithmetic and compared EXACTLY on randomized
+    // inputs with ties, NULLs, empties, and extreme magnitudes.
+    var seed = 0x6A5D39EAE116586DL
+    def nxt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    // -- qlog8: exact formula replica on random + extreme magnitudes
+    def qlog8Ref(x: Long): Long = {
+      val b = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      val m = if (b >= 3) x >>> (b - 3) else x << (3 - b)
+      8L * b + m - 8L
+    }
+    val mags = Seq.fill(200)(1L + (nxt(1 << 30).toLong << nxt(33))) ++
+      Seq(1L, 2L, 7L, 8L, 11L, 12L, 95L, 96L, Long.MaxValue,
+        Long.MaxValue - 1, (12L << 40) - 1, 12L << 40)
+    val qGot = mags.map(x => math.min(x.abs.max(1L), Long.MaxValue))
+      .distinct.toDF("x")
+      .select($"x", TextAnalysis.qlog8($"x").as("q"))
+      .as[(Long, Long)].collect()
+    for ((x, q) <- qGot)
+      assert(q === qlog8Ref(x), s"qlog8($x)")
+    // -- scoreTerciles: full replica of the fold rule on random
+    //    (key, score) data with NULL scores, a NULL key, heavy ties
+    val trows = (0 until 160).map { i =>
+      val k = if (nxt(11) == 0) null
+        else s"k${nxt(4)}"
+      val s = if (nxt(6) == 0) null
+        else java.lang.Long.valueOf(nxt(5).toLong) // 5 values → ties
+      (i.toLong, k, s)
+    }
+    val tdf = trows.toDF("id", "k", "s").repartition(7)
+    val tGot = TextAnalysis.scoreTerciles(tdf, "k", "s")
+      .select("id", "bucket").as[(Long, String)].collect().toMap
+    def bucketRef(vals: Seq[Long], s: java.lang.Long): String = {
+      if (s == null) return "tail"
+      val n = vals.size.toLong
+      val hist = vals.groupBy(identity).view.mapValues(_.size.toLong)
+        .toSeq.sortBy(_._1)
+      val ths = (1 to 2).map { i =>
+        var run = 0L; var th = 0L
+        for ((v, c) <- hist) { if (run * 3 < n * i) th = v; run += c }
+        th
+      }
+      Seq("head", "middle", "tail")(ths.count(t => s > t))
+    }
+    val byKey = trows.groupBy(_._2)
+    for ((id, k, s) <- trows) {
+      val vals = byKey(k).flatMap(r => Option(r._3).map(_.toLong))
+      assert(tGot(id) === bucketRef(vals, s),
+        s"tercile id=$id k=$k s=$s vals=${vals.sorted}")
+    }
+    // -- dsirWeights: plain-Scala two-model replica, ngram 1 and 2,
+    //    empty docs, duplicate tokens, truncating negative division
+    val vocab = (0 until 6).map(i => s"w$i")
+    val drows = (0 until 40).map { i =>
+      val words = Seq.fill(nxt(7))(vocab(nxt(vocab.size)))
+      (i.toLong, words.mkString(" "), nxt(3) == 0)
+    }
+    val ddf = drows.toDF("doc_id", "text", "tgt").repartition(5)
+    def fl2(x: Long): Long =
+      if (x <= 0) 0L else 63 - java.lang.Long.numberOfLeadingZeros(x)
+    for (ng <- Seq(1, 2)) {
+      def featsOf(text: String): Seq[String] = {
+        val tk = text.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+        if (ng == 1) tk
+        else if (tk.size < 2) Seq.empty
+        else tk.sliding(2).map(_.mkString("_")).toSeq
+      }
+      val occ = drows.flatMap { case (id2, tx, tg) =>
+        featsOf(tx).map(t => (id2, t, tg)) }
+      val cr = occ.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val ct = occ.groupBy(_._2).view
+        .mapValues(_.count(_._3).toLong).toMap
+      val (nr, nt, v) = (cr.values.sum, ct.values.sum, cr.size.toLong)
+      val exp = drows.map { case (id2, tx, _) =>
+        val fs = featsOf(tx)
+        val bits = fs.map(t => fl2(ct(t) + 1) - fl2(cr(t) + 1) +
+          (fl2(nr + v) - fl2(nt + v))).sum
+        val nT = fs.size.toLong
+        (id2, nT, bits, if (nT == 0) 0L else bits * 1000L / nT)
+      }.toSet
+      val got = TextAnalysis.dsirWeights(ddf, $"doc_id", $"text",
+        $"tgt", ngram = ng)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got === exp, s"dsirWeights diverged at ngram=$ng")
+    }
   }
 
   test("scoreTerciles NULL score lands in tail, never head: an " +
@@ -3865,6 +4318,108 @@ class ExtSpec extends SparkSpec {
       k = 3, m = 4, dims = 8, codebookK = 4)
       .as[(Long, Long, Long)].collect().toSet
     assert(full === plain)
+  }
+
+  test("PQ ladder property: codebook, codes and integer ADC scores " +
+      "match an in-memory replica at parameter extremes (random " +
+      "vectors; d=1, single-subspace, codebookK=1, corpus<codebookK)") {
+    // the round-17 extension of the r16 property campaign to the
+    // quantization ladder: every stage of pqTrain → pqEncode → pqTopK
+    // is re-derived in plain Scala with the documented arithmetic
+    // (left-fold double l2/dot, floor(x·1e6) fixed-point sums,
+    // (Σ/n)/1e6 means, tie-to-smaller-cid) and compared EXACTLY —
+    // a silent integer/ordering bug anywhere in the ladder diverges.
+    var seed = 0x0FEDCBA987654321L
+    def nxt(): Double = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      ((seed >>> 40).toInt % 2000) / 1000.0 - 1.0
+    }
+    def dotD(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def l2D(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val dd = a(i) - b(i); s += dd * dd; i += 1 }
+      s
+    }
+    val combos = Seq( // (m, dims, codebookK, n)
+      (2, 4, 3, 24),  // duplicate SEED vectors → codeword tie-break
+      (4, 4, 2, 24),  // d = 1 subspaces
+      (1, 6, 4, 24),  // single subspace
+      (3, 6, 1, 24),  // one codeword per subspace (rank always 0)
+      (2, 4, 6, 4))   // corpus smaller than codebookK
+    for ((m, dims, ck, n) <- combos) {
+      val d = dims / m
+      val raw = (0 until n).map(i =>
+        (i.toLong, IndexedSeq.fill(dims)(nxt())))
+      // id 2 duplicates id 1 (when big enough): identical seed
+      // codewords must tie to the smaller cid in every assignment
+      val rows = if (n > 6) raw.updated(2, (2L, raw(1)._2)) else raw
+      val df = rows.map { case (i, v) => (i, v) }.toDF("id", "vec")
+        .repartition(5)
+      def sub(v: IndexedSeq[Double], j: Int) = v.slice(j * d, j * d + d)
+      val seeds = rows.sortBy(_._1).take(ck)
+      def assignTo(cents: Map[Int, Seq[(Long, IndexedSeq[Double])]],
+                   j: Int, sv: IndexedSeq[Double]): Long =
+        cents(j).minBy { case (cid, cv) => (l2D(sv, cv), cid) }._1
+      val cents0: Map[Int, Seq[(Long, IndexedSeq[Double])]] =
+        (0 until m).map(j =>
+          j -> seeds.map { case (id, v) => (id, sub(v, j)) }).toMap
+      val assigned = for ((id, v) <- rows; j <- 0 until m)
+        yield (j, assignTo(cents0, j, sub(v, j)), sub(v, j))
+      val cents1: Map[Int, Seq[(Long, IndexedSeq[Double])]] =
+        assigned.groupBy(a => (a._1, a._2)).map { case ((j, cid), grp) =>
+          val cv = (0 until d).map { i =>
+            val s = grp.map(g => math.floor(g._3(i) * 1e6).toLong).sum
+            (s.toDouble / grp.size) / 1e6
+          }
+          (j, cid, cv)
+        }.toSeq.groupBy(_._1).map { case (j, s) =>
+          j -> s.map(t => (t._2, t._3: IndexedSeq[Double])).sortBy(_._1)
+        }
+      val rankOf: Map[(Int, Long), Int] = cents1.flatMap {
+        case (j, s) => s.zipWithIndex.map { case ((cid, _), r) =>
+          ((j, cid), r) }
+      }.toMap
+      // 1. codebook
+      val cb = Similarity.pqTrain(df, m, dims, ck)
+      val gotCb = cb.collect().map(r => ((r.getInt(0), r.getLong(1)),
+        (r.getSeq[Double](2).toIndexedSeq, r.getInt(3)))).toMap
+      val expCb = cents1.flatMap { case (j, s) => s.map { case (cid, cv) =>
+        ((j, cid), (cv, rankOf((j, cid)))) } }
+      assert(gotCb === expCb, s"codebook diverged at m=$m dims=$dims k=$ck")
+      // 2. codes
+      val codes = Similarity.pqEncode(df, m, dims, ck, Some(cb))
+      val gotCodes = codes.collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(s => (s.getInt(0), s.getInt(1))).toIndexedSeq).toMap
+      def codeOf(v: IndexedSeq[Double]): IndexedSeq[(Int, Int)] =
+        (0 until m).map { j =>
+          (j, rankOf((j, assignTo(cents1, j, sub(v, j)))))
+        }
+      val expCodes = rows.map { case (id, v) => id -> codeOf(v) }.toMap
+      assert(gotCodes === expCodes, s"codes diverged at m=$m dims=$dims k=$ck")
+      // 3. integer ADC scores + top-k cut
+      val got = Similarity.pqTopK(df.filter($"id" < 3), df, k = 5,
+          m, dims, ck, Some(cb), Some(codes))
+        .as[(Long, Long, Long)].collect().toSet
+      // cents1 vectors keyed by (j, rank) for the table replica
+      val cvByRank: Map[(Int, Int), IndexedSeq[Double]] =
+        cents1.flatMap { case (j, s) => s.map { case (cid, cv) =>
+          ((j, rankOf((j, cid))), cv) } }
+      val exp = (for {
+        (qid, qv) <- rows if qid < 3
+        cand = rows.filter(_._1 != qid).map { case (cid2, cv2) =>
+          val adc = expCodes(cid2).map { case (j, r) =>
+            math.floor(dotD(sub(qv, j), cvByRank((j, r))) * 1e6).toLong
+          }.sum
+          (qid, cid2, adc)
+        }
+        row <- cand.sortBy(t => (-t._3, t._2)).take(5)
+      } yield row).toSet
+      assert(got === exp, s"ADC top-k diverged at m=$m dims=$dims k=$ck")
+    }
   }
 
   test("bloomFilteredAnti equals the plain anti join, even when the " +
