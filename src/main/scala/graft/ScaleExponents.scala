@@ -95,7 +95,16 @@ object ScaleExponents {
       // round-16 touched operator: zorder16 gained the out-of-range
       // raise_error guard — map-side projection over events, the row
       // pins that the guard branch stays scan-bounded (no exchange)
-      "layout_zorder")
+      "layout_zorder",
+      // round-17 touched operators: the exchange-fusion batch —
+      // q18's FD-fused single aggregate, the unmerged-census
+      // multi-histogram MAD, the literal-centroid emit-once IVF
+      // pairs, the first-matching-band emit-once simhash join, the
+      // key-array-carrying LSH bands (the one fusion that TRADES
+      // band-shuffle bytes for the dropped pair-distinct — watch its
+      // exponent), and the min-label curate finish
+      "tpch_q18", "ts_anomaly", "dedup_cosine_ivf",
+      "dedup_simhash_pairs", "dedup_minhash_lsh", "curate_images")
 
     // results(name)(tier) = (repTimes, rows)
     val results =

@@ -125,21 +125,21 @@ object DedupOps {
         lit(b.toString) +: (b * rows until (b + 1) * rows)
           .map(j => col(s"__m$j").cast("string")): _*))
     }
-    // each banded row carries the doc's FULL band-key array alongside
-    // the exploded key (round 17): a pair matching in several bands
-    // then emits exactly once — at the first band whose keys agree, a
-    // codegen'd when-chain over the two arrays — instead of paying a
-    // trailing pair-distinct exchange. The trade is deliberate:
-    // +((bands−1) × 32-char md5) per banded row through the band
-    // shuffle vs a whole extra sequential exchange over the candidate
-    // PAIRS (≥ the banded rows whenever dedup has real work). Exact:
-    // the emit-once test compares the same md5 key strings the join
-    // matched on. Capped buckets keep the distinct (a cap can drop
-    // the first-matching band's bucket while a later band survives —
-    // the simhashBandPairs rationale).
-    val banded0 = sig.select(col("__id"), array(keyCols: _*).as("__keys"))
-      .select(col("__id"), col("__keys"),
-        posexplode(col("__keys")).as(Seq("__band", "__key")))
+    // The pair dedup stays a trailing DISTINCT here — a measured
+    // round-17 negative result, the opposite call from
+    // simhashBandPairs' emit-once filter: simhash signatures are
+    // single LONGs already riding the join rows, so its
+    // first-matching-band test is free, but the MinHash band keys
+    // are md5 STRINGS, and carrying the key array per banded row
+    // (to recompute "first agreeing band" in the join) 4×'d the
+    // band-shuffle payload — same-session A/B at sf0.1: 0.38 s
+    // (distinct) vs 0.69 s (key-array carry) hot, because candidate
+    // pairs (2 310) are far FEWER than banded rows (240k) on any
+    // corpus where the banding discriminates. The distinct's
+    // map-side partial dedup also bounds its exchange by the true
+    // pair set.
+    val banded0 = sig.select(col("__id"),
+      posexplode(array(keyCols: _*)).as(Seq("__band", "__key")))
       .repartition(col("__band"), col("__key"))
     val banded =
       if (maxBucket <= 0) banded0
@@ -150,22 +150,12 @@ object DedupOps {
           .filter(col("__bs") <= maxBucket)
           .drop("__bs")
       }
-    val a = banded.select(col("__band"), col("__key"),
-      col("__id").as("id_a"), col("__keys").as("__ka"))
-    val b = banded.select(col("__band"), col("__key"),
-      col("__id").as("id_b"), col("__keys").as("__kb"))
-    val joined = a.join(b, Seq("__band", "__key"))
+    val a = banded.select(col("__band"), col("__key"), col("__id").as("id_a"))
+    val b = banded.select(col("__band"), col("__key"), col("__id").as("id_b"))
+    a.join(b, Seq("__band", "__key"))
       .filter(col("id_a") < col("id_b"))
-    if (maxBucket <= 0) {
-      val firstMatch = (0 until bands).foldRight(lit(bands): Column) {
-        case (bi, acc) => when(
-          element_at(col("__ka"), bi + 1) ===
-            element_at(col("__kb"), bi + 1), lit(bi)).otherwise(acc)
-      }
-      joined.filter(col("__band") === firstMatch)
-        .select("id_a", "id_b")
-    } else
-      joined.select("id_a", "id_b").distinct()
+      .select("id_a", "id_b")
+      .distinct()
   }
 
   /** Keep one canonical row per key: the first by `order` (ties
