@@ -565,10 +565,14 @@ object Similarity {
       // row (within-list C(n,2) of them — the query's hottest loop),
       // where an array_intersect/array_min form would allocate
       // interpreted collections per row; the scalar when-chain stays
-      // inside WholeStageCodegen. NULL pads lists beyond the table
-      // size (nassign > nlist).
-      val probe = litProbeArray(cents, col("__v"), col("__n"), nassign)
-      val listCols = (0 until nassign).map(j =>
+      // inside WholeStageCodegen. The column count clamps to the
+      // CENTROID count: nassign > nlist cannot assign more lists than
+      // exist, and an element_at past the probe array's end THROWS
+      // under ANSI semantics rather than padding NULL (caught by the
+      // nassign=8-of-6 property edge).
+      val nLists = math.min(nassign, cents.length)
+      val probe = litProbeArray(cents, col("__v"), col("__n"), nLists)
+      val listCols = (0 until nLists).map(j =>
         (element_at(col("__probe"), j + 1)("n") * -1).as(s"__l$j"))
       val assigned = df
         .select(id.as("__id"), dimsGuard(vec, cdims).as("__v"),
@@ -582,14 +586,14 @@ object Similarity {
       def side(tag: String) = assigned.select(
         col("__list") +: col("__id").as(s"id_$tag") +:
           col("__v").as(s"v$tag") +: col("__n").as(s"__n$tag") +:
-          (0 until nassign).map(j =>
+          (0 until nLists).map(j =>
             col(s"__l$j").as(s"__l${j}$tag")): _*)
       // smallest COMMON list of the pair: for each of a's lists, its
       // value if b also holds it (NULL otherwise); least() skips
       // NULLs, and a joined row always has ≥1 common list
       val commonMin = {
-        val cands = (0 until nassign).map { i =>
-          val inB = (0 until nassign).map(j =>
+        val cands = (0 until nLists).map { i =>
+          val inB = (0 until nLists).map(j =>
             col(s"__l${i}a") === col(s"__l${j}b"))
             .reduce(_ || _)
           when(inB, col(s"__l${i}a"))

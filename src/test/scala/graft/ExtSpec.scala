@@ -945,7 +945,10 @@ class ExtSpec extends SparkSpec {
     // a string id table is the documented fallback trigger (the
     // literal fold needs integral ids); same centroid VECTORS
     val centsS = centsL.select($"id".cast("string").as("id"), $"vec")
-    for (nassign <- Seq(1, 2, 3)) {
+    // nassign = 8 > nlist = 6: the probe array runs short, the padded
+    // scalar list columns go NULL, and the emit-once least() must
+    // skip them — the overflow edge of the fast path
+    for (nassign <- Seq(1, 2, 3, 8)) {
       val lit = Similarity.ivfNearDupPairs(vecs, $"id", $"vec", centsL,
         threshold = 0.2, nassign = nassign)
         .as[(Long, Long, Double)].collect().toSet

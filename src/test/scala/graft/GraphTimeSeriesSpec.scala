@@ -705,6 +705,39 @@ class GraphTimeSeriesSpec extends SparkSpec {
     assert(got === Seq((4L, 1L, 100L, 14L, 86L, 2L)))
   }
 
+  test("madOutliersFromHist multi-histogram contract: duplicate " +
+      "(key, v) rows with split counts equal one merged entry " +
+      "(random histograms, random splits)") {
+    // the round-17 ts_anomaly fusion feeds the census UNMERGED; the
+    // running-count folds must treat split counts for the same v
+    // exactly like one merged row — pin it on random data
+    var seed = 0x1B873593CC9E2D51L
+    def nxt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    val base = (0 until 80).map(i =>
+      (nxt(4).toLong, i.toLong, nxt(9).toLong - 4)).toDF("key", "id", "v")
+    val merged = base.groupBy($"key", $"v")
+      .agg(count(lit(1)).as("__c"))
+    // split every count across 1..3 duplicate rows
+    val split = merged.as[(Long, Long, Long)].collect().flatMap {
+      case (k, v, c) =>
+        val parts = 1 + nxt(3).min(c.toInt - 1).max(0)
+        val cuts = Seq.fill(parts - 1)(1L + nxt(c.toInt - 1))
+          .sorted.distinct
+        val bounds = (0L +: cuts :+ c).sliding(2)
+          .map(s => s(1) - s(0)).filter(_ > 0).toSeq
+        bounds.map(p => (k, v, p))
+    }.toSeq.toDF("key", "v", "__c").repartition(5)
+    val a = Profiling.madOutliersFromHist(base, merged, mult = 1)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val b = Profiling.madOutliersFromHist(base, split, mult = 1)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(a === b)
+    assert(a.nonEmpty, "degenerate fixture: no outliers at mult=1")
+  }
+
   test("madOutliers with MAD = 0 degenerates to flagging anything " +
       "off the median") {
     // over half the mass on 5 → med=5, mad=0; 5s never flag, 7 does
