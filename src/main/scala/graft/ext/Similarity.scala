@@ -1032,8 +1032,12 @@ object Similarity {
     * against the query's nested [j][rank] table — O(1) per entry.
     * Every address is present by construction (codes and tables both
     * derive from cent1's (j, cid) set; ranks are contiguous within a
-    * subspace); the coalesce(0) mirrors the old inner join's
-    * contribute-nothing-on-no-match semantics.
+    * subspace). A caller who pairs codes with a MISMATCHED codebook
+    * (rank past the table) fails LOUDLY: under ANSI semantics
+    * element_at throws on an out-of-range index — the right outcome
+    * for corrupted inputs, and the coalesce(0) does NOT absorb it
+    * (it only absorbs NULL table cells, which the builders never
+    * produce; kept for the degenerate empty-subspace row).
     */
   private def adcSum(codeSlots: Column, tbl: Column): Column =
     aggregate(codeSlots, lit(0L), (acc, s) =>
