@@ -3381,6 +3381,55 @@ class ExtSpec extends SparkSpec {
     assert(Multimodal.audioFingerprint(imp59) === (1L << 59))
   }
 
+  test("G.711 bijectivity property: an INDEPENDENT spec-derived " +
+      "compressor round-trips all 256 codes of both laws (the " +
+      "shared-table blind spot: Spark and the oracle expand with the " +
+      "same closed form, so only a reverse-direction check can catch " +
+      "a table derivation bug)") {
+    import graft.ext.{AudioHeader, WavEncoder}
+    def msb(x: Int): Int = 31 - Integer.numberOfLeadingZeros(x)
+    // mu-law compressor from the T.711 segment structure: |v|+0x84 =
+    // (132+8m)·2^s, so s = msb−7 and m recovers by shift; value<0
+    // sets the pre-complement sign bit (code bit 7 CLEAR)
+    def compressMu(v: Int): Int = {
+      val mag = math.abs(v)
+      val u = mag + 0x84
+      val s = msb(u) - 7
+      val m = ((u >> s) - 132) >> 3
+      val cPre = (if (v < 0) 0x80 else 0x00) | (s << 4) | m
+      ~cPre & 0xff
+    }
+    // A-law compressor: seg 0 holds mags 8..248 (mant·16+8), seg s>=1
+    // holds [256·2^(s−1), 512·2^(s−1)) ((mant·16+264)<<(s−1)); bit 7
+    // SET means positive, then XOR 0x55
+    def compressA(v: Int): Int = {
+      val mag = math.abs(v)
+      val s = if (mag < 256) 0 else msb(mag) - 7
+      val m = if (s == 0) (mag - 8) / 16
+        else ((mag >> (s - 1)) - 264) / 16
+      (((if (v > 0) 0x80 else 0x00) | (s << 4) | m) ^ 0x55) & 0xff
+    }
+    val muExp = AudioHeader.linearSamples(
+      WavEncoder.g711((0 until 256).toArray, tag = 7)).get
+    for (c <- 0 until 256) {
+      if (c == 0x7f) assert(muExp(c) === 0, "mu-law negative zero")
+      else assert(compressMu(muExp(c)) === c,
+        s"mu-law code $c expands to ${muExp(c)} which compresses to " +
+          s"${compressMu(muExp(c))}")
+    }
+    // the two zeros collapse: 0x7F (neg zero) re-compresses to 0xFF
+    assert(compressMu(muExp(0x7f)) === 0xff)
+    val aExp = AudioHeader.linearSamples(
+      WavEncoder.g711((0 until 256).toArray, tag = 6)).get
+    for (c <- 0 until 256)
+      assert(compressA(aExp(c)) === c,
+        s"A-law code $c expands to ${aExp(c)} which compresses to " +
+          s"${compressA(aExp(c))}")
+    // every expansion is a distinct value except mu-law's two zeros
+    assert(aExp.distinct.length === 256)
+    assert(muExp.distinct.length === 255)
+  }
+
   test("AudioHeader.linearSamples expands G.711 mu-law and A-law " +
     "through the spec tables (known anchor codes), first channel of " +
     "stereo, loud overrun; pcm16 still rejects companded codings") {
