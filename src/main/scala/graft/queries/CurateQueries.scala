@@ -440,7 +440,10 @@ private[queries] object CurateQueries {
 
 
     // the WET pipeline replayed from raw text: expected extraction,
-    // length gate, exact-dup group with min-id survivor + census
+    // length gate, exact-dup group with min-id survivor + census.
+    // Dup groups form on the EXACT expected string (r18 audit), not
+    // its md5 — the Spark side's md5 grouping must match hashing-free
+    // ground truth, so a digest bug fails parity instead of mirroring
     "curate_web" ->
       """WITH t3 AS (SELECT a.doc_id, b.text
         |  FROM documents a JOIN documents b
@@ -459,7 +462,7 @@ private[queries] object CurateQueries {
         |SELECT min(doc_id) AS doc_id,
         |  CAST(count(*) AS BIGINT) AS n_dups,
         |  CAST(min(length(expected)) AS BIGINT) AS n_chars
-        |FROM k GROUP BY md5(expected)""".stripMargin,
+        |FROM k GROUP BY expected""".stripMargin,
 
     // identical census: the zstd shards must be lossless too
     "src_jsonl_zst_roundtrip" ->
@@ -638,8 +641,10 @@ private[queries] object CurateQueries {
          |FROM ex, n WHERE exact_n * 13 > nn""".stripMargin,
 
 
-    // fingerprint = md5 of the whitespace-normal form (same as
-    // dedup_exact's dup_key); TTR is integer millis, exact division
+    // dup census counts DISTINCT whitespace-normal forms directly
+    // (r18 audit) — the Spark side's md5 fingerprinting must agree
+    // with hashing-free ground truth; TTR is integer millis, exact
+    // division
     "corpus_report" ->
       s"""WITH d AS (SELECT source, text,
          |             list_filter($tokensSql, t -> t <> '') AS toks
@@ -647,8 +652,8 @@ private[queries] object CurateQueries {
          |doc AS (SELECT source, count(*) AS n_docs,
          |          coalesce(CAST(sum(len(toks)) AS BIGINT), 0)
          |            AS n_tokens,
-         |          count(text) - count(DISTINCT md5(regexp_replace(
-         |            lower(trim(text)), '\\s+', ' ', 'g'))) AS n_dup_docs
+         |          count(text) - count(DISTINCT regexp_replace(
+         |            lower(trim(text)), '\\s+', ' ', 'g')) AS n_dup_docs
          |        FROM d GROUP BY 1),
          |voc AS (SELECT source, count(DISTINCT t) AS vocab
          |        FROM (SELECT source, unnest(toks) AS t FROM d) GROUP BY 1)
@@ -742,6 +747,9 @@ private[queries] object CurateQueries {
         .stripMargin,
 
 
+    // dedup partitions on the exact whitespace-normal form (r18
+    // audit), not its md5 — the Spark side's md5-fingerprint keying
+    // must match hashing-free ground truth
     "curate_corpus" -> {
       val en = langScoreSql(Seq("the", "and", "of", "is"))
       val de = langScoreSql(Seq("der", "die", "und", "ist"))
@@ -756,7 +764,7 @@ private[queries] object CurateQueries {
         |    CASE WHEN $en >= $de AND $en >= $fr AND $en >= $es THEN 'en'
         |         WHEN $de >= $fr AND $de >= $es THEN 'de'
         |         WHEN $fr >= $es THEN 'fr' ELSE 'es' END AS pred,
-        |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS fp
         |  FROM d),
         |kept AS (SELECT * FROM scored WHERE pred = lang AND quality >= 0.45),
         |ded AS (SELECT * FROM kept

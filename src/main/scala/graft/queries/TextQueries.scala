@@ -640,8 +640,12 @@ private[queries] object TextQueries {
 
 
     // disjoint 16-token spans (stride = window); ownership tie-break
-    // (doc_id, chunk_idx) mirrors Spark's min(struct(..)); the span is
-    // hashed to the same 15-hex md5 prefix long before grouping
+    // (doc_id, chunk_idx) mirrors Spark's min(struct(..)). The oracle
+    // groups on the EXACT span string — hashing-free ground truth
+    // (r18 audit): the Spark side's 60-bit md5-prefix ownership must
+    // now EQUAL exact-string ownership, so a prefix-width or cast bug
+    // (or a real collision falsely merging two spans) fails parity
+    // instead of being mirrored
     "text_span_dedup" ->
       s"""WITH d AS (SELECT doc_id, $tokensSql AS toks FROM documents),
          |ch AS (SELECT doc_id, CAST(i.i AS INT) AS chunk_idx,
@@ -650,14 +654,12 @@ private[queries] object TextQueries {
          |    CAST(floor(CAST(greatest(len(toks) - 1, 0) AS DOUBLE) / 16.0) AS BIGINT) + 1)) AS i) i
          |  WHERE len(toks) >= 1
          |        AND NOT (len(toks) = 1 AND toks[1] = '')),
-         |h AS (SELECT doc_id, chunk_idx, chunk_text,
-         |    CAST('0x' || substr(md5(chunk_text), 1, 15) AS BIGINT) AS hh FROM ch),
-         |own AS (SELECT hh, doc_id AS od, chunk_idx AS oi FROM h
-         |  QUALIFY row_number() OVER (PARTITION BY hh
+         |own AS (SELECT chunk_text, doc_id AS od, chunk_idx AS oi FROM ch
+         |  QUALIFY row_number() OVER (PARTITION BY chunk_text
          |    ORDER BY doc_id, chunk_idx) = 1),
-         |k AS (SELECT h.doc_id, h.chunk_idx, h.chunk_text,
-         |    (h.doc_id = o.od AND h.chunk_idx = o.oi) AS keep
-         |  FROM h JOIN own o USING (hh))
+         |k AS (SELECT ch.doc_id, ch.chunk_idx, ch.chunk_text,
+         |    (ch.doc_id = o.od AND ch.chunk_idx = o.oi) AS keep
+         |  FROM ch JOIN own o USING (chunk_text))
          |SELECT doc_id, count(*) AS n_chunks,
          |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          |  string_agg(CASE WHEN keep THEN chunk_text END, ' '

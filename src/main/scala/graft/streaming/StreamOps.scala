@@ -1034,6 +1034,19 @@ object StreamOps {
     *     with mode=overwrite, so a half-written attempt is replaced,
     *     never appended to.
     * Returns true when this call performed the write.
+    *
+    * Duplicate deliveries of the same id are serialized IN-JVM on an
+    * interned per-batch-dir monitor: without it, two concurrent
+    * redeliveries (a retried foreachBatch racing a stalled first
+    * attempt, or two queries misconfigured onto one output path)
+    * interleave their `overwrite` passes — both see no _SUCCESS,
+    * both delete-then-write, and the surviving dir can hold part
+    * files from BOTH payloads (their task UUIDs differ, so nothing
+    * collides). The chaos spec pins exactly-one-winner. CROSS-process
+    * duplicates (a zombie driver racing its replacement on one
+    * checkpoint) are out of this sink's scope — same single-driver
+    * assumption as Spark's own file sink, where fencing belongs to
+    * the checkpointed offset log, not the sink.
     */
   def writeBatchIdempotent(batch: DataFrame, path: String,
                            batchId: Long): Boolean = {
@@ -1047,10 +1060,14 @@ object StreamOps {
     val dir = new org.apache.hadoop.fs.Path(path, s"batch_id=$batchId")
     val fs = dir.getFileSystem(
       batch.sparkSession.sessionState.newHadoopConf())
-    if (fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) false
-    else {
-      batch.write.mode("overwrite").parquet(dir.toString)
-      true
+    // uriToString (not the raw caller path) so "p" and "./p" and
+    // "file:/abs/p" intern to one monitor for one physical dir
+    fs.makeQualified(dir).toString.intern.synchronized {
+      if (fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) false
+      else {
+        batch.write.mode("overwrite").parquet(dir.toString)
+        true
+      }
     }
   }
 

@@ -1392,4 +1392,146 @@ class StreamSpec extends SparkSpec {
         t.getMessage.contains("-1")), s"got: $ex")
     } finally q.stop()
   }
+
+  // ----- exactly-once chaos campaign (round 18, verdict item 3) -----
+  // StreamSpec's existing sink test pins clean-delivery semantics;
+  // these three inject the failures the scaladoc CLAIMS to survive:
+  // a crash in the write->commit window followed by a checkpoint
+  // restart, a torn committer attempt's debris, and concurrent
+  // duplicate delivery of one batch id.
+
+  test("chaos: crash AFTER batch data lands but BEFORE the _SUCCESS " +
+    "commit, then checkpoint restart — the replayed batch repairs the " +
+    "torn dir and the table is exactly-once; the Staging dead-tmp " +
+    "sweep sharing the root never touches sink dirs") {
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-eos-chaos").toString
+    val out = s"$root/table"
+    val ckpt = s"$root/ckpt"
+    val in = MemoryStream[(Long, String)]
+    // kill-at-k-th-batch: batch 0 commits clean; batch 1's first
+    // attempt dies after its files land but before the marker is
+    // durable (the commit window). Simulated by completing the write,
+    // tearing the marker off, and throwing — exactly the on-disk
+    // state a kill -9 between the two leaves behind.
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val q1 = in.toDF().toDF("k", "v").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamOps.writeBatchIdempotent(b, out, id): Unit
+        if (id == 1L && !crashed.getAndSet(true)) {
+          val marker = new java.io.File(s"$out/batch_id=1/_SUCCESS")
+          assert(marker.delete(), "chaos setup: marker must exist")
+          sys.error("chaos: killed between write and commit")
+        }
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    in.addData((1L, "a"))
+    q1.processAllAvailable()
+    in.addData((2L, "b"), (3L, "c"))
+    scala.util.Try(q1.processAllAvailable())
+    assert(q1.exception.isDefined, "the injected crash must kill q1")
+    scala.util.Try(q1.stop())
+    // on-disk now: batch 1 torn (files, no marker). A staged-fixture
+    // publisher crash remnant lands in the SAME root (dead pid) —
+    // the shared liveness sweep must reclaim it without touching the
+    // sink's torn dir (sink dirs never match the tmp name shape).
+    val deadPid = Iterator.iterate(999999L)(_ + 7)
+      .find(p => ProcessHandle.of(p).isEmpty).get
+    val remnant = new java.io.File(out, s".junk__fpab.tmp-$deadPid-42")
+    remnant.mkdirs()
+    new java.io.File(remnant, "part-00000.jsonl").createNewFile()
+    graft.sources.Staging.sweepDeadTmpMatching(new java.io.File(out),
+      """^\.junk__fp[0-9a-f]+\.tmp-(\d+)--?\d+$""".r)
+    assert(!remnant.exists(), "dead-pid remnant must be reclaimed")
+    assert(new java.io.File(out, "batch_id=1").isDirectory &&
+      !new java.io.File(s"$out/batch_id=1/_SUCCESS").isFile,
+      "the sweep must not repair or delete the sink's torn batch dir")
+    // restart from the same checkpoint: Structured Streaming re-runs
+    // batch 1 from the offset WAL (written before execution), the
+    // idempotent sink sees no marker and REWRITES the torn dir whole
+    val q2 = StreamOps.exactlyOnceParquetSink(
+      in.toDF().toDF("k", "v"), out, ckpt)
+    try {
+      q2.processAllAvailable()
+      in.addData((4L, "d"))
+      q2.processAllAvailable()
+      val got = spark.read.parquet(out)
+        .select($"k", $"v").as[(Long, String)].collect().toList
+      assert(got.sorted ===
+        List((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")),
+        "exactly once: no loss from the crash, no dup from the replay")
+      assert(new java.io.File(s"$out/batch_id=1/_SUCCESS").isFile,
+        "the replayed batch must commit")
+      assert(spark.read.parquet(out).select($"batch_id")
+        .distinct().count() === 3)
+    } finally q2.stop()
+  }
+
+  test("chaos: a torn committer attempt's debris (_temporary tree + " +
+    "orphan part files) is replaced WHOLE on redelivery — nothing " +
+    "from the dead attempt survives into the committed batch") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-eos-torn").toString
+    val out = s"$root/table"
+    val dir = new java.io.File(out, "batch_id=7")
+    // debris a task-kill mid-commit leaves: the committer's staging
+    // tree, a half-moved part file, and a zero-byte marker-less mess
+    val tmp = new java.io.File(dir, "_temporary/0/task_000/")
+    tmp.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(tmp, "part-00000-dead.snappy.parquet").toPath,
+      Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(
+      new java.io.File(dir, "part-00000-orphan.snappy.parquet").toPath,
+      "not parquet".getBytes)
+    assert(!new java.io.File(dir, "_SUCCESS").isFile)
+    val payload = Seq((7L, "x"), (8L, "y")).toDF("k", "v")
+    assert(StreamOps.writeBatchIdempotent(payload, out, 7L),
+      "an uncommitted dir must be rewritten, debris or not")
+    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).toSet
+    assert(!files.contains("_temporary"),
+      s"dead staging tree must not survive, got: $files")
+    assert(!files.contains("part-00000-orphan.snappy.parquet"),
+      "orphan part file from the dead attempt must not survive")
+    assert(spark.read.parquet(dir.toString)
+      .as[(Long, String)].collect().toSet === Set((7L, "x"), (8L, "y")))
+  }
+
+  test("chaos: concurrent duplicate delivery of one batch id — " +
+    "exactly one writer wins, the committed content is one payload " +
+    "whole, never an interleaved mix") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-eos-dup").toString
+    val out = s"$root/table"
+    val payloadA = Seq((1L, "A1"), (2L, "A2")).toDF("k", "v")
+    val payloadB = Seq((1L, "B1"), (2L, "B2")).toDF("k", "v")
+    // two redeliveries of batch 5 race from a barrier; without the
+    // in-JVM serialization both would pass the no-marker probe and
+    // interleave their overwrite passes (distinct task UUIDs — both
+    // payloads' files would coexist)
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    val results = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+    val threads = Seq("A" -> payloadA, "B" -> payloadB).map {
+      case (tag, p) =>
+        new Thread(() => {
+          gate.await()
+          results.put(tag, StreamOps.writeBatchIdempotent(p, out, 5L))
+        })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(results.size === 2)
+    import scala.jdk.CollectionConverters._
+    val winners = results.asScala.filter(_._2).keys.toList
+    assert(winners.size === 1,
+      s"exactly one duplicate may perform the write, got: $results")
+    val got = spark.read.parquet(s"$out/batch_id=5")
+      .as[(Long, String)].collect().toSet
+    val expected = if (winners.head == "A")
+      Set((1L, "A1"), (2L, "A2")) else Set((1L, "B1"), (2L, "B2"))
+    assert(got === expected,
+      "committed content must be the winner's payload whole")
+  }
 }
