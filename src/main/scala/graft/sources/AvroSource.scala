@@ -379,7 +379,13 @@ object AvroSource {
               try {
                 while (!inf.finished()) {
                   val k = inf.inflate(buf)
-                  if (k == 0 && inf.needsInput())
+                  // one inflate call can CONSUME the final (possibly
+                  // empty) deflate block and return 0 with both
+                  // finished() and needsInput() true — truncation is
+                  // only the k==0 state where the stream is NOT done
+                  // (found by the r18 container fuzz on a spec-legal
+                  // empty data block)
+                  if (k == 0 && !inf.finished() && inf.needsInput())
                     cur.fail("deflate block truncated")
                   out.write(buf, 0, k)
                 }

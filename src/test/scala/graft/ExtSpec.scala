@@ -3901,6 +3901,89 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("layout-key property campaign at coordinate extremes (r18): " +
+    "hilbertD round-trips an independent spec-derived inverse at " +
+    "bits=31 and bits=16 including corner/boundary indices, the " +
+    "codegen kernel agrees at the extremes, guards fire exactly at " +
+    "2^bits, and zorder16 matches an independent interleave on " +
+    "random + boundary points") {
+    import org.apache.spark.sql.graft.GraftHilbertUtil
+    // the classical d -> (x, y) inverse (Hilbert curve conversion
+    // algorithm as published, e.g. Warren's Hacker's Delight /
+    // Wikipedia form) — written here from the spec, NOT from
+    // GraftHilbertUtil, so the round-trip is two independent
+    // derivations agreeing
+    def d2xy(bits: Int, d: Long): (Long, Long) = {
+      var (x, y) = (0L, 0L)
+      var t = d
+      var s = 1L
+      while (s < (1L << bits)) {
+        val rx = 1L & (t / 2)
+        val ry = 1L & (t ^ rx)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val tmp = x; x = y; y = tmp
+        }
+        x += s * rx; y += s * ry
+        t /= 4; s *= 2
+      }
+      (x, y)
+    }
+    for (bits <- Seq(16, 31)) {
+      val dMax = (1L << (2 * bits)) - 1 // 4^bits - 1; 2^62-1 at 31
+      val quadrant = 1L << (2 * (bits - 1))
+      val rnd = new scala.util.Random(bits)
+      val ds = Seq(0L, 1L, 2L, dMax, dMax - 1, quadrant - 1, quadrant,
+        quadrant + 1, 2 * quadrant - 1, 2 * quadrant, 3 * quadrant,
+        3 * quadrant - 1) ++
+        Seq.fill(300)(math.abs(rnd.nextLong()) % (dMax + 1))
+      for (d <- ds) {
+        val (x, y) = d2xy(bits, d)
+        assert(x >= 0 && x < (1L << bits) && y >= 0 && y < (1L << bits))
+        assert(GraftHilbertUtil.hilbertD(bits, x, y) === d,
+          s"bits=$bits d=$d -> ($x,$y)")
+        if (d < dMax) { // unit-step across the extremes, via the inverse
+          val (x2, y2) = d2xy(bits, d + 1)
+          assert(math.abs(x2 - x) + math.abs(y2 - y) === 1,
+            s"bits=$bits step $d->${d + 1}")
+        }
+      }
+      // corners: the curve starts at the origin
+      assert(GraftHilbertUtil.hilbertD(bits, 0, 0) === 0L)
+      // guards fire EXACTLY at 2^bits, not one cell early
+      val max = (1L << bits) - 1
+      assert(GraftHilbertUtil.hilbertD(bits, max, max) >= 0)
+      for ((bx, by) <- Seq((1L << bits, 0L), (0L, 1L << bits),
+        (-1L, 0L), (0L, -1L))) {
+        val e = intercept[IllegalArgumentException](
+          GraftHilbertUtil.hilbertD(bits, bx, by))
+        assert(e.getMessage.contains("clamp or rescale"),
+          s"bits=$bits ($bx,$by)")
+      }
+    }
+    // the codegen'd column kernel agrees with the driver loop at the
+    // bits=31 extremes (the generated code multiplies s*s ~ 2^60 —
+    // overflow there would only show at max bits)
+    val pts31 = Seq((0L, 0L), ((1L << 31) - 1, (1L << 31) - 1),
+      ((1L << 31) - 1, 0L), (0L, (1L << 31) - 1),
+      (123456789L, 2100000000L))
+    val gotCol = pts31.toDF("x", "y")
+      .select(Layout.hilbert($"x", $"y", bits = 31)).as[Long].collect()
+    assert(gotCol.toSeq ===
+      pts31.map(p => GraftHilbertUtil.hilbertD(31, p._1, p._2)))
+    // zorder16 vs an independently written interleave, random +
+    // boundary points (the existing spec pins 3 points; this sweeps)
+    def morton(x: Long, y: Long): Long =
+      (0 until 16).map(j => (((x >> j) & 1L) << (2 * j)) |
+        (((y >> j) & 1L) << (2 * j + 1))).sum
+    val rnd = new scala.util.Random(7)
+    val zpts = Seq((0L, 65535L), (65535L, 0L), (32768L, 32767L)) ++
+      Seq.fill(200)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val gotZ = zpts.toDF("x", "y")
+      .select(Layout.zorder16($"x", $"y")).as[Long].collect()
+    assert(gotZ.toSeq === zpts.map(p => morton(p._1, p._2)))
+  }
+
   test("hilbertD is a true Hilbert curve: bijective, unit-step, and " +
     "the column kernel matches the driver loop") {
     import org.apache.spark.sql.graft.GraftHilbertUtil
