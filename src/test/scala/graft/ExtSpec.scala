@@ -2278,6 +2278,217 @@ class ExtSpec extends SparkSpec {
     assert(cardinality(Array.emptyByteArray) === 0L)
   }
 
+  test("VideoHeader property fuzz (r18): randomized ISO-BMFF box " +
+    "trees from an independent test-side writer — free/skip/mdat/wide " +
+    "boxes before moov, largesize headers, mvhd v0/v1 at random child " +
+    "positions, trak payloads of random junk — parse recovers exact " +
+    "facts; truncations and random blobs never throw") {
+    import graft.ext.VideoHeader
+    import java.io.ByteArrayOutputStream
+    def be32(o: ByteArrayOutputStream, v: Long): Unit =
+      (3 to 0 by -1).foreach(s => o.write(((v >> (8 * s)) & 0xff).toInt))
+    def be64(o: ByteArrayOutputStream, v: Long): Unit = {
+      be32(o, v >>> 32); be32(o, v & 0xffffffffL)
+    }
+    def s4(o: ByteArrayOutputStream, s: String): Unit =
+      s.foreach(c => o.write(c))
+    def box(typ: String, body: Array[Byte],
+            largesize: Boolean = false): Array[Byte] = {
+      val o = new ByteArrayOutputStream()
+      if (largesize) {
+        be32(o, 1L); s4(o, typ); be64(o, body.length + 16L)
+      } else { be32(o, body.length + 8L); s4(o, typ) }
+      o.write(body); o.toByteArray
+    }
+    for (seed <- 0 until 15) {
+      val rnd = new scala.util.Random(300 + seed)
+      val version = rnd.nextInt(2)
+      val ts = 1L + rnd.nextInt(1000000)
+      val dur = if (version == 1 && rnd.nextBoolean())
+        (1L << 33) + rnd.nextInt(1000000) // only representable in v1
+      else rnd.nextInt(1 << 30).toLong
+      val nTracks = rnd.nextInt(4)
+      def junkBody(n: Int) = Array.fill(n)(rnd.nextInt(256).toByte)
+      val mvhd = {
+        val o = new ByteArrayOutputStream()
+        o.write(version); o.write(0); o.write(0); o.write(0) // ver+flags
+        if (version == 0) {
+          be32(o, rnd.nextInt()); be32(o, rnd.nextInt()) // times
+          be32(o, ts); be32(o, dur)
+        } else {
+          be64(o, rnd.nextLong()); be64(o, rnd.nextLong())
+          be32(o, ts); be64(o, dur)
+        }
+        o.write(junkBody(rnd.nextInt(60))) // rate/volume/matrix tail
+        box("mvhd", o.toByteArray)
+      }
+      val children = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      (0 until nTracks).foreach(_ =>
+        children += box("trak", junkBody(rnd.nextInt(40))))
+      if (rnd.nextBoolean()) children += box("udta", junkBody(9))
+      if (rnd.nextBoolean()) children += box("free", junkBody(5))
+      children.insert(rnd.nextInt(children.size + 1), mvhd)
+      val moovBody = children.toArray.flatten
+      val moov = box("moov", moovBody,
+        largesize = rnd.nextDouble() < 0.3)
+      val file = new ByteArrayOutputStream()
+      file.write(box("ftyp",
+        "isomiso2avc1".getBytes("US-ASCII") ++ junkBody(rnd.nextInt(12))))
+      if (rnd.nextBoolean())
+        file.write(box("free", junkBody(rnd.nextInt(20))))
+      if (rnd.nextBoolean())
+        file.write(box("mdat", junkBody(rnd.nextInt(200)),
+          largesize = rnd.nextDouble() < 0.3))
+      file.write(moov)
+      if (rnd.nextBoolean()) file.write(box("skip", junkBody(3)))
+      val mp4 = file.toByteArray
+      val got = VideoHeader.parseMp4(mp4)
+      assert(got === Some(VideoHeader.Mp4Header(nTracks, ts, dur)),
+        s"seed=$seed v$version")
+      // robustness: every truncation prefix and bit-flipped variant
+      // must return an Option, never throw
+      for (cut <- Seq(0, 1, 7, 8, mp4.length / 2, mp4.length - 1))
+        VideoHeader.parseMp4(java.util.Arrays.copyOf(mp4, cut)): Unit
+      val flipped = mp4.clone()
+      val fi = rnd.nextInt(mp4.length)
+      flipped(fi) = (flipped(fi) ^ 0xff).toByte
+      VideoHeader.parseMp4(flipped): Unit
+      VideoHeader.parseMp4(junkBody(rnd.nextInt(64))): Unit
+    }
+  }
+
+  test("MjpegAvi property fuzz (r18): randomized containers from an " +
+    "independent test-side RIFF writer — JUNK/INFO/idx1 chunks, an " +
+    "audio stream, interleaved ##wb audio inside movi, mixed " +
+    "rec-grouped and bare frames, random stream digits and dc/db " +
+    "names, odd-length payload padding — parse and frameIndex " +
+    "recover exactly the planted facts and frames") {
+    import graft.ext.{JpegEncoder, MjpegAvi, PixelDecoder}
+    import java.io.ByteArrayOutputStream
+    // RIFF writer derived from the AVI RIFF reference, independent of
+    // MjpegAvi.encode: every chunk hand-assembled so the fuzz can
+    // splice structures the fixture encoder never emits
+    def w16(o: ByteArrayOutputStream, v: Int): Unit = {
+      o.write(v & 0xff); o.write((v >> 8) & 0xff)
+    }
+    def w32(o: ByteArrayOutputStream, v: Int): Unit = {
+      w16(o, v & 0xffff); w16(o, v >>> 16)
+    }
+    def s4(o: ByteArrayOutputStream, s: String): Unit =
+      s.foreach(c => o.write(c))
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val o = new ByteArrayOutputStream()
+      s4(o, id); w32(o, body.length); o.write(body)
+      if ((body.length & 1) == 1) o.write(0) // RIFF even padding
+      o.toByteArray
+    }
+    def list(typ: String, bodies: Array[Byte]*): Array[Byte] = {
+      val o = new ByteArrayOutputStream()
+      s4(o, typ); bodies.foreach(o.write)
+      chunk("LIST", o.toByteArray)
+    }
+    for (seed <- 0 until 15) {
+      val rnd = new scala.util.Random(100 + seed)
+      val (w, h) = (16, 8)
+      val usPerFrame = 1 + rnd.nextInt(100000)
+      val nFrames = rnd.nextInt(7)
+      val frames = (0 until nFrames).map(f => JpegEncoder.grayDcOnly(
+        w, h, (bx, _) => (f * 89 + bx * 31 + seed * 7) % 256 - 128))
+      def junk(): Array[Byte] =
+        chunk("JUNK", Array.fill(rnd.nextInt(9))(rnd.nextInt(256).toByte))
+      // avih: usPerFrame @0, totalFrames @16, width @32, height @36;
+      // other fields random (the parser must not depend on them)
+      val avih = {
+        val o = new ByteArrayOutputStream()
+        w32(o, usPerFrame)
+        (1 to 3).foreach(_ => w32(o, rnd.nextInt()))
+        w32(o, nFrames)
+        (5 to 7).foreach(_ => w32(o, rnd.nextInt()))
+        w32(o, w); w32(o, h)
+        (10 to 13).foreach(_ => w32(o, rnd.nextInt()))
+        chunk("avih", o.toByteArray)
+      }
+      val strhVids = {
+        val o = new ByteArrayOutputStream()
+        s4(o, "vids"); s4(o, "MJPG")
+        (0 until rnd.nextInt(12)).foreach(_ => o.write(rnd.nextInt(256)))
+        chunk("strh", o.toByteArray)
+      }
+      val strlVids = list("strl", strhVids,
+        chunk("strf", Array.fill(rnd.nextInt(40))(rnd.nextInt(256).toByte)))
+      // an audio stream the parser must skip without tripping the
+      // MJPG check (its strh is NOT 'vids')
+      val strlAuds = list("strl",
+        chunk("strh", {
+          val o = new ByteArrayOutputStream()
+          s4(o, "auds"); s4(o, "    ")
+          o.toByteArray
+        }),
+        chunk("strf", Array.fill(16)(rnd.nextInt(256).toByte)))
+      val hdrl =
+        if (rnd.nextBoolean()) list("hdrl", avih, strlVids, strlAuds)
+        else list("hdrl", avih, strlAuds, strlVids)
+      // movi: frames with random stream digits and dc/db suffixes,
+      // some rec-wrapped (optionally with an audio chunk in the same
+      // record, the interleaved-muxer shape), audio chunks between
+      val movi = {
+        val bodies = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+        for (f <- frames) {
+          if (rnd.nextDouble() < 0.3)
+            bodies += chunk("01wb",
+              Array.fill(1 + rnd.nextInt(7))(rnd.nextInt(256).toByte))
+          val cid = s"${rnd.nextInt(10)}${rnd.nextInt(10)}" +
+            (if (rnd.nextBoolean()) "dc" else "db")
+          val fc = chunk(cid, f)
+          bodies += (if (rnd.nextDouble() < 0.4) {
+            if (rnd.nextBoolean()) list("rec ", fc,
+              chunk("01wb", Array.fill(4)(rnd.nextInt(256).toByte)))
+            else list("rec ", fc)
+          } else fc)
+        }
+        if (rnd.nextDouble() < 0.3)
+          bodies += chunk("01wb", Array.fill(6)(rnd.nextInt(256).toByte))
+        list("movi", bodies.toSeq: _*)
+      }
+      val info = list("INFO",
+        chunk("ISFT", "fuzz writer ".getBytes("US-ASCII")))
+      val idx1 = chunk("idx1",
+        Array.fill(16 * rnd.nextInt(3))(rnd.nextInt(256).toByte))
+      val inner = new ByteArrayOutputStream()
+      s4(inner, "AVI ")
+      if (rnd.nextBoolean()) inner.write(junk())
+      inner.write(hdrl)
+      if (rnd.nextBoolean()) inner.write(junk())
+      if (rnd.nextBoolean()) inner.write(info)
+      inner.write(movi)
+      if (rnd.nextBoolean()) inner.write(idx1)
+      val file = new ByteArrayOutputStream()
+      s4(file, "RIFF"); w32(file, inner.size); inner.writeTo(file)
+      val avi = file.toByteArray
+      // parse recovers exactly the planted header facts
+      val got = MjpegAvi.parse(avi).get
+      assert((got.width, got.height, got.usPerFrame, got.totalFrames)
+        === ((w, h, usPerFrame, nFrames)), s"seed=$seed")
+      // frameIndex recovers exactly the planted frames, in order,
+      // byte for byte — audio/JUNK/idx1 never counted, rec always
+      // unwrapped
+      val idx = MjpegAvi.frameIndex(avi)
+      assert(idx.map(_._1) === frames.indices.toSeq, s"seed=$seed")
+      for (((no, at, len), orig) <- idx.zip(frames))
+        assert(java.util.Arrays.equals(
+          java.util.Arrays.copyOfRange(avi, at, at + len), orig),
+          s"seed=$seed frame $no")
+      // a strided sample decodes to the same rasters as direct decode
+      if (nFrames > 0) {
+        val stride = 1 + rnd.nextInt(3)
+        for ((no, px) <- MjpegAvi.sampleFrames(avi, stride)) {
+          assert(px.gray === PixelDecoder.decode(frames(no)).get.gray,
+            s"seed=$seed frame $no")
+        }
+      }
+    }
+  }
+
   test("MjpegAvi: container round-trip (headers, frame index, strided " +
     "decode through the JPEG decoder), odd-length frame padding, " +
     "non-AVI is None, corruption and non-MJPG streams fail loudly") {
