@@ -294,10 +294,15 @@ private[queries] object DedupQueries {
         |WHERE bit_count(xor(a.simhash, b2.simhash)) <= 3""".stripMargin,
 
 
+    // shingle sets kept as EXACT strings (r18 audit): the Spark side
+    // intersects 60-bit md5-prefix hashes for shuffle width, but the
+    // output exposes no hash, so the oracle owes hashing-free ground
+    // truth — a collision inflating an intersection (or pushing a
+    // shingle over the df cap) now FAILS parity instead of mirroring
     "dedup_ngram_jaccard" ->
       (s"""WITH $shingleCte,
         |e0 AS (SELECT lang, source, doc_id,
-        |         CAST('0x' || substr(md5(unnest(list_distinct(s))), 1, 15) AS BIGINT) AS sh
+        |         unnest(list_distinct(s)) AS sh
         |       FROM sh),
         |keep AS (SELECT lang, source, sh FROM e0
         |         GROUP BY 1, 2, 3 HAVING count(*) <= 64),
@@ -315,12 +320,13 @@ private[queries] object DedupQueries {
         |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.1""".stripMargin),
 
 
-    // same index CTEs as dedup_ngram_jaccard; only the finishing
-    // ratio differs (per-side division instead of union division)
+    // same index CTEs as dedup_ngram_jaccard (exact shingle strings,
+    // r18 audit); only the finishing ratio differs (per-side division
+    // instead of union division)
     "dedup_containment" ->
       (s"""WITH $shingleCte,
         |e0 AS (SELECT lang, source, doc_id,
-        |         CAST('0x' || substr(md5(unnest(list_distinct(s))), 1, 15) AS BIGINT) AS sh
+        |         unnest(list_distinct(s)) AS sh
         |       FROM sh),
         |keep AS (SELECT lang, source, sh FROM e0
         |         GROUP BY 1, 2, 3 HAVING count(*) <= 64),
