@@ -1351,6 +1351,148 @@ class ExtSpec extends SparkSpec {
     assert(got.n_frames === 5 % 30 + 1)
   }
 
+  test("ImageHeader/AudioHeader property fuzz (r18): randomized GIF " +
+    "block streams (extensions, color tables, sub-block chains), " +
+    "JPEG marker walks (fill bytes, DHT-before-SOF, every SOFn), WAV " +
+    "chunk walks (junk/LIST/fact chunks, odd padding, header-only " +
+    "data, hostile 32-bit sizes) — exact fact recovery, no-throw on " +
+    "truncations") {
+    import java.io.ByteArrayOutputStream
+    for (seed <- 0 until 20) {
+      val rnd = new scala.util.Random(500 + seed)
+      def bytes(n: Int) = Array.fill(n)(rnd.nextInt(256).toByte)
+      // ---- GIF: randomized block stream, spec-derived writer ----
+      val (gw, gh) = (1 + rnd.nextInt(65535), 1 + rnd.nextInt(65535))
+      val g = new ByteArrayOutputStream()
+      def le16(o: ByteArrayOutputStream, v: Int): Unit = {
+        o.write(v & 0xff); o.write((v >> 8) & 0xff)
+      }
+      (if (rnd.nextBoolean()) "GIF87a" else "GIF89a").foreach(c => g.write(c))
+      le16(g, gw); le16(g, gh)
+      val gctBits = rnd.nextInt(8)
+      val gct = rnd.nextBoolean()
+      g.write((if (gct) 0x80 else 0) | gctBits) // flags
+      g.write(rnd.nextInt(256)); g.write(rnd.nextInt(256)) // bg, aspect
+      if (gct) g.write(bytes(3 * (1 << (gctBits + 1))))
+      def subBlocks(o: ByteArrayOutputStream): Unit = {
+        (0 until rnd.nextInt(4)).foreach { _ =>
+          val n = 1 + rnd.nextInt(255); o.write(n); o.write(bytes(n))
+        }
+        o.write(0)
+      }
+      val nFrames = rnd.nextInt(5)
+      (0 until nFrames).foreach { _ =>
+        if (rnd.nextDouble() < 0.5) { // extension before the frame
+          g.write(0x21); g.write(rnd.nextInt(256)); subBlocks(g)
+        }
+        g.write(0x2c)
+        le16(g, rnd.nextInt(100)); le16(g, rnd.nextInt(100)) // left, top
+        le16(g, 1 + rnd.nextInt(200)); le16(g, 1 + rnd.nextInt(200))
+        val lctBits = rnd.nextInt(8)
+        val lct = rnd.nextBoolean()
+        g.write((if (lct) 0x80 else 0) | lctBits)
+        if (lct) g.write(bytes(3 * (1 << (lctBits + 1))))
+        g.write(rnd.nextInt(9)) // LZW minimum code size
+        subBlocks(g)
+      }
+      if (rnd.nextDouble() < 0.3) { // trailing extension
+        g.write(0x21); g.write(0xfe); subBlocks(g)
+      }
+      g.write(0x3b)
+      val gif = g.toByteArray
+      assert(ImageHeader.parse(gif) === Some(("gif", gw, gh)),
+        s"seed=$seed gif dims")
+      assert(ImageHeader.gifFrames(gif) === Some(nFrames),
+        s"seed=$seed gif frames")
+      for (cut <- Seq(0, 5, 12, gif.length / 2, gif.length - 1)) {
+        ImageHeader.parse(java.util.Arrays.copyOf(gif, cut)): Unit
+        ImageHeader.gifFrames(java.util.Arrays.copyOf(gif, cut)): Unit
+      }
+      // ---- JPEG: randomized marker walk before the frame header ----
+      val (jw, jh) = (1 + rnd.nextInt(65535), 1 + rnd.nextInt(65535))
+      val j = new ByteArrayOutputStream()
+      def be16(o: ByteArrayOutputStream, v: Int): Unit = {
+        o.write((v >> 8) & 0xff); o.write(v & 0xff)
+      }
+      j.write(0xff); j.write(0xd8) // SOI
+      (0 until rnd.nextInt(5)).foreach { _ =>
+        rnd.nextInt(4) match {
+          case 0 => // APPn/COM/DQT segment with random payload
+            j.write(0xff)
+            j.write(Seq(0xe0 + rnd.nextInt(16), 0xfe, 0xdb)(rnd.nextInt(3)))
+            val n = rnd.nextInt(20); be16(j, n + 2); j.write(bytes(n))
+          case 1 => // DHT — shares the Cx range but is NOT a frame header
+            j.write(0xff); j.write(0xc4)
+            val n = 1 + rnd.nextInt(20); be16(j, n + 2); j.write(bytes(n))
+          case 2 => j.write(0xff) // fill byte (§B.1.1.2)
+          case _ => // standalone TEM/RSTn
+            j.write(0xff)
+            j.write(if (rnd.nextBoolean()) 0x01 else 0xd0 + rnd.nextInt(8))
+        }
+      }
+      val sofs = Seq(0xc0, 0xc1, 0xc2, 0xc3, 0xc5, 0xc6, 0xc7,
+        0xc9, 0xca, 0xcb, 0xcd, 0xce, 0xcf)
+      j.write(0xff); j.write(sofs(rnd.nextInt(sofs.size)))
+      be16(j, 11); j.write(8); be16(j, jh); be16(j, jw) // len, prec, h, w
+      j.write(bytes(4))
+      val jpeg = j.toByteArray
+      assert(ImageHeader.parse(jpeg) === Some(("jpeg", jw, jh)),
+        s"seed=$seed jpeg dims")
+      for (cut <- Seq(1, 2, 4, jpeg.length / 2))
+        ImageHeader.parse(java.util.Arrays.copyOf(jpeg, cut)): Unit
+      // ---- WAV: randomized chunk walk, spec-derived writer ----
+      val channels = 1 + rnd.nextInt(2)
+      val rate = 8000 + rnd.nextInt(40001)
+      val blockAlign = channels * 2
+      val ds = blockAlign * rnd.nextInt(5000) + rnd.nextInt(blockAlign)
+      val wv = new ByteArrayOutputStream()
+      def le32(o: ByteArrayOutputStream, v: Long): Unit = {
+        (0 until 4).foreach(i => o.write(((v >> (8 * i)) & 0xff).toInt))
+      }
+      def wavChunk(o: ByteArrayOutputStream, id: String,
+                   body: Array[Byte]): Unit = {
+        id.foreach(c => o.write(c)); le32(o, body.length.toLong)
+        o.write(body)
+        if ((body.length & 1) == 1) o.write(0)
+      }
+      val inner = new ByteArrayOutputStream()
+      "WAVE".foreach(c => inner.write(c))
+      if (rnd.nextBoolean()) // junk chunk (odd size exercises padding)
+        wavChunk(inner, "junk", bytes(1 + rnd.nextInt(9)))
+      if (rnd.nextBoolean())
+        wavChunk(inner, "LIST", "INFO".getBytes("US-ASCII") ++ bytes(6))
+      val fmtBody = {
+        val o = new ByteArrayOutputStream()
+        le16(o, 1); le16(o, channels); le32(o, rate.toLong)
+        le32(o, rate.toLong * blockAlign); le16(o, blockAlign); le16(o, 16)
+        if (rnd.nextBoolean()) le16(o, 0) // cbSize extension (size 18)
+        o.toByteArray
+      }
+      wavChunk(inner, "fmt ", fmtBody)
+      if (rnd.nextBoolean()) wavChunk(inner, "fact", bytes(4))
+      // header-only data: declared size, payload absent half the time
+      val headerOnly = rnd.nextBoolean()
+      "data".foreach(c => inner.write(c)); le32(inner, ds.toLong)
+      if (!headerOnly) inner.write(bytes(ds))
+      val wav = new ByteArrayOutputStream()
+      "RIFF".foreach(c => wav.write(c)); le32(wav, inner.size.toLong)
+      inner.writeTo(wav)
+      val gotWav = ImageHeader.parse(wav.toByteArray) // not an image
+      assert(gotWav.isEmpty, s"seed=$seed wav-not-image")
+      assert(AudioHeader.parseWav(wav.toByteArray) ===
+        Some(AudioHeader.Wav(channels, rate, 16, ds / blockAlign)),
+        s"seed=$seed wav facts")
+      // hostile 32-bit chunk size before fmt: must TERMINATE (long
+      // offsets, never wrap negative) and yield None, not hang/throw
+      val hostile = new ByteArrayOutputStream()
+      "RIFF".foreach(c => hostile.write(c)); le32(hostile, 100L)
+      "WAVE".foreach(c => hostile.write(c))
+      "junk".foreach(c => hostile.write(c)); le32(hostile, 0xfffffff0L)
+      hostile.write(bytes(16))
+      assert(AudioHeader.parseWav(hostile.toByteArray).isEmpty)
+    }
+  }
+
   test("ImageHeader parses PNG/GIF/BMP dims and rejects text") {
     def hexBytes(s: String): Array[Byte] =
       s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
