@@ -1484,13 +1484,12 @@ class StreamSpec extends SparkSpec {
         Long, Long)] = {
       val out = s"$root/table"; val ckpt = s"$root/ckpt"
       val in = MemoryStream[(Long, Timestamp, Long, Double)]
-      def pts(b: org.apache.spark.sql.DataFrame) = b
       val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
       def start() = StreamOps.ewmaStream(
           in.toDF().toDF("key", "ts", "tie", "value")).toDF()
         .writeStream
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-          StreamOps.writeBatchIdempotent(pts(b), out, id): Unit
+          StreamOps.writeBatchIdempotent(b, out, id): Unit
           if (crash && id == 1L && !crashed.getAndSet(true)) {
             assert(new java.io.File(s"$out/batch_id=1/_SUCCESS").delete())
             sys.error("chaos: killed between state write and commit")
