@@ -2294,6 +2294,87 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("Subtitles property fuzz (r18): randomized cue grids rendered " +
+    "through a randomized test-side SRT/VTT writer — CRLF/LF, BOM, " +
+    "comma/dot separators, >99h and short MM:SS timestamps, sparse " +
+    "indices, blank-line runs, optional VTT ids, cue settings, " +
+    "NOTE/STYLE/REGION blocks, styling + voice + karaoke tags — " +
+    "parse back to the exact grid") {
+    import graft.ext.Subtitles.{parseSrt, parseVtt}
+    for (seed <- 0 until 20) {
+      val rnd = new scala.util.Random(700 + seed)
+      val words = IndexedSeq("alpha", "beta", "gamma", "delta", "eps",
+        "zeta", "eta", "theta", "42", "x9")
+      def textLine() = Seq.fill(1 + rnd.nextInt(4))(
+        words(rnd.nextInt(words.size))).mkString(" ")
+      val nCues = 1 + rnd.nextInt(6)
+      var t = rnd.nextInt(5000).toLong
+      val cues = (0 until nCues).map { k =>
+        val start = t + rnd.nextInt(100000)
+        val end = start + rnd.nextInt(8000) // == start allowed
+        t = end + rnd.nextInt(5000)
+        val hOffset = // exercise >99h recordings in some cues
+          if (rnd.nextDouble() < 0.2) 100L * 3600000 else 0L
+        (k, start + hOffset, end + hOffset,
+          Seq.fill(1 + rnd.nextInt(3))(textLine()))
+      }
+      val nl = if (rnd.nextBoolean()) "\r\n" else "\n"
+      val sep = if (rnd.nextBoolean()) "," else "."
+      def fmt(ms: Long): String = {
+        val h = ms / 3600000; val m = ms / 60000 % 60
+        val s = ms / 1000 % 60; val f = ms % 1000
+        f"$h%02d:$m%02d:$s%02d$sep$f%03d"
+      }
+      // ---- SRT: sparse indices, random blank runs ----
+      val srtIdx = cues.indices.map(_ * (1 + rnd.nextInt(3)) + 1)
+      val srt = (if (rnd.nextBoolean()) "﻿" else "") +
+        cues.zip(srtIdx).map { case ((_, s, e, txt), idx) =>
+          s"$idx$nl${fmt(s)} --> ${fmt(e)}$nl${txt.mkString(nl)}"
+        }.mkString(nl * (2 + rnd.nextInt(2))) + nl * rnd.nextInt(3)
+      assert(parseSrt(srt) === cues.zip(srtIdx).map {
+        case ((_, s, e, txt), idx) => (idx, s, e, txt.mkString("\n"))
+      }, s"seed=$seed srt")
+      // ---- VTT: header meta, comment blocks, ids, settings, tags ----
+      val v = new StringBuilder()
+      if (rnd.nextBoolean()) v ++= "﻿"
+      v ++= "WEBVTT"
+      if (rnd.nextBoolean()) v ++= " - fuzz file"
+      v ++= nl
+      if (rnd.nextBoolean()) v ++= s"Kind: captions${nl}Language: en$nl"
+      v ++= nl
+      def commentBlock(): Unit = rnd.nextInt(3) match {
+        case 0 => v ++= s"NOTE a comment$nl with lines$nl$nl"
+        case 1 => v ++= s"STYLE$nl::cue { color: red }$nl$nl"
+        case _ => v ++= s"REGION$nl id:r1 width:40%$nl$nl"
+      }
+      def decorate(line: String): String = rnd.nextInt(5) match {
+        case 0 => s"<b>$line</b>"
+        case 1 => s"<c.loud>$line</c>"
+        case 2 => s"<v Ann>$line</v>"
+        case 3 => s"<00:00:01.000>$line" // karaoke tag
+        case _ => line
+      }
+      cues.foreach { case (_, s, e, txt) =>
+        if (rnd.nextDouble() < 0.4) commentBlock()
+        if (rnd.nextBoolean()) v ++= s"id-${rnd.nextInt(100)}$nl"
+        def vfmt(ms: Long): String = // short MM:SS.mmm form when < 1h
+          if (ms < 3600000 && rnd.nextBoolean())
+            f"${ms / 60000}%02d:${ms / 1000 % 60}%02d.${ms % 1000}%03d"
+          else fmt(ms).replace(",", ".")
+        v ++= s"${vfmt(s)} --> ${vfmt(e)}"
+        if (rnd.nextBoolean()) v ++= " align:start line:0%"
+        v ++= nl
+        txt.foreach(l => v ++= decorate(l) + nl)
+        v ++= nl
+      }
+      if (rnd.nextDouble() < 0.3) commentBlock()
+      val gotVtt = parseVtt(v.toString)
+      assert(gotVtt === cues.zipWithIndex.map {
+        case ((_, s, e, txt), k) => (k + 1, s, e, txt.mkString("\n"))
+      }, s"seed=$seed vtt")
+    }
+  }
+
   test("Subtitles.parseSrt: builder round-trip, BOM/LF/dot variants, " +
     "multi-line cues, and loud malformed-cue failures") {
     import graft.ext.Subtitles.{buildSrt, parseSrt}
