@@ -1000,6 +1000,27 @@ class LoadSpec extends SparkSpec {
       }
       ref.close()
       assert(refGot.toList === wantTriples, s"reference, seed=$seed")
+      // negative leg: a deflate payload CUT SHORT (declared size
+      // honest, data incomplete) must fail loud as truncated — the
+      // empty-block fix must not have silenced genuine truncation
+      if (deflate && counts.exists(_ > 0)) {
+        val c0 = counts.find(_ > 0).get
+        val body = new ByteArrayOutputStream()
+        rows.take(c0).foreach(encodeRow(body, _))
+        val full = deflateRaw(body.toByteArray)
+        if (full.length > 4) {
+          val cut = java.util.Arrays.copyOf(full, full.length - 3)
+          val o2 = new ByteArrayOutputStream()
+          o2.write(build(Seq.empty))
+          zz(o2, c0.toLong); zz(o2, cut.length.toLong)
+          o2.write(cut); o2.write(sync)
+          val e = intercept[IllegalArgumentException](
+            AvroSource.decodeFile(s"trunc-$seed", o2.toByteArray,
+              want, schema).toList)
+          assert(e.getMessage.contains("deflate block truncated"),
+            s"seed=$seed: ${e.getMessage}")
+        }
+      }
     }
   }
 
