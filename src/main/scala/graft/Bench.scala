@@ -13,17 +13,30 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = Bench.cpus
     val sfName = sfDir.split('/').last
-    // Disk tier for shared stages: deterministic artifacts (component
-    // labels, PQ codebook/codes, graphs) persist under target/stages
-    // keyed by fixture fingerprint, so warm rounds pay a parquet read
-    // instead of the rebuild. SPARK_GRAFT_STAGE_DIR= (empty) disables.
-    sys.env.get("SPARK_GRAFT_STAGE_DIR") match {
-      case Some(v) if v.trim.isEmpty => () // explicit opt-out
-      case Some(v) => System.setProperty("graft.stage.dir", v)
-      case None =>
-        if (sys.props.get("graft.stage.dir").isEmpty)
-          System.setProperty("graft.stage.dir", s"target/stages/$sfName")
-    }
+    // The Stages disk tier (cross-run persisted artifacts keyed on the
+    // fixture fingerprint) is DISABLED for benchmarking: every bench
+    // invocation must compute its stages from the parquet inputs, so
+    // the timed evict+rebuild passes measure the real build — a
+    // persisted artifact would turn the "rebuild" into a parquet read
+    // and silently exclude the stage cost from the total (rounds
+    // 14–18 under-reported stages this way; round 19 removed it). The
+    // tier stays available to NON-measuring callers via the
+    // graft.stage.dir system property.
+    System.clearProperty("graft.stage.dir")
+    // Same rule for staged FORMAT fixtures (the jsonl/orc/avro/warc
+    // round-trip inputs, published once per fixture fingerprint):
+    // wipe their roots so this invocation synthesizes them from the
+    // parquet inputs itself. The one-time re-stage lands in each
+    // consumer's first rep and min-of-k strips it, so figures are
+    // unchanged — this just makes the run self-contained on disk.
+    Seq("target/stages", "target/warc", "target/warc_web",
+      "target/jsonl", "target/jsonl_zst", "target/orc", "target/avro")
+      .foreach { p =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        try rm(new java.io.File(p)) catch { case _: Throwable => () }
+      }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

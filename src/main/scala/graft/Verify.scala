@@ -9,18 +9,22 @@ object Verify {
     // dev convenience: trailing args subset the queries to re-dump
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // Same stage disk tier as Bench: shared artifacts (component
-    // labels, PQ codebook/codes, graphs) are deterministic functions
-    // of the fixtures, so a verify run after a bench run (or a
-    // re-verify) reads them back instead of rebuilding.
-    sys.env.get("SPARK_GRAFT_STAGE_DIR") match {
-      case Some(v) if v.trim.isEmpty => ()
-      case Some(v) => System.setProperty("graft.stage.dir", v)
-      case None =>
-        if (sys.props.get("graft.stage.dir").isEmpty)
-          System.setProperty("graft.stage.dir",
-            s"target/stages/${sfDir.split('/').last}")
-    }
+    // Stages disk tier disabled, same as Bench (round 19): an oracle
+    // run must compute every stage from the parquet inputs — never
+    // read a persisted artifact a previous run left behind.
+    System.clearProperty("graft.stage.dir")
+    // Staged format fixtures likewise re-synthesize from parquet:
+    // wipe their roots (same list as Bench) unless this is a
+    // subsetted dev re-dump, which may legitimately reuse them.
+    if (only.isEmpty)
+      Seq("target/stages", "target/warc", "target/warc_web",
+        "target/jsonl", "target/jsonl_zst", "target/orc", "target/avro")
+        .foreach { p =>
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+          }
+          try rm(new java.io.File(p)) catch { case _: Throwable => () }
+        }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
