@@ -85,6 +85,24 @@ object Clustering {
       .select(col("__id"), col("__a.__v").as("__v"),
         col("__a.__cid").as("__cid"))
 
+  // label-only argmax (round 19): [[assignNearest]]'s max_by buffer
+  // carries the point vector (the centroid update needs it), an
+  // immutable buffer type that forces SortAggregate — the full n·k
+  // scored stream is sorted twice (partial + final). Assignment-only
+  // consumers need just the cid; the fixed-width buffer keeps the
+  // aggregation hash-based. Same argmax, same (cos, -cid) tie-break.
+  private def assignNearestCid(pts: DataFrame, cent: DataFrame): DataFrame =
+    pts.withColumn("__pn", Similarity.norm(col("__v")))
+      .crossJoin(broadcast(
+        cent.filter(Similarity.norm(col("__cv")) > 0)
+          .withColumn("__cn", Similarity.norm(col("__cv")))))
+      .withColumn("__cos",
+        Similarity.dot(col("__v"), col("__cv")) /
+          (col("__pn") * col("__cn")))
+      .groupBy("__id")
+      .agg(max_by(col("__cid"), struct(col("__cos"), -col("__cid")))
+        .as("__cid"))
+
   /** Fixed-point elementwise mean of each cluster's members. */
   private def updateCentroids(assigned: DataFrame): DataFrame =
     assigned
@@ -173,7 +191,7 @@ object Clustering {
       // ANSI), so both sides of the argmax are validated
       val c = cent.select(col("cid").as("__cid"), col("cv").as("__cv"))
       requireIntegralId(c, "__cid", "centroid")
-      assignNearest(all.filter(Similarity.norm(col("__v")) > 0), c)
+      assignNearestCid(all.filter(Similarity.norm(col("__v")) > 0), c)
         .select(col("__id").as("id"), col("__cid").as("cid"))
     }
 

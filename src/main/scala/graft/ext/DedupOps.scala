@@ -339,6 +339,12 @@ object DedupOps {
     // pruning makes the count branch's exchange non-identical to the
     // postings exchange, so the whole scan+shingle+hash pipeline ran
     // twice (+40-70% end to end).
+    // NOTE (round 19): the postings subtree prints three times in the
+    // initial plan (pair expansion + both size-join branches), but an
+    // A/B with postings/sizes localCheckpoint'd measured NO gain
+    // (1.33 → 1.32 s at sf0.1) — runtime exchange reuse already
+    // collapses the duplicates — so the lazy form stands (it also
+    // keeps library composition lazy for downstream pushdown).
     val postings = e0
       .groupBy(blockKeys.map(col) :+ col("__sh"): _*)
       .agg(sort_array(org.apache.spark.sql.graft.AggColumns
@@ -1129,7 +1135,10 @@ object DedupOps {
     // is O(len) with ~10 integer ops per char — measured, a spread
     // exchange here cost more than the single-task map it parallelized
     // (dedup_decontaminate 0.17 → 0.41 s) while dedup_substring's
-    // aggregation-bound chain gained ~nothing
+    // aggregation-bound chain gained ~nothing. RE-CONFIRMED round 19
+    // on single-row-group inputs: substring 0.95 → 0.97, decontaminate
+    // 0.69 → 1.16 — the keyless repartition's local sort + full-text
+    // shuffle outweighs the one-task kernel at any measured scale.
     require(chunkChars >= 1, "chunkChars must be positive")
     val overlap = window + k - 2
     df.filter(length(text) >= k) // no gram fits a shorter doc
@@ -1169,8 +1178,8 @@ object DedupOps {
     * handing [[editDistancePairs]] a derived frame gets correct,
     * merely unspread, behavior — never surprise execution.
     */
-  private def spreadNarrow(df: DataFrame, keys: Seq[Column] = Nil)
-      : DataFrame = {
+  private[graft] def spreadNarrow(df: DataFrame, keys: Seq[Column] = Nil,
+                                  cap: Int = Int.MaxValue): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical._
     val scanRooted = df.queryExecution.logical.collectFirst {
       case p if !p.isInstanceOf[Project] && !p.isInstanceOf[Filter] &&
@@ -1178,7 +1187,15 @@ object DedupOps {
     }.isEmpty
     if (!scanRooted) return df
     val have = df.rdd.getNumPartitions
-    val want = df.sparkSession.sparkContext.defaultParallelism
+    // `cap` bounds the spread BELOW full parallelism (round 19): a
+    // spread frame that gets checkpointed and then read by many
+    // small consumer stages taxes each of them with one task launch
+    // per partition — a bounded spread keeps most of the kernel
+    // parallelism while consumers stay near their single-digit task
+    // floor. Still scale-adaptive: a real multi-split input at scale
+    // makes this the identity.
+    val want = math.min(cap,
+      df.sparkSession.sparkContext.defaultParallelism)
     // within 2x of full parallelism: leave the scan alone (an
     // exchange costs more than the imbalance it fixes)
     if (have * 2 >= want) df

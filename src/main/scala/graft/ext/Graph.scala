@@ -506,7 +506,12 @@ object Graph {
                         maxGroupSize: Long = 1000L): DataFrame = {
     require(maxGroupSize >= 2 && maxGroupSize < Int.MaxValue,
       s"maxGroupSize ($maxGroupSize) must be in [2, Int.MaxValue)")
-    incidence
+    // keyed spread (round 19): a single-row-group incidence scan runs
+    // the whole bounded-collect partial aggregation on ONE task; the
+    // group-keyed repartition shuffles only (group, item) longs and
+    // doubles as the aggregation's exchange, so the postings agg runs
+    // at full parallelism with no extra shuffle in the plan.
+    DedupOps.spreadNarrow(incidence, Seq(col("group")))
       .groupBy("group")
       // The size guard lives INSIDE the aggregation buffer: a
       // pathologically hot group (one order holding millions of items

@@ -756,7 +756,14 @@ object Similarity {
           .select(col("query_id"), col("__ccid").as("__list"))
         (a, p)
       }
-    val allowed = probes.join(assigned, "__list")
+    // BROADCAST the probe list (round 19): it is |Q|·nprobe rows —
+    // small whenever the query set is (and it must be: the per-query
+    // ADC tables broadcast below). The planner's estimate for the
+    // derived frame is corpus-sized, so without the hint this join
+    // sort-merged the CORPUS-sized assignment through an exchange on
+    // the list id — a hot-list skew hazard at scale on top of the
+    // shuffle itself.
+    val allowed = broadcast(probes).join(assigned, "__list")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
     val (codesDf, tables) = pqCodesAndTables(queries, corpus, m, dims,
@@ -809,6 +816,19 @@ object Similarity {
         struct(l2sq(col("__sv"), col("__cv")), col("__cid"))).as("__a"))
       .select(col("__id"), col("__j"),
         col("__a.__cid").as("__cid"), col("__a.__sv").as("__sv"))
+
+  // the CODE-ONLY argmin (round 19): [[pqAssign]]'s min_by buffer
+  // carries the subvector array (the centroid update needs it), which
+  // is not a mutable-buffer type — Spark falls back to SortAggregate
+  // and sorts the full n·m·k joined stream twice (partial + final).
+  // Encoding only needs the winning cid; a fixed-width buffer keeps
+  // the aggregation hash-based. Same argmin, same tie-break.
+  private def pqAssignCid(pts: DataFrame, cents: DataFrame): DataFrame =
+    pts.join(broadcast(cents), "__j")
+      .groupBy("__id", "__j")
+      .agg(min_by(col("__cid"),
+        struct(l2sq(col("__sv"), col("__cv")), col("__cid")))
+        .as("__cid"))
 
   // fixed-point per-dimension means (Clustering.updateCentroids with
   // the subspace in the key)
@@ -893,10 +913,16 @@ object Similarity {
     val d = dims / m
     val centRanked = codebook.getOrElse(pqTrain(corpus, m, dims,
       codebookK))
+    // NOTE (round 19): a literal-codebook in-row encode (the
+    // collectLitCents idiom — least()-fold over m·codebookK literal
+    // codewords per row) was A/B measured and REVERTED: the 256-
+    // candidate struct tree blew planning/codegen cost past any
+    // execution saving (1.0 s → 2.7-9.8 s at sf0.1). The join path
+    // below with the fixed-width-buffer argmin stands.
     // pack the m codes into one (j, rank) array per vector, ordered
     // by subspace (assign against the codebook, then swap the raw
     // cid for its dense rank)
-    pqAssign(pqSubs(corpus, "__id", m, d),
+    pqAssignCid(pqSubs(corpus, "__id", m, d),
         centRanked.select("__j", "__cid", "__cv"))
       .join(broadcast(centRanked.select("__j", "__cid", "__r")),
         Seq("__j", "__cid"))

@@ -49,15 +49,22 @@ private[queries] object ExtensionSupport {
     Stages.stage(s, s"$dir|$stage",
       Tables.fingerprint(s"$dir/$fpFile"))(build)
 
+  // Each stage's build body lives in a `...Raw` sibling (round 19):
+  // the memoized def wraps it unchanged, and the raw frame is what
+  // the dev profiler explains/times — a memo thunk always explains
+  // as the checkpoint scan, hiding the build plan.
+  private[queries] def componentLabelsRaw(s: SparkSession,
+                                          dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = DedupOps.lshCandidatePairs(d, col("doc_id"),
+      TextAnalysis.shingleHashes(col("text"), 2, hexLen = 8),
+      numHashes = 12, bands = 4)
+    DedupOps.connectedComponents(
+      d.select(col("doc_id").as("id")), pairs)
+  }
+
   private[queries] def componentLabels(s: SparkSession, dir: String): DataFrame =
-    memo(s, dir, "cc_labels") {
-      val d = docs(s, dir)
-      val pairs = DedupOps.lshCandidatePairs(d, col("doc_id"),
-        TextAnalysis.shingleHashes(col("text"), 2, hexLen = 8),
-        numHashes = 12, bands = 4)
-      DedupOps.connectedComponents(
-        d.select(col("doc_id").as("id")), pairs)
-    }
+    memo(s, dir, "cc_labels")(componentLabelsRaw(s, dir))
 
   /** Force-builds (and times) each shared memoized stage for `dir`, so
     * a benchmark can account the one-time stage cost explicitly
@@ -74,11 +81,14 @@ private[queries] object ExtensionSupport {
   // corpus (FAISS trains codebooks on a sample); the id-modulus
   // sample is deterministic so the DuckDB oracle re-derives the
   // identical codebook. Codes still cover the full corpus.
+  private[queries] def pqCodebookRaw(s: SparkSession,
+                                     dir: String): DataFrame =
+    Similarity.pqTrain(emb(s, dir), m = 16, dims = 64, codebookK = 16,
+      trainSample = 4)
+
   private[queries] def pqCodebook(s: SparkSession, dir: String): DataFrame =
-    memo(s, dir, "pq_codebook", fpFile = "embeddings.parquet") {
-      Similarity.pqTrain(emb(s, dir), m = 16, dims = 64, codebookK = 16,
-        trainSample = 4)
-    }
+    memo(s, dir, "pq_codebook", fpFile = "embeddings.parquet")(
+      pqCodebookRaw(s, dir))
 
   /** Packed PQ codes of the embeddings corpus at the same geometry —
     * the index-build half of the FAISS lifecycle (encode once, search
@@ -86,24 +96,29 @@ private[queries] object ExtensionSupport {
     * query re-runs the assign-join + pack aggregation over the whole
     * corpus — pure duplicated work at any scale.
     */
+  private[queries] def pqCodesRaw(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqEncode(emb(s, dir), m = 16, dims = 64,
+      codebookK = 16, codebook = Some(pqCodebook(s, dir)))
+
   private[queries] def pqCodes(s: SparkSession, dir: String): DataFrame =
-    memo(s, dir, "pq_codes", fpFile = "embeddings.parquet") {
-      Similarity.pqEncode(emb(s, dir), m = 16, dims = 64,
-        codebookK = 16, codebook = Some(pqCodebook(s, dir)))
-    }
+    memo(s, dir, "pq_codes", fpFile = "embeddings.parquet")(
+      pqCodesRaw(s, dir))
 
   /** The flat PQ/ADC candidate list at k′ = 20 — the same
     * search-once/finish-twice sharing as [[ivfpqAdc20]] for the
     * UN-pruned PQ twins: `sim_pq_adc_topk` takes its top-5 head,
     * `sim_pq_refine_topk` exact-re-ranks it.
     */
+  private[queries] def pqAdc20Raw(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.pqTopK(e.filter(col("id") < 50), e, k = 20,
+      codebook = Some(pqCodebook(s, dir)),
+      codes = Some(pqCodes(s, dir)))
+  }
+
   private[queries] def pqAdc20(s: SparkSession, dir: String): DataFrame =
-    memo(s, dir, "pq_adc20", fpFile = "embeddings.parquet") {
-      val e = emb(s, dir)
-      Similarity.pqTopK(e.filter(col("id") < 50), e, k = 20,
-        codebook = Some(pqCodebook(s, dir)),
-        codes = Some(pqCodes(s, dir)))
-    }
+    memo(s, dir, "pq_adc20", fpFile = "embeddings.parquet")(
+      pqAdc20Raw(s, dir))
 
   /** The IVF-PQ ADC candidate list at k′ = 20 (= k·refine of the
     * refine query) — the search-once half shared by `sim_ivfpq_topk`
@@ -116,14 +131,18 @@ private[queries] object ExtensionSupport {
     * set. ≤ 50 queries × 20 rows: checkpoint is tiny, the saving is
     * the pipeline.
     */
+  private[queries] def ivfpqAdc20Raw(s: SparkSession,
+                                     dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.ivfPqTopK(e.filter(col("id") < 50), e,
+      Similarity.seedCentroids(e, nlist = 8), k = 20, nprobe = 2,
+      codebook = Some(pqCodebook(s, dir)),
+      codes = Some(pqCodes(s, dir)))
+  }
+
   private[queries] def ivfpqAdc20(s: SparkSession, dir: String): DataFrame =
-    memo(s, dir, "ivfpq_adc20", fpFile = "embeddings.parquet") {
-      val e = emb(s, dir)
-      Similarity.ivfPqTopK(e.filter(col("id") < 50), e,
-        Similarity.seedCentroids(e, nlist = 8), k = 20, nprobe = 2,
-        codebook = Some(pqCodebook(s, dir)),
-        codes = Some(pqCodes(s, dir)))
-    }
+    memo(s, dir, "ivfpq_adc20", fpFile = "embeddings.parquet")(
+      ivfpqAdc20Raw(s, dir))
 
   /** Degree-annotated trade-graph edges — the build-once half of the
     * PageRank lifecycle (a link graph is constructed once, then
@@ -131,22 +150,43 @@ private[queries] object ExtensionSupport {
     * single-file `memo` helper fits the other stages, so this one
     * calls [[Stages.stage]] directly.
     */
+  private[queries] def prGraphRaw(s: SparkSession, dir: String): DataFrame = {
+    // ej is MATERIALIZED once (localCheckpoint): the round-19 plan
+    // audit showed the lazy form recomputed the join+distinct subtree
+    // four times (two union branches × the degree agg and the join
+    // side of prepareEdges — 4 parquet scans, 4 distinct exchanges).
+    val ej = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+      .distinct()
+      .localCheckpoint(true)
+    // Bipartite degree split: customer nodes (2c) have one distinct
+    // sk per ej row, supplier nodes (2sk+1) one distinct c — so the
+    // union-then-groupBy(src) of the old form equals two small
+    // per-side counts joined back (AQE broadcasts them at this size;
+    // at scale they stay plain hash joins). Both edge directions then
+    // emit IN-ROW via explode — no union, no second pass over ej, no
+    // sort-merge join of the 2|ej|-row union against its own degree
+    // table. Output rows identical: (src, dst, deg).
+    val degC = ej.groupBy("c").agg(count(lit(1)).as("__dc"))
+    val degS = ej.groupBy("sk").agg(count(lit(1)).as("__ds"))
+    ej.join(degC, "c").join(degS, "sk")
+      .select(explode(array(
+        struct((col("c") * 2).as("src"), (col("sk") * 2 + 1).as("dst"),
+          col("__dc").as("deg")),
+        struct((col("sk") * 2 + 1).as("src"), (col("c") * 2).as("dst"),
+          col("__ds").as("deg")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"),
+        col("__e.deg").as("deg"))
+  }
+
   private[queries] def prGraph(s: SparkSession, dir: String): DataFrame =
     Stages.stage(s, s"$dir|pr_graph",
       31L * Tables.fingerprint(s"$dir/orders.parquet") +
-        Tables.fingerprint(s"$dir/lineitem.parquet")) {
-      val ej = t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"))
-        .join(t(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_suppkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
-        .distinct()
-      Graph.prepareEdges(ej
-        .select((col("c") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
-        .unionAll(ej.select((col("sk") * 2 + 1).as("src"),
-          (col("c") * 2).as("dst"))))
-    }
+        Tables.fingerprint(s"$dir/lineitem.parquet"))(prGraphRaw(s, dir))
 
   // -- Write-once bucketed layout (layout_bucket_join) ----------------
   // Key → documents fingerprint at write time, so a regenerated
@@ -222,10 +262,11 @@ private[queries] object ExtensionSupport {
     * train-once stage shared by the vocab query and the encoder, the
     * tokenizer-training lifecycle (train once, encode everything).
     */
+  private[queries] def bpeMergesRaw(s: SparkSession, dir: String): DataFrame =
+    Bpe.train(docs(s, dir), col("text"), k = 6, maxWords = 512)
+
   private[queries] def bpeMerges(s: SparkSession, dir: String): DataFrame =
-    memo(s, dir, "bpe_merges") {
-      Bpe.train(docs(s, dir), col("text"), k = 6, maxWords = 512)
-    }
+    memo(s, dir, "bpe_merges")(bpeMergesRaw(s, dir))
 
   /** BM25 top-20 against the seed terms — one ranking, two consumers
     * (`text_bm25_topk` serves it whole; `sim_hybrid_rrf` fuses its
@@ -233,11 +274,12 @@ private[queries] object ExtensionSupport {
     * is 20 rows; the saving is the tokenize→explode→score pass the
     * second consumer would otherwise repeat.
     */
+  private[queries] def bm25Top20Raw(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25TopK(docs(s, dir), col("doc_id"), col("text"),
+      Bm25Terms, k = 20)
+
   private[queries] def bm25Top20(s: SparkSession, dir: String): DataFrame =
-    memo(s, dir, "bm25_top20") {
-      TextAnalysis.bm25TopK(docs(s, dir), col("doc_id"), col("text"),
-        Bm25Terms, k = 20)
-    }
+    memo(s, dir, "bm25_top20")(bm25Top20Raw(s, dir))
 
   /** The curate_domain SCORE TABLE — hashed-bigram DSIR importance
     * weights against the src0 target slice, lang-joined — memoized
@@ -248,14 +290,17 @@ private[queries] object ExtensionSupport {
     * before a percentile cut is exactly what a production curation
     * pipeline does.
     */
+  private[queries] def dsirDomainScoresRaw(s: SparkSession,
+                                           dir: String): DataFrame = {
+    val d = docs(s, dir)
+    TextAnalysis.dsirWeights(d, col("doc_id"), col("text"),
+        col("source") === "src0", ngram = 2)
+      .join(d.select(col("doc_id"), col("lang")), "doc_id")
+  }
+
   private[queries] def dsirDomainScores(s: SparkSession,
                                         dir: String): DataFrame =
-    memo(s, dir, "dsir_domain_scores") {
-      val d = docs(s, dir)
-      TextAnalysis.dsirWeights(d, col("doc_id"), col("text"),
-          col("source") === "src0", ngram = 2)
-        .join(d.select(col("doc_id"), col("lang")), "doc_id")
-    }
+    memo(s, dir, "dsir_domain_scores")(dsirDomainScoresRaw(s, dir))
 
   /** The k = 8 / iters = 2 Lloyd model over the embeddings table —
     * the train-once stage shared by emb_kmeans (assignment census),
@@ -264,20 +309,26 @@ private[queries] object ExtensionSupport {
     * Lloyd loop, so the three queries were paying ~9 corpus passes
     * between them for one 8-row model.
     */
+  private[queries] def kmeans8CentRaw(s: SparkSession,
+                                      dir: String): DataFrame =
+    Clustering.kmeansCentroids(emb(s, dir), col("id"), col("vec"),
+      k = 8, iters = 2)
+
   private[queries] def kmeans8Cent(s: SparkSession, dir: String): DataFrame =
-    memo(s, dir, "kmeans8_cent", fpFile = "embeddings.parquet") {
-      Clustering.kmeansCentroids(emb(s, dir), col("id"), col("vec"),
-        k = 8, iters = 2)
-    }
+    memo(s, dir, "kmeans8_cent", fpFile = "embeddings.parquet")(
+      kmeans8CentRaw(s, dir))
 
   /** Final assignment against [[kmeans8Cent]] (one broadcast pass),
     * materialized because dedup_semantic consumes it three times.
     */
+  private[queries] def kmeans8LabelsRaw(s: SparkSession,
+                                        dir: String): DataFrame =
+    Clustering.kmeansAssignWith(emb(s, dir), col("id"), col("vec"),
+      kmeans8Cent(s, dir))
+
   private[queries] def kmeans8Labels(s: SparkSession, dir: String): DataFrame =
-    memo(s, dir, "kmeans8_labels", fpFile = "embeddings.parquet") {
-      Clustering.kmeansAssignWith(emb(s, dir), col("id"), col("vec"),
-        kmeans8Cent(s, dir))
-    }
+    memo(s, dir, "kmeans8_labels", fpFile = "embeddings.parquet")(
+      kmeans8LabelsRaw(s, dir))
 
   /** The incremental-dedup fingerprint STORE — (doc_id, fp), fp = md5
     * of the 40-char normalized prefix — memoized because a production
@@ -288,12 +339,13 @@ private[queries] object ExtensionSupport {
     * queries). Shared by dedup_incremental and
     * dedup_incremental_bloom — history and batch sides of each.
     */
+  private[queries] def incrFpRaw(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      md5(substring(TextAnalysis.normalize(col("text")), 1, 40))
+        .as("fp"))
+
   private[queries] def incrFp(s: SparkSession, dir: String): DataFrame =
-    memo(s, dir, "incr_fp") {
-      docs(s, dir).select(col("doc_id"),
-        md5(substring(TextAnalysis.normalize(col("text")), 1, 40))
-          .as("fp"))
-    }
+    memo(s, dir, "incr_fp")(incrFpRaw(s, dir))
 
   /** The folded Bloom word mask of the incremental-dedup HISTORY side
     * — built once per (session, dir, fixture) like the stages (a
@@ -381,6 +433,66 @@ private[queries] object ExtensionSupport {
     // reps: the row isolates the coarse-assign -> probe -> ADC part)
     "ivfpq_adc20" -> (() => ivfpqAdc20(s, dir)))
 
+  /** Round-19 probe surface: every DataFrame-valued shared stage as a
+    * named thunk, so the dev profiler ([[graft.Scratch]]) can explain
+    * and time individual builds. Measurement plumbing only — official
+    * figures stay with [[prebuildStages]].
+    */
+  private[graft] def stageThunks(s: SparkSession, dir: String)
+      : Seq[(String, () => DataFrame)] = Seq(
+    "cc_labels" -> (() => componentLabels(s, dir)),
+    "dsir_domain_scores" -> (() => dsirDomainScores(s, dir)),
+    "kmeans8_cent" -> (() => kmeans8Cent(s, dir)),
+    "kmeans8_labels" -> (() => kmeans8Labels(s, dir)),
+    "pq_codebook" -> (() => pqCodebook(s, dir)),
+    "pq_codes" -> (() => pqCodes(s, dir)),
+    "pq_adc20" -> (() => pqAdc20(s, dir)),
+    "ivfpq_adc20" -> (() => ivfpqAdc20(s, dir)),
+    "bpe_merges" -> (() => bpeMerges(s, dir)),
+    "bm25_top20" -> (() => bm25Top20(s, dir)),
+    "pr_graph" -> (() => prGraph(s, dir)),
+    "copurchase_edges" -> (() => copurchaseEdges(s, dir)),
+    "shingle_pairs" -> (() => shinglePairs(s, dir)),
+    "events_census" -> (() => eventsCensus(s, dir)),
+    "i2b2_spine" -> (() => i2b2Spine(s, dir)),
+    "incr_fp" -> (() => incrFp(s, dir)),
+    "mm_pixel_blobs" -> (() => MultimodalQueries.pixelBlobs(s, dir)),
+    "mm_ahash_blobs" -> (() => MultimodalQueries.ahashBlobs(s, dir)),
+    "mm_audio_blobs" -> (() => MultimodalQueries.audioBlobs(s, dir)),
+    "mm_phash_blobs" -> (() => MultimodalQueries.phashBlobs(s, dir)),
+    "mm_video_blobs" -> (() => MultimodalQueries.videoBlobs(s, dir)),
+    "mm_vdup_blobs" -> (() => MultimodalQueries.vdupBlobs(s, dir)),
+    "mm_img_feats" -> (() => MultimodalQueries.imgFeats(s, dir)),
+    "mm_audio_feats" -> (() => MultimodalQueries.audioFeats(s, dir)),
+    "mm_caption_cues" -> (() => MultimodalQueries.captionCues(s, dir)),
+    "mm_video_feats" -> (() => MultimodalQueries.videoFeats(s, dir)))
+
+  /** The RAW (un-memoized) build frames for the profiler's explain
+    * mode — same bodies the memoized defs wrap, so the printed plan
+    * is the plan the bench's rebuild actually runs. Builders that
+    * consume OTHER stages still read those through the memo (the
+    * bench's incremental-build semantics).
+    */
+  private[graft] def stageRawFrames(s: SparkSession, dir: String)
+      : Seq[(String, () => DataFrame)] = Seq(
+    "cc_labels" -> (() => componentLabelsRaw(s, dir)),
+    "dsir_domain_scores" -> (() => dsirDomainScoresRaw(s, dir)),
+    "kmeans8_cent" -> (() => kmeans8CentRaw(s, dir)),
+    "kmeans8_labels" -> (() => kmeans8LabelsRaw(s, dir)),
+    "pq_codebook" -> (() => pqCodebookRaw(s, dir)),
+    "pq_codes" -> (() => pqCodesRaw(s, dir)),
+    "pq_adc20" -> (() => pqAdc20Raw(s, dir)),
+    "ivfpq_adc20" -> (() => ivfpqAdc20Raw(s, dir)),
+    "bpe_merges" -> (() => bpeMergesRaw(s, dir)),
+    "bm25_top20" -> (() => bm25Top20Raw(s, dir)),
+    "pr_graph" -> (() => prGraphRaw(s, dir)),
+    "copurchase_edges" -> (() => copurchaseEdgesRaw(s, dir)),
+    "shingle_pairs" -> (() => shinglePairsRaw(s, dir)),
+    "events_census" -> (() => eventsCensusRaw(s, dir)),
+    "i2b2_spine" -> (() => i2b2SpineRaw(s, dir)),
+    "i2b2_hier_last" -> (() => i2b2HierLastRaw(s, dir)),
+    "incr_fp" -> (() => incrFpRaw(s, dir)))
+
   /** Bench-only: drop this (session, dir)'s memoized stages so
     * [[prebuildStages]] can time a REBUILD — one-shot stage costs
     * carry ±0.3 s of scheduling jitter that min-of-k strips for
@@ -410,13 +522,16 @@ private[queries] object ExtensionSupport {
     * containment for `dedup_containment`). The shingle explode is
     * the dominant cost of both; sharing it halves it.
     */
+  private[queries] def shinglePairsRaw(s: SparkSession,
+                                       dir: String): DataFrame =
+    DedupOps.pairIntersections(docs(s, dir), Seq("lang", "source"),
+      col("doc_id"), TextAnalysis.shingleHashes(col("text"), 2),
+      maxDf = 64)
+
   private[queries] def shinglePairs(s: SparkSession, dir: String): DataFrame =
     Stages.stage(s, s"$dir|shingle_pairs",
-      Tables.fingerprint(s"$dir/documents.parquet")) {
-      DedupOps.pairIntersections(docs(s, dir), Seq("lang", "source"),
-        col("doc_id"), TextAnalysis.shingleHashes(col("text"), 2),
-        maxDf = 64)
-    }
+      Tables.fingerprint(s"$dir/documents.parquet"))(
+      shinglePairsRaw(s, dir))
 
   /** The i2b2 read → last-wins dedup → join prefix, staged once and
     * consumed by BOTH F2 modes (`i2b2_pipeline` and its bug-compat
@@ -424,23 +539,29 @@ private[queries] object ExtensionSupport {
     * byte-identical, so each query paying its own dedup + two joins
     * was pure duplicated work).
     */
+  private[queries] def i2b2SpineRaw(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part")
+    graft.pipeline.I2b2Pipeline.spine(
+      LoincShim.loinc(part), LoincShim.hierarchy(part),
+      i2b2HierLast(s, dir))
+  }
+
   private[queries] def i2b2Spine(s: SparkSession, dir: String): DataFrame =
-    memo(s, dir, "i2b2_spine", fpFile = "part.parquet") {
-      val part = t(s, dir, "part")
-      graft.pipeline.I2b2Pipeline.spine(
-        LoincShim.loinc(part), LoincShim.hierarchy(part),
-        i2b2HierLast(s, dir))
-    }
+    memo(s, dir, "i2b2_spine", fpFile = "part.parquet")(
+      i2b2SpineRaw(s, dir))
 
   /** The last-wins-deduped hierarchy dimension (spec-correct F2
     * resolves ancestor names against it) — staged alongside
     * [[i2b2Spine]].
     */
+  private[queries] def i2b2HierLastRaw(s: SparkSession,
+                                       dir: String): DataFrame =
+    graft.pipeline.I2b2Pipeline.hierLastWins(
+      LoincShim.hierarchy(t(s, dir, "part")))
+
   private[queries] def i2b2HierLast(s: SparkSession, dir: String): DataFrame =
-    memo(s, dir, "i2b2_hier_last", fpFile = "part.parquet") {
-      graft.pipeline.I2b2Pipeline.hierLastWins(
-        LoincShim.hierarchy(t(s, dir, "part")))
-    }
+    memo(s, dir, "i2b2_hier_last", fpFile = "part.parquet")(
+      i2b2HierLastRaw(s, dir))
 
   /** The drift-split date shared by the census and the KS query. */
   private[queries] val CensusCut = "2024-01-15"
@@ -456,28 +577,34 @@ private[queries] object ExtensionSupport {
     * ([[CensusCut]]); NULL values stay as (key, NULL) rows (the
     * winsorize contract — consumers that must not see them filter).
     */
+  private[queries] def eventsCensusRaw(s: SparkSession,
+                                       dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        (to_date(col("ts")) >= lit(CensusCut).cast("date")).as("late"),
+        floor(col("value") * 100).cast("long").as("v"))
+      .groupBy("user_id", "event_type", "late", "v")
+      .agg(count(lit(1)).as("c"))
+
   private[queries] def eventsCensus(s: SparkSession, dir: String): DataFrame =
-    memo(s, dir, "events_census", fpFile = "events.parquet") {
-      t(s, dir, "events")
-        .select(col("user_id"), col("event_type"),
-          (to_date(col("ts")) >= lit(CensusCut).cast("date")).as("late"),
-          floor(col("value") * 100).cast("long").as("v"))
-        .groupBy("user_id", "event_type", "late", "v")
-        .agg(count(lit(1)).as("c"))
-    }
+    memo(s, dir, "events_census", fpFile = "events.parquet")(
+      eventsCensusRaw(s, dir))
 
   /** Support-≥2 co-purchase edges (canonical u < v) — like
     * [[prGraph]], a graph artifact built once and consumed by several
     * analyses (triangle census, community extraction).
     */
+  private[queries] def copurchaseEdgesRaw(s: SparkSession,
+                                          dir: String): DataFrame =
+    Graph.coOccurrenceEdges(
+      t(s, dir, "lineitem").select(col("l_orderkey").as("group"),
+        col("l_partkey").as("item")),
+      minSupport = 2)
+
   private[queries] def copurchaseEdges(s: SparkSession, dir: String): DataFrame =
     Stages.stage(s, s"$dir|copurchase_edges",
-      Tables.fingerprint(s"$dir/lineitem.parquet")) {
-      Graph.coOccurrenceEdges(
-        t(s, dir, "lineitem").select(col("l_orderkey").as("group"),
-          col("l_partkey").as("item")),
-        minSupport = 2)
-    }
+      Tables.fingerprint(s"$dir/lineitem.parquet"))(
+      copurchaseEdgesRaw(s, dir))
 
   // ------------------------------------------------------------------ //
   // DuckDB oracles. Helpers keep the float math written identically

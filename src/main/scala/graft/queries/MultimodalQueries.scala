@@ -26,7 +26,9 @@ private[queries] object MultimodalQueries {
   private[queries] def pixelBlobs(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "mm_pixel_blobs") {
       import s.implicits._
-      docs(s, dir).select(col("doc_id")).as[Long]
+      DedupOps.spreadNarrow(docs(s, dir).select(col("doc_id")),
+          cap = math.max(2, s.sparkContext.defaultParallelism / 4))
+        .as[Long]
         .mapPartitions { ids =>
           ids.map { id =>
             val w = (id % 12 + 4).toInt
@@ -109,7 +111,9 @@ private[queries] object MultimodalQueries {
   private[queries] def ahashBlobs(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "mm_ahash_blobs") {
       import s.implicits._
-      docs(s, dir).select(col("doc_id")).as[Long]
+      DedupOps.spreadNarrow(docs(s, dir).select(col("doc_id")),
+          cap = math.max(2, s.sparkContext.defaultParallelism / 4))
+        .as[Long]
         .mapPartitions { ids =>
           ids.map { id =>
             val grp = id / 5
@@ -147,7 +151,9 @@ private[queries] object MultimodalQueries {
   private[queries] def phashBlobs(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "mm_phash_blobs") {
       import s.implicits._
-      docs(s, dir).select(col("doc_id")).as[Long]
+      DedupOps.spreadNarrow(docs(s, dir).select(col("doc_id")),
+          cap = math.max(2, s.sparkContext.defaultParallelism / 4))
+        .as[Long]
         .mapPartitions { ids =>
           ids.map { id =>
             val grp = id / 5
@@ -174,7 +180,9 @@ private[queries] object MultimodalQueries {
   private[queries] def audioBlobs(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "mm_audio_blobs") {
       import s.implicits._
-      docs(s, dir).select(col("doc_id")).as[Long]
+      DedupOps.spreadNarrow(docs(s, dir).select(col("doc_id")),
+          cap = math.max(2, s.sparkContext.defaultParallelism / 4))
+        .as[Long]
         .mapPartitions { ids =>
           ids.map { id =>
             val grp = id / 5
@@ -231,7 +239,9 @@ private[queries] object MultimodalQueries {
   private[queries] def videoBlobs(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "mm_video_blobs") {
       import s.implicits._
-      docs(s, dir).select(col("doc_id")).as[Long]
+      DedupOps.spreadNarrow(docs(s, dir).select(col("doc_id")),
+          cap = math.max(2, s.sparkContext.defaultParallelism / 4))
+        .as[Long]
         .mapPartitions { ids =>
           ids.map { id =>
             val n = ((id % 3) * 2 + 2).toInt
@@ -255,7 +265,9 @@ private[queries] object MultimodalQueries {
   private[queries] def vdupBlobs(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "mm_vdup_blobs") {
       import s.implicits._
-      docs(s, dir).select(col("doc_id")).as[Long]
+      DedupOps.spreadNarrow(docs(s, dir).select(col("doc_id")),
+          cap = math.max(2, s.sparkContext.defaultParallelism / 4))
+        .as[Long]
         .mapPartitions { ids =>
           ids.map { id =>
             val grp = id / 5
