@@ -315,8 +315,16 @@ object TextAnalysis {
     * score exists only inside the ORDER BY; a rank flip would need
     * two distinct documents scored within one ulp of each other.
     *
-    * Shape at scale: tf is explode → filter-to-terms → partial-agg
-    * counts (map-side combine, no HOF lambda in the hot loop); the
+    * Shape at scale: tf is computed IN-ROW per term as
+    * `size(toks) - size(array_remove(toks, term))` (round 19: the
+    * explode → filter-to-terms → partial-agg → left-join-back form
+    * planned 4 corpus scans, 2 tokenize+explode subtrees and 2
+    * aggregation exchanges; per-term counting over the token array is
+    * a codegen-friendly projection, so the whole tf table is a single
+    * narrow pass with NO exchange and NO join — a NULL-text doc's tf
+    * goes NULL instead of filled-0, indistinguishable downstream
+    * because its score was already NULL-filtered and every stat
+    * aggregation maps NULL and 0 to the same contribution); the
     * corpus stats (n, avgdl, per-term df) are ONE aggregated row
     * cross-joined (broadcast) back; the global top-k is
     * `orderBy(score desc).limit(k)` — TakeOrderedAndProject, i.e. a
@@ -331,20 +339,14 @@ object TextAnalysis {
                terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty && terms.size <= 16,
       "terms drive one tf column each — keep the list small")
-    val base = docs.select(id.as("doc_id"), tokens(text).as("__toks"))
-      // long: the oracle's len() is BIGINT and the schema gate is exact
-      .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
-        col("__toks"))
-    val tfAggs = terms.zipWithIndex.map { case (t, i) =>
-      sum(when(col("__t") === t, 1L).otherwise(0L)).as(s"tf$i")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      (size(col("__toks")) - size(array_remove(col("__toks"), t)))
+        .cast("long").as(s"tf$i")
     }
-    val tfLong = base
-      .select(col("doc_id"), explode(col("__toks")).as("__t"))
-      .filter(col("__t").isin(terms: _*))
-      .groupBy("doc_id").agg(tfAggs.head, tfAggs.tail: _*)
-    val tf = base.select("doc_id", "dl")
-      .join(tfLong, Seq("doc_id"), "left")
-      .na.fill(0L, terms.indices.map(i => s"tf$i"))
+    val tf = docs.select(id.as("doc_id"), tokens(text).as("__toks"))
+      // long: the oracle's len() is BIGINT and the schema gate is exact
+      .select(col("doc_id") +:
+        size(col("__toks")).cast("long").as("dl") +: tfCols: _*)
     val statAggs =
       count(lit(1)).as("__n") +:
         (sum(col("dl")).cast("double") / count(lit(1))).as("__avgdl") +:
@@ -797,7 +799,13 @@ object TextAnalysis {
       .repartition(col("__t"))
     val counts = toks.groupBy("__t").agg(count(lit(1)).as("__c"))
     val total = counts.agg(sum("__c").as("__nn"))
-    val scored = toks.join(counts, "__t")
+    // SHUFFLE_HASH (round 19): both sides are already partitioned by
+    // __t (the explicit exchange above), so a partitioned hash join
+    // adds NO exchange — but left to itself AQE broadcast the
+    // corpus-sized token stream as the build side (estimate-small at
+    // bench SF, catastrophic at scale) and the broadcast's separate
+    // exchange re-ran the whole scan+tokenize+explode subtree.
+    val scored = toks.join(counts.hint("shuffle_hash"), "__t")
       .crossJoin(broadcast(total))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
@@ -862,13 +870,16 @@ object TextAnalysis {
     val totals = cnt.agg(
       sum("__cr").as("__nr"), sum("__ct").as("__nt"),
       count(lit(1)).as("__v"))
-    val scored = toks.join(cnt, "__t")
+    val scored = toks.join(cnt.hint("shuffle_hash"), "__t")
       .crossJoin(broadcast(totals))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         sum(floorLog2(col("__ct") + 1L) - floorLog2(col("__cr") + 1L)
           + (floorLog2(col("__nr") + col("__v"))
             - floorLog2(col("__nt") + col("__v")))).as("dsir_bits"))
+    // (the scored join above carries the SHUFFLE_HASH hint for the
+    // same reason as [[unigramSurprisal]]: keep the corpus-sized
+    // token stream off the broadcast path and on the shared exchange)
     docs.select(id.as("doc_id")).join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
@@ -1035,7 +1046,9 @@ object TextAnalysis {
         .as("__np"),
       coalesce(sum(when(col("__y"), 0L).otherwise(1L)), lit(0L))
         .as("__nf"))
-    val scored = toks.join(cnt, "__t")
+    // SHUFFLE_HASH: the [[unigramSurprisal]] reasoning — both sides
+    // share the __t exchange; never broadcast the token stream.
+    val scored = toks.join(cnt.hint("shuffle_hash"), "__t")
       .crossJoin(broadcast(totals))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
