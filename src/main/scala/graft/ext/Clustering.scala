@@ -38,12 +38,19 @@ object Clustering {
     * corpus point — one corpus-sized shuffle per iteration, all
     * scoring codegen'd.
     *
-    * A shuffle-free variant (fold the centroids into one broadcast
-    * array row and argmax in a projection) was measured 4× slower:
-    * higher-order functions (`transform`/`array_max`) are
-    * CodegenFallback, so every cosine would run interpreted. Removing
-    * the corpus exchange too needs a native argmax-over-centroids
-    * kernel, not a lambda.
+    * Round 19: the shape above is HISTORY — assignment now runs
+    * shuffle-free through the native argmax-over-centroids kernel
+    * ([[org.apache.spark.sql.graft.VecArgmaxCos]]). An earlier HOF
+    * attempt (`transform`/`array_max` over a broadcast centroid
+    * array) was measured 4× slower because lambdas interpret the
+    * cosine per element; the native kernel runs the same loop inside
+    * WholeStageCodegen, so the n·k row expansion, the corpus-sized
+    * aggregation exchange, AND the SortAggregate fallback (struct
+    * orderings are not mutable aggregation buffers) all disappear —
+    * an assignment pass no longer shuffles the corpus at all.
+    * Numerics and the (cos, −cid) tie-break are bit-identical by the
+    * kernel's contract (same left-to-right folds, same SQL double
+    * ordering, null-metric candidates ignored).
     */
   /** The argmax tie-break negates the centroid id, so ids must be
     * integral — the [[Similarity.requireNumericCentroidIds]] contract
@@ -60,48 +67,41 @@ object Clustering {
         s"tie-break negates the centroid id), got $dt")
   }
 
-  private def assignNearest(pts: DataFrame, cent: DataFrame): DataFrame =
-    // zero-norm centroids are DROPPED before the cosine (the
-    // Similarity discipline): cosine(x, 0-vec) is 0/0 = NaN, and NaN
-    // sorts above every real value in the argmax struct — ONE failed
-    // embedding among the seeds would capture the whole corpus,
-    // collapsing k-means to a single cluster and the within-cluster
-    // self-joins downstream (semanticDedup) to C(n,2)
-    // norms HOISTED below the join (the Similarity.exactTopK idiom):
-    // each is an O(dims) fold, so computing them inside cosine() per
-    // (point, centroid) pair would pay 2·n·k folds where n + k
-    // suffice — the point norm once per row pre-join, the centroid
-    // norm once per row pre-broadcast
-    pts.withColumn("__pn", Similarity.norm(col("__v")))
-      .crossJoin(broadcast(
-        cent.filter(Similarity.norm(col("__cv")) > 0)
-          .withColumn("__cn", Similarity.norm(col("__cv")))))
-      .withColumn("__cos",
-        Similarity.dot(col("__v"), col("__cv")) /
-          (col("__pn") * col("__cn")))
-      .groupBy("__id")
-      .agg(max_by(struct(col("__cid"), col("__v")),
-        struct(col("__cos"), -col("__cid"))).as("__a"))
-      .select(col("__id"), col("__a.__v").as("__v"),
-        col("__a.__cid").as("__cid"))
+  // zero-norm centroids are DROPPED before the cosine (the
+  // Similarity discipline): cosine(x, 0-vec) is 0/0 = NaN, and NaN
+  // sorts above every real value in the argmax ordering — ONE failed
+  // embedding among the seeds would capture the whole corpus,
+  // collapsing k-means to a single cluster and the within-cluster
+  // self-joins downstream (semanticDedup) to C(n,2).
+  // The size(__cb) > 0 guard keeps the degenerate-centroids contract
+  // of the old join form: with ZERO valid centroids the broadcast
+  // side is EMPTY and assignment yields no rows (not null-cid rows).
+  private def centArray(cent: DataFrame): DataFrame =
+    cent.filter(Similarity.norm(col("__cv")) > 0)
+      .withColumn("__cn", Similarity.norm(col("__cv")))
+      .agg(collect_list(struct(col("__cid"), col("__cv"), col("__cn")))
+        .as("__cb"))
+      .filter(size(col("__cb")) > 0)
 
-  // label-only argmax (round 19): [[assignNearest]]'s max_by buffer
-  // carries the point vector (the centroid update needs it), an
-  // immutable buffer type that forces SortAggregate — the full n·k
-  // scored stream is sorted twice (partial + final). Assignment-only
-  // consumers need just the cid; the fixed-width buffer keeps the
-  // aggregation hash-based. Same argmax, same (cos, -cid) tie-break.
+  private def assignNearest(pts: DataFrame, cent: DataFrame): DataFrame =
+    // norms HOISTED (the Similarity.exactTopK idiom): the point norm
+    // once per row, each centroid norm once pre-broadcast; the kernel
+    // folds dot/(pn·cn) per candidate inside one codegen'd loop
+    pts.withColumn("__pn", Similarity.norm(col("__v")))
+      .crossJoin(broadcast(centArray(cent)))
+      .select(col("__id"), col("__v"),
+        org.apache.spark.sql.graft.NearestColumns
+          .vec_argmax_cos(col("__v"), col("__pn"), col("__cb"))
+          .as("__cid"))
+
+  // label-only variant (no point vector in the output row)
   private def assignNearestCid(pts: DataFrame, cent: DataFrame): DataFrame =
     pts.withColumn("__pn", Similarity.norm(col("__v")))
-      .crossJoin(broadcast(
-        cent.filter(Similarity.norm(col("__cv")) > 0)
-          .withColumn("__cn", Similarity.norm(col("__cv")))))
-      .withColumn("__cos",
-        Similarity.dot(col("__v"), col("__cv")) /
-          (col("__pn") * col("__cn")))
-      .groupBy("__id")
-      .agg(max_by(col("__cid"), struct(col("__cos"), -col("__cid")))
-        .as("__cid"))
+      .crossJoin(broadcast(centArray(cent)))
+      .select(col("__id"),
+        org.apache.spark.sql.graft.NearestColumns
+          .vec_argmax_cos(col("__v"), col("__pn"), col("__cb"))
+          .as("__cid"))
 
   /** Fixed-point elementwise mean of each cluster's members. */
   private def updateCentroids(assigned: DataFrame): DataFrame =
@@ -139,7 +139,12 @@ object Clustering {
     // internally consistent with its own oracle.)
     val all = df.select(id.as("__id"), vec.as("__v"))
     requireIntegralId(all)
-    val pts = all.filter(Similarity.norm(col("__v")) > 0)
+    // keyed spread (round 19): the in-row argmax kernel removed the
+    // assignment's aggregation exchange, so a single-row-group scan
+    // would run every Lloyd pass on one task; the narrow (id, vec)
+    // spread restores parallelism and is the identity at scale.
+    val pts = DedupOps.spreadNarrow(
+      all.filter(Similarity.norm(col("__v")) > 0), Seq(col("__id")))
     val cent0 = pts.orderBy(col("__id")).limit(k)
       .select(col("__id").as("__cid"), col("__v").as("__cv"))
     var assigned = assignNearest(pts, cent0)
@@ -164,7 +169,9 @@ object Clustering {
     // filter-then-limit seeds over the same filtered corpus
     val all = df.select(id.as("__id"), vec.as("__v"))
     requireIntegralId(all)
-    val pts = all.filter(Similarity.norm(col("__v")) > 0)
+    // keyed spread — same reasoning as [[kmeansAssign]]
+    val pts = DedupOps.spreadNarrow(
+      all.filter(Similarity.norm(col("__v")) > 0), Seq(col("__id")))
     var cent = pts.orderBy(col("__id")).limit(k)
       .select(col("__id").as("__cid"), col("__v").as("__cv"))
     for (_ <- 2 to iters)
@@ -191,7 +198,13 @@ object Clustering {
       // ANSI), so both sides of the argmax are validated
       val c = cent.select(col("cid").as("__cid"), col("cv").as("__cv"))
       requireIntegralId(c, "__cid", "centroid")
-      assignNearestCid(all.filter(Similarity.norm(col("__v")) > 0), c)
+      // keyed spread, capped (the mm-blob rule): the assignment is
+      // map-only now and its output is a many-consumer memoized
+      // checkpoint in the query layer
+      assignNearestCid(DedupOps.spreadNarrow(
+          all.filter(Similarity.norm(col("__v")) > 0), Seq(col("__id")),
+          cap = math.max(2,
+            df.sparkSession.sparkContext.defaultParallelism / 4)), c)
         .select(col("__id").as("id"), col("__cid").as("cid"))
     }
 

@@ -1141,6 +1141,9 @@ object DedupOps {
     // shuffle outweighs the one-task kernel at any measured scale.
     require(chunkChars >= 1, "chunkChars must be positive")
     val overlap = window + k - 2
+    // (round 19, third A/B: a KEYED doc_id spread — no sort-before-
+    // repartition — still lost, substring 0.99 → 1.04: the full-text
+    // shuffle itself outweighs the one-task kernel. Left unspread.)
     df.filter(length(text) >= k) // no gram fits a shorter doc
       .select(id.as("doc_id"), text.as("__t"))
       // chunk i owns window starts i*chunkChars+1 .. min((i+1)*chunkChars, G)

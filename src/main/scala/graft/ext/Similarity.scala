@@ -805,30 +805,37 @@ object Similarity {
         slice(dimsGuard(col("vec"), m * d), j * d + 1, d)): _*))
         .as(Seq("__j", "__sv")))
 
-  // argmin_{codeword} l2sq, ties to the smaller cid; keeps __sv for
-  // the centroid update (same shape as Clustering.assignNearest —
-  // broadcast join against the bounded codebook, map-side-collapsing
-  // argmin aggregation)
-  private def pqAssign(pts: DataFrame, cents: DataFrame): DataFrame =
-    pts.join(broadcast(cents), "__j")
-      .groupBy("__id", "__j")
-      .agg(min_by(struct(col("__cid"), col("__sv")),
-        struct(l2sq(col("__sv"), col("__cv")), col("__cid"))).as("__a"))
-      .select(col("__id"), col("__j"),
-        col("__a.__cid").as("__cid"), col("__a.__sv").as("__sv"))
+  // per-subspace codeword ARRAY for the in-row argmin (round 19): one
+  // broadcastable row per subspace. collect_list order is partition-
+  // dependent, which is fine — the kernel's comparison is a total
+  // order, so the winner is order-independent.
+  private def pqCentArray(cents: DataFrame): DataFrame =
+    cents.groupBy("__j")
+      .agg(collect_list(struct(col("__cid"), col("__cv"))).as("__cb"))
 
-  // the CODE-ONLY argmin (round 19): [[pqAssign]]'s min_by buffer
-  // carries the subvector array (the centroid update needs it), which
-  // is not a mutable-buffer type — Spark falls back to SortAggregate
-  // and sorts the full n·m·k joined stream twice (partial + final).
-  // Encoding only needs the winning cid; a fixed-width buffer keeps
-  // the aggregation hash-based. Same argmin, same tie-break.
+  // argmin_{codeword} l2sq, ties to the smaller cid; keeps __sv for
+  // the centroid update. Round 19: IN-ROW via the native
+  // [[org.apache.spark.sql.graft.VecArgminL2]] kernel over the
+  // broadcast per-subspace codeword array — the old broadcast-join +
+  // min_by form expanded every subvector k×, shuffled the expansion
+  // (the aggregation's exchange), and SORTED it twice (a struct
+  // ordering is not a mutable aggregation buffer → SortAggregate).
+  // Bit-identical l2sq fold and (l2, cid) tie order by the kernel's
+  // contract; the inner join on __j is preserved (a subspace with no
+  // codewords still contributes no rows).
+  private def pqAssign(pts: DataFrame, cents: DataFrame): DataFrame =
+    pts.join(broadcast(pqCentArray(cents)), "__j")
+      .select(col("__id"), col("__j"),
+        org.apache.spark.sql.graft.NearestColumns
+          .vec_argmin_l2(col("__sv"), col("__cb")).as("__cid"),
+        col("__sv"))
+
+  // the CODE-ONLY argmin (no subvector in the output row)
   private def pqAssignCid(pts: DataFrame, cents: DataFrame): DataFrame =
-    pts.join(broadcast(cents), "__j")
-      .groupBy("__id", "__j")
-      .agg(min_by(col("__cid"),
-        struct(l2sq(col("__sv"), col("__cv")), col("__cid")))
-        .as("__cid"))
+    pts.join(broadcast(pqCentArray(cents)), "__j")
+      .select(col("__id"), col("__j"),
+        org.apache.spark.sql.graft.NearestColumns
+          .vec_argmin_l2(col("__sv"), col("__cb")).as("__cid"))
 
   // fixed-point per-dimension means (Clustering.updateCentroids with
   // the subspace in the key)
@@ -881,7 +888,14 @@ object Similarity {
     val train =
       if (trainSample == 1) corpus
       else corpus.filter(col("id") % trainSample === 0)
-    val base = pqSubs(train, "__id", m, d)
+    // keyed spread (round 19): with the in-row argmin kernel the
+    // assign pass no longer has an aggregation exchange to spread a
+    // single-row-group scan, so the whole subvector pipeline would
+    // serialize onto one task; the narrow (id, vec) spread restores
+    // kernel parallelism and is the identity on real multi-split
+    // inputs at scale.
+    val base = pqSubs(DedupOps.spreadNarrow(train, Seq(col("id"))),
+      "__id", m, d)
     val cent0 = pqSubs(train.orderBy(col("id")).limit(codebookK),
         "__cid", m, d)
       .select(col("__j"), col("__cid"), col("__sv").as("__cv"))
@@ -921,8 +935,14 @@ object Similarity {
     // below with the fixed-width-buffer argmin stands.
     // pack the m codes into one (j, rank) array per vector, ordered
     // by subspace (assign against the codebook, then swap the raw
-    // cid for its dense rank)
-    pqAssignCid(pqSubs(corpus, "__id", m, d),
+    // cid for its dense rank). Keyed spread as in [[pqTrain]] — the
+    // id-keyed partitioning doubles as the pack groupBy's exchange;
+    // capped (the mm-blob rule) because the packed codes are a
+    // many-consumer memoized checkpoint.
+    pqAssignCid(pqSubs(DedupOps.spreadNarrow(corpus, Seq(col("id")),
+        cap = math.max(2,
+          corpus.sparkSession.sparkContext.defaultParallelism / 4)),
+        "__id", m, d),
         centRanked.select("__j", "__cid", "__cv"))
       .join(broadcast(centRanked.select("__j", "__cid", "__r")),
         Seq("__j", "__cid"))
