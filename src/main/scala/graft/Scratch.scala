@@ -20,12 +20,15 @@ object Scratch {
       .getOrElse(Set.empty[String])
     System.clearProperty("graft.stage.dir")
     val cpus = Bench.cpus
-    val spark = org.apache.spark.sql.SparkSession.builder()
+    val builder = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // A/B hook for the ObjectHashAggregate fallback experiment
+    sys.env.get("GRAFT_OHA_FALLBACK").foreach(v => builder.config(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", v))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val thunks = graft.queries.ExtensionQueries.stageThunks(spark, sfDir)
       .filter { case (n, _) => only.isEmpty || only.contains(n) }

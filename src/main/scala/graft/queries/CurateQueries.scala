@@ -130,10 +130,22 @@ private[queries] object CurateQueries {
         .join(d.select(col("doc_id").as("__sid"), col("text")),
           col("__src") === col("__sid"))
         .select(col("doc_id"), col("text"))
+      // SHARD the staged WARC (round 19, guide §6): stageResponses
+      // writes one .warc.gz per input partition, and the single-row-
+      // group corpus scan is ONE partition — an unsplittable gzip
+      // that serializes the whole record-parse onto one task every
+      // rep. A deterministic keyed repartition (20× more key values
+      // than partitions, §2.5) stages N member-files instead, so the
+      // binaryFile scan parallelizes the parse. Real WARC corpora
+      // ship sharded for exactly this reason.
+      val shards = math.max(2,
+        s.sparkContext.defaultParallelism / 4)
       val path = WarcSource.stageResponses(
         tripled.select(
           concat(lit("urn:doc:"), col("doc_id")).as("uri"),
-          lit("2024-01-02T03:04:05Z").as("date"), html.as("text")),
+          lit("2024-01-02T03:04:05Z").as("date"), html.as("text"))
+          .repartition(shards, pmod(col("uri").substr(lit(9), lit(30))
+            .cast("long"), lit(shards * 20L))),
         "target/warc_web", s"${dir.split('/').last}_web3",
         Tables.fingerprint(s"$dir/documents.parquet"))
       val extracted = WarcSource.warcResponses(s, path)
