@@ -563,6 +563,10 @@ object TextAnalysis {
     // sharing is structurally impossible here), and what shuffles is
     // only the distinct (doc, term, tf) table: once partially
     // aggregated into df, once into the term join.
+    // (round 19: a keyed pre-explode spread of (doc_id, text) was A/B
+    // measured FLAT here — 0.51 → 0.52 at sf0.1 — the kernel pass is
+    // not this query's bottleneck; reverted, unlike text_ngram_freq
+    // where the same spread paid.)
     val tf = docs
       .select(id.as("doc_id"),
         explode(org.apache.spark.sql.graft.TextStatsColumns
@@ -855,6 +859,9 @@ object TextAnalysis {
                   isTarget: Column, ngram: Int = 1): DataFrame = {
     require(ngram >= 1, "ngram order must be positive")
     val feats = if (ngram == 1) tokens(text) else shingles(text, ngram)
+    // (round 19: a keyed pre-explode spread was A/B measured WORSE
+    // here — stage 1.11 → 1.21 at sf0.1 — the token exchange and the
+    // scoring joins dominate, not the explode; reverted.)
     val toks = docs
       .select(id.as("doc_id"), isTarget.cast("boolean").as("__tgt"),
         explode(feats).as("__t"))

@@ -338,8 +338,11 @@ private[queries] object TextQueries {
     // Top-k is distributive, so rows are identical to a single
     // per-lang window.
     "text_ngram_freq" -> { (s, dir) =>
-      val grams = docs(s, dir).select(col("lang"),
-        explode(TextAnalysis.shingles(col("text"), 2)).as("gram"))
+      val grams = graft.ext.DedupOps.spreadNarrow(
+          docs(s, dir).select(col("lang"), col("text")),
+          Seq(col("lang"), col("text")))
+        .select(col("lang"),
+          explode(TextAnalysis.shingles(col("text"), 2)).as("gram"))
         .groupBy("lang", "gram").agg(count(lit(1)).as("n"))
       Ranking.twoPhaseTopN(grams, Seq(col("lang")),
           Seq(col("n").desc, col("gram")), n = 5,
