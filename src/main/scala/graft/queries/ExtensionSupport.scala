@@ -157,6 +157,11 @@ private[queries] object ExtensionSupport {
     // side of prepareEdges — 4 parquet scans, 4 distinct exchanges).
     val ej = t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
+      // SHUFFLE_HASH on the smaller orders side (guide §3.1): the
+      // default sort-merge pays a sort of BOTH shuffled sides; a
+      // per-partition hash build on orders skips both sorts, and the
+      // orderkey distribution is uniform (no build-side skew risk)
+      .hint("shuffle_hash")
       .join(t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
